@@ -1,13 +1,330 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` exercises one operator from SURVEY.md §2 over
+  * the driver's parquet tables; `oracleSql` holds the DuckDB-equivalent
+  * ANSI SQL. Column names and types are aligned on both sides (the
+  * driver's compare sorts columns by name and hashes values). All double
+  * outputs are produced by exact decimal aggregation + round(2) so the
+  * values are bit-identical regardless of partitioning / summation order.
+  *
+  * The `events` table plays the role of the reference's behavior streams
+  * (SURVEY.md §5.3): event_type ∈ {view, click, purchase, signup, error}
+  * maps to pv-views / ad-clicks / pays / order-creates / login-fails, and
+  * the `props` JSON field `k` is the item/ad id.
+  */
 object SparkEntry {
+
+  /** events with the JSON item id projected out (P1/P5 analogs:
+    * the reference's CSV parse-and-cast map, HotItems.scala:57-67).
+    */
+  private def eventsWithItem(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("item_id", get_json_object(col("props"), "$.k").cast("long"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q04_hot_items_top5")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A3/F2 — hourly PV count (PageView.scala:59-60)
+    "q01_pv_hourly" -> ((s, dir) =>
+      WindowedAgg.tumblingCount(
+        Tables.events(s, dir).filter(col("event_type") === "view"),
+        "ts", "1 hour")),
+
+    // A4 — hourly exact UV (UniqueVisitor.scala:62-83)
+    "q02_uv_hourly" -> ((s, dir) =>
+      WindowedAgg.tumblingDistinct(
+        Tables.events(s, dir).filter(col("event_type") === "view"),
+        "ts", "1 hour", "user_id")),
+
+    // A5 — hourly approx UV via HLL++ (UvWithBloomFilter.scala:103-165);
+    // approximate → no DuckDB oracle (rows-only check)
+    "q03_uv_approx_hourly" -> ((s, dir) =>
+      WindowedAgg.tumblingApproxDistinct(
+        Tables.events(s, dir).filter(col("event_type") === "view"),
+        "ts", "1 hour", "user_id")),
+
+    // A1+T1 — top-5 hot items per sliding 1h/5m window
+    // (HotItems.scala:79-84,132-175)
+    "q04_hot_items_top5" -> ((s, dir) => {
+      val counts = WindowedAgg.slidingCount(
+        eventsWithItem(s, dir).filter(col("event_type") === "view"),
+        "ts", "1 hour", "5 minutes", Seq("item_id"))
+      TopN.perGroup(counts, Seq("window_start"), "cnt", Seq("item_id"), 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // A6/F3 — keyless sliding marketing total (AppMarketing.scala:38-40);
+    // the reference's dummy-key global agg replaced by keyless aggregation
+    "q05_marketing_total" -> ((s, dir) =>
+      WindowedAgg.slidingCount(
+        Tables.events(s, dir).filter(col("event_type") =!= "error"),
+        "ts", "1 hour", "10 minutes")),
+
+    // A7/P3 — sliding count by channel (AppMarketingByChannel.scala:37-39)
+    "q06_marketing_by_channel" -> ((s, dir) =>
+      WindowedAgg.slidingCount(
+        Tables.events(s, dir).filter(col("event_type") =!= "error"),
+        "ts", "1 hour", "10 minutes", Seq("event_type"))),
+
+    // A8 — sliding ad count per geo (AdStatisticsByGeo.scala:57-60);
+    // province analog = item_id % 10
+    "q07_ad_count_by_geo" -> ((s, dir) =>
+      WindowedAgg.slidingCount(
+        eventsWithItem(s, dir).filter(col("event_type") === "click")
+          .withColumn("province_id", col("item_id") % 10),
+        "ts", "1 hour", "10 minutes", Seq("province_id"))),
+
+    // C1 — click-fraud blacklist: same user clicking same ad >= 2 times in
+    // a day (AdStatisticsByGeo.scala:68-113)
+    "q08_click_blacklist" -> ((s, dir) =>
+      FraudBlacklist.flagDaily(
+        eventsWithItem(s, dir).filter(col("event_type") === "click")
+          .withColumnRenamed("item_id", "ad_id"),
+        "ts", 2, Seq("user_id", "ad_id"))),
+
+    // C2/C3 — consecutive login-fail within 2h (LoginFail.scala:61-119,
+    // intended <=gap semantics per SURVEY Appendix A.1)
+    "q09_login_fail" -> ((s, dir) =>
+      SequenceDetect.consecutiveFails(
+        Tables.events(s, dir), "user_id", "ts", "event_type", "event_id",
+        "error", "2 HOURS")),
+
+    // C4/C5 — order-pay timeout: signup=create, purchase=pay, 24h deadline
+    // (OrderTimeout.scala:50-93)
+    "q10_order_timeout" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val creates = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("id"), col("user_id").as("key"),
+          col("ts").as("create_ts"))
+      val pays = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("ts").as("pay_ts"))
+      Timeout.detect(creates, pays, "24 HOURS")
+        .withColumnRenamed("key", "user_id")
+        .withColumnRenamed("id", "order_id")
+    }),
+
+    // C6 — two-stream reconciliation via full-outer join
+    // (TxMatchDetect.scala:88-138): purchases vs clicks per (user, day)
+    "q11_tx_match" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def side(t: String, cnt: String) = ev.filter(col("event_type") === t)
+        .groupBy(col("user_id"),
+          (floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long")
+            .as("bucket_start"))
+        .agg(count(lit(1)).as(cnt))
+      StreamMatch.reconcile(side("purchase", "pay_cnt"), side("click", "receipt_cnt"),
+        Seq("user_id", "bucket_start"), "pay_cnt", "receipt_cnt")
+    }),
+
+    // C7 — interval join (TxMatchByJoin.scala:68-71): each purchase joined
+    // to the same user's clicks in the preceding 6h
+    "q12_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val pays = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pay_id"), col("user_id"),
+          col("ts").as("pay_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      StreamMatch.intervalJoin(pays, clicks, "user_id", "pay_ts", "click_ts",
+          "6 HOURS", "0 SECONDS")
+        .select(col("pay_id"), col("click_id"), col("l_key").as("user_id"))
+    }),
+
+    // Batch analytics: TPC-H Q1-style pricing summary over lineitem
+    "q13_pricing_summary" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity").cast("decimal(28,10)")), 2)
+            .cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(28,10)")), 2)
+            .cast("double").as("sum_base_price"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(28,10)")), 2).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("cnt"))),
+
+    // Batch analytics: revenue by nation through the star schema;
+    // nation/region broadcast, orders/lineitem co-partitioned by AQE
+    "q14_revenue_by_nation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(28,10)")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // Batch analytics: top-10 customers by revenue — TakeOrdered (scales;
+    // no global sort / single-partition window)
+    "q15_top_customers" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,10)")), 2).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_custkey").asc)
+        .limit(10)
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pv_hourly" ->
+      """SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS window_start,
+        |       CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 + 3600 AS window_end,
+        |       count(*) AS cnt
+        |FROM events WHERE event_type = 'view' GROUP BY 1, 2""".stripMargin,
+
+    "q02_uv_hourly" ->
+      """SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS window_start,
+        |       CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 + 3600 AS window_end,
+        |       count(DISTINCT user_id) AS uv
+        |FROM events WHERE event_type = 'view' GROUP BY 1, 2""".stripMargin,
+
+    "q04_hot_items_top5" ->
+      """WITH v AS (
+        |  SELECT json_extract_string(props, '$.k')::BIGINT AS item_id,
+        |         CAST(floor(epoch(ts)/300) AS BIGINT)*300 AS slot
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT slot - 300*g AS window_start, item_id, count(*) AS cnt
+        |  FROM v CROSS JOIN generate_series(0, 11) t(g)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT window_start, window_start + 3600 AS window_end, item_id, cnt,
+        |         row_number() OVER (PARTITION BY window_start
+        |                            ORDER BY cnt DESC, item_id ASC) AS rank
+        |  FROM c)
+        |SELECT window_start, window_end, item_id, cnt, rank
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    "q05_marketing_total" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)/600) AS BIGINT)*600 - 600*g AS window_start
+        |  FROM events CROSS JOIN generate_series(0, 5) t(g)
+        |  WHERE event_type <> 'error')
+        |SELECT window_start, window_start + 3600 AS window_end, count(*) AS cnt
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "q06_marketing_by_channel" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts)/600) AS BIGINT)*600 - 600*g AS window_start
+        |  FROM events CROSS JOIN generate_series(0, 5) t(g)
+        |  WHERE event_type <> 'error')
+        |SELECT window_start, window_start + 3600 AS window_end, event_type,
+        |       count(*) AS cnt
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
+
+    "q07_ad_count_by_geo" ->
+      """WITH e AS (
+        |  SELECT json_extract_string(props, '$.k')::BIGINT % 10 AS province_id,
+        |         CAST(floor(epoch(ts)/600) AS BIGINT)*600 - 600*g AS window_start
+        |  FROM events CROSS JOIN generate_series(0, 5) t(g)
+        |  WHERE event_type = 'click')
+        |SELECT window_start, window_start + 3600 AS window_end, province_id,
+        |       count(*) AS cnt
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
+
+    "q08_click_blacklist" ->
+      """SELECT user_id, json_extract_string(props, '$.k')::BIGINT AS ad_id,
+        |       CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS day_start,
+        |       count(*) AS cnt
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
+
+    "q09_login_fail" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id, event_id AS warn_id,
+        |       CAST(floor(epoch(prev_ts)) AS BIGINT) AS first_fail,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS last_fail
+        |FROM o
+        |WHERE event_type = 'error' AND prev_type = 'error'
+        |  AND ts <= prev_ts + INTERVAL 2 HOUR""".stripMargin,
+
+    "q10_order_timeout" ->
+      """SELECT s.event_id AS order_id, s.user_id,
+        |       CAST(floor(epoch(s.ts)) AS BIGINT) AS create_ts,
+        |       CASE WHEN count(p.user_id) > 0 THEN 'payed successfully'
+        |            ELSE 'timeout' END AS status
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = s.user_id AND p.ts > s.ts
+        | AND p.ts <= s.ts + INTERVAL 24 HOUR
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q11_tx_match" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS bucket_start,
+        |         count(*) AS pay_cnt
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS bucket_start,
+        |         count(*) AS receipt_cnt
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT COALESCE(p.user_id, r.user_id) AS user_id,
+        |       COALESCE(p.bucket_start, r.bucket_start) AS bucket_start,
+        |       COALESCE(p.pay_cnt, 0) AS pay_cnt,
+        |       COALESCE(r.receipt_cnt, 0) AS receipt_cnt,
+        |       CASE WHEN p.user_id IS NOT NULL AND r.user_id IS NOT NULL THEN 'matched'
+        |            WHEN p.user_id IS NOT NULL THEN 'unmatched_left'
+        |            ELSE 'unmatched_right' END AS tag
+        |FROM p FULL OUTER JOIN r
+        |  ON p.user_id = r.user_id AND p.bucket_start = r.bucket_start""".stripMargin,
+
+    "q12_interval_join" ->
+      """SELECT p.event_id AS pay_id, c.event_id AS click_id, p.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts""".stripMargin,
+
+    "q13_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(CAST(l_quantity AS DECIMAL(28,10))), 2)::DOUBLE AS sum_qty,
+        |       round(sum(CAST(l_extendedprice AS DECIMAL(28,10))), 2)::DOUBLE AS sum_base_price,
+        |       round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2)::DOUBLE AS sum_disc_price,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q14_revenue_by_nation" ->
+      """SELECT n_name,
+        |       round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2)::DOUBLE AS revenue,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+
+    "q15_top_customers" ->
+      """SELECT o_custkey,
+        |       round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2)::DOUBLE AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY revenue DESC, o_custkey ASC LIMIT 10""".stripMargin,
+  )
 }
