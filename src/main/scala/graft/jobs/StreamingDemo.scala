@@ -1,0 +1,95 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.WindowedAgg
+import graft.streaming._
+
+/** End-to-end streaming wiring of the reference's use cases over the
+  * driver's events table, read as a file stream — the Structured
+  * Streaming analog of the reference's job mains (HotItems, LoginFail,
+  * OrderTimeout wiring shapes; SURVEY.md §3).
+  *
+  * Prints one line per use case with the emitted row count, and
+  * cross-checks the streaming login-fail output against the batch
+  * operator on the same data (they must agree exactly — same fold, just
+  * micro-batched).
+  */
+object StreamingDemo {
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // the file-stream source watches a directory; expose the single
+    // events.parquet through a temp dir symlink
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-events-")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+
+    def stream(): DataFrame = spark.readStream
+      .schema(eventsSchema).parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+    // 1. login-fail detection (LoginFail wiring shape)
+    val lf = StatefulOps.consecutiveFails(
+      stream().select($"user_id".as("key"), $"ts", $"event_type".as("eventType"), $"event_id".as("id"))
+        .as[KeyedEvent],
+      "error", 2 * 3600 * 1000L)
+    val q1 = lf.writeStream.outputMode("append").format("memory")
+      .queryName("login_fail").start()
+    q1.processAllAvailable(); q1.stop()
+    val streamedFails = spark.table("login_fail").count()
+
+    val batchFails = graft.SparkEntry.queries("q09_login_fail")(spark, dir).count()
+    println(s"login_fail: streaming=$streamedFails batch=$batchFails " +
+      (if (streamedFails == batchFails) "MATCH" else "MISMATCH"))
+
+    // 2. hot-items top-5 per sliding window (HotItems wiring shape)
+    var topRows = 0L
+    val counts = WindowedAgg.slidingCount(
+      stream().filter($"event_type" === "view")
+        .withColumn("item_id", get_json_object($"props", "$.k").cast("long"))
+        .withWatermark("ts", "5 seconds"),
+      "ts", "1 hour", "5 minutes", Seq("item_id"))
+    val q2 = StreamingTopN.writer(counts, Seq("window_start"), "cnt", Seq("item_id"), 5) {
+      (ranked, _) => topRows += ranked.count()
+    }.start()
+    q2.processAllAvailable(); q2.stop()
+    println(s"hot_items_topn: streaming emitted $topRows ranked rows " +
+      "(append mode: windows closed by final watermark)")
+
+    // 3. order-timeout (OrderTimeout wiring shape; signup=create, purchase=pay)
+    val ot = StatefulOps.orderTimeout(
+      stream().filter($"event_type".isin("signup", "purchase"))
+        .select($"user_id".as("key"), $"ts",
+          when($"event_type" === "signup", "create").otherwise("pay").as("eventType"),
+          $"event_id".as("id"))
+        .withWatermark("ts", "0 seconds").as[KeyedEvent],
+      24 * 3600 * 1000L)
+    val q3 = ot.writeStream.outputMode("append").format("memory")
+      .queryName("order_timeout").start()
+    q3.processAllAvailable(); q3.stop()
+    val otCounts = spark.table("order_timeout").groupBy("status").count()
+      .as[(String, Long)].collect().toMap
+    println(s"order_timeout: $otCounts")
+
+    spark.stop()
+  }
+}

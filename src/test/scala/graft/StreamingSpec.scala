@@ -1,0 +1,177 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.WindowedAgg
+import graft.streaming._
+
+/** Streaming-mode semantics of the stateful operators, driven through
+  * MemoryStream micro-batches; asserts the batch≡stream equivalences
+  * promised in SURVEY.md §5.4.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+  implicit def sqlCtx: SQLContext = spark.sqlContext
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("consecutiveFails: detection spans micro-batch boundaries; gap and reset respected") {
+    val input = MemoryStream[KeyedEvent]
+    val q = StatefulOps.consecutiveFails(input.toDS(), "fail", 2000)
+      .writeStream.outputMode("append").format("memory").queryName("cf").start()
+    input.addData(KeyedEvent(1, ts(100), "fail", 1))
+    q.processAllAvailable()
+    input.addData(KeyedEvent(1, ts(101), "fail", 2), KeyedEvent(2, ts(100), "fail", 3))
+    q.processAllAvailable()
+    input.addData(
+      KeyedEvent(2, ts(200), "fail", 4),          // gap 100s > 2s — no warning
+      KeyedEvent(1, ts(102), "success", 5),
+      KeyedEvent(1, ts(103), "fail", 6))          // prev is success — no warning
+    q.processAllAvailable()
+    val rows = spark.table("cf").as[FailWarning].collect().toSet
+    q.stop()
+    assert(rows === Set(FailWarning(1, 2, 100, 101)))
+  }
+
+  test("orderTimeout: pay-within-deadline succeeds; watermark fires timeout") {
+    val input = MemoryStream[KeyedEvent]
+    val ds = input.toDS().withWatermark("ts", "0 seconds").as[KeyedEvent]
+    val q = StatefulOps.orderTimeout(ds, 15 * 60 * 1000)
+      .writeStream.outputMode("append").format("memory").queryName("ot").start()
+    input.addData(
+      KeyedEvent(1, ts(1000), "create", 1),       // never paid
+      KeyedEvent(2, ts(1000), "create", 2),
+      KeyedEvent(2, ts(1300), "pay", 3))          // paid within 15 min
+    q.processAllAvailable()
+    input.addData(KeyedEvent(99, ts(10000), "create", 4)) // advances watermark
+    q.processAllAvailable()
+    input.addData(KeyedEvent(98, ts(20000), "create", 5)) // advances further
+    q.processAllAvailable()
+    val rows = spark.table("ot").as[OrderResult].collect().toSet
+    q.stop()
+    assert(rows.contains(OrderResult(2, "payed successfully", 1300)))
+    assert(rows.contains(OrderResult(1, "timeout", 1000)))
+    assert(!rows.exists(_.key == 98))             // deadline not yet passed
+  }
+
+  test("orderTimeout: pay after deadline and orphan pay get reference tags") {
+    val input = MemoryStream[KeyedEvent]
+    val ds = input.toDS().withWatermark("ts", "0 seconds").as[KeyedEvent]
+    val q = StatefulOps.orderTimeout(ds, 15 * 60 * 1000)
+      .writeStream.outputMode("append").format("memory").queryName("ot2").start()
+    input.addData(KeyedEvent(1, ts(1000), "create", 1))
+    q.processAllAvailable()
+    input.addData(KeyedEvent(1, ts(1000 + 3600), "pay", 2)) // 1h later: too late
+    q.processAllAvailable()
+    input.addData(KeyedEvent(2, ts(5000), "pay", 3))        // orphan pay
+    q.processAllAvailable()
+    input.addData(KeyedEvent(97, ts(100000), "create", 4))  // advance watermark
+    q.processAllAvailable()
+    input.addData(KeyedEvent(96, ts(200000), "create", 5))
+    q.processAllAvailable()
+    val rows = spark.table("ot2").as[OrderResult].collect().toSet
+    q.stop()
+    assert(rows.contains(OrderResult(1, "payed but already timeout", 4600)))
+    assert(rows.contains(OrderResult(2, "already payed but not found create", 5000)))
+  }
+
+  test("clickBlacklist: one-shot warning per day, resets at event-time midnight") {
+    val input = MemoryStream[KeyedClick]
+    val q = StatefulOps.clickBlacklist(input.toDS(), 3)
+      .writeStream.outputMode("append").format("memory").queryName("bl").start()
+    input.addData(KeyedClick(1, 7, ts(100)), KeyedClick(1, 7, ts(200)))
+    q.processAllAvailable()
+    input.addData(KeyedClick(1, 7, ts(300)), KeyedClick(1, 7, ts(400))) // 3rd crosses, 4th silent
+    q.processAllAvailable()
+    input.addData(
+      KeyedClick(1, 7, ts(86400 + 100)),          // next day: count restarts
+      KeyedClick(2, 7, ts(500)))                  // other user below threshold
+    q.processAllAvailable()
+    val rows = spark.table("bl").as[BlacklistWarning].collect().toSet
+    q.stop()
+    assert(rows === Set(BlacklistWarning(1, 7, 0, "Click over 3 times today.")))
+  }
+
+  test("windowed count: streaming (complete mode) equals batch result") {
+    val data = Seq(
+      KeyedEvent(1, ts(100), "view", 1), KeyedEvent(2, ts(200), "view", 2),
+      KeyedEvent(1, ts(3700), "view", 3), KeyedEvent(3, ts(3800), "view", 4),
+      KeyedEvent(1, ts(7300), "view", 5))
+    val input = MemoryStream[KeyedEvent]
+    val agg = WindowedAgg.tumblingCount(input.toDF(), "ts", "1 hour")
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("wc").start()
+    input.addData(data.take(2): _*)
+    q.processAllAvailable()
+    input.addData(data.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("wc")
+      .select("window_start", "window_end", "cnt")
+      .as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    val batch = WindowedAgg.tumblingCount(data.toDF(), "ts", "1 hour")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("streaming top-N via foreachBatch emits ranked completed windows") {
+    val input = MemoryStream[KeyedEvent]
+    val counts = WindowedAgg.slidingCount(
+      input.toDF().withWatermark("ts", "0 seconds"),
+      "ts", "1 hour", "1 hour", Seq("key"))
+    val got = scala.collection.mutable.Set[(Long, Long, Long, Int)]()
+    val q = StreamingTopN.writer(counts, Seq("window_start"), "cnt", Seq("key"), 2) {
+      (ranked, _) =>
+        got ++= ranked.select("window_start", "key", "cnt", "rank")
+          .as[(Long, Long, Long, Int)].collect()
+    }.start()
+    input.addData(
+      KeyedEvent(10, ts(100), "view", 1), KeyedEvent(10, ts(200), "view", 2),
+      KeyedEvent(20, ts(300), "view", 3), KeyedEvent(30, ts(400), "view", 4))
+    q.processAllAvailable()
+    input.addData(KeyedEvent(10, ts(7300), "view", 5)) // advances watermark past window 0
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet === Set((0L, 10L, 2L, 1), (0L, 20L, 1L, 2))) // top-2, tie 20-vs-30 by key
+  }
+
+  test("reconcileStreams: matched plus both unmatched sides after watermark close") {
+    val lIn = MemoryStream[KeyedEvent]
+    val rIn = MemoryStream[KeyedEvent]
+    val left = lIn.toDF().select($"key", $"ts".as("left_ts"))
+    val right = rIn.toDF().select($"key".as("r_key"), $"ts".as("right_ts"))
+    val out = StatefulOps.reconcileStreams(left, right,
+      "key", "r_key", "left_ts", "right_ts", "5 SECONDS", "0 seconds")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("rec").start()
+    lIn.addData(KeyedEvent(1, ts(1000), "pay", 1), KeyedEvent(2, ts(1000), "pay", 2))
+    rIn.addData(KeyedEvent(1, ts(1001), "receipt", 3), KeyedEvent(3, ts(1000), "receipt", 4))
+    q.processAllAvailable()
+    // advance both watermarks far past the interval so unmatched rows emit
+    lIn.addData(KeyedEvent(90, ts(100000), "pay", 5))
+    rIn.addData(KeyedEvent(91, ts(100000), "receipt", 6))
+    q.processAllAvailable()
+    lIn.addData(KeyedEvent(90, ts(200000), "pay", 7))
+    rIn.addData(KeyedEvent(91, ts(200000), "receipt", 8))
+    q.processAllAvailable()
+    val tags = spark.table("rec")
+      .select(coalesce($"key", $"r_key").as("k"), $"tag")
+      .as[(Long, String)].collect().toSet
+    q.stop()
+    assert(tags.contains((1L, "matched")))
+    assert(tags.contains((2L, "unmatched_left")))
+    assert(tags.contains((3L, "unmatched_right")))
+  }
+}
