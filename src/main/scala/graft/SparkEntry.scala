@@ -183,12 +183,198 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("o_custkey").asc)
         .limit(10)
     }),
+
+    // —— LLM-data-pipeline extensions (BASELINE.json north_star) ——
+
+    // exact/near dedup: duplicate groups by canonical content fingerprint
+    "q20_dedup_fingerprint" -> ((s, dir) =>
+      Dedup.fingerprintGroups(Tables.documents(s, dir), "doc_id", "text")),
+
+    // MinHash LSH: shingle → minhash → band buckets (8 hashes, 4 bands)
+    "q21_minhash_bands" -> ((s, dir) =>
+      Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text")),
+
+    // near-dup candidate pairs = docs sharing any LSH band bucket
+    "q22_lsh_candidates" -> ((s, dir) =>
+      Dedup.lshCandidates(
+        Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"))),
+
+    // 16-bit SimHash signature per document
+    "q23_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")),
+
+    // exact word-set Jaccard >= 0.5 within source blocks
+    "q24_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", "source", 0.5)),
+
+    // brute-force cosine top-5 for query vectors 0..9
+    "q25_knn_bruteforce" -> ((s, dir) =>
+      Similarity.cosineKnn(Tables.embeddings(s, dir), "vec_id", "embedding",
+        (0L until 10L).toSeq, 5)),
+
+    // sign-random-projection LSH bucket per embedding (the ANN scale path)
+    "q26_ann_lsh_buckets" -> ((s, dir) =>
+      Similarity.lshBuckets(Tables.embeddings(s, dir), "vec_id", "embedding")),
+
+    // per-document token/char/stopword statistics
+    "q27_text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(Tables.documents(s, dir), "doc_id", "text")),
+
+    // heuristic language ID with per-language hit counts
+    "q28_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")),
+
+    // document fingerprints (raw + canonicalized)
+    "q29_fingerprints" -> ((s, dir) =>
+      TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")),
+
+    // multimodal plumbing: binary payload metadata (checksums computed
+    // over the actual BinaryType column)
+    "q30_multimodal_features" -> ((s, dir) =>
+      Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("byte_len"), col("checksum"))),
   )
+
+  /** Shared DuckDB CTE: minhash band buckets (mirrors Dedup.minhashBands
+    * with numHashes=8, bandSize=2, shingleSize=3 — the md5-derived 60-bit
+    * hash is engine-independent, see graft.functions.Hashing).
+    */
+  private val duckBandsCte: String = {
+    val mh = (0 until 8).map { h =>
+      s"    list_min(list_transform(shingles, x -> ('0x'||substr(md5('$h:' || x),1,15))::BIGINT)) AS mh$h"
+    }.mkString(",\n")
+    val bands = (0 until 4).map { b =>
+      val (i, j) = (2 * b, 2 * b + 1)
+      s"  SELECT doc_id, $b::BIGINT AS band_id, md5(mh$i::VARCHAR || ',' || mh$j::VARCHAR) AS band_hash FROM m"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(string_split(text, ' ')) >= 3
+       |      THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+       |             i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+       |      ELSE [text] END AS shingles
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |$mh
+       |  FROM s),
+       |b AS (
+       |$bands)""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "q20_dedup_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+        |       min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q21_minhash_bands" ->
+      s"""$duckBandsCte
+         |SELECT doc_id, band_id, band_hash FROM b""".stripMargin,
+
+    "q22_lsh_candidates" ->
+      s"""$duckBandsCte
+         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS n_bands
+         |FROM b a JOIN b b2
+         |  ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+         | AND a.doc_id < b2.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q23_simhash" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split(text, ' '),
+        |                        w -> ('0x'||substr(md5(w),1,15))::BIGINT) AS hs
+        |  FROM documents)
+        |SELECT doc_id,
+        |       list_sum(list_transform(generate_series(0, 15), b ->
+        |         CASE WHEN list_sum(list_transform(hs, x -> ((x >> b) & 1) * 2 - 1)) >= 0
+        |              THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
+        |FROM h""".stripMargin,
+
+    "q24_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS ws
+        |  FROM documents)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |               (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))::DOUBLE,
+        |               6) AS jaccard
+        |  FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5""".stripMargin,
+
+    "q25_knn_bruteforce" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, norm2 AS q_norm2
+        |  FROM e WHERE vec_id < 10),
+        |sc AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |                 i -> q.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |               / sqrt(q.q_norm2 * e.norm2), 6) AS score
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "q26_ann_lsh_buckets" ->
+      """SELECT vec_id,
+        |  list_sum(list_transform(generate_series(0, 7), p ->
+        |    CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
+        |           embedding[d]::DOUBLE *
+        |           ((('0x'||substr(md5(p::VARCHAR || '_' || d::VARCHAR),1,15))::BIGINT % 2001 - 1000)::DOUBLE / 1000.0)
+        |         )) >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS bucket
+        |FROM embeddings""".stripMargin,
+
+    "q27_text_stats" ->
+      """SELECT doc_id,
+        |  length(text)::BIGINT AS n_chars,
+        |  len(string_split(text, ' '))::BIGINT AS n_words,
+        |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_words,
+        |  length(replace(text, ' ', ''))::BIGINT AS n_chars_nospace,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS token_cnt,
+        |  len(list_filter(string_split(text, ' '),
+        |      w -> list_contains(['the','a','of','and','in','to','is','on','for','with'], w)))::BIGINT AS stopword_cnt,
+        |  round(length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' '))::DOUBLE, 6) AS avg_word_len,
+        |  round(len(list_filter(string_split(text, ' '),
+        |        w -> list_contains(['the','a','of','and','in','to','is','on','for','with'], w)))::DOUBLE
+        |        / len(string_split(text, ' '))::DOUBLE, 6) AS stopword_ratio
+        |FROM documents""".stripMargin,
+
+    "q28_lang_id" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), w -> list_contains(['the','and','of','to','in','is'], w)))::BIGINT AS en_hits,
+        |    len(list_filter(string_split(text, ' '), w -> list_contains(['der','die','und','das','ist','nicht'], w)))::BIGINT AS de_hits,
+        |    len(list_filter(string_split(text, ' '), w -> list_contains(['le','la','et','les','des','est'], w)))::BIGINT AS fr_hits,
+        |    len(list_filter(string_split(text, ' '), w -> list_contains(['el','los','de','que','y','una'], w)))::BIGINT AS es_hits
+        |  FROM documents)
+        |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+        |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+        |       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+        |       WHEN fr_hits >= es_hits THEN 'fr'
+        |       ELSE 'es' END AS predicted_lang
+        |FROM c""".stripMargin,
+
+    "q29_fingerprints" ->
+      """SELECT doc_id, md5(text) AS fp_full,
+        |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_sorted
+        |FROM documents""".stripMargin,
+
+    "q30_multimodal_features" ->
+      """SELECT doc_id, strlen(text)::BIGINT AS byte_len, md5(text) AS checksum
+        |FROM documents""".stripMargin,
     "q01_pv_hourly" ->
       """SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS window_start,
         |       CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 + 3600 AS window_end,

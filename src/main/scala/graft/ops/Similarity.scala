@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing.md5LongSql
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Brute-force cosine top-k is the exact baseline: corpus x (broadcast)
+  * query set, dot products via codegen'd higher-order functions —
+  * no UDFs, no collect. The scale path is [[lshBuckets]]: sign-random-
+  * projection bucketing so candidate generation is an equi-join on the
+  * bucket code instead of a cross product.
+  *
+  * All float math is widened to double element-wise before accumulation
+  * (deterministic IEEE ops the SQL oracle reproduces), and scores are
+  * rounded to 6 digits before ranking so orderings are stable across
+  * engines.
+  */
+object Similarity {
+
+  private val norm2Sql =
+    "aggregate(%s, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+
+  /** Exact top-k cosine neighbors for each query id. The query side is
+    * broadcast (keep query batches small; for bulk all-pairs use
+    * lshBuckets to block first). Self-pairs excluded.
+    * Output: (query_id, neighbor_id, score, rank).
+    */
+  def cosineKnn(emb: DataFrame, idCol: String, vecCol: String,
+                queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .withColumn("norm2", expr(norm2Sql.format("vec")))
+    val q = e.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("query_id"), col("vec").as("q_vec"),
+        col("norm2").as("q_norm2"))
+    val scored = e.join(broadcast(q), col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        expr("""round(
+               |  aggregate(zip_with(q_vec, vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+               |            0D, (acc, v) -> acc + v)
+               |  / sqrt(q_norm2 * norm2), 6)""".stripMargin).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Sign-random-projection LSH bucket per vector: `planes` pseudo-random
+    * hyperplanes with components derived deterministically from the
+    * cross-engine md5 hash ((h % 2001 - 1000)/1000 in [-1, 1]); bucket
+    * bit p = sign(vec . plane_p). Vectors sharing a bucket are ANN
+    * candidates — candidate generation becomes groupBy/join on `bucket`.
+    * At production scale the plane matrix would be materialized and
+    * broadcast instead of recomputed per element; kept as expressions
+    * here so the oracle can reproduce it exactly.
+    */
+  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
+                 planes: Int = 8, dim: Int = 64): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+      expr(s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) -> acc +
+              |  IF(aggregate(sequence(1, $dim), 0D, (a2, d) ->
+              |       a2 + CAST(element_at($vecCol, d) AS DOUBLE) *
+              |            (CAST(${md5LongSql("concat(p, '_', d)")} % 2001 - 1000 AS DOUBLE) / 1000.0)
+              |     ) >= 0D, shiftleft(1L, p), 0L))""".stripMargin).as("bucket"))
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality analysis for training-data pipelines: token statistics,
+  * quality signals (stopword/char ratios), heuristic language ID, and
+  * document fingerprints. All pure column expressions (codegen'd,
+  * partition-parallel, no UDFs); ratios are exact integer counts divided
+  * once at the end, rounded to 6 digits.
+  */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
+
+  /** Small distinctive-word marker lists per language for the n-gram/
+    * stopword language-ID heuristic.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "los", "de", "que", "y", "una"))
+
+  private def inList(words: Column, list: Seq[String]): Column =
+    size(filter(words, w => array_contains(array(list.map(lit): _*), w)))
+
+  /** Per-document statistics: word/char/token counts, average word
+    * length, stopword ratio. token_cnt uses a BPE-ish regex lexer
+    * (letter runs | digit runs | single other chars).
+    */
+  def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(col(textCol), " ")
+    df.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(words).cast("long").as("n_words"),
+      size(array_distinct(words)).cast("long").as("n_distinct_words"),
+      length(regexp_replace(col(textCol), " ", "")).cast("long").as("n_chars_nospace"),
+      regexp_count(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("token_cnt"),
+      inList(words, Stopwords).cast("long").as("stopword_cnt"))
+      .withColumn("avg_word_len",
+        round(col("n_chars_nospace").cast("double") / col("n_words").cast("double"), 6))
+      .withColumn("stopword_ratio",
+        round(col("stopword_cnt").cast("double") / col("n_words").cast("double"), 6))
+  }
+
+  /** Heuristic language ID: count marker-word occurrences per language,
+    * predict the argmax (ties broken in LangMarkers order). Returns the
+    * per-language hit counts alongside the prediction so downstream
+    * filters can threshold on confidence.
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(col(textCol), " ")
+    val hits = LangMarkers.map { case (lang, markers) =>
+      lang -> inList(words, markers).cast("long")
+    }
+    val withHits = df.select(
+      col(idCol).as("doc_id") +: hits.map { case (l, c) => c.as(s"${l}_hits") }: _*)
+    // argmax with ties broken by declaration order
+    val predicted = hits.map(_._1).zipWithIndex.foldRight(lit(hits.last._1)) {
+      case ((lang, i), elseCol) =>
+        val isMax = hits.drop(i + 1)
+          .map { case (other, _) => col(s"${lang}_hits") >= col(s"${other}_hits") }
+          .foldLeft(lit(true))(_ && _)
+        when(isMax, lit(lang)).otherwise(elseCol)
+    }
+    withHits.withColumn("predicted_lang", predicted)
+  }
+
+  /** Document fingerprints: md5 of the raw text and of the canonical
+    * sorted-distinct-word form (see Dedup.fingerprint).
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("fp_full"),
+      Dedup.fingerprint(textCol).as("fp_sorted"))
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+/** Specs for the LLM-data-pipeline operators (dedup, similarity, text
+  * analysis, multimodal plumbing).
+  */
+class MiningSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "source")
+
+  test("exactGroups finds byte-identical duplicates only") {
+    val df = docs((1, "a b c", "s"), (2, "a b c", "s"), (3, "a b d", "s"))
+    val g = Dedup.exactGroups(df, "doc_id", "text").collect()
+    assert(g.length === 1 && g(0).getAs[Long]("keep_id") === 1L
+      && g(0).getAs[Long]("dup_cnt") === 2L)
+  }
+
+  test("fingerprintGroups collapses word-order and repetition variants") {
+    val df = docs((1, "b a c", "s"), (2, "a b c c", "s"), (3, "x y z", "s"))
+    val g = Dedup.fingerprintGroups(df, "doc_id", "text").collect()
+    assert(g.length === 1 && g(0).getAs[Long]("keep_id") === 1L)
+  }
+
+  test("minhashBands: identical docs collide on every band; lshCandidates pairs them") {
+    val df = docs(
+      (1, "the quick brown fox jumps over the lazy dog again", "s"),
+      (2, "the quick brown fox jumps over the lazy dog again", "s"),
+      (3, "completely different words forming another text entirely here now", "s"))
+    val bands = Dedup.minhashBands(df, "doc_id", "text")
+    assert(bands.count() === 12) // 3 docs x 4 bands
+    val cands = Dedup.lshCandidates(bands)
+      .select("doc_a", "doc_b", "n_bands").as[(Long, Long, Long)].collect().toSet
+    assert(cands === Set((1L, 2L, 4L)))
+  }
+
+  test("simhash is deterministic, equal for equal texts, within 16 bits") {
+    val df = docs((1, "a b c d", "s"), (2, "a b c d", "s"), (3, "p q r s", "s"))
+    val sh = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1) === sh(2))
+    assert(sh.values.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("jaccardPairs computes exact word-set jaccard within blocks") {
+    val df = docs((1, "a b c d", "s"), (2, "a b c e", "s"), (3, "a b c d", "t"))
+    val out = Dedup.jaccardPairs(df, "doc_id", "text", "source", 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(out === Set((1L, 2L, 0.6))) // |∩|=3, |∪|=5; cross-source pair excluded
+  }
+
+  test("cosineKnn ranks by cosine, excludes self, breaks ties by id") {
+    val df = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(0.6f, 0.8f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineKnn(df, "vec_id", "embedding", Seq(0L), 3)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("lshBuckets is deterministic and equal for equal vectors") {
+    val df = Seq((0L, Array.fill(64)(0.5f)), (1L, Array.fill(64)(0.5f)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)))
+      .toDF("vec_id", "embedding")
+    val b = Similarity.lshBuckets(df, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0) === b(1))
+    assert(b.values.forall(v => v >= 0 && v < 256))
+  }
+
+  test("text stats count words, chars, tokens, stopwords") {
+    val df = docs((1, "the cat is on the mat", "s"))
+    val r = TextAnalysis.stats(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_words") === 6)
+    assert(r.getAs[Long]("n_distinct_words") === 5)
+    assert(r.getAs[Long]("n_chars_nospace") === 16)
+    assert(r.getAs[Long]("stopword_cnt") === 4) // the, is, on, the
+    assert(r.getAs[Long]("token_cnt") === 6)
+  }
+
+  test("langId predicts by marker hits with declaration-order tie-break") {
+    val df = docs(
+      (1, "der hund und die katze das ist gut", "s"),
+      (2, "the dog and the cat is here", "s"),
+      (3, "zzz yyy xxx", "s")) // all-zero hits → tie → 'en'
+    val out = TextAnalysis.langId(df, "doc_id", "text")
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "de", 2L -> "en", 3L -> "en"))
+  }
+
+  test("multimodal: binary column schema + deterministic stub decode") {
+    val df = docs((1, "hello world", "s"))
+    val media = Multimodal.attachBinary(df, "doc_id", "text")
+    assert(media.schema("content").dataType === BinaryType)
+    val rec = media.as[MediaRecord]
+    val f1 = Multimodal.decodeFeaturesStub(rec).collect()(0)
+    val f2 = Multimodal.decodeFeaturesStub(rec).collect()(0)
+    assert(f1 === f2)
+    assert(f1.byte_len === 11L)
+    assert(f1.width >= 64 && f1.height >= 64)
+  }
+}
