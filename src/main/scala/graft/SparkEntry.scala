@@ -184,6 +184,70 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // C3 via the CEP mini-DSL: same semantics as q09 (strict-contiguity
+    // two-step pattern compiled to the NFA) — shares q09's oracle
+    "q16_cep_login_fail" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(
+          col("user_id").cast("string").as("key"), col("ts"),
+          col("event_type").as("eventType"), col("event_id").as("id"))
+        .as[graft.cep.CepEvent]
+      val p = graft.cep.Pattern.begin("first", _.eventType == "error")
+        .next("second", _.eventType == "error")
+        .within("2 hours")
+      graft.cep.CEP.detectBatch(ev, p)
+        .map(m => (m.key.toLong, m.events.last.id,
+          m.events.head.tsMs / 1000, m.events.last.tsMs / 1000))
+        .toDF("user_id", "warn_id", "first_fail", "last_fail")
+    }),
+
+    // C4 via the CEP mini-DSL with timeout side output: same per-create
+    // classification as q10 — shares q10's oracle
+    "q17_cep_order_timeout" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("user_id").cast("string").as("key"), col("ts"),
+          when(col("event_type") === "signup", "create").otherwise("pay").as("eventType"),
+          col("event_id").as("id"))
+        .as[graft.cep.CepEvent]
+      val p = graft.cep.Pattern.begin("create", _.eventType == "create")
+        .followedBy("pay", _.eventType == "pay")
+        .within("24 hours")
+      graft.cep.CEP.detectBatch(ev, p, emitTimeouts = true)
+        .map(m => (m.events.head.id, m.key.toLong, m.events.head.tsMs / 1000,
+          if (m.timedOut) "timeout" else "payed successfully"))
+        .toDF("order_id", "user_id", "create_ts", "status")
+    }),
+
+    // Session windows (absent in the reference; SURVEY.md §2.10 notes
+    // session_window makes them free): 30-min-gap sessions per user
+    "q18_sessionization" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_timestamp(col("session_window.start")).as("session_start"),
+          col("user_id"), col("cnt"))),
+
+    // Window-function surface: per-user running total (event-time order,
+    // decimal-exact running sum)
+    "q19_running_total" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        round(sum(col("value").cast("decimal(18,2)")).over(w), 2)
+          .cast("double").as("running_total"))
+    }),
+
+    // Rollup aggregation surface (free via Catalyst; absent in reference)
+    "q31_rollup_pricing" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity").cast("decimal(28,10)")), 2)
+          .cast("double").as("sum_qty"), count(lit(1)).as("cnt"))),
+
     // —— LLM-data-pipeline extensions (BASELINE.json north_star) ——
 
     // exact/near dedup: duplicate groups by canonical content fingerprint
@@ -266,6 +330,60 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "q16_cep_login_fail" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id, event_id AS warn_id,
+        |       CAST(floor(epoch(prev_ts)) AS BIGINT) AS first_fail,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS last_fail
+        |FROM o
+        |WHERE event_type = 'error' AND prev_type = 'error'
+        |  AND ts <= prev_ts + INTERVAL 2 HOUR""".stripMargin,
+
+    "q17_cep_order_timeout" ->
+      """SELECT s.event_id AS order_id, s.user_id,
+        |       CAST(floor(epoch(s.ts)) AS BIGINT) AS create_ts,
+        |       CASE WHEN count(p.user_id) > 0 THEN 'payed successfully'
+        |            ELSE 'timeout' END AS status
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = s.user_id AND p.ts > s.ts
+        | AND p.ts <= s.ts + INTERVAL 24 HOUR
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q18_sessionization" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |       user_id, count(*) AS cnt
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q19_running_total" ->
+      """SELECT user_id, event_id,
+        |       round(sum(CAST(value AS DECIMAL(18,2)))
+        |               OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING), 2)::DOUBLE AS running_total
+        |FROM events""".stripMargin,
+
+    "q31_rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(CAST(l_quantity AS DECIMAL(28,10))), 2)::DOUBLE AS sum_qty,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
     "q20_dedup_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
         |       min(doc_id) AS keep_id, count(*) AS dup_cnt

@@ -1,0 +1,185 @@
+package graft.cep
+
+import java.sql.Timestamp
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A keyed event consumed by the CEP engine. String keys cover both the
+  * reference's Long keys (userId, orderId) and String keys (txId).
+  */
+case class CepEvent(key: String, ts: Timestamp, eventType: String, id: Long)
+
+/** One event bound to a pattern step. */
+case class MatchedEvent(step: String, id: Long, tsMs: Long, eventType: String)
+
+/** A completed (or, with timeouts enabled, expired-partial) match. */
+case class PatternMatch(key: String, events: Seq[MatchedEvent], timedOut: Boolean)
+
+private[cep] case class Run(nextStep: Int, firstTs: Long, events: List[MatchedEvent])
+private[cep] case class CepState(runs: List[Run])
+
+/** Pattern step: `next` = strict contiguity (a non-matching event kills
+  * the run — Flink CEP `next`, LoginFailWithCep.scala:50-53), `followedBy`
+  * = relaxed (non-matching events are skipped — Flink `followedBy`,
+  * OrderTimeout.scala:52-55).
+  */
+private[cep] case class Step(name: String, pred: CepEvent => Boolean, strict: Boolean)
+
+/** Mini CEP pattern DSL (SURVEY.md §7.2 step 7):
+  * {{{
+  * val p = Pattern.begin("first", _.eventType == "fail")
+  *   .next("second", _.eventType == "fail")
+  *   .within("2 seconds")
+  * }}}
+  * Compiled by [[CEP]] onto `flatMapGroupsWithState` — no Flink-style
+  * runtime, just a small NFA folded over each key's events in event-time
+  * order. Reproduces the semantics of the reference's two CEP jobs
+  * (LoginFailWithCep.scala:50-57, OrderTimeout.scala:50-64).
+  */
+final class Pattern private (private[cep] val steps: Vector[Step],
+                             private[cep] val withinMs: Option[Long],
+                             private[cep] val maxRunsPerKey: Int)
+    extends Serializable {
+
+  def next(name: String, pred: CepEvent => Boolean): Pattern =
+    new Pattern(steps :+ Step(name, pred, strict = true), withinMs, maxRunsPerKey)
+
+  def followedBy(name: String, pred: CepEvent => Boolean): Pattern =
+    new Pattern(steps :+ Step(name, pred, strict = false), withinMs, maxRunsPerKey)
+
+  def within(duration: String): Pattern =
+    withinMillis(Pattern.parseMillis(duration))
+
+  def withinMillis(ms: Long): Pattern = new Pattern(steps, Some(ms), maxRunsPerKey)
+
+  /** Bound concurrent partial matches per key (state-size guard for
+    * hot keys at scale; oldest runs are dropped first).
+    */
+  def maxRuns(n: Int): Pattern = new Pattern(steps, withinMs, n)
+}
+
+object Pattern {
+  def begin(name: String, pred: CepEvent => Boolean): Pattern =
+    new Pattern(Vector(Step(name, pred, strict = false)), None, 1000)
+
+  private[cep] def parseMillis(duration: String): Long = {
+    val Array(n, unit) = duration.trim.toLowerCase.split("\\s+")
+    val v = n.toLong
+    unit.stripSuffix("s") match {
+      case "millisecond" | "milli" | "ms" => v
+      case "second" | "sec"               => v * 1000L
+      case "minute" | "min"               => v * 60000L
+      case "hour"                         => v * 3600000L
+      case "day"                          => v * 86400000L
+      case other => throw new IllegalArgumentException(s"unknown unit: $other")
+    }
+  }
+}
+
+/** Compiles a [[Pattern]] to keyed stateful execution.
+  *
+  * The NFA: each partial run records the next expected step and its
+  * events so far. Every event may (a) advance runs whose next step it
+  * matches (within the time bound), (b) kill strict-contiguity runs it
+  * fails to match, (c) start a new run at step 0. Completed runs emit
+  * immediately; expired runs emit as `timedOut` when requested (the
+  * analog of Flink's PatternTimeoutFunction side output,
+  * OrderTimeout.scala:59-64). Overlapping matches are all emitted
+  * (Flink's default no-skip strategy).
+  */
+object CEP {
+
+  /** Fold one key's events (already sorted) through the NFA. */
+  private def advance(pattern: Pattern, runs: List[Run], events: Seq[CepEvent],
+                      emitTimeouts: Boolean, out: ListBuffer[PatternMatch],
+                      key: String): List[Run] = {
+    val steps = pattern.steps
+    var live = runs
+    events.foreach { e =>
+      val kept = ListBuffer[Run]()
+      live.foreach { r =>
+        val expired = pattern.withinMs.exists(w => e.ts.getTime - r.firstTs > w)
+        if (expired) {
+          if (emitTimeouts) out += PatternMatch(key, r.events.reverse, timedOut = true)
+        } else {
+          val step = steps(r.nextStep)
+          if (step.pred(e)) {
+            val ev = MatchedEvent(step.name, e.id, e.ts.getTime, e.eventType) :: r.events
+            if (r.nextStep == steps.size - 1)
+              out += PatternMatch(key, ev.reverse, timedOut = false)
+            else kept += Run(r.nextStep + 1, r.firstTs, ev)
+          } else if (!step.strict) kept += r
+          // strict + no match → run killed (Flink `next` contiguity)
+        }
+      }
+      if (steps(0).pred(e)) {
+        val ev = List(MatchedEvent(steps(0).name, e.id, e.ts.getTime, e.eventType))
+        if (steps.size == 1) out += PatternMatch(key, ev, timedOut = false)
+        else kept += Run(1, e.ts.getTime, ev)
+      }
+      live = if (kept.size > pattern.maxRunsPerKey)
+        kept.toList.sortBy(_.firstTs).takeRight(pattern.maxRunsPerKey)
+      else kept.toList
+    }
+    live
+  }
+
+  /** Bounded-input detection: end-of-input expires all pending runs
+    * (every deadline eventually passes on a bounded stream).
+    */
+  def detectBatch(ds: Dataset[CepEvent], pattern: Pattern,
+                  emitTimeouts: Boolean = false): Dataset[PatternMatch] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroups { (key, it) =>
+        val out = ListBuffer[PatternMatch]()
+        val pending = advance(pattern, Nil,
+          it.toSeq.sortBy(e => (e.ts.getTime, e.id)), emitTimeouts, out, key)
+        if (emitTimeouts && pattern.withinMs.isDefined)
+          pending.foreach(r => out += PatternMatch(key, r.events.reverse, timedOut = true))
+        out.iterator
+      }
+  }
+
+  /** Streaming detection; requires an upstream watermark on `ts` when
+    * `emitTimeouts` (expiry driven by GroupStateTimeout.EventTimeTimeout).
+    */
+  def detectStream(ds: Dataset[CepEvent], pattern: Pattern,
+                   emitTimeouts: Boolean = false): Dataset[PatternMatch] = {
+    import ds.sparkSession.implicits._
+    val timeoutConf =
+      if (emitTimeouts && pattern.withinMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[CepState, PatternMatch](OutputMode.Append, timeoutConf) {
+        (key, it, state: GroupState[CepState]) =>
+          val out = ListBuffer[PatternMatch]()
+          var runs = state.getOption.map(_.runs).getOrElse(Nil)
+          if (state.hasTimedOut) {
+            val wm = state.getCurrentWatermarkMs()
+            val (dead, live) = runs.partition(r =>
+              pattern.withinMs.exists(w => r.firstTs + w <= wm))
+            if (emitTimeouts)
+              dead.foreach(r => out += PatternMatch(key, r.events.reverse, timedOut = true))
+            runs = live
+          } else {
+            runs = advance(pattern, runs,
+              it.toSeq.sortBy(e => (e.ts.getTime, e.id)), emitTimeouts, out, key)
+          }
+          if (runs.isEmpty) { if (state.exists) state.remove() }
+          else {
+            state.update(CepState(runs))
+            pattern.withinMs.foreach { w =>
+              val deadline = runs.map(_.firstTs + w).min + 1
+              if (timeoutConf == GroupStateTimeout.EventTimeTimeout)
+                state.setTimeoutTimestamp(
+                  Math.max(deadline, state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          out.iterator
+      }
+  }
+}

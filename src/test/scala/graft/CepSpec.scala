@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cep._
+
+class CepSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+  implicit def sqlCtx: SQLContext = spark.sqlContext
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+  private def ev(key: String, t: Long, typ: String, id: Long) =
+    CepEvent(key, ts(t), typ, id)
+
+  private val loginFail = Pattern
+    .begin("first", _.eventType == "fail")
+    .next("second", _.eventType == "fail")
+    .within("2 seconds")
+
+  private val orderPay = Pattern
+    .begin("create", _.eventType == "create")
+    .followedBy("pay", _.eventType == "pay")
+    .within("15 minutes")
+
+  test("strict contiguity: intervening success kills the run; overlaps all emit") {
+    val events = Seq(
+      ev("u1", 10, "fail", 1), ev("u1", 11, "fail", 2), ev("u1", 12, "fail", 3),
+      ev("u2", 10, "fail", 4), ev("u2", 11, "success", 5), ev("u2", 12, "fail", 6),
+      ev("u3", 10, "fail", 7), ev("u3", 20, "fail", 8)) // outside 2s
+    val out = CEP.detectBatch(events.toDS(), loginFail).collect()
+    val pairs = out.map(m => (m.key, m.events.map(_.id))).toSet
+    assert(pairs === Set(("u1", Seq(1L, 2L)), ("u1", Seq(2L, 3L))))
+  }
+
+  test("relaxed contiguity skips non-matching events; timeouts emit partials") {
+    val events = Seq(
+      ev("o1", 100, "create", 1), ev("o1", 150, "other", 2), ev("o1", 200, "pay", 3),
+      ev("o2", 100, "create", 4), // never paid
+      ev("o3", 100, "create", 5), ev("o3", 100 + 3600, "pay", 6)) // pay too late
+    val out = CEP.detectBatch(events.toDS(), orderPay, emitTimeouts = true).collect()
+    val matched = out.filter(!_.timedOut).map(m => (m.key, m.events.map(_.id))).toSet
+    val timedOut = out.filter(_.timedOut).map(m => (m.key, m.events.map(_.id))).toSet
+    assert(matched === Set(("o1", Seq(1L, 3L))))
+    assert(timedOut === Set(("o2", Seq(4L)), ("o3", Seq(5L))))
+  }
+
+  test("streaming detection equals batch across micro-batch boundaries") {
+    val events = Seq(
+      ev("u1", 10, "fail", 1), ev("u1", 11, "fail", 2),
+      ev("u2", 10, "fail", 3), ev("u2", 11, "success", 4), ev("u2", 12, "fail", 5),
+      ev("u1", 12, "fail", 6))
+    val input = MemoryStream[CepEvent]
+    val q = CEP.detectStream(input.toDS(), loginFail)
+      .writeStream.outputMode("append").format("memory").queryName("cep1").start()
+    events.grouped(2).foreach { batch => input.addData(batch: _*); q.processAllAvailable() }
+    val streamed = spark.table("cep1").as[PatternMatch].collect()
+      .map(m => (m.key, m.events.map(_.id))).toSet
+    q.stop()
+    val batch = CEP.detectBatch(events.toDS(), loginFail).collect()
+      .map(m => (m.key, m.events.map(_.id))).toSet
+    assert(streamed === batch)
+    assert(streamed === Set(("u1", Seq(1L, 2L)), ("u1", Seq(2L, 6L))))
+  }
+
+  test("streaming timeouts fire when the watermark passes the deadline") {
+    val input = MemoryStream[CepEvent]
+    val ds = input.toDS().withWatermark("ts", "0 seconds").as[CepEvent]
+    val q = CEP.detectStream(ds, orderPay, emitTimeouts = true)
+      .writeStream.outputMode("append").format("memory").queryName("cep2").start()
+    input.addData(ev("o1", 1000, "create", 1), ev("o2", 1000, "create", 2),
+      ev("o2", 1100, "pay", 3))
+    q.processAllAvailable()
+    input.addData(ev("zz", 10000, "other", 4)) // advance watermark past deadline
+    q.processAllAvailable()
+    input.addData(ev("zz", 20000, "other", 5))
+    q.processAllAvailable()
+    val out = spark.table("cep2").as[PatternMatch].collect()
+    q.stop()
+    assert(out.exists(m => m.key == "o2" && !m.timedOut))
+    assert(out.exists(m => m.key == "o1" && m.timedOut && m.events.map(_.id) == Seq(1L)))
+  }
+
+  test("single-step and maxRuns bounds") {
+    val events = (1L to 50L).map(i => ev("k", 100 + i, "fail", i))
+    val single = Pattern.begin("any", _.eventType == "fail")
+    assert(CEP.detectBatch(events.toDS(), single).count() === 50)
+    val bounded = Pattern.begin("a", _ => true).followedBy("b", _ => false)
+      .maxRuns(5)
+    // every event starts a run that never completes; state stays bounded
+    val out = CEP.detectBatch(events.toDS(), bounded, emitTimeouts = false)
+    assert(out.count() === 0)
+  }
+}
