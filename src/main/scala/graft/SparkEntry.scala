@@ -304,8 +304,10 @@ object SparkEntry {
     * hash is engine-independent, see graft.functions.Hashing).
     */
   private val duckBandsCte: String = {
+    val M = graft.functions.Hashing.AffineMod
     val mh = (0 until 8).map { h =>
-      s"    list_min(list_transform(shingles, x -> ('0x'||substr(md5('$h:' || x),1,15))::BIGINT)) AS mh$h"
+      val (a, b) = graft.functions.Hashing.affine(h)
+      s"    list_min(list_transform(hs, x -> ($a * x + $b) % $M)) AS mh$h"
     }.mkString(",\n")
     val bands = (0 until 4).map { b =>
       val (i, j) = (2 * b, 2 * b + 1)
@@ -318,10 +320,14 @@ object SparkEntry {
        |             i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
        |      ELSE [text] END AS shingles
        |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_transform(shingles, s -> ('0x'||substr(md5(s),1,15))::BIGINT % $M) AS hs
+       |  FROM s),
        |m AS (
        |  SELECT doc_id,
        |$mh
-       |  FROM s),
+       |  FROM h),
        |b AS (
        |$bands)""".stripMargin
   }

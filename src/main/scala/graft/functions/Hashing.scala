@@ -27,4 +27,17 @@ object Hashing {
     */
   def md5LongSql(inner: String): String =
     s"CAST(conv(substring(md5(CAST($inner AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+
+  /** Parameters (multiplier, offset) of the i-th affine hash family over
+    * Z_2^30: h_i(x) = (a_i * (x mod 2^30) + b_i) mod 2^30. MinHash needs
+    * many hash functions; deriving them from ONE md5 via affine
+    * transforms costs arithmetic instead of an md5 per family — an 8x
+    * cut of the dominant (interpreted, non-codegen) expression cost.
+    * a_i < 2^30 and x < 2^30 keep the product within BIGINT for both
+    * Spark and the DuckDB oracle.
+    */
+  def affine(i: Int): (Long, Long) =
+    (((i * 2654435761L) % 1073741824L) | 1L, (i * 40503L + 17L) % 1073741824L)
+
+  val AffineMod: Long = 1073741824L // 2^30
 }

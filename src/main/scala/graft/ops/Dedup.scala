@@ -48,14 +48,17 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
       .filter(col("dup_cnt") >= 2)
 
-  /** Word n-gram shingles as a SQL fragment (documents shorter than the
-    * shingle size fall back to one whole-text shingle).
+  /** Word n-gram shingles from a pre-split `words` column (documents
+    * shorter than the shingle size fall back to one whole-text shingle).
+    * Referencing a materialized column matters: higher-order functions
+    * are interpreted, so an inline split(text) inside the lambda would
+    * re-tokenize the document once per element.
     */
-  private def shinglesSql(textCol: String, n: Int): String =
-    s"""CASE WHEN size(split($textCol, ' ')) >= $n
-       |  THEN transform(sequence(0, size(split($textCol, ' ')) - $n),
-       |                 i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n)))
-       |  ELSE array($textCol) END""".stripMargin
+  private def shinglesSql(n: Int): String =
+    s"""CASE WHEN size(words) >= $n
+       |  THEN transform(sequence(0, size(words) - $n),
+       |                 i -> concat_ws(' ', slice(words, i + 1, $n)))
+       |  ELSE array(txt) END""".stripMargin
 
   /** MinHash LSH banding (shingle → minhash → band → bucket key).
     * Output: one row per (doc, band): (doc_id, band_id, band_hash) where
@@ -68,13 +71,19 @@ object Dedup {
                    numHashes: Int = 8, bandSize: Int = 2,
                    shingleSize: Int = 3): DataFrame = {
     require(numHashes % bandSize == 0, "bandSize must divide numHashes")
-    val base = df.select(col(idCol).as("doc_id"),
-      expr(shinglesSql(textCol, shingleSize)).as("shingles"))
-    val mh = base.select(
+    val base = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("txt"),
+        split(col(textCol), " ").as("words"))
+      .select(col("doc_id"), expr(shinglesSql(shingleSize)).as("shingles"))
+    // one md5 per shingle; the numHashes families are affine derivations
+    val M = graft.functions.Hashing.AffineMod
+    val hashed = base.select(col("doc_id"),
+      expr(s"transform(shingles, s -> ${md5LongSql("s")} % $M)").as("hs"))
+    val mh = hashed.select(
       col("doc_id") +:
       (0 until numHashes).map { h =>
-        expr(s"array_min(transform(shingles, s -> ${md5LongSql(s"concat('$h:', s)")}))")
-          .as(s"mh$h")
+        val (a, b) = graft.functions.Hashing.affine(h)
+        expr(s"array_min(transform(hs, x -> ($a * x + $b) % $M))").as(s"mh$h")
       }: _*)
     val numBands = numHashes / bandSize
     val bandCols = (0 until numBands).map { b =>
@@ -89,43 +98,83 @@ object Dedup {
   }
 
   /** Candidate near-duplicate pairs from LSH bands: docs sharing >= 1
-    * band bucket, with the number of colliding bands. The self-join is
-    * an equi-join on (band_id, band_hash) — shuffle-partitioned by
-    * bucket, so cost is sum over buckets of |bucket|^2, not n^2.
+    * band bucket, with the number of colliding bands.
+    *
+    * Shape: groupBy bucket → collect ids → emit in-bucket pairs. One
+    * pass over the (expensive, interpreted-HOF) minhash pipeline and one
+    * shuffle on the bucket key; cost is sum over buckets of |bucket|^2,
+    * never n^2. (A self-join would recompute the minhash plan on both
+    * sides — and once more single-threaded on the broadcast build.)
+    * collect_list is bounded by bucket size, i.e. by how many docs share
+    * a 2x60-bit minhash band — skew here means real duplicate explosions
+    * which should be capped upstream.
     */
   def lshCandidates(bands: DataFrame): DataFrame =
-    bands.as("a").join(bands.as("b"),
-        expr("a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    bands.groupBy(col("band_id"), col("band_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1), i ->
+          |  transform(slice(ids, i + 1, size(ids) - i), y ->
+          |    named_struct('doc_a', element_at(ids, i), 'doc_b', y))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
 
-  /** Exact word-set Jaccard over candidate pairs within `groupCol`
-    * groups (the verify step after LSH, or a blocked all-pairs when a
-    * natural blocking key exists). Output pairs with jaccard >= threshold,
-    * rounded to 6 digits.
+  /** Exact word-set Jaccard over pairs within `groupCol` blocks (the
+    * verify step after LSH, or a blocked all-pairs when a natural
+    * blocking key exists). Output pairs with jaccard >= threshold,
+    * rounded to 6 digits. threshold must be > 0 (zero-overlap pairs are
+    * never emitted).
+    *
+    * Shape: inverted index — explode distinct words, equi-join on
+    * (block, word), count shared words per pair, then join the two
+    * per-doc set sizes back (broadcast-sized). |A∩B| comes from a
+    * hash aggregate over small (docA, docB) rows instead of per-pair
+    * array intersections, so the work is proportional to the number of
+    * co-occurrences, is fully codegen'd, and shuffles on word — the
+    * standard set-similarity-join shape at scale.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    groupCol: String, threshold: Double): DataFrame = {
-    val w = df.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+    require(threshold > 0, "threshold must be > 0 (jaccard-0 pairs are not emitted)")
+    val docs = df.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
       array_distinct(split(col(textCol), " ")).as("ws"))
-    w.as("a").join(w.as("b"), expr("a.grp = b.grp AND a.doc_id < b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("""round(CAST(size(array_intersect(a.ws, b.ws)) AS DOUBLE) /
-               |      CAST(size(a.ws) + size(b.ws) - size(array_intersect(a.ws, b.ws)) AS DOUBLE),
-               |      6)""".stripMargin).as("jaccard"))
+    val sizes = docs.select(col("doc_id"), size(col("ws")).as("n"))
+    val inv = docs.select(col("doc_id"), col("grp"), explode(col("ws")).as("w"))
+    val co = inv.as("a").join(inv.as("b"),
+        expr("a.grp = b.grp AND a.w = b.w AND a.doc_id < b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6)")
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
   /** SimHash signature over the word multiset (bits <= 60 since the
     * underlying hash is 60-bit). Near-dups = signatures within small
     * Hamming distance; the signature itself is the oracle-checkable unit.
+    *
+    * Shape: explode words → one md5 per word → a single HashAggregate
+    * with one conditional ±1 sum per bit → recombine. Everything after
+    * the explode is whole-stage-codegen'd; the equivalent nested
+    * higher-order-function formulation is interpreted and ~20x slower.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-              bits: Int = 16): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        expr(s"transform(split($textCol, ' '), w -> ${md5LongSql("w")})").as("hs"))
-      .select(col("doc_id"),
-        expr(s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, b) -> acc +
-                |  IF(aggregate(hs, 0L, (a2, h) -> a2 + (shiftright(h, b) & 1) * 2 - 1) >= 0,
-                |     shiftleft(1L, b), 0L))""".stripMargin).as("simhash"))
+              bits: Int = 16): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+      .select(col("doc_id"), expr(md5LongSql("w")).as("h"))
+    val bitSums = hashed.groupBy(col("doc_id")).agg(
+      sum(expr("(shiftright(h, 0) & 1) * 2 - 1")).as("b0"),
+      (1 until bits).map(b =>
+        sum(expr(s"(shiftright(h, $b) & 1) * 2 - 1")).as(s"b$b")): _*)
+    val sig = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitSums.select(col("doc_id"), sig.as("simhash"))
+  }
 }

@@ -50,19 +50,35 @@ object Similarity {
 
   /** Sign-random-projection LSH bucket per vector: `planes` pseudo-random
     * hyperplanes with components derived deterministically from the
-    * cross-engine md5 hash ((h % 2001 - 1000)/1000 in [-1, 1]); bucket
-    * bit p = sign(vec . plane_p). Vectors sharing a bucket are ANN
-    * candidates — candidate generation becomes groupBy/join on `bucket`.
-    * At production scale the plane matrix would be materialized and
-    * broadcast instead of recomputed per element; kept as expressions
-    * here so the oracle can reproduce it exactly.
+    * cross-engine md5 hash ((md5_60(p"_"d) % 2001 - 1000)/1000 in
+    * [-1, 1]); bucket bit p = sign(vec . plane_p). Vectors sharing a
+    * bucket are ANN candidates — candidate generation becomes
+    * groupBy/join on `bucket`.
+    *
+    * The plane matrix is materialized once on the driver (the md5 math
+    * matches the in-query hash bit-for-bit, so the SQL oracle can
+    * recompute it) and embedded as array literals — vs deriving each
+    * component per row, which costs planes*dim interpreted md5 calls
+    * per vector.
     */
   def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
-                 planes: Int = 8, dim: Int = 64): DataFrame =
-    emb.select(col(idCol).as("vec_id"),
-      expr(s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) -> acc +
-              |  IF(aggregate(sequence(1, $dim), 0D, (a2, d) ->
-              |       a2 + CAST(element_at($vecCol, d) AS DOUBLE) *
-              |            (CAST(${md5LongSql("concat(p, '_', d)")} % 2001 - 1000 AS DOUBLE) / 1000.0)
-              |     ) >= 0D, shiftleft(1L, p), 0L))""".stripMargin).as("bucket"))
+                 planes: Int = 8, dim: Int = 64): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5Long60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val dot = (0 until planes).map { p =>
+      val plane = (1 to dim).map(d => (md5Long60(s"${p}_$d") % 2001 - 1000) / 1000.0)
+      val planeLit = typedLit(plane)
+      aggregate(
+        zip_with(col(vecCol), planeLit,
+          (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    val bucket = dot.zipWithIndex.foldLeft(lit(0L)) { case (acc, (d, p)) =>
+      acc + when(d >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }
+    emb.select(col(idCol).as("vec_id"), bucket.as("bucket"))
+  }
 }
