@@ -297,6 +297,17 @@ object SparkEntry {
     "q30_multimodal_features" -> ((s, dir) =>
       Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("byte_len"), col("checksum"))),
+
+    // A5 bit-parity Bloom sketch UV per hour (reference Redis bitmap
+    // scheme, UvWithBloomFilter.scala:103-121); approximate → rows-only
+    // check (2^17-bit maps here: one buffer per (window, partition))
+    "q32_uv_bloom_hourly" -> ((s, dir) =>
+      Tables.events(s, dir).filter(col("event_type") === "view")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(graft.functions.TypedAggs.bloomDistinct(
+          col("user_id").cast("string"), 1 << 17).as("uv_bloom"))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          unix_timestamp(col("window.end")).as("window_end"), col("uv_bloom"))),
   )
 
   /** Shared DuckDB CTE: minhash band buckets (mirrors Dedup.minhashBands

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Typed aggregation surface (SURVEY.md §2.11): the reference's
+  * `AggregateFunction[IN, ACC, OUT]` extension point maps to Spark's
+  * `Aggregator[IN, BUF, OUT]` registered through `udaf(...)` — partial
+  * aggregation (map-side combine) falls out of reduce/merge exactly like
+  * the reference's add/merge pair.
+  */
+object TypedAggs {
+
+  /** A2 parity (hot-item-analysis/.../HotItems.scala:110-121 AverageAgg:
+    * sum/count accumulator → Double).
+    */
+  object AvgLong extends Aggregator[Long, (Long, Long), Double] {
+    override def zero: (Long, Long) = (0L, 0L)
+    override def reduce(b: (Long, Long), a: Long): (Long, Long) = (b._1 + a, b._2 + 1)
+    override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+      (x._1 + y._1, x._2 + y._2)
+    override def finish(b: (Long, Long)): Double =
+      if (b._2 == 0) 0.0 else b._1.toDouble / b._2
+    override def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  def avgLong(c: Column): Column = udaf(AvgLong, Encoders.scalaLong).apply(c)
+
+  /** A5 bit-parity Bloom sketch (network-flow-analysis/.../
+    * UvWithBloomFilter.scala:103-121): a capBits bitmap (2^23 default ≈
+    * 1 MiB, the reference's Redis sizing) probed by 3 polynomial hashes
+    * `r = r*seed + char` with seeds 61/71/83, masked by capBits-1 —
+    * the identical bit pattern the reference stores in Redis.
+    *
+    * finish() returns the standard Bloom cardinality estimate
+    * round(-m/k * ln(1 - X/m)). Deviation (documented): the reference
+    * increments a Redis counter on first-sight per *element*, which is
+    * arrival-order-dependent and single-threaded; the sketch estimate is
+    * deterministic and mergeable (parallel partial aggregation).
+    *
+    * Scale note: the 1 MiB buffer travels per group — use for coarse
+    * groups (per-window UV = hundreds of groups), not per-key sketches;
+    * for high-cardinality groups use approx_count_distinct (HLL++).
+    */
+  case class BloomSketch(capBits: Int = 1 << 23, seeds: Seq[Int] = Seq(61, 71, 83))
+      extends Aggregator[String, Array[Byte], Long] {
+    require(Integer.bitCount(capBits) == 1, "capBits must be a power of two")
+
+    private def hash(value: String, seed: Int): Long = {
+      var result = 0L
+      var i = 0
+      while (i < value.length) { result = result * seed + value.charAt(i); i += 1 }
+      result & (capBits - 1)
+    }
+
+    override def zero: Array[Byte] = new Array[Byte](capBits / 8)
+
+    override def reduce(b: Array[Byte], v: String): Array[Byte] = {
+      seeds.foreach { s =>
+        val bit = hash(v, s)
+        b((bit / 8).toInt) = (b((bit / 8).toInt) | (1 << (bit % 8)).toByte).toByte
+      }
+      b
+    }
+
+    override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < x.length) { x(i) = (x(i) | y(i)).toByte; i += 1 }
+      x
+    }
+
+    override def finish(b: Array[Byte]): Long = {
+      var set = 0L
+      var i = 0
+      while (i < b.length) { set += Integer.bitCount(b(i) & 0xff); i += 1 }
+      if (set == 0) 0L
+      else {
+        val m = capBits.toDouble
+        val k = seeds.size.toDouble
+        Math.round(-m / k * Math.log(1.0 - set / m))
+      }
+    }
+
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  def bloomDistinct(c: Column, capBits: Int = 1 << 23): Column =
+    udaf(BloomSketch(capBits), Encoders.STRING).apply(c)
+}

@@ -147,6 +147,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet === Set((0L, 10L, 2L, 1), (0L, 20L, 1L, 2))) // top-2, tie 20-vs-30 by key
   }
 
+  test("stateful ops run on the RocksDB state store (the at-scale provider)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[KeyedEvent]
+      val q = StatefulOps.consecutiveFails(input.toDS(), "fail", 2000)
+        .writeStream.outputMode("append").format("memory").queryName("rocks").start()
+      input.addData(KeyedEvent(1, ts(100), "fail", 1))
+      q.processAllAvailable()
+      input.addData(KeyedEvent(1, ts(101), "fail", 2))
+      q.processAllAvailable()
+      val rows = spark.table("rocks").as[FailWarning].collect().toSet
+      q.stop()
+      assert(rows === Set(FailWarning(1, 2, 100, 101)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("reconcileStreams: matched plus both unmatched sides after watermark close") {
     val lIn = MemoryStream[KeyedEvent]
     val rIn = MemoryStream[KeyedEvent]
