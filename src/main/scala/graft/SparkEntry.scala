@@ -298,6 +298,16 @@ object SparkEntry {
       Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("byte_len"), col("checksum"))),
 
+    // IVF-style coarse quantization: nearest deterministic centroid per
+    // vector (the k-means-free stand-in for IVF ANN candidate blocking)
+    "q33_ivf_assign" -> ((s, dir) =>
+      Similarity.ivfAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
+        (0L until 8L).toSeq)),
+
+    // vocabulary: global top-20 terms by document frequency
+    "q34_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(Tables.documents(s, dir), "doc_id", "text", 20)),
+
     // A5 bit-parity Bloom sketch UV per hour (reference Redis bitmap
     // scheme, UvWithBloomFilter.scala:103-121); approximate → rows-only
     // check (2^17-bit maps here: one buffer per (window, partition))
@@ -510,6 +520,28 @@ object SparkEntry {
     "q30_multimodal_features" ->
       """SELECT doc_id, strlen(text)::BIGINT AS byte_len, md5(text) AS checksum
         |FROM documents""".stripMargin,
+
+    "q33_ivf_assign" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, embedding AS c_vec FROM e WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |         round(sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |           i -> (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)
+        |              * (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)))), 6) AS dist
+        |  FROM e CROSS JOIN c),
+        |r AS (
+        |  SELECT vec_id, centroid_id, dist,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY dist ASC, centroid_id ASC) AS rn
+        |  FROM sc)
+        |SELECT vec_id, centroid_id, dist FROM r WHERE rn = 1""".stripMargin,
+
+    "q34_top_terms" ->
+      """SELECT term, count(*) AS doc_freq FROM (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents)
+        |GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 20""".stripMargin,
     "q01_pv_hourly" ->
       """SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS window_start,
         |       CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 + 3600 AS window_end,

@@ -48,6 +48,32 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style coarse quantization: assign every vector to its nearest
+    * centroid (L2), making ANN candidate generation an equi-join on
+    * centroid_id. Centroids here are seeded deterministically from the
+    * corpus (`centroidIds`) so the oracle can reproduce them; production
+    * would plug in k-means centroids — the assignment plan (broadcast
+    * centroids, codegen-fed dot products, rank-1 per vector) is
+    * identical. Distances are rounded to 6 digits before the argmin so
+    * ordering is engine-stable; ties break on centroid_id.
+    */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+                centroidIds: Seq[Long]): DataFrame = {
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val cents = e.filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("centroid_id"), col("vec").as("c_vec"))
+    val scored = e.join(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        expr("""round(sqrt(aggregate(
+               |  zip_with(vec, c_vec, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+               |                                  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+               |  0D, (acc, v) -> acc + v)), 6)""".stripMargin).as("dist"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("centroid_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   /** Sign-random-projection LSH bucket per vector: `planes` pseudo-random
     * hyperplanes with components derived deterministically from the
     * cross-engine md5 hash ((md5_60(p"_"d) % 2001 - 1000)/1000 in

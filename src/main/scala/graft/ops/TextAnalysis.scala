@@ -69,6 +69,17 @@ object TextAnalysis {
     withHits.withColumn("predicted_lang", predicted)
   }
 
+  /** Global top-k terms by document frequency (number of documents
+    * containing the term). Explode + hash aggregate + TakeOrdered — no
+    * global sort; at 100 TB this is the canonical vocabulary-building
+    * shape (one shuffle on the term).
+    */
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(explode(array_distinct(split(col(textCol), " "))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("term").asc)
+      .limit(k)
+
   /** Document fingerprints: md5 of the raw text and of the canonical
     * sorted-distinct-word form (see Dedup.fingerprint).
     */

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
+  TimerValues, TTLConfig, ValueState}
+
+/** C1 on the Spark 4 arbitrary-state v2 API (`transformWithState`) — the
+  * direct analog of the reference's KeyedProcessFunction with ValueState
+  * (AdStatisticsByGeo.scala:68-113): explicit named ValueState, the
+  * processor object owning lifecycle (init/handleInputRows), RocksDB-
+  * backed. Same semantics as StatefulOps.clickBlacklist (the
+  * flatMapGroupsWithState form): per (user, ad) count clicks within each
+  * event-time day, one-shot warning at the threshold, day-rollover reset.
+  *
+  * transformWithState requires the RocksDB state store provider.
+  */
+class BlacklistProcessor(threshold: Long)
+    extends StatefulProcessor[(Long, Long), KeyedClick, BlacklistWarning] {
+
+  @transient private var state: ValueState[ClickState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[ClickState]("clicks",
+      Encoders.product[ClickState], TTLConfig.NONE)
+
+  override def handleInputRows(key: (Long, Long), rows: Iterator[KeyedClick],
+                               timerValues: TimerValues): Iterator[BlacklistWarning] = {
+    val (userId, adId) = key
+    val sorted = rows.toSeq.sortBy(_.ts.getTime)
+    val out = Seq.newBuilder[BlacklistWarning]
+    var s = Option(state.get()).getOrElse(ClickState(-1L, 0L, sent = false))
+    sorted.foreach { c =>
+      val day = Math.floorDiv(c.ts.getTime / 1000, 86400L) * 86400L
+      if (day != s.dayStart) s = ClickState(day, 0L, sent = false)
+      s = s.copy(cnt = s.cnt + 1)
+      if (s.cnt >= threshold && !s.sent) {
+        out += BlacklistWarning(userId, adId, s.dayStart,
+          s"Click over $threshold times today.")
+        s = s.copy(sent = true)
+      }
+    }
+    state.update(s)
+    out.result().iterator
+  }
+}
+
+object BlacklistProcessor {
+  /** transformWithState wiring for [[BlacklistProcessor]]. */
+  def apply(ds: Dataset[KeyedClick], threshold: Long): Dataset[BlacklistWarning] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(c => (c.userId, c.adId))
+      .transformWithState(new BlacklistProcessor(threshold),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

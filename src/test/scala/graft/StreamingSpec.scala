@@ -164,6 +164,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState blacklist (arbitrary-state v2) matches the fMGWS form") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[KeyedClick]
+      val q = BlacklistProcessor(input.toDS(), 3)
+        .writeStream.outputMode("append").format("memory").queryName("tws").start()
+      input.addData(KeyedClick(1, 7, ts(100)), KeyedClick(1, 7, ts(200)))
+      q.processAllAvailable()
+      input.addData(KeyedClick(1, 7, ts(300)), KeyedClick(1, 7, ts(400)))
+      q.processAllAvailable()
+      input.addData(KeyedClick(1, 7, ts(86400 + 100)), KeyedClick(2, 7, ts(500)))
+      q.processAllAvailable()
+      val rows = spark.table("tws").as[BlacklistWarning].collect().toSet
+      q.stop()
+      assert(rows === Set(BlacklistWarning(1, 7, 0, "Click over 3 times today.")))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("reconcileStreams: matched plus both unmatched sides after watermark close") {
     val lIn = MemoryStream[KeyedEvent]
     val rIn = MemoryStream[KeyedEvent]
