@@ -83,12 +83,17 @@ object StreamingDemo {
           $"event_id".as("id"))
         .withWatermark("ts", "0 seconds").as[KeyedEvent],
       24 * 3600 * 1000L)
-    val q3 = ot.writeStream.outputMode("append").format("memory")
-      .queryName("order_timeout").start()
+    // side-output parity: one stream fanned out to per-tag sinks
+    val statusCounts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val q3 = Sinks.fanOutByTag(ot.toDF().withColumnRenamed("status", "tag")) {
+      Map(
+        "payed successfully" -> (b => statusCounts.synchronized {
+          statusCounts("payed successfully") += b.count() }),
+        "payed but already timeout" -> (b => statusCounts.synchronized {
+          statusCounts("payed but already timeout") += b.count() }))
+    }.outputMode("append").start()
     q3.processAllAvailable(); q3.stop()
-    val otCounts = spark.table("order_timeout").groupBy("status").count()
-      .as[(String, Long)].collect().toMap
-    println(s"order_timeout: $otCounts")
+    println(s"order_timeout: ${statusCounts.toMap}")
 
     spark.stop()
   }

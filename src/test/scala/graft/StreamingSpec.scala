@@ -183,6 +183,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming exact dedup within watermark") {
+    val input = MemoryStream[KeyedEvent]
+    val q = input.toDS().withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("key")
+      .writeStream.outputMode("append").format("memory").queryName("dd").start()
+    input.addData(KeyedEvent(1, ts(100), "view", 1), KeyedEvent(1, ts(101), "view", 2),
+      KeyedEvent(2, ts(100), "view", 3))
+    q.processAllAvailable()
+    input.addData(KeyedEvent(1, ts(105), "view", 4)) // still within watermark: dup
+    q.processAllAvailable()
+    val n = spark.table("dd").count()
+    q.stop()
+    assert(n === 2) // one row per key
+  }
+
+  test("fanOutByTag routes one stream to per-tag sinks (side-output parity)") {
+    val input = MemoryStream[KeyedEvent]
+    val tagged = input.toDF().withColumn("tag",
+      when($"eventType" === "fail", "warn").otherwise("ok"))
+    val got = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val q = Sinks.fanOutByTag(tagged) {
+      Map(
+        "warn" -> (b => got.synchronized { got("warn") += b.count() }),
+        "ok"   -> (b => got.synchronized { got("ok") += b.count() }))
+    }.start()
+    input.addData(KeyedEvent(1, ts(1), "fail", 1), KeyedEvent(2, ts(2), "view", 2),
+      KeyedEvent(3, ts(3), "view", 3))
+    q.processAllAvailable()
+    q.stop()
+    assert(got("warn") === 1L && got("ok") === 2L)
+  }
+
+  test("approx UV in update mode emits running counts (A5 running emission)") {
+    val input = MemoryStream[KeyedEvent]
+    val agg = WindowedAgg.tumblingApproxDistinct(
+      input.toDF(), "ts", "1 hour", "key")
+    val q = agg.writeStream.outputMode("update").format("memory")
+      .queryName("uvup").start()
+    input.addData(KeyedEvent(1, ts(100), "view", 1), KeyedEvent(2, ts(200), "view", 2))
+    q.processAllAvailable()
+    val first = spark.table("uvup").select("uv_approx").as[Long].collect().max
+    input.addData(KeyedEvent(3, ts(300), "view", 3))
+    q.processAllAvailable()
+    val last = spark.table("uvup").select("uv_approx").as[Long].collect().max
+    q.stop()
+    assert(first === 2L && last === 3L) // running per-batch emission
+  }
+
   test("reconcileStreams: matched plus both unmatched sides after watermark close") {
     val lIn = MemoryStream[KeyedEvent]
     val rIn = MemoryStream[KeyedEvent]
