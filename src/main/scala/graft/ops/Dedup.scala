@@ -75,10 +75,13 @@ object Dedup {
       .select(col(idCol).as("doc_id"), col(textCol).as("txt"),
         split(col(textCol), " ").as("words"))
       .select(col("doc_id"), expr(shinglesSql(shingleSize)).as("shingles"))
-    // one md5 per shingle; the numHashes families are affine derivations
+    // one md5 per shingle (native codegen'd expression; value-identical
+    // to the conv/substring/md5 chain) — the numHashes families are
+    // affine derivations
+    graft.functions.Md5Long60.ensureRegistered(df.sparkSession)
     val M = graft.functions.Hashing.AffineMod
     val hashed = base.select(col("doc_id"),
-      expr(s"transform(shingles, s -> ${md5LongSql("s")} % $M)").as("hs"))
+      expr(s"transform(shingles, s -> md5_long60(CAST(s AS BINARY)) % $M)").as("hs"))
     val mh = hashed.select(
       col("doc_id") +:
       (0 until numHashes).map { h =>
@@ -165,9 +168,10 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               bits: Int = 16): DataFrame = {
+    graft.functions.Md5Long60.ensureRegistered(df.sparkSession)
     val hashed = df
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
-      .select(col("doc_id"), expr(md5LongSql("w")).as("h"))
+      .select(col("doc_id"), expr("md5_long60(CAST(w AS BINARY))").as("h"))
     val bitSums = hashed.groupBy(col("doc_id")).agg(
       sum(expr("(shiftright(h, 0) & 1) * 2 - 1")).as("b0"),
       (1 until bits).map(b =>
