@@ -248,6 +248,41 @@ object SparkEntry {
         .agg(round(sum(col("l_quantity").cast("decimal(28,10)")), 2)
           .cast("double").as("sum_qty"), count(lit(1)).as("cnt"))),
 
+    // TPC-H Q3 shape: top-10 open orders by pending revenue (join +
+    // filter + agg + TakeOrdered)
+    "q35_shipping_priority" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderstatus") === "O")
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,10)")), 2).cast("double").as("revenue"))
+        .select(col("l_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: revenue by region through the full star (6-way
+    // join; nation/region broadcast)
+    "q36_region_volume" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,10)")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))
+    }),
+
     // —— LLM-data-pipeline extensions (BASELINE.json north_star) ——
 
     // exact/near dedup: duplicate groups by canonical content fingerprint
@@ -520,6 +555,27 @@ object SparkEntry {
     "q30_multimodal_features" ->
       """SELECT doc_id, strlen(text)::BIGINT AS byte_len, md5(text) AS checksum
         |FROM documents""".stripMargin,
+
+    "q35_shipping_priority" ->
+      """SELECT l_orderkey,
+        |       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate,
+        |       o_orderpriority,
+        |       round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2)::DOUBLE AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q36_region_volume" ->
+      """SELECT r_name,
+        |       round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2)::DOUBLE AS revenue,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
 
     "q33_ivf_assign" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -95,6 +95,39 @@ object StreamingDemo {
     q3.processAllAvailable(); q3.stop()
     println(s"order_timeout: ${statusCounts.toMap}")
 
+    // 4. ad stats by geo over a CSV *text stream* (AdStatisticsByGeo
+    // wiring shape: line stream -> from_csv parse -> windowed geo counts)
+    val adDir = java.nio.file.Files.createTempDirectory("graft-adlog-")
+    java.nio.file.Files.createSymbolicLink(
+      adDir.resolve("AdClickLog.csv"),
+      java.nio.file.Paths.get(
+        "/root/reference/market-analysis/src/main/resources/AdClickLog.csv"))
+    val adLines = spark.readStream.text(adDir.toString)
+    val clicks = graft.sources.KafkaSources.parseLines(
+        adLines.select($"value".as("line")),
+        graft.sources.ReferenceSources.adClickSchema)
+      .filter($"userId".isNotNull && $"adId".isNotNull)
+      .withColumn("ts", timestamp_seconds($"timestamp"))
+      .withWatermark("ts", "1 second")
+    val q4 = WindowedAgg.slidingCount(clicks, "ts", "1 hour", "10 minutes",
+        Seq("province"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ad_geo").start()
+    q4.processAllAvailable(); q4.stop()
+    println(s"ad_geo: streaming emitted ${spark.table("ad_geo").count()} windowed province counts")
+
+    // 5. app-marketing channel stats from the simulated rate source
+    // (AppMarketingByChannel wiring shape)
+    val sim = graft.sources.SimulatedEvents
+      .marketingBehaviorStream(spark, rowsPerSecond = 500)
+      .filter($"behavior" =!= "UNINSTALL")
+    val q5 = WindowedAgg.tumblingCount(sim, "ts", "1 second", Seq("channel"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("marketing").start()
+    Thread.sleep(1500)
+    q5.processAllAvailable(); q5.stop()
+    println(s"marketing_by_channel: ${spark.table("marketing").count()} channel-window counts")
+
     spark.stop()
   }
 }
