@@ -283,6 +283,24 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
     }),
 
+    // Join-type surface: semi/anti joins (customers with vs without
+    // any open order)
+    "q37_semi_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val open = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+      val withOpen = c.join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_open").as("tag"))
+      val without = c.join(open, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_open").as("tag"))
+      withOpen.unionByName(without)
+    }),
+
+    // Cube aggregation surface
+    "q38_cube_pricing" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))),
+
     // —— LLM-data-pipeline extensions (BASELINE.json north_star) ——
 
     // exact/near dedup: duplicate groups by canonical content fingerprint
@@ -555,6 +573,19 @@ object SparkEntry {
     "q30_multimodal_features" ->
       """SELECT doc_id, strlen(text)::BIGINT AS byte_len, md5(text) AS checksum
         |FROM documents""".stripMargin,
+
+    "q37_semi_anti" ->
+      """SELECT c_custkey, 'has_open' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT c_custkey, 'no_open' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+
+    "q38_cube_pricing" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "q35_shipping_priority" ->
       """SELECT l_orderkey,

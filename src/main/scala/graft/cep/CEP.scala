@@ -23,8 +23,12 @@ private[cep] case class CepState(runs: List[Run])
 
 /** Pattern step: `next` = strict contiguity (a non-matching event kills
   * the run — Flink CEP `next`, LoginFailWithCep.scala:50-53), `followedBy`
-  * = relaxed (non-matching events are skipped — Flink `followedBy`,
-  * OrderTimeout.scala:52-55).
+  * = relaxed (non-matching events are skipped and the FIRST matching
+  * event advances the run — Flink `followedBy`, OrderTimeout.scala:52-55;
+  * the branching `followedByAny` variant is intentionally not
+  * implemented — the reference never uses it and it makes state size
+  * per key combinatorial). Verified against a brute-force semantics
+  * oracle on randomized inputs in CepPropertySpec.
   */
 private[cep] case class Step(name: String, pred: CepEvent => Boolean, strict: Boolean)
 
@@ -126,6 +130,11 @@ object CEP {
     }
     live
   }
+
+  /** Test hook: run the pure NFA fold over a pre-sorted event sequence. */
+  private[cep] def advanceForTest(pattern: Pattern, events: Seq[CepEvent],
+      out: ListBuffer[PatternMatch]): List[Run] =
+    advance(pattern, Nil, events, emitTimeouts = false, out, "k")
 
   /** Bounded-input detection: end-of-input expires all pending runs
     * (every deadline eventually passes on a bounded stream).
