@@ -60,6 +60,17 @@ object ReferenceJobs {
     cepOut.unionByName(orphans)
   }
 
+  /** HotItems (hot-item-analysis/.../HotItems.scala:78-84): top-N items
+    * per sliding 1h/5m window over pv behaviors (case-insensitive match,
+    * HotItems.scala:69).
+    */
+  def hotItems(behaviors: DataFrame, n: Int = 5): DataFrame = {
+    val counts = graft.ops.WindowedAgg.slidingCount(
+      behaviors.filter(lower(col("behavior")) === "pv" && col("ts").isNotNull),
+      "ts", "1 hour", "5 minutes", Seq("itemId"))
+    graft.ops.TopN.perGroup(counts, Seq("window_start"), "cnt", Seq("itemId"), n)
+  }
+
   /** TxMatchDetect (order-pay-detect/.../TxMatchDetect.scala:88-138):
     * reconcile pays (order events with non-empty txId,
     * TxMatchDetect.scala:46) against receipts on txId; tags matched /
