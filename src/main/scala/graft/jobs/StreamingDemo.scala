@@ -128,6 +128,25 @@ object StreamingDemo {
     q5.processAllAvailable(); q5.stop()
     println(s"marketing_by_channel: ${spark.table("marketing").count()} channel-window counts")
 
+    // 6. CEP pattern detection on the stream (LoginFailWithCep wiring
+    // shape) — streaming NFA must equal batch detection on bounded input
+    def cepEvents(df: DataFrame) = df.select(
+        $"user_id".cast("string").as("key"), $"ts",
+        $"event_type".as("eventType"), $"event_id".as("id"))
+      .as[graft.cep.CepEvent]
+    val pattern = graft.cep.Pattern
+      .begin("first", _.eventType == "error")
+      .next("second", _.eventType == "error")
+      .within("2 hours")
+    val q6 = graft.cep.CEP.detectStream(cepEvents(stream()), pattern)
+      .writeStream.outputMode("append").format("memory").queryName("cep").start()
+    q6.processAllAvailable(); q6.stop()
+    val cepStream = spark.table("cep").count()
+    val cepBatch = graft.cep.CEP.detectBatch(
+      cepEvents(graft.Tables.events(spark, dir)), pattern).count()
+    println(s"cep_login_fail: streaming=$cepStream batch=$cepBatch " +
+      (if (cepStream == cepBatch) "MATCH" else "MISMATCH"))
+
     spark.stop()
   }
 }
