@@ -144,9 +144,14 @@ object Dedup {
     val docs = df.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
       array_distinct(split(col(textCol), " ")).as("ws"))
     val sizes = docs.select(col("doc_id"), size(col("ws")).as("n"))
-    val inv = docs.select(col("doc_id"), col("grp"), explode(col("ws")).as("w"))
+    val inv = docs.select(col("doc_id"), col("grp"), explode(col("ws")).as("w"),
+      size(col("ws")).as("n"))
+    // length filter (Arasu et al.): jaccard(A,B) <= min/max, so pairs with
+    // min(na,nb) < t*max(na,nb) can never reach the threshold — prune them
+    // in the join condition, before the co-occurrence aggregation
     val co = inv.as("a").join(inv.as("b"),
-        expr("a.grp = b.grp AND a.w = b.w AND a.doc_id < b.doc_id"))
+        expr(s"""a.grp = b.grp AND a.w = b.w AND a.doc_id < b.doc_id
+                | AND least(a.n, b.n) >= $threshold * greatest(a.n, b.n)""".stripMargin))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     co.join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
