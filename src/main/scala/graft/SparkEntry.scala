@@ -283,6 +283,34 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
     }),
 
+    // TPC-H Q10 shape: top customers by returned-item revenue (filter +
+    // 3-way join + agg + TakeOrdered)
+    "q39_returned_items" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      li.filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,10)")), 2).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // Decile distribution of order values: ntile window function surface.
+    // NOTE: a global ntile implies a single-partition sort — fine for a
+    // dimension-sized input like orders-per-day slices; at full scale
+    // approximate deciles via approx_percentile boundaries instead
+    "q40_order_deciles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), ntile(10).over(w).cast("long").as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("cnt"))
+    }),
+
     // Join-type surface: semi/anti joins (customers with vs without
     // any open order)
     "q37_semi_anti" -> ((s, dir) => {
@@ -573,6 +601,23 @@ object SparkEntry {
     "q30_multimodal_features" ->
       """SELECT doc_id, strlen(text)::BIGINT AS byte_len, md5(text) AS checksum
         |FROM documents""".stripMargin,
+
+    "q39_returned_items" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |       round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2)::DOUBLE AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q40_order_deciles" ->
+      """SELECT decile, count(*) AS cnt FROM (
+        |  SELECT o_orderkey,
+        |         ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)::BIGINT AS decile
+        |  FROM orders)
+        |GROUP BY 1""".stripMargin,
 
     "q37_semi_anti" ->
       """SELECT c_custkey, 'has_open' AS tag FROM customer
