@@ -26,11 +26,15 @@ object Bench {
 
     // noop sink: forces full evaluation of every output column (a bare
     // count() would let Catalyst prune the projections away and
-    // under-measure expression-heavy queries)
-    def run(name: String, dir: String): Unit =
-      try SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
+    // under-measure expression-heavy queries). Returns the failure (if
+    // any) so a crashing query is reported as err/-1, never as a
+    // near-zero "fast pass".
+    def run(name: String, dir: String): Option[Throwable] =
+      try {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        None
+      } catch { case t: Throwable => Some(t) }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warmup: full pass at the small scale factor
@@ -38,13 +42,20 @@ object Bench {
 
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      run(name, sfDir)
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = run(name, sfDir)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (err.isDefined) -1.0 else sec, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(t)) =>
+      val msg = (t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage))
+        .replaceAll("[\"\\\\\n\r]", " ").take(160)
+      "\"" + k + "\":\"" + msg + "\""
+    }
+    val errField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,8 +35,13 @@ object ReferenceJobs {
 
   /** OrderTimeout / OrderTimeoutWithoutCep (order-pay-detect/...):
     * create→pay within 15 min. Emits the reference's full message
-    * vocabulary including orphan pays
-    * (OrderTimeoutWithoutCep.scala:73,90,93,113,116).
+    * vocabulary (OrderTimeoutWithoutCep.scala:73,90,93,113,116):
+    * "payed successfully", "order timeout" (create never paid),
+    * "payed but already timeout" (a pay exists but past the deadline —
+    * the CEP run has already expired, so the expired-create runs are
+    * relabeled by a post-join against later pays, mirroring
+    * StatefulOps.orderTimeout's late-pay branch), and
+    * "already payed but not found create" (orphan pays).
     */
   def orderResults(orders: DataFrame): DataFrame = {
     import orders.sparkSession.implicits._
@@ -51,13 +56,21 @@ object ReferenceJobs {
       .map(m => (m.key.toLong,
         if (m.timedOut) "order timeout" else "payed successfully"))
       .toDF("orderId", "resultMsg")
+    // late pays: the run expired ("order timeout"), but a pay did arrive
+    // after the deadline — relabel per the reference's state machine
+    val latePaid = orders.filter(col("eventType") === "pay")
+      .select(col("orderId").as("lp_id")).distinct()
+    val relabeled = cepOut.join(latePaid, col("orderId") === col("lp_id"), "left")
+      .select(col("orderId"),
+        when(col("resultMsg") === "order timeout" && col("lp_id").isNotNull,
+          "payed but already timeout").otherwise(col("resultMsg")).as("resultMsg"))
     // orphan pays: a pay with no create at all for the order
     val orphans = orders.groupBy(col("orderId"))
       .agg(max(when(col("eventType") === "create", 1).otherwise(0)).as("hasCreate"),
         max(when(col("eventType") === "pay", 1).otherwise(0)).as("hasPay"))
       .filter(col("hasPay") === 1 && col("hasCreate") === 0)
       .select(col("orderId"), lit("already payed but not found create").as("resultMsg"))
-    cepOut.unionByName(orphans)
+    relabeled.unionByName(orphans)
   }
 
   /** HotItems (hot-item-analysis/.../HotItems.scala:78-84): top-N items

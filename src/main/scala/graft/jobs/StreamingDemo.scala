@@ -50,7 +50,7 @@ object StreamingDemo {
     // 1. login-fail detection (LoginFail wiring shape)
     val lf = StatefulOps.consecutiveFails(
       stream().select($"user_id".as("key"), $"ts", $"event_type".as("eventType"), $"event_id".as("id"))
-        .as[KeyedEvent],
+        .withWatermark("ts", "0 seconds").as[KeyedEvent],
       "error", 2 * 3600 * 1000L)
     val q1 = lf.writeStream.outputMode("append").format("memory")
       .queryName("login_fail").start()

@@ -86,25 +86,38 @@ object Similarity {
     * recompute it) and embedded as array literals — vs deriving each
     * component per row, which costs planes*dim interpreted md5 calls
     * per vector.
+    *
+    * `dim` defaults to the embedding length of the first row (one
+    * column-pruned peek). A mismatching row would otherwise corrupt the
+    * bucket silently — zip_with null-pads the shorter side, turning the
+    * whole dot product null and the bit 0 — so every row is guarded with
+    * raise_error instead (ADVICE r1: silent cross-engine divergence).
     */
   def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
-                 planes: Int = 8, dim: Int = 64): DataFrame = {
+                 planes: Int = 8, dim: Int = -1): DataFrame = {
+    val d =
+      if (dim > 0) dim
+      else emb.select(size(col(vecCol))).head().getInt(0)
     val md = java.security.MessageDigest.getInstance("MD5")
     def md5Long60(s: String): Long = {
       val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.substring(0, 15), 16)
     }
     val dot = (0 until planes).map { p =>
-      val plane = (1 to dim).map(d => (md5Long60(s"${p}_$d") % 2001 - 1000) / 1000.0)
+      val plane = (1 to d).map(dd => (md5Long60(s"${p}_$dd") % 2001 - 1000) / 1000.0)
       val planeLit = typedLit(plane)
       aggregate(
         zip_with(col(vecCol), planeLit,
           (x, y) => x.cast("double") * y),
         lit(0.0), (acc, v) => acc + v)
     }
-    val bucket = dot.zipWithIndex.foldLeft(lit(0L)) { case (acc, (d, p)) =>
-      acc + when(d >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    val bucket = dot.zipWithIndex.foldLeft(lit(0L)) { case (acc, (dp, p)) =>
+      acc + when(dp >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }
-    emb.select(col(idCol).as("vec_id"), bucket.as("bucket"))
+    emb.select(col(idCol).as("vec_id"),
+      when(size(col(vecCol)) === d, bucket)
+        .otherwise(raise_error(concat(
+          lit(s"lshBuckets: embedding length != $d for $idCol="),
+          col(idCol).cast("string")))).as("bucket"))
   }
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
-  TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** C1 on the Spark 4 arbitrary-state v2 API (`transformWithState`) — the
   * direct analog of the reference's KeyedProcessFunction with ValueState
@@ -12,7 +12,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
   * flatMapGroupsWithState form): per (user, ad) count clicks within each
   * event-time day, one-shot warning at the threshold, day-rollover reset.
   *
-  * transformWithState requires the RocksDB state store provider.
+  * Day changes only move forward (late events from an older day are
+  * ignored, mirroring StatefulOps.clickBlacklist), and an event-time
+  * timer at the stored day's end expires idle keys — the analog of the
+  * reference's midnight cleanup timer (AdStatisticsByGeo.scala:105-112),
+  * but driven by the watermark instead of wall clock. Requires an
+  * upstream watermark and the RocksDB state store provider.
   */
 class BlacklistProcessor(threshold: Long)
     extends StatefulProcessor[(Long, Long), KeyedClick, BlacklistWarning] {
@@ -29,27 +34,48 @@ class BlacklistProcessor(threshold: Long)
     val sorted = rows.toSeq.sortBy(_.ts.getTime)
     val out = Seq.newBuilder[BlacklistWarning]
     var s = Option(state.get()).getOrElse(ClickState(-1L, 0L, sent = false))
+    val dayBefore = s.dayStart
     sorted.foreach { c =>
       val day = Math.floorDiv(c.ts.getTime / 1000, 86400L) * 86400L
-      if (day != s.dayStart) s = ClickState(day, 0L, sent = false)
-      s = s.copy(cnt = s.cnt + 1)
-      if (s.cnt >= threshold && !s.sent) {
-        out += BlacklistWarning(userId, adId, s.dayStart,
-          s"Click over $threshold times today.")
-        s = s.copy(sent = true)
+      if (day >= s.dayStart) {              // ignore regressions to older days
+        if (day > s.dayStart) s = ClickState(day, 0L, sent = false)
+        s = s.copy(cnt = s.cnt + 1)
+        if (s.cnt >= threshold && !s.sent) {
+          out += BlacklistWarning(userId, adId, s.dayStart,
+            s"Click over $threshold times today.")
+          s = s.copy(sent = true)
+        }
       }
     }
     state.update(s)
+    if (s.dayStart != dayBefore) {
+      if (dayBefore >= 0) getHandle.deleteTimer((dayBefore + 86400L) * 1000L)
+      getHandle.registerTimer(Math.max((s.dayStart + 86400L) * 1000L,
+        timerValues.getCurrentWatermarkInMs + 1))
+    }
     out.result().iterator
+  }
+
+  /** Watermark passed the stored day's end: the key is idle — drop its
+    * state (a newer day's state keeps its own, later timer).
+    */
+  override def handleExpiredTimer(key: (Long, Long), timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[BlacklistWarning] = {
+    val s = state.get()
+    if (s != null && (s.dayStart + 86400L) * 1000L <= expiredTimerInfo.getExpiryTimeInMs)
+      state.clear()
+    Iterator.empty
   }
 }
 
 object BlacklistProcessor {
-  /** transformWithState wiring for [[BlacklistProcessor]]. */
+  /** transformWithState wiring for [[BlacklistProcessor]] (event-time
+    * mode: the input stream must carry a watermark on `ts`).
+    */
   def apply(ds: Dataset[KeyedClick], threshold: Long): Dataset[BlacklistWarning] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(c => (c.userId, c.adId))
       .transformWithState(new BlacklistProcessor(threshold),
-        TimeMode.None(), OutputMode.Append())
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -46,29 +46,43 @@ object StatefulOps {
     * LoginFail.scala:97-100). Implements the intended <=gap semantics —
     * the reference's inverted >=2s comparison (LoginFail.scala:86) is a
     * documented bug (SURVEY.md Appendix A.1).
+    *
+    * State is expired once the watermark passes last-event + gap: beyond
+    * that point no future event can pair with the stored one, so idle
+    * keys hold no state — live-key-bounded, not total-distinct-key-
+    * bounded. Requires an upstream watermark on `ts`.
     */
   def consecutiveFails(ds: Dataset[KeyedEvent], failValue: String,
                        gapMs: Long): Dataset[FailWarning] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[LastEvent, FailWarning](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, it, state: GroupState[LastEvent]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.id))
-          val out = Seq.newBuilder[FailWarning]
-          var prev = state.getOption
-          sorted.foreach { e =>
-            prev match {
-              case Some(p) if p.eventType == failValue &&
-                  e.eventType == failValue &&
-                  e.ts.getTime - p.tsMs <= gapMs =>
-                out += FailWarning(key, e.id, p.tsMs / 1000, e.ts.getTime / 1000)
-              case _ =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.id))
+            val out = Seq.newBuilder[FailWarning]
+            var prev = state.getOption
+            sorted.foreach { e =>
+              prev match {
+                case Some(p) if p.eventType == failValue &&
+                    e.eventType == failValue &&
+                    e.ts.getTime - p.tsMs <= gapMs =>
+                  out += FailWarning(key, e.id, p.tsMs / 1000, e.ts.getTime / 1000)
+                case _ =>
+              }
+              prev = Some(LastEvent(e.ts.getTime, e.eventType))
             }
-            prev = Some(LastEvent(e.ts.getTime, e.eventType))
+            prev.foreach { p =>
+              state.update(p)
+              state.setTimeoutTimestamp(
+                Math.max(p.tsMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
           }
-          prev.foreach(state.update)
-          out.result().iterator
       }
   }
 
@@ -139,29 +153,44 @@ object StatefulOps {
     * day rolls over. The reference resets state with a processing-time
     * timer at midnight (:86-88,:105-112); here the day boundary is
     * derived from event time, which is deterministic under replay.
+    *
+    * Day changes only move forward: a late event from an older day than
+    * the stored one is ignored rather than resetting dayStart backwards
+    * (which would zero the current day's count and re-arm `sent`). State
+    * expires once the watermark passes the stored day's end, so idle
+    * (user, ad) keys hold no state. Requires an upstream watermark.
     */
   def clickBlacklist(ds: Dataset[KeyedClick], threshold: Long): Dataset[BlacklistWarning] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(c => (c.userId, c.adId))
       .flatMapGroupsWithState[ClickState, BlacklistWarning](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, it, state: GroupState[ClickState]) =>
-          val (userId, adId) = key
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          val out = Seq.newBuilder[BlacklistWarning]
-          var s = state.getOption.getOrElse(ClickState(-1L, 0L, sent = false))
-          sorted.foreach { c =>
-            val day = Math.floorDiv(c.ts.getTime / 1000, 86400L) * 86400L
-            if (day != s.dayStart) s = ClickState(day, 0L, sent = false)
-            s = s.copy(cnt = s.cnt + 1)
-            if (s.cnt >= threshold && !s.sent) {
-              out += BlacklistWarning(userId, adId, s.dayStart,
-                s"Click over $threshold times today.")
-              s = s.copy(sent = true)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (userId, adId) = key
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val out = Seq.newBuilder[BlacklistWarning]
+            var s = state.getOption.getOrElse(ClickState(-1L, 0L, sent = false))
+            sorted.foreach { c =>
+              val day = Math.floorDiv(c.ts.getTime / 1000, 86400L) * 86400L
+              if (day >= s.dayStart) {        // ignore regressions to older days
+                if (day > s.dayStart) s = ClickState(day, 0L, sent = false)
+                s = s.copy(cnt = s.cnt + 1)
+                if (s.cnt >= threshold && !s.sent) {
+                  out += BlacklistWarning(userId, adId, s.dayStart,
+                    s"Click over $threshold times today.")
+                  s = s.copy(sent = true)
+                }
+              }
             }
+            state.update(s)
+            state.setTimeoutTimestamp(
+              Math.max((s.dayStart + 86400L) * 1000L, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
           }
-          state.update(s)
-          out.result().iterator
       }
   }
 

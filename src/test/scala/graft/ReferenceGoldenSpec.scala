@@ -60,6 +60,23 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       (34755L, "already payed but not found create")))
   }
 
+  test("order results: pay after the deadline is tagged 'payed but already timeout'") {
+    // synthetic: order 1 pays 20 min after create (deadline 15 min);
+    // order 2 pays in time; order 3 never pays
+    val rows = Seq(
+      (1L, "create", "", 1000L), (1L, "pay", "tx1", 1000L + 1200),
+      (2L, "create", "", 1000L), (2L, "pay", "tx2", 1000L + 60),
+      (3L, "create", "", 1000L))
+      .toDF("orderId", "eventType", "txId", "epoch")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds($"epoch"))
+    val out = ReferenceJobs.orderResults(rows)
+      .as[(Long, String)].collect().toSet
+    assert(out === Set(
+      (1L, "payed but already timeout"),
+      (2L, "payed successfully"),
+      (3L, "order timeout")))
+  }
+
   test("tx reconciliation tags match hand-derived golden") {
     val out = ReferenceJobs.txMatch(
         ReferenceSources.orderEvents(spark, orderCsv),

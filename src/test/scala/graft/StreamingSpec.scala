@@ -29,7 +29,8 @@ class StreamingSpec extends AnyFunSuite {
 
   test("consecutiveFails: detection spans micro-batch boundaries; gap and reset respected") {
     val input = MemoryStream[KeyedEvent]
-    val q = StatefulOps.consecutiveFails(input.toDS(), "fail", 2000)
+    val q = StatefulOps.consecutiveFails(
+        input.toDS().withWatermark("ts", "0 seconds").as[KeyedEvent], "fail", 2000)
       .writeStream.outputMode("append").format("memory").queryName("cf").start()
     input.addData(KeyedEvent(1, ts(100), "fail", 1))
     q.processAllAvailable()
@@ -89,7 +90,8 @@ class StreamingSpec extends AnyFunSuite {
 
   test("clickBlacklist: one-shot warning per day, resets at event-time midnight") {
     val input = MemoryStream[KeyedClick]
-    val q = StatefulOps.clickBlacklist(input.toDS(), 3)
+    val q = StatefulOps.clickBlacklist(
+        input.toDS().withWatermark("ts", "0 seconds").as[KeyedClick], 3)
       .writeStream.outputMode("append").format("memory").queryName("bl").start()
     input.addData(KeyedClick(1, 7, ts(100)), KeyedClick(1, 7, ts(200)))
     q.processAllAvailable()
@@ -152,7 +154,8 @@ class StreamingSpec extends AnyFunSuite {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val input = MemoryStream[KeyedEvent]
-      val q = StatefulOps.consecutiveFails(input.toDS(), "fail", 2000)
+      val q = StatefulOps.consecutiveFails(
+          input.toDS().withWatermark("ts", "0 seconds").as[KeyedEvent], "fail", 2000)
         .writeStream.outputMode("append").format("memory").queryName("rocks").start()
       input.addData(KeyedEvent(1, ts(100), "fail", 1))
       q.processAllAvailable()
@@ -169,7 +172,8 @@ class StreamingSpec extends AnyFunSuite {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val input = MemoryStream[KeyedClick]
-      val q = BlacklistProcessor(input.toDS(), 3)
+      val q = BlacklistProcessor(
+          input.toDS().withWatermark("ts", "0 seconds").as[KeyedClick], 3)
         .writeStream.outputMode("append").format("memory").queryName("tws").start()
       input.addData(KeyedClick(1, 7, ts(100)), KeyedClick(1, 7, ts(200)))
       q.processAllAvailable()
