@@ -130,25 +130,70 @@ object Dedup {
     * rounded to 6 digits. threshold must be > 0 (zero-overlap pairs are
     * never emitted).
     *
-    * Shape: inverted index — explode distinct words, equi-join on
-    * (block, word), count shared words per pair, then join the two
-    * per-doc set sizes back (broadcast-sized). |A∩B| comes from a
-    * hash aggregate over small (docA, docB) rows instead of per-pair
-    * array intersections, so the work is proportional to the number of
-    * co-occurrences, is fully codegen'd, and shuffles on word — the
-    * standard set-similarity-join shape at scale.
+    * Adaptive physical strategy, chosen from a cheap vocabulary probe
+    * (one column-pruned pass that stops counting at 65 distinct words):
+    *
+    *  - vocab <= 64 (tag-like / categorical sets): encode each word set
+    *    as one 64-bit mask (explode → broadcast-dict join → bit_or), then
+    *    a block self-join where |A∩B| is a single bit_count(maskA &
+    *    maskB). Per-pair cost is O(1) instead of O(co-occurring words) —
+    *    on corpora whose documents share most of a tiny vocabulary the
+    *    inverted index degenerates to ~|doc|² co-occurrence rows per
+    *    block, an order of magnitude more work.
+    *  - otherwise (real text): inverted index — explode distinct words,
+    *    equi-join on (block, word), count shared words per pair, join the
+    *    per-doc set sizes back. Work is proportional to co-occurrences,
+    *    fully codegen'd, shuffles on word — the standard
+    *    set-similarity-join shape at scale.
+    *
+    * Both paths prune with the length filter (Arasu et al.):
+    * jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs whose sizes
+    * differ by more than the threshold ratio never survive.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    groupCol: String, threshold: Double): DataFrame = {
     require(threshold > 0, "threshold must be > 0 (jaccard-0 pairs are not emitted)")
     val docs = df.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
       array_distinct(split(col(textCol), " ")).as("ws"))
+    val vocabProbe = docs.select(explode(col("ws")).as("w"))
+      .distinct().limit(65).collect().map(_.getString(0))
+    if (vocabProbe.length <= 64) jaccardPairsBitmask(docs, vocabProbe, threshold)
+    else jaccardPairsInverted(docs, threshold)
+  }
+
+  /** Small-vocabulary fast path: word sets as 64-bit masks, intersection
+    * as bit_count. `vocab` must cover every word in `docs.ws`.
+    */
+  private def jaccardPairsBitmask(docs: DataFrame, vocab: Array[String],
+                                  threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dict = vocab.sorted.zipWithIndex.toSeq.toDF("w", "bit")
+    val masks = docs
+      .select(col("doc_id"), col("grp"), size(col("ws")).as("n"),
+        explode(col("ws")).as("w"))
+      .join(broadcast(dict), "w")
+      .groupBy(col("doc_id"), col("grp"), col("n"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("mask"))
+    val a = masks.select(col("doc_id").as("doc_a"), col("grp"),
+      col("mask").as("mask_a"), col("n").as("na"))
+    val b = masks.select(col("doc_id").as("doc_b"), col("grp").as("grp_b"),
+      col("mask").as("mask_b"), col("n").as("nb"))
+    a.join(b, col("grp") === col("grp_b") && col("doc_a") < col("doc_b") &&
+        expr(s"least(na, nb) >= $threshold * greatest(na, nb)"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(mask_a & mask_b)").as("inter"), col("na"), col("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6)")
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** General path: inverted index on (block, word). */
+  private def jaccardPairsInverted(docs: DataFrame, threshold: Double): DataFrame = {
     val sizes = docs.select(col("doc_id"), size(col("ws")).as("n"))
     val inv = docs.select(col("doc_id"), col("grp"), explode(col("ws")).as("w"),
       size(col("ws")).as("n"))
-    // length filter (Arasu et al.): jaccard(A,B) <= min/max, so pairs with
-    // min(na,nb) < t*max(na,nb) can never reach the threshold — prune them
-    // in the join condition, before the co-occurrence aggregation
     val co = inv.as("a").join(inv.as("b"),
         expr(s"""a.grp = b.grp AND a.w = b.w AND a.doc_id < b.doc_id
                 | AND least(a.n, b.n) >= $threshold * greatest(a.n, b.n)""".stripMargin))

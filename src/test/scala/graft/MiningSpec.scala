@@ -63,6 +63,19 @@ class MiningSpec extends AnyFunSuite {
     assert(out === Set((1L, 2L, 0.6))) // |∩|=3, |∪|=5; cross-source pair excluded
   }
 
+  test("jaccardPairs: inverted-index path (vocab > 64) agrees with the bitmask path") {
+    // 70-word vocabulary forces the general inverted-index strategy; the
+    // pair overlaps on 35 of 45 distinct words → jaccard 35/55
+    val w = (0 until 70).map(i => s"w$i")
+    val df = docs(
+      (1, (w.take(45)).mkString(" "), "s"),          // w0..w44
+      (2, (w.slice(10, 55)).mkString(" "), "s"),     // w10..w54, |∩|=35, |∪|=55
+      (3, (w.slice(60, 70)).mkString(" "), "s"))     // too small: length filter prunes
+    val out = Dedup.jaccardPairs(df, "doc_id", "text", "source", 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(out === Set((1L, 2L, math.round(35.0 / 55.0 * 1e6) / 1e6)))
+  }
+
   test("cosineKnn ranks by cosine, excludes self, breaks ties by id") {
     val df = Seq(
       (0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
