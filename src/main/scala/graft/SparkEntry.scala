@@ -299,16 +299,19 @@ object SparkEntry {
         .limit(20)
     }),
 
-    // Decile distribution of order values: ntile window function surface.
-    // NOTE: a global ntile implies a single-partition sort — fine for a
-    // dimension-sized input like orders-per-day slices; at full scale
-    // approximate deciles via approx_percentile boundaries instead
+    // Decile distribution of order values within each priority class:
+    // ntile window function surface. Partitioned by o_orderpriority so
+    // the sort parallelizes across partitions (an unpartitioned ntile
+    // moves ALL rows to one partition — the WindowExec anti-pattern);
+    // truly global exact deciles at 100 TB would use approx_percentile
+    // boundaries + a broadcast range lookup instead
     "q40_order_deciles" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
       Tables.orders(s, dir)
-        .select(col("o_orderkey"), ntile(10).over(w).cast("long").as("decile"))
-        .groupBy(col("decile")).agg(count(lit(1)).as("cnt"))
+        .select(col("o_orderpriority"), ntile(10).over(w).cast("long").as("decile"))
+        .groupBy(col("o_orderpriority"), col("decile")).agg(count(lit(1)).as("cnt"))
     }),
 
     // Join-type surface: semi/anti joins (customers with vs without
@@ -613,11 +616,12 @@ object SparkEntry {
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
 
     "q40_order_deciles" ->
-      """SELECT decile, count(*) AS cnt FROM (
-        |  SELECT o_orderkey,
-        |         ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)::BIGINT AS decile
+      """SELECT o_orderpriority, decile, count(*) AS cnt FROM (
+        |  SELECT o_orderpriority,
+        |         ntile(10) OVER (PARTITION BY o_orderpriority
+        |                         ORDER BY o_totalprice ASC, o_orderkey ASC)::BIGINT AS decile
         |  FROM orders)
-        |GROUP BY 1""".stripMargin,
+        |GROUP BY 1, 2""".stripMargin,
 
     "q37_semi_anti" ->
       """SELECT c_custkey, 'has_open' AS tag FROM customer
