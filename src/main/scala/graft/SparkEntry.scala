@@ -332,6 +332,62 @@ object SparkEntry {
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"))),
 
+    // As-of join surface (absent from Spark's built-ins; implemented as
+    // union + keyed sort in StreamMatch.asofJoin): each purchase paired
+    // with the user's latest click at-or-before the purchase time
+    "q41_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val pays = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pay_id"), col("user_id"),
+          col("ts").as("pay_ts"))
+      // dedupe right side per (key, ts) so the as-of winner is unique
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      StreamMatch.asofJoin(pays, clicks, "user_id", "pay_ts", "click_ts",
+          Seq("click_id"))
+        .select(col("pay_id"), col("user_id"),
+          unix_timestamp(col("pay_ts")).as("pay_ts"), col("click_id"),
+          unix_timestamp(col("asof_click_ts")).as("click_ts"))
+    }),
+
+    // ANN end-to-end on the LSH scale path: nearest cosine neighbor per
+    // vector among same-bucket candidates (equi-join blocking, rank-1)
+    "q42_ann_bucket_nearest" -> ((s, dir) =>
+      Similarity.bucketNearest(Tables.embeddings(s, dir), "vec_id", "embedding")),
+
+    // corpus quality scoring: length / lexical-diversity / stopword
+    // heuristics combined into one score + bucket label
+    "q43_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")),
+
+    // TPC-H Q4 shape: orders with at least one late shipment (semi-join
+    // EXISTS with a correlated range predicate), counted per priority
+    "q44_late_shipment_priority" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q12 shape: per ship-month high/low-priority line counts
+    // (join + conditional aggregation)
+    "q45_ship_month_priority_mix" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(unix_timestamp(date_trunc("month", col("l_shipdate")))
+          .as("ship_month"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_cnt"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_cnt"))
+    }),
+
     // —— LLM-data-pipeline extensions (BASELINE.json north_star) ——
 
     // exact/near dedup: duplicate groups by canonical content fingerprint
@@ -635,6 +691,80 @@ object SparkEntry {
     "q38_cube_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q41_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS pay_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.pay_id, p.user_id,
+        |       CAST(floor(epoch(p.ts)) AS BIGINT) AS pay_ts,
+        |       c.click_id,
+        |       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+
+    "q42_ann_bucket_nearest" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2,
+        |    list_sum(list_transform(generate_series(0, 7), p ->
+        |      CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
+        |             embedding[d]::DOUBLE *
+        |             ((('0x'||substr(md5(p::VARCHAR || '_' || d::VARCHAR),1,15))::BIGINT % 2001 - 1000)::DOUBLE / 1000.0)
+        |           )) >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS bucket
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |               / sqrt(a.norm2 * b.norm2), 6) AS score
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, neighbor_id) AS rn
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, score FROM r WHERE rn = 1""".stripMargin,
+
+    "q43_quality_score" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_words,
+        |    len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_words,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> list_contains(['the','a','of','and','in','to','is','on','for','with'], w)))::BIGINT AS stopword_cnt
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, n_words, n_distinct_words, stopword_cnt,
+        |    round(0.4 * least(n_words::DOUBLE / 100.0, 1.0)
+        |        + 0.4 * (n_distinct_words::DOUBLE / n_words::DOUBLE)
+        |        + 0.2 * least(5.0 * stopword_cnt::DOUBLE / n_words::DOUBLE, 1.0), 6) AS quality
+        |  FROM c)
+        |SELECT doc_id, n_words, n_distinct_words, stopword_cnt, quality,
+        |  CASE WHEN quality >= 0.6 THEN 'high'
+        |       WHEN quality >= 0.4 THEN 'medium'
+        |       ELSE 'low' END AS quality_label
+        |FROM q""".stripMargin,
+
+    "q44_late_shipment_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1""".stripMargin,
+
+    "q45_ship_month_priority_mix" ->
+      """SELECT CAST(floor(epoch(date_trunc('month', l_shipdate))) AS BIGINT) AS ship_month,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END)::BIGINT AS high_line_cnt,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END)::BIGINT AS low_line_cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "q35_shipping_priority" ->
       """SELECT l_orderkey,

@@ -120,4 +120,39 @@ object Similarity {
           lit(s"lshBuckets: embedding length != $d for $idCol="),
           col(idCol).cast("string")))).as("bucket"))
   }
+
+  /** ANN via LSH blocking end-to-end: nearest neighbor (cosine) for each
+    * vector among the vectors sharing its sign-random-projection bucket.
+    * This is the scale path for all-vectors similarity: candidate
+    * generation is an equi-join on `bucket` (sum over buckets of
+    * |bucket|², never n² — the brute-force [[cosineKnn]] is the exact
+    * baseline for small query sets), scoring is the codegen-fed dot
+    * product, selection is a rank-1 window per query vector. Vectors
+    * alone in their bucket produce no row (no candidates — in production
+    * multi-probe or a second plane family shrinks that miss rate).
+    * Scores are rounded to 6 digits before ranking; ties break on
+    * neighbor id.
+    */
+  def bucketNearest(emb: DataFrame, idCol: String, vecCol: String,
+                    planes: Int = 8): DataFrame = {
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .withColumn("norm2", expr(norm2Sql.format("vec")))
+    val withBucket = e.join(lshBuckets(emb, idCol, vecCol, planes),
+      col("vid") === col("vec_id")).drop("vec_id")
+    val a = withBucket.select(col("vid").as("query_id"), col("vec").as("q_vec"),
+      col("norm2").as("q_norm2"), col("bucket"))
+    val b = withBucket.select(col("vid").as("neighbor_id"), col("vec"),
+      col("norm2"), col("bucket").as("bucket_b"))
+    val scored = a.join(b,
+        col("bucket") === col("bucket_b") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("""round(
+               |  aggregate(zip_with(q_vec, vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+               |            0D, (acc, v) -> acc + v)
+               |  / sqrt(q_norm2 * norm2), 6)""".stripMargin).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
 }

@@ -50,4 +50,53 @@ object StreamMatch {
       col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lower") &&
       col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upper"))
   }
+
+  /** As-of join (absent from both the reference and Spark's built-ins):
+    * each left row is paired with the single latest right row of the same
+    * key whose `rightTs` <= `leftTs`; left rows with no such right row
+    * keep nulls (left-outer as-of). The canonical "state as of event
+    * time" lookup — last click before a purchase, last quote before a
+    * trade.
+    *
+    * Physical shape — union + keyed sort, not a join: tag both sides,
+    * union, and carry the latest right attributes forward with
+    * last(ignoreNulls) over (key ORDER BY ts, side ROWS UNBOUNDED
+    * PRECEDING), then keep left rows. One shuffle on the key and a
+    * per-key sort — the same cost class as a sort-merge join, with state
+    * bounded by one row's attributes per partition during the scan. The
+    * naive alternative (theta-join on rightTs <= leftTs + argmax)
+    * explodes to |matches-per-key|² intermediate rows; this stays linear.
+    * Right rows must be unique per (key, rightTs) for a deterministic
+    * winner — pre-aggregate ties upstream.
+    *
+    * `rightCols` are the right attribute columns to carry (names must not
+    * collide with left's); the right timestamp surfaces as
+    * `asof_$rightTs`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               leftTs: String, rightTs: String,
+               rightCols: Seq[String]): DataFrame = {
+    val carried = rightCols :+ s"asof_$rightTs"
+    val lSide = left.withColumn("_sort_ts", col(leftTs)).withColumn("_side", lit(1))
+    val lTagged = carried.foldLeft(lSide)((df, c) => df.withColumn(c, lit(null)))
+    val rTagged = right
+      .withColumn(s"asof_$rightTs", col(rightTs))
+      .withColumn("_sort_ts", col(rightTs)).withColumn("_side", lit(0))
+    val unioned = lTagged.select(
+      (Seq(keyCol, "_sort_ts", "_side") ++ left.columns.filterNot(_ == keyCol)
+        ++ carried).distinct.map(col): _*)
+      .unionByName(rTagged.select(
+        (Seq(keyCol, "_sort_ts", "_side") ++ carried).distinct.map(col): _*),
+        allowMissingColumns = true)
+    import org.apache.spark.sql.expressions.Window
+    // right rows (_side 0) sort before left rows at equal ts, so an
+    // equal-timestamp right row is visible to the left row (<= semantics)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_sort_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = carried.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_side") === 1).drop("_sort_ts", "_side")
+  }
 }

@@ -69,6 +69,33 @@ object TextAnalysis {
     withHits.withColumn("predicted_lang", predicted)
   }
 
+  /** Composite document-quality score for corpus filtering — the
+    * classic pre-training heuristics (length, lexical diversity,
+    * stopword density) combined into one [0,1] score plus a bucket
+    * label. Weights: 0.4 length (saturating at 100 words), 0.4
+    * distinct-word ratio, 0.2 stopword density (saturating at 20%).
+    * All inputs are exact integer counts; the one double expression is
+    * evaluated in a fixed order and rounded to 6 digits, so the score is
+    * bit-stable across engines and partitionings.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(col(textCol), " ")
+    val scored = df.select(
+      col(idCol).as("doc_id"),
+      size(words).cast("long").as("n_words"),
+      size(array_distinct(words)).cast("long").as("n_distinct_words"),
+      inList(words, Stopwords).cast("long").as("stopword_cnt"))
+      .withColumn("quality", round(
+        lit(0.4) * least(col("n_words").cast("double") / 100.0, lit(1.0)) +
+        lit(0.4) * (col("n_distinct_words").cast("double") / col("n_words").cast("double")) +
+        lit(0.2) * least(lit(5.0) * col("stopword_cnt").cast("double") / col("n_words").cast("double"), lit(1.0)),
+        6))
+    scored.withColumn("quality_label",
+      when(col("quality") >= 0.6, "high")
+        .when(col("quality") >= 0.4, "medium")
+        .otherwise("low"))
+  }
+
   /** Global top-k terms by document frequency (number of documents
     * containing the term). Explode + hash aggregate + TakeOrdered — no
     * global sort; at 100 TB this is the canonical vocabulary-building

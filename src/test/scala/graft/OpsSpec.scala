@@ -52,6 +52,48 @@ class OpsSpec extends AnyFunSuite {
     assert(top === Set((30L, 1), (10L, 2)))  // tie 10-vs-20 broken by item_id asc
   }
 
+  test("asofJoin pairs each left row with the latest right row at-or-before it") {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 8L, 102L), (2L, 5L, 103L))
+      .toDF("k", "epoch", "pay_id")
+      .withColumn("lts", timestamp_seconds(col("epoch"))).drop("epoch")
+    val right = Seq((1L, 8L, "a"), (1L, 15L, "b"), (3L, 1L, "c"))
+      .toDF("k", "epoch", "v")
+      .withColumn("rts", timestamp_seconds(col("epoch"))).drop("epoch")
+    val out = StreamMatch.asofJoin(left, right, "k", "lts", "rts", Seq("v"))
+      .select(col("pay_id"), col("v"), unix_timestamp(col("asof_rts")).as("rt"))
+      .as[(Long, Option[String], Option[Long])].collect().toSet
+    assert(out === Set(
+      (100L, Some("a"), Some(8L)),   // latest right <= 10 is ts 8
+      (101L, Some("b"), Some(15L)),  // latest right <= 20 is ts 15
+      (102L, Some("a"), Some(8L)),   // equal timestamps match (<=)
+      (103L, None, None)))           // key 2 has no right rows
+  }
+
+  test("bucketNearest: identical vectors share a bucket and pick each other at score 1") {
+    val df = Seq(
+      (0L, Array.fill(8)(0.5f)), (1L, Array.fill(8)(0.5f)),
+      (2L, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bucketNearest(df, "vec_id", "embedding")
+      .select("query_id", "neighbor_id", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    // all three identical -> same bucket; nearest = lowest other id (tie on score)
+    assert(out === Set((0L, 1L, 1.0), (1L, 0L, 1.0), (2L, 0L, 1.0)))
+  }
+
+  test("qualityScore combines length, diversity and stopword density") {
+    val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(df, "doc_id", "text")
+      .select("n_words", "n_distinct_words", "stopword_cnt", "quality", "quality_label")
+      .as[(Long, Long, Long, Double, String)].head()
+    // 6 words, 5 distinct ("the" twice), 3 stopwords (the, on, the)
+    val expected = BigDecimal(
+      0.4 * math.min(6.0 / 100.0, 1.0) + 0.4 * (5.0 / 6.0) +
+      0.2 * math.min(5.0 * 3.0 / 6.0, 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r === ((6L, 5L, 3L, expected, if (expected >= 0.6) "high" else "medium")))
+  }
+
   test("SequenceDetect.consecutiveFails: strict contiguity, gap bound, reset on success") {
     val df = ev(
       (1L, "error", "{}", 100L), (1L, "error", "{}", 200L),     // pair within gap
