@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** C2/C3 on the Spark 4 arbitrary-state v2 API — the transformWithState
+  * port of [[StatefulOps.consecutiveFails]]: two consecutive `failValue`
+  * events on the same key within `gapMs` emit a warning; any other event
+  * resets the sequence. An event-time timer at last-event + gap expires
+  * idle keys (past that point no future event can pair with the stored
+  * one), keeping state bounded by the live key count.
+  *
+  * Reference: login-fail-detect/.../LoginFail.scala:61-119 and
+  * LoginFailWithCep.scala:50-57 (intended <=gap semantics, SURVEY.md
+  * Appendix A.1). Requires a watermark and the RocksDB state store.
+  */
+class ConsecutiveFailsProcessor(failValue: String, gapMs: Long)
+    extends StatefulProcessor[Long, KeyedEvent, FailWarning] {
+
+  @transient private var state: ValueState[LastEvent] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[LastEvent]("last",
+      Encoders.product[LastEvent], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
+                               timerValues: TimerValues): Iterator[FailWarning] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.id))
+    val out = Seq.newBuilder[FailWarning]
+    var prev = Option(state.get())
+    sorted.foreach { e =>
+      prev match {
+        case Some(p) if p.eventType == failValue &&
+            e.eventType == failValue &&
+            e.ts.getTime - p.tsMs <= gapMs =>
+          out += FailWarning(key, e.id, p.tsMs / 1000, e.ts.getTime / 1000)
+        case _ =>
+      }
+      prev = Some(LastEvent(e.ts.getTime, e.eventType))
+    }
+    prev.foreach { p =>
+      state.update(p)
+      getHandle.registerTimer(
+        Math.max(p.tsMs + gapMs, timerValues.getCurrentWatermarkInMs + 1))
+    }
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[FailWarning] = {
+    val s = state.get()
+    if (s != null && s.tsMs + gapMs <= expiredTimerInfo.getExpiryTimeInMs)
+      state.clear()                         // stale timers for newer state no-op
+    Iterator.empty
+  }
+}
+
+object ConsecutiveFailsProcessor {
+  def apply(ds: Dataset[KeyedEvent], failValue: String,
+            gapMs: Long): Dataset[FailWarning] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new ConsecutiveFailsProcessor(failValue, gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}
+
+/** C4/C5 on the arbitrary-state v2 API — the transformWithState port of
+  * [[StatefulOps.orderTimeout]]: per key a "create" must be followed by
+  * a "pay" within `timeoutMs`. Emits the reference's tag vocabulary
+  * ("payed successfully", "timeout", "payed but already timeout",
+  * "already payed but not found create" —
+  * OrderTimeout.scala:80,91; OrderTimeoutWithoutCep.scala:73,90,93,113,116).
+  * The deadline timer is an explicit event-time timer instead of
+  * GroupStateTimeout; expiry emits the timeout/orphan row and clears
+  * state. Requires a watermark and the RocksDB state store.
+  */
+class OrderTimeoutProcessor(timeoutMs: Long)
+    extends StatefulProcessor[Long, KeyedEvent, OrderResult] {
+
+  @transient private var state: ValueState[OrderState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[OrderState]("order",
+      Encoders.product[OrderState], TTLConfig.NONE)
+
+  private def deadline(s: OrderState): Long =
+    (if (s.hasCreate) s.createMs else s.payMs) + timeoutMs
+
+  override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
+                               timerValues: TimerValues): Iterator[OrderResult] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.id))
+    val out = Seq.newBuilder[OrderResult]
+    var s = Option(state.get()).getOrElse(OrderState(0L, false, 0L, false))
+    sorted.foreach { e =>
+      e.eventType match {
+        case "create" =>
+          if (s.hasPay) {
+            out += (if (s.payMs <= e.ts.getTime + timeoutMs)
+              OrderResult(key, "payed successfully", s.payMs / 1000)
+            else OrderResult(key, "payed but already timeout", s.payMs / 1000))
+            s = OrderState(0L, false, 0L, false)
+          } else s = s.copy(createMs = e.ts.getTime, hasCreate = true)
+        case "pay" =>
+          if (s.hasCreate) {
+            out += (if (e.ts.getTime <= s.createMs + timeoutMs)
+              OrderResult(key, "payed successfully", e.ts.getTime / 1000)
+            else OrderResult(key, "payed but already timeout", e.ts.getTime / 1000))
+            s = OrderState(0L, false, 0L, false)
+          } else s = s.copy(payMs = e.ts.getTime, hasPay = true)
+        case _ => // ignore unknown event types
+      }
+    }
+    if (s.hasCreate || s.hasPay) {
+      state.update(s)
+      getHandle.registerTimer(
+        Math.max(deadline(s), timerValues.getCurrentWatermarkInMs + 1))
+    } else state.clear()
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[OrderResult] = {
+    val s = state.get()
+    if (s != null && deadline(s) <= expiredTimerInfo.getExpiryTimeInMs) {
+      state.clear()
+      Iterator.single(
+        if (s.hasCreate) OrderResult(key, "timeout", s.createMs / 1000)
+        else OrderResult(key, "already payed but not found create", s.payMs / 1000))
+    } else Iterator.empty
+  }
+}
+
+object OrderTimeoutProcessor {
+  def apply(ds: Dataset[KeyedEvent], timeoutMs: Long): Dataset[OrderResult] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new OrderTimeoutProcessor(timeoutMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}

@@ -187,6 +187,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState consecutiveFails matches the fMGWS form") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[KeyedEvent]
+      val q = ConsecutiveFailsProcessor(
+          input.toDS().withWatermark("ts", "0 seconds").as[KeyedEvent], "fail", 2000)
+        .writeStream.outputMode("append").format("memory").queryName("twscf").start()
+      input.addData(KeyedEvent(1, ts(100), "fail", 1))
+      q.processAllAvailable()
+      input.addData(KeyedEvent(1, ts(101), "fail", 2), KeyedEvent(2, ts(101), "fail", 3))
+      q.processAllAvailable()
+      input.addData(
+        KeyedEvent(2, ts(200), "fail", 4),        // gap 99s > 2s — no warning
+        KeyedEvent(1, ts(102), "success", 5),
+        KeyedEvent(1, ts(103), "fail", 6))        // prev is success — no warning
+      q.processAllAvailable()
+      val rows = spark.table("twscf").as[FailWarning].collect().toSet
+      q.stop()
+      assert(rows === Set(FailWarning(1, 2, 100, 101)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("transformWithState orderTimeout: success, timer-fired timeout, late pay, orphan") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[KeyedEvent]
+      val q = OrderTimeoutProcessor(
+          input.toDS().withWatermark("ts", "0 seconds").as[KeyedEvent], 15 * 60 * 1000)
+        .writeStream.outputMode("append").format("memory").queryName("twsot").start()
+      input.addData(
+        KeyedEvent(1, ts(1000), "create", 1),     // never paid -> timer timeout
+        KeyedEvent(2, ts(1000), "create", 2),
+        KeyedEvent(2, ts(1300), "pay", 3),        // paid within 15 min
+        KeyedEvent(3, ts(1000), "create", 4))
+      q.processAllAvailable()
+      input.addData(KeyedEvent(3, ts(1000 + 3600), "pay", 5)) // 1h later: too late
+      q.processAllAvailable()
+      input.addData(KeyedEvent(4, ts(5000), "pay", 6))        // orphan pay
+      q.processAllAvailable()
+      input.addData(KeyedEvent(97, ts(100000), "create", 7))  // advance watermark
+      q.processAllAvailable()
+      input.addData(KeyedEvent(96, ts(200000), "create", 8))
+      q.processAllAvailable()
+      val rows = spark.table("twsot").as[OrderResult].collect().toSet
+      q.stop()
+      assert(rows.contains(OrderResult(2, "payed successfully", 1300)))
+      assert(rows.contains(OrderResult(1, "timeout", 1000)))
+      assert(rows.contains(OrderResult(3, "payed but already timeout", 4600)))
+      assert(rows.contains(OrderResult(4, "already payed but not found create", 5000)))
+      assert(!rows.exists(_.key == 96))           // deadline not yet passed
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming exact dedup within watermark") {
     val input = MemoryStream[KeyedEvent]
     val q = input.toDS().withWatermark("ts", "10 seconds")
