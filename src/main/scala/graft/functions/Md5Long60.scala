@@ -72,11 +72,14 @@ object Md5Long60 {
 
 /** SparkSessionExtensions hook: `--conf spark.sql.extensions=
   * graft.functions.GraftExtensions` makes the engine's functions
-  * available in plain SQL on any session.
+  * (md5_long60, array_dot, array_sqdiff) available in plain SQL on any
+  * session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("md5_long60"),
       new ExpressionInfo(classOf[Md5Long60].getName, "md5_long60"),
       (exprs: Seq[Expression]) => Md5Long60(exprs.head)))
+    VectorExprs.registrations.foreach(e.injectFunction)
+  }
 }

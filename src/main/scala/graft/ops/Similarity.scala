@@ -9,20 +9,25 @@ import graft.functions.Hashing.md5LongSql
 /** Similarity search over an embedding column (Array[Float]).
   *
   * Brute-force cosine top-k is the exact baseline: corpus x (broadcast)
-  * query set, dot products via codegen'd higher-order functions —
-  * no UDFs, no collect. The scale path is [[lshBuckets]]: sign-random-
-  * projection bucketing so candidate generation is an equi-join on the
-  * bucket code instead of a cross product.
+  * query set — no UDFs, no collect. The scale path is [[lshBuckets]]:
+  * sign-random-projection bucketing so candidate generation is an
+  * equi-join on the bucket code instead of a cross product, and
+  * [[bucketNearest]] for the end-to-end ANN (embedding-cosine near-dup
+  * detection = filter its `score` at a threshold).
   *
-  * All float math is widened to double element-wise before accumulation
-  * (deterministic IEEE ops the SQL oracle reproduces), and scores are
-  * rounded to 6 digits before ranking so orderings are stable across
-  * engines.
+  * All vector math runs through the native codegen'd
+  * [[graft.functions.ArrayDotProduct array_dot]] /
+  * [[graft.functions.ArraySquaredDiffSum array_sqdiff]] expressions
+  * (one fused loop inside whole-stage codegen — the higher-order-
+  * function formulation interprets every lambda element). Floats widen
+  * to double element-wise before accumulation (deterministic IEEE ops
+  * the SQL oracle reproduces), and scores are rounded to 6 digits
+  * before ranking so orderings are stable across engines.
   */
 object Similarity {
 
-  private val norm2Sql =
-    "aggregate(%s, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+  /** Squared L2 norm via the native codegen'd dot product. */
+  private val norm2Sql = "array_dot(%s, %s)"
 
   /** Exact top-k cosine neighbors for each query id. The query side is
     * broadcast (keep query batches small; for bulk all-pairs use
@@ -31,17 +36,15 @@ object Similarity {
     */
   def cosineKnn(emb: DataFrame, idCol: String, vecCol: String,
                 queryIds: Seq[Long], k: Int): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
     val e = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .withColumn("norm2", expr(norm2Sql.format("vec")))
+      .withColumn("norm2", expr(norm2Sql.format("vec", "vec")))
     val q = e.filter(col("vid").isin(queryIds: _*))
       .select(col("vid").as("query_id"), col("vec").as("q_vec"),
         col("norm2").as("q_norm2"))
     val scored = e.join(broadcast(q), col("vid") =!= col("query_id"))
       .select(col("query_id"), col("vid").as("neighbor_id"),
-        expr("""round(
-               |  aggregate(zip_with(q_vec, vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-               |            0D, (acc, v) -> acc + v)
-               |  / sqrt(q_norm2 * norm2), 6)""".stripMargin).as("score"))
+        expr("round(array_dot(q_vec, vec) / sqrt(q_norm2 * norm2), 6)").as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -59,15 +62,13 @@ object Similarity {
     */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
                 centroidIds: Seq[Long]): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
     val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
     val cents = e.filter(col("vec_id").isin(centroidIds: _*))
       .select(col("vec_id").as("centroid_id"), col("vec").as("c_vec"))
     val scored = e.join(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"),
-        expr("""round(sqrt(aggregate(
-               |  zip_with(vec, c_vec, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
-               |                                  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-               |  0D, (acc, v) -> acc + v)), 6)""".stripMargin).as("dist"))
+        expr("round(sqrt(array_sqdiff(vec, c_vec)), 6)").as("dist"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist").asc, col("centroid_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -103,13 +104,10 @@ object Similarity {
       val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.substring(0, 15), 16)
     }
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
     val dot = (0 until planes).map { p =>
       val plane = (1 to d).map(dd => (md5Long60(s"${p}_$dd") % 2001 - 1000) / 1000.0)
-      val planeLit = typedLit(plane)
-      aggregate(
-        zip_with(col(vecCol), planeLit,
-          (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
+      call_function("array_dot", col(vecCol), typedLit(plane))
     }
     val bucket = dot.zipWithIndex.foldLeft(lit(0L)) { case (acc, (dp, p)) =>
       acc + when(dp >= 0.0, lit(1L << p)).otherwise(lit(0L))
@@ -135,8 +133,9 @@ object Similarity {
     */
   def bucketNearest(emb: DataFrame, idCol: String, vecCol: String,
                     planes: Int = 8): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
     val e = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .withColumn("norm2", expr(norm2Sql.format("vec")))
+      .withColumn("norm2", expr(norm2Sql.format("vec", "vec")))
     val withBucket = e.join(lshBuckets(emb, idCol, vecCol, planes),
       col("vid") === col("vec_id")).drop("vec_id")
     val a = withBucket.select(col("vid").as("query_id"), col("vec").as("q_vec"),
@@ -146,10 +145,7 @@ object Similarity {
     val scored = a.join(b,
         col("bucket") === col("bucket_b") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        expr("""round(
-               |  aggregate(zip_with(q_vec, vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-               |            0D, (acc, v) -> acc + v)
-               |  / sqrt(q_norm2 * norm2), 6)""".stripMargin).as("score"))
+        expr("round(array_dot(q_vec, vec) / sqrt(q_norm2 * norm2), 6)").as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))
