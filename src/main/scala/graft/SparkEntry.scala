@@ -351,6 +351,25 @@ object SparkEntry {
           unix_timestamp(col("asof_click_ts")).as("click_ts"))
     }),
 
+    // The same as-of semantics through the custom Catalyst operator
+    // (graft.plans.AsofJoin: logical node + injected strategy + merge-
+    // scan exec — one co-partitioning exchange+sort per side, O(1) scan
+    // state, no WindowExec). Shares q41's oracle.
+    "q46_asof_join_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val pays = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pay_id"), col("user_id"),
+          col("ts").as("pay_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.plans.AsofJoin(pays, clicks, "user_id", "pay_ts", "click_ts",
+          Seq("click_id"))
+        .select(col("pay_id"), col("user_id"),
+          unix_timestamp(col("pay_ts")).as("pay_ts"), col("click_id"),
+          unix_timestamp(col("asof_click_ts")).as("click_ts"))
+    }),
+
     // ANN end-to-end on the LSH scale path: nearest cosine neighbor per
     // vector among same-bucket candidates (equi-join blocking, rank-1)
     "q42_ann_bucket_nearest" -> ((s, dir) =>
@@ -693,6 +712,20 @@ object SparkEntry {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "q41_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS pay_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.pay_id, p.user_id,
+        |       CAST(floor(epoch(p.ts)) AS BIGINT) AS pay_ts,
+        |       c.click_id,
+        |       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+
+    "q46_asof_join_native" ->
       """WITH p AS (
         |  SELECT event_id AS pay_id, user_id, ts
         |  FROM events WHERE event_type = 'purchase'),

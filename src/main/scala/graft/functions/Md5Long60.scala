@@ -72,8 +72,8 @@ object Md5Long60 {
 
 /** SparkSessionExtensions hook: `--conf spark.sql.extensions=
   * graft.functions.GraftExtensions` makes the engine's functions
-  * (md5_long60, array_dot, array_sqdiff) available in plain SQL on any
-  * session.
+  * (md5_long60, array_dot, array_sqdiff) and planner strategies (the
+  * as-of join) available on any session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -81,5 +81,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5Long60].getName, "md5_long60"),
       (exprs: Seq[Expression]) => Md5Long60(exprs.head)))
     VectorExprs.registrations.foreach(e.injectFunction)
+    e.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
   }
 }

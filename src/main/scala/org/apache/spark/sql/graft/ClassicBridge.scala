@@ -1,0 +1,29 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset,
+  SparkSession => ClassicSparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** Minimal private[sql] bridge for the engine's custom logical plans
+  * (`graft.plans`): wraps a resolved LogicalPlan back into a DataFrame
+  * and registers planner strategies on a live session. Isolated here so
+  * the rest of the engine stays on the public API.
+  */
+object ClassicBridge {
+
+  /** Dataset.ofRows for an externally-constructed logical plan. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** Idempotently add a planner strategy to a running session (the
+    * config-time path is `spark.sql.extensions=graft.functions.
+    * GraftExtensions`, which injects the same strategy).
+    */
+  def ensureStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[ClassicSparkSession].experimental
+    if (!exp.extraStrategies.exists(_.getClass == strategy.getClass))
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.StreamMatch
+import graft.plans.AsofJoin
+
+/** The custom as-of join plan (logical node → injected strategy →
+  * merge-scan exec): semantics vs the composable union+window form on
+  * seeded random data, outer-null behavior, and the physical shape
+  * (no WindowExec; the only exchanges are the two co-partitionings).
+  */
+class PlansSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("native as-of join matches the union+window operator on random data") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 400).map(i =>
+      (rnd.nextInt(20).toLong, ts(rnd.nextInt(1000).toLong), i.toLong))
+      .toDF("k", "lts", "pay_id")
+    // right unique per (k, ts) for a deterministic winner
+    val right = (1 to 300).map(i =>
+      (rnd.nextInt(25).toLong, ts(rnd.nextInt(1000).toLong), i.toLong))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      .toDF("k", "rts", "click_id")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"pay_id", $"k", $"click_id", unix_timestamp($"asof_rts").as("at"))
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    val native = norm(AsofJoin(left, right, "k", "lts", "rts", Seq("click_id")))
+    val composed = norm(StreamMatch.asofJoin(left, right, "k", "lts", "rts", Seq("click_id")))
+    assert(native === composed)
+    assert(native.size === 400)
+  }
+
+  test("as-of exec: equal timestamps match; missing keys stay null; empty right side") {
+    val left = Seq((1L, ts(10), 100L), (2L, ts(5), 101L)).toDF("k", "lts", "id")
+    val right = Seq((1L, ts(10), "x")).toDF("k", "rts", "v")
+    val out = AsofJoin(left, right, "k", "lts", "rts", Seq("v"))
+      .select($"id", $"v").as[(Long, Option[String])].collect().toSet
+    assert(out === Set((100L, Some("x")), (101L, None)))
+    val empty = AsofJoin(left, right.filter($"k" < 0), "k", "lts", "rts", Seq("v"))
+      .select($"id", $"v").as[(Long, Option[String])].collect().toSet
+    assert(empty === Set((100L, None), (101L, None)))
+  }
+
+  test("both sides from the same base relation (self-as-of) resolve and agree") {
+    val ev = Seq(
+      (1L, ts(10), "pay", 100L), (1L, ts(8), "click", 200L),
+      (1L, ts(20), "pay", 101L), (1L, ts(15), "click", 201L),
+      (2L, ts(5), "pay", 102L))
+      .toDF("k", "t", "kind", "id")
+    val pays = ev.filter($"kind" === "pay").select($"k", $"t".as("lts"), $"id".as("pay_id"))
+    val clicks = ev.filter($"kind" === "click").select($"k", $"t".as("rts"), $"id".as("click_id"))
+    val out = AsofJoin(pays, clicks, "k", "lts", "rts", Seq("click_id"))
+      .select($"pay_id", $"click_id").as[(Long, Option[Long])].collect().toSet
+    assert(out === Set((100L, Some(200L)), (101L, Some(201L)), (102L, None)))
+  }
+
+  test("physical plan uses AsofJoinExec with no WindowExec") {
+    val left = Seq((1L, ts(10), 100L)).toDF("k", "lts", "id")
+    val right = Seq((1L, ts(8), "x")).toDF("k", "rts", "v")
+    val plan = AsofJoin(left, right, "k", "lts", "rts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"))
+    assert(!plan.contains("Window"))
+  }
+}
