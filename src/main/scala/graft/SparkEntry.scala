@@ -467,6 +467,14 @@ object SparkEntry {
     "q34_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(Tables.documents(s, dir), "doc_id", "text", 20)),
 
+    // deterministic stratified sampling: membership from an id hash, so
+    // the sample is reproducible across runs/partitionings/engines —
+    // a pure pushdown-friendly filter, no RNG state (Sampling.scala)
+    "q47_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedHashSample(Tables.documents(s, dir), "doc_id", "source",
+          Map("src0" -> 0.5, "src1" -> 0.25), 0.1)
+        .select(col("doc_id"), col("source"))),
+
     // A5 bit-parity Bloom sketch UV per hour (reference Redis bitmap
     // scheme, UvWithBloomFilter.scala:103-121); approximate → rows-only
     // check (2^17-bit maps here: one buffer per (window, partition))
@@ -841,6 +849,13 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
         |  FROM documents)
         |GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 20""".stripMargin,
+
+    "q47_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 10000 <
+        |      floor(CASE WHEN source = 'src0' THEN 0.5
+        |                 WHEN source = 'src1' THEN 0.25
+        |                 ELSE 0.1 END * 10000)""".stripMargin,
     "q01_pv_hourly" ->
       """SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS window_start,
         |       CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 + 3600 AS window_end,

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from a per-partition RNG: results change with
+  * partitioning, retries and engine version — useless for reproducible
+  * corpus construction or cross-engine verification. These samplers
+  * decide membership from a hash of a stable id, so the same row set
+  * comes back on every run, on any cluster layout, and in any engine
+  * that can compute the hash (the DuckDB oracle does). Selection is a
+  * pure codegen'd filter — fully pushdown-friendly, no shuffle, no RNG
+  * state; at 100 TB it costs exactly one scan.
+  */
+object Sampling {
+
+  private val Granularity = 10000L
+
+  /** Membership expression: stable hash of `idCol` mod granularity
+    * compared against floor(fraction * granularity).
+    */
+  private def keep(df: DataFrame, idCol: String, fraction: Column): Column = {
+    graft.functions.Md5Long60.ensureRegistered(df.sparkSession)
+    expr(s"md5_long60(CAST(CAST($idCol AS STRING) AS BINARY)) % $Granularity") <
+      floor(fraction * Granularity)
+  }
+
+  /** Uniform deterministic sample: keeps ~`fraction` of rows, chosen by
+    * id hash (resolution 1/10000).
+    */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(keep(df, idCol, lit(fraction)))
+
+  /** Stratified deterministic sample: per-stratum fractions with a
+    * default for unlisted strata. The fraction lookup is a broadcast-free
+    * CASE expression (strata maps are dimension-sized); membership stays
+    * a pure filter over the scan.
+    */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+                           fractions: Map[String, Double],
+                           defaultFraction: Double): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (elseCol, (value, f)) =>
+        when(col(strataCol) === value, lit(f)).otherwise(elseCol)
+    }
+    df.filter(keep(df, idCol, frac))
+  }
+}

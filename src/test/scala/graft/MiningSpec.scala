@@ -76,6 +76,22 @@ class MiningSpec extends AnyFunSuite {
     assert(out === Set((1L, 2L, math.round(35.0 / 55.0 * 1e6) / 1e6)))
   }
 
+  test("hash sampling is deterministic, stratified, and partitioning-independent") {
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val s1 = ops.Sampling.stratifiedHashSample(df, "id", "src",
+      Map("a" -> 0.5), 0.1).select("id").as[Long].collect().toSet
+    val s2 = ops.Sampling.stratifiedHashSample(df.repartition(7), "id", "src",
+      Map("a" -> 0.5), 0.1).select("id").as[Long].collect().toSet
+    assert(s1 === s2)                       // layout-independent
+    val aRate = s1.count(_ % 2 == 0) / 1000.0
+    val bRate = s1.count(_ % 2 == 1) / 1000.0
+    assert(aRate > 0.4 && aRate < 0.6)      // ~0.5 stratum
+    assert(bRate > 0.05 && bRate < 0.16)    // ~0.1 stratum
+    val uniform = ops.Sampling.hashSample(df, "id", 0.25).count() / 2000.0
+    assert(uniform > 0.2 && uniform < 0.3)
+  }
+
   test("cosineKnn ranks by cosine, excludes self, breaks ties by id") {
     val df = Seq(
       (0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
