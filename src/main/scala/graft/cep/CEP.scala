@@ -153,14 +153,18 @@ object CEP {
       }
   }
 
-  /** Streaming detection; requires an upstream watermark on `ts` when
-    * `emitTimeouts` (expiry driven by GroupStateTimeout.EventTimeTimeout).
+  /** Streaming detection; patterns carrying `within` require an
+    * upstream watermark on `ts` — the event-time timeout both emits
+    * timed-out runs (when `emitTimeouts`) and prunes dead runs on idle
+    * keys, so state is bounded by keys with live runs, not by every key
+    * ever seen (an idle key's pending runs would otherwise outlive
+    * their deadline forever; cf. ADVICE r1 on StatefulOps).
     */
   def detectStream(ds: Dataset[CepEvent], pattern: Pattern,
                    emitTimeouts: Boolean = false): Dataset[PatternMatch] = {
     import ds.sparkSession.implicits._
     val timeoutConf =
-      if (emitTimeouts && pattern.withinMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      if (pattern.withinMs.isDefined) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[CepState, PatternMatch](OutputMode.Append, timeoutConf) {

@@ -138,7 +138,8 @@ object StreamingDemo {
       .begin("first", _.eventType == "error")
       .next("second", _.eventType == "error")
       .within("2 hours")
-    val q6 = graft.cep.CEP.detectStream(cepEvents(stream()), pattern)
+    val q6 = graft.cep.CEP.detectStream(
+      cepEvents(stream()).withWatermark("ts", "0 seconds"), pattern)
       .writeStream.outputMode("append").format("memory").queryName("cep").start()
     q6.processAllAvailable(); q6.stop()
     val cepStream = spark.table("cep").count()

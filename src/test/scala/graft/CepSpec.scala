@@ -61,7 +61,8 @@ class CepSpec extends AnyFunSuite {
       ev("u2", 10, "fail", 3), ev("u2", 11, "success", 4), ev("u2", 12, "fail", 5),
       ev("u1", 12, "fail", 6))
     val input = MemoryStream[CepEvent]
-    val q = CEP.detectStream(input.toDS(), loginFail)
+    val q = CEP.detectStream(
+        input.toDS().withWatermark("ts", "0 seconds").as[CepEvent], loginFail)
       .writeStream.outputMode("append").format("memory").queryName("cep1").start()
     events.grouped(2).foreach { batch => input.addData(batch: _*); q.processAllAvailable() }
     val streamed = spark.table("cep1").as[PatternMatch].collect()
