@@ -290,6 +290,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(first === 2L && last === 3L) // running per-batch emission
   }
 
+  test("interval join runs stream-stream: inner matches within the time range") {
+    val lIn = MemoryStream[KeyedEvent]
+    val rIn = MemoryStream[KeyedEvent]
+    val pays = lIn.toDF().select($"key", $"id".as("pay_id"), $"ts".as("pay_ts"))
+      .withWatermark("pay_ts", "0 seconds")
+    val receipts = rIn.toDF().select($"key".as("r_key"), $"id".as("receipt_id"),
+        $"ts".as("receipt_ts"))
+      .withWatermark("receipt_ts", "0 seconds")
+    val out = graft.ops.StreamMatch.intervalJoin(pays, receipts, "key",
+      "pay_ts", "receipt_ts", "5 SECONDS", "5 SECONDS")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("ivj").start()
+    lIn.addData(KeyedEvent(1, ts(1000), "pay", 10), KeyedEvent(2, ts(1000), "pay", 11))
+    rIn.addData(KeyedEvent(1, ts(1003), "receipt", 20),  // within +5s
+      KeyedEvent(2, ts(1060), "receipt", 21))            // 60s later: no match
+    q.processAllAvailable()
+    lIn.addData(KeyedEvent(90, ts(100000), "pay", 30))   // advance watermarks
+    rIn.addData(KeyedEvent(91, ts(100000), "receipt", 31))
+    q.processAllAvailable()
+    val pairs = spark.table("ivj").select("pay_id", "receipt_id")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(pairs === Set((10L, 20L)))
+  }
+
   test("reconcileStreams: matched plus both unmatched sides after watermark close") {
     val lIn = MemoryStream[KeyedEvent]
     val rIn = MemoryStream[KeyedEvent]
