@@ -457,6 +457,17 @@ object SparkEntry {
       Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("byte_len"), col("checksum"))),
 
+    // multimodal frame sampling: every 2nd 16-byte frame per payload via
+    // the partition-parallel generator (real flatMap plumbing + md5
+    // checksums; byte chunking stubs the codec's frame boundaries)
+    "q48_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.frameSample(
+        Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
+          .as[MediaRecord],
+        frameBytes = 16, stride = 2).toDF()
+    }),
+
     // IVF-style coarse quantization: nearest deterministic centroid per
     // vector (the k-means-free stand-in for IVF ANN candidate blocking)
     "q33_ivf_assign" -> ((s, dir) =>
@@ -687,6 +698,15 @@ object SparkEntry {
     "q30_multimodal_features" ->
       """SELECT doc_id, strlen(text)::BIGINT AS byte_len, md5(text) AS checksum
         |FROM documents""".stripMargin,
+
+    "q48_frame_sample" ->
+      """SELECT doc_id, i AS frame_idx,
+        |       strlen(substr(text, i*16 + 1, 16))::BIGINT AS frame_len,
+        |       md5(substr(text, i*16 + 1, 16)) AS frame_checksum
+        |FROM (SELECT doc_id, text,
+        |             unnest(generate_series(0, (strlen(text) - 1) // 16)) AS i
+        |      FROM documents WHERE strlen(text) > 0)
+        |WHERE i % 2 = 0""".stripMargin,
 
     "q39_returned_items" ->
       """SELECT c_custkey, c_name, c_mktsegment,

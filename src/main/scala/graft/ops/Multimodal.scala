@@ -11,6 +11,10 @@ case class MediaRecord(doc_id: Long, modality: String, content: Array[Byte],
 case class MediaFeatures(doc_id: Long, byte_len: Long, content_sig: Long,
                          width: Int, height: Int)
 
+/** One sampled frame of a media payload. */
+case class MediaFrame(doc_id: Long, frame_idx: Long, frame_len: Long,
+                      frame_checksum: String)
+
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed partition-parallel.
   *
@@ -52,6 +56,56 @@ object Multimodal {
         val len = r.content.length
         MediaFeatures(r.doc_id, len.toLong, sig,
           64 + (len % 64), 64 + (len % 48)) // fakeDecode: stub dimensions
+      }
+    }
+  }
+
+  /** Frame sampling: one output row per `stride`-th fixed-size chunk of
+    * the payload (a video's every-Nth-frame extraction). The generator
+    * shape is the real plumbing — a partition-parallel flatMap fanning
+    * each record out to its frames, per-partition digest instance, no
+    * collect, output rows carry (frame_idx, len, checksum) metadata.
+    * Chunking bytes stands in for the codec's frame boundaries (STUB —
+    * same swap point as decodeFeaturesStub); the checksums are real md5
+    * so the step is oracle-checkable end-to-end.
+    */
+  def frameSample(ds: Dataset[MediaRecord], frameBytes: Int,
+                  stride: Int): Dataset[MediaFrame] = {
+    import ds.sparkSession.implicits._
+    require(frameBytes > 0 && stride > 0)
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        r.content.grouped(frameBytes).zipWithIndex.collect {
+          case (chunk, idx) if idx % stride == 0 =>
+            md.reset()
+            val hex = md.digest(chunk).map("%02x".format(_)).mkString
+            MediaFrame(r.doc_id, idx.toLong, chunk.length.toLong, hex)
+        }
+      }
+    }
+  }
+
+  /** Batched resize stub: rows are processed in `batchSize` groups —
+    * the Scala analog of mapInPandas/Arrow batches, where a real
+    * implementation would hand one contiguous batch to a vectorized
+    * codec. The stub "resize" truncates or zero-pads the payload to
+    * `targetBytes` deterministically; schema and batch shape are the
+    * real contract.
+    */
+  def resizeStub(ds: Dataset[MediaRecord], targetBytes: Int,
+                 batchSize: Int = 64): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.grouped(batchSize).flatMap { batch =>
+        // a vectorized decoder would process `batch` in one call
+        batch.map { r =>
+          val resized = java.util.Arrays.copyOf(r.content, targetBytes)
+          md.reset()
+          val hex = md.digest(resized).map("%02x".format(_)).mkString
+          MediaRecord(r.doc_id, r.modality, resized, targetBytes.toLong, hex)
+        }
       }
     }
   }

@@ -76,6 +76,21 @@ class MiningSpec extends AnyFunSuite {
     assert(out === Set((1L, 2L, math.round(35.0 / 55.0 * 1e6) / 1e6)))
   }
 
+  test("frameSample emits every stride-th chunk; resizeStub pads/truncates in batches") {
+    import graft.ops.{MediaRecord, Multimodal}
+    val recs = Seq(
+      MediaRecord(1L, "video", "abcdefghij".getBytes, 10L, ""),  // 4 frames of 3
+      MediaRecord(2L, "video", "xy".getBytes, 2L, ""))           // 1 frame
+      .toDS()
+    val frames = Multimodal.frameSample(recs, frameBytes = 3, stride = 2)
+      .collect().map(f => (f.doc_id, f.frame_idx, f.frame_len)).toSet
+    assert(frames === Set((1L, 0L, 3L), (1L, 2L, 3L), (2L, 0L, 2L)))
+    val resized = Multimodal.resizeStub(recs, targetBytes = 4, batchSize = 1).collect()
+    assert(resized.forall(_.content.length === 4))
+    assert(new String(resized.find(_.doc_id == 1L).get.content) === "abcd")
+    assert(resized.find(_.doc_id == 2L).get.content.drop(2).forall(_ == 0))
+  }
+
   test("hash sampling is deterministic, stratified, and partitioning-independent") {
     val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("id", "src")
