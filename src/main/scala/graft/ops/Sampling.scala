@@ -47,4 +47,32 @@ object Sampling {
     }
     df.filter(keep(df, idCol, frac))
   }
+
+  /** Deterministic corpus mixture: subsample each stratum so the kept
+    * rows realize `weights` as proportions, keeping as much data as
+    * possible — the binding stratum (smallest count/share ratio) is
+    * kept whole and every other stratum is hash-sampled down to match.
+    * Strata without a weight are dropped. The only driver-side data is
+    * the per-stratum count map (dimension-sized aggregate, standard for
+    * mixture planning); membership remains a pure hash filter, so the
+    * mixture is reproducible and layout-independent like the samplers
+    * above. The classic pre-training data-mixing step (e.g. weighting
+    * web/books/code sources).
+    */
+  def mixture(df: DataFrame, idCol: String, strataCol: String,
+              weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0))
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val totalW = weights.values.sum
+    val shares = weights.map { case (s, w) => s -> w / totalW }
+    val present = shares.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    require(present.nonEmpty, "no weighted stratum present in the data")
+    // largest achievable mixture size: the binding stratum runs out first
+    val scale = present.map { case (s, share) => counts(s) / share }.min
+    val fractions = present.map { case (s, share) =>
+      s -> math.min(1.0, share * scale / counts(s))
+    }
+    stratifiedHashSample(df, idCol, strataCol, fractions, defaultFraction = 0.0)
+  }
 }

@@ -107,6 +107,18 @@ class MiningSpec extends AnyFunSuite {
     assert(uniform > 0.2 && uniform < 0.3)
   }
 
+  test("mixture realizes target proportions, keeps the binding stratum whole") {
+    val df = ((1L to 1000L).map(i => (i, "web")) ++
+      (1001L to 2000L).map(i => (i, "code")) ++
+      (2001L to 2100L).map(i => (i, "junk")))          // unweighted: dropped
+      .toDF("id", "src")
+    val kept = ops.Sampling.mixture(df, "id", "src", Map("web" -> 3.0, "code" -> 1.0))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(!kept.contains("junk"))
+    assert(kept("web") === 1000L)                      // binding stratum kept whole
+    assert(kept("code") > 250 && kept("code") < 420)   // ~333 for a 3:1 mix
+  }
+
   test("cosineKnn ranks by cosine, excludes self, breaks ties by id") {
     val df = Seq(
       (0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
