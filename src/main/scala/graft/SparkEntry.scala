@@ -392,6 +392,69 @@ object SparkEntry {
         .agg(count(lit(1)).as("order_count"))
     }),
 
+    // TPC-H Q7 shape: cross-border trade volume between customer and
+    // supplier nations (6-way join, nation broadcast twice under two
+    // aliases, dimension-pair grouping)
+    "q49_nation_trade_pairs" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val cn = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      val sn = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .filter(col("cust_nation") =!= col("supp_nation"))
+        .groupBy(col("cust_nation"), col("supp_nation"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,10)")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // TPC-H Q18 shape: large-quantity orders — lineitem pre-aggregated
+    // by order BEFORE the joins (map-side size reduction; the
+    // join-then-aggregate formulation would carry every line through
+    // both joins), exact-decimal HAVING, TakeOrdered top-100
+    "q50_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(28,10)")).as("dq"))
+        .filter(col("dq") > 300)
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"),
+          unix_timestamp(col("o_orderdate")).as("o_orderdate"),
+          round(col("dq"), 2).cast("double").as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    // Exact interpolated percentiles per priority class (sort-based
+    // aggregate per dimension-sized group; DuckDB quantile_cont is the
+    // same linear interpolation)
+    "q51_price_percentiles" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(percentile(col("o_totalprice"), lit(0.25)), 2).as("p25"),
+          round(percentile(col("o_totalprice"), lit(0.5)), 2).as("p50"),
+          round(percentile(col("o_totalprice"), lit(0.75)), 2).as("p75"),
+          count(lit(1)).as("cnt"))),
+
+    // Explicit GROUPING SETS through the SQL front end: each dimension
+    // aggregated independently in one pass over the data
+    "q52_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
+              |FROM lineitem_v
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+    }),
+
     // TPC-H Q12 shape: per ship-month high/low-priority line counts
     // (join + conditional aggregation)
     "q45_ship_month_priority_mix" -> ((s, dir) => {
@@ -817,6 +880,43 @@ object SparkEntry {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
         |GROUP BY 1""".stripMargin,
+
+    "q49_nation_trade_pairs" ->
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        |       round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2)::DOUBLE AS revenue,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE cn.n_name <> sn.n_name
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q50_large_orders" ->
+      """SELECT o_orderkey, c_custkey,
+        |       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate,
+        |       round(sum(CAST(l_quantity AS DECIMAL(28,10))), 2)::DOUBLE AS total_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2, 3
+        |HAVING sum(CAST(l_quantity AS DECIMAL(28,10))) > 300
+        |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q51_price_percentiles" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        |       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q52_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
 
     "q45_ship_month_priority_mix" ->
       """SELECT CAST(floor(epoch(date_trunc('month', l_shipdate))) AS BIGINT) AS ship_month,
