@@ -242,6 +242,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("session windows run streaming: gap-merged sessions close at the watermark") {
+    val input = MemoryStream[KeyedEvent]
+    val sessions = input.toDF().withWatermark("ts", "0 seconds")
+      .groupBy(session_window($"ts", "30 seconds"), $"key")
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp($"session_window.start").as("start"), $"key", $"cnt")
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess").start()
+    input.addData(KeyedEvent(1, ts(100), "view", 1), KeyedEvent(1, ts(120), "view", 2))
+    q.processAllAvailable()
+    input.addData(KeyedEvent(1, ts(130), "view", 3),  // merges into the open session
+      KeyedEvent(1, ts(500), "view", 4))              // new session, gap > 30s
+    q.processAllAvailable()
+    input.addData(KeyedEvent(9, ts(10000), "view", 5)) // watermark closes everything
+    q.processAllAvailable()
+    input.addData(KeyedEvent(9, ts(20000), "view", 6))
+    q.processAllAvailable()
+    val rows = spark.table("sess").filter($"key" === 1)
+      .select("start", "cnt").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(rows === Set((100L, 3L), (500L, 1L))) // cross-batch merge, gap split
+  }
+
   test("streaming exact dedup within watermark") {
     val input = MemoryStream[KeyedEvent]
     val q = input.toDS().withWatermark("ts", "10 seconds")
