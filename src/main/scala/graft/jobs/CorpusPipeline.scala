@@ -1,0 +1,87 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Sampling, TextAnalysis}
+
+/** The training-data pipeline end-to-end: one composable flow over the
+  * documents table chaining the engine's corpus operators —
+  *
+  *   1. deterministic sample      (Sampling.hashSample — reproducible cut)
+  *   2. exact dedup               (Dedup.exactGroups keeps min doc per md5)
+  *   3. near-dup dedup            (MinHash LSH candidates → drop the
+  *                                 higher id of each colliding pair)
+  *   4. quality filter            (TextAnalysis.qualityScore >= threshold)
+  *   5. mixture weighting         (Sampling.mixture to target source mix)
+  *
+  * Every stage is a DataFrame → DataFrame transform: the whole pipeline
+  * is one lazy plan per stage boundary, nothing is collected except the
+  * dimension-sized mixture counts, and every membership decision is
+  * hash-deterministic — the same corpus comes out on every run at any
+  * parallelism. At 100 TB each stage is shuffle-bounded exactly like
+  * its underlying operator (see the ops' scaladoc).
+  */
+object CorpusPipeline {
+
+  /** Returns the surviving corpus plus per-stage row counts. */
+  def run(docs: DataFrame, sampleFraction: Double = 1.0,
+          qualityThreshold: Double = 0.4,
+          mixture: Map[String, Double] = Map.empty): (DataFrame, Seq[(String, Long)]) = {
+    val counts = Seq.newBuilder[(String, Long)]
+    counts += "input" -> docs.count()
+
+    val sampled =
+      if (sampleFraction >= 1.0) docs
+      else Sampling.hashSample(docs, "doc_id", sampleFraction)
+    counts += "sampled" -> sampled.count()
+
+    // exact dedup: drop every doc whose md5 group keeps a smaller id
+    val exactKept = sampled.withColumn("text_hash", md5(col("text")))
+      .join(Dedup.exactGroups(sampled, "doc_id", "text")
+          .select(col("text_hash"), col("keep_id")),
+        Seq("text_hash"), "left")
+      .filter(col("keep_id").isNull || col("doc_id") === col("keep_id"))
+      .drop("text_hash", "keep_id")
+    counts += "exact_dedup" -> exactKept.count()
+
+    // near-dup dedup: LSH band collisions; drop the higher id per pair
+    val losers = Dedup.lshCandidates(
+        Dedup.minhashBands(exactKept, "doc_id", "text"))
+      .select(col("doc_b").as("loser_id")).distinct()
+    val nearKept = exactKept.join(losers,
+      col("doc_id") === col("loser_id"), "left_anti")
+    counts += "near_dedup" -> nearKept.count()
+
+    val quality = TextAnalysis.qualityScore(nearKept, "doc_id", "text")
+      .filter(col("quality") >= qualityThreshold)
+      .select(col("doc_id").as("q_id"))
+    val qualityKept = nearKept.join(quality,
+      col("doc_id") === col("q_id"), "left_semi")
+    counts += "quality" -> qualityKept.count()
+
+    val mixed =
+      if (mixture.isEmpty) qualityKept
+      else Sampling.mixture(qualityKept, "doc_id", "source", mixture)
+    counts += "mixed" -> mixed.count()
+
+    (mixed, counts.result())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (_, counts) = run(graft.Tables.documents(spark, dir),
+      sampleFraction = 0.8,
+      mixture = Map("src0" -> 2.0, "src1" -> 1.0, "src2" -> 1.0))
+    counts.foreach { case (stage, n) => println(s"$stage: $n") }
+    spark.stop()
+  }
+}

@@ -119,6 +119,32 @@ class MiningSpec extends AnyFunSuite {
     assert(kept("code") > 250 && kept("code") < 420)   // ~333 for a 3:1 mix
   }
 
+  test("CorpusPipeline chains sample → dedup → quality → mixture deterministically") {
+    val rnd = new scala.util.Random(3)
+    val words = Seq("the", "cat", "sat", "on", "a", "mat", "dog", "ran", "far", "and")
+    val rows = (1L to 300L).map { i =>
+      val text =
+        if (i % 50 == 0) "the cat sat on the mat"   // exact duplicates
+        else (1 to 20).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+      (i, text, s"src${i % 3}")
+    }
+    val df = rows.toDF("doc_id", "text", "source")
+    val (out1, counts1) = jobs.CorpusPipeline.run(df, sampleFraction = 0.9,
+      qualityThreshold = 0.2, mixture = Map("src0" -> 1.0, "src1" -> 1.0))
+    val (out2, counts2) = jobs.CorpusPipeline.run(df.repartition(7), sampleFraction = 0.9,
+      qualityThreshold = 0.2, mixture = Map("src0" -> 1.0, "src1" -> 1.0))
+    assert(counts1 === counts2)                      // layout-independent
+    assert(out1.select("doc_id").as[Long].collect().toSet ===
+      out2.select("doc_id").as[Long].collect().toSet)
+    val ns = counts1.map(_._2)
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a })  // monotone filtering
+    assert(out1.select("source").distinct().as[String].collect().toSet
+      .subsetOf(Set("src0", "src1")))                // unweighted stratum dropped
+    val dupIds = out1.filter($"text" === "the cat sat on the mat")
+      .select("doc_id").as[Long].collect()
+    assert(dupIds.length <= 1)                       // exact dups collapsed
+  }
+
   test("cosineKnn ranks by cosine, excludes self, breaks ties by id") {
     val df = Seq(
       (0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
