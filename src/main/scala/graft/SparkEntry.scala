@@ -522,7 +522,10 @@ object SparkEntry {
 
     // multimodal frame sampling: every 2nd 16-byte frame per payload via
     // the partition-parallel generator (real flatMap plumbing + md5
-    // checksums; byte chunking stubs the codec's frame boundaries)
+    // checksums; byte chunking stubs the codec's frame boundaries).
+    // The operator is byte-based (media payloads); the oracle's substr
+    // is character-based — equivalent here because the documents corpus
+    // is ASCII (DuckDB 1.0 cannot slice or md5 BLOBs)
     "q48_frame_sample" -> ((s, dir) => {
       import s.implicits._
       Multimodal.frameSample(
@@ -763,7 +766,9 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q48_frame_sample" ->
-      """SELECT doc_id, i AS frame_idx,
+      """-- char-based oracle for the byte-based operator: equal on this
+        |-- ASCII corpus (DuckDB cannot slice/md5 BLOBs)
+        |SELECT doc_id, i AS frame_idx,
         |       strlen(substr(text, i*16 + 1, 16))::BIGINT AS frame_len,
         |       md5(substr(text, i*16 + 1, 16)) AS frame_checksum
         |FROM (SELECT doc_id, text,

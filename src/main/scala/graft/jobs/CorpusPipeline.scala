@@ -15,16 +15,20 @@ import graft.ops.{Dedup, Sampling, TextAnalysis}
   *   4. quality filter            (TextAnalysis.qualityScore >= threshold)
   *   5. mixture weighting         (Sampling.mixture to target source mix)
   *
-  * Every stage is a DataFrame → DataFrame transform: the whole pipeline
-  * is one lazy plan per stage boundary, nothing is collected except the
-  * dimension-sized mixture counts, and every membership decision is
-  * hash-deterministic — the same corpus comes out on every run at any
-  * parallelism. At 100 TB each stage is shuffle-bounded exactly like
-  * its underlying operator (see the ops' scaladoc).
+  * Every stage is a DataFrame → DataFrame transform; every membership
+  * decision is hash-deterministic, so the same corpus comes out on
+  * every run at any parallelism. Each stage is persisted before its
+  * count so the per-stage metrics and downstream stages read the
+  * materialized result instead of replaying the whole upstream lineage
+  * per action (at 100 TB the persist becomes a checkpoint to durable
+  * storage — same structure). Only the dimension-sized mixture count
+  * map is collected to the driver.
   */
 object CorpusPipeline {
 
-  /** Returns the surviving corpus plus per-stage row counts. */
+  /** Returns the surviving corpus (persisted; caller unpersists when
+    * done) plus per-stage row counts.
+    */
   def run(docs: DataFrame, sampleFraction: Double = 1.0,
           qualityThreshold: Double = 0.4,
           mixture: Map[String, Double] = Map.empty): (DataFrame, Seq[(String, Long)]) = {
@@ -32,8 +36,8 @@ object CorpusPipeline {
     counts += "input" -> docs.count()
 
     val sampled =
-      if (sampleFraction >= 1.0) docs
-      else Sampling.hashSample(docs, "doc_id", sampleFraction)
+      (if (sampleFraction >= 1.0) docs
+       else Sampling.hashSample(docs, "doc_id", sampleFraction)).cache()
     counts += "sampled" -> sampled.count()
 
     // exact dedup: drop every doc whose md5 group keeps a smaller id
@@ -43,6 +47,7 @@ object CorpusPipeline {
         Seq("text_hash"), "left")
       .filter(col("keep_id").isNull || col("doc_id") === col("keep_id"))
       .drop("text_hash", "keep_id")
+      .cache()
     counts += "exact_dedup" -> exactKept.count()
 
     // near-dup dedup: LSH band collisions; drop the higher id per pair
@@ -50,21 +55,27 @@ object CorpusPipeline {
         Dedup.minhashBands(exactKept, "doc_id", "text"))
       .select(col("doc_b").as("loser_id")).distinct()
     val nearKept = exactKept.join(losers,
-      col("doc_id") === col("loser_id"), "left_anti")
+        col("doc_id") === col("loser_id"), "left_anti")
+      .cache()
     counts += "near_dedup" -> nearKept.count()
 
     val quality = TextAnalysis.qualityScore(nearKept, "doc_id", "text")
       .filter(col("quality") >= qualityThreshold)
       .select(col("doc_id").as("q_id"))
     val qualityKept = nearKept.join(quality,
-      col("doc_id") === col("q_id"), "left_semi")
+        col("doc_id") === col("q_id"), "left_semi")
+      .cache()
     counts += "quality" -> qualityKept.count()
 
     val mixed =
-      if (mixture.isEmpty) qualityKept
-      else Sampling.mixture(qualityKept, "doc_id", "source", mixture)
+      (if (mixture.isEmpty) qualityKept
+       else Sampling.mixture(qualityKept, "doc_id", "source", mixture)).cache()
     counts += "mixed" -> mixed.count()
 
+    sampled.unpersist()
+    exactKept.unpersist()
+    nearKept.unpersist()
+    qualityKept.unpersist()
     (mixed, counts.result())
   }
 

@@ -130,8 +130,11 @@ object Dedup {
     * rounded to 6 digits. threshold must be > 0 (zero-overlap pairs are
     * never emitted).
     *
-    * Adaptive physical strategy, chosen from a cheap vocabulary probe
-    * (one column-pruned pass that stops counting at 65 distinct words):
+    * Adaptive physical strategy, chosen from a vocabulary probe — one
+    * extra explode + distinct-aggregation pass over the corpus (the
+    * limit(65) caps the result, not the scan). Callers that know their
+    * corpus is real text should pass `probeVocab = false` to skip the
+    * probe and go straight to the inverted index:
     *
     *  - vocab <= 64 (tag-like / categorical sets): encode each word set
     *    as one 64-bit mask (explode → broadcast-dict join → bit_or), then
@@ -151,10 +154,14 @@ object Dedup {
     * differ by more than the threshold ratio never survive.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   groupCol: String, threshold: Double): DataFrame = {
+                   groupCol: String, threshold: Double,
+                   probeVocab: Boolean = true): DataFrame = {
     require(threshold > 0, "threshold must be > 0 (jaccard-0 pairs are not emitted)")
     val docs = df.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
       array_distinct(split(col(textCol), " ")).as("ws"))
+    if (!probeVocab) return jaccardPairsInverted(docs, threshold)
+    // the probe must cover the FULL corpus: the bitmask dictionary drops
+    // unknown words, so a sampled probe would silently corrupt results
     val vocabProbe = docs.select(explode(col("ws")).as("w"))
       .distinct().limit(65).collect().map(_.getString(0))
     if (vocabProbe.length <= 64) jaccardPairsBitmask(docs, vocabProbe, threshold)

@@ -69,9 +69,13 @@ object Sampling {
     val present = shares.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
     require(present.nonEmpty, "no weighted stratum present in the data")
     // largest achievable mixture size: the binding stratum runs out first
-    val scale = present.map { case (s, share) => counts(s) / share }.min
+    val binding = present.minBy { case (s, share) => counts(s) / share }._1
+    val scale = counts(binding) / present(binding)
     val fractions = present.map { case (s, share) =>
-      s -> math.min(1.0, share * scale / counts(s))
+      // exactly 1.0 for the binding stratum: share*scale/count can land
+      // at 0.999... in double arithmetic and floor() would then drop the
+      // last hash bucket of a stratum documented as kept whole
+      s -> (if (s == binding) 1.0 else math.min(1.0, share * scale / counts(s)))
     }
     stratifiedHashSample(df, idCol, strataCol, fractions, defaultFraction = 0.0)
   }

@@ -88,17 +88,23 @@ object Similarity {
     * component per row, which costs planes*dim interpreted md5 calls
     * per vector.
     *
-    * `dim` defaults to the embedding length of the first row (one
-    * column-pruned peek). A mismatching row would otherwise corrupt the
-    * bucket silently — zip_with null-pads the shorter side, turning the
-    * whole dot product null and the bit 0 — so every row is guarded with
-    * raise_error instead (ADVICE r1: silent cross-engine divergence).
+    * `dim` defaults to the embedding length of an arbitrary row (one
+    * column-pruned peek; empty input gives an empty result). A
+    * mismatching row would otherwise corrupt the bucket silently —
+    * zip_with null-pads the shorter side, turning the whole dot product
+    * null and the bit 0 — so every row is guarded with raise_error
+    * instead (ADVICE r1): mixed-length corpora always fail loudly,
+    * whichever row seeded the derivation.
     */
   def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
                  planes: Int = 8, dim: Int = -1): DataFrame = {
     val d =
       if (dim > 0) dim
-      else emb.select(size(col(vecCol))).head().getInt(0)
+      else emb.select(size(col(vecCol))).head(1) match {
+        case Array(r) => r.getInt(0)
+        case _ =>            // empty input: empty output, same schema
+          return emb.select(col(idCol).as("vec_id"), lit(0L).as("bucket")).limit(0)
+      }
     val md = java.security.MessageDigest.getInstance("MD5")
     def md5Long60(s: String): Long = {
       val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -77,16 +77,22 @@ object StreamMatch {
                leftTs: String, rightTs: String,
                rightCols: Seq[String]): DataFrame = {
     val carried = rightCols :+ s"asof_$rightTs"
-    val lSide = left.withColumn("_sort_ts", col(leftTs)).withColumn("_side", lit(1))
-    val lTagged = carried.foldLeft(lSide)((df, c) => df.withColumn(c, lit(null)))
+    val lTagged = left.withColumn("_sort_ts", col(leftTs))
+      .withColumn("_side", lit(1))
+      .withColumn("_carried", lit(null))
+    // all carried attributes travel in ONE struct, so the window fill
+    // below always takes them from the same right row — per-column
+    // last(ignoreNulls) would mix rows whenever a carried value is null
+    // (an older row's value with a newer row's timestamp)
     val rTagged = right
       .withColumn(s"asof_$rightTs", col(rightTs))
       .withColumn("_sort_ts", col(rightTs)).withColumn("_side", lit(0))
+      .withColumn("_carried", struct(carried.map(col): _*))
     val unioned = lTagged.select(
-      (Seq(keyCol, "_sort_ts", "_side") ++ left.columns.filterNot(_ == keyCol)
-        ++ carried).distinct.map(col): _*)
+      (Seq(keyCol, "_sort_ts", "_side", "_carried")
+        ++ left.columns.filterNot(_ == keyCol)).distinct.map(col): _*)
       .unionByName(rTagged.select(
-        (Seq(keyCol, "_sort_ts", "_side") ++ carried).distinct.map(col): _*),
+        Seq(keyCol, "_sort_ts", "_side", "_carried").map(col): _*),
         allowMissingColumns = true)
     import org.apache.spark.sql.expressions.Window
     // right rows (_side 0) sort before left rows at equal ts, so an
@@ -94,9 +100,11 @@ object StreamMatch {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("_sort_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = carried.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_side") === 1).drop("_sort_ts", "_side")
+    val filled = unioned.withColumn("_carried",
+      last(col("_carried"), ignoreNulls = true).over(w))
+    carried.foldLeft(filled.filter(col("_side") === 1)) { (df, c) =>
+        df.withColumn(c, col(s"_carried.$c"))
+      }
+      .drop("_sort_ts", "_side", "_carried")
   }
 }

@@ -102,6 +102,9 @@ case class AsofJoinExec(
       val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(tsType))
       val nullCarried = new GenericInternalRow(nCarried)
       val joined = new JoinedRow
+      // the exec contract: emitted rows must be UnsafeRows (downstream
+      // serializers/collect cast to UnsafeRow directly)
+      val outProj = UnsafeProjection.create(output, output)
 
       new Iterator[InternalRow] {
         private var rPending: InternalRow = _          // fetched, not yet consumed
@@ -133,7 +136,7 @@ case class AsofJoinExec(
               } else advance = false                   // ahead in time: keep
             } else advance = false                     // ahead in key: keep
           }
-          joined(l, if (carriedRow != null) carriedRow else nullCarried)
+          outProj(joined(l, if (carriedRow != null) carriedRow else nullCarried))
         }
       }
     }
@@ -172,13 +175,23 @@ object AsofJoin {
           s"asof join: no column '$name' in [${plan.output.map(_.name).mkString(", ")}]"))
     val carried = rightCols.map(attrOf(rPlan, _))
     val rTs = attrOf(rPlan, rightTs)
+    val (lKey, lTs) = (attrOf(lPlan, keyCol), attrOf(lPlan, leftTs))
+    // the exec compares raw projected rows and hash-partitions each side
+    // independently — mismatched types would silently mis-pair keys, so
+    // insert-a-cast-upstream is the caller's job and we fail loudly here
+    require(lKey.dataType == attrOf(rPlan, keyCol).dataType,
+      s"asof join: key '$keyCol' types differ: ${lKey.dataType.catalogString}" +
+        s" vs ${attrOf(rPlan, keyCol).dataType.catalogString}")
+    require(lTs.dataType == rTs.dataType,
+      s"asof join: timestamp types differ: ${lTs.dataType.catalogString}" +
+        s" vs ${rTs.dataType.catalogString}")
     // fresh expr-ids for the appended columns (they are new, nullable
     // outputs of this operator, not pass-throughs of right's attributes)
     val asofOut = (carried :+ rTs.withName(s"asof_$rightTs")).map(a =>
       AttributeReference(a.name, a.dataType, nullable = true)())
     org.apache.spark.sql.graft.ClassicBridge.ofRows(spark,
       AsofJoinNode(lPlan, rPlan,
-        Seq(attrOf(lPlan, keyCol)), Seq(attrOf(rPlan, keyCol)),
-        attrOf(lPlan, leftTs), rTs, carried, asofOut))
+        Seq(lKey), Seq(attrOf(rPlan, keyCol)),
+        lTs, rTs, carried, asofOut))
   }
 }

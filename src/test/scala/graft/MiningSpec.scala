@@ -107,6 +107,17 @@ class MiningSpec extends AnyFunSuite {
     assert(uniform > 0.2 && uniform < 0.3)
   }
 
+  test("mixture keeps the binding stratum whole even when the share math lands on 0.999...") {
+    // share 5/7 with binding count 7: share*(count/share)/count computes
+    // to 0.9999999999999999 in doubles — the binding stratum must still
+    // keep all rows
+    val df = ((1L to 7L).map(i => (i, "a")) ++ (8L to 12L).map(i => (i, "b")))
+      .toDF("id", "src")
+    val kept = ops.Sampling.mixture(df, "id", "src", Map("a" -> 5.0, "b" -> 2.0))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(kept("a") === 7L)
+  }
+
   test("mixture realizes target proportions, keeps the binding stratum whole") {
     val df = ((1L to 1000L).map(i => (i, "web")) ++
       (1001L to 2000L).map(i => (i, "code")) ++

@@ -69,6 +69,40 @@ class PlansSpec extends AnyFunSuite {
     assert(out === Set((100L, Some(200L)), (101L, Some(201L)), (102L, None)))
   }
 
+  test("exec emits UnsafeRows: direct collect/show without a projection on top") {
+    val left = Seq((1L, ts(10), 100L), (2L, ts(4), 101L)).toDF("k", "lts", "id")
+    val right = Seq((1L, ts(8), "x")).toDF("k", "rts", "v")
+    // no .select(...) after the join — a ProjectExec must not be needed
+    // to satisfy the UnsafeRow contract
+    val rows = AsofJoin(left, right, "k", "lts", "rts", Seq("v")).collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getAs[Long]("id")).toSet === Set(100L, 101L))
+  }
+
+  test("null carried values stay paired with their own row (no cross-row mixing)") {
+    // right rows: older one carries "x", the LATEST one carries null —
+    // the as-of result must be (null value, newest ts), never "x" with
+    // the newest ts
+    val left = Seq((1L, ts(10), 100L)).toDF("k", "lts", "id")
+    val right = Seq((1L, ts(3), Some("x")), (1L, ts(5), Option.empty[String]))
+      .toDF("k", "rts", "v")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id", $"v", unix_timestamp($"asof_rts").as("at"))
+      .as[(Long, Option[String], Option[Long])].collect().toSet
+    val expected = Set((100L, None, Some(5L)))
+    assert(norm(AsofJoin(left, right, "k", "lts", "rts", Seq("v"))) === expected)
+    assert(norm(StreamMatch.asofJoin(left, right, "k", "lts", "rts", Seq("v"))) === expected)
+  }
+
+  test("mismatched key or timestamp types are rejected loudly") {
+    val left = Seq((1, ts(10), 100L)).toDF("k", "lts", "id")       // int key
+    val right = Seq((1L, ts(8), "x")).toDF("k", "rts", "v")        // long key
+    val ex = intercept[IllegalArgumentException] {
+      AsofJoin(left, right, "k", "lts", "rts", Seq("v"))
+    }
+    assert(ex.getMessage.contains("types differ"))
+  }
+
   test("physical plan uses AsofJoinExec with no WindowExec") {
     val left = Seq((1L, ts(10), 100L)).toDF("k", "lts", "id")
     val right = Seq((1L, ts(8), "x")).toDF("k", "rts", "v")
