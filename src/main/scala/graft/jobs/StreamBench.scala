@@ -1,0 +1,79 @@
+package graft.jobs
+
+import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.{KeyedEvent, StatefulOps}
+
+/** Streaming throughput bench against BASELINE.md's anchor: the
+  * reference's data feeder paces 1,000 events/s into Kafka
+  * (KafkaSenderFromLog.java:28) at parallelism 1 — i.e. ~1k events/s
+  * per core is the bar. This main streams the events table through the
+  * heaviest keyed-stateful operator (consecutiveFails: per-key
+  * flatMapGroupsWithState with event-time expiry) and a windowed
+  * aggregation, and reports sustained events/s.
+  *
+  * File-source micro-batches (maxFilesPerTrigger is 1 file here, so the
+  * rows are split by maxBytesPerTrigger into several batches) — wall
+  * time covers source -> parse -> shuffle -> state store -> sink.
+  */
+object StreamBench {
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val n = graft.Tables.events(spark, dir).count()
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sbench-")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .option("maxBytesPerTrigger", (16 * 1024 * 1024).toString)  // several micro-batches
+      .parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+    val fails = StatefulOps.consecutiveFails(
+      src.select($"user_id".as("key"), $"ts", $"event_type".as("eventType"),
+          $"event_id".as("id"))
+        .withWatermark("ts", "0 seconds").as[KeyedEvent],
+      "error", 2 * 3600 * 1000L)
+
+    val t0 = System.nanoTime()
+    val q1 = fails.writeStream.outputMode("append")
+      .format("noop").start()
+    q1.processAllAvailable(); q1.stop()
+    val statefulSec = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val q2 = graft.ops.WindowedAgg.slidingCount(
+        src.withWatermark("ts", "5 seconds"), "ts", "1 hour", "5 minutes",
+        Seq("event_type"))
+      .writeStream.outputMode("append").format("noop").start()
+    q2.processAllAvailable(); q2.stop()
+    val windowSec = (System.nanoTime() - t1) / 1e9
+
+    val perCore = (n / statefulSec / cpus.toInt).toLong
+    println(s"""{"metric":"stream_events_per_sec","value":${(n / statefulSec).toLong},""" +
+      s""""per_core":$perCore,"windowed_events_per_sec":${(n / windowSec).toLong},""" +
+      s""""events":$n,"stateful_sec":$statefulSec,"window_sec":$windowSec,"cores":$cpus}""")
+    spark.stop()
+  }
+}
