@@ -280,6 +280,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(n === 2) // one row per key
   }
 
+  test("checkpointed windowed agg resumes exactly-once across a restart") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ckpt-")
+    val (srcDir, outDir, ckptDir) =
+      (base.resolve("src"), base.resolve("out"), base.resolve("ckpt"))
+    java.nio.file.Files.createDirectory(srcDir)
+    def writeFile(name: String, rows: Seq[KeyedEvent]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(srcDir.toString)
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[KeyedEvent]].schema)
+        .parquet(srcDir.toString)
+      val agg = WindowedAgg.tumblingCount(
+        src.withWatermark("ts", "0 seconds"), "ts", "1 hour")
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", ckptDir.toString)
+        .format("parquet").option("path", outDir.toString).start()
+      q.processAllAvailable(); q.stop()
+    }
+    writeFile("f1", Seq(
+      KeyedEvent(1, ts(100), "view", 1), KeyedEvent(2, ts(200), "view", 2),
+      KeyedEvent(3, ts(3700), "view", 3)))
+    runOnce()                                   // first run, checkpoint written
+    writeFile("f2", Seq(
+      KeyedEvent(4, ts(3800), "view", 4),
+      KeyedEvent(9, ts(864000), "view", 5)))    // sentinel closes all real windows
+    runOnce()                                   // restart from the checkpoint
+    val streamed = spark.read.parquet(outDir.toString)
+      .select("window_start", "cnt").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // every closed window exactly once — no duplicates from the restart,
+    // no loss of pre-restart state (hour-0 window spans both...; hour-1
+    // window counts events from BOTH files: state carried across restart)
+    assert(streamed === Map((0L, 2L) -> 1, (3600L, 2L) -> 1))
+  }
+
   test("fanOutByTag routes one stream to per-tag sinks (side-output parity)") {
     val input = MemoryStream[KeyedEvent]
     val tagged = input.toDF().withColumn("tag",
