@@ -446,6 +446,24 @@ object SparkEntry {
           round(percentile(col("o_totalprice"), lit(0.75)), 2).as("p75"),
           count(lit(1)).as("cnt"))),
 
+    // The 100 TB companion to q51: approx_percentile (positive-indexed
+    // QuantileSummaries sketch — fixed memory, one pass, mergeable
+    // across partitions) where exact interpolated percentiles would
+    // need a per-group sort. Approximate → rows-only check, like the
+    // other sketches (q03/q32)
+    "q53_price_percentiles_approx" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          approx_percentile(col("o_totalprice"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("pcts"),
+          count(lit(1)).as("cnt"))
+        .select(col("o_orderpriority"),
+          round(element_at(col("pcts"), 1), 2).as("p25"),
+          round(element_at(col("pcts"), 2), 2).as("p50"),
+          round(element_at(col("pcts"), 3), 2).as("p75"),
+          col("cnt"))),
+
     // Explicit GROUPING SETS through the SQL front end: each dimension
     // aggregated independently in one pass over the data
     "q52_grouping_sets" -> ((s, dir) => {
