@@ -43,7 +43,7 @@ object Bench {
     // best-of-N: single-shot timings on a shared box see multi-second
     // GC/scheduler spikes; the minimum is the steady-state number the
     // baseline comparison wants
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
     val results = names.map { name =>
       val timings = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

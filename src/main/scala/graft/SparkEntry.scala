@@ -393,8 +393,10 @@ object SparkEntry {
     }),
 
     // TPC-H Q7 shape: cross-border trade volume between customer and
-    // supplier nations (6-way join, nation broadcast twice under two
-    // aliases, dimension-pair grouping)
+    // supplier nations (6-way join, the constant-size nation table
+    // broadcast twice under two aliases; supplier is SF-proportional so
+    // its join strategy is left to size-based planning / AQE,
+    // dimension-pair grouping)
     "q49_nation_trade_pairs" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
@@ -406,7 +408,7 @@ object SparkEntry {
         .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
         .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
         .filter(col("cust_nation") =!= col("supp_nation"))

@@ -159,6 +159,13 @@ object CEP {
     * keys, so state is bounded by keys with live runs, not by every key
     * ever seen (an idle key's pending runs would otherwise outlive
     * their deadline forever; cf. ADVICE r1 on StatefulOps).
+    *
+    * Consequence of event-time timeouts: Spark drops input rows older
+    * than the current watermark BEFORE they reach the NFA, so events
+    * arriving later than the configured watermark delay are not matched
+    * (batch detection has no such drop). Size the delay to the source's
+    * real out-of-orderness — a "0 seconds" watermark only matches batch
+    * output when arrival order is event-time order per micro-batch.
     */
   def detectStream(ds: Dataset[CepEvent], pattern: Pattern,
                    emitTimeouts: Boolean = false): Dataset[PatternMatch] = {

@@ -33,12 +33,17 @@ object CorpusPipeline {
           qualityThreshold: Double = 0.4,
           mixture: Map[String, Double] = Map.empty): (DataFrame, Seq[(String, Long)]) = {
     val counts = Seq.newBuilder[(String, Long)]
-    counts += "input" -> docs.count()
+    val sampling = sampleFraction < 1.0
+    // when nothing is sampled away the input IS the sampled stage —
+    // don't pay a second full scan just to print the same number twice
+    if (sampling) counts += "input" -> docs.count()
 
     val sampled =
-      (if (sampleFraction >= 1.0) docs
-       else Sampling.hashSample(docs, "doc_id", sampleFraction)).cache()
-    counts += "sampled" -> sampled.count()
+      (if (sampling) Sampling.hashSample(docs, "doc_id", sampleFraction)
+       else docs).cache()
+    val sampledN = sampled.count()
+    if (!sampling) counts += "input" -> sampledN
+    counts += "sampled" -> sampledN
 
     // exact dedup: drop every doc whose md5 group keeps a smaller id
     val exactKept = sampled.withColumn("text_hash", md5(col("text")))

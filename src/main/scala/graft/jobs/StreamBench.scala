@@ -38,22 +38,30 @@ object StreamBench {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // replicate the file REPLICAS times (symlinks) so per-query startup
-    // amortizes and the sustained rate dominates; event ids/keys repeat,
-    // which only makes the keyed state hotter — a worst case, not a cheat
+    // replicate the file REPLICAS times with each copy's timestamps
+    // shifted past the previous copy's end, so per-query startup
+    // amortizes while every row stays AHEAD of the watermark — naive
+    // same-timestamp replicas would be dropped as late before reaching
+    // the stateful operator and inflate the rate with unprocessed rows
     val replicas = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPLICAS", "10").toInt
-    val n = graft.Tables.events(spark, dir).count() * replicas
+    val raw = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+    }
+    val Array(minTs, maxTs) = raw.selectExpr("min(ts)", "max(ts)").head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val spanNanos = maxTs - minTs + 3600L * 1000 * 1000 * 1000
+    val n = raw.count() * replicas
 
     val streamDir = java.nio.file.Files.createTempDirectory("graft-sbench-")
     (0 until replicas).foreach { i =>
-      java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve(s"events-$i.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      raw.withColumn("ts", col("ts") + lit(i * spanNanos))
+        .write.parquet(streamDir.resolve(s"chunk-$i").toString)
     }
     val src = spark.readStream
       .schema(eventsSchema)
-      .option("maxBytesPerTrigger", (16 * 1024 * 1024).toString)  // several micro-batches
-      .parquet(streamDir.toString)
+      .option("maxFilesPerTrigger", "2")        // several ordered micro-batches
+      .parquet(streamDir.toString + "/chunk-*")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
     val fails = StatefulOps.consecutiveFails(

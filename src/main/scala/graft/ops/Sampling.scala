@@ -18,20 +18,31 @@ object Sampling {
 
   private val Granularity = 10000L
 
-  /** Membership expression: stable hash of `idCol` mod granularity
-    * compared against floor(fraction * granularity).
+  /** Membership expression: stable hash of (salt, `idCol`) mod
+    * granularity compared against floor(fraction * granularity).
+    *
+    * The salt decorrelates composed sampling stages: two unsalted
+    * filters over the same id are the SAME coin flip, so a downstream
+    * fraction f after an upstream g keeps min(f, g) of the original
+    * (f/g of the survivors) instead of f of the survivors. Stages that
+    * stack must use distinct salts.
     */
-  private def keep(df: DataFrame, idCol: String, fraction: Column): Column = {
+  private def keep(df: DataFrame, idCol: String, fraction: Column,
+                   salt: String): Column = {
     graft.functions.Md5Long60.ensureRegistered(df.sparkSession)
-    expr(s"md5_long60(CAST(CAST($idCol AS STRING) AS BINARY)) % $Granularity") <
+    val sLit = salt.replace("'", "''")
+    expr(s"md5_long60(CAST(CONCAT('$sLit', CAST($idCol AS STRING)) AS BINARY))" +
+        s" % $Granularity") <
       floor(fraction * Granularity)
   }
 
   /** Uniform deterministic sample: keeps ~`fraction` of rows, chosen by
-    * id hash (resolution 1/10000).
+    * id hash (resolution 1/10000). Pass a distinct `salt` when stacking
+    * multiple sampling stages on the same id.
     */
-  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
-    df.filter(keep(df, idCol, lit(fraction)))
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+                 salt: String = ""): DataFrame =
+    df.filter(keep(df, idCol, lit(fraction), salt))
 
   /** Stratified deterministic sample: per-stratum fractions with a
     * default for unlisted strata. The fraction lookup is a broadcast-free
@@ -40,12 +51,13 @@ object Sampling {
     */
   def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
                            fractions: Map[String, Double],
-                           defaultFraction: Double): DataFrame = {
+                           defaultFraction: Double,
+                           salt: String = ""): DataFrame = {
     val frac = fractions.foldLeft(lit(defaultFraction)) {
       case (elseCol, (value, f)) =>
         when(col(strataCol) === value, lit(f)).otherwise(elseCol)
     }
-    df.filter(keep(df, idCol, frac))
+    df.filter(keep(df, idCol, frac, salt))
   }
 
   /** Deterministic corpus mixture: subsample each stratum so the kept
@@ -63,7 +75,8 @@ object Sampling {
               weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0))
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+      .collect().flatMap(r =>                  // null strata carry no weight
+        Option(r.get(0)).map(_.toString -> r.getLong(1))).toMap
     val totalW = weights.values.sum
     val shares = weights.map { case (s, w) => s -> w / totalW }
     val present = shares.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
@@ -77,6 +90,10 @@ object Sampling {
       // last hash bucket of a stratum documented as kept whole
       s -> (if (s == binding) 1.0 else math.min(1.0, share * scale / counts(s)))
     }
-    stratifiedHashSample(df, idCol, strataCol, fractions, defaultFraction = 0.0)
+    // distinct salt: a mixture stacked on an upstream (unsalted) sample
+    // must draw an independent coin per row, or its fractions apply to
+    // the original ids rather than the survivors
+    stratifiedHashSample(df, idCol, strataCol, fractions,
+      defaultFraction = 0.0, salt = "mixture:")
   }
 }

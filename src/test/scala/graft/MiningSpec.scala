@@ -107,6 +107,19 @@ class MiningSpec extends AnyFunSuite {
     assert(uniform > 0.2 && uniform < 0.3)
   }
 
+  test("mixture after an upstream sample stays proportional (salted, decorrelated hash)") {
+    // an unsalted mixture on the survivors of hashSample(0.5) would be
+    // the SAME coin flip: every survivor has hash%10000 < 5000, so a
+    // 0.33 mixture fraction would keep 3333/5000 = 67% of them
+    val df = ((1L to 2000L).map(i => (i, "web")) ++ (2001L to 4000L).map(i => (i, "code")))
+      .toDF("id", "src")
+    val sampled = ops.Sampling.hashSample(df, "id", 0.5)
+    val kept = ops.Sampling.mixture(sampled, "id", "src", Map("web" -> 3.0, "code" -> 1.0))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    val ratio = kept("web").toDouble / kept("code")
+    assert(ratio > 2.2 && ratio < 4.0, s"mix ratio $ratio should be ~3")
+  }
+
   test("mixture keeps the binding stratum whole even when the share math lands on 0.999...") {
     // share 5/7 with binding count 7: share*(count/share)/count computes
     // to 0.9999999999999999 in doubles — the binding stratum must still
