@@ -466,6 +466,33 @@ object SparkEntry {
           round(element_at(col("pcts"), 3), 2).as("p75"),
           col("cnt"))),
 
+    // Set-operation surface (absent from the reference, SURVEY §2.10):
+    // customers holding BOTH open and finished orders (INTERSECT) and
+    // open-only customers (EXCEPT) — planned as semi/anti join shapes
+    "q54_set_ops" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      def custsWith(status: String) = o.filter(col("o_orderstatus") === status)
+        .select(col("o_custkey")).distinct()
+      val both = custsWith("O").intersect(custsWith("F"))
+        .select(col("o_custkey"), lit("open_and_finished").as("tag"))
+      val openOnly = custsWith("O").except(custsWith("F"))
+        .select(col("o_custkey"), lit("open_only").as("tag"))
+      both.unionByName(openOnly)
+    }),
+
+    // Pivot surface: order counts per priority pivoted on order status
+    // (RelationalGroupedDataset.pivot with explicit values — the
+    // two-pass value-discovery variant is the anti-pattern at scale)
+    "q55_pivot_status" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnRenamed("O", "open_cnt")
+        .withColumnRenamed("F", "finished_cnt")
+        .withColumnRenamed("P", "partial_cnt")),
+
     // Explicit GROUPING SETS through the SQL front end: each dimension
     // aggregated independently in one pass over the data
     "q52_grouping_sets" -> ((s, dir) => {
@@ -942,6 +969,24 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+
+    "q54_set_ops" ->
+      """SELECT o_custkey, 'open_and_finished' AS tag FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT o_custkey, 'open_only' AS tag FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
+
+    "q55_pivot_status" ->
+      """SELECT o_orderpriority,
+        |       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS open_cnt,
+        |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS finished_cnt,
+        |       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS partial_cnt
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q45_ship_month_priority_mix" ->
       """SELECT CAST(floor(epoch(date_trunc('month', l_shipdate))) AS BIGINT) AS ship_month,
