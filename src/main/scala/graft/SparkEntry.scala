@@ -502,6 +502,28 @@ object SparkEntry {
               |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
     }),
 
+    // TPC-H Q14 shape: promo-part revenue share per ship month — the
+    // part dimension joined in (size-based planning picks broadcast at
+    // small SF; it is SF-proportional, so no hint), conditional revenue
+    // split, ratio computed from the rounded totals so both engines
+    // divide identical doubles
+    "q56_promo_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(28,10)")
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(unix_timestamp(date_trunc("month", col("l_shipdate")))
+          .as("ship_month"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(28,10)"))), 2)
+            .cast("double").as("promo_rev"),
+          round(sum(rev), 2).cast("double").as("total_rev"))
+        .withColumn("promo_share",
+          round(col("promo_rev") / col("total_rev"), 6))
+    }),
+
     // TPC-H Q12 shape: per ship-month high/low-priority line counts
     // (join + conditional aggregation)
     "q45_ship_month_priority_mix" -> ((s, dir) => {
@@ -987,6 +1009,19 @@ object SparkEntry {
         |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS finished_cnt,
         |       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS partial_cnt
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q56_promo_revenue" ->
+      """WITH m AS (
+        |  SELECT CAST(floor(epoch(date_trunc('month', l_shipdate))) AS BIGINT) AS ship_month,
+        |         round(sum(CASE WHEN p_type = 'PROMO'
+        |                        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))
+        |                        ELSE CAST(0 AS DECIMAL(28,10)) END), 2)::DOUBLE AS promo_rev,
+        |         round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2)::DOUBLE AS total_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT ship_month, promo_rev, total_rev,
+        |       round(promo_rev / total_rev, 6) AS promo_share
+        |FROM m""".stripMargin,
 
     "q45_ship_month_priority_mix" ->
       """SELECT CAST(floor(epoch(date_trunc('month', l_shipdate))) AS BIGINT) AS ship_month,
