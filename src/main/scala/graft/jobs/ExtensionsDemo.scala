@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Proves the `spark.sql.extensions=graft.functions.GraftExtensions`
   * config path end-to-end on a fresh session: the native functions
-  * resolve from plain SQL with no manual registration, and the as-of
-  * join strategy is installed so `graft.plans.AsofJoin` plans the
-  * custom exec without the runtime-injection fallback.
+  * resolve from plain SQL with no manual registration, the as-of join
+  * strategy is installed by the extensions, and AsofJoin.apply's
+  * idempotent runtime registration detects it and adds nothing — the
+  * planner ends up with exactly one strategy instance.
   */
 object ExtensionsDemo {
   def main(args: Array[String]): Unit = {
@@ -38,7 +39,11 @@ object ExtensionsDemo {
     val out = graft.plans.AsofJoin(left, right, "k", "lts", "rts", Seq("v"))
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("AsofJoin"), plan)
-    println(s"asof strategy via extensions: ${out.collect().mkString(", ")}")
+    val installed = spark.sessionState.planner.strategies
+      .count(_.isInstanceOf[graft.plans.AsofJoinStrategy])
+    assert(installed == 1,
+      s"expected exactly one AsofJoinStrategy (extensions copy only), got $installed")
+    println(s"asof strategy via extensions (1 instance): ${out.collect().mkString(", ")}")
     spark.stop()
   }
 }

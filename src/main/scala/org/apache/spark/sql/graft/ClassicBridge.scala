@@ -19,11 +19,18 @@ object ClassicBridge {
 
   /** Idempotently add a planner strategy to a running session (the
     * config-time path is `spark.sql.extensions=graft.functions.
-    * GraftExtensions`, which injects the same strategy).
+    * GraftExtensions`, which injects the same strategy). Presence is
+    * checked against the planner's FULL strategy list — extensions-
+    * injected strategies live in extraPlanningStrategies, not
+    * experimental.extraStrategies, and a duplicate would make every
+    * matching node plan twice.
     */
   def ensureStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
-    val exp = spark.asInstanceOf[ClassicSparkSession].experimental
-    if (!exp.extraStrategies.exists(_.getClass == strategy.getClass))
-      exp.extraStrategies = exp.extraStrategies :+ strategy
+    val classic = spark.asInstanceOf[ClassicSparkSession]
+    val present = classic.sessionState.planner.strategies
+      .exists(_.getClass == strategy.getClass)
+    if (!present)
+      classic.experimental.extraStrategies =
+        classic.experimental.extraStrategies :+ strategy
   }
 }
