@@ -372,6 +372,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs === Set((10L, 20L)))
   }
 
+  test("streaming as-of join: latest right at-or-before each left, watermark-gated") {
+    // 10s out-of-orderness allowance: the right@9 below arrives AFTER
+    // an event at ts 10 — with a 0s watermark it would be (correctly)
+    // dropped as late
+    val input = MemoryStream[AsofEvent]
+    val q = AsofStream.asofJoinStream(
+        input.toDS().withWatermark("ts", "10 seconds").as[AsofEvent])
+      .writeStream.outputMode("append").format("memory").queryName("asof").start()
+    input.addData(
+      AsofEvent(1, ts(8), isLeft = false, 20),   // right @8
+      AsofEvent(1, ts(10), isLeft = true, 100))  // left @10 — not emittable yet
+    q.processAllAvailable()
+    assert(spark.table("asof").count() === 0)    // watermark still behind the left
+    input.addData(
+      AsofEvent(1, ts(9), isLeft = false, 21),   // later-arriving right @9 still wins
+      AsofEvent(2, ts(9), isLeft = true, 101))   // no right for key 2
+    q.processAllAvailable()
+    input.addData(AsofEvent(9, ts(10000), isLeft = false, 1)) // advance watermark
+    q.processAllAvailable()
+    input.addData(AsofEvent(9, ts(20000), isLeft = false, 2))
+    q.processAllAvailable()
+    val rows = spark.table("asof").as[AsofPair].collect().toSet
+    q.stop()
+    assert(rows === Set(
+      AsofPair(1, 100L, 10L, Some(21L), Some(9L)),  // right@9 beat right@8
+      AsofPair(2, 101L, 9L, None, None)))
+    // a NEW left after emission still matches the retained latest right
+    val input2 = MemoryStream[AsofEvent]
+    val q2 = AsofStream.asofJoinStream(
+        input2.toDS().withWatermark("ts", "10 seconds").as[AsofEvent])
+      .writeStream.outputMode("append").format("memory").queryName("asof2").start()
+    input2.addData(AsofEvent(1, ts(5), isLeft = false, 50))
+    q2.processAllAvailable()
+    input2.addData(AsofEvent(1, ts(600), isLeft = true, 200)) // right@5 kept across batches
+    q2.processAllAvailable()
+    input2.addData(AsofEvent(9, ts(10000), isLeft = false, 1))
+    q2.processAllAvailable()
+    input2.addData(AsofEvent(9, ts(20000), isLeft = false, 2))
+    q2.processAllAvailable()
+    val rows2 = spark.table("asof2").as[AsofPair].collect().toSet
+    q2.stop()
+    assert(rows2 === Set(AsofPair(1, 200L, 600L, Some(50L), Some(5L))))
+  }
+
   test("reconcileStreams: matched plus both unmatched sides after watermark close") {
     val lIn = MemoryStream[KeyedEvent]
     val rIn = MemoryStream[KeyedEvent]
