@@ -11,14 +11,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class AsofEvent(key: Long, ts: Timestamp, isLeft: Boolean, id: Long)
 
 /** One matched left row: the latest right id/ts at-or-before it (None
-  * when the key had no earlier right event).
+  * when the key had no earlier right event). Timestamps are epoch
+  * MILLISECONDS — full event-time resolution, so output joins back to
+  * the source and agrees with the batch as-of forms.
   */
-case class AsofPair(key: Long, leftId: Long, leftTs: Long,
-                    rightId: Option[Long], rightTs: Option[Long])
+case class AsofPair(key: Long, leftId: Long, leftTsMs: Long,
+                    rightId: Option[Long], rightTsMs: Option[Long])
 
 private[streaming] case class AsofState(
-    pendingLefts: List[(Long, Long)],          // (tsMs, id), unordered
-    rights: List[(Long, Long)])                // (tsMs, id), unordered
+    pendingLefts: List[(Long, Long)],          // (tsMs, id), kept sorted
+    rights: List[(Long, Long)])                // (tsMs, id), kept sorted
 
 /** Streaming as-of join — the third form of the operator (batch
   * composable: ops.StreamMatch.asofJoin; batch native:
@@ -35,7 +37,9 @@ private[streaming] case class AsofState(
   *    win for some future left: all rights after the watermark and the
   *    single latest right at-or-before it. Per-key state is O(pending
   *    lefts within the watermark delay + rights within the same bound) —
-  *    watermark-bounded like a stream-stream join's buffers;
+  *    watermark-bounded like a stream-stream join's buffers. Both lists
+  *    are maintained sorted: each batch sorts only its new events and
+  *    merges them in;
   *  - an event-time timer at the earliest pending left fires emission
   *    even when the key receives no further events.
   *
@@ -43,6 +47,22 @@ private[streaming] case class AsofState(
   * (<=); right rows should be unique per (key, ts).
   */
 object AsofStream {
+
+  /** Merge two (tsMs, id)-sorted lists. */
+  private def merge(a: List[(Long, Long)], b: List[(Long, Long)]): List[(Long, Long)] = {
+    val out = List.newBuilder[(Long, Long)]
+    var (x, y) = (a, b)
+    while (x.nonEmpty && y.nonEmpty) {
+      if (implicitly[Ordering[(Long, Long)]].lteq(x.head, y.head)) {
+        out += x.head; x = x.tail
+      } else { out += y.head; y = y.tail }
+    }
+    out ++= x; out ++= y
+    out.result()
+  }
+
+  private def saturatingAdd(a: Long, b: Long): Long =
+    if (b > Long.MaxValue - a) Long.MaxValue else a + b
 
   /** `rightRetentionMs` bounds how long the latest right row is kept
     * for a key that has no pending lefts: true as-of semantics would
@@ -61,26 +81,24 @@ object AsofStream {
           if (!state.hasTimedOut) {
             val batch = it.toSeq
             s = AsofState(
-              s.pendingLefts ++ batch.filter(_.isLeft)
-                .map(e => (e.ts.getTime, e.id)),
-              s.rights ++ batch.filter(!_.isLeft)
-                .map(e => (e.ts.getTime, e.id)))
+              merge(s.pendingLefts, batch.filter(_.isLeft)
+                .map(e => (e.ts.getTime, e.id)).sorted.toList),
+              merge(s.rights, batch.filter(!_.isLeft)
+                .map(e => (e.ts.getTime, e.id)).sorted.toList))
           }
           val wm = state.getCurrentWatermarkMs()
-          val rightsSorted = s.rights.sortBy(identity)
           val (emit, stillPending) = s.pendingLefts.partition(_._1 <= wm)
-          val out = emit.sortBy(identity).map { case (lts, lid) =>
-            val best = rightsSorted.takeWhile(_._1 <= lts).lastOption
-            AsofPair(key, lid, lts / 1000,
-              best.map(_._2), best.map(_._1 / 1000))
+          val out = emit.map { case (lts, lid) =>
+            val best = s.rights.takeWhile(_._1 <= lts).lastOption
+            AsofPair(key, lid, lts, best.map(_._2), best.map(_._1))
           }
           // rights that can still win: everything after the watermark,
           // plus the single latest one at-or-before it (unless idle past
-          // the retention)
-          val (before, after) = rightsSorted.partition(_._1 <= wm)
+          // the retention; subtraction avoids ts + retention overflow)
+          val (before, after) = s.rights.partition(_._1 <= wm)
           val expired = rightRetentionMs != Long.MaxValue &&
             stillPending.isEmpty && after.isEmpty &&
-            before.lastOption.exists(_._1 + rightRetentionMs <= wm)
+            before.lastOption.exists(_._1 <= wm - rightRetentionMs)
           val keptRights =
             if (expired) Nil else before.lastOption.toList ++ after
           if (stillPending.isEmpty && keptRights.isEmpty) {
@@ -89,10 +107,10 @@ object AsofStream {
             state.update(AsofState(stillPending, keptRights))
             if (stillPending.nonEmpty)
               state.setTimeoutTimestamp(
-                Math.max(stillPending.map(_._1).min, wm + 1))
+                Math.max(stillPending.head._1, wm + 1))
             else if (rightRetentionMs != Long.MaxValue)
-              state.setTimeoutTimestamp(
-                Math.max(keptRights.map(_._1).max + rightRetentionMs, wm + 1))
+              state.setTimeoutTimestamp(Math.max(
+                saturatingAdd(keptRights.last._1, rightRetentionMs), wm + 1))
           }
           out.iterator
       }

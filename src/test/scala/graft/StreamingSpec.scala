@@ -396,8 +396,8 @@ class StreamingSpec extends AnyFunSuite {
     val rows = spark.table("asof").as[AsofPair].collect().toSet
     q.stop()
     assert(rows === Set(
-      AsofPair(1, 100L, 10L, Some(21L), Some(9L)),  // right@9 beat right@8
-      AsofPair(2, 101L, 9L, None, None)))
+      AsofPair(1, 100L, 10000L, Some(21L), Some(9000L)), // right@9 beat right@8
+      AsofPair(2, 101L, 9000L, None, None)))             // ms resolution
     // a NEW left after emission still matches the retained latest right
     val input2 = MemoryStream[AsofEvent]
     val q2 = AsofStream.asofJoinStream(
@@ -413,7 +413,7 @@ class StreamingSpec extends AnyFunSuite {
     q2.processAllAvailable()
     val rows2 = spark.table("asof2").as[AsofPair].collect().toSet
     q2.stop()
-    assert(rows2 === Set(AsofPair(1, 200L, 600L, Some(50L), Some(5L))))
+    assert(rows2 === Set(AsofPair(1, 200L, 600000L, Some(50L), Some(5000L))))
   }
 
   test("reconcileStreams: matched plus both unmatched sides after watermark close") {
