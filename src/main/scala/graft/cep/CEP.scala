@@ -132,24 +132,62 @@ object CEP {
   }
 
   /** Test hook: run the pure NFA fold over a pre-sorted event sequence. */
-  private[cep] def advanceForTest(pattern: Pattern, events: Seq[CepEvent],
+  private[graft] def advanceForTest(pattern: Pattern, events: Seq[CepEvent],
       out: ListBuffer[PatternMatch]): List[Run] =
     advance(pattern, Nil, events, emitTimeouts = false, out, "k")
 
   /** Bounded-input detection: end-of-input expires all pending runs
     * (every deadline eventually passes on a bounded stream).
+    *
+    * Executed as a secondary sort — `repartition(key)` +
+    * `sortWithinPartitions(key, ts, id)` + a streaming `mapPartitions`
+    * fold — so a key's events are NEVER materialized in memory: the
+    * sort spills through Spark's ExternalSorter and the fold holds only
+    * the live runs (bounded by `maxRuns`) plus matches not yet pulled
+    * downstream. A hot key with millions of events (bot traffic) costs
+    * disk in the sort, not task heap. Per-key event order (ts, id)
+    * matches the streaming form's micro-batch sort.
     */
   def detectBatch(ds: Dataset[CepEvent], pattern: Pattern,
                   emitTimeouts: Boolean = false): Dataset[PatternMatch] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.key)
-      .flatMapGroups { (key, it) =>
-        val out = ListBuffer[PatternMatch]()
-        val pending = advance(pattern, Nil,
-          it.toSeq.sortBy(e => (e.ts.getTime, e.id)), emitTimeouts, out, key)
-        if (emitTimeouts && pattern.withinMs.isDefined)
-          pending.foreach(r => out += PatternMatch(key, r.events.reverse, timedOut = true))
-        out.iterator
+    import org.apache.spark.sql.functions.col
+    ds.repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("ts"), col("id"))
+      .mapPartitions { events =>
+        new Iterator[PatternMatch] {
+          private val in = events.buffered
+          private var curKey: String = null
+          private var runs: List[Run] = Nil
+          private val out = scala.collection.mutable.Queue.empty[PatternMatch]
+
+          /** End-of-key: expire pending runs (bounded input ⇒ every
+            * deadline eventually passes).
+            */
+          private def flushKey(): Unit = {
+            if (emitTimeouts && pattern.withinMs.isDefined)
+              runs.foreach(r => out += PatternMatch(curKey, r.events.reverse, timedOut = true))
+            runs = Nil
+          }
+
+          private def fill(): Unit = {
+            while (out.isEmpty && (in.hasNext || curKey != null)) {
+              if (!in.hasNext) { flushKey(); curKey = null }
+              else if (curKey != null && in.head.key != curKey) {
+                flushKey(); curKey = in.head.key
+              } else {
+                val e = in.next()
+                if (curKey == null) curKey = e.key
+                val lb = ListBuffer[PatternMatch]()
+                runs = advance(pattern, runs, e :: Nil, emitTimeouts, lb, curKey)
+                out ++= lb
+              }
+            }
+          }
+
+          override def hasNext: Boolean = { fill(); out.nonEmpty }
+          override def next(): PatternMatch = { fill(); out.dequeue() }
+        }
       }
   }
 
@@ -170,6 +208,19 @@ object CEP {
   def detectStream(ds: Dataset[CepEvent], pattern: Pattern,
                    emitTimeouts: Boolean = false): Dataset[PatternMatch] = {
     import ds.sparkSession.implicits._
+    if (ds.isStreaming && pattern.withinMs.isDefined) {
+      // Fail at plan time, not at stream start: the event-time timeout
+      // backing `within` needs a watermark, and without this check the
+      // failure surfaces only when the query is started (ADVICE r2).
+      val hasWatermark = ds.queryExecution.logical.collect {
+        case p if p.nodeName == "EventTimeWatermark" => p
+      }.nonEmpty
+      require(hasWatermark,
+        "CEP.detectStream: a pattern with `within` uses an event-time timeout, " +
+          "which requires .withWatermark(...) on the input stream's `ts` column. " +
+          "Note events older than the watermark are dropped before the NFA — " +
+          "size the watermark delay to the source's real out-of-orderness.")
+    }
     val timeoutConf =
       if (pattern.withinMs.isDefined) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout

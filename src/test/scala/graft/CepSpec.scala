@@ -92,6 +92,35 @@ class CepSpec extends AnyFunSuite {
     assert(out.exists(m => m.key == "o1" && m.timedOut && m.events.map(_.id) == Seq(1L)))
   }
 
+  test("hot key with many events streams through the fold (secondary sort, no buffering)") {
+    // One key with far more events than any sane per-task buffer, heavily
+    // duplicated timestamps and shuffled input order: the secondary-sort
+    // path must equal the pure in-memory NFA fold over the sorted input.
+    val n = 200000
+    val rnd = new scala.util.Random(42)
+    val hot = (1L to n.toLong).map { i =>
+      ev("bot", 1000 + i / 3, if (rnd.nextInt(10) < 7) "fail" else "success", i)
+    }
+    val cold = Seq(ev("u9", 1001, "fail", n + 1L), ev("u9", 1002, "fail", n + 2L))
+    val shuffled = rnd.shuffle(hot ++ cold)
+    val got = CEP.detectBatch(shuffled.toDS().repartition(8), loginFail).collect()
+    val expected = scala.collection.mutable.ListBuffer[PatternMatch]()
+    CEP.advanceForTest(loginFail, hot.sortBy(e => (e.ts.getTime, e.id)), expected)
+    val gotHot = got.filter(_.key == "bot").map(_.events.map(_.id)).toSet
+    val expHot = expected.map(_.events.map(_.id)).toSet
+    assert(gotHot === expHot)
+    assert(gotHot.size > 1000) // the pattern actually fires at volume
+    assert(got.count(_.key == "u9") === 1)
+  }
+
+  test("detectStream without a watermark fails fast for `within` patterns") {
+    val input = MemoryStream[CepEvent]
+    val e = intercept[IllegalArgumentException] {
+      CEP.detectStream(input.toDS(), loginFail)
+    }
+    assert(e.getMessage.contains("withWatermark"))
+  }
+
   test("single-step and maxRuns bounds") {
     val events = (1L to 50L).map(i => ev("k", 100 + i, "fail", i))
     val single = Pattern.begin("any", _.eventType == "fail")
