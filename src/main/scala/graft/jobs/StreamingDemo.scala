@@ -148,6 +148,40 @@ object StreamingDemo {
     println(s"cep_login_fail: streaming=$cepStream batch=$cepBatch " +
       (if (cepStream == cepBatch) "MATCH" else "MISMATCH"))
 
+    // 7. late-data tap (W5: the observable form of the reference's
+    // allowedLateness + sideOutputLateData, HotItems.scala:80-81).
+    // Two files arriving in order — the second carries event times older
+    // than the watermark the first advanced to — so its rows are late.
+    val lateDir = java.nio.file.Files.createTempDirectory("graft-late-")
+    val fileA = lateDir.resolve("a.csv")
+    val fileB = lateDir.resolve("b.csv")
+    java.nio.file.Files.write(fileA,
+      (1 to 50).map(i => s"$i,${1000 + i}").mkString("\n").getBytes)
+    java.nio.file.Files.write(fileB,
+      ((51 to 55).map(i => s"$i,${100 + i}") :+ "56,2000").mkString("\n").getBytes)
+    // file source processes files in modification-time order
+    java.nio.file.Files.setLastModifiedTime(fileA,
+      java.nio.file.attribute.FileTime.fromMillis(1000000))
+    java.nio.file.Files.setLastModifiedTime(fileB,
+      java.nio.file.attribute.FileTime.fromMillis(2000000))
+    val lateLines = spark.readStream
+      .schema(StructType(Seq(StructField("id", LongType), StructField("sec", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .csv(lateDir.toString)
+      .withColumn("ts", timestamp_seconds($"sec"))
+      .withWatermark("ts", "0 seconds")
+    val lateCounts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val q7 = Sinks.fanOutByTag(LateTap.tagLate(lateLines, "ts")) {
+      Map(
+        LateTap.OnTimeTag -> (b => lateCounts.synchronized {
+          lateCounts("ontime") += b.count() }),
+        LateTap.LateTag -> (b => lateCounts.synchronized {
+          lateCounts("late") += b.count() }))
+    }.start()
+    q7.processAllAvailable(); q7.stop()
+    println(s"late_tap: ${lateCounts.toMap} " +
+      (if (lateCounts("late") == 5) "MATCH" else "MISMATCH"))
+
     spark.stop()
   }
 }

@@ -331,6 +331,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got("warn") === 1L && got("ok") === 2L)
   }
 
+  test("late tap: watermark-late rows surface in the late route instead of vanishing (W5)") {
+    val input = MemoryStream[KeyedEvent]
+    val tagged = LateTap.tagLate(
+      input.toDF().withWatermark("ts", "0 seconds"), "ts")
+    val late = scala.collection.mutable.Set[Long]()
+    val ontime = scala.collection.mutable.Set[Long]()
+    val q = Sinks.fanOutByTag(tagged) {
+      Map(
+        LateTap.LateTag ->
+          (b => late.synchronized { late ++= b.select("id").as[Long].collect() }),
+        LateTap.OnTimeTag ->
+          (b => ontime.synchronized { ontime ++= b.select("id").as[Long].collect() }))
+    }.start()
+    input.addData(KeyedEvent(1, ts(100), "view", 1), KeyedEvent(2, ts(200), "view", 2))
+    q.processAllAvailable() // watermark advances to 200s
+    input.addData(KeyedEvent(3, ts(50), "view", 3), // older than watermark → late
+      KeyedEvent(4, ts(300), "view", 4))
+    q.processAllAvailable()
+    q.stop()
+    assert(late.toSet === Set(3L))
+    assert(ontime.toSet === Set(1L, 2L, 4L))
+  }
+
+  test("late tap requires a watermark and a streaming input") {
+    val input = MemoryStream[KeyedEvent]
+    val e = intercept[IllegalArgumentException] {
+      LateTap.tagLate(input.toDF(), "ts")
+    }
+    assert(e.getMessage.contains("withWatermark"))
+    intercept[IllegalArgumentException] {
+      LateTap.tagLate(Seq(KeyedEvent(1, ts(1), "view", 1)).toDF(), "ts")
+    }
+  }
+
   test("approx UV in update mode emits running counts (A5 running emission)") {
     val input = MemoryStream[KeyedEvent]
     val agg = WindowedAgg.tumblingApproxDistinct(
