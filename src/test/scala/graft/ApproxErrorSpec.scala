@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Error-band assertions for the sketch/approximate queries — q03 (HLL),
+  * q32 (Bloom), q53 (approx_percentile) are rows-only in the DuckDB
+  * oracle gate BY DESIGN (DuckDB cannot reproduce the sketches), which
+  * means a regression in sketch plumbing would otherwise be invisible.
+  * These specs pin each estimate to its exact counterpart within the
+  * error its own sketch theory promises, so "approximate" can't hide
+  * "broken".
+  */
+class ApproxErrorSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("q03 HLL++ UV within 3·rsd of q02 exact UV per window") {
+    val rsd = 0.01 // WindowedAgg.tumblingApproxDistinct default
+    val exact = SparkEntry.queries("q02_uv_hourly")(spark, dir)
+      .select("window_start", "uv").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("q03_uv_approx_hourly")(spark, dir)
+      .select("window_start", "uv_approx").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet, "window sets must agree")
+    exact.foreach { case (w, n) =>
+      val est = approx(w)
+      // 3 standard deviations of the HLL++ estimator, floor of 1 for
+      // integer-valued tiny windows
+      val tol = math.max(3.0 * rsd * n, 1.0)
+      assert(math.abs(est - n) <= tol,
+        s"window $w: |hll $est - exact $n| > $tol")
+    }
+  }
+
+  test("q32 Bloom UV within its linear-counting error of exact UV per window") {
+    val exact = SparkEntry.queries("q02_uv_hourly")(spark, dir)
+      .select("window_start", "uv").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("q32_uv_bloom_hourly")(spark, dir)
+      .select("window_start", "uv_bloom").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet, "window sets must agree")
+    exact.foreach { case (w, n) =>
+      val est = approx(w)
+      // The -m/k·ln(1-X/m) inversion's relative error stays small while
+      // the filter load factor is low (m = 2^17 bits vs hourly UV ≪ m
+      // at this SF); 3% + an absolute floor of 3 covers 3σ comfortably.
+      val tol = math.max(0.03 * n, 3.0)
+      assert(math.abs(est - n) <= tol,
+        s"window $w: |bloom $est - exact $n| > $tol")
+    }
+  }
+
+  test("q53 approx percentiles within rank tolerance of the group's order statistics") {
+    // approx_percentile(accuracy=10000) guarantees rank error <= n/10000;
+    // assert each estimate's empirical rank is within that (+1 row slack
+    // for rank-vs-interpolation conventions) of the target quantile.
+    val rows = SparkEntry.queries("q53_price_percentiles_approx")(spark, dir)
+      .select("o_orderpriority", "p25", "p50", "p75").collect()
+    val prices = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice").cast("double"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sorted = prices(r.getString(0))
+      val n = sorted.length
+      Seq(0.25 -> r.getDouble(1), 0.5 -> r.getDouble(2), 0.75 -> r.getDouble(3))
+        .foreach { case (p, est) =>
+          val below = sorted.count(_ <= est)
+          val rankErr = math.abs(below - p * n)
+          val tol = n / 10000.0 + 1.0
+          assert(rankErr <= tol,
+            s"${r.getString(0)} p$p: estimate $est has rank error $rankErr > $tol (n=$n)")
+        }
+    }
+  }
+}
