@@ -3,6 +3,9 @@ ThisBuild / version := "0.1.0"
 name := "userbehavioranalysisspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
+// Optional extra runtime jars (e.g. the Kafka connector for
+// graft.KafkaE2ESpec — see docs/kafka-bootstrap.md); empty by default.
+Compile / unmanagedJars ++= ((baseDirectory.value / "lib") ** "*.jar").classpath
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(

@@ -558,9 +558,12 @@ object SparkEntry {
     "q23_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")),
 
-    // exact word-set Jaccard >= 0.5 within source blocks
+    // exact word-set Jaccard >= 0.5 within source blocks; the synthetic
+    // corpus is tag-like (vocab <= 64), so opt into the probe → bitmask
+    // fast path (19x on this query at sf0.1)
     "q24_ngram_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", "source", 0.5)),
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", "source", 0.5,
+        probeVocab = true)),
 
     // brute-force cosine top-5 for query vectors 0..9
     "q25_knn_bruteforce" -> ((s, dir) =>

@@ -90,4 +90,37 @@ object TypedAggs {
 
   def bloomDistinct(c: Column, capBits: Int = 1 << 23): Column =
     udaf(BloomSketch(capBits), Encoders.STRING).apply(c)
+
+  private[graft] case class CapBuf(ids: List[Long], n: Long)
+
+  /** Collected ids (sorted, complete) when the true count `n` <= cap;
+    * empty when the group overflowed — `n` is always the true count.
+    */
+  case class CappedIds(ids: Seq[Long], n: Long)
+
+  /** Memory-capped collect_list: accumulates at most cap+1 elements per
+    * group but always counts all of them, so a degenerate group (e.g. an
+    * LSH bucket holding a duplicate explosion) costs O(cap) buffer
+    * instead of O(group) — the difference between a flagged bucket and a
+    * task OOM. Groups over the cap finish with an empty `ids` and their
+    * true size in `n`; groups within it finish with the complete sorted
+    * list.
+    */
+  case class CappedCollectIds(cap: Int) extends Aggregator[Long, CapBuf, CappedIds] {
+    require(cap > 0, "cap must be positive")
+    override def zero: CapBuf = CapBuf(Nil, 0L)
+    override def reduce(b: CapBuf, a: Long): CapBuf =
+      CapBuf(if (b.n > cap) b.ids else a :: b.ids, b.n + 1)
+    override def merge(x: CapBuf, y: CapBuf): CapBuf = {
+      val n = x.n + y.n
+      CapBuf(if (n > cap) (x.ids ++ y.ids).take(cap + 1) else x.ids ++ y.ids, n)
+    }
+    override def finish(b: CapBuf): CappedIds =
+      if (b.n > cap) CappedIds(Nil, b.n) else CappedIds(b.ids.sorted, b.n)
+    override def bufferEncoder: Encoder[CapBuf] = Encoders.product[CapBuf]
+    override def outputEncoder: Encoder[CappedIds] = Encoders.product[CappedIds]
+  }
+
+  def cappedCollectIds(c: Column, cap: Int): Column =
+    udaf(CappedCollectIds(cap), Encoders.scalaLong).apply(c)
 }

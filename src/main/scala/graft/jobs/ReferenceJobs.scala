@@ -18,9 +18,13 @@ object ReferenceJobs {
     */
   def loginFailWarnings(login: DataFrame): DataFrame = {
     import login.sparkSession.implicits._
+    // content-derived tie-break id: monotonically_increasing_id() is
+    // partition-layout-dependent, which would make equal-timestamp
+    // ordering (and thus warnings) vary with parallelism (ADVICE r2)
     val events = login.select(
         col("userId").cast("string").as("key"), col("ts"),
-        col("eventType"), monotonically_increasing_id().as("id"))
+        col("eventType"),
+        xxhash64(col("userId"), col("ts"), col("eventType")).as("id"))
       .as[CepEvent]
     val pattern = Pattern.begin("first", _.eventType == "fail")
       .next("second", _.eventType == "fail")
@@ -45,9 +49,12 @@ object ReferenceJobs {
     */
   def orderResults(orders: DataFrame): DataFrame = {
     import orders.sparkSession.implicits._
+    // content-derived id for layout-independent ordering (see
+    // loginFailWarnings)
     val events = orders.select(
         col("orderId").cast("string").as("key"), col("ts"),
-        col("eventType"), monotonically_increasing_id().as("id"))
+        col("eventType"),
+        xxhash64(col("orderId"), col("ts"), col("eventType")).as("id"))
       .as[CepEvent]
     val pattern = Pattern.begin("create", _.eventType == "create")
       .followedBy("pay", _.eventType == "pay")

@@ -14,9 +14,13 @@ import graft.streaming.{KeyedEvent, StatefulOps}
   * flatMapGroupsWithState with event-time expiry) and a windowed
   * aggregation, and reports sustained events/s.
   *
-  * File-source micro-batches (maxFilesPerTrigger is 1 file here, so the
-  * rows are split by maxBytesPerTrigger into several batches) — wall
-  * time covers source -> parse -> shuffle -> state store -> sink.
+  * File-source micro-batches: each replica chunk is written as exactly
+  * one file (coalesce(1)) and maxFilesPerTrigger=2, so batches arrive
+  * in chunk order and rows never trail the watermark — wall time covers
+  * source -> parse -> shuffle -> state store -> sink. The reported rate
+  * divides PROCESSED rows (input minus watermark-dropped, which the
+  * JSON also reports and which must be 0) by wall time, so silently
+  * dropped rows can never inflate it.
   */
 object StreamBench {
   private val eventsSchema = StructType(Seq(
@@ -55,7 +59,12 @@ object StreamBench {
 
     val streamDir = java.nio.file.Files.createTempDirectory("graft-sbench-")
     (0 until replicas).foreach { i =>
+      // one file per chunk: multi-file chunks could split across
+      // triggers, letting an earlier file advance the watermark past a
+      // later file's rows — dropped-but-counted rows would inflate the
+      // rate (ADVICE r2)
       raw.withColumn("ts", col("ts") + lit(i * spanNanos))
+        .coalesce(1)
         .write.parquet(streamDir.resolve(s"chunk-$i").toString)
     }
     val src = spark.readStream
@@ -70,24 +79,51 @@ object StreamBench {
         .withWatermark("ts", "0 seconds").as[KeyedEvent],
       "error", 2 * 3600 * 1000L)
 
-    val t0 = System.nanoTime()
-    val q1 = fails.writeStream.outputMode("append")
-      .format("noop").start()
-    q1.processAllAvailable(); q1.stop()
-    val statefulSec = (System.nanoTime() - t0) / 1e9
+    def droppedByWatermark(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+
+    // run the keyed-stateful pipeline under both state-store backends:
+    // the default in-memory provider and RocksDB (what a real cluster
+    // runs when state exceeds executor heap)
+    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    def runStateful(provider: Option[String]): (Double, Long) = {
+      provider match {
+        case Some(p) => spark.conf.set(providerConf, p)
+        case None    => spark.conf.unset(providerConf)
+      }
+      val t = System.nanoTime()
+      val q = fails.writeStream.outputMode("append").format("noop").start()
+      q.processAllAvailable()
+      val d = droppedByWatermark(q)
+      q.stop()
+      ((System.nanoTime() - t) / 1e9, d)
+    }
+    val (statefulSec, dropped1) = runStateful(None)
+    val (rocksSec, droppedR) = runStateful(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    spark.conf.unset(providerConf)
 
     val t1 = System.nanoTime()
     val q2 = graft.ops.WindowedAgg.slidingCount(
         src.withWatermark("ts", "5 seconds"), "ts", "1 hour", "5 minutes",
         Seq("event_type"))
       .writeStream.outputMode("append").format("noop").start()
-    q2.processAllAvailable(); q2.stop()
+    q2.processAllAvailable()
+    val dropped2 = droppedByWatermark(q2)
+    q2.stop()
     val windowSec = (System.nanoTime() - t1) / 1e9
 
-    val perCore = (n / statefulSec / cpus.toInt).toLong
-    println(s"""{"metric":"stream_events_per_sec","value":${(n / statefulSec).toLong},""" +
-      s""""per_core":$perCore,"windowed_events_per_sec":${(n / windowSec).toLong},""" +
-      s""""events":$n,"stateful_sec":$statefulSec,"window_sec":$windowSec,"cores":$cpus}""")
+    val processed1 = n - dropped1
+    val processedR = n - droppedR
+    val processed2 = n - dropped2
+    val perCore = (processed1 / statefulSec / cpus.toInt).toLong
+    println(s"""{"metric":"stream_events_per_sec","value":${(processed1 / statefulSec).toLong},""" +
+      s""""per_core":$perCore,"rocksdb_events_per_sec":${(processedR / rocksSec).toLong},""" +
+      s""""per_core_rocksdb":${(processedR / rocksSec / cpus.toInt).toLong},""" +
+      s""""windowed_events_per_sec":${(processed2 / windowSec).toLong},""" +
+      s""""events":$n,"dropped_late":${dropped1 + droppedR + dropped2},""" +
+      s""""stateful_sec":$statefulSec,"stateful_rocksdb_sec":$rocksSec,""" +
+      s""""window_sec":$windowSec,"cores":$cpus}""")
     spark.stop()
   }
 }

@@ -103,19 +103,25 @@ object Dedup {
   /** Candidate near-duplicate pairs from LSH bands: docs sharing >= 1
     * band bucket, with the number of colliding bands.
     *
-    * Shape: groupBy bucket → collect ids → emit in-bucket pairs. One
-    * pass over the (expensive, interpreted-HOF) minhash pipeline and one
-    * shuffle on the bucket key; cost is sum over buckets of |bucket|^2,
-    * never n^2. (A self-join would recompute the minhash plan on both
-    * sides — and once more single-threaded on the broadcast build.)
-    * collect_list is bounded by bucket size, i.e. by how many docs share
-    * a 2x60-bit minhash band — skew here means real duplicate explosions
-    * which should be capped upstream.
+    * Shape: groupBy bucket → collect ids (memory-capped) → emit
+    * in-bucket pairs. One pass over the (expensive, interpreted-HOF)
+    * minhash pipeline and one shuffle on the bucket key; cost is sum
+    * over buckets of |bucket|^2, never n^2. (A self-join would recompute
+    * the minhash plan on both sides — and once more single-threaded on
+    * the broadcast build.)
+    *
+    * `maxBucketSize` guards the degenerate case: a duplicate explosion
+    * (the same boilerplate pasted into millions of docs) puts all of
+    * them in ONE bucket, whose |bucket|² pairs — and even the collected
+    * id list itself — would sink a task. Buckets over the cap aggregate
+    * in O(cap) memory ([[graft.functions.TypedAggs.cappedCollectIds]]),
+    * produce no pairs, and are observable via [[lshOversizedBuckets]];
+    * such a bucket is a near-identical group anyway — dedup it as a
+    * group (e.g. keep-one-per-bucket), pairwise scoring adds nothing.
     */
-  def lshCandidates(bands: DataFrame): DataFrame =
-    bands.groupBy(col("band_id"), col("band_hash"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+  def lshCandidates(bands: DataFrame, maxBucketSize: Int = 10000): DataFrame =
+    bucketIds(bands, maxBucketSize)
+      .filter(col("sz") >= 2 && col("sz") <= maxBucketSize)
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1), i ->
           |  transform(slice(ids, i + 1, size(ids) - i), y ->
@@ -124,17 +130,35 @@ object Dedup {
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
 
+  /** The flagged route for [[lshCandidates]]: buckets whose size exceeds
+    * the cap, as (band_id, band_hash, bucket_size) — the audit stream of
+    * what pair generation skipped.
+    */
+  def lshOversizedBuckets(bands: DataFrame, maxBucketSize: Int = 10000): DataFrame =
+    bucketIds(bands, maxBucketSize)
+      .filter(col("sz") > maxBucketSize)
+      .select(col("band_id"), col("band_hash"), col("sz").as("bucket_size"))
+
+  private def bucketIds(bands: DataFrame, cap: Int): DataFrame =
+    bands.groupBy(col("band_id"), col("band_hash"))
+      .agg(graft.functions.TypedAggs.cappedCollectIds(col("doc_id"), cap).as("b"))
+      .select(col("band_id"), col("band_hash"),
+        col("b.ids").as("ids"), col("b.n").as("sz"))
+
   /** Exact word-set Jaccard over pairs within `groupCol` blocks (the
     * verify step after LSH, or a blocked all-pairs when a natural
     * blocking key exists). Output pairs with jaccard >= threshold,
     * rounded to 6 digits. threshold must be > 0 (zero-overlap pairs are
     * never emitted).
     *
-    * Adaptive physical strategy, chosen from a vocabulary probe — one
-    * extra explode + distinct-aggregation pass over the corpus (the
-    * limit(65) caps the result, not the scan). Callers that know their
-    * corpus is real text should pass `probeVocab = false` to skip the
-    * probe and go straight to the inverted index:
+    * Adaptive physical strategy. With `probeVocab = true` a vocabulary
+    * probe — one extra explode + distinct-aggregation pass over the
+    * corpus (the limit(65) caps the result, not the scan) — picks
+    * between two plans. The default is `false` (no probe, straight to
+    * the inverted index) because real-text corpora always exceed 64
+    * words and would pay the probe pass only to take the inverted path
+    * anyway; opt in for tag-like/categorical corpora where the bitmask
+    * plan is an order of magnitude faster:
     *
     *  - vocab <= 64 (tag-like / categorical sets): encode each word set
     *    as one 64-bit mask (explode → broadcast-dict join → bit_or), then
@@ -155,7 +179,7 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    groupCol: String, threshold: Double,
-                   probeVocab: Boolean = true): DataFrame = {
+                   probeVocab: Boolean = false): DataFrame = {
     require(threshold > 0, "threshold must be > 0 (jaccard-0 pairs are not emitted)")
     val docs = df.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
       array_distinct(split(col(textCol), " ")).as("ws"))

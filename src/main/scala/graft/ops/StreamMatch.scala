@@ -100,8 +100,12 @@ object StreamMatch {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("_sort_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NULL never equals NULL in SQL join semantics: partitionBy groups
+    // null keys together, so mask the fill for them (matches the native
+    // AsofJoinExec and the DuckDB ASOF oracle)
     val filled = unioned.withColumn("_carried",
-      last(col("_carried"), ignoreNulls = true).over(w))
+      when(col(keyCol).isNull, lit(null))
+        .otherwise(last(col("_carried"), ignoreNulls = true).over(w)))
     carried.foldLeft(filled.filter(col("_side") === 1)) { (df, c) =>
         df.withColumn(c, col(s"_carried.$c"))
       }

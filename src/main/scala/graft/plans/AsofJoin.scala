@@ -114,29 +114,42 @@ case class AsofJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lk = lKeyProj(l)
-          val lts = lTsProj(l)                         // single-field row buffer
-          // a carried match from a previous (smaller) key is stale
-          if (carriedKey != null && keyOrd.compare(carriedKey, lk) != 0) {
-            carriedKey = null
-            carriedRow = null
+          // SQL equality: a NULL key never equals anything, including
+          // another NULL (the natural ordering would compare them equal
+          // — ADVICE r2; matches DuckDB ASOF). Null-key left rows emit
+          // null-extended output without touching the merge cursor
+          // (nulls sort first, so nothing downstream is skipped).
+          if (lk.anyNull) {
+            outProj(joined(l, nullCarried))
+          } else {
+            val lts = lTsProj(l)                       // single-field row buffer
+            // a carried match from a previous (smaller) key is stale
+            if (carriedKey != null && keyOrd.compare(carriedKey, lk) != 0) {
+              carriedKey = null
+              carriedRow = null
+            }
+            // advance the right side up to (lk, lts)
+            var advance = true
+            while (advance && (rPending != null || rIter.hasNext)) {
+              if (rPending == null) rPending = rIter.next()
+              val rk = rKeyProj(rPending)
+              if (rk.anyNull) {
+                rPending = null                        // null key: never a match
+              } else {
+                val cmp = keyOrd.compare(rk, lk)
+                if (cmp < 0) {
+                  rPending = null                      // behind in key: discard
+                } else if (cmp == 0) {
+                  if (tsOrd.compare(rTsProj(rPending), lts) <= 0) {
+                    carriedRow = carriedProj(rPending).copy()
+                    carriedKey = rk.copy()
+                    rPending = null                    // consumed as best-so-far
+                  } else advance = false               // ahead in time: keep
+                } else advance = false                 // ahead in key: keep
+              }
+            }
+            outProj(joined(l, if (carriedRow != null) carriedRow else nullCarried))
           }
-          // advance the right side up to (lk, lts)
-          var advance = true
-          while (advance && (rPending != null || rIter.hasNext)) {
-            if (rPending == null) rPending = rIter.next()
-            val rk = rKeyProj(rPending)
-            val cmp = keyOrd.compare(rk, lk)
-            if (cmp < 0) {
-              rPending = null                          // behind in key: discard
-            } else if (cmp == 0) {
-              if (tsOrd.compare(rTsProj(rPending), lts) <= 0) {
-                carriedRow = carriedProj(rPending).copy()
-                carriedKey = rk.copy()
-                rPending = null                        // consumed as best-so-far
-              } else advance = false                   // ahead in time: keep
-            } else advance = false                     // ahead in key: keep
-          }
-          outProj(joined(l, if (carriedRow != null) carriedRow else nullCarried))
         }
       }
     }

@@ -10,9 +10,12 @@ import org.apache.spark.sql.types.StructType
   *
   * Requires the spark-sql-kafka-0-10 connector on the classpath (ships
   * with every Spark distribution's external jars; not present in this
-  * offline container, so these are compile-checked but exercised only in
-  * deployments — the rest of the pipeline is source-agnostic and tested
-  * via file/memory/rate sources).
+  * offline container). End-to-end evidence: `graft.KafkaE2ESpec` runs
+  * file→Kafka→consume→hot-items against a live broker and is gated —
+  * cancels with a bootstrap pointer when connector jars or a broker are
+  * absent; docs/kafka-bootstrap.md has the exact jar coordinates and
+  * broker recipe. The rest of the pipeline is source-agnostic and
+  * tested via file/memory/rate sources either way.
   */
 object KafkaSources {
 

@@ -35,6 +35,7 @@ class BlacklistProcessor(threshold: Long)
     val out = Seq.newBuilder[BlacklistWarning]
     var s = Option(state.get()).getOrElse(ClickState(-1L, 0L, sent = false))
     val dayBefore = s.dayStart
+    val timerBefore = s.timerMs
     sorted.foreach { c =>
       val day = Math.floorDiv(c.ts.getTime / 1000, 86400L) * 86400L
       if (day >= s.dayStart) {              // ignore regressions to older days
@@ -47,12 +48,17 @@ class BlacklistProcessor(threshold: Long)
         }
       }
     }
-    state.update(s)
     if (s.dayStart != dayBefore) {
-      if (dayBefore >= 0) getHandle.deleteTimer((dayBefore + 86400L) * 1000L)
-      getHandle.registerTimer(Math.max((s.dayStart + 86400L) * 1000L,
-        timerValues.getCurrentWatermarkInMs + 1))
+      // delete the timer at the timestamp it was actually registered at
+      // (possibly clamped above the day end) — deleting at the unclamped
+      // day end would silently miss it (ADVICE r2)
+      if (timerBefore >= 0) getHandle.deleteTimer(timerBefore)
+      val t = Math.max((s.dayStart + 86400L) * 1000L,
+        timerValues.getCurrentWatermarkInMs + 1)
+      getHandle.registerTimer(t)
+      s = s.copy(timerMs = t)
     }
+    state.update(s)
     out.result().iterator
   }
 

@@ -16,7 +16,13 @@ case class OrderResult(key: Long, status: String, eventTs: Long)
 private[streaming] case class LastEvent(tsMs: Long, eventType: String)
 private[streaming] case class OrderState(createMs: Long, hasCreate: Boolean,
                                          payMs: Long, hasPay: Boolean)
-private[streaming] case class ClickState(dayStart: Long, cnt: Long, sent: Boolean)
+/** `timerMs` records the actual registered cleanup-timer timestamp
+  * (which may be clamped above the day end — see BlacklistProcessor), so
+  * deletion targets the timer that exists; -1 = none. Unused by the
+  * fMGWS form (which has no explicit timers).
+  */
+private[streaming] case class ClickState(dayStart: Long, cnt: Long, sent: Boolean,
+                                         timerMs: Long = -1L)
 
 /** Keyed stateful operators — the Structured Streaming forms of the
   * reference's KeyedProcessFunction / CEP jobs, built on

@@ -48,6 +48,29 @@ class MiningSpec extends AnyFunSuite {
     assert(cands === Set((1L, 2L, 4L)))
   }
 
+  test("lshCandidates caps degenerate buckets; oversized route flags them") {
+    // duplicate explosion: 40 identical docs land in the same 4 buckets,
+    // plus one small honest near-dup pair elsewhere
+    val explosion = (1 to 40).map(i =>
+      (i.toLong, "the same boilerplate text repeated in every single document here", "s"))
+    val pair = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again", "s"),
+      (102L, "the quick brown fox jumps over the lazy dog again", "s"))
+    val df = docs(explosion ++ pair: _*)
+    val bands = Dedup.minhashBands(df, "doc_id", "text")
+    val capped = Dedup.lshCandidates(bands, maxBucketSize = 10)
+      .select("doc_a", "doc_b", "n_bands").as[(Long, Long, Long)].collect().toSet
+    assert(capped === Set((101L, 102L, 4L))) // explosion produced no pairs
+    val flagged = Dedup.lshOversizedBuckets(bands, maxBucketSize = 10)
+      .select("bucket_size").as[Long].collect()
+    assert(flagged.length === 4 && flagged.forall(_ === 40L))
+    // default cap leaves ordinary corpora untouched: same pairs as ever
+    val uncapped = Dedup.lshCandidates(bands)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 40 * 39 / 2 + 1)
+    assert(Dedup.lshOversizedBuckets(bands).count() === 0)
+  }
+
   test("simhash is deterministic, equal for equal texts, within 16 bits") {
     val df = docs((1, "a b c d", "s"), (2, "a b c d", "s"), (3, "p q r s", "s"))
     val sh = Dedup.simhash(df, "doc_id", "text").collect()
@@ -56,11 +79,18 @@ class MiningSpec extends AnyFunSuite {
     assert(sh.values.forall(v => v >= 0 && v < 65536))
   }
 
-  test("jaccardPairs computes exact word-set jaccard within blocks") {
+  test("jaccardPairs computes exact word-set jaccard within blocks (both paths)") {
     val df = docs((1, "a b c d", "s"), (2, "a b c e", "s"), (3, "a b c d", "t"))
-    val out = Dedup.jaccardPairs(df, "doc_id", "text", "source", 0.5)
+    val expected = Set((1L, 2L, 0.6)) // |∩|=3, |∪|=5; cross-source pair excluded
+    // default: inverted index, no probe pass
+    val inverted = Dedup.jaccardPairs(df, "doc_id", "text", "source", 0.5)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
-    assert(out === Set((1L, 2L, 0.6))) // |∩|=3, |∪|=5; cross-source pair excluded
+    assert(inverted === expected)
+    // opt-in probe routes this tiny vocab to the bitmask plan — same result
+    val bitmask = Dedup.jaccardPairs(df, "doc_id", "text", "source", 0.5,
+        probeVocab = true)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(bitmask === expected)
   }
 
   test("jaccardPairs: inverted-index path (vocab > 64) agrees with the bitmask path") {

@@ -56,6 +56,23 @@ class PlansSpec extends AnyFunSuite {
     assert(empty === Set((100L, None), (101L, None)))
   }
 
+  test("null keys never match, not even each other (SQL equality, both forms)") {
+    val left = Seq(
+      (Some(1L), ts(10), 100L), (None, ts(10), 101L), (None, ts(20), 102L))
+      .toDF("k", "lts", "id")
+    val right = Seq(
+      (Some(1L), ts(5), "hit"), (None, ts(5), "null-key-row"))
+      .toDF("k", "rts", "v")
+    val expected = Set(
+      (100L, Some("hit")), (101L, None), (102L, None)) // null ≠ null
+    val native = AsofJoin(left, right, "k", "lts", "rts", Seq("v"))
+      .select($"id", $"v").as[(Long, Option[String])].collect().toSet
+    assert(native === expected)
+    val composed = StreamMatch.asofJoin(left, right, "k", "lts", "rts", Seq("v"))
+      .select($"id", $"v").as[(Long, Option[String])].collect().toSet
+    assert(composed === expected)
+  }
+
   test("both sides from the same base relation (self-as-of) resolve and agree") {
     val ev = Seq(
       (1L, ts(10), "pay", 100L), (1L, ts(8), "click", 200L),

@@ -60,6 +60,27 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       (34755L, "already payed but not found create")))
   }
 
+  test("warnings are identical at any partitioning, even with duplicate timestamps") {
+    // two fails sharing one timestamp: with a layout-dependent tie-break
+    // id the emitted warning pair could differ per partitioning
+    import java.sql.Timestamp
+    val rows = Seq(
+      (1L, "a", "fail", new Timestamp(1000)),
+      (1L, "b", "fail", new Timestamp(1000)),   // duplicate ts
+      (1L, "c", "fail", new Timestamp(1500)),
+      (2L, "d", "fail", new Timestamp(1000)),
+      (2L, "e", "success", new Timestamp(1200)),
+      (2L, "f", "fail", new Timestamp(1300)))
+      .toDF("userId", "ip", "eventType", "ts")
+    val outs = Seq(1, 3, 7).map { parts =>
+      ReferenceJobs.loginFailWarnings(rows.repartition(parts))
+        .collect().map(_.toSeq).toSet
+    }
+    assert(outs(0) === outs(1))
+    assert(outs(1) === outs(2))
+    assert(outs(0).nonEmpty)
+  }
+
   test("order results: pay after the deadline is tagged 'payed but already timeout'") {
     // synthetic: order 1 pays 20 min after create (deadline 15 min);
     // order 2 pays in time; order 3 never pays
