@@ -634,6 +634,31 @@ object SparkEntry {
           col("user_id").cast("string"), 1 << 17).as("uv_bloom"))
         .select(unix_timestamp(col("window.start")).as("window_start"),
           unix_timestamp(col("window.end")).as("window_end"), col("uv_bloom"))),
+
+    // TPC-H Q19 shape: disjunctive multi-predicate join. The equi-key
+    // stays a conjunct OUTSIDE the OR, so Catalyst still plans a hash
+    // join on partkey (broadcast at this dimension size) with the OR as
+    // a join residual — never a cartesian — and extracts each side's
+    // single-side predicate disjunction (e.g. l_quantity ranges) as a
+    // pushed scan filter. Per-brand rows instead of Q19's single scalar
+    // so the oracle hash pins ~25 groups, not 1.
+    "q57_disjunctive_band_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      val d1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)
+      val d2 = col("p_brand") === "Brand#13" &&
+        col("p_type").isin("PROMO", "ECONOMY") &&
+        col("l_quantity").between(10, 30)
+      val d3 = col("p_type") === "LARGE" && col("p_size").between(20, 40) &&
+        col("l_quantity").between(20, 50)
+      li.join(p, col("l_partkey") === col("p_partkey") && (d1 || d2 || d3))
+        .groupBy(col("p_brand"))
+        .agg(
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(28,10)")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))
+    }),
   )
 
   /** Shared DuckDB CTE: minhash band buckets (mirrors Dedup.minhashBands
@@ -1221,5 +1246,15 @@ object SparkEntry {
         |       round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2)::DOUBLE AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY revenue DESC, o_custkey ASC LIMIT 10""".stripMargin,
+
+    "q57_disjunctive_band_revenue" ->
+      """SELECT p_brand,
+        |       round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2)::DOUBLE AS revenue,
+        |       count(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey AND (
+        |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |  OR (p_brand = 'Brand#13' AND p_type IN ('PROMO', 'ECONOMY') AND l_quantity BETWEEN 10 AND 30)
+        |  OR (p_type = 'LARGE' AND p_size BETWEEN 20 AND 40 AND l_quantity BETWEEN 20 AND 50))
+        |GROUP BY 1""".stripMargin,
   )
 }
