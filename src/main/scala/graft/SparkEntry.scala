@@ -659,6 +659,75 @@ object SparkEntry {
             .cast("decimal(28,10)")), 2).cast("double").as("revenue"),
           count(lit(1)).as("cnt"))
     }),
+
+    // TPC-H Q8 shape: national market share — NATION_2's slice of
+    // STANDARD-part revenue sold to ASIA customers, per order year.
+    // Star plan: lineitem streams through broadcast joins against the
+    // filtered part dimension, nation (twice, aliased), region; orders/
+    // customer/supplier are SF-proportional so size-based planning (and
+    // AQE at runtime) picks broadcast-vs-shuffle per scale. Shares are
+    // derived q56-style from the two rounded sums, not decimal division
+    // (engines disagree on decimal-division scale)
+    "q58_market_share" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      val p = Tables.part(s, dir).filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"))
+      val custNation = n.select(col("n_nationkey").as("cn_key"),
+        col("n_regionkey").as("cn_region"))
+      val suppNation = n.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(28,10)")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(r.filter(col("r_name") === "ASIA")),
+          col("cn_region") === col("r_regionkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_2", rev)
+            .otherwise(lit(0).cast("decimal(28,10)"))), 2)
+            .cast("double").as("nation_rev"),
+          round(sum(rev), 2).cast("double").as("total_rev"))
+        .withColumn("mkt_share", round(col("nation_rev") / col("total_rev"), 6))
+    }),
+
+    // embedding-cosine near-dup pairs: SRP-LSH blocking + exact cosine
+    // verify (the vector-space dedup path; threshold 0.3 because the
+    // synthetic embeddings are near-orthogonal — real corpora use ~0.9)
+    "q59_embedding_near_dup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", 0.3)),
+
+    // TPC-H Q17 shape: revenue locked in small-quantity orders — line
+    // items whose quantity is under 1/5 of their part's average. The
+    // correlated scalar subquery becomes a pre-aggregation of lineitem
+    // by partkey joined back on the same key (both sides shuffle on
+    // partkey once). The comparison is written sum/count-free of
+    // division — 5·qty·cnt < sum_qty — so it is exact integer-in-double
+    // arithmetic in both engines, immune to avg() type differences
+    "q60_small_quantity_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val avgQ = li.groupBy(col("l_partkey").as("ap_key"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("qty_cnt"))
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      li.join(avgQ, col("l_partkey") === col("ap_key"))
+        .filter(col("l_quantity") * lit(5) * col("qty_cnt") < col("sum_qty"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          round(round(sum(col("l_extendedprice").cast("decimal(28,10)")), 2)
+            .cast("double") / lit(7.0), 2).as("avg_yearly"),
+          count(lit(1)).as("cnt"))
+    }),
   )
 
   /** Shared DuckDB CTE: minhash band buckets (mirrors Dedup.minhashBands
@@ -1255,6 +1324,61 @@ object SparkEntry {
         |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
         |  OR (p_brand = 'Brand#13' AND p_type IN ('PROMO', 'ECONOMY') AND l_quantity BETWEEN 10 AND 30)
         |  OR (p_type = 'LARGE' AND p_size BETWEEN 20 AND 40 AND l_quantity BETWEEN 20 AND 50))
+        |GROUP BY 1""".stripMargin,
+
+    "q58_market_share" ->
+      """WITH y AS (
+        |  SELECT year(o_orderdate)::BIGINT AS o_year,
+        |         round(sum(CASE WHEN n2.n_name = 'NATION_2'
+        |                        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))
+        |                        ELSE CAST(0 AS DECIMAL(28,10)) END), 2)::DOUBLE AS nation_rev,
+        |         round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2)::DOUBLE AS total_rev
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  GROUP BY 1)
+        |SELECT o_year, nation_rev, total_rev,
+        |       round(nation_rev / total_rev, 6) AS mkt_share
+        |FROM y""".stripMargin,
+
+    "q59_embedding_near_dup" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(generate_series(0, 7), p ->
+        |      CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
+        |             embedding[d]::DOUBLE *
+        |             ((('0x'||substr(md5(p::VARCHAR || '_' || d::VARCHAR),1,15))::BIGINT % 2001 - 1000)::DOUBLE / 1000.0)
+        |           )) >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS bucket
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, embedding, bucket,
+        |         list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
+        |  FROM b),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+        |         round(list_sum(list_transform(generate_series(1, 64),
+        |             i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+        |           / sqrt(a.norm2 * c.norm2), 6) AS cosine
+        |  FROM e a JOIN e c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+        |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.3""".stripMargin,
+
+    "q60_small_quantity_revenue" ->
+      """WITH aq AS (
+        |  SELECT l_partkey AS ap_key, sum(l_quantity) AS sum_qty,
+        |         count(*) AS qty_cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand,
+        |       round(round(sum(CAST(l_extendedprice AS DECIMAL(28,10))), 2)::DOUBLE / 7.0, 2) AS avg_yearly,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |JOIN aq ON l_partkey = ap_key
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity * 5 * qty_cnt < sum_qty
         |GROUP BY 1""".stripMargin,
   )
 }

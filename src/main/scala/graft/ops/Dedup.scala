@@ -262,4 +262,37 @@ object Dedup {
     }
     bitSums.select(col("doc_id"), sig.as("simhash"))
   }
+
+  /** Embedding-cosine near-duplicate pairs — the vector-space member of
+    * the dedup family (text fingerprints miss paraphrases; embeddings
+    * catch them). Blocking via sign-random-projection LSH
+    * ([[Similarity.lshBuckets]] — candidate generation is an equi-join
+    * on bucket, Σ|bucket|² work, never n²), then EXACT cosine
+    * verification inside each bucket; pairs at-or-above `threshold`
+    * survive. Cosine is rounded to 6 digits before thresholding so the
+    * cut is engine-stable (same convention as the similarity ops).
+    *
+    * Recall note: one plane family ⇒ a true near-dup pair split across
+    * buckets is missed; production stacks `planes` families (union of
+    * candidate sets) to drive miss-rate down — same plan shape, more
+    * candidate rows.
+    */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, planes: Int = 8): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .withColumn("norm2", expr("array_dot(vec, vec)"))
+      .join(Similarity.lshBuckets(emb, idCol, vecCol, planes),
+        col("vid") === col("vec_id"))
+      .drop("vec_id")
+    val a = e.select(col("vid").as("vec_a"), col("vec").as("vec_l"),
+      col("norm2").as("norm2_l"), col("bucket"))
+    val b = e.select(col("vid").as("vec_b"), col("vec").as("vec_r"),
+      col("norm2").as("norm2_r"), col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        expr("round(array_dot(vec_l, vec_r) / sqrt(norm2_l * norm2_r), 6)")
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

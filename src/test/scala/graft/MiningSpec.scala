@@ -209,6 +209,20 @@ class MiningSpec extends AnyFunSuite {
     assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("embeddingNearDup: same-bucket pairs above the cosine cut, nothing else") {
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)),      // identical → same bucket, cosine 1
+      (3L, Array(0.97f, 0.1f, 0.1f, 0.1f)), // near-dup of 1/2
+      (4L, Array(-1f, 0.2f, 0.3f, -0.5f)))  // far from everything
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(df, "vec_id", "embedding", 0.9)
+      .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(out.contains((1L, 2L, 1.0)))
+    assert(out.forall { case (a, b, c) => a < b && c >= 0.9 })
+    assert(!out.exists { case (a, b, _) => a == 4L || b == 4L })
+  }
+
   test("lshBuckets is deterministic and equal for equal vectors") {
     val df = Seq((0L, Array.fill(64)(0.5f)), (1L, Array.fill(64)(0.5f)),
       (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)))
