@@ -276,6 +276,12 @@ object Dedup {
     * buckets is missed; production stacks `planes` families (union of
     * candidate sets) to drive miss-rate down — same plan shape, more
     * candidate rows.
+    *
+    * Scale note: `planes` bounds the bucket count at 2^planes — size it
+    * ~log2(corpus) + a margin (e.g. 24-28 planes for 1e8+ vectors) so
+    * per-bucket candidate sets stay small; the default 8 matches the
+    * other SRP ops at test scale but is far too coarse for a real
+    * corpus (256 buckets ⇒ quadratic blowup inside each).
     */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, planes: Int = 8): DataFrame = {
