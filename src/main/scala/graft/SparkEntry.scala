@@ -728,6 +728,29 @@ object SparkEntry {
             .cast("double") / lit(7.0), 2).as("avg_yearly"),
           count(lit(1)).as("cnt"))
     }),
+
+    // TPC-H Q22 shape: above-average-balance customers with no recent
+    // orders, per market segment. The scalar subquery (positive-balance
+    // average) is a one-row aggregate cross-joined in as a broadcast —
+    // no driver collect; the comparison is division-free
+    // (bal·cnt > sum) so it's engine-exact; NOT EXISTS is a left-anti
+    // join against the date-pruned orders projection
+    "q61_rich_inactive_customers" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+        .select(col("o_custkey"))
+      val posAgg = c.filter(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_pos"),
+          count(lit(1)).as("cnt_pos"))
+      c.crossJoin(broadcast(posAgg))
+        .filter(col("c_acctbal") * col("cnt_pos") > col("sum_pos"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("num_cust"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double").as("total_bal"))
+    }),
   )
 
   /** Shared DuckDB CTE: minhash band buckets (mirrors Dedup.minhashBands
@@ -1379,6 +1402,20 @@ object SparkEntry {
         |JOIN aq ON l_partkey = ap_key
         |JOIN part ON l_partkey = p_partkey
         |WHERE l_quantity * 5 * qty_cnt < sum_qty
+        |GROUP BY 1""".stripMargin,
+
+    "q61_rich_inactive_customers" ->
+      """WITH t AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))::DOUBLE AS sum_pos,
+        |         count(*) AS cnt_pos
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS num_cust,
+        |       round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)::DOUBLE AS total_bal
+        |FROM customer, t
+        |WHERE c_acctbal * cnt_pos > sum_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= DATE '2000-01-01')
         |GROUP BY 1""".stripMargin,
   )
 }

@@ -12,8 +12,11 @@ import graft.ops.{Dedup, Sampling, TextAnalysis}
   *   2. exact dedup               (Dedup.exactGroups keeps min doc per md5)
   *   3. near-dup dedup            (MinHash LSH candidates → drop the
   *                                 higher id of each colliding pair)
-  *   4. quality filter            (TextAnalysis.qualityScore >= threshold)
-  *   5. mixture weighting         (Sampling.mixture to target source mix)
+  *   4. embedding near-dup        (optional: Dedup.embeddingNearDup over
+  *                                 the surviving docs' vectors — catches
+  *                                 paraphrases text fingerprints miss)
+  *   5. quality filter            (TextAnalysis.qualityScore >= threshold)
+  *   6. mixture weighting         (Sampling.mixture to target source mix)
   *
   * Every stage is a DataFrame → DataFrame transform; every membership
   * decision is hash-deterministic, so the same corpus comes out on
@@ -31,7 +34,9 @@ object CorpusPipeline {
     */
   def run(docs: DataFrame, sampleFraction: Double = 1.0,
           qualityThreshold: Double = 0.4,
-          mixture: Map[String, Double] = Map.empty): (DataFrame, Seq[(String, Long)]) = {
+          mixture: Map[String, Double] = Map.empty,
+          embeddings: Option[DataFrame] = None,
+          cosineThreshold: Double = 0.9): (DataFrame, Seq[(String, Long)]) = {
     val counts = Seq.newBuilder[(String, Long)]
     val sampling = sampleFraction < 1.0
     // when nothing is sampled away the input IS the sampled stage —
@@ -64,10 +69,28 @@ object CorpusPipeline {
       .cache()
     counts += "near_dedup" -> nearKept.count()
 
-    val quality = TextAnalysis.qualityScore(nearKept, "doc_id", "text")
+    // optional vector-space pass: near-dup pairs among the SURVIVING
+    // docs' embeddings (vec_id keyed like doc_id); drop the higher id
+    val embKept = embeddings match {
+      case Some(emb) =>
+        val alive = emb.join(
+          nearKept.select(col("doc_id").as("alive_id")),
+          col("vec_id") === col("alive_id"), "left_semi")
+        val embLosers = Dedup.embeddingNearDup(
+            alive, "vec_id", "embedding", cosineThreshold)
+          .select(col("vec_b").as("emb_loser")).distinct()
+        val kept = nearKept.join(embLosers,
+            col("doc_id") === col("emb_loser"), "left_anti")
+          .cache()
+        counts += "embedding_dedup" -> kept.count()
+        kept
+      case None => nearKept
+    }
+
+    val quality = TextAnalysis.qualityScore(embKept, "doc_id", "text")
       .filter(col("quality") >= qualityThreshold)
       .select(col("doc_id").as("q_id"))
-    val qualityKept = nearKept.join(quality,
+    val qualityKept = embKept.join(quality,
         col("doc_id") === col("q_id"), "left_semi")
       .cache()
     counts += "quality" -> qualityKept.count()
@@ -80,6 +103,7 @@ object CorpusPipeline {
     sampled.unpersist()
     exactKept.unpersist()
     nearKept.unpersist()
+    if (embKept ne nearKept) embKept.unpersist()
     qualityKept.unpersist()
     (mixed, counts.result())
   }
@@ -96,7 +120,9 @@ object CorpusPipeline {
     spark.sparkContext.setLogLevel("WARN")
     val (_, counts) = run(graft.Tables.documents(spark, dir),
       sampleFraction = 0.8,
-      mixture = Map("src0" -> 2.0, "src1" -> 1.0, "src2" -> 1.0))
+      mixture = Map("src0" -> 2.0, "src1" -> 1.0, "src2" -> 1.0),
+      embeddings = Some(graft.Tables.embeddings(spark, dir)),
+      cosineThreshold = 0.3)  // synthetic embeddings are near-orthogonal
     counts.foreach { case (stage, n) => println(s"$stage: $n") }
     spark.stop()
   }

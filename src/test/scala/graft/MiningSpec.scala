@@ -199,6 +199,29 @@ class MiningSpec extends AnyFunSuite {
     assert(dupIds.length <= 1)                       // exact dups collapsed
   }
 
+  test("CorpusPipeline embedding stage drops the higher id of cosine near-dups") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "s"),
+      (2L, "epsilon zeta eta theta", "s"),
+      (3L, "iota kappa lambda mu", "s"))
+      .toDF("doc_id", "text", "source")
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)),        // paraphrase of doc 1 in vector space
+      (3L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val (out, counts) = jobs.CorpusPipeline.run(docs, qualityThreshold = 0.0,
+      embeddings = Some(emb), cosineThreshold = 0.9)
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+    assert(counts.toMap.apply("embedding_dedup") === 2L)
+    // embeddings of docs already dropped upstream must not veto survivors:
+    // restricting to the alive set is part of the contract
+    val embWithGhost = emb.union(Seq((99L, Array(0f, 1f, 0f, 0f))).toDF())
+    val (out2, _) = jobs.CorpusPipeline.run(docs, qualityThreshold = 0.0,
+      embeddings = Some(embWithGhost), cosineThreshold = 0.9)
+    assert(out2.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
   test("cosineKnn ranks by cosine, excludes self, breaks ties by id") {
     val df = Seq(
       (0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
