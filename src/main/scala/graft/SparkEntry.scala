@@ -751,6 +751,41 @@ object SparkEntry {
           round(sum(col("c_acctbal").cast("decimal(18,2)")), 2)
             .cast("double").as("total_bal"))
     }),
+
+    // TPC-H Q15 shape: the top supplier(s) by revenue in a half-year
+    // ship window. The revenue view is one partial+final aggregate over
+    // the date-pruned scan; the argmax is the same one-row-aggregate
+    // broadcast cross-join as q61 (no driver collect, no window over an
+    // unpartitioned frame); equality is on the 2-digit-rounded double,
+    // engine-stable
+    "q62_top_supplier" -> ((s, dir) => {
+      val sr = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("date") &&
+          col("l_shipdate") < lit("2000-07-01").cast("date"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,10)")), 2).cast("double").as("total_rev"))
+      val top = sr.agg(max(col("total_rev")).as("max_rev"))
+      sr.crossJoin(broadcast(top))
+        .filter(col("total_rev") === col("max_rev"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+    }),
+
+    // TPC-H Q6 shape: pure scan-filter-aggregate forecast query — every
+    // predicate (date range, discount band, quantity cap) reaches the
+    // parquet scan as a pushed filter; zero joins, one agg exchange
+    "q63_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("date") &&
+          col("l_shipdate") < lit("2001-01-01").cast("date") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(28,10)")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))),
   )
 
   /** Shared DuckDB CTE: minhash band buckets (mirrors Dedup.minhashBands
@@ -1417,5 +1452,23 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= DATE '2000-01-01')
         |GROUP BY 1""".stripMargin,
+
+    "q62_top_supplier" ->
+      """WITH sr AS (
+        |  SELECT l_suppkey,
+        |         round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2)::DOUBLE AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '2000-01-01' AND l_shipdate < DATE '2000-07-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM sr JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM sr)""".stripMargin,
+
+    "q63_forecast_revenue" ->
+      """SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))), 2)::DOUBLE AS revenue,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '2000-01-01' AND l_shipdate < DATE '2001-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
   )
 }
