@@ -1414,9 +1414,11 @@ object SparkEntry {
         |           )) >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS bucket
         |  FROM embeddings),
         |e AS (
-        |  SELECT vec_id, embedding, bucket,
-        |         list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
-        |  FROM b),
+        |  SELECT * FROM (
+        |    SELECT vec_id, embedding, bucket,
+        |           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
+        |    FROM b)
+        |  WHERE norm2 > 0),
         |pairs AS (
         |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
         |         round(list_sum(list_transform(generate_series(1, 64),

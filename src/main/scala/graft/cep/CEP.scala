@@ -157,6 +157,10 @@ object CEP {
       .mapPartitions { events =>
         new Iterator[PatternMatch] {
           private val in = events.buffered
+          // `started` marks an open group — curKey alone can't, because a
+          // null key is itself a valid group (groupBy semantics: nulls
+          // group together, matching the previous groupByKey form)
+          private var started = false
           private var curKey: String = null
           private var runs: List[Run] = Nil
           private val out = scala.collection.mutable.Queue.empty[PatternMatch]
@@ -171,13 +175,13 @@ object CEP {
           }
 
           private def fill(): Unit = {
-            while (out.isEmpty && (in.hasNext || curKey != null)) {
-              if (!in.hasNext) { flushKey(); curKey = null }
-              else if (curKey != null && in.head.key != curKey) {
+            while (out.isEmpty && (in.hasNext || started)) {
+              if (!in.hasNext) { flushKey(); started = false }
+              else if (started && !java.util.Objects.equals(in.head.key, curKey)) {
                 flushKey(); curKey = in.head.key
               } else {
                 val e = in.next()
-                if (curKey == null) curKey = e.key
+                if (!started) { started = true; curKey = e.key }
                 val lb = ListBuffer[PatternMatch]()
                 runs = advance(pattern, runs, e :: Nil, emitTimeouts, lb, curKey)
                 out ++= lb
@@ -212,10 +216,7 @@ object CEP {
       // Fail at plan time, not at stream start: the event-time timeout
       // backing `within` needs a watermark, and without this check the
       // failure surfaces only when the query is started (ADVICE r2).
-      val hasWatermark = ds.queryExecution.logical.collect {
-        case p if p.nodeName == "EventTimeWatermark" => p
-      }.nonEmpty
-      require(hasWatermark,
+      require(graft.streaming.Watermarks.hasEventTimeWatermark(ds),
         "CEP.detectStream: a pattern with `within` uses an event-time timeout, " +
           "which requires .withWatermark(...) on the input stream's `ts` column. " +
           "Note events older than the watermark are dropped before the NFA — " +

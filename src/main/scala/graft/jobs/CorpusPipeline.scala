@@ -36,7 +36,8 @@ object CorpusPipeline {
           qualityThreshold: Double = 0.4,
           mixture: Map[String, Double] = Map.empty,
           embeddings: Option[DataFrame] = None,
-          cosineThreshold: Double = 0.9): (DataFrame, Seq[(String, Long)]) = {
+          cosineThreshold: Double = 0.9,
+          maxBucketSize: Int = 10000): (DataFrame, Seq[(String, Long)]) = {
     val counts = Seq.newBuilder[(String, Long)]
     val sampling = sampleFraction < 1.0
     // when nothing is sampled away the input IS the sampled stage —
@@ -60,14 +61,23 @@ object CorpusPipeline {
       .cache()
     counts += "exact_dedup" -> exactKept.count()
 
-    // near-dup dedup: LSH band collisions; drop the higher id per pair
-    val losers = Dedup.lshCandidates(
-        Dedup.minhashBands(exactKept, "doc_id", "text"))
-      .select(col("doc_b").as("loser_id")).distinct()
+    // near-dup dedup: LSH band collisions; drop the higher id per pair.
+    // Bands feed three consumers (pairs, the oversized audit, group
+    // dedup of oversized buckets) — persist them once so the expensive
+    // minhash pipeline runs a single time
+    val bands = Dedup.minhashBands(exactKept, "doc_id", "text").persist()
+    val pairLosers = Dedup.lshCandidates(bands, maxBucketSize)
+      .select(col("doc_b").as("loser_id"))
+    // buckets past the pair-generation cap are duplicate explosions —
+    // dedup them AS GROUPS (keep min id per bucket) rather than
+    // silently skipping them
+    val ovLosers = Dedup.lshOversizedLosers(bands, maxBucketSize)
+    val losers = pairLosers.union(ovLosers).distinct()
     val nearKept = exactKept.join(losers,
         col("doc_id") === col("loser_id"), "left_anti")
       .cache()
     counts += "near_dedup" -> nearKept.count()
+    bands.unpersist()
 
     // optional vector-space pass: near-dup pairs among the SURVIVING
     // docs' embeddings (vec_id keyed like doc_id); drop the higher id

@@ -38,6 +38,10 @@ object StreamBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // droppedByWatermark sums over recentProgress, which retains only
+      // this many batches — keep it above any replica count so early
+      // drops can never age out of the audit
+      .config("spark.sql.streaming.numRecentProgressUpdates", "100000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -139,11 +139,34 @@ object Dedup {
       .filter(col("sz") > maxBucketSize)
       .select(col("band_id"), col("band_hash"), col("sz").as("bucket_size"))
 
-  private def bucketIds(bands: DataFrame, cap: Int): DataFrame =
+  /** Group-dedup for the buckets [[lshCandidates]] skips: every member
+    * except the min id per over-cap bucket, as loser ids. An over-cap
+    * bucket is a duplicate explosion — near-identical by construction —
+    * so pairwise scoring adds nothing; keep-one-per-bucket is the
+    * correct (and O(bucket), window-partitioned, never-materialized)
+    * treatment. Compose with lshCandidates' pair losers for a complete
+    * dedup pass (see jobs.CorpusPipeline).
+    */
+  def lshOversizedLosers(bands: DataFrame, maxBucketSize: Int = 10000): DataFrame =
+    bands.join(lshOversizedBuckets(bands, maxBucketSize)
+        .select(col("band_id"), col("band_hash")),
+      Seq("band_id", "band_hash"))
+      .select(col("doc_id"),
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("band_hash"))).as("keep"))
+      .filter(col("doc_id") =!= col("keep"))
+      .select(col("doc_id").as("loser_id")).distinct()
+
+  private def bucketIds(bands: DataFrame, cap: Int): DataFrame = {
+    val idType = bands.schema("doc_id").dataType
+    require(idType == org.apache.spark.sql.types.LongType,
+      s"lshCandidates: doc_id must be LongType (the memory-capped bucket " +
+        s"aggregator is Long-typed), got $idType — hash or cast ids upstream")
     bands.groupBy(col("band_id"), col("band_hash"))
       .agg(graft.functions.TypedAggs.cappedCollectIds(col("doc_id"), cap).as("b"))
       .select(col("band_id"), col("band_hash"),
         col("b.ids").as("ids"), col("b.n").as("sz"))
+  }
 
   /** Exact word-set Jaccard over pairs within `groupCol` blocks (the
     * verify step after LSH, or a blocked all-pairs when a natural
@@ -286,8 +309,13 @@ object Dedup {
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, planes: Int = 8): DataFrame = {
     graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    // zero vectors (failed/padded embedding runs) are excluded BEFORE
+    // pairing: their cosine is 0/0 = NaN, and Spark orders NaN above
+    // every double, so `NaN >= threshold` would emit the pair and a
+    // legitimate doc would be dropped for having a broken neighbor
     val e = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
       .withColumn("norm2", expr("array_dot(vec, vec)"))
+      .filter(col("norm2") > 0)
       .join(Similarity.lshBuckets(emb, idCol, vecCol, planes),
         col("vid") === col("vec_id"))
       .drop("vec_id")

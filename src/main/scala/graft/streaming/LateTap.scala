@@ -53,10 +53,7 @@ object LateTap {
               buckets: Int = 64): DataFrame = {
     require(df.isStreaming, "LateTap.tagLate audits a streaming Dataset; " +
       "in batch there is no watermark and nothing is ever late")
-    val hasWatermark = df.queryExecution.logical.collect {
-      case p if p.nodeName == "EventTimeWatermark" => p
-    }.nonEmpty
-    require(hasWatermark,
+    require(Watermarks.hasEventTimeWatermark(df),
       s"LateTap.tagLate: call .withWatermark(\"$tsCol\", ...) upstream — " +
         "the watermark is the late/on-time threshold being audited")
     val schema = df.schema

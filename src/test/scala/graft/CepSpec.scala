@@ -121,6 +121,23 @@ class CepSpec extends AnyFunSuite {
     assert(e.getMessage.contains("withWatermark"))
   }
 
+  test("null keys form their own group; no state leaks across the null boundary") {
+    // nulls sort FIRST in the secondary sort, so a state leak would
+    // carry null-key runs into the first real key's fold
+    val events = Seq(
+      CepEvent(null, ts(10), "fail", 1),
+      CepEvent(null, ts(11), "fail", 2),  // pair within the null group
+      CepEvent("a", ts(11), "fail", 3))   // alone — must NOT pair with id 2
+    val out = CEP.detectBatch(events.toDS(), loginFail).collect()
+    assert(out.length === 1 && out(0).key == null)
+    assert(out(0).events.map(_.id) === Seq(1L, 2L))
+    // end-of-input flush must fire for an all-null-key input too
+    val t = CEP.detectBatch(
+      Seq(CepEvent(null, ts(100), "create", 9)).toDS(),
+      orderPay, emitTimeouts = true).collect()
+    assert(t.length === 1 && t(0).timedOut && t(0).key == null)
+  }
+
   test("single-step and maxRuns bounds") {
     val events = (1L to 50L).map(i => ev("k", 100 + i, "fail", i))
     val single = Pattern.begin("any", _.eventType == "fail")

@@ -86,7 +86,9 @@ class KafkaE2ESpec extends AnyFunSuite {
       true
     } catch {
       case e: Throwable =>
-        !e.getMessage.toLowerCase.contains("find data source")
+        // getMessage can be null (e.g. NoClassDefFoundError from a
+        // partial jar set) — that is still not a resolution failure
+        !String.valueOf(e.getMessage).toLowerCase.contains("find data source")
     }
     assert(resolves === connectorPresent)
   }

@@ -237,13 +237,25 @@ class MiningSpec extends AnyFunSuite {
       (1L, Array(1f, 0f, 0f, 0f)),
       (2L, Array(1f, 0f, 0f, 0f)),      // identical → same bucket, cosine 1
       (3L, Array(0.97f, 0.1f, 0.1f, 0.1f)), // near-dup of 1/2
-      (4L, Array(-1f, 0.2f, 0.3f, -0.5f)))  // far from everything
+      (4L, Array(-1f, 0.2f, 0.3f, -0.5f)),  // far from everything
+      (5L, Array(0f, 0f, 0f, 0f)))      // zero vector: cosine would be NaN
       .toDF("vec_id", "embedding")
     val out = Dedup.embeddingNearDup(df, "vec_id", "embedding", 0.9)
       .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect().toSet
     assert(out.contains((1L, 2L, 1.0)))
     assert(out.forall { case (a, b, c) => a < b && c >= 0.9 })
-    assert(!out.exists { case (a, b, _) => a == 4L || b == 4L })
+    // neither the far vector nor the zero vector may appear in any pair
+    // (NaN cosine orders above every double in Spark — must be excluded)
+    assert(!out.exists { case (a, b, _) => a >= 4L || b >= 4L })
+  }
+
+  test("lshOversizedLosers keeps the min id per over-cap bucket only") {
+    val bands = ((1L to 25L).map(i => (i, 0L, "bighash")) ++
+      Seq((30L, 1L, "small"), (31L, 1L, "small")))
+      .toDF("doc_id", "band_id", "band_hash")
+    val losers = Dedup.lshOversizedLosers(bands, maxBucketSize = 10)
+      .as[Long].collect().toSet
+    assert(losers === (2L to 25L).toSet) // min id 1 kept; small bucket untouched
   }
 
   test("lshBuckets is deterministic and equal for equal vectors") {
