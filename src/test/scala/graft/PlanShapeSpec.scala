@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression pins for the properties the 100 TB design
+  * depends on (PLANS.md documents the why): filters reaching the scans,
+  * broadcast choices on dimension joins, rank-limit pushdown, exchange
+  * counts. A future refactor that silently turns a broadcast join into
+  * a cartesian, or detaches a filter from its scan, fails here instead
+  * of only in a bench regression.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: the event filter is pushed into the parquet scan") {
+    val p = plan("q01_pv_hourly")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_type,view)"))
+  }
+
+  test("q04: rank<=5 is pre-pruned below the shuffle (WindowGroupLimit)") {
+    assert(plan("q04_hot_items_top5").contains("WindowGroupLimit"))
+  }
+
+  test("q13: single aggregation exchange over one scan (partial+final)") {
+    val p = plan("q13_pricing_summary")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2) // agg + AQE read
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q36: star join stays broadcast — lineitem never shuffles before the agg") {
+    val p = plan("q36_region_volume")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q50: top-100 is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q50_large_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q57: OR-of-bands stays a hash join with the disjunction pushed to the scan") {
+    val p = plan("q57_disjunctive_band_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)")) // pushed OR band
+  }
+
+  test("q63: every predicate reaches the scan; no join operators at all") {
+    val p = plan("q63_forecast_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"))
+    assert(p.contains("LessThan(l_quantity,24.0)"))
+    assert(!p.contains("Join"))
+  }
+
+  test("q47: hash sampling is a pure filter — zero exchanges, zero joins") {
+    val p = plan("q47_stratified_sample")
+    assert(!p.contains("Exchange") && !p.contains("Join"))
+  }
+}
