@@ -96,8 +96,10 @@ object Pattern {
   */
 object CEP {
 
-  /** Fold one key's events (already sorted) through the NFA. */
-  private def advance(pattern: Pattern, runs: List[Run], events: Seq[CepEvent],
+  /** Fold one key's events (already sorted) through the NFA. Shared by
+    * all three detection forms (batch fold, fMGWS, CepProcessor).
+    */
+  private[cep] def advance(pattern: Pattern, runs: List[Run], events: Seq[CepEvent],
                       emitTimeouts: Boolean, out: ListBuffer[PatternMatch],
                       key: String): List[Run] = {
     val steps = pattern.steps

@@ -121,6 +121,48 @@ class CepSpec extends AnyFunSuite {
     assert(e.getMessage.contains("withWatermark"))
   }
 
+  test("transformWithState CEP (arbitrary-state v2) matches the fMGWS form") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Seq(
+        ev("u1", 10, "fail", 1), ev("u1", 11, "fail", 2),
+        ev("u2", 10, "fail", 3), ev("u2", 11, "success", 4), ev("u2", 12, "fail", 5),
+        ev("u1", 12, "fail", 6))
+      val input = MemoryStream[CepEvent]
+      val q = CepProcessor(
+          input.toDS().withWatermark("ts", "0 seconds").as[CepEvent], loginFail)
+        .writeStream.outputMode("append").format("memory").queryName("cep_v2").start()
+      events.grouped(2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val v2 = spark.table("cep_v2").as[PatternMatch].collect()
+        .map(m => (m.key, m.events.map(_.id))).toSet
+      q.stop()
+      val batch = CEP.detectBatch(events.toDS(), loginFail).collect()
+        .map(m => (m.key, m.events.map(_.id))).toSet
+      assert(v2 === batch)
+      assert(v2 === Set(("u1", Seq(1L, 2L)), ("u1", Seq(2L, 6L))))
+
+      // timer-fired timeout emission (the explicit-timer path)
+      val in2 = MemoryStream[CepEvent]
+      val q2 = CepProcessor(
+          in2.toDS().withWatermark("ts", "0 seconds").as[CepEvent],
+          orderPay, emitTimeouts = true)
+        .writeStream.outputMode("append").format("memory").queryName("cep_v2t").start()
+      in2.addData(ev("o1", 1000, "create", 1), ev("o2", 1000, "create", 2),
+        ev("o2", 1100, "pay", 3))
+      q2.processAllAvailable()
+      in2.addData(ev("zz", 10000, "other", 4)) // advance watermark past deadline
+      q2.processAllAvailable()
+      in2.addData(ev("zz", 20000, "other", 5))
+      q2.processAllAvailable()
+      val out2 = spark.table("cep_v2t").as[PatternMatch].collect()
+      q2.stop()
+      assert(out2.exists(m => m.key == "o2" && !m.timedOut))
+      assert(out2.exists(m => m.key == "o1" && m.timedOut &&
+        m.events.map(_.id) == Seq(1L)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("null keys form their own group; no state leaks across the null boundary") {
     // nulls sort FIRST in the secondary sort, so a state leak would
     // carry null-key runs into the first real key's fold
