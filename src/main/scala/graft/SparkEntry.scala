@@ -774,6 +774,13 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("total_rev"))
     }),
 
+    // ANN recall scaling: bucket-nearest over TWO independent SRP plane
+    // families — candidates collide in ANY family, so per-family miss
+    // rates multiply; still equi-join shaped (Σ bucket² per family)
+    "q64_ann_multiprobe" -> ((s, dir) =>
+      Similarity.bucketNearestMulti(Tables.embeddings(s, dir),
+        "vec_id", "embedding", families = 2)),
+
     // TPC-H Q6 shape: pure scan-filter-aggregate forecast query — every
     // predicate (date range, discount band, quantity cap) reaches the
     // parquet scan as a pushed filter; zero joins, one agg exchange
@@ -1472,5 +1479,38 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= DATE '2000-01-01' AND l_shipdate < DATE '2001-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q64_ann_multiprobe" ->
+      """WITH fam AS (SELECT unnest(generate_series(0, 1)) AS family),
+        |fb AS (
+        |  SELECT e.vec_id, fam.family,
+        |    list_sum(list_transform(generate_series(0, 7), p ->
+        |      CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
+        |             e.embedding[d]::DOUBLE *
+        |             ((('0x'||substr(md5('f' || fam.family::VARCHAR || '_' || p::VARCHAR || '_' || d::VARCHAR),1,15))::BIGINT % 2001 - 1000)::DOUBLE / 1000.0)
+        |           )) >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS bucket
+        |  FROM embeddings e CROSS JOIN fam),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        |  FROM fb a JOIN fb b ON a.family = b.family AND a.bucket = b.bucket
+        |                     AND a.vec_id <> b.vec_id),
+        |e2 AS (
+        |  SELECT vec_id, embedding,
+        |         list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         round(list_sum(list_transform(generate_series(1, 64),
+        |             i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE))
+        |           / sqrt(q.norm2 * n.norm2), 6) AS score
+        |  FROM cand c
+        |  JOIN e2 q ON c.query_id = q.vec_id
+        |  JOIN e2 n ON c.neighbor_id = n.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, neighbor_id ASC) AS rn
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, score FROM r WHERE rn = 1""".stripMargin,
   )
 }

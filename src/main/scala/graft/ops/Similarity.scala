@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -98,31 +98,74 @@ object Similarity {
     */
   def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
                  planes: Int = 8, dim: Int = -1): DataFrame = {
-    val d =
-      if (dim > 0) dim
-      else emb.select(size(col(vecCol))).head(1) match {
-        case Array(r) => r.getInt(0)
-        case _ =>            // empty input: empty output, same schema
-          return emb.select(col(idCol).as("vec_id"), lit(0L).as("bucket")).limit(0)
-      }
+    val d = probeDim(emb, vecCol, dim) match {
+      case Some(n) => n
+      case None =>           // empty input: empty output, same schema
+        return emb.select(col(idCol).as("vec_id"), lit(0L).as("bucket")).limit(0)
+    }
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    emb.select(col(idCol).as("vec_id"),
+      guardedBucket(emb, idCol, vecCol, planes, d, "").as("bucket"))
+  }
+
+  /** Recall scaling for the SRP family: `families` INDEPENDENT plane
+    * families, one bucket per (vector, family) — a candidate pair only
+    * needs to collide in ANY family, so the per-family miss rates
+    * multiply (two 8-plane families ⇒ miss² instead of miss). Output
+    * (vec_id, family, bucket); block on (family, bucket). Cost is
+    * linear in `families` for bucketing and for the candidate join.
+    */
+  def lshBucketFamilies(emb: DataFrame, idCol: String, vecCol: String,
+                        planes: Int = 8, families: Int = 2,
+                        dim: Int = -1): DataFrame = {
+    require(families >= 1, "families must be >= 1")
+    val d = probeDim(emb, vecCol, dim) match {
+      case Some(n) => n
+      case None =>
+        return emb.select(col(idCol).as("vec_id"), lit(0).as("family"),
+          lit(0L).as("bucket")).limit(0)
+    }
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    val fams = (0 until families).map { f =>
+      struct(lit(f).as("family"),
+        guardedBucket(emb, idCol, vecCol, planes, d, s"f${f}_").as("bucket"))
+    }
+    emb.select(col(idCol).as("vec_id"), explode(array(fams: _*)).as("fb"))
+      .select(col("vec_id"), col("fb.family").as("family"),
+        col("fb.bucket").as("bucket"))
+  }
+
+  private def probeDim(emb: DataFrame, vecCol: String, dim: Int): Option[Int] =
+    if (dim > 0) Some(dim)
+    else emb.select(size(col(vecCol))).head(1) match {
+      case Array(r) => Some(r.getInt(0))
+      case _        => None
+    }
+
+  /** The SRP bucket expression: sign bits of `planes` md5-derived
+    * hyperplane dot products (seed string `"$prefix${p}_$d"` — the SQL
+    * oracle recomputes the identical matrix), with the row-level length
+    * guard (ADVICE r1: mixed-length corpora fail loudly).
+    */
+  private def guardedBucket(emb: DataFrame, idCol: String, vecCol: String,
+                            planes: Int, d: Int, prefix: String): Column = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def md5Long60(s: String): Long = {
       val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.substring(0, 15), 16)
     }
-    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
     val dot = (0 until planes).map { p =>
-      val plane = (1 to d).map(dd => (md5Long60(s"${p}_$dd") % 2001 - 1000) / 1000.0)
+      val plane = (1 to d).map(dd =>
+        (md5Long60(s"$prefix${p}_$dd") % 2001 - 1000) / 1000.0)
       call_function("array_dot", col(vecCol), typedLit(plane))
     }
     val bucket = dot.zipWithIndex.foldLeft(lit(0L)) { case (acc, (dp, p)) =>
       acc + when(dp >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }
-    emb.select(col(idCol).as("vec_id"),
-      when(size(col(vecCol)) === d, bucket)
-        .otherwise(raise_error(concat(
-          lit(s"lshBuckets: embedding length != $d for $idCol="),
-          col(idCol).cast("string")))).as("bucket"))
+    when(size(col(vecCol)) === d, bucket)
+      .otherwise(raise_error(concat(
+        lit(s"lshBuckets: embedding length != $d for $idCol="),
+        col(idCol).cast("string"))))
   }
 
   /** ANN via LSH blocking end-to-end: nearest neighbor (cosine) for each
@@ -150,6 +193,40 @@ object Similarity {
       col("norm2"), col("bucket").as("bucket_b"))
     val scored = a.join(b,
         col("bucket") === col("bucket_b") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("round(array_dot(q_vec, vec) / sqrt(q_norm2 * norm2), 6)").as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** [[bucketNearest]] with stacked plane families: candidate pairs
+    * share a bucket in ANY family ([[lshBucketFamilies]]), are deduped
+    * as id pairs (cheap — ids only, vectors joined back afterwards so
+    * arrays never pass through the distinct), then scored once and
+    * rank-1'd per query. Strictly higher recall than a single family at
+    * `families`× the candidate-join cost; the plan stays equi-join
+    * shaped — work ∝ Σ per-family bucket sizes², never n².
+    */
+  def bucketNearestMulti(emb: DataFrame, idCol: String, vecCol: String,
+                         planes: Int = 8, families: Int = 2): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    val fb = lshBucketFamilies(emb, idCol, vecCol, planes, families)
+    val a = fb.select(col("vec_id").as("query_id"), col("family"), col("bucket"))
+    val b = fb.select(col("vec_id").as("neighbor_id"),
+      col("family").as("family_b"), col("bucket").as("bucket_b"))
+    val cand = a.join(b, col("family") === col("family_b") &&
+        col("bucket") === col("bucket_b") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .withColumn("norm2", expr(norm2Sql.format("vec", "vec")))
+    val scored = cand
+      .join(e.select(col("vid").as("query_id"), col("vec").as("q_vec"),
+        col("norm2").as("q_norm2")), "query_id")
+      .join(e.select(col("vid").as("neighbor_id"), col("vec"), col("norm2")),
+        "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         expr("round(array_dot(q_vec, vec) / sqrt(q_norm2 * norm2), 6)").as("score"))
     val w = Window.partitionBy(col("query_id"))

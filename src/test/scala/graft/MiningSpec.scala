@@ -258,6 +258,34 @@ class MiningSpec extends AnyFunSuite {
     assert(losers === (2L to 25L).toSet) // min id 1 kept; small bucket untouched
   }
 
+  test("bucketNearestMulti: family-0 buckets differ from single-family; recall never drops") {
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val single = graft.ops.Similarity.bucketNearest(df, "vec_id", "embedding", planes = 6)
+      .select("query_id").as[Long].collect().toSet
+    val multi = graft.ops.Similarity.bucketNearestMulti(df, "vec_id", "embedding",
+        planes = 6, families = 3)
+      .select("query_id").as[Long].collect().toSet
+    // any-family collision is a superset criterion of... a DIFFERENT
+    // single family (seeds differ), so assert the structural guarantee
+    // instead: more families can only add queries with candidates
+    val oneFam = graft.ops.Similarity.bucketNearestMulti(df, "vec_id", "embedding",
+        planes = 6, families = 1)
+      .select("query_id").as[Long].collect().toSet
+    assert(oneFam.subsetOf(multi))
+    assert(multi.size >= oneFam.size && multi.size >= 1)
+    assert(single.nonEmpty) // the single-family baseline still runs
+    // identical vectors always collide in every family → always paired
+    val dup = Seq((100L, Array.fill(16)(0.25f)), (101L, Array.fill(16)(0.25f)))
+      .toDF("vec_id", "embedding")
+    val pairs = graft.ops.Similarity.bucketNearestMulti(dup, "vec_id", "embedding",
+        planes = 6, families = 2)
+      .select("query_id", "neighbor_id", "score").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(pairs === Set((100L, 101L, 1.0), (101L, 100L, 1.0)))
+  }
+
   test("lshBuckets is deterministic and equal for equal vectors") {
     val df = Seq((0L, Array.fill(64)(0.5f)), (1L, Array.fill(64)(0.5f)),
       (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)))
