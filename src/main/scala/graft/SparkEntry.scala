@@ -774,6 +774,15 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("total_rev"))
     }),
 
+    // transitive near-dup clusters: connected components (min-label
+    // propagation) over the LSH candidate pairs — the cluster-level
+    // completion of q22's pairwise output
+    "q65_dup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.lshCandidates(
+          Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text")),
+        "doc_a", "doc_b")),
+
     // ANN recall scaling: bucket-nearest over TWO independent SRP plane
     // families — candidates collide in ANY family, so per-family miss
     // rates multiply; still equi-join shaped (Σ bucket² per family)
@@ -902,6 +911,25 @@ object SparkEntry {
          |  ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
          | AND a.doc_id < b2.doc_id
          |GROUP BY 1, 2""".stripMargin,
+
+    "q65_dup_components" ->
+      s"""$duckBandsCte,
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM b a JOIN b b2
+         |    ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+         |   AND a.doc_id < b2.doc_id
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS t FROM cand
+         |  UNION SELECT doc_b, doc_a FROM cand),
+         |walk AS (
+         |  WITH RECURSIVE w(v, l) AS (
+         |    SELECT s, s FROM edges
+         |    UNION
+         |    SELECT e.s, w.l FROM edges e JOIN w ON e.t = w.v)
+         |  SELECT * FROM w)
+         |SELECT v AS id, min(l) AS component FROM walk GROUP BY v""".stripMargin,
 
     "q23_simhash" ->
       """WITH h AS (

@@ -286,6 +286,63 @@ object Dedup {
     bitSums.select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** Connected components over an undirected pair list — the
+    * cluster-consistent completion of pairwise near-dup detection:
+    * "drop doc_b of every pair" handles chains but cannot pick ONE
+    * representative per transitive cluster (needed for cluster stats,
+    * keep-best-quality-per-cluster policies, or audit). Output is
+    * (id, component) where component = the min id reachable from `id`;
+    * only ids appearing in `pairs` are emitted (singletons are their
+    * own trivial component — join them in as `id = component`).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own and its neighbors' labels, implemented as
+    * one equi-join + one groupBy per round, converging in
+    * graph-diameter rounds (near-dup clusters are shallow: text dupes
+    * of one source sit within 1-2 hops). Each round is shuffle-bounded
+    * by |edges|; labels persist round-over-round and the loop stops on
+    * a zero-change round (one count per round — the only driver-side
+    * data is that scalar). `maxIter` bounds pathological chains; hitting
+    * it throws rather than returning a half-merged clustering.
+    *
+    * The returned DataFrame is persisted (its lineage is the whole
+    * iteration) — caller unpersists when done.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id"), col("src").as("component"))
+      .distinct()
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("dst"), col("component")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("n_comp"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_comp"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    edges.unpersist()
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "graph diameter exceeds the bound; raise maxIter")
+    labels
+  }
+
   /** Embedding-cosine near-duplicate pairs — the vector-space member of
     * the dedup family (text fingerprints miss paraphrases; embeddings
     * catch them). Blocking via sign-random-projection LSH

@@ -258,6 +258,25 @@ class MiningSpec extends AnyFunSuite {
     assert(losers === (2L to 25L).toSet) // min id 1 kept; small bucket untouched
   }
 
+  test("connectedComponents: transitive clusters collapse to their min id") {
+    val pairs = Seq(
+      (2L, 5L), (5L, 9L),          // chain 2-5-9 → component 2
+      (20L, 21L),                  // pair → component 20
+      (30L, 31L), (31L, 30L))      // duplicate/reversed edges are fine
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val got = cc.as[(Long, Long)].collect().toMap
+    cc.unpersist()
+    assert(got === Map(2L -> 2L, 5L -> 2L, 9L -> 2L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+    // a diameter past maxIter must throw, never return half-merged labels
+    val chain = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIter = 2)
+    }
+  }
+
   test("bucketNearestMulti: family-0 buckets differ from single-family; recall never drops") {
     val rnd = new scala.util.Random(11)
     val df = (0L until 60L).map(i =>
