@@ -774,6 +774,19 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("total_rev"))
     }),
 
+    // quality-weighted deterministic sampling: keep each doc with
+    // probability = its quality score — a pure hash filter, no RNG
+    "q66_quality_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedHashSample(
+        TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id", col("quality"), salt = "wq")
+        .select(col("doc_id"), col("quality"))),
+
+    // TF-IDF term weights — two hash aggregates + a term join + the
+    // corpus size broadcast; work proportional to total tokens
+    "q67_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdf(Tables.documents(s, dir), "doc_id", "text")),
+
     // transitive near-dup clusters: connected components (min-label
     // propagation) over the LSH candidate pairs — the cluster-level
     // completion of q22's pairwise output
@@ -1136,6 +1149,36 @@ object SparkEntry {
         |       WHEN quality >= 0.4 THEN 'medium'
         |       ELSE 'low' END AS quality_label
         |FROM q""".stripMargin,
+
+    "q66_quality_weighted_sample" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_words,
+        |    len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_words,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> list_contains(['the','a','of','and','in','to','is','on','for','with'], w)))::BIGINT AS stopword_cnt
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(0.4 * least(n_words::DOUBLE / 100.0, 1.0)
+        |        + 0.4 * (n_distinct_words::DOUBLE / n_words::DOUBLE)
+        |        + 0.2 * least(5.0 * stopword_cnt::DOUBLE / n_words::DOUBLE, 1.0), 6) AS quality
+        |  FROM c)
+        |SELECT doc_id, quality FROM q
+        |WHERE ('0x'||substr(md5('wq' || doc_id::VARCHAR),1,15))::BIGINT % 10000 <
+        |      floor(least(greatest(quality, 0.0), 1.0) * 10000)""".stripMargin,
+
+    "q67_tfidf" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf_cnt FROM w GROUP BY 1, 2),
+        |dfq AS (
+        |  SELECT term, count(*) AS df_cnt FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf_cnt, dfq.df_cnt,
+        |       round(tf.tf_cnt * ln((n.n_docs + 1)::DOUBLE / (dfq.df_cnt + 1)), 6) AS score
+        |FROM tf JOIN dfq USING (term) CROSS JOIN n""".stripMargin,
 
     "q44_late_shipment_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count

@@ -44,6 +44,18 @@ object Sampling {
                  salt: String = ""): DataFrame =
     df.filter(keep(df, idCol, lit(fraction), salt))
 
+  /** Per-row-probability deterministic sample: keeps each row with
+    * probability `weight` (an arbitrary per-row Column, clamped to
+    * [0, 1]) decided by its id hash — quality-weighted corpus selection
+    * (keep good docs more often) as a pure codegen'd filter, no RNG, no
+    * shuffle, reproducible at any layout. Same salt rules as
+    * [[hashSample]] when stacking stages.
+    */
+  def weightedHashSample(df: DataFrame, idCol: String, weight: Column,
+                         salt: String = ""): DataFrame =
+    df.filter(keep(df, idCol,
+      least(greatest(weight, lit(0.0)), lit(1.0)), salt))
+
   /** Stratified deterministic sample: per-stratum fractions with a
     * default for unlisted strata. The fraction lookup is a broadcast-free
     * CASE expression (strata maps are dimension-sized); membership stays

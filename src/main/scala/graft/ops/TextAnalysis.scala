@@ -114,4 +114,26 @@ object TextAnalysis {
     df.select(col(idCol).as("doc_id"),
       md5(col(textCol)).as("fp_full"),
       Dedup.fingerprint(textCol).as("fp_sorted"))
+
+  /** TF-IDF term weights per (doc, term): tf · ln((N+1)/(df+1)),
+    * rounded to 6 digits. Two hash aggregates (term frequency per doc,
+    * document frequency per term) + one equi-join on term + the corpus
+    * size as a one-row broadcast cross join — no driver collect, no
+    * global sort; work ∝ total tokens, the canonical weighting shape
+    * for feature extraction at corpus scale.
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = words.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf_cnt"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_cnt"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf_cnt"), col("df_cnt"),
+        round(col("tf_cnt") *
+          log((col("n_docs") + 1).cast("double") / (col("df_cnt") + 1)), 6)
+          .as("score"))
+  }
 }

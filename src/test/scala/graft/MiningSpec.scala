@@ -258,6 +258,20 @@ class MiningSpec extends AnyFunSuite {
     assert(losers === (2L to 25L).toSet) // min id 1 kept; small bucket untouched
   }
 
+  test("weightedHashSample: weight 0 keeps nothing, 1 keeps all, deterministic between") {
+    import graft.ops.Sampling
+    val df = (1L to 2000L).map(i => (i, i / 2000.0)).toDF("doc_id", "w")
+    assert(Sampling.weightedHashSample(df, "doc_id", lit(0.0)).count() === 0)
+    assert(Sampling.weightedHashSample(df, "doc_id", lit(1.0)).count() === 2000)
+    assert(Sampling.weightedHashSample(df, "doc_id", lit(2.5)).count() === 2000) // clamped
+    val kept1 = Sampling.weightedHashSample(df, "doc_id", $"w")
+      .select("doc_id").as[Long].collect().toSet
+    val kept2 = Sampling.weightedHashSample(df.repartition(7), "doc_id", $"w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept1 === kept2)                       // layout-independent
+    assert(math.abs(kept1.size - 1000) < 150)     // ~E[w] of the corpus
+  }
+
   test("connectedComponents: transitive clusters collapse to their min id") {
     val pairs = Seq(
       (2L, 5L), (5L, 9L),          // chain 2-5-9 → component 2
