@@ -970,9 +970,11 @@ object SparkEntry {
 
     "q25_knn_bruteforce" ->
       """WITH e AS (
-        |  SELECT vec_id, embedding,
-        |         list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
-        |  FROM embeddings),
+        |  SELECT * FROM (
+        |    SELECT vec_id, embedding,
+        |           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
+        |    FROM embeddings)
+        |  WHERE norm2 > 0),
         |q AS (
         |  SELECT vec_id AS query_id, embedding AS q_emb, norm2 AS q_norm2
         |  FROM e WHERE vec_id < 10),
@@ -1109,6 +1111,7 @@ object SparkEntry {
 
     "q42_ann_bucket_nearest" ->
       """WITH e AS (
+        |  SELECT * FROM (
         |  SELECT vec_id, embedding,
         |    list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2,
         |    list_sum(list_transform(generate_series(0, 7), p ->
@@ -1116,7 +1119,8 @@ object SparkEntry {
         |             embedding[d]::DOUBLE *
         |             ((('0x'||substr(md5(p::VARCHAR || '_' || d::VARCHAR),1,15))::BIGINT % 2001 - 1000)::DOUBLE / 1000.0)
         |           )) >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS bucket
-        |  FROM embeddings),
+        |  FROM embeddings)
+        |  WHERE norm2 > 0),
         |sc AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |         round(list_sum(list_transform(generate_series(1, len(a.embedding)),
@@ -1566,9 +1570,11 @@ object SparkEntry {
         |  FROM fb a JOIN fb b ON a.family = b.family AND a.bucket = b.bucket
         |                     AND a.vec_id <> b.vec_id),
         |e2 AS (
-        |  SELECT vec_id, embedding,
-        |         list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
-        |  FROM embeddings),
+        |  SELECT * FROM (
+        |    SELECT vec_id, embedding,
+        |           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
+        |    FROM embeddings)
+        |  WHERE norm2 > 0),
         |sc AS (
         |  SELECT c.query_id, c.neighbor_id,
         |         round(list_sum(list_transform(generate_series(1, 64),

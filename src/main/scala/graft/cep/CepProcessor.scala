@@ -13,13 +13,16 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
   * streaming.ConsecutiveFailsProcessor / OrderTimeoutProcessor).
   *
   * Same NFA, same semantics: live runs in a named ValueState
-  * (RocksDB-backed), `within` deadlines as explicit event-time timers
-  * at the earliest pending run's deadline (clamped above the watermark).
-  * Timer fires re-check actual run deadlines against the current
-  * watermark, so stale timers from earlier batches are no-ops — the
-  * idiom BlacklistProcessor documents. Patterns without `within` run in
-  * TimeMode.None with no timers (state then lives until a run completes
-  * or dies — bound patterns with `within` or `maxRuns` in production).
+  * (RocksDB-backed), `within` deadlines as ONE explicit event-time
+  * timer per key at the earliest pending run's deadline (clamped above
+  * the watermark). The registered timestamp is tracked in its own
+  * ValueState so a superseded timer is deleted before its replacement
+  * registers — the BlacklistProcessor idiom; without it timers would
+  * accumulate with run churn. Timer fires still re-check actual run
+  * deadlines against the watermark, so any stray fire is a no-op.
+  * Patterns without `within` run in TimeMode.None with no timers
+  * (state then lives until a run completes or dies — bound patterns
+  * with `within` or `maxRuns` in production).
   *
   * Reference: LoginFailWithCep.scala:50-57, OrderTimeout.scala:50-64.
   */
@@ -27,19 +30,36 @@ class CepProcessor(pattern: Pattern, emitTimeouts: Boolean)
     extends StatefulProcessor[String, CepEvent, PatternMatch] {
 
   @transient private var state: ValueState[CepState] = _
+  @transient private var timerState: ValueState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     state = getHandle.getValueState[CepState]("runs",
       Encoders.product[CepState], TTLConfig.NONE)
+    timerState = getHandle.getValueState[Long]("deadline",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def clearTimer(): Unit =
+    if (timerState.exists()) {
+      getHandle.deleteTimer(timerState.get())
+      timerState.clear()
+    }
 
   private def persist(runs: List[Run], timerValues: TimerValues): Unit =
-    if (runs.isEmpty) { if (state.exists()) state.clear() }
-    else {
+    if (runs.isEmpty) {
+      if (state.exists()) state.clear()
+      clearTimer()
+    } else {
       state.update(CepState(runs))
       pattern.withinMs.foreach { w =>
-        val deadline = runs.map(_.firstTs + w).min + 1
-        getHandle.registerTimer(
-          Math.max(deadline, timerValues.getCurrentWatermarkInMs + 1))
+        val t = Math.max(runs.map(_.firstTs + w).min + 1,
+          timerValues.getCurrentWatermarkInMs + 1)
+        val prev = if (timerState.exists()) Some(timerState.get()) else None
+        if (!prev.contains(t)) {
+          prev.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(t)
+          timerState.update(t)
+        }
       }
     }
 

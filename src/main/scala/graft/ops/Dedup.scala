@@ -143,19 +143,25 @@ object Dedup {
     * except the min id per over-cap bucket, as loser ids. An over-cap
     * bucket is a duplicate explosion — near-identical by construction —
     * so pairwise scoring adds nothing; keep-one-per-bucket is the
-    * correct (and O(bucket), window-partitioned, never-materialized)
-    * treatment. Compose with lshCandidates' pair losers for a complete
-    * dedup pass (see jobs.CorpusPipeline).
+    * correct treatment.
+    *
+    * Shape matters here precisely BECAUSE the buckets are huge: a
+    * window over the bucket would shuffle an entire explosion into one
+    * task (the skew the cap exists to avoid). Instead min+count
+    * aggregate with map-side partial combine (O(1) buffer per bucket,
+    * one row out per bucket), keep only the over-cap keepers (a tiny
+    * set — size-based planning broadcasts it), and join back to flag
+    * everyone else. No capped-list aggregation, no giant partition.
     */
-  def lshOversizedLosers(bands: DataFrame, maxBucketSize: Int = 10000): DataFrame =
-    bands.join(lshOversizedBuckets(bands, maxBucketSize)
-        .select(col("band_id"), col("band_hash")),
-      Seq("band_id", "band_hash"))
-      .select(col("doc_id"),
-        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_id"), col("band_hash"))).as("keep"))
+  def lshOversizedLosers(bands: DataFrame, maxBucketSize: Int = 10000): DataFrame = {
+    val keepers = bands.groupBy(col("band_id"), col("band_hash"))
+      .agg(min(col("doc_id")).as("keep"), count(lit(1)).as("sz"))
+      .filter(col("sz") > maxBucketSize)
+      .select(col("band_id"), col("band_hash"), col("keep"))
+    bands.join(keepers, Seq("band_id", "band_hash"))
       .filter(col("doc_id") =!= col("keep"))
       .select(col("doc_id").as("loser_id")).distinct()
+  }
 
   private def bucketIds(bands: DataFrame, cap: Int): DataFrame = {
     val idType = bands.schema("doc_id").dataType
@@ -295,18 +301,24 @@ object Dedup {
     * only ids appearing in `pairs` are emitted (singletons are their
     * own trivial component — join them in as `id = component`).
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes the min of its own and its neighbors' labels, implemented as
-    * one equi-join + one groupBy per round, converging in
-    * graph-diameter rounds (near-dup clusters are shallow: text dupes
-    * of one source sit within 1-2 hops). Each round is shuffle-bounded
-    * by |edges|; labels persist round-over-round and the loop stops on
-    * a zero-change round (one count per round — the only driver-side
-    * data is that scalar). `maxIter` bounds pathological chains; hitting
-    * it throws rather than returning a half-merged clustering.
+    * Algorithm: iterative min-label propagation — every node takes the
+    * min of its own and its neighbors' labels. Each materialized round
+    * applies TWO propagation hops inside one plan (rounds =
+    * ceil(diameter/2); near-dup clusters are shallow, so most corpora
+    * converge in 1-2 materializations) and carries the pre-round label
+    * so the convergence check is a filter over the already-cached
+    * frame — one Spark job per round, shuffle-bounded by |edges|, only
+    * the change-count scalar on the driver. `maxIter` bounds
+    * pathological chains; hitting it throws rather than returning a
+    * half-merged clustering.
     *
-    * The returned DataFrame is persisted (its lineage is the whole
-    * iteration) — caller unpersists when done.
+    * The result is local-checkpointed (its lineage is the whole
+    * iteration) and every intermediate cache is released before
+    * returning, so callers treat it as a plain DataFrame — checkpoint
+    * blocks are freed by the ContextCleaner when it goes out of scope.
+    * (On a real cluster prefer a reliable checkpoint dir for
+    * executor-loss resilience; local checkpoints live in executor
+    * storage.)
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
@@ -314,33 +326,44 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id"), col("src").as("component"))
+    // one min-propagation hop, preserving the carried `old` column
+    def hop(l: DataFrame): DataFrame = {
+      val via = edges
+        .join(l.select(col("id").as("dst"), col("component")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("n_comp"))
+      l.join(via, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_comp"), col("component")))
+            .as("component"),
+          col("old"))
+    }
+    var labels = edges.select(col("src").as("id"), col("src").as("component"),
+        col("src").as("old"))
       .distinct()
       .persist()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
-      val viaNeighbors = edges
-        .join(labels.select(col("id").as("dst"), col("component")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("component")).as("n_comp"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("n_comp"), col("component")))
-            .as("component"))
+      val next = hop(hop(labels
+          .select(col("id"), col("component"), col("component").as("old"))))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).count()
+      val changed = next.filter(col("component") =!= col("old")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0
     }
     edges.unpersist()
-    require(converged,
-      s"connectedComponents did not converge in $maxIter rounds — " +
-        "graph diameter exceeds the bound; raise maxIter")
-    labels
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalArgumentException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "graph diameter exceeds the bound; raise maxIter")
+    }
+    val result = labels.select(col("id"), col("component")).localCheckpoint(true)
+    labels.unpersist()
+    result
   }
 
   /** Embedding-cosine near-duplicate pairs — the vector-space member of

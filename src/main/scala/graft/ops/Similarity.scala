@@ -29,6 +29,39 @@ object Similarity {
   /** Squared L2 norm via the native codegen'd dot product. */
   private val norm2Sql = "array_dot(%s, %s)"
 
+  /** (vid, vec, norm2) with zero vectors EXCLUDED: a zero norm makes
+    * every cosine 0/0 = NaN, which Spark orders above all doubles — a
+    * broken embedding would otherwise rank as everyone's best neighbor
+    * (same guard as Dedup.embeddingNearDup; the SQL oracles apply it
+    * identically).
+    */
+  private def normedVectors(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .withColumn("norm2", expr(norm2Sql.format("vec", "vec")))
+      .filter(col("norm2") > 0)
+
+  /** Shared scoring tail of the ANN paths: join the candidate id pairs
+    * back to their vectors, score with the codegen'd dot product
+    * (6-digit rounding — the oracle-parity convention), rank-1 per
+    * query with the neighbor-id tie-break. One place, so rounding and
+    * tie-break changes cannot diverge between the bucket variants.
+    */
+  private def nearestByCosine(cand: DataFrame, emb: DataFrame,
+                              idCol: String, vecCol: String): DataFrame = {
+    val e = normedVectors(emb, idCol, vecCol)
+    val scored = cand
+      .join(e.select(col("vid").as("query_id"), col("vec").as("q_vec"),
+        col("norm2").as("q_norm2")), "query_id")
+      .join(e.select(col("vid").as("neighbor_id"), col("vec"), col("norm2")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        expr("round(array_dot(q_vec, vec) / sqrt(q_norm2 * norm2), 6)").as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   /** Exact top-k cosine neighbors for each query id. The query side is
     * broadcast (keep query batches small; for bulk all-pairs use
     * lshBuckets to block first). Self-pairs excluded.
@@ -37,8 +70,7 @@ object Similarity {
   def cosineKnn(emb: DataFrame, idCol: String, vecCol: String,
                 queryIds: Seq[Long], k: Int): DataFrame = {
     graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
-    val e = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .withColumn("norm2", expr(norm2Sql.format("vec", "vec")))
+    val e = normedVectors(emb, idCol, vecCol)
     val q = e.filter(col("vid").isin(queryIds: _*))
       .select(col("vid").as("query_id"), col("vec").as("q_vec"),
         col("norm2").as("q_norm2"))
@@ -183,22 +215,14 @@ object Similarity {
   def bucketNearest(emb: DataFrame, idCol: String, vecCol: String,
                     planes: Int = 8): DataFrame = {
     graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
-    val e = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .withColumn("norm2", expr(norm2Sql.format("vec", "vec")))
-    val withBucket = e.join(lshBuckets(emb, idCol, vecCol, planes),
-      col("vid") === col("vec_id")).drop("vec_id")
-    val a = withBucket.select(col("vid").as("query_id"), col("vec").as("q_vec"),
-      col("norm2").as("q_norm2"), col("bucket"))
-    val b = withBucket.select(col("vid").as("neighbor_id"), col("vec"),
-      col("norm2"), col("bucket").as("bucket_b"))
-    val scored = a.join(b,
-        col("bucket") === col("bucket_b") && col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        expr("round(array_dot(q_vec, vec) / sqrt(q_norm2 * norm2), 6)").as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    val fb = lshBuckets(emb, idCol, vecCol, planes)
+    val cand = fb.select(col("vec_id").as("query_id"), col("bucket"))
+      .join(fb.select(col("vec_id").as("neighbor_id"),
+        col("bucket").as("bucket_b")),
+        col("bucket") === col("bucket_b") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    nearestByCosine(cand, emb, idCol, vecCol)
   }
 
   /** [[bucketNearest]] with stacked plane families: candidate pairs
@@ -220,18 +244,6 @@ object Similarity {
         col("bucket") === col("bucket_b") &&
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
-    val e = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .withColumn("norm2", expr(norm2Sql.format("vec", "vec")))
-    val scored = cand
-      .join(e.select(col("vid").as("query_id"), col("vec").as("q_vec"),
-        col("norm2").as("q_norm2")), "query_id")
-      .join(e.select(col("vid").as("neighbor_id"), col("vec"), col("norm2")),
-        "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        expr("round(array_dot(q_vec, vec) / sqrt(q_norm2 * norm2), 6)").as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    nearestByCosine(cand, emb, idCol, vecCol)
   }
 }

@@ -280,7 +280,6 @@ class MiningSpec extends AnyFunSuite {
       .toDF("doc_a", "doc_b")
     val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
     val got = cc.as[(Long, Long)].collect().toMap
-    cc.unpersist()
     assert(got === Map(2L -> 2L, 5L -> 2L, 9L -> 2L,
       20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
     // a diameter past maxIter must throw, never return half-merged labels
