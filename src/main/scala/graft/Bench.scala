@@ -53,7 +53,12 @@ object Bench {
       val err = timings.map(_._2).find(_.isDefined).flatten
       (name, if (err.isDefined) -1.0 else timings.map(_._1).min, err)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // millisecond precision: full-precision doubles pushed the 67-query
+    // line past the driver's stdout tail capture in r3 ("parsed": null)
+    // — keep the ONE JSON line compact so it always survives intact
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(t)) =>
       val msg = (t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage))
@@ -62,7 +67,7 @@ object Bench {
     }
     val errField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -549,10 +549,15 @@ object SparkEntry {
     "q21_minhash_bands" -> ((s, dir) =>
       Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text")),
 
-    // near-dup candidate pairs = docs sharing any LSH band bucket
+    // near-dup candidate pairs = docs sharing any LSH band bucket.
+    // Uncapped here because the DuckDB oracle is uncapped: the default
+    // maxBucketSize would silently emit fewer pairs than the oracle on a
+    // corpus with a >10k-doc band bucket (capped behavior is spec-tested
+    // in LshBucketGuardSpec instead)
     "q22_lsh_candidates" -> ((s, dir) =>
       Dedup.lshCandidates(
-        Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"))),
+        Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"),
+        maxBucketSize = Int.MaxValue)),
 
     // 16-bit SimHash signature per document
     "q23_simhash" -> ((s, dir) =>
@@ -790,10 +795,12 @@ object SparkEntry {
     // transitive near-dup clusters: connected components (min-label
     // propagation) over the LSH candidate pairs — the cluster-level
     // completion of q22's pairwise output
+    // (uncapped for the same oracle-parity reason as q22)
     "q65_dup_components" -> ((s, dir) =>
       Dedup.connectedComponents(
         Dedup.lshCandidates(
-          Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text")),
+          Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"),
+          maxBucketSize = Int.MaxValue),
         "doc_a", "doc_b")),
 
     // ANN recall scaling: bucket-nearest over TWO independent SRP plane

@@ -75,6 +75,11 @@ class CepProcessor(pattern: Pattern, emitTimeouts: Boolean)
 
   override def handleExpiredTimer(key: String, timerValues: TimerValues,
                                   expiredTimerInfo: ExpiredTimerInfo): Iterator[PatternMatch] = {
+    // the fired timer no longer exists — drop the tracked timestamp
+    // FIRST so persist() registers fresh instead of deleteTimer()-ing a
+    // nonexistent timer, and no stale deadline survives an empty-state
+    // fire (ADVICE r3)
+    timerState.clear()
     val out = ListBuffer[PatternMatch]()
     val runs = Option(state.get()).map(_.runs).getOrElse(Nil)
     if (runs.nonEmpty) pattern.withinMs.foreach { w =>

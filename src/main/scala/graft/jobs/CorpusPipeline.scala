@@ -37,7 +37,9 @@ object CorpusPipeline {
           mixture: Map[String, Double] = Map.empty,
           embeddings: Option[DataFrame] = None,
           cosineThreshold: Double = 0.9,
-          maxBucketSize: Int = 10000): (DataFrame, Seq[(String, Long)]) = {
+          maxBucketSize: Int = 10000,
+          embIdCol: String = "vec_id",
+          embVecCol: String = "embedding"): (DataFrame, Seq[(String, Long)]) = {
     val counts = Seq.newBuilder[(String, Long)]
     val sampling = sampleFraction < 1.0
     // when nothing is sampled away the input IS the sampled stage —
@@ -85,9 +87,9 @@ object CorpusPipeline {
       case Some(emb) =>
         val alive = emb.join(
           nearKept.select(col("doc_id").as("alive_id")),
-          col("vec_id") === col("alive_id"), "left_semi")
+          col(embIdCol) === col("alive_id"), "left_semi")
         val embLosers = Dedup.embeddingNearDup(
-            alive, "vec_id", "embedding", cosineThreshold)
+            alive, embIdCol, embVecCol, cosineThreshold)
           .select(col("vec_b").as("emb_loser")).distinct()
         val kept = nearKept.join(embLosers,
             col("doc_id") === col("emb_loser"), "left_anti")

@@ -129,5 +129,14 @@ object StreamBench {
       s""""stateful_sec":$statefulSec,"stateful_rocksdb_sec":$rocksSec,""" +
       s""""window_sec":$windowSec,"cores":$cpus}""")
     spark.stop()
+    // the reported rate divides PROCESSED rows by wall time; any
+    // watermark-dropped row means the chunk-ordering invariant broke
+    // and the denominator is dishonest — fail loudly, don't just report
+    val droppedTotal = dropped1 + droppedR + dropped2
+    if (droppedTotal > 0) {
+      System.err.println(s"FATAL: $droppedTotal rows dropped by watermark — " +
+        "rate invalid (chunk files split across triggers?)")
+      sys.exit(1)
+    }
   }
 }

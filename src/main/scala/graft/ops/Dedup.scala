@@ -301,69 +301,79 @@ object Dedup {
     * only ids appearing in `pairs` are emitted (singletons are their
     * own trivial component — join them in as `id = component`).
     *
-    * Algorithm: iterative min-label propagation — every node takes the
-    * min of its own and its neighbors' labels. Each materialized round
-    * applies TWO propagation hops inside one plan (rounds =
-    * ceil(diameter/2); near-dup clusters are shallow, so most corpora
-    * converge in 1-2 materializations) and carries the pre-round label
-    * so the convergence check is a filter over the already-cached
-    * frame — one Spark job per round, shuffle-bounded by |edges|, only
-    * the change-count scalar on the driver. `maxIter` bounds
-    * pathological chains; hitting it throws rather than returning a
-    * half-merged clustering.
+    * Algorithm: min-label propagation WITH pointer jumping — each round
+    * every node takes the min of (its label, its neighbors' labels, its
+    * label's label). The jump step lets label information travel 2^k
+    * hops after k rounds, so rounds = O(log diameter) instead of
+    * O(diameter): a 1000-link duplicate chain converges in ~10
+    * materializations, not 500. Each round is a constant number of
+    * shuffles bounded by |edges|, and each round's result is EAGERLY
+    * local-checkpointed: iterative DataFrame loops that merely persist
+    * re-analyze a plan that grows per round — at r3's bench the
+    * planning overhead, not the data, was the cost (25s for a 5k-node
+    * graph). Checkpointing truncates lineage so round k's plan is
+    * always 3 joins, regardless of k. The carried `old` column makes
+    * the convergence check a filter over the already-materialized
+    * frame. `maxIter` bounds pathological cases; hitting it throws
+    * rather than returning a half-merged clustering.
     *
-    * The result is local-checkpointed (its lineage is the whole
-    * iteration) and every intermediate cache is released before
-    * returning, so callers treat it as a plain DataFrame — checkpoint
-    * blocks are freed by the ContextCleaner when it goes out of scope.
-    * (On a real cluster prefer a reliable checkpoint dir for
-    * executor-loss resilience; local checkpoints live in executor
-    * storage.)
+    * Correctness of the jump: label values are always node ids from the
+    * same component (they start as self and only ever take mins over
+    * in-component labels), so `label(label(id))` resolves in the same
+    * mapping and is itself an in-component id; labels decrease
+    * monotonically and are bounded below by the component's min id. At
+    * the fixpoint every edge has equal labels on both ends and the min
+    * node still holds itself, so every node holds the component min.
+    *
+    * Checkpoint blocks are freed by the ContextCleaner as each round's
+    * frame goes out of scope. (On a real cluster prefer a reliable
+    * checkpoint dir for executor-loss resilience; local checkpoints
+    * live in executor storage.)
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .persist()
-    // one min-propagation hop, preserving the carried `old` column
-    def hop(l: DataFrame): DataFrame = {
-      val via = edges
-        .join(l.select(col("id").as("dst"), col("component")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("component")).as("n_comp"))
-      l.join(via, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("n_comp"), col("component")))
-            .as("component"),
-          col("old"))
-    }
-    var labels = edges.select(col("src").as("id"), col("src").as("component"),
-        col("src").as("old"))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id"))
       .distinct()
-      .persist()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
-      val next = hop(hop(labels
-          .select(col("id"), col("component"), col("component").as("old"))))
-        .persist()
+      // neighbor min: best label reachable over one edge
+      val via = edges
+        .join(labels.select(col("id").as("dst"), col("component")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("n_comp"))
+      val stepped = labels
+        .select(col("id"), col("component"), col("component").as("old"))
+        .join(via, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_comp"), col("component")))
+            .as("component"),
+          col("old"))
+      // pointer jump: follow the (pre-round) label one step
+      val next = stepped
+        .join(labels.select(col("id").as("jid"), col("component").as("jcomp")),
+          stepped("component") === col("jid"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("jcomp"), col("component")))
+            .as("component"),
+          col("old"))
+        .localCheckpoint(true)
       val changed = next.filter(col("component") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0
     }
-    edges.unpersist()
-    if (!converged) {
-      labels.unpersist()
+    if (!converged)
       throw new IllegalArgumentException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "graph diameter exceeds the bound; raise maxIter")
-    }
-    val result = labels.select(col("id"), col("component")).localCheckpoint(true)
-    labels.unpersist()
-    result
+    labels
   }
 
   /** Embedding-cosine near-duplicate pairs — the vector-space member of
