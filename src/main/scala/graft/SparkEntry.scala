@@ -299,20 +299,20 @@ object SparkEntry {
         .limit(20)
     }),
 
-    // Decile distribution of order values within each priority class:
-    // ntile window function surface. Partitioned by o_orderpriority so
-    // the sort parallelizes across partitions (an unpartitioned ntile
-    // moves ALL rows to one partition — the WindowExec anti-pattern);
-    // truly global exact deciles at 100 TB would use approx_percentile
-    // boundaries + a broadcast range lookup instead
-    "q40_order_deciles" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      Tables.orders(s, dir)
-        .select(col("o_orderpriority"), ntile(10).over(w).cast("long").as("decile"))
-        .groupBy(col("o_orderpriority"), col("decile")).agg(count(lit(1)).as("cnt"))
-    }),
+    // Decile distribution of order values within each priority class.
+    // NOT a Window: ntile partitioned by the 5-value o_orderpriority
+    // would sort each priority's entire order set on ONE task — the
+    // WindowExec scale-killer. Quantiles.exactNtile computes the
+    // identical assignment via range partitioning + broadcast prefix
+    // offsets (two bounded passes, no per-group single-task sort);
+    // PlanShapeSpec pins the Window-free plan.
+    "q40_order_deciles" -> ((s, dir) =>
+      Quantiles.exactNtile(
+        Tables.orders(s, dir)
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey")),
+        "o_orderpriority", Seq("o_totalprice", "o_orderkey"), 10)
+        .select(col("o_orderpriority"), col("bucket").as("decile"))
+        .groupBy(col("o_orderpriority"), col("decile")).agg(count(lit(1)).as("cnt"))),
 
     // Join-type surface: semi/anti joins (customers with vs without
     // any open order)
@@ -438,15 +438,14 @@ object SparkEntry {
 
     // Exact interpolated percentiles per priority class (sort-based
     // aggregate per dimension-sized group; DuckDB quantile_cont is the
-    // same linear interpolation)
+    // same linear interpolation). Guarded: exact percentile buffers a
+    // whole group per aggregation buffer, so the operator pre-checks
+    // group sizes and raises past maxGroupRows, pointing at the
+    // fixed-memory q53 approx path (the 100 TB companion).
     "q51_price_percentiles" -> ((s, dir) =>
-      Tables.orders(s, dir)
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          round(percentile(col("o_totalprice"), lit(0.25)), 2).as("p25"),
-          round(percentile(col("o_totalprice"), lit(0.5)), 2).as("p50"),
-          round(percentile(col("o_totalprice"), lit(0.75)), 2).as("p75"),
-          count(lit(1)).as("cnt"))),
+      Quantiles.guardedExactPercentiles(
+        Tables.orders(s, dir), "o_orderpriority", "o_totalprice",
+        Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))),
 
     // The 100 TB companion to q51: approx_percentile (positive-indexed
     // QuantileSummaries sketch — fixed memory, one pass, mergeable
@@ -553,7 +552,7 @@ object SparkEntry {
     // Uncapped here because the DuckDB oracle is uncapped: the default
     // maxBucketSize would silently emit fewer pairs than the oracle on a
     // corpus with a >10k-doc band bucket (capped behavior is spec-tested
-    // in LshBucketGuardSpec instead)
+    // in MiningSpec's lshCandidates cap/oversized-bucket tests instead)
     "q22_lsh_candidates" -> ((s, dir) =>
       Dedup.lshCandidates(
         Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"),

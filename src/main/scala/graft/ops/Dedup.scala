@@ -28,6 +28,48 @@ object Dedup {
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
+  /** Batch keep-first dedup: one row per distinct `keyCols` — the row
+    * sorting first by `orderCols` (include a unique tie-break for a
+    * deterministic pick). The Window partitions on the DEDUP KEY, whose
+    * cardinality ≈ the distinct-entity count, so the per-partition sort
+    * stays tiny — the opposite of the low-cardinality WindowExec trap.
+    * This is the batch twin of [[streamingExact]]: on event-time-ordered
+    * input the two produce identical survivors within one watermark
+    * horizon (StreamingSpec pins the equivalence).
+    */
+  def keepFirst(df: DataFrame, keyCols: Seq[String],
+                orderCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Streaming exact dedup bounded by a watermark (SURVEY §7.2 step 8):
+    * `dropDuplicatesWithinWatermark` keeps one state entry per key and
+    * evicts it once the watermark passes the key's event time + `delay`
+    * — state is bounded by keys-per-horizon, not keys-ever, which is
+    * what lets continuous ingestion dedup run forever. A duplicate
+    * arriving after its key's state expired is re-admitted (by design:
+    * the horizon IS the dedup guarantee; layer [[keepFirst]] over the
+    * batch store for full-history dedup).
+    */
+  def streamingExact(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                     delay: String): DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols: _*)
+
+  /** Streaming near-dup dedup: the canonical content fingerprint
+    * ([[fingerprint]] — word-set md5, collapsing order/repetition
+    * variants) computed per row, then watermark-bounded dedup on it.
+    * The continuous-ingestion form of [[fingerprintGroups]].
+    */
+  def streamingFingerprint(df: DataFrame, textCol: String, tsCol: String,
+                           delay: String): DataFrame =
+    df.withColumn("fingerprint", fingerprint(textCol))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Exact-duplicate groups by md5 of `textCol`: (text_hash, keep_id =
     * min id, dup_cnt >= 2).
     */
@@ -326,20 +368,23 @@ object Dedup {
     * node still holds itself, so every node holds the component min.
     *
     * Checkpoint blocks are freed by the ContextCleaner as each round's
-    * frame goes out of scope. (On a real cluster prefer a reliable
-    * checkpoint dir for executor-loss resilience; local checkpoints
-    * live in executor storage.)
+    * frame goes out of scope. Checkpoint placement is
+    * [[Checkpoints.pin]]: default executor-local (fastest; fine
+    * single-machine), or pass `checkpointDir` for reliable
+    * checkpointing — on a real cluster an executor loss mid-loop would
+    * otherwise lose blocks with no lineage to rebuild from and kill
+    * the job.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+                          maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    def pin(df: DataFrame): DataFrame = Checkpoints.pin(df, checkpointDir)
+    val edges = pin(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct())
+    var labels = pin(edges.select(col("src").as("id"))
       .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint(true)
+      .select(col("id"), col("id").as("component")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -357,14 +402,13 @@ object Dedup {
             .as("component"),
           col("old"))
       // pointer jump: follow the (pre-round) label one step
-      val next = stepped
+      val next = pin(stepped
         .join(labels.select(col("id").as("jid"), col("component").as("jcomp")),
           stepped("component") === col("jid"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("jcomp"), col("component")))
             .as("component"),
-          col("old"))
-        .localCheckpoint(true)
+          col("old")))
       val changed = next.filter(col("component") =!= col("old")).count()
       labels = next.select(col("id"), col("component"))
       converged = changed == 0

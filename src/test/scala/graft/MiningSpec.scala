@@ -290,6 +290,23 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: reliable checkpointDir mode matches local mode") {
+    val pairs = Seq((2L, 5L), (5L, 9L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-cc-ck-")
+    try {
+      val reliable = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        checkpointDir = Some(ckDir.toString)).as[(Long, Long)].collect().toMap
+      assert(reliable === local)
+      // reliable mode must actually write through the checkpoint dir
+      val wrote = java.nio.file.Files.walk(ckDir).count() > 1
+      assert(wrote, "no files appeared under the reliable checkpoint dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(ckDir.toFile)
+    }
+  }
+
   test("bucketNearestMulti: family-0 buckets differ from single-family; recall never drops") {
     val rnd = new scala.util.Random(11)
     val df = (0L until 60L).map(i =>

@@ -70,4 +70,13 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q47_stratified_sample")
     assert(!p.contains("Exchange") && !p.contains("Join"))
   }
+
+  test("q40: exact deciles WITHOUT a Window — no per-group single-task sort") {
+    // the old shape (ntile over a 5-value partition key) sorted each
+    // priority's entire order set on one task; the plan must now be
+    // Window-free: range partitioning + broadcast offset join instead
+    val p = plan("q40_order_deciles")
+    assert(!p.contains("Window"), "q40 regressed to a Window-based ntile")
+    assert(p.contains("BroadcastHashJoin"), "offset join should broadcast")
+  }
 }
