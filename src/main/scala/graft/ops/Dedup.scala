@@ -57,7 +57,7 @@ object Dedup {
     */
   def streamingExact(df: DataFrame, keyCols: Seq[String], tsCol: String,
                      delay: String): DataFrame =
-    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols: _*)
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
 
   /** Streaming near-dup dedup: the canonical content fingerprint
     * ([[fingerprint]] — word-set md5, collapsing order/repetition
