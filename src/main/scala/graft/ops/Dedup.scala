@@ -35,15 +35,18 @@ object Dedup {
     * stays tiny — the opposite of the low-cardinality WindowExec trap.
     * This is the batch twin of [[streamingExact]]: on event-time-ordered
     * input the two produce identical survivors within one watermark
-    * horizon (StreamingSpec pins the equivalence).
+    * horizon (StreamingSpec "streaming dedup helpers" pins the
+    * equivalence on a duplicate-injection corpus).
     */
   def keepFirst(df: DataFrame, keyCols: Seq[String],
                 orderCols: Seq[String]): DataFrame = {
+    // collision-free helper column: suffix until absent from the input
+    val rn = Iterator.iterate("_rn")(_ + "_").find(!df.columns.contains(_)).get
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1).drop(rn)
   }
 
   /** Streaming exact dedup bounded by a watermark (SURVEY §7.2 step 8):
