@@ -182,6 +182,35 @@ object StreamingDemo {
     println(s"late_tap: ${lateCounts.toMap} " +
       (if (lateCounts("late") == 5) "MATCH" else "MISMATCH"))
 
+    // 8. streaming corpus dedup (the training-data ingestion shape):
+    // the documents table as a file stream, deduped by content
+    // fingerprint within a watermark horizon
+    // (Dedup.streamingFingerprint), cross-checked against the batch
+    // keepFirst twin — same fingerprint, same survivors when all rows
+    // fall inside one horizon.
+    val docDir = java.nio.file.Files.createTempDirectory("graft-docs-")
+    java.nio.file.Files.createSymbolicLink(
+      docDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docStream = spark.readStream.schema(docSchema).parquet(docDir.toString)
+      .withColumn("ts", timestamp_seconds($"doc_id")) // synthetic arrival order
+    val q8 = graft.ops.Dedup.streamingFingerprint(docStream, "text", "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("corpus_dedup").start()
+    q8.processAllAvailable(); q8.stop()
+    val streamKept = spark.table("corpus_dedup").count()
+    val batchKept = graft.ops.Dedup.keepFirst(
+      graft.Tables.documents(spark, dir)
+        .withColumn("ts", timestamp_seconds($"doc_id"))
+        .withColumn("fingerprint", graft.ops.Dedup.fingerprint("text")),
+      Seq("fingerprint"), Seq("ts", "doc_id")).count()
+    println(s"corpus_dedup: streaming=$streamKept batch=$batchKept " +
+      (if (streamKept == batchKept) "MATCH" else "MISMATCH"))
+
     spark.stop()
   }
 }

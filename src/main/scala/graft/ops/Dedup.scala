@@ -40,8 +40,12 @@ object Dedup {
     */
   def keepFirst(df: DataFrame, keyCols: Seq[String],
                 orderCols: Seq[String]): DataFrame = {
-    // collision-free helper column: suffix until absent from the input
-    val rn = Iterator.iterate("_rn")(_ + "_").find(!df.columns.contains(_)).get
+    // collision-free helper column: suffix until absent from the input.
+    // Case-INSENSITIVE probe: Spark's default resolver is case-insensitive,
+    // so an input column "_RN" would otherwise pass a .contains check and
+    // then be silently replaced by withColumn("_rn", ...) (ADVICE r6)
+    val rn = Iterator.iterate("_rn")(_ + "_")
+      .find(n => !df.columns.exists(_.equalsIgnoreCase(n))).get
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)

@@ -272,6 +272,24 @@ class MiningSpec extends AnyFunSuite {
     assert(math.abs(kept1.size - 1000) < 150)     // ~E[w] of the corpus
   }
 
+  test("keepFirst: first row per key by order cols; helper-column collisions survive") {
+    val df = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 7L, "c"))
+      .toDF("k", "ord", "v")
+    val out = Dedup.keepFirst(df, Seq("k"), Seq("ord", "v"))
+    assert(out.columns.toSeq === Seq("k", "ord", "v"))
+    assert(out.as[(Long, Long, String)].collect().toSet ===
+      Set((1L, 5L, "b"), (2L, 7L, "c")))
+    // an input already carrying "_RN" must pass through untouched: the
+    // probe is case-INSENSITIVE (Spark's default resolver is), so the
+    // helper picks "_rn_" instead of silently replacing the user's column
+    val df2 = Seq((1L, 10L, "x"), (1L, 5L, "y"), (2L, 7L, "z"))
+      .toDF("k", "ord", "_RN")
+    val out2 = Dedup.keepFirst(df2, Seq("k"), Seq("ord", "_RN"))
+    assert(out2.columns.toSeq === Seq("k", "ord", "_RN"))
+    assert(out2.as[(Long, Long, String)].collect().toSet ===
+      Set((1L, 5L, "y"), (2L, 7L, "z")))
+  }
+
   test("connectedComponents: transitive clusters collapse to their min id") {
     val pairs = Seq(
       (2L, 5L), (5L, 9L),          // chain 2-5-9 → component 2
@@ -300,7 +318,8 @@ class MiningSpec extends AnyFunSuite {
         checkpointDir = Some(ckDir.toString)).as[(Long, Long)].collect().toMap
       assert(reliable === local)
       // reliable mode must actually write through the checkpoint dir
-      val wrote = java.nio.file.Files.walk(ckDir).count() > 1
+      val wrote = scala.util.Using.resource(java.nio.file.Files.walk(ckDir))(
+        _.count() > 1)
       assert(wrote, "no files appeared under the reliable checkpoint dir")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(ckDir.toFile)

@@ -280,6 +280,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(n === 2) // one row per key
   }
 
+  test("streaming dedup helpers: streamingExact ≡ batch keepFirst within the horizon") {
+    // duplicate-injection corpus, arriving in event-time order across
+    // micro-batches: survivors of the watermark-bounded streaming dedup
+    // must equal the batch keepFirst twin's survivors (Dedup.scala §
+    // streamingExact: the horizon IS the dedup guarantee)
+    val corpus = Seq(
+      KeyedEvent(1, ts(100), "view", 1), KeyedEvent(2, ts(101), "view", 2),
+      KeyedEvent(1, ts(102), "view", 3),            // dup of key 1, in horizon
+      KeyedEvent(2, ts(105), "view", 4),            // dup of key 2, in horizon
+      KeyedEvent(3, ts(106), "view", 5))
+    val input = MemoryStream[KeyedEvent]
+    val q = graft.ops.Dedup.streamingExact(input.toDF(), Seq("key"), "ts", "10 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sdh").start()
+    input.addData(corpus.take(3): _*)
+    q.processAllAvailable()
+    input.addData(corpus.drop(3): _*)               // dup spans the batch boundary
+    q.processAllAvailable()
+    val streamed = spark.table("sdh").select("id").as[Long].collect().toSet
+    val batch = graft.ops.Dedup.keepFirst(corpus.toDF(), Seq("key"), Seq("ts", "id"))
+      .select("id").as[Long].collect().toSet
+    assert(streamed === batch)                      // Set(1, 2, 5)
+    // horizon boundary: once the watermark evicts a key's state, a new
+    // occurrence is re-admitted — by design, NOT a bug (full-history
+    // dedup is keepFirst over the batch store)
+    input.addData(KeyedEvent(9, ts(100000), "view", 90)) // advances watermark
+    q.processAllAvailable()
+    input.addData(KeyedEvent(1, ts(100001), "view", 6))  // key 1 re-admitted
+    q.processAllAvailable()
+    val after = spark.table("sdh").select("id").as[Long].collect().toSet
+    q.stop()
+    assert(after === (batch ++ Set(90L, 6L)))
+  }
+
+  test("streaming dedup helpers: streamingFingerprint collapses word-order variants") {
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("id", "text", "ts")
+    val q = graft.ops.Dedup.streamingFingerprint(docs, "text", "ts", "10 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sfp").start()
+    input.addData((1L, "the quick brown fox", ts(100)))
+    q.processAllAvailable()
+    input.addData(
+      (2L, "brown fox the quick quick", ts(101)),   // order/repetition variant: dup
+      (3L, "a different document", ts(102)))
+    q.processAllAvailable()
+    val kept = spark.table("sfp").select("id").as[Long].collect().toSet
+    q.stop()
+    assert(kept === Set(1L, 3L))
+  }
+
   test("checkpointed windowed agg resumes exactly-once across a restart") {
     val base = java.nio.file.Files.createTempDirectory("graft-ckpt-")
     val (srcDir, outDir, ckptDir) =
