@@ -326,6 +326,33 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("Checkpoints.pin: component-wise root containment — /a/b never matches /a/bc") {
+    import graft.ops.Checkpoints
+    // predicate: raw string prefix would get every one of these wrong
+    assert(!Checkpoints.isWithin("/a/bc/uuid", "/a/b"))
+    assert(Checkpoints.isWithin("/a/b/uuid", "/a/b"))
+    assert(Checkpoints.isWithin("file:/a/b/uuid", "/a/b"))
+    assert(!Checkpoints.isWithin("file:/a/bc/uuid", "/a/b"))
+    assert(Checkpoints.isWithin("hdfs://nn:8020/ck/uuid", "hdfs://nn:8020/ck"))
+    assert(!Checkpoints.isWithin("hdfs://nn:8020/ck/uuid", "s3a://bkt/ck"))
+    // behavior: same root is reused (no fresh UUID subdir), the
+    // string-prefix sibling forces a re-set into the right root
+    val base = java.nio.file.Files.createTempDirectory("graft-ckpin-")
+    try {
+      val sc = spark.sparkContext
+      val df = spark.range(3).toDF("id")
+      Checkpoints.pin(df, Some(base.resolve("bc").toString))
+      val rootBC = sc.getCheckpointDir.get
+      Checkpoints.pin(df, Some(base.resolve("bc").toString))
+      assert(sc.getCheckpointDir.get === rootBC) // unchanged: root reused
+      Checkpoints.pin(df, Some(base.resolve("b").toString))
+      assert(sc.getCheckpointDir.get !== rootBC)
+      assert(Checkpoints.isWithin(sc.getCheckpointDir.get, base.resolve("b").toString))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+
   test("bucketNearestMulti: family-0 buckets differ from single-family; recall never drops") {
     val rnd = new scala.util.Random(11)
     val df = (0L until 60L).map(i =>
