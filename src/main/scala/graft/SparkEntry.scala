@@ -304,8 +304,12 @@ object SparkEntry {
     // would sort each priority's entire order set on ONE task — the
     // WindowExec scale-killer. Quantiles.exactNtile computes the
     // identical assignment via range partitioning + broadcast prefix
-    // offsets (two bounded passes, no per-group single-task sort);
-    // PlanShapeSpec pins the Window-free plan.
+    // offsets (two bounded passes, no per-group single-task sort, no
+    // driver collect); PlanShapeSpec pins the Window-free plan.
+    // Side-effect note: CONSTRUCTING this entry translates the pinned
+    // frame to an RDD, which runs the range sampler (and, under AQE,
+    // the upstream stages) — it is the one entry whose construction is
+    // not free, though it no longer collects or materializes.
     "q40_order_deciles" -> ((s, dir) =>
       Quantiles.exactNtile(
         Tables.orders(s, dir)

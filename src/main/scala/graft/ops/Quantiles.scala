@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.LongType
 
 /** Distributed exact rank statistics.
   *
@@ -17,29 +17,41 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   *     partitioner (sampled boundaries) gives globally ordered
   *     partitions, each a bounded slice of the sort order, sorted
   *     within via `sortWithinPartitions`;
-  *  2. the frame is pinned ([[Checkpoints.pin]]) so the two passes that
-  *     follow see the SAME partitioning — without the pin, pass 2 would
-  *     re-run the range sampler and could draw different boundaries
-  *     than the pass the offsets were computed from;
+  *  2. the frame is pinned ([[Checkpoints.pin]], LAZILY — it
+  *     materializes at the result's first action) so both passes that
+  *     follow read the SAME materialized partitioning: one shared RDD,
+  *     so the range sampler draws its boundaries exactly once;
   *  3. pass 1: per-(partition, group) row counts — a partial-aggregated
-  *     shuffle of numPartitions × |groups| tiny rows, collected and
-  *     folded into prefix offsets + group totals on the driver (this is
-  *     the only collect: its size is partitions × groups, independent
-  *     of row count — the operator is for ANALYTIC group keys, i.e.
-  *     |groups| ≪ rows);
+  *     shuffle of numPartitions × |groups| tiny rows — folded into
+  *     prefix offsets + group totals DISTRIBUTED, via a self-join on
+  *     the group key over that tiny counts frame (≤ |groups| ×
+  *     partitions² rows flow through it; nothing is collected — the
+  *     driver is not in the data path at any size);
   *  4. pass 2: a per-partition streaming scan assigns each row
   *     `rank = prefix_offset(partition, group) + local_index`, then the
   *     standard ntile split (first `n mod k` buckets get `⌈n/k⌉` rows)
-  *     derives the bucket from the global rank and the broadcast group
-  *     total.
+  *     derives the bucket from the global rank and the broadcast-joined
+  *     (partition, group) offset/total row.
   *
   * No Window over the data anywhere (PlanShapeSpec pins this), no
-  * global single-task sort; wall-clock is two scans of the pinned
-  * frame plus the range shuffle. The assignment is EXACTLY SQL
-  * `ntile(k)` as long as `orderCols` is a total order (include a unique
-  * tie-break column — with ties left unbroken, bucket COUNTS still
-  * match but which tied row lands in which bucket is arbitrary, same
-  * as SQL).
+  * global single-task sort, no driver collect; wall-clock is two scans
+  * of the pinned frame plus the range shuffle. The assignment is
+  * EXACTLY SQL `ntile(k)` as long as `orderCols` is a total order
+  * (include a unique tie-break column — with ties left unbroken,
+  * bucket COUNTS still match but which tied row lands in which bucket
+  * is arbitrary, same as SQL).
+  *
+  * Construction cost: building the result DataFrame launches no
+  * collect and no materialization pass, but translating the pinned
+  * frame to an RDD is not free — the range sampler runs, and under AQE
+  * the pinned frame's upstream stages execute at construction (Spark
+  * executes query stages to pick the final plan). Construct it when
+  * you intend to run it.
+  *
+  * Helper columns are collision-proofed: every internal name is
+  * suffixed until it clashes with nothing in the input
+  * (case-insensitively — Spark's default resolver is), so inputs
+  * already carrying `_pid`/`_n`/... pass through untouched.
   *
   * Callers should project to the columns they need first: pass 2
   * round-trips rows through the JVM (off the columnar path), so width
@@ -66,76 +78,88 @@ object Quantiles {
     val nParts =
       if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // collision-free helper names: one shared suffix, probed
+    // case-insensitively against the input (same trick as
+    // Dedup.keepFirst — an input already carrying "_pid" or "_N" must
+    // pass through untouched)
+    val bases = Seq("_pid", "_cnt", "_opid", "_og", "_bpid", "_bg", "_bcnt",
+      "_off", "_n", "_lrank", "_rank", "_base", "_rem")
+    val sfx = Iterator.iterate("")(_ + "_").find { s =>
+      bases.forall(b => !df.columns.exists(_.equalsIgnoreCase(b + s)))
+    }.get
+    def h(b: String): String = b + sfx
+    val pid = h("_pid"); val cnt = h("_cnt")
+    val opid = h("_opid"); val og = h("_og")
+    val bpid = h("_bpid"); val bg = h("_bg"); val bcnt = h("_bcnt")
+    val off = h("_off"); val n = h("_n"); val lrank = h("_lrank")
+    val rank = h("_rank"); val base = h("_base"); val rem = h("_rem")
+
     val sortCols = (groupCol +: orderCols).map(col)
+    // LAZY pin: one shared internal RDD for both passes (sampler runs
+    // once, boundaries identical), materialized at the first action on
+    // the result instead of at construction
     val parted = Checkpoints.pin(
       df.repartitionByRange(nParts, sortCols: _*)
         .sortWithinPartitions(sortCols: _*)
-        .withColumn("_pid", spark_partition_id()),
-      checkpointDir)
+        .withColumn(pid, spark_partition_id()),
+      checkpointDir, eager = false)
 
-    // pass 1: per-(partition, group) counts → driver-side prefix fold.
-    // Range partitions are ordered by key, so accumulating counts in
-    // _pid order per group yields each (partition, group) slice's
-    // global starting offset.
-    val gIdx = parted.schema.fieldIndex(groupCol)
-    val counts = parted.groupBy(col("_pid"), col(groupCol))
-      .agg(count(lit(1)).as("_cnt"))
-      .collect()
-      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
-    val totals: Map[Any, Long] =
-      counts.groupBy(_._2).map { case (g, rs) => g -> rs.map(_._3).sum }
-    val offsetRows = counts.sortBy(_._1).groupBy(_._2).toSeq
-      .flatMap { case (g, rs) =>
-        var acc = 0L
-        rs.map { case (pid, _, c) =>
-          val off = acc; acc += c; Row(pid, g, off, totals(g))
-        }.toSeq
-      }
-    val groupField = parted.schema(groupCol)
-    val offsetsDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(offsetRows, 1),
-      StructType(Seq(
-        StructField("_opid", IntegerType, nullable = false),
-        StructField("_og", groupField.dataType, groupField.nullable),
-        StructField("_off", LongType, nullable = false),
-        StructField("_n", LongType, nullable = false))))
+    // pass 1: per-(partition, group) counts → prefix offsets + group
+    // totals, computed distributed via a self-join on the group key
+    // over the tiny counts frame. Range partitions are ordered by key,
+    // so the sum of same-group counts with a smaller partition id IS
+    // the (partition, group) slice's global starting offset. The join
+    // fans out to at most |groups| × partitions² rows — for analytic
+    // group keys (|groups| ≪ rows) that is dust; the driver never
+    // touches the data.
+    val counts = parted.groupBy(col(pid), col(groupCol))
+      .agg(count(lit(1)).as(cnt))
+    val offsetsDf = counts
+      .select(col(pid).as(opid), col(groupCol).as(og))
+      .join(counts.select(col(pid).as(bpid), col(groupCol).as(bg),
+          col(cnt).as(bcnt)),
+        col(og) <=> col(bg))
+      .groupBy(col(opid), col(og))
+      .agg(
+        sum(when(col(bpid) < col(opid), col(bcnt)).otherwise(lit(0L))).as(off),
+        sum(col(bcnt)).as(n))
 
     // pass 2: streaming local index per (partition, group) — the frame
     // is sorted by (group, orderCols) within each partition, so a
     // running counter that resets on group change IS the local rank
-    val schema2 = parted.schema.add("_lrank", LongType, nullable = false)
+    val gIdx = parted.schema.fieldIndex(groupCol)
+    val schema2 = parted.schema.add(lrank, LongType, nullable = false)
     val ranked = spark.createDataFrame(
       parted.rdd.mapPartitions { it =>
         var cur: Any = null
         var started = false
-        var cnt = 0L
+        var c = 0L
         it.map { r =>
           val g = r.get(gIdx)
           if (!started || !java.util.Objects.equals(g, cur)) {
-            started = true; cur = g; cnt = 0L
+            started = true; cur = g; c = 0L
           }
-          cnt += 1
-          Row.fromSeq(r.toSeq :+ cnt)
+          c += 1
+          Row.fromSeq(r.toSeq :+ c)
         }
       }, schema2)
 
     // standard SQL ntile split from the global rank: base = n div k,
     // rem = n mod k; the first rem buckets hold base+1 rows.
-    // greatest(_base, 1) keeps the (unreachable when _base = 0) else
+    // greatest(base, 1) keeps the (unreachable when base = 0) else
     // branch free of a division by zero under ANSI evaluation.
     ranked
       .join(broadcast(offsetsDf),
-        col("_pid") === col("_opid") && col(groupCol) <=> col("_og"))
-      .withColumn("_rank", col("_off") + col("_lrank"))
-      .withColumn("_base", expr(s"_n div $buckets"))
-      .withColumn("_rem", col("_n") % buckets)
+        col(pid) === col(opid) && col(groupCol) <=> col(og))
+      .withColumn(rank, col(off) + col(lrank))
+      .withColumn(base, expr(s"`$n` div $buckets"))
+      .withColumn(rem, col(n) % buckets)
       .withColumn("bucket",
-        when(col("_rank") <= col("_rem") * (col("_base") + lit(1L)),
-          expr("(_rank - 1) div (_base + 1) + 1"))
+        when(col(rank) <= col(rem) * (col(base) + lit(1L)),
+          expr(s"(`$rank` - 1) div (`$base` + 1) + 1"))
           .otherwise(expr(
-            "_rem + (_rank - _rem * (_base + 1) - 1) div greatest(_base, 1) + 1")))
-      .drop("_pid", "_opid", "_og", "_off", "_n", "_lrank", "_rank",
-        "_base", "_rem")
+            s"`$rem` + (`$rank` - `$rem` * (`$base` + 1) - 1) div greatest(`$base`, 1) + 1")))
+      .drop(pid, opid, og, off, n, lrank, rank, base, rem)
   }
 
   /** Exact interpolated per-group percentiles with a scale guard.

@@ -72,6 +72,19 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 4L -> 2L, 3L -> 1L, 2L -> 2L))
   }
 
+  test("exactNtile: inputs already carrying helper-named columns pass through") {
+    // "_pid" and "_N" (case-insensitive clash with the internal "_n")
+    // must survive with their values intact — the helper names are
+    // probed against the input and suffixed away (VERDICT r6)
+    val df = Seq(("a", 1.0, 1L, 77, "x"), ("a", 2.0, 2L, 88, "y"),
+      ("b", 3.0, 3L, 99, "z")).toDF("g", "v", "id", "_pid", "_N")
+    val out = Quantiles.exactNtile(df, "g", Seq("v", "id"), 2, partitions = 2)
+    assert(out.columns.toSeq === Seq("g", "v", "id", "_pid", "_N", "bucket"))
+    val got = out.select(col("id"), col("_pid"), col("_N"), col("bucket"))
+      .as[(Long, Int, String, Long)].collect().toSet
+    assert(got === Set((1L, 77, "x", 1L), (2L, 88, "y", 2L), (3L, 99, "z", 1L)))
+  }
+
   test("guardedExactPercentiles matches the plain percentile aggregate") {
     val got = Quantiles.guardedExactPercentiles(
       Tables.orders(spark, dir), "o_orderpriority", "o_totalprice",
