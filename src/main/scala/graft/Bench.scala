@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds,
+  * plus streaming throughput (graft.jobs.StreamBench.measure — both
+  * state-store backends and the windowed agg) so every round's bench
+  * carries the streaming numbers next to the batch ones.
   *
   * A warmup pass at sf0.001 first exercises each query shape end-to-end
   * (codegen compilation, classloading, parquet footer caching) so the
@@ -53,21 +56,50 @@ object Bench {
       val err = timings.map(_._2).find(_.isDefined).flatten
       (name, if (err.isDefined) -1.0 else timings.map(_._1).min, err)
     }
-    // millisecond precision: full-precision doubles pushed the 67-query
-    // line past the driver's stdout tail capture in r3 ("parsed": null)
-    // — keep the ONE JSON line compact so it always survives intact
+
+    // streaming throughput on the same session (r4 verdict task 7: the
+    // bench line must carry the streaming numbers every round). A
+    // failure here degrades to an error field — batch numbers survive.
+    val streamReplicas = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPLICAS", "10").toInt
+    val streaming: Either[Throwable, graft.jobs.StreamBench.Result] =
+      if (streamReplicas <= 0) Left(new RuntimeException("disabled"))
+      else try Right(graft.jobs.StreamBench.measure(spark, sfDir, streamReplicas))
+      catch { case t: Throwable => Left(t) }
+
+    // ONE compact JSON line. The driver tails a bounded chunk of stdout
+    // (r1-r6: the full-name 67-query line overflowed it and "parsed"
+    // came back null every round), so query keys are shortened to their
+    // qNN prefix — the contract's own example uses "q1" — and times are
+    // millisecond precision.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    def short(name: String): String = name.takeWhile(_ != '_')
+    val shortNames = results.map(r => short(r._1))
+    require(shortNames.distinct.size == shortNames.size,
+      "qNN prefixes must stay unique for the bench line")
+    val qs = results.map { case (k, v, _) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(t)) =>
       val msg = (t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage))
         .replaceAll("[\"\\\\\n\r]", " ").take(160)
-      "\"" + k + "\":\"" + msg + "\""
+      "\"" + short(k) + "\":\"" + msg + "\""
     }
     val errField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    val streamField = streaming match {
+      case Right(r) =>
+        s""","streaming":{"stream_events_per_sec":${r.statefulRate},""" +
+          s""""per_core":${r.statefulRate / cpus.toInt},""" +
+          s""""rocksdb_events_per_sec":${r.rocksRate},""" +
+          s""""per_core_rocksdb":${r.rocksRate / cpus.toInt},""" +
+          s""""windowed_events_per_sec":${r.windowRate},""" +
+          s""""events":${r.events},"dropped_late":${r.dropped},"cores":$cpus}"""
+      case Left(t) =>
+        val msg = (t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage))
+          .replaceAll("[\"\\\\\n\r]", " ").take(120)
+        s""","streaming_error":"$msg""""
+    }
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField$streamField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

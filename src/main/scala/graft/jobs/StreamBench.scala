@@ -9,10 +9,14 @@ import graft.streaming.{KeyedEvent, StatefulOps}
 /** Streaming throughput bench against BASELINE.md's anchor: the
   * reference's data feeder paces 1,000 events/s into Kafka
   * (KafkaSenderFromLog.java:28) at parallelism 1 — i.e. ~1k events/s
-  * per core is the bar. This main streams the events table through the
-  * heaviest keyed-stateful operator (consecutiveFails: per-key
-  * flatMapGroupsWithState with event-time expiry) and a windowed
-  * aggregation, and reports sustained events/s.
+  * per core is the bar. [[measure]] streams the events table through
+  * the heaviest keyed-stateful operator (consecutiveFails: per-key
+  * flatMapGroupsWithState with event-time expiry) under BOTH state
+  * store backends (default in-memory and RocksDB — what a real cluster
+  * runs when state exceeds executor heap) and through a windowed
+  * aggregation, and reports sustained events/s. It is called by this
+  * main AND by [[graft.Bench]], so the per-round bench line always
+  * carries streaming numbers.
   *
   * File-source micro-batches: each replica chunk is written as exactly
   * one file (coalesce(1)) and maxFilesPerTrigger=2, so batches arrive
@@ -28,34 +32,30 @@ object StreamBench {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse(
-      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // droppedByWatermark sums over recentProgress, which retains only
-      // this many batches — keep it above any replica count so early
-      // drops can never age out of the audit
-      .config("spark.sql.streaming.numRecentProgressUpdates", "100000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+  /** One full streaming measurement. `dropped` MUST be 0 for the rates
+    * to be honest — callers decide how loudly to fail.
+    */
+  case class Result(events: Long, statefulSec: Double, rocksSec: Double,
+                    windowSec: Double, dropped: Long) {
+    def statefulRate: Long = ((events - dropped) / statefulSec).toLong
+    def rocksRate: Long = ((events - dropped) / rocksSec).toLong
+    def windowRate: Long = ((events - dropped) / windowSec).toLong
+  }
+
+  def measure(spark: SparkSession, dir: String, replicas: Int): Result = {
     import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // droppedByWatermark sums over recentProgress, which retains only
+    // this many batches — keep it above any replica count so early
+    // drops can never age out of the audit
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
 
     // replicate the file REPLICAS times with each copy's timestamps
     // shifted past the previous copy's end, so per-query startup
     // amortizes while every row stays AHEAD of the watermark — naive
     // same-timestamp replicas would be dropped as late before reaching
     // the stateful operator and inflate the rate with unprocessed rows
-    val replicas = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPLICAS", "10").toInt
-    val raw = {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
-    }
+    val raw = spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
     val Array(minTs, maxTs) = raw.selectExpr("min(ts)", "max(ts)").head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
     val spanNanos = maxTs - minTs + 3600L * 1000 * 1000 * 1000
@@ -86,9 +86,7 @@ object StreamBench {
     def droppedByWatermark(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
       q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
 
-    // run the keyed-stateful pipeline under both state-store backends:
-    // the default in-memory provider and RocksDB (what a real cluster
-    // runs when state exceeds executor heap)
+    // run the keyed-stateful pipeline under both state-store backends
     val providerConf = "spark.sql.streaming.stateStore.providerClass"
     def runStateful(provider: Option[String]): (Double, Long) = {
       provider match {
@@ -117,24 +115,38 @@ object StreamBench {
     q2.stop()
     val windowSec = (System.nanoTime() - t1) / 1e9
 
-    val processed1 = n - dropped1
-    val processedR = n - droppedR
-    val processed2 = n - dropped2
-    val perCore = (processed1 / statefulSec / cpus.toInt).toLong
-    println(s"""{"metric":"stream_events_per_sec","value":${(processed1 / statefulSec).toLong},""" +
-      s""""per_core":$perCore,"rocksdb_events_per_sec":${(processedR / rocksSec).toLong},""" +
-      s""""per_core_rocksdb":${(processedR / rocksSec / cpus.toInt).toLong},""" +
-      s""""windowed_events_per_sec":${(processed2 / windowSec).toLong},""" +
-      s""""events":$n,"dropped_late":${dropped1 + droppedR + dropped2},""" +
-      s""""stateful_sec":$statefulSec,"stateful_rocksdb_sec":$rocksSec,""" +
-      s""""window_sec":$windowSec,"cores":$cpus}""")
+    org.apache.commons.io.FileUtils.deleteQuietly(streamDir.toFile)
+    Result(n, statefulSec, rocksSec, windowSec, dropped1 + droppedR + dropped2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPLICAS", "10").toInt
+    val r = measure(spark, dir, replicas)
+    val perCore = r.statefulRate / cpus.toInt
+    println(s"""{"metric":"stream_events_per_sec","value":${r.statefulRate},""" +
+      s""""per_core":$perCore,"rocksdb_events_per_sec":${r.rocksRate},""" +
+      s""""per_core_rocksdb":${r.rocksRate / cpus.toInt},""" +
+      s""""windowed_events_per_sec":${r.windowRate},""" +
+      s""""events":${r.events},"dropped_late":${r.dropped},""" +
+      s""""stateful_sec":${r.statefulSec},"stateful_rocksdb_sec":${r.rocksSec},""" +
+      s""""window_sec":${r.windowSec},"cores":$cpus}""")
     spark.stop()
     // the reported rate divides PROCESSED rows by wall time; any
     // watermark-dropped row means the chunk-ordering invariant broke
     // and the denominator is dishonest — fail loudly, don't just report
-    val droppedTotal = dropped1 + droppedR + dropped2
-    if (droppedTotal > 0) {
-      System.err.println(s"FATAL: $droppedTotal rows dropped by watermark — " +
+    if (r.dropped > 0) {
+      System.err.println(s"FATAL: ${r.dropped} rows dropped by watermark — " +
         "rate invalid (chunk files split across triggers?)")
       sys.exit(1)
     }

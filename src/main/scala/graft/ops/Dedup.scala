@@ -442,10 +442,11 @@ object Dedup {
     * candidate rows.
     *
     * Scale note: `planes` bounds the bucket count at 2^planes — size it
-    * ~log2(corpus) + a margin (e.g. 24-28 planes for 1e8+ vectors) so
-    * per-bucket candidate sets stay small; the default 8 matches the
-    * other SRP ops at test scale but is far too coarse for a real
-    * corpus (256 buckets ⇒ quadratic blowup inside each).
+    * with [[Similarity.planesFor]] (ceil(log2 corpus) + margin, e.g.
+    * 24-29 planes for 1e8+ vectors) so per-bucket candidate sets stay
+    * small; the default 8 matches the other SRP ops at test scale but
+    * is far too coarse for a real corpus (256 buckets ⇒ quadratic
+    * blowup inside each).
     */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, planes: Int = 8): DataFrame = {

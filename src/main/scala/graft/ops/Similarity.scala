@@ -167,6 +167,25 @@ object Similarity {
         col("fb.bucket").as("bucket"))
   }
 
+  /** Auto-size the SRP plane count for a corpus of `n` vectors:
+    * `ceil(log2 n) + margin` sign bits, capped at 62 (the bucket code
+    * is one Long). At margin 0 the expected bucket occupancy is O(1)
+    * (≈ n balls into ≥ n bins); each extra margin bit halves it, at
+    * the cost of per-family recall — buy recall back by stacking
+    * families ([[lshBucketFamilies]] / [[bucketNearestMulti]]), not by
+    * under-sizing planes (a 2^8-bucket code over 1e8 vectors puts
+    * ~400k vectors in every bucket and the candidate join goes
+    * quadratic inside each). The `planes = 8` defaults on the bucket
+    * ops are test-scale; real corpora should pass
+    * `planesFor(corpus.count())`.
+    */
+  def planesFor(n: Long, margin: Int = 2): Int = {
+    require(n >= 0, "n must be >= 0")
+    require(margin >= 0, "margin must be >= 0")
+    val lg = if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.min(math.max(lg + margin, 1), 62)
+  }
+
   private def probeDim(emb: DataFrame, vecCol: String, dim: Int): Option[Int] =
     if (dim > 0) Some(dim)
     else emb.select(size(col(vecCol))).head(1) match {
@@ -209,8 +228,8 @@ object Similarity {
     * product, selection is a rank-1 window per query vector. Vectors
     * alone in their bucket produce no row (no candidates — in production
     * multi-probe or a second plane family shrinks that miss rate).
-    * Scores are rounded to 6 digits before ranking; ties break on
-    * neighbor id.
+    * Size `planes` with [[planesFor]] at real corpus sizes. Scores are
+    * rounded to 6 digits before ranking; ties break on neighbor id.
     */
   def bucketNearest(emb: DataFrame, idCol: String, vecCol: String,
                     planes: Int = 8): DataFrame = {

@@ -326,6 +326,31 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("planesFor: ceil(log2 n)+margin sizing keeps SRP bucket occupancy O(1)") {
+    import graft.ops.Similarity
+    // formula: exact powers, off-by-one, floors, the Long cap
+    assert(Similarity.planesFor(1024) === 12)    // 10 + default margin 2
+    assert(Similarity.planesFor(1025) === 13)    // ceil rounds up
+    assert(Similarity.planesFor(2, margin = 0) === 1)
+    assert(Similarity.planesFor(1) === 2)        // degenerate corpus: margin only
+    assert(Similarity.planesFor(Long.MaxValue) === 62) // bucket code is one Long
+    // occupancy: a planesFor-sized code over a synthetic corpus spreads
+    // it thin — the property the helper exists to guarantee (an 8-plane
+    // default here would average ~8 per bucket and blow up quadratic
+    // candidate generation at real sizes)
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 2000L).map(i =>
+      (i, Array.fill(24)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val p = Similarity.planesFor(2000)           // 11 + 2 = 13 → 8192 buckets
+    assert(p === 13)
+    val occ = Similarity.lshBuckets(corpus, "vec_id", "embedding", planes = p)
+      .groupBy("bucket").count()
+      .agg(max("count").as("mx"), count(lit(1)).as("used"))
+      .as[(Long, Long)].head()
+    assert(occ._1 <= 32, s"max bucket occupancy ${occ._1} — code too coarse")
+    assert(occ._2 >= 2000 / 8, s"only ${occ._2} distinct buckets used")
+  }
+
   test("Checkpoints.pin: component-wise root containment — /a/b never matches /a/bc") {
     import graft.ops.Checkpoints
     // predicate: raw string prefix would get every one of these wrong
