@@ -594,6 +594,13 @@ object SparkEntry {
     "q29_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")),
 
+    // winnowing fingerprints (rolling-hash k-gram + window-min, the
+    // MOSS scheme): any >= window+k-1-char substring shared by two docs
+    // shares a fingerprint — partial-overlap detection (boilerplate,
+    // quotation) that q29's whole-document hashes cannot express
+    "q68_winnow_fingerprints" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text")),
+
     // multimodal plumbing: binary payload metadata (checksums computed
     // over the actual BinaryType column)
     "q30_multimodal_features" -> ((s, dir) =>
@@ -1044,6 +1051,19 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp_full,
         |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_sorted
         |FROM documents""".stripMargin,
+
+    "q68_winnow_fingerprints" ->
+      """WITH hs AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+        |                        i -> ('0x'||substr(md5(substr(text, i, 8)),1,15))::BIGINT) AS hs
+        |  FROM documents),
+        |fps AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, greatest(len(hs) - 15, 1)),
+        |                       i -> list_min(hs[i:i+15]))) AS fps
+        |  FROM hs)
+        |SELECT doc_id, unnest(fps) AS fp FROM fps""".stripMargin,
 
     "q30_multimodal_features" ->
       """SELECT doc_id, strlen(text)::BIGINT AS byte_len, md5(text) AS checksum

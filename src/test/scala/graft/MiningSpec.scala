@@ -326,6 +326,29 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowFingerprints: shared long substrings share a fingerprint; disjoint texts none") {
+    import graft.ops.TextAnalysis
+    // the winnowing guarantee threshold is window + k - 1 = 23 chars;
+    // this shared run is ~3x that
+    val shared = "the winnowing guarantee substring that both documents carry"
+    val df = Seq(
+      (1L, "prefix alpha beta " + shared + " gamma delta"),
+      (2L, "unrelated lead-in words " + shared + " trailing words"),
+      (3L, "zxqv jklm wpru 0123456789 vvvv 87654 kkkk 13579"))
+      .toDF("doc_id", "text")
+    val byDoc = TextAnalysis.winnowFingerprints(df, "doc_id", "text")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "shared >= w+k-1 substring must yield a shared fingerprint")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    assert((byDoc(2L) intersect byDoc(3L)).isEmpty)
+    // deterministic: same text → identical fingerprint set
+    val again = TextAnalysis.winnowFingerprints(df, "doc_id", "text")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(again === byDoc)
+  }
+
   test("planesFor: ceil(log2 n)+margin sizing keeps SRP bucket occupancy O(1)") {
     import graft.ops.Similarity
     // formula: exact powers, off-by-one, floors, the Long cap
