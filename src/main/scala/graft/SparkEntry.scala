@@ -627,6 +627,27 @@ object SparkEntry {
       Similarity.ivfAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
         (0L until 8L).toSeq)),
 
+    // end-to-end IVF ANN: probe the 2 nearest of 8 centroid lists per
+    // query, score only those lists' members — the scale path q33's
+    // coarse assignment exists for (q25 is the exact baseline)
+    "q69_ivf_search" -> ((s, dir) =>
+      Similarity.ivfSearch(Tables.embeddings(s, dir), "vec_id", "embedding",
+        centroidIds = (0L until 8L).toSeq, queryIds = (0L until 10L).toSeq,
+        k = 5, nprobe = 2)),
+
+    // Lloyd's k-means (2 deterministic rounds, ordered-fold means):
+    // learned-centroid assignment, the production upgrade of q33's
+    // seed-vector quantization; the oracle unrolls both rounds
+    "q70_kmeans_assign" -> ((s, dir) =>
+      Similarity.kmeansAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
+        initIds = (0L until 8L).toSeq, iters = 2)),
+
+    // Gopher-style within-document repetition filters: duplicate- and
+    // top-2-gram fractions per document (boilerplate/spam signal the
+    // cross-document dedup family cannot express)
+    "q71_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")),
+
     // vocabulary: global top-20 terms by document frequency
     "q34_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(Tables.documents(s, dir), "doc_id", "text", 20)),
@@ -1335,6 +1356,106 @@ object SparkEntry {
         |                            ORDER BY dist ASC, centroid_id ASC) AS rn
         |  FROM sc)
         |SELECT vec_id, centroid_id, dist FROM r WHERE rn = 1""".stripMargin,
+
+    "q69_ivf_search" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, embedding AS c_vec FROM e WHERE vec_id < 8),
+        |cd AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |         round(sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |           i -> (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)
+        |              * (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)))), 6) AS dist
+        |  FROM e CROSS JOIN c),
+        |assign AS (
+        |  SELECT vec_id AS neighbor_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        |    FROM cd) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        |    FROM cd WHERE vec_id < 10) WHERE rn <= 2),
+        |n AS (
+        |  SELECT * FROM (
+        |    SELECT vec_id, embedding,
+        |           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
+        |    FROM embeddings)
+        |  WHERE norm2 > 0),
+        |cand AS (
+        |  SELECT p.query_id, a.neighbor_id
+        |  FROM probes p JOIN assign a USING (centroid_id)
+        |  WHERE p.query_id <> a.neighbor_id),
+        |sc AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |         round(list_sum(list_transform(generate_series(1, len(nb.embedding)),
+        |                 i -> q.embedding[i]::DOUBLE * nb.embedding[i]::DOUBLE))
+        |               / sqrt(q.norm2 * nb.norm2), 6) AS score
+        |  FROM cand
+        |  JOIN n q ON q.vec_id = cand.query_id
+        |  JOIN n nb ON nb.vec_id = cand.neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "q70_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |c0 AS (SELECT vec_id AS centroid_id,
+        |              list_transform(embedding, x -> round(x::DOUBLE, 6)) AS c_vec
+        |       FROM e WHERE vec_id < 8),
+        |d1 AS (SELECT e.vec_id, c.centroid_id,
+        |              round(sqrt(list_sum(list_transform(generate_series(1, 64),
+        |                i -> (e.embedding[i]::DOUBLE - c.c_vec[i]) * (e.embedding[i]::DOUBLE - c.c_vec[i])))), 6) AS dist
+        |       FROM e CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, centroid_id FROM (
+        |         SELECT vec_id, centroid_id,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        |         FROM d1) WHERE rn = 1),
+        |m1 AS (SELECT a.centroid_id, t.d,
+        |              round(list_sum(list(e.embedding[t.d]::DOUBLE ORDER BY e.vec_id)) / count(*), 6) AS m
+        |       FROM a1 a JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |       GROUP BY a.centroid_id, t.d),
+        |c1 AS (SELECT c0.centroid_id, coalesce(u.c_vec, c0.c_vec) AS c_vec
+        |       FROM c0 LEFT JOIN (
+        |         SELECT centroid_id, list(m ORDER BY d) AS c_vec FROM m1 GROUP BY centroid_id) u
+        |       USING (centroid_id)),
+        |d2 AS (SELECT e.vec_id, c.centroid_id,
+        |              round(sqrt(list_sum(list_transform(generate_series(1, 64),
+        |                i -> (e.embedding[i]::DOUBLE - c.c_vec[i]) * (e.embedding[i]::DOUBLE - c.c_vec[i])))), 6) AS dist
+        |       FROM e CROSS JOIN c1 c),
+        |a2 AS (SELECT vec_id, centroid_id FROM (
+        |         SELECT vec_id, centroid_id,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        |         FROM d2) WHERE rn = 1),
+        |m2 AS (SELECT a.centroid_id, t.d,
+        |              round(list_sum(list(e.embedding[t.d]::DOUBLE ORDER BY e.vec_id)) / count(*), 6) AS m
+        |       FROM a2 a JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |       GROUP BY a.centroid_id, t.d),
+        |c2 AS (SELECT c1.centroid_id, coalesce(u.c_vec, c1.c_vec) AS c_vec
+        |       FROM c1 LEFT JOIN (
+        |         SELECT centroid_id, list(m ORDER BY d) AS c_vec FROM m2 GROUP BY centroid_id) u
+        |       USING (centroid_id)),
+        |d3 AS (SELECT e.vec_id, c.centroid_id,
+        |              round(sqrt(list_sum(list_transform(generate_series(1, 64),
+        |                i -> (e.embedding[i]::DOUBLE - c.c_vec[i]) * (e.embedding[i]::DOUBLE - c.c_vec[i])))), 6) AS dist
+        |       FROM e CROSS JOIN c2 c)
+        |SELECT vec_id, centroid_id, dist FROM (
+        |  SELECT vec_id, centroid_id, dist,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        |  FROM d3) WHERE rn = 1""".stripMargin,
+
+    "q71_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w)),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+        |SELECT doc_id, sum(cnt)::BIGINT AS n_grams,
+        |       round(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt)::DOUBLE, 6) AS dup_gram_frac,
+        |       round(max(cnt)::DOUBLE / sum(cnt)::DOUBLE, 6) AS top_gram_frac
+        |FROM c GROUP BY doc_id""".stripMargin,
 
     "q34_top_terms" ->
       """SELECT term, count(*) AS doc_freq FROM (

@@ -42,12 +42,13 @@ object Similarity {
 
   /** Shared scoring tail of the ANN paths: join the candidate id pairs
     * back to their vectors, score with the codegen'd dot product
-    * (6-digit rounding — the oracle-parity convention), rank-1 per
+    * (6-digit rounding — the oracle-parity convention), rank top-k per
     * query with the neighbor-id tie-break. One place, so rounding and
-    * tie-break changes cannot diverge between the bucket variants.
+    * tie-break changes cannot diverge between the bucket/IVF variants.
+    * Output: (query_id, neighbor_id, score, rank), rank <= k.
     */
-  private def nearestByCosine(cand: DataFrame, emb: DataFrame,
-                              idCol: String, vecCol: String): DataFrame = {
+  private def topKByCosine(cand: DataFrame, emb: DataFrame,
+                           idCol: String, vecCol: String, k: Int): DataFrame = {
     val e = normedVectors(emb, idCol, vecCol)
     val scored = cand
       .join(e.select(col("vid").as("query_id"), col("vec").as("q_vec"),
@@ -58,9 +59,14 @@ object Similarity {
         expr("round(array_dot(q_vec, vec) / sqrt(q_norm2 * norm2), 6)").as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
+
+  /** Rank-1 form of [[topKByCosine]] (the bucket-ANN variants' tail). */
+  private def nearestByCosine(cand: DataFrame, emb: DataFrame,
+                              idCol: String, vecCol: String): DataFrame =
+    topKByCosine(cand, emb, idCol, vecCol, 1).drop("rank")
 
   /** Exact top-k cosine neighbors for each query id. The query side is
     * broadcast (keep query batches small; for bulk all-pairs use
@@ -83,14 +89,38 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** (vec_id, centroid_id, dist) for every row of `e` × every centroid:
+    * the shared scoring head of [[ivfAssign]] (argmin) and [[ivfSearch]]
+    * (probe ranking). Centroids are broadcast (k×dim values); dist is
+    * round(sqrt(L2²), 6) via the codegen'd array_sqdiff.
+    */
+  private def centroidDists(e: DataFrame, cents: DataFrame): DataFrame =
+    e.join(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        expr("round(sqrt(array_sqdiff(vec, c_vec)), 6)").as("dist"))
+
+  /** Nearest centroid per vector from a [[centroidDists]] frame:
+    * min(struct(dist, centroid_id)) is a declarative aggregate with
+    * map-side partial combine — the k candidate rows of each vector are
+    * produced co-located by the broadcast join and collapse to one row
+    * before any exchange, vs a Window argmin which would sort-shuffle
+    * all n×k rows. Tie-break on centroid_id rides in the struct order.
+    */
+  private def nearestCentroid(dists: DataFrame): DataFrame =
+    dists.groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("centroid_id"))).as("m"))
+      .select(col("vec_id"), col("m.centroid_id").as("centroid_id"),
+        col("m.dist").as("dist"))
+
   /** IVF-style coarse quantization: assign every vector to its nearest
     * centroid (L2), making ANN candidate generation an equi-join on
     * centroid_id. Centroids here are seeded deterministically from the
-    * corpus (`centroidIds`) so the oracle can reproduce them; production
-    * would plug in k-means centroids — the assignment plan (broadcast
-    * centroids, codegen-fed dot products, rank-1 per vector) is
-    * identical. Distances are rounded to 6 digits before the argmin so
-    * ordering is engine-stable; ties break on centroid_id.
+    * corpus (`centroidIds`) so the oracle can reproduce them; plug in
+    * [[kmeansAssign]]'s learned centroids for real IVF quality — the
+    * assignment plan (broadcast centroids, codegen-fed distances,
+    * map-side-combining argmin, no window/sort) is identical. Distances
+    * are rounded to 6 digits before the argmin so ordering is
+    * engine-stable; ties break on centroid_id.
     */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
                 centroidIds: Seq[Long]): DataFrame = {
@@ -98,13 +128,104 @@ object Similarity {
     val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
     val cents = e.filter(col("vec_id").isin(centroidIds: _*))
       .select(col("vec_id").as("centroid_id"), col("vec").as("c_vec"))
-    val scored = e.join(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
-        expr("round(sqrt(array_sqdiff(vec, c_vec)), 6)").as("dist"))
-    val w = Window.partitionBy(col("vec_id"))
+    nearestCentroid(centroidDists(e, cents))
+  }
+
+  /** End-to-end IVF ANN search: every vector lives in exactly one
+    * centroid list ([[ivfAssign]]); each query ranks the centroids,
+    * probes its `nprobe` nearest lists, and brute-force-scores only
+    * those lists' members (cosine, 6-digit rounding, neighbor-id
+    * tie-break), keeping the top `k`. Self-pairs excluded; zero-norm
+    * vectors are excluded from scoring on both sides (cosine undefined —
+    * same guard as [[cosineKnn]]).
+    *
+    * This is the IVF scale path the coarse assignment exists for:
+    * candidate generation is an equi-join on centroid_id, so per query
+    * the scored set is ~nprobe/nlists of the corpus instead of all of
+    * it ([[cosineKnn]] stays the exact baseline); recall is bought with
+    * `nprobe`, never with a bigger scan. The assignment side is one
+    * broadcast join + map-side argmin over the corpus; the probe side
+    * is queries×centroids (tiny).
+    *
+    * Output: (query_id, neighbor_id, score, rank), rank <= k.
+    */
+  def ivfSearch(emb: DataFrame, idCol: String, vecCol: String,
+                centroidIds: Seq[Long], queryIds: Seq[Long],
+                k: Int, nprobe: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val cents = e.filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("centroid_id"), col("vec").as("c_vec"))
+    val assign = ivfAssign(emb, idCol, vecCol, centroidIds)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
+    val pw = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist").asc, col("centroid_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    val probes = centroidDists(e.filter(col("vec_id").isin(queryIds: _*)), cents)
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val cand = probes.join(assign, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    topKByCosine(cand, emb, idCol, vecCol, k)
+  }
+
+  /** Lloyd's k-means, deterministically seeded and fully declarative:
+    * `iters` rounds of (assign to nearest centroid, recompute means),
+    * returning the final assignment (vec_id, centroid_id, dist) — a
+    * drop-in replacement for [[ivfAssign]] when learned centroids are
+    * wanted instead of seed vectors. Constructing the frame runs no
+    * Spark jobs; the iterations unroll into one lazy DAG (each round's
+    * k×dim centroid aggregate is re-broadcast into the next).
+    *
+    * Determinism (the oracle-parity contract): initial centroids are
+    * the `initIds` vectors with components rounded to 6 digits; with
+    * `orderedMeans` every mean is an ordered left-fold over member
+    * values sorted by vec_id — double addition is not associative, so a
+    * plain avg() could hash differently per partitioning/engine — then
+    * rounded to 6; distances round(sqrt(L2²), 6) with centroid-id
+    * tie-break; empty clusters keep their previous centroid.
+    *
+    * Scale shape, per iteration: one broadcast join (k×dim doubles) +
+    * map-side-combining argmin (no window, no sort) + one posexplode
+    * and two hash aggregates for the means (k×dim groups). The ordered
+    * fold collects each (centroid, dim)'s member values into one array
+    * — fine at verification scale, but at 100 TB a cluster's member
+    * list does not fit a row: set `orderedMeans=false` for plain
+    * partial-aggregating avg() (same plan minus the collect, last-ulp
+    * nondeterminism the 6-digit rounding almost always hides).
+    */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                   initIds: Seq[Long], iters: Int,
+                   orderedMeans: Boolean = true): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val init = e.filter(col("vec_id").isin(initIds: _*))
+      .select(col("vec_id").as("centroid_id"),
+        expr("transform(vec, x -> round(cast(x as double), 6))").as("c_vec"))
+    val mean =
+      if (orderedMeans)
+        expr("""round(aggregate(array_sort(collect_list(named_struct('vec_id', vec_id, 'v', cast(v as double)))),
+               |               cast(0.0 as double), (a, s) -> a + s.v) / count(v), 6)""".stripMargin)
+      else round(avg(col("v")), 6)
+    val finalCents = (1 to iters).foldLeft(init) { (cents, _) =>
+      val assign = nearestCentroid(centroidDists(e, cents))
+      val dims = assign.join(e, "vec_id")
+        .select(col("centroid_id"), col("vec_id"),
+          posexplode(col("vec")).as(Seq("d", "v")))
+        .groupBy(col("centroid_id"), col("d"))
+        .agg(mean.as("m"))
+      val updated = dims.groupBy(col("centroid_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)")
+          .as("c_vec_new"))
+      cents.join(updated, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("c_vec_new"), col("c_vec")).as("c_vec"))
+    }
+    nearestCentroid(centroidDists(e, finalCents))
   }
 
   /** Sign-random-projection LSH bucket per vector: `planes` pseudo-random

@@ -152,6 +152,42 @@ object TextAnalysis {
           .stripMargin)).as("fp"))
   }
 
+  /** Within-document repetition metrics — the Gopher repetition filters
+    * (Rae et al. 2021, "Scaling Language Models: Methods, Analysis &
+    * Insights from Training Gopher", appendix A1.1) adapted to word
+    * n-grams: per document, the fraction of n-gram occurrences belonging
+    * to an n-gram that repeats within the document (`dup_gram_frac`) and
+    * the fraction claimed by the single most frequent n-gram
+    * (`top_gram_frac`). High values flag boilerplate, keyword spam, and
+    * degenerate repetition — the standard pre-training corpus filter the
+    * whole-document dedup family cannot express (a document is its own
+    * duplicate here).
+    *
+    * Shape: one narrow gram expansion (transform + explode, no shuffle)
+    * then two hash aggregates keyed (doc, gram) and (doc) — work ∝ total
+    * tokens, the same canonical shape as [[tfIdf]]. Documents with fewer
+    * than n words have no n-grams and produce no row.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val grams = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' '))"))
+        .as("gram"))
+    grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(when(col("cnt") >= 2, col("cnt")).otherwise(lit(0L))).as("dup_cnt"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("dup_cnt").cast("double") / col("n_grams"), 6).as("dup_gram_frac"),
+        round(col("top_cnt").cast("double") / col("n_grams"), 6).as("top_gram_frac"))
+  }
+
   /** TF-IDF term weights per (doc, term): tf · ln((N+1)/(df+1)),
     * rounded to 6 digits. Two hash aggregates (term frequency per doc,
     * document frequency per term) + one equi-join on term + the corpus

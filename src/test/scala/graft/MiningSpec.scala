@@ -232,6 +232,96 @@ class MiningSpec extends AnyFunSuite {
     assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("ivfSearch: probing every list reproduces the exact brute-force top-k") {
+    val df = Seq(
+      (0L, Array(10f, 0f)), (1L, Array(9f, 1f)), (2L, Array(8f, 2f)),
+      (3L, Array(0f, 10f)), (4L, Array(1f, 9f)), (5L, Array(2f, 8f)),
+      (6L, Array(7f, 7f)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.cosineKnn(df, "vec_id", "embedding", Seq(0L, 3L), 3)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val ivfAll = Similarity.ivfSearch(df, "vec_id", "embedding",
+      centroidIds = Seq(0L, 3L), queryIds = Seq(0L, 3L), k = 3, nprobe = 2)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(ivfAll === exact)
+  }
+
+  test("ivfSearch: nprobe=1 scores only the probed list's members") {
+    val df = Seq(
+      (0L, Array(10f, 0f)), (1L, Array(9f, 1f)), (2L, Array(8f, 2f)),
+      (3L, Array(0f, 10f)), (4L, Array(1f, 9f)), (5L, Array(2f, 8f)))
+      .toDF("vec_id", "embedding")
+    val assign = Similarity.ivfAssign(df, "vec_id", "embedding", Seq(0L, 3L))
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    val out = Similarity.ivfSearch(df, "vec_id", "embedding",
+      centroidIds = Seq(0L, 3L), queryIds = Seq(0L), k = 5, nprobe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    // query 0 lives in (and probes) centroid 0's list only
+    assert(out.forall { case (q, n) => q === 0L && assign(n) === 0L })
+    assert(!out.exists { case (_, n) => n === 0L }) // no self-pair
+  }
+
+  test("kmeansAssign: separated clusters converge; means drive the final assignment") {
+    // integer-valued floats: round-to-6 is the identity, means are exact
+    val df = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(2f, 0f)), (2L, Array(0f, 2f)),
+      (3L, Array(100f, 100f)), (4L, Array(102f, 100f)), (5L, Array(100f, 102f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(df, "vec_id", "embedding",
+      initIds = Seq(0L, 3L), iters = 2)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(out === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
+    // iters=0 must equal the seed-vector coarse assignment (ivfAssign)
+    val k0 = Similarity.kmeansAssign(df, "vec_id", "embedding", Seq(0L, 3L), 0)
+      .select("vec_id", "centroid_id", "dist").as[(Long, Long, Double)].collect().toSet
+    val ivf = Similarity.ivfAssign(df, "vec_id", "embedding", Seq(0L, 3L))
+      .select("vec_id", "centroid_id", "dist").as[(Long, Long, Double)].collect().toSet
+    assert(k0 === ivf)
+    // plain-avg means agree with the ordered fold after 6-digit rounding
+    val fast = Similarity.kmeansAssign(df, "vec_id", "embedding",
+      initIds = Seq(0L, 3L), iters = 2, orderedMeans = false)
+      .select("vec_id", "centroid_id", "dist").as[(Long, Long, Double)].collect().toSet
+    val slow = Similarity.kmeansAssign(df, "vec_id", "embedding",
+      initIds = Seq(0L, 3L), iters = 2)
+      .select("vec_id", "centroid_id", "dist").as[(Long, Long, Double)].collect().toSet
+    assert(fast === slow)
+  }
+
+  test("kmeansAssign: duplicate seeds tie toward the lower id; empty cluster keeps its centroid") {
+    // seeds 0 and 1 are identical vectors: in round one every point ties
+    // (or is closer) toward centroid 0, so cluster 1 goes EMPTY and must
+    // carry its seed centroid (5,5) unchanged. Round one's mean pulls
+    // c0 to (16/3, 5); in round two the carried c1=(5,5) is then the
+    // closer centroid for points 0 and 1 again — proof the empty
+    // cluster's centroid survived rather than nulling out
+    val df = Seq(
+      (0L, Array(5f, 5f)), (1L, Array(5f, 5f)), (2L, Array(6f, 5f)))
+      .toDF("vec_id", "embedding")
+    val r0 = Similarity.kmeansAssign(df, "vec_id", "embedding",
+      initIds = Seq(0L, 1L), iters = 0)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(r0 === Map(0L -> 0L, 1L -> 0L, 2L -> 0L)) // all tie to the lower id
+    val r2 = Similarity.kmeansAssign(df, "vec_id", "embedding",
+      initIds = Seq(0L, 1L), iters = 2)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(r2 === Map(0L -> 1L, 1L -> 1L, 2L -> 0L))
+  }
+
+  test("repetitionStats: duplicate- and top-gram fractions; sub-n docs emit no row") {
+    val df = docs((1, "a b a b c", "s"), (2, "x y z", "s"), (3, "w", "s"))
+    val out = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .select("doc_id", "n_grams", "dup_gram_frac", "top_gram_frac")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 1 grams: "a b" x2, "b a", "b c" -> 4 grams, dup 2/4, top 2/4
+    assert(out(1L) === ((1L, 4L, 0.5, 0.5)))
+    // doc 2 grams: "x y", "y z" -> no dups, top 1/2
+    assert(out(2L) === ((2L, 2L, 0.0, 0.5)))
+    assert(!out.contains(3L)) // single word: no 2-grams
+  }
+
   test("embeddingNearDup: same-bucket pairs above the cosine cut, nothing else") {
     val df = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),
