@@ -196,10 +196,22 @@ object Similarity {
     * list does not fit a row: set `orderedMeans=false` for plain
     * partial-aggregating avg() (same plan minus the collect, last-ulp
     * nondeterminism the 6-digit rounding almost always hides).
+    *
+    * Each round's centroid frame references the previous round twice
+    * (through the assignment and through the empty-cluster coalesce),
+    * so the unrolled plan doubles per iteration; `pinIterations`
+    * (default) lazily checkpoints the k-row centroid frame each round
+    * — [[Checkpoints.pin]], `eager=false`, so construction still runs
+    * no jobs — keeping the plan linear in `iters` and each round's
+    * assignment computed exactly once. `checkpointDir` switches the
+    * pin to a reliable root for cluster runs (executor-loss caveat in
+    * [[Checkpoints]]).
     */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
                    initIds: Seq[Long], iters: Int,
-                   orderedMeans: Boolean = true): DataFrame = {
+                   orderedMeans: Boolean = true,
+                   pinIterations: Boolean = true,
+                   checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
     val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
@@ -221,9 +233,11 @@ object Similarity {
       val updated = dims.groupBy(col("centroid_id"))
         .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)")
           .as("c_vec_new"))
-      cents.join(updated, Seq("centroid_id"), "left")
+      val next = cents.join(updated, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("c_vec_new"), col("c_vec")).as("c_vec"))
+      if (pinIterations) Checkpoints.pin(next, checkpointDir, eager = false)
+      else next
     }
     nearestCentroid(centroidDists(e, finalCents))
   }
