@@ -79,4 +79,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "q40 regressed to a Window-based ntile")
     assert(p.contains("BroadcastHashJoin"), "offset join should broadcast")
   }
+
+  test("q33: centroid argmin is a partial-combining aggregate, not a Window over n x k") {
+    val p = plan("q33_ivf_assign")
+    assert(!p.contains("Window"),
+      "ivfAssign regressed to a Window argmin — n x k rows would sort-shuffle")
+    // the only join is the broadcast of the k centroids
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q70: k-means iterations are pinned — plan stays linear in iters") {
+    // without the per-iteration centroid pin the unrolled plan doubles
+    // per round (22 scans at iters=2); pinned it reads each source once
+    // per remaining segment
+    val p = plan("q70_kmeans_assign")
+    val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans <= 3, s"q70 plan re-reads the corpus $scans times — pin broke")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q71: gram expansion is narrow; exactly the two aggregation exchanges") {
+    val p = plan("q71_repetition")
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges <= 4, s"q71 should shuffle only for its two aggregates, saw $exchanges")
+    assert(!p.contains("Join"), "q71 must not join")
+    assert(p.contains("HashAggregate"))
+  }
 }
