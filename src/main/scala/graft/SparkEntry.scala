@@ -648,6 +648,17 @@ object SparkEntry {
     "q71_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")),
 
+    // benchmark-contamination check: shared distinct 3-grams between
+    // the src0 "training" slice and the src1 "benchmark" slice
+    // (inverted-index join; ubiquitous grams df-capped)
+    "q72_contamination" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.ngramOverlap(
+        d.filter(col("source") === "src0"),
+        d.filter(col("source") === "src1"),
+        "doc_id", "text", n = 3, maxBenchDf = 1000)
+    }),
+
     // vocabulary: global top-20 terms by document frequency
     "q34_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(Tables.documents(s, dir), "doc_id", "text", 20)),
@@ -1074,10 +1085,14 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q68_winnow_fingerprints" ->
-      """WITH hs AS (
+      """-- per-character unicode() == the engine's UTF-8 bytes on this
+        |-- ASCII corpus (same byte/char equivalence as the q48 oracle)
+        |WITH hs AS (
         |  SELECT doc_id,
-        |         list_transform(generate_series(1, greatest(length(text) - 7, 1)),
-        |                        i -> ('0x'||substr(md5(substr(text, i, 8)),1,15))::BIGINT) AS hs
+        |    list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+        |      i -> list_reduce(list_transform(generate_series(i, least(i + 7, length(text))),
+        |             j -> unicode(text[j])::BIGINT),
+        |           (a, c) -> (a * 257 + c) % 1000000007)) AS hs
         |  FROM documents),
         |fps AS (
         |  SELECT doc_id,
@@ -1456,6 +1471,20 @@ object SparkEntry {
         |       round(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt)::DOUBLE, 6) AS dup_gram_frac,
         |       round(max(cnt)::DOUBLE / sum(cnt)::DOUBLE, 6) AS top_gram_frac
         |FROM c GROUP BY doc_id""".stripMargin,
+
+    "q72_contamination" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |cg AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        |             FROM d WHERE source = 'src0')),
+        |bg AS (SELECT DISTINCT doc_id AS bench_id, array_to_string(ws[i:i+2], ' ') AS gram
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        |             FROM d WHERE source = 'src1')),
+        |keep AS (SELECT gram FROM (SELECT gram, count(*) AS df_cnt FROM bg GROUP BY gram)
+        |         WHERE df_cnt <= 1000)
+        |SELECT cg.doc_id, bg.bench_id, count(*)::BIGINT AS shared_ngrams
+        |FROM cg JOIN keep USING (gram) JOIN bg USING (gram)
+        |GROUP BY cg.doc_id, bg.bench_id""".stripMargin,
 
     "q34_top_terms" ->
       """SELECT term, count(*) AS doc_freq FROM (

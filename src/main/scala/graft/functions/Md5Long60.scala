@@ -80,6 +80,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("md5_long60"),
       new ExpressionInfo(classOf[Md5Long60].getName, "md5_long60"),
       (exprs: Seq[Expression]) => Md5Long60(exprs.head)))
+    e.injectFunction((FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (exprs: Seq[Expression]) => WinnowFps(exprs(0), exprs(1), exprs(2))))
     VectorExprs.registrations.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
   }

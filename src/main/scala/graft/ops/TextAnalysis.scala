@@ -127,29 +127,23 @@ object TextAnalysis {
     * quotations, plagiarism) that the whole-document hashes
     * ([[fingerprints]] / [[Dedup.fingerprint]]) structurally cannot.
     *
-    * Shape: per-row higher-order transforms (narrow, partition-
-    * parallel) + one explode — the operator itself never shuffles; the
-    * consumer's join or groupBy on fp/doc_id is the only exchange. The
-    * gram hash recomputes md5 per position (O(len·k) per doc, k
-    * constant, reproducible bit-for-bit in the DuckDB oracle); the
-    * production constant-factor upgrade is a Rabin-Karp rolling hash
-    * as a native codegen'd Expression — same fingerprints, same plan
-    * shape, one pass per character instead of k.
+    * Shape: one native codegen'd expression per row
+    * ([[graft.functions.WinnowFps winnow_fps]]: Rabin-Karp rolling
+    * gram hashes + window-min sweep, O(len) multiply-adds — the
+    * pre-round-7 higher-order-function form ran O(len·k) interpreted
+    * md5 calls per doc) + one explode — the operator itself never
+    * shuffles; the consumer's join or groupBy on fp/doc_id is the only
+    * exchange. The polynomial hash is reproduced bit-for-bit by the
+    * DuckDB oracle (ASCII corpora; see WinnowFps for the byte/char
+    * caveat).
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, window: Int = 16): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(window >= 1, "window must be >= 1")
-    graft.functions.Md5Long60.ensureRegistered(df.sparkSession)
-    df.select(col(idCol).as("doc_id"), col(textCol).as("txt"))
-      .withColumn("hs", expr(
-        s"""transform(sequence(1, greatest(length(txt) - ${k - 1}, 1)),
-           |          i -> md5_long60(CAST(substring(txt, i, $k) AS BINARY)))"""
-          .stripMargin))
-      .select(col("doc_id"), explode(expr(
-        s"""array_distinct(transform(sequence(1, greatest(size(hs) - ${window - 1}, 1)),
-           |                         i -> array_min(slice(hs, i, $window))))"""
-          .stripMargin)).as("fp"))
+    df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.WinnowFps(df.sparkSession, col(textCol), k, window))
+        .as("fp"))
   }
 
   /** Within-document repetition metrics — the Gopher repetition filters
@@ -186,6 +180,41 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_grams"),
         round(col("dup_cnt").cast("double") / col("n_grams"), 6).as("dup_gram_frac"),
         round(col("top_cnt").cast("double") / col("n_grams"), 6).as("top_gram_frac"))
+  }
+
+  /** Cross-corpus n-gram overlap — the benchmark-contamination check
+    * (the GPT-3 report, Brown et al. 2020 appendix C, measures train/
+    * test leakage by shared n-grams): for every (corpus doc, benchmark
+    * doc) pair sharing at least one distinct word n-gram, the count of
+    * shared distinct n-grams. Filter high counts to find training
+    * documents that quote (or contain) evaluation data.
+    *
+    * Shape: distinct-gram expansion on each side (narrow), an
+    * inverted-index equi-join on the gram, one hash aggregate on the
+    * pair — work ∝ gram co-occurrences, never |corpus|×|bench|.
+    * Ubiquitous grams carry no contamination signal and blow the join
+    * quadratically, so grams appearing in more than `maxBenchDf`
+    * benchmark docs are dropped first (the bench side is the small one
+    * — its document-frequency table is cheap), mirroring the stopword
+    * pruning of [[Dedup.jaccardPairs]]'s inverted index.
+    */
+  def ngramOverlap(corpus: DataFrame, bench: DataFrame,
+                   idCol: String, textCol: String,
+                   n: Int = 3, maxBenchDf: Long = 1000): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    def grams(df: DataFrame, out: String): DataFrame = df
+      .select(col(idCol).as(out), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col(out), explode(expr(
+        s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' ')))"))
+        .as("gram"))
+    val cg = grams(corpus, "doc_id")
+    val bgAll = grams(bench, "bench_id")
+    val keep = bgAll.groupBy(col("gram")).agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") <= maxBenchDf).select(col("gram"))
+    cg.join(bgAll.join(keep, "gram"), "gram")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
   }
 
   /** TF-IDF term weights per (doc, term): tf · ln((N+1)/(df+1)),

@@ -322,6 +322,22 @@ class MiningSpec extends AnyFunSuite {
     assert(!out.contains(3L)) // single word: no 2-grams
   }
 
+  test("ngramOverlap: shared distinct grams per pair; df cap drops ubiquitous grams") {
+    val corpus = docs((1, "a b c d", "s"), (2, "x y z w", "s"),
+      (3, "a b a b a", "s")) // repeated gram "a b a" must count once
+    val bench = docs((10, "a b c q", "s"), (11, "b c d e", "s"),
+      (12, "x y z 1", "s"), (13, "x y z 2", "s"))
+    val out = TextAnalysis.ngramOverlap(corpus, bench, "doc_id", "text", n = 3)
+      .select("doc_id", "bench_id", "shared_ngrams")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 10L, 1L), (1L, 11L, 1L), (2L, 12L, 1L), (2L, 13L, 1L)))
+    // "x y z" appears in 2 bench docs: a df cap of 1 drops it entirely
+    val capped = TextAnalysis.ngramOverlap(corpus, bench, "doc_id", "text",
+      n = 3, maxBenchDf = 1)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(capped === Set((1L, 10L), (1L, 11L)))
+  }
+
   test("embeddingNearDup: same-bucket pairs above the cosine cut, nothing else") {
     val df = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),
