@@ -659,6 +659,17 @@ object SparkEntry {
         "doc_id", "text", n = 3, maxBenchDf = 1000)
     }),
 
+    // windowFunnel (earliest-chain): per user, how deep the
+    // view -> click -> purchase sequence completes within 2 days
+    "q73_window_funnel" -> ((s, dir) =>
+      Funnel.windowFunnel(Tables.events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), "2 DAY")),
+
+    // int8 scalar quantization (SQ8): per-vector scale + quantized
+    // components, exploded — the 4x-memory ANN storage path
+    "q74_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")),
+
     // vocabulary: global top-20 terms by document frequency
     "q34_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(Tables.documents(s, dir), "doc_id", "text", 20)),
@@ -1485,6 +1496,38 @@ object SparkEntry {
         |SELECT cg.doc_id, bg.bench_id, count(*)::BIGINT AS shared_ngrams
         |FROM cg JOIN keep USING (gram) JOIN bg USING (gram)
         |GROUP BY cg.doc_id, bg.bench_id""".stripMargin,
+
+    "q73_window_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events),
+        |t1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT t1.user_id, t1.t1, min(e.ts) AS t2 FROM t1 JOIN e USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > t1.t1
+        |         AND e.ts <= t1.t1 + INTERVAL 2 DAY
+        |       GROUP BY 1, 2),
+        |t3 AS (SELECT t2.user_id, t2.t1, t2.t2, min(e.ts) AS t3 FROM t2 JOIN e USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        |         AND e.ts <= t2.t1 + INTERVAL 2 DAY
+        |       GROUP BY 1, 2, 3)
+        |SELECT t1.user_id,
+        |       (1 + CASE WHEN t2.t2 IS NULL THEN 0 ELSE 1 END
+        |          + CASE WHEN t3.t3 IS NULL THEN 0 ELSE 1 END)::INT AS depth,
+        |       epoch_us(t1.t1) AS t1_us, epoch_us(t2.t2) AS t2_us, epoch_us(t3.t3) AS t3_us
+        |FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        |        LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin,
+
+    "q74_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+        |  FROM embeddings),
+        |f AS (SELECT vec_id, embedding, maxabs, round(maxabs / 127.0, 6) AS scale
+        |      FROM e WHERE maxabs > 0)
+        |SELECT vec_id, (i - 1)::INT AS pos,
+        |       round(embedding[i]::DOUBLE / maxabs * 127.0)::INT AS q,
+        |       scale
+        |FROM (SELECT vec_id, embedding, maxabs, scale,
+        |             unnest(generate_series(1, len(embedding))) AS i
+        |      FROM f)""".stripMargin,
 
     "q34_top_terms" ->
       """SELECT term, count(*) AS doc_freq FROM (

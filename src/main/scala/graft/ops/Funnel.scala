@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Funnel analysis over an event log: per user, how deep an ordered
+  * step sequence (view → click → purchase, …) was completed within a
+  * time horizon — the windowFunnel aggregate of the ClickHouse /
+  * product-analytics world, absent from the reference's seven use
+  * cases but the first thing its users ask of an event table.
+  *
+  * Semantics: EARLIEST-CHAIN. Step 1 anchors at the user's earliest
+  * step-1 event (t1); step i+1 anchors at the earliest step-(i+1)
+  * event strictly after t_i and no later than t1 + horizon. Depth is
+  * the last anchored step. This greedy chain is deterministic and
+  * fully declarative (k-1 join+min-aggregate rounds, partial aggs, no
+  * per-user scan); it can under-report versus ClickHouse's any-start
+  * maximization (which re-anchors on every step-1 event) — a user who
+  * misses the chain from their FIRST step-1 event but completes one
+  * from a later event counts shallower here. Re-anchoring needs a
+  * per-user ordered scan: compose [[graft.cep.CEP]]'s NFA over the
+  * same events when those semantics matter; this operator is the
+  * aggregate-only scale shape.
+  *
+  * Scale: each round filters the event table to one step (pushed to
+  * the scan), joins on user_id and min-aggregates — work ∝ matching
+  * events, state ∝ users, never a window sort over the full log.
+  *
+  * Output: (user_id, depth, t1_us .. tk_us) — anchor times as epoch
+  * micros (nullable past the reached depth).
+  */
+object Funnel {
+
+  def windowFunnel(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, steps: Seq[String],
+                   horizon: String): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(steps.distinct.size == steps.size, "steps must be distinct")
+    val e = events.select(col(userCol).as("user_id"),
+      col(typeCol).as("step"), col(tsCol).as("ts"))
+    val iv = expr(s"INTERVAL $horizon") // e.g. "2 DAY", "15 MINUTE"
+    val t1 = e.filter(col("step") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    // tiers(i): users who reached step i+1, carrying t1..t_{i+1}
+    val tiers = steps.zipWithIndex.drop(1).scanLeft(t1) {
+      case (prev, (s, i)) =>
+        val carry = (1 to i).map(j => col(s"t$j"))
+        prev.join(e.filter(col("step") === s), "user_id")
+          .filter(col("ts") > col(s"t$i") && col("ts") <= col("t1") + iv)
+          .groupBy(col("user_id") +: carry: _*)
+          .agg(min(col("ts")).as(s"t${i + 1}"))
+    }
+    val assembled = tiers.tail.zipWithIndex.foldLeft(tiers.head) {
+      case (acc, (tier, i)) =>
+        acc.join(tier.select(col("user_id"), col(s"t${i + 2}")),
+          Seq("user_id"), "left")
+    }
+    val depth = steps.indices.drop(1).foldLeft(lit(1)) { (d, i) =>
+      d + when(col(s"t${i + 1}").isNotNull, 1).otherwise(0)
+    }
+    val tsCols: Seq[Column] = steps.indices.map(i =>
+      unix_micros(col(s"t${i + 1}")).as(s"t${i + 1}_us"))
+    assembled.select(col("user_id") +: depth.as("depth") +: tsCols: _*)
+  }
+}

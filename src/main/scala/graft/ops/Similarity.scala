@@ -172,6 +172,28 @@ object Similarity {
     topKByCosine(cand, emb, idCol, vecCol, k)
   }
 
+  /** Int8 scalar quantization of an embedding column (the SQ8 scheme of
+    * the FAISS/vector-db world): per vector, `scale = maxabs/127` and
+    * `q[pos] = round(x/maxabs·127) ∈ [-127, 127]` — 4× memory reduction
+    * for ANN candidate storage, dequantized as `q·scale` with absolute
+    * error ≤ scale/2 per component. Zero vectors are excluded (no
+    * signal, undefined scale — the cosine-guard convention). Output is
+    * exploded to (vec_id, pos, q, scale) rows; purely narrow (one
+    * projection + one generator, no shuffle), scale rounded to 6 digits
+    * and rounding half-away-from-zero on q so the SQL oracle reproduces
+    * every value bit-for-bit.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      .withColumn("maxabs", expr("array_max(transform(vec, x -> abs(cast(x as double))))"))
+      .filter(col("maxabs") > 0)
+      .select(col("vec_id"), col("maxabs"),
+        round(col("maxabs") / 127.0, 6).as("scale"),
+        posexplode(col("vec")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos").cast("int").as("pos"),
+        expr("cast(round(cast(x as double) / maxabs * 127.0, 0) as int)").as("q"),
+        col("scale"))
+
   /** Lloyd's k-means, deterministically seeded and fully declarative:
     * `iters` rounds of (assign to nearest centroid, recompute means),
     * returning the final assignment (vec_id, centroid_id, dist) — a

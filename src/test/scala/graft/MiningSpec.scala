@@ -310,6 +310,25 @@ class MiningSpec extends AnyFunSuite {
     assert(r2 === Map(0L -> 1L, 1L -> 1L, 2L -> 0L))
   }
 
+  test("quantizeInt8: scale from maxabs, half-away rounding, zero vectors excluded") {
+    val df = Seq(
+      (0L, Array(1f, -0.5f, 0f, 0.25f)),
+      (1L, Array(0f, 0f, 0f, 0f))) // zero vector: no scale, excluded
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .select("vec_id", "pos", "q", "scale")
+      .as[(Long, Int, Int, Double)].collect()
+    assert(out.forall(_._1 === 0L))
+    val qs = out.map(r => r._2 -> r._3).toMap
+    assert(qs === Map(0 -> 127, 1 -> -64, 2 -> 0, 3 -> 32)) // -63.5 -> -64 half-away
+    assert(out.head._4 === 0.007874) // round(1/127, 6)
+    // dequantization error bound: |q*scale - x| <= scale/2 (+ rounding slack)
+    val x = Array(1f, -0.5f, 0f, 0.25f)
+    qs.foreach { case (pos, q) =>
+      assert(math.abs(q * (1.0 / 127.0) - x(pos)) <= 0.5 / 127.0 + 1e-9)
+    }
+  }
+
   test("repetitionStats: duplicate- and top-gram fractions; sub-n docs emit no row") {
     val df = docs((1, "a b a b c", "s"), (2, "x y z", "s"), (3, "w", "s"))
     val out = TextAnalysis.repetitionStats(df, "doc_id", "text")
