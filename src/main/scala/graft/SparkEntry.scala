@@ -670,6 +670,21 @@ object SparkEntry {
     "q74_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")),
 
+    // weekly cohort retention triangle anchored on the signup event
+    // (cohort week projected to epoch seconds for the oracle compare)
+    "q75_cohort_retention" -> ((s, dir) =>
+      Behavior.cohortRetention(Tables.events(s, dir), "user_id", "event_type",
+          "ts", "signup")
+        .select(unix_timestamp(col("cohort_week")).as("cohort_week_s"),
+          col("week_n"), col("active_users"), col("cohort_size"),
+          col("retention_rate"))),
+
+    // first-order event-type transition matrix (path analysis); ties on
+    // ts broken by event_id so the pairs are engine-deterministic
+    "q76_transitions" -> ((s, dir) =>
+      Behavior.transitionCounts(Tables.events(s, dir), "user_id", "event_type",
+        "ts", "event_id")),
+
     // vocabulary: global top-20 terms by document frequency
     "q34_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(Tables.documents(s, dir), "doc_id", "text", 20)),
@@ -1528,6 +1543,27 @@ object SparkEntry {
         |FROM (SELECT vec_id, embedding, maxabs, scale,
         |             unnest(generate_series(1, len(embedding))) AS i
         |      FROM f)""".stripMargin,
+
+    "q75_cohort_retention" ->
+      """WITH a AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s AS (SELECT cohort_week, count(DISTINCT user_id) AS cohort_size FROM a GROUP BY 1),
+        |act AS (SELECT cohort_week, week_n, count(DISTINCT user_id) AS active_users FROM (
+        |          SELECT a.cohort_week, e.user_id,
+        |                 ((epoch_us(e.ts)//1000000) - (epoch_us(a.cohort_week)//1000000)) // 604800 AS week_n
+        |          FROM events e JOIN a USING (user_id)) t
+        |        WHERE week_n >= 0 GROUP BY 1, 2)
+        |SELECT epoch_us(act.cohort_week)//1000000 AS cohort_week_s, week_n::BIGINT AS week_n,
+        |       active_users::BIGINT AS active_users, s.cohort_size::BIGINT AS cohort_size,
+        |       round(active_users::DOUBLE / s.cohort_size, 6) AS retention_rate
+        |FROM act JOIN s USING (cohort_week)""".stripMargin,
+
+    "q76_transitions" ->
+      """SELECT from_type, to_type, count(*)::BIGINT AS cnt FROM (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events) t
+        |WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     "q34_top_terms" ->
       """SELECT term, count(*) AS doc_freq FROM (

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cohort/path analytics over an event log — with [[Funnel]], the
+  * product-analytics staples a user of the reference's seven use cases
+  * reaches for next. Both are pure aggregate shapes that scale: no
+  * driver loops, no per-user collections.
+  */
+object Behavior {
+
+  /** Weekly cohort retention: users cohort by the ISO week of their
+    * first `anchorType` event; a cohort member is retained in relative
+    * week w if ANY event of theirs falls in [cohort_week + w weeks,
+    * cohort_week + w+1 weeks). Output one row per (cohort_week,
+    * week_n) with the active count, cohort size, and their ratio —
+    * the classic retention triangle.
+    *
+    * Shape: one min-aggregate for the anchors (shuffle on user), one
+    * broadcast-eligible join back to the events, two count-distinct
+    * aggregates — work ∝ events, state ∝ users + cohort cells. Week
+    * arithmetic is integer epoch math (floor of the second delta /
+    * 604800), deterministic across engines; date_trunc('week') is ISO
+    * Monday in both Spark and DuckDB.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, typeCol: String,
+                      tsCol: String, anchorType: String): DataFrame = {
+    val e = events.select(col(userCol).as("user_id"),
+      col(typeCol).as("step"), col(tsCol).as("ts"))
+    val anchors = e.filter(col("step") === anchorType)
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val sizes = anchors.groupBy(col("cohort_week"))
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    val active = e.join(anchors, "user_id")
+      .withColumn("week_n",
+        floor((unix_timestamp(col("ts")) - unix_timestamp(col("cohort_week")))
+          / 604800L))
+      .filter(col("week_n") >= 0)
+      .groupBy(col("cohort_week"), col("week_n"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+    active.join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_n"), col("active_users"),
+        col("cohort_size"),
+        round(col("active_users").cast("double") / col("cohort_size"), 6)
+          .as("retention_rate"))
+  }
+
+  /** First-order event-type transition counts (the Markov/path-analysis
+    * matrix): per user, events ordered by (ts, idCol) — the id breaks
+    * timestamp ties deterministically — adjacent pairs counted over the
+    * whole log. One window (hash shuffle on user + per-partition sort;
+    * Spark spills the sort, no per-user buffering) + one hash
+    * aggregate.
+    */
+  def transitionCounts(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol), col(typeCol).as("from_type"), col(tsCol), col(idCol))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+}

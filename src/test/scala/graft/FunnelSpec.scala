@@ -56,6 +56,34 @@ class FunnelSpec extends AnyFunSuite {
     assert(run(df2) === Map(8L -> 3)) // 30h <= 48h from t1: still in horizon
   }
 
+  test("cohortRetention: ISO-week cohorts, week-relative activity, pre-anchor filtered") {
+    val mon0 = 1704067200L // 2024-01-01 Monday 00:00 UTC
+    val mon1 = mon0 + 7 * 24 * H
+    val df = events(
+      (1L, "signup", mon0 + H), (1L, "view", mon0 + 8 * 24 * H), // active week 0+1
+      (2L, "signup", mon0 + 2 * 24 * H), (2L, "view", mon0 - 10 * 24 * H), // pre-signup view filtered
+      (3L, "signup", mon1 + H), // second cohort
+      (4L, "view", mon0)) // never signed up: no cohort
+    val out = graft.ops.Behavior.cohortRetention(df, "user_id", "event_type", "ts", "signup")
+      .select(unix_timestamp(col("cohort_week")).as("w"), col("week_n"),
+        col("active_users"), col("cohort_size"), col("retention_rate"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(out === Set(
+      (mon0, 0L, 2L, 2L, 1.0), (mon0, 1L, 1L, 2L, 0.5), (mon1, 0L, 1L, 1L, 1.0)))
+  }
+
+  test("transitionCounts: adjacent pairs per user, ts ties broken by id, singletons drop") {
+    val df = Seq(
+      (1L, "view", 1L, 10L), (1L, "click", 2L, 11L), (1L, "view", 2L, 12L),
+      (2L, "purchase", 5L, 13L))
+      .toDF("user_id", "event_type", "sec", "event_id")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val out = graft.ops.Behavior.transitionCounts(df, "user_id", "event_type", "ts", "event_id")
+      .select("from_type", "to_type", "cnt").as[(String, String, Long)].collect().toSet
+    assert(out === Set(("view", "click", 1L), ("click", "view", 1L)))
+  }
+
   test("windowFunnel: anchor timestamps surface as epoch micros") {
     val df = events((9L, "view", 10L), (9L, "click", 20L))
     val row = Funnel.windowFunnel(df, "user_id", "event_type", "ts",
