@@ -24,7 +24,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale: each round filters the event table to one step (pushed to
   * the scan), joins on user_id and min-aggregates — work ∝ matching
-  * events, state ∝ users, never a window sort over the full log.
+  * events, state ∝ users, never a window sort over the full log. Each
+  * tier frame is referenced twice (by the next tier and by the final
+  * assembly), so `pinTiers` (default) lazily checkpoints it
+  * ([[Checkpoints.pin]], eager=false — construction runs no jobs):
+  * the event log is scanned once per step instead of O(steps²) times,
+  * and each tier's aggregate (∝ users who reached it) materializes
+  * exactly once. `checkpointDir` switches to the reliable root for
+  * cluster runs.
   *
   * Output: (user_id, depth, t1_us .. tk_us) — anchor times as epoch
   * micros (nullable past the reached depth).
@@ -33,22 +40,25 @@ object Funnel {
 
   def windowFunnel(events: DataFrame, userCol: String, typeCol: String,
                    tsCol: String, steps: Seq[String],
-                   horizon: String): DataFrame = {
+                   horizon: String, pinTiers: Boolean = true,
+                   checkpointDir: Option[String] = None): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
     require(steps.distinct.size == steps.size, "steps must be distinct")
     val e = events.select(col(userCol).as("user_id"),
       col(typeCol).as("step"), col(tsCol).as("ts"))
     val iv = expr(s"INTERVAL $horizon") // e.g. "2 DAY", "15 MINUTE"
-    val t1 = e.filter(col("step") === steps.head)
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    def pin(df: DataFrame): DataFrame =
+      if (pinTiers) Checkpoints.pin(df, checkpointDir, eager = false) else df
+    val t1 = pin(e.filter(col("step") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1")))
     // tiers(i): users who reached step i+1, carrying t1..t_{i+1}
     val tiers = steps.zipWithIndex.drop(1).scanLeft(t1) {
       case (prev, (s, i)) =>
         val carry = (1 to i).map(j => col(s"t$j"))
-        prev.join(e.filter(col("step") === s), "user_id")
+        pin(prev.join(e.filter(col("step") === s), "user_id")
           .filter(col("ts") > col(s"t$i") && col("ts") <= col("t1") + iv)
           .groupBy(col("user_id") +: carry: _*)
-          .agg(min(col("ts")).as(s"t${i + 1}"))
+          .agg(min(col("ts")).as(s"t${i + 1}")))
     }
     val assembled = tiers.tail.zipWithIndex.foldLeft(tiers.head) {
       case (acc, (tier, i)) =>

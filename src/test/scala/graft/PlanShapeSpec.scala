@@ -99,6 +99,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q73: funnel tiers are pinned — the event log is not re-scanned per tier pair") {
+    // unpinned, the k=3 funnel assembly re-read events 12 times (each
+    // tier subtree repeats in every later tier and in the assembly)
+    val p = plan("q73_window_funnel")
+    val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans <= 3, s"q73 assembly re-scans events $scans times — tier pin broke")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q71: gram expansion is narrow; exactly the two aggregation exchanges") {
     val p = plan("q71_repetition")
     val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
