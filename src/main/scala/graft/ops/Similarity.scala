@@ -152,17 +152,30 @@ object Similarity {
   def ivfSearch(emb: DataFrame, idCol: String, vecCol: String,
                 centroidIds: Seq[Long], queryIds: Seq[Long],
                 k: Int, nprobe: Int): DataFrame = {
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val cents = e.filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("centroid_id"), col("vec").as("c_vec"))
+    ivfSearchWith(emb, idCol, vecCol, cents, queryIds, k, nprobe)
+  }
+
+  /** [[ivfSearch]] with caller-supplied centroids — a DataFrame of
+    * (centroid_id, c_vec), e.g. [[kmeansCentroids]]' learned means —
+    * instead of corpus seed vectors. This is the production IVF
+    * composition: `ivfSearchWith(emb, ..., kmeansCentroids(emb, ...),
+    * queries, k, nprobe)`.
+    */
+  def ivfSearchWith(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, queryIds: Seq[Long],
+                    k: Int, nprobe: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(nprobe >= 1, "nprobe must be >= 1")
     graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
     val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
-    val cents = e.filter(col("vec_id").isin(centroidIds: _*))
-      .select(col("vec_id").as("centroid_id"), col("vec").as("c_vec"))
-    val assign = ivfAssign(emb, idCol, vecCol, centroidIds)
+    val assign = nearestCentroid(centroidDists(e, centroids))
       .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
     val pw = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist").asc, col("centroid_id").asc)
-    val probes = centroidDists(e.filter(col("vec_id").isin(queryIds: _*)), cents)
+    val probes = centroidDists(e.filter(col("vec_id").isin(queryIds: _*)), centroids)
       .withColumn("rn", row_number().over(pw))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("centroid_id"))
@@ -234,6 +247,23 @@ object Similarity {
                    orderedMeans: Boolean = true,
                    pinIterations: Boolean = true,
                    checkpointDir: Option[String] = None): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    nearestCentroid(centroidDists(e, kmeansCentroids(emb, idCol, vecCol,
+      initIds, iters, orderedMeans, pinIterations, checkpointDir)))
+  }
+
+  /** The learned centroids of [[kmeansAssign]]'s Lloyd iterations as a
+    * (centroid_id, c_vec) frame — feed [[ivfSearchWith]] for IVF ANN
+    * over learned lists. Same determinism/pinning contract as
+    * kmeansAssign (whose final assignment is exactly
+    * nearest-centroid against this frame).
+    */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      initIds: Seq[Long], iters: Int,
+                      orderedMeans: Boolean = true,
+                      pinIterations: Boolean = true,
+                      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
     val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
@@ -261,7 +291,7 @@ object Similarity {
       if (pinIterations) Checkpoints.pin(next, checkpointDir, eager = false)
       else next
     }
-    nearestCentroid(centroidDists(e, finalCents))
+    finalCents
   }
 
   /** Sign-random-projection LSH bucket per vector: `planes` pseudo-random

@@ -182,6 +182,38 @@ object TextAnalysis {
         round(col("top_cnt").cast("double") / col("n_grams"), 6).as("top_gram_frac"))
   }
 
+  /** Conservative PII patterns for [[redact]]: emails, international-ish
+    * phone numbers, IPv4 addresses, SSN-shaped triples. Order matters —
+    * earlier patterns see the original text.
+    */
+  val DefaultPiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+?\\d{1,3}[-. ]?\\(?\\d{2,4}\\)?[-. ]?\\d{3,4}[-. ]?\\d{3,4}" -> "<PHONE>",
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>")
+
+  /** PII redaction for training corpora: each (regex, replacement)
+    * applied in order as a chained `regexp_replace`, with the total
+    * match count surfaced so pipelines can audit/threshold documents
+    * by PII density before scrubbing (counts run each pattern against
+    * the ORIGINAL text — categories that overlap double-count; the
+    * replacements are chained). Pure codegen'd column
+    * expressions, narrow, no shuffle. Patterns use Java regex syntax;
+    * keep them anchored/escaped — a pathological pattern costs
+    * O(len²) per row in any engine.
+    */
+  def redact(df: DataFrame, idCol: String, textCol: String,
+             patterns: Seq[(String, String)] = DefaultPiiPatterns): DataFrame = {
+    require(patterns.nonEmpty, "patterns must be non-empty")
+    val redacted = patterns.foldLeft(col(textCol)) {
+      case (c, (re, repl)) => regexp_replace(c, lit(re), lit(repl))
+    }
+    val counts = patterns.map { case (re, _) => regexp_count(col(textCol), lit(re)) }
+    df.select(col(idCol).as("doc_id"),
+      redacted.as("text_redacted"),
+      counts.reduce(_ + _).cast("long").as("n_redactions"))
+  }
+
   /** Cross-corpus n-gram overlap — the benchmark-contamination check
     * (the GPT-3 report, Brown et al. 2020 appendix C, measures train/
     * test leakage by shared n-grams): for every (corpus doc, benchmark

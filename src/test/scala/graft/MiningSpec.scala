@@ -310,6 +310,34 @@ class MiningSpec extends AnyFunSuite {
     assert(r2 === Map(0L -> 1L, 1L -> 1L, 2L -> 0L))
   }
 
+  test("redact: default PII patterns scrub and count; clean text passes through") {
+    val df = docs(
+      (1, "contact me at alice@example.com or 555-123-4567 thanks", "s"),
+      (2, "server 192.168.1.10 ssn 123-45-6789", "s"),
+      (3, "perfectly clean text here", "s"))
+    val out = TextAnalysis.redact(df, "doc_id", "text")
+      .select("doc_id", "text_redacted", "n_redactions")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === "contact me at <EMAIL> or <PHONE> thanks")
+    assert(out(1L)._3 === 2L)
+    assert(out(2L)._2 === "server <IP> ssn <SSN>")
+    assert(out(3L)._2 === "perfectly clean text here" && out(3L)._3 === 0L)
+  }
+
+  test("ivfSearchWith over kmeansCentroids: the learned-centroid IVF composition") {
+    val df = Seq(
+      (0L, Array(10f, 0f)), (1L, Array(9f, 1f)), (2L, Array(8f, 2f)),
+      (3L, Array(0f, 10f)), (4L, Array(1f, 9f)), (5L, Array(2f, 8f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding",
+      initIds = Seq(0L, 3L), iters = 2)
+    assert(cents.count() === 2)
+    val out = Similarity.ivfSearchWith(df, "vec_id", "embedding", cents,
+      queryIds = Seq(0L), k = 5, nprobe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L)) // own learned list only, no self-pair
+  }
+
   test("quantizeInt8: scale from maxabs, half-away rounding, zero vectors excluded") {
     val df = Seq(
       (0L, Array(1f, -0.5f, 0f, 0.25f)),
