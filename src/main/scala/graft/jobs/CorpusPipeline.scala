@@ -9,14 +9,21 @@ import graft.ops.{Dedup, Sampling, TextAnalysis}
   * documents table chaining the engine's corpus operators —
   *
   *   1. deterministic sample      (Sampling.hashSample — reproducible cut)
-  *   2. exact dedup               (Dedup.exactGroups keeps min doc per md5)
-  *   3. near-dup dedup            (MinHash LSH candidates → drop the
+  *   2. PII scrub                 (optional: TextAnalysis.redactCol in
+  *                                 place — before dedup, so scrubbed
+  *                                 variants of one text collapse)
+  *   3. exact dedup               (Dedup.exactGroups keeps min doc per md5)
+  *   4. near-dup dedup            (MinHash LSH candidates → drop the
   *                                 higher id of each colliding pair)
-  *   4. embedding near-dup        (optional: Dedup.embeddingNearDup over
+  *   5. embedding near-dup        (optional: Dedup.embeddingNearDup over
   *                                 the surviving docs' vectors — catches
   *                                 paraphrases text fingerprints miss)
-  *   5. quality filter            (TextAnalysis.qualityScore >= threshold)
-  *   6. mixture weighting         (Sampling.mixture to target source mix)
+  *   6. quality filter            (TextAnalysis.qualityScore >= threshold)
+  *   7. repetition filter         (optional: drop docs whose
+  *                                 dup_gram_frac exceeds the cap — the
+  *                                 Gopher boilerplate gate; docs too
+  *                                 short to have grams pass through)
+  *   8. mixture weighting         (Sampling.mixture to target source mix)
   *
   * Every stage is a DataFrame → DataFrame transform; every membership
   * decision is hash-deterministic, so the same corpus comes out on
@@ -39,16 +46,24 @@ object CorpusPipeline {
           cosineThreshold: Double = 0.9,
           maxBucketSize: Int = 10000,
           embIdCol: String = "vec_id",
-          embVecCol: String = "embedding"): (DataFrame, Seq[(String, Long)]) = {
+          embVecCol: String = "embedding",
+          redactPii: Boolean = false,
+          maxDupGramFrac: Double = 1.0): (DataFrame, Seq[(String, Long)]) = {
     val counts = Seq.newBuilder[(String, Long)]
     val sampling = sampleFraction < 1.0
     // when nothing is sampled away the input IS the sampled stage —
     // don't pay a second full scan just to print the same number twice
     if (sampling) counts += "input" -> docs.count()
 
+    val cut =
+      if (sampling) Sampling.hashSample(docs, "doc_id", sampleFraction)
+      else docs
+    // scrub BEFORE dedup (narrow, in place): two docs differing only in
+    // their PII collapse to one group afterwards
     val sampled =
-      (if (sampling) Sampling.hashSample(docs, "doc_id", sampleFraction)
-       else docs).cache()
+      (if (redactPii)
+         cut.withColumn("text", TextAnalysis.redactCol(col("text")))
+       else cut).cache()
     val sampledN = sampled.count()
     if (!sampling) counts += "input" -> sampledN
     counts += "sampled" -> sampledN
@@ -107,9 +122,24 @@ object CorpusPipeline {
       .cache()
     counts += "quality" -> qualityKept.count()
 
+    // repetition gate: anti-join on the VIOLATORS, so documents too
+    // short to have any n-gram (no repetitionStats row) pass through
+    val repKept =
+      if (maxDupGramFrac >= 1.0) qualityKept
+      else {
+        val violators = TextAnalysis.repetitionStats(qualityKept, "doc_id", "text")
+          .filter(col("dup_gram_frac") > maxDupGramFrac)
+          .select(col("doc_id").as("rep_id"))
+        val kept = qualityKept.join(violators,
+            col("doc_id") === col("rep_id"), "left_anti")
+          .cache()
+        counts += "repetition" -> kept.count()
+        kept
+      }
+
     val mixed =
-      (if (mixture.isEmpty) qualityKept
-       else Sampling.mixture(qualityKept, "doc_id", "source", mixture)).cache()
+      (if (mixture.isEmpty) repKept
+       else Sampling.mixture(repKept, "doc_id", "source", mixture)).cache()
     counts += "mixed" -> mixed.count()
 
     sampled.unpersist()
@@ -117,6 +147,7 @@ object CorpusPipeline {
     nearKept.unpersist()
     if (embKept ne nearKept) embKept.unpersist()
     qualityKept.unpersist()
+    if (repKept ne qualityKept) repKept.unpersist()
     (mixed, counts.result())
   }
 

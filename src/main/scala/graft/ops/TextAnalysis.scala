@@ -204,14 +204,22 @@ object TextAnalysis {
     */
   def redact(df: DataFrame, idCol: String, textCol: String,
              patterns: Seq[(String, String)] = DefaultPiiPatterns): DataFrame = {
-    require(patterns.nonEmpty, "patterns must be non-empty")
-    val redacted = patterns.foldLeft(col(textCol)) {
-      case (c, (re, repl)) => regexp_replace(c, lit(re), lit(repl))
-    }
     val counts = patterns.map { case (re, _) => regexp_count(col(textCol), lit(re)) }
     df.select(col(idCol).as("doc_id"),
-      redacted.as("text_redacted"),
+      redactCol(col(textCol), patterns).as("text_redacted"),
       counts.reduce(_ + _).cast("long").as("n_redactions"))
+  }
+
+  /** The column form of [[redact]]'s replacement chain — for in-place
+    * scrubbing (`withColumn("text", redactCol(col("text")))`) without
+    * a join.
+    */
+  def redactCol(text: Column,
+                patterns: Seq[(String, String)] = DefaultPiiPatterns): Column = {
+    require(patterns.nonEmpty, "patterns must be non-empty")
+    patterns.foldLeft(text) {
+      case (c, (re, repl)) => regexp_replace(c, lit(re), lit(repl))
+    }
   }
 
   /** Cross-corpus n-gram overlap — the benchmark-contamination check

@@ -222,6 +222,22 @@ class MiningSpec extends AnyFunSuite {
     assert(out2.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
   }
 
+  test("CorpusPipeline: PII scrub collapses scrubbed twins; repetition gate drops boilerplate") {
+    val df = docs(
+      (1, "write to alice@example.com for the full quality report today", "s"),
+      (2, "write to bob@other.org for the full quality report today", "s"), // scrub-twin of 1
+      (3, "spam spam spam spam spam spam spam spam spam spam spam spam", "s"), // pure repetition
+      (4, "a genuinely varied sentence with many distinct interesting words here", "s"))
+    val (out, counts) = jobs.CorpusPipeline.run(df, qualityThreshold = 0.0,
+      redactPii = true, maxDupGramFrac = 0.5)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L)) // 2 deduped into 1 post-scrub; 3 repetition-gated
+    val cm = counts.toMap
+    assert(cm("exact_dedup") === 3L && cm("repetition") === 2L)
+    assert(out.filter(col("text").contains("<EMAIL>")).count() === 1L)
+    out.unpersist()
+  }
+
   test("cosineKnn ranks by cosine, excludes self, breaks ties by id") {
     val df = Seq(
       (0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
