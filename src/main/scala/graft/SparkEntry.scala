@@ -685,6 +685,15 @@ object SparkEntry {
       Behavior.transitionCounts(Tables.events(s, dir), "user_id", "event_type",
         "ts", "event_id")),
 
+    // sequence packing (concat-and-chunk, ctx=512 BPE-ish tokens):
+    // global token intervals via distributed prefix sums — no
+    // single-partition Window
+    "q77_pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(
+        TextAnalysis.stats(Tables.documents(s, dir), "doc_id", "text")
+          .select(col("doc_id"), col("token_cnt")),
+        "doc_id", "token_cnt", ctxLen = 512)),
+
     // vocabulary: global top-20 terms by document frequency
     "q34_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(Tables.documents(s, dir), "doc_id", "text", 20)),
@@ -1564,6 +1573,22 @@ object SparkEntry {
         |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
         |  FROM events) t
         |WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "q77_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS token_cnt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, token_cnt,
+        |         (sum(token_cnt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |          - token_cnt)::BIGINT AS start
+        |  FROM t WHERE token_cnt > 0)
+        |SELECT doc_id, token_cnt, start,
+        |       start // 512 AS first_bin,
+        |       (start + token_cnt - 1) // 512 AS last_bin,
+        |       start % 512 AS offset_in_first
+        |FROM c""".stripMargin,
 
     "q34_top_terms" ->
       """SELECT term, count(*) AS doc_freq FROM (

@@ -373,6 +373,25 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences: contiguous global intervals, bin spans, zero-count docs excluded") {
+    val df = Seq((1L, 100L), (2L, 400L), (3L, 0L), (4L, 600L), (5L, 12L))
+      .toDF("doc_id", "token_cnt")
+    val out = ops.Packing.packSequences(df, "doc_id", "token_cnt", ctxLen = 512)
+      .select("doc_id", "token_cnt", "start", "first_bin", "last_bin", "offset_in_first")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 4L, 5L)) // doc 3 excluded
+    // intervals are contiguous in id order: 0..100, 100..500, 500..1100, 1100..1112
+    assert(out.map(_._3).toSeq === Seq(0L, 100L, 500L, 1100L))
+    assert(out.map(r => (r._4, r._5)).toSeq ===
+      Seq((0L, 0L), (0L, 0L), (0L, 2L), (2L, 2L))) // doc 4 spans bins 0..2
+    assert(out.map(_._6).toSeq === Seq(0L, 100L, 500L % 512, 1100L % 512))
+    // partitioning-independent: same intervals at a different partition count
+    val out8 = ops.Packing.packSequences(df, "doc_id", "token_cnt",
+      ctxLen = 512, partitions = 8)
+      .select("doc_id", "start").as[(Long, Long)].collect().toSet
+    assert(out8 === out.map(r => (r._1, r._3)).toSet)
+  }
+
   test("repetitionStats: duplicate- and top-gram fractions; sub-n docs emit no row") {
     val df = docs((1, "a b a b c", "s"), (2, "x y z", "s"), (3, "w", "s"))
     val out = TextAnalysis.repetitionStats(df, "doc_id", "text")
