@@ -108,6 +108,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q77: packing's global cumsum is Window-free — no single-partition sort") {
+    val p = plan("q77_pack_sequences")
+    assert(!p.contains("Window"),
+      "q77 regressed to a global-ordered Window — whole table through one task")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q71: gram expansion is narrow; exactly the two aggregation exchanges") {
     val p = plan("q71_repetition")
     val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
