@@ -40,6 +40,14 @@ object Bench {
       } catch { case t: Throwable => Some(t) }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // the short-name contract is pure string work — check it BEFORE
+    // spending the warmup+timed passes, so a colliding qNN prefix
+    // fails in milliseconds instead of aborting after minutes with no
+    // JSON line at all
+    def short(name: String): String = name.takeWhile(_ != '_')
+    val shortNames = names.map(short)
+    require(shortNames.distinct.size == shortNames.size,
+      "qNN prefixes must stay unique for the bench line")
     // warmup: full pass at the small scale factor
     names.foreach(run(_, warmDir))
 
@@ -73,10 +81,6 @@ object Bench {
     // millisecond precision.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def short(name: String): String = name.takeWhile(_ != '_')
-    val shortNames = results.map(r => short(r._1))
-    require(shortNames.distinct.size == shortNames.size,
-      "qNN prefixes must stay unique for the bench line")
     val qs = results.map { case (k, v, _) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(t)) =>

@@ -308,8 +308,9 @@ object SparkEntry {
     // driver collect); PlanShapeSpec pins the Window-free plan.
     // Side-effect note: CONSTRUCTING this entry translates the pinned
     // frame to an RDD, which runs the range sampler (and, under AQE,
-    // the upstream stages) — it is the one entry whose construction is
-    // not free, though it no longer collects or materializes.
+    // the upstream stages) — construction is not free, though nothing
+    // is collected or materialized. The other pin-using entries (q70
+    // k-means, q73 funnel, q77 packing) share this property.
     "q40_order_deciles" -> ((s, dir) =>
       Quantiles.exactNtile(
         Tables.orders(s, dir)

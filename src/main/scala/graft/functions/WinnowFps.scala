@@ -104,17 +104,33 @@ object WinnowFps {
         i += 1
       }
     }
-    val nW = math.max(nH - w + 1, 1)
     val seen = new java.util.HashSet[java.lang.Long]()
-    val out = new scala.collection.mutable.ArrayBuffer[Long](nW)
-    var i = 0
-    while (i < nW) {
-      var m = hs(i)
-      var q = i + 1
-      val wEnd = math.min(i + w, nH)
-      while (q < wEnd) { if (hs(q) < m) m = hs(q); q += 1 }
-      if (seen.add(m)) out += m
-      i += 1
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    if (nH <= w) {
+      // single clamped window: min of all gram hashes
+      var m = hs(0)
+      var i = 1
+      while (i < nH) { if (hs(i) < m) m = hs(i); i += 1 }
+      out += m
+    } else {
+      // monotonic-deque sliding minimum: each index enters and leaves
+      // the deque once — O(nH) total, not O(nH·w)
+      val dq = new Array[Int](nH)
+      var head = 0
+      var tail = 0 // deque is dq[head, tail), hashes increasing
+      var i = 0
+      while (i < nH) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+        dq(tail) = i
+        tail += 1
+        val start = i - w + 1
+        if (start >= 0) {
+          while (dq(head) < start) head += 1
+          val m = hs(dq(head))
+          if (seen.add(m)) out += m
+        }
+        i += 1
+      }
     }
     new GenericArrayData(out.toArray)
   }

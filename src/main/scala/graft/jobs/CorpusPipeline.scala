@@ -142,12 +142,15 @@ object CorpusPipeline {
        else Sampling.mixture(repKept, "doc_id", "source", mixture)).cache()
     counts += "mixed" -> mixed.count()
 
+    // when mixture is empty, `mixed` IS the last stage frame (cache()
+    // returns this) — unpersisting it here would strip the returned
+    // DataFrame's cache before the caller's first action
     sampled.unpersist()
     exactKept.unpersist()
     nearKept.unpersist()
     if (embKept ne nearKept) embKept.unpersist()
-    qualityKept.unpersist()
-    if (repKept ne qualityKept) repKept.unpersist()
+    if (qualityKept ne mixed) qualityKept.unpersist()
+    if ((repKept ne qualityKept) && (repKept ne mixed)) repKept.unpersist()
     (mixed, counts.result())
   }
 

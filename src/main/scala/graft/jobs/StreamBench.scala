@@ -32,17 +32,42 @@ object StreamBench {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** One full streaming measurement. `dropped` MUST be 0 for the rates
-    * to be honest — callers decide how loudly to fail.
+  /** One full streaming measurement. Every per-run dropped count MUST
+    * be 0 for the rates to be honest — callers decide how loudly to
+    * fail. Each rate subtracts ITS OWN run's drops (one run's
+    * watermark accident must not corrupt the other two reported
+    * rates).
     */
   case class Result(events: Long, statefulSec: Double, rocksSec: Double,
-                    windowSec: Double, dropped: Long) {
-    def statefulRate: Long = ((events - dropped) / statefulSec).toLong
-    def rocksRate: Long = ((events - dropped) / rocksSec).toLong
-    def windowRate: Long = ((events - dropped) / windowSec).toLong
+                    windowSec: Double, droppedStateful: Long,
+                    droppedRocks: Long, droppedWindow: Long) {
+    def dropped: Long = droppedStateful + droppedRocks + droppedWindow
+    def statefulRate: Long = ((events - droppedStateful) / statefulSec).toLong
+    def rocksRate: Long = ((events - droppedRocks) / rocksSec).toLong
+    def windowRate: Long = ((events - droppedWindow) / windowSec).toLong
   }
 
+  /** Session confs [[measure]] mutates; saved and restored around the
+    * run so a caller's configured state-store provider (or nanos
+    * setting) survives the measurement — measure() is library API on a
+    * shared session, not the owner of it.
+    */
+  private val MutatedConfs = Seq(
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.streaming.numRecentProgressUpdates",
+    "spark.sql.streaming.stateStore.providerClass")
+
   def measure(spark: SparkSession, dir: String, replicas: Int): Result = {
+    val saved = MutatedConfs.map(k => k -> spark.conf.getOption(k))
+    try measureInner(spark, dir, replicas)
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def measureInner(spark: SparkSession, dir: String,
+                           replicas: Int): Result = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // droppedByWatermark sums over recentProgress, which retains only
@@ -116,7 +141,7 @@ object StreamBench {
     val windowSec = (System.nanoTime() - t1) / 1e9
 
     org.apache.commons.io.FileUtils.deleteQuietly(streamDir.toFile)
-    Result(n, statefulSec, rocksSec, windowSec, dropped1 + droppedR + dropped2)
+    Result(n, statefulSec, rocksSec, windowSec, dropped1, droppedR, dropped2)
   }
 
   def main(args: Array[String]): Unit = {

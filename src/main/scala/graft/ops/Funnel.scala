@@ -27,11 +27,12 @@ import org.apache.spark.sql.functions._
   * events, state ∝ users, never a window sort over the full log. Each
   * tier frame is referenced twice (by the next tier and by the final
   * assembly), so `pinTiers` (default) lazily checkpoints it
-  * ([[Checkpoints.pin]], eager=false — construction runs no jobs):
-  * the event log is scanned once per step instead of O(steps²) times,
-  * and each tier's aggregate (∝ users who reached it) materializes
-  * exactly once. `checkpointDir` switches to the reliable root for
-  * cluster runs.
+  * ([[Checkpoints.pin]], eager=false — no collect, no materialization
+  * pass; the q40 AQE caveat applies to construction): the event log
+  * is scanned once per step instead of O(steps²) times, and each
+  * tier's aggregate (∝ users who reached it) materializes exactly
+  * once. `checkpointDir` switches to the reliable root for cluster
+  * runs.
   *
   * Output: (user_id, depth, t1_us .. tk_us) — anchor times as epoch
   * micros (nullable past the reached depth).

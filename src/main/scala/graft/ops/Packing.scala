@@ -18,9 +18,12 @@ import org.apache.spark.sql.types.LongType
   * per-partition totals self-joined into prefix offsets (an
   * O(partitions²) frame of dust, never driver-collected), then a
   * streaming per-partition counter over the sorted pin — the same
-  * two-pass shape as [[Quantiles.exactNtile]]. The pin is lazy
-  * (constructing the frame runs no jobs; [[Checkpoints]] for the
-  * reliable-cluster mode).
+  * two-pass shape as [[Quantiles.exactNtile]] (kept keyless and
+  * self-contained here: exactNtile's per-group variant carries its
+  * own collision-proofed columns and group joins; a future shared
+  * prefix-sum core should absorb both). The pin is lazy — no collect,
+  * no materialization pass; exactNtile's AQE construction caveat
+  * applies ([[Checkpoints]] for the reliable-cluster mode).
   *
   * Output: (doc_id, token_cnt, start, first_bin, last_bin,
   * offset_in_first) — bins are `ctxLen`-sized, `div`/`%` integer math,

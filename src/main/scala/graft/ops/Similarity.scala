@@ -211,9 +211,11 @@ object Similarity {
     * `iters` rounds of (assign to nearest centroid, recompute means),
     * returning the final assignment (vec_id, centroid_id, dist) — a
     * drop-in replacement for [[ivfAssign]] when learned centroids are
-    * wanted instead of seed vectors. Constructing the frame runs no
-    * Spark jobs; the iterations unroll into one lazy DAG (each round's
-    * k×dim centroid aggregate is re-broadcast into the next).
+    * wanted instead of seed vectors. Construction launches no collect
+    * and no materialization pass (the q40 caveat applies: translating
+    * each pinned round to an RDD runs its upstream stages under AQE);
+    * the iterations unroll into one DAG (each round's k×dim centroid
+    * aggregate is re-broadcast into the next).
     *
     * Determinism (the oracle-parity contract): initial centroids are
     * the `initIds` vectors with components rounded to 6 digits; with
@@ -236,11 +238,11 @@ object Similarity {
     * (through the assignment and through the empty-cluster coalesce),
     * so the unrolled plan doubles per iteration; `pinIterations`
     * (default) lazily checkpoints the k-row centroid frame each round
-    * — [[Checkpoints.pin]], `eager=false`, so construction still runs
-    * no jobs — keeping the plan linear in `iters` and each round's
-    * assignment computed exactly once. `checkpointDir` switches the
-    * pin to a reliable root for cluster runs (executor-loss caveat in
-    * [[Checkpoints]]).
+    * ([[Checkpoints.pin]], `eager=false` — no collect, no
+    * materialization pass), keeping the plan linear in `iters` and
+    * each round's assignment computed exactly once. `checkpointDir`
+    * switches the pin to a reliable root for cluster runs
+    * (executor-loss caveat in [[Checkpoints]]).
     */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
                    initIds: Seq[Long], iters: Int,

@@ -182,14 +182,16 @@ object TextAnalysis {
         round(col("top_cnt").cast("double") / col("n_grams"), 6).as("top_gram_frac"))
   }
 
-  /** Conservative PII patterns for [[redact]]: emails, international-ish
-    * phone numbers, IPv4 addresses, SSN-shaped triples. Order matters —
-    * earlier patterns see the original text.
+  /** Conservative PII patterns for [[redact]]: emails, IPv4 addresses,
+    * international-ish phone numbers, SSN-shaped triples. Order
+    * matters — earlier patterns see the original text, and IP must
+    * precede PHONE (a dotted IPv4 with 3-digit trailing octets, e.g.
+    * 10.20.100.200, parses as a phone number otherwise).
     */
   val DefaultPiiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
-    "\\+?\\d{1,3}[-. ]?\\(?\\d{2,4}\\)?[-. ]?\\d{3,4}[-. ]?\\d{3,4}" -> "<PHONE>",
     "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\d{1,3}[-. ]?\\(?\\d{2,4}\\)?[-. ]?\\d{3,4}[-. ]?\\d{3,4}" -> "<PHONE>",
     "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>")
 
   /** PII redaction for training corpora: each (regex, replacement)

@@ -330,7 +330,8 @@ class MiningSpec extends AnyFunSuite {
     val df = docs(
       (1, "contact me at alice@example.com or 555-123-4567 thanks", "s"),
       (2, "server 192.168.1.10 ssn 123-45-6789", "s"),
-      (3, "perfectly clean text here", "s"))
+      (3, "perfectly clean text here", "s"),
+      (4, "host 10.20.100.200 up", "s")) // 3-digit octets: must be <IP>, not <PHONE>
     val out = TextAnalysis.redact(df, "doc_id", "text")
       .select("doc_id", "text_redacted", "n_redactions")
       .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
@@ -338,6 +339,7 @@ class MiningSpec extends AnyFunSuite {
     assert(out(1L)._3 === 2L)
     assert(out(2L)._2 === "server <IP> ssn <SSN>")
     assert(out(3L)._2 === "perfectly clean text here" && out(3L)._3 === 0L)
+    assert(out(4L)._2 === "host <IP> up")
   }
 
   test("ivfSearchWith over kmeansCentroids: the learned-centroid IVF composition") {
