@@ -636,12 +636,39 @@ object SparkEntry {
         centroidIds = (0L until 8L).toSeq, queryIds = (0L until 10L).toSeq,
         k = 5, nprobe = 2)),
 
-    // Lloyd's k-means (2 deterministic rounds, ordered-fold means):
-    // learned-centroid assignment, the production upgrade of q33's
-    // seed-vector quantization; the oracle unrolls both rounds
+    // Lloyd's k-means (2 deterministic rounds): learned-centroid
+    // assignment, the production upgrade of q33's seed-vector
+    // quantization; the oracle unrolls both rounds. orderedMeans=true
+    // is the bit-exact oracle-parity mode — the DEFAULT (false) is the
+    // scale path (plain partial-aggregating avg, no collect_list)
     "q70_kmeans_assign" -> ((s, dir) =>
       Similarity.kmeansAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
-        initIds = (0L until 8L).toSeq, iters = 2)),
+        initIds = (0L until 8L).toSeq, iters = 2, orderedMeans = true)),
+
+    // the production IVF composition: ANN search over LEARNED k-means
+    // centroid lists (q70's Lloyd rounds feeding q69's probe/score
+    // shape) — candidate generation stays an equi-join on centroid_id,
+    // ~nprobe/nlists of the corpus scored per query; the oracle unrolls
+    // both k-means rounds then replays the probe/score pipeline
+    "q78_ivf_learned" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfSearchWith(emb, "vec_id", "embedding",
+        Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+          initIds = (0L until 8L).toSeq, iters = 2, orderedMeans = true),
+        queryIds = (0L until 10L).toSeq, k = 5, nprobe = 2)
+    }),
+
+    // PII redaction with synthetic PII injected INSIDE the query (the
+    // corpus itself carries none — ADVICE r7/verdict r7): both engines
+    // prepend the identical email/phone/ip/ssn preamble, redact, and
+    // hash-compare counts + scrubbed text
+    "q79_pii_redact" -> ((s, dir) =>
+      TextAnalysis.redact(
+        Tables.documents(s, dir).select(col("doc_id"),
+          concat(lit("contact u"), col("doc_id").cast("string"),
+            lit("@mail.example.com or +1-555-123-4567 from 10.20.30.40 ssn 123-45-6789 body: "),
+            col("text")).as("text")),
+        "doc_id", "text")),
 
     // Gopher-style within-document repetition filters: duplicate- and
     // top-2-gram fractions per document (boilerplate/spam signal the
@@ -1122,13 +1149,16 @@ object SparkEntry {
 
     "q68_winnow_fingerprints" ->
       """-- per-character unicode() == the engine's UTF-8 bytes on this
-        |-- ASCII corpus (same byte/char equivalence as the q48 oracle)
+        |-- ASCII corpus (same byte/char equivalence as the q48 oracle).
+        |-- Empty text is guarded: list_reduce errors on an empty list,
+        |-- while the engine hashes the empty gram to 0 (WinnowFpsSpec)
         |WITH hs AS (
         |  SELECT doc_id,
-        |    list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+        |    CASE WHEN length(text) = 0 THEN [0]::BIGINT[]
+        |         ELSE list_transform(generate_series(1, greatest(length(text) - 7, 1)),
         |      i -> list_reduce(list_transform(generate_series(i, least(i + 7, length(text))),
         |             j -> unicode(text[j])::BIGINT),
-        |           (a, c) -> (a * 257 + c) % 1000000007)) AS hs
+        |           (a, c) -> (a * 257 + c) % 1000000007)) END AS hs
         |  FROM documents),
         |fps AS (
         |  SELECT doc_id,
@@ -1496,6 +1526,101 @@ object SparkEntry {
         |  SELECT vec_id, centroid_id, dist,
         |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
         |  FROM d3) WHERE rn = 1""".stripMargin,
+
+    // q70's two Lloyd rounds (c0 -> c2) feeding q69's probe/score shape
+    "q78_ivf_learned" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |c0 AS (SELECT vec_id AS centroid_id,
+        |              list_transform(embedding, x -> round(x::DOUBLE, 6)) AS c_vec
+        |       FROM e WHERE vec_id < 8),
+        |d1 AS (SELECT e.vec_id, c.centroid_id,
+        |              round(sqrt(list_sum(list_transform(generate_series(1, 64),
+        |                i -> (e.embedding[i]::DOUBLE - c.c_vec[i]) * (e.embedding[i]::DOUBLE - c.c_vec[i])))), 6) AS dist
+        |       FROM e CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, centroid_id FROM (
+        |         SELECT vec_id, centroid_id,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        |         FROM d1) WHERE rn = 1),
+        |m1 AS (SELECT a.centroid_id, t.d,
+        |              round(list_sum(list(e.embedding[t.d]::DOUBLE ORDER BY e.vec_id)) / count(*), 6) AS m
+        |       FROM a1 a JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |       GROUP BY a.centroid_id, t.d),
+        |c1 AS (SELECT c0.centroid_id, coalesce(u.c_vec, c0.c_vec) AS c_vec
+        |       FROM c0 LEFT JOIN (
+        |         SELECT centroid_id, list(m ORDER BY d) AS c_vec FROM m1 GROUP BY centroid_id) u
+        |       USING (centroid_id)),
+        |d2 AS (SELECT e.vec_id, c.centroid_id,
+        |              round(sqrt(list_sum(list_transform(generate_series(1, 64),
+        |                i -> (e.embedding[i]::DOUBLE - c.c_vec[i]) * (e.embedding[i]::DOUBLE - c.c_vec[i])))), 6) AS dist
+        |       FROM e CROSS JOIN c1 c),
+        |a2 AS (SELECT vec_id, centroid_id FROM (
+        |         SELECT vec_id, centroid_id,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        |         FROM d2) WHERE rn = 1),
+        |m2 AS (SELECT a.centroid_id, t.d,
+        |              round(list_sum(list(e.embedding[t.d]::DOUBLE ORDER BY e.vec_id)) / count(*), 6) AS m
+        |       FROM a2 a JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |       GROUP BY a.centroid_id, t.d),
+        |c2 AS (SELECT c1.centroid_id, coalesce(u.c_vec, c1.c_vec) AS c_vec
+        |       FROM c1 LEFT JOIN (
+        |         SELECT centroid_id, list(m ORDER BY d) AS c_vec FROM m2 GROUP BY centroid_id) u
+        |       USING (centroid_id)),
+        |cd AS (SELECT e.vec_id, c.centroid_id,
+        |              round(sqrt(list_sum(list_transform(generate_series(1, 64),
+        |                i -> (e.embedding[i]::DOUBLE - c.c_vec[i]) * (e.embedding[i]::DOUBLE - c.c_vec[i])))), 6) AS dist
+        |       FROM e CROSS JOIN c2 c),
+        |assign AS (
+        |  SELECT vec_id AS neighbor_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        |    FROM cd) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        |    FROM cd WHERE vec_id < 10) WHERE rn <= 2),
+        |n AS (
+        |  SELECT * FROM (
+        |    SELECT vec_id, embedding,
+        |           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
+        |    FROM embeddings)
+        |  WHERE norm2 > 0),
+        |cand AS (
+        |  SELECT p.query_id, a.neighbor_id
+        |  FROM probes p JOIN assign a USING (centroid_id)
+        |  WHERE p.query_id <> a.neighbor_id),
+        |sc AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |         round(list_sum(list_transform(generate_series(1, len(nb.embedding)),
+        |                 i -> q.embedding[i]::DOUBLE * nb.embedding[i]::DOUBLE))
+        |               / sqrt(q.norm2 * nb.norm2), 6) AS score
+        |  FROM cand
+        |  JOIN n q ON q.vec_id = cand.query_id
+        |  JOIN n nb ON nb.vec_id = cand.neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    // identical PII preamble injected on both engines; RE2-compatible
+    // patterns (no lookarounds) so the chain compiles identically
+    "q79_pii_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         'contact u' || doc_id || '@mail.example.com or +1-555-123-4567 from 10.20.30.40 ssn 123-45-6789 body: ' || text AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |      '(?:\+\d{1,3}[-. ]?)?\(?\b\d{2,4}\)?[-. ]\d{3,4}[-. ]\d{3,4}\b', '<PHONE>', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS text_redacted,
+        |  (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |   + len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+        |   + len(regexp_extract_all(text, '(?:\+\d{1,3}[-. ]?)?\(?\b\d{2,4}\)?[-. ]\d{3,4}[-. ]\d{3,4}\b'))
+        |   + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')))::BIGINT AS n_redactions
+        |FROM d""".stripMargin,
 
     "q71_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -54,7 +54,21 @@ object Md5Long60 {
   }
 
   private val info = new ExpressionInfo(classOf[Md5Long60].getName, "md5_long60")
-  private val builder = (exprs: Seq[Expression]) => Md5Long60(exprs.head)
+
+  /** Arity-checked builder (shared with GraftExtensions) — same clean
+    * wrong-arity failure as WinnowFps.builder (ADVICE r7).
+    */
+  private[functions] val builder = (exprs: Seq[Expression]) => {
+    if (exprs.length != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`md5_long60`",
+          "expectedNum" -> "1 (input BINARY)",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    Md5Long60(exprs.head)
+  }
 
   /** Idempotent per-session SQL registration (`SELECT md5_long60(x)`). */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -79,10 +93,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("md5_long60"),
       new ExpressionInfo(classOf[Md5Long60].getName, "md5_long60"),
-      (exprs: Seq[Expression]) => Md5Long60(exprs.head)))
+      Md5Long60.builder))
     e.injectFunction((FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
-      (exprs: Seq[Expression]) => WinnowFps(exprs(0), exprs(1), exprs(2))))
+      WinnowFps.builder))
     VectorExprs.registrations.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
   }

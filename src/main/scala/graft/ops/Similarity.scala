@@ -219,20 +219,24 @@ object Similarity {
     *
     * Determinism (the oracle-parity contract): initial centroids are
     * the `initIds` vectors with components rounded to 6 digits; with
-    * `orderedMeans` every mean is an ordered left-fold over member
-    * values sorted by vec_id — double addition is not associative, so a
-    * plain avg() could hash differently per partitioning/engine — then
-    * rounded to 6; distances round(sqrt(L2²), 6) with centroid-id
-    * tie-break; empty clusters keep their previous centroid.
+    * `orderedMeans = true` every mean is an ordered left-fold over
+    * member values sorted by vec_id — double addition is not
+    * associative, so a plain avg() could hash differently per
+    * partitioning/engine — then rounded to 6; distances
+    * round(sqrt(L2²), 6) with centroid-id tie-break; empty clusters
+    * keep their previous centroid.
     *
     * Scale shape, per iteration: one broadcast join (k×dim doubles) +
     * map-side-combining argmin (no window, no sort) + one posexplode
-    * and two hash aggregates for the means (k×dim groups). The ordered
-    * fold collects each (centroid, dim)'s member values into one array
-    * — fine at verification scale, but at 100 TB a cluster's member
-    * list does not fit a row: set `orderedMeans=false` for plain
-    * partial-aggregating avg() (same plan minus the collect, last-ulp
+    * and two hash aggregates for the means (k×dim groups). The DEFAULT
+    * (`orderedMeans = false`) is the scale path: plain
+    * partial-aggregating avg() with no collect anywhere (last-ulp
     * nondeterminism the 6-digit rounding almost always hides).
+    * `orderedMeans = true` is the bit-exact oracle-parity mode — it
+    * collects each (centroid, dim)'s member values into one array
+    * before folding, fine at verification scale but at 100 TB a big
+    * cluster's member list does not fit a row; only cross-engine hash
+    * comparisons (the q70/q78 oracles) should opt into it.
     *
     * Each round's centroid frame references the previous round twice
     * (through the assignment and through the empty-cluster coalesce),
@@ -246,7 +250,7 @@ object Similarity {
     */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
                    initIds: Seq[Long], iters: Int,
-                   orderedMeans: Boolean = true,
+                   orderedMeans: Boolean = false,
                    pinIterations: Boolean = true,
                    checkpointDir: Option[String] = None): DataFrame = {
     graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
@@ -263,7 +267,7 @@ object Similarity {
     */
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
                       initIds: Seq[Long], iters: Int,
-                      orderedMeans: Boolean = true,
+                      orderedMeans: Boolean = false,
                       pinIterations: Boolean = true,
                       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0, "iters must be >= 0")

@@ -187,11 +187,18 @@ object TextAnalysis {
     * matters — earlier patterns see the original text, and IP must
     * precede PHONE (a dotted IPv4 with 3-digit trailing octets, e.g.
     * 10.20.100.200, parses as a phone number otherwise).
+    *
+    * PHONE requires an explicit separator between every digit group
+    * and word boundaries on the digit edges, so a bare digit run (a
+    * numeric ID, an epoch timestamp, an order number — ADVICE r7) can
+    * never match; group boundaries are anchored with `\b` rather than
+    * lookarounds so the RE2-based engines (DuckDB — the q79 oracle)
+    * compile the identical pattern.
     */
   val DefaultPiiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
-    "\\+?\\d{1,3}[-. ]?\\(?\\d{2,4}\\)?[-. ]?\\d{3,4}[-. ]?\\d{3,4}" -> "<PHONE>",
+    "(?:\\+\\d{1,3}[-. ]?)?\\(?\\b\\d{2,4}\\)?[-. ]\\d{3,4}[-. ]\\d{3,4}\\b" -> "<PHONE>",
     "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>")
 
   /** PII redaction for training corpora: each (regex, replacement)

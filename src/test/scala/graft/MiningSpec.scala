@@ -301,9 +301,17 @@ class MiningSpec extends AnyFunSuite {
       initIds = Seq(0L, 3L), iters = 2, orderedMeans = false)
       .select("vec_id", "centroid_id", "dist").as[(Long, Long, Double)].collect().toSet
     val slow = Similarity.kmeansAssign(df, "vec_id", "embedding",
-      initIds = Seq(0L, 3L), iters = 2)
+      initIds = Seq(0L, 3L), iters = 2, orderedMeans = true)
       .select("vec_id", "centroid_id", "dist").as[(Long, Long, Double)].collect().toSet
     assert(fast === slow)
+    // the DEFAULT is the scale path: no collect_list anywhere in the
+    // plan (the ordered fold buffers whole clusters in one row — only
+    // the oracle-parity mode may pay that)
+    val defPlan = Similarity.kmeansAssign(df, "vec_id", "embedding",
+      initIds = Seq(0L, 3L), iters = 2)
+      .queryExecution.analyzed.toString()
+    assert(!defPlan.contains("collect_list"),
+      "default kmeans plan must not buffer cluster members (orderedMeans leaked to true)")
   }
 
   test("kmeansAssign: duplicate seeds tie toward the lower id; empty cluster keeps its centroid") {
@@ -331,7 +339,9 @@ class MiningSpec extends AnyFunSuite {
       (1, "contact me at alice@example.com or 555-123-4567 thanks", "s"),
       (2, "server 192.168.1.10 ssn 123-45-6789", "s"),
       (3, "perfectly clean text here", "s"),
-      (4, "host 10.20.100.200 up", "s")) // 3-digit octets: must be <IP>, not <PHONE>
+      (4, "host 10.20.100.200 up", "s"), // 3-digit octets: must be <IP>, not <PHONE>
+      (5, "order 123456789012345 epoch 1704067200 ok", "s"), // bare digit runs: NOT phones (ADVICE r7)
+      (6, "intl +1-555-123-4567 or (555) 123-4567 end", "s"))
     val out = TextAnalysis.redact(df, "doc_id", "text")
       .select("doc_id", "text_redacted", "n_redactions")
       .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
@@ -340,6 +350,8 @@ class MiningSpec extends AnyFunSuite {
     assert(out(2L)._2 === "server <IP> ssn <SSN>")
     assert(out(3L)._2 === "perfectly clean text here" && out(3L)._3 === 0L)
     assert(out(4L)._2 === "host <IP> up")
+    assert(out(5L)._2 === "order 123456789012345 epoch 1704067200 ok" && out(5L)._3 === 0L)
+    assert(out(6L)._2 === "intl <PHONE> or <PHONE> end" && out(6L)._3 === 2L)
   }
 
   test("ivfSearchWith over kmeansCentroids: the learned-centroid IVF composition") {
