@@ -3,7 +3,7 @@ package graft.jobs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Sampling, TextAnalysis}
+import graft.ops.{Bucketing, Dedup, Sampling, TextAnalysis}
 
 /** The training-data pipeline end-to-end: one composable flow over the
   * documents table chaining the engine's corpus operators —
@@ -33,11 +33,32 @@ import graft.ops.{Dedup, Sampling, TextAnalysis}
   * per action (at 100 TB the persist becomes a checkpoint to durable
   * storage — same structure). Only the dimension-sized mixture count
   * map is collected to the driver.
+  *
+  * THE FULL-WIDTH CORPUS NEVER SHUFFLES: every gate is expressed as an
+  * anti/semi join of the corpus against a NARROW derived id set (exact
+  * losers, LSH losers, quality survivors, repetition violators), and
+  * anti/semi joins preserve the left side's partitioning — so with
+  * `bucketStore` set, the sampled corpus is written ONCE bucketed by
+  * doc_id ([[Bucketing.writeBucketed]]) and every recurring doc_id
+  * gate reads bucket-partitioned data with ZERO corpus-side Exchange
+  * (CorpusBucketingSpec pins this); only the id-sized derived frames
+  * shuffle. At 100 TB the one bucketed write replaces a full-corpus
+  * shuffle per dedup stage.
   */
 object CorpusPipeline {
 
   /** Returns the surviving corpus (persisted; caller unpersists when
     * done) plus per-stage row counts.
+    *
+    * @param bucketStore   when Some(path): write the sampled corpus
+    *                      bucketed by doc_id under `path` (registered
+    *                      as `bucketTable`) and run every downstream
+    *                      gate against the bucketed table
+    * @param bucketCount   bucket count for `bucketStore` (share it
+    *                      with other tables joined on doc_id)
+    * @param persistStages cache each stage (the default; disable only
+    *                      to inspect the end-to-end plan — counts then
+    *                      replay lineage)
     */
   def run(docs: DataFrame, sampleFraction: Double = 1.0,
           qualityThreshold: Double = 0.4,
@@ -48,7 +69,12 @@ object CorpusPipeline {
           embIdCol: String = "vec_id",
           embVecCol: String = "embedding",
           redactPii: Boolean = false,
-          maxDupGramFrac: Double = 1.0): (DataFrame, Seq[(String, Long)]) = {
+          maxDupGramFrac: Double = 1.0,
+          bucketStore: Option[String] = None,
+          bucketCount: Int = 32,
+          bucketTable: String = "graft_corpus_sampled",
+          persistStages: Boolean = true): (DataFrame, Seq[(String, Long)]) = {
+    def cached(df: DataFrame): DataFrame = if (persistStages) df.cache() else df
     val counts = Seq.newBuilder[(String, Long)]
     val sampling = sampleFraction < 1.0
     // when nothing is sampled away the input IS the sampled stage —
@@ -60,29 +86,44 @@ object CorpusPipeline {
       else docs
     // scrub BEFORE dedup (narrow, in place): two docs differing only in
     // their PII collapse to one group afterwards
-    val sampled =
-      (if (redactPii)
-         cut.withColumn("text", TextAnalysis.redactCol(col("text")))
-       else cut).cache()
+    val scrubbed =
+      if (redactPii) cut.withColumn("text", TextAnalysis.redactCol(col("text")))
+      else cut
+    val sampled = bucketStore match {
+      case Some(path) =>
+        // one bucketed write; every downstream doc_id gate reads it
+        // (or an anti/semi-join descendant) partition-aligned
+        Bucketing.writeBucketed(scrubbed, bucketTable, Seq("doc_id"),
+          bucketCount, sortCols = Seq("doc_id"), path = Some(path))
+        docs.sparkSession.table(bucketTable)
+      case None => cached(scrubbed)
+    }
     val sampledN = sampled.count()
     if (!sampling) counts += "input" -> sampledN
     counts += "sampled" -> sampledN
 
-    // exact dedup: drop every doc whose md5 group keeps a smaller id
-    val exactKept = sampled.withColumn("text_hash", md5(col("text")))
+    // exact dedup: drop every doc whose md5 group keeps a smaller id.
+    // The group join runs on a NARROW (doc_id, text_hash) projection
+    // and only the loser ids come back — the full-width corpus is
+    // gated by a doc_id anti-join, never shuffled by text_hash
+    val exactLosers = sampled
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
       .join(Dedup.exactGroups(sampled, "doc_id", "text")
           .select(col("text_hash"), col("keep_id")),
-        Seq("text_hash"), "left")
-      .filter(col("keep_id").isNull || col("doc_id") === col("keep_id"))
-      .drop("text_hash", "keep_id")
-      .cache()
+        Seq("text_hash"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as("exact_loser"))
+    val exactKept = cached(sampled.join(exactLosers,
+      col("doc_id") === col("exact_loser"), "left_anti"))
     counts += "exact_dedup" -> exactKept.count()
 
     // near-dup dedup: LSH band collisions; drop the higher id per pair.
     // Bands feed three consumers (pairs, the oversized audit, group
     // dedup of oversized buckets) — persist them once so the expensive
     // minhash pipeline runs a single time
-    val bands = Dedup.minhashBands(exactKept, "doc_id", "text").persist()
+    val bands =
+      if (persistStages) Dedup.minhashBands(exactKept, "doc_id", "text").persist()
+      else Dedup.minhashBands(exactKept, "doc_id", "text")
     val pairLosers = Dedup.lshCandidates(bands, maxBucketSize)
       .select(col("doc_b").as("loser_id"))
     // buckets past the pair-generation cap are duplicate explosions —
@@ -90,11 +131,10 @@ object CorpusPipeline {
     // silently skipping them
     val ovLosers = Dedup.lshOversizedLosers(bands, maxBucketSize)
     val losers = pairLosers.union(ovLosers).distinct()
-    val nearKept = exactKept.join(losers,
-        col("doc_id") === col("loser_id"), "left_anti")
-      .cache()
+    val nearKept = cached(exactKept.join(losers,
+      col("doc_id") === col("loser_id"), "left_anti"))
     counts += "near_dedup" -> nearKept.count()
-    bands.unpersist()
+    if (persistStages) bands.unpersist()
 
     // optional vector-space pass: near-dup pairs among the SURVIVING
     // docs' embeddings (vec_id keyed like doc_id); drop the higher id
@@ -106,9 +146,8 @@ object CorpusPipeline {
         val embLosers = Dedup.embeddingNearDup(
             alive, embIdCol, embVecCol, cosineThreshold)
           .select(col("vec_b").as("emb_loser")).distinct()
-        val kept = nearKept.join(embLosers,
-            col("doc_id") === col("emb_loser"), "left_anti")
-          .cache()
+        val kept = cached(nearKept.join(embLosers,
+          col("doc_id") === col("emb_loser"), "left_anti"))
         counts += "embedding_dedup" -> kept.count()
         kept
       case None => nearKept
@@ -117,9 +156,8 @@ object CorpusPipeline {
     val quality = TextAnalysis.qualityScore(embKept, "doc_id", "text")
       .filter(col("quality") >= qualityThreshold)
       .select(col("doc_id").as("q_id"))
-    val qualityKept = embKept.join(quality,
-        col("doc_id") === col("q_id"), "left_semi")
-      .cache()
+    val qualityKept = cached(embKept.join(quality,
+      col("doc_id") === col("q_id"), "left_semi"))
     counts += "quality" -> qualityKept.count()
 
     // repetition gate: anti-join on the VIOLATORS, so documents too
@@ -130,27 +168,28 @@ object CorpusPipeline {
         val violators = TextAnalysis.repetitionStats(qualityKept, "doc_id", "text")
           .filter(col("dup_gram_frac") > maxDupGramFrac)
           .select(col("doc_id").as("rep_id"))
-        val kept = qualityKept.join(violators,
-            col("doc_id") === col("rep_id"), "left_anti")
-          .cache()
+        val kept = cached(qualityKept.join(violators,
+          col("doc_id") === col("rep_id"), "left_anti"))
         counts += "repetition" -> kept.count()
         kept
       }
 
-    val mixed =
-      (if (mixture.isEmpty) repKept
-       else Sampling.mixture(repKept, "doc_id", "source", mixture)).cache()
+    val mixed = cached(
+      if (mixture.isEmpty) repKept
+      else Sampling.mixture(repKept, "doc_id", "source", mixture))
     counts += "mixed" -> mixed.count()
 
     // when mixture is empty, `mixed` IS the last stage frame (cache()
     // returns this) — unpersisting it here would strip the returned
     // DataFrame's cache before the caller's first action
-    sampled.unpersist()
-    exactKept.unpersist()
-    nearKept.unpersist()
-    if (embKept ne nearKept) embKept.unpersist()
-    if (qualityKept ne mixed) qualityKept.unpersist()
-    if ((repKept ne qualityKept) && (repKept ne mixed)) repKept.unpersist()
+    if (persistStages) {
+      sampled.unpersist() // no-op in bucketed mode (a table, never cached)
+      exactKept.unpersist()
+      nearKept.unpersist()
+      if (embKept ne nearKept) embKept.unpersist()
+      if (qualityKept ne mixed) qualityKept.unpersist()
+      if ((repKept ne qualityKept) && (repKept ne mixed)) repKept.unpersist()
+    }
     (mixed, counts.result())
   }
 

@@ -39,15 +39,26 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** `horizon` whitelist: the parameter is spliced into an INTERVAL
+    * literal, so an arbitrary string would reach the SQL parser — a
+    * typo surfaced as an opaque Catalyst error deep in plan
+    * construction, and the parameter accepted arbitrary fragments
+    * (ADVICE r7). Only simple "<n> <unit>" horizons make funnel sense.
+    */
+  private val HorizonRe = "(?i)^\\d+ (MILLISECOND|SECOND|MINUTE|HOUR|DAY|WEEK)S?$".r
+
   def windowFunnel(events: DataFrame, userCol: String, typeCol: String,
                    tsCol: String, steps: Seq[String],
                    horizon: String, pinTiers: Boolean = true,
                    checkpointDir: Option[String] = None): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
     require(steps.distinct.size == steps.size, "steps must be distinct")
+    require(HorizonRe.matches(horizon.trim),
+      s"""windowFunnel: horizon "$horizon" is not "<n> <unit>" with unit """ +
+        "MILLISECOND/SECOND/MINUTE/HOUR/DAY/WEEK (e.g. \"2 DAY\", \"15 MINUTE\")")
     val e = events.select(col(userCol).as("user_id"),
       col(typeCol).as("step"), col(tsCol).as("ts"))
-    val iv = expr(s"INTERVAL $horizon") // e.g. "2 DAY", "15 MINUTE"
+    val iv = expr(s"INTERVAL ${horizon.trim}") // e.g. "2 DAY", "15 MINUTE"
     def pin(df: DataFrame): DataFrame =
       if (pinTiers) Checkpoints.pin(df, checkpointDir, eager = false) else df
     val t1 = pin(e.filter(col("step") === steps.head)

@@ -84,6 +84,47 @@ class FunnelSpec extends AnyFunSuite {
     assert(out === Set(("view", "click", 1L), ("click", "view", 1L)))
   }
 
+  test("windowFunnel vs CEP: on an any-start divergence the documented CEP route completes the funnel") {
+    import java.sql.Timestamp
+    import graft.cep.{CEP, CepEvent, Pattern}
+    // user 7 misses the chain from their FIRST view (the click lands
+    // outside that view's horizon) but completes it from the second:
+    // earliest-chain windowFunnel reports depth 1, and the scaladoc
+    // routes any-start semantics to the CEP NFA — prove that route
+    // actually yields the completed funnel on this divergence case
+    val df = events(
+      (7L, "view", 0L), (7L, "view", 3 * D),
+      (7L, "click", 3 * D + H), (7L, "purchase", 3 * D + 2 * H))
+    assert(run(df) === Map(7L -> 1)) // earliest-chain: shallow
+
+    val p = Pattern.begin("view", _.eventType == "view")
+      .followedBy("click", _.eventType == "click")
+      .followedBy("purchase", _.eventType == "purchase")
+      .within("2 days")
+    val evs = Seq(
+      CepEvent("7", new Timestamp(0L), "view", 1L),
+      CepEvent("7", new Timestamp(3 * D * 1000L), "view", 2L),
+      CepEvent("7", new Timestamp((3 * D + H) * 1000L), "click", 3L),
+      CepEvent("7", new Timestamp((3 * D + 2 * H) * 1000L), "purchase", 4L)).toDS()
+    val matches = CEP.detectBatch(evs, p).collect()
+    assert(matches.length === 1 && !matches.head.timedOut)
+    assert(matches.head.events.map(_.step) === Seq("view", "click", "purchase"))
+    // re-anchored at the SECOND view, which windowFunnel cannot do
+    assert(matches.head.events.head.tsMs === 3 * D * 1000L)
+  }
+
+  test("windowFunnel: malformed horizon fails loudly at construction, not in the SQL parser") {
+    val df = events((1L, "view", 0L))
+    val bad = intercept[IllegalArgumentException] {
+      Funnel.windowFunnel(df, "user_id", "event_type", "ts",
+        Seq("view", "click"), "2 FORTNIGHTS)) SELECT 1 --")
+    }
+    assert(bad.getMessage.contains("horizon"))
+    // case-insensitive unit + surrounding whitespace are fine
+    assert(Funnel.windowFunnel(df, "user_id", "event_type", "ts",
+      Seq("view", "click"), " 90 minutes ").collect().length === 1)
+  }
+
   test("windowFunnel: anchor timestamps surface as epoch micros") {
     val df = events((9L, "view", 10L), (9L, "click", 20L))
     val row = Funnel.windowFunnel(df, "user_id", "event_type", "ts",

@@ -149,6 +149,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet === Set((0L, 10L, 2L, 1), (0L, 20L, 1L, 2))) // top-2, tie 20-vs-30 by key
   }
 
+  test("streaming funnel via foreachBatch: recompute over landed events equals batch windowFunnel") {
+    val input = MemoryStream[KeyedEvent]
+    val store = java.nio.file.Files.createTempDirectory("funnel-stream")
+      .resolve("events").toString
+    val got = scala.collection.mutable.Map[Long, Int]()
+    val q = StreamingFunnel.writer(input.toDF(), "key", "eventType", "ts",
+        Seq("view", "click", "purchase"), "1 HOUR", store) { (funnel, _) =>
+      got.clear()
+      got ++= funnel.select("user_id", "depth").as[(Long, Int)].collect()
+    }.start()
+    val batch1 = Seq(KeyedEvent(1, ts(0), "view", 1), KeyedEvent(2, ts(0), "view", 2))
+    val batch2 = Seq(
+      KeyedEvent(1, ts(100), "click", 3), KeyedEvent(1, ts(200), "purchase", 4),
+      KeyedEvent(2, ts(4000), "click", 5)) // outside user 2's 1h horizon
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    assert(got.toMap === Map(1L -> 1, 2L -> 1)) // views only so far
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // the final micro-batch result IS the batch operator over all events
+    val batchOut = graft.ops.Funnel.windowFunnel((batch1 ++ batch2).toDF(),
+        "key", "eventType", "ts", Seq("view", "click", "purchase"), "1 HOUR")
+      .select("user_id", "depth").as[(Long, Int)].collect().toMap
+    assert(got.toMap === batchOut)
+    assert(got.toMap === Map(1L -> 3, 2L -> 1))
+  }
+
   test("stateful ops run on the RocksDB state store (the at-scale provider)") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
