@@ -687,6 +687,23 @@ object SparkEntry {
         "doc_id", "text", n = 3, maxBenchDf = 1000)
     }),
 
+    // CCNet-style LM quality filter with corpus-internal stats: mean
+    // unigram log-probability per document (two hash aggs + term join;
+    // per-doc ordered fold for engine-stable double summation)
+    "q80_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
+
+    // character-level contamination: shared winnowing fingerprints
+    // between the src0 "training" and src1 "benchmark" slices — the
+    // substring-robust companion of q72's word-3-gram overlap
+    "q81_winnow_contamination" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.winnowOverlap(
+        d.filter(col("source") === "src0"),
+        d.filter(col("source") === "src1"),
+        "doc_id", "text", maxBenchDf = 1000)
+    }),
+
     // windowFunnel (earliest-chain): per user, how deep the
     // view -> click -> purchase sequence completes within 2 days
     "q73_window_funnel" -> ((s, dir) =>
@@ -1621,6 +1638,39 @@ object SparkEntry {
         |   + len(regexp_extract_all(text, '(?:\+\d{1,3}[-. ]?)?\(?\b\d{2,4}\)?[-. ]\d{3,4}[-. ]\d{3,4}\b'))
         |   + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')))::BIGINT AS n_redactions
         |FROM d""".stripMargin,
+
+    "q80_unigram_logprob" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
+        |wc AS (SELECT term, count(*)::BIGINT AS cnt FROM w GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS total FROM w)
+        |SELECT doc_id, sum(tf)::BIGINT AS n_words,
+        |       round(list_sum(list(tf * ln(cnt::DOUBLE / total) ORDER BY term)) / sum(tf), 6) AS avg_logprob
+        |FROM tf JOIN wc USING (term) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+
+    // the q68 winnowing chain on both slices, then the q72 overlap shape
+    "q81_winnow_contamination" ->
+      """WITH ch AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(text) = 0 THEN [0]::BIGINT[]
+        |         ELSE list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+        |      i -> list_reduce(list_transform(generate_series(i, least(i + 7, length(text))),
+        |             j -> unicode(text[j])::BIGINT),
+        |           (a, c) -> (a * 257 + c) % 1000000007)) END AS hs
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |f AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(list_transform(generate_series(1, greatest(len(hs) - 15, 1)),
+        |                       i -> list_min(hs[i:i+15]))) AS fps
+        |  FROM ch),
+        |cf AS (SELECT doc_id, unnest(fps) AS fp FROM f WHERE source = 'src0'),
+        |bf AS (SELECT doc_id AS bench_id, unnest(fps) AS fp FROM f WHERE source = 'src1'),
+        |keep AS (SELECT fp FROM (SELECT fp, count(*) AS df_cnt FROM bf GROUP BY fp)
+        |         WHERE df_cnt <= 1000)
+        |SELECT cf.doc_id, bf.bench_id, count(*)::BIGINT AS shared_fps
+        |FROM cf JOIN keep USING (fp) JOIN bf USING (fp)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q71_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

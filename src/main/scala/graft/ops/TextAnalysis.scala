@@ -266,6 +266,76 @@ object TextAnalysis {
       .agg(count(lit(1)).as("shared_ngrams"))
   }
 
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram distribution — the language-model quality filter of the
+    * CCNet pipeline (Wenzek et al. 2020) with corpus-internal
+    * statistics instead of an external KenLM: documents whose words
+    * are collectively improbable (gibberish, boilerplate codes, wrong
+    * language) score low and can be percentile-thresholded
+    * ([[Quantiles]]) before training.
+    *
+    * score(d) = Σ_t tf(d,t)·ln(cnt(t)/total) / |d| — computed from two
+    * hash aggregates (term frequency per doc, global term counts), one
+    * equi-join on the term, and the corpus total as a one-row
+    * broadcast; work ∝ total tokens, the same canonical shape as
+    * [[tfIdf]]. The per-doc sum is an ORDERED fold over the doc's
+    * distinct terms (sorted, then left-folded — double addition is not
+    * associative and a plain sum() could hash differently per
+    * partitioning/engine; a document's distinct-term list is bounded
+    * by its length, so unlike a k-means cluster it always fits a row),
+    * rounded to 6 digits.
+    *
+    * Output: (doc_id, n_words, avg_logprob).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = words.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val wc = words.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = words.agg(count(lit(1)).as("total"))
+    tf.join(wc, "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf") * log(col("cnt").cast("double") / col("total"))).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_words"),
+        expr("""round(aggregate(array_sort(collect_list(named_struct('term', term, 'v', v))),
+               |               cast(0.0 as double), (a, s) -> a + s.v) / sum(tf), 6)""".stripMargin)
+          .as("avg_logprob"))
+  }
+
+  /** Cross-corpus contamination via winnowing fingerprints — the
+    * character-level companion of [[ngramOverlap]]: for every (corpus
+    * doc, benchmark doc) pair sharing at least one winnowed k-gram
+    * fingerprint ([[winnowFingerprints]]), the count of shared
+    * fingerprints. The winnowing guarantee makes this a SUBSTRING
+    * detector: any shared run of ≥ window + k − 1 characters yields a
+    * shared fingerprint, so it catches quoted spans that word-n-gram
+    * overlap misses when tokenization or punctuation shifted.
+    *
+    * Shape mirrors ngramOverlap: per-doc fingerprints are narrow
+    * (one codegen'd winnow_fps + explode, no shuffle), the join is an
+    * inverted-index equi-join on fp, one hash aggregate on the pair —
+    * work ∝ fp co-occurrences, never |corpus|×|bench|. Fingerprints in
+    * more than `maxBenchDf` benchmark docs are boilerplate, carry no
+    * signal, and blow the join quadratically — dropped first off the
+    * small side's document-frequency table.
+    */
+  def winnowOverlap(corpus: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String,
+                    k: Int = 8, window: Int = 16,
+                    maxBenchDf: Long = 1000): DataFrame = {
+    val cf = winnowFingerprints(corpus, idCol, textCol, k, window)
+    val bf = winnowFingerprints(bench, idCol, textCol, k, window)
+      .withColumnRenamed("doc_id", "bench_id")
+    val keep = bf.groupBy(col("fp")).agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") <= maxBenchDf).select(col("fp"))
+    cf.join(bf.join(keep, "fp"), "fp")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+  }
+
   /** TF-IDF term weights per (doc, term): tf · ln((N+1)/(df+1)),
     * rounded to 6 digits. Two hash aggregates (term frequency per doc,
     * document frequency per term) + one equi-join on term + the corpus

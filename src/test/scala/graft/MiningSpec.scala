@@ -434,6 +434,42 @@ class MiningSpec extends AnyFunSuite {
     assert(capped === Set((1L, 10L), (1L, 11L)))
   }
 
+  test("unigramLogProb: hand-computed corpus-unigram scores; ordered fold is engine-stable") {
+    val df = docs((1, "a a b", "s"), (2, "b c", "s"))
+    // totals: a=2, b=2, c=1, total=5
+    val out = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .select("doc_id", "n_words", "avg_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: (2·ln(2/5) + 1·ln(2/5)) / 3 ; doc 2: (ln(2/5) + ln(1/5)) / 2
+    // (expected values replay the fold's own operation order — double
+    // addition is not associative)
+    assert(out(1L)._2 === 3L)
+    assert(out(1L)._3 === r6((2 * math.log(2.0 / 5) + math.log(2.0 / 5)) / 3))
+    assert(out(2L)._2 === 2L)
+    assert(out(2L)._3 === r6((math.log(2.0 / 5) + math.log(1.0 / 5)) / 2))
+    // rarer words score lower — the filter's ranking property
+    assert(out(2L)._3 < out(1L)._3)
+  }
+
+  test("winnowOverlap: shared >= w+k-1 char span yields a pair; df cap drops boilerplate fps") {
+    // 30-char shared span >= window(16) + k(8) - 1 = 23: the winnowing
+    // guarantee forces at least one shared fingerprint
+    val span = "the quick brown fox jumps over"
+    val corpus = docs((1, s"corpus doc quoting $span here", "s"),
+      (2, "completely unrelated corpus words", "s"))
+    val bench = docs((10, s"benchmark with $span inside", "s"),
+      (11, "another clean benchmark row", "s"))
+    val out = TextAnalysis.winnowOverlap(corpus, bench, "doc_id", "text")
+      .select("doc_id", "bench_id", "shared_fps")
+      .as[(Long, Long, Long)].collect()
+    assert(out.exists(r => r._1 === 1L && r._2 === 10L && r._3 >= 1L))
+    assert(!out.exists(r => r._1 === 2L && r._2 === 11L)) // no shared span
+    // a df cap of 0 drops every fingerprint: no pairs survive
+    assert(TextAnalysis.winnowOverlap(corpus, bench, "doc_id", "text",
+      maxBenchDf = 0).isEmpty)
+  }
+
   test("embeddingNearDup: same-bucket pairs above the cosine cut, nothing else") {
     val df = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),
