@@ -274,26 +274,33 @@ object TextAnalysis {
     * language) score low and can be percentile-thresholded
     * ([[Quantiles]]) before training.
     *
-    * score(d) = Σ_t tf(d,t)·ln(cnt(t)/total) / |d| — computed from two
-    * hash aggregates (term frequency per doc, global term counts), one
-    * equi-join on the term, and the corpus total as a one-row
-    * broadcast; work ∝ total tokens, the same canonical shape as
-    * [[tfIdf]]. The per-doc sum is an ORDERED fold over the doc's
-    * distinct terms (sorted, then left-folded — double addition is not
-    * associative and a plain sum() could hash differently per
-    * partitioning/engine; a document's distinct-term list is bounded
-    * by its length, so unlike a k-means cluster it always fits a row),
-    * rounded to 6 digits.
+    * score(d) = Σ_t tf(d,t)·ln(cnt(t)/total) / |d|. The corpus text is
+    * scanned and exploded exactly ONCE: the per-(doc, term) frequency
+    * frame is pinned ([[Checkpoints.pin]], lazy — the q40 AQE
+    * construction caveat applies) and the global term counts and
+    * corpus total both derive from IT — re-deriving each from the raw
+    * text would triple the most expensive stage (the token explode) at
+    * 100 TB. Downstream: one equi-join on the term (term counts are
+    * dictionary-sized — Spark's size-based planning broadcasts small
+    * vocabularies and shuffles web-scale ones) and the total as a
+    * one-row broadcast; work ∝ total tokens, the [[tfIdf]] shape. The
+    * per-doc sum is an ORDERED fold over the doc's distinct terms
+    * (sorted, then left-folded — double addition is not associative
+    * and a plain sum() could hash differently per partitioning/engine;
+    * a document's distinct-term list is bounded by its length, so
+    * unlike a k-means cluster it always fits a row), rounded to 6.
     *
     * Output: (doc_id, n_words, avg_logprob).
     */
-  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                     checkpointDir: Option[String] = None): DataFrame = {
     val words = df.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("term"))
-    val tf = words.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val wc = words.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val total = words.agg(count(lit(1)).as("total"))
+    val tf = Checkpoints.pin(
+      words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")),
+      checkpointDir, eager = false)
+    val wc = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = wc.agg(sum(col("cnt")).as("total"))
     tf.join(wc, "term")
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("term"), col("tf"),
@@ -325,10 +332,15 @@ object TextAnalysis {
   def winnowOverlap(corpus: DataFrame, bench: DataFrame,
                     idCol: String, textCol: String,
                     k: Int = 8, window: Int = 16,
-                    maxBenchDf: Long = 1000): DataFrame = {
+                    maxBenchDf: Long = 1000,
+                    checkpointDir: Option[String] = None): DataFrame = {
     val cf = winnowFingerprints(corpus, idCol, textCol, k, window)
-    val bf = winnowFingerprints(bench, idCol, textCol, k, window)
-      .withColumnRenamed("doc_id", "bench_id")
+    // the bench fingerprints feed TWO consumers (the df-cap table and
+    // the join) — pin them so the bench text winnows once, not twice
+    val bf = Checkpoints.pin(
+      winnowFingerprints(bench, idCol, textCol, k, window)
+        .withColumnRenamed("doc_id", "bench_id"),
+      checkpointDir, eager = false)
     val keep = bf.groupBy(col("fp")).agg(count(lit(1)).as("df_cnt"))
       .filter(col("df_cnt") <= maxBenchDf).select(col("fp"))
     cf.join(bf.join(keep, "fp"), "fp")

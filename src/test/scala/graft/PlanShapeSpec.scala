@@ -115,6 +115,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q80: the corpus token explode runs once behind the pin; stats derive from tf") {
+    // unpinned, the tf / term-count / corpus-total subtrees each re-scan
+    // and re-explode the text — 3x the most expensive stage at 100 TB
+    val p = plan("q80_unigram_logprob")
+    val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans === 0, s"q80 re-reads the corpus $scans times — tf pin broke")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q71: gram expansion is narrow; exactly the two aggregation exchanges") {
     val p = plan("q71_repetition")
     val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
