@@ -687,6 +687,16 @@ object SparkEntry {
         "doc_id", "text", n = 3, maxBenchDf = 1000)
     }),
 
+    // GLOBAL exact deciles over the quality score — the keyless ntile
+    // (no PARTITION BY): the Window form would sort the whole corpus
+    // on one task; this runs the q40 prefix-sum machinery over one
+    // global sequence. doc_id tie-break makes the order total
+    "q82_quality_deciles" -> ((s, dir) =>
+      Quantiles.exactNtileGlobal(
+        TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+          .select(col("doc_id"), col("quality")),
+        orderCols = Seq("quality", "doc_id"), buckets = 10)),
+
     // CCNet-style LM quality filter with corpus-internal stats: mean
     // unigram log-probability per document (two hash aggs + term join;
     // per-doc ordered fold for engine-stable double summation)
@@ -1638,6 +1648,24 @@ object SparkEntry {
         |   + len(regexp_extract_all(text, '(?:\+\d{1,3}[-. ]?)?\(?\b\d{2,4}\)?[-. ]\d{3,4}[-. ]\d{3,4}\b'))
         |   + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')))::BIGINT AS n_redactions
         |FROM d""".stripMargin,
+
+    "q82_quality_deciles" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_words,
+        |    len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_words,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> list_contains(['the','a','of','and','in','to','is','on','for','with'], w)))::BIGINT AS stopword_cnt
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(0.4 * least(n_words::DOUBLE / 100.0, 1.0)
+        |        + 0.4 * (n_distinct_words::DOUBLE / n_words::DOUBLE)
+        |        + 0.2 * least(5.0 * stopword_cnt::DOUBLE / n_words::DOUBLE, 1.0), 6) AS quality
+        |  FROM c)
+        |SELECT doc_id, quality,
+        |       ntile(10) OVER (ORDER BY quality, doc_id) AS bucket
+        |FROM q""".stripMargin,
 
     "q80_unigram_logprob" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -47,7 +47,24 @@ object Quantiles {
     */
   def exactNtile(df: DataFrame, groupCol: String, orderCols: Seq[String],
                  buckets: Int, partitions: Int = 0,
-                 checkpointDir: Option[String] = None): DataFrame = {
+                 checkpointDir: Option[String] = None): DataFrame =
+    ntileAssign(df, Seq(groupCol), orderCols, buckets, partitions, checkpointDir)
+
+  /** Keyless form of [[exactNtile]]: SQL `ntile(k) OVER (ORDER BY
+    * orderCols)` — with no PARTITION BY at all, the Window formulation
+    * moves the ENTIRE table through one task (the worst WindowExec
+    * case; q40's per-group variant at least splits across the group
+    * values). Same PrefixSum machinery over one global sequence.
+    */
+  def exactNtileGlobal(df: DataFrame, orderCols: Seq[String],
+                       buckets: Int, partitions: Int = 0,
+                       checkpointDir: Option[String] = None): DataFrame =
+    ntileAssign(df, Nil, orderCols, buckets, partitions, checkpointDir)
+
+  private def ntileAssign(df: DataFrame, groupCols: Seq[String],
+                          orderCols: Seq[String], buckets: Int,
+                          partitions: Int,
+                          checkpointDir: Option[String]): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(orderCols.nonEmpty, "orderCols must be non-empty")
     // collision-free helper names: one shared suffix, probed
@@ -62,9 +79,9 @@ object Quantiles {
     val rank = h("_rank"); val n = h("_n")
     val base = h("_base"); val rem = h("_rem")
 
-    // global rank (running count) + group total from the shared
+    // (per-group) rank (running count) + total from the shared
     // prefix-sum core: range partition, lazy pin, two passes, no Window
-    val ranked = PrefixSum.runningTotals(df, Seq(groupCol), orderCols,
+    val ranked = PrefixSum.runningTotals(df, groupCols, orderCols,
       valueCol = None, runCol = rank, totCol = Some(n),
       partitions = partitions, checkpointDir = checkpointDir)
 

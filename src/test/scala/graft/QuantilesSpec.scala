@@ -55,6 +55,21 @@ class QuantilesSpec extends AnyFunSuite {
     assertMatchesWindow(7, 5)
   }
 
+  test("exactNtileGlobal == keyless SQL ntile; plan stays Window-free") {
+    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val want = ordersProj
+      .select(col("o_orderkey"), ntile(7).over(w).cast("long").as("bucket"))
+    val gotDf = Quantiles.exactNtileGlobal(ordersProj,
+      Seq("o_totalprice", "o_orderkey"), 7, partitions = 5)
+    val got = gotDf.select(col("o_orderkey"), col("bucket"))
+    val diff = got.join(want, Seq("o_orderkey", "bucket"), "full_outer")
+      .filter(col("o_orderkey").isNull || col("bucket").isNull)
+    assert(got.count() === ordersProj.count())
+    assert(diff.count() === 0, "exactNtileGlobal diverges from keyless SQL ntile")
+    assert(!gotDf.queryExecution.executedPlan.toString.contains("Window"),
+      "exactNtileGlobal regressed to the single-task global Window sort")
+  }
+
   test("exactNtile: groups smaller than k get one row per leading bucket") {
     val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("a", 3.0, 3L))
       .toDF("g", "v", "id")
