@@ -55,20 +55,9 @@ object Md5Long60 {
 
   private val info = new ExpressionInfo(classOf[Md5Long60].getName, "md5_long60")
 
-  /** Arity-checked builder (shared with GraftExtensions) — same clean
-    * wrong-arity failure as WinnowFps.builder (ADVICE r7).
-    */
-  private[functions] val builder = (exprs: Seq[Expression]) => {
-    if (exprs.length != 1)
-      throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-        messageParameters = Map(
-          "functionName" -> "`md5_long60`",
-          "expectedNum" -> "1 (input BINARY)",
-          "actualNum" -> exprs.length.toString,
-          "docroot" -> "https://spark.apache.org/docs/latest"))
-    Md5Long60(exprs.head)
-  }
+  /** Arity-checked builder (shared with GraftExtensions; [[Arity]]). */
+  private[functions] val builder =
+    Arity.checked("md5_long60", "1 (input BINARY)", 1)(es => Md5Long60(es.head))
 
   /** Idempotent per-session SQL registration (`SELECT md5_long60(x)`). */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -124,10 +124,12 @@ object VectorExprs {
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
-      (es: Seq[Expression]) => ArrayDotProduct(es(0), es(1))),
+      Arity.checked("array_dot", "2 (a ARRAY<FLOAT|DOUBLE>, b ARRAY<FLOAT|DOUBLE>)", 2)(
+        es => ArrayDotProduct(es(0), es(1)))),
     (FunctionIdentifier("array_sqdiff"),
       new ExpressionInfo(classOf[ArraySquaredDiffSum].getName, "array_sqdiff"),
-      (es: Seq[Expression]) => ArraySquaredDiffSum(es(0), es(1))))
+      Arity.checked("array_sqdiff", "2 (a ARRAY<FLOAT|DOUBLE>, b ARRAY<FLOAT|DOUBLE>)", 2)(
+        es => ArraySquaredDiffSum(es(0), es(1)))))
 
   /** Idempotent per-session SQL registration. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -137,21 +137,13 @@ object WinnowFps {
 
   private val info = new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps")
 
-  /** Arity-checked builder (shared with GraftExtensions): a wrong-arity
-    * SQL call fails as a clean AnalysisException naming the signature,
-    * not an IndexOutOfBoundsException from exprs(2) (ADVICE r7).
+  /** Arity-checked builder (shared with GraftExtensions; [[Arity]]):
+    * a wrong-arity SQL call fails as a clean AnalysisException naming
+    * the signature, not an IndexOutOfBoundsException (ADVICE r7).
     */
-  private[functions] val builder = (exprs: Seq[Expression]) => {
-    if (exprs.length != 3)
-      throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-        messageParameters = Map(
-          "functionName" -> "`winnow_fps`",
-          "expectedNum" -> "3 (text STRING, k INT, w INT)",
-          "actualNum" -> exprs.length.toString,
-          "docroot" -> "https://spark.apache.org/docs/latest"))
-    WinnowFps(exprs(0), exprs(1), exprs(2))
-  }
+  private[functions] val builder =
+    Arity.checked("winnow_fps", "3 (text STRING, k INT, w INT)", 3)(
+      es => WinnowFps(es(0), es(1), es(2)))
 
   /** Idempotent per-session SQL registration. */
   def ensureRegistered(spark: SparkSession): Unit = {

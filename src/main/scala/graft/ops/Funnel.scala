@@ -43,9 +43,12 @@ object Funnel {
     * literal, so an arbitrary string would reach the SQL parser — a
     * typo surfaced as an opaque Catalyst error deep in plan
     * construction, and the parameter accepted arbitrary fragments
-    * (ADVICE r7). Only simple "<n> <unit>" horizons make funnel sense.
+    * (ADVICE r7). Accepts one or more "<n> <unit>" groups ("2 DAY",
+    * "1 DAY 12 HOUR", "3 MONTHS"), units millisecond..year.
     */
-  private val HorizonRe = "(?i)^\\d+ (MILLISECOND|SECOND|MINUTE|HOUR|DAY|WEEK)S?$".r
+  private val HorizonRe =
+    ("(?i)^\\d+ (MILLISECOND|SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|YEAR)S?" +
+      "( \\d+ (MILLISECOND|SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|YEAR)S?)*$").r
 
   def windowFunnel(events: DataFrame, userCol: String, typeCol: String,
                    tsCol: String, steps: Seq[String],
@@ -53,12 +56,14 @@ object Funnel {
                    checkpointDir: Option[String] = None): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
     require(steps.distinct.size == steps.size, "steps must be distinct")
-    require(HorizonRe.matches(horizon.trim),
-      s"""windowFunnel: horizon "$horizon" is not "<n> <unit>" with unit """ +
-        "MILLISECOND/SECOND/MINUTE/HOUR/DAY/WEEK (e.g. \"2 DAY\", \"15 MINUTE\")")
+    val hz = horizon.trim.replaceAll("\\s+", " ")
+    require(HorizonRe.matches(hz),
+      s"""windowFunnel: horizon "$horizon" is not "<n> <unit> [...]" with unit """ +
+        "MILLISECOND/SECOND/MINUTE/HOUR/DAY/WEEK/MONTH/YEAR " +
+        "(e.g. \"2 DAY\", \"15 MINUTE\", \"1 DAY 12 HOUR\")")
     val e = events.select(col(userCol).as("user_id"),
       col(typeCol).as("step"), col(tsCol).as("ts"))
-    val iv = expr(s"INTERVAL ${horizon.trim}") // e.g. "2 DAY", "15 MINUTE"
+    val iv = expr(s"INTERVAL $hz") // e.g. "2 DAY", "15 MINUTE"
     def pin(df: DataFrame): DataFrame =
       if (pinTiers) Checkpoints.pin(df, checkpointDir, eager = false) else df
     val t1 = pin(e.filter(col("step") === steps.head)

@@ -193,7 +193,11 @@ object TextAnalysis {
     * numeric ID, an epoch timestamp, an order number — ADVICE r7) can
     * never match; group boundaries are anchored with `\b` rather than
     * lookarounds so the RE2-based engines (DuckDB — the q79 oracle)
-    * compile the identical pattern.
+    * compile the identical pattern. The deliberate recall tradeoff:
+    * UNSEPARATED numbers ("5551234567") no longer redact — they are
+    * indistinguishable from numeric IDs, and a corpus scrubber that
+    * rewrites every 10-digit ID corrupts more than it protects. Supply
+    * custom `patterns` when the corpus is known phone-heavy.
     */
   val DefaultPiiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",

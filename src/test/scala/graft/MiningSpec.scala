@@ -304,14 +304,24 @@ class MiningSpec extends AnyFunSuite {
       initIds = Seq(0L, 3L), iters = 2, orderedMeans = true)
       .select("vec_id", "centroid_id", "dist").as[(Long, Long, Double)].collect().toSet
     assert(fast === slow)
-    // the DEFAULT is the scale path: no collect_list anywhere in the
-    // plan (the ordered fold buffers whole clusters in one row — only
-    // the oracle-parity mode may pay that)
-    val defPlan = Similarity.kmeansAssign(df, "vec_id", "embedding",
-      initIds = Seq(0L, 3L), iters = 2)
+    // the DEFAULT is the scale path: the means carry no member-values
+    // collect (the ordered fold buffers whole clusters in one row —
+    // only the oracle-parity mode may pay that). Inspected with the
+    // iteration pin OFF — the lazy pin truncates lineage to a
+    // LogicalRDD, which would hide the fold from the plan string
+    // regardless of the flag. The marker is the fold's
+    // named_struct(vec_id, ...) member collect; the bounded k x dim
+    // c_vec assembly keeps its own (dim-sized) collect_list either way
+    val defPlan = Similarity.kmeansCentroids(df, "vec_id", "embedding",
+      initIds = Seq(0L, 3L), iters = 1, pinIterations = false)
       .queryExecution.analyzed.toString()
-    assert(!defPlan.contains("collect_list"),
-      "default kmeans plan must not buffer cluster members (orderedMeans leaked to true)")
+    assert(!defPlan.contains("named_struct(vec_id"),
+      "default kmeans means must not buffer cluster members (orderedMeans leaked to true)")
+    // sanity: the marker really detects the ordered fold
+    val orderedPlan = Similarity.kmeansCentroids(df, "vec_id", "embedding",
+      initIds = Seq(0L, 3L), iters = 1, orderedMeans = true, pinIterations = false)
+      .queryExecution.analyzed.toString()
+    assert(orderedPlan.contains("named_struct(vec_id"))
   }
 
   test("kmeansAssign: duplicate seeds tie toward the lower id; empty cluster keeps its centroid") {
