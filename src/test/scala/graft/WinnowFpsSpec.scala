@@ -38,6 +38,18 @@ class WinnowFpsSpec extends AnyFunSuite {
       .select(explode(graft.functions.WinnowFps(spark, col("t"), k, w)).as("fp"))
       .as[Long].collect().toSet
 
+  test("wrong arity from SQL is a clean AnalysisException naming the signature") {
+    graft.functions.WinnowFps.ensureRegistered(spark)
+    graft.functions.Md5Long60.ensureRegistered(spark)
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    for (sql <- Seq("SELECT winnow_fps('x')", "SELECT md5_long60()",
+        "SELECT array_dot(array(1.0D))")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql))
+      assert(e.getMessage.contains("WRONG_NUM_ARGS") ||
+        e.getMessage.toLowerCase.contains("requires"), s"unclear error for $sql: $e")
+    }
+  }
+
   test("matches the naive recompute on random ASCII text") {
     val rnd = new scala.util.Random(42)
     val alphabet = "abcdefgh "
