@@ -687,6 +687,20 @@ object SparkEntry {
         "doc_id", "text", n = 3, maxBenchDf = 1000)
     }),
 
+    // sliding word-window chunker (context-window prep): 32-word
+    // chunks, 8-word overlap, final partial chunk kept — narrow, no
+    // shuffle, work proportional to words x chunk/(chunk-overlap)
+    "q83_chunk_words" -> ((s, dir) =>
+      TextAnalysis.chunkWords(Tables.documents(s, dir), "doc_id", "text",
+        chunkWords = 32, overlapWords = 8)),
+
+    // deterministic train/val/test split: disjoint + exhaustive hash
+    // bands over the id space — one narrow projection, no RNG
+    "q84_dataset_split" -> ((s, dir) =>
+      Sampling.split(Tables.documents(s, dir), "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("source"), col("split"))),
+
     // GLOBAL exact deciles over the quality score — the keyless ntile
     // (no PARTITION BY): the Window form would sort the whole corpus
     // on one task; this runs the q40 prefix-sum machinery over one
@@ -1648,6 +1662,26 @@ object SparkEntry {
         |   + len(regexp_extract_all(text, '(?:\+\d{1,3}[-. ]?)?\(?\b\d{2,4}\)?[-. ]\d{3,4}[-. ]\d{3,4}\b'))
         |   + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')))::BIGINT AS n_redactions
         |FROM d""".stripMargin,
+
+    // step = 32 - 8 = 24; slice clamps at the end on both engines
+    "q83_chunk_words" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, ws,
+        |             unnest(generate_series(0, greatest(len(ws) - 1, 0), 24)) AS start_word
+        |      FROM w)
+        |SELECT doc_id, (start_word // 24)::BIGINT AS chunk_id,
+        |       start_word::BIGINT AS start_word,
+        |       len(ws[start_word + 1 : start_word + 32])::BIGINT AS n_words,
+        |       array_to_string(ws[start_word + 1 : start_word + 32], ' ') AS chunk
+        |FROM s""".stripMargin,
+
+    // bands: train < 9000, val < 9500, test otherwise (1/10000 units)
+    "q84_dataset_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 10000 < 9000 THEN 'train'
+        |       WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 10000 < 9500 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "q82_quality_deciles" ->
       """WITH c AS (

@@ -72,6 +72,43 @@ object Sampling {
     df.filter(keep(df, idCol, frac, salt))
   }
 
+  /** Deterministic dataset split: one pass labels every row with its
+    * split ("train"/"val"/"test", …) by which band of the id-hash
+    * space it falls in. Splits are DISJOINT and EXHAUSTIVE by
+    * construction (the bands partition the hash range — no row is
+    * dropped or double-assigned, unlike composing independent
+    * samples), reproducible at any layout, and recomputable by any
+    * engine with the hash (the q84 oracle). One narrow projection —
+    * no shuffle, no RNG; downstream stages filter on the label, a
+    * pushdown-friendly predicate. Fractions must sum to 1 (±1e-6);
+    * band bounds round to the 1/10000 hash granularity with the LAST
+    * split absorbing the rounding remainder.
+    */
+  def split(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+            salt: String = ""): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.map(_._1).distinct.size == splits.size, "split names must be distinct")
+    require(splits.forall(_._2 > 0), "split fractions must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) <= 1e-6,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    require(!df.columns.exists(_.equalsIgnoreCase("split")),
+      "input already has a 'split' column")
+    graft.functions.Md5Long60.ensureRegistered(df.sparkSession)
+    val sLit = salt.replace("'", "''")
+    val bucket =
+      expr(s"md5_long60(CAST(CONCAT('$sLit', CAST($idCol AS STRING)) AS BINARY))" +
+        s" % $Granularity")
+    // cumulative upper bounds for all but the last split
+    val bounds = splits.init.scanLeft(0L) {
+      case (acc, (_, f)) => acc + math.round(f * Granularity)
+    }.tail
+    val label = splits.init.map(_._1).zip(bounds)
+      .foldRight(lit(splits.last._1): Column) {
+        case ((name, b), els) => when(bucket < b, lit(name)).otherwise(els)
+      }
+    df.withColumn("split", label)
+  }
+
   /** Deterministic corpus mixture: subsample each stratum so the kept
     * rows realize `weights` as proportions, keeping as much data as
     * possible — the binding stratum (smallest count/share ratio) is

@@ -270,6 +270,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("shared_ngrams"))
   }
 
+  /** Fixed-size word chunking with overlap — context-window prep for
+    * training and retrieval pipelines: chunk i covers words
+    * [i·step, i·step + chunkWords) with step = chunkWords −
+    * overlapWords, the final partial chunk is kept, and a document
+    * shorter than one chunk yields itself whole. chunk_id is the
+    * 0-based chunk index per document.
+    *
+    * Narrow end-to-end: one split + one stepped-sequence explode +
+    * slice/array_join projections — the operator never shuffles; work
+    * ∝ total words · chunk/(chunk − overlap). At 100 TB the output is
+    * written partition-parallel straight from the scan.
+    *
+    * Output: (doc_id, chunk_id, start_word, n_words, chunk).
+    */
+  def chunkWords(df: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int = 128, overlapWords: Int = 16): DataFrame = {
+    require(chunkWords >= 1, "chunkWords must be >= 1")
+    require(overlapWords >= 0 && overlapWords < chunkWords,
+      "overlapWords must be in [0, chunkWords)")
+    val step = chunkWords - overlapWords
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(expr(s"sequence(0, greatest(size(ws) - 1, 0), $step)"))
+          .as("start_word"))
+      .select(col("doc_id"),
+        expr(s"start_word div $step").cast("long").as("chunk_id"),
+        col("start_word").cast("long").as("start_word"),
+        expr(s"size(slice(ws, start_word + 1, $chunkWords))").cast("long")
+          .as("n_words"),
+        expr(s"array_join(slice(ws, start_word + 1, $chunkWords), ' ')")
+          .as("chunk"))
+  }
+
   /** Per-document mean unigram log-probability under the corpus's own
     * unigram distribution — the language-model quality filter of the
     * CCNet pipeline (Wenzek et al. 2020) with corpus-internal

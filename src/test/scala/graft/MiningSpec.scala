@@ -137,6 +137,46 @@ class MiningSpec extends AnyFunSuite {
     assert(uniform > 0.2 && uniform < 0.3)
   }
 
+  test("split: disjoint+exhaustive hash-band labels, ~fractions, layout-independent") {
+    val df = (1L to 2000L).map(i => (i, s"d$i")).toDF("id", "payload")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = ops.Sampling.split(df, "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val s2 = ops.Sampling.split(df.repartition(7), "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(s1 === s2)                        // layout-independent
+    assert(s1.size === 2000)                 // exhaustive: every row labeled
+    val byLabel = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel.keySet === Set("train", "val", "test"))
+    assert(byLabel("train") > 1500 && byLabel("train") < 1700)
+    assert(byLabel("val") > 130 && byLabel("val") < 270)
+    // guards: fractions must sum to 1; a pre-existing split column refuses
+    intercept[IllegalArgumentException] {
+      ops.Sampling.split(df, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      ops.Sampling.split(df.withColumn("split", lit("x")), "id", splits)
+    }
+  }
+
+  test("chunkWords: stepped windows with overlap, final partial kept, short doc whole") {
+    val df = docs((1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9", "s"), (2, "a b", "s"))
+    val out = TextAnalysis.chunkWords(df, "doc_id", "text",
+        chunkWords = 4, overlapWords = 1) // step 3: starts 0,3,6,9
+      .select("doc_id", "chunk_id", "start_word", "n_words", "chunk")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(out === Set(
+      (1L, 0L, 0L, 4L, "w0 w1 w2 w3"),
+      (1L, 1L, 3L, 4L, "w3 w4 w5 w6"),
+      (1L, 2L, 6L, 4L, "w6 w7 w8 w9"),
+      (1L, 3L, 9L, 1L, "w9"),               // final partial chunk kept
+      (2L, 0L, 0L, 2L, "a b")))             // short doc: itself, whole
+    // overlap guard
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkWords(df, "doc_id", "text", chunkWords = 4, overlapWords = 4)
+    }
+  }
+
   test("mixture after an upstream sample stays proportional (salted, decorrelated hash)") {
     // an unsalted mixture on the survivors of hashSample(0.5) would be
     // the SAME coin flip: every survivor has hash%10000 < 5000, so a
