@@ -115,6 +115,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q83/q84: chunker and dataset split are pure narrow plans — zero exchanges, zero joins") {
+    for (q <- Seq("q83_chunk_words", "q84_dataset_split")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange") && !p.contains("Join"),
+        s"$q claims narrow/no-shuffle but the plan disagrees:\n$p")
+    }
+  }
+
   test("q80: the corpus token explode runs once behind the pin; stats derive from tf") {
     // unpinned, the tf / term-count / corpus-total subtrees each re-scan
     // and re-explode the text — 3x the most expensive stage at 100 TB

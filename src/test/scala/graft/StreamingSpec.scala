@@ -177,6 +177,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toMap === Map(1L -> 3, 2L -> 1))
   }
 
+  test("stateless corpus operators run unchanged on streams (narrow = streaming-compatible)") {
+    // chunkWords and Sampling.split are pure projections/generators —
+    // the same call works on a streaming DataFrame with no watermark,
+    // no state, and append output; batch ≡ streaming row-for-row
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val chunked = graft.ops.TextAnalysis.chunkWords(stream, "doc_id", "text",
+      chunkWords = 3, overlapWords = 1)
+    val labeled = graft.ops.Sampling.split(stream, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.1))
+    val q1 = chunked.writeStream.outputMode("append").format("memory")
+      .queryName("chunks").start()
+    val q2 = labeled.writeStream.outputMode("append").format("memory")
+      .queryName("splits").start()
+    val rows = Seq((1L, "a b c d e"), (2L, "x y"))
+    input.addData(rows: _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    val gotChunks = spark.table("chunks")
+      .select("doc_id", "chunk_id", "chunk").as[(Long, Long, String)].collect().toSet
+    val wantChunks = graft.ops.TextAnalysis.chunkWords(rows.toDF("doc_id", "text"),
+        "doc_id", "text", chunkWords = 3, overlapWords = 1)
+      .select("doc_id", "chunk_id", "chunk").as[(Long, Long, String)].collect().toSet
+    assert(gotChunks === wantChunks && gotChunks.nonEmpty)
+    val gotSplits = spark.table("splits")
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    val wantSplits = graft.ops.Sampling.split(rows.toDF("doc_id", "text"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(gotSplits === wantSplits && gotSplits.size === 2)
+  }
+
   test("stateful ops run on the RocksDB state store (the at-scale provider)") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
