@@ -86,6 +86,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
       WinnowFps.builder))
+    e.injectFunction((FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      WordNgrams.builder))
     VectorExprs.registrations.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
   }

@@ -157,20 +157,22 @@ object TextAnalysis {
     * whole-document dedup family cannot express (a document is its own
     * duplicate here).
     *
-    * Shape: one narrow gram expansion (transform + explode, no shuffle)
-    * then two hash aggregates keyed (doc, gram) and (doc) — work ∝ total
-    * tokens, the same canonical shape as [[tfIdf]]. Documents with fewer
-    * than n words have no n-grams and produce no row.
+    * Shape: one narrow gram expansion (the native codegen'd
+    * [[graft.functions.WordNgrams word_ngrams]] — each gram is a
+    * substring slice, no interpreted lambda, no token-array
+    * allocation — + explode, no shuffle) then two hash aggregates
+    * keyed (doc, gram) and (doc) — work ∝ total tokens, the same
+    * canonical shape as [[tfIdf]]. Documents with fewer than n words
+    * have no n-grams and produce no row (explode drops the empty
+    * array).
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 2): DataFrame = {
     require(n >= 1, "n must be >= 1")
     val grams = df
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
-      .filter(size(col("ws")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' '))"))
-        .as("gram"))
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.WordNgrams(df.sparkSession, col(textCol), n))
+          .as("gram"))
     grams.groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
@@ -242,7 +244,8 @@ object TextAnalysis {
     * shared distinct n-grams. Filter high counts to find training
     * documents that quote (or contain) evaluation data.
     *
-    * Shape: distinct-gram expansion on each side (narrow), an
+    * Shape: distinct-gram expansion on each side (narrow; the native
+    * [[graft.functions.WordNgrams word_ngrams]] slices), an
     * inverted-index equi-join on the gram, one hash aggregate on the
     * pair — work ∝ gram co-occurrences, never |corpus|×|bench|.
     * Ubiquitous grams carry no contamination signal and blow the join
@@ -256,10 +259,8 @@ object TextAnalysis {
                    n: Int = 3, maxBenchDf: Long = 1000): DataFrame = {
     require(n >= 1, "n must be >= 1")
     def grams(df: DataFrame, out: String): DataFrame = df
-      .select(col(idCol).as(out), split(col(textCol), " ").as("ws"))
-      .filter(size(col("ws")) >= n)
-      .select(col(out), explode(expr(
-        s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' ')))"))
+      .select(col(idCol).as(out), explode(array_distinct(
+        graft.functions.WordNgrams(df.sparkSession, col(textCol), n)))
         .as("gram"))
     val cg = grams(corpus, "doc_id")
     val bgAll = grams(bench, "bench_id")
