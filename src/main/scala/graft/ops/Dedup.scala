@@ -97,18 +97,6 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
       .filter(col("dup_cnt") >= 2)
 
-  /** Word n-gram shingles from a pre-split `words` column (documents
-    * shorter than the shingle size fall back to one whole-text shingle).
-    * Referencing a materialized column matters: higher-order functions
-    * are interpreted, so an inline split(text) inside the lambda would
-    * re-tokenize the document once per element.
-    */
-  private def shinglesSql(n: Int): String =
-    s"""CASE WHEN size(words) >= $n
-       |  THEN transform(sequence(0, size(words) - $n),
-       |                 i -> concat_ws(' ', slice(words, i + 1, $n)))
-       |  ELSE array(txt) END""".stripMargin
-
   /** MinHash LSH banding (shingle → minhash → band → bucket key).
     * Output: one row per (doc, band): (doc_id, band_id, band_hash) where
     * band_hash is the md5 of the band's concatenated minhash values.
@@ -120,10 +108,18 @@ object Dedup {
                    numHashes: Int = 8, bandSize: Int = 2,
                    shingleSize: Int = 3): DataFrame = {
     require(numHashes % bandSize == 0, "bandSize must divide numHashes")
+    // shingles via the native codegen'd word_ngrams (each shingle a
+    // substring slice — value-identical to the old concat_ws-over-
+    // slice HOF, including empty-token runs); documents shorter than
+    // the shingle size fall back to one whole-text shingle (word_ngrams
+    // returns empty there, so the CASE branches on the token count)
     val base = df
       .select(col(idCol).as("doc_id"), col(textCol).as("txt"),
         split(col(textCol), " ").as("words"))
-      .select(col("doc_id"), expr(shinglesSql(shingleSize)).as("shingles"))
+      .select(col("doc_id"),
+        when(size(col("words")) >= shingleSize,
+          graft.functions.WordNgrams(df.sparkSession, col("txt"), shingleSize))
+          .otherwise(array(col("txt"))).as("shingles"))
     // one md5 per shingle (native codegen'd expression; value-identical
     // to the conv/substring/md5 chain) — the numHashes families are
     // affine derivations
