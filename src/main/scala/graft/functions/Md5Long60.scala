@@ -89,6 +89,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
       WordNgrams.builder))
+    e.injectFunction((FunctionIdentifier("affine_min_hashes"),
+      new ExpressionInfo(classOf[AffineMinHashes].getName, "affine_min_hashes"),
+      AffineMinHashes.builder))
     VectorExprs.registrations.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
   }

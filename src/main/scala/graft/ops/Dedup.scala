@@ -121,18 +121,20 @@ object Dedup {
           graft.functions.WordNgrams(df.sparkSession, col("txt"), shingleSize))
           .otherwise(array(col("txt"))).as("shingles"))
     // one md5 per shingle (native codegen'd expression; value-identical
-    // to the conv/substring/md5 chain) — the numHashes families are
-    // affine derivations
+    // to the conv/substring/md5 chain); ALL numHashes affine-family
+    // minima come from ONE fused pass (affine_min_hashes — the old
+    // per-family array_min(transform(...)) traversed the hash array
+    // numHashes times, interpreted)
     graft.functions.Md5Long60.ensureRegistered(df.sparkSession)
     val M = graft.functions.Hashing.AffineMod
     val hashed = base.select(col("doc_id"),
       expr(s"transform(shingles, s -> md5_long60(CAST(s AS BINARY)) % $M)").as("hs"))
-    val mh = hashed.select(
-      col("doc_id") +:
-      (0 until numHashes).map { h =>
-        val (a, b) = graft.functions.Hashing.affine(h)
-        expr(s"array_min(transform(hs, x -> ($a * x + $b) % $M))").as(s"mh$h")
-      }: _*)
+    val mh = hashed
+      .select(col("doc_id"),
+        graft.functions.AffineMinHashes(df.sparkSession, col("hs"), numHashes)
+          .as("sigs"))
+      .select(col("doc_id") +:
+        (0 until numHashes).map(h => col("sigs")(h).as(s"mh$h")): _*)
     val numBands = numHashes / bandSize
     val bandCols = (0 until numBands).map { b =>
       struct(lit(b).cast("long").as("band_id"),

@@ -52,4 +52,25 @@ class WordNgramsSpec extends AnyFunSuite {
       .count()
     assert(rows === 0L)
   }
+
+  test("affine_min_hashes matches the per-family array_min(transform) it fuses") {
+    import graft.functions.{AffineMinHashes, Hashing}
+    val M = Hashing.AffineMod
+    val hs = Seq(12345L, 987654321L, 0L, M - 1, 42L)
+    val df = Seq(Tuple1(hs)).toDF("hs")
+    val n = 8
+    val want = (0 until n).map { h =>
+      val (a, b) = Hashing.affine(h)
+      df.select(expr(s"array_min(transform(hs, x -> ($a * x + $b) % $M))"))
+        .as[Long].collect().head
+    }
+    val got = df.select(AffineMinHashes(spark, col("hs"), n))
+      .as[Seq[Long]].collect().head
+    assert(got === want)
+    // empty input: null minima, exactly like array_min over empty
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("hs")
+      .select(AffineMinHashes(spark, col("hs"), 3))
+      .as[Seq[java.lang.Long]].collect().head
+    assert(empty === Seq(null, null, null))
+  }
 }
