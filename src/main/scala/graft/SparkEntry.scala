@@ -1663,11 +1663,13 @@ object SparkEntry {
         |   + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')))::BIGINT AS n_redactions
         |FROM d""".stripMargin,
 
-    // step = 32 - 8 = 24; slice clamps at the end on both engines
+    // step = 32 - 8 = 24; slice clamps at the end on both engines.
+    // starts stop at len - overlap - 1: a start inside the overlap
+    // region would yield a chunk fully contained in its predecessor
     "q83_chunk_words" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |s AS (SELECT doc_id, ws,
-        |             unnest(generate_series(0, greatest(len(ws) - 1, 0), 24)) AS start_word
+        |             unnest(generate_series(0, greatest(len(ws) - 1 - 8, 0), 24)) AS start_word
         |      FROM w)
         |SELECT doc_id, (start_word // 24)::BIGINT AS chunk_id,
         |       start_word::BIGINT AS start_word,

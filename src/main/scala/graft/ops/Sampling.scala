@@ -18,6 +18,17 @@ object Sampling {
 
   private val Granularity = 10000L
 
+  /** Hash bucket of (salt, `idCol`) in [0, granularity). Built with the
+    * Column DSL (not an expr() splice) so arbitrary salts (quotes,
+    * backslashes) and column names needing backticks are handled by
+    * Catalyst, never by string escaping. md5_long60 is non-negative
+    * (top 60 bits), so % is a true mod.
+    */
+  private def bucket(df: DataFrame, idCol: String, salt: String): Column =
+    graft.functions.Md5Long60(df.sparkSession,
+      concat(lit(salt), col(idCol).cast("string")).cast("binary")) %
+      Granularity
+
   /** Membership expression: stable hash of (salt, `idCol`) mod
     * granularity compared against floor(fraction * granularity).
     *
@@ -28,13 +39,8 @@ object Sampling {
     * stack must use distinct salts.
     */
   private def keep(df: DataFrame, idCol: String, fraction: Column,
-                   salt: String): Column = {
-    graft.functions.Md5Long60.ensureRegistered(df.sparkSession)
-    val sLit = salt.replace("'", "''")
-    expr(s"md5_long60(CAST(CONCAT('$sLit', CAST($idCol AS STRING)) AS BINARY))" +
-        s" % $Granularity") <
-      floor(fraction * Granularity)
-  }
+                   salt: String): Column =
+    bucket(df, idCol, salt) < floor(fraction * Granularity)
 
   /** Uniform deterministic sample: keeps ~`fraction` of rows, chosen by
     * id hash (resolution 1/10000). Pass a distinct `salt` when stacking
@@ -93,18 +99,14 @@ object Sampling {
       s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
     require(!df.columns.exists(_.equalsIgnoreCase("split")),
       "input already has a 'split' column")
-    graft.functions.Md5Long60.ensureRegistered(df.sparkSession)
-    val sLit = salt.replace("'", "''")
-    val bucket =
-      expr(s"md5_long60(CAST(CONCAT('$sLit', CAST($idCol AS STRING)) AS BINARY))" +
-        s" % $Granularity")
+    val b = bucket(df, idCol, salt)
     // cumulative upper bounds for all but the last split
     val bounds = splits.init.scanLeft(0L) {
       case (acc, (_, f)) => acc + math.round(f * Granularity)
     }.tail
     val label = splits.init.map(_._1).zip(bounds)
       .foldRight(lit(splits.last._1): Column) {
-        case ((name, b), els) => when(bucket < b, lit(name)).otherwise(els)
+        case ((name, bd), els) => when(b < bd, lit(name)).otherwise(els)
       }
     df.withColumn("split", label)
   }

@@ -276,7 +276,12 @@ object TextAnalysis {
     * [i·step, i·step + chunkWords) with step = chunkWords −
     * overlapWords, the final partial chunk is kept, and a document
     * shorter than one chunk yields itself whole. chunk_id is the
-    * 0-based chunk index per document.
+    * 0-based chunk index per document. A start is generated only while
+    * it can contribute a word the previous chunk didn't cover (start ≤
+    * size − overlap − 1): when the document end falls inside the
+    * overlap region the would-be trailing chunk is a pure subset of
+    * its predecessor — duplicated training content — so it is not
+    * emitted.
     *
     * Narrow end-to-end: one split + one stepped-sequence explode +
     * slice/array_join projections — the operator never shuffles; work
@@ -293,7 +298,8 @@ object TextAnalysis {
     val step = chunkWords - overlapWords
     df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
       .select(col("doc_id"), col("ws"),
-        explode(expr(s"sequence(0, greatest(size(ws) - 1, 0), $step)"))
+        explode(expr(
+            s"sequence(0, greatest(size(ws) - 1 - $overlapWords, 0), $step)"))
           .as("start_word"))
       .select(col("doc_id"),
         expr(s"start_word div $step").cast("long").as("chunk_id"),

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.ops.Funnel
@@ -25,10 +25,27 @@ import graft.ops.Funnel
   */
 object StreamingFunnel {
 
-  /** foreachBatch writer: append each micro-batch of `events` (must
-    * carry `userCol`/`typeCol`/`tsCol`) to the parquet table at
-    * `storePath`, recompute the funnel over the whole table, and hand
-    * the result to `sink`.
+  /** Land one micro-batch idempotently: the store is partitioned by
+    * batch_id and the write is a dynamic-partition overwrite, so it
+    * replaces ONLY this batch's partition. foreachBatch is
+    * at-least-once — a batch replayed after a failure re-lands the
+    * same rows over itself instead of appending a second copy that
+    * would permanently double-count every later funnel recomputation.
+    */
+  def land(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+           batchId: Long, storePath: String): Unit =
+    df.select(col(userCol), col(typeCol), col(tsCol))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(storePath)
+
+  /** foreachBatch writer: land each micro-batch of `events` (must
+    * carry `userCol`/`typeCol`/`tsCol`) into the batch_id-partitioned
+    * parquet table at `storePath` ([[land]], idempotent under replay),
+    * recompute the funnel over the whole table, and hand the result to
+    * `sink`.
     */
   def writer(events: DataFrame, userCol: String, typeCol: String,
              tsCol: String, steps: Seq[String], horizon: String,
@@ -36,8 +53,7 @@ object StreamingFunnel {
              sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     events.writeStream.outputMode("append").foreachBatch {
       (df: DataFrame, batchId: Long) =>
-        df.select(col(userCol), col(typeCol), col(tsCol))
-          .write.mode("append").parquet(storePath)
+        land(df, userCol, typeCol, tsCol, batchId, storePath)
         val landed = df.sparkSession.read.parquet(storePath)
         sink(Funnel.windowFunnel(landed, userCol, typeCol, tsCol,
           steps, horizon), batchId)

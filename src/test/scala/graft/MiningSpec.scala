@@ -160,17 +160,21 @@ class MiningSpec extends AnyFunSuite {
   }
 
   test("chunkWords: stepped windows with overlap, final partial kept, short doc whole") {
-    val df = docs((1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9", "s"), (2, "a b", "s"))
+    val df = docs((1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9", "s"), (2, "a b", "s"),
+      (3, "v0 v1 v2 v3 v4", "s"))
     val out = TextAnalysis.chunkWords(df, "doc_id", "text",
-        chunkWords = 4, overlapWords = 1) // step 3: starts 0,3,6,9
+        chunkWords = 4, overlapWords = 1) // step 3
       .select("doc_id", "chunk_id", "start_word", "n_words", "chunk")
       .as[(Long, Long, Long, Long, String)].collect().toSet
     assert(out === Set(
       (1L, 0L, 0L, 4L, "w0 w1 w2 w3"),
       (1L, 1L, 3L, 4L, "w3 w4 w5 w6"),
       (1L, 2L, 6L, 4L, "w6 w7 w8 w9"),
-      (1L, 3L, 9L, 1L, "w9"),               // final partial chunk kept
-      (2L, 0L, 0L, 2L, "a b")))             // short doc: itself, whole
+      // NO chunk at start 9: "w9" would be a pure subset of chunk 2
+      // (the document end falls inside the overlap region)
+      (2L, 0L, 0L, 2L, "a b"),              // short doc: itself, whole
+      (3L, 0L, 0L, 4L, "v0 v1 v2 v3"),
+      (3L, 1L, 3L, 2L, "v3 v4")))           // genuine partial chunk kept
     // overlap guard
     intercept[IllegalArgumentException] {
       TextAnalysis.chunkWords(df, "doc_id", "text", chunkWords = 4, overlapWords = 4)

@@ -175,6 +175,16 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id", "depth").as[(Long, Int)].collect().toMap
     assert(got.toMap === batchOut)
     assert(got.toMap === Map(1L -> 3, 2L -> 1))
+    // foreachBatch is at-least-once: replay the last micro-batch under
+    // its original batchId — the batch_id-partitioned dynamic overwrite
+    // replaces that partition instead of appending a duplicate copy
+    val before = spark.read.parquet(store).count()
+    StreamingFunnel.land(batch2.toDF(), "key", "eventType", "ts", 1L, store)
+    assert(spark.read.parquet(store).count() === before)
+    val replayed = graft.ops.Funnel.windowFunnel(spark.read.parquet(store),
+        "key", "eventType", "ts", Seq("view", "click", "purchase"), "1 HOUR")
+      .select("user_id", "depth").as[(Long, Int)].collect().toMap
+    assert(replayed === batchOut)
   }
 
   test("stateless corpus operators run unchanged on streams (narrow = streaming-compatible)") {
