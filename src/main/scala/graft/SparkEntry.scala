@@ -968,13 +968,38 @@ object SparkEntry {
         .agg(round(sum((col("l_extendedprice") * col("l_discount"))
           .cast("decimal(28,10)")), 2).cast("double").as("revenue"),
           count(lit(1)).as("cnt"))),
+
+    // the flagship corpus pipeline END-TO-END (jobs/CorpusPipeline.run,
+    // plain mode): sample(0.8) → exact dedup → LSH near-dedup →
+    // quality gate (>= 0.4) → repetition gate (dup_gram_frac <= 0.2).
+    // Output = the final kept (doc_id, source) set PLUS every per-stage
+    // survivor count, all hash-compared against a DuckDB CTE chain that
+    // replays the gates — the "whole pipeline is correct" claim, not
+    // just its stages (each stage is ALSO individually oracled:
+    // q47/q20/q22/q43/q71)
+    "q85_corpus_pipeline" -> ((s, dir) => {
+      val (kept, counts) = graft.jobs.CorpusPipeline.run(
+        Tables.documents(s, dir),
+        sampleFraction = 0.8, qualityThreshold = 0.4, maxDupGramFrac = 0.2)
+      import s.implicits._
+      val stageRows = counts.map { case (stage, n) => ("stage:" + stage, n) }
+        .toDF("kind", "doc_id")
+        .withColumn("source", lit(null).cast("string"))
+      val out = kept
+        .select(lit("kept").as("kind"), col("doc_id"), col("source"))
+        .unionByName(stageRows)
+      kept.unpersist() // counts are already forced; lineage replays once
+      out
+    }),
   )
 
-  /** Shared DuckDB CTE: minhash band buckets (mirrors Dedup.minhashBands
-    * with numHashes=8, bandSize=2, shingleSize=3 — the md5-derived 60-bit
-    * hash is engine-independent, see graft.functions.Hashing).
+  /** Shared DuckDB CTE body: minhash band buckets over relation `rel`
+    * (mirrors Dedup.minhashBands with numHashes=8, bandSize=2,
+    * shingleSize=3 — the md5-derived 60-bit hash is engine-independent,
+    * see graft.functions.Hashing). Defines CTEs s, h, m, b; prepend
+    * `WITH ` (or splice after earlier CTEs) at the use site.
     */
-  private val duckBandsCte: String = {
+  private def duckBandsBody(rel: String): String = {
     val M = graft.functions.Hashing.AffineMod
     val mh = (0 until 8).map { h =>
       val (a, b) = graft.functions.Hashing.affine(h)
@@ -984,13 +1009,13 @@ object SparkEntry {
       val (i, j) = (2 * b, 2 * b + 1)
       s"  SELECT doc_id, $b::BIGINT AS band_id, md5(mh$i::VARCHAR || ',' || mh$j::VARCHAR) AS band_hash FROM m"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH s AS (
+    s"""s AS (
        |  SELECT doc_id,
        |    CASE WHEN len(string_split(text, ' ')) >= 3
        |      THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
        |             i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
        |      ELSE [text] END AS shingles
-       |  FROM documents),
+       |  FROM $rel),
        |h AS (
        |  SELECT doc_id,
        |    list_transform(shingles, s -> ('0x'||substr(md5(s),1,15))::BIGINT % $M) AS hs
@@ -1002,6 +1027,8 @@ object SparkEntry {
        |b AS (
        |$bands)""".stripMargin
   }
+
+  private val duckBandsCte: String = "WITH " + duckBandsBody("documents")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2113,5 +2140,64 @@ object SparkEntry {
         |                            ORDER BY score DESC, neighbor_id ASC) AS rn
         |  FROM sc)
         |SELECT query_id, neighbor_id, score FROM r WHERE rn = 1""".stripMargin,
+
+    // replays the WHOLE CorpusPipeline: sample(0.8, salt '') →
+    // exact-dedup (keep min doc_id per md5(text)) → LSH near-dedup
+    // (drop doc_b of every colliding band pair; no oversized buckets
+    // at this cap) → quality >= 0.4 → repetition dup_gram_frac <= 0.2
+    // (violators-only anti-join: gram-less docs pass). Stage counts and
+    // the final kept set in one frame
+    "q85_corpus_pipeline" ->
+      s"""WITH sampled AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 10000 < 8000),
+         |exg AS (
+         |  SELECT md5(text) AS text_hash, min(doc_id) AS keep_id
+         |  FROM sampled GROUP BY 1 HAVING count(*) >= 2),
+         |ex AS (
+         |  SELECT sa.doc_id, sa.source, sa.text FROM sampled sa
+         |  LEFT JOIN exg ON md5(sa.text) = exg.text_hash
+         |  WHERE exg.text_hash IS NULL OR sa.doc_id = exg.keep_id),
+         |${duckBandsBody("ex")},
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM b a JOIN b b2
+         |    ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+         |   AND a.doc_id < b2.doc_id
+         |  GROUP BY 1, 2),
+         |nd AS (
+         |  SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_b FROM cand)),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(0.4 * least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0)
+         |        + 0.4 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+         |                 / len(string_split(text, ' '))::DOUBLE)
+         |        + 0.2 * least(5.0 * len(list_filter(string_split(text, ' '),
+         |              w -> list_contains(['the','a','of','and','in','to','is','on','for','with'], w)))::DOUBLE
+         |                 / len(string_split(text, ' '))::DOUBLE, 1.0), 6) AS quality
+         |  FROM nd),
+         |qk AS (
+         |  SELECT nd.* FROM nd JOIN q USING (doc_id) WHERE q.quality >= 0.4),
+         |gr AS (
+         |  SELECT doc_id, gram, count(*) AS cnt
+         |  FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+         |                     unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+         |              FROM qk))
+         |  GROUP BY doc_id, gram),
+         |rv AS (
+         |  SELECT doc_id FROM gr GROUP BY doc_id
+         |  HAVING round(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)::DOUBLE
+         |               / sum(cnt)::DOUBLE, 6) > 0.2),
+         |rk AS (
+         |  SELECT * FROM qk WHERE doc_id NOT IN (SELECT doc_id FROM rv))
+         |SELECT 'kept' AS kind, doc_id, source FROM rk
+         |UNION ALL SELECT 'stage:input', (SELECT count(*) FROM documents), NULL
+         |UNION ALL SELECT 'stage:sampled', (SELECT count(*) FROM sampled), NULL
+         |UNION ALL SELECT 'stage:exact_dedup', (SELECT count(*) FROM ex), NULL
+         |UNION ALL SELECT 'stage:near_dedup', (SELECT count(*) FROM nd), NULL
+         |UNION ALL SELECT 'stage:quality', (SELECT count(*) FROM qk), NULL
+         |UNION ALL SELECT 'stage:repetition', (SELECT count(*) FROM rk), NULL
+         |UNION ALL SELECT 'stage:mixed', (SELECT count(*) FROM rk), NULL""".stripMargin,
   )
 }
