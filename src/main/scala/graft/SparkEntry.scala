@@ -991,6 +991,37 @@ object SparkEntry {
       kept.unpersist() // counts are already forced; lineage replays once
       out
     }),
+
+    // deterministic corpus mixture (Sampling.mixture): weights 4:2:1:1
+    // over four strata — the binding stratum (src0, largest share over
+    // equal counts) is kept whole, every other weighted stratum is
+    // hash-sampled down to realize the target proportions; unweighted
+    // strata drop. All shares are powers of two so the driver-side
+    // double arithmetic (share x scale / count) is bit-exact in both
+    // engines
+    "q86_mixture" -> ((s, dir) =>
+      Sampling.mixture(Tables.documents(s, dir), "doc_id", "source",
+        Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0))
+        .select(col("doc_id"), col("source"))),
+
+    // ANN quality audit: recall@5 of the learned-centroid IVF search
+    // (q78, nprobe=2 of 8 lists) against the brute-force exact top-k
+    // (q25), per query — the measured number a user tunes nprobe
+    // against before scaling out. Both inputs are deterministic and
+    // individually hash-exact, so the recall itself is oracled
+    "q87_ivf_recall" -> ((s, dir) => {
+      val ivf = queries("q78_ivf_learned")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val bf = queries("q25_knn_bruteforce")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = ivf.join(bf, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      bf.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") /
+            col("k").cast("double"), 6).as("recall_at_5"))
+    }),
   )
 
   /** Shared DuckDB CTE body: minhash band buckets over relation `rel`
@@ -1029,6 +1060,108 @@ object SparkEntry {
   }
 
   private val duckBandsCte: String = "WITH " + duckBandsBody("documents")
+
+
+  /** q25's DuckDB SQL, shared with the q87 recall audit. */
+  private val q25KnnSql: String =
+    """WITH e AS (
+      |  SELECT * FROM (
+      |    SELECT vec_id, embedding,
+      |           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
+      |    FROM embeddings)
+      |  WHERE norm2 > 0),
+      |q AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb, norm2 AS q_norm2
+      |  FROM e WHERE vec_id < 10),
+      |sc AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |         round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |                 i -> q.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE))
+      |               / sqrt(q.q_norm2 * e.norm2), 6) AS score
+      |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, score,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM sc)
+      |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** q78's DuckDB SQL (both Lloyd rounds unrolled into the probe/score
+    * shape), shared with the q87 recall audit. */
+  private val q78IvfSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |c0 AS (SELECT vec_id AS centroid_id,
+        |              list_transform(embedding, x -> round(x::DOUBLE, 6)) AS c_vec
+        |       FROM e WHERE vec_id < 8),
+        |d1 AS (SELECT e.vec_id, c.centroid_id,
+        |              round(sqrt(list_sum(list_transform(generate_series(1, 64),
+        |                i -> (e.embedding[i]::DOUBLE - c.c_vec[i]) * (e.embedding[i]::DOUBLE - c.c_vec[i])))), 6) AS dist
+        |       FROM e CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, centroid_id FROM (
+        |         SELECT vec_id, centroid_id,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        |         FROM d1) WHERE rn = 1),
+        |m1 AS (SELECT a.centroid_id, t.d,
+        |              round(list_sum(list(e.embedding[t.d]::DOUBLE ORDER BY e.vec_id)) / count(*), 6) AS m
+        |       FROM a1 a JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |       GROUP BY a.centroid_id, t.d),
+        |c1 AS (SELECT c0.centroid_id, coalesce(u.c_vec, c0.c_vec) AS c_vec
+        |       FROM c0 LEFT JOIN (
+        |         SELECT centroid_id, list(m ORDER BY d) AS c_vec FROM m1 GROUP BY centroid_id) u
+        |       USING (centroid_id)),
+        |d2 AS (SELECT e.vec_id, c.centroid_id,
+        |              round(sqrt(list_sum(list_transform(generate_series(1, 64),
+        |                i -> (e.embedding[i]::DOUBLE - c.c_vec[i]) * (e.embedding[i]::DOUBLE - c.c_vec[i])))), 6) AS dist
+        |       FROM e CROSS JOIN c1 c),
+        |a2 AS (SELECT vec_id, centroid_id FROM (
+        |         SELECT vec_id, centroid_id,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        |         FROM d2) WHERE rn = 1),
+        |m2 AS (SELECT a.centroid_id, t.d,
+        |              round(list_sum(list(e.embedding[t.d]::DOUBLE ORDER BY e.vec_id)) / count(*), 6) AS m
+        |       FROM a2 a JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |       GROUP BY a.centroid_id, t.d),
+        |c2 AS (SELECT c1.centroid_id, coalesce(u.c_vec, c1.c_vec) AS c_vec
+        |       FROM c1 LEFT JOIN (
+        |         SELECT centroid_id, list(m ORDER BY d) AS c_vec FROM m2 GROUP BY centroid_id) u
+        |       USING (centroid_id)),
+        |cd AS (SELECT e.vec_id, c.centroid_id,
+        |              round(sqrt(list_sum(list_transform(generate_series(1, 64),
+        |                i -> (e.embedding[i]::DOUBLE - c.c_vec[i]) * (e.embedding[i]::DOUBLE - c.c_vec[i])))), 6) AS dist
+        |       FROM e CROSS JOIN c2 c),
+        |assign AS (
+        |  SELECT vec_id AS neighbor_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        |    FROM cd) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        |    FROM cd WHERE vec_id < 10) WHERE rn <= 2),
+        |n AS (
+        |  SELECT * FROM (
+        |    SELECT vec_id, embedding,
+        |           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
+        |    FROM embeddings)
+        |  WHERE norm2 > 0),
+        |cand AS (
+        |  SELECT p.query_id, a.neighbor_id
+        |  FROM probes p JOIN assign a USING (centroid_id)
+        |  WHERE p.query_id <> a.neighbor_id),
+        |sc AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |         round(list_sum(list_transform(generate_series(1, len(nb.embedding)),
+        |                 i -> q.embedding[i]::DOUBLE * nb.embedding[i]::DOUBLE))
+        |               / sqrt(q.norm2 * nb.norm2), 6) AS score
+        |  FROM cand
+        |  JOIN n q ON q.vec_id = cand.query_id
+        |  JOIN n nb ON nb.vec_id = cand.neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1148,28 +1281,7 @@ object SparkEntry {
         |  FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5""".stripMargin,
 
-    "q25_knn_bruteforce" ->
-      """WITH e AS (
-        |  SELECT * FROM (
-        |    SELECT vec_id, embedding,
-        |           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
-        |    FROM embeddings)
-        |  WHERE norm2 > 0),
-        |q AS (
-        |  SELECT vec_id AS query_id, embedding AS q_emb, norm2 AS q_norm2
-        |  FROM e WHERE vec_id < 10),
-        |sc AS (
-        |  SELECT q.query_id, e.vec_id AS neighbor_id,
-        |         round(list_sum(list_transform(generate_series(1, len(e.embedding)),
-        |                 i -> q.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE))
-        |               / sqrt(q.q_norm2 * e.norm2), 6) AS score
-        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
-        |r AS (
-        |  SELECT query_id, neighbor_id, score,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY score DESC, neighbor_id) AS rank
-        |  FROM sc)
-        |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5""".stripMargin,
+    "q25_knn_bruteforce" -> q25KnnSql,
 
     "q26_ann_lsh_buckets" ->
       """SELECT vec_id,
@@ -1596,80 +1708,7 @@ object SparkEntry {
         |  FROM d3) WHERE rn = 1""".stripMargin,
 
     // q70's two Lloyd rounds (c0 -> c2) feeding q69's probe/score shape
-    "q78_ivf_learned" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |c0 AS (SELECT vec_id AS centroid_id,
-        |              list_transform(embedding, x -> round(x::DOUBLE, 6)) AS c_vec
-        |       FROM e WHERE vec_id < 8),
-        |d1 AS (SELECT e.vec_id, c.centroid_id,
-        |              round(sqrt(list_sum(list_transform(generate_series(1, 64),
-        |                i -> (e.embedding[i]::DOUBLE - c.c_vec[i]) * (e.embedding[i]::DOUBLE - c.c_vec[i])))), 6) AS dist
-        |       FROM e CROSS JOIN c0 c),
-        |a1 AS (SELECT vec_id, centroid_id FROM (
-        |         SELECT vec_id, centroid_id,
-        |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
-        |         FROM d1) WHERE rn = 1),
-        |m1 AS (SELECT a.centroid_id, t.d,
-        |              round(list_sum(list(e.embedding[t.d]::DOUBLE ORDER BY e.vec_id)) / count(*), 6) AS m
-        |       FROM a1 a JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
-        |       GROUP BY a.centroid_id, t.d),
-        |c1 AS (SELECT c0.centroid_id, coalesce(u.c_vec, c0.c_vec) AS c_vec
-        |       FROM c0 LEFT JOIN (
-        |         SELECT centroid_id, list(m ORDER BY d) AS c_vec FROM m1 GROUP BY centroid_id) u
-        |       USING (centroid_id)),
-        |d2 AS (SELECT e.vec_id, c.centroid_id,
-        |              round(sqrt(list_sum(list_transform(generate_series(1, 64),
-        |                i -> (e.embedding[i]::DOUBLE - c.c_vec[i]) * (e.embedding[i]::DOUBLE - c.c_vec[i])))), 6) AS dist
-        |       FROM e CROSS JOIN c1 c),
-        |a2 AS (SELECT vec_id, centroid_id FROM (
-        |         SELECT vec_id, centroid_id,
-        |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
-        |         FROM d2) WHERE rn = 1),
-        |m2 AS (SELECT a.centroid_id, t.d,
-        |              round(list_sum(list(e.embedding[t.d]::DOUBLE ORDER BY e.vec_id)) / count(*), 6) AS m
-        |       FROM a2 a JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
-        |       GROUP BY a.centroid_id, t.d),
-        |c2 AS (SELECT c1.centroid_id, coalesce(u.c_vec, c1.c_vec) AS c_vec
-        |       FROM c1 LEFT JOIN (
-        |         SELECT centroid_id, list(m ORDER BY d) AS c_vec FROM m2 GROUP BY centroid_id) u
-        |       USING (centroid_id)),
-        |cd AS (SELECT e.vec_id, c.centroid_id,
-        |              round(sqrt(list_sum(list_transform(generate_series(1, 64),
-        |                i -> (e.embedding[i]::DOUBLE - c.c_vec[i]) * (e.embedding[i]::DOUBLE - c.c_vec[i])))), 6) AS dist
-        |       FROM e CROSS JOIN c2 c),
-        |assign AS (
-        |  SELECT vec_id AS neighbor_id, centroid_id FROM (
-        |    SELECT vec_id, centroid_id,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
-        |    FROM cd) WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, centroid_id FROM (
-        |    SELECT vec_id, centroid_id,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
-        |    FROM cd WHERE vec_id < 10) WHERE rn <= 2),
-        |n AS (
-        |  SELECT * FROM (
-        |    SELECT vec_id, embedding,
-        |           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
-        |    FROM embeddings)
-        |  WHERE norm2 > 0),
-        |cand AS (
-        |  SELECT p.query_id, a.neighbor_id
-        |  FROM probes p JOIN assign a USING (centroid_id)
-        |  WHERE p.query_id <> a.neighbor_id),
-        |sc AS (
-        |  SELECT cand.query_id, cand.neighbor_id,
-        |         round(list_sum(list_transform(generate_series(1, len(nb.embedding)),
-        |                 i -> q.embedding[i]::DOUBLE * nb.embedding[i]::DOUBLE))
-        |               / sqrt(q.norm2 * nb.norm2), 6) AS score
-        |  FROM cand
-        |  JOIN n q ON q.vec_id = cand.query_id
-        |  JOIN n nb ON nb.vec_id = cand.neighbor_id),
-        |r AS (
-        |  SELECT query_id, neighbor_id, score,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-        |  FROM sc)
-        |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5""".stripMargin,
+    "q78_ivf_learned" -> q78IvfSql,
 
     // identical PII preamble injected on both engines; RE2-compatible
     // patterns (no lookarounds) so the chain compiles identically
@@ -2199,5 +2238,39 @@ object SparkEntry {
          |UNION ALL SELECT 'stage:quality', (SELECT count(*) FROM qk), NULL
          |UNION ALL SELECT 'stage:repetition', (SELECT count(*) FROM rk), NULL
          |UNION ALL SELECT 'stage:mixed', (SELECT count(*) FROM rk), NULL""".stripMargin,
+
+    // replays Sampling.mixture exactly: per-stratum counts, the binding
+    // stratum (min count/share), the keep fractions (binding pinned to
+    // 1.0), then the salted hash-threshold filter. Shares are powers of
+    // two (weights 4:2:1:1 / 8) so every double step is bit-exact
+    "q86_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25),
+        |                            ('src2', 0.125), ('src3', 0.125)) AS t(source, share)),
+        |p AS (SELECT c.source, c.n, w.share FROM c JOIN w USING (source) WHERE c.n > 0),
+        |bind AS (SELECT source, n / share AS scale FROM p
+        |         ORDER BY n / share LIMIT 1),
+        |f AS (SELECT p.source,
+        |             CASE WHEN p.source = (SELECT source FROM bind) THEN 1.0
+        |                  ELSE least(1.0, p.share * (SELECT scale FROM bind) / p.n)
+        |             END AS frac
+        |      FROM p)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN f ON d.source = f.source
+        |WHERE ('0x'||substr(md5('mixture:' || d.doc_id::VARCHAR),1,15))::BIGINT % 10000
+        |      < floor(f.frac * 10000)""".stripMargin,
+
+    // recall@5 of learned-IVF (q78) vs brute-force (q25), per query —
+    // both sides' SQL is the shared val, wrapped as nested CTEs
+    "q87_ivf_recall" ->
+      s"""WITH ivf AS ($q78IvfSql),
+         |bf AS ($q25KnnSql),
+         |hits AS (
+         |  SELECT query_id, count(*) AS h
+         |  FROM ivf JOIN bf USING (query_id, neighbor_id) GROUP BY 1),
+         |kk AS (SELECT query_id, count(*) AS k FROM bf GROUP BY 1)
+         |SELECT kk.query_id,
+         |       round(coalesce(h, 0)::DOUBLE / k::DOUBLE, 6) AS recall_at_5
+         |FROM kk LEFT JOIN hits USING (query_id)""".stripMargin,
   )
 }
