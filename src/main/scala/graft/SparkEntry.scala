@@ -1022,6 +1022,29 @@ object SparkEntry {
           round(coalesce(col("hits"), lit(0L)).cast("double") /
             col("k").cast("double"), 6).as("recall_at_5"))
     }),
+
+    // product quantization codes: 8 subspaces x 4 learned codes (one
+    // Lloyd round, ordered means for oracle parity) — each 64-float
+    // vector compressed to 8 codes; the oracle unrolls the per-subspace
+    // k-means (the q70 pattern with `sub` riding as a grouping column)
+    "q88_pq_encode" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Pq.encode(emb, "vec_id", "embedding",
+        Pq.codebooks(emb, "vec_id", "embedding", m = 8, subDim = 8,
+          initIds = Seq(0L, 1L, 2L, 3L), iters = 1, orderedMeans = true),
+        m = 8, subDim = 8)
+    }),
+
+    // ADC top-5 per query over the PQ codes: per-query LUT of partial
+    // squared distances, DECIMAL-exact m-term sums — the compressed-
+    // domain ANN scoring path (compose with IVF candidates for IVF-PQ)
+    "q89_pq_adc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Pq.adcSearch(emb, "vec_id", "embedding",
+        Pq.codebooks(emb, "vec_id", "embedding", m = 8, subDim = 8,
+          initIds = Seq(0L, 1L, 2L, 3L), iters = 1, orderedMeans = true),
+        queryIds = (0L until 10L).toSeq, k = 5, m = 8, subDim = 8)
+    }),
   )
 
   /** Shared DuckDB CTE body: minhash band buckets over relation `rel`
@@ -1162,6 +1185,44 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
         |  FROM sc)
         |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** Shared DuckDB CTE body for the PQ family (q88/q89): subvector
+    * expansion, one Lloyd round of per-subspace codebooks (the q70
+    * unroll with `sub` as a grouping column; ordered means), and the
+    * final code assignment. Defines CTEs e, sv, c0, d1, a1, m1, cb,
+    * dd, codes.
+    */
+  private val duckPqBody: String =
+    """e AS (SELECT vec_id, embedding FROM embeddings),
+      |sv AS (SELECT vec_id, j.sub, list_transform(embedding[j.sub*8+1 : j.sub*8+8], x -> x::DOUBLE) AS v
+      |       FROM e CROSS JOIN generate_series(0, 7) j(sub)),
+      |c0 AS (SELECT sub, vec_id AS code, list_transform(v, x -> round(x, 6)) AS c_vec
+      |       FROM sv WHERE vec_id < 4),
+      |d1 AS (SELECT s.vec_id, s.sub, c.code,
+      |              round(sqrt(list_sum(list_transform(generate_series(1, 8),
+      |                i -> (s.v[i] - c.c_vec[i]) * (s.v[i] - c.c_vec[i])))), 6) AS dist
+      |       FROM sv s JOIN c0 c ON s.sub = c.sub),
+      |a1 AS (SELECT vec_id, sub, code FROM (
+      |         SELECT vec_id, sub, code,
+      |                row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |m1 AS (SELECT a.sub, a.code, t.d,
+      |              round(list_sum(list(s.v[t.d] ORDER BY s.vec_id)) / count(*), 6) AS mn
+      |       FROM a1 a JOIN sv s ON a.vec_id = s.vec_id AND a.sub = s.sub
+      |       CROSS JOIN generate_series(1, 8) t(d)
+      |       GROUP BY a.sub, a.code, t.d),
+      |cb AS (SELECT c0.sub, c0.code, coalesce(u.c_vec, c0.c_vec) AS c_vec
+      |       FROM c0 LEFT JOIN (
+      |         SELECT sub, code, list(mn ORDER BY d) AS c_vec FROM m1 GROUP BY sub, code) u
+      |       ON c0.sub = u.sub AND c0.code = u.code),
+      |dd AS (SELECT s.vec_id, s.sub, c.code,
+      |              round(sqrt(list_sum(list_transform(generate_series(1, 8),
+      |                i -> (s.v[i] - c.c_vec[i]) * (s.v[i] - c.c_vec[i])))), 6) AS dist
+      |       FROM sv s JOIN cb c ON s.sub = c.sub),
+      |codes AS (SELECT vec_id, sub, code FROM (
+      |            SELECT vec_id, sub, code,
+      |                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+      |            FROM dd) WHERE rn = 1)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2272,5 +2333,27 @@ object SparkEntry {
          |SELECT kk.query_id,
          |       round(coalesce(h, 0)::DOUBLE / k::DOUBLE, 6) AS recall_at_5
          |FROM kk LEFT JOIN hits USING (query_id)""".stripMargin,
+
+    "q88_pq_encode" ->
+      s"""WITH $duckPqBody
+         |SELECT vec_id, sub, code FROM codes""".stripMargin,
+
+    // ADC: per-query (sub, code) partial squared distances as
+    // DECIMAL(28,10) — exact, order-independent sums on both engines
+    "q89_pq_adc" ->
+      s"""WITH $duckPqBody,
+         |lut AS (SELECT s.vec_id AS query_id, s.sub, c.code,
+         |               round(list_sum(list_transform(generate_series(1, 8),
+         |                 i -> (s.v[i] - c.c_vec[i]) * (s.v[i] - c.c_vec[i]))), 6)::DECIMAL(28,10) AS pd
+         |        FROM sv s JOIN cb c ON s.sub = c.sub WHERE s.vec_id < 10),
+         |sc AS (SELECT l.query_id, cd.vec_id AS neighbor_id, sum(l.pd)::DOUBLE AS approx_dist
+         |       FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+         |       WHERE cd.vec_id <> l.query_id
+         |       GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, approx_dist,
+         |             row_number() OVER (PARTITION BY query_id
+         |                                ORDER BY approx_dist, neighbor_id) AS rank
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, approx_dist, rank FROM r WHERE rank <= 5""".stripMargin,
   )
 }

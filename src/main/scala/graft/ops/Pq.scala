@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding compression and ANN — the
+  * standard large-scale vector-memory layout (Jégou, Douze, Schmid,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+  * split each D-dim vector into `m` subvectors of `subDim` dims, learn
+  * a small per-subspace codebook with Lloyd's k-means, and store each
+  * vector as `m` one-byte-ish codes — D×4 bytes become m codes, e.g.
+  * 64 floats → 8 codes (32× smaller). Queries stay full-precision and
+  * score candidates with ADC (asymmetric distance computation): one
+  * m×k* lookup table of partial squared distances per query, then each
+  * candidate's approximate distance is an m-term table sum — no
+  * decompression, no full-vector math per candidate.
+  *
+  * This is the codebook sibling of [[Similarity.quantizeInt8]] (SQ8
+  * compresses components independently; PQ learns the subspace
+  * structure) and composes with the IVF family: coarse lists from
+  * [[Similarity.kmeansCentroids]] pick candidates, ADC scores them —
+  * IVF-PQ, via `adcSearch(candidates = Some(ivfProbeCandidates))`.
+  *
+  * Scale shape:
+  *  - codebook learning — per Lloyd round, ONE pass over the corpus:
+  *    the subvector expansion is a narrow generator (no shuffle), the
+  *    m×k* codebook is broadcast, assignment is a map-side-combining
+  *    argmin, means are two hash aggregates keyed (sub, code[, d]) —
+  *    the exact [[Similarity.kmeansCentroids]] shape with the subspace
+  *    riding as a grouping column, NOT m separate k-means jobs (m
+  *    corpus scans);
+  *  - encoding — broadcast join + argmin, fully codegen'd via the
+  *    native array_sqdiff; output is the narrow (vec_id, sub, code)
+  *    code table;
+  *  - ADC — the per-query LUT (m×k* rows per query) is broadcast onto
+  *    the code table; per-candidate sums collapse by map-side partial
+  *    aggregation before the one shuffle on (query, neighbor). With
+  *    `candidates` supplied (IVF-PQ) the scan is ~nprobe/nlists of the
+  *    code table instead of all of it.
+  *
+  * Determinism (the oracle-parity contract, inherited from
+  * [[Similarity.kmeansCentroids]]): init codebooks are the `initIds`
+  * vectors' subvectors rounded to 6 digits; distances round(sqrt(L2²),
+  * 6) with code tie-break; `orderedMeans = true` folds member values
+  * in vec_id order for bit-exact cross-engine means (the default
+  * `false` is the scale path — plain partial-aggregating avg); empty
+  * codes keep their previous centroid. ADC partial distances are
+  * rounded to 6 digits and summed as DECIMAL(28,10) — exact and
+  * associative, so the total is bit-identical under any partitioning
+  * and in the DuckDB oracle (q88/q89).
+  */
+object Pq {
+
+  /** Narrow subvector expansion: (vec_id, sub, v) where v = the sub-th
+    * `subDim`-slice of the vector, widened to double element-wise (the
+    * deterministic IEEE widening the SQL oracle mirrors). One
+    * projection + one generator — no shuffle.
+    */
+  private def subvectors(emb: DataFrame, idCol: String, vecCol: String,
+                         m: Int, subDim: Int): DataFrame =
+    emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      .select(col("vec_id"), col("vec"),
+        explode(expr(s"sequence(0L, ${m - 1}L)")).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"transform(slice(vec, CAST(sub * $subDim + 1 AS INT), $subDim)," +
+          " x -> CAST(x AS DOUBLE))").as("v"))
+
+  /** Argmin code per (vec_id, sub) against a broadcast codebook frame
+    * (sub, code, c_vec) — the [[Similarity]] nearest-centroid shape
+    * (min-struct aggregate, map-side combine, no window) keyed by the
+    * subspace too. Output: (vec_id, sub, code).
+    */
+  private def nearestCode(sv: DataFrame, cbs: DataFrame): DataFrame =
+    sv.join(broadcast(cbs), "sub")
+      .select(col("vec_id"), col("sub"), col("code"),
+        expr("round(sqrt(array_sqdiff(v, c_vec)), 6)").as("dist"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("code"))).as("mm"))
+      .select(col("vec_id"), col("sub"), col("mm.code").as("code"))
+
+  /** Learn the per-subspace codebooks: `iters` Lloyd rounds over every
+    * (vector, subspace) pair at once. `initIds` seeds code c of EVERY
+    * subspace with vector c's sub-th slice (k* = initIds.size codes per
+    * subspace). Output: (sub, code, c_vec).
+    *
+    * Same pinning contract as [[Similarity.kmeansCentroids]]: each
+    * round's m×k*-row codebook frame is lazily checkpointed so the
+    * unrolled plan stays linear in `iters`.
+    */
+  def codebooks(emb: DataFrame, idCol: String, vecCol: String,
+                m: Int, subDim: Int, initIds: Seq[Long], iters: Int,
+                orderedMeans: Boolean = false,
+                pinIterations: Boolean = true,
+                checkpointDir: Option[String] = None): DataFrame = {
+    require(m >= 1 && subDim >= 1, "m and subDim must be >= 1")
+    require(initIds.nonEmpty, "initIds must be non-empty")
+    require(iters >= 0, "iters must be >= 0")
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    val sv = subvectors(emb, idCol, vecCol, m, subDim)
+    val init = sv.filter(col("vec_id").isin(initIds: _*))
+      .select(col("sub"), col("vec_id").as("code"),
+        expr("transform(v, x -> round(x, 6))").as("c_vec"))
+    // engine-stable mean: ordered left-fold over members sorted by
+    // vec_id (double addition is not associative) vs the scale-path
+    // plain avg — the kmeansCentroids convention verbatim
+    val mean =
+      if (orderedMeans)
+        expr("""round(aggregate(array_sort(collect_list(named_struct('vec_id', vec_id, 'x', x))),
+               |               CAST(0.0 AS DOUBLE), (a, s) -> a + s.x) / count(x), 6)""".stripMargin)
+      else round(avg(col("x")), 6)
+    (1 to iters).foldLeft(init) { (cbs, _) =>
+      val assign = nearestCode(sv, cbs)
+      val dims = assign.join(sv, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"), col("vec_id"),
+          posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("sub"), col("code"), col("d"))
+        .agg(mean.as("mn"))
+      val updated = dims.groupBy(col("sub"), col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, mn))), s -> s.mn)")
+          .as("c_vec_new"))
+      val next = cbs.join(updated, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("c_vec_new"), col("c_vec")).as("c_vec"))
+      if (pinIterations) Checkpoints.pin(next, checkpointDir, eager = false)
+      else next
+    }
+  }
+
+  /** PQ-encode the corpus against learned codebooks: each vector's
+    * compressed form is its m (sub → code) assignments. Output:
+    * (vec_id, sub, code) — the narrow code table ADC scans instead of
+    * the vectors.
+    */
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+             cbs: DataFrame, m: Int, subDim: Int): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    nearestCode(subvectors(emb, idCol, vecCol, m, subDim), cbs)
+  }
+
+  /** ADC top-k: score every encoded vector (or only `candidates` —
+    * the IVF-PQ composition) against each full-precision query via the
+    * per-query lookup table. approx_dist is the SQUARED L2 distance
+    * between the query and the candidate's reconstruction (the ADC
+    * estimator); rank ascending, neighbor-id tie-break, self excluded.
+    * Output: (query_id, neighbor_id, approx_dist, rank), rank <= k.
+    */
+  def adcSearch(emb: DataFrame, idCol: String, vecCol: String,
+                cbs: DataFrame, queryIds: Seq[Long], k: Int,
+                m: Int, subDim: Int,
+                candidates: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    val sv = subvectors(emb, idCol, vecCol, m, subDim)
+    val codes = encode(emb, idCol, vecCol, cbs, m, subDim)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
+    // per-query LUT: partial squared distance to every (sub, code)
+    // centroid — m×k* rows per query, rounded then DECIMAL so the
+    // m-term sums below are exact and order-independent
+    val lut = sv.filter(col("vec_id").isin(queryIds: _*))
+      .join(broadcast(cbs), "sub")
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"),
+        expr("CAST(round(array_sqdiff(v, c_vec), 6) AS DECIMAL(28,10))").as("pd"))
+    val contrib = candidates match {
+      case Some(cand) =>
+        cand.select(col("query_id"), col("neighbor_id"))
+          .join(codes, "neighbor_id")
+          .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      case None => codes.join(broadcast(lut), Seq("sub", "code"))
+    }
+    val scored = contrib
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("pd")).cast("double").as("approx_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

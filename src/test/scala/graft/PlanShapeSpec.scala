@@ -139,4 +139,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "q71 must not join")
     assert(p.contains("HashAggregate"))
   }
+
+  test("q88: PQ encode is broadcast-argmin — codebooks broadcast, no sort join, no Window") {
+    val p = plan("q88_pq_encode")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(!p.contains("Window"),
+      "the per-(vec, sub) argmin must be a min-struct aggregate, not a Window")
+  }
+
+  test("q89: ADC scores via a broadcast LUT join; the only Window is the final top-k rank") {
+    val p = plan("q89_pq_adc")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert("""(?m)^\(\d+\) Window\s*$""".r.findAllIn(p).size <= 1,
+      "only the rank<=k Window operator is allowed; the m-term sums are hash aggregates")
+    assert(p.contains("WindowGroupLimit"), "rank<=k should pre-prune below the shuffle")
+  }
 }
