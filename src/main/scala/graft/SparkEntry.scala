@@ -1045,6 +1045,28 @@ object SparkEntry {
           initIds = Seq(0L, 1L, 2L, 3L), iters = 1, orderedMeans = true),
         queryIds = (0L until 10L).toSeq, k = 5, m = 8, subDim = 8)
     }),
+
+    // deterministic subword tokenization: greedy longest-match
+    // (WordPiece MaxMatch + char fallback) against the corpus top-64
+    // word vocabulary — ONE codegen'd subword_count pass per doc; the
+    // oracle replays the greedy scan with a recursive CTE
+    "q90_subword_count" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.subwordCounts(d, "doc_id", "text",
+        TextAnalysis.subwordVocab(d, "text", topK = 64))
+    }),
+
+    // q77 on the tokenizer's currency: sequence packing over SUBWORD
+    // counts (ctx=512) — same prefix-sum machinery, the token budget
+    // real packed-batch writers spend
+    "q91_pack_subword" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Packing.packSequences(
+        TextAnalysis.subwordCounts(d, "doc_id", "text",
+          TextAnalysis.subwordVocab(d, "text", topK = 64)),
+        "doc_id", "subword_cnt", ctxLen = 512)
+        .withColumnRenamed("token_cnt", "subword_cnt")
+    }),
   )
 
   /** Shared DuckDB CTE body: minhash band buckets over relation `rel`
@@ -1223,6 +1245,33 @@ object SparkEntry {
       |            SELECT vec_id, sub, code,
       |                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
       |            FROM dd) WHERE rn = 1)""".stripMargin
+
+  /** Shared DuckDB CTE body for the subword tokenizer (q90/q91):
+    * corpus words, the top-64 vocab (count desc, word asc), a
+    * RECURSIVE greedy longest-match scan per distinct word (advance by
+    * the longest matching vocab piece, else one char — exactly
+    * functions.SubwordCount), and per-doc sums. Prepend
+    * `WITH RECURSIVE `. Defines w, vocab, dw, seg, tk, sc.
+    */
+  private val duckSubwordBody: String =
+    """w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |vocab AS (
+      |  SELECT word AS piece FROM (
+      |    SELECT word, count(*) AS cnt FROM w WHERE len(word) > 0 GROUP BY 1)
+      |  ORDER BY cnt DESC, word LIMIT 64),
+      |dw AS (SELECT DISTINCT word FROM w),
+      |seg AS (
+      |  SELECT word, 1::BIGINT AS pos, 0::BIGINT AS tokens FROM dw
+      |  UNION ALL
+      |  SELECT word,
+      |         pos + coalesce((SELECT max(len(piece)) FROM vocab
+      |                         WHERE piece = substr(word, pos, len(piece))), 1),
+      |         tokens + 1
+      |  FROM seg WHERE pos <= len(word)),
+      |tk AS (SELECT word, max(tokens) AS n FROM seg GROUP BY 1),
+      |sc AS (SELECT w.doc_id, sum(tk.n)::BIGINT AS subword_cnt
+      |       FROM w JOIN tk USING (word) GROUP BY 1)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2355,5 +2404,23 @@ object SparkEntry {
          |                                ORDER BY approx_dist, neighbor_id) AS rank
          |      FROM sc)
          |SELECT query_id, neighbor_id, approx_dist, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "q90_subword_count" ->
+      s"""WITH RECURSIVE $duckSubwordBody
+         |SELECT doc_id, subword_cnt FROM sc""".stripMargin,
+
+    // q77's packing shape over the subword currency
+    "q91_pack_subword" ->
+      s"""WITH RECURSIVE $duckSubwordBody,
+         |c AS (
+         |  SELECT doc_id, subword_cnt,
+         |         (sum(subword_cnt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |          - subword_cnt)::BIGINT AS start
+         |  FROM sc WHERE subword_cnt > 0)
+         |SELECT doc_id, subword_cnt, start,
+         |       start // 512 AS first_bin,
+         |       (start + subword_cnt - 1) // 512 AS last_bin,
+         |       start % 512 AS offset_in_first
+         |FROM c""".stripMargin,
   )
 }

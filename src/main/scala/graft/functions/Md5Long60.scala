@@ -92,6 +92,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("affine_min_hashes"),
       new ExpressionInfo(classOf[AffineMinHashes].getName, "affine_min_hashes"),
       AffineMinHashes.builder))
+    e.injectFunction((FunctionIdentifier("subword_count"),
+      new ExpressionInfo(classOf[SubwordCount].getName, "subword_count"),
+      SubwordCount.builder))
     VectorExprs.registrations.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
   }

@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
+  ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: deterministic subword token count —
+  * `subword_count(text, vocab)` returns the number of pieces greedy
+  * longest-match segmentation (MaxMatch — the WordPiece inference rule,
+  * Wu et al. 2016 "Google's Neural Machine Translation System"; the
+  * single-character fallback is the byte-fallback flavor of
+  * SentencePiece, Kudo & Richardson 2018) produces over the
+  * space-split words of `text` against a corpus-derived vocabulary.
+  *
+  * Semantics, per word (pieces never cross spaces; empty words — runs
+  * of spaces — contribute nothing):
+  *  - at each position take the LONGEST vocab piece matching there;
+  *  - if none matches, consume one character (the fallback token);
+  *  - the count is the number of pieces+fallbacks consumed.
+  *
+  * This replaces whitespace word counts as the packing currency
+  * (q77 → q91): real sequence packing budgets tokenizer output, where
+  * frequent words cost 1 and rare words decompose. A full learned BPE
+  * merge table is a training artifact; the vocab here is the top-K
+  * corpus words ([[graft.ops.TextAnalysis.subwordVocab]]) — same
+  * segmentation rule, reproducible in the DuckDB oracle (q90's
+  * recursive CTE replays the greedy scan exactly).
+  *
+  * The vocab argument must be a literal (foldable) array: the piece
+  * set + max-piece-length are built once per thread and memoized by
+  * the literal's object identity, so per row the cost is O(chars ·
+  * maxPieceLen) hash probes inside whole-stage codegen — no joins, no
+  * explode, no per-row set construction.
+  *
+  * Matching is character-based (String), byte-identical to the
+  * oracle's substr on ASCII corpora (the WinnowFps caveat).
+  */
+case class SubwordCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"subword_count requires STRING text, got ${left.dataType.catalogString}")
+    else if (!right.dataType.isInstanceOf[ArrayType] ||
+      right.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"subword_count requires ARRAY<STRING> vocab, got ${right.dataType.catalogString}")
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "subword_count vocab must be a literal array (the piece set is memoized)")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "subword_count"
+
+  override protected def nullSafeEval(text: Any, vocab: Any): Any =
+    SubwordCount.count(text.asInstanceOf[UTF8String],
+      vocab.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, v) => s"graft.functions.SubwordCount.count($t, $v)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SubwordCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SubwordCount {
+
+  /** Per-thread (vocabRef → piece set, max piece length) memo. The
+    * vocab reaches eval as the SAME ArrayData instance every row (it
+    * is required foldable — a Literal), so identity comparison is a
+    * sound and allocation-free cache key.
+    */
+  private val memo =
+    new ThreadLocal[(ArrayData, java.util.HashSet[String], Int)]
+
+  /** Greedy longest-match piece count (see class doc). Shared by the
+    * interpreted and generated paths — one source of truth.
+    */
+  def count(text: UTF8String, vocab: ArrayData): Long = {
+    var m = memo.get()
+    if (m == null || (m._1 ne vocab)) {
+      val set = new java.util.HashSet[String]()
+      var maxLen = 1
+      var i = 0
+      val n = vocab.numElements()
+      while (i < n) {
+        if (!vocab.isNullAt(i)) {
+          val p = vocab.getUTF8String(i).toString
+          if (p.nonEmpty) {
+            set.add(p)
+            if (p.length > maxLen) maxLen = p.length
+          }
+        }
+        i += 1
+      }
+      m = (vocab, set, maxLen)
+      memo.set(m)
+    }
+    val set = m._2
+    val maxLen = m._3
+    val s = text.toString
+    val n = s.length
+    var tokens = 0L
+    var pos = 0
+    while (pos < n) {
+      if (s.charAt(pos) == ' ') pos += 1
+      else {
+        var we = pos
+        while (we < n && s.charAt(we) != ' ') we += 1
+        var p = pos
+        while (p < we) {
+          var advance = 1
+          var l = math.min(maxLen, we - p)
+          var found = false
+          while (l >= 1 && !found) {
+            if (set.contains(s.substring(p, p + l))) {
+              advance = l
+              found = true
+            }
+            l -= 1
+          }
+          p += advance
+          tokens += 1
+        }
+        pos = we
+      }
+    }
+    tokens
+  }
+
+  private val info =
+    new ExpressionInfo(classOf[SubwordCount].getName, "subword_count")
+
+  /** Arity-checked builder (shared with GraftExtensions; [[Arity]]). */
+  private[functions] val builder =
+    Arity.checked("subword_count", "2 (text STRING, vocab ARRAY<STRING>)", 2)(
+      es => SubwordCount(es(0), es(1)))
+
+  /** Idempotent per-session SQL registration. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier("subword_count")
+    if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+  }
+
+  /** Column form: the vocab is embedded as one literal array. */
+  def apply(spark: SparkSession, text: Column, vocab: Seq[String]): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function("subword_count", text,
+      org.apache.spark.sql.functions.typedlit(vocab))
+  }
+}

@@ -310,6 +310,39 @@ object TextAnalysis {
           .as("chunk"))
   }
 
+  /** Corpus-derived subword vocabulary: the top-`topK` words by corpus
+    * frequency (count desc, word asc tie-break — total and
+    * engine-reproducible). This is the vocabulary
+    * [[graft.functions.SubwordCount subword_count]] greedily matches
+    * against; single-character fallback covers everything outside it,
+    * so coverage is total by construction. The collect is
+    * dimension-sized (topK strings — the mixture-counts convention):
+    * vocabularies are small by definition, the corpus never moves.
+    */
+  def subwordVocab(df: DataFrame, textCol: String, topK: Int): Seq[String] = {
+    require(topK >= 1, "topK must be >= 1")
+    df.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(topK)
+      .select(col("w")).collect().map(_.getString(0)).toSeq
+  }
+
+  /** Deterministic subword token count per document: greedy
+    * longest-match segmentation against `vocab` (one codegen'd
+    * [[graft.functions.SubwordCount]] pass — no explode, no join, no
+    * shuffle; the scan IS the tokenizer). The packing currency real
+    * pipelines budget: frequent words cost 1 token, rare words
+    * decompose into pieces/characters (q77's whitespace proxy
+    * overcounts neither). Output: (doc_id, subword_cnt).
+    */
+  def subwordCounts(df: DataFrame, idCol: String, textCol: String,
+                    vocab: Seq[String]): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.SubwordCount(df.sparkSession, col(textCol), vocab)
+        .as("subword_cnt"))
+
   /** Per-document mean unigram log-probability under the corpus's own
     * unigram distribution — the language-model quality filter of the
     * CCNet pipeline (Wenzek et al. 2020) with corpus-internal
