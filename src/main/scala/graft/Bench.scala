@@ -53,8 +53,11 @@ object Bench {
 
     // best-of-N: single-shot timings on a shared box see multi-second
     // GC/scheduler spikes; the minimum is the steady-state number the
-    // baseline comparison wants
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
+    // baseline comparison wants. SPARK_GRAFT_BENCH_REPS (alias
+    // SPARK_GRAFT_REPS) raises N; the JSON line carries `reps` so a
+    // reader knows whether contention could have inflated the numbers
+    val reps = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .orElse(sys.env.get("SPARK_GRAFT_REPS")).getOrElse("2").toInt)
     val results = names.map { name =>
       val timings = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -103,7 +106,7 @@ object Bench {
         s""","streaming_error":"$msg""""
     }
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField$streamField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs$errField$streamField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

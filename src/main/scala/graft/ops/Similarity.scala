@@ -185,6 +185,76 @@ object Similarity {
     topKByCosine(cand, emb, idCol, vecCol, k)
   }
 
+  /** Write the corpus as a BUCKETED IVF store: every vector assigned to
+    * its nearest centroid ([[ivfAssign]] semantics), then written once
+    * bucketed (and bucket-sorted) by `centroid_id` via
+    * [[Bucketing.writeBucketed]] — so every later probe join on
+    * centroid_id reads bucket-partitioned vectors with ZERO
+    * vector-carrying Exchange (AnnStoreSpec pins this), mirroring the
+    * corpus pipeline's bucketed text store. At 100 TB this converts
+    * the per-search-batch corpus shuffle into a one-time write cost —
+    * the vector sibling of CorpusPipeline's bucketStore. Zero-norm
+    * vectors are excluded at write (cosine undefined — the
+    * [[cosineKnn]] guard, applied once instead of per search).
+    *
+    * Store schema: (vec_id, centroid_id, vec, norm2). Re-centroiding
+    * (new k-means rounds) requires a rewrite — centroids are the
+    * store's physical layout; that is the IVF trade everywhere.
+    */
+  def writeIvfBucketed(emb: DataFrame, idCol: String, vecCol: String,
+                       centroids: DataFrame, table: String, buckets: Int,
+                       path: Option[String] = None): Unit = {
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val assigned = nearestCentroid(centroidDists(e, centroids))
+      .select(col("vec_id"), col("centroid_id"))
+      .join(e, "vec_id")
+      .withColumn("norm2", expr(norm2Sql.format("vec", "vec")))
+      .filter(col("norm2") > 0)
+      .select(col("vec_id"), col("centroid_id"), col("vec"), col("norm2"))
+    Bucketing.writeBucketed(assigned, table, Seq("centroid_id"), buckets,
+      sortCols = Seq("centroid_id"), path = path)
+  }
+
+  /** [[ivfSearch]] against a [[writeIvfBucketed]] store: the probe set
+    * (queries × nprobe rows, joined to their query vectors) is
+    * broadcast onto the store's centroid_id buckets — the store never
+    * shuffles; the only post-scan exchange moves narrow
+    * (query, neighbor, score) rows into the top-k rank. Scores and
+    * ranking are identical to [[ivfSearch]] (same rounding, same
+    * tie-break; AnnStoreSpec asserts row-for-row equality).
+    */
+  def ivfSearchBucketed(store: DataFrame, emb: DataFrame, idCol: String,
+                        vecCol: String, centroids: DataFrame,
+                        queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    val qe = emb.filter(col(idCol).isin(queryIds: _*))
+    val q = normedVectors(qe, idCol, vecCol)
+      .select(col("vid").as("query_id"), col("vec").as("q_vec"),
+        col("norm2").as("q_norm2"))
+    val pw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("centroid_id").asc)
+    val probes = centroidDists(
+        qe.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), centroids)
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    // both probe-side joins broadcast explicitly: queries × nprobe is
+    // dimension-sized by contract, and size-based planning is often
+    // disabled/blind here (derived frames have no stats)
+    val scored = store
+      .join(broadcast(probes.join(broadcast(q), "query_id")), "centroid_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("round(array_dot(q_vec, vec) / sqrt(q_norm2 * norm2), 6)").as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Int8 scalar quantization of an embedding column (the SQ8 scheme of
     * the FAISS/vector-db world): per vector, `scale = maxabs/127` and
     * `q[pos] = round(x/maxabs·127) ∈ [-127, 127]` — 4× memory reduction

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.ArrayType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+/** Pins the 100 TB property of the bucketed IVF store
+  * (Similarity.writeIvfBucketed / ivfSearchBucketed): vectors are
+  * written ONCE bucketed by centroid_id, and the probe join reads them
+  * bucket-partitioned — no vector-carrying row ever passes a shuffle
+  * Exchange; only narrow (query, neighbor, score) rows move into the
+  * top-k rank. The vector sibling of CorpusBucketingSpec.
+  */
+class AnnStoreSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed IVF store: no vector-carrying shuffle; results equal ivfSearch") {
+    val emb = Tables.embeddings(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft-ann-store-")
+    val centroidIds = (0L until 8L).toSeq
+    val centroids = emb.filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_vec"))
+    // broadcast off exposes the shuffle the bucketing must eliminate
+    // (the probe side broadcasts EXPLICITLY); AQE off for a plain tree
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Similarity.writeIvfBucketed(emb, "vec_id", "embedding", centroids,
+        table = "graft_ivf_store", buckets = 8,
+        path = Some(base.resolve("ivf").toString))
+      val got = Similarity.ivfSearchBucketed(spark.table("graft_ivf_store"),
+        emb, "vec_id", "embedding", centroids,
+        queryIds = (0L until 10L).toSeq, k = 5, nprobe = 2)
+
+      val plan = got.queryExecution.executedPlan
+      val vectorShuffles = plan.collect {
+        case e: ShuffleExchangeExec
+          if e.output.exists(_.dataType.isInstanceOf[ArrayType]) => e
+      }
+      assert(vectorShuffles.isEmpty,
+        s"vector-carrying rows passed through a shuffle:\n$plan")
+      assert(plan.toString.contains("graft_ivf_store"),
+        s"search does not read the bucketed store:\n$plan")
+
+      // row-for-row identical to the unbucketed ivfSearch
+      val want = Similarity.ivfSearch(emb, "vec_id", "embedding",
+          centroidIds, queryIds = (0L until 10L).toSeq, k = 5, nprobe = 2)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val gotRows = got.as[(Long, Long, Double, Long)].collect().toSet
+      assert(gotRows === want)
+      assert(gotRows.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_store")
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+}
