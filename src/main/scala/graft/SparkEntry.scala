@@ -1067,6 +1067,23 @@ object SparkEntry {
         "doc_id", "subword_cnt", ctxLen = 512)
         .withColumnRenamed("token_cnt", "subword_cnt")
     }),
+
+    // IVF-PQ end-to-end: candidates from the coarse seed-centroid
+    // lists (q69's probe shape), scored in the COMPRESSED domain by
+    // ADC over the q88 codes — the standard 100 TB ANN memory layout:
+    // ~nprobe/nlists of the code table scanned per query, vectors
+    // touched only for the queries themselves
+    "q92_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_vec"))
+      Pq.adcSearch(emb, "vec_id", "embedding",
+        Pq.codebooks(emb, "vec_id", "embedding", m = 8, subDim = 8,
+          initIds = Seq(0L, 1L, 2L, 3L), iters = 1, orderedMeans = true),
+        queryIds = (0L until 10L).toSeq, k = 5, m = 8, subDim = 8,
+        candidates = Some(Similarity.ivfCandidates(emb, "vec_id", "embedding",
+          cents, (0L until 10L).toSeq, nprobe = 2)))
+    }),
   )
 
   /** Shared DuckDB CTE body: minhash band buckets over relation `rel`
@@ -2408,6 +2425,47 @@ object SparkEntry {
     "q90_subword_count" ->
       s"""WITH RECURSIVE $duckSubwordBody
          |SELECT doc_id, subword_cnt FROM sc""".stripMargin,
+
+    // coarse candidates exactly as in q69, ADC scoring exactly as in
+    // q89 — composed
+    "q92_ivfpq" ->
+      s"""WITH $duckPqBody,
+         |cents AS (SELECT vec_id AS centroid_id, embedding AS c_vec FROM e WHERE vec_id < 8),
+         |cvd AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |         round(sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |           i -> (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)
+         |              * (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)))), 6) AS dist
+         |  FROM e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id AS neighbor_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+         |    FROM cvd) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+         |    FROM cvd WHERE vec_id < 10) WHERE rn <= 2),
+         |cand AS (
+         |  SELECT p.query_id, a.neighbor_id
+         |  FROM probes p JOIN assign a USING (centroid_id)
+         |  WHERE p.query_id <> a.neighbor_id),
+         |lut AS (SELECT s.vec_id AS query_id, s.sub, c.code,
+         |               round(list_sum(list_transform(generate_series(1, 8),
+         |                 i -> (s.v[i] - c.c_vec[i]) * (s.v[i] - c.c_vec[i]))), 6)::DECIMAL(28,10) AS pd
+         |        FROM sv s JOIN cb c ON s.sub = c.sub WHERE s.vec_id < 10),
+         |sc AS (SELECT ca.query_id, ca.neighbor_id, sum(l.pd)::DOUBLE AS approx_dist
+         |       FROM cand ca
+         |       JOIN codes cd2 ON cd2.vec_id = ca.neighbor_id
+         |       JOIN lut l ON l.query_id = ca.query_id
+         |                 AND l.sub = cd2.sub AND l.code = cd2.code
+         |       GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, approx_dist,
+         |             row_number() OVER (PARTITION BY query_id
+         |                                ORDER BY approx_dist, neighbor_id) AS rank
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, approx_dist, rank FROM r WHERE rank <= 5""".stripMargin,
 
     // q77's packing shape over the subword currency
     "q91_pack_subword" ->

@@ -168,6 +168,20 @@ object Similarity {
                     centroids: DataFrame, queryIds: Seq[Long],
                     k: Int, nprobe: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    topKByCosine(ivfCandidates(emb, idCol, vecCol, centroids, queryIds, nprobe),
+      emb, idCol, vecCol, k)
+  }
+
+  /** The candidate-generation head of [[ivfSearchWith]] without the
+    * cosine tail: (query_id, neighbor_id) pairs from probing each
+    * query's `nprobe` nearest centroid lists, self excluded. Feed a
+    * different scorer — e.g. [[Pq.adcSearch]]'s `candidates` for the
+    * IVF-PQ composition (q92), where candidates come from the coarse
+    * lists and scoring happens in the compressed domain.
+    */
+  def ivfCandidates(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, queryIds: Seq[Long],
+                    nprobe: Int): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
     val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
@@ -179,10 +193,9 @@ object Similarity {
       .withColumn("rn", row_number().over(pw))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("centroid_id"))
-    val cand = probes.join(assign, "centroid_id")
+    probes.join(assign, "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
-    topKByCosine(cand, emb, idCol, vecCol, k)
   }
 
   /** Write the corpus as a BUCKETED IVF store: every vector assigned to
