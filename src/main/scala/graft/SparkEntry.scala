@@ -985,11 +985,12 @@ object SparkEntry {
       val stageRows = counts.map { case (stage, n) => ("stage:" + stage, n) }
         .toDF("kind", "doc_id")
         .withColumn("source", lit(null).cast("string"))
-      val out = kept
-        .select(lit("kept").as("kind"), col("doc_id"), col("source"))
+      // kept stays CACHED: the stage counts already materialized it,
+      // and the consumer's write would otherwise replay the whole
+      // five-stage lineage a second time (the frame is survivor-sized
+      // — id/source/text rows — not a corpus-scale pin)
+      kept.select(lit("kept").as("kind"), col("doc_id"), col("source"))
         .unionByName(stageRows)
-      kept.unpersist() // counts are already forced; lineage replays once
-      out
     }),
 
     // deterministic corpus mixture (Sampling.mixture): weights 4:2:1:1

@@ -188,23 +188,31 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("stateless corpus operators run unchanged on streams (narrow = streaming-compatible)") {
-    // chunkWords and Sampling.split are pure projections/generators —
-    // the same call works on a streaming DataFrame with no watermark,
-    // no state, and append output; batch ≡ streaming row-for-row
+    // chunkWords, Sampling.split and subwordCounts are pure
+    // projections/generators — the same call works on a streaming
+    // DataFrame with no watermark, no state, and append output;
+    // batch ≡ streaming row-for-row
     val input = MemoryStream[(Long, String)]
     val stream = input.toDF().toDF("doc_id", "text")
     val chunked = graft.ops.TextAnalysis.chunkWords(stream, "doc_id", "text",
       chunkWords = 3, overlapWords = 1)
     val labeled = graft.ops.Sampling.split(stream, "doc_id",
       Seq("train" -> 0.9, "val" -> 0.1))
+    val counted = graft.ops.TextAnalysis.subwordCounts(stream, "doc_id", "text",
+      vocab = Seq("a", "x"))
     val q1 = chunked.writeStream.outputMode("append").format("memory")
       .queryName("chunks").start()
     val q2 = labeled.writeStream.outputMode("append").format("memory")
       .queryName("splits").start()
+    val q3 = counted.writeStream.outputMode("append").format("memory")
+      .queryName("subwords").start()
     val rows = Seq((1L, "a b c d e"), (2L, "x y"))
     input.addData(rows: _*)
     q1.processAllAvailable(); q2.processAllAvailable()
-    q1.stop(); q2.stop()
+    q3.processAllAvailable()
+    q1.stop(); q2.stop(); q3.stop()
+    assert(spark.table("subwords").as[(Long, Long)].collect().toMap ===
+      Map(1L -> 5L, 2L -> 2L)) // every word is 1 piece or 1 fallback char
     val gotChunks = spark.table("chunks")
       .select("doc_id", "chunk_id", "chunk").as[(Long, Long, String)].collect().toSet
     val wantChunks = graft.ops.TextAnalysis.chunkWords(rows.toDF("doc_id", "text"),
