@@ -1069,6 +1069,24 @@ object SparkEntry {
         .withColumnRenamed("token_cnt", "subword_cnt")
     }),
 
+    // q85 WITH the optional vector-space stage: embedding near-dup
+    // losers (SRP-bucketed, exact in-bucket cosine >= 0.3) dropped
+    // between near-dedup and the quality gate — the complete pipeline
+    // composition including its only previously spec-only stage
+    "q93_corpus_pipeline_emb" -> ((s, dir) => {
+      val (kept, counts) = graft.jobs.CorpusPipeline.run(
+        Tables.documents(s, dir),
+        sampleFraction = 0.8, qualityThreshold = 0.4, maxDupGramFrac = 0.2,
+        embeddings = Some(Tables.embeddings(s, dir)), cosineThreshold = 0.3)
+      import s.implicits._
+      val stageRows = counts.map { case (stage, n) => ("stage:" + stage, n) }
+        .toDF("kind", "doc_id")
+        .withColumn("source", lit(null).cast("string"))
+      // kept stays cached — same reasoning as q85
+      kept.select(lit("kept").as("kind"), col("doc_id"), col("source"))
+        .unionByName(stageRows)
+    }),
+
     // IVF-PQ end-to-end: candidates from the coarse seed-centroid
     // lists (q69's probe shape), scored in the COMPRESSED domain by
     // ADC over the q88 codes — the standard 100 TB ANN memory layout:
@@ -1263,6 +1281,62 @@ object SparkEntry {
       |            SELECT vec_id, sub, code,
       |                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
       |            FROM dd) WHERE rn = 1)""".stripMargin
+
+  /** Shared DuckDB CTE prefix for the corpus-pipeline replays
+    * (q85/q93): sample(0.8) → exact-dedup → band collisions →
+    * near-dedup survivors. Defines sampled, exg, ex, the bands body
+    * (s/h/m/b), cand, nd. Prepend `WITH `.
+    */
+  private lazy val duckCorpusPrefix: String =
+    s"""sampled AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 10000 < 8000),
+       |exg AS (
+       |  SELECT md5(text) AS text_hash, min(doc_id) AS keep_id
+       |  FROM sampled GROUP BY 1 HAVING count(*) >= 2),
+       |ex AS (
+       |  SELECT sa.doc_id, sa.source, sa.text FROM sampled sa
+       |  LEFT JOIN exg ON md5(sa.text) = exg.text_hash
+       |  WHERE exg.text_hash IS NULL OR sa.doc_id = exg.keep_id),
+       |${duckBandsBody("ex")},
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM b a JOIN b b2
+       |    ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+       |   AND a.doc_id < b2.doc_id
+       |  GROUP BY 1, 2),
+       |nd AS (
+       |  SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_b FROM cand))""".stripMargin
+
+  /** Shared DuckDB CTE tail for the corpus-pipeline replays: quality
+    * gate (>= 0.4) then repetition gate (dup_gram_frac <= 0.2,
+    * violators-only) over relation `rel`. Defines q, qk, gr, rv, rk.
+    */
+  private def duckCorpusTail(rel: String): String =
+    s"""q AS (
+       |  SELECT doc_id,
+       |    round(0.4 * least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0)
+       |        + 0.4 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+       |                 / len(string_split(text, ' '))::DOUBLE)
+       |        + 0.2 * least(5.0 * len(list_filter(string_split(text, ' '),
+       |              w -> list_contains(['the','a','of','and','in','to','is','on','for','with'], w)))::DOUBLE
+       |                 / len(string_split(text, ' '))::DOUBLE, 1.0), 6) AS quality
+       |  FROM $rel),
+       |qk AS (
+       |  SELECT $rel.* FROM $rel JOIN q USING (doc_id) WHERE q.quality >= 0.4),
+       |gr AS (
+       |  SELECT doc_id, gram, count(*) AS cnt
+       |  FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+       |                     unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+       |              FROM qk))
+       |  GROUP BY doc_id, gram),
+       |rv AS (
+       |  SELECT doc_id FROM gr GROUP BY doc_id
+       |  HAVING round(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)::DOUBLE
+       |               / sum(cnt)::DOUBLE, 6) > 0.2),
+       |rk AS (
+       |  SELECT * FROM qk WHERE doc_id NOT IN (SELECT doc_id FROM rv))""".stripMargin
 
   /** Shared DuckDB CTE body for the subword tokenizer (q90/q91):
     * corpus words, the top-64 vocab (count desc, word asc), a
@@ -2315,54 +2389,52 @@ object SparkEntry {
     // (violators-only anti-join: gram-less docs pass). Stage counts and
     // the final kept set in one frame
     "q85_corpus_pipeline" ->
-      s"""WITH sampled AS (
-         |  SELECT doc_id, source, text FROM documents
-         |  WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 10000 < 8000),
-         |exg AS (
-         |  SELECT md5(text) AS text_hash, min(doc_id) AS keep_id
-         |  FROM sampled GROUP BY 1 HAVING count(*) >= 2),
-         |ex AS (
-         |  SELECT sa.doc_id, sa.source, sa.text FROM sampled sa
-         |  LEFT JOIN exg ON md5(sa.text) = exg.text_hash
-         |  WHERE exg.text_hash IS NULL OR sa.doc_id = exg.keep_id),
-         |${duckBandsBody("ex")},
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
-         |  FROM b a JOIN b b2
-         |    ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
-         |   AND a.doc_id < b2.doc_id
-         |  GROUP BY 1, 2),
-         |nd AS (
-         |  SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_b FROM cand)),
-         |q AS (
-         |  SELECT doc_id,
-         |    round(0.4 * least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0)
-         |        + 0.4 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
-         |                 / len(string_split(text, ' '))::DOUBLE)
-         |        + 0.2 * least(5.0 * len(list_filter(string_split(text, ' '),
-         |              w -> list_contains(['the','a','of','and','in','to','is','on','for','with'], w)))::DOUBLE
-         |                 / len(string_split(text, ' '))::DOUBLE, 1.0), 6) AS quality
-         |  FROM nd),
-         |qk AS (
-         |  SELECT nd.* FROM nd JOIN q USING (doc_id) WHERE q.quality >= 0.4),
-         |gr AS (
-         |  SELECT doc_id, gram, count(*) AS cnt
-         |  FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
-         |        FROM (SELECT doc_id, string_split(text, ' ') AS ws,
-         |                     unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
-         |              FROM qk))
-         |  GROUP BY doc_id, gram),
-         |rv AS (
-         |  SELECT doc_id FROM gr GROUP BY doc_id
-         |  HAVING round(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)::DOUBLE
-         |               / sum(cnt)::DOUBLE, 6) > 0.2),
-         |rk AS (
-         |  SELECT * FROM qk WHERE doc_id NOT IN (SELECT doc_id FROM rv))
+      s"""WITH $duckCorpusPrefix,
+         |${duckCorpusTail("nd")}
          |SELECT 'kept' AS kind, doc_id, source FROM rk
          |UNION ALL SELECT 'stage:input', (SELECT count(*) FROM documents), NULL
          |UNION ALL SELECT 'stage:sampled', (SELECT count(*) FROM sampled), NULL
          |UNION ALL SELECT 'stage:exact_dedup', (SELECT count(*) FROM ex), NULL
          |UNION ALL SELECT 'stage:near_dedup', (SELECT count(*) FROM nd), NULL
+         |UNION ALL SELECT 'stage:quality', (SELECT count(*) FROM qk), NULL
+         |UNION ALL SELECT 'stage:repetition', (SELECT count(*) FROM rk), NULL
+         |UNION ALL SELECT 'stage:mixed', (SELECT count(*) FROM rk), NULL""".stripMargin,
+
+    // q85 WITH the optional embedding near-dup stage: SRP-bucket
+    // blocking + exact in-bucket cosine over the near-dedup survivors'
+    // vectors (the q59 machinery), losers dropped before the quality
+    // gate — the full CorpusPipeline composition including its
+    // vector-space member
+    "q93_corpus_pipeline_emb" ->
+      s"""WITH $duckCorpusPrefix,
+         |eb AS (
+         |  SELECT e2.vec_id, e2.embedding,
+         |    list_sum(list_transform(generate_series(0, 7), p ->
+         |      CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
+         |             e2.embedding[d]::DOUBLE *
+         |             ((('0x'||substr(md5(p::VARCHAR || '_' || d::VARCHAR),1,15))::BIGINT % 2001 - 1000)::DOUBLE / 1000.0)
+         |           )) >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS bucket
+         |  FROM embeddings e2 JOIN nd ON e2.vec_id = nd.doc_id),
+         |en AS (
+         |  SELECT * FROM (
+         |    SELECT vec_id, embedding, bucket,
+         |           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
+         |    FROM eb)
+         |  WHERE norm2 > 0),
+         |el AS (
+         |  SELECT DISTINCT c.vec_id AS loser FROM en a JOIN en c
+         |    ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |  WHERE round(list_sum(list_transform(generate_series(1, 64),
+         |            i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+         |          / sqrt(a.norm2 * c.norm2), 6) >= 0.3),
+         |ek AS (SELECT * FROM nd WHERE doc_id NOT IN (SELECT loser FROM el)),
+         |${duckCorpusTail("ek")}
+         |SELECT 'kept' AS kind, doc_id, source FROM rk
+         |UNION ALL SELECT 'stage:input', (SELECT count(*) FROM documents), NULL
+         |UNION ALL SELECT 'stage:sampled', (SELECT count(*) FROM sampled), NULL
+         |UNION ALL SELECT 'stage:exact_dedup', (SELECT count(*) FROM ex), NULL
+         |UNION ALL SELECT 'stage:near_dedup', (SELECT count(*) FROM nd), NULL
+         |UNION ALL SELECT 'stage:embedding_dedup', (SELECT count(*) FROM ek), NULL
          |UNION ALL SELECT 'stage:quality', (SELECT count(*) FROM qk), NULL
          |UNION ALL SELECT 'stage:repetition', (SELECT count(*) FROM rk), NULL
          |UNION ALL SELECT 'stage:mixed', (SELECT count(*) FROM rk), NULL""".stripMargin,
