@@ -1087,6 +1087,24 @@ object SparkEntry {
         .unionByName(stageRows)
     }),
 
+    // batch keep-first dedup: one row per user, earliest (ts, event_id)
+    // — the batch twin of dropDuplicatesWithinWatermark, previously
+    // spec-only; the Window partitions on the HIGH-cardinality dedup
+    // key (no low-cardinality WindowExec trap)
+    "q94_keep_first" -> ((s, dir) =>
+      Dedup.keepFirst(Tables.events(s, dir), Seq("user_id"), Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id").as("first_event"),
+          col("ts").cast("long").as("first_ts"))),
+
+    // the capped-bucket LSH route under a cap SMALL enough to trip
+    // (maxBucketSize=2; sf buckets reach 3): over-cap buckets are
+    // duplicate explosions — group-deduped (keep min id per bucket)
+    // instead of pair-scored; previously the cap path was spec-only
+    "q95_lsh_oversized" -> ((s, dir) =>
+      Dedup.lshOversizedLosers(
+        Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"),
+        maxBucketSize = 2)),
+
     // IVF-PQ end-to-end: candidates from the coarse seed-centroid
     // lists (q69's probe shape), scored in the COMPRESSED domain by
     // ADC over the q88 codes — the standard 100 TB ANN memory layout:
@@ -2498,6 +2516,26 @@ object SparkEntry {
     "q90_subword_count" ->
       s"""WITH RECURSIVE $duckSubwordBody
          |SELECT doc_id, subword_cnt FROM sc""".stripMargin,
+
+    "q94_keep_first" ->
+      """SELECT user_id, event_id AS first_event,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS first_ts
+        |FROM (SELECT user_id, event_id, ts,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    // over-cap buckets (size > 2): every member except the min id,
+    // distinct across buckets
+    "q95_lsh_oversized" ->
+      s"""$duckBandsCte,
+         |ov AS (
+         |  SELECT band_id, band_hash, min(doc_id) AS keep, count(*) AS sz
+         |  FROM b GROUP BY 1, 2 HAVING count(*) > 2)
+         |SELECT DISTINCT b.doc_id AS loser_id
+         |FROM b JOIN ov USING (band_id, band_hash)
+         |WHERE b.doc_id <> ov.keep""".stripMargin,
 
     // coarse candidates exactly as in q69, ADC scoring exactly as in
     // q89 — composed
