@@ -3,7 +3,7 @@ package graft.jobs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Bucketing, Dedup, Sampling, TextAnalysis}
+import graft.ops.{Bucketing, Checkpoints, Dedup, Sampling, TextAnalysis}
 
 /** The training-data pipeline end-to-end: one composable flow over the
   * documents table chaining the engine's corpus operators —
@@ -59,6 +59,9 @@ object CorpusPipeline {
     * @param persistStages cache each stage (the default; disable only
     *                      to inspect the end-to-end plan — counts then
     *                      replay lineage)
+    * @param checkpointDir reliable checkpoint root for the embedding-
+    *                      stage pin (default executor-local — the
+    *                      [[graft.ops.Checkpoints]] caveat)
     */
   def run(docs: DataFrame, sampleFraction: Double = 1.0,
           qualityThreshold: Double = 0.4,
@@ -73,7 +76,8 @@ object CorpusPipeline {
           bucketStore: Option[String] = None,
           bucketCount: Int = 32,
           bucketTable: String = "graft_corpus_sampled",
-          persistStages: Boolean = true): (DataFrame, Seq[(String, Long)]) = {
+          persistStages: Boolean = true,
+          checkpointDir: Option[String] = None): (DataFrame, Seq[(String, Long)]) = {
     def cached(df: DataFrame): DataFrame = if (persistStages) df.cache() else df
     val counts = Seq.newBuilder[(String, Long)]
     val sampling = sampleFraction < 1.0
@@ -143,9 +147,17 @@ object CorpusPipeline {
         val alive = emb.join(
           nearKept.select(col("doc_id").as("alive_id")),
           col(embIdCol) === col("alive_id"), "left_semi")
-        val embLosers = Dedup.embeddingNearDup(
-            alive, embIdCol, embVecCol, cosineThreshold)
-          .select(col("vec_b").as("emb_loser")).distinct()
+        // PIN (lazy), don't just cache: the SRP bucket subtree carries
+        // the plane matrix as plane×dim array LITERALS, referenced 4×
+        // through the self-join — without lineage truncation every
+        // downstream stage action re-analyzes/re-optimizes that fat
+        // tree and planning (not data) dominates the run (the
+        // connected-components r3 lesson; ~3× on the whole pipeline
+        // at sf0.1). The pinned frame is loser-ID-sized.
+        val embLosers = Checkpoints.pin(
+          Dedup.embeddingNearDup(alive, embIdCol, embVecCol, cosineThreshold)
+            .select(col("vec_b").as("emb_loser")).distinct(),
+          checkpointDir, eager = false)
         val kept = cached(nearKept.join(embLosers,
           col("doc_id") === col("emb_loser"), "left_anti"))
         counts += "embedding_dedup" -> kept.count()

@@ -181,6 +181,21 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("sampler salts with quotes/backslashes and backticked column names hash safely (DSL, not expr-splice)") {
+    val df = (1L to 1000L).toDF("id")
+    // a backslash salt used to be consumed as a SQL escape inside the
+    // spliced expr() literal, silently changing the hashed key
+    val a = ops.Sampling.hashSample(df, "id", 0.5, salt = """a\'b""").count()
+    assert(a > 350 && a < 650, s"backslash-salted sample kept $a of 1000")
+    // distinct salts = distinct coins
+    val b = ops.Sampling.hashSample(df, "id", 0.5, salt = """a\'c""").count()
+    assert(a != b)
+    // a column name that needs backticks resolves through col(), not splicing
+    val odd = df.withColumnRenamed("id", "doc id")
+    assert(ops.Sampling.split(odd, "doc id", Seq("train" -> 0.9, "val" -> 0.1))
+      .groupBy("split").count().count() === 2)
+  }
+
   test("mixture after an upstream sample stays proportional (salted, decorrelated hash)") {
     // an unsalted mixture on the survivors of hashSample(0.5) would be
     // the SAME coin flip: every survivor has hash%10000 < 5000, so a

@@ -123,6 +123,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q90: the subword tokenizer is one narrow codegen'd projection — zero exchanges, zero joins") {
+    // (the vocab derivation collects separately at query-construction
+    // time; the counting query itself is the scan + one expression)
+    val p = plan("q90_subword_count")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"q90 claims narrow/no-shuffle but the plan disagrees:\n$p")
+    assert(p.contains("subword_count"))
+  }
+
   test("q80: the corpus token explode runs once behind the pin; stats derive from tf") {
     // unpinned, the tf / term-count / corpus-total subtrees each re-scan
     // and re-explode the text — 3x the most expensive stage at 100 TB
