@@ -1087,6 +1087,20 @@ object SparkEntry {
         .unionByName(stageRows)
     }),
 
+    // skew-salted equi-join: the hot-key mitigation (big side salted
+    // from a row-identity column, small side replicated saltFactor
+    // ways) must return EXACTLY the plain join — the oracle is the
+    // plain join; previously spec-only
+    "q96_salted_join" -> ((s, dir) =>
+      Skew.saltedJoin(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_suppkey").as("suppkey")),
+        Tables.supplier(s, dir).select(col("s_suppkey").as("suppkey"),
+          col("s_name")),
+        "suppkey", saltFactor = 8, bigSaltSource = "l_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("suppkey"),
+          col("s_name"))),
+
     // batch keep-first dedup: one row per user, earliest (ts, event_id)
     // — the batch twin of dropDuplicatesWithinWatermark, previously
     // spec-only; the Window partitions on the HIGH-cardinality dedup
@@ -2516,6 +2530,10 @@ object SparkEntry {
     "q90_subword_count" ->
       s"""WITH RECURSIVE $duckSubwordBody
          |SELECT doc_id, subword_cnt FROM sc""".stripMargin,
+
+    "q96_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey AS suppkey, s_name
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
 
     "q94_keep_first" ->
       """SELECT user_id, event_id AS first_event,

@@ -209,6 +209,24 @@ class MiningSpec extends AnyFunSuite {
     assert(ratio > 2.2 && ratio < 4.0, s"mix ratio $ratio should be ~3")
   }
 
+  test("pipeline embedding stage is lineage-pinned: no vector math in the survivors' plan") {
+    // the SRP plane matrix rides as plane x dim array literals through
+    // the candidate self-join; without the embLosers pin every
+    // downstream stage action re-analyzes that tree and planning
+    // dominates the run (~3x at sf0.1). The pin truncates the subtree,
+    // so the returned frame's plan must carry NO vector scoring
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (kept, counts) = graft.jobs.CorpusPipeline.run(d,
+      sampleFraction = 0.8, maxDupGramFrac = 0.2,
+      embeddings = Some(emb), cosineThreshold = 0.3)
+    val plan = kept.queryExecution.analyzed.toString
+    assert(!plan.contains("array_dot"),
+      s"embedding scoring leaked into the survivors' lineage:\n$plan")
+    assert(counts.exists(_._1 == "embedding_dedup"))
+    kept.unpersist()
+  }
+
   test("mixture keeps the binding stratum whole even when the share math lands on 0.999...") {
     // share 5/7 with binding count 7: share*(count/share)/count computes
     // to 0.9999999999999999 in doubles — the binding stratum must still
