@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SubwordCount
+import graft.ops.{Pq, TextAnalysis}
+
+/** Seeded randomized checks of the round-9 operators against plain-
+  * Scala reference implementations — an assurance axis independent of
+  * both the hand-picked spec fixtures and the DuckDB oracles (which
+  * could in principle share a misunderstanding with the Spark code;
+  * a second independent implementation cannot share a bug with
+  * either by accident on hundreds of random inputs). Seeds are fixed:
+  * failures reproduce.
+  */
+class RandomizedSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  /** Reference greedy longest-match count — independent implementation
+    * (per-word recursion, substring set probe) of the SubwordCount
+    * contract.
+    */
+  private def refSubwordCount(text: String, vocab: Set[String]): Long = {
+    def word(w: String): Long = {
+      var pos = 0
+      var n = 0L
+      while (pos < w.length) {
+        val best = (w.length - pos).to(1, -1)
+          .find(l => vocab.contains(w.substring(pos, pos + l)))
+        pos += best.getOrElse(1)
+        n += 1
+      }
+      n
+    }
+    text.split(" ", -1).map(word).sum
+  }
+
+  test("subword_count matches an independent greedy reference on 300 random docs") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcd"
+    def randWord(): String =
+      (0 until (1 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val vocab = (0 until 30).map(_ => randWord()).distinct
+    val docs = (0 until 300).map { i =>
+      val words = (0 until rnd.nextInt(8)).map(_ => randWord())
+      // stress boundaries: occasional empty word runs / empty docs
+      val text = if (i % 17 == 0) "" else words.mkString(if (i % 5 == 0) "  " else " ")
+      (i.toLong, text)
+    }
+    val got = docs.toDF("id", "text")
+      .select(col("id"), SubwordCount(spark, col("text"), vocab).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val vs = vocab.toSet
+    docs.foreach { case (id, text) =>
+      assert(got(id) === refSubwordCount(text, vs),
+        s"doc $id '$text' vocab ${vocab.mkString(",")}")
+    }
+  }
+
+  test("chunkWords intervals cover each document exactly, in step positions, no subset chunks") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 120).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      (i.toLong, (0 until n).map(j => s"w$j").mkString(" "))
+    }
+    for ((chunk, overlap) <- Seq((8, 3), (5, 0), (4, 3))) {
+      val step = chunk - overlap
+      val out = TextAnalysis.chunkWords(docs.toDF("doc_id", "text"),
+          "doc_id", "text", chunkWords = chunk, overlapWords = overlap)
+        .select("doc_id", "chunk_id", "start_word", "n_words")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+      docs.foreach { case (id, text) =>
+        val size = text.split(" ").length
+        val chunks = out(id)
+        // starts are consecutive multiples of step from 0
+        assert(chunks.map(_._3) === chunks.indices.map(_.toLong * step))
+        // words covered exactly: union of [start, start+n) == [0, size)
+        val covered = chunks.flatMap(c => c._3 until (c._3 + c._4)).distinct.sorted
+        assert(covered === (0L until size), s"doc $id cover gap")
+        // no chunk is a subset of its predecessor: each adds a new word
+        chunks.sliding(2).foreach {
+          case Array(a, b) => assert(b._3 + b._4 > a._3 + a._4, s"doc $id subset chunk")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("PQ encode picks the true argmin code per subspace on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val m = 4
+    val sub = dim / m
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(dim)((rnd.nextInt(2001) - 1000) / 100.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cbs = Pq.codebooks(df, "vec_id", "embedding", m, sub,
+      initIds = Seq(0L, 1L, 2L), iters = 0)
+    val got = Pq.encode(df, "vec_id", "embedding", cbs, m, sub)
+      .as[(Long, Long, Long)].collect()
+      .map { case (v, s, c) => (v, s) -> c }.toMap
+    val byId = vecs.toMap
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((vid, vec) <- vecs; s <- 0 until m) {
+      val slice = vec.slice(s * sub, (s + 1) * sub)
+      // reference argmin with the operator's 6-digit rounding and
+      // code-id tie-break, against ROUNDED (double) init codebooks
+      val want = Seq(0L, 1L, 2L).minBy { c =>
+        val cb = byId(c).slice(s * sub, (s + 1) * sub)
+          .map(x => round6(x.toDouble))
+        val sq = slice.zip(cb).map { case (x, y) =>
+          val d = x.toDouble - y; d * d
+        }.sum
+        (round6(math.sqrt(sq)), c)
+      }
+      assert(got((vid, s.toLong)) === want, s"vec $vid sub $s")
+    }
+  }
+}
