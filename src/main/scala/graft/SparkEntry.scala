@@ -1087,6 +1087,13 @@ object SparkEntry {
         .unionByName(stageRows)
     }),
 
+    // bigram LM quality filter: mean conditional log-prob under the
+    // corpus's own bigram distribution — catches word salad that the
+    // unigram filter (q80) passes; one pinned bigram explode, context
+    // totals derived from it, ordered per-doc fold
+    "q97_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
+
     // skew-salted equi-join: the hot-key mitigation (big side salted
     // from a row-identity column, small side replicated saltFactor
     // ways) must return EXACTLY the plain join — the oracle is the
@@ -1118,6 +1125,24 @@ object SparkEntry {
       Dedup.lshOversizedLosers(
         Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"),
         maxBucketSize = 2)),
+
+    // IVF-PQ with RESIDUAL encoding — the canonical refinement: codes
+    // quantize (vec − assigned centroid); each query builds a
+    // LIST-LOCAL lookup table from its residual to each probed
+    // centroid, and the LUT's (centroid, sub, code) join key doubles
+    // as the candidate generator. Codebooks here are the initIds'
+    // residual subvectors (ids 8–11 — non-centroids, so residuals are
+    // nonzero; the Lloyd path is already oracled by q88)
+    "q98_ivfpq_residual" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val coarse = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_vec"))
+      val cbs = Pq.codebooks(
+        Pq.residuals(emb, "vec_id", "embedding", coarse), "vec_id", "rvec",
+        m = 8, subDim = 8, initIds = Seq(8L, 9L, 10L, 11L), iters = 0)
+      Pq.ivfPqSearch(emb, "vec_id", "embedding", coarse, cbs,
+        queryIds = (0L until 10L).toSeq, k = 5, nprobe = 2, m = 8, subDim = 8)
+    }),
 
     // IVF-PQ end-to-end: candidates from the coarse seed-centroid
     // lists (q69's probe shape), scored in the COMPRESSED domain by
@@ -2534,6 +2559,93 @@ object SparkEntry {
     "q96_salted_join" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey AS suppkey, s_name
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+
+    // P(w|v) = c(v w)/Σ_w' c(v w'); in-order fold over bg for
+    // engine-stable double sums (the q80 convention)
+    "q97_bigram_logprob" ->
+      """WITH g AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+        |               unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+        |        FROM documents)),
+        |tf AS (SELECT doc_id, bg, count(*)::BIGINT AS tf FROM g GROUP BY 1, 2),
+        |bc AS (SELECT bg, sum(tf)::BIGINT AS cnt FROM tf GROUP BY 1),
+        |cc AS (SELECT string_split(bg, ' ')[1] AS ctx, sum(cnt)::BIGINT AS ctx_cnt
+        |       FROM bc GROUP BY 1)
+        |SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_bigrams,
+        |       round(list_sum(list(tf.tf * ln(bc.cnt::DOUBLE / cc.ctx_cnt::DOUBLE)
+        |                           ORDER BY tf.bg)) / sum(tf.tf), 6) AS avg_logprob
+        |FROM tf
+        |JOIN bc USING (bg)
+        |JOIN cc ON string_split(tf.bg, ' ')[1] = cc.ctx
+        |GROUP BY tf.doc_id""".stripMargin,
+
+    // residual IVF-PQ: residuals against the assigned coarse centroid,
+    // codebooks = initIds' residual subvectors (rounded), list-local
+    // query LUTs; DECIMAL sums as in q89
+    "q98_ivfpq_residual" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |cents AS (SELECT vec_id AS centroid_id, embedding AS c_vec FROM e WHERE vec_id < 8),
+        |cvd AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |         round(sqrt(list_sum(list_transform(generate_series(1, 64),
+        |           i -> (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)
+        |              * (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)))), 6) AS dist
+        |  FROM e CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        |    FROM cvd) WHERE rn = 1),
+        |rv AS (
+        |  SELECT e.vec_id, a.centroid_id,
+        |         list_transform(generate_series(1, 64),
+        |           i -> e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE) AS rvec
+        |  FROM e JOIN assign a USING (vec_id)
+        |  JOIN cents c ON a.centroid_id = c.centroid_id),
+        |rsv AS (
+        |  SELECT vec_id, centroid_id, j.sub, rvec[j.sub*8+1 : j.sub*8+8] AS v
+        |  FROM rv CROSS JOIN generate_series(0, 7) j(sub)),
+        |c0r AS (
+        |  SELECT sub, vec_id AS code, list_transform(v, x -> round(x, 6)) AS c_vec
+        |  FROM rsv WHERE vec_id IN (8, 9, 10, 11)),
+        |codes AS (
+        |  SELECT vec_id, centroid_id, sub, code FROM (
+        |    SELECT s.vec_id, s.centroid_id, s.sub, c.code,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub
+        |             ORDER BY round(sqrt(list_sum(list_transform(generate_series(1, 8),
+        |               i -> (s.v[i] - c.c_vec[i]) * (s.v[i] - c.c_vec[i])))), 6), c.code) AS rn
+        |    FROM rsv s JOIN c0r c ON s.sub = c.sub) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        |    FROM cvd WHERE vec_id < 10) WHERE rn <= 2),
+        |rq AS (
+        |  SELECT p.query_id, p.centroid_id,
+        |         list_transform(generate_series(1, 64),
+        |           i -> e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE) AS rvec
+        |  FROM probes p JOIN e ON e.vec_id = p.query_id
+        |  JOIN cents c ON p.centroid_id = c.centroid_id),
+        |lut AS (
+        |  SELECT r.query_id, r.centroid_id, j.sub, c.code,
+        |         round(list_sum(list_transform(generate_series(1, 8),
+        |           i -> (r.rvec[j.sub*8+i] - c.c_vec[i]) * (r.rvec[j.sub*8+i] - c.c_vec[i]))), 6)::DECIMAL(28,10) AS pd
+        |  FROM rq r CROSS JOIN generate_series(0, 7) j(sub)
+        |  JOIN c0r c ON c.sub = j.sub),
+        |sc AS (
+        |  SELECT l.query_id, cd.vec_id AS neighbor_id, sum(l.pd)::DOUBLE AS approx_dist
+        |  FROM codes cd
+        |  JOIN lut l ON l.centroid_id = cd.centroid_id
+        |            AND l.sub = cd.sub AND l.code = cd.code
+        |  WHERE cd.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |r2 AS (
+        |  SELECT query_id, neighbor_id, approx_dist,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY approx_dist, neighbor_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, approx_dist, rank FROM r2 WHERE rank <= 5""".stripMargin,
 
     "q94_keep_first" ->
       """SELECT user_id, event_id AS first_event,

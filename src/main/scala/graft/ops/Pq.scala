@@ -138,6 +138,89 @@ object Pq {
     nearestCode(subvectors(emb, idCol, vecCol, m, subDim), cbs)
   }
 
+  /** Residual frame for IVF-PQ: every vector minus its assigned coarse
+    * centroid, as (vec_id, centroid_id, rvec) with rvec double-
+    * widened. PQ codebooks learned on residuals are far tighter than
+    * on raw vectors — within a coarse list the residuals share scale,
+    * which is why IVF-PQ encodes residuals (Jégou et al. 2011, §III).
+    * One broadcast argmin + one narrow zip_with — no extra shuffle.
+    */
+  def residuals(emb: DataFrame, idCol: String, vecCol: String,
+                coarse: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    Similarity.assignWith(emb, idCol, vecCol, coarse)
+      .select(col("vec_id"), col("centroid_id"))
+      .join(emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), "vec_id")
+      .join(broadcast(coarse), "centroid_id")
+      .select(col("vec_id"), col("centroid_id"),
+        expr("zip_with(vec, c_vec, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE))")
+          .as("rvec"))
+  }
+
+  /** Full IVF-PQ search with RESIDUAL encoding — the canonical
+    * large-scale layout: corpus vectors live as per-list residual
+    * codes; each query probes its `nprobe` nearest coarse lists and
+    * scores each list's members with a LIST-LOCAL lookup table built
+    * from the query's residual to THAT centroid. Candidate generation
+    * is implicit: the LUT join on (centroid_id, sub, code) reaches
+    * exactly the probed lists' code rows — ~nprobe/nlists of the code
+    * table per query, full vectors touched only for queries and the
+    * m×k* codebook. approx_dist estimates squared L2 in the original
+    * space (|| (q − c) − r̂ ||²); DECIMAL sums keep it engine-exact.
+    *
+    * `cbs` must be codebooks learned on [[residuals]] of the same
+    * `coarse` frame. Output: (query_id, neighbor_id, approx_dist,
+    * rank), rank <= k, self excluded.
+    */
+  def ivfPqSearch(emb: DataFrame, idCol: String, vecCol: String,
+                  coarse: DataFrame, cbs: DataFrame, queryIds: Seq[Long],
+                  k: Int, nprobe: Int, m: Int, subDim: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    val res = residuals(emb, idCol, vecCol, coarse)
+    // codes carry their list: (neighbor_id, centroid_id, sub, code)
+    val codes = encode(res, "vec_id", "rvec", cbs, m, subDim)
+      .join(res.select(col("vec_id"), col("centroid_id")), "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"),
+        col("sub"), col("code"))
+    // query residual per PROBED centroid (queries × nprobe rows)
+    val qe = emb.filter(col(idCol).isin(queryIds: _*))
+    val pw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("centroid_id").asc)
+    val probes = Similarity.distancesWith(qe, idCol, vecCol, coarse)
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val rq = probes
+      .join(broadcast(qe.select(col(idCol).as("query_id"),
+        col(vecCol).as("vec"))), "query_id")
+      .join(broadcast(coarse), "centroid_id")
+      .select(col("query_id"), col("centroid_id"),
+        expr("zip_with(vec, c_vec, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE))")
+          .as("rvec"))
+    // list-local LUT (the subvector expansion keeps the centroid key);
+    // its (centroid_id, sub, code) join key IS the candidate generator
+    // when joined onto the code table
+    val lut = rq
+      .select(col("query_id"), col("centroid_id"), col("rvec"),
+        explode(expr(s"sequence(0L, ${m - 1}L)")).as("sub"))
+      .select(col("query_id"), col("centroid_id"), col("sub"),
+        expr(s"slice(rvec, CAST(sub * $subDim + 1 AS INT), $subDim)").as("v"))
+      .join(broadcast(cbs), "sub")
+      .select(col("query_id"), col("centroid_id"), col("sub"), col("code"),
+        expr("CAST(round(array_sqdiff(v, c_vec), 6) AS DECIMAL(28,10))").as("pd"))
+    val scored = codes
+      .join(broadcast(lut), Seq("centroid_id", "sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("pd")).cast("double").as("approx_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** ADC top-k: score every encoded vector (or only `candidates` —
     * the IVF-PQ composition) against each full-precision query via the
     * per-query lookup table. approx_dist is the SQUARED L2 distance

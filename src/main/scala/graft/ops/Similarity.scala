@@ -198,6 +198,28 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
   }
 
+  /** [[ivfAssign]] with caller-supplied centroids (centroid_id, c_vec)
+    * — the assignment head shared by the learned-IVF and residual-PQ
+    * compositions. Output: (vec_id, centroid_id, dist).
+    */
+  def assignWith(emb: DataFrame, idCol: String, vecCol: String,
+                 centroids: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    nearestCentroid(centroidDists(
+      emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), centroids))
+  }
+
+  /** Every (vec_id, centroid_id, dist) row against caller-supplied
+    * centroids — the probe-RANKING head ([[assignWith]] keeps only the
+    * argmin). Rows × centroids; call on query-sized frames.
+    */
+  def distancesWith(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    centroidDists(
+      emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), centroids)
+  }
+
   /** Write the corpus as a BUCKETED IVF store: every vector assigned to
     * its nearest centroid ([[ivfAssign]] semantics), then written once
     * bucketed (and bucket-sorted) by `centroid_id` via

@@ -389,6 +389,50 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Per-document mean bigram CONDITIONAL log-probability under the
+    * corpus's own bigram distribution — the conditional upgrade of
+    * [[unigramLogProb]] (CCNet scores with a 5-gram KenLM; corpus-
+    * internal bigrams are the same idea one order up from unigrams):
+    * score(d) = Σ_bg tf(d,bg)·ln P(w|v) / Σ_bg tf(d,bg) with
+    * P(w|v) = c(v w) / Σ_w' c(v w'). Word-salad documents whose words
+    * are individually common but never co-occur score LOW here while
+    * passing the unigram filter — exactly the gibberish class n-gram
+    * LMs exist to catch. Self-scoring the corpus means every document
+    * bigram is in the counts — no smoothing needed (generalize with a
+    * held-out split via [[Sampling.split]] plus add-one if scoring
+    * foreign text).
+    *
+    * Shape mirrors q80: ONE bigram explode (native word_ngrams) behind
+    * a lazy pin; bigram counts AND left-context totals both derive
+    * from the pinned tf frame (the context total is a reaggregation of
+    * bigram counts — not a second corpus scan); one equi-join back;
+    * ordered per-doc fold for engine-stable double sums. Documents
+    * with fewer than 2 words have no bigram and produce no row (the
+    * q71 convention). Output: (doc_id, n_bigrams, avg_logprob).
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.WordNgrams(df.sparkSession, col(textCol), 2))
+        .as("bg"))
+    val tf = Checkpoints.pin(
+      grams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf")),
+      checkpointDir, eager = false)
+    val bc = tf.groupBy(col("bg")).agg(sum(col("tf")).as("cnt"))
+    val cc = bc.groupBy(substring_index(col("bg"), " ", 1).as("ctx"))
+      .agg(sum(col("cnt")).as("ctx_cnt"))
+    tf.join(bc, "bg")
+      .join(cc, substring_index(col("bg"), " ", 1) === col("ctx"))
+      .select(col("doc_id"), col("bg"), col("tf"),
+        (col("tf") * log(col("cnt").cast("double") / col("ctx_cnt")))
+          .as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        expr("""round(aggregate(array_sort(collect_list(named_struct('bg', bg, 'v', v))),
+               |               cast(0.0 as double), (a, s) -> a + s.v) / sum(tf), 6)""".stripMargin)
+          .as("avg_logprob"))
+  }
+
   /** Cross-corpus contamination via winnowing fingerprints — the
     * character-level companion of [[ngramOverlap]]: for every (corpus
     * doc, benchmark doc) pair sharing at least one winnowed k-gram

@@ -78,6 +78,28 @@ class PqSpec extends AnyFunSuite {
     assert(got === Set((0L, 1L, 200.0, 1L), (0L, 3L, 200.0, 2L)))
   }
 
+  test("residual IVF-PQ: zero residuals for centroids; list-local LUT restricts to probed lists") {
+    val coarse = emb(0L -> Seq(0f, 0f), 1L -> Seq(10f, 10f))
+      .select($"vec_id".as("centroid_id"), $"embedding".as("c_vec"))
+    val res = Pq.residuals(corpus, "vec_id", "embedding", coarse)
+    val gotRes = res.as[(Long, Long, Seq[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // centroids reconstruct themselves: residual exactly zero
+    assert(gotRes(0L) === ((0L, Seq(0.0, 0.0))))
+    assert(gotRes(1L) === ((1L, Seq(0.0, 0.0))))
+    assert(gotRes(2L) === ((0L, Seq(1.0, 1.0))))   // 2 lives in list 0
+    assert(gotRes(3L) === ((1L, Seq(-1.0, -1.0)))) // 3 in list 1
+    // codebooks from the two nonzero residuals; query 0 probes only
+    // its own list (nprobe=1) → neighbor 2 scored, list-1 members not
+    val cbs = Pq.codebooks(res, "vec_id", "rvec", m = 2, subDim = 1,
+      initIds = Seq(2L, 3L), iters = 0)
+    val got = Pq.ivfPqSearch(corpus, "vec_id", "embedding", coarse, cbs,
+        queryIds = Seq(0L), k = 5, nprobe = 1, m = 2, subDim = 1)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // q0 residual (0,0) vs neighbor 2's codeword (1,1): 1² + 1² = 2
+    assert(got === Set((0L, 2L, 2.0, 1L)))
+  }
+
   test("guards: k, m/subDim, initIds, iters") {
     intercept[IllegalArgumentException] {
       Pq.codebooks(corpus, "vec_id", "embedding", 0, 1, Seq(0L), 1)
