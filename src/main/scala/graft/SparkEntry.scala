@@ -1087,6 +1087,15 @@ object SparkEntry {
         .unionByName(stageRows)
     }),
 
+    // approximate heavy hitters (Misra–Gries, k=20 counters): the
+    // fixed-memory mergeable alternative to q34's exact top terms —
+    // each partition ships ONE k-entry map instead of shuffling every
+    // distinct term. Approximate by design (rows-only, like q03/q32):
+    // merge order affects which sub-threshold terms survive; the
+    // super-threshold guarantee is spec-proven (ApproxErrorSpec)
+    "q99_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, dir), "text", k = 20)),
+
     // bigram LM quality filter: mean conditional log-prob under the
     // corpus's own bigram distribution — catches word salad that the
     // unigram filter (q80) passes; one pinned bigram explode, context

@@ -123,4 +123,63 @@ object TypedAggs {
 
   def cappedCollectIds(c: Column, cap: Int): Column =
     udaf(CappedCollectIds(cap), Encoders.scalaLong).apply(c)
+
+  private[graft] case class MgBuf(entries: Map[String, Long])
+
+  /** Heavy-hitters summary as a single value (see [[MisraGries]]). */
+  case class MgSummary(entries: Map[String, Long])
+
+  /** Misra–Gries heavy hitters (Misra & Gries 1982; the MERGEABLE form
+    * of Agarwal et al., "Mergeable Summaries", PODS 2012): at most `k`
+    * counters per group. Guarantees, for a group of n items:
+    *  - every item with true frequency > n/(k+1) IS in the summary;
+    *  - estimates never overcount and undercount by at most n/(k+1).
+    *
+    * merge() subtracts the (k+1)-th largest combined count — the PODS
+    * 2012 rule that preserves both bounds under partial aggregation —
+    * so the corpus never shuffles its items: each partition ships ONE
+    * k-entry map, the exact-top-terms alternative (q34) shuffles every
+    * distinct term. At 100 TB that is the difference between an
+    * all-terms exchange and k×partitions map entries.
+    *
+    * APPROXIMATE BY DESIGN and merge-order-dependent: estimates (and
+    * which sub-threshold items survive) vary with partitioning — the
+    * q03/q32 family; the guarantee, not the rows, is the contract
+    * (SketchSpec proves it against exact counts on skewed corpora).
+    */
+  case class MisraGries(k: Int) extends Aggregator[String, MgBuf, MgSummary] {
+    require(k > 0, "k must be positive")
+
+    override def zero: MgBuf = MgBuf(Map.empty)
+
+    override def reduce(b: MgBuf, a: String): MgBuf = {
+      val m = b.entries
+      m.get(a) match {
+        case Some(c) => MgBuf(m.updated(a, c + 1))
+        case None if m.size < k => MgBuf(m.updated(a, 1L))
+        case None => // decrement-all, drop zeros (the classic step)
+          MgBuf(m.collect { case (t, c) if c > 1 => t -> (c - 1) })
+      }
+    }
+
+    override def merge(x: MgBuf, y: MgBuf): MgBuf = {
+      val combined = y.entries.foldLeft(x.entries) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c)
+      }
+      if (combined.size <= k) MgBuf(combined)
+      else {
+        // subtract the (k+1)-th largest count; ≤ 0 entries drop
+        val thresh = combined.valuesIterator.toArray.sorted(
+          Ordering[Long].reverse).apply(k)
+        MgBuf(combined.collect { case (t, c) if c > thresh => t -> (c - thresh) })
+      }
+    }
+
+    override def finish(b: MgBuf): MgSummary = MgSummary(b.entries)
+    override def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
+    override def outputEncoder: Encoder[MgSummary] = Encoders.product[MgSummary]
+  }
+
+  def misraGries(c: Column, k: Int): Column =
+    udaf(MisraGries(k), Encoders.STRING).apply(c)
 }

@@ -310,6 +310,20 @@ object TextAnalysis {
           .as("chunk"))
   }
 
+  /** Approximate heavy hitters over the corpus's words: one explode +
+    * ONE mergeable Misra–Gries aggregate
+    * ([[graft.functions.TypedAggs.MisraGries]], k counters) — the
+    * fixed-memory alternative to [[topTerms]], whose exact counts
+    * shuffle every distinct term; here each partition ships one
+    * k-entry map. Output: (term, est_cnt) for the ≤ k surviving
+    * counters. APPROXIMATE BY DESIGN (merge-order-dependent rows; the
+    * frequency guarantee is the contract — ApproxErrorSpec).
+    */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("term"))
+      .agg(graft.functions.TypedAggs.misraGries(col("term"), k).as("mg"))
+      .select(explode(col("mg.entries")).as(Seq("term", "est_cnt")))
+
   /** Corpus-derived subword vocabulary: the top-`topK` words by corpus
     * frequency (count desc, word asc tie-break — total and
     * engine-reproducible). This is the vocabulary

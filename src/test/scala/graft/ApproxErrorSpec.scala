@@ -84,4 +84,33 @@ class ApproxErrorSpec extends AnyFunSuite {
         }
     }
   }
+
+  test("q99 Misra-Gries guarantee: super-threshold terms present, estimates within n/(k+1)") {
+    import spark.implicits._
+    // skewed synthetic term stream across 8 partitions (merge exercised)
+    val words = Seq.fill(500)("h1") ++ Seq.fill(300)("h2") ++
+      Seq.fill(150)("h3") ++ (0 until 100).flatMap(i => Seq.fill(10)(s"t$i"))
+    val k = 10
+    val got = words.toDF("term").repartition(8)
+      .agg(graft.functions.TypedAggs.misraGries(col("term"), k).as("mg"))
+      .select(explode(col("mg.entries")))
+      .as[(String, Long)].collect().toMap
+    assert(got.size <= k)
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = words.size.toLong
+    val bound = n / (k + 1)                       // 2450/11 = 222
+    // every item with true frequency > n/(k+1) must be present
+    exact.foreach { case (t, c) =>
+      if (c > bound) assert(got.contains(t), s"$t freq $c > $bound missing")
+    }
+    // estimates never overcount; undercount bounded by n/(k+1)
+    got.foreach { case (t, est) =>
+      val c = exact(t)
+      assert(est <= c, s"$t overcounted: $est > $c")
+      assert(c - est <= bound, s"$t undercounted past the bound")
+    }
+    // the q99 entry runs end-to-end and respects k
+    val q99 = SparkEntry.queries("q99_heavy_hitters")(spark, dir).collect()
+    assert(q99.nonEmpty && q99.length <= 20)
+  }
 }
