@@ -95,6 +95,61 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow_fps matches a naive O(n·k·w) reference on 200 random ASCII texts") {
+    // independent re-coding of the contract: hash every k-gram with the
+    // rolling polynomial's DEFINITION (no rolling update), take plain
+    // slice minima, distinct in first-occurrence order — any bug in the
+    // deque/rolling-update optimization diverges here
+    val B = 257L
+    val M = 1000000007L
+    def refFps(text: String, k: Int, w: Int): Seq[Long] = {
+      val bytes = text.getBytes("UTF-8")
+      val n = bytes.length
+      val nH = math.max(n - k + 1, 1)
+      val hs = (0 until nH).map { i =>
+        bytes.slice(i, math.min(i + k, n))
+          .foldLeft(0L)((h, b) => (h * B + (b & 0xffL)) % M)
+      }
+      val nW = math.max(nH - w + 1, 1)
+      val mins = (0 until nW).map(i => hs.slice(i, math.min(i + w, nH)).min)
+      mins.distinct
+    }
+    val rnd = new scala.util.Random(99)
+    val texts = (0 until 200).map { i =>
+      val len = rnd.nextInt(120)
+      (i.toLong, (0 until len).map(_ => (32 + rnd.nextInt(95)).toChar).mkString)
+    }
+    for ((k, w) <- Seq((8, 16), (3, 4), (1, 1))) {
+      val got = texts.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.functions.WinnowFps(spark, col("text"), k, w).as("fps"))
+        .as[(Long, Seq[Long])].collect().toMap
+      texts.foreach { case (id, t) =>
+        assert(got(id) === refFps(t, k, w), s"doc $id k=$k w=$w '${t.take(40)}'")
+      }
+    }
+  }
+
+  test("dataset split partitions every row for random fraction vectors") {
+    val rnd = new scala.util.Random(5)
+    val df = (1L to 2000L).toDF("id")
+    for (trial <- 0 until 5) {
+      val cuts = Seq.fill(2)(0.05 + rnd.nextDouble() * 0.4)
+      val fracs = Seq("a" -> cuts.head, "b" -> cuts(1),
+        "c" -> (1.0 - cuts.sum))
+      val out = graft.ops.Sampling.split(df, "id", fracs, salt = s"t$trial")
+        .groupBy("split").count().as[(String, Long)].collect().toMap
+      // exhaustive: every row labeled with one of the three names
+      assert(out.values.sum === 2000L, s"trial $trial lost rows: $out")
+      assert(out.keySet.subsetOf(Set("a", "b", "c")))
+      // roughly proportional (hash uniformity; generous 10-point band)
+      fracs.foreach { case (name, f) =>
+        val got = out.getOrElse(name, 0L) / 2000.0
+        assert(math.abs(got - f) < 0.1, s"trial $trial $name: $got vs $f")
+      }
+    }
+  }
+
   test("PQ encode picks the true argmin code per subspace on random vectors") {
     val rnd = new scala.util.Random(11)
     val dim = 8
