@@ -1087,6 +1087,17 @@ object SparkEntry {
         .unionByName(stageRows)
     }),
 
+    // mergeable UV rollup: hourly DataSketches-HLL sketches UNIONED
+    // into daily estimates — the events scan once, every coarser
+    // granularity derives from the stored fine sketches (exact daily
+    // UV would re-scan per granularity; distinct doesn't add).
+    // Approximate by design (no DuckDB sketch twin): rows-only +
+    // error band vs exact daily UV in ApproxErrorSpec
+    "q100_uv_sketch_daily" -> ((s, dir) =>
+      WindowedAgg.sketchRollupDistinct(
+        Tables.events(s, dir).filter(col("event_type") === "view"),
+        "ts", fine = "1 hour", coarse = "1 day", distinctCol = "user_id")),
+
     // approximate heavy hitters (Misra–Gries, k=20 counters): the
     // fixed-memory mergeable alternative to q34's exact top terms —
     // each partition ships ONE k-entry map instead of shuffling every

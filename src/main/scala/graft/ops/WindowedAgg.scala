@@ -85,4 +85,37 @@ object WindowedAgg {
     df.groupBy(window(col(tsCol), duration) +: keys.map(col): _*)
       .agg(round(sum(col(valueCol).cast("decimal(28,10)")), 2).cast("double").as(sumName))
       .select(bounds ++ keys.map(col) :+ col(sumName): _*)
+
+  /** Mergeable distinct-count ROLLUP via DataSketches HLL: fine windows
+    * aggregate each to ONE sketch (`hll_sketch_agg`), coarse windows
+    * UNION the fine sketches (`hll_union_agg`) — the raw events are
+    * scanned exactly once, and any coarser rollup (day → week → month,
+    * or a different grouping entirely) derives from the stored fine
+    * sketches alone. This is the pattern sketches exist for at 100 TB:
+    * distinct counts don't add, so exact rollups re-scan the events
+    * per granularity, while the sketch store is fine-windows × ~lgK KiB
+    * and re-aggregates in milliseconds. [[tumblingApproxDistinct]]'s
+    * HLL++ column is estimate-only — Spark exposes no union over it;
+    * the DataSketches binary IS the mergeable state (store it next to
+    * the window bounds and the rollup is a query, not a job).
+    *
+    * HLL register maxima are commutative/idempotent, so estimates are
+    * deterministic under any partitioning and merge order — but not
+    * reproducible in DuckDB (different sketch impl) ⇒ rows-only in the
+    * oracle gate, error-band-proven in ApproxErrorSpec (the q03/q32
+    * convention). Output: (window_start, window_end, uv_approx).
+    */
+  def sketchRollupDistinct(df: DataFrame, tsCol: String, fine: String,
+                           coarse: String, distinctCol: String,
+                           lgK: Int = 12): DataFrame = {
+    val fineSketches = df
+      .groupBy(window(col(tsCol), fine))
+      .agg(hll_sketch_agg(col(distinctCol), lgK).as("sk"))
+      .select(col("window.start").as("fine_start"), col("sk"))
+    fineSketches
+      .groupBy(window(col("fine_start"), coarse))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), false))
+        .as("uv_approx"))
+      .select(bounds :+ col("uv_approx"): _*)
+  }
 }

@@ -113,4 +113,22 @@ class ApproxErrorSpec extends AnyFunSuite {
     val q99 = SparkEntry.queries("q99_heavy_hitters")(spark, dir).collect()
     assert(q99.nonEmpty && q99.length <= 20)
   }
+
+  test("q100 sketch-rollup daily UV within HLL error of exact daily distinct") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q100_uv_sketch_daily")(spark, dir)
+      .select(col("window_start"), col("uv_approx").cast("double"))
+      .as[(Long, Double)].collect().toMap
+    val exact = graft.ops.WindowedAgg.tumblingDistinct(
+        graft.Tables.events(spark, dir).filter(col("event_type") === "view"),
+        "ts", "1 day", "user_id")
+      .select(col("window_start"), col("uv").cast("double"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet === exact.keySet)
+    // lgK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%; 3σ band with a small-count floor
+    exact.foreach { case (w, ex) =>
+      assert(math.abs(got(w) - ex) <= math.max(3.0, 0.05 * ex),
+        s"window $w: sketch ${got(w)} vs exact $ex")
+    }
+  }
 }
