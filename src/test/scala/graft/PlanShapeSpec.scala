@@ -141,6 +141,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q97: the bigram explode runs once behind the pin; context totals derive from tf") {
+    // unpinned, the tf / bigram-count / context-total subtrees each
+    // re-scan and re-explode — 3x the dominant cost (the q80 shape)
+    val p = plan("q97_bigram_logprob")
+    val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans === 0, s"q97 re-reads the corpus $scans times — tf pin broke")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q71: gram expansion is narrow; exactly the two aggregation exchanges") {
     val p = plan("q71_repetition")
     val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
