@@ -1098,12 +1098,14 @@ object SparkEntry {
         Tables.events(s, dir).filter(col("event_type") === "view"),
         "ts", fine = "1 hour", coarse = "1 day", distinctCol = "user_id")),
 
-    // approximate heavy hitters (Misra–Gries, k=20 counters): the
-    // fixed-memory mergeable alternative to q34's exact top terms —
-    // each partition ships ONE k-entry map instead of shuffling every
-    // distinct term. Approximate by design (rows-only, like q03/q32):
-    // merge order affects which sub-threshold terms survive; the
-    // super-threshold guarantee is spec-proven (ApproxErrorSpec)
+    // approximate heavy hitters (Misra–Gries, k=20 counters): fixed
+    // memory — each partition ships ONE k-entry map instead of
+    // shuffling every distinct term. Estimates TOTAL term frequency
+    // (q34's topTerms ranks by DOCUMENT frequency — a different
+    // statistic, not just exact-vs-approx). Approximate by design
+    // (rows-only, like q03/q32): merge order affects which
+    // sub-threshold terms survive; the super-threshold guarantee is
+    // spec-proven (ApproxErrorSpec)
     "q99_heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitters(Tables.documents(s, dir), "text", k = 20)),
 

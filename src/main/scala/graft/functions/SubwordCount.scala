@@ -76,20 +76,24 @@ case class SubwordCount(left: Expression, right: Expression)
 
 object SubwordCount {
 
-  /** Per-thread (vocabRef → piece set, max piece length) memo. The
-    * vocab reaches eval as the SAME ArrayData instance every row (it
-    * is required foldable — a Literal), so identity comparison is a
-    * sound and allocation-free cache key.
+  /** Per-thread vocabRef → (piece set, max piece length) memo, keyed
+    * by object IDENTITY: the vocab reaches eval as the SAME ArrayData
+    * instance every row (it is required foldable — a Literal). A map,
+    * not a single slot, so a projection evaluating subword_count with
+    * several vocab literals (e.g. two tokenizers compared side by
+    * side) doesn't thrash a rebuild per row; capped and cleared
+    * defensively — live vocab literals per thread are a handful.
     */
-  private val memo =
-    new ThreadLocal[(ArrayData, java.util.HashSet[String], Int)]
+  private val memo = ThreadLocal.withInitial(() =>
+    new java.util.IdentityHashMap[ArrayData, (java.util.HashSet[String], Int)])
 
   /** Greedy longest-match piece count (see class doc). Shared by the
     * interpreted and generated paths — one source of truth.
     */
   def count(text: UTF8String, vocab: ArrayData): Long = {
-    var m = memo.get()
-    if (m == null || (m._1 ne vocab)) {
+    val cache = memo.get()
+    var m = cache.get(vocab)
+    if (m == null) {
       val set = new java.util.HashSet[String]()
       var maxLen = 1
       var i = 0
@@ -104,11 +108,12 @@ object SubwordCount {
         }
         i += 1
       }
-      m = (vocab, set, maxLen)
-      memo.set(m)
+      m = (set, maxLen)
+      if (cache.size() >= 64) cache.clear()
+      cache.put(vocab, m)
     }
-    val set = m._2
-    val maxLen = m._3
+    val set = m._1
+    val maxLen = m._2
     val s = text.toString
     val n = s.length
     var tokens = 0L

@@ -124,7 +124,13 @@ object TypedAggs {
   def cappedCollectIds(c: Column, cap: Int): Column =
     udaf(CappedCollectIds(cap), Encoders.scalaLong).apply(c)
 
-  private[graft] case class MgBuf(entries: Map[String, Long])
+  /** Offset-form Misra–Gries state: an entry's ESTIMATE is
+    * `stored − debt`; entries with stored ≤ debt are logically dead
+    * (dropped lazily). `minStored` is a LOWER bound on the live min —
+    * staleness only costs an occasional empty compaction scan.
+    */
+  private[graft] case class MgBuf(entries: Map[String, Long], debt: Long,
+                                  minStored: Long)
 
   /** Heavy-hitters summary as a single value (see [[MisraGries]]). */
   case class MgSummary(entries: Map[String, Long])
@@ -135,47 +141,78 @@ object TypedAggs {
     *  - every item with true frequency > n/(k+1) IS in the summary;
     *  - estimates never overcount and undercount by at most n/(k+1).
     *
-    * merge() subtracts the (k+1)-th largest combined count — the PODS
-    * 2012 rule that preserves both bounds under partial aggregation —
-    * so the corpus never shuffles its items: each partition ships ONE
-    * k-entry map, the exact-top-terms alternative (q34) shuffles every
-    * distinct term. At 100 TB that is the difference between an
-    * all-terms exchange and k×partitions map entries.
+    * The classic decrement-all step is implemented in OFFSET form: a
+    * shared `debt` counter increments instead of rebuilding all k
+    * entries, so the tail-heavy hot path (unseen item, counters full —
+    * the common case on Zipfian streams) is O(1) instead of O(k);
+    * dead entries compact lazily when a slot is needed (tracked by a
+    * conservative `minStored` bound). The decrements-remove-(k+1)-units
+    * argument is unchanged: debt only increments when all k counters
+    * are strictly alive, so both bounds above hold verbatim.
+    *
+    * merge() materializes estimates and subtracts the (k+1)-th largest
+    * combined count — the PODS 2012 rule that preserves both bounds
+    * under partial aggregation — so the corpus never shuffles its
+    * items: each partition ships ONE k-entry map where an exact count
+    * shuffles every distinct term. At 100 TB that is the difference
+    * between an all-terms exchange and k×partitions map entries.
     *
     * APPROXIMATE BY DESIGN and merge-order-dependent: estimates (and
     * which sub-threshold items survive) vary with partitioning — the
     * q03/q32 family; the guarantee, not the rows, is the contract
-    * (SketchSpec proves it against exact counts on skewed corpora).
+    * (ApproxErrorSpec and RandomizedSpec prove it against exact counts
+    * on skewed and uniform corpora).
     */
   case class MisraGries(k: Int) extends Aggregator[String, MgBuf, MgSummary] {
     require(k > 0, "k must be positive")
 
-    override def zero: MgBuf = MgBuf(Map.empty)
+    override def zero: MgBuf = MgBuf(Map.empty, 0L, Long.MaxValue)
 
     override def reduce(b: MgBuf, a: String): MgBuf = {
       val m = b.entries
       m.get(a) match {
-        case Some(c) => MgBuf(m.updated(a, c + 1))
-        case None if m.size < k => MgBuf(m.updated(a, 1L))
-        case None => // decrement-all, drop zeros (the classic step)
-          MgBuf(m.collect { case (t, c) if c > 1 => t -> (c - 1) })
+        case Some(c) =>
+          // minStored may go stale-low when the min entry grows — a
+          // lower bound stays correct
+          MgBuf(m.updated(a, c + 1), b.debt, b.minStored)
+        case None if m.size < k =>
+          val s = b.debt + 1
+          MgBuf(m.updated(a, s), b.debt, math.min(b.minStored, s))
+        case None if b.minStored <= b.debt =>
+          // something may be dead — compact, then insert or pay debt
+          val kept = m.filter(_._2 > b.debt)
+          if (kept.size < k) {
+            val s = b.debt + 1
+            val mn = if (kept.isEmpty) s else math.min(kept.values.min, s)
+            MgBuf(kept.updated(a, s), b.debt, mn)
+          } else // the bound was stale: all k alive after all
+            MgBuf(kept, b.debt + 1, kept.values.min)
+        case None =>
+          // all k counters strictly alive: the classic decrement-all
+          // collapses to one debt increment — the O(1) hot path
+          MgBuf(m, b.debt + 1, b.minStored)
       }
     }
 
     override def merge(x: MgBuf, y: MgBuf): MgBuf = {
-      val combined = y.entries.foldLeft(x.entries) { case (m, (t, c)) =>
-        m.updated(t, m.getOrElse(t, 0L) + c)
+      val ex = x.entries.collect { case (t, s) if s > x.debt => t -> (s - x.debt) }
+      val combined = y.entries.foldLeft(ex) { case (m, (t, s)) =>
+        if (s > y.debt) m.updated(t, m.getOrElse(t, 0L) + (s - y.debt)) else m
       }
-      if (combined.size <= k) MgBuf(combined)
-      else {
-        // subtract the (k+1)-th largest count; ≤ 0 entries drop
-        val thresh = combined.valuesIterator.toArray.sorted(
-          Ordering[Long].reverse).apply(k)
-        MgBuf(combined.collect { case (t, c) if c > thresh => t -> (c - thresh) })
-      }
+      val pruned =
+        if (combined.size <= k) combined
+        else {
+          // subtract the (k+1)-th largest count; ≤ 0 entries drop
+          val thresh = combined.valuesIterator.toArray.sorted(
+            Ordering[Long].reverse).apply(k)
+          combined.collect { case (t, c) if c > thresh => t -> (c - thresh) }
+        }
+      MgBuf(pruned, 0L,
+        if (pruned.isEmpty) Long.MaxValue else pruned.values.min)
     }
 
-    override def finish(b: MgBuf): MgSummary = MgSummary(b.entries)
+    override def finish(b: MgBuf): MgSummary = MgSummary(
+      b.entries.collect { case (t, s) if s > b.debt => t -> (s - b.debt) })
     override def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
     override def outputEncoder: Encoder[MgSummary] = Encoders.product[MgSummary]
   }

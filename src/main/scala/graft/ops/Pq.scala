@@ -95,6 +95,9 @@ object Pq {
                 checkpointDir: Option[String] = None): DataFrame = {
     require(m >= 1 && subDim >= 1, "m and subDim must be >= 1")
     require(initIds.nonEmpty, "initIds must be non-empty")
+    // a duplicated id would seed two IDENTICAL (sub, code) rows and the
+    // ADC LUT join would then double-count that code's partial distance
+    require(initIds.distinct.size == initIds.size, "initIds must be distinct")
     require(iters >= 0, "iters must be >= 0")
     graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
     val sv = subvectors(emb, idCol, vecCol, m, subDim)
@@ -174,11 +177,15 @@ object Pq {
     */
   def ivfPqSearch(emb: DataFrame, idCol: String, vecCol: String,
                   coarse: DataFrame, cbs: DataFrame, queryIds: Seq[Long],
-                  k: Int, nprobe: Int, m: Int, subDim: Int): DataFrame = {
+                  k: Int, nprobe: Int, m: Int, subDim: Int,
+                  checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    require(nprobe >= 1, "nprobe must be >= 1")
     graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
-    val res = residuals(emb, idCol, vecCol, coarse)
+    // PIN the residual frame: it feeds BOTH encode() and the
+    // centroid_id carry-join below — unpinned, the corpus-scale
+    // assignment argmin + zip_with would execute twice in one plan
+    val res = Checkpoints.pin(residuals(emb, idCol, vecCol, coarse),
+      checkpointDir, eager = false)
     // codes carry their list: (neighbor_id, centroid_id, sub, code)
     val codes = encode(res, "vec_id", "rvec", cbs, m, subDim)
       .join(res.select(col("vec_id"), col("centroid_id")), "vec_id")
@@ -186,13 +193,8 @@ object Pq {
         col("sub"), col("code"))
     // query residual per PROBED centroid (queries × nprobe rows)
     val qe = emb.filter(col(idCol).isin(queryIds: _*))
-    val pw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist").asc, col("centroid_id").asc)
-    val probes = Similarity.distancesWith(qe, idCol, vecCol, coarse)
-      .withColumn("rn", row_number().over(pw))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("centroid_id"))
-    val rq = probes
+    val rq = Similarity.probeCentroids(emb, idCol, vecCol, coarse,
+        queryIds, nprobe)
       .join(broadcast(qe.select(col(idCol).as("query_id"),
         col(vecCol).as("vec"))), "query_id")
       .join(broadcast(coarse), "centroid_id")

@@ -172,6 +172,26 @@ object Similarity {
       emb, idCol, vecCol, k)
   }
 
+  /** Each query's `nprobe` nearest centroids as (query_id,
+    * centroid_id) — the probe-ranking head shared by EVERY IVF path
+    * ([[ivfCandidates]], [[ivfSearchBucketed]], [[Pq.ivfPqSearch]]):
+    * one place, so tie-break/rounding changes cannot silently diverge
+    * the paths whose row-for-row equality the specs and oracles pin.
+    * The Window partitions on the dimension-sized query set.
+    */
+  def probeCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, queryIds: Seq[Long],
+                     nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val pw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("centroid_id").asc)
+    distancesWith(emb.filter(col(idCol).isin(queryIds: _*)), idCol, vecCol,
+        centroids)
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+  }
+
   /** The candidate-generation head of [[ivfSearchWith]] without the
     * cosine tail: (query_id, neighbor_id) pairs from probing each
     * query's `nprobe` nearest centroid lists, self excluded. Feed a
@@ -182,18 +202,11 @@ object Similarity {
   def ivfCandidates(emb: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, queryIds: Seq[Long],
                     nprobe: Int): DataFrame = {
-    require(nprobe >= 1, "nprobe must be >= 1")
     graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
-    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
-    val assign = nearestCentroid(centroidDists(e, centroids))
+    val assign = assignWith(emb, idCol, vecCol, centroids)
       .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
-    val pw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist").asc, col("centroid_id").asc)
-    val probes = centroidDists(e.filter(col("vec_id").isin(queryIds: _*)), centroids)
-      .withColumn("rn", row_number().over(pw))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("centroid_id"))
-    probes.join(assign, "centroid_id")
+    probeCentroids(emb, idCol, vecCol, centroids, queryIds, nprobe)
+      .join(assign, "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
   }
@@ -263,19 +276,12 @@ object Similarity {
                         vecCol: String, centroids: DataFrame,
                         queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    require(nprobe >= 1, "nprobe must be >= 1")
     graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
     val qe = emb.filter(col(idCol).isin(queryIds: _*))
     val q = normedVectors(qe, idCol, vecCol)
       .select(col("vid").as("query_id"), col("vec").as("q_vec"),
         col("norm2").as("q_norm2"))
-    val pw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist").asc, col("centroid_id").asc)
-    val probes = centroidDists(
-        qe.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), centroids)
-      .withColumn("rn", row_number().over(pw))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val probes = probeCentroids(emb, idCol, vecCol, centroids, queryIds, nprobe)
     // both probe-side joins broadcast explicitly: queries × nprobe is
     // dimension-sized by contract, and size-based planning is often
     // disabled/blind here (derived frames have no stats)

@@ -312,12 +312,16 @@ object TextAnalysis {
 
   /** Approximate heavy hitters over the corpus's words: one explode +
     * ONE mergeable Misra–Gries aggregate
-    * ([[graft.functions.TypedAggs.MisraGries]], k counters) — the
-    * fixed-memory alternative to [[topTerms]], whose exact counts
-    * shuffle every distinct term; here each partition ships one
-    * k-entry map. Output: (term, est_cnt) for the ≤ k surviving
-    * counters. APPROXIMATE BY DESIGN (merge-order-dependent rows; the
-    * frequency guarantee is the contract — ApproxErrorSpec).
+    * ([[graft.functions.TypedAggs.MisraGries]], k counters) — fixed
+    * memory where an exact count shuffles every distinct term; here
+    * each partition ships one k-entry map. NOTE the statistic: this
+    * estimates TOTAL TERM FREQUENCY (occurrences), not [[topTerms]]'
+    * document frequency — a rare word repeated heavily inside one
+    * document ranks here but not there; don't swap one for the other
+    * without meaning to change the ranking. Output: (term, est_cnt)
+    * for the ≤ k surviving counters. APPROXIMATE BY DESIGN
+    * (merge-order-dependent rows; the frequency guarantee is the
+    * contract — ApproxErrorSpec).
     */
   def heavyHitters(df: DataFrame, textCol: String, k: Int): DataFrame =
     df.select(explode(split(col(textCol), " ")).as("term"))

@@ -108,6 +108,20 @@ object WindowedAgg {
   def sketchRollupDistinct(df: DataFrame, tsCol: String, fine: String,
                            coarse: String, distinctCol: String,
                            lgK: Int = 12): DataFrame = {
+    // each fine sketch lands in the coarse window containing its START
+    // — a fine window STRADDLING a coarse boundary would dump all its
+    // users into the earlier coarse window, so the coarse duration
+    // must be a whole multiple of the fine one
+    def micros(s: String): Long = {
+      val i = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      require(i.months == 0,
+        s"sketchRollupDistinct: month-based duration '$s' cannot be alignment-checked")
+      i.days * 86400000000L + i.microseconds
+    }
+    require(micros(coarse) % micros(fine) == 0,
+      s"coarse '$coarse' must be a whole multiple of fine '$fine' — " +
+        "a straddling fine window would misattribute its users")
     val fineSketches = df
       .groupBy(window(col(tsCol), fine))
       .agg(hll_sketch_agg(col(distinctCol), lgK).as("sk"))

@@ -150,6 +150,39 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  test("Misra-Gries bounds hold on random Zipfian, uniform, and all-distinct streams") {
+    // the offset-form implementation must honor the textbook bounds on
+    // every distribution shape — all-distinct exercises the O(1) debt
+    // path on every row, Zipfian the mixed path, uniform the compactor
+    val rnd = new scala.util.Random(23)
+    val streams: Seq[(String, Seq[String])] = Seq(
+      "zipf" -> (0 until 3000).map { _ =>
+        val r = rnd.nextDouble()
+        if (r < 0.3) "z0" else if (r < 0.45) "z1"
+        else s"t${rnd.nextInt(400)}"
+      },
+      "uniform" -> (0 until 2000).map(_ => s"u${rnd.nextInt(50)}"),
+      "distinct" -> (0 until 2000).map(i => s"d$i"))
+    for ((label, words) <- streams; k <- Seq(5, 20)) {
+      val got = words.toDF("term").repartition(8)
+        .agg(graft.functions.TypedAggs.misraGries(col("term"), k).as("mg"))
+        .select(explode(col("mg.entries")))
+        .as[(String, Long)].collect().toMap
+      assert(got.size <= k, s"$label k=$k overflowed: ${got.size}")
+      val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = words.size.toLong / (k + 1)
+      exact.foreach { case (t, c) =>
+        if (c > bound)
+          assert(got.contains(t), s"$label k=$k: $t freq $c > $bound missing")
+      }
+      got.foreach { case (t, est) =>
+        val c = exact(t)
+        assert(est <= c, s"$label k=$k: $t overcounted $est > $c")
+        assert(c - est <= bound, s"$label k=$k: $t undercount ${c - est} > $bound")
+      }
+    }
+  }
+
   test("PQ encode picks the true argmin code per subspace on random vectors") {
     val rnd = new scala.util.Random(11)
     val dim = 8
