@@ -123,6 +123,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q86: mixture membership is a pure pushdown-friendly filter — zero exchanges, zero joins") {
+    // the dimension-sized stratum-count collect happens at query
+    // CONSTRUCTION; the returned plan must be scan + filter + project
+    val p = plan("q86_mixture")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"q86 membership should be a pure filter but the plan disagrees:\n$p")
+  }
+
   test("q90: the subword tokenizer is one narrow codegen'd projection — zero exchanges, zero joins") {
     // (the vocab derivation collects separately at query-construction
     // time; the counting query itself is the scan + one expression)

@@ -150,6 +150,41 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  test("CEP strict-contiguity pattern equals the lag-based detector on random event streams") {
+    // the NFA (cep.CEP) and the window-lag form (SequenceDetect) claim
+    // the same semantics for 2-consecutive-within-horizon; the driver
+    // data proves it once (q09 ≡ q16) — random streams with duplicate
+    // timestamps, interleaved keys, and boundary gaps prove the
+    // equivalence isn't an artifact of that one dataset
+    val rnd = new scala.util.Random(31)
+    val events = (0 until 2500).map { i =>
+      val user = rnd.nextInt(25).toLong
+      // coarse second grid → plenty of exact-tie timestamps (the
+      // (ts, id) tie-break must agree between both implementations)
+      val ts = new java.sql.Timestamp(1700000000000L + rnd.nextInt(400) * 1000L)
+      val tpe = if (rnd.nextBoolean()) "error" else "success"
+      (user, ts, tpe, i.toLong)
+    }
+    val df = events.toDF("user_id", "ts", "event_type", "event_id")
+    val lag = graft.ops.SequenceDetect.consecutiveFails(
+        df, "user_id", "ts", "event_type", "event_id", "error", "90 SECONDS")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val cep = {
+      val ev = df.select(col("user_id").cast("string").as("key"), col("ts"),
+          col("event_type").as("eventType"), col("event_id").as("id"))
+        .as[graft.cep.CepEvent]
+      val p = graft.cep.Pattern.begin("first", _.eventType == "error")
+        .next("second", _.eventType == "error")
+        .within("90 seconds")
+      graft.cep.CEP.detectBatch(ev, p)
+        .map(m => (m.key.toLong, m.events.last.id,
+          m.events.head.tsMs / 1000, m.events.last.tsMs / 1000))
+        .collect().toSet
+    }
+    assert(lag === cep, s"lag-only: ${(lag -- cep).take(3)}; cep-only: ${(cep -- lag).take(3)}")
+    assert(lag.nonEmpty, "degenerate run: no consecutive fails generated")
+  }
+
   test("Misra-Gries bounds hold on random Zipfian, uniform, and all-distinct streams") {
     // the offset-form implementation must honor the textbook bounds on
     // every distribution shape — all-distinct exercises the O(1) debt

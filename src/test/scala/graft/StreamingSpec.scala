@@ -358,6 +358,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(n === 2) // one row per key
   }
 
+  test("streaming corpus composition: sample → scrub → watermark dedup → quality gate ≡ batch") {
+    // the CONTINUOUS-INGESTION form of the corpus pipeline's stateless
+    // prefix: deterministic hash sample and PII scrub are narrow (run
+    // unchanged on the stream), near-dup dedup is the watermark-bounded
+    // fingerprint form, the quality gate is a per-doc projection +
+    // filter. One streaming query composes all four; survivors must
+    // equal the batch twin (keepFirst over the same fingerprints)
+    val input = MemoryStream[(Long, String, Timestamp)]
+    def gates(docs: org.apache.spark.sql.DataFrame, streaming: Boolean) = {
+      val sampled = graft.ops.Sampling.hashSample(docs, "id", 0.9)
+      val scrubbed = sampled.withColumn("text",
+        graft.ops.TextAnalysis.redactCol(col("text")))
+      val deduped =
+        if (streaming)
+          graft.ops.Dedup.streamingFingerprint(scrubbed, "text", "ts", "10 seconds")
+        else
+          graft.ops.Dedup.keepFirst(
+            scrubbed.withColumn("fingerprint", graft.ops.Dedup.fingerprint("text")),
+            Seq("fingerprint"), Seq("ts", "id"))
+      graft.ops.TextAnalysis.qualityScore(deduped, "id", "text")
+        .filter(col("quality") >= 0.1).select(col("doc_id"))
+    }
+    val q = gates(input.toDF().toDF("id", "text", "ts"), streaming = true)
+      .writeStream.outputMode("append").format("memory").queryName("scc").start()
+    // ids chosen to SURVIVE the 0.9 hash sample (md5 bucket < 9000:
+    // 2,3,5,6,8) except 1, which samples out — every gate then has a
+    // doc exercising it
+    val docs = Seq(
+      (1L, "this one hashes out of the sample entirely", ts(99)),
+      (2L, "the quick brown fox jumped over the lazy dog near the river", ts(100)),
+      (3L, "quick the fox brown jumped over the lazy dog near the river", ts(101)), // word-order dup of 2
+      (5L, "mail me at u5@example.com about the quick delivery of the parcel", ts(102)),
+      (6L, "an entirely different document about rivers and the parcels therein", ts(103)),
+      (8L, "spam spam spam spam spam spam spam spam spam spam spam spam", ts(104))) // 1 distinct word in 12
+    input.addData(docs.take(3): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("scc").as[Long].collect().toSet
+    val batch = gates(docs.toDF("id", "text", "ts"), streaming = false)
+      .as[Long].collect().toSet
+    assert(streamed === batch)
+    // 1 sampled out; 3 deduped against 2; 8 gated (quality ≈ 0.081:
+    // diversity 1/12, length 12/100, full stopword-free penalty)
+    assert(streamed === Set(2L, 5L, 6L))
+  }
+
   test("streaming dedup helpers: streamingExact ≡ batch keepFirst within the horizon") {
     // duplicate-injection corpus, arriving in event-time order across
     // micro-batches: survivors of the watermark-bounded streaming dedup
