@@ -1109,6 +1109,15 @@ object SparkEntry {
     "q99_heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitters(Tables.documents(s, dir), "text", k = 20)),
 
+    // fixed-size per-stratum sample: exactly 5 docs per source by
+    // salted-hash order — the fixed-N eval-set builder (fraction
+    // samplers drift with stratum size); rank<=n plans as
+    // WindowGroupLimit so partitions pre-prune before the exchange
+    "q101_fixed_size_sample" -> ((s, dir) =>
+      Sampling.fixedSizeSample(Tables.documents(s, dir), "doc_id", "source",
+          n = 5, salt = "eval:")
+        .select(col("doc_id"), col("source"))),
+
     // bigram LM quality filter: mean conditional log-prob under the
     // corpus's own bigram distribution — catches word salad that the
     // unigram filter (q80) passes; one pinned bigram explode, context
@@ -2581,6 +2590,15 @@ object SparkEntry {
     "q96_salted_join" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey AS suppkey, s_name
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+
+    "q101_fixed_size_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY ('0x'||substr(md5('eval:' || doc_id::VARCHAR),1,15))::BIGINT,
+        |                    doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5""".stripMargin,
 
     // P(w|v) = c(v w)/Σ_w' c(v w'); in-order fold over bg for
     // engine-stable double sums (the q80 convention)

@@ -111,6 +111,42 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Deterministic FIXED-SIZE sample per stratum: exactly `n` rows from
+    * each stratum (fewer when the stratum is smaller) — the fixed-N
+    * eval/holdout set the fraction samplers can't pin (a fraction's
+    * yield drifts with stratum size). Selection order is the salted id
+    * hash with an id tie-break, so the same rows come back at any
+    * layout and the DuckDB oracle reproduces them exactly; adding rows
+    * to a stratum only evicts from the boundary.
+    *
+    * Shape: rank over (hash, id) per stratum. Strata are usually
+    * LOW-cardinality (sources, languages) — the classic WindowExec
+    * trap — but the rank<=n predicate plans as WindowGroupLimit, so
+    * each partition pre-prunes to its own top-n BEFORE the exchange
+    * (the q04 shape, PlanShapeSpec pins it): the shuffle moves ~n ×
+    * partitions rows, never the corpus.
+    */
+  def fixedSizeSample(df: DataFrame, idCol: String, strataCol: String,
+                      n: Int, salt: String = ""): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val rn = Iterator.iterate("_rank")(_ + "_")
+      .find(c => !df.columns.exists(_.equalsIgnoreCase(c))).get
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(bucketFull(df, idCol, salt).asc, col(idCol).asc)
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= n).drop(rn)
+  }
+
+  /** Full-width hash (no modulus) of (salt, `idCol`) — the selection
+    * ORDER for [[fixedSizeSample]]; [[bucket]]'s 1/10000 granularity
+    * would tie thousands of rows and push every decision to the id
+    * tie-break (biasing selection toward low ids).
+    */
+  private def bucketFull(df: DataFrame, idCol: String, salt: String): Column =
+    graft.functions.Md5Long60(df.sparkSession,
+      concat(lit(salt), col(idCol).cast("string")).cast("binary"))
+
   /** Deterministic corpus mixture: subsample each stratum so the kept
     * rows realize `weights` as proportions, keeping as much data as
     * possible — the binding stratum (smallest count/share ratio) is

@@ -196,6 +196,29 @@ class MiningSpec extends AnyFunSuite {
       .groupBy("split").count().count() === 2)
   }
 
+  test("fixedSizeSample: exactly n per stratum, layout-independent, short strata whole") {
+    val df = ((1L to 100L).map(i => (i, "big")) ++ (101L to 103L).map(i => (i, "small")))
+      .toDF("id", "src")
+    val got = ops.Sampling.fixedSizeSample(df, "id", "src", n = 7)
+      .as[(Long, String)].collect().toSet
+    assert(got.count(_._2 == "big") === 7)
+    assert(got.count(_._2 == "small") === 3)   // smaller stratum: itself, whole
+    // layout independence: any repartitioning returns the same rows
+    val re = ops.Sampling.fixedSizeSample(df.repartition(13), "id", "src", n = 7)
+      .as[(Long, String)].collect().toSet
+    assert(re === got)
+    // growing a stratum only evicts from the selection boundary: the
+    // previous picks either all survive or lose members, never swap
+    // mid-set (hash order is stable per id)
+    val grown = ops.Sampling.fixedSizeSample(
+        df.union(Seq((200L, "big")).toDF("id", "src")), "id", "src", n = 7)
+      .as[(Long, String)].collect().toSet
+    assert((got intersect grown).size >= 6)
+    intercept[IllegalArgumentException] {
+      ops.Sampling.fixedSizeSample(df, "id", "src", n = 0)
+    }
+  }
+
   test("mixture after an upstream sample stays proportional (salted, decorrelated hash)") {
     // an unsalted mixture on the survivors of hashSample(0.5) would be
     // the SAME coin flip: every survivor has hash%10000 < 5000, so a

@@ -123,6 +123,13 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q101: fixed-size sampling pre-prunes rank<=n below the shuffle (WindowGroupLimit)") {
+    // strata are low-cardinality — without the group-limit pre-prune
+    // the whole corpus would shuffle into a handful of Window tasks
+    val p = plan("q101_fixed_size_sample")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
   test("q86: mixture membership is a pure pushdown-friendly filter — zero exchanges, zero joins") {
     // the dimension-sized stratum-count collect happens at query
     // CONSTRUCTION; the returned plan must be scan + filter + project
