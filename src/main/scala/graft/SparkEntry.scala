@@ -1191,6 +1191,28 @@ object SparkEntry {
         candidates = Some(Similarity.ivfCandidates(emb, "vec_id", "embedding",
           cents, (0L until 10L).toSeq, nprobe = 2)))
     }),
+
+    // SemDeDup: cluster by nearest seed centroid, pairwise-compare ONLY
+    // within a cluster (work Σ|cluster|² — the LSH-bucket bound, never
+    // all-pairs), drop every member with a lower-id near-identical
+    // cluster-mate. The semantic companion of q59's SRP near-dup:
+    // centroid blocking groups by topic region, catching paraphrased
+    // duplicates SRP sign-buckets split apart
+    "q102_semantic_dedup" -> ((s, dir) =>
+      Dedup.semDedupLosers(Tables.embeddings(s, dir), "vec_id", "embedding",
+        centroidIds = (0L until 8L).toSeq, threshold = 0.3)),
+
+    // DSIR importance resampling: score every doc by its unigram
+    // log-likelihood ratio against the src0 slice's LM, keep with
+    // probability exp(llr/T) by id hash — tilts the corpus toward the
+    // target domain with zero RNG and one token explode
+    "q103_importance_resample" -> ((s, dir) => {
+      val scored = TextAnalysis.importanceScore(Tables.documents(s, dir),
+        "doc_id", "text", col("source") === "src0")
+      Sampling.weightedHashSample(scored, "doc_id",
+        round(exp(col("llr") / 0.01), 6), salt = "dsir")
+        .select(col("doc_id"), col("n_words"), col("llr"))
+    }),
   )
 
   /** Shared DuckDB CTE body: minhash band buckets over relation `rel`
@@ -2761,5 +2783,64 @@ object SparkEntry {
          |       (start + subword_cnt - 1) // 512 AS last_bin,
          |       start % 512 AS offset_in_first
          |FROM c""".stripMargin,
+
+    // q33's assignment head, q59's pairwise-cosine body scoped to the
+    // cluster, min-id keeper per loser
+    "q102_semantic_dedup" ->
+      """WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, embedding AS c_vec FROM e0 WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT e0.vec_id, c.centroid_id,
+        |         round(sqrt(list_sum(list_transform(generate_series(1, len(e0.embedding)),
+        |           i -> (e0.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)
+        |              * (e0.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)))), 6) AS dist
+        |  FROM e0 CROSS JOIN c),
+        |assign AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        |    FROM sc) WHERE rn = 1),
+        |e AS (
+        |  SELECT * FROM (
+        |    SELECT e0.vec_id, e0.embedding, a.centroid_id,
+        |           list_sum(list_transform(e0.embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
+        |    FROM e0 JOIN assign a USING (vec_id))
+        |  WHERE norm2 > 0),
+        |pairs AS (
+        |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, l.centroid_id,
+        |         round(list_sum(list_transform(generate_series(1, len(l.embedding)),
+        |             i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE))
+        |           / sqrt(l.norm2 * r.norm2), 6) AS cosine
+        |  FROM e l JOIN e r ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id)
+        |SELECT vec_b AS vec_id, centroid_id, vec_a AS dup_of, cosine FROM (
+        |  SELECT vec_b, centroid_id, vec_a, cosine,
+        |         row_number() OVER (PARTITION BY vec_b ORDER BY vec_a) AS rn
+        |  FROM pairs WHERE cosine >= 0.3) WHERE rn = 1""".stripMargin,
+
+    // add-one smoothed target-vs-corpus unigram LLR (q80's fold shape),
+    // then the q66 hash-threshold keep on exp(llr/T)
+    "q103_importance_resample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source = 'src0' AS is_target,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, is_target, term, count(*) AS tf FROM w GROUP BY 1, 2, 3),
+        |wc AS (SELECT term, sum(tf) AS cnt_c FROM tf GROUP BY 1),
+        |wt AS (SELECT term, sum(tf) AS cnt_t FROM tf WHERE is_target GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(cnt_c) FROM wc) AS total_c,
+        |               (SELECT count(*) FROM wc) AS vocab,
+        |               (SELECT sum(cnt_t) FROM wt) AS total_t),
+        |v AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         tf.tf * (ln((coalesce(wt.cnt_t, 0) + 1)::DOUBLE / (tot.total_t + tot.vocab))
+        |                - ln((wc.cnt_c + 1)::DOUBLE / (tot.total_c + tot.vocab))) AS v
+        |  FROM tf JOIN wc USING (term) LEFT JOIN wt USING (term) CROSS JOIN tot),
+        |s AS (
+        |  SELECT doc_id, sum(tf)::BIGINT AS n_words,
+        |         round(list_sum(list(v ORDER BY term)) / sum(tf), 6) AS llr
+        |  FROM v GROUP BY 1)
+        |SELECT doc_id, n_words, llr FROM s
+        |WHERE ('0x'||substr(md5('dsir' || doc_id::VARCHAR),1,15))::BIGINT % 10000 <
+        |      floor(least(greatest(round(exp(llr / 0.01), 6), 0.0), 1.0) * 10000)""".stripMargin,
   )
 }

@@ -469,4 +469,53 @@ object Dedup {
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings by nearest centroid, compare
+    * pairs ONLY within a cluster, and drop every member that has a
+    * lower-id cluster-mate with cosine >= threshold. SemDeDup keeps a
+    * random member of each duplicate group; keeping the min id is the
+    * deterministic twin of that policy (the reported `dup_of` is the
+    * smallest such keeper, picked by min(struct), a map-side-combining
+    * aggregate — no Window sort).
+    *
+    * This is the semantic companion of [[embeddingNearDup]]: SRP
+    * buckets block by random hyperplane signs (near-exact duplicates),
+    * centroid clusters block by topic region, which is what lets a
+    * paraphrased duplicate land in the same comparison group. Work is
+    * Σ|cluster|² — the LSH-bucket bound, never all-pairs; at 100 TB the
+    * centroid count scales with the corpus (nlists ∝ √N keeps clusters
+    * flat) and the pairing is one equi-join shuffle on centroid_id.
+    * Zero-norm vectors are excluded before pairing (cosine NaN guard,
+    * same as embeddingNearDup). Centroids are seeded from `centroidIds`
+    * rows so the oracle can reproduce them; plug in
+    * [[Similarity.kmeansCentroids]] for learned clusters — the plan
+    * shape is identical (broadcast centroids, argmin, one equi-join).
+    *
+    * Output: (vec_id, centroid_id, dup_of, cosine) — one row per
+    * DROPPED member.
+    */
+  def semDedupLosers(emb: DataFrame, idCol: String, vecCol: String,
+                     centroidIds: Seq[Long], threshold: Double): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    val assign = Similarity.ivfAssign(emb, idCol, vecCol, centroidIds)
+      .select(col("vec_id").as("vid"), col("centroid_id"))
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .withColumn("norm2", expr("array_dot(vec, vec)"))
+      .filter(col("norm2") > 0)
+      .join(assign, "vid")
+    val a = e.select(col("vid").as("vec_a"), col("vec").as("vec_l"),
+      col("norm2").as("norm2_l"), col("centroid_id"))
+    val b = e.select(col("vid").as("vec_b"), col("vec").as("vec_r"),
+      col("norm2").as("norm2_r"), col("centroid_id").as("centroid_b"))
+    a.join(b, col("centroid_id") === col("centroid_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("centroid_id"),
+        expr("round(array_dot(vec_l, vec_r) / sqrt(norm2_l * norm2_r), 6)")
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("vec_b"), col("centroid_id"))
+      .agg(min(struct(col("vec_a"), col("cosine"))).as("m"))
+      .select(col("vec_b").as("vec_id"), col("centroid_id"),
+        col("m.vec_a").as("dup_of"), col("m.cosine").as("cosine"))
+  }
 }

@@ -451,6 +451,57 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** DSIR-style importance score (Xie et al. 2023, arXiv:2302.03169 —
+    * there with hashed-n-gram features; unigrams are the order-1 case):
+    * per-document mean log-likelihood RATIO between a TARGET slice's
+    * unigram LM and the whole corpus's LM. Documents whose word
+    * distribution resembles the target score high; resampling on
+    * exp(score/T) tilts a generic crawl toward the target domain —
+    * the standard pre-training data-selection move. Both models are
+    * add-one smoothed over the CORPUS vocabulary (the target slice is a
+    * subset of the corpus, so every scored term exists in both):
+    * score(d) = Σ_w tf·(ln P_t(w) − ln P_c(w)) / n_words with
+    * P_m(w) = (cnt_m(w)+1) / (total_m + |V|).
+    *
+    * Shape is [[unigramLogProb]] with a second head off the SAME pinned
+    * tf frame: ONE token explode; corpus counts, target counts (a
+    * filtered reaggregation — not a second corpus scan), totals and
+    * vocabulary size all derive from it; dimension-free one-row totals
+    * broadcast; ordered per-doc fold for engine-stable double sums.
+    * Output: (doc_id, n_words, llr).
+    */
+  def importanceScore(df: DataFrame, idCol: String, textCol: String,
+                      targetFilter: Column,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"),
+      targetFilter.as("is_target"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = Checkpoints.pin(
+      words.groupBy(col("doc_id"), col("is_target"), col("term"))
+        .agg(count(lit(1)).as("tf")),
+      checkpointDir, eager = false)
+    val wcC = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt_c"))
+    val wcT = tf.filter(col("is_target"))
+      .groupBy(col("term")).agg(sum(col("tf")).as("cnt_t"))
+    val tot = wcC.agg(sum(col("cnt_c")).as("total_c"),
+        count(lit(1)).as("vocab"))
+      .crossJoin(wcT.agg(sum(col("cnt_t")).as("total_t")))
+    tf.join(wcC, "term")
+      .join(wcT, Seq("term"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf") *
+          (log((coalesce(col("cnt_t"), lit(0L)) + 1).cast("double") /
+               (col("total_t") + col("vocab"))) -
+           log((col("cnt_c") + 1).cast("double") /
+               (col("total_c") + col("vocab"))))).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_words"),
+        expr("""round(aggregate(array_sort(collect_list(named_struct('term', term, 'v', v))),
+               |               cast(0.0 as double), (a, s) -> a + s.v) / sum(tf), 6)""".stripMargin)
+          .as("llr"))
+  }
+
   /** Cross-corpus contamination via winnowing fingerprints — the
     * character-level companion of [[ngramOverlap]]: for every (corpus
     * doc, benchmark doc) pair sharing at least one winnowed k-gram

@@ -597,6 +597,54 @@ class MiningSpec extends AnyFunSuite {
     assert(!out.exists { case (a, b, _) => a >= 4L || b >= 4L })
   }
 
+  test("semDedupLosers: drops only within-cluster near-dups, keeps min id") {
+    // centroids = ids 1 (x-axis) and 6 (y-axis); 2,3 near-dup copies of
+    // the x-axis doc, 7 a y-axis doc IDENTICAL to nothing in its own
+    // cluster but orthogonal to cluster-1 members, 8 a y-axis near-dup
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)),       // dup of 1, same cluster
+      (3L, Array(0.99f, 0.01f, 0f, 0f)), // near-dup of 1/2, same cluster
+      (6L, Array(0f, 1f, 0f, 0f)),
+      (7L, Array(0.05f, 0.99f, 0f, 0f)), // cluster 6, near-dup of 6
+      (9L, Array(0f, 0f, 0f, 0f)))       // zero vector: excluded
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedupLosers(df, "vec_id", "embedding",
+        centroidIds = Seq(1L, 6L), threshold = 0.95)
+      .select("vec_id", "centroid_id", "dup_of", "cosine")
+      .as[(Long, Long, Long, Double)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // 2 and 3 both report the SMALLEST keeper (1), not each other
+    assert(byId(2L)._3 === 1L && byId(2L)._4 === 1.0)
+    assert(byId(3L)._3 === 1L)
+    assert(byId(7L)._3 === 6L && byId(7L)._2 === 6L)
+    // keepers and the zero vector never appear as losers
+    assert(!byId.contains(1L) && !byId.contains(6L) && !byId.contains(9L))
+    // cross-cluster identical-threshold pairs are never compared:
+    // nothing in cluster 1 lists a cluster-6 doc as dup_of
+    assert(out.forall { case (_, cid, dupOf, _) =>
+      Seq(1L, 6L).contains(cid) &&
+        (if (cid == 1L) Seq(1L, 2L, 3L).contains(dupOf) else Seq(6L, 7L).contains(dupOf)) })
+  }
+
+  test("importanceScore ranks target-like docs above off-domain docs") {
+    // target slice talks about cats; doc 3 is cat-like, doc 4 is not
+    val df = docs(
+      (1, "cat cat feline cat purr", "tgt"),
+      (2, "cat purr feline whisker cat", "tgt"),
+      (3, "cat feline purr cat cat", "web"),
+      (4, "stock market futures trading index", "web"))
+    val out = TextAnalysis.importanceScore(df, "doc_id", "text",
+        col("source") === "tgt")
+      .select("doc_id", "n_words", "llr").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(3L)._3 > out(4L)._3) // cat doc scores above finance doc
+    assert(out(1L)._3 > 0 && out(4L)._3 < 0)
+    assert(out(4L)._2 === 5L)
+    // every corpus doc is scored (smoothing: no -inf for unseen-in-target)
+    assert(out.size === 4 && out.values.forall(v => !v._3.isNaN && !v._3.isInfinite))
+  }
+
   test("lshOversizedLosers keeps the min id per over-cap bucket only") {
     val bands = ((1L to 25L).map(i => (i, 0L, "bighash")) ++
       Seq((30L, 1L, "small"), (31L, 1L, "small")))
