@@ -1213,6 +1213,19 @@ object SparkEntry {
         round(exp(col("llr") / 0.01), 6), salt = "dsir")
         .select(col("doc_id"), col("n_words"), col("llr"))
     }),
+
+    // token-budget epoching: how many full passes of each source a
+    // 1M-token budget buys at 4:2:1:…:1 weights, plus the hash-picked
+    // fractional-epoch remainder — every keep decision integer-exact
+    // (DECIMAL cross-multiply, no double threshold)
+    "q104_epoch_allocation" -> ((s, dir) =>
+      Sampling.epochAllocation(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_words")),
+        "doc_id", "source", "n_words",
+        weights = Map("src0" -> 4L, "src1" -> 2L), defaultWeight = 1L,
+        budget = 1000000L)
+        .withColumnRenamed("stratum", "source")),
   )
 
   /** Shared DuckDB CTE body: minhash band buckets over relation `rel`
@@ -2842,5 +2855,38 @@ object SparkEntry {
         |SELECT doc_id, n_words, llr FROM s
         |WHERE ('0x'||substr(md5('dsir' || doc_id::VARCHAR),1,15))::BIGINT % 10000 <
         |      floor(least(greatest(round(exp(llr / 0.01), 6), 0.0), 1.0) * 10000)""".stripMargin,
+
+    // integer floor-div allocation; the remainder keep is the
+    // cross-multiplied hash compare in HUGEINT — exact on both engines
+    "q104_epoch_allocation" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS tok
+        |  FROM documents),
+        |a AS (
+        |  SELECT source,
+        |         (CASE WHEN source = 'src0' THEN 4
+        |               WHEN source = 'src1' THEN 2 ELSE 1 END)::BIGINT AS wt,
+        |         sum(tok)::BIGINT AS avail_tokens
+        |  FROM t GROUP BY 1),
+        |sw AS (SELECT sum(wt)::BIGINT AS sum_w FROM a WHERE avail_tokens > 0),
+        |al AS (
+        |  SELECT source, wt, avail_tokens,
+        |         (1000000 * wt) // sum_w AS target_tokens
+        |  FROM a CROSS JOIN sw WHERE avail_tokens > 0),
+        |a2 AS (
+        |  SELECT *, target_tokens // avail_tokens AS epochs,
+        |         target_tokens % avail_tokens AS rem_tokens
+        |  FROM al),
+        |k AS (
+        |  SELECT t.source, t.tok, a2.wt, a2.avail_tokens, a2.target_tokens,
+        |         a2.epochs, a2.rem_tokens,
+        |         ((('0x'||substr(md5('epoch:' || t.doc_id::VARCHAR),1,15))::BIGINT)::HUGEINT
+        |            * a2.avail_tokens)
+        |           < (a2.rem_tokens::HUGEINT * 1152921504606846976::HUGEINT) AS keep
+        |  FROM t JOIN a2 USING (source))
+        |SELECT source, wt, avail_tokens, target_tokens, epochs, rem_tokens,
+        |       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS rem_docs,
+        |       sum(CASE WHEN keep THEN tok ELSE 0 END)::BIGINT AS rem_kept_tokens
+        |FROM k GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
   )
 }

@@ -147,6 +147,57 @@ object Sampling {
     graft.functions.Md5Long60(df.sparkSession,
       concat(lit(salt), col(idCol).cast("string")).cast("binary"))
 
+  /** Token-budget epoch allocation: how many FULL passes (epochs) of
+    * each stratum a global token budget buys under integer weight
+    * shares, plus a deterministic hash-picked remainder pass for the
+    * fractional epoch — the "how many epochs of each domain" planning
+    * step of a pre-training data mixture (weights in tokens, not rows,
+    * unlike [[mixture]]). target_s = budget·w_s ÷ Σw (floor),
+    * epochs_s = target_s ÷ avail_s, and the remainder
+    * rem_s = target_s mod avail_s tokens are drawn by keeping each doc
+    * iff hash(id)·avail_s < rem_s·2⁶⁰ — the cross-multiplied form of
+    * hash/2⁶⁰ < rem/avail evaluated in DECIMAL(38,0), so every keep
+    * decision is INTEGER-exact (no double threshold anywhere; headroom
+    * holds to avail ≈ 10¹⁹ tokens, past any real corpus).
+    *
+    * Two passes over `df` (per-stratum totals, then the conditional
+    * remainder aggregate); the allocation table is dimension-sized and
+    * broadcast. Strata with zero tokens are dropped (an epoch of
+    * nothing is undefined). Output: one row per stratum —
+    * (stratum, wt, avail_tokens, target_tokens, epochs, rem_tokens,
+    * rem_docs, rem_kept_tokens).
+    */
+  def epochAllocation(df: DataFrame, idCol: String, strataCol: String,
+                      tokenCol: String, weights: Map[String, Long],
+                      defaultWeight: Long, budget: Long,
+                      salt: String = "epoch:"): DataFrame = {
+    require(budget >= 0 && defaultWeight >= 0 && weights.values.forall(_ >= 0))
+    val wt = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val base = df.select(col(strataCol).as("stratum"),
+      col(tokenCol).cast("long").as("tok"),
+      wt.cast("long").as("w"),
+      bucketFull(df, idCol, salt).as("hb"))
+    val avail = base.groupBy(col("stratum"))
+      .agg(max(col("w")).as("wt"), sum(col("tok")).as("avail_tokens"))
+      .filter(col("avail_tokens") > 0)
+    val sumW = avail.agg(sum(col("wt")).as("sum_w"))
+    val alloc = avail.crossJoin(broadcast(sumW))
+      .select(col("stratum"), col("wt"), col("avail_tokens"),
+        expr(s"(${budget}L * wt) div sum_w").as("target_tokens"))
+      .withColumn("epochs", expr("target_tokens div avail_tokens"))
+      .withColumn("rem_tokens", col("target_tokens") % col("avail_tokens"))
+    val keep = expr(
+      """cast(hb as decimal(38,0)) * avail_tokens <
+        |cast(rem_tokens as decimal(38,0)) * cast(1152921504606846976 as decimal(38,0))""".stripMargin)
+    base.join(broadcast(alloc), "stratum")
+      .groupBy(col("stratum"), col("wt"), col("avail_tokens"),
+        col("target_tokens"), col("epochs"), col("rem_tokens"))
+      .agg(sum(when(keep, 1L).otherwise(0L)).as("rem_docs"),
+        sum(when(keep, col("tok")).otherwise(0L)).as("rem_kept_tokens"))
+  }
+
   /** Deterministic corpus mixture: subsample each stratum so the kept
     * rows realize `weights` as proportions, keeping as much data as
     * possible — the binding stratum (smallest count/share ratio) is

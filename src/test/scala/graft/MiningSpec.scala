@@ -645,6 +645,41 @@ class MiningSpec extends AnyFunSuite {
     assert(out.size === 4 && out.values.forall(v => !v._3.isNaN && !v._3.isInfinite))
   }
 
+  test("epochAllocation: integer epochs + exact remainder accounting") {
+    val df = Seq(
+      (1L, "A", 4L), (2L, "A", 6L),          // A: 10 tokens, weight 2
+      (3L, "B", 2L), (4L, "B", 3L),          // B: 5 tokens, weight 1
+      (5L, "C", 0L))                         // C: zero tokens → dropped
+      .toDF("doc_id", "src", "tok")
+    val out = Sampling.epochAllocation(df, "doc_id", "src", "tok",
+        weights = Map("A" -> 2L), defaultWeight = 1L, budget = 50L)
+      .collect().map(r => r.getAs[String]("stratum") -> r).toMap
+    assert(out.keySet === Set("A", "B")) // C dropped: no tokens
+    // sum_w = 3: target_A = 50*2/3 = 33 → 3 epochs + 3 rem tokens
+    val a = out("A")
+    assert(a.getAs[Long]("avail_tokens") === 10L
+      && a.getAs[Long]("target_tokens") === 33L
+      && a.getAs[Long]("epochs") === 3L
+      && a.getAs[Long]("rem_tokens") === 3L)
+    // target_B = 50*1/3 = 16 → 3 epochs + 1 rem token
+    val b = out("B")
+    assert(b.getAs[Long]("target_tokens") === 16L
+      && b.getAs[Long]("epochs") === 3L && b.getAs[Long]("rem_tokens") === 1L)
+    // remainder picks are bounded by the stratum and deterministic
+    assert(out.values.forall(r => r.getAs[Long]("rem_docs") <= 2L
+      && r.getAs[Long]("rem_kept_tokens") <= r.getAs[Long]("avail_tokens")))
+    val again = Sampling.epochAllocation(df, "doc_id", "src", "tok",
+        weights = Map("A" -> 2L), defaultWeight = 1L, budget = 50L)
+      .collect().map(r => r.getAs[String]("stratum") -> r.getAs[Long]("rem_docs")).toMap
+    assert(again === out.view.mapValues(_.getAs[Long]("rem_docs")).toMap)
+    // rem_tokens = 0 → the remainder pass keeps nothing
+    val exact = Sampling.epochAllocation(df, "doc_id", "src", "tok",
+        weights = Map("A" -> 2L), defaultWeight = 1L, budget = 45L)
+      .collect().map(r => r.getAs[String]("stratum") -> r).toMap
+    assert(exact("A").getAs[Long]("rem_tokens") === 0L
+      && exact("A").getAs[Long]("rem_docs") === 0L)
+  }
+
   test("lshOversizedLosers keeps the min id per over-cap bucket only") {
     val bands = ((1L to 25L).map(i => (i, 0L, "bighash")) ++
       Seq((30L, 1L, "small"), (31L, 1L, "small")))
