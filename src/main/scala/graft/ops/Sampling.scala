@@ -170,7 +170,8 @@ object Sampling {
   def epochAllocation(df: DataFrame, idCol: String, strataCol: String,
                       tokenCol: String, weights: Map[String, Long],
                       defaultWeight: Long, budget: Long,
-                      salt: String = "epoch:"): DataFrame = {
+                      salt: String = "epoch:",
+                      checkpointDir: Option[String] = None): DataFrame = {
     require(budget >= 0 && defaultWeight >= 0 && weights.values.forall(_ >= 0))
     val wt = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
       case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
@@ -179,9 +180,14 @@ object Sampling {
       col(tokenCol).cast("long").as("tok"),
       wt.cast("long").as("w"),
       bucketFull(df, idCol, salt).as("hb"))
-    val avail = base.groupBy(col("stratum"))
-      .agg(max(col("w")).as("wt"), sum(col("tok")).as("avail_tokens"))
-      .filter(col("avail_tokens") > 0)
+    // the per-stratum totals are dimension-sized; pinned so the
+    // sum_w / alloc consumers derive from them instead of each
+    // replaying the corpus aggregate (6 scans instead of 2, unpinned)
+    val avail = Checkpoints.pin(
+      base.groupBy(col("stratum"))
+        .agg(max(col("w")).as("wt"), sum(col("tok")).as("avail_tokens"))
+        .filter(col("avail_tokens") > 0),
+      checkpointDir, eager = false)
     val sumW = avail.agg(sum(col("wt")).as("sum_w"))
     val alloc = avail.crossJoin(broadcast(sumW))
       .select(col("stratum"), col("wt"), col("avail_tokens"),

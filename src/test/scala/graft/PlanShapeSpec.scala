@@ -173,6 +173,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
   }
 
+  test("q102: semantic dedup pairs only within clusters — equi-join, no cartesian, no Window") {
+    val p = plan("q102_semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      "the within-cluster pairing must be an equi-join on centroid_id, never all-pairs")
+    assert(!p.contains("Window"),
+      "the min-id keeper must be a min-struct aggregate, not a Window sort")
+  }
+
+  test("q103: the importance-score token explode runs once behind the pin") {
+    // unpinned, the tf / corpus-count / target-count / totals subtrees
+    // each re-scan and re-explode the text — 4x the dominant cost
+    val p = plan("q103_importance_resample")
+    val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans === 0, s"q103 re-reads the corpus $scans times — tf pin broke")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q104: epoch allocation is aggregates + a broadcast of the allocation table") {
+    val p = plan("q104_epoch_allocation")
+    val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans <= 2, s"q104 should scan documents at most twice, saw $scans")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(!p.contains("Window"))
+  }
+
   test("q88: PQ encode is broadcast-argmin — codebooks broadcast, no sort join, no Window") {
     val p = plan("q88_pq_encode")
     assert(p.contains("BroadcastHashJoin"))
