@@ -1226,6 +1226,16 @@ object SparkEntry {
         weights = Map("src0" -> 4L, "src1" -> 2L), defaultWeight = 1L,
         budget = 1000000L)
         .withColumnRenamed("stratum", "source")),
+
+    // cluster-balanced eval picks: a fixed 10 per centroid cluster by
+    // salted-hash order — the diversity sampler (uniform sampling
+    // over-represents dense regions; per-cluster quotas cover the
+    // embedding space); rank<=n plans as WindowGroupLimit like q101
+    "q105_cluster_balanced_sample" -> ((s, dir) =>
+      Sampling.fixedSizeSample(
+        Similarity.ivfAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
+          (0L until 8L).toSeq).select(col("vec_id"), col("centroid_id")),
+        "vec_id", "centroid_id", n = 10, salt = "div:")),
   )
 
   /** Shared DuckDB CTE body: minhash band buckets over relation `rel`
@@ -2888,5 +2898,28 @@ object SparkEntry {
         |       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS rem_docs,
         |       sum(CASE WHEN keep THEN tok ELSE 0 END)::BIGINT AS rem_kept_tokens
         |FROM k GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+
+    // q33's assignment head, q101's per-stratum rank over the cluster
+    "q105_cluster_balanced_sample" ->
+      """WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, embedding AS c_vec FROM e0 WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT e0.vec_id, c.centroid_id,
+        |         round(sqrt(list_sum(list_transform(generate_series(1, len(e0.embedding)),
+        |           i -> (e0.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)
+        |              * (e0.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)))), 6) AS dist
+        |  FROM e0 CROSS JOIN c),
+        |assign AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        |    FROM sc) WHERE rn = 1)
+        |SELECT vec_id, centroid_id FROM (
+        |  SELECT vec_id, centroid_id,
+        |         row_number() OVER (PARTITION BY centroid_id
+        |           ORDER BY ('0x'||substr(md5('div:' || vec_id::VARCHAR),1,15))::BIGINT,
+        |                    vec_id) AS rn
+        |  FROM assign)
+        |WHERE rn <= 10""".stripMargin,
   )
 }
