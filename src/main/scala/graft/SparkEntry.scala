@@ -1236,6 +1236,14 @@ object SparkEntry {
         Similarity.ivfAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
           (0L until 8L).toSeq).select(col("vec_id"), col("centroid_id")),
         "vec_id", "centroid_id", n = 10, salt = "div:")),
+
+    // C4-style boilerplate removal: non-overlapping 3-word spans
+    // counted corpus-wide, every occurrence of a >2-count span dropped,
+    // survivors reassembled in document order — the tfIdf cost class
+    // (explode + hash agg + join back + in-row ordered fold)
+    "q106_drop_repeated_spans" -> ((s, dir) =>
+      TextAnalysis.dropRepeatedSpans(Tables.documents(s, dir), "doc_id", "text",
+        spanWords = 3, maxCount = 2)),
   )
 
   /** Shared DuckDB CTE body: minhash band buckets over relation `rel`
@@ -2921,5 +2929,20 @@ object SparkEntry {
         |                    vec_id) AS rn
         |  FROM assign)
         |WHERE rn <= 10""".stripMargin,
+
+    // non-overlapping 3-word spans; >2-count spans dropped everywhere;
+    // in-order reassembly (string_agg ORDER BY is the ordered-fold twin)
+    "q106_drop_repeated_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sp AS (
+        |  SELECT doc_id, (i - 1) // 3 AS pos,
+        |         array_to_string(ws[i : least(i + 2, len(ws))], ' ') AS span
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws), 3)) AS i FROM d)),
+        |c AS (SELECT span, count(*) AS cnt FROM sp GROUP BY 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_spans,
+        |       sum(CASE WHEN cnt > 2 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+        |       coalesce(string_agg(span, ' ' ORDER BY pos) FILTER (cnt <= 2), '') AS clean_text
+        |FROM sp JOIN c USING (span)
+        |GROUP BY 1""".stripMargin,
   )
 }

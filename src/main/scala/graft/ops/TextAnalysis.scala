@@ -310,6 +310,49 @@ object TextAnalysis {
           .as("chunk"))
   }
 
+  /** C4-style corpus-wide boilerplate removal (Raffel et al. 2020 §2.2
+    * dedup "three-sentence spans"; spans here are fixed `spanWords`-word
+    * windows — the corpus has no sentence markers): cut every document
+    * into NON-overlapping spans, count each span string across the
+    * whole corpus, drop every occurrence of any span appearing in more
+    * than `maxCount` places (navigation chrome, license headers, quote
+    * chains), and REASSEMBLE the surviving spans in document order.
+    *
+    * Scale shape: one explode + one hash aggregate on the span string +
+    * one equi-join back + a per-doc ordered fold (a doc's span list is
+    * bounded by its length, so the collect_list row stays small) — the
+    * tfIdf cost class, work ∝ total words. The reassembly sorts inside
+    * a row (array_sort), not a Window: no per-group sort-shuffle.
+    * Documents whose every span was dropped still emit a row (empty
+    * clean_text) — downstream gates decide their fate, not this op.
+    *
+    * Output: (doc_id, n_spans, n_dropped, clean_text).
+    */
+  def dropRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                        spanWords: Int = 16, maxCount: Long = 2,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    require(spanWords >= 1 && maxCount >= 1)
+    val spans = Checkpoints.pin(
+      df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"""transform(sequence(0, greatest(size(ws) - 1, 0), $spanWords),
+               |  i -> array_join(slice(ws, i + 1, $spanWords), ' '))""".stripMargin))
+            .as(Seq("pos", "span"))),
+      checkpointDir, eager = false)
+    val counts = spans.groupBy(col("span")).agg(count(lit(1)).as("cnt"))
+    spans.join(counts, "span")
+      .select(col("doc_id"), col("pos"), col("span"),
+        (col("cnt") <= maxCount).as("kept"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+        expr("""array_join(transform(
+               |  filter(array_sort(collect_list(named_struct('pos', pos, 'kept', kept, 'span', span))),
+               |         s -> s.kept),
+               |  s -> s.span), ' ')""".stripMargin).as("clean_text"))
+  }
+
   /** Approximate heavy hitters over the corpus's words: one explode +
     * ONE mergeable Misra–Gries aggregate
     * ([[graft.functions.TypedAggs.MisraGries]], k counters) — fixed

@@ -680,6 +680,24 @@ class MiningSpec extends AnyFunSuite {
       && exact("A").getAs[Long]("rem_docs") === 0L)
   }
 
+  test("dropRepeatedSpans removes corpus-wide boilerplate and reassembles in order") {
+    // "x y" is a 2-word boilerplate span appearing in 3 docs (> maxCount
+    // = 2); unique content survives, in document order
+    val df = docs(
+      (1, "a b x y c d", "s"),
+      (2, "e f x y", "s"),
+      (3, "x y g h", "s"),
+      (4, "x y", "s")) // whole doc is boilerplate → empty clean_text
+    val out = TextAnalysis.dropRepeatedSpans(df, "doc_id", "text",
+        spanWords = 2, maxCount = 2)
+      .select("doc_id", "n_spans", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 === "a b c d" && out(1L)._2 === 3L && out(1L)._3 === 1L)
+    assert(out(2L)._4 === "e f" && out(3L)._4 === "g h")
+    // fully-boilerplate doc still emits a row, with empty text
+    assert(out(4L)._4 === "" && out(4L)._3 === 1L && out(4L)._2 === 1L)
+  }
+
   test("lshOversizedLosers keeps the min id per over-cap bucket only") {
     val bands = ((1L to 25L).map(i => (i, 0L, "bighash")) ++
       Seq((30L, 1L, "small"), (31L, 1L, "small")))
