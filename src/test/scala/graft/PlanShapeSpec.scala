@@ -198,6 +198,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"))
   }
 
+  test("q106: the span explode runs once behind the pin; no Window in the reassembly") {
+    // unpinned, the counts and the join-back sides each re-scan and
+    // re-explode the corpus; the ordered reassembly must stay an
+    // in-row fold (array_sort), not a per-doc Window sort
+    val p = plan("q106_drop_repeated_spans")
+    val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans === 0, s"q106 re-reads the corpus $scans times — span pin broke")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
   test("q88: PQ encode is broadcast-argmin — codebooks broadcast, no sort join, no Window") {
     val p = plan("q88_pq_encode")
     assert(p.contains("BroadcastHashJoin"))
