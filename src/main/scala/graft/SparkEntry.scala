@@ -2886,11 +2886,11 @@ object SparkEntry {
         |               WHEN source = 'src1' THEN 2 ELSE 1 END)::BIGINT AS wt,
         |         sum(tok)::BIGINT AS avail_tokens
         |  FROM t GROUP BY 1),
-        |sw AS (SELECT sum(wt)::BIGINT AS sum_w FROM a WHERE avail_tokens > 0),
+        |sw AS (SELECT sum(wt)::BIGINT AS sum_w FROM a WHERE avail_tokens > 0 AND wt > 0),
         |al AS (
         |  SELECT source, wt, avail_tokens,
         |         (1000000 * wt) // sum_w AS target_tokens
-        |  FROM a CROSS JOIN sw WHERE avail_tokens > 0),
+        |  FROM a CROSS JOIN sw WHERE avail_tokens > 0 AND wt > 0),
         |a2 AS (
         |  SELECT *, target_tokens // avail_tokens AS epochs,
         |         target_tokens % avail_tokens AS rem_tokens

@@ -496,14 +496,20 @@ object Dedup {
     * DROPPED member.
     */
   def semDedupLosers(emb: DataFrame, idCol: String, vecCol: String,
-                     centroidIds: Seq[Long], threshold: Double): DataFrame = {
+                     centroidIds: Seq[Long], threshold: Double,
+                     checkpointDir: Option[String] = None): DataFrame = {
     graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
     val assign = Similarity.ivfAssign(emb, idCol, vecCol, centroidIds)
       .select(col("vec_id").as("vid"), col("centroid_id"))
-    val e = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .withColumn("norm2", expr("array_dot(vec, vec)"))
-      .filter(col("norm2") > 0)
-      .join(assign, "vid")
+    // pinned: the assigned-and-normed frame feeds BOTH sides of the
+    // self-join — unpinned, the scan + broadcast-argmin lineage replays
+    // twice whenever exchange reuse doesn't fire
+    val e = Checkpoints.pin(
+      emb.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+        .withColumn("norm2", expr("array_dot(vec, vec)"))
+        .filter(col("norm2") > 0)
+        .join(assign, "vid"),
+      checkpointDir, eager = false)
     val a = e.select(col("vid").as("vec_a"), col("vec").as("vec_l"),
       col("norm2").as("norm2_l"), col("centroid_id"))
     val b = e.select(col("vid").as("vec_b"), col("vec").as("vec_r"),

@@ -173,6 +173,11 @@ object Sampling {
                       salt: String = "epoch:",
                       checkpointDir: Option[String] = None): DataFrame = {
     require(budget >= 0 && defaultWeight >= 0 && weights.values.forall(_ >= 0))
+    // budget·wt is the widest product computed in Long (targets/epochs
+    // derive from it): fail fast instead of wrapping silently
+    val maxW = (weights.values ++ Seq(defaultWeight)).max
+    require(maxW == 0 || budget <= Long.MaxValue / maxW,
+      s"budget * weight overflows Long (budget=$budget, max weight=$maxW)")
     val wt = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
       case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
@@ -183,10 +188,14 @@ object Sampling {
     // the per-stratum totals are dimension-sized; pinned so the
     // sum_w / alloc consumers derive from them instead of each
     // replaying the corpus aggregate (6 scans instead of 2, unpinned)
+    // weight 0 = "exclude this source" (the mixture convention for
+    // unweighted strata); zero-token strata have no epoch to define.
+    // Dropping them here also keeps sum_w strictly positive whenever
+    // any stratum survives — no divide-by-zero path to a NULL row
     val avail = Checkpoints.pin(
       base.groupBy(col("stratum"))
         .agg(max(col("w")).as("wt"), sum(col("tok")).as("avail_tokens"))
-        .filter(col("avail_tokens") > 0),
+        .filter(col("avail_tokens") > 0 && col("wt") > 0),
       checkpointDir, eager = false)
     val sumW = avail.agg(sum(col("wt")).as("sum_w"))
     val alloc = avail.crossJoin(broadcast(sumW))

@@ -598,9 +598,9 @@ class MiningSpec extends AnyFunSuite {
   }
 
   test("semDedupLosers: drops only within-cluster near-dups, keeps min id") {
-    // centroids = ids 1 (x-axis) and 6 (y-axis); 2,3 near-dup copies of
-    // the x-axis doc, 7 a y-axis doc IDENTICAL to nothing in its own
-    // cluster but orthogonal to cluster-1 members, 8 a y-axis near-dup
+    // centroids = ids 1 (x-axis) and 6 (y-axis); 2 a duplicate and 3 a
+    // near-dup of the x-axis centroid doc; 7 a y-axis near-dup of 6
+    // (orthogonal to every cluster-1 member); 9 a zero vector
     val df = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),
       (2L, Array(1f, 0f, 0f, 0f)),       // dup of 1, same cluster

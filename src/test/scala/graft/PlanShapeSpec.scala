@@ -179,6 +179,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "the within-cluster pairing must be an equi-join on centroid_id, never all-pairs")
     assert(!p.contains("Window"),
       "the min-id keeper must be a min-struct aggregate, not a Window sort")
+    // the assigned+normed frame feeds both self-join sides from ONE pin
+    val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans === 0, s"q102 re-reads the embeddings $scans times — pin broke")
+  }
+
+  test("q105: per-cluster quota pre-prunes below the shuffle (WindowGroupLimit)") {
+    val p = plan("q105_cluster_balanced_sample")
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("q103: the importance-score token explode runs once behind the pin") {
