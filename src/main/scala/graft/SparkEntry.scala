@@ -1244,6 +1244,22 @@ object SparkEntry {
     "q106_drop_repeated_spans" -> ((s, dir) =>
       TextAnalysis.dropRepeatedSpans(Tables.documents(s, dir), "doc_id", "text",
         spanWords = 3, maxCount = 2)),
+
+    // per-domain adaptive quality gate: keep each source's own top
+    // quality quartile — a global threshold over-prunes clean domains
+    // and under-prunes noisy ones; the per-source quartile is the
+    // FineWeb-style per-dump threshold. Grouped exact ntile rides the
+    // PrefixSum core (range partition + distributed offsets, no
+    // low-cardinality Window sort — 20 sources would mean 20 tasks)
+    "q107_domain_quality_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      Quantiles.exactNtile(q, "source", Seq("quality", "doc_id"), buckets = 4)
+        .filter(col("bucket") === 4)
+        .select(col("doc_id"), col("source"), col("quality"))
+    }),
   )
 
   /** Shared DuckDB CTE body: minhash band buckets over relation `rel`
@@ -2863,12 +2879,13 @@ object SparkEntry {
         |               (SELECT sum(cnt_t) FROM wt) AS total_t),
         |v AS (
         |  SELECT tf.doc_id, tf.term, tf.tf,
-        |         tf.tf * (ln((coalesce(wt.cnt_t, 0) + 1)::DOUBLE / (tot.total_t + tot.vocab))
-        |                - ln((wc.cnt_c + 1)::DOUBLE / (tot.total_c + tot.vocab))) AS v
+        |         tf.tf * ln(((coalesce(wt.cnt_t, 0) + 1)::DOUBLE * (tot.total_c + tot.vocab)::DOUBLE)
+        |                  / ((wc.cnt_c + 1)::DOUBLE * (tot.total_t + tot.vocab)::DOUBLE)) AS v
         |  FROM tf JOIN wc USING (term) LEFT JOIN wt USING (term) CROSS JOIN tot),
         |s AS (
         |  SELECT doc_id, sum(tf)::BIGINT AS n_words,
-        |         round(list_sum(list(v ORDER BY term)) / sum(tf), 6) AS llr
+        |         round(list_sum(list(v ORDER BY term)) / sum(tf), 6)
+        |           + 0.0::DOUBLE AS llr
         |  FROM v GROUP BY 1)
         |SELECT doc_id, n_words, llr FROM s
         |WHERE ('0x'||substr(md5('dsir' || doc_id::VARCHAR),1,15))::BIGINT % 10000 <
@@ -2944,5 +2961,27 @@ object SparkEntry {
         |       coalesce(string_agg(span, ' ' ORDER BY pos) FILTER (cnt <= 2), '') AS clean_text
         |FROM sp JOIN c USING (span)
         |GROUP BY 1""".stripMargin,
+
+    // q66's quality body + ntile(4) per source; keep the top quartile
+    "q107_domain_quality_gate" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' '))::BIGINT AS n_words,
+        |    len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_words,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> list_contains(['the','a','of','and','in','to','is','on','for','with'], w)))::BIGINT AS stopword_cnt
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    round(0.4 * least(n_words::DOUBLE / 100.0, 1.0)
+        |        + 0.4 * (n_distinct_words::DOUBLE / n_words::DOUBLE)
+        |        + 0.2 * least(5.0 * stopword_cnt::DOUBLE / n_words::DOUBLE, 1.0), 6) AS quality
+        |  FROM c),
+        |n AS (
+        |  SELECT doc_id, source, quality,
+        |         ntile(4) OVER (PARTITION BY source
+        |                        ORDER BY quality ASC, doc_id ASC)::BIGINT AS bucket
+        |  FROM q)
+        |SELECT doc_id, source, quality FROM n WHERE bucket = 4""".stripMargin,
   )
 }

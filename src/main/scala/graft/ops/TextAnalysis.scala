@@ -529,19 +529,29 @@ object TextAnalysis {
     val tot = wcC.agg(sum(col("cnt_c")).as("total_c"),
         count(lit(1)).as("vocab"))
       .crossJoin(wcT.agg(sum(col("cnt_t")).as("total_t")))
+    // ONE log of the ratio product, NOT ln(p_t) − ln(p_c): when the two
+    // probabilities are close the difference of logs is catastrophic
+    // cancellation over each engine's last-ulp ln differences — at
+    // sf0.1 one document's 6-digit rounding flipped. A single ln over
+    // an identically-computed double (exact long→double products under
+    // 2^53, one IEEE divide) is engine-stable (the q80/q97 evidence)
     tf.join(wcC, "term")
       .join(wcT, Seq("term"), "left")
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("term"), col("tf"),
         (col("tf") *
-          (log((coalesce(col("cnt_t"), lit(0L)) + 1).cast("double") /
-               (col("total_t") + col("vocab"))) -
-           log((col("cnt_c") + 1).cast("double") /
-               (col("total_c") + col("vocab"))))).as("v"))
+          log(((coalesce(col("cnt_t"), lit(0L)) + 1).cast("double") *
+               (col("total_c") + col("vocab")).cast("double")) /
+              ((col("cnt_c") + 1).cast("double") *
+               (col("total_t") + col("vocab")).cast("double")))).as("v"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_words"),
+        // + 0.0 normalizes IEEE -0.0 → 0.0: a document whose ratio sum
+        // rounds to zero from below would otherwise hash as "-0.0" in
+        // one engine and "0.0" in the other (the oracle mirrors this)
         expr("""round(aggregate(array_sort(collect_list(named_struct('term', term, 'v', v))),
-               |               cast(0.0 as double), (a, s) -> a + s.v) / sum(tf), 6)""".stripMargin)
+               |               cast(0.0 as double), (a, s) -> a + s.v) / sum(tf), 6)
+               |+ cast(0.0 as double)""".stripMargin)
           .as("llr"))
   }
 
