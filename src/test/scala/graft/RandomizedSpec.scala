@@ -249,4 +249,73 @@ class RandomizedSpec extends AnyFunSuite {
       assert(got((vid, s.toLong)) === want, s"vec $vid sub $s")
     }
   }
+
+  test("epochAllocation invariants hold on random corpora (seeded)") {
+    import graft.ops.Sampling
+    val rnd = new scala.util.Random(13)
+    for (round <- 0 until 5) {
+      val strata = ('a' to ('a' + 2 + rnd.nextInt(4)).toChar).map(_.toString)
+      val docs = (0 until 200).map { i =>
+        (i.toLong, strata(rnd.nextInt(strata.size)), rnd.nextInt(50).toLong)
+      }
+      val weights = strata.take(2).map(_ -> (1L + rnd.nextInt(5))).toMap
+      val budget = 1000L + rnd.nextInt(100000)
+      val out = Sampling.epochAllocation(docs.toDF("doc_id", "src", "tok"),
+          "doc_id", "src", "tok", weights, defaultWeight = 1L, budget = budget)
+        .collect()
+      val sumW = out.map(_.getAs[Long]("wt")).sum
+      out.foreach { r =>
+        val (wt, avail, target, epochs, rem, remDocs, remToks) =
+          (r.getAs[Long]("wt"), r.getAs[Long]("avail_tokens"),
+            r.getAs[Long]("target_tokens"), r.getAs[Long]("epochs"),
+            r.getAs[Long]("rem_tokens"), r.getAs[Long]("rem_docs"),
+            r.getAs[Long]("rem_kept_tokens"))
+        assert(avail > 0 && wt > 0)
+        assert(target === budget * wt / sumW) // floor div allocation
+        assert(epochs * avail + rem === target) // exact decomposition
+        assert(rem >= 0 && rem < avail)
+        // the remainder pass picks within the stratum (zero-token docs
+        // are eligible — they ride along adding no tokens)
+        val nDocs = docs.count { case (_, s, _) =>
+          s == r.getAs[String]("stratum") }
+        assert(remDocs >= 0 && remDocs <= nDocs && remToks <= avail)
+        if (rem == 0) assert(remDocs === 0 && remToks === 0)
+      }
+      // targets never over-spend the budget in total
+      assert(out.map(_.getAs[Long]("target_tokens")).sum <= budget)
+    }
+  }
+
+  test("semDedupLosers partitions ids: losers have a smaller same-cluster keeper (seeded)") {
+    import graft.ops.{Dedup, Similarity}
+    val rnd = new scala.util.Random(29)
+    val dim = 8
+    // half the corpus are jittered copies of 10 archetypes → real dups
+    val protos = Vector.fill(10)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val vecs = (0 until 120).map { i =>
+      val v =
+        if (i < 10) protos(i)
+        else if (i >= 60) protos(i % 10).map(x => x + rnd.nextFloat() * 0.01f)
+        else Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val centroidIds = (0L until 6L)
+    val assign = Similarity.ivfAssign(df, "vec_id", "embedding", centroidIds)
+      .select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Long)].collect().toMap
+    val losers = Dedup.semDedupLosers(df, "vec_id", "embedding",
+        centroidIds, threshold = 0.98)
+      .select("vec_id", "centroid_id", "dup_of", "cosine")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(losers.nonEmpty) // the jittered copies must trip the gate
+    losers.foreach { case (id, cid, dupOf, cos) =>
+      assert(dupOf < id, s"keeper $dupOf must be the smaller id (loser $id)")
+      assert(assign(id) === cid && assign(dupOf) === cid,
+        s"pair ($dupOf, $id) must share cluster $cid")
+      assert(cos >= 0.98)
+    }
+    // losers are unique (one row per dropped member)
+    assert(losers.map(_._1).distinct.length === losers.length)
+  }
 }
