@@ -1260,6 +1260,23 @@ object SparkEntry {
         .filter(col("bucket") === 4)
         .select(col("doc_id"), col("source"), col("quality"))
     }),
+
+    // recall@5 of compressed-domain IVF-PQ (q92's ADC over 8-byte
+    // codes) vs exact brute force — quantization loss + coarse-probe
+    // loss in ONE measured number, the ADC counterpart of q87
+    "q108_ivfpq_recall" -> ((s, dir) => {
+      val adc = queries("q92_ivfpq")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val bf = queries("q25_knn_bruteforce")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = adc.join(bf, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      bf.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") /
+            col("k").cast("double"), 6).as("recall_at_5"))
+    }),
   )
 
   /** Shared DuckDB CTE body: minhash band buckets over relation `rel`
@@ -1438,6 +1455,49 @@ object SparkEntry {
       |            SELECT vec_id, sub, code,
       |                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
       |            FROM dd) WHERE rn = 1)""".stripMargin
+
+  /** Full q92 IVF-PQ SQL (coarse probes over the seed centroids + ADC
+    * scoring over the q88 codes) — shared by the q92 map entry and the
+    * q108 recall audit's nested CTE.
+    */
+  private val q92IvfPqSql: String =
+    s"""WITH $duckPqBody,
+       |cents AS (SELECT vec_id AS centroid_id, embedding AS c_vec FROM e WHERE vec_id < 8),
+       |cvd AS (
+       |  SELECT e.vec_id, c.centroid_id,
+       |         round(sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+       |           i -> (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)
+       |              * (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)))), 6) AS dist
+       |  FROM e CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id AS neighbor_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+       |    FROM cvd) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+       |    FROM cvd WHERE vec_id < 10) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN assign a USING (centroid_id)
+       |  WHERE p.query_id <> a.neighbor_id),
+       |lut AS (SELECT s.vec_id AS query_id, s.sub, c.code,
+       |               round(list_sum(list_transform(generate_series(1, 8),
+       |                 i -> (s.v[i] - c.c_vec[i]) * (s.v[i] - c.c_vec[i]))), 6)::DECIMAL(28,10) AS pd
+       |        FROM sv s JOIN cb c ON s.sub = c.sub WHERE s.vec_id < 10),
+       |sc AS (SELECT ca.query_id, ca.neighbor_id, sum(l.pd)::DOUBLE AS approx_dist
+       |       FROM cand ca
+       |       JOIN codes cd2 ON cd2.vec_id = ca.neighbor_id
+       |       JOIN lut l ON l.query_id = ca.query_id
+       |                 AND l.sub = cd2.sub AND l.code = cd2.code
+       |       GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, approx_dist,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY approx_dist, neighbor_id) AS rank
+       |      FROM sc)
+       |SELECT query_id, neighbor_id, approx_dist, rank FROM r WHERE rank <= 5""".stripMargin
 
   /** Shared DuckDB CTE prefix for the corpus-pipeline replays
     * (q85/q93): sample(0.8) → exact-dedup → band collisions →
@@ -2778,44 +2838,20 @@ object SparkEntry {
 
     // coarse candidates exactly as in q69, ADC scoring exactly as in
     // q89 — composed
-    "q92_ivfpq" ->
-      s"""WITH $duckPqBody,
-         |cents AS (SELECT vec_id AS centroid_id, embedding AS c_vec FROM e WHERE vec_id < 8),
-         |cvd AS (
-         |  SELECT e.vec_id, c.centroid_id,
-         |         round(sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
-         |           i -> (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)
-         |              * (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)))), 6) AS dist
-         |  FROM e CROSS JOIN cents c),
-         |assign AS (
-         |  SELECT vec_id AS neighbor_id, centroid_id FROM (
-         |    SELECT vec_id, centroid_id,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
-         |    FROM cvd) WHERE rn = 1),
-         |probes AS (
-         |  SELECT vec_id AS query_id, centroid_id FROM (
-         |    SELECT vec_id, centroid_id,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
-         |    FROM cvd WHERE vec_id < 10) WHERE rn <= 2),
-         |cand AS (
-         |  SELECT p.query_id, a.neighbor_id
-         |  FROM probes p JOIN assign a USING (centroid_id)
-         |  WHERE p.query_id <> a.neighbor_id),
-         |lut AS (SELECT s.vec_id AS query_id, s.sub, c.code,
-         |               round(list_sum(list_transform(generate_series(1, 8),
-         |                 i -> (s.v[i] - c.c_vec[i]) * (s.v[i] - c.c_vec[i]))), 6)::DECIMAL(28,10) AS pd
-         |        FROM sv s JOIN cb c ON s.sub = c.sub WHERE s.vec_id < 10),
-         |sc AS (SELECT ca.query_id, ca.neighbor_id, sum(l.pd)::DOUBLE AS approx_dist
-         |       FROM cand ca
-         |       JOIN codes cd2 ON cd2.vec_id = ca.neighbor_id
-         |       JOIN lut l ON l.query_id = ca.query_id
-         |                 AND l.sub = cd2.sub AND l.code = cd2.code
-         |       GROUP BY 1, 2),
-         |r AS (SELECT query_id, neighbor_id, approx_dist,
-         |             row_number() OVER (PARTITION BY query_id
-         |                                ORDER BY approx_dist, neighbor_id) AS rank
-         |      FROM sc)
-         |SELECT query_id, neighbor_id, approx_dist, rank FROM r WHERE rank <= 5""".stripMargin,
+    "q92_ivfpq" -> q92IvfPqSql,
+
+    // recall@5 of the compressed-domain IVF-PQ search (q92) against
+    // exact brute force (q25) — the q87 audit shape over ADC scores
+    "q108_ivfpq_recall" ->
+      s"""WITH adc AS ($q92IvfPqSql),
+         |bf AS ($q25KnnSql),
+         |hits AS (
+         |  SELECT query_id, count(*) AS h
+         |  FROM adc JOIN bf USING (query_id, neighbor_id) GROUP BY 1),
+         |kk AS (SELECT query_id, count(*) AS k FROM bf GROUP BY 1)
+         |SELECT kk.query_id,
+         |       round(coalesce(h, 0)::DOUBLE / k::DOUBLE, 6) AS recall_at_5
+         |FROM kk LEFT JOIN hits USING (query_id)""".stripMargin,
 
     // q77's packing shape over the subword currency
     "q91_pack_subword" ->
