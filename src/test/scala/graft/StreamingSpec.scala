@@ -358,6 +358,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(n === 2) // one row per key
   }
 
+  test("frozen-LM stream scoring ≡ batch; target-like docs outscore foreign ones") {
+    // train the model in batch on a cat-themed reference corpus, then
+    // score a stream containing a cat-like doc and a finance doc (all
+    // terms unseen → every term takes the add-one floor)
+    import graft.streaming.StreamingScore
+    val reference = Seq(
+      "cat cat feline purr whisker", "cat purr feline cat nap")
+      .toDF("text")
+    val lm = StreamingScore.unigramLm(reference, "text")
+    val (total, vocab) = StreamingScore.lmTotals(lm)
+    assert(total === 10L && vocab === 5L)
+    val docs = Seq(
+      (1L, "cat purr cat nap", ts(100)),
+      (2L, "stock market futures index", ts(101)),
+      (3L, "feline whisker purr", ts(112))) // second window
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingScore.scoreDocs(input.toDF().toDF("id", "text", "ts"),
+        lm, total, vocab, "id", "ts", "text")
+      .writeStream.outputMode("append").format("memory").queryName("flm").start()
+    input.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*) // advances the watermark past window 1
+    q.processAllAvailable()
+    input.addData((99L, "flush", ts(200)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("flm")
+      .select("doc_id", "n_words", "avg_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val batch = StreamingScore.scoreDocs(docs.toDF("id", "text", "ts"),
+        lm, total, vocab, "id", "ts", "text")
+      .select("doc_id", "n_words", "avg_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    docs.foreach { case (id, _, _) => assert(streamed(id) === batch(id), s"doc $id") }
+    // the cat doc scores the trained-term probability, the finance doc
+    // the add-one floor ln(1/15) — strictly lower
+    assert(streamed(1L)._2 > streamed(2L)._2)
+    assert(math.abs(streamed(2L)._2 - math.log(1.0 / 15)) < 1e-6)
+  }
+
   test("streaming corpus composition: sample → scrub → watermark dedup → quality gate ≡ batch") {
     // the CONTINUOUS-INGESTION form of the corpus pipeline's stateless
     // prefix: deterministic hash sample and PII scrub are narrow (run
