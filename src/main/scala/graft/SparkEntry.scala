@@ -1010,19 +1010,7 @@ object SparkEntry {
     // (q25), per query — the measured number a user tunes nprobe
     // against before scaling out. Both inputs are deterministic and
     // individually hash-exact, so the recall itself is oracled
-    "q87_ivf_recall" -> ((s, dir) => {
-      val ivf = queries("q78_ivf_learned")(s, dir)
-        .select(col("query_id"), col("neighbor_id"))
-      val bf = queries("q25_knn_bruteforce")(s, dir)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = ivf.join(bf, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
-      bf.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          round(coalesce(col("hits"), lit(0L)).cast("double") /
-            col("k").cast("double"), 6).as("recall_at_5"))
-    }),
+    "q87_ivf_recall" -> ((s, dir) => recallAudit(s, dir, "q78_ivf_learned")),
 
     // product quantization codes: 8 subspaces x 4 learned codes (one
     // Lloyd round, ordered means for oracle parity) — each 64-float
@@ -1264,20 +1252,30 @@ object SparkEntry {
     // recall@5 of compressed-domain IVF-PQ (q92's ADC over 8-byte
     // codes) vs exact brute force — quantization loss + coarse-probe
     // loss in ONE measured number, the ADC counterpart of q87
-    "q108_ivfpq_recall" -> ((s, dir) => {
-      val adc = queries("q92_ivfpq")(s, dir)
-        .select(col("query_id"), col("neighbor_id"))
-      val bf = queries("q25_knn_bruteforce")(s, dir)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = adc.join(bf, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
-      bf.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          round(coalesce(col("hits"), lit(0L)).cast("double") /
-            col("k").cast("double"), 6).as("recall_at_5"))
-    }),
+    "q108_ivfpq_recall" -> ((s, dir) => recallAudit(s, dir, "q92_ivfpq")),
   )
+
+  /** recall@k audit body shared by q87 (learned IVF) and q108
+    * (IVF-PQ/ADC): per-query hit count of the approximate result
+    * against the exact brute-force baseline (q25), left-joined so a
+    * zero-recall query still emits a row. One body — a rounding or
+    * coalesce change cannot silently diverge the two audits (the SQL
+    * side shares q25KnnSql / q92IvfPqSql the same way).
+    */
+  private def recallAudit(s: SparkSession, dir: String,
+                          approxName: String): DataFrame = {
+    val approx = queries(approxName)(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val bf = queries("q25_knn_bruteforce")(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(bf, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    bf.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("k").cast("double"), 6).as("recall_at_5"))
+  }
 
   /** Shared DuckDB CTE body: minhash band buckets over relation `rel`
     * (mirrors Dedup.minhashBands with numHashes=8, bandSize=2,

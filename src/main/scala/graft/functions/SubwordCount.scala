@@ -33,10 +33,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * recursive CTE replays the greedy scan exactly).
   *
   * The vocab argument must be a literal (foldable) array: the piece
-  * set + max-piece-length are built once per thread and memoized by
-  * the literal's object identity, so per row the cost is O(chars ·
-  * maxPieceLen) hash probes inside whole-stage codegen — no joins, no
-  * explode, no per-row set construction.
+  * set + max-piece-length are built ONCE PER EXPRESSION INSTANCE by
+  * evaluating the foldable vocab at bind time, and handed to the
+  * generated code as a reference object — the per-row path does no
+  * memo lookup at all (and cannot degrade if a foldable-but-unfolded
+  * vocab reaches execution: binding never depends on per-row object
+  * identity). Per row the cost is O(chars · maxPieceLen) hash probes
+  * inside whole-stage codegen — no joins, no explode, no per-row set
+  * construction.
   *
   * Matching is character-based (String), byte-identical to the
   * oracle's substr on ASCII corpora (the WinnowFps caveat).
@@ -61,13 +65,21 @@ case class SubwordCount(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "subword_count"
 
-  override protected def nullSafeEval(text: Any, vocab: Any): Any =
-    SubwordCount.count(text.asInstanceOf[UTF8String],
-      vocab.asInstanceOf[ArrayData])
+  /** Piece set + max piece length, built once from the foldable vocab
+    * (null vocab → empty set; the row result is null anyway via the
+    * null-intolerant binary contract).
+    */
+  @transient private lazy val bound: (java.util.HashSet[String], Integer) =
+    SubwordCount.build(right.eval(null).asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def nullSafeEval(text: Any, vocab: Any): Any =
+    SubwordCount.countWith(text.asInstanceOf[UTF8String], bound)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("subwordVocab", bound, "scala.Tuple2")
     defineCodeGen(ctx, ev,
-      (t, v) => s"graft.functions.SubwordCount.count($t, $v)")
+      (t, _) => s"graft.functions.SubwordCount.countWith($t, (scala.Tuple2) $ref)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SubwordCount =
@@ -76,26 +88,14 @@ case class SubwordCount(left: Expression, right: Expression)
 
 object SubwordCount {
 
-  /** Per-thread vocabRef → (piece set, max piece length) memo, keyed
-    * by object IDENTITY: the vocab reaches eval as the SAME ArrayData
-    * instance every row (it is required foldable — a Literal). A map,
-    * not a single slot, so a projection evaluating subword_count with
-    * several vocab literals (e.g. two tokenizers compared side by
-    * side) doesn't thrash a rebuild per row; capped and cleared
-    * defensively — live vocab literals per thread are a handful.
+  /** Build the (piece set, max piece length) pair from a vocab array —
+    * called once per expression instance at bind time, never per row.
     */
-  private val memo = ThreadLocal.withInitial(() =>
-    new java.util.IdentityHashMap[ArrayData, (java.util.HashSet[String], Int)])
-
-  /** Greedy longest-match piece count (see class doc). Shared by the
-    * interpreted and generated paths — one source of truth.
-    */
-  def count(text: UTF8String, vocab: ArrayData): Long = {
-    val cache = memo.get()
-    var m = cache.get(vocab)
-    if (m == null) {
-      val set = new java.util.HashSet[String]()
-      var maxLen = 1
+  private[functions] def build(
+      vocab: ArrayData): (java.util.HashSet[String], Integer) = {
+    val set = new java.util.HashSet[String]()
+    var maxLen = 1
+    if (vocab != null) {
       var i = 0
       val n = vocab.numElements()
       while (i < n) {
@@ -108,12 +108,18 @@ object SubwordCount {
         }
         i += 1
       }
-      m = (set, maxLen)
-      if (cache.size() >= 64) cache.clear()
-      cache.put(vocab, m)
     }
-    val set = m._1
-    val maxLen = m._2
+    (set, maxLen)
+  }
+
+  /** Greedy longest-match piece count (see class doc) over a pre-built
+    * piece set. Shared by the interpreted and generated paths — one
+    * source of truth.
+    */
+  def countWith(text: UTF8String,
+                bound: (java.util.HashSet[String], Integer)): Long = {
+    val set = bound._1
+    val maxLen: Int = bound._2
     val s = text.toString
     val n = s.length
     var tokens = 0L

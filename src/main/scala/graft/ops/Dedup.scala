@@ -475,9 +475,15 @@ object Dedup {
     * pairs ONLY within a cluster, and drop every member that has a
     * lower-id cluster-mate with cosine >= threshold. SemDeDup keeps a
     * random member of each duplicate group; keeping the min id is the
-    * deterministic twin of that policy (the reported `dup_of` is the
-    * smallest such keeper, picked by min(struct), a map-side-combining
-    * aggregate — no Window sort).
+    * deterministic twin of that policy. The reported `dup_of` is the
+    * smallest NEAR-IDENTICAL cluster-mate (picked by min(struct), a
+    * map-side-combining aggregate — no Window sort) — in a similarity
+    * CHAIN (A≈B, B≈C, A≉C) it can itself be a dropped doc (C's dup_of
+    * is B, which A drops). Survivor-set semantics are unaffected: a
+    * doc is kept iff it has no smaller near-identical cluster-mate.
+    * Consumers needing a SURVIVING canonical id per dropped doc should
+    * run [[connectedComponents]] over the (dup_of, vec_id) pairs (the
+    * q65 move for LSH candidates) rather than chasing dup_of.
     *
     * This is the semantic companion of [[embeddingNearDup]]: SRP
     * buckets block by random hyperplane signs (near-exact duplicates),

@@ -25,9 +25,7 @@ object Sampling {
     * (top 60 bits), so % is a true mod.
     */
   private def bucket(df: DataFrame, idCol: String, salt: String): Column =
-    graft.functions.Md5Long60(df.sparkSession,
-      concat(lit(salt), col(idCol).cast("string")).cast("binary")) %
-      Granularity
+    bucketFull(df, idCol, salt) % Granularity
 
   /** Membership expression: stable hash of (salt, `idCol`) mod
     * granularity compared against floor(fraction * granularity).
