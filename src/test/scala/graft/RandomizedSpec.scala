@@ -250,6 +250,71 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  test("dropRepeatedSpans matches an independent reference on random corpora (seeded)") {
+    val rnd = new scala.util.Random(53)
+    val words = Array("a", "b", "c", "d", "boiler", "plate")
+    val docs = (0 until 150).map { i =>
+      val n = rnd.nextInt(12)
+      val ws = (0 until n).map(_ => words(rnd.nextInt(words.length)))
+      (i.toLong, ws.mkString(" "))
+    }
+    val spanW = 2; val maxCount = 3
+    // reference: split → fixed windows → global counts → filter+rejoin
+    def spansOf(text: String): Seq[String] =
+      text.split(" ", -1).toSeq.grouped(spanW).map(_.mkString(" ")).toSeq
+    val counts = docs.flatMap(d => spansOf(d._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = docs.map { case (id, text) =>
+      val sp = spansOf(text)
+      val kept = sp.filter(counts(_) <= maxCount)
+      id -> ((sp.size.toLong, (sp.size - kept.size).toLong, kept.mkString(" ")))
+    }.toMap
+    val got = TextAnalysis.dropRepeatedSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", spanWords = spanW, maxCount = maxCount)
+      .select("doc_id", "n_spans", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (id, e) => assert(got(id) === e, s"doc $id") }
+  }
+
+  test("importanceScore matches an independent smoothed-LLR reference (seeded)") {
+    val rnd = new scala.util.Random(71)
+    val vocabPool = Array("cat", "dog", "fox", "sun", "sea", "oak", "ice")
+    val docs = (0 until 80).map { i =>
+      val n = 1 + rnd.nextInt(10)
+      val bias = if (i % 4 == 0) 2 else vocabPool.length // target favors first 2
+      val ws = (0 until n).map(_ => vocabPool(rnd.nextInt(bias)))
+      (i.toLong, ws.mkString(" "), if (i % 4 == 0) "tgt" else "web")
+    }
+    // reference model: add-one smoothing over the corpus vocabulary
+    val allTf = docs.flatMap(d => d._2.split(" ", -1)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val tgtTf = docs.filter(_._3 == "tgt").flatMap(_._2.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (totalC, totalT, v) = (allTf.values.sum, tgtTf.values.sum, allTf.size.toLong)
+    // mirror the operator's fold EXACTLY: tf per distinct term, terms
+    // sorted, left-fold of tf·ln(ratio), HALF_UP round to 6
+    val expect = docs.map { case (id, text, _) =>
+      val terms = text.split(" ", -1)
+      val tf = terms.groupBy(identity).view.mapValues(_.size).toMap
+      val s = tf.keys.toSeq.sorted.foldLeft(0.0) { (a, w) =>
+        a + tf(w) * math.log(((tgtTf.getOrElse(w, 0L) + 1).toDouble * (totalC + v)) /
+          ((allTf(w) + 1).toDouble * (totalT + v)))
+      }
+      id -> ((terms.length.toLong,
+        java.math.BigDecimal.valueOf(s / terms.length)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue + 0.0))
+    }.toMap
+    val got = TextAnalysis.importanceScore(
+        docs.toDF("doc_id", "text", "source"), "doc_id", "text",
+        col("source") === "tgt")
+      .select("doc_id", "n_words", "llr").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (id, e) => assert(got(id) === e, s"doc $id") }
+  }
+
   test("epochAllocation invariants hold on random corpora (seeded)") {
     import graft.ops.Sampling
     val rnd = new scala.util.Random(13)
