@@ -1241,9 +1241,13 @@ object SparkEntry {
     // low-cardinality Window sort — 20 sources would mean 20 tasks)
     "q107_domain_quality_gate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
-        .select(col("doc_id"), col("quality"))
-        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      // quality is a pure per-row projection, so `source` rides along in
+      // the SAME select (qualityScore carryCols) — the previous
+      // join-back shape paid a second full text scan plus an equi-join
+      // shuffle for a column the projection already had in hand
+      val q = TextAnalysis.qualityScore(docs, "doc_id", "text",
+          carryCols = Seq("source"))
+        .select(col("doc_id"), col("source"), col("quality"))
       Quantiles.exactNtile(q, "source", Seq("quality", "doc_id"), buckets = 4)
         .filter(col("bucket") === 4)
         .select(col("doc_id"), col("source"), col("quality"))

@@ -56,11 +56,22 @@ object Pq {
     * `subDim`-slice of the vector, widened to double element-wise (the
     * deterministic IEEE widening the SQL oracle mirrors). One
     * projection + one generator — no shuffle.
+    *
+    * Every row is guarded: a vector shorter than m·subDim would
+    * otherwise yield a silently clamped final slice and fail only deep
+    * in execution with array_sqdiff's length-mismatch error (ADVICE
+    * r9) — instead it raises naming m, subDim and the offending id
+    * (the lshBuckets guard convention).
     */
   private def subvectors(emb: DataFrame, idCol: String, vecCol: String,
                          m: Int, subDim: Int): DataFrame =
     emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
-      .select(col("vec_id"), col("vec"),
+      .select(col("vec_id"),
+        when(size(col("vec")) >= m * subDim, col("vec"))
+          .otherwise(raise_error(concat(
+            lit(s"Pq: embedding length < m*subDim = $m*$subDim for vec_id="),
+            col("vec_id").cast("string"),
+            lit(", got "), size(col("vec")).cast("string")))).as("vec"),
         explode(expr(s"sequence(0L, ${m - 1}L)")).as("sub"))
       .select(col("vec_id"), col("sub"),
         expr(s"transform(slice(vec, CAST(sub * $subDim + 1 AS INT), $subDim)," +

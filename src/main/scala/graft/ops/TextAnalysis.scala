@@ -77,14 +77,21 @@ object TextAnalysis {
     * All inputs are exact integer counts; the one double expression is
     * evaluated in a fixed order and rounded to 6 digits, so the score is
     * bit-stable across engines and partitionings.
+    *
+    * `carryCols` ride along in the same projection — consumers that
+    * need the score NEXT TO other document columns (q107's per-source
+    * gate) carry them here instead of joining the score frame back to
+    * the input, which costs a second full corpus scan plus an equi-join
+    * shuffle at 100 TB for what is a pure per-row projection.
     */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+                   carryCols: Seq[String] = Nil): DataFrame = {
     val words = split(col(textCol), " ")
     val scored = df.select(
-      col(idCol).as("doc_id"),
-      size(words).cast("long").as("n_words"),
-      size(array_distinct(words)).cast("long").as("n_distinct_words"),
-      inList(words, Stopwords).cast("long").as("stopword_cnt"))
+      col(idCol).as("doc_id") +: carryCols.map(col) :+
+        size(words).cast("long").as("n_words") :+
+        size(array_distinct(words)).cast("long").as("n_distinct_words") :+
+        inList(words, Stopwords).cast("long").as("stopword_cnt"): _*)
       .withColumn("quality", round(
         lit(0.4) * least(col("n_words").cast("double") / 100.0, lit(1.0)) +
         lit(0.4) * (col("n_distinct_words").cast("double") / col("n_words").cast("double")) +
@@ -368,8 +375,28 @@ object TextAnalysis {
     */
   def heavyHitters(df: DataFrame, textCol: String, k: Int): DataFrame =
     df.select(explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
       .agg(graft.functions.TypedAggs.misraGries(col("term"), k).as("mg"))
       .select(explode(col("mg.entries")).as(Seq("term", "est_cnt")))
+
+  /** Per-key approximate heavy hitters — [[heavyHitters]] under a
+    * groupBy: one mergeable Misra–Gries summary per `keyCol` value
+    * (per-source / per-language top terms, the common production ask).
+    * Each (partition, key) ships one k-entry map; the guarantee (no
+    * overcount, undercount ≤ n_key/(k+1), every term above that
+    * threshold present) holds PER GROUP with n_key = the group's own
+    * term count (ApproxErrorSpec). APPROXIMATE BY DESIGN, like the
+    * global form: which sub-threshold terms survive is merge-order-
+    * dependent; q116's band audit pins the guarantee deterministically.
+    * Output: (keyCol, term, est_cnt).
+    */
+  def heavyHittersBy(df: DataFrame, keyCol: String, textCol: String,
+                     k: Int): DataFrame =
+    df.select(col(keyCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(keyCol))
+      .agg(graft.functions.TypedAggs.misraGries(col("term"), k).as("mg"))
+      .select(col(keyCol), explode(col("mg.entries")).as(Seq("term", "est_cnt")))
 
   /** Corpus-derived subword vocabulary: the top-`topK` words by corpus
     * frequency (count desc, word asc tie-break — total and

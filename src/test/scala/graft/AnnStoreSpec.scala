@@ -71,4 +71,44 @@ class AnnStoreSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
     }
   }
+
+  test("zero-norm vectors: ivfSearch and the bucketed store exclude them identically (ADVICE r9)") {
+    // the bucketed store drops zero-norm vectors at write; ivfSearch's
+    // scoring tail drops them via the normedVectors guard — a corpus
+    // CONTAINING a zero vector must give row-for-row equal results from
+    // both paths, with the zero vector absent (cosine undefined: 0/0 =
+    // NaN would sort above every real score under desc ordering)
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 20L).map { i =>
+      val v: Seq[Float] =
+        if (i == 13L) Seq.fill(4)(0.0f)
+        else Seq.fill(4)(rnd.nextFloat() - 0.5f)
+      (i, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val centroids = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_vec"))
+    val base = java.nio.file.Files.createTempDirectory("graft-ann-zn-")
+    try {
+      Similarity.writeIvfBucketed(emb, "vec_id", "embedding", centroids,
+        table = "graft_ivf_store_zn", buckets = 2,
+        path = Some(base.resolve("ivf").toString))
+      val plain = Similarity.ivfSearch(emb, "vec_id", "embedding",
+          centroidIds = Seq(0L, 1L), queryIds = Seq(0L, 1L, 2L, 13L),
+          k = 3, nprobe = 2)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val bucketed = Similarity.ivfSearchBucketed(
+          spark.table("graft_ivf_store_zn"), emb, "vec_id", "embedding",
+          centroids, queryIds = Seq(0L, 1L, 2L, 13L), k = 3, nprobe = 2)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(plain === bucketed)
+      assert(plain.nonEmpty)
+      assert(!plain.exists(_._2 == 13L), "zero-norm vector surfaced as a neighbor")
+      assert(!plain.exists(r => r._1 == 13L), "zero-norm query should be dropped")
+      assert(plain.forall(r => !r._3.isNaN))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_store_zn")
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
 }

@@ -217,6 +217,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"))
   }
 
+  test("q107: the domain gate reads documents ONCE — quality carries source, no join-back") {
+    // quality is a pure per-row projection; `source` rides in the same
+    // select (qualityScore carryCols). The only documents read is the
+    // one inside PrefixSum's pinned range-partition pass, so ZERO
+    // parquet scans may appear outside the pin — the old join-back
+    // shape showed one (a second full text scan + equi-join at 100 TB)
+    val p = plan("q107_domain_quality_gate")
+    val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans === 0, s"q107 re-reads documents $scans times — carryCols regressed to a join-back")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q88: PQ encode is broadcast-argmin — codebooks broadcast, no sort join, no Window") {
     val p = plan("q88_pq_encode")
     assert(p.contains("BroadcastHashJoin"))
