@@ -1257,7 +1257,138 @@ object SparkEntry {
     // codes) vs exact brute force — quantization loss + coarse-probe
     // loss in ONE measured number, the ADC counterpart of q87
     "q108_ivfpq_recall" -> ((s, dir) => recallAudit(s, dir, "q92_ivfpq")),
+
+    // recall@5 of the RESIDUAL IVF-PQ path (q98): the Jégou-canonical
+    // layout quantizes (vec − centroid), which should beat q108's
+    // raw-vector codes on the same data — this row MEASURES that claim
+    // (the audit body and its oracle are shared with q87/q108)
+    "q109_ivfpq_residual_recall" -> ((s, dir) =>
+      recallAudit(s, dir, "q98_ivfpq_residual")),
+
+    // band audit of q03's HLL++ sketch: |estimate − exact| per hourly
+    // window against a 5% band (5× the rsd=0.01 target). HLL register
+    // maxima are commutative/idempotent, so the estimate — hence the
+    // boolean — is DETERMINISTIC under any partitioning; the oracle
+    // computes the exact side and asserts the band holds, turning the
+    // sketch's guarantee into a hash-exact row (the q03 entry itself
+    // stays rows-only: its VALUES are not DuckDB-reproducible)
+    "q110_hll_band" -> ((s, dir) => {
+      val v = Tables.events(s, dir).filter(col("event_type") === "view")
+      sketchBand(
+        WindowedAgg.tumblingApproxDistinct(v, "ts", "1 hour", "user_id"),
+        WindowedAgg.tumblingDistinct(v, "ts", "1 hour", "user_id"),
+        "uv_approx", band = 0.05)
+    }),
+
+    // band audit of q32's bit-parity Bloom sketch (2^17 bits, 3 hashes):
+    // the -m/k·ln(1-X/m) estimate vs exact hourly UV. The band is
+    // max(2, 8%·exact) — measured honestly, NOT the textbook Bloom
+    // bound: the reference's polynomial hash r = r·seed + char maps
+    // every single-char key to the same bit under all 3 seeds (seed
+    // never multiplies in), so tiny ids under-fill the bitmap, and the
+    // rounded estimator is off-by-one at 1–8-user windows (the abs
+    // floor). Measured: ≤1 absolute at sf0.01, ≤6.9% relative at
+    // sf0.1. The bitmap OR is commutative, the popcount deterministic
+    // — same hash-exact-boolean construction as q110
+    "q111_bloom_band" -> ((s, dir) => {
+      val v = Tables.events(s, dir).filter(col("event_type") === "view")
+      val est = v.groupBy(window(col("ts"), "1 hour"))
+        .agg(graft.functions.TypedAggs.bloomDistinct(
+          col("user_id").cast("string"), 1 << 17).as("uv_bloom"))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          unix_timestamp(col("window.end")).as("window_end"), col("uv_bloom"))
+      sketchBand(est,
+        WindowedAgg.tumblingDistinct(v, "ts", "1 hour", "user_id"),
+        "uv_bloom", band = 0.08, absFloor = 2.0)
+    }),
+
+    // band audit of q53's approx_percentile: the sketch value's RANK
+    // must sit within ±max(2, 2n/accuracy) of the target rank p·n —
+    // the QuantileSummaries guarantee (rank error ≤ n/accuracy) with 2×
+    // merge headroom. The ESTIMATE varies with merge order, but the
+    // guarantee holds under ANY order, so the boolean is deterministic
+    // and the row hash-exact — the q53 entry stays rows-only
+    "q112_pctl_band" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val est = o.groupBy(col("o_orderpriority"))
+        .agg(approx_percentile(col("o_totalprice"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("pcts"),
+          count(lit(1)).as("n"))
+      val un = est.select(col("o_orderpriority"), col("n"),
+        explode(array(Seq(("p25", 0.25, 1), ("p50", 0.5, 2), ("p75", 0.75, 3)).map {
+          case (nm, p, i) => struct(lit(nm).as("pct"), lit(p).as("p"),
+            element_at(col("pcts"), i).as("est_v"))
+        }: _*)).as("e"))
+        .select(col("o_orderpriority"), col("n"), col("e.pct").as("pct"),
+          col("e.p").as("p"), col("e.est_v").as("est_v"))
+      val ranks = o.select(col("o_orderpriority"), col("o_totalprice"))
+        .join(broadcast(un), "o_orderpriority")
+        .groupBy(col("o_orderpriority"), col("pct"), col("p"), col("n"))
+        .agg(
+          sum(when(col("o_totalprice") <= col("est_v"), 1L).otherwise(0L)).as("cnt_le"),
+          sum(when(col("o_totalprice") < col("est_v"), 1L).otherwise(0L)).as("cnt_lt"))
+      val d = greatest(lit(2.0), col("n").cast("double") * 2.0 / 10000.0)
+      ranks.select(col("o_orderpriority"), col("pct"), col("n"),
+        (col("cnt_lt").cast("double") <= col("p") * col("n").cast("double") + d &&
+          col("cnt_le").cast("double") >= col("p") * col("n").cast("double") - d)
+          .as("within_band"))
+    }),
+
+    // band audit of q99's Misra–Gries summary, keyed by the TOP-30
+    // EXACT terms (a deterministic key set — which sub-threshold MG
+    // entries survive is merge-order-dependent, so keying on the MG
+    // side would not hash). Per term the guarantee is integer-exact:
+    // present ⇒ cnt − n/(k+1) ≤ est ≤ cnt (cross-multiplied, no
+    // division); absent ⇒ cnt ≤ n/(k+1). Always true under any merge
+    // order ⇒ hash-exact
+    "q113_mg_band" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val words = docs.select(explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val exact = words.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val tot = exact.agg(sum(col("cnt")).as("n"))
+      val top = exact.orderBy(col("cnt").desc, col("term").asc).limit(30)
+      top.join(TextAnalysis.heavyHitters(docs, "text", k = 20), Seq("term"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("term"), col("cnt"),
+          when(col("est_cnt").isNotNull,
+            col("est_cnt") <= col("cnt") &&
+              (col("cnt") - col("est_cnt")) * 21 <= col("n"))
+            .otherwise(col("cnt") * 21 <= col("n")).as("within_band"))
+    }),
+
+    // band audit of q100's DataSketches HLL rollup: daily
+    // union-of-hourly-sketches estimate vs exact daily UV, 5% band
+    // (~3× the lgK=12 rsd). Register maxima ⇒ deterministic estimate ⇒
+    // hash-exact boolean, as in q110
+    "q114_sketch_rollup_band" -> ((s, dir) => {
+      val v = Tables.events(s, dir).filter(col("event_type") === "view")
+      sketchBand(
+        WindowedAgg.sketchRollupDistinct(v, "ts", fine = "1 hour",
+          coarse = "1 day", distinctCol = "user_id"),
+        WindowedAgg.tumblingDistinct(v, "ts", "1 day", "user_id"),
+        "uv_approx", band = 0.05)
+    }),
   )
+
+  /** Shared body of the distinct-count band audits (q110/q111/q114):
+    * join the sketch estimate to the exact per-window count and emit
+    * (window bounds, exact uv, |est − exact| ≤ max(absFloor,
+    * band·exact)). The exact side is DuckDB-reproducible and the
+    * boolean deterministic (the estimates are partition-independent),
+    * so the whole row hashes. `absFloor` covers integer round-off at
+    * tiny cardinalities, where a relative band is meaningless (a
+    * 3-user window estimated as 2 is a count-off-by-one, not a 33%
+    * sketch failure).
+    */
+  private def sketchBand(est: DataFrame, exact: DataFrame,
+                         estCol: String, band: Double,
+                         absFloor: Double = 0.0): DataFrame =
+    est.join(exact, Seq("window_start", "window_end"))
+      .select(col("window_start"), col("window_end"), col("uv"),
+        (abs(col(estCol).cast("double") - col("uv").cast("double")) <=
+          greatest(lit(absFloor), lit(band) * col("uv").cast("double")))
+          .as("within_band"))
 
   /** recall@k audit body shared by q87 (learned IVF) and q108
     * (IVF-PQ/ADC): per-query hit count of the approximate result
@@ -1457,6 +1588,73 @@ object SparkEntry {
       |            SELECT vec_id, sub, code,
       |                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
       |            FROM dd) WHERE rn = 1)""".stripMargin
+
+  /** q98's DuckDB SQL (residual IVF-PQ end-to-end), shared with the
+    * q109 recall audit's nested CTE.
+    */
+  private val q98ResidualSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |cents AS (SELECT vec_id AS centroid_id, embedding AS c_vec FROM e WHERE vec_id < 8),
+        |cvd AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |         round(sqrt(list_sum(list_transform(generate_series(1, 64),
+        |           i -> (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)
+        |              * (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)))), 6) AS dist
+        |  FROM e CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        |    FROM cvd) WHERE rn = 1),
+        |rv AS (
+        |  SELECT e.vec_id, a.centroid_id,
+        |         list_transform(generate_series(1, 64),
+        |           i -> e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE) AS rvec
+        |  FROM e JOIN assign a USING (vec_id)
+        |  JOIN cents c ON a.centroid_id = c.centroid_id),
+        |rsv AS (
+        |  SELECT vec_id, centroid_id, j.sub, rvec[j.sub*8+1 : j.sub*8+8] AS v
+        |  FROM rv CROSS JOIN generate_series(0, 7) j(sub)),
+        |c0r AS (
+        |  SELECT sub, vec_id AS code, list_transform(v, x -> round(x, 6)) AS c_vec
+        |  FROM rsv WHERE vec_id IN (8, 9, 10, 11)),
+        |codes AS (
+        |  SELECT vec_id, centroid_id, sub, code FROM (
+        |    SELECT s.vec_id, s.centroid_id, s.sub, c.code,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub
+        |             ORDER BY round(sqrt(list_sum(list_transform(generate_series(1, 8),
+        |               i -> (s.v[i] - c.c_vec[i]) * (s.v[i] - c.c_vec[i])))), 6), c.code) AS rn
+        |    FROM rsv s JOIN c0r c ON s.sub = c.sub) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+        |    FROM cvd WHERE vec_id < 10) WHERE rn <= 2),
+        |rq AS (
+        |  SELECT p.query_id, p.centroid_id,
+        |         list_transform(generate_series(1, 64),
+        |           i -> e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE) AS rvec
+        |  FROM probes p JOIN e ON e.vec_id = p.query_id
+        |  JOIN cents c ON p.centroid_id = c.centroid_id),
+        |lut AS (
+        |  SELECT r.query_id, r.centroid_id, j.sub, c.code,
+        |         round(list_sum(list_transform(generate_series(1, 8),
+        |           i -> (r.rvec[j.sub*8+i] - c.c_vec[i]) * (r.rvec[j.sub*8+i] - c.c_vec[i]))), 6)::DECIMAL(28,10) AS pd
+        |  FROM rq r CROSS JOIN generate_series(0, 7) j(sub)
+        |  JOIN c0r c ON c.sub = j.sub),
+        |sc AS (
+        |  SELECT l.query_id, cd.vec_id AS neighbor_id, sum(l.pd)::DOUBLE AS approx_dist
+        |  FROM codes cd
+        |  JOIN lut l ON l.centroid_id = cd.centroid_id
+        |            AND l.sub = cd.sub AND l.code = cd.code
+        |  WHERE cd.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |r2 AS (
+        |  SELECT query_id, neighbor_id, approx_dist,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY approx_dist, neighbor_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, approx_dist, rank FROM r2 WHERE rank <= 5""".stripMargin
 
   /** Full q92 IVF-PQ SQL (coarse probes over the seed centroids + ADC
     * scoring over the q88 codes) — shared by the q92 map entry and the
@@ -2753,70 +2951,9 @@ object SparkEntry {
 
     // residual IVF-PQ: residuals against the assigned coarse centroid,
     // codebooks = initIds' residual subvectors (rounded), list-local
-    // query LUTs; DECIMAL sums as in q89
-    "q98_ivfpq_residual" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |cents AS (SELECT vec_id AS centroid_id, embedding AS c_vec FROM e WHERE vec_id < 8),
-        |cvd AS (
-        |  SELECT e.vec_id, c.centroid_id,
-        |         round(sqrt(list_sum(list_transform(generate_series(1, 64),
-        |           i -> (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)
-        |              * (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)))), 6) AS dist
-        |  FROM e CROSS JOIN cents c),
-        |assign AS (
-        |  SELECT vec_id, centroid_id FROM (
-        |    SELECT vec_id, centroid_id,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
-        |    FROM cvd) WHERE rn = 1),
-        |rv AS (
-        |  SELECT e.vec_id, a.centroid_id,
-        |         list_transform(generate_series(1, 64),
-        |           i -> e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE) AS rvec
-        |  FROM e JOIN assign a USING (vec_id)
-        |  JOIN cents c ON a.centroid_id = c.centroid_id),
-        |rsv AS (
-        |  SELECT vec_id, centroid_id, j.sub, rvec[j.sub*8+1 : j.sub*8+8] AS v
-        |  FROM rv CROSS JOIN generate_series(0, 7) j(sub)),
-        |c0r AS (
-        |  SELECT sub, vec_id AS code, list_transform(v, x -> round(x, 6)) AS c_vec
-        |  FROM rsv WHERE vec_id IN (8, 9, 10, 11)),
-        |codes AS (
-        |  SELECT vec_id, centroid_id, sub, code FROM (
-        |    SELECT s.vec_id, s.centroid_id, s.sub, c.code,
-        |           row_number() OVER (PARTITION BY s.vec_id, s.sub
-        |             ORDER BY round(sqrt(list_sum(list_transform(generate_series(1, 8),
-        |               i -> (s.v[i] - c.c_vec[i]) * (s.v[i] - c.c_vec[i])))), 6), c.code) AS rn
-        |    FROM rsv s JOIN c0r c ON s.sub = c.sub) WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, centroid_id FROM (
-        |    SELECT vec_id, centroid_id,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
-        |    FROM cvd WHERE vec_id < 10) WHERE rn <= 2),
-        |rq AS (
-        |  SELECT p.query_id, p.centroid_id,
-        |         list_transform(generate_series(1, 64),
-        |           i -> e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE) AS rvec
-        |  FROM probes p JOIN e ON e.vec_id = p.query_id
-        |  JOIN cents c ON p.centroid_id = c.centroid_id),
-        |lut AS (
-        |  SELECT r.query_id, r.centroid_id, j.sub, c.code,
-        |         round(list_sum(list_transform(generate_series(1, 8),
-        |           i -> (r.rvec[j.sub*8+i] - c.c_vec[i]) * (r.rvec[j.sub*8+i] - c.c_vec[i]))), 6)::DECIMAL(28,10) AS pd
-        |  FROM rq r CROSS JOIN generate_series(0, 7) j(sub)
-        |  JOIN c0r c ON c.sub = j.sub),
-        |sc AS (
-        |  SELECT l.query_id, cd.vec_id AS neighbor_id, sum(l.pd)::DOUBLE AS approx_dist
-        |  FROM codes cd
-        |  JOIN lut l ON l.centroid_id = cd.centroid_id
-        |            AND l.sub = cd.sub AND l.code = cd.code
-        |  WHERE cd.vec_id <> l.query_id
-        |  GROUP BY 1, 2),
-        |r2 AS (
-        |  SELECT query_id, neighbor_id, approx_dist,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY approx_dist, neighbor_id) AS rank
-        |  FROM sc)
-        |SELECT query_id, neighbor_id, approx_dist, rank FROM r2 WHERE rank <= 5""".stripMargin,
+    // query LUTs; DECIMAL sums as in q89 (shared val — q109's recall
+    // audit nests the same SQL)
+    "q98_ivfpq_residual" -> q98ResidualSql,
 
     "q94_keep_first" ->
       """SELECT user_id, event_id AS first_event,
@@ -3021,5 +3158,60 @@ object SparkEntry {
         |                        ORDER BY quality ASC, doc_id ASC)::BIGINT AS bucket
         |  FROM q)
         |SELECT doc_id, source, quality FROM n WHERE bucket = 4""".stripMargin,
+
+    // recall@5 of the RESIDUAL IVF-PQ path (q98) vs brute force — the
+    // q87/q108 audit shape over the shared q98 SQL
+    "q109_ivfpq_residual_recall" ->
+      s"""WITH adc AS ($q98ResidualSql),
+         |bf AS ($q25KnnSql),
+         |hits AS (
+         |  SELECT query_id, count(*) AS h
+         |  FROM adc JOIN bf USING (query_id, neighbor_id) GROUP BY 1),
+         |kk AS (SELECT query_id, count(*) AS k FROM bf GROUP BY 1)
+         |SELECT kk.query_id,
+         |       round(coalesce(h, 0)::DOUBLE / k::DOUBLE, 6) AS recall_at_5
+         |FROM kk LEFT JOIN hits USING (query_id)""".stripMargin,
+
+    // band audits (q110/q111/q114): the oracle computes the EXACT side
+    // and asserts the sketch's guarantee held — the estimate is
+    // deterministic (register maxima / bitmap OR), so the Spark-side
+    // boolean is reproducible and true by the sketch's error bound
+    "q110_hll_band" ->
+      """SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS window_start,
+        |       CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 + 3600 AS window_end,
+        |       count(DISTINCT user_id) AS uv, true AS within_band
+        |FROM events WHERE event_type = 'view' GROUP BY 1, 2""".stripMargin,
+
+    "q111_bloom_band" ->
+      """SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS window_start,
+        |       CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 + 3600 AS window_end,
+        |       count(DISTINCT user_id) AS uv, true AS within_band
+        |FROM events WHERE event_type = 'view' GROUP BY 1, 2""".stripMargin,
+
+    // the sketch value's rank is within the QuantileSummaries bound for
+    // every (priority, percentile) — true whatever the merge order
+    "q112_pctl_band" ->
+      """WITH g AS (SELECT o_orderpriority, count(*)::BIGINT AS n
+        |           FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, p.pct, n, true AS within_band
+        |FROM g CROSS JOIN (VALUES ('p25'), ('p50'), ('p75')) p(pct)""".stripMargin,
+
+    // top-30 exact terms (deterministic key set); the MG guarantee
+    // (no overcount, undercount ≤ n/(k+1), presence above threshold)
+    // holds under any merge order ⇒ within_band is always true
+    "q113_mg_band" ->
+      """WITH w AS (
+        |  SELECT term FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE len(term) > 0),
+        |f AS (SELECT term, count(*)::BIGINT AS cnt FROM w GROUP BY 1)
+        |SELECT term, cnt, true AS within_band FROM f
+        |ORDER BY cnt DESC, term ASC LIMIT 30""".stripMargin,
+
+    "q114_sketch_rollup_band" ->
+      """SELECT CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS window_start,
+        |       CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 + 86400 AS window_end,
+        |       count(DISTINCT user_id) AS uv, true AS within_band
+        |FROM events WHERE event_type = 'view' GROUP BY 1, 2""".stripMargin,
   )
 }
