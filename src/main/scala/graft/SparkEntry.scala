@@ -1369,6 +1369,45 @@ object SparkEntry {
         WindowedAgg.tumblingDistinct(v, "ts", "1 day", "user_id"),
         "uv_approx", band = 0.05)
     }),
+
+    // per-source heavy hitters: q99's mergeable Misra–Gries summary
+    // under a groupBy — per-domain top terms, the common production
+    // form. Each (partition, source) ships one k-entry map.
+    // APPROXIMATE BY DESIGN (rows-only, like q99): which sub-threshold
+    // terms survive is merge-order-dependent; q116 is its hash-exact
+    // band audit
+    "q115_grouped_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHittersBy(Tables.documents(s, dir), "source",
+        "text", k = 10)),
+
+    // band audit of q115, the q113 construction PER GROUP: keyed by
+    // each source's top-10 EXACT terms; per term the per-group MG
+    // guarantee (n_g = the source's own term count, k = 10) is
+    // integer-exact and merge-order-independent, so the boolean
+    // hashes. The per-source rank<=10 pre-prunes as WindowGroupLimit
+    // (the q101 shape); the source totals derive from the exact term
+    // counts — no second corpus explode
+    "q116_grouped_mg_band" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val exact = docs
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+      val tot = exact.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("cnt").desc, col("term").asc)
+      val top = exact.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 10).drop("_rn")
+      top
+        .join(TextAnalysis.heavyHittersBy(docs, "source", "text", k = 10),
+          Seq("source", "term"), "left")
+        .join(broadcast(tot), "source")
+        .select(col("source"), col("term"), col("cnt"),
+          when(col("est_cnt").isNotNull,
+            col("est_cnt") <= col("cnt") &&
+              (col("cnt") - col("est_cnt")) * 11 <= col("n"))
+            .otherwise(col("cnt") * 11 <= col("n")).as("within_band"))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3213,5 +3252,19 @@ object SparkEntry {
         |       CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 + 86400 AS window_end,
         |       count(DISTINCT user_id) AS uv, true AS within_band
         |FROM events WHERE event_type = 'view' GROUP BY 1, 2""".stripMargin,
+
+    // q113's construction per source: top-10 exact terms per group, the
+    // per-group MG guarantee always true under any merge order
+    "q116_grouped_mg_band" ->
+      """WITH w AS (
+        |  SELECT source, term FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE len(term) > 0),
+        |f AS (SELECT source, term, count(*)::BIGINT AS cnt FROM w GROUP BY 1, 2)
+        |SELECT source, term, cnt, true AS within_band FROM (
+        |  SELECT source, term, cnt,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY cnt DESC, term ASC) AS rn
+        |  FROM f) WHERE rn <= 10""".stripMargin,
   )
 }

@@ -114,6 +114,46 @@ class ApproxErrorSpec extends AnyFunSuite {
     assert(q99.nonEmpty && q99.length <= 20)
   }
 
+  test("q115 grouped Misra-Gries: the guarantee holds PER GROUP with the group's own n") {
+    import spark.implicits._
+    // two groups with different sizes and different hot sets — the
+    // per-group bound must use each group's OWN term count, not the
+    // global one (merge exercised across 8 partitions)
+    val rows =
+      (Seq.fill(400)("h1") ++ Seq.fill(200)("h2") ++
+        (0 until 60).flatMap(i => Seq.fill(5)(s"a$i"))).map(("gA", _)) ++
+      (Seq.fill(50)("z1") ++ (0 until 30).flatMap(i => Seq.fill(2)(s"b$i")))
+        .map(("gB", _))
+    val k = 8
+    val docs = rows.toDF("source", "text").repartition(8)
+    val got = graft.ops.TextAnalysis.heavyHittersBy(docs, "source", "text", k)
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val exact = rows.groupBy(_._1).view.mapValues(
+      _.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+    exact.foreach { case (g, terms) =>
+      val n = terms.values.sum
+      val bound = n / (k + 1)
+      val mg = got.getOrElse(g, Map.empty)
+      assert(mg.size <= k, s"$g: more than $k entries")
+      terms.foreach { case (t, c) =>
+        if (c > bound) assert(mg.contains(t), s"$g/$t freq $c > $bound missing")
+      }
+      mg.foreach { case (t, est) =>
+        val c = terms(t)
+        assert(est <= c, s"$g/$t overcounted: $est > $c")
+        assert(c - est <= bound, s"$g/$t undercounted past the per-group bound")
+      }
+    }
+    // the q115 entry runs end-to-end and respects k per group
+    val q115 = SparkEntry.queries("q115_grouped_heavy_hitters")(spark, dir)
+      .as[(String, String, Long)].collect()
+    assert(q115.nonEmpty)
+    q115.groupBy(_._1).foreach { case (g, rs) =>
+      assert(rs.length <= 10, s"$g exceeded k=10 entries")
+    }
+  }
+
   test("q100 sketch-rollup daily UV within HLL error of exact daily distinct") {
     import spark.implicits._
     val got = SparkEntry.queries("q100_uv_sketch_daily")(spark, dir)
