@@ -1,0 +1,109 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Quantiles, Sampling, TextAnalysis}
+
+/** The data-SELECTION pipeline end-to-end — the companion of
+  * [[CorpusPipeline]] (which cleans a corpus) for the stage AFTER
+  * cleaning: decide WHICH of the clean documents to train on, and how
+  * often. One composable flow chaining the engine's selection
+  * operators:
+  *
+  *   1. semantic dedup      (Dedup.semDedupLosers over the embeddings —
+  *                           drop every doc with a lower-id
+  *                           near-identical cluster-mate, q102)
+  *   2. per-domain quality  (keep each source's own top quality
+  *      gate                 quantile — Quantiles.exactNtile over the
+  *                           carried qualityScore, q107)
+  *   3. DSIR resample       (importance-score against the target
+  *                           slice's LM, keep with probability
+  *                           exp(llr/T) by id hash, q103)
+  *   4. epoch allocation    (how many passes of each source a token
+  *                           budget buys, plus the hash-picked
+  *                           fractional remainder, q104)
+  *
+  * Every membership decision is hash-deterministic (no RNG anywhere),
+  * so the same selection comes out at any parallelism and the DuckDB
+  * oracle replays the WHOLE chain as CTEs (q117) — each stage is also
+  * individually oracled (q102/q107/q103/q104). Stages gate by
+  * anti/semi joins on NARROW id sets, the CorpusPipeline discipline:
+  * the full-width corpus never shuffles; each stage is persisted so
+  * its count and the next stage read the materialized survivors
+  * instead of replaying the upstream lineage.
+  *
+  * Returns (kept docs — persisted, caller unpersists; per-stage
+  * counts; per-stratum epoch allocation frame).
+  */
+object SelectionPipeline {
+
+  def run(docs: DataFrame, emb: DataFrame,
+          centroidIds: Seq[Long], semThreshold: Double,
+          targetFilter: Column, budget: Long,
+          epochWeights: Map[String, Long],
+          temperature: Double = 0.01,
+          qualityBuckets: Int = 4,
+          defaultWeight: Long = 1L,
+          embIdCol: String = "vec_id", embVecCol: String = "embedding",
+          persistStages: Boolean = true,
+          checkpointDir: Option[String] = None)
+      : (DataFrame, Seq[(String, Long)], DataFrame) = {
+    def cached(df: DataFrame): DataFrame = if (persistStages) df.cache() else df
+    val counts = Seq.newBuilder[(String, Long)]
+    counts += "input" -> docs.count()
+
+    // 1. semantic dedup: the loser set is vec_id-sized; the corpus is
+    // gated by a doc_id anti-join, never shuffled by any dedup key
+    val semLosers = Dedup.semDedupLosers(emb, embIdCol, embVecCol,
+        centroidIds, semThreshold, checkpointDir)
+      .select(col("vec_id").as("sem_loser"))
+    val semKept = cached(docs.join(semLosers,
+      col("doc_id") === col("sem_loser"), "left_anti"))
+    counts += "sem_dedup" -> semKept.count()
+
+    // 2. per-domain quality gate: quality + source in ONE projection
+    // (qualityScore carryCols — the q107 single-scan shape); the ntile
+    // runs on the NARROW (doc_id, source, quality) frame and only the
+    // surviving ids come back
+    val gateIds = Quantiles.exactNtile(
+        TextAnalysis.qualityScore(semKept, "doc_id", "text",
+            carryCols = Seq("source"))
+          .select(col("doc_id"), col("source"), col("quality")),
+        "source", Seq("quality", "doc_id"), qualityBuckets,
+        checkpointDir = checkpointDir)
+      .filter(col("bucket") === qualityBuckets)
+      .select(col("doc_id").as("q_id"))
+    val qualityKept = cached(semKept.join(gateIds,
+      col("doc_id") === col("q_id"), "left_semi"))
+    counts += "quality_gate" -> qualityKept.count()
+
+    // 3. DSIR importance resampling: LM trained on the SURVIVORS (the
+    // stage's own corpus — target slice included by construction),
+    // keep with probability exp(llr/T) decided by the salted id hash
+    val scored = TextAnalysis.importanceScore(qualityKept, "doc_id", "text",
+      targetFilter, checkpointDir)
+    val dsirIds = Sampling.weightedHashSample(scored, "doc_id",
+        round(exp(col("llr") / temperature), 6), salt = "dsir")
+      .select(col("doc_id").as("d_id"))
+    val dsirKept = cached(qualityKept.join(dsirIds,
+      col("doc_id") === col("d_id"), "left_semi"))
+    counts += "dsir" -> dsirKept.count()
+
+    // 4. epoch allocation over the final kept set's token counts —
+    // dimension-sized output, integer-exact keep decisions
+    val alloc = Sampling.epochAllocation(
+      dsirKept.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_words")),
+      "doc_id", "source", "n_words", epochWeights, defaultWeight, budget,
+      checkpointDir = checkpointDir)
+
+    if (persistStages) {
+      semKept.unpersist()
+      qualityKept.unpersist()
+      // dsirKept stays cached: its count materialized it and both the
+      // caller's consumption AND the allocation read it
+    }
+    (dsirKept, counts.result(), alloc)
+  }
+}
