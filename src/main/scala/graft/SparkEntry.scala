@@ -1408,6 +1408,47 @@ object SparkEntry {
               (col("cnt") - col("est_cnt")) * 11 <= col("n"))
             .otherwise(col("cnt") * 11 <= col("n")).as("within_band"))
     }),
+
+    // the data-SELECTION pipeline END-TO-END (jobs/SelectionPipeline
+    // .run): semantic dedup (q102) → per-domain quality gate (q107) →
+    // DSIR resample (q103 — LM trained on the stage's own survivors)
+    // → epoch allocation (q104). Output = the final kept (doc_id,
+    // source) set PLUS every per-stage survivor count PLUS the
+    // allocation table unpivoted into (kind, value, stratum) rows, all
+    // hash-compared against a DuckDB CTE chain that replays the gates
+    // with the SAME parameterized SQL bodies the stage oracles use —
+    // the q85 "whole pipeline is correct" claim for the selection
+    // layer (each stage also individually oracled)
+    "q117_selection_pipeline" -> ((s, dir) => {
+      val (kept, counts, alloc) = graft.jobs.SelectionPipeline.run(
+        Tables.documents(s, dir), Tables.embeddings(s, dir),
+        centroidIds = (0L until 8L).toSeq, semThreshold = 0.3,
+        targetFilter = col("source") === "src0", budget = 1000000L,
+        epochWeights = Map("src0" -> 4L, "src1" -> 2L))
+      import s.implicits._
+      val stageRows = counts.map { case (stage, n) => ("stage:" + stage, n) }
+        .toDF("kind", "doc_id")
+        .withColumn("source", lit(null).cast("string"))
+      // the allocation frame is dimension-sized; ONE stack unpivots
+      // all seven fields in a single pass, stratum riding as `source`
+      val allocRows = alloc.select(col("stratum"),
+          expr("""stack(7,
+                 |  'alloc:wt', wt,
+                 |  'alloc:avail_tokens', avail_tokens,
+                 |  'alloc:target_tokens', target_tokens,
+                 |  'alloc:epochs', epochs,
+                 |  'alloc:rem_tokens', rem_tokens,
+                 |  'alloc:rem_docs', rem_docs,
+                 |  'alloc:rem_kept_tokens', rem_kept_tokens)
+                 |AS (kind, doc_id)""".stripMargin))
+        .select(col("kind"), col("doc_id"), col("stratum").as("source"))
+      // kept stays CACHED (the q85 discipline): the dsir stage count
+      // materialized it, and the consumer's write plus the allocation
+      // both read the cache instead of replaying the three-gate lineage
+      kept.select(lit("kept").as("kind"), col("doc_id"), col("source"))
+        .unionByName(stageRows)
+        .unionByName(allocRows)
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -1820,6 +1861,135 @@ object SparkEntry {
       |tk AS (SELECT word, max(tokens) AS n FROM seg GROUP BY 1),
       |sc AS (SELECT w.doc_id, sum(tk.n)::BIGINT AS subword_cnt
       |       FROM w JOIN tk USING (word) GROUP BY 1)""".stripMargin
+
+  /** q102's DuckDB SQL (SemDeDup losers over the embeddings: q33's
+    * assignment head, q59's pairwise-cosine body scoped to the cluster,
+    * min-id keeper per loser) — shared with the q117 selection-pipeline
+    * chain's nested CTE.
+    */
+  private val q102SemDedupSql: String =
+    """WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
+      |c AS (SELECT vec_id AS centroid_id, embedding AS c_vec FROM e0 WHERE vec_id < 8),
+      |sc AS (
+      |  SELECT e0.vec_id, c.centroid_id,
+      |         round(sqrt(list_sum(list_transform(generate_series(1, len(e0.embedding)),
+      |           i -> (e0.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)
+      |              * (e0.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)))), 6) AS dist
+      |  FROM e0 CROSS JOIN c),
+      |assign AS (
+      |  SELECT vec_id, centroid_id FROM (
+      |    SELECT vec_id, centroid_id,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+      |    FROM sc) WHERE rn = 1),
+      |e AS (
+      |  SELECT * FROM (
+      |    SELECT e0.vec_id, e0.embedding, a.centroid_id,
+      |           list_sum(list_transform(e0.embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
+      |    FROM e0 JOIN assign a USING (vec_id))
+      |  WHERE norm2 > 0),
+      |pairs AS (
+      |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, l.centroid_id,
+      |         round(list_sum(list_transform(generate_series(1, len(l.embedding)),
+      |             i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE))
+      |           / sqrt(l.norm2 * r.norm2), 6) AS cosine
+      |  FROM e l JOIN e r ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id)
+      |SELECT vec_b AS vec_id, centroid_id, vec_a AS dup_of, cosine FROM (
+      |  SELECT vec_b, centroid_id, vec_a, cosine,
+      |         row_number() OVER (PARTITION BY vec_b ORDER BY vec_a) AS rn
+      |  FROM pairs WHERE cosine >= 0.3) WHERE rn = 1""".stripMargin
+
+  /** q107's DuckDB SQL parameterized by the corpus relation (q66's
+    * quality body + ntile(4) per source, keep the top quartile):
+    * `documents` at the q107 entry, the sem-dedup survivors CTE inside
+    * q117 — one body, zero drift between the stage and the chain.
+    */
+  private def duckDomainGateSql(rel: String): String =
+    s"""WITH c AS (
+       |  SELECT doc_id, source,
+       |    len(string_split(text, ' '))::BIGINT AS n_words,
+       |    len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_words,
+       |    len(list_filter(string_split(text, ' '),
+       |        w -> list_contains(['the','a','of','and','in','to','is','on','for','with'], w)))::BIGINT AS stopword_cnt
+       |  FROM $rel),
+       |q AS (
+       |  SELECT doc_id, source,
+       |    round(0.4 * least(n_words::DOUBLE / 100.0, 1.0)
+       |        + 0.4 * (n_distinct_words::DOUBLE / n_words::DOUBLE)
+       |        + 0.2 * least(5.0 * stopword_cnt::DOUBLE / n_words::DOUBLE, 1.0), 6) AS quality
+       |  FROM c),
+       |n AS (
+       |  SELECT doc_id, source, quality,
+       |         ntile(4) OVER (PARTITION BY source
+       |                        ORDER BY quality ASC, doc_id ASC)::BIGINT AS bucket
+       |  FROM q)
+       |SELECT doc_id, source, quality FROM n WHERE bucket = 4""".stripMargin
+
+  /** q103's DuckDB SQL parameterized by the corpus relation (add-one
+    * smoothed target-vs-corpus unigram LLR — q80's fold shape — then
+    * the q66 hash-threshold keep on exp(llr/T)): `documents` at the
+    * q103 entry, the quality-gate survivors inside q117 (DSIR's LM is
+    * trained on the stage's own input corpus in both).
+    */
+  private def duckDsirSql(rel: String): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, source = 'src0' AS is_target,
+       |         unnest(string_split(text, ' ')) AS term
+       |  FROM $rel),
+       |tf AS (SELECT doc_id, is_target, term, count(*) AS tf FROM w GROUP BY 1, 2, 3),
+       |wc AS (SELECT term, sum(tf) AS cnt_c FROM tf GROUP BY 1),
+       |wt AS (SELECT term, sum(tf) AS cnt_t FROM tf WHERE is_target GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(cnt_c) FROM wc) AS total_c,
+       |               (SELECT count(*) FROM wc) AS vocab,
+       |               (SELECT sum(cnt_t) FROM wt) AS total_t),
+       |v AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf,
+       |         tf.tf * ln(((coalesce(wt.cnt_t, 0) + 1)::DOUBLE * (tot.total_c + tot.vocab)::DOUBLE)
+       |                  / ((wc.cnt_c + 1)::DOUBLE * (tot.total_t + tot.vocab)::DOUBLE)) AS v
+       |  FROM tf JOIN wc USING (term) LEFT JOIN wt USING (term) CROSS JOIN tot),
+       |s AS (
+       |  SELECT doc_id, sum(tf)::BIGINT AS n_words,
+       |         round(list_sum(list(v ORDER BY term)) / sum(tf), 6)
+       |           + 0.0::DOUBLE AS llr
+       |  FROM v GROUP BY 1)
+       |SELECT doc_id, n_words, llr FROM s
+       |WHERE ('0x'||substr(md5('dsir' || doc_id::VARCHAR),1,15))::BIGINT % 10000 <
+       |      floor(least(greatest(round(exp(llr / 0.01), 6), 0.0), 1.0) * 10000)""".stripMargin
+
+  /** q104's DuckDB SQL parameterized by the corpus relation (integer
+    * floor-div epoch allocation at weights 4:2:1, budget 1M; the
+    * remainder keep is the cross-multiplied hash compare in HUGEINT):
+    * `documents` at the q104 entry, the DSIR survivors inside q117.
+    */
+  private def duckEpochAllocSql(rel: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS tok
+       |  FROM $rel),
+       |a AS (
+       |  SELECT source,
+       |         (CASE WHEN source = 'src0' THEN 4
+       |               WHEN source = 'src1' THEN 2 ELSE 1 END)::BIGINT AS wt,
+       |         sum(tok)::BIGINT AS avail_tokens
+       |  FROM t GROUP BY 1),
+       |sw AS (SELECT sum(wt)::BIGINT AS sum_w FROM a WHERE avail_tokens > 0 AND wt > 0),
+       |al AS (
+       |  SELECT source, wt, avail_tokens,
+       |         (1000000 * wt) // sum_w AS target_tokens
+       |  FROM a CROSS JOIN sw WHERE avail_tokens > 0 AND wt > 0),
+       |a2 AS (
+       |  SELECT *, target_tokens // avail_tokens AS epochs,
+       |         target_tokens % avail_tokens AS rem_tokens
+       |  FROM al),
+       |k AS (
+       |  SELECT t.source, t.tok, a2.wt, a2.avail_tokens, a2.target_tokens,
+       |         a2.epochs, a2.rem_tokens,
+       |         ((('0x'||substr(md5('epoch:' || t.doc_id::VARCHAR),1,15))::BIGINT)::HUGEINT
+       |            * a2.avail_tokens)
+       |           < (a2.rem_tokens::HUGEINT * 1152921504606846976::HUGEINT) AS keep
+       |  FROM t JOIN a2 USING (source))
+       |SELECT source, wt, avail_tokens, target_tokens, epochs, rem_tokens,
+       |       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS rem_docs,
+       |       sum(CASE WHEN keep THEN tok ELSE 0 END)::BIGINT AS rem_kept_tokens
+       |FROM k GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3046,97 +3216,19 @@ object SparkEntry {
          |FROM c""".stripMargin,
 
     // q33's assignment head, q59's pairwise-cosine body scoped to the
-    // cluster, min-id keeper per loser
-    "q102_semantic_dedup" ->
-      """WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
-        |c AS (SELECT vec_id AS centroid_id, embedding AS c_vec FROM e0 WHERE vec_id < 8),
-        |sc AS (
-        |  SELECT e0.vec_id, c.centroid_id,
-        |         round(sqrt(list_sum(list_transform(generate_series(1, len(e0.embedding)),
-        |           i -> (e0.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)
-        |              * (e0.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)))), 6) AS dist
-        |  FROM e0 CROSS JOIN c),
-        |assign AS (
-        |  SELECT vec_id, centroid_id FROM (
-        |    SELECT vec_id, centroid_id,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
-        |    FROM sc) WHERE rn = 1),
-        |e AS (
-        |  SELECT * FROM (
-        |    SELECT e0.vec_id, e0.embedding, a.centroid_id,
-        |           list_sum(list_transform(e0.embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
-        |    FROM e0 JOIN assign a USING (vec_id))
-        |  WHERE norm2 > 0),
-        |pairs AS (
-        |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, l.centroid_id,
-        |         round(list_sum(list_transform(generate_series(1, len(l.embedding)),
-        |             i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE))
-        |           / sqrt(l.norm2 * r.norm2), 6) AS cosine
-        |  FROM e l JOIN e r ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id)
-        |SELECT vec_b AS vec_id, centroid_id, vec_a AS dup_of, cosine FROM (
-        |  SELECT vec_b, centroid_id, vec_a, cosine,
-        |         row_number() OVER (PARTITION BY vec_b ORDER BY vec_a) AS rn
-        |  FROM pairs WHERE cosine >= 0.3) WHERE rn = 1""".stripMargin,
+    // cluster, min-id keeper per loser (shared val — q117's chain
+    // nests the same body)
+    "q102_semantic_dedup" -> q102SemDedupSql,
 
     // add-one smoothed target-vs-corpus unigram LLR (q80's fold shape),
-    // then the q66 hash-threshold keep on exp(llr/T)
-    "q103_importance_resample" ->
-      """WITH w AS (
-        |  SELECT doc_id, source = 'src0' AS is_target,
-        |         unnest(string_split(text, ' ')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, is_target, term, count(*) AS tf FROM w GROUP BY 1, 2, 3),
-        |wc AS (SELECT term, sum(tf) AS cnt_c FROM tf GROUP BY 1),
-        |wt AS (SELECT term, sum(tf) AS cnt_t FROM tf WHERE is_target GROUP BY 1),
-        |tot AS (SELECT (SELECT sum(cnt_c) FROM wc) AS total_c,
-        |               (SELECT count(*) FROM wc) AS vocab,
-        |               (SELECT sum(cnt_t) FROM wt) AS total_t),
-        |v AS (
-        |  SELECT tf.doc_id, tf.term, tf.tf,
-        |         tf.tf * ln(((coalesce(wt.cnt_t, 0) + 1)::DOUBLE * (tot.total_c + tot.vocab)::DOUBLE)
-        |                  / ((wc.cnt_c + 1)::DOUBLE * (tot.total_t + tot.vocab)::DOUBLE)) AS v
-        |  FROM tf JOIN wc USING (term) LEFT JOIN wt USING (term) CROSS JOIN tot),
-        |s AS (
-        |  SELECT doc_id, sum(tf)::BIGINT AS n_words,
-        |         round(list_sum(list(v ORDER BY term)) / sum(tf), 6)
-        |           + 0.0::DOUBLE AS llr
-        |  FROM v GROUP BY 1)
-        |SELECT doc_id, n_words, llr FROM s
-        |WHERE ('0x'||substr(md5('dsir' || doc_id::VARCHAR),1,15))::BIGINT % 10000 <
-        |      floor(least(greatest(round(exp(llr / 0.01), 6), 0.0), 1.0) * 10000)""".stripMargin,
+    // then the q66 hash-threshold keep on exp(llr/T) (parameterized
+    // body shared with q117's chain)
+    "q103_importance_resample" -> duckDsirSql("documents"),
 
     // integer floor-div allocation; the remainder keep is the
     // cross-multiplied hash compare in HUGEINT — exact on both engines
-    "q104_epoch_allocation" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS tok
-        |  FROM documents),
-        |a AS (
-        |  SELECT source,
-        |         (CASE WHEN source = 'src0' THEN 4
-        |               WHEN source = 'src1' THEN 2 ELSE 1 END)::BIGINT AS wt,
-        |         sum(tok)::BIGINT AS avail_tokens
-        |  FROM t GROUP BY 1),
-        |sw AS (SELECT sum(wt)::BIGINT AS sum_w FROM a WHERE avail_tokens > 0 AND wt > 0),
-        |al AS (
-        |  SELECT source, wt, avail_tokens,
-        |         (1000000 * wt) // sum_w AS target_tokens
-        |  FROM a CROSS JOIN sw WHERE avail_tokens > 0 AND wt > 0),
-        |a2 AS (
-        |  SELECT *, target_tokens // avail_tokens AS epochs,
-        |         target_tokens % avail_tokens AS rem_tokens
-        |  FROM al),
-        |k AS (
-        |  SELECT t.source, t.tok, a2.wt, a2.avail_tokens, a2.target_tokens,
-        |         a2.epochs, a2.rem_tokens,
-        |         ((('0x'||substr(md5('epoch:' || t.doc_id::VARCHAR),1,15))::BIGINT)::HUGEINT
-        |            * a2.avail_tokens)
-        |           < (a2.rem_tokens::HUGEINT * 1152921504606846976::HUGEINT) AS keep
-        |  FROM t JOIN a2 USING (source))
-        |SELECT source, wt, avail_tokens, target_tokens, epochs, rem_tokens,
-        |       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS rem_docs,
-        |       sum(CASE WHEN keep THEN tok ELSE 0 END)::BIGINT AS rem_kept_tokens
-        |FROM k GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+    // (parameterized body shared with q117's chain)
+    "q104_epoch_allocation" -> duckEpochAllocSql("documents"),
 
     // q33's assignment head, q101's per-stratum rank over the cluster
     "q105_cluster_balanced_sample" ->
@@ -3177,26 +3269,8 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     // q66's quality body + ntile(4) per source; keep the top quartile
-    "q107_domain_quality_gate" ->
-      """WITH c AS (
-        |  SELECT doc_id, source,
-        |    len(string_split(text, ' '))::BIGINT AS n_words,
-        |    len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_words,
-        |    len(list_filter(string_split(text, ' '),
-        |        w -> list_contains(['the','a','of','and','in','to','is','on','for','with'], w)))::BIGINT AS stopword_cnt
-        |  FROM documents),
-        |q AS (
-        |  SELECT doc_id, source,
-        |    round(0.4 * least(n_words::DOUBLE / 100.0, 1.0)
-        |        + 0.4 * (n_distinct_words::DOUBLE / n_words::DOUBLE)
-        |        + 0.2 * least(5.0 * stopword_cnt::DOUBLE / n_words::DOUBLE, 1.0), 6) AS quality
-        |  FROM c),
-        |n AS (
-        |  SELECT doc_id, source, quality,
-        |         ntile(4) OVER (PARTITION BY source
-        |                        ORDER BY quality ASC, doc_id ASC)::BIGINT AS bucket
-        |  FROM q)
-        |SELECT doc_id, source, quality FROM n WHERE bucket = 4""".stripMargin,
+    // (parameterized body shared with q117's chain)
+    "q107_domain_quality_gate" -> duckDomainGateSql("documents"),
 
     // recall@5 of the RESIDUAL IVF-PQ path (q98) vs brute force — the
     // q87/q108 audit shape over the shared q98 SQL
@@ -3266,5 +3340,33 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY source
         |                            ORDER BY cnt DESC, term ASC) AS rn
         |  FROM f) WHERE rn <= 10""".stripMargin,
+
+    // the q85 "whole pipeline" claim for the SELECTION layer: replay
+    // sem-dedup → per-domain quality gate → DSIR → epoch allocation as
+    // one CTE chain. Each stage nests the SAME parameterized SQL body
+    // its individual oracle uses (q102/q107/q103/q104) — composition,
+    // zero drift; the stage CTEs (sd/qk/dk) are what the survivor
+    // counts and the next stage both read
+    "q117_selection_pipeline" ->
+      s"""WITH losers AS ($q102SemDedupSql),
+         |sd AS (SELECT * FROM documents
+         |       WHERE doc_id NOT IN (SELECT vec_id FROM losers)),
+         |gsel AS (${duckDomainGateSql("sd")}),
+         |qk AS (SELECT * FROM sd WHERE doc_id IN (SELECT doc_id FROM gsel)),
+         |dsel AS (${duckDsirSql("qk")}),
+         |dk AS (SELECT * FROM qk WHERE doc_id IN (SELECT doc_id FROM dsel)),
+         |alloc AS (${duckEpochAllocSql("dk")})
+         |SELECT 'kept' AS kind, doc_id, source FROM dk
+         |UNION ALL SELECT 'stage:input', (SELECT count(*) FROM documents), NULL
+         |UNION ALL SELECT 'stage:sem_dedup', (SELECT count(*) FROM sd), NULL
+         |UNION ALL SELECT 'stage:quality_gate', (SELECT count(*) FROM qk), NULL
+         |UNION ALL SELECT 'stage:dsir', (SELECT count(*) FROM dk), NULL
+         |UNION ALL SELECT 'alloc:wt', wt, source FROM alloc
+         |UNION ALL SELECT 'alloc:avail_tokens', avail_tokens, source FROM alloc
+         |UNION ALL SELECT 'alloc:target_tokens', target_tokens, source FROM alloc
+         |UNION ALL SELECT 'alloc:epochs', epochs, source FROM alloc
+         |UNION ALL SELECT 'alloc:rem_tokens', rem_tokens, source FROM alloc
+         |UNION ALL SELECT 'alloc:rem_docs', rem_docs, source FROM alloc
+         |UNION ALL SELECT 'alloc:rem_kept_tokens', rem_kept_tokens, source FROM alloc""".stripMargin,
   )
 }

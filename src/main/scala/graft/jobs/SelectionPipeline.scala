@@ -26,15 +26,31 @@ import graft.ops.{Dedup, Quantiles, Sampling, TextAnalysis}
   *
   * Every membership decision is hash-deterministic (no RNG anywhere),
   * so the same selection comes out at any parallelism and the DuckDB
-  * oracle replays the WHOLE chain as CTEs (q117) — each stage is also
-  * individually oracled (q102/q107/q103/q104). Stages gate by
-  * anti/semi joins on NARROW id sets, the CorpusPipeline discipline:
-  * the full-width corpus never shuffles; each stage is persisted so
-  * its count and the next stage read the materialized survivors
-  * instead of replaying the upstream lineage.
+  * oracle replays the WHOLE chain as CTEs (the q117 entry, which
+  * nests the SAME parameterized SQL bodies the per-stage oracles
+  * q102/q107/q103/q104 use). Stages gate by anti/semi joins on NARROW
+  * id sets, the CorpusPipeline discipline: the id frames carry one
+  * long per row and are EXPLICITLY broadcast (SelectionPipelineSpec
+  * pins zero text-carrying Exchange — left to stats the optimizer
+  * estimates the gate subtrees as unbroadcastable and SMJ-shuffles
+  * the corpus), so the full-width corpus never shuffles; each stage
+  * is persisted so its count and the next stage read the materialized
+  * survivors instead of replaying the upstream lineage. If a gate's
+  * id set ever outgrows broadcast (≳ executor memory — a corpus whose
+  * SURVIVOR ids alone are tens of GB), the move is the
+  * [[CorpusPipeline]] bucket-store pattern: write survivors once
+  * bucketed by doc_id and let every gate join bucket-to-bucket.
   *
-  * Returns (kept docs — persisted, caller unpersists; per-stage
-  * counts; per-stratum epoch allocation frame).
+  * `persistStages = false` (the single-consumer mode, e.g. a
+  * foreachBatch micro-batch whose sink materializes the result once)
+  * also SKIPS the per-stage counts: each count() is an action, and
+  * without the cache every one would replay the entire upstream
+  * lineage — including the semDedup self-join — making the "cheap"
+  * mode quadratic in pipeline depth. Counts require persistStages.
+  *
+  * Returns (kept docs — persisted when persistStages, caller
+  * unpersists; per-stage counts — empty when !persistStages;
+  * per-stratum epoch allocation frame).
   */
 object SelectionPipeline {
 
@@ -51,16 +67,18 @@ object SelectionPipeline {
       : (DataFrame, Seq[(String, Long)], DataFrame) = {
     def cached(df: DataFrame): DataFrame = if (persistStages) df.cache() else df
     val counts = Seq.newBuilder[(String, Long)]
-    counts += "input" -> docs.count()
+    def count(name: String, df: DataFrame): Unit =
+      if (persistStages) counts += name -> df.count()
+    count("input", docs)
 
     // 1. semantic dedup: the loser set is vec_id-sized; the corpus is
     // gated by a doc_id anti-join, never shuffled by any dedup key
     val semLosers = Dedup.semDedupLosers(emb, embIdCol, embVecCol,
         centroidIds, semThreshold, checkpointDir)
       .select(col("vec_id").as("sem_loser"))
-    val semKept = cached(docs.join(semLosers,
+    val semKept = cached(docs.join(broadcast(semLosers),
       col("doc_id") === col("sem_loser"), "left_anti"))
-    counts += "sem_dedup" -> semKept.count()
+    count("sem_dedup", semKept)
 
     // 2. per-domain quality gate: quality + source in ONE projection
     // (qualityScore carryCols — the q107 single-scan shape); the ntile
@@ -74,9 +92,9 @@ object SelectionPipeline {
         checkpointDir = checkpointDir)
       .filter(col("bucket") === qualityBuckets)
       .select(col("doc_id").as("q_id"))
-    val qualityKept = cached(semKept.join(gateIds,
+    val qualityKept = cached(semKept.join(broadcast(gateIds),
       col("doc_id") === col("q_id"), "left_semi"))
-    counts += "quality_gate" -> qualityKept.count()
+    count("quality_gate", qualityKept)
 
     // 3. DSIR importance resampling: LM trained on the SURVIVORS (the
     // stage's own corpus — target slice included by construction),
@@ -86,9 +104,9 @@ object SelectionPipeline {
     val dsirIds = Sampling.weightedHashSample(scored, "doc_id",
         round(exp(col("llr") / temperature), 6), salt = "dsir")
       .select(col("doc_id").as("d_id"))
-    val dsirKept = cached(qualityKept.join(dsirIds,
+    val dsirKept = cached(qualityKept.join(broadcast(dsirIds),
       col("doc_id") === col("d_id"), "left_semi"))
-    counts += "dsir" -> dsirKept.count()
+    count("dsir", dsirKept)
 
     // 4. epoch allocation over the final kept set's token counts —
     // dimension-sized output, integer-exact keep decisions
