@@ -1149,16 +1149,20 @@ object SparkEntry {
     // quantize (vec − assigned centroid); each query builds a
     // LIST-LOCAL lookup table from its residual to each probed
     // centroid, and the LUT's (centroid, sub, code) join key doubles
-    // as the candidate generator. Codebooks here are the initIds'
+    // as the candidate generator. Codebooks seed from the initIds'
     // residual subvectors (ids 8–11 — non-centroids, so residuals are
-    // nonzero; the Lloyd path is already oracled by q88)
+    // nonzero) and train ONE Lloyd round with ordered means — the SAME
+    // regimen as q92's raw-vector codebooks, so the q108-vs-q109
+    // recall comparison is equal-footing (the r10/r11 confound: iters
+    // = 0 here compared an untrained quantizer against a trained one)
     "q98_ivfpq_residual" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val coarse = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("c_vec"))
       val cbs = Pq.codebooks(
         Pq.residuals(emb, "vec_id", "embedding", coarse), "vec_id", "rvec",
-        m = 8, subDim = 8, initIds = Seq(8L, 9L, 10L, 11L), iters = 0)
+        m = 8, subDim = 8, initIds = Seq(8L, 9L, 10L, 11L), iters = 1,
+        orderedMeans = true)
       Pq.ivfPqSearch(emb, "vec_id", "embedding", coarse, cbs,
         queryIds = (0L until 10L).toSeq, k = 5, nprobe = 2, m = 8, subDim = 8)
     }),
@@ -1670,7 +1674,12 @@ object SparkEntry {
       |            FROM dd) WHERE rn = 1)""".stripMargin
 
   /** q98's DuckDB SQL (residual IVF-PQ end-to-end), shared with the
-    * q109 recall audit's nested CTE.
+    * q109 recall audit's nested CTE. The d1r/a1r/m1r/cbr block is ONE
+    * Lloyd round over the residual subvectors — the duckPqBody d1/a1/
+    * m1/cb unroll verbatim with `rsv`/`c0r` in place of `sv`/`c0` —
+    * so the residual codebooks train under the SAME regimen as q92's
+    * raw-vector codebooks (iters = 1, ordered means) and the q108 vs
+    * q109 recall comparison is equal-footing.
     */
   private val q98ResidualSql: String =
     """WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -1698,13 +1707,34 @@ object SparkEntry {
         |c0r AS (
         |  SELECT sub, vec_id AS code, list_transform(v, x -> round(x, 6)) AS c_vec
         |  FROM rsv WHERE vec_id IN (8, 9, 10, 11)),
+        |d1r AS (
+        |  SELECT s.vec_id, s.sub, c.code,
+        |         round(sqrt(list_sum(list_transform(generate_series(1, 8),
+        |           i -> (s.v[i] - c.c_vec[i]) * (s.v[i] - c.c_vec[i])))), 6) AS dist
+        |  FROM rsv s JOIN c0r c ON s.sub = c.sub),
+        |a1r AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        |    FROM d1r) WHERE rn = 1),
+        |m1r AS (
+        |  SELECT a.sub, a.code, t.d,
+        |         round(list_sum(list(s.v[t.d] ORDER BY s.vec_id)) / count(*), 6) AS mn
+        |  FROM a1r a JOIN rsv s ON a.vec_id = s.vec_id AND a.sub = s.sub
+        |  CROSS JOIN generate_series(1, 8) t(d)
+        |  GROUP BY a.sub, a.code, t.d),
+        |cbr AS (
+        |  SELECT c0r.sub, c0r.code, coalesce(u.c_vec, c0r.c_vec) AS c_vec
+        |  FROM c0r LEFT JOIN (
+        |    SELECT sub, code, list(mn ORDER BY d) AS c_vec FROM m1r GROUP BY sub, code) u
+        |  ON c0r.sub = u.sub AND c0r.code = u.code),
         |codes AS (
         |  SELECT vec_id, centroid_id, sub, code FROM (
         |    SELECT s.vec_id, s.centroid_id, s.sub, c.code,
         |           row_number() OVER (PARTITION BY s.vec_id, s.sub
         |             ORDER BY round(sqrt(list_sum(list_transform(generate_series(1, 8),
         |               i -> (s.v[i] - c.c_vec[i]) * (s.v[i] - c.c_vec[i])))), 6), c.code) AS rn
-        |    FROM rsv s JOIN c0r c ON s.sub = c.sub) WHERE rn = 1),
+        |    FROM rsv s JOIN cbr c ON s.sub = c.sub) WHERE rn = 1),
         |probes AS (
         |  SELECT vec_id AS query_id, centroid_id FROM (
         |    SELECT vec_id, centroid_id,
@@ -1721,7 +1751,7 @@ object SparkEntry {
         |         round(list_sum(list_transform(generate_series(1, 8),
         |           i -> (r.rvec[j.sub*8+i] - c.c_vec[i]) * (r.rvec[j.sub*8+i] - c.c_vec[i]))), 6)::DECIMAL(28,10) AS pd
         |  FROM rq r CROSS JOIN generate_series(0, 7) j(sub)
-        |  JOIN c0r c ON c.sub = j.sub),
+        |  JOIN cbr c ON c.sub = j.sub),
         |sc AS (
         |  SELECT l.query_id, cd.vec_id AS neighbor_id, sum(l.pd)::DOUBLE AS approx_dist
         |  FROM codes cd
