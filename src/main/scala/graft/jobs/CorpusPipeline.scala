@@ -58,7 +58,12 @@ object CorpusPipeline {
     *                      with other tables joined on doc_id)
     * @param persistStages cache each stage (the default; disable only
     *                      to inspect the end-to-end plan — counts then
-    *                      replay lineage)
+    *                      replay lineage). Contract note: this pipeline
+    *                      still COMPUTES counts when the flag is off;
+    *                      sibling [[SelectionPipeline]]'s same-named
+    *                      flag instead SKIPS them (its semDedup lineage
+    *                      makes uncached counts quadratic) — divergence
+    *                      is deliberate, see its scaladoc
     * @param checkpointDir reliable checkpoint root for the embedding-
     *                      stage pin (default executor-local — the
     *                      [[graft.ops.Checkpoints]] caveat)

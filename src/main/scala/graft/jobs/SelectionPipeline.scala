@@ -3,7 +3,7 @@ package graft.jobs
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Quantiles, Sampling, TextAnalysis}
+import graft.ops.{Bucketing, Dedup, Quantiles, Sampling, TextAnalysis}
 
 /** The data-SELECTION pipeline end-to-end — the companion of
   * [[CorpusPipeline]] (which cleans a corpus) for the stage AFTER
@@ -29,17 +29,30 @@ import graft.ops.{Dedup, Quantiles, Sampling, TextAnalysis}
   * oracle replays the WHOLE chain as CTEs (the q117 entry, which
   * nests the SAME parameterized SQL bodies the per-stage oracles
   * q102/q107/q103/q104 use). Stages gate by anti/semi joins on NARROW
-  * id sets, the CorpusPipeline discipline: the id frames carry one
-  * long per row and are EXPLICITLY broadcast (SelectionPipelineSpec
-  * pins zero text-carrying Exchange — left to stats the optimizer
-  * estimates the gate subtrees as unbroadcastable and SMJ-shuffles
-  * the corpus), so the full-width corpus never shuffles; each stage
-  * is persisted so its count and the next stage read the materialized
-  * survivors instead of replaying the upstream lineage. If a gate's
-  * id set ever outgrows broadcast (≳ executor memory — a corpus whose
-  * SURVIVOR ids alone are tens of GB), the move is the
-  * [[CorpusPipeline]] bucket-store pattern: write survivors once
-  * bucketed by doc_id and let every gate join bucket-to-bucket.
+  * id sets, the CorpusPipeline discipline, in one of two modes:
+  *
+  *  - default (`bucketStore = None`): the id frames carry one long
+  *    per row and are EXPLICITLY broadcast (SelectionPipelineSpec
+  *    pins zero text-carrying Exchange — left to stats the optimizer
+  *    estimates the gate subtrees as unbroadcastable and SMJ-shuffles
+  *    the corpus), so the full-width corpus never shuffles. Right for
+  *    corpora whose survivor-id sets fit executor memory.
+  *  - bucketed (`bucketStore = Some(path)`): the gates' id frames are
+  *    SURVIVOR sets — O(corpus cardinality), not dimension-sized — so
+  *    at 100 TB a forced broadcast is an executor OOM. Instead the
+  *    corpus is written ONCE bucketed by doc_id
+  *    ([[graft.ops.Bucketing.writeBucketed]], the [[CorpusPipeline]]
+  *    bucket-store shape) and the gates carry NO broadcast hint: the
+  *    bucketed scan reports HashPartitioning(doc_id), anti/semi joins
+  *    preserve the left side's partitioning through the chain, so
+  *    every gate shuffles only its one-column id frame into the
+  *    corpus's bucket layout — zero corpus-side Exchange, zero
+  *    broadcast (SelectionPipelineSpec pins both, with
+  *    autoBroadcastJoinThreshold = -1). The mode changes the PLAN
+  *    only, never the selection (spec-pinned equal to default mode).
+  *
+  * Each stage is persisted so its count and the next stage read the
+  * materialized survivors instead of replaying the upstream lineage.
   *
   * `persistStages = false` (the single-consumer mode, e.g. a
   * foreachBatch micro-batch whose sink materializes the result once)
@@ -47,6 +60,9 @@ import graft.ops.{Dedup, Quantiles, Sampling, TextAnalysis}
   * without the cache every one would replay the entire upstream
   * lineage — including the semDedup self-join — making the "cheap"
   * mode quadratic in pipeline depth. Counts require persistStages.
+  * (Contract note: sibling [[CorpusPipeline]]'s same-named flag still
+  * COMPUTES counts with the cache off, replaying lineage — divergence
+  * is deliberate and cross-referenced there.)
   *
   * Returns (kept docs — persisted when persistStages, caller
   * unpersists; per-stage counts — empty when !persistStages;
@@ -63,20 +79,36 @@ object SelectionPipeline {
           defaultWeight: Long = 1L,
           embIdCol: String = "vec_id", embVecCol: String = "embedding",
           persistStages: Boolean = true,
-          checkpointDir: Option[String] = None)
+          checkpointDir: Option[String] = None,
+          bucketStore: Option[String] = None,
+          bucketCount: Int = 32,
+          bucketTable: String = "graft_selection_corpus")
       : (DataFrame, Seq[(String, Long)], DataFrame) = {
     def cached(df: DataFrame): DataFrame = if (persistStages) df.cache() else df
     val counts = Seq.newBuilder[(String, Long)]
     def count(name: String, df: DataFrame): Unit =
       if (persistStages) counts += name -> df.count()
-    count("input", docs)
+
+    // bucketed mode: one bucketed write, then every doc_id gate joins
+    // bucket-to-bucket — only the narrow id frames shuffle, and the
+    // broadcast hint (an OOM at survivor-id scale) is dropped
+    val corpus = bucketStore match {
+      case Some(path) =>
+        Bucketing.writeBucketed(docs, bucketTable, Seq("doc_id"),
+          bucketCount, sortCols = Seq("doc_id"), path = Some(path))
+        docs.sparkSession.table(bucketTable)
+      case None => docs
+    }
+    def gate(ids: DataFrame): DataFrame =
+      if (bucketStore.isEmpty) broadcast(ids) else ids
+    count("input", corpus)
 
     // 1. semantic dedup: the loser set is vec_id-sized; the corpus is
     // gated by a doc_id anti-join, never shuffled by any dedup key
     val semLosers = Dedup.semDedupLosers(emb, embIdCol, embVecCol,
         centroidIds, semThreshold, checkpointDir)
       .select(col("vec_id").as("sem_loser"))
-    val semKept = cached(docs.join(broadcast(semLosers),
+    val semKept = cached(corpus.join(gate(semLosers),
       col("doc_id") === col("sem_loser"), "left_anti"))
     count("sem_dedup", semKept)
 
@@ -92,7 +124,7 @@ object SelectionPipeline {
         checkpointDir = checkpointDir)
       .filter(col("bucket") === qualityBuckets)
       .select(col("doc_id").as("q_id"))
-    val qualityKept = cached(semKept.join(broadcast(gateIds),
+    val qualityKept = cached(semKept.join(gate(gateIds),
       col("doc_id") === col("q_id"), "left_semi"))
     count("quality_gate", qualityKept)
 
@@ -104,7 +136,7 @@ object SelectionPipeline {
     val dsirIds = Sampling.weightedHashSample(scored, "doc_id",
         round(exp(col("llr") / temperature), 6), salt = "dsir")
       .select(col("doc_id").as("d_id"))
-    val dsirKept = cached(qualityKept.join(broadcast(dsirIds),
+    val dsirKept = cached(qualityKept.join(gate(dsirIds),
       col("doc_id") === col("d_id"), "left_semi"))
     count("dsir", dsirKept)
 

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -28,12 +28,14 @@ class SelectionPipelineSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def runPipeline(docs: org.apache.spark.sql.DataFrame,
-                          persist: Boolean = true) =
+                          persist: Boolean = true,
+                          bucketStore: Option[String] = None) =
     SelectionPipeline.run(docs, Tables.embeddings(spark, dir),
       centroidIds = (0L until 8L).toSeq, semThreshold = 0.3,
       targetFilter = col("source") === "src0", budget = 1000000L,
       epochWeights = Map("src0" -> 4L, "src1" -> 2L),
-      persistStages = persist)
+      persistStages = persist, bucketStore = bucketStore,
+      bucketCount = 8)
 
   test("selection chain is layout-independent with monotone stage counts") {
     val docs = Tables.documents(spark, dir)
@@ -104,5 +106,55 @@ class SelectionPipelineSpec extends AnyFunSuite {
       assert(p.contains("LeftAnti"), s"sem-dedup anti gate missing:\n$p")
       assert(p.contains("LeftSemi"), s"semi gates missing:\n$p")
     } finally { spark.conf.set("spark.sql.adaptive.enabled", aqe) }
+  }
+
+  test("bucketed gate mode: same selection, zero broadcast, zero full-width shuffle") {
+    // The 100 TB form: survivor-id frames are O(corpus) rows, so the
+    // default mode's forced broadcast would OOM — bucketed mode must
+    // gate with NO BroadcastExchange anywhere and still never shuffle
+    // a text-carrying row. Broadcast threshold -1 proves the plan
+    // can't silently fall back to an auto-broadcast; AQE off for the
+    // plain inspectable tree.
+    val docs = Tables.documents(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft-selection-buckets-")
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (keptB, _, allocB) = runPipeline(docs, persist = false,
+        bucketStore = Some(base.resolve("corpus").toString))
+      val plan = keptB.queryExecution.executedPlan
+      // no GATE id frame (sem_loser / q_id / d_id — survivor-scale) is
+      // broadcast; the one broadcast allowed to remain is exactNtile's
+      // internal prefix-sum offset frame, which is (partitions ×
+      // groups)-sized — bounded at any corpus scale
+      val gateCols = Set("sem_loser", "q_id", "d_id")
+      val gateBroadcasts = plan.collect {
+        case e: BroadcastExchangeExec
+            if e.output.exists(a => gateCols.contains(a.name)) => e
+      }
+      assert(gateBroadcasts.isEmpty,
+        s"bucketed mode must not broadcast survivor-scale id frames:\n$plan")
+      val fullWidthShuffles = plan.collect {
+        case e: ShuffleExchangeExec if e.output.exists(_.name == "text") => e
+      }
+      assert(fullWidthShuffles.isEmpty,
+        s"full-width corpus rows passed through a shuffle:\n$plan")
+      // the chain is really rooted at the bucketed table
+      assert(plan.toString.contains("graft_selection_corpus"),
+        s"kept chain does not read the bucketed store:\n$plan")
+
+      // the mode changes the plan, never the selection or allocation
+      val (keptD, _, allocD) = runPipeline(docs, persist = false)
+      assert(keptB.select("doc_id").as[Long].collect().toSet ===
+        keptD.select("doc_id").as[Long].collect().toSet)
+      assert(allocB.collect().sortBy(_.getAs[String]("stratum")).toSeq ===
+        allocD.collect().sortBy(_.getAs[String]("stratum")).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.sql("DROP TABLE IF EXISTS graft_selection_corpus")
+    }
   }
 }
