@@ -1292,8 +1292,14 @@ object SparkEntry {
     // never multiplies in), so tiny ids under-fill the bitmap, and the
     // rounded estimator is off-by-one at 1–8-user windows (the abs
     // floor). Measured: ≤1 absolute at sf0.01, ≤6.9% relative at
-    // sf0.1. The bitmap OR is commutative, the popcount deterministic
-    // — same hash-exact-boolean construction as q110
+    // sf0.1. VALIDITY RANGE: the 8%/absFloor=2 band is a CALIBRATION
+    // at sf0.01/sf0.1, not an analytic bound — per-window distincts
+    // there stay ≪ 2^17 bits so the estimator is near-linear; at a
+    // larger sf (or a smaller bitmap) the fill fraction rises and the
+    // relative error grows, so a q111 failure after an sf bump means
+    // RECALIBRATE THE BAND (re-measure, widen), not a code bug. The
+    // bitmap OR is commutative, the popcount deterministic — same
+    // hash-exact-boolean construction as q110
     "q111_bloom_band" -> ((s, dir) => {
       val v = Tables.events(s, dir).filter(col("event_type") === "view")
       val est = v.groupBy(window(col("ts"), "1 hour"))

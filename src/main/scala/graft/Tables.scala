@@ -18,13 +18,22 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    * read it as a nanos long (legacy conf) and convert to TimestampType
-    * via integer division (micros) — no double round-trip, no precision
-    * loss beyond the intrinsic micros truncation.
+  /** events.ts has shipped in two physical forms across driver data
+    * generations, both normalized here to plain TimestampType (UTC
+    * instants) so every downstream query sees one type:
+    *   - TIMESTAMP(NANOS): Spark's reader rejects it outright — read as
+    *     a nanos long (legacy conf) and convert via integer division
+    *     (micros); no double round-trip, no precision loss beyond the
+    *     intrinsic micros truncation.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): inferred as
+    *     TIMESTAMP_NTZ by default, which breaks instant-typed consumers
+    *     (`cast(long)`, `unix_micros`, watermarks). Disabling NTZ
+    *     inference reads the stored micros as an instant directly —
+    *     timezone-independent, identical values to the nanos path.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = apply(spark, dir, "events")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

@@ -57,19 +57,22 @@ object Pq {
     * deterministic IEEE widening the SQL oracle mirrors). One
     * projection + one generator — no shuffle.
     *
-    * Every row is guarded: a vector shorter than m·subDim would
-    * otherwise yield a silently clamped final slice and fail only deep
-    * in execution with array_sqdiff's length-mismatch error (ADVICE
-    * r9) — instead it raises naming m, subDim and the offending id
-    * (the lshBuckets guard convention).
+    * Every row is guarded: a vector whose length differs from m·subDim
+    * would otherwise yield a silently clamped final slice (too short)
+    * or silently ignored trailing dimensions (too long, ADVICE r11)
+    * and either fail deep in execution with array_sqdiff's
+    * length-mismatch error (ADVICE r9) or quietly quantize a prefix —
+    * instead it raises naming m, subDim and the offending id (the
+    * lshBuckets guard convention). Callers quantizing a prefix of a
+    * wider vector must slice explicitly before calling in.
     */
   private def subvectors(emb: DataFrame, idCol: String, vecCol: String,
                          m: Int, subDim: Int): DataFrame =
     emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
       .select(col("vec_id"),
-        when(size(col("vec")) >= m * subDim, col("vec"))
+        when(size(col("vec")) === m * subDim, col("vec"))
           .otherwise(raise_error(concat(
-            lit(s"Pq: embedding length < m*subDim = $m*$subDim for vec_id="),
+            lit(s"Pq: embedding length != m*subDim = $m*$subDim for vec_id="),
             col("vec_id").cast("string"),
             lit(", got "), size(col("vec")).cast("string")))).as("vec"),
         explode(expr(s"sequence(0L, ${m - 1}L)")).as("sub"))
