@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
-  ExpressionInfo}
+  ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -84,6 +85,59 @@ case class SubwordCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SubwordCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast-bound sibling of [[SubwordCount]]: identical greedy
+  * longest-match semantics (one shared `countWith`), but the vocabulary
+  * travels as a Spark `Broadcast` handle instead of a plan-literal
+  * array. The plan node serializes to a few bytes regardless of
+  * |vocab|, so a production 32k–256k-piece vocabulary costs one
+  * torrent-broadcast per job instead of bloating every plan, task
+  * binary, and UI string that references the expression (the r9–r11
+  * "large-vocab" gap).
+  *
+  * The generated code resolves the broadcast ONCE per partition
+  * (partition-init statement), then the per-row path is the same
+  * hash-probe scan as the literal form — still inside whole-stage
+  * codegen, still zero per-row set construction. The literal form
+  * remains the oracle-parity path (its vocab is visible to the SQL
+  * oracle); this form is the scale path. Construct via
+  * [[SubwordCount.broadcastBound]].
+  */
+case class SubwordCountBound(
+    child: Expression,
+    vocab: Broadcast[(java.util.HashSet[String], Integer)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"subword_count_bound requires STRING text, got ${child.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "subword_count_bound"
+
+  // the broadcast id, not the vocab, is the node's printable identity —
+  // plan strings stay O(1) in |vocab|
+  override def toString: String = s"subword_count_bound($child, bc=${vocab.id})"
+
+  override protected def nullSafeEval(text: Any): Any =
+    SubwordCount.countWith(text.asInstanceOf[UTF8String], vocab.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("subwordVocabBc", vocab,
+      classOf[Broadcast[_]].getName)
+    val bound = ctx.addMutableState("scala.Tuple2", "subwordBound")
+    ctx.addPartitionInitializationStatement(
+      s"$bound = (scala.Tuple2) $bc.value();")
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.SubwordCount.countWith($t, $bound)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SubwordCountBound = copy(child = newChild)
 }
 
 object SubwordCount {
@@ -170,5 +224,36 @@ object SubwordCount {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function("subword_count", text,
       org.apache.spark.sql.functions.typedlit(vocab))
+  }
+
+  /** Driver-side twin of [[build]] for an in-memory vocab — one source
+    * of truth would be nice, but ArrayData vs Seq forces the split; the
+    * two loops are intentionally line-parallel.
+    */
+  private[functions] def buildFromSeq(
+      vocab: Seq[String]): (java.util.HashSet[String], Integer) = {
+    val set = new java.util.HashSet[String]()
+    var maxLen = 1
+    vocab.foreach { p =>
+      if (p != null && p.nonEmpty) {
+        set.add(p)
+        if (p.length > maxLen) maxLen = p.length
+      }
+    }
+    (set, maxLen)
+  }
+
+  /** Column form of [[SubwordCountBound]]: builds the piece set ONCE on
+    * the driver, broadcasts it, and binds the expression to the handle.
+    * Same counts as [[apply]] for the same vocab; plan size independent
+    * of |vocab|. Use for vocabularies too large to embed as a literal
+    * (the 32k–256k production range).
+    */
+  def broadcastBound(spark: SparkSession, text: Column,
+                     vocab: Seq[String]): Column = {
+    val bc = spark.sparkContext.broadcast(buildFromSeq(vocab))
+    org.apache.spark.sql.graft.ClassicBridge.column(
+      SubwordCountBound(
+        org.apache.spark.sql.graft.ClassicBridge.expression(text), bc))
   }
 }

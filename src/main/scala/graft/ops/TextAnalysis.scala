@@ -424,11 +424,23 @@ object TextAnalysis {
     * pipelines budget: frequent words cost 1 token, rare words
     * decompose into pieces/characters (q77's whitespace proxy
     * overcounts neither). Output: (doc_id, subword_cnt).
+    *
+    * `broadcastVocab = false` (default) embeds the vocab as a plan
+    * literal — the oracle-parity path, right for the dimension-sized
+    * vocabularies the oracles replay. `true` ships it as a Spark
+    * broadcast ([[graft.functions.SubwordCountBound]]) so the plan
+    * stays O(1) in |vocab| — the scale path for production 32k–256k
+    * piece sets. Counts are identical either way (one shared scan).
     */
   def subwordCounts(df: DataFrame, idCol: String, textCol: String,
-                    vocab: Seq[String]): DataFrame =
+                    vocab: Seq[String],
+                    broadcastVocab: Boolean = false): DataFrame =
     df.select(col(idCol).as("doc_id"),
-      graft.functions.SubwordCount(df.sparkSession, col(textCol), vocab)
+      (if (broadcastVocab)
+        graft.functions.SubwordCount.broadcastBound(df.sparkSession,
+          col(textCol), vocab)
+      else
+        graft.functions.SubwordCount(df.sparkSession, col(textCol), vocab))
         .as("subword_cnt"))
 
   /** Per-document mean unigram log-probability under the corpus's own

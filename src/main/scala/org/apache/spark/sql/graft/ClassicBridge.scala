@@ -1,9 +1,10 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.{Dataset => ClassicDataset,
-  SparkSession => ClassicSparkSession}
+  ExpressionUtils, SparkSession => ClassicSparkSession}
 import org.apache.spark.sql.execution.SparkStrategy
 
 /** Minimal private[sql] bridge for the engine's custom logical plans
@@ -16,6 +17,13 @@ object ClassicBridge {
   /** Dataset.ofRows for an externally-constructed logical plan. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** Column ⇄ catalyst Expression, for expressions that can't route
+    * through the function registry (e.g. a constructor carrying a
+    * Broadcast handle, [[graft.functions.SubwordCountBound]]).
+    */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
   /** Idempotently add a planner strategy to a running session (the
     * config-time path is `spark.sql.extensions=graft.functions.

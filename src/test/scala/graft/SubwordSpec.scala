@@ -60,6 +60,31 @@ class SubwordSpec extends AnyFunSuite {
       .as[Long].head() === 3L)            // ab + c + d
   }
 
+  test("broadcast-bound form: same counts as literal; plan size O(1) in |vocab|") {
+    // identical counts on the shared test vocab, interpreted + codegen
+    val texts = Seq("thesis", "innthe", "inthesis", "xyz", "the sis", "a  b")
+    val df = texts.toDF("t")
+    val lit = df.select(SubwordCount(spark, col("t"), vocab).as("n"))
+      .as[Long].collect().toSeq
+    val bc = df.select(SubwordCount.broadcastBound(spark, col("t"), vocab).as("n"))
+      .as[Long].collect().toSeq
+    assert(bc === lit)
+
+    // a 50k-piece vocabulary: the literal plan embeds every piece, the
+    // broadcast plan carries only the handle — its executed-plan string
+    // must not grow with |vocab| (the production-vocab requirement)
+    val big = (0 until 50000).map(i => s"piece$i") ++ vocab
+    val bigDf = df.select(SubwordCount.broadcastBound(spark, col("t"), big).as("n"))
+    assert(bigDf.as[Long].collect().toSeq === lit)  // extra pieces never match
+    val planLen = bigDf.queryExecution.executedPlan.toString.length
+    assert(planLen < 10000,
+      s"broadcast-bound plan grew with vocab size: $planLen chars")
+    val litPlanLen = df.select(SubwordCount(spark, col("t"), big).as("n"))
+      .queryExecution.analyzed.toString.length
+    assert(litPlanLen > 50000 * 6,
+      s"sanity: the literal form should embed the vocab ($litPlanLen chars)")
+  }
+
   test("subwordVocab: top-K by frequency, lexicographic tie-break, collect is K-sized") {
     val docs = Seq(
       (1L, "red red red blue blue green"),
