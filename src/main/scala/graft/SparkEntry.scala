@@ -1459,6 +1459,24 @@ object SparkEntry {
         .unionByName(stageRows)
         .unionByName(allocRows)
     }),
+
+    // FROZEN per-domain quality gate (streaming/StreamingGate): cut
+    // points = each source's top-quartile minimum quality, frozen in
+    // batch (the q107 computation); the gate itself is the STATELESS
+    // online path — per-row score + broadcast join on the domain +
+    // threshold — here run in batch over the same corpus (one code
+    // path, two modes; StreamingSpec pins batch ≡ streaming). Where
+    // q107 keeps exactly the top quartile with id tie-break, the
+    // frozen form keeps everything AT or above the cut VALUE — the
+    // documented adaptive-vs-frozen difference, exercised by the
+    // oracle's >= join
+    "q118_frozen_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cuts = graft.streaming.StreamingGate.freezeCutPoints(
+        docs, "doc_id", "text", "source")
+      graft.streaming.StreamingGate.gateDocs(
+        docs, cuts, "doc_id", "text", "source")
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -1934,25 +1952,33 @@ object SparkEntry {
       |         row_number() OVER (PARTITION BY vec_b ORDER BY vec_a) AS rn
       |  FROM pairs WHERE cosine >= 0.3) WHERE rn = 1""".stripMargin
 
-  /** q107's DuckDB SQL parameterized by the corpus relation (q66's
-    * quality body + ntile(4) per source, keep the top quartile):
-    * `documents` at the q107 entry, the sem-dedup survivors CTE inside
-    * q117 — one body, zero drift between the stage and the chain.
+  /** The q66 quality-score body parameterized by the corpus relation:
+    * (doc_id, source, quality) for every document. Factored out of
+    * [[duckDomainGateSql]] so the frozen gate (q118) scores arrivals
+    * with the SAME SQL the cut-point computation uses — zero drift.
     */
-  private def duckDomainGateSql(rel: String): String =
+  private def duckQualitySql(rel: String): String =
     s"""WITH c AS (
        |  SELECT doc_id, source,
        |    len(string_split(text, ' '))::BIGINT AS n_words,
        |    len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_words,
        |    len(list_filter(string_split(text, ' '),
        |        w -> list_contains(['the','a','of','and','in','to','is','on','for','with'], w)))::BIGINT AS stopword_cnt
-       |  FROM $rel),
-       |q AS (
-       |  SELECT doc_id, source,
-       |    round(0.4 * least(n_words::DOUBLE / 100.0, 1.0)
-       |        + 0.4 * (n_distinct_words::DOUBLE / n_words::DOUBLE)
-       |        + 0.2 * least(5.0 * stopword_cnt::DOUBLE / n_words::DOUBLE, 1.0), 6) AS quality
-       |  FROM c),
+       |  FROM $rel)
+       |SELECT doc_id, source,
+       |  round(0.4 * least(n_words::DOUBLE / 100.0, 1.0)
+       |      + 0.4 * (n_distinct_words::DOUBLE / n_words::DOUBLE)
+       |      + 0.2 * least(5.0 * stopword_cnt::DOUBLE / n_words::DOUBLE, 1.0), 6) AS quality
+       |FROM c""".stripMargin
+
+  /** q107's DuckDB SQL parameterized by the corpus relation (the
+    * [[duckQualitySql]] body + ntile(4) per source, keep the top
+    * quartile): `documents` at the q107 entry, the sem-dedup survivors
+    * CTE inside q117 — one body, zero drift between the stage and the
+    * chain.
+    */
+  private def duckDomainGateSql(rel: String): String =
+    s"""WITH q AS (SELECT * FROM (${duckQualitySql(rel)})),
        |n AS (
        |  SELECT doc_id, source, quality,
        |         ntile(4) OVER (PARTITION BY source
@@ -3404,5 +3430,16 @@ object SparkEntry {
          |UNION ALL SELECT 'alloc:rem_tokens', rem_tokens, source FROM alloc
          |UNION ALL SELECT 'alloc:rem_docs', rem_docs, source FROM alloc
          |UNION ALL SELECT 'alloc:rem_kept_tokens', rem_kept_tokens, source FROM alloc""".stripMargin,
+
+    // frozen gate: cuts = min quality of each source's q107 top
+    // quartile (the nested duckDomainGateSql body), then a VALUE
+    // threshold — both sides nest the same quality body (duckQualitySql)
+    "q118_frozen_gate" ->
+      s"""WITH topq AS (SELECT * FROM (${duckDomainGateSql("documents")})),
+         |cuts AS (SELECT source, min(quality) AS q_cut FROM topq GROUP BY source),
+         |scored AS (SELECT * FROM (${duckQualitySql("documents")}))
+         |SELECT s.doc_id, s.source AS domain, s.quality
+         |FROM scored s JOIN cuts c ON s.source = c.source
+         |WHERE s.quality >= c.q_cut""".stripMargin,
   )
 }

@@ -692,4 +692,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(tags.contains((2L, "unmatched_left")))
     assert(tags.contains((3L, "unmatched_right")))
   }
+
+  test("StreamingGate: frozen per-domain quality gate, batch ≡ streaming, q107 parity on calibration") {
+    // calibration corpus: 4 docs per domain with (by construction)
+    // distinct quality scores — top quartile = exactly the best doc
+    val calib = Seq(
+      (1L, "spam spam spam spam", "a"),
+      (2L, "the cat sat on the mat", "a"),
+      (3L, "a longer document with more and varied words about rivers", "a"),
+      (4L, "the quick brown fox jumps over the lazy dog with many varied interesting words about rivers and mountains", "a"),
+      (5L, "x x x x x x", "b"),
+      (6L, "short note", "b"),
+      (7L, "for sale baby shoes never worn", "b"),
+      (8L, "an entirely different document about parcels and the rivers they travel upon with friends", "b"))
+      .toDF("id", "text", "source")
+    import graft.streaming.StreamingGate
+    val cuts = StreamingGate.freezeCutPoints(calib, "id", "text", "source").cache()
+    val cutMap = cuts.as[(String, Double)].collect().toMap
+    // distinct qualities per domain (precondition for exact q107 parity)
+    val qual = graft.ops.TextAnalysis.qualityScore(calib, "id", "text",
+        carryCols = Seq("source"))
+      .select($"doc_id", $"source", $"quality")
+      .as[(Long, String, Double)].collect()
+    assert(qual.filter(_._2 == "a").map(_._3).distinct.length === 4)
+    assert(qual.filter(_._2 == "b").map(_._3).distinct.length === 4)
+    // 4 docs, 4 buckets → the frozen cut IS the best doc's quality
+    assert(cutMap("a") === qual.filter(_._2 == "a").map(_._3).max)
+    assert(cutMap("b") === qual.filter(_._2 == "b").map(_._3).max)
+
+    // q107 parity: gating the calibration corpus itself reproduces the
+    // batch adaptive gate's survivors (distinct qualities → no tie gap)
+    val batchAdaptive = graft.ops.Quantiles.exactNtile(
+        graft.ops.TextAnalysis.qualityScore(calib, "id", "text",
+          carryCols = Seq("source"))
+          .select($"doc_id", $"source", $"quality"),
+        "source", Seq("quality", "doc_id"), buckets = 4)
+      .filter($"bucket" === 4).select($"doc_id")
+      .as[Long].collect().toSet
+    val frozenOnCalib = StreamingGate.gateDocs(calib, cuts, "id", "text", "source")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(frozenOnCalib === batchAdaptive)
+
+    // stream new docs: 100 ties a's best (kept, >= is inclusive), 101 is
+    // a's spam (dropped), 102 clears b's cut (kept), 103 is from an
+    // uncalibrated domain (dropped by default, kept with keepUnknown)
+    val arriving = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog with many varied interesting words about rivers and mountains", "a"),
+      (101L, "spam spam spam spam", "a"),
+      (102L, "an entirely different document about parcels and the rivers they travel upon with friends", "b"),
+      (103L, "a perfectly reasonable document from a brand new dump", "c"))
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingGate.gateDocs(input.toDF().toDF("id", "text", "source"),
+        cuts, "id", "text", "source")
+      .writeStream.outputMode("append").format("memory").queryName("sg").start()
+    input.addData(arriving.take(2): _*)
+    q.processAllAvailable()
+    input.addData(arriving.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sg").select($"doc_id").as[Long].collect().toSet
+    val batch = StreamingGate.gateDocs(arriving.toDF("id", "text", "source"),
+        cuts, "id", "text", "source")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamed === batch)               // one code path, two modes
+    assert(streamed === Set(100L, 102L))
+    val withUnknown = StreamingGate.gateDocs(arriving.toDF("id", "text", "source"),
+        cuts, "id", "text", "source", keepUnknown = true)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(withUnknown === Set(100L, 102L, 103L))
+  }
 }
