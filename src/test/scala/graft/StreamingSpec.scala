@@ -761,4 +761,59 @@ class StreamingSpec extends AnyFunSuite {
       .select($"doc_id").as[Long].collect().toSet
     assert(withUnknown === Set(100L, 102L, 103L))
   }
+
+  test("StreamingSelection: per-micro-batch selection ≡ SelectionPipeline.run on the same rows") {
+    import graft.streaming.StreamingSelection
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    // two ingest slices of the real corpus — each micro-batch is a
+    // complete snapshot and must select exactly what the batch
+    // pipeline selects on the same rows
+    val allDocs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val (slice1, slice2) = allDocs.splitAt(allDocs.length / 2)
+
+    val results = scala.collection.mutable.Map
+      .empty[Long, (Set[Long], Seq[(String, Long)], Seq[String])]
+    def allocKey(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val input = MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("doc_id", "text", "source").writeStream
+      .foreachBatch(StreamingSelection.perBatchSelector(
+        emb, centroidIds = (0L until 8L).toSeq, semThreshold = 0.3,
+        targetFilter = col("source") === "src0", budget = 1000000L,
+        epochWeights = Map("src0" -> 4L, "src1" -> 2L),
+        sink = (id, kept, counts, alloc) => results.synchronized {
+          results(id) = (kept.select($"doc_id").as[Long].collect().toSet,
+            counts, allocKey(alloc))
+        }))
+      .start()
+    input.addData(slice1: _*)
+    q.processAllAvailable()
+    input.addData(slice2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(results.keySet === Set(0L, 1L))
+
+    Seq(0L -> slice1, 1L -> slice2).foreach { case (bid, slice) =>
+      val (kept, counts, alloc) = graft.jobs.SelectionPipeline.run(
+        slice.toDF("doc_id", "text", "source"), emb,
+        centroidIds = (0L until 8L).toSeq, semThreshold = 0.3,
+        targetFilter = col("source") === "src0", budget = 1000000L,
+        epochWeights = Map("src0" -> 4L, "src1" -> 2L))
+      try {
+        val (sIds, sCounts, sAlloc) = results(bid)
+        assert(sIds === kept.select($"doc_id").as[Long].collect().toSet,
+          s"batch $bid kept set")
+        assert(sCounts === counts, s"batch $bid stage counts")
+        assert(sAlloc === allocKey(alloc), s"batch $bid allocation")
+        assert(sCounts.head._2 === slice.length)   // input count = slice
+        assert(sIds.nonEmpty)
+      } finally kept.unpersist()
+    }
+    // the two slices saw different corpora — their selections differ
+    // (per-batch statistics, the documented semantics)
+    assert(results(0L)._1 !== results(1L)._1)
+  }
 }
