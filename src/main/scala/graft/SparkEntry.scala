@@ -1477,6 +1477,19 @@ object SparkEntry {
       graft.streaming.StreamingGate.gateDocs(
         docs, cuts, "doc_id", "text", "source")
     }),
+
+    // deterministic training-shard manifest (ops/Sharding): shard =
+    // salted 60-bit md5 mod 16 (layout-independent, decorrelated from
+    // upstream samples), per-shard token intervals via the range-
+    // partitioned PrefixSum core — sum() OVER (PARTITION BY shard)
+    // would funnel the corpus through 16 tasks (the low-cardinality
+    // WindowExec trap); the oracle runs exactly that Window form,
+    // proving the distributed offsets equal it
+    "q119_shard_manifest" -> ((s, dir) =>
+      graft.ops.Sharding.shardManifest(
+        Tables.documents(s, dir).withColumn("n_tokens",
+          size(split(col("text"), " ")).cast("long")),
+        "doc_id", "n_tokens", nShards = 16, carryCols = Seq("source"))),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3441,5 +3454,22 @@ object SparkEntry {
          |SELECT s.doc_id, s.source AS domain, s.quality
          |FROM scored s JOIN cuts c ON s.source = c.source
          |WHERE s.quality >= c.q_cut""".stripMargin,
+
+    // shard manifest: the hash is the q47 convention (top-60-bit md5 of
+    // salt||id); the offsets are the Window formulation the PrefixSum
+    // core replaces
+    "q119_shard_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |         ('0x'||substr(md5('shard:'||doc_id::VARCHAR),1,15))::BIGINT % 16 AS shard
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens, shard,
+        |       sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                           ROWS UNBOUNDED PRECEDING)::BIGINT AS token_end,
+        |       sum(n_tokens) OVER (PARTITION BY shard)::BIGINT AS shard_tokens,
+        |       (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                            ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS token_start
+        |FROM t""".stripMargin,
   )
 }

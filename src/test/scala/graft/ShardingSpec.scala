@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sharding
+
+/** Shard-manifest contracts (ops/Sharding.scala, the q119 entry):
+  * deterministic layout-independent assignment, per-shard token
+  * intervals that tile exactly, and the Window-free plan the PrefixSum
+  * core promises at low shard counts.
+  */
+class ShardingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def docs = (1 to 300).map { i =>
+    (i.toLong, s"src${i % 3}", (i * 2654435761L % 50) + 1L)
+  }.toDF("doc_id", "source", "n_tokens")
+
+  test("intervals tile each shard exactly; assignment is layout-independent") {
+    val m1 = Sharding.shardManifest(docs, "doc_id", "n_tokens", nShards = 8,
+      carryCols = Seq("source"))
+    val m2 = Sharding.shardManifest(docs.repartition(7), "doc_id", "n_tokens",
+      nShards = 8, carryCols = Seq("source"))
+    val rows = m1.select($"doc_id", $"source", $"n_tokens", $"shard",
+        $"token_start", $"token_end", $"shard_tokens")
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1L to 300L))             // every doc, once
+    assert(rows.forall(r => r._4 >= 0 && r._4 < 8))           // shard in range
+    assert(rows.forall(r => r._6 - r._5 === r._3))            // end-start = n
+    // per shard, in doc_id order: half-open intervals tile [0, total]
+    rows.groupBy(_._4).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_._1)
+      var cursor = 0L
+      sorted.foreach { r =>
+        assert(r._5 === cursor, s"gap/overlap in shard $shard at doc ${r._1}")
+        cursor = r._6
+      }
+      assert(sorted.forall(_._7 === cursor), s"shard_tokens mismatch in $shard")
+      assert(cursor === rs.map(_._3).sum)
+    }
+    // layout-independent: identical manifest at a different partitioning
+    val rows2 = m2.select($"doc_id", $"source", $"n_tokens", $"shard",
+        $"token_start", $"token_end", $"shard_tokens")
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows2.toSeq === rows.toSeq)
+  }
+
+  test("salt decorrelates; nShards=1 degenerates to one global sequence; no WindowExec") {
+    val a = Sharding.shardManifest(docs, "doc_id", "n_tokens", nShards = 8)
+      .select($"doc_id", $"shard").as[(Long, Long)].collect().toMap
+    val b = Sharding.shardManifest(docs, "doc_id", "n_tokens", nShards = 8,
+        salt = "other:")
+      .select($"doc_id", $"shard").as[(Long, Long)].collect().toMap
+    assert(a.keySet === b.keySet)
+    assert(a.exists { case (id, s) => b(id) != s })   // some docs move
+    val one = Sharding.shardManifest(docs, "doc_id", "n_tokens", nShards = 1)
+    assert(one.select(max($"token_end")).as[Long].head() ===
+      docs.select(sum($"n_tokens")).as[Long].head())
+    val plan = one.queryExecution.executedPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "shard manifest must not plan a WindowExec")
+  }
+}
