@@ -245,4 +245,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "only the rank<=k Window operator is allowed; the m-term sums are hash aggregates")
     assert(p.contains("WindowGroupLimit"), "rank<=k should pre-prune below the shuffle")
   }
+
+  test("q118: frozen gate joins the dimension-sized cuts broadcast; text never shuffles") {
+    // the scoring side is a pure projection over the scan; the cuts
+    // side aggregates to one row per domain and joins back BROADCAST
+    // (explicit hint) — a sort-merge here would shuffle every scored
+    // row on the domain key (few distinct values: the skew trap)
+    val p = plan("q118_frozen_gate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // no Exchange may carry the text column — quality is computed in
+    // the projection and only (doc_id, source, quality) moves
+    val shuffled = """(?m)^\(\d+\) Exchange[\s\S]*?Arguments.*$""".r
+      .findAllIn(p).filter(_.contains("text")).toSeq
+    assert(shuffled.isEmpty, s"text-carrying Exchange in q118: $shuffled")
+  }
 }
