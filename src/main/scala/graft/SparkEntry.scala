@@ -1490,6 +1490,21 @@ object SparkEntry {
         Tables.documents(s, dir).withColumn("n_tokens",
           size(split(col("text"), " ")).cast("long")),
         "doc_id", "n_tokens", nShards = 16, carryCols = Seq("source"))),
+
+    // incremental (dump-over-dump) dedup: the src2 slice arrives as a
+    // new snapshot and dedups against the fingerprint store of
+    // everything else — in-slice keep-first (hash-agg min id, no
+    // Window) AND novel-against-store (narrow anti-join); the slice's
+    // text never shuffles (winning ids gate the full-width rows)
+    "q120_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Dedup.dedupAgainstStore(
+        docs.filter(col("source") === "src2"),
+        graft.ops.Dedup.fingerprintStore(
+          docs.filter(col("source") =!= "src2"), "text"),
+        "doc_id", "text")
+        .select(col("doc_id"), col("source"))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3471,5 +3486,20 @@ object SparkEntry {
         |       (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |                            ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS token_start
         |FROM t""".stripMargin,
+
+    // incremental dedup: the q20 fingerprint convention on both sides;
+    // NOT EXISTS (not NOT IN) so the shape stays an anti-join
+    "q120_incremental_dedup" ->
+      """WITH slice AS (
+        |  SELECT doc_id, source,
+        |         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |  FROM documents WHERE source = 'src2'),
+        |store AS (
+        |  SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |  FROM documents WHERE source <> 'src2'),
+        |w AS (SELECT fp, min(doc_id) AS keep_id FROM slice GROUP BY fp)
+        |SELECT s.doc_id, s.source FROM slice s
+        |JOIN w ON s.doc_id = w.keep_id
+        |WHERE NOT EXISTS (SELECT 1 FROM store WHERE store.fp = w.fp)""".stripMargin,
   )
 }

@@ -97,6 +97,50 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
       .filter(col("dup_cnt") >= 2)
 
+  /** Incremental dedup of a NEW ingest slice against the PRIOR corpus's
+    * fingerprint store — the dump-over-dump posture (each CommonCrawl-
+    * style snapshot dedups against everything already kept, not just
+    * itself). Survivors are the slice rows that are BOTH first within
+    * the slice for their [[fingerprint]] (min `idCol`) AND novel
+    * against `store` (a one-column (fingerprint) frame — build it once
+    * from the kept corpus and append each slice's surviving prints).
+    *
+    * Scale shape (the SelectionPipeline gate discipline): the slice's
+    * text never shuffles — fingerprints are computed in a NARROW
+    * (id, fingerprint) projection, the in-slice winner is a hash-agg
+    * `min(id)` (no Window), the store anti-join runs fingerprint-to-
+    * fingerprint on one-column frames, and only the winning ids come
+    * back to gate the full-width slice. `broadcastIds = true` (default)
+    * broadcasts that id set — right while a slice's survivor count fits
+    * executor memory; at bigger slices set it false and feed a store/
+    * slice pre-bucketed on the join keys (the [[graft.ops.Bucketing]]
+    * pattern) so the gate shuffles only narrow frames. The STORE is
+    * never re-shuffled if it is a bucketed table on `fingerprint` —
+    * at 100 TB the store is orders bigger than any slice, so that is
+    * the operative property.
+    */
+  def dedupAgainstStore(newDocs: DataFrame, store: DataFrame,
+                        idCol: String, textCol: String,
+                        broadcastIds: Boolean = true): DataFrame = {
+    val fps = newDocs.select(col(idCol).as("_fp_id"),
+      fingerprint(textCol).as("fingerprint"))
+    val winners = fps.groupBy(col("fingerprint"))
+      .agg(min(col("_fp_id")).as("keep_id"))
+      .join(store.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+      .select(col("keep_id"))
+    val gate = if (broadcastIds) broadcast(winners) else winners
+    newDocs.join(gate, col(idCol) === col("keep_id"), "left_semi")
+  }
+
+  /** The one-column fingerprint store of a kept corpus — distinct
+    * content prints, the right-hand side of [[dedupAgainstStore]].
+    * Persist it bucketed on `fingerprint` ([[graft.ops.Bucketing]]) so
+    * successive slices anti-join against it with zero store-side
+    * Exchange.
+    */
+  def fingerprintStore(df: DataFrame, textCol: String): DataFrame =
+    df.select(fingerprint(textCol).as("fingerprint")).distinct()
+
   /** MinHash LSH banding (shingle → minhash → band → bucket key).
     * Output: one row per (doc, band): (doc_id, band_id, band_hash) where
     * band_hash is the md5 of the band's concatenated minhash values.

@@ -36,6 +36,34 @@ class MiningSpec extends AnyFunSuite {
     assert(g.length === 1 && g(0).getAs[Long]("keep_id") === 1L)
   }
 
+  test("dedupAgainstStore: in-slice keep-first AND novel-against-store; text never shuffles") {
+    val prior = docs((1, "alpha beta gamma", "s0"), (2, "delta epsilon", "s0"))
+    val store = Dedup.fingerprintStore(prior, "text")
+    val slice = docs(
+      (10, "gamma beta alpha", "s1"),      // order variant of stored 1 — dropped
+      (11, "fresh new content here", "s1"),
+      (12, "new here fresh content", "s1"), // in-slice dup of 11 — dropped
+      (13, "entirely other words", "s1"))
+    val kept = Dedup.dedupAgainstStore(slice, store, "doc_id", "text")
+    assert(kept.select("doc_id").as[Long].collect().toSet === Set(11L, 13L))
+    assert(kept.columns.toSeq === slice.columns.toSeq)   // survivors keep schema
+    // layout independence
+    val kept2 = Dedup.dedupAgainstStore(slice.repartition(5), store,
+      "doc_id", "text")
+    assert(kept2.select("doc_id").as[Long].collect().toSet === Set(11L, 13L))
+    // the slice's full-width rows must not cross a shuffle: fingerprint
+    // matching happens on narrow frames, winners gate by broadcast
+    val shuffles = kept.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.output.exists(_.name == "text") => e
+    }
+    assert(shuffles.isEmpty, "slice text crossed a ShuffleExchange")
+    // appending the survivors' prints closes the loop: re-running the
+    // same slice against the grown store keeps nothing
+    val grown = store.union(Dedup.fingerprintStore(kept, "text")).distinct()
+    assert(Dedup.dedupAgainstStore(slice, grown, "doc_id", "text").count() === 0L)
+  }
+
   test("minhashBands: identical docs collide on every band; lshCandidates pairs them") {
     val df = docs(
       (1, "the quick brown fox jumps over the lazy dog again", "s"),
