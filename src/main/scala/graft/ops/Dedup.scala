@@ -141,6 +141,30 @@ object Dedup {
   def fingerprintStore(df: DataFrame, textCol: String): DataFrame =
     df.select(fingerprint(textCol).as("fingerprint")).distinct()
 
+  /** CONTINUOUS-INGESTION twin of [[dedupAgainstStore]]: a document
+    * stream dedups against the frozen batch store via a stream-static
+    * LEFT ANTI join on the content fingerprint (stateless — the static
+    * side is re-read per micro-batch, no join state), then against
+    * ITSELF within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`, the [[streamingFingerprint]]
+    * state bound: keys-per-horizon, not keys-ever). The division of
+    * history: everything already KEPT is the store's job (swap the
+    * store to recalibrate, the StreamingScore/StreamingGate contract);
+    * duplicates WITHIN the live horizon are the state store's job; a
+    * duplicate arriving after both — past the horizon, before the
+    * store is refreshed with kept prints — is re-admitted by design
+    * (the horizon plus the store refresh cadence IS the guarantee).
+    * Emits the input rows + `fingerprint` in append mode.
+    */
+  def streamingAgainstStore(docs: DataFrame, store: DataFrame,
+                            textCol: String, tsCol: String,
+                            delay: String): DataFrame =
+    docs.withColumn("fingerprint", fingerprint(textCol))
+      .join(broadcast(store.select(col("fingerprint"))),
+        Seq("fingerprint"), "left_anti")
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** MinHash LSH banding (shingle → minhash → band → bucket key).
     * Output: one row per (doc, band): (doc_id, band_id, band_hash) where
     * band_hash is the md5 of the band's concatenated minhash values.

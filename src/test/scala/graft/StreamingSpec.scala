@@ -762,6 +762,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(withUnknown === Set(100L, 102L, 103L))
   }
 
+  test("streamingAgainstStore: store dups dropped statelessly, horizon dups by state, survivors append") {
+    import graft.ops.Dedup
+    val store = Dedup.fingerprintStore(
+      Seq((1L, "alpha beta gamma")).toDF("id", "text"), "text")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = Dedup.streamingAgainstStore(
+        input.toDF().toDF("id", "text", "ts"), store,
+        "text", "ts", "10 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sas").start()
+    input.addData(
+      (10L, "gamma beta alpha", ts(100)),       // order variant of stored — dropped
+      (11L, "fresh new content", ts(101)))      // kept
+    q.processAllAvailable()
+    input.addData(
+      (12L, "content new fresh", ts(102)),      // in-horizon dup of 11 — dropped
+      (13L, "other words entirely", ts(103)))   // kept
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("sas").select($"id").as[Long].collect().toSet
+    assert(kept === Set(11L, 13L))
+    // batch twin on the same rows agrees (all rows in one horizon)
+    val rows = Seq((10L, "gamma beta alpha", "s"), (11L, "fresh new content", "s"),
+      (12L, "content new fresh", "s"), (13L, "other words entirely", "s"))
+    assert(Dedup.dedupAgainstStore(rows.toDF("id", "text", "source"), store,
+        "id", "text")
+      .select($"id").as[Long].collect().toSet === kept)
+  }
+
   test("StreamingSelection: per-micro-batch selection ≡ SelectionPipeline.run on the same rows") {
     import graft.streaming.StreamingSelection
     val dir = "/root/testdata/sf0.001"
