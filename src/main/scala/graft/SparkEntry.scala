@@ -1505,6 +1505,49 @@ object SparkEntry {
         "doc_id", "text")
         .select(col("doc_id"), col("source"))
     }),
+
+    // the FULL STACK end-to-end: CorpusPipeline (q85's clean: sample →
+    // exact-dedup → LSH near-dedup → quality → repetition) feeding
+    // SelectionPipeline (q117's select: sem-dedup → domain gate → DSIR
+    // → epoch allocation) — eleven chained stages, every membership
+    // decision hash-deterministic, oracled as ONE frame (kept set +
+    // both pipelines' stage counts + the allocation) against a DuckDB
+    // chain that nests the SAME parameterized bodies the q85 and q117
+    // oracles use. The "a user can run the whole engine and the result
+    // is bit-reproducible" claim in one row set
+    "q121_full_stack" -> ((s, dir) => {
+      val (clean, corpusCounts) = graft.jobs.CorpusPipeline.run(
+        Tables.documents(s, dir),
+        sampleFraction = 0.8, qualityThreshold = 0.4, maxDupGramFrac = 0.2)
+      val (kept, selCounts, alloc) = graft.jobs.SelectionPipeline.run(
+        clean, Tables.embeddings(s, dir),
+        centroidIds = (0L until 8L).toSeq, semThreshold = 0.3,
+        targetFilter = col("source") === "src0", budget = 1000000L,
+        epochWeights = Map("src0" -> 4L, "src1" -> 2L))
+      import s.implicits._
+      val stageRows =
+        (corpusCounts.map { case (st, n) => ("corpus:" + st, n) } ++
+          selCounts.map { case (st, n) => ("select:" + st, n) })
+        .toDF("kind", "doc_id")
+        .withColumn("source", lit(null).cast("string"))
+      val allocRows = alloc.select(col("stratum"),
+          expr("""stack(7,
+                 |  'alloc:wt', wt,
+                 |  'alloc:avail_tokens', avail_tokens,
+                 |  'alloc:target_tokens', target_tokens,
+                 |  'alloc:epochs', epochs,
+                 |  'alloc:rem_tokens', rem_tokens,
+                 |  'alloc:rem_docs', rem_docs,
+                 |  'alloc:rem_kept_tokens', rem_kept_tokens)
+                 |AS (kind, doc_id)""".stripMargin))
+        .select(col("kind"), col("doc_id"), col("stratum").as("source"))
+      // both pipelines' kept frames stay cached (the q85/q117
+      // discipline): their counts materialized them; the final write
+      // and the allocation read the caches, not the 11-stage lineage
+      kept.select(lit("kept").as("kind"), col("doc_id"), col("source"))
+        .unionByName(stageRows)
+        .unionByName(allocRows)
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -1867,32 +1910,43 @@ object SparkEntry {
     * (s/h/m/b), cand, nd. Prepend `WITH `.
     */
   private lazy val duckCorpusPrefix: String =
-    s"""sampled AS (
+    s"""sampled AS MATERIALIZED (
        |  SELECT doc_id, source, text FROM documents
        |  WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 10000 < 8000),
-       |exg AS (
+       |exg AS MATERIALIZED (
        |  SELECT md5(text) AS text_hash, min(doc_id) AS keep_id
        |  FROM sampled GROUP BY 1 HAVING count(*) >= 2),
-       |ex AS (
+       |ex AS MATERIALIZED (
        |  SELECT sa.doc_id, sa.source, sa.text FROM sampled sa
        |  LEFT JOIN exg ON md5(sa.text) = exg.text_hash
        |  WHERE exg.text_hash IS NULL OR sa.doc_id = exg.keep_id),
        |${duckBandsBody("ex")},
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
        |  FROM b a JOIN b b2
        |    ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
        |   AND a.doc_id < b2.doc_id
        |  GROUP BY 1, 2),
-       |nd AS (
+       |nd AS MATERIALIZED (
        |  SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_b FROM cand))""".stripMargin
 
   /** Shared DuckDB CTE tail for the corpus-pipeline replays: quality
     * gate (>= 0.4) then repetition gate (dup_gram_frac <= 0.2,
-    * violators-only) over relation `rel`. Defines q, qk, gr, rv, rk.
+    * violators-only) over relation `rel`. Defines cq, qk, gr, rv, rk.
+    *
+    * The top-level CTEs here and in [[duckCorpusPrefix]] are
+    * MATERIALIZED: DuckDB inlines plain CTEs transitively, so the q121
+    * composition (this chain feeding the q117 chain) re-expanded every
+    * upstream stage per reference — exponential scans, "too many open
+    * files" at eleven stages. Results are identical; only the plan
+    * changes. Caveat that forced the `cq` name: DuckDB 1.0 resolves a
+    * nested subquery's plain CTE against a SAME-NAMED outer
+    * MATERIALIZED CTE (outer q shadowed the domain-gate body's inner
+    * q), so materialized top-level names must not collide with any
+    * nested parameterized body's internals.
     */
   private def duckCorpusTail(rel: String): String =
-    s"""q AS (
+    s"""cq AS MATERIALIZED (
        |  SELECT doc_id,
        |    round(0.4 * least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0)
        |        + 0.4 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
@@ -1901,20 +1955,20 @@ object SparkEntry {
        |              w -> list_contains(['the','a','of','and','in','to','is','on','for','with'], w)))::DOUBLE
        |                 / len(string_split(text, ' '))::DOUBLE, 1.0), 6) AS quality
        |  FROM $rel),
-       |qk AS (
-       |  SELECT $rel.* FROM $rel JOIN q USING (doc_id) WHERE q.quality >= 0.4),
-       |gr AS (
+       |qk AS MATERIALIZED (
+       |  SELECT $rel.* FROM $rel JOIN cq USING (doc_id) WHERE cq.quality >= 0.4),
+       |gr AS MATERIALIZED (
        |  SELECT doc_id, gram, count(*) AS cnt
        |  FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws,
        |                     unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
        |              FROM qk))
        |  GROUP BY doc_id, gram),
-       |rv AS (
+       |rv AS MATERIALIZED (
        |  SELECT doc_id FROM gr GROUP BY doc_id
        |  HAVING round(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)::DOUBLE
        |               / sum(cnt)::DOUBLE, 6) > 0.2),
-       |rk AS (
+       |rk AS MATERIALIZED (
        |  SELECT * FROM qk WHERE doc_id NOT IN (SELECT doc_id FROM rv))""".stripMargin
 
   /** Shared DuckDB CTE body for the subword tokenizer (q90/q91):
@@ -3501,5 +3555,41 @@ object SparkEntry {
         |SELECT s.doc_id, s.source FROM slice s
         |JOIN w ON s.doc_id = w.keep_id
         |WHERE NOT EXISTS (SELECT 1 FROM store WHERE store.fp = w.fp)""".stripMargin,
+
+    // full stack: the q85 corpus chain (prefix + tail over nd, final
+    // survivors rk) feeding the q117 selection chain — every stage CTE
+    // nests the SAME parameterized body its own oracle uses; selection
+    // CTEs renamed (qsel/dk2) where they would collide with the corpus
+    // tail's q/qk
+    "q121_full_stack" ->
+      s"""WITH $duckCorpusPrefix,
+         |${duckCorpusTail("nd")},
+         |losers AS MATERIALIZED ($q102SemDedupSql),
+         |sd AS MATERIALIZED (SELECT * FROM rk
+         |       WHERE doc_id NOT IN (SELECT vec_id FROM losers)),
+         |gsel AS MATERIALIZED (SELECT * FROM (${duckDomainGateSql("sd")})),
+         |qsel AS MATERIALIZED (SELECT * FROM sd WHERE doc_id IN (SELECT doc_id FROM gsel)),
+         |dsel AS MATERIALIZED (SELECT * FROM (${duckDsirSql("qsel")})),
+         |dk2 AS MATERIALIZED (SELECT * FROM qsel WHERE doc_id IN (SELECT doc_id FROM dsel)),
+         |alloc AS MATERIALIZED (SELECT * FROM (${duckEpochAllocSql("dk2")}))
+         |SELECT 'kept' AS kind, doc_id, source FROM dk2
+         |UNION ALL SELECT 'corpus:input', (SELECT count(*) FROM documents), NULL
+         |UNION ALL SELECT 'corpus:sampled', (SELECT count(*) FROM sampled), NULL
+         |UNION ALL SELECT 'corpus:exact_dedup', (SELECT count(*) FROM ex), NULL
+         |UNION ALL SELECT 'corpus:near_dedup', (SELECT count(*) FROM nd), NULL
+         |UNION ALL SELECT 'corpus:quality', (SELECT count(*) FROM qk), NULL
+         |UNION ALL SELECT 'corpus:repetition', (SELECT count(*) FROM rk), NULL
+         |UNION ALL SELECT 'corpus:mixed', (SELECT count(*) FROM rk), NULL
+         |UNION ALL SELECT 'select:input', (SELECT count(*) FROM rk), NULL
+         |UNION ALL SELECT 'select:sem_dedup', (SELECT count(*) FROM sd), NULL
+         |UNION ALL SELECT 'select:quality_gate', (SELECT count(*) FROM qsel), NULL
+         |UNION ALL SELECT 'select:dsir', (SELECT count(*) FROM dk2), NULL
+         |UNION ALL SELECT 'alloc:wt', wt, source FROM alloc
+         |UNION ALL SELECT 'alloc:avail_tokens', avail_tokens, source FROM alloc
+         |UNION ALL SELECT 'alloc:target_tokens', target_tokens, source FROM alloc
+         |UNION ALL SELECT 'alloc:epochs', epochs, source FROM alloc
+         |UNION ALL SELECT 'alloc:rem_tokens', rem_tokens, source FROM alloc
+         |UNION ALL SELECT 'alloc:rem_docs', rem_docs, source FROM alloc
+         |UNION ALL SELECT 'alloc:rem_kept_tokens', rem_kept_tokens, source FROM alloc""".stripMargin,
   )
 }
