@@ -62,6 +62,13 @@ class MiningSpec extends AnyFunSuite {
     // same slice against the grown store keeps nothing
     val grown = store.union(Dedup.fingerprintStore(kept, "text")).distinct()
     assert(Dedup.dedupAgainstStore(slice, grown, "doc_id", "text").count() === 0L)
+    // edge cases: empty store keeps all in-slice winners; empty slice
+    // survives the whole plan and returns nothing
+    val empty = store.filter(lit(false))
+    assert(Dedup.dedupAgainstStore(slice, empty, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet === Set(10L, 11L, 13L))
+    assert(Dedup.dedupAgainstStore(slice.filter(lit(false)), store,
+      "doc_id", "text").count() === 0L)
   }
 
   test("minhashBands: identical docs collide on every band; lshCandidates pairs them") {

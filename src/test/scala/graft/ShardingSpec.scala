@@ -69,5 +69,8 @@ class ShardingSpec extends AnyFunSuite {
     val plan = one.queryExecution.executedPlan
     assert(plan.collect { case w: WindowExec => w }.isEmpty,
       "shard manifest must not plan a WindowExec")
+    // empty input survives the two-pass core and yields an empty manifest
+    assert(Sharding.shardManifest(docs.filter(lit(false)), "doc_id",
+      "n_tokens", nShards = 4).count() === 0L)
   }
 }
