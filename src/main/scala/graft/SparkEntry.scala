@@ -1516,9 +1516,16 @@ object SparkEntry {
     // oracles use. The "a user can run the whole engine and the result
     // is bit-reproducible" claim in one row set
     "q121_full_stack" -> ((s, dir) => {
-      val (clean, corpusCounts) = graft.jobs.CorpusPipeline.run(
+      val (cleanRaw, corpusCounts) = graft.jobs.CorpusPipeline.run(
         Tables.documents(s, dir),
         sampleFraction = 0.8, qualityThreshold = 0.4, maxDupGramFrac = 0.2)
+      // PIN the hand-off frame: cleanRaw's cache truncates nothing at
+      // the LOGICAL level, so every one of the selection chain's ~10
+      // actions would re-analyze/re-optimize the whole 5-stage corpus
+      // lineage (measured ~3x the sum of the parts); the localCheckpoint
+      // cuts it to an RDD scan (one cheap cache read) and the selection
+      // half plans against a leaf
+      val clean = graft.ops.Checkpoints.pin(cleanRaw, None, eager = false)
       val (kept, selCounts, alloc) = graft.jobs.SelectionPipeline.run(
         clean, Tables.embeddings(s, dir),
         centroidIds = (0L until 8L).toSeq, semThreshold = 0.3,
