@@ -1555,6 +1555,15 @@ object SparkEntry {
         .unionByName(stageRows)
         .unionByName(allocRows)
     }),
+
+    // BPE merge learning (Sennrich 2016): four merge rules from the
+    // corpus — ONE corpus scan into the word-frequency table, then
+    // vocabulary-scale iterations (pair explode + hash agg + a one-row
+    // argmax collect per rule; a merge pass is one codegen'd replace
+    // on the space-joined symbol string). The oracle unrolls the same
+    // loop as CTE triples (pairs → argmax → rewrite)
+    "q122_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(Tables.documents(s, dir), "text", numMerges = 4)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -2040,6 +2049,47 @@ object SparkEntry {
       |  SELECT vec_b, centroid_id, vec_a, cosine,
       |         row_number() OVER (PARTITION BY vec_b ORDER BY vec_a) AS rn
       |  FROM pairs WHERE cosine >= 0.3) WHERE rn = 1""".stripMargin
+
+  /** q122's DuckDB oracle, generated for `numMerges` iterations: the
+    * Spark BPE loop unrolled as CTE triples — p_i counts adjacent
+    * symbol pairs over state s_(i-1), m_i argmaxes with the (count
+    * desc, left, right) tie-break and the pairs-must-repeat floor, s_i
+    * rewrites via the same left-to-right non-overlapping `replace`.
+    * An exhausted m_i leaves s_i = s_(i-1) and every later m empty —
+    * the Spark early-stop, replayed declaratively. MATERIALIZED per
+    * the duckCorpusTail lesson (each s_i is referenced by p_(i+1),
+    * s_(i+1), and the rewrite subqueries — plain CTEs would re-expand
+    * the whole prefix per reference).
+    */
+  private def duckBpeSql(numMerges: Int): String = {
+    val base =
+      """s0 AS MATERIALIZED (
+        |  SELECT count(*)::BIGINT AS cnt,
+        |         ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS state
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) > 0 GROUP BY word)""".stripMargin
+    val iters = (1 to numMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::BIGINT AS pc
+         |  FROM (SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+         |        FROM (SELECT cnt, string_split(trim(state), ' ') AS syms FROM s${i - 1}))
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (
+         |  SELECT l, r, pc FROM p$i WHERE pc >= 2
+         |  ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT cnt, CASE WHEN (SELECT count(*) FROM m$i) = 0 THEN state
+         |    ELSE replace(state,
+         |      ' ' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i) || ' ',
+         |      ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') END AS state
+         |  FROM s${i - 1})""".stripMargin
+    }
+    val out = (1 to numMerges).map { i =>
+      s"""SELECT $i::BIGINT AS step, l AS "left", r AS "right",
+         |       l || r AS merged, pc AS pair_cnt FROM m$i""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"WITH $base,\n${iters.mkString(",\n")}\n$out"
+  }
 
   /** The q66 quality-score body parameterized by the corpus relation:
     * (doc_id, source, quality) for every document. Factored out of
@@ -3530,6 +3580,13 @@ object SparkEntry {
          |SELECT s.doc_id, s.source AS domain, s.quality
          |FROM scored s JOIN cuts c ON s.source = c.source
          |WHERE s.quality >= c.q_cut""".stripMargin,
+
+    // BPE: the Spark loop unrolled — iteration i counts pairs over
+    // state s(i-1), argmaxes (count desc, left, right; only pairs that
+    // repeat), rewrites via the same left-to-right replace. After an
+    // early stop the state CTEs pass through unchanged and later
+    // argmaxes stay empty, matching the Spark break
+    "q122_bpe_merges" -> duckBpeSql(4),
 
     // shard manifest: the hash is the q47 convention (top-60-bit md5 of
     // salt||id); the offsets are the Window formulation the PrefixSum

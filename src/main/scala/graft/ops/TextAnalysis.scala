@@ -443,6 +443,80 @@ object TextAnalysis {
         graft.functions.SubwordCount(df.sparkSession, col(textCol), vocab))
         .as("subword_cnt"))
 
+  /** BPE merge learning (Sennrich et al. 2016 "Neural Machine
+    * Translation of Rare Words with Subword Units"): learn `numMerges`
+    * merge rules from the corpus — repeatedly count adjacent symbol
+    * pairs (weighted by word frequency) and fuse the most frequent
+    * pair, ties broken (count desc, left asc, right asc) so the merge
+    * table is total-order deterministic and engine-reproducible. This
+    * completes the subword family: [[subwordVocab]] picks top-K whole
+    * words; the merge table here is the LEARNED piece inventory real
+    * tokenizers train.
+    *
+    * Scale shape: the corpus is scanned exactly ONCE into the distinct
+    * word-frequency table; every iteration after that is
+    * VOCABULARY-scale (distinct words, not corpus rows). Each word's
+    * symbolization is a space-joined string, so one merge pass is one
+    * codegen'd `replace(' l r ' → ' lr ')` — left-to-right
+    * non-overlapping, exactly the BPE pass rule — and pair counting is
+    * one explode + hash aggregate. The per-iteration argmax is a
+    * ONE-ROW collect (BPE is sequential by definition — each rule
+    * conditions on the last; the driver holds merge RULES, never
+    * corpus or vocabulary data), and the word table is re-pinned per
+    * iteration so the plan stays flat at production merge counts.
+    * Stops early when no pair repeats (pair_cnt < 2 learns nothing).
+    *
+    * Output: (step, left, right, merged, pair_cnt) — dimension-sized.
+    */
+  def bpeMerges(df: DataFrame, textCol: String,
+                numMerges: Int,
+                checkpointDir: Option[String] = None): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = Checkpoints.pin(
+      df.select(explode(split(col(textCol), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"),
+          concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("state")),
+      checkpointDir, eager = false)
+    val merges = scala.collection.mutable.ListBuffer
+      .empty[(Long, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val syms = split(trim(col("state")), " ")
+      val top = words
+        .select(col("cnt"), col("state"))
+        .select(col("cnt"), syms.as("syms"))
+        .select(col("cnt"),
+          // guard the 1-symbol word: sequence(1, 0) would be the
+          // DESCENDING [1, 0], not empty
+          explode(expr("""CASE WHEN size(syms) < 2 THEN CAST(array() AS ARRAY<STRUCT<l STRING, r STRING>>)
+                         |ELSE transform(sequence(1, size(syms) - 1),
+                         |  i -> struct(element_at(syms, CAST(i AS INT)) AS l,
+                         |              element_at(syms, CAST(i + 1 AS INT)) AS r)) END""".stripMargin))
+            .as("p"))
+        .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+        .agg(sum(col("cnt")).as("pair_cnt"))
+        .orderBy(col("pair_cnt").desc, col("left").asc, col("right").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < 2) done = true
+      else {
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        merges += ((step.toLong, l, r, l + r, top(0).getLong(2)))
+        words = Checkpoints.pin(
+          words.select(col("cnt"),
+            replace(col("state"), lit(s" $l $r "), lit(s" $l$r ")).as("state")),
+          checkpointDir, eager = false)
+      }
+      step += 1
+    }
+    merges.toSeq.toDF("step", "left", "right", "merged", "pair_cnt")
+  }
+
   /** Per-document mean unigram log-probability under the corpus's own
     * unigram distribution — the language-model quality filter of the
     * CCNet pipeline (Wenzek et al. 2020) with corpus-internal

@@ -85,6 +85,33 @@ class SubwordSpec extends AnyFunSuite {
       s"sanity: the literal form should embed the vocab ($litPlanLen chars)")
   }
 
+  test("bpeMerges: classic corpus learns (e,s),(es,t),(l,o); ties and early stop respected") {
+    // low×5, lower×2, newest×6, widest×3 — the Sennrich worked example
+    // shape: (e,s) and (s,t) tie at 9, left-asc picks (e,s); then
+    // (es,t) 9; then (l,o) 7
+    val docs = Seq(
+      "low low low low low",
+      "lower lower newest newest newest",
+      "newest newest newest widest widest widest").toDF("text")
+    val got = TextAnalysis.bpeMerges(docs, "text", numMerges = 3)
+      .as[(Long, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (1L, "e", "s", "es", 9L),
+      (2L, "es", "t", "est", 9L),
+      (3L, "l", "o", "lo", 7L)))
+
+    // early stop: no pair repeats after the first merge → one rule only
+    val tiny = Seq("aa aa ab").toDF("text")
+    val t = TextAnalysis.bpeMerges(tiny, "text", numMerges = 5)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(t === Seq((1L, "a", "a", "aa", 2L)))
+
+    // layout independence: same merge table at a different partitioning
+    val got2 = TextAnalysis.bpeMerges(docs.repartition(7), "text", numMerges = 3)
+      .as[(Long, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got2 === got)
+  }
+
   test("subwordVocab: top-K by frequency, lexicographic tie-break, collect is K-sized") {
     val docs = Seq(
       (1L, "red red red blue blue green"),
