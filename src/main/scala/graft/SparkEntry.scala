@@ -1564,6 +1564,21 @@ object SparkEntry {
     // loop as CTE triples (pairs → argmax → rewrite)
     "q122_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMerges(Tables.documents(s, dir), "text", numMerges = 4)),
+
+    // BPE encode (the apply half of q122): tokenize the corpus with
+    // the learned merge table in rank order and count pieces — learn →
+    // encode → aggregate, all vocabulary-scale after the one corpus
+    // scan. The oracle reuses q122's chain verbatim: on the training
+    // corpus, rank-order application ≡ the trainer's final state, so
+    // the Spark side's SEPARATE encode path (collected rule table,
+    // batched replace folds) is checked against that identity.
+    "q123_bpe_token_counts" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextAnalysis.bpeMerges(docs, "text", numMerges = 4)
+      TextAnalysis.bpeEncode(docs, "text", merges)
+        .select(explode(col("pieces")).as("piece"), col("cnt"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -2059,9 +2074,11 @@ object SparkEntry {
     * the Spark early-stop, replayed declaratively. MATERIALIZED per
     * the duckCorpusTail lesson (each s_i is referenced by p_(i+1),
     * s_(i+1), and the rewrite subqueries — plain CTEs would re-expand
-    * the whole prefix per reference).
+    * the whole prefix per reference). Returns the full `WITH …` prefix
+    * ending at s_numMerges; [[duckBpeSql]] (merge table) and
+    * [[duckBpeEncodeSql]] (token counts) differ only in the tail.
     */
-  private def duckBpeSql(numMerges: Int): String = {
+  private def duckBpeChain(numMerges: Int): String = {
     val base =
       """s0 AS MATERIALIZED (
         |  SELECT count(*)::BIGINT AS cnt,
@@ -2084,12 +2101,28 @@ object SparkEntry {
          |      ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') END AS state
          |  FROM s${i - 1})""".stripMargin
     }
+    s"WITH $base,\n${iters.mkString(",\n")}"
+  }
+
+  private def duckBpeSql(numMerges: Int): String = {
     val out = (1 to numMerges).map { i =>
       s"""SELECT $i::BIGINT AS step, l AS "left", r AS "right",
          |       l || r AS merged, pc AS pair_cnt FROM m$i""".stripMargin
     }.mkString("\nUNION ALL ")
-    s"WITH $base,\n${iters.mkString(",\n")}\n$out"
+    s"${duckBpeChain(numMerges)}\n$out"
   }
+
+  /** q123's oracle: the [[duckBpeChain]] final state s_N *is* the
+    * encoded training corpus (see the chain's scaladoc for why), so
+    * corpus token counts under the learned tokenizer are one unnest +
+    * hash aggregate over it.
+    */
+  private def duckBpeEncodeSql(numMerges: Int): String =
+    s"""${duckBpeChain(numMerges)}
+       |SELECT piece, sum(cnt)::BIGINT AS cnt
+       |FROM (SELECT cnt, unnest(string_split(trim(state), ' ')) AS piece
+       |      FROM s$numMerges)
+       |GROUP BY 1""".stripMargin
 
   /** The q66 quality-score body parameterized by the corpus relation:
     * (doc_id, source, quality) for every document. Factored out of
@@ -3587,6 +3620,7 @@ object SparkEntry {
     // early stop the state CTEs pass through unchanged and later
     // argmaxes stay empty, matching the Spark break
     "q122_bpe_merges" -> duckBpeSql(4),
+    "q123_bpe_token_counts" -> duckBpeEncodeSql(4),
 
     // shard manifest: the hash is the q47 convention (top-60-bit md5 of
     // salt||id); the offsets are the Window formulation the PrefixSum

@@ -517,6 +517,56 @@ object TextAnalysis {
     merges.toSeq.toDF("step", "left", "right", "merged", "pair_cnt")
   }
 
+  /** Apply a learned BPE merge table ([[bpeMerges]]) to a corpus in
+    * rank order — the ENCODE half of the tokenizer. Each word is
+    * symbolized to characters and every rule rewrites it with the same
+    * left-to-right non-overlapping `replace` the trainer used, so on
+    * the training corpus the result is exactly the trainer's final
+    * symbolization, and on held-out text it is standard BPE inference
+    * with a frozen merge table.
+    *
+    * Scale shape: the corpus is scanned exactly ONCE into the distinct
+    * word table (merge application is per-WORD, so Zipf makes the work
+    * vocabulary-scale, not corpus-scale — the [[subwordCounts]]
+    * argument). The merge table is dimension-sized by construction
+    * (its rows are the learned rules), so collecting it ordered is a
+    * bounded driver read, like the trainer's per-rule argmax. Rules
+    * fold into nested codegen'd `replace` calls `batchSize` at a time,
+    * with the word table re-pinned between batches — one projection
+    * per 32 rules keeps generated-method size and plan depth bounded
+    * at production merge counts (32k rules = 1k flat stages), where a
+    * single 32k-deep expression tree would break codegen.
+    *
+    * Output: (word, cnt, pieces) — the distinct-word tokenization
+    * with corpus frequency; join back on `word` or aggregate over
+    * `pieces` for corpus token statistics.
+    */
+  def bpeEncode(df: DataFrame, textCol: String, merges: DataFrame,
+                batchSize: Int = 32,
+                checkpointDir: Option[String] = None): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val rules = merges.select(col("step"), col("left"), col("right"))
+      .orderBy(col("step").asc).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    var words = Checkpoints.pin(
+      df.select(explode(split(col(textCol), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .select(col("w").as("word"), col("cnt"),
+          concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("state")),
+      checkpointDir, eager = false)
+    rules.grouped(batchSize).foreach { batch =>
+      val folded = batch.foldLeft(col("state")) { case (c, (l, r)) =>
+        replace(c, lit(s" $l $r "), lit(s" $l$r "))
+      }
+      words = Checkpoints.pin(
+        words.select(col("word"), col("cnt"), folded.as("state")),
+        checkpointDir, eager = false)
+    }
+    words.select(col("word"), col("cnt"),
+      split(trim(col("state")), " ").as("pieces"))
+  }
+
   /** Per-document mean unigram log-probability under the corpus's own
     * unigram distribution — the language-model quality filter of the
     * CCNet pipeline (Wenzek et al. 2020) with corpus-internal

@@ -112,6 +112,43 @@ class SubwordSpec extends AnyFunSuite {
     assert(got2 === got)
   }
 
+  test("bpeEncode: held-out inference matches rank-order merge application; batching invariant") {
+    // train on the Sennrich corpus: 4 merges = (e,s),(es,t),(l,o),(lo,w)
+    val docs = Seq(
+      "low low low low low",
+      "lower lower newest newest newest",
+      "newest newest newest widest widest widest").toDF("text")
+    val merges = TextAnalysis.bpeMerges(docs, "text", numMerges = 4)
+    assert(merges.orderBy("step").select("merged").as[String].collect().toSeq ===
+      Seq("es", "est", "lo", "low"))
+
+    // held-out words tokenized by hand through the 4 rules in order
+    val held = Seq("lowest slow west").toDF("text")
+    val got = TextAnalysis.bpeEncode(held, "text", merges)
+      .select("word", "pieces").as[(String, Seq[String])].collect().toMap
+    assert(got === Map(
+      "lowest" -> Seq("low", "est"),   // es → est → lo → low
+      "slow"   -> Seq("s", "low"),     // untouched until lo, then low
+      "west"   -> Seq("w", "est")))
+
+    // batchSize=1 (one projection per rule) ≡ one fold: the batching
+    // is a plan-shape choice, never a semantics choice
+    val one = TextAnalysis.bpeEncode(held, "text", merges, batchSize = 1)
+      .select("word", "pieces").as[(String, Seq[String])].collect().toMap
+    assert(one === got)
+
+    // on the training corpus, encode reproduces the trainer's final
+    // symbolization: counts carry the corpus frequency
+    val enc = TextAnalysis.bpeEncode(docs, "text", merges)
+      .select("word", "cnt", "pieces")
+      .as[(String, Long, Seq[String])].collect()
+      .map { case (w, c, p) => (w, (c, p)) }.toMap
+    assert(enc("low") === ((5L, Seq("low"))))
+    assert(enc("newest") === ((6L, Seq("n", "e", "w", "est"))))
+    assert(enc("widest") === ((3L, Seq("w", "i", "d", "est"))))
+    assert(enc("lower") === ((2L, Seq("low", "e", "r"))))
+  }
+
   test("subwordVocab: top-K by frequency, lexicographic tie-break, collect is K-sized") {
     val docs = Seq(
       (1L, "red red red blue blue green"),
