@@ -260,4 +260,18 @@ class PlanShapeSpec extends AnyFunSuite {
       .findAllIn(p).filter(_.contains("text")).toSeq
     assert(shuffled.isEmpty, s"text-carrying Exchange in q118: $shuffled")
   }
+
+  test("q123: BPE encode is vocabulary-scale — pinned word table, no Window, no text shuffle") {
+    // merge application folds into projections over the PINNED
+    // distinct-word table (the pin is the localCheckpoint ExistingRDD
+    // scan); the only Exchange is the final (piece, cnt) aggregate —
+    // dust-sized pairs, never documents
+    val p = plan("q123_bpe_token_counts")
+    assert(p.contains("Scan ExistingRDD"), "word table must be pinned")
+    assert(!p.contains(") Window"), "no WindowExec anywhere in encode")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    val shuffled = """(?m)^\(\d+\) Exchange[\s\S]*?Arguments.*$""".r
+      .findAllIn(p).filter(_.contains("text")).toSeq
+    assert(shuffled.isEmpty, s"text-carrying Exchange in q123: $shuffled")
+  }
 }
