@@ -1579,6 +1579,50 @@ object SparkEntry {
         .select(explode(col("pieces")).as("piece"), col("cnt"))
         .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
     }),
+
+    // Count–Min point-frequency estimates for the corpus's top-30
+    // exact terms (the deterministic key set, the q113 convention).
+    // UNLIKE the Misra–Gries audits this needs no band: CMS counters
+    // are sums, so the sketch is merge-order-independent and the
+    // DuckDB oracle replays the estimate EXACTLY (min over rows of
+    // md5-bucket sums) — an approximate sketch with a hash-exact
+    // oracle. One corpus explode feeds both the exact counts and the
+    // keyless sketch (fixed 3×2048 buffer per partition, vector-add
+    // merge — nothing per-term ever shuffles on the sketch side)
+    "q124_cms_counts" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val top = words.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(30)
+      val sk = words.agg(graft.functions.TypedAggs.countMin(col("term")).as("sk"))
+      top.crossJoin(broadcast(sk))
+        .select(col("term"), col("cnt"),
+          graft.functions.TypedAggs.countMinEstimate(col("sk"), col("term")).as("est_cnt"))
+    }),
+
+    // Naive Bayes training = ONE hash aggregate (class-conditional
+    // token counts ARE the model — the fastText-language-ID /
+    // WebText-quality-filter classifier family); labels = lang, train
+    // slice = the q84 hash-split convention under an "nb:" salt
+    "q125_nb_train" -> ((s, dir) =>
+      TextAnalysis.nbTrain(
+        Tables.documents(s, dir)
+          .filter(graft.functions.Hashing.md5Long(concat(lit("nb:"),
+            col("doc_id").cast("string"))) % 10000 < 8000),
+        "lang", "text")),
+
+    // the scoring half on the held-out 20%: argmax over per-class
+    // log-posteriors (ordered per-doc folds, max-of-struct argmax —
+    // no Window); the oracle replays the same smoothed model and
+    // tie-break relationally
+    "q126_nb_classify" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isTrain = graft.functions.Hashing.md5Long(concat(lit("nb:"),
+        col("doc_id").cast("string"))) % 10000 < 8000
+      TextAnalysis.nbClassify(docs.filter(isTrain), docs.filter(!isTrain),
+        "lang", "doc_id", "text")
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -2123,6 +2167,24 @@ object SparkEntry {
        |FROM (SELECT cnt, unnest(string_split(trim(state), ' ')) AS piece
        |      FROM s$numMerges)
        |GROUP BY 1""".stripMargin
+
+  /** Shared Naive Bayes model CTEs (the q85/q117 composed-oracle
+    * discipline): train slice → class-conditional counts `c` → label
+    * totals `lt`, vocabulary `v`, smoothed model `m` (UNROUNDED logp —
+    * q125 rounds at its edge, q126 consumes full precision like the
+    * Spark scorer).
+    */
+  private val duckNbModelSql: String =
+    """tr AS (SELECT lang, doc_id, text FROM documents
+      |       WHERE ('0x'||substr(md5('nb:'||doc_id::VARCHAR),1,15))::BIGINT % 10000 < 8000),
+      |nw AS (SELECT lang AS label, unnest(string_split(text, ' ')) AS term FROM tr),
+      |c AS (SELECT label, term, count(*)::BIGINT AS cnt FROM nw
+      |      WHERE length(term) > 0 GROUP BY 1, 2),
+      |lt AS (SELECT label, sum(cnt)::BIGINT AS tot FROM c GROUP BY 1),
+      |v AS (SELECT count(DISTINCT term)::BIGINT AS v FROM c),
+      |m AS (SELECT label, term, cnt,
+      |             ln((cnt + 1)::DOUBLE / (lt.tot + v.v)::DOUBLE) AS logp
+      |      FROM c JOIN lt USING (label) CROSS JOIN v)""".stripMargin
 
   /** The q66 quality-score body parameterized by the corpus relation:
     * (doc_id, source, quality) for every document. Factored out of
@@ -3621,6 +3683,61 @@ object SparkEntry {
     // argmaxes stay empty, matching the Spark break
     "q122_bpe_merges" -> duckBpeSql(4),
     "q123_bpe_token_counts" -> duckBpeEncodeSql(4),
+
+    // CMS replayed relationally: bucket = md5-60(row-prefixed term)
+    // mod width; a row's counter = the bucket's term-count sum;
+    // estimate = least over the 3 rows. Exact by construction —
+    // counters are merge-order-independent sums
+    "q124_cms_counts" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT term, count(*)::BIGINT AS cnt FROM w
+        |      WHERE length(term) > 0 GROUP BY 1),
+        |h AS (SELECT term, cnt,
+        |        ('0x'||substr(md5('cms0:'||term),1,15))::BIGINT % 2048 AS b0,
+        |        ('0x'||substr(md5('cms1:'||term),1,15))::BIGINT % 2048 AS b1,
+        |        ('0x'||substr(md5('cms2:'||term),1,15))::BIGINT % 2048 AS b2
+        |      FROM c),
+        |r0 AS (SELECT b0 AS b, sum(cnt)::BIGINT AS s FROM h GROUP BY 1),
+        |r1 AS (SELECT b1 AS b, sum(cnt)::BIGINT AS s FROM h GROUP BY 1),
+        |r2 AS (SELECT b2 AS b, sum(cnt)::BIGINT AS s FROM h GROUP BY 1),
+        |top AS (SELECT term, cnt, b0, b1, b2 FROM h
+        |        ORDER BY cnt DESC, term ASC LIMIT 30)
+        |SELECT top.term, top.cnt, least(r0.s, r1.s, r2.s) AS est_cnt
+        |FROM top JOIN r0 ON top.b0 = r0.b JOIN r1 ON top.b1 = r1.b
+        |         JOIN r2 ON top.b2 = r2.b""".stripMargin,
+
+    // NB model: add-one-smoothed class-conditional log-probs over the
+    // hash-split train slice (the q84 split convention, "nb:" salt)
+    "q125_nb_train" ->
+      s"""WITH $duckNbModelSql
+        |SELECT label, term, cnt, round(logp, 6) AS logp FROM m""".stripMargin,
+
+    // NB classify: same model CTEs + per-class priors and smoothing
+    // floors; per-doc ordered fold, argmax via QUALIFY with the
+    // score-then-label tie-break the Spark max-of-struct uses
+    "q126_nb_classify" ->
+      s"""WITH $duckNbModelSql,
+        |pri AS (SELECT lang AS label, count(*)::BIGINT AS nd FROM tr GROUP BY 1),
+        |ptot AS (SELECT sum(nd)::BIGINT AS n FROM pri),
+        |lab AS (SELECT pri.label, ln(nd::DOUBLE / n) AS prior_logp,
+        |               ln(1.0 / (lt.tot + v.v)::DOUBLE) AS dflt
+        |        FROM pri CROSS JOIN ptot JOIN lt ON lt.label = pri.label
+        |        CROSS JOIN v),
+        |te AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM documents
+        |       WHERE ('0x'||substr(md5('nb:'||doc_id::VARCHAR),1,15))::BIGINT % 10000 >= 8000),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM te
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |sc AS (SELECT tf.doc_id, lab.label,
+        |         lab.prior_logp + list_sum(list(tf.tf * coalesce(m.logp, lab.dflt)
+        |                                        ORDER BY tf.term)) AS score
+        |       FROM tf CROSS JOIN lab
+        |       LEFT JOIN m ON m.label = lab.label AND m.term = tf.term
+        |       GROUP BY 1, 2, lab.prior_logp)
+        |SELECT doc_id, label AS pred_label, round(score, 6) AS score
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY score DESC, label DESC) = 1""".stripMargin,
 
     // shard manifest: the hash is the q47 convention (top-60-bit md5 of
     // salt||id); the offsets are the Window formulation the PrefixSum

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions.{concat, element_at, least, lit, udaf}
 
 /** Typed aggregation surface (SURVEY.md §2.11): the reference's
   * `AggregateFunction[IN, ACC, OUT]` extension point maps to Spark's
@@ -219,4 +219,76 @@ object TypedAggs {
 
   def misraGries(c: Column, k: Int): Column =
     udaf(MisraGries(k), Encoders.STRING).apply(c)
+
+  /** The full counter matrix, row-major (row i, bucket j at i·width+j) —
+    * exposed whole so point estimates are plain `element_at` arithmetic
+    * over the one aggregated value (see [[CountMinSketch]]).
+    */
+  case class CmsSketch(counts: Seq[Long])
+
+  /** Count–Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005):
+    * a depth×width counter matrix; item t increments bucket
+    * h_i(t) = md5₆₀("cms&lt;i&gt;:" ‖ t) mod width in every row, and
+    * est(t) = min_i matrix(i, h_i(t)).
+    *
+    * Two properties make this the q113-family's complement:
+    *  - counters are SUMS, so unlike Misra–Gries the whole matrix is
+    *    merge-order-INDEPENDENT — the sketch, and every estimate read
+    *    from it, is a deterministic function of the input multiset
+    *    under any partitioning. Point estimates therefore hash-match
+    *    a DuckDB oracle that replays the math relationally
+    *    (est(t) = min_i Σ_{t': h_i(t')=h_i(t)} cnt(t')), because the
+    *    hash family is the cross-engine md5₆₀ ([[Hashing]]). An
+    *    approximate sketch with an EXACT oracle — no band needed.
+    *  - guarantees: exact ≤ est always (collisions only add), and
+    *    est ≤ exact + 2N/width per row with probability ≥ 1/2,
+    *    so ≤ over all depth rows with probability ≥ 1 − 2^−depth.
+    *
+    * Scale: one depth·width long array per (partition, group) — fixed
+    * memory, vector-add merge, map-side combine; answers point
+    * frequency queries over any term (Misra–Gries answers only the
+    * heavy tail it kept). Use for coarse groups: the buffer travels
+    * per group, the BloomSketch sizing rule.
+    */
+  case class CountMinSketch(depth: Int = 3, width: Int = 2048)
+      extends Aggregator[String, Array[Long], CmsSketch] {
+    require(depth >= 1 && width >= 1, "depth and width must be >= 1")
+
+    private def bucket(row: Int, v: String): Int =
+      (Md5Long60.hash((s"cms$row:" + v)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)) % width).toInt
+
+    override def zero: Array[Long] = new Array[Long](depth * width)
+    override def reduce(b: Array[Long], v: String): Array[Long] = {
+      var i = 0
+      while (i < depth) { b(i * width + bucket(i, v)) += 1L; i += 1 }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): CmsSketch = CmsSketch(b.toSeq)
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[CmsSketch] = Encoders.product[CmsSketch]
+  }
+
+  def countMin(c: Column, depth: Int = 3, width: Int = 2048): Column =
+    udaf(CountMinSketch(depth, width), Encoders.STRING).apply(c)
+
+  /** Point-estimate read over a [[countMin]] result: min over rows of
+    * the addressed counters — the same md5₆₀ family evaluated as a
+    * codegen'd column, so look-ups stay inside WholeStageCodegen.
+    */
+  def countMinEstimate(sketch: Column, term: Column,
+                       depth: Int = 3, width: Int = 2048): Column = {
+    val reads = (0 until depth).map { i =>
+      element_at(sketch("counts"),
+        (Hashing.md5Long(concat(lit(s"cms$i:"), term)) % width
+          + lit(i * width) + 1).cast("int"))
+    }
+    if (reads.size == 1) reads.head else least(reads: _*)
+  }
 }

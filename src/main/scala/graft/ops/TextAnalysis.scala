@@ -775,4 +775,110 @@ object TextAnalysis {
           log((col("n_docs") + 1).cast("double") / (col("df_cnt") + 1)), 6)
           .as("score"))
   }
+
+  /** Per-(label, term) add-one-smoothed class-conditional log
+    * probabilities — the MODEL of a multinomial Naive Bayes text
+    * classifier (the one-pass linear classifier behind fastText-style
+    * language ID and the WebText/GPT-3 quality filter: class-conditional
+    * token counts are the entire training procedure, so "training" is a
+    * single hash aggregate — no gradient iterations, the only classifier
+    * family whose fit is embarrassingly parallel by construction).
+    * logp(term|label) = ln((cnt+1) / (tot_label + |V|)) with V the
+    * training vocabulary.
+    *
+    * Shape: ONE token explode behind a lazy pin; per-label totals and
+    * |V| are reaggregations of the pinned counts (dimension-sized —
+    * never a second corpus scan); the totals join back broadcast.
+    * Output: (label, term, cnt, logp) with logp rounded to 6.
+    */
+  def nbTrain(train: DataFrame, labelCol: String, textCol: String,
+              checkpointDir: Option[String] = None): DataFrame = {
+    val c = Checkpoints.pin(nbCounts(train, labelCol, textCol),
+      checkpointDir, eager = false)
+    nbModel(c).select(col("label"), col("term"), col("cnt"),
+      round(col("logp"), 6).as("logp"))
+  }
+
+  /** (label, term, cnt) over the training slice — the sufficient
+    * statistic; everything else derives from it.
+    */
+  private def nbCounts(train: DataFrame, labelCol: String,
+                       textCol: String): DataFrame =
+    train.select(col(labelCol).as("label"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("label"), col("term")).agg(count(lit(1)).as("cnt"))
+
+  /** Smoothed model from pinned counts: (label, term, cnt, logp)
+    * UNROUNDED (the scorer consumes full precision; [[nbTrain]] rounds
+    * at its output edge only).
+    */
+  private def nbModel(counts: DataFrame): DataFrame = {
+    val labTot = counts.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
+    val vocab = counts.agg(countDistinct(col("term")).as("v"))
+    counts.join(broadcast(labTot), "label")
+      .crossJoin(broadcast(vocab))
+      .select(col("label"), col("term"), col("cnt"),
+        log((col("cnt") + 1).cast("double") / (col("tot") + col("v")))
+          .as("logp"))
+  }
+
+  /** Classify `test` documents with a Naive Bayes model trained on
+    * `train`: score(d, c) = ln P(c) + Σ_term tf·logp(term|c), unseen
+    * terms at the smoothing floor ln(1/(tot_c+|V|)); prediction =
+    * argmax_c (ties, vanishingly rare with real counts, break toward
+    * the greater label in BOTH engines — max-of-struct here, ORDER BY
+    * score DESC, label DESC in the oracle). Output: (doc_id,
+    * pred_label, score rounded 6).
+    *
+    * Scale shape: one explode per slice, both behind lazy pins; the
+    * label dimension (priors + smoothing floors, one row per class)
+    * broadcast-crosses the test tf frame — a ×|classes| row expansion
+    * of a NARROW (doc_id, term, tf) frame, stated cost of scoring every
+    * class; the model join is a size-planned equi-join on (label, term)
+    * (broadcast at test scale, shuffle for web-scale vocabularies);
+    * per-doc sums are ordered folds (engine-stable doubles, the q80
+    * convention); the argmax is a max-of-struct hash aggregate — no
+    * Window, nothing driver-side.
+    */
+  def nbClassify(train: DataFrame, test: DataFrame, labelCol: String,
+                 idCol: String, textCol: String,
+                 checkpointDir: Option[String] = None): DataFrame = {
+    val counts = Checkpoints.pin(nbCounts(train, labelCol, textCol),
+      checkpointDir, eager = false)
+    val model = nbModel(counts)
+    val labTot = counts.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
+    val vocab = counts.agg(countDistinct(col("term")).as("v"))
+    val nDocs = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("nd"))
+    val nTot = nDocs.agg(sum(col("nd")).as("n"))
+    // one row per class: prior + unseen-term floor
+    val labels = nDocs.crossJoin(nTot)
+      .join(labTot, "label").crossJoin(vocab)
+      .select(col("label"),
+        log(col("nd").cast("double") / col("n")).as("prior_logp"),
+        log(lit(1.0) / (col("tot") + col("v"))).as("dflt"))
+    val tf = Checkpoints.pin(
+      test.select(col(idCol).as("doc_id"),
+          explode(split(col(textCol), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")),
+      checkpointDir, eager = false)
+    tf.crossJoin(broadcast(labels))
+      .join(model, Seq("label", "term"), "left")
+      .select(col("doc_id"), col("label"), col("prior_logp"),
+        (col("tf") * coalesce(col("logp"), col("dflt"))).as("v"),
+        col("term"))
+      .groupBy(col("doc_id"), col("label"), col("prior_logp"))
+      .agg(expr(
+        """aggregate(array_sort(collect_list(named_struct('term', term, 'v', v))),
+          |          cast(0.0 as double), (a, s) -> a + s.v)""".stripMargin)
+        .as("like"))
+      .select(col("doc_id"), col("label"),
+        (col("prior_logp") + col("like")).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("score"), col("label"))).as("best"))
+      .select(col("doc_id"), col("best.label").as("pred_label"),
+        round(col("best.score"), 6).as("score"))
+  }
 }

@@ -274,4 +274,34 @@ class PlanShapeSpec extends AnyFunSuite {
       .findAllIn(p).filter(_.contains("text")).toSeq
     assert(shuffled.isEmpty, s"text-carrying Exchange in q123: $shuffled")
   }
+
+  test("q124: CMS estimates read from ONE broadcast sketch row — no re-aggregation") {
+    // the sketch is a keyless ObjectHashAggregate (fixed-size buffer,
+    // map-side combine); estimates are element_at arithmetic on the
+    // broadcast single-row result — no Window, no extra corpus scan
+    // beyond the two declared (exact counts + sketch build)
+    val p = plan("q124_cms_counts")
+    assert(p.contains("ObjectHashAggregate"), "CMS must aggregate object buffers")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the one-row sketch must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // formatted mode prints each node in the tree AND the details
+    // section: 2 occurrences per physical scan ⇒ bound 4 = two scans
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") <= 4,
+      "exact counts + sketch build: at most two corpus scans")
+  }
+
+  test("q126: NB scoring — broadcast label dimension, no Window, argmax as aggregate") {
+    // the per-doc argmax is max(struct(score, label)) — a hash
+    // aggregate, not a row_number Window; the label dimension (one row
+    // per class) broadcasts onto the narrow tf frame; text never
+    // crosses an Exchange (both explodes happen below the pins)
+    val p = plan("q126_nb_classify")
+    assert(!p.contains(") Window"), "argmax must be an aggregate, not a Window")
+    assert(p.contains("BroadcastExchange"), "label dimension must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    val shuffled = """(?m)^\(\d+\) Exchange[\s\S]*?Arguments.*$""".r
+      .findAllIn(p).filter(_.contains("text")).toSeq
+    assert(shuffled.isEmpty, s"text-carrying Exchange in q126: $shuffled")
+  }
 }

@@ -49,4 +49,42 @@ class TypedAggsSpec extends AnyFunSuite {
     }
     assert(buf.map(b => Integer.bitCount(b & 0xff)).sum <= 3)
   }
+
+  test("CountMinSketch: never undercounts, partition-independent, exact when sparse") {
+    // Zipf-ish multiset: term_i appears i times, 1..60 — 1830 items,
+    // 60 distinct, far below width ⇒ collisions possible but rare
+    val rows = (1 to 60).flatMap(i => Seq.fill(i)(s"term_$i"))
+    val df = rows.toDF("t")
+    val exact = rows.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val sk = df.repartition(8)
+      .agg(TypedAggs.countMin($"t", depth = 3, width = 2048).as("sk"))
+    val ests = sk.select(
+      typedLit(exact.keys.toSeq.sorted).as("terms"), $"sk")
+      .select(explode($"terms").as("t"), $"sk")
+      .select($"t", TypedAggs.countMinEstimate($"sk", $"t").as("est"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (t, c) =>
+      assert(ests(t) >= c, s"CMS undercounted $t: ${ests(t)} < $c")
+      assert(ests(t) <= c + 1830 * 2 / 2048 + 3, s"CMS est far off for $t")
+    }
+    // counters are sums ⇒ the whole matrix is merge-order-independent
+    val m1 = sk.select($"sk.counts").as[Seq[Long]].head()
+    val m2 = df.repartition(3)
+      .agg(TypedAggs.countMin($"t", depth = 3, width = 2048).as("sk"))
+      .select($"sk.counts").as[Seq[Long]].head()
+    assert(m1 === m2)
+    assert(m1.sum === 3L * 1830)
+  }
+
+  test("CountMinSketch buckets match the cross-engine md5-60 family") {
+    val cms = TypedAggs.CountMinSketch(depth = 3, width = 2048)
+    val buf = cms.reduce(cms.zero, "abc")
+    for (i <- 0 until 3) {
+      val b = (graft.functions.Md5Long60.hash(
+        s"cms$i:abc".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        % 2048).toInt
+      assert(buf(i * 2048 + b) === 1L, s"row $i bucket $b not incremented")
+    }
+    assert(buf.sum === 3L)
+  }
 }
