@@ -1623,6 +1623,21 @@ object SparkEntry {
       TextAnalysis.nbClassify(docs.filter(isTrain), docs.filter(!isTrain),
         "lang", "doc_id", "text")
     }),
+
+    // KMV/bottom-k distinct sketch next to the exact count: per event
+    // type, estimated distinct users from the 64 smallest md5-60
+    // hashes. Like q124 the sketch state is merge-order-independent
+    // (k smallest of a union) and the hash family is cross-engine, so
+    // the oracle replays the ESTIMATE hash-exactly — no band. Each
+    // (partition, group) ships ≤64 longs vs the exact side's
+    // every-user shuffle; KMV (unlike HLL) also supports downstream
+    // set operations over the kept hashes
+    "q127_kmv_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          round(graft.functions.TypedAggs.kmvDistinct(
+            col("user_id").cast("string")), 4).as("est_distinct"))),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3738,6 +3753,27 @@ object SparkEntry {
         |FROM sc
         |QUALIFY row_number() OVER (PARTITION BY doc_id
         |                           ORDER BY score DESC, label DESC) = 1""".stripMargin,
+
+    // KMV replayed relationally: rank the distinct md5-60 hashes per
+    // group, read the 64th smallest, apply (k-1)*2^60/h_k (count
+    // exactly when under capacity). Merge-order-independent ⇒ exact
+    "q127_kmv_distinct" ->
+      """WITH e AS (SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (SELECT DISTINCT event_type,
+        |        ('0x'||substr(md5('kmv:'||user_id::VARCHAR),1,15))::BIGINT AS hv
+        |      FROM e),
+        |r AS (SELECT event_type, hv,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS nd
+        |      FROM h),
+        |x AS (SELECT event_type, count(*)::BIGINT AS n_exact FROM e GROUP BY 1),
+        |est AS (SELECT event_type,
+        |          CASE WHEN max(nd) < 64 THEN max(nd)::DOUBLE
+        |               ELSE 63.0 * 1152921504606846976
+        |                    / max(CASE WHEN rn = 64 THEN hv END) END AS est
+        |        FROM r GROUP BY 1)
+        |SELECT x.event_type, n_exact, round(est, 4) AS est_distinct
+        |FROM x JOIN est USING (event_type)""".stripMargin,
 
     // shard manifest: the hash is the q47 convention (top-60-bit md5 of
     // salt||id); the offsets are the Window formulation the PrefixSum

@@ -278,6 +278,90 @@ object TypedAggs {
   def countMin(c: Column, depth: Int = 3, width: Int = 2048): Column =
     udaf(CountMinSketch(depth, width), Encoders.STRING).apply(c)
 
+  /** Sorted distinct min-hashes, ascending, size ≤ k (see [[KmvSketch]]). */
+  private[graft] case class KmvBuf(hs: Seq[Long])
+
+  /** KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002; the
+    * mergeable form of Beyer et al., "On Synopses for Distinct-Value
+    * Estimation Under Multiset Operations", SIGMOD 2007): keep the k
+    * SMALLEST distinct md5₆₀("kmv:" ‖ t) hash values per group;
+    * estimate = k<n ? (k−1)·2⁶⁰ / h₍ₖ₎ : n (exact below capacity).
+    *
+    * Like [[CountMinSketch]] (and unlike HLL register-merge order
+    * subtleties or Misra–Gries), the state is a pure SET operation —
+    * the k smallest of a union is merge-order-independent — and the
+    * hash family is the cross-engine md5₆₀, so a DuckDB oracle
+    * replays the estimate EXACTLY (rank the distinct hashes, read
+    * h₍ₖ₎, same arithmetic): hash-exact correctness for an
+    * approximate distinct count. Relative error ≈ 1/√(k−2).
+    *
+    * Scale: one ≤k-entry sorted array per (partition, group), merge =
+    * sorted-merge take-k; ships k longs where exact distinct ships
+    * every value — and unlike HLL the sketch also supports set
+    * OPERATIONS downstream (union = merge; intersection via the
+    * SIGMOD'07 ρ-estimator over the combined bottom-k), which is why
+    * production dedup/overlap audits carry KMV next to HLL.
+    */
+  case class KmvSketch(k: Int = 64) extends Aggregator[String, KmvBuf, Double] {
+    require(k >= 2, "k must be >= 2")
+
+    private def hash(v: String): Long =
+      Md5Long60.hash(("kmv:" + v)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    override def zero: KmvBuf = KmvBuf(Vector.empty)
+
+    override def reduce(b: KmvBuf, v: String): KmvBuf = {
+      val h = hash(v)
+      val hs = b.hs
+      if (hs.length >= k && h >= hs.last) b
+      else {
+        val i = search(hs, h)
+        if (i >= 0) b // already present
+        else {
+          val at = -i - 1
+          val grown = (hs.take(at) :+ h) ++ hs.drop(at)
+          KmvBuf(if (grown.length > k) grown.take(k) else grown)
+        }
+      }
+    }
+
+    private def search(hs: Seq[Long], h: Long): Int = {
+      var lo = 0; var hi = hs.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val x = hs(mid)
+        if (x < h) lo = mid + 1 else if (x > h) hi = mid - 1 else return mid
+      }
+      -(lo + 1)
+    }
+
+    override def merge(x: KmvBuf, y: KmvBuf): KmvBuf = {
+      // sorted-merge of two distinct ascending runs, keep k smallest
+      val out = Vector.newBuilder[Long]
+      var i = 0; var j = 0; var n = 0
+      val a = x.hs; val b = y.hs
+      while (n < k && (i < a.length || j < b.length)) {
+        val next =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+            val v = a(i); if (j < b.length && b(j) == v) j += 1; i += 1; v
+          } else { val v = b(j); j += 1; v }
+        out += next; n += 1
+      }
+      KmvBuf(out.result())
+    }
+
+    override def finish(b: KmvBuf): Double =
+      if (b.hs.length < k) b.hs.length.toDouble
+      else (k - 1).toDouble * 1152921504606846976.0 /* 2^60 */ / b.hs.last
+
+    override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  def kmvDistinct(c: Column, k: Int = 64): Column =
+    udaf(KmvSketch(k), Encoders.STRING).apply(c)
+
   /** Point-estimate read over a [[countMin]] result: min over rows of
     * the addressed counters — the same md5₆₀ family evaluated as a
     * codegen'd column, so look-ups stay inside WholeStageCodegen.

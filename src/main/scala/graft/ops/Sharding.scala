@@ -55,4 +55,27 @@ object Sharding {
         checkpointDir = checkpointDir)
       .withColumn("token_start", col("token_end") - col("n_tokens"))
   }
+
+  /** Execute a [[shardManifest]]: join the full-width corpus onto the
+    * (narrow) manifest and write one parquet file per shard, rows in
+    * `doc_id` order — the layout the manifest's token intervals
+    * describe, so a trainer can seek `token_start` inside shard `k`
+    * and find the document the manifest promised.
+    *
+    * The plan pays exactly ONE full-width shuffle: `repartition(shard)`
+    * hash-clusters every shard's rows into a single task (so
+    * `partitionBy` emits exactly one file per shard), and the
+    * within-partition sort orders them by (shard, doc_id). That
+    * shuffle IS the operation — shard files are a physical re-layout
+    * of the corpus; nothing else (the manifest join is a size-planned
+    * equi-join on doc_id, narrow side dimension-free). Determinism:
+    * equal manifests in, byte-equal shard files out — no round-robin,
+    * no RNG, no task-order dependence.
+    */
+  def writeShards(manifest: DataFrame, fullWidth: DataFrame, idCol: String,
+                  path: String): Unit =
+    manifest.join(fullWidth.withColumnRenamed(idCol, "doc_id"), Seq("doc_id"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -73,4 +73,44 @@ class ShardingSpec extends AnyFunSuite {
     assert(Sharding.shardManifest(docs.filter(lit(false)), "doc_id",
       "n_tokens", nShards = 4).count() === 0L)
   }
+
+  test("writeShards: one file per shard, doc_id-ordered rows, intervals tile on disk") {
+    val full = docs.withColumn("text",
+      concat(lit("body of "), $"doc_id".cast("string")))
+    val manifest = Sharding.shardManifest(docs, "doc_id", "n_tokens",
+      nShards = 4, carryCols = Seq("source"))
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    try {
+      Sharding.writeShards(manifest, full.select($"doc_id", $"text"),
+        "doc_id", dir)
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+      assert(shardDirs.length === 4)
+      val byShard = manifest.select($"doc_id", $"shard", $"token_start",
+          $"token_end").as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._2)
+      shardDirs.foreach { d =>
+        val shard = d.getName.stripPrefix("shard=").toLong
+        val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length === 1,
+          s"shard $shard must be exactly one file, got ${files.length}")
+        // a single parquet file read as a single partition preserves
+        // row order — the layout the manifest's intervals describe
+        val rows = spark.read.parquet(files.head.toString)
+          .select($"doc_id", $"token_start", $"token_end", $"text")
+          .as[(Long, Long, Long, String)].collect()
+        val expect = byShard(shard).sortBy(_._1)
+        assert(rows.map(_._1).toSeq === expect.map(_._1).toSeq,
+          s"shard $shard rows not in doc_id order")
+        var cursor = 0L
+        rows.foreach { r =>
+          assert(r._2 === cursor, s"interval gap at doc ${r._1} in shard $shard")
+          cursor = r._3
+          assert(r._4 === s"body of ${r._1}") // full-width payload rode along
+        }
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

@@ -398,6 +398,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(streamed(2L)._2 - math.log(1.0 / 15)) < 1e-6)
   }
 
+  test("frozen NB stream classification ≡ batch, and agrees with the batch scorer") {
+    // train in batch on the spam/ham toy (NaiveBayesSpec's corpus),
+    // freeze, then classify a stream — same code path as batch
+    val train = Seq(
+      ("spam", "buy cheap pills"), ("spam", "cheap pills now"),
+      ("ham", "meeting notes attached"), ("ham", "notes for the meeting"))
+      .toDF("label", "text")
+    val model = StreamingClassify.freeze(train, "label", "text")
+    assert(model.labels === Seq("ham", "spam"))
+    assert(model.totals === Seq(7L, 6L) && model.vocab === 9L)
+    val docs = Seq(
+      (1L, "cheap pills", ts(100)),
+      (2L, "meeting notes", ts(101)),
+      (3L, "zzz qqq", ts(112))) // all-unseen doc, second window
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingClassify.classifyDocs(input.toDF().toDF("id", "text", "ts"),
+        model, "id", "ts", "text")
+      .writeStream.outputMode("append").format("memory").queryName("fnb").start()
+    input.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    input.addData((99L, "flush", ts(200)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("fnb")
+      .select("doc_id", "pred_label", "score")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val batch = StreamingClassify.classifyDocs(docs.toDF("id", "text", "ts"),
+        model, "id", "ts", "text")
+      .select("doc_id", "pred_label", "score")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    docs.foreach { case (id, _, _) => assert(streamed(id) === batch(id), s"doc $id") }
+    // same predictions AND scores (to the rounding edge) as the batch
+    // scorer on the same train/test rows
+    val ref = graft.ops.TextAnalysis.nbClassify(train,
+        docs.toDF("doc_id", "text", "ts"), "label", "doc_id", "text")
+      .select("doc_id", "pred_label", "score")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    docs.foreach { case (id, _, _) =>
+      assert(streamed(id)._1 === ref(id)._1, s"prediction drift for doc $id")
+      assert(math.abs(streamed(id)._2 - ref(id)._2) < 2e-6,
+        s"score drift for doc $id: ${streamed(id)._2} vs ${ref(id)._2}")
+    }
+    assert(streamed(1L)._1 === "spam" && streamed(2L)._1 === "ham")
+    assert(streamed(3L)._1 === "spam") // equal priors → larger floor wins
+  }
+
   test("streaming corpus composition: sample → scrub → watermark dedup → quality gate ≡ batch") {
     // the CONTINUOUS-INGESTION form of the corpus pipeline's stateless
     // prefix: deterministic hash sample and PII scrub are narrow (run

@@ -76,6 +76,35 @@ class TypedAggsSpec extends AnyFunSuite {
     assert(m1.sum === 3L * 1830)
   }
 
+  test("KmvSketch: exact under capacity, within-error over it, partition-independent") {
+    val cms = TypedAggs.KmvSketch(k = 64)
+    // under capacity: estimate IS the distinct count
+    val small = (1 to 40).map(i => s"u$i") ++ (1 to 40).map(i => s"u$i")
+    val sEst = small.toDF("u").repartition(5)
+      .agg(TypedAggs.kmvDistinct($"u")).as[Double].head()
+    assert(sEst === 40.0)
+    // over capacity: (k-1)*2^60/h_k, within ~4/sqrt(62) of truth
+    val n = 5000
+    val big = (1 to n).map(i => s"user_$i").toDF("u")
+    val est = big.repartition(8).agg(TypedAggs.kmvDistinct($"u"))
+      .as[Double].head()
+    assert(math.abs(est - n) < n * 4.0 / math.sqrt(62), s"est $est vs $n")
+    // k smallest of a union is merge-order-independent
+    val est2 = big.repartition(3).agg(TypedAggs.kmvDistinct($"u"))
+      .as[Double].head()
+    assert(est === est2)
+    // buffer invariants: sorted, distinct, capped at k
+    val buf = small.foldLeft(cms.zero)(cms.reduce)
+    assert(buf.hs.length === 40 && buf.hs === buf.hs.distinct.sorted)
+    val full = (1 to 200).map(i => s"x$i").foldLeft(cms.zero)(cms.reduce)
+    assert(full.hs.length === 64 && full.hs === full.hs.distinct.sorted)
+    // merge agrees with sequential reduce
+    val (l, r) = (1 to 200).map(i => s"x$i").splitAt(97)
+    val merged = cms.merge(l.foldLeft(cms.zero)(cms.reduce),
+      r.foldLeft(cms.zero)(cms.reduce))
+    assert(merged.hs === full.hs)
+  }
+
   test("CountMinSketch buckets match the cross-engine md5-60 family") {
     val cms = TypedAggs.CountMinSketch(depth = 3, width = 2048)
     val buf = cms.reduce(cms.zero, "abc")
