@@ -1638,6 +1638,88 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_exact"),
           round(graft.functions.TypedAggs.kmvDistinct(
             col("user_id").cast("string")), 4).as("est_distinct"))),
+
+    // candidates-then-rerank, the production ANN serving layout: q92's
+    // compressed-domain ADC prunes to a 20-candidate shortlist per
+    // query (8-byte codes, ~nprobe/nlists of the corpus scanned), then
+    // ONLY those pairs touch full-precision vectors, scored exactly in
+    // the serving metric (cosine, the shared tail — q25's rounding and
+    // tie-break). Recall becomes shortlist coverage (q129 measures the
+    // recovery over raw ADC's q108)
+    "q128_ivfpq_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_vec"))
+      val shortlist = Pq.adcSearch(emb, "vec_id", "embedding",
+        Pq.codebooks(emb, "vec_id", "embedding", m = 8, subDim = 8,
+          initIds = Seq(0L, 1L, 2L, 3L), iters = 1, orderedMeans = true),
+        queryIds = (0L until 10L).toSeq, k = 20, m = 8, subDim = 8,
+        candidates = Some(Similarity.ivfCandidates(emb, "vec_id", "embedding",
+          cents, (0L until 10L).toSeq, nprobe = 2)))
+      Similarity.rerankExact(shortlist, emb, "vec_id", "embedding", k = 5)
+    }),
+
+    // recall@5 of the reranked pipeline (q128) vs exact brute force —
+    // the third column of the q87/q108/q109 recall story: coarse IVF
+    // 0.86, raw ADC ~0.16, ADC shortlist + exact rerank recovers most
+    // of the gap at 20 full-vector reads per query
+    "q129_rerank_recall" -> ((s, dir) =>
+      recallAudit(s, dir, "q128_ivfpq_rerank")),
+
+    // KMV SET operations (the reason to keep hashes, not just an
+    // estimate): pairwise event-type audience overlap from the
+    // per-type bottom-64 sketches alone — combined bottom-k of the
+    // union, Jaccard = K∩/k over it (SIGMOD'07 ρ-estimator),
+    // intersection = ρ·union-est. Every quantity is a deterministic
+    // function of the two hash sets, so the oracle replays all three
+    // estimates hash-exactly. At 100 TB the pairwise stage touches
+    // ONLY dimension-sized sketch rows — the corpus is scanned once
+    // for the sketches, never per pair
+    "q130_kmv_overlap" -> ((s, dir) => {
+      val k = 64
+      val sk = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.TypedAggs.kmvHashes(
+          col("user_id").cast("string"), k).as("hs"))
+      sk.select(col("event_type").as("type_a"), col("hs").as("hs_a"))
+        .crossJoin(broadcast(
+          sk.select(col("event_type").as("type_b"), col("hs").as("hs_b"))))
+        .filter(col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"), col("hs_a"), col("hs_b"),
+          expr(s"slice(array_sort(array_union(hs_a, hs_b)), 1, $k)").as("comb"))
+        .select(col("type_a"), col("type_b"),
+          size(col("comb")).as("kk"),
+          expr("size(filter(comb, h -> array_contains(hs_a, h) AND array_contains(hs_b, h)))")
+            .as("k_int"),
+          expr(s"""IF(size(comb) < $k, CAST(size(comb) AS DOUBLE),
+                  |   ${k - 1}D * 1152921504606846976.0D / element_at(comb, $k))"""
+            .stripMargin).as("union_est"))
+        .select(col("type_a"), col("type_b"),
+          round(col("union_est"), 4).as("union_est"),
+          round(col("k_int").cast("double") / col("kk"), 6).as("jaccard_est"),
+          round(col("k_int").cast("double") / col("kk") * col("union_est"), 4)
+            .as("inter_est"))
+    }),
+
+    // NB classifier gate (the GPT-3/WebText quality-filter shape):
+    // train pos=src0 vs neg=rest on an "nbg:"-salted 80% split, score
+    // EVERY document's log-odds, flag the positive side. The binary
+    // head subtracts two per-class scores — one commutative two-term
+    // sum, no new fold-order surface; the kept flag compares the
+    // ROUNDED value so both engines decide on the same number. (On
+    // this synthetic corpus text ⊥ source, so the 1/20 prior dominates
+    // and almost nothing clears 0 — the full score column is the
+    // informative output; the flag documents the policy.)
+    "q131_classifier_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("cls",
+        when(col("source") === "src0", "pos").otherwise("neg"))
+      val isTrain = graft.functions.Hashing.md5Long(concat(lit("nbg:"),
+        col("doc_id").cast("string"))) % 10000 < 8000
+      TextAnalysis.nbLogOdds(docs.filter(isTrain), docs, "cls", "pos",
+          "doc_id", "text")
+        .select(col("doc_id"), col("log_odds"),
+          (col("log_odds") > 0).as("kept"))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -1955,7 +2037,33 @@ object SparkEntry {
     * scoring over the q88 codes) — shared by the q92 map entry and the
     * q108 recall audit's nested CTE.
     */
-  private val q92IvfPqSql: String =
+  /** q128's full SQL: the q92 IVF-PQ chain widened to a 20-candidate
+    * shortlist, exact cosine (q25's expression) over only those pairs,
+    * final top-5. A val so the q129 recall audit nests it verbatim.
+    */
+  private lazy val q128RerankSql: String =
+    s"""WITH adc AS (${q92IvfPqSql(20)}),
+       |en AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, embedding,
+       |           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
+       |    FROM embeddings)
+       |  WHERE norm2 > 0),
+       |sc AS (
+       |  SELECT a.query_id, a.neighbor_id,
+       |         round(list_sum(list_transform(generate_series(1, len(n.embedding)),
+       |                 i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE))
+       |               / sqrt(q.norm2 * n.norm2), 6) AS score
+       |  FROM adc a JOIN en q ON q.vec_id = a.query_id
+       |             JOIN en n ON n.vec_id = a.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5""".stripMargin
+
+  private def q92IvfPqSql(k: Int = 5): String =
     s"""WITH $duckPqBody,
        |cents AS (SELECT vec_id AS centroid_id, embedding AS c_vec FROM e WHERE vec_id < 8),
        |cvd AS (
@@ -1992,7 +2100,7 @@ object SparkEntry {
        |             row_number() OVER (PARTITION BY query_id
        |                                ORDER BY approx_dist, neighbor_id) AS rank
        |      FROM sc)
-       |SELECT query_id, neighbor_id, approx_dist, rank FROM r WHERE rank <= 5""".stripMargin
+       |SELECT query_id, neighbor_id, approx_dist, rank FROM r WHERE rank <= $k""".stripMargin
 
   /** Shared DuckDB CTE prefix for the corpus-pipeline replays
     * (q85/q93): sample(0.8) → exact-dedup → band collisions →
@@ -2184,15 +2292,17 @@ object SparkEntry {
        |GROUP BY 1""".stripMargin
 
   /** Shared Naive Bayes model CTEs (the q85/q117 composed-oracle
-    * discipline): train slice → class-conditional counts `c` → label
-    * totals `lt`, vocabulary `v`, smoothed model `m` (UNROUNDED logp —
-    * q125 rounds at its edge, q126 consumes full precision like the
-    * Spark scorer).
+    * discipline), parameterized by the label expression and split
+    * salt: train slice `tr` (label aliased `nb_label`) →
+    * class-conditional counts `c` → label totals `lt`, vocabulary `v`,
+    * smoothed model `m` (UNROUNDED logp — q125 rounds at its edge,
+    * q126/q131 consume full precision like the Spark scorer).
     */
-  private val duckNbModelSql: String =
-    """tr AS (SELECT lang, doc_id, text FROM documents
-      |       WHERE ('0x'||substr(md5('nb:'||doc_id::VARCHAR),1,15))::BIGINT % 10000 < 8000),
-      |nw AS (SELECT lang AS label, unnest(string_split(text, ' ')) AS term FROM tr),
+  private def duckNbModelSql(labelExpr: String = "lang",
+                             salt: String = "nb"): String =
+    s"""tr AS (SELECT $labelExpr AS nb_label, doc_id, text FROM documents
+      |       WHERE ('0x'||substr(md5('$salt:'||doc_id::VARCHAR),1,15))::BIGINT % 10000 < 8000),
+      |nw AS (SELECT nb_label AS label, unnest(string_split(text, ' ')) AS term FROM tr),
       |c AS (SELECT label, term, count(*)::BIGINT AS cnt FROM nw
       |      WHERE length(term) > 0 GROUP BY 1, 2),
       |lt AS (SELECT label, sum(cnt)::BIGINT AS tot FROM c GROUP BY 1),
@@ -3497,12 +3607,12 @@ object SparkEntry {
 
     // coarse candidates exactly as in q69, ADC scoring exactly as in
     // q89 — composed
-    "q92_ivfpq" -> q92IvfPqSql,
+    "q92_ivfpq" -> q92IvfPqSql(),
 
     // recall@5 of the compressed-domain IVF-PQ search (q92) against
     // exact brute force (q25) — the q87 audit shape over ADC scores
     "q108_ivfpq_recall" ->
-      s"""WITH adc AS ($q92IvfPqSql),
+      s"""WITH adc AS (${q92IvfPqSql()}),
          |bf AS ($q25KnnSql),
          |hits AS (
          |  SELECT query_id, count(*) AS h
@@ -3724,15 +3834,15 @@ object SparkEntry {
     // NB model: add-one-smoothed class-conditional log-probs over the
     // hash-split train slice (the q84 split convention, "nb:" salt)
     "q125_nb_train" ->
-      s"""WITH $duckNbModelSql
+      s"""WITH ${duckNbModelSql()}
         |SELECT label, term, cnt, round(logp, 6) AS logp FROM m""".stripMargin,
 
     // NB classify: same model CTEs + per-class priors and smoothing
     // floors; per-doc ordered fold, argmax via QUALIFY with the
     // score-then-label tie-break the Spark max-of-struct uses
     "q126_nb_classify" ->
-      s"""WITH $duckNbModelSql,
-        |pri AS (SELECT lang AS label, count(*)::BIGINT AS nd FROM tr GROUP BY 1),
+      s"""WITH ${duckNbModelSql()},
+        |pri AS (SELECT nb_label AS label, count(*)::BIGINT AS nd FROM tr GROUP BY 1),
         |ptot AS (SELECT sum(nd)::BIGINT AS n FROM pri),
         |lab AS (SELECT pri.label, ln(nd::DOUBLE / n) AS prior_logp,
         |               ln(1.0 / (lt.tot + v.v)::DOUBLE) AS dflt
@@ -3774,6 +3884,91 @@ object SparkEntry {
         |        FROM r GROUP BY 1)
         |SELECT x.event_type, n_exact, round(est, 4) AS est_distinct
         |FROM x JOIN est USING (event_type)""".stripMargin,
+
+    // the q92 chain widened to a 20-candidate shortlist, then exact
+    // cosine over ONLY those pairs (q25's scoring expression verbatim)
+    "q128_ivfpq_rerank" -> q128RerankSql,
+
+    // KMV set ops replayed relationally: per-type bottom-64 hash
+    // lists, combined bottom-k per pair, K∩ by joining the combined
+    // list back to both sketches, the same union/Jaccard/intersection
+    // arithmetic. Deterministic ⇒ all three estimates hash-exact
+    "q130_kmv_overlap" ->
+      """WITH e AS (SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (SELECT DISTINCT event_type,
+        |        ('0x'||substr(md5('kmv:'||user_id::VARCHAR),1,15))::BIGINT AS hv
+        |      FROM e),
+        |bk AS (SELECT event_type, hv FROM (
+        |         SELECT event_type, hv,
+        |                row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |         FROM h)
+        |       WHERE rn <= 64),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |      FROM t a JOIN t b ON a.event_type < b.event_type),
+        |u AS (SELECT DISTINCT p.type_a, p.type_b, bk.hv
+        |      FROM p JOIN bk ON bk.event_type = p.type_a OR bk.event_type = p.type_b),
+        |comb AS (SELECT type_a, type_b, hv,
+        |                row_number() OVER (PARTITION BY type_a, type_b ORDER BY hv) AS rn
+        |         FROM u),
+        |ck AS (SELECT * FROM comb WHERE rn <= 64),
+        |inter AS (SELECT ck.type_a, ck.type_b, count(*)::BIGINT AS k_int
+        |          FROM ck JOIN bk x ON x.event_type = ck.type_a AND x.hv = ck.hv
+        |                  JOIN bk y ON y.event_type = ck.type_b AND y.hv = ck.hv
+        |          GROUP BY 1, 2),
+        |st AS (SELECT type_a, type_b, count(*)::BIGINT AS kk,
+        |              max(CASE WHEN rn = 64 THEN hv END) AS hk
+        |       FROM ck GROUP BY 1, 2),
+        |est AS (SELECT st.type_a, st.type_b, kk,
+        |               coalesce(k_int, 0) AS k_int,
+        |               CASE WHEN kk < 64 THEN kk::DOUBLE
+        |                    ELSE 63.0 * 1152921504606846976 / hk END AS union_est
+        |        FROM st LEFT JOIN inter USING (type_a, type_b))
+        |SELECT type_a, type_b, round(union_est, 4) AS union_est,
+        |       round(k_int::DOUBLE / kk, 6) AS jaccard_est,
+        |       round(k_int::DOUBLE / kk * union_est, 4) AS inter_est
+        |FROM est""".stripMargin,
+
+    // classifier gate: binary NB model over pos=src0 vs rest ("nbg:"
+    // salt), EVERY document scored, log-odds = pos − neg (two-term
+    // commutative sum), rounded THEN thresholded like the Spark side
+    "q131_classifier_gate" ->
+      s"""WITH ${duckNbModelSql(
+            "CASE WHEN source = 'src0' THEN 'pos' ELSE 'neg' END", "nbg")},
+        |pri AS (SELECT nb_label AS label, count(*)::BIGINT AS nd FROM tr GROUP BY 1),
+        |ptot AS (SELECT sum(nd)::BIGINT AS n FROM pri),
+        |lab AS (SELECT pri.label, ln(nd::DOUBLE / n) AS prior_logp,
+        |               ln(1.0 / (lt.tot + v.v)::DOUBLE) AS dflt
+        |        FROM pri CROSS JOIN ptot JOIN lt ON lt.label = pri.label
+        |        CROSS JOIN v),
+        |te AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM te
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |sc AS (SELECT tf.doc_id, lab.label,
+        |         lab.prior_logp + list_sum(list(tf.tf * coalesce(m.logp, lab.dflt)
+        |                                        ORDER BY tf.term)) AS score
+        |       FROM tf CROSS JOIN lab
+        |       LEFT JOIN m ON m.label = lab.label AND m.term = tf.term
+        |       GROUP BY 1, 2, lab.prior_logp),
+        |lo AS (SELECT doc_id,
+        |         round(sum(CASE WHEN label = 'pos' THEN score ELSE -score END), 6)
+        |           AS log_odds
+        |       FROM sc GROUP BY 1)
+        |SELECT doc_id, log_odds, log_odds > 0 AS kept FROM lo""".stripMargin,
+
+    // the q108 audit shape over the reranked result — the SAME q128
+    // SQL nested verbatim (composed-oracle discipline, zero drift)
+    "q129_rerank_recall" ->
+      s"""WITH rr AS (SELECT query_id, neighbor_id FROM ($q128RerankSql) t),
+         |bf AS ($q25KnnSql),
+         |hits AS (
+         |  SELECT query_id, count(*) AS h
+         |  FROM rr JOIN bf USING (query_id, neighbor_id) GROUP BY 1),
+         |kk AS (SELECT query_id, count(*) AS k FROM bf GROUP BY 1)
+         |SELECT kk.query_id,
+         |       round(coalesce(h, 0)::DOUBLE / k::DOUBLE, 6) AS recall_at_5
+         |FROM kk LEFT JOIN hits USING (query_id)""".stripMargin,
 
     // shard manifest: the hash is the q47 convention (top-60-bit md5 of
     // salt||id); the offsets are the Window formulation the PrefixSum

@@ -362,6 +362,27 @@ object TypedAggs {
   def kmvDistinct(c: Column, k: Int = 64): Column =
     udaf(KmvSketch(k), Encoders.STRING).apply(c)
 
+  /** [[KmvSketch]] exposing the kept hashes instead of the estimate —
+    * the input to SET operations (Beyer et al., SIGMOD 2007): the
+    * bottom-k of a UNION is computable from two sketches' hash lists
+    * (merge, take k), the Jaccard ρ-estimator is K∩/k over the
+    * combined bottom-k, and intersection ≈ ρ·|A∪B|-est. Same buffer,
+    * same merge — only finish() differs.
+    */
+  case class KmvHashes(k: Int = 64) extends Aggregator[String, KmvBuf, Seq[Long]] {
+    private val core = KmvSketch(k)
+    override def zero: KmvBuf = core.zero
+    override def reduce(b: KmvBuf, v: String): KmvBuf = core.reduce(b, v)
+    override def merge(x: KmvBuf, y: KmvBuf): KmvBuf = core.merge(x, y)
+    override def finish(b: KmvBuf): Seq[Long] = b.hs
+    override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  def kmvHashes(c: Column, k: Int = 64): Column =
+    udaf(KmvHashes(k), Encoders.STRING).apply(c)
+
   /** Point-estimate read over a [[countMin]] result: min over rows of
     * the addressed counters — the same md5₆₀ family evaluated as a
     * codegen'd column, so look-ups stay inside WholeStageCodegen.

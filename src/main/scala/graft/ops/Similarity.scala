@@ -68,6 +68,25 @@ object Similarity {
                               idCol: String, vecCol: String): DataFrame =
     topKByCosine(cand, emb, idCol, vecCol, 1).drop("rank")
 
+  /** Exact re-rank of an ANN shortlist — stage 2 of the
+    * candidates-then-rerank serving layout (Jégou et al. 2011 §IV-D:
+    * compressed-domain ADC prunes the corpus to C candidates per
+    * query; ONLY those C pairs then touch full-precision vectors,
+    * scored in the true serving metric). Cost per query: C vector
+    * reads instead of the corpus scan brute force pays — recall is
+    * bounded by shortlist coverage, exactness restored within it.
+    * `shortlist` needs (query_id, neighbor_id); the scoring tail is
+    * the SHARED [[topKByCosine]], so rounding and tie-break cannot
+    * drift from the other ANN paths. Output: (query_id, neighbor_id,
+    * score, rank), rank ≤ k.
+    */
+  def rerankExact(shortlist: DataFrame, emb: DataFrame, idCol: String,
+                  vecCol: String, k: Int): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    topKByCosine(shortlist.select(col("query_id"), col("neighbor_id")),
+      emb, idCol, vecCol, k)
+  }
+
   /** Exact top-k cosine neighbors for each query id. The query side is
     * broadcast (keep query batches small; for bulk all-pairs use
     * lshBuckets to block first). Self-pairs excluded.

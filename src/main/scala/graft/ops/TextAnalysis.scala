@@ -843,7 +843,39 @@ object TextAnalysis {
     */
   def nbClassify(train: DataFrame, test: DataFrame, labelCol: String,
                  idCol: String, textCol: String,
-                 checkpointDir: Option[String] = None): DataFrame = {
+                 checkpointDir: Option[String] = None): DataFrame =
+    nbScoreFrame(train, test, labelCol, idCol, textCol, checkpointDir)
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("score"), col("label"))).as("best"))
+      .select(col("doc_id"), col("best.label").as("pred_label"),
+        round(col("best.score"), 6).as("score"))
+
+  /** Per-document binary NB log-odds for `posLabel` — the
+    * classifier-gate score (the GPT-3/WebText quality filter: train on
+    * a trusted positive slice vs the rest, keep documents the
+    * classifier scores positive). `labelCol` must be two-valued
+    * (caller maps classes to a pos/neg framing); the subtraction is
+    * one commutative two-term sum per doc, so no fold ordering is
+    * needed on top of [[nbScoreFrame]]'s. Output: (doc_id, log_odds
+    * rounded 6) for EVERY scored document — thresholding is the
+    * caller's policy.
+    */
+  def nbLogOdds(train: DataFrame, test: DataFrame, labelCol: String,
+                posLabel: String, idCol: String, textCol: String,
+                checkpointDir: Option[String] = None): DataFrame =
+    nbScoreFrame(train, test, labelCol, idCol, textCol, checkpointDir)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(when(col("label") === posLabel, col("score"))
+        .otherwise(-col("score"))), 6).as("log_odds"))
+
+  /** (doc_id, label, score) for every test document × class — the
+    * shared scoring core of [[nbClassify]] (argmax head) and
+    * [[nbLogOdds]] (binary-difference head). Scores are UNROUNDED
+    * (heads round at their output edge).
+    */
+  private def nbScoreFrame(train: DataFrame, test: DataFrame,
+                           labelCol: String, idCol: String, textCol: String,
+                           checkpointDir: Option[String]): DataFrame = {
     val counts = Checkpoints.pin(nbCounts(train, labelCol, textCol),
       checkpointDir, eager = false)
     val model = nbModel(counts)
@@ -876,9 +908,5 @@ object TextAnalysis {
         .as("like"))
       .select(col("doc_id"), col("label"),
         (col("prior_logp") + col("like")).as("score"))
-      .groupBy(col("doc_id"))
-      .agg(max(struct(col("score"), col("label"))).as("best"))
-      .select(col("doc_id"), col("best.label").as("pred_label"),
-        round(col("best.score"), 6).as("score"))
   }
 }

@@ -58,6 +58,26 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(math.abs(got(3L)._2 - expect3) < 1e-6)
   }
 
+  test("nbLogOdds: sign follows the winning class; agrees with nbClassify") {
+    val test = Seq(
+      (1L, "cheap pills"),
+      (2L, "meeting notes"),
+      (3L, "zzz qqq")).toDF("doc_id", "text")
+    val lo = TextAnalysis.nbLogOdds(train, test, "label", "spam",
+        "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    val pred = TextAnalysis.nbClassify(train, test, "label", "doc_id", "text")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._2).toMap
+    // positive log-odds ⇔ classifier picks the positive class (equal
+    // priors here, so no tie at exactly 0)
+    test.as[(Long, String)].collect().foreach { case (id, _) =>
+      assert((lo(id) > 0) === (pred(id) == "spam"), s"doc $id")
+    }
+    // doc 3 all-unseen: odds = 2·(ln(1/15) − ln(1/16)), priors cancel
+    val expect3 = 2 * (math.log(1.0 / 15) - math.log(1.0 / 16))
+    assert(math.abs(lo(3L) - expect3) < 1e-6)
+  }
+
   test("nbClassify is layout-independent") {
     val test = Seq(
       (1L, "cheap pills meeting"),

@@ -100,6 +100,27 @@ class PqSpec extends AnyFunSuite {
     assert(got === Set((0L, 2L, 2.0, 1L)))
   }
 
+  test("rerankExact: exact cosine over only the shortlist pairs, shared tie-break") {
+    // query 2's shortlist omits nothing it shouldn't: vec 0 is the
+    // zero vector (excluded by the norm guard); the pairs given are
+    // the ONLY pairs scored — rerank never resurrects a missing
+    // candidate: recall is shortlist coverage
+    val shortlist = Seq((2L, 1L), (2L, 3L)).toDF("query_id", "neighbor_id")
+    val got = graft.ops.Similarity.rerankExact(shortlist, corpus,
+        "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    assert(got.map(r => (r._1, r._2)).toSeq === Seq((2L, 1L), (2L, 3L)))
+    // parallel vectors: cosine exactly 1.0 for both pairs; tie breaks
+    // by neighbor id ascending (vec 1 before vec 3)
+    assert(got.forall(_._3 === 1.0))
+    // exact scores agree with the brute-force path on the same pairs
+    val bf = graft.ops.Similarity.cosineKnn(corpus, "vec_id", "embedding",
+        Seq(2L), k = 3)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    got.foreach { r => assert(r._3 === bf((r._1, r._2))) }
+  }
+
   test("guards: k, m/subDim, initIds, iters") {
     intercept[IllegalArgumentException] {
       Pq.codebooks(corpus, "vec_id", "embedding", 0, 1, Seq(0L), 1)
