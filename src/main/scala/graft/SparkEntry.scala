@@ -1720,6 +1720,20 @@ object SparkEntry {
         .select(col("doc_id"), col("log_odds"),
           (col("log_odds") > 0).as("kept"))
     }),
+
+    // label-propagation communities over the q22 LSH candidate graph —
+    // the finer sibling of q65's connected components: a majority vote
+    // (count desc, label asc — deterministic total order) keeps
+    // densely-linked dup groups separate across one weak bridge edge
+    // where transitive closure glues them. Three synchronous rounds,
+    // all-integer state, so the oracle unrolls the same rounds as CTEs
+    // and the result hashes
+    "q132_label_propagation" -> ((s, dir) =>
+      Dedup.labelPropagation(
+        Dedup.lshCandidates(
+          Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"),
+          maxBucketSize = Int.MaxValue),
+        "doc_a", "doc_b", iters = 3)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -2505,6 +2519,36 @@ object SparkEntry {
          |    SELECT e.s, w.l FROM edges e JOIN w ON e.t = w.v)
          |  SELECT * FROM w)
          |SELECT v AS id, min(l) AS component FROM walk GROUP BY v""".stripMargin,
+
+    // q65's edge derivation + three unrolled synchronous LPA rounds:
+    // per round, vote counts per (node, neighbor label), argmax by
+    // (count desc, label asc), left-join fallback keeps own label
+    "q132_label_propagation" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""v$i AS (SELECT e.s AS id, l.lbl, count(*)::BIGINT AS c
+           |        FROM edges e JOIN l${i - 1} l ON l.id = e.t GROUP BY 1, 2),
+           |a$i AS (SELECT id, lbl FROM (
+           |          SELECT id, lbl,
+           |                 row_number() OVER (PARTITION BY id
+           |                                    ORDER BY c DESC, lbl ASC) AS rn
+           |          FROM v$i) WHERE rn = 1),
+           |l$i AS (SELECT l.id, coalesce(a.lbl, l.lbl) AS lbl
+           |        FROM l${i - 1} l LEFT JOIN a$i a USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""$duckBandsCte,
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM b a JOIN b b2
+         |    ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+         |   AND a.doc_id < b2.doc_id
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS t FROM cand
+         |  UNION SELECT doc_b, doc_a FROM cand),
+         |l0 AS (SELECT DISTINCT s AS id, s AS lbl FROM edges),
+         |$rounds
+         |SELECT id, lbl AS community FROM l3""".stripMargin
+    },
 
     "q23_simhash" ->
       """WITH h AS (

@@ -493,6 +493,53 @@ object Dedup {
     labels
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007, Phys. Rev. E
+    * 76), `iters` fixed rounds: every node simultaneously takes its
+    * neighbors' most frequent label (count desc, label asc — a total
+    * order, so the vote is DETERMINISTIC where classic async LPA is
+    * run-order random), isolated fallback = keep own. Communities are
+    * the finer sibling of [[connectedComponents]]: CC glues everything
+    * transitively reachable, so ONE borderline LSH edge merges two big
+    * dup clusters; LPA's majority vote keeps densely-linked groups
+    * separate across a single weak bridge — the practical cluster-audit
+    * companion when banding produces chain artifacts. Fixed synchronous
+    * rounds rather than run-to-convergence: sync LPA can 2-cycle on
+    * bipartite-ish structures, and a fixed unroll is what a SQL oracle
+    * can replay — all-integer state ⇒ hash-exact.
+    *
+    * Shape per round: one (src, label) vote aggregate over the edges ⋈
+    * labels join + one min-struct argmax + a left-join fallback — all
+    * hash-partitioned on node id, work ∝ |edges|; each round's labels
+    * frame is lazily pinned (the q70 discipline: referenced twice —
+    * votes and fallback — an unpinned round would re-execute the whole
+    * prefix twice per round and the plan would double per iteration).
+    * Output: (id, community).
+    */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+                       iters: Int = 3,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    def pin(df: DataFrame): DataFrame =
+      Checkpoints.pin(df, checkpointDir, eager = false)
+    val edges = pin(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct())
+    var labels = pin(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")))
+    for (_ <- 1 to iters) {
+      val votes = edges
+        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val best = votes.groupBy(col("id"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("b"))
+        .select(col("id"), col("b.l").as("nl"))
+      labels = pin(labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl")))
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
+
   /** Embedding-cosine near-duplicate pairs — the vector-space member of
     * the dedup family (text fingerprints miss paraphrases; embeddings
     * catch them). Blocking via sign-random-projection LSH

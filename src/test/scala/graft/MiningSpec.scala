@@ -792,6 +792,32 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagation: a weak bridge separates what CC glues; deterministic; layout-independent") {
+    // two triangles joined by ONE bridge edge 3-4: transitive closure
+    // merges everything; the LPA majority vote keeps them apart
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size === 1) // CC: one blob
+    val lpa = Dedup.labelPropagation(pairs, "doc_a", "doc_b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // hand-traced synchronous rounds (count desc, label asc):
+    // l1 = {1→2, 2→1, 3→1, 4→3, 5→4, 6→4}
+    // l2 = {1→1, 2→1, 3→1, 4→4, 5→3, 6→3}
+    // l3 = {1→1, 2→1, 3→1, 4→3, 5→3, 6→3}
+    assert(lpa === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    assert(Set(lpa(1L), lpa(2L), lpa(3L)).size === 1)
+    assert(Set(lpa(4L), lpa(5L), lpa(6L)).size === 1)
+    assert(lpa(1L) !== lpa(4L)) // the two triangles stay separate
+    // deterministic under any partitioning
+    val lpa2 = Dedup.labelPropagation(pairs.repartition(7),
+        "doc_a", "doc_b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lpa2 === lpa)
+  }
+
   test("connectedComponents: reliable checkpointDir mode matches local mode") {
     val pairs = Seq((2L, 5L), (5L, 9L), (20L, 21L)).toDF("doc_a", "doc_b")
     val local = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
