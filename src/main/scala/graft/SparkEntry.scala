@@ -1734,6 +1734,40 @@ object SparkEntry {
           Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"),
           maxBucketSize = Int.MaxValue),
         "doc_a", "doc_b", iters = 3)),
+
+    // PageRank centrality over the SAME LSH candidate graph as
+    // q65/q132 — the third graph member: CC answers "which group", LPA
+    // "which community", PageRank "which member is most linked" (the
+    // canonical-document pick inside a dup cluster). Fixed-point
+    // INTEGER power iteration (rank units of 1e-9, damping as
+    // 85·Σ div 100): every intermediate is a positive BIGINT, so the
+    // ranks are partition- and summation-order-independent and the
+    // oracle unrolls the identical integer rounds as CTEs
+    "q133_pagerank" -> ((s, dir) =>
+      Graph.pageRank(
+        Dedup.lshCandidates(
+          Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"),
+          maxBucketSize = Int.MaxValue),
+        "doc_a", "doc_b", iters = 3)),
+
+    // cross-document EXACT substring spans (the Lee-et-al suffix-array
+    // dedup signal, resharded as shingles): maximal runs of >= 8
+    // verbatim shared tokens between document pairs, from one shingle
+    // equi-join + a Window-free gaps-and-islands merge on the alignment
+    // diagonal. Hot shingles (> 64 occurrences corpus-wide) are capped
+    // out of matching — the audited Σcnt² bound, same as LSH buckets
+    "q134_substring_spans" -> ((s, dir) =>
+      Dedup.exactSubstringSpans(Tables.documents(s, dir), "doc_id", "text",
+        k = 8, maxOccurrences = 64)),
+
+    // temperature-flattened mixture (UniMax shape): weights ∝ √n per
+    // source — derived from the data, not caller-supplied, so the whole
+    // chain (isqrt weights, cross-multiplied binding argmin, integer
+    // keep thresholds vs the salted hash bucket) stays in exact BIGINT
+    // arithmetic; no double ever decides membership
+    "q135_temperature_mixture" -> ((s, dir) =>
+      Sampling.temperatureMixture(Tables.documents(s, dir), "doc_id", "source")
+        .select(col("doc_id"), col("source"))),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -1813,6 +1847,21 @@ object SparkEntry {
   }
 
   private val duckBandsCte: String = "WITH " + duckBandsBody("documents")
+
+  /** The symmetrized LSH candidate edge set over the `b` bands CTE
+    * (q65's derivation) — shared by the graph-family oracles
+    * q65 / q132 / q133 so the three operate on provably the same graph.
+    */
+  private val duckEdgesBody: String =
+    """cand AS (
+      |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      |  FROM b a JOIN b b2
+      |    ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+      |   AND a.doc_id < b2.doc_id
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT doc_a AS s, doc_b AS t FROM cand
+      |  UNION SELECT doc_b, doc_a FROM cand)""".stripMargin
 
 
   /** q25's DuckDB SQL, shared with the q87 recall audit. */
@@ -2503,15 +2552,7 @@ object SparkEntry {
 
     "q65_dup_components" ->
       s"""$duckBandsCte,
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
-         |  FROM b a JOIN b b2
-         |    ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
-         |   AND a.doc_id < b2.doc_id
-         |  GROUP BY 1, 2),
-         |edges AS (
-         |  SELECT doc_a AS s, doc_b AS t FROM cand
-         |  UNION SELECT doc_b, doc_a FROM cand),
+         |$duckEdgesBody,
          |walk AS (
          |  WITH RECURSIVE w(v, l) AS (
          |    SELECT s, s FROM edges
@@ -2536,19 +2577,96 @@ object SparkEntry {
            |        FROM l${i - 1} l LEFT JOIN a$i a USING (id))""".stripMargin
       }.mkString(",\n")
       s"""$duckBandsCte,
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
-         |  FROM b a JOIN b b2
-         |    ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
-         |   AND a.doc_id < b2.doc_id
-         |  GROUP BY 1, 2),
-         |edges AS (
-         |  SELECT doc_a AS s, doc_b AS t FROM cand
-         |  UNION SELECT doc_b, doc_a FROM cand),
+         |$duckEdgesBody,
          |l0 AS (SELECT DISTINCT s AS id, s AS lbl FROM edges),
          |$rounds
          |SELECT id, lbl AS community FROM l3""".stripMargin
     },
+
+    // q65's edge derivation + three unrolled INTEGER PageRank rounds
+    // (Graph.pageRank): contributions r//d summed per destination,
+    // damped as 150000000 + (85·m)//100 — rank units of 1e-9, every
+    // intermediate a positive BIGINT (// is floor division; Spark's
+    // div truncates — identical on these all-positive values)
+    "q133_pagerank" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.t AS id, sum(r.r // d.d)::BIGINT AS m
+           |        FROM edges e JOIN deg d ON d.s = e.s
+           |        JOIN r${i - 1} r ON r.id = e.s GROUP BY 1),
+           |r$i AS (SELECT n.id,
+           |               (150000000 + (85 * coalesce(c.m, 0)) // 100)::BIGINT AS r
+           |        FROM n0 n LEFT JOIN c$i c USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""$duckBandsCte,
+         |$duckEdgesBody,
+         |deg AS (SELECT s, count(*)::BIGINT AS d FROM edges GROUP BY 1),
+         |n0 AS (SELECT DISTINCT s AS id FROM edges),
+         |r0 AS (SELECT id, 1000000000::BIGINT AS r FROM n0),
+         |$rounds
+         |SELECT id, r AS rank_units FROM r3""".stripMargin
+    },
+
+    // cross-document exact-substring spans: 8-token shingle occurrences
+    // (positions 0-based), shared-and-not-hot hashes (2 <= cnt <= 64),
+    // the pair join on hash, then the Window-free island merge — starts
+    // (no hit at pos−1 on the diagonal), ends (none at pos+1), each
+    // start paired with its nearest end. occ/m are MATERIALIZED: plain
+    // CTEs inline transitively and m is read four times (the q121
+    // lesson)
+    "q134_substring_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |u AS (
+        |  SELECT doc_id AS doc,
+        |         unnest(list_transform(generate_series(1, greatest(len(ws) - 7, 0)),
+        |           i -> {'pos': (i - 1)::BIGINT,
+        |                 'h': ('0x'||substr(md5(array_to_string(ws[i:i+7], ' ')),1,15))::BIGINT})) AS g
+        |  FROM w),
+        |occ AS MATERIALIZED (SELECT doc, g.pos AS pos, g.h AS h FROM u),
+        |shared AS (SELECT h FROM occ GROUP BY h HAVING count(*) BETWEEN 2 AND 64),
+        |o AS (SELECT occ.* FROM occ JOIN shared USING (h)),
+        |m AS MATERIALIZED (
+        |  SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pos_a,
+        |         a.pos - b.pos AS diag
+        |  FROM o a JOIN o b ON a.h = b.h AND a.doc < b.doc),
+        |s AS (SELECT m.* FROM m
+        |      LEFT JOIN m p ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b
+        |        AND p.diag = m.diag AND p.pos_a = m.pos_a - 1
+        |      WHERE p.pos_a IS NULL),
+        |e AS (SELECT m.* FROM m
+        |      LEFT JOIN m nx ON nx.doc_a = m.doc_a AND nx.doc_b = m.doc_b
+        |        AND nx.diag = m.diag AND nx.pos_a = m.pos_a + 1
+        |      WHERE nx.pos_a IS NULL)
+        |SELECT s.doc_a, s.doc_b, s.pos_a AS a_start,
+        |       s.pos_a - s.diag AS b_start,
+        |       min(e.pos_a) - s.pos_a + 8 AS span_tokens
+        |FROM s JOIN e ON e.doc_a = s.doc_a AND e.doc_b = s.doc_b
+        |  AND e.diag = s.diag AND e.pos_a >= s.pos_a
+        |GROUP BY 1, 2, s.diag, s.pos_a""".stripMargin,
+
+    // temperature mixture: replays Sampling.temperatureMixture's exact
+    // integers — corrected-floor isqrt weights, binding stratum by
+    // cross-multiplied argmin (HUGEINT — no double ordering), integer
+    // keep thresholds against the 'tmix:'-salted hash bucket
+    "q135_temperature_mixture" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+        |p AS (SELECT source, n,
+        |             w0 - CASE WHEN w0*w0 > n THEN 1 ELSE 0 END
+        |                + CASE WHEN (w0+1)*(w0+1) <= n THEN 1 ELSE 0 END AS w
+        |      FROM (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS w0 FROM c)),
+        |bind AS (SELECT a.n AS nb, a.w AS wb FROM p a
+        |         WHERE NOT EXISTS (
+        |           SELECT 1 FROM p b
+        |           WHERE b.n::HUGEINT * a.w < a.n::HUGEINT * b.w
+        |              OR (b.n::HUGEINT * a.w = a.n::HUGEINT * b.w
+        |                  AND b.source < a.source))),
+        |f AS (SELECT p.source,
+        |             least(10000, (p.w * (SELECT nb FROM bind) * 10000)
+        |                          // ((SELECT wb FROM bind) * p.n)) AS thr
+        |      FROM p)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN f ON d.source = f.source
+        |WHERE ('0x'||substr(md5('tmix:' || d.doc_id::VARCHAR),1,15))::BIGINT % 10000
+        |      < f.thr""".stripMargin,
 
     "q23_simhash" ->
       """WITH h AS (

@@ -645,4 +645,80 @@ object Dedup {
       .select(col("vec_b").as("vec_id"), col("centroid_id"),
         col("m.vec_a").as("dup_of"), col("m.cosine").as("cosine"))
   }
+
+  /** Cross-document EXACT substring matches, as maximal shared token
+    * spans — the exact-match member of the near-dup family (MinHash
+    * answers "mostly the same document"; this answers "these 50 tokens
+    * appear verbatim in both", the boilerplate/quotation signal the
+    * suffix-array dedup of Lee et al. 2021 targets; reference:
+    * user-behavior-analysis has no text dedup at all, this extends the
+    * corpus-pipeline side).
+    *
+    * Distributed formulation (suffix arrays don't shard; shingles do):
+    * every k-token shingle occurrence is one (doc, pos, hash) row; a
+    * shingle shared by two documents is one equi-join hit; consecutive
+    * hits on the same alignment diagonal (pos_a − pos_b) chain into a
+    * maximal span. Work is Σ occ(h)² over shared shingle hashes — the
+    * LSH-bucket bound — and `maxOccurrences` caps it: a shingle in more
+    * than that many positions corpus-wide (boilerplate headers) is
+    * excluded from matching, the same audited-cap discipline as
+    * [[lshCandidates]]. A span containing an excluded shingle splits at
+    * it; with suffix-array fidelity required, lower k or raise the cap.
+    *
+    * The island merge is Window-free: a hit is a span START iff no hit
+    * precedes it on its diagonal (anti-join at pos−1), an END iff none
+    * follows (anti-join at pos+1); islands are disjoint, so each start
+    * pairs with the NEAREST end at-or-after it (join + min aggregate).
+    * All joins are equi-joins on (doc_a, doc_b, diag, pos) — hash-
+    * partitioned, no Window, nothing driver-side; the hit frame is
+    * lazily pinned (read by four consumers).
+    *
+    * Returns (doc_a, doc_b, a_start, b_start, span_tokens), doc_a <
+    * doc_b, positions 0-based, span_tokens >= k. 60-bit shingle hashes
+    * are compared in place of the strings (the cross-engine md5-60
+    * family); a collision would need ~2^30 distinct shingles per
+    * (doc-pair, diagonal) to matter.
+    */
+  def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8, maxOccurrences: Int = 64,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxOccurrences >= 2, "maxOccurrences must be >= 2")
+    val occ = df.select(col(idCol).as("doc"),
+        posexplode(graft.functions.WordNgrams(df.sparkSession,
+          col(textCol), k)).as(Seq("pos", "gram")))
+      .select(col("doc"), col("pos").cast("long").as("pos"),
+        graft.functions.Hashing.md5Long(col("gram")).as("h"))
+    // shared-and-not-hot hashes: count >= 2 prunes the (dominant)
+    // singleton mass before the self-join; the upper cap bounds Σ cnt²
+    val shared = occ.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2 && col("cnt") <= maxOccurrences)
+      .select(col("h"))
+    val o = occ.join(shared, "h")
+    val hits = Checkpoints.pin(
+      o.select(col("h"), col("doc").as("doc_a"), col("pos").as("pos_a"))
+        .join(o.select(col("h"), col("doc").as("doc_b"), col("pos").as("pos_b")),
+          "h")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("pos_a"),
+          (col("pos_a") - col("pos_b")).as("diag")),
+      checkpointDir, eager = false)
+    val keys = Seq("doc_a", "doc_b", "diag", "pos_a")
+    val starts = hits.join(
+      hits.select(col("doc_a"), col("doc_b"), col("diag"),
+        (col("pos_a") + 1).as("pos_a")), keys, "left_anti")
+    val ends = hits.join(
+      hits.select(col("doc_a"), col("doc_b"), col("diag"),
+        (col("pos_a") - 1).as("pos_a")), keys, "left_anti")
+    starts.select(col("doc_a"), col("doc_b"), col("diag"),
+        col("pos_a").as("a_start"))
+      .join(ends.select(col("doc_a"), col("doc_b"), col("diag"),
+        col("pos_a").as("a_end")), Seq("doc_a", "doc_b", "diag"))
+      .filter(col("a_end") >= col("a_start"))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("a_start"))
+      .agg(min(col("a_end")).as("a_end"))
+      .select(col("doc_a"), col("doc_b"), col("a_start"),
+        (col("a_start") - col("diag")).as("b_start"),
+        (col("a_end") - col("a_start") + lit(k.toLong)).as("span_tokens"))
+  }
 }

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over candidate-pair graphs — the third member of
+  * the graph family ([[Dedup.connectedComponents]] groups, [[
+  * Dedup.labelPropagation]] communities, PageRank ranks WITHIN them:
+  * e.g. picking the most-linked "canonical" document of a dup cluster).
+  *
+  * Fixed-point integer PageRank: ranks are BIGINT units of `1/scale`
+  * (default 1e-9), contributions use integral division, and the damping
+  * step is `(85 * Σ) div 100` — every intermediate is a positive
+  * integer, so the result is independent of partitioning AND summation
+  * order, and a SQL oracle replays it bit-for-bit (the q133 entry; the
+  * same reason the LPA/CC twins hash). The floor divisions leak a few
+  * units of probability mass per step — deterministic, documented, and
+  * irrelevant to the ranking use.
+  */
+object Graph {
+
+  /** PageRank over the undirected graph given as candidate `pairs`
+    * (`aCol`, `bCol`) — edges are symmetrized and deduplicated, so
+    * every node has out-degree >= 1 (no dangling-mass term needed).
+    * Returns (id, rank_units) after `iters` synchronous power-iteration
+    * rounds with damping 0.85: each round is one edges ⋈ ranks hash
+    * join plus one hash aggregate on the destination — work ∝ |edges|,
+    * hash-partitioned on node id, no Window, nothing driver-side.
+    * Per-round frames are lazily pinned ([[Checkpoints.pin]], the
+    * iterative-op discipline: an unpinned round would double the plan
+    * per iteration).
+    *
+    * Overflow bound: the damping multiply needs `85 * N * scale <
+    * 2^63`, i.e. N < 1.08e8 nodes at the default scale — pass
+    * `scale = 1000000L` (still micro-rank resolution) for graphs up to
+    * ~1e11 nodes.
+    *
+    * Integral division is truncation in Spark (`div`) and floor in the
+    * DuckDB oracle (`//`) — identical on the all-positive values here.
+    */
+  def pageRank(pairs: DataFrame, aCol: String, bCol: String,
+               iters: Int = 3, scale: Long = 1000000000L,
+               checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(scale >= 100L && scale % 100L == 0L,
+      "scale must be a positive multiple of 100 (exact damping arithmetic)")
+    def pin(df: DataFrame): DataFrame =
+      Checkpoints.pin(df, checkpointDir, eager = false)
+    val edges = pin(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct())
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // (src, dst, out-degree of src), built once and reused every round
+    val edgesW = pin(edges.join(deg, "src"))
+    val nodes = pin(edges.select(col("src").as("id")).distinct())
+    val base = 15L * scale / 100L
+    var ranks = nodes.select(col("id"), lit(scale).as("r"))
+    for (_ <- 1 to iters) {
+      val inbound = edgesW
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      // left join keeps nodes with no in-edges at the base rank; on a
+      // symmetrized graph none exist, but the contract shouldn't care
+      ranks = pin(nodes
+        .join(inbound.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(m, 0L)) div 100")).as("r")))
+    }
+    ranks.select(col("id"), col("r").as("rank_units"))
+  }
+}

@@ -247,4 +247,60 @@ object Sampling {
     stratifiedHashSample(df, idCol, strataCol, fractions,
       defaultFraction = 0.0, salt = "mixture:")
   }
+
+  /** Temperature-flattened mixture (the UniMax / multilingual-sampling
+    * shape): target weights ∝ n_s^0.5 — big strata are down-weighted,
+    * small strata up-weighted relative to natural proportions — then
+    * the same keep-as-much-as-possible subsampling as [[mixture]]: the
+    * binding stratum (smallest n/√n pressure) is kept whole and every
+    * other stratum hash-samples down to realize the √-proportions.
+    *
+    * Unlike [[mixture]] (caller-supplied weights, double fractions),
+    * the weights here are DERIVED from counts, so the arithmetic is
+    * kept EXACT end-to-end: w_s = isqrt(n_s) (integer sqrt, corrected
+    * floor), the binding stratum is the cross-multiplication argmin of
+    * n_s/w_s (BigInt — no double ordering), and the per-stratum keep
+    * threshold is the integer `min(10000, (w_s·n_b·10000) div
+    * (w_b·n_s))` compared directly against the salted hash bucket — no
+    * double ever enters, so the kept set hashes bit-for-bit in any
+    * engine (the q135 oracle replays the same integers). Binding
+    * stratum lands at exactly 10000 — kept whole with no special case.
+    * Overflow bound: w_s·n_b·10000 < 2^63 ⇔ n < ~2e9 per stratum at
+    * isqrt weights (the threshold math, not the data, is the limit).
+    *
+    * Exponents other than 0.5 don't have an exact integer form — for
+    * those, compute weights upstream and call [[mixture]] (double
+    * arithmetic, bit-exact only for power-of-two shares).
+    *
+    * Driver-side data: the per-stratum count map, as in [[mixture]].
+    * Membership stays a pure pushdown-friendly hash filter.
+    */
+  def temperatureMixture(df: DataFrame, idCol: String,
+                         strataCol: String): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().flatMap(r => Option(r.get(0)).map(_.toString -> r.getLong(1)))
+      .toMap.filter(_._2 > 0L)
+    require(counts.nonEmpty, "no non-null stratum present in the data")
+    def isqrt(n: Long): Long = {
+      var w = math.sqrt(n.toDouble).toLong
+      while ((w + 1) * (w + 1) <= n) w += 1
+      while (w * w > n) w -= 1
+      w
+    }
+    val w = counts.map { case (s, n) => s -> isqrt(n) }
+    // argmin of n_s/w_s by exact cross-multiplication, name-tie-broken
+    val binding = counts.keys.toSeq.sortWith { (a, b) =>
+      val l = BigInt(counts(a)) * w(b)
+      val r = BigInt(counts(b)) * w(a)
+      if (l != r) l < r else a < b
+    }.head
+    val (nb, wb) = (counts(binding), w(binding))
+    val thresholds = counts.map { case (s, n) =>
+      s -> math.min(10000L, w(s) * nb * 10000L / (wb * n))
+    }
+    val thr = thresholds.foldLeft(lit(0L)) { case (e, (v, t)) =>
+      when(col(strataCol) === v, lit(t)).otherwise(e)
+    }
+    df.filter(bucket(df, idCol, "tmix:") < thr)
+  }
 }

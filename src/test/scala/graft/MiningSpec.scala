@@ -980,4 +980,76 @@ class MiningSpec extends AnyFunSuite {
     assert(f1.byte_len === 11L)
     assert(f1.width >= 64 && f1.height >= 64)
   }
+
+  test("pageRank: integer fixed-point ranks — hand-traced star, layout-independent") {
+    // star 0—{1,2,3,4}; symmetrized degrees: 0→4, leaves→1
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+      .toDF("doc_a", "doc_b")
+    val pr = Graph.pageRank(pairs, "doc_a", "doc_b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // hand-traced integer rounds (scale 1e9, base 1.5e8, damp 85//100):
+    // r1: hub 150e6+85·4e9//100 = 3.55e9; leaf 150e6+85·(1e9 div 4)//100
+    // r2: hub 1.3825e9; leaf 904375000
+    // r3: hub 3224875000; leaf 443781250
+    assert(pr(0L) === 3224875000L)
+    assert(Seq(1L, 2L, 3L, 4L).forall(pr(_) === 443781250L))
+    assert(pr(0L) > pr(1L)) // the hub is the canonical pick
+    val pr2 = Graph.pageRank(pairs.repartition(7), "doc_a", "doc_b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(pr2 === pr)
+  }
+
+  test("exactSubstringSpans: maximal shared runs, separate islands, hot-shingle cap") {
+    val df = docs(
+      (1L, "a b c d e f g h i j k l m n", "s"),
+      (2L, "p q a b c d e f g h i j w1 w2", "s"),
+      (3L, "a b c d q1 q2 q3 k l m n", "s"))
+    val spans = Dedup.exactSubstringSpans(df, "doc_id", "text", k = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // (doc_a, doc_b, a_start, b_start, span_tokens): the 10-token run
+    // a..j between 1 and 2; the two separate 4-token islands 1↔3; the
+    // 4-token "a b c d" between 2 and 3
+    assert(spans === Set(
+      (1L, 2L, 0L, 2L, 10L),
+      (1L, 3L, 0L, 0L, 4L), (1L, 3L, 10L, 7L, 4L),
+      (2L, 3L, 2L, 0L, 4L)))
+    // layout independence
+    val spans2 = Dedup.exactSubstringSpans(df.repartition(7), "doc_id",
+      "text", k = 4).as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(spans2 === spans)
+    // cap: "a b c d" occurs in all three docs; maxOccurrences = 2
+    // excludes it — the 1↔2 span loses its first shingle (now starts at
+    // token 1), and every island that was ONLY that shingle disappears
+    val capped = Dedup.exactSubstringSpans(df, "doc_id", "text", k = 4,
+      maxOccurrences = 2).as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(capped === Set(
+      (1L, 2L, 1L, 3L, 9L),
+      (1L, 3L, 10L, 7L, 4L)))
+  }
+
+  test("temperatureMixture: √-flattened shares, binding stratum kept whole, exact thresholds") {
+    val rows = (0L until 400L).map(i => (i, "t", "big")) ++
+      (1000L until 1100L).map(i => (i, "t", "small"))
+    val df = rows.toDF("doc_id", "text", "source")
+    val kept = Sampling.temperatureMixture(df, "doc_id", "source")
+    val bySrc = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // weights isqrt: big 20, small 10 → pressure n/w: 20 vs 10 — small
+    // binds and is kept WHOLE; big's threshold is exactly
+    // 20·100·10000 div (10·400) = 5000 (≈ half its rows)
+    assert(bySrc("small") === 100L)
+    assert(bySrc("big") > 150L && bySrc("big") < 250L)
+    // √ flattening: natural 4:1 becomes ≈ 2:1 (= 20:10 weight ratio)
+    val ratio = bySrc("big").toDouble / bySrc("small")
+    assert(ratio > 1.5 && ratio < 2.5)
+    // deterministic under any layout
+    val kept2 = Sampling.temperatureMixture(df.repartition(7), "doc_id",
+      "source").select("doc_id").as[Long].collect().toSet
+    assert(kept2 === kept.select("doc_id").as[Long].collect().toSet)
+    // single-row stratum (w = isqrt(1) = 1) binds nothing over: no crash
+    val tiny = Sampling.temperatureMixture(
+      df.unionByName(Seq((5000L, "t", "one")).toDF("doc_id", "text", "source")),
+      "doc_id", "source")
+    assert(tiny.filter($"source" === "one").count() === 1L)
+  }
 }
