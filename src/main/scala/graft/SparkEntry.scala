@@ -1768,6 +1768,18 @@ object SparkEntry {
     "q135_temperature_mixture" -> ((s, dir) =>
       Sampling.temperatureMixture(Tables.documents(s, dir), "doc_id", "source")
         .select(col("doc_id"), col("source"))),
+
+    // Morton (Z-order) key over (l_partkey, l_suppkey) — the layout
+    // key Bucketing.zOrderWrite range-partitions on so a 100 TB table
+    // prunes files on EITHER filter column. Pure codegen'd bit
+    // interleave (shift/and), bit-reproducible in any engine — this
+    // entry oracles the key itself; BucketingSpec drives the write and
+    // measures the file skipping
+    "q136_zorder_key" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+          Bucketing.zValue(col("l_partkey"), col("l_suppkey"), bits = 16)
+            .as("zval"))),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -2667,6 +2679,15 @@ object SparkEntry {
         |FROM documents d JOIN f ON d.source = f.source
         |WHERE ('0x'||substr(md5('tmix:' || d.doc_id::VARCHAR),1,15))::BIGINT % 10000
         |      < f.thr""".stripMargin,
+
+    // the same 16-bit Morton interleave as Bucketing.zValue — pure
+    // integer bit arithmetic, so the layout key is engine-reproducible
+    "q136_zorder_key" ->
+      """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        |       list_sum(list_transform(generate_series(0, 15), b ->
+        |         (((l_partkey >> b) & 1) << (2*b)) +
+        |         (((l_suppkey >> b) & 1) << (2*b + 1))))::BIGINT AS zval
+        |FROM lineitem""".stripMargin,
 
     "q23_simhash" ->
       """WITH h AS (

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Bucketed tables: the pre-shuffled, co-located-join primitive for
   * fact-to-fact joins that recur on the same key (SURVEY §6 scale
@@ -45,5 +46,49 @@ object Bucketing {
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
     path.foreach(p => w = w.option("path", p))
     w.saveAsTable(table)
+  }
+
+  /** Morton (Z-order) value of two non-negative integer columns: the
+    * low `bits` bits of `x` and `y` interleaved (x even positions, y
+    * odd). Points close in (x, y) get close z-values, so RANGE
+    * partitioning + sorting by z clusters BOTH dimensions at once —
+    * the multi-column data-layout trick behind file skipping on two
+    * filter columns (a plain sort clusters only its leading column;
+    * min/max footer stats on the second column then span the whole
+    * range in every file and nothing prunes).
+    *
+    * Built as a fold of codegen'd bit arithmetic (shift/and/or — no
+    * UDF, stays inside WholeStageCodegen) and reproducible in any
+    * engine, so layouts are auditable cross-engine (the q136 oracle).
+    * Values above 2^bits fold onto the curve by truncation — pick
+    * `bits` to cover the domain (2·bits <= 62).
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { b =>
+      shiftleft(shiftright(x.cast("long"), b).bitwiseAND(lit(1L)), 2 * b) +
+        shiftleft(shiftright(y.cast("long"), b).bitwiseAND(lit(1L)), 2 * b + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Z-order layout write: range-partition on [[zValue]] into
+    * `numFiles` contiguous curve segments, sort within each, write one
+    * parquet file per segment. Each file then covers a compact (x, y)
+    * region, so a scan filtering on EITHER dimension (or a box on
+    * both) skips most files on min/max footer stats — the layout step
+    * a 100 TB table does once at ingest to make every later
+    * two-dimensional filter cheap. The range exchange samples z-values
+    * (one extra pass) — the standard cost of a layout job, paid at
+    * write time, never at read.
+    */
+  def zOrderWrite(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                  path: String, numFiles: Int): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    val z = zValue(col(xCol), col(yCol), bits)
+    df.withColumn("zval", z)
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .drop("zval")
+      .write.mode("overwrite").parquet(path)
   }
 }

@@ -67,4 +67,46 @@ class BucketingSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
     }
   }
+
+  test("zValue: exact Morton interleave, bijective on the bits-bounded grid") {
+    import spark.implicits._
+    val grid = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y))
+      .toDF("x", "y")
+    val zs = grid.select(col("x"), col("y"),
+        Bucketing.zValue(col("x"), col("y"), bits = 3).as("z"))
+      .as[(Long, Long, Long)].collect()
+    assert(zs.map(_._3).toSet === (0L until 64L).toSet) // bijection
+    val byXy = zs.map(t => (t._1, t._2) -> t._3).toMap
+    // hand-interleaved: x=3 (011) even positions, y=5 (101) odd
+    assert(byXy((1L, 0L)) === 1L && byXy((0L, 1L)) === 2L)
+    assert(byXy((3L, 5L)) === 39L)
+  }
+
+  test("zOrderWrite: a box filter on BOTH dimensions prunes most files by footer stats") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder-")
+    try {
+      // 64×64 grid, 16 files: each range segment of the 6-bit curve is
+      // ~a 16×16 block, so a 16×16 box overlaps a couple of files —
+      // while ANY single-column sort layout would leave the second
+      // dimension spanning [0,63] in every file (nothing prunes)
+      val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+        .toDF("x", "y")
+      val path = base.resolve("z").toString
+      Bucketing.zOrderWrite(grid, "x", "y", bits = 6, path, numFiles = 16)
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+      assert(files.length === 16)
+      // the data round-trips (layout job must lose/duplicate nothing)
+      assert(spark.read.parquet(path).count() === 64L * 64L)
+      val overlapping = files.count { f =>
+        val Array(x0, x1, y0, y1) = spark.read.parquet(f)
+          .agg(min("x"), max("x"), min("y"), max("y"))
+          .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+        x0 <= 15L && x1 >= 0L && y0 <= 15L && y1 >= 0L
+      }
+      assert(overlapping <= 4,
+        s"z-order box should prune to <=4 of 16 files, overlapped $overlapping")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
 }

@@ -304,4 +304,23 @@ class PlanShapeSpec extends AnyFunSuite {
       .findAllIn(p).filter(_.contains("text")).toSeq
     assert(shuffled.isEmpty, s"text-carrying Exchange in q126: $shuffled")
   }
+
+  test("q133: PageRank rounds are joins + hash aggregates — no Window, no cartesian") {
+    val p = plan("q133_pagerank")
+    assert(!p.contains(") Window"), "no WindowExec in the power iteration")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q134: substring spans — text never shuffles, island merge is Window-free") {
+    // the shingle projection reduces every occurrence to (doc, pos,
+    // hash-60) before any Exchange; the gaps-and-islands merge is
+    // anti-joins + one min aggregate — a row_number() formulation would
+    // put a Window here and fail this pin
+    val p = plan("q134_substring_spans")
+    assert(!p.contains(") Window"), "island merge must be Window-free")
+    assert(!p.contains("CartesianProduct"))
+    val shuffled = """(?m)^\(\d+\) Exchange[\s\S]*?Arguments.*$""".r
+      .findAllIn(p).filter(_.contains("text")).toSeq
+    assert(shuffled.isEmpty, s"text-carrying Exchange in q134: $shuffled")
+  }
 }
