@@ -1780,6 +1780,39 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber").cast("long"),
           Bucketing.zValue(col("l_partkey"), col("l_suppkey"), bits = 16)
             .as("zval"))),
+
+    // personalized PageRank: teleport + initial mass only on the seed
+    // set — rank_units measures proximity to the seeds ("documents
+    // related to THESE"), where q133 measures global centrality. The
+    // seed set is a declarative PREDICATE over the node id (here: every
+    // 10th doc), not a literal list — no driver-side lookup, and the
+    // oracle replays the rule verbatim; same all-BIGINT rounds as q133
+    "q137_personalized_pagerank" -> ((s, dir) =>
+      Graph.personalizedPageRank(
+        Dedup.lshCandidates(
+          Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"),
+          maxBucketSize = Int.MaxValue),
+        "doc_a", "doc_b", seedPred = col("id") % 10 === 0, iters = 3)),
+
+    // tokenizer fertility audit (pieces per word, by source): the
+    // number a tokenizer owner watches per domain — a domain whose
+    // fertility spikes is being shredded to char-fallback. One
+    // codegen'd subword_count pass (q90's greedy MaxMatch against the
+    // corpus top-64 vocab) + one hash aggregate; sums are exact longs,
+    // the ratio rounds at 6 digits (the engine-stable convention)
+    "q138_tokenizer_fertility" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val sc = TextAnalysis.subwordCounts(d, "doc_id", "text",
+        TextAnalysis.subwordVocab(d, "text", topK = 64))
+      d.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("w"))
+        .join(sc, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"), sum(col("w")).as("words"),
+          sum(col("subword_cnt")).as("pieces"))
+        .withColumn("fertility",
+          round(col("pieces").cast("double") / col("words"), 6))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -2679,6 +2712,42 @@ object SparkEntry {
         |FROM documents d JOIN f ON d.source = f.source
         |WHERE ('0x'||substr(md5('tmix:' || d.doc_id::VARCHAR),1,15))::BIGINT % 10000
         |      < f.thr""".stripMargin,
+
+    // q133's integer rounds with the teleport restricted to the seed
+    // predicate (id % 10 = 0): r0 and the base term are CASE on the
+    // same rule the Spark side declares
+    "q137_personalized_pagerank" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.t AS id, sum(r.r // d.d)::BIGINT AS m
+           |        FROM edges e JOIN deg d ON d.s = e.s
+           |        JOIN r${i - 1} r ON r.id = e.s GROUP BY 1),
+           |r$i AS (SELECT n.id,
+           |               (CASE WHEN n.id % 10 = 0 THEN 150000000 ELSE 0 END
+           |                + (85 * coalesce(c.m, 0)) // 100)::BIGINT AS r
+           |        FROM n0 n LEFT JOIN c$i c USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""$duckBandsCte,
+         |$duckEdgesBody,
+         |deg AS (SELECT s, count(*)::BIGINT AS d FROM edges GROUP BY 1),
+         |n0 AS (SELECT DISTINCT s AS id FROM edges),
+         |r0 AS (SELECT id,
+         |              (CASE WHEN id % 10 = 0 THEN 1000000000 ELSE 0 END)::BIGINT AS r
+         |       FROM n0),
+         |$rounds
+         |SELECT id, r AS rank_units FROM r3""".stripMargin
+    },
+
+    // per-source fertility over the q90 recursive-CTE subword counts:
+    // exact BIGINT sums, the ratio rounded at 6 digits
+    "q138_tokenizer_fertility" ->
+      s"""WITH RECURSIVE $duckSubwordBody
+         |SELECT d.source, count(*)::BIGINT AS docs,
+         |       sum(len(string_split(d.text, ' ')))::BIGINT AS words,
+         |       sum(sc.subword_cnt)::BIGINT AS pieces,
+         |       round(sum(sc.subword_cnt)::DOUBLE /
+         |             sum(len(string_split(d.text, ' '))), 6) AS fertility
+         |FROM documents d JOIN sc USING (doc_id)
+         |GROUP BY 1""".stripMargin,
 
     // the same 16-bit Morton interleave as Bucketing.zValue — pure
     // integer bit arithmetic, so the layout key is engine-reproducible

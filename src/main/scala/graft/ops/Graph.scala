@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph centrality over candidate-pair graphs — the third member of
@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   * (default 1e-9), contributions use integral division, and the damping
   * step is `(85 * Σ) div 100` — every intermediate is a positive
   * integer, so the result is independent of partitioning AND summation
-  * order, and a SQL oracle replays it bit-for-bit (the q133 entry; the
-  * same reason the LPA/CC twins hash). The floor divisions leak a few
-  * units of probability mass per step — deterministic, documented, and
-  * irrelevant to the ranking use.
+  * order, and a SQL oracle replays it bit-for-bit (the q133/q137
+  * entries; the same reason the LPA/CC twins hash). The floor divisions
+  * leak a few units of probability mass per step — deterministic,
+  * documented, and irrelevant to the ranking use.
   */
 object Graph {
 
@@ -40,7 +40,29 @@ object Graph {
     */
   def pageRank(pairs: DataFrame, aCol: String, bCol: String,
                iters: Int = 3, scale: Long = 1000000000L,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None): DataFrame =
+    power(pairs, aCol, bCol, lit(true), iters, scale, checkpointDir)
+
+  /** Personalized PageRank: the teleport mass lands ONLY on the nodes
+    * matching `seedPred` (a Column predicate over the node id column
+    * `id` — e.g. `col("id").isin(seeds: _*)`, or any declarative rule),
+    * and the initial mass starts there too, so after `iters` rounds
+    * `rank_units` measures proximity to the seed set — the
+    * "documents related to THESE documents" walk, where [[pageRank]]
+    * measures global centrality. A predicate rather than a literal
+    * id list keeps the seed rule on the executors (no driver-side node
+    * lookup) and lets the SQL oracle replay it verbatim. Nodes the walk
+    * hasn't reached within `iters` rounds rank 0 (still emitted).
+    */
+  def personalizedPageRank(pairs: DataFrame, aCol: String, bCol: String,
+                           seedPred: Column, iters: Int = 3,
+                           scale: Long = 1000000000L,
+                           checkpointDir: Option[String] = None): DataFrame =
+    power(pairs, aCol, bCol, seedPred, iters, scale, checkpointDir)
+
+  private def power(pairs: DataFrame, aCol: String, bCol: String,
+                    seedPred: Column, iters: Int, scale: Long,
+                    checkpointDir: Option[String]): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(scale >= 100L && scale % 100L == 0L,
       "scale must be a positive multiple of 100 (exact damping arithmetic)")
@@ -53,8 +75,9 @@ object Graph {
     // (src, dst, out-degree of src), built once and reused every round
     val edgesW = pin(edges.join(deg, "src"))
     val nodes = pin(edges.select(col("src").as("id")).distinct())
-    val base = 15L * scale / 100L
-    var ranks = nodes.select(col("id"), lit(scale).as("r"))
+    val baseCol = when(seedPred, lit(15L * scale / 100L)).otherwise(lit(0L))
+    var ranks = nodes.select(col("id"),
+      when(seedPred, lit(scale)).otherwise(lit(0L)).as("r"))
     for (_ <- 1 to iters) {
       val inbound = edgesW
         .join(ranks.withColumnRenamed("id", "src"), "src")
@@ -65,7 +88,7 @@ object Graph {
       ranks = pin(nodes
         .join(inbound.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + expr("(85 * coalesce(m, 0L)) div 100")).as("r")))
+          (baseCol + expr("(85 * coalesce(m, 0L)) div 100")).as("r")))
     }
     ranks.select(col("id"), col("r").as("rank_units"))
   }

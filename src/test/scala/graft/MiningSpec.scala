@@ -999,6 +999,24 @@ class MiningSpec extends AnyFunSuite {
     assert(pr2 === pr)
   }
 
+  test("personalizedPageRank: mass flows only from the seed set — hand-traced star") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+      .toDF("doc_a", "doc_b")
+    val pr = Graph.personalizedPageRank(pairs, "doc_a", "doc_b",
+        seedPred = col("id") === 0L, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // seeds: hub only. r0 = (1e9, 0,0,0,0); base = (1.5e8, 0...):
+    // r1: hub 1.5e8 (leaves held 0); leaf 85·(1e9 div 4)//100 = 2.125e8
+    // r2: hub 872500000; leaf 31875000
+    // r3: hub 258375000; leaf 185406250
+    assert(pr(0L) === 258375000L)
+    assert(Seq(1L, 2L, 3L, 4L).forall(pr(_) === 185406250L))
+    val pr2 = Graph.personalizedPageRank(pairs.repartition(7), "doc_a",
+        "doc_b", seedPred = col("id") === 0L, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(pr2 === pr)
+  }
+
   test("exactSubstringSpans: maximal shared runs, separate islands, hot-shingle cap") {
     val df = docs(
       (1L, "a b c d e f g h i j k l m n", "s"),
