@@ -1813,6 +1813,47 @@ object SparkEntry {
         .withColumn("fertility",
           round(col("pieces").cast("double") / col("words"), 6))
     }),
+
+    // C4's ACTUAL span-dedup rule — keep ONE copy: the first occurrence
+    // (min (doc_id, pos), a total order) of every 3-word span survives,
+    // later occurrences are cut; q106's sibling drops ALL occurrences
+    // of over-count spans (chrome eradication vs content preservation)
+    "q139_span_keep_first" -> ((s, dir) =>
+      TextAnalysis.dedupSpansKeepFirst(Tables.documents(s, dir), "doc_id",
+        "text", spanWords = 3)),
+
+    // dump-over-dump snapshot diff by content fingerprint: narrow
+    // full-outer join, only differing rows emitted. The two "dumps"
+    // are deterministic slices of the corpus: A drops every 7th doc,
+    // B drops every 5th and edits every 3rd (appends a novel token)
+    "q140_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val a = d.filter(col("doc_id") % 7 =!= 0)
+      val b = d.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" zzedit"))).otherwise(col("text")))
+      Dedup.snapshotDiff(a, b, "doc_id", "text")
+    }),
+
+    // drift histogram between two slices (even vs odd doc ids) over
+    // n_chars: cut points = exact decile maxima of the reference
+    // (PrefixSum ntile, no single-task Window sort), BOTH slices
+    // bucketed by the same cuts; counts + 6-digit proportions only —
+    // ln() is not engine-reproducible, so the PSI fold stays with the
+    // consumer (Drift.scala's scaladoc)
+    "q141_drift_histogram" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Drift.histogramShift(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "n_chars")
+    }),
+
+    // 1-bit-signature ANN: sign-packed 64-bit signatures, brute-force
+    // popcount(XOR) top-5 — the 8-byte-per-vector first pass of a
+    // binary serving stack (rerank exact over the shortlist, q128's
+    // pattern); all-integer scores, so ranks replay exactly
+    "q142_hamming_topk" -> ((s, dir) =>
+      Similarity.hammingTopK(Tables.embeddings(s, dir), "vec_id",
+        "embedding", queryIds = (0L until 10L).toSeq, k = 5)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -2748,6 +2789,99 @@ object SparkEntry {
          |             sum(len(string_split(d.text, ' '))), 6) AS fertility
          |FROM documents d JOIN sc USING (doc_id)
          |GROUP BY 1""".stripMargin,
+
+    // q106's span derivation + the keep-first winner (row_number over
+    // (doc_id, pos) per span — the oracle's Window replays the Spark
+    // side's min-struct aggregate)
+    "q139_span_keep_first" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sp AS (
+        |  SELECT doc_id, (i - 1) // 3 AS pos,
+        |         array_to_string(ws[i : least(i + 2, len(ws))], ' ') AS span
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws), 3)) AS i FROM d)),
+        |w AS (SELECT span, doc_id AS wdoc, pos AS wpos FROM (
+        |        SELECT span, doc_id, pos,
+        |               row_number() OVER (PARTITION BY span
+        |                                  ORDER BY doc_id, pos) AS rn
+        |        FROM sp) WHERE rn = 1)
+        |SELECT sp.doc_id, count(*)::BIGINT AS n_spans,
+        |       sum(CASE WHEN w.wdoc IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+        |       coalesce(string_agg(sp.span, ' ' ORDER BY sp.pos)
+        |                FILTER (w.wdoc IS NOT NULL), '') AS clean_text
+        |FROM sp LEFT JOIN w ON sp.span = w.span AND sp.doc_id = w.wdoc
+        |  AND sp.pos = w.wpos
+        |GROUP BY 1""".stripMargin,
+
+    // the q20 fingerprint over both slices, full-outer join, status by
+    // null/equality — only differing rows emitted
+    "q140_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id AS id,
+        |         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_a
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |b AS (
+        |  SELECT id,
+        |         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_b
+        |  FROM (SELECT doc_id AS id,
+        |               CASE WHEN doc_id % 3 = 0 THEN text || ' zzedit'
+        |                    ELSE text END AS text
+        |        FROM documents WHERE doc_id % 5 <> 0))
+        |SELECT id, status, fp_a, fp_b FROM (
+        |  SELECT id,
+        |         CASE WHEN fp_a IS NULL THEN 'added'
+        |              WHEN fp_b IS NULL THEN 'removed'
+        |              WHEN fp_a <> fp_b THEN 'changed'
+        |              ELSE 'unchanged' END AS status,
+        |         fp_a, fp_b
+        |  FROM a FULL JOIN b USING (id))
+        |WHERE status <> 'unchanged'""".stripMargin,
+
+    // reference deciles via standard ntile (the exactNtileGlobal
+    // contract IS SQL ntile), cuts as one sorted list, both slices
+    // bucketed by count-of-cuts-below, empty buckets kept via the
+    // generate_series dimension
+    "q141_drift_histogram" ->
+      """WITH a AS (SELECT doc_id, n_chars AS m FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, n_chars AS m FROM documents WHERE doc_id % 2 = 1),
+        |nt AS (SELECT m, ntile(10) OVER (ORDER BY m, doc_id) AS bucket FROM a),
+        |cuts AS (SELECT list_sort(list(cut)) AS cuts FROM (
+        |           SELECT bucket, max(m) AS cut FROM nt GROUP BY 1
+        |           HAVING bucket < 10)),
+        |ba AS (SELECT (1 + len(list_filter(cuts.cuts, c -> a.m > c)))::BIGINT AS bucket,
+        |              count(*)::BIGINT AS cnt_ref
+        |       FROM a CROSS JOIN cuts GROUP BY 1),
+        |bb AS (SELECT (1 + len(list_filter(cuts.cuts, c -> b.m > c)))::BIGINT AS bucket,
+        |              count(*)::BIGINT AS cnt_cmp
+        |       FROM b CROSS JOIN cuts GROUP BY 1),
+        |dim AS (SELECT unnest(generate_series(1, 10))::BIGINT AS bucket),
+        |j AS (SELECT dim.bucket, coalesce(ba.cnt_ref, 0)::BIGINT AS cnt_ref,
+        |             coalesce(bb.cnt_cmp, 0)::BIGINT AS cnt_cmp
+        |      FROM dim LEFT JOIN ba USING (bucket) LEFT JOIN bb USING (bucket)),
+        |t AS (SELECT sum(cnt_ref)::BIGINT AS tr, sum(cnt_cmp)::BIGINT AS tc FROM j)
+        |SELECT bucket, cnt_ref, cnt_cmp,
+        |       round(cnt_ref::DOUBLE / tr, 6) AS p_ref,
+        |       round(cnt_cmp::DOUBLE / tc, 6) AS p_cmp
+        |FROM j CROSS JOIN t""".stripMargin,
+
+    // sign-packed signatures + popcount(xor) ranks — all integers,
+    // q25's query/self-exclusion/tie-break conventions
+    "q142_hamming_topk" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |         list_sum(list_transform(generate_series(0, least(len(embedding) - 1, 63)),
+        |           i -> CASE WHEN embedding[i + 1] < 0 THEN 0::BIGINT
+        |                     WHEN i = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |                     ELSE (1::BIGINT << i) END))::BIGINT AS sig
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, sig AS q_sig FROM s WHERE vec_id < 10),
+        |sc AS (SELECT q.query_id, s.vec_id AS neighbor_id,
+        |              bit_count(xor(q.q_sig, s.sig))::BIGINT AS hamming
+        |       FROM s CROSS JOIN q WHERE s.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, hamming,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY hamming, neighbor_id) AS rank
+        |      FROM sc)
+        |SELECT query_id, neighbor_id, hamming, rank FROM r WHERE rank <= 5""".stripMargin,
 
     // the same 16-bit Morton interleave as Bucketing.zValue — pure
     // integer bit arithmetic, so the layout key is engine-reproducible

@@ -646,6 +646,29 @@ object Dedup {
         col("m.vec_a").as("dup_of"), col("m.cosine").as("cosine"))
   }
 
+  /** Snapshot diff: what changed between two corpus dumps, by content
+    * fingerprint — the audit a pipeline runs before re-training on a
+    * new crawl ("how much actually moved?"). One full-outer equi-join
+    * on the id over NARROW (id, fingerprint) projections — text never
+    * shuffles — emitting only the rows that differ: status ∈ added
+    * (id only in `b`), removed (only in `a`), changed (both, different
+    * [[fingerprint]]). Unchanged rows — the overwhelming mass of a
+    * dump-over-dump diff — are filtered before they move anywhere.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val fa = a.select(col(idCol).as("id"), fingerprint(textCol).as("fp_a"))
+    val fb = b.select(col(idCol).as("id"), fingerprint(textCol).as("fp_b"))
+    fa.join(fb, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col("id"), col("status"), col("fp_a"), col("fp_b"))
+  }
+
   /** Cross-document EXACT substring matches, as maximal shared token
     * spans — the exact-match member of the near-dup family (MinHash
     * answers "mostly the same document"; this answers "these 50 tokens

@@ -337,6 +337,47 @@ object Similarity {
         expr("cast(round(cast(x as double) / maxabs * 127.0, 0) as int)").as("q"),
         col("scale"))
 
+  /** 1-bit (sign) quantization: the sign bits of the first
+    * min(dim, 64) dimensions packed into ONE BIGINT — 8 bytes per
+    * vector, the most aggressive point on the compression spectrum
+    * (SQ8 → PQ → this). `x >= 0` maps to bit 1; the packing is a
+    * single codegen'd `aggregate` fold, no shuffle, and pure integer
+    * output, so downstream Hamming arithmetic is engine-exact.
+    * For dim > 64 the tail dimensions are ignored (doc'd, not silent:
+    * pack per-64 blocks into an array in a follow-up if needed).
+    */
+  def binarySignPacked(emb: DataFrame, idCol: String,
+                       vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+      expr(s"""aggregate(sequence(0, least(size($vecCol) - 1, 63)), 0L,
+              |  (acc, i) -> acc + if(element_at($vecCol, i + 1) >= 0D,
+              |                       shiftleft(1L, i), 0L))""".stripMargin)
+        .as("sig"))
+
+  /** Brute-force Hamming top-k over the [[binarySignPacked]] signatures:
+    * score = popcount(sig_q XOR sig_c) — one codegen'd integer op per
+    * candidate against an 8-byte-per-row table, the realistic
+    * compressed FIRST PASS of a binary-signature serving stack (the
+    * shortlist then reranks exact, the q128 pattern). All-integer
+    * scores ⇒ the oracle replays ranks bit-for-bit (ties broken by
+    * neighbor id, self excluded — the q25 conventions).
+    */
+  def hammingTopK(emb: DataFrame, idCol: String, vecCol: String,
+                  queryIds: Seq[Long], k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val sig = binarySignPacked(emb, idCol, vecCol)
+    val q = sig.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("sig").as("q_sig"))
+    val scored = sig.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("bit_count(q_sig ^ sig)").cast("long").as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Lloyd's k-means, deterministically seeded and fully declarative:
     * `iters` rounds of (assign to nearest centroid, recompute means),
     * returning the final assignment (vec_id, centroid_id, dist) — a

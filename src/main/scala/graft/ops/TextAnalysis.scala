@@ -360,6 +360,48 @@ object TextAnalysis {
                |  s -> s.span), ' ')""".stripMargin).as("clean_text"))
   }
 
+  /** The keep-ONE-copy variant of [[dropRepeatedSpans]] — C4's actual
+    * dedup rule (Raffel et al. 2020 §2.2: "we removed all but one of
+    * any three-sentence span occurring more than once"): the FIRST
+    * occurrence of every span survives, every later occurrence is cut.
+    * First = minimum (doc_id, pos) — a total order, so the winner is
+    * partition- and engine-deterministic. [[dropRepeatedSpans]] drops
+    * ALL occurrences above a count (boilerplate eradication); this
+    * keeps the canonical copy (content preservation) — a pipeline
+    * typically wants the former for chrome and the latter for quotes.
+    *
+    * Same cost class: one explode + one min-struct hash aggregate per
+    * span + one equi-join back + the in-row ordered reassembly (no
+    * Window). Output: (doc_id, n_spans, n_dropped, clean_text).
+    */
+  def dedupSpansKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                          spanWords: Int = 16,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    require(spanWords >= 1)
+    val spans = Checkpoints.pin(
+      df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"""transform(sequence(0, greatest(size(ws) - 1, 0), $spanWords),
+               |  i -> array_join(slice(ws, i + 1, $spanWords), ' '))""".stripMargin))
+            .as(Seq("pos", "span"))),
+      checkpointDir, eager = false)
+    val winners = spans.groupBy(col("span"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .select(col("span"), col("w.doc_id").as("doc_id"),
+        col("w.pos").as("pos"), lit(true).as("win"))
+    spans.join(winners, Seq("span", "doc_id", "pos"), "left")
+      .select(col("doc_id"), col("pos"), col("span"),
+        coalesce(col("win"), lit(false)).as("kept"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+        expr("""array_join(transform(
+               |  filter(array_sort(collect_list(named_struct('pos', pos, 'kept', kept, 'span', span))),
+               |         s -> s.kept),
+               |  s -> s.span), ' ')""".stripMargin).as("clean_text"))
+  }
+
   /** Approximate heavy hitters over the corpus's words: one explode +
     * ONE mergeable Misra–Gries aggregate
     * ([[graft.functions.TypedAggs.MisraGries]], k counters) — fixed

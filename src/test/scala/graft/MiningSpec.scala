@@ -1045,6 +1045,75 @@ class MiningSpec extends AnyFunSuite {
       (1L, 3L, 10L, 7L, 4L)))
   }
 
+  test("dedupSpansKeepFirst: first occurrence survives, later copies cut") {
+    val df = docs(
+      (1L, "a b c x y z", "s"),
+      (2L, "a b c q r s", "s"),
+      (3L, "q r s a b c", "s"))
+    val out = TextAnalysis.dedupSpansKeepFirst(df, "doc_id", "text",
+        spanWords = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // winners: "a b c"→(1,0), "x y z"→(1,1), "q r s"→(2,1)
+    assert(out(1L) === ((2L, 0L, "a b c x y z")))
+    assert(out(2L) === ((2L, 1L, "q r s")))
+    assert(out(3L) === ((2L, 2L, "")))
+    // contrast: dropRepeatedSpans(maxCount=1) kills EVERY copy of a
+    // repeated span — doc 1 loses "a b c" too
+    val dropAll = TextAnalysis.dropRepeatedSpans(df, "doc_id", "text",
+        spanWords = 3, maxCount = 1)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(dropAll(1L) === "x y z")
+    // layout independence
+    val out2 = TextAnalysis.dedupSpansKeepFirst(df.repartition(5), "doc_id",
+        "text", spanWords = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out2 === out)
+  }
+
+  test("snapshotDiff: added/removed/changed only — unchanged rows never emitted") {
+    val a = docs((1L, "x y", "s"), (2L, "k l", "s"), (3L, "m n", "s"))
+    val b = docs((2L, "k l", "s"), (3L, "m n edited", "s"), (4L, "new doc", "s"))
+    val d = Dedup.snapshotDiff(a, b, "doc_id", "text")
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(d === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    // fingerprint semantics: a reorder of the same words is NOT a change
+    val b2 = docs((1L, "y x", "s"))
+    assert(Dedup.snapshotDiff(a.filter($"doc_id" === 1L), b2, "doc_id",
+      "text").count() === 0L)
+  }
+
+  test("histogramShift: reference deciles, shared cuts, empty buckets kept") {
+    val ref = (1L to 100L).map(i => (i, i)).toDF("doc_id", "m")
+    val cmp = (101L to 110L).map(i => (i, i)).toDF("doc_id", "m")
+    val h = Drift.histogramShift(ref, cmp, "doc_id", "m")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(h.keySet === (1L to 10L).toSet)
+    // ref: exactly 10 per decile; cmp: everything lands above cut 90
+    assert((1L to 10L).forall(b => h(b)._1 === 10L))
+    assert((1L to 9L).forall(b => h(b)._2 === 0L))
+    assert(h(10L)._2 === 10L)
+    assert(h(10L)._3 === 0.1 && h(10L)._4 === 1.0)
+  }
+
+  test("hammingTopK: sign-packed signatures, integer ranks, self excluded") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 1.0f)), (1L, Seq(1.0f, -1.0f)),
+      (2L, Seq(-1.0f, -1.0f)), (3L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val sigs = Similarity.binarySignPacked(emb, "vec_id", "embedding")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs === Map(0L -> 3L, 1L -> 1L, 2L -> 0L, 3L -> 3L))
+    val top = Similarity.hammingTopK(emb, "vec_id", "embedding",
+        queryIds = Seq(0L), k = 2)
+      .select("neighbor_id", "hamming", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(top === Set((3L, 0L, 1L), (1L, 1L, 2L)))
+  }
+
   test("temperatureMixture: √-flattened shares, binding stratum kept whole, exact thresholds") {
     val rows = (0L until 400L).map(i => (i, "t", "big")) ++
       (1000L until 1100L).map(i => (i, "t", "small"))
