@@ -1854,6 +1854,26 @@ object SparkEntry {
     "q142_hamming_topk" -> ((s, dir) =>
       Similarity.hammingTopK(Tables.embeddings(s, dir), "vec_id",
         "embedding", queryIds = (0L until 10L).toSeq, k = 5)),
+
+    // binary-signature serving pipeline: 20-wide Hamming shortlist
+    // (8 bytes/vector scanned), exact cosine over ONLY those pairs —
+    // the q128 candidates-then-rerank layout with the cheapest
+    // possible first pass
+    "q143_hamming_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.rerankExact(
+        Similarity.hammingTopK(emb, "vec_id", "embedding",
+          queryIds = (0L until 10L).toSeq, k = 20),
+        emb, "vec_id", "embedding", k = 5)
+    }),
+
+    // recall@5 of the binary pipeline vs exact brute force — the
+    // fourth column of the recall story (IVF 0.86 / raw ADC ~0.16 /
+    // ADC+rerank ~0.44 / binary+rerank measured here): on isotropic
+    // random vectors 1-bit signatures quantize angles coarsely, so
+    // this measures the floor of the compression spectrum
+    "q144_hamming_recall" -> ((s, dir) =>
+      recallAudit(s, dir, "q143_hamming_rerank")),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -2186,6 +2206,55 @@ object SparkEntry {
     * scoring over the q88 codes) — shared by the q92 map entry and the
     * q108 recall audit's nested CTE.
     */
+  /** q142's full SQL parameterized by k — the q143 rerank oracle nests
+    * it at k=20. DuckDB checks `1::BIGINT << 63` as an overflow where
+    * Spark's shiftleft wraps to MIN_VALUE silently; the sign bit needs
+    * the explicit two's-complement literal.
+    */
+  private def q142HammingSql(k: Int = 5): String =
+    s"""WITH s AS (
+       |  SELECT vec_id,
+       |         list_sum(list_transform(generate_series(0, least(len(embedding) - 1, 63)),
+       |           i -> CASE WHEN embedding[i + 1] < 0 THEN 0::BIGINT
+       |                     WHEN i = 63 THEN (-9223372036854775807 - 1)::BIGINT
+       |                     ELSE (1::BIGINT << i) END))::BIGINT AS sig
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, sig AS q_sig FROM s WHERE vec_id < 10),
+       |sc AS (SELECT q.query_id, s.vec_id AS neighbor_id,
+       |              bit_count(xor(q.q_sig, s.sig))::BIGINT AS hamming
+       |       FROM s CROSS JOIN q WHERE s.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, hamming,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY hamming, neighbor_id) AS rank
+       |      FROM sc)
+       |SELECT query_id, neighbor_id, hamming, rank FROM r WHERE rank <= $k""".stripMargin
+
+  /** q143's full SQL: the binary shortlist at k=20, exact cosine over
+    * only those pairs, final top-5 — q128's tail verbatim with the
+    * Hamming chain as the candidate source.
+    */
+  private lazy val q143HammingRerankSql: String =
+    s"""WITH hm AS (${q142HammingSql(20)}),
+       |en AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, embedding,
+       |           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
+       |    FROM embeddings)
+       |  WHERE norm2 > 0),
+       |sc2 AS (
+       |  SELECT a.query_id, a.neighbor_id,
+       |         round(list_sum(list_transform(generate_series(1, len(n.embedding)),
+       |                 i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE))
+       |               / sqrt(q.norm2 * n.norm2), 6) AS score
+       |  FROM hm a JOIN en q ON q.vec_id = a.query_id
+       |            JOIN en n ON n.vec_id = a.neighbor_id),
+       |r2 AS (
+       |  SELECT query_id, neighbor_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM sc2)
+       |SELECT query_id, neighbor_id, score, rank FROM r2 WHERE rank <= 5""".stripMargin
+
   /** q128's full SQL: the q92 IVF-PQ chain widened to a 20-candidate
     * shortlist, exact cosine (q25's expression) over only those pairs,
     * final top-5. A val so the q129 recall audit nests it verbatim.
@@ -2865,23 +2934,23 @@ object SparkEntry {
 
     // sign-packed signatures + popcount(xor) ranks — all integers,
     // q25's query/self-exclusion/tie-break conventions
-    "q142_hamming_topk" ->
-      """WITH s AS (
-        |  SELECT vec_id,
-        |         list_sum(list_transform(generate_series(0, least(len(embedding) - 1, 63)),
-        |           i -> CASE WHEN embedding[i + 1] < 0 THEN 0::BIGINT
-        |                     WHEN i = 63 THEN (-9223372036854775807 - 1)::BIGINT
-        |                     ELSE (1::BIGINT << i) END))::BIGINT AS sig
-        |  FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, sig AS q_sig FROM s WHERE vec_id < 10),
-        |sc AS (SELECT q.query_id, s.vec_id AS neighbor_id,
-        |              bit_count(xor(q.q_sig, s.sig))::BIGINT AS hamming
-        |       FROM s CROSS JOIN q WHERE s.vec_id <> q.query_id),
-        |r AS (SELECT query_id, neighbor_id, hamming,
-        |             row_number() OVER (PARTITION BY query_id
-        |                                ORDER BY hamming, neighbor_id) AS rank
-        |      FROM sc)
-        |SELECT query_id, neighbor_id, hamming, rank FROM r WHERE rank <= 5""".stripMargin,
+    "q142_hamming_topk" -> q142HammingSql(),
+
+    // the q128 rerank tail over the 20-wide Hamming shortlist — the
+    // SAME q142 SQL nested at k=20 (composed-oracle discipline)
+    "q143_hamming_rerank" -> q143HammingRerankSql,
+
+    // the q129 audit shape over the binary pipeline
+    "q144_hamming_recall" ->
+      s"""WITH rr AS (SELECT query_id, neighbor_id FROM ($q143HammingRerankSql) t),
+         |bf AS ($q25KnnSql),
+         |hits AS (
+         |  SELECT query_id, count(*) AS h
+         |  FROM rr JOIN bf USING (query_id, neighbor_id) GROUP BY 1),
+         |kk AS (SELECT query_id, count(*) AS k FROM bf GROUP BY 1)
+         |SELECT kk.query_id,
+         |       round(coalesce(h, 0)::DOUBLE / k::DOUBLE, 6) AS recall_at_5
+         |FROM kk LEFT JOIN hits USING (query_id)""".stripMargin,
 
     // the same 16-bit Morton interleave as Bucketing.zValue — pure
     // integer bit arithmetic, so the layout key is engine-reproducible

@@ -810,6 +810,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(withUnknown === Set(100L, 102L, 103L))
   }
 
+  test("StreamingDrift: frozen cuts, batch ≡ streaming histograms, Drift bucket parity") {
+    import graft.streaming.StreamingDrift
+    // reference 1..100 → cuts exactly 10,20,...,90
+    val ref = (1L to 100L).map(i => (i, i)).toDF("id", "m")
+    val cuts = StreamingDrift.freezeCuts(ref, "id", "m")
+    assert(cuts === (1L to 9L).map(_ * 10L))
+    // arriving metrics across two windows: w0 = {5, 10, 11, 95}
+    // → buckets {1, 1, 2, 10}; w60 = {55} → bucket 6
+    val arriving = Seq((ts(10), 5L), (ts(20), 10L), (ts(30), 11L),
+      (ts(40), 95L), (ts(70), 55L))
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = StreamingDrift.windowedHistogram(
+        input.toDF().toDF("ts", "m").withWatermark("ts", "0 seconds"),
+        "ts", "m", cuts, "60 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sd").start()
+    input.addData(arriving.take(3): _*)
+    q.processAllAvailable()
+    input.addData(arriving.drop(3): _*)
+    q.processAllAvailable()
+    input.addData((ts(200), 1L)) // advance watermark past both windows
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sd")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = StreamingDrift.windowedHistogram(
+        arriving.toDF("ts", "m"), "ts", "m", cuts, "60 seconds")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch) // one code path, two modes
+    assert(streamed === Set((0L, 1L, 2L), (0L, 2L, 1L), (0L, 10L, 1L),
+      (60L, 6L, 1L)))
+    // bucket parity with the batch Drift op on the same rows
+    val drift = graft.ops.Drift.histogramShift(ref,
+        arriving.zipWithIndex.map { case ((_, m), i) => (i.toLong, m) }
+          .toDF("id", "m"), "id", "m")
+      .filter($"cnt_cmp" > 0).select($"bucket", $"cnt_cmp")
+      .as[(Long, Long)].collect().toSet
+    assert(drift === Set((1L, 2L), (2L, 1L), (6L, 1L), (10L, 1L)))
+  }
+
   test("streamingAgainstStore: store dups dropped statelessly, horizon dups by state, survivors append") {
     import graft.ops.Dedup
     val store = Dedup.fingerprintStore(
