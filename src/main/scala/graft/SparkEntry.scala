@@ -1874,6 +1874,27 @@ object SparkEntry {
     // this measures the floor of the compression spectrum
     "q144_hamming_recall" -> ((s, dir) =>
       recallAudit(s, dir, "q143_hamming_rerank")),
+
+    // near-dup ingest gate: arrivals (odd ids) flagged by how many of
+    // their MinHash bands collide with the frozen band store of the
+    // kept corpus (even ids) — the high-recall stateless pre-filter a
+    // production ingest runs before paying for exact verification; the
+    // streaming form is the same function inside foreachBatch
+    "q145_near_dup_gate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.nearDupFlags(d.filter(col("doc_id") % 2 === 1),
+        Dedup.bandStore(d.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+        "doc_id", "text")
+    }),
+
+    // TRUE multi-probe ANN (Lv 2007): each vector probes its own SRP
+    // bucket plus the 2 buckets behind its least-confident sign bits
+    // (smallest |margin| — where a true neighbor most likely flipped).
+    // The OTHER recall lever from q64's stacked families: families buy
+    // recall with memory, probing buys it with compute on ONE table
+    "q146_ann_bitprobe" -> ((s, dir) =>
+      Similarity.bucketNearestProbed(Tables.embeddings(s, dir), "vec_id",
+        "embedding", probes = 2)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -2951,6 +2972,71 @@ object SparkEntry {
          |SELECT kk.query_id,
          |       round(coalesce(h, 0)::DOUBLE / k::DOUBLE, 6) AS recall_at_5
          |FROM kk LEFT JOIN hits USING (query_id)""".stripMargin,
+
+    // bands over ALL documents (the shared CTE), split by parity in
+    // place: an arrival band hits iff the same bucket EXISTS among the
+    // store-side bands
+    "q145_near_dup_gate" ->
+      s"""$duckBandsCte,
+         |hit AS (
+         |  SELECT a0.doc_id, count(*)::BIGINT AS hit_bands
+         |  FROM b a0
+         |  WHERE a0.doc_id % 2 = 1
+         |    AND EXISTS (SELECT 1 FROM b s WHERE s.doc_id % 2 = 0
+         |                AND s.band_id = a0.band_id
+         |                AND s.band_hash = a0.band_hash)
+         |  GROUP BY 1)
+         |SELECT d.doc_id, coalesce(h.hit_bands, 0)::BIGINT AS hit_bands,
+         |       coalesce(h.hit_bands, 0) > 0 AS flagged
+         |FROM documents d LEFT JOIN hit h USING (doc_id)
+         |WHERE d.doc_id % 2 = 1""".stripMargin,
+
+    // the q26 plane matrix shared between bucket and margins: probe
+    // planes = the 2 smallest round(|dot|,6) (plane-index tie-break),
+    // probe buckets via xor, then the q64 scoring tail
+    "q146_ann_bitprobe" ->
+      """WITH pp AS (SELECT unnest(generate_series(0, 7)) AS p),
+        |dt AS (
+        |  SELECT e.vec_id, pp.p,
+        |         list_sum(list_transform(generate_series(1, 64), d ->
+        |           e.embedding[d]::DOUBLE *
+        |           ((('0x'||substr(md5(pp.p::VARCHAR || '_' || d::VARCHAR),1,15))::BIGINT % 2001 - 1000)::DOUBLE / 1000.0))) AS dot
+        |  FROM embeddings e CROSS JOIN pp),
+        |fb AS (SELECT vec_id,
+        |              sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p)
+        |                       ELSE 0::BIGINT END)::BIGINT AS bucket
+        |       FROM dt GROUP BY 1),
+        |fl AS (SELECT vec_id, p FROM (
+        |         SELECT vec_id, p,
+        |                row_number() OVER (PARTITION BY vec_id
+        |                                   ORDER BY round(abs(dot), 6), p) AS rn
+        |         FROM dt) WHERE rn <= 2),
+        |pb AS (SELECT f.vec_id, xor(fb.bucket, 1::BIGINT << f.p) AS probe_bucket
+        |       FROM fl f JOIN fb USING (vec_id)
+        |       UNION SELECT vec_id, bucket FROM fb),
+        |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        |         FROM pb a JOIN fb b ON a.probe_bucket = b.bucket
+        |                            AND a.vec_id <> b.vec_id),
+        |e2 AS (
+        |  SELECT * FROM (
+        |    SELECT vec_id, embedding,
+        |           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
+        |    FROM embeddings)
+        |  WHERE norm2 > 0),
+        |sc AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         round(list_sum(list_transform(generate_series(1, 64),
+        |             i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE))
+        |           / sqrt(q.norm2 * n.norm2), 6) AS score
+        |  FROM cand c
+        |  JOIN e2 q ON c.query_id = q.vec_id
+        |  JOIN e2 n ON c.neighbor_id = n.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, neighbor_id ASC) AS rn
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, score FROM r WHERE rn = 1""".stripMargin,
 
     // the same 16-bit Morton interleave as Bucketing.zValue — pure
     // integer bit arithmetic, so the layout key is engine-reproducible

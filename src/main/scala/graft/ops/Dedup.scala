@@ -646,6 +646,51 @@ object Dedup {
         col("m.vec_a").as("dup_of"), col("m.cosine").as("cosine"))
   }
 
+  /** The frozen band store for [[nearDupFlags]]: the kept corpus's
+    * distinct (band_id, band_hash) buckets — doc ids deliberately
+    * dropped (the gate asks "does this band exist in history", not
+    * "against whom"), so the store is bounded by the corpus's bucket
+    * count, not its row count. At scale, write it bucketed on
+    * (band_id, band_hash) (the [[fingerprintStore]] pattern) so the
+    * gate's semi-join is co-located with zero store re-shuffle.
+    */
+  def bandStore(corpus: DataFrame, idCol: String, textCol: String,
+                numHashes: Int = 8, bandSize: Int = 2,
+                shingleSize: Int = 3): DataFrame =
+    minhashBands(corpus, idCol, textCol, numHashes, bandSize, shingleSize)
+      .select(col("band_id"), col("band_hash")).distinct()
+
+  /** Near-duplicate gate against a frozen [[bandStore]]: every arriving
+    * document is flagged with how many of its MinHash bands collide
+    * with history — `flagged` (>= 1 hit) is the high-recall pre-filter
+    * a production ingest runs BEFORE paying for exact verification
+    * (band collision ⇒ probable near-dup; the S-curve knobs are the
+    * usual numHashes/bandSize). Stateless per row: one band projection
+    * (codegen'd minhash pipeline) + one semi-join on the dimension-ish
+    * store + one per-doc count — no candidate pairs, no text in any
+    * Exchange. The streaming form is this SAME function inside
+    * foreachBatch (the arrivals-vs-static-store shape; see
+    * StreamingSpec) — per-batch latency, no state store.
+    *
+    * Output: (doc_id, hit_bands, flagged) for every input row.
+    */
+  def nearDupFlags(docs: DataFrame, store: DataFrame, idCol: String,
+                   textCol: String, numHashes: Int = 8, bandSize: Int = 2,
+                   shingleSize: Int = 3): DataFrame = {
+    val bands = minhashBands(docs, idCol, textCol, numHashes, bandSize,
+      shingleSize)
+    val hits = bands
+      .join(store.select(col("band_id"), col("band_hash")),
+        Seq("band_id", "band_hash"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("hit_bands"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hit_bands"), lit(0L)).as("hit_bands"))
+      .withColumn("flagged", col("hit_bands") > 0)
+  }
+
   /** Snapshot diff: what changed between two corpus dumps, by content
     * fingerprint — the audit a pipeline runs before re-training on a
     * new crawl ("how much actually moved?"). One full-outer equi-join

@@ -562,18 +562,27 @@ object Similarity {
     * oracle recomputes the identical matrix), with the row-level length
     * guard (ADVICE r1: mixed-length corpora fail loudly).
     */
-  private def guardedBucket(emb: DataFrame, idCol: String, vecCol: String,
-                            planes: Int, d: Int, prefix: String): Column = {
+  /** The md5-seeded hyperplane dot products backing [[guardedBucket]]
+    * — exposed separately so [[bucketNearestProbed]] can rank planes
+    * by |margin| with the SAME matrix the bucket used.
+    */
+  private def planeDots(vecCol: String, planes: Int, d: Int,
+                        prefix: String): Seq[Column] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def md5Long60(s: String): Long = {
       val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.substring(0, 15), 16)
     }
-    val dot = (0 until planes).map { p =>
+    (0 until planes).map { p =>
       val plane = (1 to d).map(dd =>
         (md5Long60(s"$prefix${p}_$dd") % 2001 - 1000) / 1000.0)
       call_function("array_dot", col(vecCol), typedLit(plane))
     }
+  }
+
+  private def guardedBucket(emb: DataFrame, idCol: String, vecCol: String,
+                            planes: Int, d: Int, prefix: String): Column = {
+    val dot = planeDots(vecCol, planes, d, prefix)
     val bucket = dot.zipWithIndex.foldLeft(lit(0L)) { case (acc, (dp, p)) =>
       acc + when(dp >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -626,6 +635,54 @@ object Similarity {
     val cand = a.join(b, col("family") === col("family_b") &&
         col("bucket") === col("bucket_b") &&
         col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    nearestByCosine(cand, emb, idCol, vecCol)
+  }
+
+  /** [[bucketNearest]] with TRUE multi-probe (Lv et al. 2007): each
+    * vector probes its own bucket PLUS the `probes` buckets reached by
+    * flipping its least-confident sign bits — the planes with the
+    * smallest |dot| margin, exactly where a true neighbor most likely
+    * landed on the other side. The other recall lever from
+    * [[bucketNearestMulti]]: stacked families buy recall with MEMORY
+    * (another full bucket table); probing buys it with COMPUTE
+    * (probes× the candidate join on the SAME single table) — the
+    * standard trade when the index must stay small.
+    *
+    * Margins are rounded to 6 digits before ranking (plane index
+    * tie-break), so probe choice — and therefore the result — is
+    * engine-deterministic; everything stays equi-join shaped (probe
+    * buckets are an explode, candidates join on bucket, Σ|bucket|²
+    * work). Output: (query_id, neighbor_id, score), rank-1 per query
+    * via the shared cosine tail.
+    */
+  def bucketNearestProbed(emb: DataFrame, idCol: String, vecCol: String,
+                          planes: Int = 8, probes: Int = 2): DataFrame = {
+    require(probes >= 0 && probes <= planes,
+      "probes must be in [0, planes]")
+    val d = probeDim(emb, vecCol, -1) match {
+      case Some(n) => n
+      case None =>
+        return emb.select(col(idCol).as("query_id"),
+          col(idCol).as("neighbor_id"), lit(0.0).as("score")).limit(0)
+    }
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    val dots = planeDots(vecCol, planes, d, "")
+    val base = emb.select(col(idCol).as("vec_id"),
+      guardedBucket(emb, idCol, vecCol, planes, d, "").as("bucket"),
+      array(dots.zipWithIndex.map { case (dp, p) =>
+        struct(round(abs(dp), 6).as("m"), lit(p).as("p"))
+      }: _*).as("margins"))
+    val probed = base.select(col("vec_id").as("query_id"),
+      explode(concat(array(col("bucket")),
+        expr(s"""transform(slice(array_sort(margins), 1, $probes),
+                |  f -> bucket ^ shiftleft(1L, f.p))""".stripMargin)))
+        .as("probe_bucket"))
+    val cand = probed.join(
+        base.select(col("vec_id").as("neighbor_id"),
+          col("bucket").as("bucket_b")),
+        col("probe_bucket") === col("bucket_b") &&
+          col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
     nearestByCosine(cand, emb, idCol, vecCol)
   }

@@ -1073,6 +1073,49 @@ class MiningSpec extends AnyFunSuite {
     assert(out2 === out)
   }
 
+  test("bucketNearestProbed: probes=0 ≡ bucketNearest; probing only improves coverage and scores") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plain = Similarity.bucketNearest(emb, "vec_id", "embedding")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val zero = Similarity.bucketNearestProbed(emb, "vec_id", "embedding",
+        probes = 0)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(zero === plain) // zero probes degenerates to the plain op
+    val probed = Similarity.bucketNearestProbed(emb, "vec_id", "embedding",
+        probes = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // probing widens the candidate set: coverage is a superset and the
+    // per-query best cosine can only improve (candidates ⊇, exact tail)
+    assert(plain.keySet.subsetOf(probed.keySet))
+    assert(probed.size >= plain.size)
+    assert(plain.forall { case (q, (_, s)) => probed(q)._2 >= s })
+    // determinism under layout
+    val probed2 = Similarity.bucketNearestProbed(emb.repartition(7),
+        "vec_id", "embedding", probes = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(probed2 === probed)
+  }
+
+  test("nearDupFlags: band collisions against the frozen store flag probable near-dups") {
+    val kept = docs(
+      (1L, "alpha beta gamma delta epsilon zeta", "s"),
+      (2L, "one two three four five six", "s"))
+    val store = Dedup.bandStore(kept, "doc_id", "text")
+    val arrivals = docs(
+      (10L, "alpha beta gamma delta epsilon zeta", "s"), // exact dup
+      (11L, "completely different words entirely over here", "s"))
+    val f = Dedup.nearDupFlags(arrivals, store, "doc_id", "text")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(f(10L) === ((4L, true))) // all 4 bands of an exact dup hit
+    assert(f(11L) === ((0L, false)))
+    // layout independence
+    val f2 = Dedup.nearDupFlags(arrivals.repartition(5), store, "doc_id",
+        "text").as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(f2 === f)
+  }
+
   test("snapshotDiff: added/removed/changed only — unchanged rows never emitted") {
     val a = docs((1L, "x y", "s"), (2L, "k l", "s"), (3L, "m n", "s"))
     val b = docs((2L, "k l", "s"), (3L, "m n edited", "s"), (4L, "new doc", "s"))

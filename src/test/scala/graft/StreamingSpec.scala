@@ -849,6 +849,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(drift === Set((1L, 2L), (2L, 1L), (6L, 1L), (10L, 1L)))
   }
 
+  test("nearDupFlags in foreachBatch: per-batch gate ≡ batch gate on the same rows") {
+    import graft.ops.Dedup
+    val kept = Seq((1L, "alpha beta gamma delta epsilon zeta", "s"),
+      (2L, "one two three four five six", "s"))
+      .toDF("doc_id", "text", "source")
+    val store = Dedup.bandStore(kept, "doc_id", "text").cache()
+    val arrivals = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta", "s"),
+      (11L, "completely different words entirely over here", "s"),
+      (12L, "one two three four five six", "s"))
+    val got = scala.collection.mutable.Set[(Long, Long, Boolean)]()
+    val input = MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("doc_id", "text", "source").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got ++= Dedup.nearDupFlags(batch, store, "doc_id", "text")
+          .as[(Long, Long, Boolean)].collect(): Unit
+      }.start()
+    input.addData(arrivals.take(2): _*)
+    q.processAllAvailable()
+    input.addData(arrivals.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = Dedup.nearDupFlags(arrivals.toDF("doc_id", "text", "source"),
+        store, "doc_id", "text")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got.toSet === batch) // stateless gate: same rows, same flags
+    assert(got.toSet === Set((10L, 4L, true), (11L, 0L, false),
+      (12L, 4L, true)))
+  }
+
   test("streamingAgainstStore: store dups dropped statelessly, horizon dups by state, survivors append") {
     import graft.ops.Dedup
     val store = Dedup.fingerprintStore(
