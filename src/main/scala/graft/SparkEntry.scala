@@ -1895,6 +1895,24 @@ object SparkEntry {
     "q146_ann_bitprobe" -> ((s, dir) =>
       Similarity.bucketNearestProbed(Tables.embeddings(s, dir), "vec_id",
         "embedding", probes = 2)),
+
+    // half-life recency sampling for retrain-set assembly: keep
+    // probability halves every 3 days of age vs the 2024-02-01 anchor
+    // (integer 10000 >> k thresholds — no exp(), every decision
+    // engine-exact; the events span Jan 2024, so k runs 0..10)
+    "q147_decayed_sample" -> ((s, dir) =>
+      Sampling.decayedSample(Tables.events(s, dir), "event_id", "ts",
+          anchorEpochS = 1706745600L, halfLifeS = 259200L)
+        .select(col("event_id"), col("user_id"), col("event_type"))),
+
+    // behavior log → sequential training data: one row per (user,
+    // 30-min-gap session) with the item sequence in (ts, event_id)
+    // order — the assembly step for next-item-prediction corpora and
+    // the bridge from the reference's behavior analytics to this
+    // engine's training-data side
+    "q148_session_sequences" -> ((s, dir) =>
+      Behavior.sessionSequences(eventsWithItem(s, dir), "user_id",
+        "item_id", "ts", "event_id")),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3037,6 +3055,41 @@ object SparkEntry {
         |                            ORDER BY score DESC, neighbor_id ASC) AS rn
         |  FROM sc)
         |SELECT query_id, neighbor_id, score FROM r WHERE rn = 1""".stripMargin,
+
+    // the same integer half-life thresholds: age in whole half-lives
+    // (floor // vs Spark's truncating div agree — negatives clamp to 0
+    // AFTER division on both sides), threshold = 10000 >> k
+    "q147_decayed_sample" ->
+      """SELECT event_id, user_id, event_type
+        |FROM events
+        |WHERE ('0x'||substr(md5('decay:' || event_id::VARCHAR),1,15))::BIGINT % 10000
+        |      < (10000 >> least(greatest(
+        |          (1706745600 - epoch_us(ts)//1000000) // 259200, 0), 14))""".stripMargin,
+
+    // gap flag via lag + running-sum session ids over the same (ts,
+    // event_id) total order; gaps compare FLOORED epoch seconds on
+    // both sides, so the boundary is engine-exact
+    "q148_session_sequences" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         json_extract_string(props, '$.k')::BIGINT AS item
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |f AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |                   OR epoch_us(ts)//1000000
+        |                      - epoch_us(lag(ts) OVER w)//1000000 > 1800
+        |                 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS s_id
+        |  FROM f)
+        |SELECT user_id, s_id::BIGINT AS s_id,
+        |       min(epoch_us(ts)//1000000)::BIGINT AS session_start_s,
+        |       count(*)::BIGINT AS n_items,
+        |       string_agg(item::VARCHAR, ' ' ORDER BY ts, event_id) AS item_seq
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     // the same 16-bit Morton interleave as Bucketing.zValue — pure
     // integer bit arithmetic, so the layout key is engine-reproducible

@@ -65,4 +65,48 @@ object Behavior {
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Behavior log → SEQUENTIAL training data: one row per (user,
+    * session) with the session's item sequence in event order — the
+    * assembly step for next-item-prediction / session-based
+    * recommendation corpora (and the bridge from the reference's
+    * behavior analytics to the training-data side of this engine).
+    * Sessions split on inactivity gaps > `gapS` seconds (computed on
+    * floored epoch seconds so any engine reproduces the boundary);
+    * events order by (`tsCol`, `idCol`) — a total order, so sequences
+    * are engine-deterministic.
+    *
+    * Shape: two Windows over the per-user partition (gap flag via lag,
+    * session id via running sum — user_id is high-cardinality, so the
+    * partition sort distributes; this is the q76 cost class, NOT the
+    * low-cardinality WindowExec trap) + one hash aggregate whose
+    * in-row array_sort builds the sequence (a session's events fit a
+    * row by construction — sessions are gap-bounded).
+    *
+    * Output: (user_id, s_id, session_start_s, n_items, item_seq).
+    */
+  def sessionSequences(events: DataFrame, userCol: String, itemCol: String,
+                       tsCol: String, idCol: String,
+                       gapS: Long = 1800L): DataFrame = {
+    require(gapS > 0, "gapS must be positive")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("eid"))
+    events
+      .filter(col(itemCol).isNotNull)
+      .select(col(userCol).as("user_id"), col(tsCol).as("ts"),
+        col(idCol).as("eid"), col(itemCol).as("item"))
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_timestamp(col("ts")) -
+            unix_timestamp(lag(col("ts"), 1).over(w)) > gapS, 1L)
+          .otherwise(0L))
+      .withColumn("s_id", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("s_id"))
+      .agg(min(unix_timestamp(col("ts"))).as("session_start_s"),
+        count(lit(1)).as("n_items"),
+        expr("""array_join(transform(
+               |  array_sort(collect_list(named_struct('ts', ts, 'eid', eid, 'item', item))),
+               |  s -> cast(s.item as string)), ' ')""".stripMargin)
+          .as("item_seq"))
+  }
 }

@@ -275,6 +275,33 @@ object Sampling {
     * Driver-side data: the per-stratum count map, as in [[mixture]].
     * Membership stays a pure pushdown-friendly hash filter.
     */
+  /** Recency-weighted (half-life) sampling with EXACT thresholds — the
+    * time-decay a retrain-set assembly wants ("recent data matters
+    * more") without `exp()`: the keep probability HALVES every
+    * `halfLifeS` seconds of age, so the threshold is the integer
+    * `10000 >> k` at the 1/10000 hash granularity (k = whole
+    * half-lives of age, clamped to [0, 14] — beyond 14 the threshold
+    * is 0 and the row drops; rows newer than the anchor keep
+    * everything). Powers of two make every decision integer-exact and
+    * engine-reproducible (the q147 oracle) where an exp(-age/τ)
+    * threshold would hinge on libm rounding; for smoother decay,
+    * shrink the half-life rather than interpolating.
+    *
+    * `anchorEpochS` is caller-supplied (a training cut is anchored at
+    * its snapshot date, never wall clock), so the sample is
+    * reproducible forever. Membership is a pure projection-and-filter
+    * — no shuffle, no join, no RNG — like every sampler here.
+    */
+  def decayedSample(df: DataFrame, idCol: String, tsCol: String,
+                    anchorEpochS: Long, halfLifeS: Long,
+                    salt: String = "decay:"): DataFrame = {
+    require(halfLifeS > 0, "halfLifeS must be positive")
+    df.filter(bucket(df, idCol, salt) < expr(
+      s"""shiftright(10000L, cast(least(greatest(
+         |  (${anchorEpochS}L - unix_timestamp(`$tsCol`)) div ${halfLifeS}L,
+         |  0L), 14L) as int))""".stripMargin))
+  }
+
   def temperatureMixture(df: DataFrame, idCol: String,
                          strataCol: String): DataFrame = {
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))

@@ -1157,6 +1157,57 @@ class MiningSpec extends AnyFunSuite {
     assert(top === Set((3L, 0L, 1L), (1L, 1L, 2L)))
   }
 
+  test("sessionSequences: gap splits sessions, event order within, null items dropped") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, t(100), 1L, Some(11L)), (2L, t(200), 1L, Some(12L)),
+      (3L, t(300), 1L, Some(13L)),
+      (4L, t(3000), 1L, Some(14L)),      // gap 2700 > 1800 → session 2
+      (5L, t(150), 2L, Some(21L)),
+      (6L, t(250), 2L, None))            // null item — filtered out
+      .toDF("event_id", "ts", "user_id", "item_id")
+    val out = Behavior.sessionSequences(ev, "user_id", "item_id", "ts",
+        "event_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out === Map(
+      (1L, 1L) -> ((100L, 3L, "11 12 13")),
+      (1L, 2L) -> ((3000L, 1L, "14")),
+      (2L, 1L) -> ((150L, 1L, "21"))))
+    // layout independence
+    val out2 = Behavior.sessionSequences(ev.repartition(5), "user_id",
+        "item_id", "ts", "event_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out2 === out)
+  }
+
+  test("decayedSample: fresh kept whole, half-life halves, 14+ half-lives drop, future clamps") {
+    val anchor = 1706745600L
+    val hl = 259200L
+    // bucket b holds 100 ids at age b half-lives (+100 s); b = -1 is
+    // FUTURE data (newer than the anchor)
+    val rows = for (b <- -1 to 15; i <- 0 until 100) yield
+      ((b + 1).toLong * 100 + i,
+        new java.sql.Timestamp((anchor - b * hl - 100) * 1000L))
+    val df = rows.toDF("event_id", "ts")
+    val cnt = Sampling.decayedSample(df, "event_id", "ts", anchor, hl)
+      .select(expr("event_id div 100 - 1").as("b"))
+      .groupBy("b").count().as[(Long, Long)].collect().toMap
+    assert(cnt(-1L) === 100L) // future: k clamps to 0, kept whole
+    assert(cnt(0L) === 100L)  // < 1 half-life: threshold 10000, all kept
+    // 1 half-life: threshold 5000 — about half (hash-deterministic)
+    assert(cnt(1L) > 30L && cnt(1L) < 70L)
+    assert(!cnt.contains(14L) && !cnt.contains(15L)) // threshold 0
+    // deterministic under layout
+    val again = Sampling.decayedSample(df.repartition(7), "event_id", "ts",
+        anchor, hl)
+      .select("event_id").as[Long].collect().toSet
+    val first = Sampling.decayedSample(df, "event_id", "ts", anchor, hl)
+      .select("event_id").as[Long].collect().toSet
+    assert(again === first)
+  }
+
   test("temperatureMixture: √-flattened shares, binding stratum kept whole, exact thresholds") {
     val rows = (0L until 400L).map(i => (i, "t", "big")) ++
       (1000L until 1100L).map(i => (i, "t", "small"))
