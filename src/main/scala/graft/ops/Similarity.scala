@@ -657,7 +657,8 @@ object Similarity {
     * via the shared cosine tail.
     */
   def bucketNearestProbed(emb: DataFrame, idCol: String, vecCol: String,
-                          planes: Int = 8, probes: Int = 2): DataFrame = {
+                          planes: Int = 8, probes: Int = 2,
+                          checkpointDir: Option[String] = None): DataFrame = {
     require(probes >= 0 && probes <= planes,
       "probes must be in [0, planes]")
     val d = probeDim(emb, vecCol, -1) match {
@@ -668,11 +669,14 @@ object Similarity {
     }
     graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
     val dots = planeDots(vecCol, planes, d, "")
-    val base = emb.select(col(idCol).as("vec_id"),
+    // pinned: both sides of the candidate join read it, and the
+    // bucket+margins projection is planes× array_dot work (the q70
+    // twice-referenced-frame discipline)
+    val base = Checkpoints.pin(emb.select(col(idCol).as("vec_id"),
       guardedBucket(emb, idCol, vecCol, planes, d, "").as("bucket"),
       array(dots.zipWithIndex.map { case (dp, p) =>
         struct(round(abs(dp), 6).as("m"), lit(p).as("p"))
-      }: _*).as("margins"))
+      }: _*).as("margins")), checkpointDir, eager = false)
     val probed = base.select(col("vec_id").as("query_id"),
       explode(concat(array(col("bucket")),
         expr(s"""transform(slice(array_sort(margins), 1, $probes),
