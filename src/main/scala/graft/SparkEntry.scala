@@ -2253,10 +2253,10 @@ object SparkEntry {
   private def q142HammingSql(k: Int = 5): String =
     s"""WITH s AS (
        |  SELECT vec_id,
-       |         list_sum(list_transform(generate_series(0, least(len(embedding) - 1, 63)),
+       |         coalesce(list_sum(list_transform(generate_series(0, least(len(embedding) - 1, 63)),
        |           i -> CASE WHEN embedding[i + 1] < 0 THEN 0::BIGINT
        |                     WHEN i = 63 THEN (-9223372036854775807 - 1)::BIGINT
-       |                     ELSE (1::BIGINT << i) END))::BIGINT AS sig
+       |                     ELSE (1::BIGINT << i) END)), 0)::BIGINT AS sig
        |  FROM embeddings),
        |q AS (SELECT vec_id AS query_id, sig AS q_sig FROM s WHERE vec_id < 10),
        |sc AS (SELECT q.query_id, s.vec_id AS neighbor_id,
@@ -4447,12 +4447,18 @@ object SparkEntry {
         |       WHERE ('0x'||substr(md5('nb:'||doc_id::VARCHAR),1,15))::BIGINT % 10000 >= 8000),
         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM te
         |       WHERE length(term) > 0 GROUP BY 1, 2),
-        |sc AS (SELECT tf.doc_id, lab.label,
-        |         lab.prior_logp + list_sum(list(tf.tf * coalesce(m.logp, lab.dflt)
-        |                                        ORDER BY tf.term)) AS score
-        |       FROM tf CROSS JOIN lab
-        |       LEFT JOIN m ON m.label = lab.label AND m.term = tf.term
-        |       GROUP BY 1, 2, lab.prior_logp)
+        |sc0 AS (SELECT tf.doc_id, lab.label,
+        |          list_sum(list(tf.tf * coalesce(m.logp, lab.dflt)
+        |                        ORDER BY tf.term)) AS like
+        |        FROM tf CROSS JOIN lab
+        |        LEFT JOIN m ON m.label = lab.label AND m.term = tf.term
+        |        GROUP BY 1, 2),
+        |td AS (SELECT DISTINCT doc_id FROM documents
+        |       WHERE ('0x'||substr(md5('nb:'||doc_id::VARCHAR),1,15))::BIGINT % 10000 >= 8000),
+        |sc AS (SELECT td.doc_id, lab.label,
+        |         lab.prior_logp + coalesce(sc0.like, 0) AS score
+        |       FROM td CROSS JOIN lab
+        |       LEFT JOIN sc0 ON sc0.doc_id = td.doc_id AND sc0.label = lab.label)
         |SELECT doc_id, label AS pred_label, round(score, 6) AS score
         |FROM sc
         |QUALIFY row_number() OVER (PARTITION BY doc_id
@@ -4539,12 +4545,17 @@ object SparkEntry {
         |       FROM documents),
         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM te
         |       WHERE length(term) > 0 GROUP BY 1, 2),
-        |sc AS (SELECT tf.doc_id, lab.label,
-        |         lab.prior_logp + list_sum(list(tf.tf * coalesce(m.logp, lab.dflt)
-        |                                        ORDER BY tf.term)) AS score
-        |       FROM tf CROSS JOIN lab
-        |       LEFT JOIN m ON m.label = lab.label AND m.term = tf.term
-        |       GROUP BY 1, 2, lab.prior_logp),
+        |sc0 AS (SELECT tf.doc_id, lab.label,
+        |          list_sum(list(tf.tf * coalesce(m.logp, lab.dflt)
+        |                        ORDER BY tf.term)) AS like
+        |        FROM tf CROSS JOIN lab
+        |        LEFT JOIN m ON m.label = lab.label AND m.term = tf.term
+        |        GROUP BY 1, 2),
+        |td AS (SELECT DISTINCT doc_id FROM documents),
+        |sc AS (SELECT td.doc_id, lab.label,
+        |         lab.prior_logp + coalesce(sc0.like, 0) AS score
+        |       FROM td CROSS JOIN lab
+        |       LEFT JOIN sc0 ON sc0.doc_id = td.doc_id AND sc0.label = lab.label),
         |lo AS (SELECT doc_id,
         |         round(sum(CASE WHEN label = 'pos' THEN score ELSE -score END), 6)
         |           AS log_odds

@@ -40,11 +40,16 @@ object RecallSweep {
       .agg(expr("""slice(transform(array_sort(collect_list(named_struct(
                   |  'dist', dist, 'neighbor_id', neighbor_id))),
                   |  s -> s.neighbor_id), 1, 5)""".stripMargin).as("exact_top5"))
-    approx.groupBy(col("query_id"))
-      .agg(collect_set(col("neighbor_id")).as("got"))
-      .join(exact, "query_id")
-      .select(expr(
-        "CAST(size(array_intersect(got, exact_top5)) AS DOUBLE) / 5").as("recall"))
+    // LEFT join from the exact side: a query whose shortlist came back
+    // empty counts as recall 0, not as a dropped term — averaging only
+    // covered queries would flatter exactly the configurations with
+    // the worst coverage (ProbeSweep reports coverage explicitly; here
+    // the uncovered-as-zero convention keeps one honest number)
+    exact.join(approx.groupBy(col("query_id"))
+        .agg(collect_set(col("neighbor_id")).as("got")),
+        Seq("query_id"), "left")
+      .select((coalesce(size(array_intersect(col("got"), col("exact_top5"))),
+        lit(0)).cast("double") / 5).as("recall"))
       .agg(avg(col("recall"))).head().getDouble(0)
   }
 

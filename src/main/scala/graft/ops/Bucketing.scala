@@ -65,10 +65,17 @@ object Bucketing {
     */
   def zValue(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    (0 until bits).map { b =>
+    val z = (0 until bits).map { b =>
       shiftleft(shiftright(x.cast("long"), b).bitwiseAND(lit(1L)), 2 * b) +
         shiftleft(shiftright(y.cast("long"), b).bitwiseAND(lit(1L)), 2 * b + 1)
     }.reduce(_ + _)
+    // fail loudly on negative coordinates (the lshBuckets guard
+    // convention): arithmetic shiftright drags sign bits in, which
+    // would silently collapse every negative point onto the all-ones
+    // curve corner and void the layout's pruning promise
+    when(x >= 0 && y >= 0, z).otherwise(raise_error(
+      concat(lit("zValue: negative coordinate (x="), x.cast("string"),
+        lit(", y="), y.cast("string"), lit(")"))))
   }
 
   /** Z-order layout write: range-partition on [[zValue]] into
@@ -84,11 +91,11 @@ object Bucketing {
   def zOrderWrite(df: DataFrame, xCol: String, yCol: String, bits: Int,
                   path: String, numFiles: Int): Unit = {
     require(numFiles > 0, "numFiles must be positive")
+    // partition and sort on the z EXPRESSION directly — no temp column
+    // to collide with (or clobber) a user column named "zval"
     val z = zValue(col(xCol), col(yCol), bits)
-    df.withColumn("zval", z)
-      .repartitionByRange(numFiles, col("zval"))
-      .sortWithinPartitions(col("zval"))
-      .drop("zval")
+    df.repartitionByRange(numFiles, z)
+      .sortWithinPartitions(z)
       .write.mode("overwrite").parquet(path)
   }
 }

@@ -158,12 +158,20 @@ object Dedup {
     */
   def streamingAgainstStore(docs: DataFrame, store: DataFrame,
                             textCol: String, tsCol: String,
-                            delay: String): DataFrame =
+                            delay: String,
+                            broadcastStore: Boolean = true): DataFrame = {
+    // broadcastStore=true suits a store that fits executors; the kept
+    // corpus eventually doesn't (it is orders bigger than any slice —
+    // see dedupAgainstStore), so pass false to let the stream-static
+    // join shuffle instead, with the store bucketed on fingerprint so
+    // its side never re-shuffles (the batch sibling's contract)
+    val s = store.select(col("fingerprint"))
     docs.withColumn("fingerprint", fingerprint(textCol))
-      .join(broadcast(store.select(col("fingerprint"))),
+      .join(if (broadcastStore) broadcast(s) else s,
         Seq("fingerprint"), "left_anti")
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fingerprint")
+  }
 
   /** MinHash LSH banding (shingle → minhash → band → bucket key).
     * Output: one row per (doc, band): (doc_id, band_id, band_hash) where

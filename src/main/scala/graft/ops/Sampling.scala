@@ -248,33 +248,6 @@ object Sampling {
       defaultFraction = 0.0, salt = "mixture:")
   }
 
-  /** Temperature-flattened mixture (the UniMax / multilingual-sampling
-    * shape): target weights ∝ n_s^0.5 — big strata are down-weighted,
-    * small strata up-weighted relative to natural proportions — then
-    * the same keep-as-much-as-possible subsampling as [[mixture]]: the
-    * binding stratum (smallest n/√n pressure) is kept whole and every
-    * other stratum hash-samples down to realize the √-proportions.
-    *
-    * Unlike [[mixture]] (caller-supplied weights, double fractions),
-    * the weights here are DERIVED from counts, so the arithmetic is
-    * kept EXACT end-to-end: w_s = isqrt(n_s) (integer sqrt, corrected
-    * floor), the binding stratum is the cross-multiplication argmin of
-    * n_s/w_s (BigInt — no double ordering), and the per-stratum keep
-    * threshold is the integer `min(10000, (w_s·n_b·10000) div
-    * (w_b·n_s))` compared directly against the salted hash bucket — no
-    * double ever enters, so the kept set hashes bit-for-bit in any
-    * engine (the q135 oracle replays the same integers). Binding
-    * stratum lands at exactly 10000 — kept whole with no special case.
-    * Overflow bound: w_s·n_b·10000 < 2^63 ⇔ n < ~2e9 per stratum at
-    * isqrt weights (the threshold math, not the data, is the limit).
-    *
-    * Exponents other than 0.5 don't have an exact integer form — for
-    * those, compute weights upstream and call [[mixture]] (double
-    * arithmetic, bit-exact only for power-of-two shares).
-    *
-    * Driver-side data: the per-stratum count map, as in [[mixture]].
-    * Membership stays a pure pushdown-friendly hash filter.
-    */
   /** Recency-weighted (half-life) sampling with EXACT thresholds — the
     * time-decay a retrain-set assembly wants ("recent data matters
     * more") without `exp()`: the keep probability HALVES every
@@ -302,6 +275,33 @@ object Sampling {
          |  0L), 14L) as int))""".stripMargin))
   }
 
+  /** Temperature-flattened mixture (the UniMax / multilingual-sampling
+    * shape): target weights ∝ n_s^0.5 — big strata are down-weighted,
+    * small strata up-weighted relative to natural proportions — then
+    * the same keep-as-much-as-possible subsampling as [[mixture]]: the
+    * binding stratum (smallest n/√n pressure) is kept whole and every
+    * other stratum hash-samples down to realize the √-proportions.
+    *
+    * Unlike [[mixture]] (caller-supplied weights, double fractions),
+    * the weights here are DERIVED from counts, so the arithmetic is
+    * kept EXACT end-to-end: w_s = isqrt(n_s) (integer sqrt, corrected
+    * floor), the binding stratum is the cross-multiplication argmin of
+    * n_s/w_s (BigInt — no double ordering), and the per-stratum keep
+    * threshold is the integer `min(10000, (w_s·n_b·10000) div
+    * (w_b·n_s))` compared directly against the salted hash bucket — no
+    * double ever enters, so the kept set hashes bit-for-bit in any
+    * engine (the q135 oracle replays the same integers). Binding
+    * stratum lands at exactly 10000 — kept whole with no special case.
+    * Overflow bound: w_s·n_b·10000 < 2^63 ⇔ n < ~2e9 per stratum at
+    * isqrt weights (the threshold math, not the data, is the limit).
+    *
+    * Exponents other than 0.5 don't have an exact integer form — for
+    * those, compute weights upstream and call [[mixture]] (double
+    * arithmetic, bit-exact only for power-of-two shares).
+    *
+    * Driver-side data: the per-stratum count map, as in [[mixture]].
+    * Membership stays a pure pushdown-friendly hash filter.
+    */
   def temperatureMixture(df: DataFrame, idCol: String,
                          strataCol: String): DataFrame = {
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))

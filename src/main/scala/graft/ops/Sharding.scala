@@ -73,9 +73,20 @@ object Sharding {
     * no RNG, no task-order dependence.
     */
   def writeShards(manifest: DataFrame, fullWidth: DataFrame, idCol: String,
-                  path: String): Unit =
-    manifest.join(fullWidth.withColumnRenamed(idCol, "doc_id"), Seq("doc_id"))
+                  path: String): Unit = {
+    // the manifest's carry columns may duplicate corpus columns
+    // (source, n_tokens) and a duplicate name fails the parquet write:
+    // keep the corpus's copy, and from the manifest only the columns
+    // the corpus lacks (shard + the token intervals in the usual case)
+    require(!fullWidth.columns.exists(_.equalsIgnoreCase("shard")),
+      "fullWidth must not already carry a 'shard' column")
+    val clash = fullWidth.columns.map(_.toLowerCase).toSet
+    val fromManifest = manifest.columns.filter(c =>
+      c.equalsIgnoreCase("doc_id") || !clash.contains(c.toLowerCase))
+    manifest.select(fromManifest.map(col).toSeq: _*)
+      .join(fullWidth.withColumnRenamed(idCol, "doc_id"), Seq("doc_id"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
 }

@@ -348,10 +348,15 @@ object Similarity {
     */
   def binarySignPacked(emb: DataFrame, idCol: String,
                        vecCol: String): DataFrame =
+    // the empty-vector guard matters: sequence(0, -1) is the
+    // DESCENDING [0, -1] in Spark (the bpeMerges lesson), which would
+    // drive element_at out of bounds — an empty vector signs to 0L
+    // (the oracle's coalesce over an empty list_sum agrees)
     emb.select(col(idCol).as("vec_id"),
-      expr(s"""aggregate(sequence(0, least(size($vecCol) - 1, 63)), 0L,
-              |  (acc, i) -> acc + if(element_at($vecCol, i + 1) >= 0D,
-              |                       shiftleft(1L, i), 0L))""".stripMargin)
+      expr(s"""if(size($vecCol) = 0, 0L,
+              |  aggregate(sequence(0, least(size($vecCol) - 1, 63)), 0L,
+              |    (acc, i) -> acc + if(element_at($vecCol, i + 1) >= 0D,
+              |                         shiftleft(1L, i), 0L)))""".stripMargin)
         .as("sig"))
 
   /** Brute-force Hamming top-k over the [[binarySignPacked]] signatures:

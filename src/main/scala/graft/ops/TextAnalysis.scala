@@ -938,17 +938,24 @@ object TextAnalysis {
         .filter(length(col("term")) > 0)
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")),
       checkpointDir, eager = false)
-    tf.crossJoin(broadcast(labels))
+    val like = tf.crossJoin(broadcast(labels))
       .join(model, Seq("label", "term"), "left")
-      .select(col("doc_id"), col("label"), col("prior_logp"),
+      .select(col("doc_id"), col("label"),
         (col("tf") * coalesce(col("logp"), col("dflt"))).as("v"),
         col("term"))
-      .groupBy(col("doc_id"), col("label"), col("prior_logp"))
+      .groupBy(col("doc_id"), col("label"))
       .agg(expr(
         """aggregate(array_sort(collect_list(named_struct('term', term, 'v', v))),
           |          cast(0.0 as double), (a, s) -> a + s.v)""".stripMargin)
         .as("like"))
+    // left join FROM the test id frame: a token-less document (empty /
+    // whitespace text) has no tf rows, but its NB score is still
+    // defined — the prior alone — and the "every scored document"
+    // contract holds (previously such docs silently vanished)
+    test.select(col(idCol).as("doc_id")).distinct()
+      .crossJoin(broadcast(labels.select(col("label"), col("prior_logp"))))
+      .join(like, Seq("doc_id", "label"), "left")
       .select(col("doc_id"), col("label"),
-        (col("prior_logp") + col("like")).as("score"))
+        (col("prior_logp") + coalesce(col("like"), lit(0.0))).as("score"))
   }
 }

@@ -80,6 +80,13 @@ class BucketingSpec extends AnyFunSuite {
     // hand-interleaved: x=3 (011) even positions, y=5 (101) odd
     assert(byXy((1L, 0L)) === 1L && byXy((0L, 1L)) === 2L)
     assert(byXy((3L, 5L)) === 39L)
+    // negative coordinates fail LOUDLY (arithmetic shiftright would
+    // silently collapse them onto the all-ones curve corner)
+    val err = intercept[Exception] {
+      Seq((-1L, 2L)).toDF("x", "y")
+        .select(Bucketing.zValue(col("x"), col("y"), bits = 3)).collect()
+    }
+    assert(err.getMessage.contains("negative coordinate"))
   }
 
   test("zOrderWrite: a box filter on BOTH dimensions prunes most files by footer stats") {

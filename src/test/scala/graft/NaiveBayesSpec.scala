@@ -58,6 +58,22 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(math.abs(got(3L)._2 - expect3) < 1e-6)
   }
 
+  test("nbClassify/nbLogOdds score token-less documents (prior-only), not drop them") {
+    val test = Seq((1L, "cheap pills"), (2L, ""), (3L, " ")).toDF("doc_id", "text")
+    val preds = TextAnalysis.nbClassify(train, test, "label", "doc_id", "text")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(preds.keySet === Set(1L, 2L, 3L)) // EVERY document scored
+    // empty docs score the prior alone: equal priors here → ln(0.5),
+    // tie broken by label (max-of-struct: label desc wins on ties)
+    assert(math.abs(preds(2L) - math.log(0.5)) < 1e-6)
+    assert(math.abs(preds(3L) - math.log(0.5)) < 1e-6)
+    val lo = TextAnalysis.nbLogOdds(train, test, "label", "spam", "doc_id",
+        "text")
+      .as[(Long, Double)].collect().toMap
+    assert(lo.keySet === Set(1L, 2L, 3L))
+    assert(math.abs(lo(2L)) < 1e-6) // equal priors → log-odds 0
+  }
+
   test("nbLogOdds: sign follows the winning class; agrees with nbClassify") {
     val test = Seq(
       (1L, "cheap pills"),

@@ -81,8 +81,10 @@ class ShardingSpec extends AnyFunSuite {
       nShards = 4, carryCols = Seq("source"))
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
     try {
-      Sharding.writeShards(manifest, full.select($"doc_id", $"text"),
-        "doc_id", dir)
+      // the FULL corpus, including a `source` column the manifest also
+      // carries — writeShards must join only the shard assignment, not
+      // duplicate the carry columns into the written schema
+      Sharding.writeShards(manifest, full, "doc_id", dir)
       val shardDirs = new java.io.File(dir).listFiles()
         .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
       assert(shardDirs.length === 4)
