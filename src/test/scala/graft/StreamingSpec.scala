@@ -810,6 +810,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(withUnknown === Set(100L, 102L, 103L))
   }
 
+  test("mergeable sketches ride streaming windows unchanged: KMV + CMS per window ≡ batch") {
+    // the whole point of merge-order-independent sketch state: the SAME
+    // udaf drops into a watermarked streaming window and produces the
+    // batch answer, whatever the micro-batch arrival slicing
+    import graft.functions.TypedAggs
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window($"ts", "60 seconds"))
+      .agg(TypedAggs.kmvDistinct($"key".cast("string")).as("kmv"),
+        TypedAggs.countMin($"key".cast("string")).as("cms"))
+      .select(unix_timestamp($"window.start").as("w"), $"kmv",
+        $"cms.counts".as("cms_counts"))
+    val rows = Seq(
+      KeyedEvent(1, ts(10), "view", 1), KeyedEvent(2, ts(20), "view", 2),
+      KeyedEvent(1, ts(30), "view", 3), KeyedEvent(3, ts(40), "view", 4),
+      KeyedEvent(5, ts(70), "view", 5), KeyedEvent(5, ts(80), "view", 6))
+    val input = MemoryStream[KeyedEvent]
+    val q = agg(input.toDF().withWatermark("ts", "0 seconds"))
+      .writeStream.outputMode("append").format("memory").queryName("sk").start()
+    input.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    input.addData(KeyedEvent(9, ts(200), "view", 9)) // close both windows
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sk").filter($"w" < 120)
+      .as[(Long, Double, Seq[Long])].collect().toSet
+    val batch = agg(rows.toDF()).as[(Long, Double, Seq[Long])].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.find(_._1 == 0L).get._2 === 3.0) // KMV exact below k
+  }
+
   test("StreamingDrift: frozen cuts, batch ≡ streaming histograms, Drift bucket parity") {
     import graft.streaming.StreamingDrift
     // reference 1..100 → cuts exactly 10,20,...,90
