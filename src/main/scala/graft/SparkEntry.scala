@@ -1896,6 +1896,17 @@ object SparkEntry {
       Similarity.bucketNearestProbed(Tables.embeddings(s, dir), "vec_id",
         "embedding", probes = 2)),
 
+    // weighted PageRank over the SAME candidate graph, edge weight =
+    // n_bands (collision strength q133 throws away): a node's rank
+    // splits across neighbors ∝ weight — strong dup links pull more
+    // rank than a single-band brush. Same all-BIGINT rounds
+    "q149_pagerank_weighted" -> ((s, dir) =>
+      Graph.pageRankWeighted(
+        Dedup.lshCandidates(
+          Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"),
+          maxBucketSize = Int.MaxValue),
+        "doc_a", "doc_b", weightCol = "n_bands", iters = 3)),
+
     // half-life recency sampling for retrain-set assembly: keep
     // probability halves every 3 days of age vs the 2024-02-01 anchor
     // (integer 10000 >> k thresholds — no exp(), every decision
@@ -3055,6 +3066,34 @@ object SparkEntry {
         |                            ORDER BY score DESC, neighbor_id ASC) AS rn
         |  FROM sc)
         |SELECT query_id, neighbor_id, score FROM r WHERE rn = 1""".stripMargin,
+
+    // q133's rounds with band-count edge weights: contribution
+    // (r·w) // Σw_src; the cand GROUP BY's count(*) IS q22's n_bands
+    "q149_pagerank_weighted" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.t AS id, sum((r.r * e.w) // d.sw)::BIGINT AS m
+           |        FROM edges e JOIN deg d ON d.s = e.s
+           |        JOIN r${i - 1} r ON r.id = e.s GROUP BY 1),
+           |r$i AS (SELECT n.id,
+           |               (150000000 + (85 * coalesce(c.m, 0)) // 100)::BIGINT AS r
+           |        FROM n0 n LEFT JOIN c$i c USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""$duckBandsCte,
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, count(*)::BIGINT AS w
+         |  FROM b a JOIN b b2
+         |    ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+         |   AND a.doc_id < b2.doc_id
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS t, w FROM cand
+         |  UNION ALL SELECT doc_b, doc_a, w FROM cand),
+         |deg AS (SELECT s, sum(w)::BIGINT AS sw FROM edges GROUP BY 1),
+         |n0 AS (SELECT DISTINCT s AS id FROM edges),
+         |r0 AS (SELECT id, 1000000000::BIGINT AS r FROM n0),
+         |$rounds
+         |SELECT id, r AS rank_units FROM r3""".stripMargin
+    },
 
     // the same integer half-life thresholds: age in whole half-lives
     // (floor // vs Spark's truncating div agree — negatives clamp to 0

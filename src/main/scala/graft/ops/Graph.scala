@@ -60,19 +60,52 @@ object Graph {
                            checkpointDir: Option[String] = None): DataFrame =
     power(pairs, aCol, bCol, seedPred, iters, scale, checkpointDir)
 
+  /** Weighted PageRank: each out-edge carries `weightCol` (positive
+    * integers — e.g. the number of colliding LSH bands, q22's
+    * `n_bands`), and a node's rank splits across neighbors
+    * proportionally: contribution = `(r·w) div Σw_src`. Strong dup
+    * links (many shared bands) pull more rank than a single-band
+    * brush — the graph already knows edge strength; unweighted
+    * PageRank throws it away. Duplicate (src, dst) pairs merge by
+    * summing weights (deterministic). Same all-BIGINT arithmetic, same
+    * oracle story; the extra overflow surface is `r·w`, so keep
+    * max-weight · scale < 2^63 / 85 (band counts are single digits —
+    * nowhere close).
+    */
+  def pageRankWeighted(pairs: DataFrame, aCol: String, bCol: String,
+                       weightCol: String, iters: Int = 3,
+                       scale: Long = 1000000000L,
+                       checkpointDir: Option[String] = None): DataFrame =
+    power(pairs, aCol, bCol, lit(true), iters, scale, checkpointDir,
+      weightCol = Some(weightCol))
+
   private def power(pairs: DataFrame, aCol: String, bCol: String,
                     seedPred: Column, iters: Int, scale: Long,
-                    checkpointDir: Option[String]): DataFrame = {
+                    checkpointDir: Option[String],
+                    weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(scale >= 100L && scale % 100L == 0L,
       "scale must be a positive multiple of 100 (exact damping arithmetic)")
     def pin(df: DataFrame): DataFrame =
       Checkpoints.pin(df, checkpointDir, eager = false)
-    val edges = pin(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct())
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    // (src, dst, out-degree of src), built once and reused every round
+    // weighted edges merge duplicate pairs by SUMMING weights;
+    // unweighted edges dedup to unit weight — with w = 1 and sw = deg
+    // the weighted arithmetic below degenerates to the classic
+    // `r div deg`, so both paths share one loop (and one oracle shape)
+    val edges = pin(weightCol match {
+      case Some(w) =>
+        pairs.select(col(aCol).as("src"), col(bCol).as("dst"),
+            col(w).cast("long").as("w"))
+          .unionByName(pairs.select(col(bCol).as("src"),
+            col(aCol).as("dst"), col(w).cast("long").as("w")))
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      case None =>
+        pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+          .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+          .distinct().withColumn("w", lit(1L))
+    })
+    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("sw"))
+    // (src, dst, w, Σw of src), built once and reused every round
     val edgesW = pin(edges.join(deg, "src"))
     val nodes = pin(edges.select(col("src").as("id")).distinct())
     val baseCol = when(seedPred, lit(15L * scale / 100L)).otherwise(lit(0L))
@@ -81,7 +114,7 @@ object Graph {
     for (_ <- 1 to iters) {
       val inbound = edgesW
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst"), expr("r div d").as("c"))
+        .select(col("dst"), expr("(r * w) div sw").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
       // left join keeps nodes with no in-edges at the base rank; on a
       // symmetrized graph none exist, but the contract shouldn't care

@@ -999,6 +999,29 @@ class MiningSpec extends AnyFunSuite {
     assert(pr2 === pr)
   }
 
+  test("pageRankWeighted: strong edges pull more rank — hand-traced; unit weights ≡ pageRank") {
+    // hub 0 with a weight-3 edge to 1 and weight-1 edge to 2
+    val pairs = Seq((0L, 1L, 3L), (0L, 2L, 1L)).toDF("doc_a", "doc_b", "w")
+    val pr = Graph.pageRankWeighted(pairs, "doc_a", "doc_b", "w", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // hand-traced: contributions (r·w) div Σw_src; hub splits 3:1
+    assert(pr === Map(0L -> 1741625000L, 1L -> 868781250L,
+      2L -> 389593750L))
+    assert(pr(1L) > pr(2L)) // the strong link carries more rank
+    // unit weights degenerate to the classic op exactly
+    val unit = Graph.pageRankWeighted(pairs.withColumn("w", lit(1L)),
+        "doc_a", "doc_b", "w", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val classic = Graph.pageRank(pairs.select($"doc_a", $"doc_b"),
+        "doc_a", "doc_b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(unit === classic)
+    // layout independence
+    val pr2 = Graph.pageRankWeighted(pairs.repartition(7), "doc_a",
+        "doc_b", "w", iters = 3).as[(Long, Long)].collect().toMap
+    assert(pr2 === pr)
+  }
+
   test("personalizedPageRank: mass flows only from the seed set — hand-traced star") {
     val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
       .toDF("doc_a", "doc_b")
