@@ -39,6 +39,18 @@ object Bench {
         None
       } catch { case t: Throwable => Some(t) }
 
+    // cache hygiene (r12 verdict): pipeline entries deliberately leave
+    // survivor frames cached, so a 150-query session otherwise
+    // accumulates CacheManager entries (and localCheckpoint blocks)
+    // linearly with suite size — confounding exactly the late-alphabet
+    // queries. Dropped BETWEEN queries, never between reps: best-of-N
+    // measures each query's own steady state, including its own caches.
+    def clean(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     // the short-name contract is pure string work — check it BEFORE
     // spending the warmup+timed passes, so a colliding qNN prefix
@@ -49,7 +61,7 @@ object Bench {
     require(shortNames.distinct.size == shortNames.size,
       "qNN prefixes must stay unique for the bench line")
     // warmup: full pass at the small scale factor
-    names.foreach(run(_, warmDir))
+    names.foreach { n => run(n, warmDir); clean() }
 
     // best-of-N: single-shot timings on a shared box see multi-second
     // GC/scheduler spikes; the minimum is the steady-state number the
@@ -65,6 +77,7 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val err = timings.map(_._2).find(_.isDefined).flatten
+      clean()
       (name, if (err.isDefined) -1.0 else timings.map(_._1).min, err)
     }
 

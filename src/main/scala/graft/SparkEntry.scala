@@ -1494,8 +1494,10 @@ object SparkEntry {
     // incremental (dump-over-dump) dedup: the src2 slice arrives as a
     // new snapshot and dedups against the fingerprint store of
     // everything else — in-slice keep-first (hash-agg min id, no
-    // Window) AND novel-against-store (narrow anti-join); the slice's
-    // text never shuffles (winning ids gate the full-width rows)
+    // Window) AND novel-against-store (narrow anti-join); the winning
+    // ids gate the full-width rows with NO forced broadcast (the r13
+    // default — AQE broadcasts the gate exactly when it measures small,
+    // as it does here; a survivor-scale set shuffles narrow instead)
     "q120_incremental_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       graft.ops.Dedup.dedupAgainstStore(

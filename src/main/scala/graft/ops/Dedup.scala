@@ -110,18 +110,22 @@ object Dedup {
     * (id, fingerprint) projection, the in-slice winner is a hash-agg
     * `min(id)` (no Window), the store anti-join runs fingerprint-to-
     * fingerprint on one-column frames, and only the winning ids come
-    * back to gate the full-width slice. `broadcastIds = true` (default)
-    * broadcasts that id set — right while a slice's survivor count fits
-    * executor memory; at bigger slices set it false and feed a store/
-    * slice pre-bucketed on the join keys (the [[graft.ops.Bucketing]]
-    * pattern) so the gate shuffles only narrow frames. The STORE is
-    * never re-shuffled if it is a bucketed table on `fingerprint` —
-    * at 100 TB the store is orders bigger than any slice, so that is
-    * the operative property.
+    * back to gate the full-width slice. `broadcastIds = false`
+    * (default, the r12-verdict flip) forces NO hint: the planner/AQE
+    * broadcasts the winner set exactly when its runtime-measured size
+    * fits the threshold, so a survivor-scale id set can never OOM the
+    * driver by an accident of the default — feed a store/slice
+    * pre-bucketed on the join keys (the [[graft.ops.Bucketing]]
+    * pattern) and the gate shuffles only narrow frames. Set it true
+    * only for slices KNOWN to fit executor memory, where the forced
+    * broadcast also pins the no-text-shuffle plan shape (MiningSpec).
+    * The STORE is never re-shuffled if it is a bucketed table on
+    * `fingerprint` — at 100 TB the store is orders bigger than any
+    * slice, so that is the operative property.
     */
   def dedupAgainstStore(newDocs: DataFrame, store: DataFrame,
                         idCol: String, textCol: String,
-                        broadcastIds: Boolean = true): DataFrame = {
+                        broadcastIds: Boolean = false): DataFrame = {
     val fps = newDocs.select(col(idCol).as("_fp_id"),
       fingerprint(textCol).as("fingerprint"))
     val winners = fps.groupBy(col("fingerprint"))

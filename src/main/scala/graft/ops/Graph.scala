@@ -94,10 +94,18 @@ object Graph {
     // `r div deg`, so both paths share one loop (and one oracle shape)
     val edges = pin(weightCol match {
       case Some(w) =>
-        pairs.select(col(aCol).as("src"), col(bCol).as("dst"),
-            col(w).cast("long").as("w"))
+        // enforce the positive-integer weight contract loudly (the
+        // zValue raise_error convention): a null/zero/negative weight
+        // would flow into `(r·w) div sw` — sw = 0 yields null
+        // contributions silently dropped from the sum, corrupting
+        // ranks with no error
+        val wOk = when(col(w).isNotNull && col(w) > 0, col(w).cast("long"))
+          .otherwise(raise_error(concat(
+            lit(s"pageRankWeighted: $w must be a positive integer, got "),
+            coalesce(col(w).cast("string"), lit("NULL")))))
+        pairs.select(col(aCol).as("src"), col(bCol).as("dst"), wOk.as("w"))
           .unionByName(pairs.select(col(bCol).as("src"),
-            col(aCol).as("dst"), col(w).cast("long").as("w")))
+            col(aCol).as("dst"), wOk.as("w")))
           .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       case None =>
         pairs.select(col(aCol).as("src"), col(bCol).as("dst"))

@@ -343,8 +343,10 @@ object Similarity {
     * (SQ8 → PQ → this). `x >= 0` maps to bit 1; the packing is a
     * single codegen'd `aggregate` fold, no shuffle, and pure integer
     * output, so downstream Hamming arithmetic is engine-exact.
-    * For dim > 64 the tail dimensions are ignored (doc'd, not silent:
-    * pack per-64 blocks into an array in a follow-up if needed).
+    * dim > 64 RAISES at runtime (the guardedBucket loud-failure
+    * convention — a silent 64-dim truncation would quietly degrade
+    * hammingTopK recall with no signal; pack per-64 blocks into an
+    * array when a wider corpus actually needs it).
     */
   def binarySignPacked(emb: DataFrame, idCol: String,
                        vecCol: String): DataFrame =
@@ -353,10 +355,13 @@ object Similarity {
     // drive element_at out of bounds — an empty vector signs to 0L
     // (the oracle's coalesce over an empty list_sum agrees)
     emb.select(col(idCol).as("vec_id"),
-      expr(s"""if(size($vecCol) = 0, 0L,
-              |  aggregate(sequence(0, least(size($vecCol) - 1, 63)), 0L,
+      expr(s"""if(size($vecCol) > 64,
+              |  raise_error(concat('binarySignPacked: one BIGINT packs at most 64 dims, got ',
+              |                     cast(size($vecCol) as string))),
+              |if(size($vecCol) = 0, 0L,
+              |  aggregate(sequence(0, size($vecCol) - 1), 0L,
               |    (acc, i) -> acc + if(element_at($vecCol, i + 1) >= 0D,
-              |                         shiftleft(1L, i), 0L)))""".stripMargin)
+              |                         shiftleft(1L, i), 0L))))""".stripMargin)
         .as("sig"))
 
   /** Brute-force Hamming top-k over the [[binarySignPacked]] signatures:

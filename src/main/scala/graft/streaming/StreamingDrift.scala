@@ -39,6 +39,19 @@ object StreamingDrift {
   def freezeCuts(ref: DataFrame, idCol: String, metricCol: String,
                  buckets: Int = 10): Seq[Long] = {
     require(buckets >= 2, "buckets must be >= 2")
+    // integral metrics only, enforced (not just doc'd): a fractional
+    // metric would be long-truncated HERE while windowedHistogram
+    // buckets the raw value — frozen cuts silently diverging from the
+    // batch histogram's would break the one-code-path parity contract
+    ref.schema(metricCol).dataType match {
+      case org.apache.spark.sql.types.ByteType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"freezeCuts: $metricCol must be integral (pre-scale doubles to " +
+          s"longs upstream), got $other")
+    }
     Quantiles.exactNtileGlobal(
         ref.select(col(idCol).as("id"), col(metricCol).cast("long").as("m")),
         orderCols = Seq("m", "id"), buckets = buckets)

@@ -51,13 +51,42 @@ class MiningSpec extends AnyFunSuite {
     val kept2 = Dedup.dedupAgainstStore(slice.repartition(5), store,
       "doc_id", "text")
     assert(kept2.select("doc_id").as[Long].collect().toSet === Set(11L, 13L))
+    // with the forced-broadcast gate (opt-in for slices known to fit)
     // the slice's full-width rows must not cross a shuffle: fingerprint
     // matching happens on narrow frames, winners gate by broadcast
-    val shuffles = kept.queryExecution.executedPlan.collect {
+    val keptB = Dedup.dedupAgainstStore(slice, store, "doc_id", "text",
+      broadcastIds = true)
+    assert(keptB.select("doc_id").as[Long].collect().toSet === Set(11L, 13L))
+    val shuffles = keptB.queryExecution.executedPlan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
           if e.output.exists(_.name == "text") => e
     }
     assert(shuffles.isEmpty, "slice text crossed a ShuffleExchange")
+    // the DEFAULT mode forces no broadcast hint (the r12-verdict flip:
+    // a survivor-scale winner set must not be broadcast by accident of
+    // the default): with auto-broadcast disabled and AQE off the plan
+    // carries NO BroadcastExchange — while the opt-in mode still does
+    // (proving the hint, and only the hint, differs)
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def broadcasts(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+        }
+      val defMode = Dedup.dedupAgainstStore(slice, store, "doc_id", "text")
+      assert(broadcasts(defMode).isEmpty,
+        "default mode must not force a winner-id broadcast")
+      assert(defMode.select("doc_id").as[Long].collect().toSet === Set(11L, 13L))
+      assert(broadcasts(Dedup.dedupAgainstStore(slice, store, "doc_id", "text",
+        broadcastIds = true)).nonEmpty,
+        "opt-in mode must carry the forced broadcast hint")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
     // appending the survivors' prints closes the loop: re-running the
     // same slice against the grown store keeps nothing
     val grown = store.union(Dedup.fingerprintStore(kept, "text")).distinct()
@@ -1020,6 +1049,17 @@ class MiningSpec extends AnyFunSuite {
     val pr2 = Graph.pageRankWeighted(pairs.repartition(7), "doc_a",
         "doc_b", "w", iters = 3).as[(Long, Long)].collect().toMap
     assert(pr2 === pr)
+    // the positive-integer weight contract is ENFORCED (ADVICE r12):
+    // zero/negative/null weights would silently corrupt ranks via
+    // null contributions — they must fail loudly instead
+    for (bad <- Seq(Some(0L), Some(-2L), None)) {
+      val err = intercept[Exception] {
+        Graph.pageRankWeighted(
+          Seq((0L, 1L, bad)).toDF("doc_a", "doc_b", "w"),
+          "doc_a", "doc_b", "w", iters = 1).collect()
+      }
+      assert(err.getMessage.contains("positive"), s"weight $bad: $err")
+    }
   }
 
   test("personalizedPageRank: mass flows only from the seed set — hand-traced star") {
@@ -1178,6 +1218,13 @@ class MiningSpec extends AnyFunSuite {
       .select("neighbor_id", "hamming", "rank")
       .as[(Long, Long, Long)].collect().toSet
     assert(top === Set((3L, 0L, 1L), (1L, 1L, 2L)))
+    // dim > 64 raises (ADVICE r12): a silent 64-dim truncation would
+    // quietly degrade recall on a wider corpus with no signal
+    val wide = Seq((0L, Seq.fill(65)(1.0f))).toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      Similarity.binarySignPacked(wide, "vec_id", "embedding").collect()
+    }
+    assert(err.getMessage.contains("64"))
   }
 
   test("sessionSequences: gap splits sessions, event order within, null items dropped") {

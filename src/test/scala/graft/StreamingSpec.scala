@@ -879,6 +879,14 @@ class StreamingSpec extends AnyFunSuite {
       .filter($"cnt_cmp" > 0).select($"bucket", $"cnt_cmp")
       .as[(Long, Long)].collect().toSet
     assert(drift === Set((1L, 2L), (2L, 1L), (6L, 1L), (10L, 1L)))
+    // fractional metrics are REJECTED (ADVICE r12): freezeCuts would
+    // long-truncate them while windowedHistogram buckets raw values —
+    // a silent batch/streaming cut divergence
+    val err = intercept[IllegalArgumentException] {
+      StreamingDrift.freezeCuts(
+        Seq((1L, 0.5), (2L, 1.5)).toDF("id", "m"), "id", "m")
+    }
+    assert(err.getMessage.contains("integral"))
   }
 
   test("nearDupFlags in foreachBatch: per-batch gate ≡ batch gate on the same rows") {
