@@ -1945,6 +1945,16 @@ object SparkEntry {
         d.filter(col("doc_id") % 10 === 0), "doc_id", "text").as[MediaRecord]
       Multimodal.decodeImageFeatures(good.unionByName(rot)).toDF()
     }),
+
+    // session_window session sequences — BATCH mode of the exact code
+    // path the live streaming twin runs (StreamingSessions; StreamingSpec
+    // pins stream ≡ batch on it), so the streaming corpus assembler gets
+    // a DuckDB gate of its own next to the lag-based q148. Same strict->
+    // gap rule as q148, compared at full microsecond precision (q148
+    // floors to seconds first); window end = last event + gap
+    "q151_session_window_seq" -> ((s, dir) =>
+      graft.streaming.StreamingSessions.sessionSequences(
+        eventsWithItem(s, dir), "user_id", "item_id", "ts", "event_id")),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3150,6 +3160,33 @@ object SparkEntry {
         |       count(*)::BIGINT AS n_items,
         |       string_agg(item::VARCHAR, ' ' ORDER BY ts, event_id) AS item_seq
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // session_window semantics replayed lag-relationally: new session
+    // when the full-precision microsecond gap strictly exceeds 1800s
+    // (an event exactly on the close MERGES — measured, spec-pinned);
+    // window start = min ts, end = max ts + gap, floored to seconds
+    // only at output
+    "q151_session_window_seq" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         json_extract_string(props, '$.k')::BIGINT AS item
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |f AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS s_id
+        |  FROM f)
+        |SELECT user_id,
+        |       (epoch_us(min(ts))//1000000)::BIGINT AS session_start_s,
+        |       (epoch_us(max(ts))//1000000 + 1800)::BIGINT AS session_end_s,
+        |       count(*)::BIGINT AS n_items,
+        |       string_agg(item::VARCHAR, ' ' ORDER BY ts, event_id) AS item_seq
+        |FROM s GROUP BY user_id, s_id""".stripMargin,
 
     // replays Multimodal.pixelValue/synthDims relationally: width
     // 2+id%6, height 3+id%4, pixel (x,y) channel sums over one flat

@@ -889,6 +889,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("integral"))
   }
 
+  test("StreamingSessions: gap-closed sessions emit item sequences, batch ≡ streaming") {
+    import graft.streaming.StreamingSessions
+    val rows = Seq(
+      (1L, ts(100), 1L, 11L), (2L, ts(200), 1L, 12L),
+      (3L, ts(2000), 1L, 13L), // gap exactly 1800 → MERGES (strict > rule)
+      (5L, ts(3801), 1L, 14L), // gap 1801 > 1800 → new session
+      (4L, ts(150), 2L, 21L))
+    val input = MemoryStream[(Long, Timestamp, Long, Long)]
+    val q = StreamingSessions.sessionSequences(
+        input.toDF().toDF("event_id", "ts", "user_id", "item_id")
+          .withWatermark("ts", "0 seconds"),
+        "user_id", "item_id", "ts", "event_id")
+      .writeStream.outputMode("append").format("memory").queryName("ss").start()
+    input.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    input.addData((9L, ts(10000), 9L, 99L)) // advance watermark, close all
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ss").filter($"user_id" < 9)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    // the IDENTICAL code path on the batch frame — one plan, two modes
+    val batch = StreamingSessions.sessionSequences(
+        rows.toDF("event_id", "ts", "user_id", "item_id"),
+        "user_id", "item_id", "ts", "event_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(streamed === batch)
+    // hand-traced: the event at 2000 lands exactly on session 1's close
+    // (200 + 1800) and MERGES, extending it to [100, 3800); the event
+    // at 3801 exceeds the gap strictly and opens session 2
+    assert(streamed === Set(
+      (1L, 100L, 3800L, 3L, "11 12 13"),
+      (1L, 3801L, 5601L, 1L, "14"),
+      (2L, 150L, 1950L, 1L, "21")))
+  }
+
   test("nearDupFlags in foreachBatch: per-batch gate ≡ batch gate on the same rows") {
     import graft.ops.Dedup
     val kept = Seq((1L, "alpha beta gamma delta epsilon zeta", "s"),
