@@ -1955,6 +1955,43 @@ object SparkEntry {
     "q151_session_window_seq" -> ((s, dir) =>
       graft.streaming.StreamingSessions.sessionSequences(
         eventsWithItem(s, dir), "user_id", "item_id", "ts", "event_id")),
+
+    // KMV sketch WAREHOUSE: per-(event_type, day) bottom-64 sketch rows
+    // — the unit a store persists (SketchStoreSpec drives the bucketed
+    // write + zero-Exchange store-merge + store⊕slice ≡ full-rescan) —
+    // merged down to one state per type and read as (n_slices,
+    // estimate). Bottom-k of a union of bottom-k's IS the union's
+    // bottom-k, so the merged estimate replays hash-exactly against the
+    // raw corpus (the q127 oracle) and n_slices pins the store shape
+    "q152_kmv_warehouse" -> ((s, dir) => {
+      val slices = SketchStore.kmvSlices(
+        Tables.events(s, dir)
+          .withColumn("day", to_date(col("ts")))
+          .withColumn("u", col("user_id").cast("string")),
+        Seq("event_type"), "day", col("u"))
+      SketchStore.kmvMergeSlices(slices, Seq("event_type"))
+        .select(col("event_type"), col("n_slices"),
+          round(SketchStore.kmvEstimate(col("hs")), 4).as("est_distinct"))
+    }),
+
+    // Count–Min WAREHOUSE: per-source CMS matrices over document terms
+    // (the q124 sketch, sliced), vector-added to one store state and
+    // point-read for the exact top-30 terms. Counters are sums, so the
+    // merged matrix ≡ the full-corpus matrix bit-exactly — same
+    // hash-exact oracle as q124, plus the slice count
+    "q153_cms_warehouse" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val merged = SketchStore.cmsMergeSlices(
+        SketchStore.cmsSlices(words, Nil, "source", col("term")), Nil)
+      val top = words.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(30)
+      top.crossJoin(broadcast(merged))
+        .select(col("term"), col("cnt"), col("n_slices"),
+          graft.functions.TypedAggs.countMinEstimate(col("sk"), col("term"))
+            .as("est_cnt"))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -4602,6 +4639,52 @@ object SparkEntry {
         |        FROM r GROUP BY 1)
         |SELECT x.event_type, n_exact, round(est, 4) AS est_distinct
         |FROM x JOIN est USING (event_type)""".stripMargin,
+
+    // warehouse-merged KMV ≡ global KMV (bottom-k of a union of
+    // bottom-k's): the q127 estimate replay + per-type slice counts
+    // (distinct days) pinning the store shape
+    "q152_kmv_warehouse" ->
+      """WITH e AS (SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (SELECT DISTINCT event_type,
+        |        ('0x'||substr(md5('kmv:'||user_id::VARCHAR),1,15))::BIGINT AS hv
+        |      FROM e),
+        |r AS (SELECT event_type, hv,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS nd
+        |      FROM h),
+        |d AS (SELECT event_type,
+        |        count(DISTINCT date_trunc('day', ts))::BIGINT AS n_slices
+        |      FROM events GROUP BY 1),
+        |est AS (SELECT event_type,
+        |          CASE WHEN max(nd) < 64 THEN max(nd)::DOUBLE
+        |               ELSE 63.0 * 1152921504606846976
+        |                    / max(CASE WHEN rn = 64 THEN hv END) END AS est
+        |        FROM r GROUP BY 1)
+        |SELECT d.event_type, n_slices, round(est, 4) AS est_distinct
+        |FROM d JOIN est USING (event_type)""".stripMargin,
+
+    // warehouse-merged CMS ≡ global CMS (counters are sums): the q124
+    // replay + the distinct-source slice count on every row
+    "q153_cms_warehouse" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |w2 AS (SELECT source, term FROM w WHERE length(term) > 0),
+        |c AS (SELECT term, count(*)::BIGINT AS cnt FROM w2 GROUP BY 1),
+        |h AS (SELECT term, cnt,
+        |        ('0x'||substr(md5('cms0:'||term),1,15))::BIGINT % 2048 AS b0,
+        |        ('0x'||substr(md5('cms1:'||term),1,15))::BIGINT % 2048 AS b1,
+        |        ('0x'||substr(md5('cms2:'||term),1,15))::BIGINT % 2048 AS b2
+        |      FROM c),
+        |r0 AS (SELECT b0 AS b, sum(cnt)::BIGINT AS s FROM h GROUP BY 1),
+        |r1 AS (SELECT b1 AS b, sum(cnt)::BIGINT AS s FROM h GROUP BY 1),
+        |r2 AS (SELECT b2 AS b, sum(cnt)::BIGINT AS s FROM h GROUP BY 1),
+        |ns AS (SELECT count(DISTINCT source)::BIGINT AS n_slices FROM w2),
+        |top AS (SELECT term, cnt, b0, b1, b2 FROM h
+        |        ORDER BY cnt DESC, term ASC LIMIT 30)
+        |SELECT top.term, top.cnt, ns.n_slices, least(r0.s, r1.s, r2.s) AS est_cnt
+        |FROM top CROSS JOIN ns
+        |JOIN r0 ON top.b0 = r0.b JOIN r1 ON top.b1 = r1.b
+        |JOIN r2 ON top.b2 = r2.b""".stripMargin,
 
     // the q92 chain widened to a 20-candidate shortlist, then exact
     // cosine over ONLY those pairs (q25's scoring expression verbatim)

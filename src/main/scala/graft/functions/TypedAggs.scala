@@ -383,6 +383,80 @@ object TypedAggs {
   def kmvHashes(c: Column, k: Int = 64): Column =
     udaf(KmvHashes(k), Encoders.STRING).apply(c)
 
+  /** Merge of STORED KMV states (rows of [[kmvHashes]] output) — the
+    * incremental half of the sketch warehouse ([[graft.ops.SketchStore]]):
+    * each input row IS a sketch (ascending distinct bottom-k hashes),
+    * folded in by the same sorted-merge the live aggregation uses, so
+    * store ⊕ slice ≡ full rescan exactly (bottom-k of a union of
+    * bottom-k's is the union's bottom-k — every global winner survives
+    * its own slice). Malformed states fail loudly: a stored list that
+    * is not strictly ascending would silently violate the merge
+    * invariant and skew every later estimate.
+    */
+  case class KmvMergeHashes(k: Int = 64)
+      extends Aggregator[Seq[Long], KmvBuf, Seq[Long]] {
+    private val core = KmvSketch(k)
+    private def checked(hs: Seq[Long]): KmvBuf = {
+      var i = 1
+      while (i < hs.length) {
+        require(hs(i - 1) < hs(i),
+          "KmvMergeHashes: stored state must be strictly ascending " +
+            s"(violated at index $i)")
+        i += 1
+      }
+      require(hs.length <= k,
+        s"KmvMergeHashes: stored state has ${hs.length} hashes > k=$k")
+      KmvBuf(hs.toVector)
+    }
+    override def zero: KmvBuf = core.zero
+    override def reduce(b: KmvBuf, hs: Seq[Long]): KmvBuf =
+      core.merge(b, checked(hs))
+    override def merge(x: KmvBuf, y: KmvBuf): KmvBuf = core.merge(x, y)
+    override def finish(b: KmvBuf): Seq[Long] = b.hs
+    override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  def kmvMergeHashes(c: Column, k: Int = 64): Column =
+    udaf(KmvMergeHashes(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+      .apply(c)
+
+  /** Merge of STORED Count–Min matrices (the `counts` field of
+    * [[countMin]] output): counters are sums, so vector-add over any
+    * slicing replays the full-corpus sketch bit-exactly. Dimension
+    * mismatches fail loudly — adding a 3×1024 state into a 3×2048
+    * store would silently misalign every bucket.
+    */
+  case class CmsMerge(depth: Int = 3, width: Int = 2048)
+      extends Aggregator[Seq[Long], Array[Long], CmsSketch] {
+    require(depth >= 1 && width >= 1, "depth and width must be >= 1")
+    override def zero: Array[Long] = new Array[Long](depth * width)
+    override def reduce(b: Array[Long], counts: Seq[Long]): Array[Long] = {
+      require(counts.length == depth * width,
+        s"CmsMerge: stored state has ${counts.length} counters, " +
+          s"expected depth*width = ${depth * width}")
+      var i = 0
+      while (i < b.length) { b(i) += counts(i); i += 1 }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): CmsSketch = CmsSketch(b.toSeq)
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[CmsSketch] = Encoders.product[CmsSketch]
+  }
+
+  def cmsMerge(c: Column, depth: Int = 3, width: Int = 2048): Column =
+    udaf(CmsMerge(depth, width),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+      .apply(c)
+
   /** Point-estimate read over a [[countMin]] result: min over rows of
     * the addressed counters — the same md5₆₀ family evaluated as a
     * codegen'd column, so look-ups stay inside WholeStageCodegen.

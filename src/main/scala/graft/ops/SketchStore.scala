@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TypedAggs
+
+/** The SKETCH WAREHOUSE: persist per-slice sketch states (KMV bottom-k
+  * hash lists, Count–Min counter matrices) as rows of a bucketed table,
+  * merge a new day's slice in WITHOUT re-scanning history, and answer
+  * distinct/frequency questions from the store alone — the operating
+  * posture of a 100 TB pipeline, where the corpus is scanned once per
+  * ingest slice and every later question touches only sketch rows
+  * (groups × slices × k longs, dimension-scale).
+  *
+  * Why these two sketches: both states are pure functions of the input
+  * MULTISET — KMV's bottom-k of a union is the union of bottom-k's,
+  * CMS counters are sums — so store ⊕ slice ≡ full-rescan EXACTLY
+  * (SketchStoreSpec proves it; the q152/q153 oracles replay the merged
+  * estimates hash-exactly against the raw corpus). Misra–Gries is
+  * deliberately absent: its state is merge-order-dependent, so a
+  * warehouse of MG rows would answer differently per merge plan — the
+  * wrong property for a persisted artifact.
+  *
+  * Scale shape: slice construction is one hash aggregate over the new
+  * slice's corpus (map-side combining, ≤ k longs or depth×width
+  * counters shipped per group-partition); merges touch only sketch
+  * rows. Persist stores with [[writeStore]] (bucketed on the group
+  * key) and a store-only merge plans with ZERO Exchange — the
+  * aggregation reads bucket-local (spec-pinned).
+  */
+object SketchStore {
+
+  /** Per-(group, slice) KMV sketch rows over `valueCol` — the unit of
+    * persistence. One corpus scan; each row carries the slice's
+    * bottom-`k` distinct md5-60 hashes ascending.
+    */
+  def kmvSlices(df: DataFrame, groupCols: Seq[String], sliceCol: String,
+                valueCol: Column, k: Int = 64): DataFrame =
+    df.groupBy((groupCols :+ sliceCol).map(col): _*)
+      .agg(TypedAggs.kmvHashes(valueCol, k).as("hs"))
+
+  /** Merge sketch rows (a store, a store ∪ a fresh slice, …) down to
+    * one state per group; `n_slices` counts the merged rows — the
+    * store-shape evidence the q152 oracle checks alongside the
+    * estimate.
+    */
+  def kmvMergeSlices(slices: DataFrame, groupCols: Seq[String],
+                     k: Int = 64): DataFrame =
+    slices.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_slices"),
+        TypedAggs.kmvMergeHashes(col("hs"), k).as("hs"))
+
+  /** The KMV estimate read as a codegen'd column over a (merged) hash
+    * list: exact count below capacity, (k−1)·2⁶⁰ / h₍ₖ₎ at it — the
+    * same arithmetic as [[TypedAggs.KmvSketch.finish]], evaluated at
+    * query time so stored states stay mergeable.
+    */
+  def kmvEstimate(hs: Column, k: Int = 64): Column =
+    when(size(hs) < k, size(hs).cast("double"))
+      .otherwise(lit((k - 1).toDouble * 1152921504606846976.0 /* 2^60 */) /
+        element_at(hs, k).cast("double"))
+
+  /** Per-(group, slice) Count–Min matrices over `valueCol` (stored as
+    * the flat `counts` row the [[TypedAggs.cmsMerge]] reducer re-adds).
+    */
+  def cmsSlices(df: DataFrame, groupCols: Seq[String], sliceCol: String,
+                valueCol: Column, depth: Int = 3,
+                width: Int = 2048): DataFrame =
+    df.groupBy((groupCols :+ sliceCol).map(col): _*)
+      .agg(TypedAggs.countMin(valueCol, depth, width)("counts").as("counts"))
+
+  /** Vector-add CMS slices down to one matrix per group; point reads
+    * go through [[TypedAggs.countMinEstimate]] on the `sk` struct.
+    */
+  def cmsMergeSlices(slices: DataFrame, groupCols: Seq[String],
+                     depth: Int = 3, width: Int = 2048): DataFrame =
+    slices.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_slices"),
+        TypedAggs.cmsMerge(col("counts"), depth, width).as("sk"))
+
+  /** Persist sketch rows bucketed on the group key ([[Bucketing]]), so
+    * a store-only merge aggregates bucket-local with zero Exchange and
+    * appending a new slice's rows never re-shuffles history.
+    */
+  def writeStore(slices: DataFrame, table: String, groupCols: Seq[String],
+                 buckets: Int, path: Option[String] = None): Unit =
+    Bucketing.writeBucketed(slices, table, groupCols, buckets, path = path)
+}

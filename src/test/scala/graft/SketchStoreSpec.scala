@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TypedAggs
+import graft.ops.SketchStore
+
+/** The sketch warehouse contract: per-slice states persist as a
+  * bucketed table, a new slice merges in without re-scanning history,
+  * and the merged state answers EXACTLY like a full rescan (both sketch
+  * states are pure functions of the input multiset).
+  */
+class SketchStoreSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // 40 values over 2 groups × 3 slices, enough distinct values per
+  // group to push KMV k=4 past capacity
+  private def rows = (0 until 40).map { i =>
+    (if (i % 2 == 0) "a" else "b", (i % 3).toLong, s"v$i")
+  }.toDF("g", "slice", "v")
+
+  test("KMV: store-merge ≡ full-rescan (state and estimate), layout-independent") {
+    val k = 4
+    val slices = SketchStore.kmvSlices(rows, Seq("g"), "slice", col("v"), k)
+    assert(slices.count() === 6) // 2 groups × 3 slices
+    val merged = SketchStore.kmvMergeSlices(slices, Seq("g"), k)
+      .select(col("g"), col("n_slices"), col("hs"),
+        SketchStore.kmvEstimate(col("hs"), k).as("est"))
+      .as[(String, Long, Seq[Long], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val direct = rows.groupBy(col("g"))
+      .agg(TypedAggs.kmvHashes(col("v"), k).as("hs"),
+        TypedAggs.kmvDistinct(col("v"), k).as("est"))
+      .as[(String, Seq[Long], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    for (g <- Seq("a", "b")) {
+      assert(merged(g)._1 === 3L)                 // n_slices
+      assert(merged(g)._2 === direct(g)._1)       // identical state
+      assert(merged(g)._3 === direct(g)._2)       // identical estimate
+      assert(merged(g)._2.length === k)           // past capacity
+    }
+    // merge order/layout cannot matter (the warehouse property)
+    val reMerged = SketchStore.kmvMergeSlices(slices.repartition(7), Seq("g"), k)
+      .select(col("g"), col("hs")).as[(String, Seq[Long])].collect().toMap
+    assert(reMerged === merged.view.mapValues(_._2).toMap)
+  }
+
+  test("KMV: persisted bucketed store — zero-Exchange merge, new slice folds in exactly") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sketch-store-")
+    try {
+      val k = 4
+      val history = rows.filter(col("slice") < 2)
+      val newSlice = rows.filter(col("slice") === 2)
+      SketchStore.writeStore(
+        SketchStore.kmvSlices(history, Seq("g"), "slice", col("v"), k),
+        "graft_sketch_store", Seq("g"), buckets = 4,
+        path = Some(base.resolve("kmv").toString))
+      val store = spark.table("graft_sketch_store")
+      // store-only merge aggregates bucket-local: NO Exchange anywhere
+      val storeMerge = SketchStore.kmvMergeSlices(store, Seq("g"), k)
+      storeMerge.collect()
+      val exchanges = storeMerge.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed store merge must not shuffle:\n${storeMerge.queryExecution.executedPlan}")
+      // incremental: store rows ∪ the new day's slice rows ≡ full rescan
+      // — history's corpus is never touched again
+      val increment = SketchStore.kmvMergeSlices(
+          store.unionByName(
+            SketchStore.kmvSlices(newSlice, Seq("g"), "slice", col("v"), k)),
+          Seq("g"), k)
+        .select(col("g"), col("hs")).as[(String, Seq[Long])].collect().toMap
+      val full = rows.groupBy(col("g"))
+        .agg(TypedAggs.kmvHashes(col("v"), k).as("hs"))
+        .as[(String, Seq[Long])].collect().toMap
+      assert(increment === full)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_sketch_store")
+    }
+  }
+
+  test("CMS: store-merge ≡ full-rescan matrix, point reads agree") {
+    val d = 2; val w = 64
+    val slices = SketchStore.cmsSlices(rows, Seq("g"), "slice", col("v"), d, w)
+    val merged = SketchStore.cmsMergeSlices(slices, Seq("g"), d, w)
+    val mergedRead = merged
+      .select(col("g"), col("n_slices"),
+        TypedAggs.countMinEstimate(col("sk"), lit("v6"), d, w).as("est"),
+        col("sk")("counts").as("counts"))
+      .as[(String, Long, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val direct = rows.groupBy(col("g"))
+      .agg(TypedAggs.countMin(col("v"), d, w).as("sk"))
+      .select(col("g"), TypedAggs.countMinEstimate(col("sk"), lit("v6"), d, w),
+        col("sk")("counts"))
+      .as[(String, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    for (g <- Seq("a", "b")) {
+      assert(mergedRead(g)._1 === 3L)
+      assert(mergedRead(g)._2 === direct(g)._1)   // point estimate
+      assert(mergedRead(g)._3 === direct(g)._2)   // whole matrix
+    }
+    // v6 lands only in group "a"; its estimate is ≥ 1 there (CMS never
+    // undercounts) and its true count is 1
+    assert(mergedRead("a")._2 >= 1L)
+  }
+
+  test("malformed stored states fail loudly") {
+    // unsorted KMV state: silently accepting it would break the merge
+    // invariant and skew every later estimate
+    val badKmv = Seq(("a", Seq(5L, 3L))).toDF("g", "hs")
+    val e1 = intercept[Exception] {
+      SketchStore.kmvMergeSlices(badKmv, Seq("g"), k = 4).collect()
+    }
+    assert(e1.getMessage.contains("ascending") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("ascending"))
+    // wrong-dimension CMS state: vector-add would silently misalign
+    val badCms = Seq(("a", Seq(1L, 2L, 3L))).toDF("g", "counts")
+    val e2 = intercept[Exception] {
+      SketchStore.cmsMergeSlices(badCms, Seq("g"), depth = 2, width = 64).collect()
+    }
+    assert(e2.getMessage.contains("counters") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("counters"))
+  }
+}
