@@ -1992,6 +1992,18 @@ object SparkEntry {
           graft.functions.TypedAggs.countMinEstimate(col("sk"), col("term"))
             .as("est_cnt"))
     }),
+
+    // three-dimensional Morton key (q136's sibling over (l_partkey,
+    // l_suppkey, l_quantity)): round-robin bit interleave — column i
+    // owns positions 3b+i — so ONE layout write serves filters on any
+    // of the three columns; same codegen'd shift/and fold,
+    // bit-reproducible in any engine (BucketingSpec drives the 3-dim
+    // write and proves the box pruning)
+    "q154_zorder3_key" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+          Bucketing.zValueN(Seq(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity")), bits = 16).as("zval3"))),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3245,6 +3257,17 @@ object SparkEntry {
         |SELECT doc_id, false AS decoded, 0::BIGINT AS width, 0::BIGINT AS height,
         |       0::BIGINT AS channels, 0::BIGINT AS pixel_sum
         |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+
+    // the 3-way round-robin interleave of zValueN: bit b of column i
+    // lands at position 3b+i (l_quantity is an integral double in this
+    // corpus, so both engines' long casts agree)
+    "q154_zorder3_key" ->
+      """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        |       list_sum(list_transform(generate_series(0, 15), b ->
+        |         (((l_partkey >> b) & 1) << (3*b)) +
+        |         (((l_suppkey >> b) & 1) << (3*b + 1)) +
+        |         (((l_quantity::BIGINT >> b) & 1) << (3*b + 2))))::BIGINT AS zval3
+        |FROM lineitem""".stripMargin,
 
     // the same 16-bit Morton interleave as Bucketing.zValue — pure
     // integer bit arithmetic, so the layout key is engine-reproducible

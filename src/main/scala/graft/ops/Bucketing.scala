@@ -63,19 +63,37 @@ object Bucketing {
     * Values above 2^bits fold onto the curve by truncation — pick
     * `bits` to cover the domain (2·bits <= 62).
     */
-  def zValue(x: Column, y: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    val z = (0 until bits).map { b =>
-      shiftleft(shiftright(x.cast("long"), b).bitwiseAND(lit(1L)), 2 * b) +
-        shiftleft(shiftright(y.cast("long"), b).bitwiseAND(lit(1L)), 2 * b + 1)
-    }.reduce(_ + _)
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** N-column Morton value: the low `bits` bits of each column
+    * interleaved round-robin — column i owns bit positions
+    * b·N + i, so for N = 2 this IS [[zValue]]'s layout bit-for-bit
+    * (x even positions, y odd; the q136 oracle is unchanged). Real
+    * layout jobs z-order 3–4 dimensions (source × time × length);
+    * the same fold generalizes: still pure codegen'd shift/and
+    * arithmetic, still engine-reproducible (the q154 oracle), and a
+    * scan filtering any SUBSET of the columns prunes on footer stats
+    * (BucketingSpec proves the 3-dim box). N·bits ≤ 62 keeps the key
+    * in a positive BIGINT; negative coordinates raise (arithmetic
+    * shiftright would silently collapse them onto the all-ones curve
+    * corner and void the pruning promise).
+    */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.length
+    require(n >= 2, "zValueN needs at least 2 columns")
+    require(bits >= 1 && n * bits <= 62,
+      s"need bits >= 1 and n*bits <= 62, got n=$n bits=$bits")
+    val z = (for { b <- 0 until bits; (c, i) <- cols.zipWithIndex } yield
+      shiftleft(shiftright(c.cast("long"), b).bitwiseAND(lit(1L)), b * n + i))
+      .reduce(_ + _)
     // fail loudly on negative coordinates (the lshBuckets guard
-    // convention): arithmetic shiftright drags sign bits in, which
-    // would silently collapse every negative point onto the all-ones
-    // curve corner and void the layout's pruning promise
-    when(x >= 0 && y >= 0, z).otherwise(raise_error(
-      concat(lit("zValue: negative coordinate (x="), x.cast("string"),
-        lit(", y="), y.cast("string"), lit(")"))))
+    // convention)
+    when(cols.map(_ >= 0).reduce(_ && _), z).otherwise(raise_error(
+      concat((lit("zValueN: negative coordinate (") +:
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          (if (i == 0) Nil else Seq(lit(", "))) :+ c.cast("string")
+        } :+ lit(")")): _*)))
   }
 
   /** Z-order layout write: range-partition on [[zValue]] into
@@ -89,11 +107,20 @@ object Bucketing {
     * write time, never at read.
     */
   def zOrderWrite(df: DataFrame, xCol: String, yCol: String, bits: Int,
-                  path: String, numFiles: Int): Unit = {
+                  path: String, numFiles: Int): Unit =
+    zOrderWriteN(df, Seq(xCol, yCol), bits, path, numFiles)
+
+  /** [[zOrderWrite]] over N dimensions ([[zValueN]]): each written file
+    * covers a compact N-dimensional region, so a scan filtering on ANY
+    * subset of the layout columns skips most files on min/max footer
+    * stats.
+    */
+  def zOrderWriteN(df: DataFrame, colNames: Seq[String], bits: Int,
+                   path: String, numFiles: Int): Unit = {
     require(numFiles > 0, "numFiles must be positive")
     // partition and sort on the z EXPRESSION directly — no temp column
     // to collide with (or clobber) a user column named "zval"
-    val z = zValue(col(xCol), col(yCol), bits)
+    val z = zValueN(colNames.map(col), bits)
     df.repartitionByRange(numFiles, z)
       .sortWithinPartitions(z)
       .write.mode("overwrite").parquet(path)

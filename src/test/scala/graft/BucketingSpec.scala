@@ -116,4 +116,67 @@ class BucketingSpec extends AnyFunSuite {
         s"z-order box should prune to <=4 of 16 files, overlapped $overlapping")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
   }
+
+  test("zValueN: 3-way round-robin interleave, bijective; 2-col form ≡ zValue") {
+    import spark.implicits._
+    val grid = (for (x <- 0L until 4L; y <- 0L until 4L; w <- 0L until 4L)
+      yield (x, y, w)).toDF("x", "y", "w")
+    val zs = grid.select(col("x"), col("y"), col("w"),
+        Bucketing.zValueN(Seq(col("x"), col("y"), col("w")), bits = 2).as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(zs.map(_._4).toSet === (0L until 64L).toSet) // bijection
+    val byXyw = zs.map(t => (t._1, t._2, t._3) -> t._4).toMap
+    // hand-interleaved: bit b of column i lands at 3b+i.
+    // (1,0,0)→bit0=1; (0,1,0)→bit1=2; (0,0,1)→bit2=4;
+    // (3,1,2): x=11→bits 0,3; y=01→bit 1; w=10→bit 5 ⇒ 1+8+2+32=43
+    assert(byXyw((1L, 0L, 0L)) === 1L && byXyw((0L, 1L, 0L)) === 2L &&
+      byXyw((0L, 0L, 1L)) === 4L)
+    assert(byXyw((3L, 1L, 2L)) === 43L)
+    // the 2-column form is zValue bit-for-bit (q136's oracle unchanged)
+    val two = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y))
+      .toDF("x", "y")
+      .select(Bucketing.zValue(col("x"), col("y"), bits = 3).as("a"),
+        Bucketing.zValueN(Seq(col("x"), col("y")), bits = 3).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(two.count() === 0L)
+    // guards: negative coordinate raises; n*bits must fit a BIGINT
+    val err = intercept[Exception] {
+      Seq((1L, -2L, 3L)).toDF("x", "y", "w")
+        .select(Bucketing.zValueN(Seq(col("x"), col("y"), col("w")), 2))
+        .collect()
+    }
+    assert(err.getMessage.contains("negative coordinate"))
+    intercept[IllegalArgumentException] {
+      Bucketing.zValueN(Seq(col("x"), col("y"), col("w")), bits = 21)
+    }
+  }
+
+  test("zOrderWriteN: a 3-dim box filter prunes most files by footer stats") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder3-")
+    try {
+      // 16×16×16 grid, 16 files: each range segment of the 4-bit curve
+      // covers ~a 8×8×4 region; an 4×4×4 box overlaps a couple of
+      // files, while any single-column sort leaves the other two
+      // dimensions spanning [0,15] in every file
+      val grid = (for (x <- 0L until 16L; y <- 0L until 16L;
+                       w <- 0L until 16L) yield (x, y, w))
+        .toDF("x", "y", "w")
+      val path = base.resolve("z3").toString
+      Bucketing.zOrderWriteN(grid, Seq("x", "y", "w"), bits = 4, path,
+        numFiles = 16)
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+      assert(files.length === 16)
+      assert(spark.read.parquet(path).count() === 16L * 16L * 16L)
+      val overlapping = files.count { f =>
+        val Array(x0, _, y0, _, w0, _) = spark.read.parquet(f)
+          .agg(min("x"), max("x"), min("y"), max("y"), min("w"), max("w"))
+          .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+        x0 <= 3L && y0 <= 3L && w0 <= 3L
+      }
+      assert(overlapping <= 4,
+        s"3-dim z-order box should prune to <=4 of 16 files, overlapped $overlapping")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
 }
