@@ -1801,11 +1801,16 @@ object SparkEntry {
     // fertility spikes is being shredded to char-fallback. One
     // codegen'd subword_count pass (q90's greedy MaxMatch against the
     // corpus top-64 vocab) + one hash aggregate; sums are exact longs,
-    // the ratio rounds at 6 digits (the engine-stable convention)
+    // the ratio rounds at 6 digits (the engine-stable convention).
+    // broadcastVocab = true runs the SCALE path (SubwordCountBound:
+    // vocab ships as a torrent broadcast, plan size O(1) in |vocab|)
+    // through the hash gate itself — same countWith core as the
+    // literal form, hash unchanged (the r12 verdict's wiring item)
     "q138_tokenizer_fertility" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val sc = TextAnalysis.subwordCounts(d, "doc_id", "text",
-        TextAnalysis.subwordVocab(d, "text", topK = 64))
+        TextAnalysis.subwordVocab(d, "text", topK = 64),
+        broadcastVocab = true)
       d.select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("w"))
         .join(sc, "doc_id")
