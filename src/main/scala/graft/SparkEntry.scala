@@ -2009,6 +2009,51 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber").cast("long"),
           Bucketing.zValueN(Seq(col("l_partkey"), col("l_suppkey"),
             col("l_quantity")), bits = 16).as("zval3"))),
+
+    // perceptual image hash over DECODED pixels (the multimodal dedup
+    // primitive): bit p = pixel p's integer luma strictly above the
+    // image mean, compared cross-multiplied so the whole hash is
+    // integer-exact; computed by the REAL codec pass (decode once,
+    // hash in place). The oracle replays the generative pixels — the
+    // round-trip must reproduce them bit-for-bit for the hash to match
+    "q155_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.imagePHash(
+        Multimodal.imageRecords(Tables.documents(s, dir), "doc_id"))
+        .toDF().select(col("doc_id"), col("width"), col("height"),
+          col("phash"))
+    }),
+
+    // image near-dup serving: per probe image (ids 0..9), Hamming
+    // top-3 among SAME-dimension images — integer popcount(XOR) over
+    // q155's hashes, the q142 binary-serving pattern applied to the
+    // decoded-pixel space (dims partition the corpus, so the scored
+    // set is the probe's dim class, not all-pairs)
+    "q156_image_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hashes = queries("q155_image_phash")(s, dir)
+      val probes = hashes.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("width"), col("height"),
+          col("phash").as("q_hash"))
+      val scored = hashes.join(broadcast(probes), Seq("width", "height"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id").as("neighbor_id"),
+          expr("bit_count(q_hash ^ phash)").cast("long").as("hamming"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming").asc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+    }),
+
+    // block-packed Hamming ANN (the binarySignPacked wide-vector path:
+    // dims pack blockDim per BIGINT into an ARRAY, score = Σ popcount
+    // per block): blockDim 16 over the 64-dim corpus forces 4 real
+    // blocks through the gate, and the ranks must equal q142's —
+    // same bits, same total popcount — so the oracle IS q142's SQL
+    "q157_hamming_blocks" -> ((s, dir) =>
+      Similarity.hammingTopKBlocks(Tables.embeddings(s, dir), "vec_id",
+        "embedding", queryIds = (0L until 10L).toSeq, k = 5,
+        blockDim = 16)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3071,6 +3116,12 @@ object SparkEntry {
     // q25's query/self-exclusion/tie-break conventions
     "q142_hamming_topk" -> q142HammingSql(),
 
+    // block-packed signatures carry the SAME bits, so the total
+    // popcount — and every rank — equals the single-BIGINT form: the
+    // oracle is literally q142's SQL (the strongest statement of
+    // block-layout equivalence)
+    "q157_hamming_blocks" -> q142HammingSql(),
+
     // the q128 rerank tail over the 20-wide Hamming shortlist — the
     // SAME q142 SQL nested at k=20 (composed-oracle discipline)
     "q143_hamming_rerank" -> q143HammingRerankSql,
@@ -3262,6 +3313,58 @@ object SparkEntry {
         |SELECT doc_id, false AS decoded, 0::BIGINT AS width, 0::BIGINT AS height,
         |       0::BIGINT AS channels, 0::BIGINT AS pixel_sum
         |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+
+    // luma list per image from the generative pixels; bit p set iff
+    // luma[p]·w·h > Σluma (strict, cross-multiplied — pure integers).
+    // phash bits stay ≤ 42 (max 7×6 image), far from the << overflow
+    "q155_image_phash" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 2 + doc_id % 6 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |lum AS (
+        |  SELECT doc_id, w, h,
+        |         list_transform(generate_series(0, w*h - 1), p ->
+        |           (doc_id + 3*(p % w) + 5*(p // w)) % 256 +
+        |           (2*doc_id + 7*(p % w) + 11*(p // w)) % 256 +
+        |           (5*doc_id + 13*(p % w) + 17*(p // w)) % 256) AS ls
+        |  FROM dims),
+        |tot AS (SELECT doc_id, w, h, ls, list_sum(ls) AS t FROM lum)
+        |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+        |       coalesce(list_sum(list_transform(generate_series(1, w*h), p ->
+        |         CASE WHEN ls[p] * w * h > t THEN (1::BIGINT << (p - 1))
+        |              ELSE 0::BIGINT END)), 0)::BIGINT AS phash
+        |FROM tot""".stripMargin,
+
+    // q155's hash CTE + the q142 rank replay, joined within dim classes
+    "q156_image_neardup" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 2 + doc_id % 6 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |lum AS (
+        |  SELECT doc_id, w, h,
+        |         list_transform(generate_series(0, w*h - 1), p ->
+        |           (doc_id + 3*(p % w) + 5*(p // w)) % 256 +
+        |           (2*doc_id + 7*(p % w) + 11*(p // w)) % 256 +
+        |           (5*doc_id + 13*(p % w) + 17*(p // w)) % 256) AS ls
+        |  FROM dims),
+        |tot AS (SELECT doc_id, w, h, ls, list_sum(ls) AS t FROM lum),
+        |ph AS (
+        |  SELECT doc_id, w, h,
+        |         coalesce(list_sum(list_transform(generate_series(1, w*h), p ->
+        |           CASE WHEN ls[p] * w * h > t THEN (1::BIGINT << (p - 1))
+        |                ELSE 0::BIGINT END)), 0)::BIGINT AS phash
+        |  FROM tot),
+        |sc AS (
+        |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+        |         bit_count(xor(q.phash, c.phash))::BIGINT AS hamming
+        |  FROM ph q JOIN ph c ON q.w = c.w AND q.h = c.h
+        |                     AND c.doc_id <> q.doc_id
+        |  WHERE q.doc_id < 10),
+        |r AS (SELECT query_id, neighbor_id, hamming,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY hamming, neighbor_id) AS rank
+        |      FROM sc)
+        |SELECT query_id, neighbor_id, hamming, rank FROM r WHERE rank <= 3""".stripMargin,
 
     // the 3-way round-robin interleave of zValueN: bit b of column i
     // lands at position 3b+i (l_quantity is an integral double in this

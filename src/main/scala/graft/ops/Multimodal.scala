@@ -23,6 +23,13 @@ case class MediaFrame(doc_id: Long, frame_idx: Long, frame_len: Long,
 case class ImageFeatures(doc_id: Long, decoded: Boolean, width: Long,
                          height: Long, channels: Long, pixel_sum: Long)
 
+/** Perceptual hash of a decoded image ([[Multimodal.imagePHash]]):
+  * one bit per pixel in row-major order, packed into a BIGINT.
+  * `decoded = false` tags unreadable payloads (zeros).
+  */
+case class ImagePHash(doc_id: Long, decoded: Boolean, width: Long,
+                      height: Long, phash: Long)
+
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed partition-parallel.
   *
@@ -156,6 +163,62 @@ object Multimodal {
           }
           ImageFeatures(r.doc_id, decoded = true, w.toLong, h.toLong,
             img.getRaster.getNumBands.toLong, sum)
+        }
+      }
+    }
+  }
+
+  /** Perceptual image hash over the DECODED pixels (the multimodal
+    * dedup primitive): bit p — pixel p in row-major order — is set iff
+    * that pixel's integer luma (r+g+b) strictly exceeds the image
+    * mean, compared cross-multiplied (`luma·w·h > Σluma`) so the whole
+    * hash is exact integer arithmetic, replayable relationally (the
+    * q155 oracle) and stable under any lossless round-trip. Same
+    * real-codec mapPartitions pass as [[decodeImageFeatures]] (decode
+    * once, hash in place); unreadable payloads take the tagged zero
+    * row. Binarize-against-mean is the aHash family (average hash) —
+    * production stacks downsample to a fixed 8×8 grid first; here the
+    * synthesized images are already ≤ 7×6 (≤ 42 bits, fits one
+    * BIGINT), and images wider than 62 pixels-per-frame raise rather
+    * than silently truncate (the binarySignPacked rule). Near-dup
+    * lookup is then integer Hamming between same-dimension hashes —
+    * the q142 serving pattern on the image side (q156).
+    */
+  def imagePHash(ds: Dataset[MediaRecord]): Dataset[ImagePHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+          catch { case _: Exception => null }
+        if (img == null) ImagePHash(r.doc_id, decoded = false, 0L, 0L, 0L)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          require(w.toLong * h <= 62,
+            s"imagePHash: one BIGINT packs at most 62 pixel bits, got ${w}x$h")
+          val lumas = new Array[Long](w * h)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val l = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              lumas(y * w + x) = l
+              total += l
+              x += 1
+            }
+            y += 1
+          }
+          var hash = 0L
+          var p = 0
+          while (p < lumas.length) {
+            if (lumas(p) * w * h > total) hash |= (1L << p)
+            p += 1
+          }
+          ImagePHash(r.doc_id, decoded = true, w.toLong, h.toLong, hash)
         }
       }
     }

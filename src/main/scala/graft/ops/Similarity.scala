@@ -364,6 +364,57 @@ object Similarity {
               |                         shiftleft(1L, i), 0L))))""".stripMargin)
         .as("sig"))
 
+  /** Sign packing for vectors WIDER than one BIGINT — the path the
+    * [[binarySignPacked]] >64-dim guard points at: dims pack
+    * `blockDim` per BIGINT (bit j of block i = sign of dim
+    * i·blockDim + j), output an ARRAY of ⌈dim/blockDim⌉ longs, so any
+    * width is 8·⌈dim/64⌉ bytes per vector. Same bit convention as the
+    * single-BIGINT form; `blockDim` < 64 exists so the multi-block
+    * path is gate-exercised on this 64-dim corpus (q157: blockDim 16 ⇒
+    * 4 blocks, ranks identical to q142 because the total popcount is
+    * the same bits). Still one codegen'd fold, no shuffle; empty
+    * vectors sign to an empty array.
+    */
+  def binarySignBlocks(emb: DataFrame, idCol: String, vecCol: String,
+                       blockDim: Int = 64): DataFrame = {
+    require(blockDim >= 1 && blockDim <= 64, "blockDim must be in [1, 64]")
+    emb.select(col(idCol).as("vec_id"),
+      expr(s"""if(size($vecCol) = 0, array(),
+              |  transform(sequence(0, (size($vecCol) + ${blockDim - 1}) div $blockDim - 1),
+              |    blk -> aggregate(sequence(0, ${blockDim - 1}), 0L,
+              |      (acc, j) -> acc + if(blk * $blockDim + j < size($vecCol),
+              |        if(element_at($vecCol,
+              |             cast(blk * $blockDim + j + 1 as int)) >= 0D,
+              |           shiftleft(1L, j), 0L),
+              |        0L))))""".stripMargin)
+        .as("sig_blocks"))
+  }
+
+  /** [[hammingTopK]] over block-packed signatures ([[binarySignBlocks]]):
+    * score = Σ over blocks of popcount(XOR) — a zip_with fold per
+    * candidate, still integer-exact, so ranks replay bit-for-bit.
+    * All vectors must share one dimensionality (the corpus contract;
+    * the queries come from the same table, so blocks always align).
+    */
+  def hammingTopKBlocks(emb: DataFrame, idCol: String, vecCol: String,
+                        queryIds: Seq[Long], k: Int,
+                        blockDim: Int = 64): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val sig = binarySignBlocks(emb, idCol, vecCol, blockDim)
+    val q = sig.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("sig_blocks").as("q_blocks"))
+    val scored = sig.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("""aggregate(zip_with(q_blocks, sig_blocks,
+               |  (a, b) -> bit_count(a ^ b)), 0L, (acc, x) -> acc + x)""".stripMargin)
+          .cast("long").as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Brute-force Hamming top-k over the [[binarySignPacked]] signatures:
     * score = popcount(sig_q XOR sig_c) — one codegen'd integer op per
     * candidate against an 8-byte-per-row table, the realistic

@@ -1041,6 +1041,70 @@ class MiningSpec extends AnyFunSuite {
     assert(rot === ImageFeatures(7L, decoded = false, 0L, 0L, 0L, 0L))
   }
 
+  test("imagePHash: bit per pixel above the mean — hand-traced on the 2×3 image") {
+    import graft.ops.{ImagePHash, Multimodal}
+    val id = 12L
+    val lumas = for (p <- 0 until 6) yield
+      (0 until 3).map(c => Multimodal.pixelValue(id, p % 2, p / 2, c)).sum.toLong
+    val total = lumas.sum
+    // bit p set iff luma_p·6 > Σ — replayed by hand here, not via code
+    val expHash = lumas.zipWithIndex.collect {
+      case (l, p) if l * 6 > total => 1L << p
+    }.sum
+    val got = Multimodal.imagePHash(
+      Multimodal.imageRecords(Seq(id).toDF("doc_id"), "doc_id")).collect()(0)
+    assert(got === ImagePHash(id, decoded = true, 2L, 3L, expHash))
+    // lumas rise with y (every channel's y-coefficient is positive), so
+    // the top rows sit below the mean and the bottom above: a sanity
+    // check that the hash isn't degenerate (all 0s / all 1s)
+    assert(got.phash !== 0L)
+    assert(got.phash !== 63L)
+    // rot payloads take the tagged zero row
+    val rot = Multimodal.imagePHash(
+      Seq(graft.ops.MediaRecord(7L, "image", "nope".getBytes, 4L, ""))
+        .toDS()).collect()(0)
+    assert(rot === ImagePHash(7L, decoded = false, 0L, 0L, 0L))
+  }
+
+  test("binarySignBlocks: wide vectors pack per-block; ranks equal the single-BIGINT form") {
+    // the ADVICE-r12 wide case: 65 dims no longer raise — they pack
+    // into 2 blocks, bit 64 landing at block 1 bit 0
+    val wide = Seq(
+      (0L, Seq.fill(65)(1.0f)),
+      (1L, Seq.fill(64)(1.0f) :+ -1.0f),
+      (2L, Seq.fill(65)(-1.0f))).toDF("vec_id", "embedding")
+    val blocks = Similarity.binarySignBlocks(wide, "vec_id", "embedding")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(blocks(0L) === Seq(-1L, 1L))  // 64 ones = all bits set; +1 high bit
+    assert(blocks(1L) === Seq(-1L, 0L))
+    assert(blocks(2L) === Seq(0L, 0L))
+    val wideTop = Similarity.hammingTopKBlocks(wide, "vec_id", "embedding",
+        queryIds = Seq(0L), k = 2)
+      .select("neighbor_id", "hamming", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(wideTop === Set((1L, 1L, 1L), (2L, 65L, 2L)))
+    // on a ≤64-dim corpus, any block split scores identically to the
+    // packed single BIGINT (same bits, same total popcount)
+    val emb = Seq(
+      (0L, Seq(1.0f, 1.0f, -1.0f)), (1L, Seq(1.0f, -1.0f, 1.0f)),
+      (2L, Seq(-1.0f, -1.0f, -1.0f)), (3L, Seq(1.0f, 1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val single = Similarity.hammingTopK(emb, "vec_id", "embedding",
+        queryIds = Seq(0L, 2L), k = 3)
+      .select("query_id", "neighbor_id", "hamming", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val split = Similarity.hammingTopKBlocks(emb, "vec_id", "embedding",
+        queryIds = Seq(0L, 2L), k = 3, blockDim = 2)
+      .select("query_id", "neighbor_id", "hamming", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(split === single)
+    // empty vectors sign to an empty array
+    val empty = Similarity.binarySignBlocks(
+      Seq((9L, Seq.empty[Float])).toDF("vec_id", "embedding"),
+      "vec_id", "embedding").as[(Long, Seq[Long])].collect()(0)
+    assert(empty === ((9L, Seq.empty[Long])))
+  }
+
   test("pageRank: integer fixed-point ranks — hand-traced star, layout-independent") {
     // star 0—{1,2,3,4}; symmetrized degrees: 0→4, leaves→1
     val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))

@@ -926,6 +926,29 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 150L, 1950L, 1L, "21")))
   }
 
+  test("streaming image decode: the real-codec map runs stateless on a stream, ≡ batch") {
+    import graft.ops.Multimodal
+    // encode → decode as stateless per-row maps on a live stream (no
+    // watermark, no state store — the multimodal ingest posture)
+    val input = MemoryStream[Long]
+    val q = Multimodal.decodeImageFeatures(
+        Multimodal.imageRecords(input.toDF().toDF("doc_id"), "doc_id"))
+      .writeStream.outputMode("append").format("memory").queryName("img").start()
+    input.addData(12L, 13L)
+    q.processAllAvailable()
+    input.addData(14L)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("img")
+      .as[(Long, Boolean, Long, Long, Long, Long)].collect().toSet
+    val batch = Multimodal.decodeImageFeatures(
+        Multimodal.imageRecords(Seq(12L, 13L, 14L).toDF("doc_id"), "doc_id"))
+      .as[(Long, Boolean, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(streamed === batch)
+    assert(streamed.forall(_._2)) // every synthesized payload decodes
+  }
+
   test("nearDupFlags in foreachBatch: per-batch gate ≡ batch gate on the same rows") {
     import graft.ops.Dedup
     val kept = Seq((1L, "alpha beta gamma delta epsilon zeta", "s"),
