@@ -2054,6 +2054,24 @@ object SparkEntry {
       Similarity.hammingTopKBlocks(Tables.embeddings(s, dir), "vec_id",
         "embedding", queryIds = (0L until 10L).toSeq, k = 5,
         blockDim = 16)),
+
+    // HLL register warehouse — the third sketch type (q152 KMV, q153
+    // CMS): per-(type, day) 64-register vectors, element-wise-max
+    // merged, RAW estimate read from the merged registers. Register
+    // max is merge-order-independent and the harmonic sum is an exact
+    // integer, so even the float estimate replays hash-exactly (the
+    // ln()-dependent small-range correction is deliberately absent —
+    // SketchStore.hllEstimate scaladoc)
+    "q158_hll_warehouse" -> ((s, dir) => {
+      val slices = SketchStore.hllSlices(
+        Tables.events(s, dir)
+          .withColumn("day", to_date(col("ts")))
+          .withColumn("u", col("user_id").cast("string")),
+        Seq("event_type"), "day", col("u"))
+      SketchStore.hllMergeSlices(slices, Seq("event_type"))
+        .select(col("event_type"), col("n_slices"),
+          round(SketchStore.hllEstimate(col("regs")), 4).as("est_distinct"))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -4793,6 +4811,36 @@ object SparkEntry {
         |        FROM r GROUP BY 1)
         |SELECT d.event_type, n_slices, round(est, 4) AS est_distinct
         |FROM d JOIN est USING (event_type)""".stripMargin,
+
+    // HLL registers replayed relationally: bucket = md5-60 hash mod
+    // 64, rank = 55 − bit-length of the remaining 54 bits (0 → 55),
+    // register = max rank per bucket; empty buckets contribute 2^55 to
+    // the exact-integer harmonic sum; estimate = α₆₄·m²·2^55 / S with
+    // every float operand identical cross-engine
+    "q158_hll_warehouse" ->
+      """WITH e AS (SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (SELECT event_type,
+        |        ('0x'||substr(md5('hll:'||user_id::VARCHAR),1,15))::BIGINT AS hv
+        |      FROM e),
+        |bw AS (SELECT event_type, hv % 64 AS j, hv // 64 AS w FROM h),
+        |rk AS (SELECT event_type, j,
+        |         CASE WHEN w = 0 THEN 55
+        |              ELSE 55 - list_max(list_transform(generate_series(0, 53),
+        |                     i -> CASE WHEN (w >> i) & 1 = 1 THEN i + 1 ELSE 0 END))
+        |         END AS rank
+        |       FROM bw),
+        |reg AS (SELECT event_type, j, max(rank) AS r FROM rk GROUP BY 1, 2),
+        |s AS (SELECT event_type,
+        |        (sum(1::BIGINT << (55 - r)::INT)
+        |         + (64 - count(*)) * 36028797018963968)::BIGINT AS sint
+        |      FROM reg GROUP BY 1),
+        |d AS (SELECT event_type,
+        |        count(DISTINCT date_trunc('day', ts))::BIGINT AS n_slices
+        |      FROM events GROUP BY 1)
+        |SELECT d.event_type, n_slices,
+        |       round(0.709::DOUBLE * 4096::DOUBLE * 36028797018963968::DOUBLE
+        |             / sint::DOUBLE, 4) AS est_distinct
+        |FROM d JOIN s USING (event_type)""".stripMargin,
 
     // warehouse-merged CMS ≡ global CMS (counters are sums): the q124
     // replay + the distinct-source slice count on every row

@@ -457,6 +457,92 @@ object TypedAggs {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
       .apply(c)
 
+  /** HyperLogLog register vector (Flajolet et al. 2007), built for the
+    * sketch warehouse: m = 2^b registers; value t hashes to
+    * h = md5₆₀("hll:" ‖ t), bucket j = h mod m, and the register keeps
+    * the MAX over its values of rank(h div m) — rank = leading zeros
+    * of the remaining 60−b bits + 1 (so for b=6: 55 − bit-length,
+    * empty register 0). Register max is merge-order-INDEPENDENT (like
+    * KMV's bottom-k and CMS's sums, unlike Spark's internal HLL++
+    * whose state isn't exposed), and the hash family is the
+    * cross-engine md5₆₀ — so a DuckDB oracle replays every register,
+    * and the RAW estimate read from them, exactly. The estimate
+    * ([[graft.ops.SketchStore.hllEstimate]]) is the uncorrected
+    * α_m·m²/Σ2^(−r) form with the harmonic sum computed as an exact
+    * INTEGER (Σ 2^(55−r) ≤ m·2^55 < 2^63) — no ln(), no
+    * engine-divergent float folds.
+    */
+  case class HllRegisters(b: Int = 6)
+      extends Aggregator[String, Array[Byte], Seq[Long]] {
+    require(b >= 4 && b <= 12, "b must be in [4, 12]")
+    private val m = 1 << b
+    private def rankOf(h: Long): (Int, Int) = {
+      val j = (h & (m - 1)).toInt
+      val w = h >>> b // 60-b significant bits, non-negative
+      val r = if (w == 0L) 61 - b
+              else 61 - b - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      (j, r)
+    }
+    override def zero: Array[Byte] = new Array[Byte](m)
+    override def reduce(buf: Array[Byte], v: String): Array[Byte] = {
+      val (j, r) = rankOf(Md5Long60.hash(("hll:" + v)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      if (r > buf(j)) buf(j) = r.toByte
+      buf
+    }
+    override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < x.length) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
+      x
+    }
+    override def finish(buf: Array[Byte]): Seq[Long] = buf.map(_.toLong).toSeq
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  def hllRegisters(c: Column, b: Int = 6): Column =
+    udaf(HllRegisters(b), Encoders.STRING).apply(c)
+
+  /** Merge of STORED HLL register vectors: element-wise max — the same
+    * warehouse posture as [[KmvMergeHashes]]/[[CmsMerge]]. Malformed
+    * states fail loudly (wrong length, rank out of range).
+    */
+  case class HllMergeRegisters(b: Int = 6)
+      extends Aggregator[Seq[Long], Array[Byte], Seq[Long]] {
+    require(b >= 4 && b <= 12, "b must be in [4, 12]")
+    private val m = 1 << b
+    private val maxRank = 61 - b
+    override def zero: Array[Byte] = new Array[Byte](m)
+    override def reduce(buf: Array[Byte], regs: Seq[Long]): Array[Byte] = {
+      require(regs.length == m,
+        s"HllMergeRegisters: stored state has ${regs.length} registers, expected $m")
+      var i = 0
+      while (i < m) {
+        val r = regs(i)
+        require(r >= 0L && r <= maxRank,
+          s"HllMergeRegisters: register $i = $r outside [0, $maxRank]")
+        if (r > buf(i)) buf(i) = r.toByte
+        i += 1
+      }
+      buf
+    }
+    override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < x.length) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
+      x
+    }
+    override def finish(buf: Array[Byte]): Seq[Long] = buf.map(_.toLong).toSeq
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  def hllMergeRegisters(c: Column, b: Int = 6): Column =
+    udaf(HllMergeRegisters(b),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+      .apply(c)
+
   /** Point-estimate read over a [[countMin]] result: min over rows of
     * the addressed counters — the same md5₆₀ family evaluated as a
     * codegen'd column, so look-ups stay inside WholeStageCodegen.

@@ -79,6 +79,41 @@ object SketchStore {
       .agg(count(lit(1)).as("n_slices"),
         TypedAggs.cmsMerge(col("counts"), depth, width).as("sk"))
 
+  /** Per-(group, slice) HLL register vectors over `valueCol` — the
+    * third warehouse sketch type (register max is merge-order-
+    * independent like KMV's bottom-k and CMS's sums).
+    */
+  def hllSlices(df: DataFrame, groupCols: Seq[String], sliceCol: String,
+                valueCol: Column, b: Int = 6): DataFrame =
+    df.groupBy((groupCols :+ sliceCol).map(col): _*)
+      .agg(TypedAggs.hllRegisters(valueCol, b).as("regs"))
+
+  /** Element-wise-max HLL slices down to one register vector per
+    * group.
+    */
+  def hllMergeSlices(slices: DataFrame, groupCols: Seq[String],
+                     b: Int = 6): DataFrame =
+    slices.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_slices"),
+        TypedAggs.hllMergeRegisters(col("regs"), b).as("regs"))
+
+  /** RAW HLL estimate over a (merged) b=6 register vector:
+    * α₆₄·m²/Σ2^(−rⱼ) with the harmonic sum computed as the exact
+    * integer Σ 2^(55−rⱼ) (≤ 64·2⁵⁵ < 2⁶³) — the estimate is then ONE
+    * float division of cross-engine-identical operands, so it replays
+    * hash-exactly (the q158 oracle). Deliberately uncorrected: the
+    * small-range branch needs ln(), which is not engine-reproducible;
+    * at warehouse cardinalities (≫ 5m/2) the raw branch is the
+    * operative one anyway — consumers needing bias correction apply
+    * it downstream of the exact integer sum.
+    */
+  def hllEstimate(regs: Column): Column =
+    (lit(0.709) * lit(4096.0) * lit(36028797018963968.0 /* 2^55 */)) /
+      aggregate(regs, lit(0L),
+        (acc, r) => acc + call_function("shiftleft", lit(1L),
+          (lit(55) - r).cast("int")))
+        .cast("double")
+
   /** Persist sketch rows bucketed on the group key ([[Bucketing]]), so
     * a store-only merge aggregates bucket-local with zero Exchange and
     * appending a new slice's rows never re-shuffles history.

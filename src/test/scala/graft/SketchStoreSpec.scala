@@ -115,6 +115,55 @@ class SketchStoreSpec extends AnyFunSuite {
     assert(mergedRead("a")._2 >= 1L)
   }
 
+  test("HLL: store-merge ≡ full-rescan registers and estimate; registers hand-checkable") {
+    val slices = SketchStore.hllSlices(rows, Seq("g"), "slice", col("v"))
+    val merged = SketchStore.hllMergeSlices(slices, Seq("g"))
+      .select(col("g"), col("n_slices"), col("regs"),
+        SketchStore.hllEstimate(col("regs")).as("est"))
+      .as[(String, Long, Seq[Long], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val direct = rows.groupBy(col("g"))
+      .agg(TypedAggs.hllRegisters(col("v")).as("regs"))
+      .select(col("g"), col("regs"),
+        SketchStore.hllEstimate(col("regs")).as("est"))
+      .as[(String, Seq[Long], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    for (g <- Seq("a", "b")) {
+      assert(merged(g)._1 === 3L)
+      assert(merged(g)._2 === direct(g)._1)   // identical registers
+      assert(merged(g)._3 === direct(g)._2)   // identical estimate
+      assert(merged(g)._2.length === 64)
+      assert(merged(g)._2.forall(r => r >= 0L && r <= 55L))
+    }
+    // accuracy ballpark at a cardinality where the RAW branch is
+    // operative (n ≫ m: 800 distinct over 64 registers; ~13% relative
+    // error at m=64, allow 3σ). The 20-distinct fixture above is
+    // deliberately NOT accuracy-checked: raw HLL is biased high at
+    // n ≪ m — the documented reason the ln()-based small-range
+    // correction is left to consumers
+    val big = (0 until 800).map(i => ("x", (i % 4).toLong, s"u$i"))
+      .toDF("g", "slice", "v")
+    val bigEst = SketchStore.hllMergeSlices(
+        SketchStore.hllSlices(big, Seq("g"), "slice", col("v")), Seq("g"))
+      .select(SketchStore.hllEstimate(col("regs")))
+      .as[Double].collect()(0)
+    assert(bigEst > 800.0 * 0.6 && bigEst < 800.0 * 1.4,
+      s"raw HLL estimate $bigEst too far from 800")
+    // register replay BY HAND for one value: the aggregator must place
+    // md5-60("hll:v0") at bucket h%64 with rank 55 - bitlength(h/64)
+    val h = graft.functions.Md5Long60.hash(
+      "hll:v0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val j = (h % 64).toInt
+    val w = h >>> 6
+    val expRank = if (w == 0L) 55L
+      else 55L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    val only = Seq(("z", 0L, "v0")).toDF("g", "slice", "v")
+      .groupBy(col("g")).agg(TypedAggs.hllRegisters(col("v")).as("regs"))
+      .select(col("regs")).as[Seq[Long]].collect()(0)
+    assert(only(j) === expRank)
+    assert(only.count(_ > 0L) === 1)
+  }
+
   test("malformed stored states fail loudly") {
     // unsorted KMV state: silently accepting it would break the merge
     // invariant and skew every later estimate
@@ -131,5 +180,18 @@ class SketchStoreSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("counters") ||
       e2.getCause != null && e2.getCause.getMessage.contains("counters"))
+    // HLL: wrong register count, and rank outside [0, 55]
+    val badHllLen = Seq(("a", Seq(1L, 2L))).toDF("g", "regs")
+    val e3 = intercept[Exception] {
+      SketchStore.hllMergeSlices(badHllLen, Seq("g")).collect()
+    }
+    assert(e3.getMessage.contains("registers") ||
+      e3.getCause != null && e3.getCause.getMessage.contains("registers"))
+    val badHllRank = Seq(("a", Seq.fill(63)(0L) :+ 56L)).toDF("g", "regs")
+    val e4 = intercept[Exception] {
+      SketchStore.hllMergeSlices(badHllRank, Seq("g")).collect()
+    }
+    assert(e4.getMessage.contains("outside") ||
+      e4.getCause != null && e4.getCause.getMessage.contains("outside"))
   }
 }
