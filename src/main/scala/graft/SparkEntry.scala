@@ -2072,6 +2072,20 @@ object SparkEntry {
         .select(col("event_type"), col("n_slices"),
           round(SketchStore.hllEstimate(col("regs")), 4).as("est_distinct"))
     }),
+
+    // REAL image resize: nearest-neighbor resample to 4×4 (integer
+    // coordinate map — no interpolation kernels, which are platform-
+    // dependent), re-encoded through the real PNG codec, then decoded
+    // AGAIN by the real codec — the oracle replays the resampled
+    // generative pixels, so the whole decode→resample→encode→decode
+    // chain must be bit-faithful
+    "q159_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodeImageFeatures(
+        Multimodal.resizeImages(
+          Multimodal.imageRecords(Tables.documents(s, dir), "doc_id"),
+          targetW = 4, targetH = 4)).toDF()
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3331,6 +3345,20 @@ object SparkEntry {
         |SELECT doc_id, false AS decoded, 0::BIGINT AS width, 0::BIGINT AS height,
         |       0::BIGINT AS channels, 0::BIGINT AS pixel_sum
         |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+
+    // nearest-neighbor replay: output pixel (X, Y) = generative pixel
+    // (X·w div 4, Y·h div 4); one flat p-loop, X = p % 4, Y = p // 4
+    "q159_image_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 2 + doc_id % 6 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents)
+        |SELECT doc_id, true AS decoded, 4::BIGINT AS width,
+        |       4::BIGINT AS height, 3::BIGINT AS channels,
+        |       list_sum(list_transform(generate_series(0, 15), p ->
+        |         (doc_id + 3*(((p % 4) * w) // 4) + 5*(((p // 4) * h) // 4)) % 256 +
+        |         (2*doc_id + 7*(((p % 4) * w) // 4) + 11*(((p // 4) * h) // 4)) % 256 +
+        |         (5*doc_id + 13*(((p % 4) * w) // 4) + 17*(((p // 4) * h) // 4)) % 256))::BIGINT AS pixel_sum
+        |FROM dims""".stripMargin,
 
     // luma list per image from the generative pixels; bit p set iff
     // luma[p]·w·h > Σluma (strict, cross-multiplied — pure integers).

@@ -269,6 +269,56 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize (the image half of the resize story; the
+    * byte-level [[resizeStub]] remains for codec-less modalities):
+    * deterministic nearest-neighbor resampling — output pixel (X, Y)
+    * copies source pixel (X·w div W, Y·h div H), pure integer
+    * coordinate math, NO interpolation and no Graphics2D filtering
+    * (whose kernels are platform/JDK-dependent and would break
+    * cross-engine replay) — then re-encodes through the real PNG
+    * codec. Decode → resample → encode runs in one partition-parallel
+    * pass; a payload no reader recognizes passes through UNCHANGED
+    * (documented — the rot row keeps flowing, the q150 fallback
+    * posture). Lossless in, lossless out, so downstream decodes see
+    * exactly the resampled generative pixels (the q159 oracle).
+    */
+  def resizeImages(ds: Dataset[MediaRecord], targetW: Int,
+                   targetH: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+          catch { case _: Exception => null }
+        if (img == null) r
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val out = new java.awt.image.BufferedImage(targetW, targetH,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var yy = 0
+          while (yy < targetH) {
+            var xx = 0
+            while (xx < targetW) {
+              out.setRGB(xx, yy, img.getRGB(xx * w / targetW, yy * h / targetH))
+              xx += 1
+            }
+            yy += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          val bytes = bos.toByteArray
+          md.reset()
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          MediaRecord(r.doc_id, r.modality, bytes, bytes.length.toLong, hex)
+        }
+      }
+    }
+  }
+
   /** Batched resize stub: rows are processed in `batchSize` groups —
     * the Scala analog of mapInPandas/Arrow batches, where a real
     * implementation would hand one contiguous batch to a vectorized

@@ -1066,6 +1066,30 @@ class MiningSpec extends AnyFunSuite {
     assert(rot === ImagePHash(7L, decoded = false, 0L, 0L, 0L))
   }
 
+  test("resizeImages: nearest-neighbor resample, hand-traced coords; rot passes through") {
+    import graft.ops.{ImageFeatures, MediaRecord, Multimodal}
+    val id = 12L // 2×3 source
+    val resized = Multimodal.resizeImages(
+      Multimodal.imageRecords(Seq(id).toDF("doc_id"), "doc_id"),
+      targetW = 4, targetH = 4)
+    // output is a real PNG again
+    val content = resized.collect()(0).content
+    assert(content.take(4).toSeq === Seq(0x89.toByte, 'P'.toByte,
+      'N'.toByte, 'G'.toByte))
+    // hand-traced source coords for 2×3 → 4×4: X·2/4 = 0,0,1,1 and
+    // Y·3/4 = 0,0,1,2 — the expected sum replays the generative
+    // formula at those coordinates
+    var expSum = 0L
+    for (yy <- 0 until 4; xx <- 0 until 4; c <- 0 until 3)
+      expSum += Multimodal.pixelValue(id, xx * 2 / 4, yy * 3 / 4, c)
+    val feats = Multimodal.decodeImageFeatures(resized).collect()(0)
+    assert(feats === ImageFeatures(id, decoded = true, 4L, 4L, 3L, expSum))
+    // a non-image payload passes through unchanged (the rot posture)
+    val rot = MediaRecord(7L, "image", "not a png".getBytes, 9L, "x")
+    val out = Multimodal.resizeImages(Seq(rot).toDS(), 4, 4).collect()(0)
+    assert(out.doc_id === 7L && out.content.toSeq === rot.content.toSeq)
+  }
+
   test("binarySignBlocks: wide vectors pack per-block; ranks equal the single-BIGINT form") {
     // the ADVICE-r12 wide case: 65 dims no longer raise — they pack
     // into 2 blocks, bit 64 landing at block 1 bit 0
