@@ -2086,6 +2086,15 @@ object SparkEntry {
           Multimodal.imageRecords(Tables.documents(s, dir), "doc_id"),
           targetW = 4, targetH = 4)).toDF()
     }),
+
+    // asymmetric containment pairs (q24's missing half): |A∩B|/|A|
+    // catches a short doc living inside a long one, where Jaccard's
+    // union denominator buries it — the boilerplate/quotation case
+    // document dedup actually hunts. Inverted-index shape WITHOUT the
+    // length filter (unequal sizes are the signal); blocked by source
+    "q160_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        "source", threshold = 0.8)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3455,6 +3464,21 @@ object SparkEntry {
         |               6) AS jaccard
         |  FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5""".stripMargin,
+
+    // both directions from one |A∩B|; the filter reads the ROUNDED
+    // values on both engines (the subquery aliases)
+    "q160_containment" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS ws
+        |  FROM documents)
+        |SELECT doc_a, doc_b, cont_a, cont_b FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         round(len(list_intersect(a.ws, b.ws))::DOUBLE
+        |               / len(a.ws)::DOUBLE, 6) AS cont_a,
+        |         round(len(list_intersect(a.ws, b.ws))::DOUBLE
+        |               / len(b.ws)::DOUBLE, 6) AS cont_b
+        |  FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE greatest(cont_a, cont_b) >= 0.8""".stripMargin,
 
     "q25_knn_bruteforce" -> q25KnnSql,
 

@@ -394,6 +394,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric word-set CONTAINMENT over pairs within `groupCol`
+    * blocks: C(A→B) = |A∩B| / |A| — the criterion for "doc A is
+    * substantially inside doc B" that Jaccard structurally misses on
+    * different-length pairs (a 100-word quote fully inside a
+    * 10,000-word page has jaccard ≈ 0.01 but containment 1.0 — the
+    * boilerplate/quotation case document-level dedup actually hunts).
+    * Emits each unordered pair once (doc_a < doc_b) with BOTH
+    * directions' containments (6-digit rounded), kept when the larger
+    * one clears `threshold`.
+    *
+    * Shape: the [[jaccardPairs]] inverted-index plan (explode distinct
+    * words, equi-join on (block, word), count shared words, join set
+    * sizes back) WITHOUT the Arasu length filter — size-ratio pruning
+    * is exactly what containment must not do, since unequal sizes are
+    * the signal. Work stays proportional to co-occurrences within
+    * blocks; at corpus scale the blocking key (or an LSH pre-filter,
+    * q22) bounds the join, as in every set-similarity op here.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0, "threshold must be > 0")
+    val docs = df.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+      array_distinct(split(col(textCol), " ")).as("ws"))
+    val sizes = docs.select(col("doc_id"), size(col("ws")).as("n"))
+    val inv = docs.select(col("doc_id"), col("grp"), explode(col("ws")).as("w"))
+    val co = inv.as("a").join(inv.as("b"),
+        expr("a.grp = b.grp AND a.w = b.w AND a.doc_id < b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("round(CAST(inter AS DOUBLE) / CAST(na AS DOUBLE), 6)").as("cont_a"),
+        expr("round(CAST(inter AS DOUBLE) / CAST(nb AS DOUBLE), 6)").as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+  }
+
   /** SimHash signature over the word multiset (bits <= 60 since the
     * underlying hash is 60-bit). Near-dups = signatures within small
     * Hamming distance; the signature itself is the oracle-checkable unit.

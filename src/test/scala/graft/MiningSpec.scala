@@ -1066,6 +1066,30 @@ class MiningSpec extends AnyFunSuite {
     assert(rot === ImagePHash(7L, decoded = false, 0L, 0L, 0L))
   }
 
+  test("containmentPairs: short-inside-long pairs that jaccard misses — hand-traced") {
+    val df = docs(
+      (1, "a b c", "s"),                               // fully inside 2
+      (2, "a b c d e f g h i j k l m n o p", "s"),
+      (3, "x y z w", "s"),                             // half inside 4
+      (4, "x y q r s t u v", "s"),
+      (5, "unrelated words here", "s"))
+    val got = Dedup.containmentPairs(df, "doc_id", "text", "source", 0.8)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // (1,2): inter 3, |1|=3 → cont_a 1.0, |2|=16 → cont_b 0.1875
+    assert(got === Map((1L, 2L) -> ((1.0, 0.1875))))
+    // the same pair under jaccard: 3/16 = 0.1875 — invisible at any
+    // realistic threshold (the containment gap this op exists for)
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text", "source", 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.isEmpty)
+    // (3,4) at 0.5: inter 2, cont 0.5/0.25 — greatest is 0.5
+    val loose = Dedup.containmentPairs(df, "doc_id", "text", "source", 0.5)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(loose === Set((1L, 2L), (3L, 4L)))
+  }
+
   test("resizeImages: nearest-neighbor resample, hand-traced coords; rot passes through") {
     import graft.ops.{ImageFeatures, MediaRecord, Multimodal}
     val id = 12L // 2×3 source
