@@ -810,6 +810,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(withUnknown === Set(100L, 102L, 103L))
   }
 
+  test("streaming sketch-warehouse ingest: per-batch slices accumulate, merge ≡ full rescan") {
+    // the live half of SketchStore: each micro-batch writes its OWN
+    // slice rows (slice id = batch id) through foreachBatch — history
+    // is never re-scanned — and a store merge at any point answers
+    // exactly like a batch pass over everything ingested so far
+    import graft.functions.TypedAggs
+    import graft.ops.SketchStore
+    val store = scala.collection.mutable.ArrayBuffer[(String, Long, Seq[Long])]()
+    val input = MemoryStream[KeyedEvent]
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        store ++= SketchStore.kmvSlices(
+            batch.withColumn("slice", lit(id)),
+            Seq("eventType"), "slice", $"key".cast("string"), k = 4)
+          .as[(String, Long, Seq[Long])].collect(): Unit
+      }.start()
+    val rows = (1 to 40).map(i =>
+      KeyedEvent(i % 11, ts(i * 10), if (i % 2 == 0) "view" else "click", i))
+    input.addData(rows.take(15): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(15): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(store.map(_._2).distinct.size >= 2) // really multiple slices
+    val merged = SketchStore.kmvMergeSlices(
+        store.toSeq.toDF("eventType", "slice", "hs"), Seq("eventType"), k = 4)
+      .select($"eventType", $"hs").as[(String, Seq[Long])].collect().toMap
+    val full = rows.toDF()
+      .groupBy($"eventType")
+      .agg(TypedAggs.kmvHashes($"key".cast("string"), 4).as("hs"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(merged === full)
+  }
+
   test("mergeable sketches ride streaming windows unchanged: KMV + CMS per window ≡ batch") {
     // the whole point of merge-order-independent sketch state: the SAME
     // udaf drops into a watermarked streaming window and produces the
