@@ -2095,6 +2095,14 @@ object SparkEntry {
     "q160_containment" -> ((s, dir) =>
       Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
         "source", threshold = 0.8)),
+
+    // fill-in-the-middle training transform (Bavarian 2022): 50% of
+    // docs (salted-hash chosen, no RNG) split at two hash-derived
+    // character cuts and re-emitted PSM (<PRE>p<SUF>s<MID>m); pure
+    // projection — scan-speed at any corpus size; reassembly invariant
+    // spec-pinned, every string replayed by the oracle's substr math
+    "q161_fim_transform" -> ((s, dir) =>
+      TextAnalysis.fimTransform(Tables.documents(s, dir), "doc_id", "text")),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3464,6 +3472,29 @@ object SparkEntry {
         |               6) AS jaccard
         |  FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5""".stripMargin,
+
+    // the PSM split replayed with substr arithmetic: two salted md5-60
+    // cuts in [0, n], c1 = least, c2 = greatest; char-based substr ==
+    // the engine's (ASCII corpus, the q48 equivalence)
+    "q161_fim_transform" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         ('0x'||substr(md5('fim:r:'||doc_id::VARCHAR),1,15))::BIGINT % 100 < 50 AS fimmed,
+        |         ('0x'||substr(md5('fim:1:'||doc_id::VARCHAR),1,15))::BIGINT % (length(text) + 1) AS h1,
+        |         ('0x'||substr(md5('fim:2:'||doc_id::VARCHAR),1,15))::BIGINT % (length(text) + 1) AS h2
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, fimmed,
+        |        least(h1, h2)::INT AS c1, greatest(h1, h2)::INT AS c2 FROM t)
+        |SELECT doc_id, fimmed,
+        |       CASE WHEN fimmed THEN substr(text, 1, c1) ELSE '' END AS prefix,
+        |       CASE WHEN fimmed THEN substr(text, c1 + 1, c2 - c1) ELSE '' END AS middle,
+        |       CASE WHEN fimmed THEN substr(text, c2 + 1, length(text)) ELSE '' END AS suffix,
+        |       CASE WHEN fimmed
+        |            THEN '<PRE>' || substr(text, 1, c1) ||
+        |                 '<SUF>' || substr(text, c2 + 1, length(text)) ||
+        |                 '<MID>' || substr(text, c1 + 1, c2 - c1)
+        |            ELSE text END AS fim_text
+        |FROM c""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

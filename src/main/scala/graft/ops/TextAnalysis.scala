@@ -317,6 +317,50 @@ object TextAnalysis {
           .as("chunk"))
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): a hash-chosen
+    * `fimPct`% of documents split into (prefix, middle, suffix) at two
+    * deterministic hash-derived character positions and re-emit in PSM
+    * order — `<PRE>prefix<SUF>suffix<MID>middle` — teaching the model
+    * to infill; the rest pass through untouched (the paper's mixed
+    * corpus). Everything is a salted-md5₆₀ decision over the doc id
+    * (the q84/q147 sampling discipline): no RNG, layout-independent,
+    * and the cut points replay relationally (substr arithmetic — the
+    * q48 char/byte equivalence on this ASCII corpus), so the whole
+    * transform is hash-exact cross-engine. Reassembly invariant:
+    * prefix ‖ middle ‖ suffix ≡ original (spec-pinned).
+    *
+    * Pure projection — no shuffle, no join; at 100 TB this runs at
+    * scan speed, the property a per-document training transform must
+    * have. Output: (doc_id, fimmed, prefix, middle, suffix, fim_text).
+    */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+                   fimPct: Int = 50): DataFrame = {
+    require(fimPct >= 0 && fimPct <= 100, "fimPct must be in [0, 100]")
+    import graft.functions.Hashing
+    val idStr = col(idCol).cast("string")
+    val n = length(col(textCol)).cast("long")
+    val h1 = Hashing.md5Long(concat(lit("fim:1:"), idStr)) % (n + 1L)
+    val h2 = Hashing.md5Long(concat(lit("fim:2:"), idStr)) % (n + 1L)
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        (Hashing.md5Long(concat(lit("fim:r:"), idStr)) % 100 < fimPct)
+          .as("fimmed"),
+        least(h1, h2).cast("int").as("c1"),
+        greatest(h1, h2).cast("int").as("c2"))
+      .select(col("doc_id"), col("fimmed"),
+        when(col("fimmed"), expr("substring(text, 1, c1)"))
+          .otherwise(lit("")).as("prefix"),
+        when(col("fimmed"), expr("substring(text, c1 + 1, c2 - c1)"))
+          .otherwise(lit("")).as("middle"),
+        when(col("fimmed"), expr("substring(text, c2 + 1, length(text))"))
+          .otherwise(lit("")).as("suffix"),
+        when(col("fimmed"),
+          concat(lit("<PRE>"), expr("substring(text, 1, c1)"),
+            lit("<SUF>"), expr("substring(text, c2 + 1, length(text))"),
+            lit("<MID>"), expr("substring(text, c1 + 1, c2 - c1)")))
+          .otherwise(col("text")).as("fim_text"))
+  }
+
   /** C4-style corpus-wide boilerplate removal (Raffel et al. 2020 §2.2
     * dedup "three-sentence spans"; spans here are fixed `spanWords`-word
     * windows — the corpus has no sentence markers): cut every document

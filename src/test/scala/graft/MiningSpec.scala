@@ -1066,6 +1066,35 @@ class MiningSpec extends AnyFunSuite {
     assert(rot === ImagePHash(7L, decoded = false, 0L, 0L, 0L))
   }
 
+  test("fimTransform: PSM split partitions the text exactly; passthrough untouched") {
+    val df = (0L until 200L).map(i => (i, s"doc $i body with words ${"x" * (i % 17).toInt}", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.fimTransform(df, "doc_id", "text")
+      .as[(Long, Boolean, String, String, String, String)].collect()
+    assert(out.length === 200)
+    val orig = (0L until 200L).map(i =>
+      i -> s"doc $i body with words ${"x" * (i % 17).toInt}").toMap
+    out.foreach { case (id, fimmed, p, m, s2, ft) =>
+      if (fimmed) {
+        assert(p + m + s2 === orig(id))                    // exact partition
+        assert(ft === s"<PRE>$p<SUF>$s2<MID>$m")           // PSM order
+      } else {
+        assert(p === "" && m === "" && s2 === "")
+        assert(ft === orig(id))                            // untouched
+      }
+    }
+    // the salted-hash rate lands near fimPct (no RNG, so this is a
+    // fixed property of these 200 ids, not a flaky check)
+    val rate = out.count(_._2)
+    assert(rate > 70 && rate < 130, s"fim rate $rate/200 far from 50%")
+    // empty text survives: all cuts at 0
+    val empty = TextAnalysis.fimTransform(
+        Seq((7L, "", "s")).toDF("doc_id", "text", "source"), "doc_id", "text")
+      .as[(Long, Boolean, String, String, String, String)].collect()(0)
+    assert(empty._3 === "" && empty._4 === "" && empty._5 === "")
+    assert(!empty._2 || empty._6 === "<PRE><SUF><MID>")
+  }
+
   test("containmentPairs: short-inside-long pairs that jaccard misses — hand-traced") {
     val df = docs(
       (1, "a b c", "s"),                               // fully inside 2

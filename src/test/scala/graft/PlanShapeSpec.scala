@@ -311,6 +311,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q150/q155: image decode + phash are pure partition-parallel maps — zero exchanges") {
+    // the codec passes must stay embarrassingly parallel: any Exchange
+    // here would mean binary payloads crossing the network
+    for (q <- Seq("q150_image_decode", "q155_image_phash")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles payloads:\n$p")
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+    }
+  }
+
+  test("q161: FIM transform is a pure projection — zero exchanges, zero joins") {
+    val p = plan("q161_fim_transform")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"per-document transform must run at scan speed:\n$p")
+  }
+
+  test("q152/q158: sketch warehouse — hash aggregates only, no joins, no Window") {
+    for (q <- Seq("q152_kmv_warehouse", "q158_hll_warehouse")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+        && !p.contains("BroadcastHashJoin"), s"$q grew a join:\n$p")
+      assert(!p.contains(") Window"), s"$q grew a Window:\n$p")
+      assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+        s"$q lost its aggregate shape:\n$p")
+    }
+  }
+
+  test("q160: containment is equi-join shaped — no cartesian, text consumed before shuffle") {
+    val p = plan("q160_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "set-similarity must stay equi-join shaped")
+    val shuffled = """(?m)^\(\d+\) Exchange[\s\S]*?Arguments.*$""".r
+      .findAllIn(p).filter(_.contains("text")).toSeq
+    assert(shuffled.isEmpty, s"text-carrying Exchange in q160: $shuffled")
+  }
+
   test("q134: substring spans — text never shuffles, island merge is Window-free") {
     // the shingle projection reduces every occurrence to (doc, pos,
     // hash-60) before any Exchange; the gaps-and-islands merge is
