@@ -2103,6 +2103,18 @@ object SparkEntry {
     // spec-pinned, every string replayed by the oracle's substr math
     "q161_fim_transform" -> ((s, dir) =>
       TextAnalysis.fimTransform(Tables.documents(s, dir), "doc_id", "text")),
+
+    // epoch-deterministic global shuffle: two epochs' reproducible
+    // permutations of the corpus, ranks via the PrefixSum core (no
+    // single-task global sort); the oracle runs the row_number Window
+    // form, proving the distributed ranks equal it exactly
+    "q162_epoch_shuffle" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      (1 to 2).map(e => Sampling.epochShuffle(d, "doc_id", e)
+          .select(lit(e.toLong).as("epoch"), col("doc_id"),
+            col("shuffle_rank")))
+        .reduce(_ unionByName _)
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3472,6 +3484,20 @@ object SparkEntry {
         |               6) AS jaccard
         |  FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5""".stripMargin,
+
+    // the exact Window form the engine's PrefixSum core must equal
+    "q162_epoch_shuffle" ->
+      """SELECT 1::BIGINT AS epoch, doc_id,
+        |       row_number() OVER (ORDER BY
+        |         ('0x'||substr(md5('ord:1:'||doc_id::VARCHAR),1,15))::BIGINT,
+        |         doc_id)::BIGINT AS shuffle_rank
+        |FROM documents
+        |UNION ALL
+        |SELECT 2::BIGINT, doc_id,
+        |       row_number() OVER (ORDER BY
+        |         ('0x'||substr(md5('ord:2:'||doc_id::VARCHAR),1,15))::BIGINT,
+        |         doc_id)::BIGINT
+        |FROM documents""".stripMargin,
 
     // the PSM split replayed with substr arithmetic: two salted md5-60
     // cuts in [0, n], c1 = least, c2 = greatest; char-based substr ==

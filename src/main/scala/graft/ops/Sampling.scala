@@ -330,4 +330,30 @@ object Sampling {
     }
     df.filter(bucket(df, idCol, "tmix:") < thr)
   }
+
+  /** Epoch-deterministic GLOBAL training shuffle: every row gets a
+    * 1-based `shuffle_rank` in the total order of
+    * (md5₆₀("ord:&lt;epoch&gt;:" ‖ id), id) — a different, reproducible
+    * permutation per epoch, no RNG, layout-independent (the salted-hash
+    * sampling discipline applied to ORDER instead of membership). A
+    * training job writes each epoch's corpus in rank order; resuming or
+    * re-running any epoch yields byte-identical batches — the property
+    * data-order-debugging (and loss-spike forensics) needs.
+    *
+    * Scale shape: rank assignment goes through the [[PrefixSum]]
+    * range-partitioned core — `row_number() OVER (ORDER BY hash)`
+    * would funnel the corpus through ONE task (the q40 WindowExec
+    * trap); here it is a range shuffle + two scans, no global sort on
+    * any single task (the oracle runs exactly that Window form,
+    * proving the distributed ranks equal it).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    val keyed = df.withColumn("shuffle_key",
+      graft.functions.Hashing.md5Long(
+        concat(lit(s"ord:$epoch:"), col(idCol).cast("string"))))
+    PrefixSum.runningTotals(keyed, Nil, Seq("shuffle_key", idCol),
+      valueCol = None, runCol = "shuffle_rank",
+      checkpointDir = checkpointDir)
+  }
 }

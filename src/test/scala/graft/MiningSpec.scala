@@ -1066,6 +1066,53 @@ class MiningSpec extends AnyFunSuite {
     assert(rot === ImagePHash(7L, decoded = false, 0L, 0L, 0L))
   }
 
+  test("epochShuffle: each epoch is a reproducible permutation; epochs differ; no Window") {
+    val df = (0L until 100L).map(i => (i, s"t$i", "s")).toDF("doc_id", "text", "source")
+    def ranks(e: Int, d: org.apache.spark.sql.DataFrame) =
+      Sampling.epochShuffle(d, "doc_id", e)
+        .select($"doc_id", $"shuffle_rank").as[(Long, Long)].collect().toMap
+    val e1 = ranks(1, df)
+    assert(e1.values.toSeq.sorted === (1L to 100L)) // a true permutation
+    // layout independence (the salted-hash order is data-derived)
+    assert(ranks(1, df.repartition(7)) === e1)
+    // a different epoch is a different permutation
+    val e2 = ranks(2, df)
+    assert(e2.values.toSeq.sorted === (1L to 100L))
+    assert(e1 !== e2)
+    // the rank path must stay Window-free (the q40 single-task trap)
+    val p = Sampling.epochShuffle(df, "doc_id", 1)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains(") Window"), "epochShuffle regressed to a Window rank")
+  }
+
+  test("containmentPairs: randomized cross-check against in-memory brute force") {
+    val rnd = new scala.util.Random(41)
+    val vocab = ('a' to 'p').map(_.toString)
+    val corpus = (0L until 60L).map { i =>
+      val n = 2 + rnd.nextInt(10)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        s"s${i % 3}")
+    }
+    val got = Dedup.containmentPairs(corpus.toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source", threshold = 0.3)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val sets = corpus.map { case (id, t, src) => (id, t.split(" ").toSet, src) }
+    val want = (for {
+      (a, wsA, sA) <- sets; (b, wsB, sB) <- sets
+      if sA == sB && a < b
+      inter = (wsA & wsB).size
+      if inter > 0
+      ca = BigDecimal(inter.toDouble / wsA.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      cb = BigDecimal(inter.toDouble / wsB.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if math.max(ca, cb) >= 0.3
+    } yield (a, b, ca, cb)).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("fimTransform: PSM split partitions the text exactly; passthrough untouched") {
     val df = (0L until 200L).map(i => (i, s"doc $i body with words ${"x" * (i % 17).toInt}", "s"))
       .toDF("doc_id", "text", "source")
