@@ -1496,8 +1496,10 @@ object SparkEntry {
     // everything else — in-slice keep-first (hash-agg min id, no
     // Window) AND novel-against-store (narrow anti-join); the winning
     // ids gate the full-width rows with NO forced broadcast (the r13
-    // default — AQE broadcasts the gate exactly when it measures small,
-    // as it does here; a survivor-scale set shuffles narrow instead)
+    // default — AQE broadcasts the gate exactly when it measures
+    // small, as it does here; at survivor scale the gate join would
+    // shuffle the SLICE on id — slice-bounded, never the store — and
+    // a slice pre-bucketed on id avoids even that, per the scaladoc)
     "q120_incremental_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       graft.ops.Dedup.dedupAgainstStore(

@@ -114,14 +114,16 @@ object Dedup {
     * (default, the r12-verdict flip) forces NO hint: the planner/AQE
     * broadcasts the winner set exactly when its runtime-measured size
     * fits the threshold, so a survivor-scale id set can never OOM the
-    * driver by an accident of the default — feed a store/slice
-    * pre-bucketed on the join keys (the [[graft.ops.Bucketing]]
-    * pattern) and the gate shuffles only narrow frames. Set it true
-    * only for slices KNOWN to fit executor memory, where the forced
-    * broadcast also pins the no-text-shuffle plan shape (MiningSpec).
-    * The STORE is never re-shuffled if it is a bucketed table on
-    * `fingerprint` — at 100 TB the store is orders bigger than any
-    * slice, so that is the operative property.
+    * driver by an accident of the default. When the winners DON'T fit
+    * (survivor scale), the gate join shuffles the full-width slice on
+    * id — bounded by SLICE size, never the store; pre-bucket the
+    * slice on id (the [[graft.ops.Bucketing]] pattern) to avoid even
+    * that one exchange. Set `broadcastIds = true` only for slices
+    * KNOWN to fit executor memory, where the forced broadcast also
+    * pins the no-text-shuffle plan shape (MiningSpec). The STORE side
+    * is narrow (one fingerprint column) and never re-shuffled if it
+    * is a bucketed table on `fingerprint` — at 100 TB the store is
+    * orders bigger than any slice, so that is the operative property.
     */
   def dedupAgainstStore(newDocs: DataFrame, store: DataFrame,
                         idCol: String, textCol: String,
@@ -163,12 +165,14 @@ object Dedup {
   def streamingAgainstStore(docs: DataFrame, store: DataFrame,
                             textCol: String, tsCol: String,
                             delay: String,
-                            broadcastStore: Boolean = true): DataFrame = {
-    // broadcastStore=true suits a store that fits executors; the kept
-    // corpus eventually doesn't (it is orders bigger than any slice —
-    // see dedupAgainstStore), so pass false to let the stream-static
-    // join shuffle instead, with the store bucketed on fingerprint so
-    // its side never re-shuffles (the batch sibling's contract)
+                            broadcastStore: Boolean = false): DataFrame = {
+    // broadcastStore defaults FALSE (r13 self-review — the same
+    // accident-of-the-default rationale as dedupAgainstStore's flip,
+    // a fortiori here: the kept corpus eventually cannot fit
+    // executors, per the class doc): no forced hint, the planner
+    // still auto-broadcasts a store whose estimated size fits. Opt in
+    // only for stores KNOWN to fit; at scale feed a store bucketed on
+    // fingerprint so its side never re-shuffles per micro-batch
     val s = store.select(col("fingerprint"))
     docs.withColumn("fingerprint", fingerprint(textCol))
       .join(if (broadcastStore) broadcast(s) else s,
@@ -376,23 +380,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** General path: inverted index on (block, word). */
-  private def jaccardPairsInverted(docs: DataFrame, threshold: Double): DataFrame = {
+  /** Shared inverted-index co-occurrence core of
+    * [[jaccardPairsInverted]] and [[containmentPairs]] (r13
+    * self-review factored the near-line-for-line copy): `docs` is the
+    * (doc_id, grp, ws) frame; output one row per blocked pair with a
+    * shared word — (doc_a, doc_b, inter, na, nb). `extraJoinPred` is
+    * appended to the equi-join condition (the Arasu length filter for
+    * Jaccard; empty for containment, where unequal sizes are the
+    * signal).
+    */
+  private def coOccurrencePairs(docs: DataFrame,
+                                extraJoinPred: String = ""): DataFrame = {
     val sizes = docs.select(col("doc_id"), size(col("ws")).as("n"))
     val inv = docs.select(col("doc_id"), col("grp"), explode(col("ws")).as("w"),
       size(col("ws")).as("n"))
     val co = inv.as("a").join(inv.as("b"),
-        expr(s"""a.grp = b.grp AND a.w = b.w AND a.doc_id < b.doc_id
-                | AND least(a.n, b.n) >= $threshold * greatest(a.n, b.n)""".stripMargin))
+        expr(s"a.grp = b.grp AND a.w = b.w AND a.doc_id < b.doc_id$extraJoinPred"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     co.join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+  }
+
+  /** General path: inverted index on (block, word). */
+  private def jaccardPairsInverted(docs: DataFrame, threshold: Double): DataFrame =
+    coOccurrencePairs(docs,
+        s" AND least(a.n, b.n) >= $threshold * greatest(a.n, b.n)")
       .select(col("doc_a"), col("doc_b"),
         expr("round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6)")
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** Asymmetric word-set CONTAINMENT over pairs within `groupCol`
     * blocks: C(A→B) = |A∩B| / |A| — the criterion for "doc A is
@@ -417,14 +434,7 @@ object Dedup {
     require(threshold > 0, "threshold must be > 0")
     val docs = df.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
       array_distinct(split(col(textCol), " ")).as("ws"))
-    val sizes = docs.select(col("doc_id"), size(col("ws")).as("n"))
-    val inv = docs.select(col("doc_id"), col("grp"), explode(col("ws")).as("w"))
-    val co = inv.as("a").join(inv.as("b"),
-        expr("a.grp = b.grp AND a.w = b.w AND a.doc_id < b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    co.join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+    coOccurrencePairs(docs)
       .select(col("doc_a"), col("doc_b"),
         expr("round(CAST(inter AS DOUBLE) / CAST(na AS DOUBLE), 6)").as("cont_a"),
         expr("round(CAST(inter AS DOUBLE) / CAST(nb AS DOUBLE), 6)").as("cont_b"))

@@ -94,12 +94,20 @@ object Graph {
     // `r div deg`, so both paths share one loop (and one oracle shape)
     val edges = pin(weightCol match {
       case Some(w) =>
-        // enforce the positive-integer weight contract loudly (the
+        // enforce the positive-INTEGER weight contract loudly (the
         // zValue raise_error convention): a null/zero/negative weight
         // would flow into `(r·w) div sw` — sw = 0 yields null
         // contributions silently dropped from the sum, corrupting
-        // ranks with no error
-        val wOk = when(col(w).isNotNull && col(w) > 0, col(w).cast("long"))
+        // ranks with no error. The integrality check matters too: a
+        // fractional 0.5 passes a raw `> 0` test but CASTS to 0,
+        // reproducing exactly the silent sw = 0 corruption (r13
+        // self-review)
+        // (the === coerces both sides to the common type, so for a
+        // double column this compares 0.5 to 0.0 — false — while a
+        // genuine integer compares equal to itself)
+        val wOk = when(col(w).isNotNull && col(w) > 0 &&
+            col(w) === col(w).cast("long"),
+            col(w).cast("long"))
           .otherwise(raise_error(concat(
             lit(s"pageRankWeighted: $w must be a positive integer, got "),
             coalesce(col(w).cast("string"), lit("NULL")))))

@@ -143,29 +143,50 @@ object Multimodal {
       // per-partition codec setup: stream-backed reads, no temp files
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
-          catch { case _: Exception => null }
+        val img = readImage(r.content)
         if (img == null) ImageFeatures(r.doc_id, decoded = false, 0L, 0L, 0L, 0L)
         else {
-          val w = img.getWidth
-          val h = img.getHeight
           var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-              x += 1
-            }
-            y += 1
-          }
-          ImageFeatures(r.doc_id, decoded = true, w.toLong, h.toLong,
-            img.getRaster.getNumBands.toLong, sum)
+          lumaScan(img).foreach(sum += _)
+          ImageFeatures(r.doc_id, decoded = true, img.getWidth.toLong,
+            img.getHeight.toLong, img.getRaster.getNumBands.toLong, sum)
         }
       }
     }
+  }
+
+  /** One decode-or-null: the shared rot posture of every image op
+    * (r13 self-review factored three copies) — a payload no reader
+    * recognizes (or that throws) returns null and the caller emits
+    * its tagged fallback. Object-method call sites capture nothing in
+    * task closures.
+    */
+  private[graft] def readImage(
+      content: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    catch { case _: Exception => null }
+
+  /** Row-major integer lumas (r+g+b per pixel) via getRGB — the shared
+    * pixel scan of [[decodeImageFeatures]] and [[imagePHash]]; getRGB
+    * normalizes any internal raster layout (BGR, indexed, gray) to
+    * RGB ints.
+    */
+  private[graft] def lumaScan(img: java.awt.image.BufferedImage): Array[Long] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Long](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        out(y * w + x) =
+          ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** Perceptual image hash over the DECODED pixels (the multimodal
@@ -189,29 +210,16 @@ object Multimodal {
     ds.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
-          catch { case _: Exception => null }
+        val img = readImage(r.content)
         if (img == null) ImagePHash(r.doc_id, decoded = false, 0L, 0L, 0L)
         else {
           val w = img.getWidth
           val h = img.getHeight
           require(w.toLong * h <= 62,
             s"imagePHash: one BIGINT packs at most 62 pixel bits, got ${w}x$h")
-          val lumas = new Array[Long](w * h)
+          val lumas = lumaScan(img)
           var total = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val l = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-              lumas(y * w + x) = l
-              total += l
-              x += 1
-            }
-            y += 1
-          }
+          lumas.foreach(total += _)
           var hash = 0L
           var p = 0
           while (p < lumas.length) {
@@ -290,9 +298,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
-          catch { case _: Exception => null }
+        val img = readImage(r.content)
         if (img == null) r
         else {
           val w = img.getWidth

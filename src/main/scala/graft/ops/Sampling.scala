@@ -349,11 +349,18 @@ object Sampling {
     */
   def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
                    checkpointDir: Option[String] = None): DataFrame = {
-    val keyed = df.withColumn("shuffle_key",
+    // collision-proof the helper key (the PrefixSum convention, r13
+    // self-review): never clobber a user column, never leak the helper
+    require(!df.columns.exists(_.equalsIgnoreCase("shuffle_rank")),
+      "epochShuffle: input already has a shuffle_rank column")
+    val key = Iterator.iterate("_skey")(_ + "_").find(k =>
+      !df.columns.exists(_.equalsIgnoreCase(k))).get
+    val keyed = df.withColumn(key,
       graft.functions.Hashing.md5Long(
         concat(lit(s"ord:$epoch:"), col(idCol).cast("string"))))
-    PrefixSum.runningTotals(keyed, Nil, Seq("shuffle_key", idCol),
+    PrefixSum.runningTotals(keyed, Nil, Seq(key, idCol),
       valueCol = None, runCol = "shuffle_rank",
       checkpointDir = checkpointDir)
+      .drop(key)
   }
 }

@@ -406,8 +406,15 @@ object Similarity {
     val scored = sig.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        // zip_with pads the shorter side with NULLs (an empty vector's
+        // block array is empty) — coalesce each block to 0L so an
+        // empty/shorter signature scores as all-zero bits, matching
+        // binarySignPacked's empty-vector convention and the q142
+        // oracle; without it the null hamming would sort NULLS FIRST
+        // and crown the empty vector every query's rank-1 neighbor
         expr("""aggregate(zip_with(q_blocks, sig_blocks,
-               |  (a, b) -> bit_count(a ^ b)), 0L, (acc, x) -> acc + x)""".stripMargin)
+               |  (a, b) -> bit_count(coalesce(a, 0L) ^ coalesce(b, 0L))),
+               |  0L, (acc, x) -> acc + x)""".stripMargin)
           .cast("long").as("hamming"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming").asc, col("neighbor_id").asc)

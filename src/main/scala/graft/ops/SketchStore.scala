@@ -106,13 +106,24 @@ object SketchStore {
     * at warehouse cardinalities (≫ 5m/2) the raw branch is the
     * operative one anyway — consumers needing bias correction apply
     * it downstream of the exact integer sum.
+    *
+    * The α and scale constants are the b = 6 values, so a register
+    * vector of any other width RAISES (r13 self-review: a b = 8 store
+    * read through these constants — or b < 6 ranks driving the shift
+    * amount negative, which Spark masks mod 64 — would yield silently
+    * wrong estimates; the module's contract is loud failure on
+    * mismatched states).
     */
   def hllEstimate(regs: Column): Column =
-    (lit(0.709) * lit(4096.0) * lit(36028797018963968.0 /* 2^55 */)) /
-      aggregate(regs, lit(0L),
-        (acc, r) => acc + call_function("shiftleft", lit(1L),
-          (lit(55) - r).cast("int")))
-        .cast("double")
+    when(size(regs) =!= 64, raise_error(concat(
+      lit("hllEstimate: expected 64 registers (b=6), got "),
+      size(regs).cast("string"))))
+      .otherwise(
+        (lit(0.709) * lit(4096.0) * lit(36028797018963968.0 /* 2^55 */)) /
+          aggregate(regs, lit(0L),
+            (acc, r) => acc + call_function("shiftleft", lit(1L),
+              (lit(55) - r).cast("int")))
+            .cast("double"))
 
   /** Persist sketch rows bucketed on the group key ([[Bucketing]]), so
     * a store-only merge aggregates bucket-local with zero Exchange and

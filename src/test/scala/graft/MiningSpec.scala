@@ -1084,6 +1084,21 @@ class MiningSpec extends AnyFunSuite {
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains(") Window"), "epochShuffle regressed to a Window rank")
+    // column hygiene (r13 self-review): a user 'shuffle_key' column
+    // survives untouched (the helper probes a free name and is
+    // dropped); a pre-existing 'shuffle_rank' fails loudly
+    val withKey = df.withColumn("shuffle_key", $"doc_id" * 2)
+    val kept = Sampling.epochShuffle(withKey, "doc_id", 1)
+    assert(kept.columns.count(_ == "shuffle_key") === 1)
+    assert(kept.select($"doc_id", $"shuffle_key").as[(Long, Long)]
+      .collect().forall { case (id, k) => k === id * 2 })
+    assert(Sampling.epochShuffle(withKey, "doc_id", 1)
+      .select($"doc_id", $"shuffle_rank").as[(Long, Long)]
+      .collect().toMap === e1)
+    intercept[IllegalArgumentException] {
+      Sampling.epochShuffle(df.withColumn("shuffle_rank", lit(1L)),
+        "doc_id", 1)
+    }
   }
 
   test("containmentPairs: randomized cross-check against in-memory brute force") {
@@ -1227,6 +1242,19 @@ class MiningSpec extends AnyFunSuite {
       Seq((9L, Seq.empty[Float])).toDF("vec_id", "embedding"),
       "vec_id", "embedding").as[(Long, Seq[Long])].collect()(0)
     assert(empty === ((9L, Seq.empty[Long])))
+    // ...and an empty-vector CANDIDATE scores as all-zero bits (the
+    // binarySignPacked convention), not as a NULL that would sort
+    // NULLS FIRST into every query's rank 1 (r13 self-review)
+    val withEmpty = Seq(
+      (0L, Seq(1.0f, 1.0f, 1.0f)), (1L, Seq(1.0f, 1.0f, -1.0f)),
+      (2L, Seq.empty[Float])).toDF("vec_id", "embedding")
+    val top = Similarity.hammingTopKBlocks(withEmpty, "vec_id", "embedding",
+        queryIds = Seq(0L), k = 2, blockDim = 2)
+      .select("neighbor_id", "hamming", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    // query sig bits = 3 set; empty candidate: hamming = 3, ranked
+    // BELOW the 1-bit-away vector 1
+    assert(top === Set((1L, 1L, 1L), (2L, 3L, 2L)))
   }
 
   test("pageRank: integer fixed-point ranks — hand-traced star, layout-independent") {
@@ -1279,6 +1307,20 @@ class MiningSpec extends AnyFunSuite {
       }
       assert(err.getMessage.contains("positive"), s"weight $bad: $err")
     }
+    // a FRACTIONAL weight in (0,1) passes a raw >0 test but casts to
+    // 0 — the integrality check must catch it (r13 self-review); a
+    // whole-valued double still works
+    val errFrac = intercept[Exception] {
+      Graph.pageRankWeighted(
+        Seq((0L, 1L, 0.5)).toDF("doc_a", "doc_b", "w"),
+        "doc_a", "doc_b", "w", iters = 1).collect()
+    }
+    assert(errFrac.getMessage.contains("positive"))
+    val whole = Graph.pageRankWeighted(
+        Seq((0L, 1L, 3.0), (0L, 2L, 1.0)).toDF("doc_a", "doc_b", "w"),
+        "doc_a", "doc_b", "w", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(whole === pr)
   }
 
   test("personalizedPageRank: mass flows only from the seed set — hand-traced star") {

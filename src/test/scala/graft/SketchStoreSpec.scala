@@ -193,5 +193,12 @@ class SketchStoreSpec extends AnyFunSuite {
     }
     assert(e4.getMessage.contains("outside") ||
       e4.getCause != null && e4.getCause.getMessage.contains("outside"))
+    // hllEstimate's constants are the b=6 values: any other register
+    // width raises instead of silently mis-estimating (r13 self-review)
+    val e5 = intercept[Exception] {
+      Seq(Seq.fill(128)(1L)).toDF("regs")
+        .select(SketchStore.hllEstimate(col("regs"))).collect()
+    }
+    assert(e5.getMessage.contains("64 registers"))
   }
 }
