@@ -2094,9 +2094,13 @@ object SparkEntry {
     // union denominator buries it — the boilerplate/quotation case
     // document dedup actually hunts. Inverted-index shape WITHOUT the
     // length filter (unequal sizes are the signal); blocked by source
+    // probeVocab: this corpus is tag-like (vocab <= 64), so the
+    // bitmask plan scores each pair in O(1) — containment gains more
+    // than q24 did, having no length filter to prune with (the
+    // inverted path benched 3.0s at sf0.1)
     "q160_containment" -> ((s, dir) =>
       Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
-        "source", threshold = 0.8)),
+        "source", threshold = 0.8, probeVocab = true)),
 
     // fill-in-the-middle training transform (Bavarian 2022): 50% of
     // docs (salted-hash chosen, no RNG) split at two hash-derived
@@ -2117,6 +2121,16 @@ object SparkEntry {
             col("shuffle_rank")))
         .reduce(_ unionByName _)
     }),
+
+    // the cheap middle tier of dedup verification: LSH proposes (q22),
+    // per-doc bottom-16 KMV sketches FILTER — jaccard/containment
+    // estimates from sketch rows alone (the q130 SIGMOD'07 math
+    // per-document, pairs × 16 longs at any corpus size, no text
+    // re-read) — and the exact verify (q24/q160) runs only on
+    // survivors; every estimate is deterministic, so all three
+    // columns replay hash-exactly
+    "q163_sketch_verify" -> ((s, dir) =>
+      Dedup.sketchVerifyPairs(Tables.documents(s, dir), "doc_id", "text")),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3486,6 +3500,60 @@ object SparkEntry {
         |               6) AS jaccard
         |  FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5""".stripMargin,
+
+    // LSH candidates from the shared bands CTE; per-doc bottom-16 KMV
+    // word-hash sketches ranked relationally; per pair the q130
+    // estimator arithmetic verbatim (combined bottom-k, K∩ via
+    // membership in both sketches, union exact-below-capacity) with
+    // the SAME left-assoc float chains as the engine
+    "q163_sketch_verify" ->
+      s"""$duckBandsCte,
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM b a JOIN b b2
+        |    ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+        |   AND a.doc_id < b2.doc_id
+        |  GROUP BY 1, 2),
+        |w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        |      FROM documents),
+        |hh AS (SELECT DISTINCT doc_id,
+        |         ('0x'||substr(md5('kmv:'||w),1,15))::BIGINT AS hv
+        |       FROM w),
+        |bk AS (SELECT doc_id, hv FROM (
+        |         SELECT doc_id, hv,
+        |                row_number() OVER (PARTITION BY doc_id ORDER BY hv) AS rn
+        |         FROM hh)
+        |       WHERE rn <= 16),
+        |nw AS (SELECT doc_id, count(*)::BIGINT AS n FROM w GROUP BY 1),
+        |u AS (SELECT DISTINCT c.doc_a, c.doc_b, bk.hv
+        |      FROM cand c JOIN bk ON bk.doc_id IN (c.doc_a, c.doc_b)),
+        |ck AS (SELECT doc_a, doc_b, hv FROM (
+        |         SELECT doc_a, doc_b, hv,
+        |                row_number() OVER (PARTITION BY doc_a, doc_b
+        |                                   ORDER BY hv) AS rn
+        |         FROM u)
+        |       WHERE rn <= 16),
+        |st AS (
+        |  SELECT ck.doc_a, ck.doc_b, count(*)::BIGINT AS kk,
+        |         sum(CASE WHEN EXISTS (SELECT 1 FROM bk x
+        |                               WHERE x.doc_id = ck.doc_a AND x.hv = ck.hv)
+        |                   AND EXISTS (SELECT 1 FROM bk y
+        |                               WHERE y.doc_id = ck.doc_b AND y.hv = ck.hv)
+        |                  THEN 1 ELSE 0 END)::BIGINT AS k_int,
+        |         max(ck.hv) AS mx
+        |  FROM ck GROUP BY 1, 2),
+        |est AS (
+        |  SELECT doc_a, doc_b, kk, k_int,
+        |         CASE WHEN kk < 16 THEN kk::DOUBLE
+        |              ELSE 15.0 * 1152921504606846976 / mx END AS union_est
+        |  FROM st)
+        |SELECT e.doc_a, e.doc_b,
+        |       round(k_int::DOUBLE / kk, 6) AS jaccard_est,
+        |       round(k_int::DOUBLE / kk * union_est / a_n.n::DOUBLE, 6) AS cont_a_est,
+        |       round(k_int::DOUBLE / kk * union_est / b_n.n::DOUBLE, 6) AS cont_b_est
+        |FROM est e
+        |JOIN nw a_n ON a_n.doc_id = e.doc_a
+        |JOIN nw b_n ON b_n.doc_id = e.doc_b""".stripMargin,
 
     // the exact Window form the engine's PrefixSum core must equal
     "q162_epoch_shuffle" ->

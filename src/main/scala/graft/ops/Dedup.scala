@@ -352,20 +352,29 @@ object Dedup {
     else jaccardPairsInverted(docs, threshold)
   }
 
-  /** Small-vocabulary fast path: word sets as 64-bit masks, intersection
-    * as bit_count. `vocab` must cover every word in `docs.ws`.
+  /** Word sets as 64-bit masks over a ≤64-word vocabulary — the shared
+    * encoding of the bitmask fast paths ([[jaccardPairsBitmask]],
+    * [[containmentPairsBitmask]]). `vocab` must cover every word in
+    * `docs.ws`.
     */
-  private def jaccardPairsBitmask(docs: DataFrame, vocab: Array[String],
-                                  threshold: Double): DataFrame = {
+  private def wordMasks(docs: DataFrame, vocab: Array[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val dict = vocab.sorted.zipWithIndex.toSeq.toDF("w", "bit")
-    val masks = docs
+    docs
       .select(col("doc_id"), col("grp"), size(col("ws")).as("n"),
         explode(col("ws")).as("w"))
       .join(broadcast(dict), "w")
       .groupBy(col("doc_id"), col("grp"), col("n"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("mask"))
+  }
+
+  /** Small-vocabulary fast path: word sets as 64-bit masks, intersection
+    * as bit_count. `vocab` must cover every word in `docs.ws`.
+    */
+  private def jaccardPairsBitmask(docs: DataFrame, vocab: Array[String],
+                                  threshold: Double): DataFrame = {
+    val masks = wordMasks(docs, vocab)
     val a = masks.select(col("doc_id").as("doc_a"), col("grp"),
       col("mask").as("mask_a"), col("n").as("na"))
     val b = masks.select(col("doc_id").as("doc_b"), col("grp").as("grp_b"),
@@ -430,15 +439,101 @@ object Dedup {
     * q22) bounds the join, as in every set-similarity op here.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       groupCol: String, threshold: Double): DataFrame = {
+                       groupCol: String, threshold: Double,
+                       probeVocab: Boolean = false): DataFrame = {
     require(threshold > 0, "threshold must be > 0")
     val docs = df.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
       array_distinct(split(col(textCol), " ")).as("ws"))
+    // the jaccardPairs adaptive-strategy contract: probe the corpus
+    // vocabulary (full scan — a sample would silently corrupt masks)
+    // and take the O(1)-per-pair bitmask plan on tag-like corpora;
+    // containment benefits MORE than jaccard here, because it cannot
+    // length-prune — every same-block pair is scored either way
+    if (probeVocab) {
+      val vocabProbe = docs.select(explode(col("ws")).as("w"))
+        .distinct().limit(65).collect().map(_.getString(0))
+      if (vocabProbe.length <= 64)
+        return containmentPairsBitmask(docs, vocabProbe, threshold)
+    }
     coOccurrencePairs(docs)
       .select(col("doc_a"), col("doc_b"),
         expr("round(CAST(inter AS DOUBLE) / CAST(na AS DOUBLE), 6)").as("cont_a"),
         expr("round(CAST(inter AS DOUBLE) / CAST(nb AS DOUBLE), 6)").as("cont_b"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+  }
+
+  /** Small-vocabulary containment fast path: |A∩B| is one
+    * bit_count(mask & mask) per blocked pair — no co-occurrence
+    * explosion (and no length pruning to lose: containment scores
+    * every same-block pair by definition). Zero-overlap pairs are
+    * dropped before the division, matching the inverted path's
+    * shared-word join semantics.
+    */
+  private def containmentPairsBitmask(docs: DataFrame, vocab: Array[String],
+                                      threshold: Double): DataFrame = {
+    val masks = wordMasks(docs, vocab)
+    val a = masks.select(col("doc_id").as("doc_a"), col("grp"),
+      col("mask").as("mask_a"), col("n").as("na"))
+    val b = masks.select(col("doc_id").as("doc_b"), col("grp").as("grp_b"),
+      col("mask").as("mask_b"), col("n").as("nb"))
+    a.join(b, col("grp") === col("grp_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(mask_a & mask_b)").as("inter"), col("na"), col("nb"))
+      .filter(col("inter") > 0)
+      .select(col("doc_a"), col("doc_b"),
+        expr("round(CAST(inter AS DOUBLE) / CAST(na AS DOUBLE), 6)").as("cont_a"),
+        expr("round(CAST(inter AS DOUBLE) / CAST(nb AS DOUBLE), 6)").as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+  }
+
+  /** Verify LSH candidate pairs from per-document KMV sketches ALONE
+    * — no text re-read: each doc carries its bottom-`k` word-hash
+    * sketch (k longs, dimension-sized), and per candidate pair the
+    * SIGMOD'07 estimators (the q130 math applied per-document) give
+    * Jaccard ρ = K∩/k′ over the combined bottom-k, the union size
+    * (exact below capacity, (k−1)·2⁶⁰/h₍ₖ₎ at it), hence intersection
+    * and BOTH containments (÷ the exact per-doc distinct-word counts,
+    * carried from the same single corpus scan).
+    *
+    * This is the cheap middle tier of the dedup verification stack:
+    * LSH banding proposes (recall-oriented, q22), THIS filters from
+    * sketch rows only — at 100 TB the pair stage touches pairs × k
+    * longs, never text — and the exact verify (q24/q160) runs only on
+    * pairs that survive. Every estimate is a deterministic function of
+    * the two hash sets, so the q163 oracle replays all of them
+    * hash-exactly.
+    */
+  def sketchVerifyPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val words = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(split(col(textCol), " "))).as("w"))
+    val sk = words.groupBy(col("doc_id"))
+      .agg(graft.functions.TypedAggs.kmvHashes(col("w"), k).as("hs"),
+        count(lit(1)).as("nw"))
+    val cand = lshCandidates(minhashBands(df, idCol, textCol),
+      maxBucketSize = Int.MaxValue).select(col("doc_a"), col("doc_b"))
+    cand
+      .join(sk.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("nw").as("na")), Seq("doc_a"))
+      .join(sk.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+        col("nw").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        col("hs_a"), col("hs_b"),
+        expr(s"slice(array_sort(array_union(hs_a, hs_b)), 1, $k)").as("comb"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        size(col("comb")).as("kk"),
+        expr("size(filter(comb, h -> array_contains(hs_a, h) AND array_contains(hs_b, h)))")
+          .as("k_int"),
+        expr(s"""IF(size(comb) < $k, CAST(size(comb) AS DOUBLE),
+                |   ${k - 1}D * 1152921504606846976.0D / element_at(comb, $k))"""
+          .stripMargin).as("union_est"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("k_int").cast("double") / col("kk"), 6).as("jaccard_est"),
+        round(col("k_int").cast("double") / col("kk") * col("union_est")
+          / col("na").cast("double"), 6).as("cont_a_est"),
+        round(col("k_int").cast("double") / col("kk") * col("union_est")
+          / col("nb").cast("double"), 6).as("cont_b_est"))
   }
 
   /** SimHash signature over the word multiset (bits <= 60 since the

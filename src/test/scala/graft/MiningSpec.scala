@@ -1112,6 +1112,12 @@ class MiningSpec extends AnyFunSuite {
     val got = Dedup.containmentPairs(corpus.toDF("doc_id", "text", "source"),
         "doc_id", "text", "source", threshold = 0.3)
       .as[(Long, Long, Double, Double)].collect().toSet
+    // the bitmask fast path (vocab 16 <= 64 → probe takes it) must
+    // produce the identical pair set and ratios
+    val gotMask = Dedup.containmentPairs(corpus.toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source", threshold = 0.3, probeVocab = true)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(gotMask === got)
     val sets = corpus.map { case (id, t, src) => (id, t.split(" ").toSet, src) }
     val want = (for {
       (a, wsA, sA) <- sets; (b, wsB, sB) <- sets
