@@ -960,6 +960,28 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 150L, 1950L, 1L, "21")))
   }
 
+  test("streaming FIM transform: the per-document training map runs stateless on a stream, ≡ batch") {
+    import graft.ops.TextAnalysis
+    val rows = Seq((1L, "alpha beta gamma delta"), (2L, "one two three"),
+      (3L, "lorem ipsum dolor sit amet"), (4L, ""))
+    val input = MemoryStream[(Long, String)]
+    val q = TextAnalysis.fimTransform(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.outputMode("append").format("memory").queryName("fim").start()
+    input.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("fim")
+      .as[(Long, Boolean, String, String, String, String)].collect().toSet
+    val batch = TextAnalysis.fimTransform(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Boolean, String, String, String, String)].collect().toSet
+    assert(streamed === batch) // one code path, two modes
+    assert(streamed.size === 4)
+  }
+
   test("streaming image decode: the real-codec map runs stateless on a stream, ≡ batch") {
     import graft.ops.Multimodal
     // encode → decode as stateless per-row maps on a live stream (no
