@@ -2131,6 +2131,13 @@ object SparkEntry {
     // columns replay hash-exactly
     "q163_sketch_verify" -> ((s, dir) =>
       Dedup.sketchVerifyPairs(Tables.documents(s, dir), "doc_id", "text")),
+
+    // n-gram novelty (memorization-risk audit): fraction of each doc's
+    // distinct shingles that occur nowhere else — low scores flag the
+    // template/boilerplate variants a model will over-memorize (Lee
+    // 2021); shingle universe = the dedup pipeline's (q21 convention)
+    "q164_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(Tables.documents(s, dir), "doc_id", "text")),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3554,6 +3561,26 @@ object SparkEntry {
         |FROM est e
         |JOIN nw a_n ON a_n.doc_id = e.doc_a
         |JOIN nw b_n ON b_n.doc_id = e.doc_b""".stripMargin,
+
+    // the q21 shingle convention (3-word windows, whole-text fallback)
+    // + one doc-frequency CTE; df = 1 marks the shingle as novel
+    "q164_ngram_novelty" ->
+      """WITH s0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3
+        |      THEN list_distinct(list_transform(
+        |             generate_series(1, len(string_split(text, ' ')) - 2),
+        |             i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))
+        |      ELSE [text] END AS shs
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM s0),
+        |dfc AS (SELECT sh, count(*)::BIGINT AS df FROM sh GROUP BY 1)
+        |SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+        |       sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END)::BIGINT AS novel_shingles,
+        |       round(sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END)::DOUBLE
+        |             / count(*), 6) AS novelty
+        |FROM sh s JOIN dfc ON s.sh = dfc.sh
+        |GROUP BY 1""".stripMargin,
 
     // the exact Window form the engine's PrefixSum core must equal
     "q162_epoch_shuffle" ->

@@ -317,6 +317,45 @@ object TextAnalysis {
           .as("chunk"))
   }
 
+  /** Corpus-level n-gram NOVELTY (the memorization-risk audit): per
+    * document, the fraction of its DISTINCT word shingles occurring in
+    * NO other document. Low-novelty docs are template/boilerplate
+    * variants whose shingles the model will see many times (the
+    * over-memorization risk Lee et al. 2021 quantify); the score is
+    * the per-document complement of the corpus-wide over-count signal
+    * q106/q139 act on. Shingles are the [[graft.ops.Dedup.minhashBands]]
+    * convention (codegen'd word_ngrams, whole-text fallback for short
+    * docs), so this row's denominator is exactly the dedup pipeline's
+    * shingle universe.
+    *
+    * Shape: one shingle explode → one map-side-combining doc-frequency
+    * aggregate (shuffles shingle strings once — the q106 cost class) →
+    * join back on shingle → per-doc hash aggregate. Work ∝ corpus
+    * shingles; no Window, no all-pairs anything.
+    *
+    * Output: (doc_id, n_shingles, novel_shingles, novelty).
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3): DataFrame = {
+    val base = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("txt"),
+        split(col(textCol), " ").as("words"))
+      .select(col("doc_id"),
+        when(size(col("words")) >= shingleSize,
+          graft.functions.WordNgrams(df.sparkSession, col("txt"), shingleSize))
+          .otherwise(array(col("txt"))).as("shingles"))
+    val sh = base.select(col("doc_id"),
+      explode(array_distinct(col("shingles"))).as("sh"))
+    // shingles are distinct per doc, so the count IS document frequency
+    val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(dfc, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel_shingles"))
+      .withColumn("novelty",
+        round(col("novel_shingles").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
     * Training of Language Models to Fill in the Middle"): a hash-chosen
     * `fimPct`% of documents split into (prefix, middle, suffix) at two

@@ -1134,6 +1134,25 @@ class MiningSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("ngramNovelty: shared shingles lower novelty — hand-traced; short-doc fallback") {
+    val df = docs(
+      (1, "a b c d", "s"),   // shingles {a b c, b c d}
+      (2, "a b c x", "s"),   // shingles {a b c, b c x} — shares one
+      (3, "zz", "s"))        // short doc → whole-text shingle
+    val got = TextAnalysis.ngramNovelty(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, 0.5)),  // "a b c" shared with doc 2
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((1L, 1L, 1.0))))
+    // layout independence
+    val got2 = TextAnalysis.ngramNovelty(df.repartition(5), "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got2 === got)
+  }
+
   test("fimTransform: PSM split partitions the text exactly; passthrough untouched") {
     val df = (0L until 200L).map(i => (i, s"doc $i body with words ${"x" * (i % 17).toInt}", "s"))
       .toDF("doc_id", "text", "source")
