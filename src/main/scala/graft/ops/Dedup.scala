@@ -504,15 +504,20 @@ object Dedup {
     * hash-exactly.
     */
   def sketchVerifyPairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 16): DataFrame = {
+                        k: Int = 16, maxBucketSize: Int = 10000): DataFrame = {
     require(k >= 2, "k must be >= 2")
     val words = df.select(col(idCol).as("doc_id"),
       explode(array_distinct(split(col(textCol), " "))).as("w"))
     val sk = words.groupBy(col("doc_id"))
       .agg(graft.functions.TypedAggs.kmvHashes(col("w"), k).as("hs"),
         count(lit(1)).as("nw"))
+    // the module-standard bucket cap (r13 ADVICE: an uncapped proposal
+    // tier reintroduces the |bucket|^2 explosion this stack exists to
+    // prevent) — over-cap buckets produce no pairs here and stay
+    // observable/dedupable via lshOversizedBuckets/Losers, exactly as
+    // in the plain LSH path
     val cand = lshCandidates(minhashBands(df, idCol, textCol),
-      maxBucketSize = Int.MaxValue).select(col("doc_a"), col("doc_b"))
+      maxBucketSize).select(col("doc_a"), col("doc_b"))
     cand
       .join(sk.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
         col("nw").as("na")), Seq("doc_a"))

@@ -39,17 +39,40 @@ object SketchStore {
                 valueCol: Column, k: Int = 64): DataFrame =
     df.groupBy((groupCols :+ sliceCol).map(col): _*)
       .agg(TypedAggs.kmvHashes(valueCol, k).as("hs"))
+      // capacity travels WITH the state (r13 ADVICE): a bottom-16 slice
+      // has <= 16 rows and would pass KmvMergeHashes' length check at
+      // k=64, yet its merged state is NOT the union's bottom-64 — only
+      // the persisted k can distinguish "legitimately below capacity"
+      // from "written with a smaller k"
+      .withColumn("k", lit(k))
 
   /** Merge sketch rows (a store, a store ∪ a fresh slice, …) down to
     * one state per group; `n_slices` counts the merged rows — the
     * store-shape evidence the q152 oracle checks alongside the
-    * estimate.
+    * estimate. Requires the `k` column [[kmvSlices]] persists and fails
+    * loudly when any stored row's capacity differs from the merge's —
+    * the same loud-failure contract as [[TypedAggs.CmsMerge]]/
+    * [[TypedAggs.HllMergeRegisters]] (r13 ADVICE: a bottom-16 store
+    * merged at k=64 read as an "exact" below-capacity count is silently
+    * wrong).
     */
   def kmvMergeSlices(slices: DataFrame, groupCols: Seq[String],
-                     k: Int = 64): DataFrame =
+                     k: Int = 64): DataFrame = {
+    require(slices.columns.contains("k"),
+      "kmvMergeSlices: slices must carry the `k` column kmvSlices " +
+        "persists — without it a store written at a smaller capacity " +
+        "is indistinguishable from one legitimately below it")
     slices.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_slices"),
-        TypedAggs.kmvMergeHashes(col("hs"), k).as("hs"))
+        TypedAggs.kmvMergeHashes(col("hs"), k).as("hs"),
+        min(col("k")).as("_k_lo"), max(col("k")).as("_k_hi"))
+      .select(groupCols.map(col) ++ Seq(col("n_slices"),
+        when(col("_k_lo") =!= k || col("_k_hi") =!= k, raise_error(concat(
+          lit("kmvMergeSlices: stored k in ["), col("_k_lo").cast("string"),
+          lit(", "), col("_k_hi").cast("string"),
+          lit(s"] does not match merge k=$k"))))
+          .otherwise(col("hs")).as("hs")): _*)
+  }
 
   /** The KMV estimate read as a codegen'd column over a (merged) hash
     * list: exact count below capacity, (k−1)·2⁶⁰ / h₍ₖ₎ at it — the

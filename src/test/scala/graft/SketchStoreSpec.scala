@@ -167,12 +167,28 @@ class SketchStoreSpec extends AnyFunSuite {
   test("malformed stored states fail loudly") {
     // unsorted KMV state: silently accepting it would break the merge
     // invariant and skew every later estimate
-    val badKmv = Seq(("a", Seq(5L, 3L))).toDF("g", "hs")
+    val badKmv = Seq(("a", Seq(5L, 3L), 4)).toDF("g", "hs", "k")
     val e1 = intercept[Exception] {
       SketchStore.kmvMergeSlices(badKmv, Seq("g"), k = 4).collect()
     }
     assert(e1.getMessage.contains("ascending") ||
       e1.getCause != null && e1.getCause.getMessage.contains("ascending"))
+    // capacity mismatch (r13 ADVICE): a bottom-2 store merged at k=4
+    // passes the length check yet is NOT the union's bottom-4 — the
+    // persisted k is the only witness, so the merge must fail loudly
+    val smallK = Seq(("a", Seq(3L, 5L), 2)).toDF("g", "hs", "k")
+    val eK = intercept[Exception] {
+      SketchStore.kmvMergeSlices(smallK, Seq("g"), k = 4).collect()
+    }
+    assert(eK.getMessage.contains("does not match merge k") ||
+      eK.getCause != null &&
+        eK.getCause.getMessage.contains("does not match merge k"))
+    // a store without the k column at all is malformed, plan-time loud
+    val noK = Seq(("a", Seq(3L, 5L))).toDF("g", "hs")
+    val eNoK = intercept[IllegalArgumentException] {
+      SketchStore.kmvMergeSlices(noK, Seq("g"), k = 4)
+    }
+    assert(eNoK.getMessage.contains("k"))
     // wrong-dimension CMS state: vector-add would silently misalign
     val badCms = Seq(("a", Seq(1L, 2L, 3L))).toDF("g", "counts")
     val e2 = intercept[Exception] {

@@ -817,14 +817,15 @@ class StreamingSpec extends AnyFunSuite {
     // exactly like a batch pass over everything ingested so far
     import graft.functions.TypedAggs
     import graft.ops.SketchStore
-    val store = scala.collection.mutable.ArrayBuffer[(String, Long, Seq[Long])]()
+    val store =
+      scala.collection.mutable.ArrayBuffer[(String, Long, Seq[Long], Int)]()
     val input = MemoryStream[KeyedEvent]
     val q = input.toDF().writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         store ++= SketchStore.kmvSlices(
             batch.withColumn("slice", lit(id)),
             Seq("eventType"), "slice", $"key".cast("string"), k = 4)
-          .as[(String, Long, Seq[Long])].collect(): Unit
+          .as[(String, Long, Seq[Long], Int)].collect(): Unit
       }.start()
     val rows = (1 to 40).map(i =>
       KeyedEvent(i % 11, ts(i * 10), if (i % 2 == 0) "view" else "click", i))
@@ -835,7 +836,7 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(store.map(_._2).distinct.size >= 2) // really multiple slices
     val merged = SketchStore.kmvMergeSlices(
-        store.toSeq.toDF("eventType", "slice", "hs"), Seq("eventType"), k = 4)
+        store.toSeq.toDF("eventType", "slice", "hs", "k"), Seq("eventType"), k = 4)
       .select($"eventType", $"hs").as[(String, Seq[Long])].collect().toMap
     val full = rows.toDF()
       .groupBy($"eventType")
