@@ -1066,6 +1066,104 @@ class MiningSpec extends AnyFunSuite {
     assert(rot === ImagePHash(7L, decoded = false, 0L, 0L, 0L))
   }
 
+  test("multimodal: REAL WAV round-trip — RIFF header walked by hand, samples and rot traced") {
+    import graft.ops.{AudioFeatures, Multimodal}
+    // doc_id 13: channels 1+13%2 = 2, rate 8000·(1+13%3) = 16000,
+    // frames 40+13%25 = 53 — hand math, not audioParams
+    val id = 13L
+    assert(Multimodal.audioParams(id) === ((2, 16000, 53)))
+    // formula spot-checks BY HAND: s(13,0,0) = (39)%65536-32768 =
+    // -32729; s(13,0,1) = (39+11)-32768 = -32718; s(13,1,0) =
+    // (39+7)-32768 = -32722
+    assert(Multimodal.sampleValue(id, 0, 0) === -32729)
+    assert(Multimodal.sampleValue(id, 0, 1) === -32718)
+    assert(Multimodal.sampleValue(id, 1, 0) === -32722)
+    val content = Multimodal.audioRecords(Seq(id).toDF("doc_id"), "doc_id")
+      .collect()(0).content
+    // the payload really is a RIFF/WAVE file: walk its chunks by hand
+    def ascii(off: Int) = new String(content.slice(off, off + 4), "US-ASCII")
+    def le32(off: Int): Long = (content(off) & 0xffL) |
+      ((content(off + 1) & 0xffL) << 8) | ((content(off + 2) & 0xffL) << 16) |
+      ((content(off + 3) & 0xffL) << 24)
+    def le16(off: Int): Int = (content(off) & 0xff) |
+      ((content(off + 1) & 0xff) << 8)
+    assert(ascii(0) === "RIFF")
+    assert(ascii(8) === "WAVE")
+    assert(le32(4) === content.length - 8) // RIFF size covers the rest
+    var off = 12
+    var dataOff = -1
+    var sawFmt = false
+    while (off + 8 <= content.length) {
+      val ckId = ascii(off)
+      val ckSz = le32(off + 4).toInt
+      if (ckId == "fmt ") {
+        sawFmt = true
+        assert(le16(off + 8) === 1)        // PCM
+        assert(le16(off + 10) === 2)       // channels
+        assert(le32(off + 12) === 16000L)  // sample rate
+        assert(le32(off + 16) === 64000L)  // byte rate = sr·ch·2
+        assert(le16(off + 20) === 4)       // block align = ch·2
+        assert(le16(off + 22) === 16)      // bits per sample
+      }
+      if (ckId == "data") {
+        assert(ckSz === 53 * 2 * 2) // frames · channels · 2 bytes
+        dataOff = off + 8
+      }
+      off += 8 + ckSz
+    }
+    assert(sawFmt && dataOff > 0, "fmt and data chunks must both exist")
+    // first interleaved samples, little-endian, against the hand values
+    def sample(k: Int): Int =
+      ((content(dataOff + 2 * k + 1) << 8) |
+        (content(dataOff + 2 * k) & 0xff))
+    assert(sample(0) === -32729) // frame 0 channel 0
+    assert(sample(1) === -32718) // frame 0 channel 1
+    assert(sample(2) === -32722) // frame 1 channel 0
+    // full decode row: amplitude sums replayed from the formula
+    var amp = 0L
+    var ab = 0L
+    for (i <- 0 until 53; c <- 0 until 2) {
+      val v = Multimodal.sampleValue(id, i, c)
+      amp += v; ab += math.abs(v)
+    }
+    val feats = Multimodal.decodeAudioFeatures(
+      Multimodal.audioRecords(Seq(id).toDF("doc_id"), "doc_id")).collect()(0)
+    assert(feats === AudioFeatures(id, decoded = true, 16000L, 2L, 53L,
+      amp, ab))
+    // a non-audio payload takes the TAGGED deterministic fallback row
+    val rot = Multimodal.decodeAudioFeatures(
+      Seq(graft.ops.MediaRecord(7L, "audio", "not a wav at all".getBytes,
+        16L, "")).toDS()).collect()(0)
+    assert(rot === AudioFeatures(7L, decoded = false, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("audioFrames: sample-aligned windows over decoded PCM, short tail kept, rot emits none") {
+    import graft.ops.Multimodal
+    val id = 13L // 2 channels, 53 frames (see the WAV round-trip test)
+    val frames = Multimodal.audioFrames(
+      Multimodal.audioRecords(Seq(id).toDF("doc_id"), "doc_id"),
+      frameLen = 5, stride = 2).collect().sortBy(_.frame_idx)
+    // ceil(53/5) = 11 windows, every 2nd: k ∈ {0,2,4,6,8,10}
+    assert(frames.map(_.frame_idx).toSeq === Seq(0L, 2L, 4L, 6L, 8L, 10L))
+    // full windows carry 5·2 samples; the tail window (frames 50..52)
+    // keeps its 3·2 — real extractors don't drop the tail
+    assert(frames.take(5).forall(_.n_samples === 10L))
+    assert(frames.last.n_samples === 6L)
+    // window 0 replayed from the formula: samples = frames 0..4 × ch
+    val win0 = for (i <- 0 until 5; c <- 0 until 2)
+      yield Multimodal.sampleValue(id, i, c)
+    assert(frames.head.amp_sum === win0.map(_.toLong).sum)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expMd5 = md.digest(win0.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(frames.head.frame_md5 === expMd5)
+    // rot payloads decode to nothing — no frames, job keeps running
+    val rotFrames = Multimodal.audioFrames(
+      Seq(graft.ops.MediaRecord(7L, "audio", "nope".getBytes, 4L, ""))
+        .toDS(), frameLen = 5, stride = 2).collect()
+    assert(rotFrames.isEmpty)
+  }
+
   test("epochShuffle: each epoch is a reproducible permutation; epochs differ; no Window") {
     val df = (0L until 100L).map(i => (i, s"t$i", "s")).toDF("doc_id", "text", "source")
     def ranks(e: Int, d: org.apache.spark.sql.DataFrame) =
