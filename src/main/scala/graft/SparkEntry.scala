@@ -2170,6 +2170,32 @@ object SparkEntry {
         Multimodal.audioRecords(Tables.documents(s, dir), "doc_id"),
         frameLen = 5, stride = 2).toDF()
     }),
+
+    // incremental ANN-store ingest ≡ full rebuild at fixed centroids:
+    // the store is built from the history slice and the fresh slice is
+    // ingested against the SAME centroids (ivfStoreRows is the one
+    // shared body of writeIvfBucketed and ivfIngest), so the union of
+    // the two slices' store rows must equal assigning the WHOLE corpus
+    // in one pass — which is exactly what the oracle computes (q33's
+    // assignment with q25's zero-norm guard). `ingested` tags which
+    // lifecycle path produced each row; AnnStoreSpec drives the
+    // PHYSICAL append (old bucket files untouched, post-ingest search
+    // ≡ rebuilt-store search); jobs.IngestStaleness measures the
+    // recall decay that tells the operator when to re-centroid
+    "q167_ivf_ingest" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_vec"))
+      val history = emb.filter(col("vec_id") % 5 =!= 0)
+      val fresh = emb.filter(col("vec_id") % 5 === 0)
+      Similarity.ivfStoreRows(history, "vec_id", "embedding", centroids)
+        .withColumn("ingested", lit(false))
+        .unionByName(
+          Similarity.ivfStoreRows(fresh, "vec_id", "embedding", centroids)
+            .withColumn("ingested", lit(true)))
+        .select(col("vec_id"), col("centroid_id"),
+          round(col("norm2"), 6).as("norm2"), col("ingested"))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3698,6 +3724,33 @@ object SparkEntry {
         |       md5(array_to_string(list_transform(generate_series(plo, phi - 1), p ->
         |         ((3*doc_id + 7*(p // ch) + 11*(p % ch)) % 65536 - 32768)::VARCHAR), ',')) AS frame_md5
         |FROM w2""".stripMargin,
+
+    // full-corpus single-pass assignment (q33's argmin at the 8 seed
+    // centroids, q25's zero-norm guard) — the identity the two-phase
+    // build+ingest must reproduce; `ingested` replays the slice split
+    "q167_ivf_ingest" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, embedding AS c_vec FROM e WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |         round(sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |           i -> (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)
+        |              * (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)))), 6) AS dist
+        |  FROM e CROSS JOIN c),
+        |a AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY dist ASC, centroid_id ASC) AS rn
+        |    FROM sc) WHERE rn = 1),
+        |n AS (
+        |  SELECT vec_id,
+        |         round(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), 6) AS norm2
+        |  FROM e
+        |  WHERE list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0)
+        |SELECT a.vec_id, a.centroid_id, n.norm2,
+        |       a.vec_id % 5 = 0 AS ingested
+        |FROM a JOIN n ON a.vec_id = n.vec_id""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

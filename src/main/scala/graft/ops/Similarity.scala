@@ -271,17 +271,58 @@ object Similarity {
   def writeIvfBucketed(emb: DataFrame, idCol: String, vecCol: String,
                        centroids: DataFrame, table: String, buckets: Int,
                        path: Option[String] = None): Unit = {
+    Bucketing.writeBucketed(ivfStoreRows(emb, idCol, vecCol, centroids),
+      table, Seq("centroid_id"), buckets,
+      sortCols = Seq("centroid_id"), path = path)
+  }
+
+  /** The store-row form of a vector slice at FIXED centroids — the
+    * shared body of [[writeIvfBucketed]] (initial build) and
+    * [[ivfIngest]] (incremental append), so the two paths cannot
+    * diverge in assignment, zero-norm policy, or schema: (vec_id,
+    * centroid_id, vec, norm2), one row per non-zero-norm vector,
+    * assigned to its nearest centroid (the [[ivfAssign]] argmin —
+    * 6-digit-rounded dists, centroid_id tie-break).
+    */
+  def ivfStoreRows(emb: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame): DataFrame = {
     graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
     val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
-    val assigned = nearestCentroid(centroidDists(e, centroids))
+    nearestCentroid(centroidDists(e, centroids))
       .select(col("vec_id"), col("centroid_id"))
       .join(e, "vec_id")
       .withColumn("norm2", expr(norm2Sql.format("vec", "vec")))
       .filter(col("norm2") > 0)
       .select(col("vec_id"), col("centroid_id"), col("vec"), col("norm2"))
-    Bucketing.writeBucketed(assigned, table, Seq("centroid_id"), buckets,
-      sortCols = Seq("centroid_id"), path = path)
   }
+
+  /** Incremental ANN-store ingest (the lifecycle operation a live
+    * serving corpus needs daily — the r13 verdict's store-triad gap):
+    * assign the NEW vectors to the store's EXISTING centroids and
+    * APPEND their store rows to the bucketed table — history is never
+    * re-read, re-assigned, or re-shuffled; the append writes only the
+    * new slice's bucket files (AnnStoreSpec pins old files untouched
+    * and post-ingest search ≡ search over a full rebuild at the same
+    * centroids — the q167 oracle proves the assignment identity
+    * relationally). Spark validates the bucket spec against the
+    * existing table, so a mismatched `buckets` fails loudly rather
+    * than corrupting the layout.
+    *
+    * The trade this inherits: ingested vectors are assigned at the
+    * STORE's centroids. As the corpus drifts, recall against a
+    * brute-force baseline decays vs what retrained centroids would
+    * give — measure it with [[graft.jobs.IngestStaleness]] (the
+    * RecallSweep shape; PLANS.md carries the measured table) and
+    * rewrite via [[writeIvfBucketed]] when the gap warrants; centroids
+    * are the store's physical layout, so re-centroiding is a rewrite
+    * everywhere (the IVF trade).
+    */
+  def ivfIngest(newVecs: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, table: String, buckets: Int): Unit =
+    ivfStoreRows(newVecs, idCol, vecCol, centroids)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "centroid_id").sortBy("centroid_id")
+      .saveAsTable(table)
 
   /** [[ivfSearch]] against a [[writeIvfBucketed]] store: the probe set
     * (queries × nprobe rows, joined to their query vectors) is

@@ -72,6 +72,64 @@ class AnnStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfIngest: append leaves history's files untouched; post-ingest search ≡ full rebuild") {
+    val emb = Tables.embeddings(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft-ann-ingest-")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_vec"))
+    val history = emb.filter(col("vec_id") % 5 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+    try {
+      Similarity.writeIvfBucketed(history, "vec_id", "embedding", centroids,
+        table = "graft_ivf_ingest", buckets = 8,
+        path = Some(base.resolve("ivf").toString))
+      // snapshot history's data files BEFORE the ingest
+      def dataFiles() = java.nio.file.Files.walk(base.resolve("ivf"))
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map[(String, Long)](p =>
+          (p.toString, java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toArray.toSeq
+      val before = dataFiles()
+      assert(before.nonEmpty)
+      Similarity.ivfIngest(fresh, "vec_id", "embedding", centroids,
+        table = "graft_ivf_ingest", buckets = 8)
+      val after = dataFiles()
+      // history is never rewritten: every pre-ingest file survives
+      // byte-untouched (same path, same mtime); the append only ADDS
+      assert(after.toSet.intersect(before.toSet) === before.toSet,
+        s"ingest rewrote history files:\nbefore=$before\nafter=$after")
+      assert(after.size > before.size, "ingest added no files")
+      // the ingested store answers exactly like a one-shot full rebuild
+      Similarity.writeIvfBucketed(emb, "vec_id", "embedding", centroids,
+        table = "graft_ivf_rebuilt", buckets = 8,
+        path = Some(base.resolve("rebuilt").toString))
+      def search(t: String) = Similarity.ivfSearchBucketed(spark.table(t),
+          emb, "vec_id", "embedding", centroids,
+          queryIds = (0L until 10L).toSeq, k = 5, nprobe = 2)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val ingested = search("graft_ivf_ingest")
+      assert(ingested === search("graft_ivf_rebuilt"))
+      assert(ingested.nonEmpty)
+      // and the store rows themselves are the full corpus's assignment
+      val storeRows = spark.table("graft_ivf_ingest")
+        .select($"vec_id", $"centroid_id").as[(Long, Long)].collect().toSet
+      val oneShot = Similarity.ivfStoreRows(emb, "vec_id", "embedding",
+          centroids)
+        .select($"vec_id", $"centroid_id").as[(Long, Long)].collect().toSet
+      assert(storeRows === oneShot)
+      // a mismatched bucket count must fail loudly, not corrupt layout
+      val e = intercept[Exception] {
+        Similarity.ivfIngest(fresh, "vec_id", "embedding", centroids,
+          table = "graft_ivf_ingest", buckets = 4)
+      }
+      assert(e.getMessage.toLowerCase.contains("bucket"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_ingest")
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_rebuilt")
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+
   test("zero-norm vectors: ivfSearch and the bucketed store exclude them identically (ADVICE r9)") {
     // the bucketed store drops zero-norm vectors at write; ivfSearch's
     // scoring tail drops them via the normedVectors guard — a corpus
