@@ -2196,6 +2196,60 @@ object SparkEntry {
         .select(col("vec_id"), col("centroid_id"),
           round(col("norm2"), 6).as("norm2"), col("ingested"))
     }),
+
+    // histogram sketch WAREHOUSE — the quantile member (q152 KMV, q153
+    // CMS, q158 HLL): per-(source, slice) fixed-bin doc-length
+    // histograms, element-wise-added to one store state, percentile
+    // bounds read by integer rank arithmetic (p50/p90/p99). Counters
+    // are sums, so slice+merge ≡ full rescan bit-exactly; the read's
+    // bin lower bound provably brackets the exact rank statistic
+    // (bound ≤ exact < bound + width for middle bins), and the in-bin
+    // audit columns pin that against exact percentiles computed
+    // relationally on BOTH engines — the q112 band pattern with a
+    // tautology-by-construction band, which is precisely what catches
+    // off-by-one rank arithmetic
+    "q168_hist_warehouse" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), (col("doc_id") % 3).as("slice"),
+          length(col("text")).cast("long").as("len"))
+      val merged = SketchStore.histMergeSlices(
+        SketchStore.histSlices(docs, Seq("source"), "slice", col("len"),
+          lo = 0L, width = 16L, nBins = 40), Seq("source"),
+        lo = 0L, width = 16L, nBins = 40)
+      val reads = merged.select(col("source"), col("n_slices"),
+        aggregate(col("cs"), lit(0L), (a, x) => a + x).as("n_docs"),
+        SketchStore.histPercentileBound(col("cs"), 0.5, 0L, 16L).as("p50_bound"),
+        SketchStore.histPercentileBound(col("cs"), 0.9, 0L, 16L).as("p90_bound"),
+        SketchStore.histPercentileBound(col("cs"), 0.99, 0L, 16L).as("p99_bound"))
+      // exact rank statistics (audit side, query-scale sort per group):
+      // min len whose cumulative count reaches rank ⌈p·n⌉
+      val cum = docs.groupBy(col("source"), col("len"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("source")).orderBy(col("len"))))
+      val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val exact = cum.join(tot, "source")
+        .select(col("source"), col("len"), col("cum"), col("n"),
+          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("pp"))
+        .filter(col("cum") >=
+          ceil(col("pp") * col("n").cast("double")).cast("long"))
+        .groupBy(col("source"), col("pp")).agg(min(col("len")).as("v"))
+        .groupBy(col("source")).agg(
+          max(when(col("pp") === 0.5, col("v"))).as("p50_exact"),
+          max(when(col("pp") === 0.9, col("v"))).as("p90_exact"),
+          max(when(col("pp") === 0.99, col("v"))).as("p99_exact"))
+      reads.join(exact, "source")
+        .select(col("source"), col("n_slices"), col("n_docs"),
+          col("p50_bound"), col("p90_bound"), col("p99_bound"),
+          col("p50_exact"), col("p90_exact"), col("p99_exact"),
+          (col("p50_exact") >= col("p50_bound") &&
+            col("p50_exact") < col("p50_bound") + 16L).as("p50_in_bin"),
+          (col("p90_exact") >= col("p90_bound") &&
+            col("p90_exact") < col("p90_bound") + 16L).as("p90_in_bin"),
+          (col("p99_exact") >= col("p99_bound") &&
+            col("p99_exact") < col("p99_bound") + 16L).as("p99_in_bin"))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3751,6 +3805,66 @@ object SparkEntry {
         |SELECT a.vec_id, a.centroid_id, n.norm2,
         |       a.vec_id % 5 = 0 AS ingested
         |FROM a JOIN n ON a.vec_id = n.vec_id""".stripMargin,
+
+    // merged histogram ≡ full-corpus histogram (counters are sums), so
+    // the oracle bins the raw lengths once: 1-based state position =
+    // len//16 + 2 for middle bins (position 1 underflow, 42 overflow),
+    // bound = (pos − 2)·16, rank = ceil(p·n) — identical literal
+    // float multiply on both engines; exact side = min len with
+    // cumulative count ≥ rank
+    "q168_hist_warehouse" ->
+      """WITH d AS (SELECT source, doc_id, length(text) AS len FROM documents),
+        |t AS (SELECT source, count(*) AS n_docs,
+        |             count(DISTINCT doc_id % 3) AS n_slices FROM d GROUP BY 1),
+        |b AS (SELECT source,
+        |             CASE WHEN len < 0 THEN 1
+        |                  WHEN len // 16 >= 40 THEN 42
+        |                  ELSE (len // 16) + 2 END AS bin
+        |      FROM d),
+        |h AS (SELECT source, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |cm AS (SELECT source, bin,
+        |              sum(c) OVER (PARTITION BY source ORDER BY bin) AS cum
+        |       FROM h),
+        |pr AS (SELECT source, n_docs, unnest([0.5, 0.9, 0.99]) AS pp FROM t),
+        |rk AS (SELECT source, pp, ceil(pp * n_docs) AS rnk FROM pr),
+        |sel AS (SELECT rk.source, rk.pp, min(cm.bin) AS bin
+        |        FROM rk JOIN cm ON cm.source = rk.source AND cm.cum >= rk.rnk
+        |        GROUP BY 1, 2),
+        |bd AS (SELECT source, pp,
+        |              CASE WHEN bin = 1 THEN -16
+        |                   WHEN bin = 42 THEN 640
+        |                   ELSE (bin - 2) * 16 END AS bound
+        |       FROM sel),
+        |lc AS (SELECT source, len, count(*) AS c FROM d GROUP BY 1, 2),
+        |lcm AS (SELECT source, len,
+        |               sum(c) OVER (PARTITION BY source ORDER BY len) AS cum
+        |        FROM lc),
+        |ex AS (SELECT rk.source, rk.pp, min(lcm.len) AS v
+        |       FROM rk JOIN lcm ON lcm.source = rk.source AND lcm.cum >= rk.rnk
+        |       GROUP BY 1, 2),
+        |f AS (SELECT source,
+        |             max(CASE WHEN pp = 0.5 THEN bound END) AS p50_bound,
+        |             max(CASE WHEN pp = 0.9 THEN bound END) AS p90_bound,
+        |             max(CASE WHEN pp = 0.99 THEN bound END) AS p99_bound
+        |      FROM bd GROUP BY 1),
+        |g AS (SELECT source,
+        |             max(CASE WHEN pp = 0.5 THEN v END) AS p50_exact,
+        |             max(CASE WHEN pp = 0.9 THEN v END) AS p90_exact,
+        |             max(CASE WHEN pp = 0.99 THEN v END) AS p99_exact
+        |      FROM ex GROUP BY 1)
+        |SELECT t.source, t.n_slices::BIGINT AS n_slices,
+        |       t.n_docs::BIGINT AS n_docs,
+        |       f.p50_bound::BIGINT AS p50_bound,
+        |       f.p90_bound::BIGINT AS p90_bound,
+        |       f.p99_bound::BIGINT AS p99_bound,
+        |       g.p50_exact::BIGINT AS p50_exact,
+        |       g.p90_exact::BIGINT AS p90_exact,
+        |       g.p99_exact::BIGINT AS p99_exact,
+        |       g.p50_exact >= f.p50_bound AND g.p50_exact < f.p50_bound + 16 AS p50_in_bin,
+        |       g.p90_exact >= f.p90_bound AND g.p90_exact < f.p90_bound + 16 AS p90_in_bin,
+        |       g.p99_exact >= f.p99_bound AND g.p99_exact < f.p99_bound + 16 AS p99_in_bin
+        |FROM t JOIN f ON t.source = f.source
+        |       JOIN g ON t.source = g.source""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

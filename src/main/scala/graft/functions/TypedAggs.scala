@@ -457,6 +457,89 @@ object TypedAggs {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
       .apply(c)
 
+  /** Fixed-bin integer histogram — the sketch warehouse's QUANTILE
+    * member (KMV/HLL answer distinct, CMS frequency; this answers
+    * percentile monitoring — latency, doc-length drift). State =
+    * nBins+2 counters (index 0 underflow, 1..nBins the [lo + (i−1)·w,
+    * lo + i·w) bins, nBins+1 overflow); merge is element-wise ADD, so
+    * the state is merge-order-INDEPENDENT (unlike Misra–Gries, which
+    * the warehouse deliberately excludes) and slice ⊕ store ≡ full
+    * rescan bit-exactly. Percentile reads are integer rank arithmetic
+    * over the counters ([[graft.ops.SketchStore.histPercentileBound]])
+    * — no ln(), no engine-divergent float folds, so the q168 oracle
+    * replays bounds hash-exactly. Precision contract: a read returns
+    * the BIN LOWER BOUND, exact to one bin width — size `width` to the
+    * monitoring tolerance; `guardedExactPercentiles` remains the exact
+    * path at query scale.
+    */
+  case class HistCounts(lo: Long, width: Long, nBins: Int)
+      extends Aggregator[Long, Array[Long], Seq[Long]] {
+    require(width >= 1, "width must be >= 1")
+    require(nBins >= 1, "nBins must be >= 1")
+    override def zero: Array[Long] = new Array[Long](nBins + 2)
+    override def reduce(b: Array[Long], v: Long): Array[Long] = {
+      val i = if (v < lo) 0
+              else {
+                val bin = (v - lo) / width
+                if (bin >= nBins) nBins + 1 else bin.toInt + 1
+              }
+      b(i) += 1
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  def histCounts(c: Column, lo: Long, width: Long, nBins: Int): Column =
+    udaf(HistCounts(lo, width, nBins), Encoders.scalaLong).apply(c)
+
+  /** Merge of STORED histogram states: element-wise add, the
+    * [[CmsMerge]] posture. Dimension mismatches fail loudly (a store
+    * written with different bin counts would silently misalign every
+    * percentile; lo/width travel as columns and are validated by
+    * [[graft.ops.SketchStore.histMergeSlices]], the KMV `k` rule).
+    */
+  case class HistMerge(nBins: Int)
+      extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    require(nBins >= 1, "nBins must be >= 1")
+    override def zero: Array[Long] = new Array[Long](nBins + 2)
+    override def reduce(b: Array[Long], counts: Seq[Long]): Array[Long] = {
+      require(counts.length == nBins + 2,
+        s"HistMerge: stored state has ${counts.length} counters, " +
+          s"expected nBins+2 = ${nBins + 2}")
+      var i = 0
+      while (i < b.length) {
+        require(counts(i) >= 0L, s"HistMerge: negative counter at $i")
+        b(i) += counts(i)
+        i += 1
+      }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  def histMerge(c: Column, nBins: Int): Column =
+    udaf(HistMerge(nBins),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+      .apply(c)
+
   /** HyperLogLog register vector (Flajolet et al. 2007), built for the
     * sketch warehouse: m = 2^b registers; value t hashes to
     * h = md5₆₀("hll:" ‖ t), bucket j = h mod m, and the register keeps

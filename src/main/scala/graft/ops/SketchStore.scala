@@ -148,6 +148,82 @@ object SketchStore {
               (lit(55) - r).cast("int")))
             .cast("double"))
 
+  /** Per-(group, slice) fixed-bin integer histograms over `valueCol`
+    * (cast to long) — the warehouse's QUANTILE sketch (the fourth
+    * type: KMV/HLL distinct, CMS frequency, this percentiles). The
+    * bin geometry travels WITH the state (`h_lo`, `h_width` columns —
+    * the KMV `k` rule): counters from different geometries would
+    * vector-add into silently wrong percentiles.
+    */
+  def histSlices(df: DataFrame, groupCols: Seq[String], sliceCol: String,
+                 valueCol: Column, lo: Long, width: Long,
+                 nBins: Int): DataFrame =
+    df.groupBy((groupCols :+ sliceCol).map(col): _*)
+      .agg(TypedAggs.histCounts(valueCol.cast("long"), lo, width, nBins)
+        .as("cs"))
+      .withColumn("h_lo", lit(lo)).withColumn("h_width", lit(width))
+
+  /** Element-wise-add histogram slices down to one counter vector per
+    * group. Fails loudly when any stored row's bin geometry differs
+    * from the merge's ([[kmvMergeSlices]]' capacity-witness contract;
+    * bin-COUNT mismatches raise inside [[TypedAggs.HistMerge]]).
+    */
+  def histMergeSlices(slices: DataFrame, groupCols: Seq[String], lo: Long,
+                      width: Long, nBins: Int): DataFrame = {
+    require(Seq("h_lo", "h_width").forall(slices.columns.contains),
+      "histMergeSlices: slices must carry the h_lo/h_width columns " +
+        "histSlices persists — counters from an unknown bin geometry " +
+        "cannot be merged safely")
+    slices.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_slices"),
+        TypedAggs.histMerge(col("cs"), nBins).as("cs"),
+        min(col("h_lo")).as("_lo_l"), max(col("h_lo")).as("_lo_h"),
+        min(col("h_width")).as("_w_l"), max(col("h_width")).as("_w_h"))
+      .select(groupCols.map(col) ++ Seq(col("n_slices"),
+        when(col("_lo_l") =!= lo || col("_lo_h") =!= lo ||
+             col("_w_l") =!= width || col("_w_h") =!= width,
+          raise_error(concat(
+            lit("histMergeSlices: stored bin geometry (lo in ["),
+            col("_lo_l").cast("string"), lit(", "),
+            col("_lo_h").cast("string"), lit("], width in ["),
+            col("_w_l").cast("string"), lit(", "),
+            col("_w_h").cast("string"),
+            lit(s"]) does not match merge lo=$lo width=$width"))))
+          .otherwise(col("cs")).as("cs")): _*)
+  }
+
+  /** Percentile read over a (merged) histogram state: the LOWER BOUND
+    * of the bin containing rank ⌈p·total⌉ — pure integer rank
+    * arithmetic over the counters (ONE float multiply of
+    * cross-engine-identical literal operands decides the rank), so
+    * the q168 oracle replays it hash-exactly. By construction the
+    * exact rank-⌈p·total⌉ order statistic lies in [bound, bound +
+    * width) whenever the bound is a middle bin — the q168 in-bin
+    * audit columns pin exactly that. Underflow reads as lo − width
+    * (sentinel), overflow as lo + nBins·width; empty state reads
+    * null.
+    */
+  def histPercentileBound(cs: Column, p: Double, lo: Long,
+                          width: Long): Column = {
+    val total = aggregate(cs, lit(0L), (a, x) => a + x)
+    val rank = ceil(lit(p) * total.cast("double")).cast("long")
+    val idx = aggregate(
+      sequence(lit(1), size(cs)),
+      struct(lit(0L).as("cum"), lit(0).as("idx")),
+      (acc, i) => {
+        val cum = acc.getField("cum") + element_at(cs, i)
+        when(acc.getField("idx") > 0, acc)
+          .otherwise(struct(cum.as("cum"),
+            when(cum >= rank, i).otherwise(lit(0)).as("idx")))
+      },
+      acc => acc.getField("idx"))
+    when(total === 0L, lit(null).cast("long"))
+      .when(idx === 1, lit(lo - width))
+      .when(idx === size(cs),
+        lit(lo) + (size(cs) - 2).cast("long") * lit(width))
+      .otherwise(lit(lo) + (idx.cast("long") - lit(2L)) * lit(width))
+  }
+
   /** Persist sketch rows bucketed on the group key ([[Bucketing]]), so
     * a store-only merge aggregates bucket-local with zero Exchange and
     * appending a new slice's rows never re-shuffles history.

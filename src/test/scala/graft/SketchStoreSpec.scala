@@ -164,6 +164,91 @@ class SketchStoreSpec extends AnyFunSuite {
     assert(only.count(_ > 0L) === 1)
   }
 
+  test("HIST: store-merge ≡ full-rescan counters; percentile read hand-traced; bucketed merge zero-Exchange") {
+    // values 0..39 over 2 groups × 3 slices; lo=0 width=4 nBins=8 →
+    // state positions: 1 underflow, 2..9 the [4(i−2), 4(i−1)) bins,
+    // 10 overflow (values ≥ 32)
+    val vals = (0 until 40).map { i =>
+      (if (i % 2 == 0) "a" else "b", (i % 3).toLong, i.toLong)
+    }.toDF("g", "slice", "v")
+    val slices = SketchStore.histSlices(vals, Seq("g"), "slice", col("v"),
+      lo = 0L, width = 4L, nBins = 8)
+    val merged = SketchStore.histMergeSlices(slices, Seq("g"),
+      lo = 0L, width = 4L, nBins = 8)
+    val state = merged.select(col("g"), col("cs"))
+      .as[(String, Seq[Long])].collect().toMap
+    // group a = evens 0..38: bins [0,4) hold {0,2}, … [28,32) {28,30},
+    // overflow {32..38} = 4 values — replayed by hand
+    assert(state("a") === Seq(0L, 2L, 2L, 2L, 2L, 2L, 2L, 2L, 2L, 4L))
+    assert(state("b") === Seq(0L, 2L, 2L, 2L, 2L, 2L, 2L, 2L, 2L, 4L))
+    // merge ≡ one-shot aggregation over everything, any layout
+    val direct = vals.groupBy(col("g"))
+      .agg(TypedAggs.histCounts(col("v"), 0L, 4L, 8).as("cs"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(state === direct)
+    val reMerged = SketchStore.histMergeSlices(slices.repartition(7),
+        Seq("g"), lo = 0L, width = 4L, nBins = 8)
+      .select(col("g"), col("cs")).as[(String, Seq[Long])].collect().toMap
+    assert(reMerged === state)
+    // percentile read BY HAND on group a (20 values, evens 0..38):
+    // rank(0.5) = 10 → 10th even = 18, its bin [16,20) → bound 16;
+    // rank(0.9) = 18 → 34 lives in overflow → bound 8·4 = 32;
+    // rank(0.05) = 1 → 0 → bound 0
+    val reads = merged.filter(col("g") === "a").select(
+      SketchStore.histPercentileBound(col("cs"), 0.5, 0L, 4L),
+      SketchStore.histPercentileBound(col("cs"), 0.9, 0L, 4L),
+      SketchStore.histPercentileBound(col("cs"), 0.05, 0L, 4L))
+      .as[(Long, Long, Long)].collect()(0)
+    assert(reads === ((16L, 32L, 0L)))
+    // empty state reads null (no rank to bracket)
+    val empty = Seq(Tuple1(Seq.fill(10)(0L))).toDF("cs")
+      .select(SketchStore.histPercentileBound(col("cs"), 0.5, 0L, 4L))
+      .collect()(0)
+    assert(empty.isNullAt(0))
+    // the persisted bucketed store merges with ZERO Exchange (the
+    // KMV/CMS warehouse property, third sketch type)
+    val base = java.nio.file.Files.createTempDirectory("graft-hist-store-")
+    try {
+      SketchStore.writeStore(slices, "graft_hist_store", Seq("g"),
+        buckets = 4, path = Some(base.resolve("hist").toString))
+      val storeMerge = SketchStore.histMergeSlices(
+        spark.table("graft_hist_store"), Seq("g"), 0L, 4L, 8)
+      storeMerge.collect()
+      val exchanges = storeMerge.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed hist-store merge must not shuffle:\n${storeMerge.queryExecution.executedPlan}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_hist_store")
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+
+  test("HIST: malformed stored states fail loudly (length, geometry, missing witness)") {
+    // wrong counter count: vector-add would silently misalign
+    val badLen = Seq(("a", Seq(1L, 2L, 3L), 0L, 4L)).toDF("g", "cs", "h_lo", "h_width")
+    val e1 = intercept[Exception] {
+      SketchStore.histMergeSlices(badLen, Seq("g"), 0L, 4L, nBins = 8).collect()
+    }
+    assert(e1.getMessage.contains("counters") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("counters"))
+    // mismatched bin geometry: same length, different lo/width — only
+    // the persisted witness can catch it (the KMV k rule)
+    val badGeo = Seq(("a", Seq.fill(10)(1L), 0L, 8L)).toDF("g", "cs", "h_lo", "h_width")
+    val e2 = intercept[Exception] {
+      SketchStore.histMergeSlices(badGeo, Seq("g"), 0L, 4L, nBins = 8).collect()
+    }
+    assert(e2.getMessage.contains("bin geometry") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("bin geometry"))
+    // a store without the witness columns is malformed, plan-time loud
+    val noGeo = Seq(("a", Seq.fill(10)(1L))).toDF("g", "cs")
+    val e3 = intercept[IllegalArgumentException] {
+      SketchStore.histMergeSlices(noGeo, Seq("g"), 0L, 4L, nBins = 8)
+    }
+    assert(e3.getMessage.contains("h_lo"))
+  }
+
   test("malformed stored states fail loudly") {
     // unsorted KMV state: silently accepting it would break the merge
     // invariant and skew every later estimate
