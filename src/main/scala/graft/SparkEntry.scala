@@ -2250,6 +2250,22 @@ object SparkEntry {
           (col("p99_exact") >= col("p99_bound") &&
             col("p99_exact") < col("p99_bound") + 16L).as("p99_in_bin"))
     }),
+
+    // LIVE novelty ingest gate (q164's live form, the q145 posture):
+    // arrivals (odd ids) scored against the frozen shingle-DF store of
+    // the kept corpus (even ids) — a shingle is novel iff the store
+    // has never seen it; low novelty = boilerplate relative to
+    // everything kept, diverted BEFORE exact dedup pays for it. The
+    // streaming twin runs this same function per micro-batch
+    // (StreamingSpec pins per-batch ≡ batch rescan at each horizon)
+    "q169_novelty_gate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.noveltyAgainstStore(
+        d.filter(col("doc_id") % 2 === 1),
+        TextAnalysis.shingleDfStore(d.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text"),
+        "doc_id", "text")
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3865,6 +3881,28 @@ object SparkEntry {
         |       g.p99_exact >= f.p99_bound AND g.p99_exact < f.p99_bound + 16 AS p99_in_bin
         |FROM t JOIN f ON t.source = f.source
         |       JOIN g ON t.source = g.source""".stripMargin,
+
+    // q164's shingle CTE split at the even/odd boundary: store = the
+    // kept corpus's distinct shingles, novel = arrival shingle with no
+    // store match (left join null probe)
+    "q169_novelty_gate" ->
+      """WITH s0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3
+        |      THEN list_distinct(list_transform(
+        |             generate_series(1, len(string_split(text, ' ')) - 2),
+        |             i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))
+        |      ELSE [text] END AS shs
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(shs) AS sh FROM s0),
+        |st AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 2 = 0),
+        |arr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 1)
+        |SELECT arr.doc_id, count(*)::BIGINT AS n_shingles,
+        |       sum(CASE WHEN st.sh IS NULL THEN 1 ELSE 0 END)::BIGINT AS novel_shingles,
+        |       round(sum(CASE WHEN st.sh IS NULL THEN 1 ELSE 0 END)::DOUBLE
+        |             / count(*), 6) AS novelty
+        |FROM arr LEFT JOIN st ON arr.sh = st.sh
+        |GROUP BY 1""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

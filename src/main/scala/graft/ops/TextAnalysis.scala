@@ -337,21 +337,74 @@ object TextAnalysis {
     */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3): DataFrame = {
-    val base = df
-      .select(col(idCol).as("doc_id"), col(textCol).as("txt"),
-        split(col(textCol), " ").as("words"))
-      .select(col("doc_id"),
-        when(size(col("words")) >= shingleSize,
-          graft.functions.WordNgrams(df.sparkSession, col("txt"), shingleSize))
-          .otherwise(array(col("txt"))).as("shingles"))
-    val sh = base.select(col("doc_id"),
-      explode(array_distinct(col("shingles"))).as("sh"))
+    val sh = shingleRows(df, idCol, textCol, shingleSize)
     // shingles are distinct per doc, so the count IS document frequency
     val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     sh.join(dfc, "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel_shingles"))
+      .withColumn("novelty",
+        round(col("novel_shingles").cast("double") / col("n_shingles"), 6))
+  }
+
+  /** One (doc_id, sh) row per DISTINCT shingle of each document — the
+    * shared shingle projection of [[ngramNovelty]], [[shingleDfStore]]
+    * and [[noveltyAgainstStore]] (the [[graft.ops.Dedup.minhashBands]]
+    * convention: codegen'd word_ngrams, whole-text fallback for short
+    * docs), factored so the batch audit and the ingest gate cannot
+    * drift in what a "shingle" is.
+    */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("txt"),
+        split(col(textCol), " ").as("words"))
+      .select(col("doc_id"),
+        when(size(col("words")) >= shingleSize,
+          graft.functions.WordNgrams(df.sparkSession, col("txt"), shingleSize))
+          .otherwise(array(col("txt"))).as("shingles"))
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("sh"))
+
+  /** Shingle document-frequency STORE of a kept corpus — (sh, df)
+    * rows, the persisted half of the LIVE novelty gate (the q145
+    * bandStore posture applied to q164's score): build once from
+    * everything kept, persist bucketed on `sh`
+    * ([[graft.ops.Bucketing]]) so per-batch scoring anti-joins with
+    * zero store-side Exchange, and append each batch's novel shingles
+    * as they are admitted.
+    */
+  def shingleDfStore(df: DataFrame, idCol: String, textCol: String,
+                     shingleSize: Int = 3): DataFrame =
+    shingleRows(df, idCol, textCol, shingleSize)
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+
+  /** LIVE novelty scoring of ARRIVING documents against a frozen
+    * [[shingleDfStore]] — q164's memorization-risk audit as an ingest
+    * gate: a shingle is novel iff the store has never seen it, so a
+    * low score flags an arrival as boilerplate/template relative to
+    * everything already kept (admit-or-divert BEFORE paying exact
+    * dedup, the q145 tier). Stateless per row: one shingle projection,
+    * one anti-join against the store's `sh` column (narrow — text
+    * never shuffles), one per-doc count. The streaming form is this
+    * SAME function inside foreachBatch, scoring each micro-batch
+    * against the store accumulated so far and appending the batch's
+    * shingles after scoring (StreamingSpec pins per-batch ≡ a batch
+    * rescan at each batch's store horizon); the between-batch horizon
+    * semantics are [[graft.ops.Dedup.streamingAgainstStore]]'s.
+    *
+    * Output: (doc_id, n_shingles, novel_shingles, novelty) for every
+    * input row.
+    */
+  def noveltyAgainstStore(newDocs: DataFrame, store: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleSize: Int = 3): DataFrame = {
+    val sh = shingleRows(newDocs, idCol, textCol, shingleSize)
+    val novel = sh.join(store.select(col("sh")), Seq("sh"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("novel_shingles"))
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("novel_shingles"), lit(0L)).as("novel_shingles"))
       .withColumn("novelty",
         round(col("novel_shingles").cast("double") / col("n_shingles"), 6))
   }

@@ -1036,6 +1036,62 @@ class StreamingSpec extends AnyFunSuite {
       (12L, 4L, true)))
   }
 
+  test("noveltyAgainstStore in foreachBatch: per-batch score-then-append ≡ batch rescan at each horizon") {
+    import graft.ops.TextAnalysis
+    val kept = Seq((0L, "the quick brown fox jumps high", "s"),
+      (2L, "one two three four five six", "s")).toDF("doc_id", "text", "source")
+    val arrivals = Seq(
+      (11L, "the quick brown fox jumps high", "s"),
+      (13L, "totally fresh words never seen before", "s"),
+      (15L, "totally fresh words never seen before", "s"),
+      (17L, "one two three four five mixed tail here", "s"))
+    // live loop: score each micro-batch against the store accumulated
+    // SO FAR, then append the batch's shingles — the q145 posture with
+    // an accumulating store; scoring is the ONE shared code path
+    var store = TextAnalysis.shingleDfStore(kept, "doc_id", "text")
+      .select($"sh").as[String].collect().toSet
+    val got = scala.collection.mutable.Map[Long, (Long, Long, Double)]()
+    val input = MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("doc_id", "text", "source").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val storeDf = store.toSeq.toDF("sh")
+        got ++= TextAnalysis.noveltyAgainstStore(batch, storeDf,
+            "doc_id", "text")
+          .as[(Long, Long, Long, Double)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4)))
+        store ++= TextAnalysis.shingleDfStore(batch, "doc_id", "text")
+          .select($"sh").as[String].collect(): Unit
+      }.start()
+    input.addData(arrivals.take(2): _*)
+    q.processAllAvailable()
+    input.addData(arrivals.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch rescan at each batch's horizon, SAME code path: batch 1
+    // vs kept only; batch 2 vs kept ∪ batch 1
+    def rescan(batch: Seq[(Long, String, String)],
+               horizon: Seq[(Long, String, String)]) =
+      TextAnalysis.noveltyAgainstStore(
+          batch.toDF("doc_id", "text", "source"),
+          TextAnalysis.shingleDfStore(
+            horizon.toDF("doc_id", "text", "source"), "doc_id", "text"),
+          "doc_id", "text")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val keptRows = Seq((0L, "the quick brown fox jumps high", "s"),
+      (2L, "one two three four five six", "s"))
+    val want = rescan(arrivals.take(2), keptRows) ++
+      rescan(arrivals.drop(2), keptRows ++ arrivals.take(2))
+    assert(got.toMap === want)
+    // hand-traced: 11 = kept text verbatim → 0 novel of 4; 13 = all
+    // fresh → 4 of 4; 15 = 13's text again — novel vs the INITIAL
+    // store but NOT vs the accumulated one (the append matters);
+    // 17 shares 3 of its 6 shingles with kept doc 2
+    assert(got.toMap === Map(
+      11L -> ((4L, 0L, 0.0)), 13L -> ((4L, 4L, 1.0)),
+      15L -> ((4L, 0L, 0.0)), 17L -> ((6L, 3L, 0.5))))
+  }
+
   test("streamingAgainstStore: store dups dropped statelessly, horizon dups by state, survivors append") {
     import graft.ops.Dedup
     val store = Dedup.fingerprintStore(
