@@ -2266,6 +2266,21 @@ object SparkEntry {
           "doc_id", "text"),
         "doc_id", "text")
     }),
+
+    // training-batch EXPORT — the last mile in one entry: q90's
+    // subword counts → q162's epoch-1 shuffle → q91's interval packing
+    // in SHUFFLE order → q119-style shard split (round-robin over the
+    // sequence index). Every stage hash-derived/integer, so the whole
+    // (shard, batch, sequence) assignment replays relationally — the
+    // oracle nests the three stages' own oracle bodies as CTEs (the
+    // q121 composition lesson)
+    "q170_training_export" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Packing.trainingExport(
+        TextAnalysis.subwordCounts(d, "doc_id", "text",
+          TextAnalysis.subwordVocab(d, "text", topK = 64)),
+        "doc_id", "subword_cnt", epoch = 1, ctxLen = 512, nShards = 16)
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3903,6 +3918,32 @@ object SparkEntry {
         |             / count(*), 6) AS novelty
         |FROM arr LEFT JOIN st ON arr.sh = st.sh
         |GROUP BY 1""".stripMargin,
+
+    // q90's subword CTE (sc) → q162's salted row_number (epoch 1,
+    // doc_id tie-break, zero-count docs excluded FIRST) → q91's
+    // running-interval math ordered by the rank → round-robin shard
+    "q170_training_export" ->
+      s"""WITH RECURSIVE $duckSubwordBody,
+         |o AS (
+         |  SELECT doc_id, subword_cnt,
+         |         row_number() OVER (ORDER BY
+         |           ('0x'||substr(md5('ord:1:'||doc_id::VARCHAR),1,15))::BIGINT,
+         |           doc_id) AS shuffle_rank
+         |  FROM sc WHERE subword_cnt > 0),
+         |c AS (
+         |  SELECT doc_id, shuffle_rank, subword_cnt,
+         |         (sum(subword_cnt) OVER (ORDER BY shuffle_rank
+         |            ROWS UNBOUNDED PRECEDING) - subword_cnt)::BIGINT AS start
+         |  FROM o)
+         |SELECT doc_id, 1::BIGINT AS epoch,
+         |       shuffle_rank::BIGINT AS shuffle_rank,
+         |       subword_cnt::BIGINT AS token_cnt, start,
+         |       (start // 512)::BIGINT AS sequence,
+         |       ((start + subword_cnt - 1) // 512)::BIGINT AS last_sequence,
+         |       (start % 512)::BIGINT AS offset_in_first,
+         |       ((start // 512) % 16)::BIGINT AS shard,
+         |       ((start // 512) // 16)::BIGINT AS batch
+         |FROM c""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

@@ -580,6 +580,41 @@ class MiningSpec extends AnyFunSuite {
     assert(out8 === out.map(r => (r._1, r._3)).toSet)
   }
 
+  test("trainingExport: epoch-ordered contiguous intervals, round-robin shards, epochs differ") {
+    val df = (1L to 50L).map(i => (i, 20L + i % 7)).toDF("doc_id", "token_cnt")
+    def export(e: Int) = ops.Packing.trainingExport(df, "doc_id", "token_cnt",
+        epoch = e, ctxLen = 64, nShards = 4)
+      .select("doc_id", "shuffle_rank", "token_cnt", "start", "sequence",
+        "last_sequence", "offset_in_first", "shard", "batch")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    val e1 = export(1)
+    // ranks are a permutation and intervals are contiguous IN RANK
+    // ORDER: start(rank r+1) = start(r) + cnt(r), starting at 0
+    val byRank = e1.sortBy(_._2)
+    assert(byRank.map(_._2).toSeq === (1L to 50L))
+    assert(byRank.head._4 === 0L)
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 === a._4 + a._3, s"gap between ranks ${a._2} and ${b._2}")
+    }
+    // derived columns are pure integer functions of (start, cnt)
+    e1.foreach { r =>
+      assert(r._5 === r._4 / 64)
+      assert(r._6 === (r._4 + r._3 - 1) / 64)
+      assert(r._7 === r._4 % 64)
+      assert(r._8 === r._5 % 4)  // shard = sequence round-robin
+      assert(r._9 === r._5 / 4)  // batch = that worker's step
+    }
+    // a different epoch re-orders (and so re-packs) the same corpus
+    val e2 = export(2)
+    assert(e1.map(r => r._1 -> r._2).toMap !== e2.map(r => r._1 -> r._2).toMap)
+    assert(e2.map(_._3).sum === e1.map(_._3).sum) // same token mass
+    // layout-independent (the epochShuffle/PrefixSum guarantee)
+    val e1b = ops.Packing.trainingExport(df.repartition(7), "doc_id",
+        "token_cnt", epoch = 1, ctxLen = 64, nShards = 4)
+      .select("doc_id", "start").as[(Long, Long)].collect().toSet
+    assert(e1b === e1.map(r => (r._1, r._4)).toSet)
+  }
+
   test("repetitionStats: duplicate- and top-gram fractions; sub-n docs emit no row") {
     val df = docs((1, "a b a b c", "s"), (2, "x y z", "s"), (3, "w", "s"))
     val out = TextAnalysis.repetitionStats(df, "doc_id", "text")
