@@ -2281,6 +2281,49 @@ object SparkEntry {
           TextAnalysis.subwordVocab(d, "text", topK = 64)),
         "doc_id", "subword_cnt", epoch = 1, ctxLen = 512, nShards = 16)
     }),
+
+    // small-range-corrected HLL reading (q158's documented bias gap
+    // closed as an OPT-IN): per event_type over a deliberately small
+    // value universe (user_id mod 37 → 37 distinct) so the linear-
+    // counting branch genuinely fires — raw ≈ 1.3·n biased high at
+    // n ≪ m, corrected ≈ n. ln() is not engine-reproducible, so this
+    // entry is rows-only BY DESIGN (the q03 convention); q172 is its
+    // hash-exact band sibling
+    "q171_hll_corrected" -> ((s, dir) => {
+      val slices = SketchStore.hllSlices(
+        Tables.events(s, dir)
+          .withColumn("day", to_date(col("ts")))
+          .withColumn("u", (col("user_id") % 37).cast("string")),
+        Seq("event_type"), "day", col("u"))
+      SketchStore.hllMergeSlices(slices, Seq("event_type"))
+        .select(col("event_type"), col("n_slices"),
+          round(SketchStore.hllEstimate(col("regs")), 4).as("est_raw"),
+          round(SketchStore.hllEstimateCorrected(col("regs")), 4)
+            .as("est_corrected"))
+    }),
+
+    // q171's band audit (the q110 pattern): the zero-register count
+    // and exact distinct replay as integers; the branch decision is
+    // engine-exact (raw = one division of identical integer operands),
+    // and the band edge (20%) sits orders of magnitude beyond any ulp
+    // divergence in ln() — so the boolean hashes
+    "q172_hll_corrected_band" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("u", (col("user_id") % 37).cast("string"))
+      val est = SketchStore.hllMergeSlices(
+        SketchStore.hllSlices(ev.withColumn("day", to_date(col("ts"))),
+          Seq("event_type"), "day", col("u")),
+        Seq("event_type"))
+        .select(col("event_type"),
+          size(filter(col("regs"), r => r === 0L)).cast("long").as("v_zero"),
+          SketchStore.hllEstimateCorrected(col("regs")).as("est"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("u")).as("uv"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("uv"), col("v_zero"),
+          (abs(col("est") - col("uv").cast("double")) <=
+            lit(0.2) * col("uv").cast("double")).as("within_band"))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3944,6 +3987,38 @@ object SparkEntry {
          |       ((start // 512) % 16)::BIGINT AS shard,
          |       ((start // 512) // 16)::BIGINT AS batch
          |FROM c""".stripMargin,
+
+    // q158's register replay over the mod-37 universe; corrected =
+    // linear counting when raw <= 160 and zero registers exist (the
+    // branch inputs are integer-exact; DuckDB's own ln() evaluates the
+    // band boolean, edge at 20%)
+    "q172_hll_corrected_band" ->
+      """WITH e AS (SELECT DISTINCT event_type, user_id % 37 AS u FROM events),
+        |h AS (SELECT event_type,
+        |        ('0x'||substr(md5('hll:'||u::VARCHAR),1,15))::BIGINT AS hv
+        |      FROM e),
+        |bw AS (SELECT event_type, hv % 64 AS j, hv // 64 AS w FROM h),
+        |rk AS (SELECT event_type, j,
+        |         CASE WHEN w = 0 THEN 55
+        |              ELSE 55 - list_max(list_transform(generate_series(0, 53),
+        |                     i -> CASE WHEN (w >> i) & 1 = 1 THEN i + 1 ELSE 0 END))
+        |         END AS rank
+        |       FROM bw),
+        |reg AS (SELECT event_type, j, max(rank) AS r FROM rk GROUP BY 1, 2),
+        |s AS (SELECT event_type,
+        |        (sum(1::BIGINT << (55 - r)::INT)
+        |         + (64 - count(*)) * 36028797018963968)::BIGINT AS sint,
+        |        (64 - count(*))::BIGINT AS v_zero
+        |      FROM reg GROUP BY 1),
+        |x AS (SELECT event_type, count(DISTINCT u)::BIGINT AS uv FROM e GROUP BY 1)
+        |SELECT x.event_type, x.uv, s.v_zero,
+        |       abs(CASE WHEN (0.709::DOUBLE * 4096::DOUBLE * 36028797018963968::DOUBLE
+        |                      / sint::DOUBLE) <= 160.0 AND v_zero > 0
+        |                THEN 64.0 * ln(64.0 / v_zero::DOUBLE)
+        |                ELSE 0.709::DOUBLE * 4096::DOUBLE * 36028797018963968::DOUBLE
+        |                     / sint::DOUBLE END
+        |           - uv::DOUBLE) <= 0.2 * uv::DOUBLE AS within_band
+        |FROM x JOIN s USING (event_type)""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

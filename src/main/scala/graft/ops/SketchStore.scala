@@ -148,6 +148,26 @@ object SketchStore {
               (lit(55) - r).cast("int")))
             .cast("double"))
 
+  /** [[hllEstimate]] WITH the small-range correction (Flajolet et al.
+    * 2007 §4: when raw ≤ 2.5m and V = |zero registers| > 0, linear
+    * counting m·ln(m/V) is the better estimator) — the OPT-IN reading
+    * the r13 verdict asked for, so small-n consumers stop re-deriving
+    * the ln() form themselves. ln() is not bit-reproducible across
+    * engines, so queries using this are rows-only by design (q171);
+    * the BRANCH decision is engine-exact (raw is one float division
+    * of identical integer operands, V an integer), and the q172 band
+    * sibling pins |corrected − exact| within a wide band whose edge
+    * sits far outside any ulp divergence. The raw path is unchanged
+    * [[hllEstimate]] (including its loud b=6 width check).
+    */
+  def hllEstimateCorrected(regs: Column): Column = {
+    val v = size(filter(regs, r => r === 0L))
+    val raw = hllEstimate(regs)
+    when(raw <= lit(160.0) && v > 0,
+      lit(64.0) * log(lit(64.0) / v.cast("double")))
+      .otherwise(raw)
+  }
+
   /** Per-(group, slice) fixed-bin integer histograms over `valueCol`
     * (cast to long) — the warehouse's QUANTILE sketch (the fourth
     * type: KMV/HLL distinct, CMS frequency, this percentiles). The

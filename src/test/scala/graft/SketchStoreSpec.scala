@@ -225,6 +225,24 @@ class SketchStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL small-range correction: linear counting fires at small n, raw path untouched at large n") {
+    def est(n: Int) = (0 until n).map(i => ("g", s"v$i")).toDF("g", "v")
+      .groupBy(col("g")).agg(TypedAggs.hllRegisters(col("v")).as("regs"))
+      .select(SketchStore.hllEstimate(col("regs")).as("raw"),
+        SketchStore.hllEstimateCorrected(col("regs")).as("corr"))
+      .as[(Double, Double)].collect()(0)
+    // n = 20 ≪ m: raw is biased high (the documented q158 gap); the
+    // corrected reading takes m·ln(m/V) and lands near the truth
+    val (rawS, corrS) = est(20)
+    assert(corrS !== rawS, "correction branch did not fire")
+    assert(math.abs(corrS - 20.0) <= 4.0,
+      s"linear counting should be near 20, got $corrS (raw $rawS)")
+    assert(math.abs(corrS - 20.0) < math.abs(rawS - 20.0))
+    // n = 800 ≫ 2.5m: the raw branch is operative and UNCHANGED
+    val (rawL, corrL) = est(800)
+    assert(corrL === rawL)
+  }
+
   test("HIST: malformed stored states fail loudly (length, geometry, missing witness)") {
     // wrong counter count: vector-add would silently misalign
     val badLen = Seq(("a", Seq(1L, 2L, 3L), 0L, 4L)).toDF("g", "cs", "h_lo", "h_width")
