@@ -163,6 +163,60 @@ class CepSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("list-state CEP (per-run timers) matches the other forms; staggered deadlines fire per run") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // form equivalence on the login-fail pattern (same scenario as
+      // the fMGWS and single-timer tests — all four forms, one NFA)
+      val events = Seq(
+        ev("u1", 10, "fail", 1), ev("u1", 11, "fail", 2),
+        ev("u2", 10, "fail", 3), ev("u2", 11, "success", 4), ev("u2", 12, "fail", 5),
+        ev("u1", 12, "fail", 6))
+      val input = MemoryStream[CepEvent]
+      val q = CepListProcessor(
+          input.toDS().withWatermark("ts", "0 seconds").as[CepEvent], loginFail)
+        .writeStream.outputMode("append").format("memory").queryName("cep_ls").start()
+      events.grouped(2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val ls = spark.table("cep_ls").as[PatternMatch].collect()
+        .map(m => (m.key, m.events.map(_.id))).toSet
+      q.stop()
+      val batch = CEP.detectBatch(events.toDS(), loginFail).collect()
+        .map(m => (m.key, m.events.map(_.id))).toSet
+      assert(ls === batch)
+      assert(ls === Set(("u1", Seq(1L, 2L)), ("u1", Seq(2L, 6L))))
+
+      // the per-run-timer property: ONE key holding two runs with
+      // DIFFERENT deadlines (creates at 1000 and 1400; within 900s →
+      // deadlines 1900 and 2300) times out run by run as the watermark
+      // passes each deadline — a single rolling min-deadline would have
+      // to re-arm; here each run's own timer fires
+      val in2 = MemoryStream[CepEvent]
+      val q2 = CepListProcessor(
+          in2.toDS().withWatermark("ts", "0 seconds").as[CepEvent],
+          orderPay, emitTimeouts = true)
+        .writeStream.outputMode("append").format("memory").queryName("cep_ls2").start()
+      in2.addData(ev("m", 1000, "create", 1), ev("m", 1400, "create", 2))
+      q2.processAllAvailable()
+      in2.addData(ev("zz", 2100, "other", 90)) // wm → 2100: past 1900 only
+      q2.processAllAvailable()
+      in2.addData(ev("zz", 2200, "other", 91)) // trigger the fire
+      q2.processAllAvailable()
+      val mid = spark.table("cep_ls2").as[PatternMatch].collect()
+        .filter(_.key == "m").map(m => (m.events.map(_.id), m.timedOut)).toSet
+      assert(mid === Set((Seq(1L), true)),
+        s"only the 1900-deadline run should have expired at wm 2100, got $mid")
+      in2.addData(ev("zz", 5000, "other", 92)) // wm past 2300 too
+      q2.processAllAvailable()
+      in2.addData(ev("zz", 5100, "other", 93))
+      q2.processAllAvailable()
+      val fin = spark.table("cep_ls2").as[PatternMatch].collect()
+        .filter(_.key == "m").map(m => (m.events.map(_.id), m.timedOut)).toSet
+      q2.stop()
+      assert(fin === Set((Seq(1L), true), (Seq(2L), true)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("null keys form their own group; no state leaks across the null boundary") {
     // nulls sort FIRST in the secondary sort, so a state leak would
     // carry null-key runs into the first real key's fold
