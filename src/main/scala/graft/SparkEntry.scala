@@ -2324,6 +2324,58 @@ object SparkEntry {
           (abs(col("est") - col("uv").cast("double")) <=
             lit(0.2) * col("uv").cast("double")).as("within_band"))
     }),
+
+    // delta-sign audio fingerprint over DECODED PCM (q155's audio
+    // twin, the Chromaprint shape reduced to its oracle-checkable
+    // core): mono-mix each frame, bit i = mix(i+1) > mix(i) strictly —
+    // gain-invariant by construction; computed by the real codec pass
+    // (decode once, fingerprint in place), rot payloads tagged zeros.
+    // The generative wave is pseudo-noise (frame step 40503 wraps mod
+    // 2^16), so prints genuinely differ per clip
+    "q173_audio_fp" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+      val good = Multimodal.audioRecords(
+        d.filter(col("doc_id") % 10 =!= 0), "doc_id")
+      val rot = Multimodal.attachBinary(
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        modality = "audio").as[MediaRecord]
+      Multimodal.audioFingerprint(good.unionByName(rot)).toDF()
+    }),
+
+    // audio near-dup serving: per probe clip (ids 1..9 — 0 is rot),
+    // Hamming top-3 among SAME-format clips (channels × frame-count
+    // classes partition the corpus, the q156 dim-class rule) — integer
+    // popcount(XOR) over q173's prints
+    "q174_audio_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val fps = queries("q173_audio_fp")(s, dir).filter(col("decoded"))
+      val probes = fps.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("channels"),
+          col("n_frames"), col("fp").as("q_fp"))
+      val scored = fps.join(broadcast(probes), Seq("channels", "n_frames"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id").as("neighbor_id"),
+          expr("bit_count(q_fp ^ fp)").cast("long").as("hamming"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming").asc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+    }),
+
+    // REAL audio resample (q159's audio twin — normalize every clip
+    // to 16 kHz): nearest-neighbor rate conversion (integer coordinate
+    // map, no interpolation kernels), re-encoded through the real WAV
+    // codec, then decoded AGAIN by the real codec — the oracle replays
+    // the resampled generative samples, so the whole
+    // decode→resample→encode→decode chain must be bit-faithful
+    "q175_audio_resample" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodeAudioFeatures(
+        Multimodal.resampleAudio(
+          Multimodal.audioRecords(Tables.documents(s, dir), "doc_id"),
+          targetRate = 16000)).toDF()
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3819,9 +3871,9 @@ object SparkEntry {
         |SELECT doc_id, true AS decoded, sr::BIGINT AS sample_rate,
         |       ch::BIGINT AS channels, n::BIGINT AS n_frames,
         |       list_sum(list_transform(generate_series(0, n*ch - 1), p ->
-        |         (3*doc_id + 7*(p // ch) + 11*(p % ch)) % 65536 - 32768))::BIGINT AS amp_sum,
+        |         (1237*doc_id + 40503*(p // ch) + 69427*(p % ch)) % 65536 - 32768))::BIGINT AS amp_sum,
         |       list_sum(list_transform(generate_series(0, n*ch - 1), p ->
-        |         abs((3*doc_id + 7*(p // ch) + 11*(p % ch)) % 65536 - 32768)))::BIGINT AS abs_sum
+        |         abs((1237*doc_id + 40503*(p // ch) + 69427*(p % ch)) % 65536 - 32768)))::BIGINT AS abs_sum
         |FROM par
         |UNION ALL
         |SELECT doc_id, false AS decoded, 0::BIGINT AS sample_rate,
@@ -3848,9 +3900,9 @@ object SparkEntry {
         |SELECT doc_id, k::BIGINT AS frame_idx,
         |       (phi - plo)::BIGINT AS n_samples,
         |       list_sum(list_transform(generate_series(plo, phi - 1), p ->
-        |         (3*doc_id + 7*(p // ch) + 11*(p % ch)) % 65536 - 32768))::BIGINT AS amp_sum,
+        |         (1237*doc_id + 40503*(p // ch) + 69427*(p % ch)) % 65536 - 32768))::BIGINT AS amp_sum,
         |       md5(array_to_string(list_transform(generate_series(plo, phi - 1), p ->
-        |         ((3*doc_id + 7*(p // ch) + 11*(p % ch)) % 65536 - 32768)::VARCHAR), ',')) AS frame_md5
+        |         ((1237*doc_id + 40503*(p // ch) + 69427*(p % ch)) % 65536 - 32768)::VARCHAR), ',')) AS frame_md5
         |FROM w2""".stripMargin,
 
     // full-corpus single-pass assignment (q33's argmin at the 8 seed
@@ -4019,6 +4071,82 @@ object SparkEntry {
         |                     / sint::DOUBLE END
         |           - uv::DOUBLE) <= 0.2 * uv::DOUBLE AS within_band
         |FROM x JOIN s USING (event_type)""".stripMargin,
+
+    // mono-mix per frame from the generative samples (channel sum);
+    // bit i−1 set iff mix[i+1] > mix[i] strictly, ≤ 63 bits — the
+    // round-trip must reproduce every sample for the print to match
+    "q173_audio_fp" ->
+      """WITH par AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS ch, 40 + doc_id % 25 AS n
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |m AS (
+        |  SELECT doc_id, ch, n,
+        |    list_transform(generate_series(0, n - 1), i ->
+        |      (1237*doc_id + 40503*i) % 65536 - 32768
+        |      + CASE WHEN ch = 2
+        |             THEN (1237*doc_id + 40503*i + 69427) % 65536 - 32768
+        |             ELSE 0 END) AS mix
+        |  FROM par)
+        |SELECT doc_id, true AS decoded, ch::BIGINT AS channels,
+        |       n::BIGINT AS n_frames, least(n - 1, 63)::BIGINT AS n_bits,
+        |       coalesce(list_sum(list_transform(generate_series(1, least(n - 1, 63)), i ->
+        |         CASE WHEN mix[i + 1] > mix[i] THEN (1::BIGINT << (i - 1))
+        |              ELSE 0::BIGINT END)), 0)::BIGINT AS fp
+        |FROM m
+        |UNION ALL
+        |SELECT doc_id, false AS decoded, 0::BIGINT AS channels,
+        |       0::BIGINT AS n_frames, 0::BIGINT AS n_bits, 0::BIGINT AS fp
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+
+    // q173's print CTE + the q156 rank replay, joined within
+    // (channels, frames) format classes
+    "q174_audio_neardup" ->
+      """WITH par AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS ch, 40 + doc_id % 25 AS n
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |m AS (
+        |  SELECT doc_id, ch, n,
+        |    list_transform(generate_series(0, n - 1), i ->
+        |      (1237*doc_id + 40503*i) % 65536 - 32768
+        |      + CASE WHEN ch = 2
+        |             THEN (1237*doc_id + 40503*i + 69427) % 65536 - 32768
+        |             ELSE 0 END) AS mix
+        |  FROM par),
+        |f AS (
+        |  SELECT doc_id, ch, n,
+        |         coalesce(list_sum(list_transform(generate_series(1, least(n - 1, 63)), i ->
+        |           CASE WHEN mix[i + 1] > mix[i] THEN (1::BIGINT << (i - 1))
+        |                ELSE 0::BIGINT END)), 0)::BIGINT AS fp
+        |  FROM m),
+        |pr AS (SELECT doc_id AS query_id, ch, n, fp AS q_fp FROM f
+        |       WHERE doc_id < 10),
+        |sc AS (SELECT pr.query_id, ff.doc_id AS neighbor_id,
+        |              bit_count(xor(pr.q_fp, ff.fp))::BIGINT AS hamming
+        |       FROM f ff JOIN pr ON ff.ch = pr.ch AND ff.n = pr.n
+        |                         AND ff.doc_id <> pr.query_id),
+        |r AS (SELECT query_id, neighbor_id, hamming,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY hamming ASC, neighbor_id ASC) AS rn
+        |      FROM sc)
+        |SELECT query_id, neighbor_id, hamming, rn::BIGINT AS rank
+        |FROM r WHERE rn <= 3""".stripMargin,
+
+    // nearest-neighbor rate replay: out frame j copies source frame
+    // j·sr div 16000; out count = n·16000 div sr — duration preserved
+    // to one frame, every sample a generative replay
+    "q175_audio_resample" ->
+      """WITH par AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS ch, 8000 * (1 + doc_id % 3) AS sr,
+        |         40 + doc_id % 25 AS n
+        |  FROM documents),
+        |p2 AS (SELECT doc_id, ch, sr, (n * 16000) // sr AS outn FROM par)
+        |SELECT doc_id, true AS decoded, 16000::BIGINT AS sample_rate,
+        |       ch::BIGINT AS channels, outn::BIGINT AS n_frames,
+        |       list_sum(list_transform(generate_series(0, outn*ch - 1), p ->
+        |         (1237*doc_id + 40503*(((p // ch) * sr) // 16000) + 69427*(p % ch)) % 65536 - 32768))::BIGINT AS amp_sum,
+        |       list_sum(list_transform(generate_series(0, outn*ch - 1), p ->
+        |         abs((1237*doc_id + 40503*(((p // ch) * sr) // 16000) + 69427*(p % ch)) % 65536 - 32768)))::BIGINT AS abs_sum
+        |FROM p2""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

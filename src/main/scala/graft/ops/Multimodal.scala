@@ -54,6 +54,15 @@ case class AudioFrame(doc_id: Long, frame_idx: Long, n_samples: Long,
 private[graft] case class AudioPcm(sampleRate: Long, channels: Int,
                                    samples: Array[Int])
 
+/** Delta-sign fingerprint of a decoded clip
+  * ([[Multimodal.audioFingerprint]]): bit i of `fp` is set iff the
+  * mono-mixed frame i+1 strictly exceeds frame i; `n_bits` = how many
+  * of the 63 positions are real (prefix fingerprint for clips longer
+  * than 64 frames). `decoded = false` tags unreadable payloads (zeros).
+  */
+case class AudioFingerprint(doc_id: Long, decoded: Boolean, channels: Long,
+                            n_frames: Long, n_bits: Long, fp: Long)
+
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed partition-parallel.
   *
@@ -265,10 +274,14 @@ object Multimodal {
     * relationally (the audio-side [[pixelValue]]). Pure integer
     * arithmetic spanning the full signed range, and WAV PCM is
     * lossless, so the encode→decode round-trip is bit-checkable
-    * cross-engine without DuckDB decoding anything.
+    * cross-engine without DuckDB decoding anything. The multipliers
+    * are chosen so the frame step (40503 mod 2¹⁶) wraps frequently:
+    * consecutive samples rise AND fall with an id-dependent phase — a
+    * pseudo-noise wave, so delta-sign features ([[audioFingerprint]])
+    * carry real per-clip signal instead of a degenerate monotone ramp.
     */
   private[graft] def sampleValue(id: Long, i: Int, c: Int): Int =
-    ((3L * id + 7L * i + 11L * c) % 65536L - 32768L).toInt
+    ((1237L * id + 40503L * i + 69427L * c) % 65536L - 32768L).toInt
 
   /** Format of the synthesized clip for `id`: (channels, sample rate,
     * PCM frames) — mono/stereo, three rates, varied lengths, so format
@@ -430,6 +443,112 @@ object Multimodal {
               .map("%02x".format(_)).mkString
             AudioFrame(r.doc_id, k.toLong, win.length.toLong, amp, hex)
           }
+        }
+      }
+    }
+  }
+
+  /** Delta-sign audio fingerprint over the DECODED PCM — the audio
+    * dedup primitive (the [[imagePHash]] twin; the shape of
+    * Chromaprint-family fingerprints reduced to its oracle-checkable
+    * core): frames are mono-mixed (channel sum — pure integers), and
+    * bit i is set iff mix(i+1) > mix(i) strictly — the delta-sign
+    * sequence, robust to uniform gain changes by construction. Up to
+    * 63 deltas pack into ONE BIGINT; longer clips take the PREFIX
+    * fingerprint over their first 64 frames (n_bits says how many
+    * bits are real — production stacks fingerprint fixed windows
+    * anyway; block-pack per 64 like binarySignBlocks when full-clip
+    * prints are needed). Same real-codec mapPartitions pass as
+    * [[decodeAudioFeatures]] (decode once, fingerprint in place);
+    * unreadable payloads take the tagged zero row. Near-dup lookup is
+    * integer Hamming between same-(channels, n_frames) prints — the
+    * q156 serving pattern on the audio side (q174).
+    */
+  def audioFingerprint(ds: Dataset[MediaRecord]): Dataset[AudioFingerprint] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val pcm = readPcm(r.content)
+        if (pcm == null)
+          AudioFingerprint(r.doc_id, decoded = false, 0L, 0L, 0L, 0L)
+        else {
+          val ch = pcm.channels
+          val n = pcm.samples.length / ch
+          val mix = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            var c = 0
+            var s = 0L
+            while (c < ch) { s += pcm.samples(i * ch + c); c += 1 }
+            mix(i) = s
+            i += 1
+          }
+          val nBits = math.min(n - 1, 63)
+          var fp = 0L
+          var b = 0
+          while (b < nBits) {
+            if (mix(b + 1) > mix(b)) fp |= (1L << b)
+            b += 1
+          }
+          AudioFingerprint(r.doc_id, decoded = true, ch.toLong, n.toLong,
+            nBits.toLong, fp)
+        }
+      }
+    }
+  }
+
+  /** REAL audio resample (the [[resizeImages]] twin — the normalize-
+    * everything-to-16k step of a multimodal training pipeline):
+    * nearest-neighbor rate conversion — output frame j copies source
+    * frame j·srcRate div targetRate, channels preserved, pure integer
+    * coordinate math (NO interpolation filters, whose kernels are
+    * implementation-dependent and would break cross-engine replay) —
+    * then re-encodes through the real WAV codec at the target rate.
+    * Output frame count = n·targetRate div srcRate (duration
+    * preserved to one frame). Decode → resample → encode in one
+    * partition-parallel pass; a payload no reader recognizes passes
+    * through UNCHANGED (the q159 rot posture). Lossless in, lossless
+    * out, so downstream decodes see exactly the resampled generative
+    * samples (the q175 oracle).
+    */
+  def resampleAudio(ds: Dataset[MediaRecord], targetRate: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    require(targetRate > 0, "target rate must be positive")
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val pcm = readPcm(r.content)
+        if (pcm == null) r
+        else {
+          val ch = pcm.channels
+          val n = pcm.samples.length / ch
+          val outN = ((n.toLong * targetRate) / pcm.sampleRate).toInt
+          val out = new Array[Byte](outN * ch * 2)
+          var j = 0
+          while (j < outN) {
+            val src = ((j.toLong * pcm.sampleRate) / targetRate).toInt
+            var c = 0
+            while (c < ch) {
+              val v = pcm.samples(src * ch + c)
+              val off = (j * ch + c) * 2
+              out(off) = (v & 0xff).toByte
+              out(off + 1) = ((v >> 8) & 0xff).toByte
+              c += 1
+            }
+            j += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            targetRate.toFloat, 16, ch, 2 * ch, targetRate.toFloat, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(out), fmt, outN.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          val bytes = bos.toByteArray
+          md.reset()
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          MediaRecord(r.doc_id, r.modality, bytes, bytes.length.toLong, hex)
         }
       }
     }

@@ -1107,12 +1107,13 @@ class MiningSpec extends AnyFunSuite {
     // frames 40+13%25 = 53 — hand math, not audioParams
     val id = 13L
     assert(Multimodal.audioParams(id) === ((2, 16000, 53)))
-    // formula spot-checks BY HAND: s(13,0,0) = (39)%65536-32768 =
-    // -32729; s(13,0,1) = (39+11)-32768 = -32718; s(13,1,0) =
-    // (39+7)-32768 = -32722
-    assert(Multimodal.sampleValue(id, 0, 0) === -32729)
-    assert(Multimodal.sampleValue(id, 0, 1) === -32718)
-    assert(Multimodal.sampleValue(id, 1, 0) === -32722)
+    // formula spot-checks BY HAND: 1237·13 = 16081, so s(13,0,0) =
+    // 16081 − 32768 = −16687; s(13,0,1) = (16081 + 69427) % 65536 −
+    // 32768 = 19972 − 32768 = −12796; s(13,1,0) = (16081 + 40503) −
+    // 32768 = 56584 − 32768 = 23816
+    assert(Multimodal.sampleValue(id, 0, 0) === -16687)
+    assert(Multimodal.sampleValue(id, 0, 1) === -12796)
+    assert(Multimodal.sampleValue(id, 1, 0) === 23816)
     val content = Multimodal.audioRecords(Seq(id).toDF("doc_id"), "doc_id")
       .collect()(0).content
     // the payload really is a RIFF/WAVE file: walk its chunks by hand
@@ -1151,9 +1152,9 @@ class MiningSpec extends AnyFunSuite {
     def sample(k: Int): Int =
       ((content(dataOff + 2 * k + 1) << 8) |
         (content(dataOff + 2 * k) & 0xff))
-    assert(sample(0) === -32729) // frame 0 channel 0
-    assert(sample(1) === -32718) // frame 0 channel 1
-    assert(sample(2) === -32722) // frame 1 channel 0
+    assert(sample(0) === -16687) // frame 0 channel 0
+    assert(sample(1) === -12796) // frame 0 channel 1
+    assert(sample(2) === 23816)  // frame 1 channel 0
     // full decode row: amplitude sums replayed from the formula
     var amp = 0L
     var ab = 0L
@@ -1197,6 +1198,70 @@ class MiningSpec extends AnyFunSuite {
       Seq(graft.ops.MediaRecord(7L, "audio", "nope".getBytes, 4L, ""))
         .toDS(), frameLen = 5, stride = 2).collect()
     assert(rotFrames.isEmpty)
+  }
+
+  test("audioFingerprint: delta-sign bits over mono-mixed PCM, prefix cap, rot tagged") {
+    import graft.ops.{AudioFingerprint, Multimodal}
+    val id = 13L // 2 channels, 53 frames
+    // bit 0 BY HAND: mix(0) = −16687 + −12796 = −29483; v(13,1,1) =
+    // (16081 + 40503 + 69427) % 65536 − 32768 = 60475 − 32768 = 27707,
+    // so mix(1) = 23816 + 27707 = 51523 > mix(0) → bit 0 set
+    val mix = (0 until 53).map(i =>
+      Multimodal.sampleValue(id, i, 0).toLong +
+        Multimodal.sampleValue(id, i, 1).toLong)
+    assert(mix(0) === -29483L && mix(1) === 51523L)
+    val expFp = (0 until 52).collect {
+      case b if mix(b + 1) > mix(b) => 1L << b
+    }.sum
+    val got = Multimodal.audioFingerprint(
+      Multimodal.audioRecords(Seq(id).toDF("doc_id"), "doc_id")).collect()(0)
+    assert(got === AudioFingerprint(id, decoded = true, 2L, 53L, 52L, expFp))
+    assert((got.fp & 1L) === 1L) // the hand-derived bit 0
+    // pseudo-noise wave: bits genuinely mix (not a monotone ramp)
+    assert(got.fp !== 0L)
+    assert(got.fp !== ((1L << 52) - 1L))
+    // a clip longer than 64 frames takes the PREFIX print: id 12 is
+    // 52 frames at 8 kHz; upsampling 4× to 32 kHz gives 208 frames
+    // and n_bits caps at 63
+    val long = Multimodal.audioFingerprint(Multimodal.resampleAudio(
+      Multimodal.audioRecords(Seq(12L).toDF("doc_id"), "doc_id"),
+      targetRate = 32000)).collect()(0)
+    assert(long.n_frames === 208L && long.n_bits === 63L)
+    // rot payloads take the tagged zero row
+    val rot = Multimodal.audioFingerprint(
+      Seq(graft.ops.MediaRecord(7L, "audio", "nope".getBytes, 4L, ""))
+        .toDS()).collect()(0)
+    assert(rot === AudioFingerprint(7L, decoded = false, 0L, 0L, 0L, 0L))
+  }
+
+  test("resampleAudio: same-rate is identity; downsample copies j·sr div target frames") {
+    import graft.ops.Multimodal
+    // id 13 is already 16 kHz: resampling to 16 kHz must be the
+    // identity on the decoded features
+    val orig = Multimodal.decodeAudioFeatures(
+      Multimodal.audioRecords(Seq(13L).toDF("doc_id"), "doc_id")).collect()(0)
+    val same = Multimodal.decodeAudioFeatures(Multimodal.resampleAudio(
+      Multimodal.audioRecords(Seq(13L).toDF("doc_id"), "doc_id"),
+      targetRate = 16000)).collect()(0)
+    assert(same === orig)
+    // id 14: 24 kHz mono, 54 frames → 16 kHz keeps 54·16000/24000 = 36
+    // frames, frame j copying source frame j·3 div 2 — replayed from
+    // the generative formula
+    val down = Multimodal.decodeAudioFeatures(Multimodal.resampleAudio(
+      Multimodal.audioRecords(Seq(14L).toDF("doc_id"), "doc_id"),
+      targetRate = 16000)).collect()(0)
+    var amp = 0L
+    var ab = 0L
+    for (j <- 0 until 36) {
+      val v = Multimodal.sampleValue(14L, j * 3 / 2, 0)
+      amp += v; ab += math.abs(v)
+    }
+    assert(down === graft.ops.AudioFeatures(14L, decoded = true, 16000L, 1L,
+      36L, amp, ab))
+    // rot passes through unchanged (the q159 posture)
+    val rotIn = graft.ops.MediaRecord(7L, "audio", "nope".getBytes, 4L, "x")
+    val rotOut = Multimodal.resampleAudio(Seq(rotIn).toDS(), 16000).collect()(0)
+    assert(rotOut.content.toSeq === rotIn.content.toSeq)
   }
 
   test("epochShuffle: each epoch is a reproducible permutation; epochs differ; no Window") {
