@@ -2376,6 +2376,28 @@ object SparkEntry {
           Multimodal.audioRecords(Tables.documents(s, dir), "doc_id"),
           targetRate = 16000)).toDF()
     }),
+
+    // multimodal SAMPLE ASSEMBLY — the training-row join the modality
+    // ops exist for: per document, text stats + the REAL image-decode
+    // features (q150) + the REAL audio-decode features (q165) in one
+    // row, with per-modality decode flags, a completeness flag (all
+    // modalities decoded — rot in ANY modality marks the sample
+    // incomplete), and the keep gate a curator applies. Equi-joins on
+    // doc_id — at 100 TB each feature table is narrow (the payloads
+    // never join); the q156/q174 rule of reusing the oracled feature
+    // entries keeps the assembly and its parts from drifting
+    "q176_multimodal_assembly" -> ((s, dir) => {
+      val txt = Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+      val img = queries("q150_image_decode")(s, dir)
+        .select(col("doc_id"), col("decoded").as("img_ok"), col("pixel_sum"))
+      val aud = queries("q165_audio_decode")(s, dir)
+        .select(col("doc_id"), col("decoded").as("aud_ok"), col("amp_sum"))
+      txt.join(img, "doc_id").join(aud, "doc_id")
+        .withColumn("complete", col("img_ok") && col("aud_ok"))
+        .withColumn("keep", col("complete") && col("n_words") >= 5)
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -4147,6 +4169,46 @@ object SparkEntry {
         |       list_sum(list_transform(generate_series(0, outn*ch - 1), p ->
         |         abs((1237*doc_id + 40503*(((p // ch) * sr) // 16000) + 69427*(p % ch)) % 65536 - 32768)))::BIGINT AS abs_sum
         |FROM p2""".stripMargin,
+
+    // the q150 + q165 oracle bodies as CTEs, joined per document with
+    // trivial text stats — rot (doc_id % 10 = 0) is incomplete in both
+    // modalities, so complete replays as the mod test
+    "q176_multimodal_assembly" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 2 + doc_id % 6 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |img AS (
+        |  SELECT doc_id, true AS img_ok,
+        |         list_sum(list_transform(generate_series(0, w*h - 1), p ->
+        |           (doc_id + 3*(p % w) + 5*(p // w)) % 256 +
+        |           (2*doc_id + 7*(p % w) + 11*(p // w)) % 256 +
+        |           (5*doc_id + 13*(p % w) + 17*(p // w)) % 256))::BIGINT AS pixel_sum
+        |  FROM dims
+        |  UNION ALL
+        |  SELECT doc_id, false AS img_ok, 0::BIGINT AS pixel_sum
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |apar AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS ch, 40 + doc_id % 25 AS n
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |aud AS (
+        |  SELECT doc_id, true AS aud_ok,
+        |         list_sum(list_transform(generate_series(0, n*ch - 1), p ->
+        |           (1237*doc_id + 40503*(p // ch) + 69427*(p % ch)) % 65536 - 32768))::BIGINT AS amp_sum
+        |  FROM apar
+        |  UNION ALL
+        |  SELECT doc_id, false AS aud_ok, 0::BIGINT AS amp_sum
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |txt AS (
+        |  SELECT doc_id, length(text)::BIGINT AS n_chars,
+        |         len(string_split(text, ' '))::BIGINT AS n_words
+        |  FROM documents)
+        |SELECT t.doc_id, t.n_chars, t.n_words, i.img_ok, i.pixel_sum,
+        |       a.aud_ok, a.amp_sum,
+        |       i.img_ok AND a.aud_ok AS complete,
+        |       i.img_ok AND a.aud_ok AND t.n_words >= 5 AS keep
+        |FROM txt t
+        |JOIN img i ON t.doc_id = i.doc_id
+        |JOIN aud a ON t.doc_id = a.doc_id""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

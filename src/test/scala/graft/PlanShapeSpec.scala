@@ -359,4 +359,33 @@ class PlanShapeSpec extends AnyFunSuite {
       .findAllIn(p).filter(_.contains("text")).toSeq
     assert(shuffled.isEmpty, s"text-carrying Exchange in q134: $shuffled")
   }
+
+  test("q165/q173/q175: audio decode, fingerprint, resample — zero exchanges (the q150 rule)") {
+    // the codec passes must stay embarrassingly parallel: any Exchange
+    // here would mean WAV payloads crossing the network
+    for (q <- Seq("q165_audio_decode", "q173_audio_fp",
+        "q175_audio_resample")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles payloads:\n$p")
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+    }
+  }
+
+  test("q170: training export is Window-free — both prefix passes stay range-partitioned") {
+    // a row_number()/sum-over-Window formulation of either the epoch
+    // rank or the running token total would single-task the corpus.
+    // (A CartesianProduct IS expected: PrefixSum broadcasts its
+    // partition-count-sized offset row — the deliberate q77 shape.)
+    val p = plan("q170_training_export")
+    assert(!p.contains(") Window"), s"q170 grew a Window:\n$p")
+  }
+
+  test("q169: novelty gate — text never shuffles; the store join is on narrow shingle rows") {
+    val p = plan("q169_novelty_gate")
+    assert(!p.contains(") Window"), "the gate is joins + hash aggregates")
+    assert(!p.contains("CartesianProduct"))
+    val shuffled = """(?m)^\(\d+\) Exchange[\s\S]*?Arguments.*$""".r
+      .findAllIn(p).filter(_.contains("text")).toSeq
+    assert(shuffled.isEmpty, s"text-carrying Exchange in q169: $shuffled")
+  }
 }

@@ -1006,6 +1006,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.forall(_._2)) // every synthesized payload decodes
   }
 
+  test("streaming audio decode + fingerprint: the real-codec maps run stateless on a stream, ≡ batch") {
+    import graft.ops.Multimodal
+    // WAV encode → decode → fingerprint as stateless per-row maps on a
+    // live stream (the image-decode posture on the audio side)
+    val input = MemoryStream[Long]
+    val q = Multimodal.audioFingerprint(
+        Multimodal.audioRecords(input.toDF().toDF("doc_id"), "doc_id"))
+      .writeStream.outputMode("append").format("memory").queryName("aud").start()
+    input.addData(12L, 13L)
+    q.processAllAvailable()
+    input.addData(14L)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("aud")
+      .as[(Long, Boolean, Long, Long, Long, Long)].collect().toSet
+    val batch = Multimodal.audioFingerprint(
+        Multimodal.audioRecords(Seq(12L, 13L, 14L).toDF("doc_id"), "doc_id"))
+      .as[(Long, Boolean, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(streamed === batch)
+    assert(streamed.forall(_._2)) // every synthesized payload decodes
+  }
+
   test("nearDupFlags in foreachBatch: per-batch gate ≡ batch gate on the same rows") {
     import graft.ops.Dedup
     val kept = Seq((1L, "alpha beta gamma delta epsilon zeta", "s"),
