@@ -2129,8 +2129,12 @@ object SparkEntry {
     // re-read) — and the exact verify (q24/q160) runs only on
     // survivors; every estimate is deterministic, so all three
     // columns replay hash-exactly
+    // maxBucketSize = MaxValue: the DuckDB oracle joins band buckets
+    // with no size cap, so the oracle-gated entry must not cap either
+    // (the q22 convention); production callers keep the default 10k cap
     "q163_sketch_verify" -> ((s, dir) =>
-      Dedup.sketchVerifyPairs(Tables.documents(s, dir), "doc_id", "text")),
+      Dedup.sketchVerifyPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxBucketSize = Int.MaxValue)),
 
     // n-gram novelty (memorization-risk audit): fraction of each doc's
     // distinct shingles that occur nowhere else — low scores flag the
@@ -2349,8 +2353,18 @@ object SparkEntry {
     // popcount(XOR) over q173's prints
     "q174_audio_neardup" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val fps = queries("q173_audio_fp")(s, dir).filter(col("decoded"))
-      val probes = fps.filter(col("doc_id") < 10)
+      val d = Tables.documents(s, dir)
+      def prints(docs: org.apache.spark.sql.DataFrame) =
+        Multimodal.audioFingerprint(
+          Multimodal.audioRecords(docs, "doc_id")).toDF()
+      // rot ids (%10 = 0) excluded at the source — equivalent to
+      // q173's decoded filter (every synthesized payload decodes), and
+      // the probe branch synthesizes only ITS 9 clips: the decode is a
+      // mapPartitions codec pass, so a post-hoc filter cannot prune it
+      // (r14 self-review — the full corpus ran twice)
+      val fps = prints(d.filter(col("doc_id") % 10 =!= 0))
+      val probes = prints(
+        d.filter(col("doc_id") < 10 && col("doc_id") % 10 =!= 0))
         .select(col("doc_id").as("query_id"), col("channels"),
           col("n_frames"), col("fp").as("q_fp"))
       val scored = fps.join(broadcast(probes), Seq("channels", "n_frames"))

@@ -50,7 +50,19 @@ class CepListProcessor(pattern: Pattern, emitTimeouts: Boolean)
       rows.toSeq.sortBy(e => (e.ts.getTime, e.id)), emitTimeouts, out, key)
     if (runs.isEmpty) { if (prev.nonEmpty) runsState.clear() }
     else {
-      runsState.put(runs.toArray)
+      // append-only fast path (what ListState buys over a ValueState):
+      // when no existing run advanced, died, or reordered — the common
+      // batch on a key that only STARTS runs — the surviving prefix is
+      // the same Run objects in the same order, and only the new runs
+      // are written; otherwise rewrite the list
+      val prefixUnchanged = runs.lengthCompare(prev.length) >= 0 &&
+        runs.iterator.zip(prev.iterator).forall {
+          case (a, b) => a.asInstanceOf[AnyRef] eq b.asInstanceOf[AnyRef]
+        }
+      if (prev.nonEmpty && prefixUnchanged) {
+        val appended = runs.drop(prev.length)
+        if (appended.nonEmpty) runsState.appendList(appended.toArray)
+      } else runsState.put(runs.toArray)
       pattern.withinMs.foreach { w =>
         val wmFloor = timerValues.getCurrentWatermarkInMs + 1
         // one timer per DISTINCT live-run deadline; registration is

@@ -308,33 +308,50 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { id =>
         val (ch, sr, n) = audioParams(id)
-        val pcm = new Array[Byte](n * ch * 2)
+        val samples = new Array[Int](n * ch)
         var i = 0
         while (i < n) {
           var c = 0
           while (c < ch) {
-            val v = sampleValue(id, i, c)
-            val off = (i * ch + c) * 2
-            pcm(off) = (v & 0xff).toByte          // little-endian 16-bit
-            pcm(off + 1) = ((v >> 8) & 0xff).toByte
+            samples(i * ch + c) = sampleValue(id, i, c)
             c += 1
           }
           i += 1
         }
-        val fmt = new javax.sound.sampled.AudioFormat(
-          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-          sr.toFloat, 16, ch, 2 * ch, sr.toFloat, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        val bytes = bos.toByteArray
-        md.reset()
-        val hex = md.digest(bytes).map("%02x".format(_)).mkString
-        MediaRecord(id, "audio", bytes, bytes.length.toLong, hex)
+        encodeWav(id, "audio", samples, ch, sr, md)
       }
     }
+  }
+
+  /** ONE PCM-to-WAV encode path (r14 self-review factored the
+    * [[audioRecords]]/[[resampleAudio]] copies): interleaved samples →
+    * little-endian 16-bit bytes → the JDK WAV writer → a checksummed
+    * [[MediaRecord]]. Drift between two hand-maintained encoders would
+    * silently break the decode convention every audio oracle replays.
+    */
+  private def encodeWav(docId: Long, modality: String, samples: Array[Int],
+                        ch: Int, sr: Int,
+                        md: java.security.MessageDigest): MediaRecord = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var k = 0
+    while (k < samples.length) {
+      val v = samples(k)
+      pcm(2 * k) = (v & 0xff).toByte            // little-endian 16-bit
+      pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sr.toFloat, 16, ch, 2 * ch, sr.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, (samples.length / ch).toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val bytes = bos.toByteArray
+    md.reset()
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    MediaRecord(docId, modality, bytes, bytes.length.toLong, hex)
   }
 
   /** One decode-or-null for audio — the [[readImage]] rot posture: a
@@ -523,32 +540,18 @@ object Multimodal {
           val ch = pcm.channels
           val n = pcm.samples.length / ch
           val outN = ((n.toLong * targetRate) / pcm.sampleRate).toInt
-          val out = new Array[Byte](outN * ch * 2)
+          val out = new Array[Int](outN * ch)
           var j = 0
           while (j < outN) {
             val src = ((j.toLong * pcm.sampleRate) / targetRate).toInt
             var c = 0
             while (c < ch) {
-              val v = pcm.samples(src * ch + c)
-              val off = (j * ch + c) * 2
-              out(off) = (v & 0xff).toByte
-              out(off + 1) = ((v >> 8) & 0xff).toByte
+              out(j * ch + c) = pcm.samples(src * ch + c)
               c += 1
             }
             j += 1
           }
-          val fmt = new javax.sound.sampled.AudioFormat(
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-            targetRate.toFloat, 16, ch, 2 * ch, targetRate.toFloat, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(out), fmt, outN.toLong)
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-          val bytes = bos.toByteArray
-          md.reset()
-          val hex = md.digest(bytes).map("%02x".format(_)).mkString
-          MediaRecord(r.doc_id, r.modality, bytes, bytes.length.toLong, hex)
+          encodeWav(r.doc_id, r.modality, out, ch, targetRate, md)
         }
       }
     }

@@ -71,7 +71,11 @@ object SketchStore {
           lit("kmvMergeSlices: stored k in ["), col("_k_lo").cast("string"),
           lit(", "), col("_k_hi").cast("string"),
           lit(s"] does not match merge k=$k"))))
-          .otherwise(col("hs")).as("hs")): _*)
+          .otherwise(col("hs")).as("hs"),
+        // the merged state keeps its OWN capacity witness (r14
+        // self-review): a compacted store row must re-merge with
+        // fresh slices under the same loud contract
+        lit(k).as("k")): _*)
   }
 
   /** The KMV estimate read as a codegen'd column over a (merged) hash
@@ -209,7 +213,10 @@ object SketchStore {
             col("_w_l").cast("string"), lit(", "),
             col("_w_h").cast("string"),
             lit(s"]) does not match merge lo=$lo width=$width"))))
-          .otherwise(col("cs")).as("cs")): _*)
+          .otherwise(col("cs")).as("cs"),
+        // geometry witness preserved on the merged state (the KMV
+        // rule): compaction output must re-merge with fresh slices
+        lit(lo).as("h_lo"), lit(width).as("h_width")): _*)
   }
 
   /** Percentile read over a (merged) histogram state: the LOWER BOUND

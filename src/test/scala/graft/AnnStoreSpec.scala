@@ -84,11 +84,15 @@ class AnnStoreSpec extends AnyFunSuite {
         table = "graft_ivf_ingest", buckets = 8,
         path = Some(base.resolve("ivf").toString))
       // snapshot history's data files BEFORE the ingest
-      def dataFiles() = java.nio.file.Files.walk(base.resolve("ivf"))
-        .filter(p => p.toString.endsWith(".parquet"))
-        .map[(String, Long)](p =>
-          (p.toString, java.nio.file.Files.getLastModifiedTime(p).toMillis))
-        .toArray.toSeq
+      def dataFiles() = {
+        val walk = java.nio.file.Files.walk(base.resolve("ivf"))
+        try walk
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map[(String, Long)](p =>
+            (p.toString, java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toArray.toSeq
+        finally walk.close() // Files.walk holds directory handles open
+      }
       val before = dataFiles()
       assert(before.nonEmpty)
       Similarity.ivfIngest(fresh, "vec_id", "embedding", centroids,

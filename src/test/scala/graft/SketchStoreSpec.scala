@@ -52,6 +52,13 @@ class SketchStoreSpec extends AnyFunSuite {
     val reMerged = SketchStore.kmvMergeSlices(slices.repartition(7), Seq("g"), k)
       .select(col("g"), col("hs")).as[(String, Seq[Long])].collect().toMap
     assert(reMerged === merged.view.mapValues(_._2).toMap)
+    // COMPACTION: the merged output carries its own capacity witness
+    // (r14 self-review), so a compacted store re-merges under the same
+    // loud contract and still equals the direct aggregation
+    val compacted = SketchStore.kmvMergeSlices(
+        SketchStore.kmvMergeSlices(slices, Seq("g"), k), Seq("g"), k)
+      .select(col("g"), col("hs")).as[(String, Seq[Long])].collect().toMap
+    assert(compacted === direct.view.mapValues(_._1).toMap)
   }
 
   test("KMV: persisted bucketed store — zero-Exchange merge, new slice folds in exactly") {
@@ -190,6 +197,13 @@ class SketchStoreSpec extends AnyFunSuite {
         Seq("g"), lo = 0L, width = 4L, nBins = 8)
       .select(col("g"), col("cs")).as[(String, Seq[Long])].collect().toMap
     assert(reMerged === state)
+    // compaction: merged output keeps its geometry witness and
+    // re-merges (the KMV rule)
+    val compacted = SketchStore.histMergeSlices(
+        SketchStore.histMergeSlices(slices, Seq("g"), 0L, 4L, 8),
+        Seq("g"), 0L, 4L, 8)
+      .select(col("g"), col("cs")).as[(String, Seq[Long])].collect().toMap
+    assert(compacted === state)
     // percentile read BY HAND on group a (20 values, evens 0..38):
     // rank(0.5) = 10 → 10th even = 18, its bin [16,20) → bound 16;
     // rank(0.9) = 18 → 34 lives in overflow → bound 8·4 = 32;
