@@ -2412,6 +2412,36 @@ object SparkEntry {
         .withColumn("complete", col("img_ok") && col("aud_ok"))
         .withColumn("keep", col("complete") && col("n_words") >= 5)
     }),
+
+    // REAL video container demux — the parseable half of the video
+    // modality (the box walk a pipeline runs BEFORE the codec, which
+    // remains the one genuinely absent piece): ISO-BMFF-layout
+    // payloads synthesized per doc (ftyp + moov + one mdat per frame,
+    // sizes and payload bytes integer functions of doc_id), walked by
+    // size/type headers; every box's type, size, and exact payload
+    // byte sum replay relationally. Rot payloads (id % 10 = 0, text
+    // bytes) fail the walk deterministically (first "size" word reads
+    // ≥ 0x20202020, past the payload) → the tagged parsed=false row
+    "q177_video_demux" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+      val good = Multimodal.videoRecords(
+        d.filter(col("doc_id") % 10 =!= 0), "doc_id")
+      val rot = Multimodal.attachBinary(
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        modality = "video").as[MediaRecord]
+      Multimodal.parseVideoBoxes(good.unionByName(rot)).toDF()
+    }),
+
+    // container-AWARE frame sampling: every 2nd mdat box — real
+    // demuxed frame boundaries replacing q48's arbitrary byte chunks;
+    // only decoding the payload stays stubbed
+    "q178_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.videoFrames(
+        Multimodal.videoRecords(Tables.documents(s, dir), "doc_id"),
+        stride = 2).toDF()
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -4223,6 +4253,51 @@ object SparkEntry {
         |FROM txt t
         |JOIN img i ON t.doc_id = i.doc_id
         |JOIN aud a ON t.doc_id = a.doc_id""".stripMargin,
+
+    // generative container structure: ftyp(12, Σ"isom"=440), moov(12,
+    // Σ big-endian n = n), then mdat j of size 8+len with
+    // len = 16+(id+7j)%32 and payload byte t = (id+3j+5t)%256
+    "q177_video_demux" ->
+      """WITH par AS (
+        |  SELECT doc_id, 3 + doc_id % 4 AS n
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |meta AS (
+        |  SELECT doc_id, true AS parsed, 0::BIGINT AS box_idx,
+        |         'ftyp' AS box_type, 12::BIGINT AS box_size,
+        |         440::BIGINT AS byte_sum
+        |  FROM par
+        |  UNION ALL
+        |  SELECT doc_id, true AS parsed, 1::BIGINT AS box_idx,
+        |         'moov' AS box_type, 12::BIGINT AS box_size,
+        |         n::BIGINT AS byte_sum
+        |  FROM par),
+        |md AS (
+        |  SELECT doc_id, unnest(generate_series(0, n - 1)) AS j FROM par),
+        |md2 AS (
+        |  SELECT doc_id, j, 16 + (doc_id + 7*j) % 32 AS len FROM md),
+        |mrows AS (
+        |  SELECT doc_id, true AS parsed, (2 + j)::BIGINT AS box_idx,
+        |         'mdat' AS box_type, (8 + len)::BIGINT AS box_size,
+        |         list_sum(list_transform(generate_series(0, len - 1), t ->
+        |           (doc_id + 3*j + 5*t) % 256))::BIGINT AS byte_sum
+        |  FROM md2)
+        |SELECT * FROM meta
+        |UNION ALL SELECT * FROM mrows
+        |UNION ALL
+        |SELECT doc_id, false AS parsed, 0::BIGINT AS box_idx,
+        |       '' AS box_type, 0::BIGINT AS box_size, 0::BIGINT AS byte_sum
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+
+    // every 2nd mdat: frame_idx = j, len and payload sum replayed
+    "q178_video_frames" ->
+      """WITH par AS (SELECT doc_id, 3 + doc_id % 4 AS n FROM documents),
+        |md AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS j FROM par),
+        |md2 AS (SELECT doc_id, j, 16 + (doc_id + 7*j) % 32 AS len
+        |        FROM md WHERE j % 2 = 0)
+        |SELECT doc_id, j::BIGINT AS frame_idx, len::BIGINT AS frame_len,
+        |       list_sum(list_transform(generate_series(0, len - 1), t ->
+        |         (doc_id + 3*j + 5*t) % 256))::BIGINT AS byte_sum
+        |FROM md2""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

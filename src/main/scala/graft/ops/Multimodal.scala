@@ -54,6 +54,22 @@ case class AudioFrame(doc_id: Long, frame_idx: Long, n_samples: Long,
 private[graft] case class AudioPcm(sampleRate: Long, channels: Int,
                                    samples: Array[Int])
 
+/** One parsed container box ([[Multimodal.parseVideoBoxes]]): the box
+  * walk is REAL demuxing (size/type headers, the ISO-BMFF layout);
+  * `byte_sum` is the payload's exact byte sum — the oracle-checkable
+  * stand-in for handing the payload to a codec. `parsed = false` rows
+  * tag payloads whose walk failed before yielding a single box.
+  */
+case class VideoBox(doc_id: Long, parsed: Boolean, box_idx: Long,
+                    box_type: String, box_size: Long, byte_sum: Long)
+
+/** One sampled container frame ([[Multimodal.videoFrames]]): mdat box
+  * `frame_idx` with its payload length and exact byte sum — real
+  * demuxed frame boundaries; only decoding the payload stays stubbed.
+  */
+case class VideoFrame(doc_id: Long, frame_idx: Long, frame_len: Long,
+                      byte_sum: Long)
+
 /** Delta-sign fingerprint of a decoded clip
   * ([[Multimodal.audioFingerprint]]): bit i of `fp` is set iff the
   * mono-mixed frame i+1 strictly exceeds frame i; `n_bits` = how many
@@ -557,12 +573,160 @@ object Multimodal {
     }
   }
 
+  /** Container geometry of the synthesized video for `id`: number of
+    * mdat (frame-payload) boxes and the payload length of mdat `j` —
+    * the generative structure the q177/q178 oracles replay.
+    */
+  private[graft] def videoParams(id: Long): Int = (3L + id % 4L).toInt
+
+  private[graft] def mdatLen(id: Long, j: Int): Int =
+    (16L + (id + 7L * j) % 32L).toInt
+
+  /** Deterministic payload byte `t` of mdat box `j` in video `id`. */
+  private[graft] def mdatByte(id: Long, j: Int, t: Int): Int =
+    ((id + 3L * j + 5L * t) % 256L).toInt
+
+  /** Synthesize a REAL ISO-BMFF-layout container per row (the MP4 box
+    * grammar: [4-byte big-endian size][4-byte type][payload], boxes
+    * concatenated): an `ftyp` brand box, a `moov` box whose payload
+    * carries the 4-byte big-endian frame count, then one `mdat` box
+    * per frame with [[mdatLen]]/[[mdatByte]] payloads. The codec-less
+    * half of the video modality is the CONTAINER, and that half is
+    * real on both sides — [[parseVideoBoxes]] demuxes these bytes by
+    * walking the size/type headers exactly as a production demuxer
+    * does before handing payloads to the (genuinely absent) codec.
+    */
+  def videoRecords(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val n = videoParams(id)
+        val bos = new java.io.ByteArrayOutputStream()
+        def box(tp: String, payload: Array[Byte]): Unit = {
+          val size = payload.length + 8
+          bos.write(Array[Byte](((size >> 24) & 0xff).toByte,
+            ((size >> 16) & 0xff).toByte, ((size >> 8) & 0xff).toByte,
+            (size & 0xff).toByte))
+          bos.write(tp.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          bos.write(payload)
+        }
+        box("ftyp", "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        box("moov", Array[Byte](((n >> 24) & 0xff).toByte,
+          ((n >> 16) & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+          (n & 0xff).toByte))
+        var j = 0
+        while (j < n) {
+          val len = mdatLen(id, j)
+          val payload = new Array[Byte](len)
+          var t = 0
+          while (t < len) { payload(t) = mdatByte(id, j, t).toByte; t += 1 }
+          box("mdat", payload)
+          j += 1
+        }
+        val bytes = bos.toByteArray
+        md.reset()
+        val hex = md.digest(bytes).map("%02x".format(_)).mkString
+        MediaRecord(id, "video", bytes, bytes.length.toLong, hex)
+      }
+    }
+  }
+
+  /** REAL container demux (the parseable half of the video modality —
+    * the box walk a production pipeline runs BEFORE the codec, which
+    * remains the one genuinely absent piece): walk the ISO-BMFF box
+    * grammar over the binary column, emitting one row per box with
+    * its type, size, and exact payload byte sum (the oracle-checkable
+    * stand-in for handing the payload onward). The walk is defensive
+    * the way a demuxer must be: a header that doesn't fit, a size
+    * < 8, or a size past the payload ends the walk; a payload that
+    * yields NO boxes (rot) emits the tagged `parsed = false` row
+    * instead of killing the job. Partition-parallel flatMap, no
+    * shuffle, no collect.
+    */
+  def parseVideoBoxes(ds: Dataset[MediaRecord]): Dataset[VideoBox] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val boxes = walkBoxes(r.content)
+        if (boxes.isEmpty)
+          Iterator.single(VideoBox(r.doc_id, parsed = false, 0L, "", 0L, 0L))
+        else boxes.iterator.map { case (idx, tp, size, sum) =>
+          VideoBox(r.doc_id, parsed = true, idx, tp, size, sum)
+        }
+      }
+    }
+  }
+
+  /** One defensive pass of the ISO-BMFF box grammar — the shared walk
+    * of [[parseVideoBoxes]] and [[videoFrames]]: (box_idx, type, size,
+    * payload byte sum) per box, stopping at the first header that
+    * doesn't fit, size < 8, size past the payload, or non-lowercase
+    * type (rot bytes read as garbage headers).
+    */
+  private def walkBoxes(
+      b: Array[Byte]): scala.collection.mutable.ListBuffer[(Long, String, Long, Long)] = {
+    val out = scala.collection.mutable.ListBuffer[(Long, String, Long, Long)]()
+    var off = 0
+    var idx = 0L
+    var ok = true
+    while (ok && off + 8 <= b.length) {
+      val size = ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+      val tp = new String(b, off + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if (size < 8 || off + size > b.length ||
+          !tp.forall(c => c >= 'a' && c <= 'z')) ok = false
+      else {
+        var sum = 0L
+        var t = off + 8
+        while (t < off + size) { sum += (b(t) & 0xff); t += 1 }
+        out += ((idx, tp, size, sum))
+        idx += 1
+        off += size.toInt
+      }
+    }
+    out
+  }
+
+  /** Container-aware frame sampling: one row per `stride`-th mdat box
+    * — REAL frame boundaries from the demux (the shared [[walkBoxes]])
+    * instead of [[frameSample]]'s arbitrary byte chunks; what remains
+    * stubbed is only decoding the payload itself. Frame index counts
+    * mdat boxes (metadata boxes don't consume indices); same
+    * shuffle-free partition-parallel flatMap as the other codec
+    * passes; rot payloads yield no boxes, hence no frames.
+    */
+  def videoFrames(ds: Dataset[MediaRecord], stride: Int): Dataset[VideoFrame] = {
+    import ds.sparkSession.implicits._
+    require(stride > 0, "stride must be > 0")
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        var fi = -1L
+        // explicit fold, not a side-effecting collect guard: a
+        // PartialFunction guard runs in BOTH isDefinedAt and apply,
+        // which would double-advance the frame counter
+        walkBoxes(r.content).iterator.flatMap { case (_, tp, size, sum) =>
+          if (tp != "mdat") Iterator.empty
+          else {
+            fi += 1
+            if (fi % stride == 0)
+              Iterator.single(VideoFrame(r.doc_id, fi, size - 8L, sum))
+            else Iterator.empty
+          }
+        }
+      }
+    }
+  }
+
   /** STUB decoder: deterministic fake features in place of a real
     * VIDEO decode (`???` equivalent — swap `fakeDecode` for a codec
     * call when one is available; image decode is real in
-    * [[decodeImageFeatures]] and audio in [[decodeAudioFeatures]]).
-    * The partition-parallel shape — per-partition setup, streamed
-    * rows, no collect — is the real, tested plumbing.
+    * [[decodeImageFeatures]] and audio in [[decodeAudioFeatures]];
+    * the container DEMUX half of video is real too —
+    * [[parseVideoBoxes]]). The partition-parallel shape —
+    * per-partition setup, streamed rows, no collect — is the real,
+    * tested plumbing.
     */
   def decodeFeaturesStub(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._

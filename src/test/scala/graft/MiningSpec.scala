@@ -1264,6 +1264,45 @@ class MiningSpec extends AnyFunSuite {
     assert(rotOut.content.toSeq === rotIn.content.toSeq)
   }
 
+  test("video container demux: box grammar walked by hand; rot fails the walk; frames = mdat boxes") {
+    import graft.ops.{Multimodal, VideoBox, VideoFrame}
+    val id = 13L // 3 + 13%4 = 4 mdat boxes
+    val content = Multimodal.videoRecords(Seq(id).toDF("doc_id"), "doc_id")
+      .collect()(0).content
+    // raw header BY HAND: big-endian size 12 then 'ftyp'
+    assert(content.take(8).toSeq === Seq[Byte](0, 0, 0, 12, 'f', 't', 'y', 'p'))
+    val boxes = Multimodal.parseVideoBoxes(
+      Multimodal.videoRecords(Seq(id).toDF("doc_id"), "doc_id"))
+      .collect().sortBy(_.box_idx)
+    // ftyp payload "isom": 105+115+111+109 = 440; moov payload is the
+    // big-endian frame count → byte sum = n = 4
+    assert(boxes(0) === VideoBox(id, parsed = true, 0L, "ftyp", 12L, 440L))
+    assert(boxes(1) === VideoBox(id, parsed = true, 1L, "moov", 12L, 4L))
+    // mdat lens 16 + (13+7j)%32 for j = 0..3: 29, 36, 43, 18
+    assert(boxes.drop(2).map(_.box_size).toSeq === Seq(37L, 44L, 51L, 26L))
+    val expSums = (0 until 4).map { j =>
+      val len = 16 + (13 + 7 * j) % 32
+      (0 until len).map(t => (13 + 3 * j + 5 * t) % 256).sum.toLong
+    }
+    assert(boxes.drop(2).map(_.byte_sum).toSeq === expSums)
+    assert(boxes.drop(2).forall(_.box_type == "mdat"))
+    // container-aware frames: every 2nd mdat, payload lengths real
+    val frames = Multimodal.videoFrames(
+      Multimodal.videoRecords(Seq(id).toDF("doc_id"), "doc_id"), stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.toSeq === Seq(
+      VideoFrame(id, 0L, 29L, expSums(0)), VideoFrame(id, 2L, 43L, expSums(2))))
+    // rot bytes read a garbage size word and fail the walk: tagged row
+    val rot = Multimodal.parseVideoBoxes(
+      Seq(graft.ops.MediaRecord(7L, "video", "not a container".getBytes,
+        15L, "")).toDS()).collect()
+    assert(rot.toSeq === Seq(VideoBox(7L, parsed = false, 0L, "", 0L, 0L)))
+    // and yields no frames
+    assert(Multimodal.videoFrames(
+      Seq(graft.ops.MediaRecord(7L, "video", "not a container".getBytes,
+        15L, "")).toDS(), stride = 1).collect().isEmpty)
+  }
+
   test("epochShuffle: each epoch is a reproducible permutation; epochs differ; no Window") {
     val df = (0L until 100L).map(i => (i, s"t$i", "s")).toDF("doc_id", "text", "source")
     def ranks(e: Int, d: org.apache.spark.sql.DataFrame) =
