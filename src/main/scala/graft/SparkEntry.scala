@@ -2442,6 +2442,41 @@ object SparkEntry {
         Multimodal.videoRecords(Tables.documents(s, dir), "doc_id"),
         stride = 2).toDF()
     }),
+
+    // hard-negative mining (the DPR recipe): per anchor, top-5
+    // negatives among the top-50 cosine candidates whose score lies in
+    // [0.05, 0.5) — the ceiling excludes near-dups that would be FALSE
+    // negatives, the floor excludes uninformative tail. Brute-force
+    // candidate head at gate scale; the band+rank tail composes with
+    // ANN candidates unchanged at corpus scale
+    "q179_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir), "vec_id",
+        "embedding", queryIds = (0L until 10L).toSeq, candidateK = 50,
+        simLo = 0.05, simHi = 0.5, k = 5)),
+
+    // DECONTAMINATED train split (Lee et al. 2021's recommendation
+    // operationalized): q84's hash split, then any TRAIN doc whose
+    // MinHash bands collide with the val/test band store is flagged
+    // contaminated and dropped from the kept set — eval leakage removed
+    // by near-dup, not just exact match; val/test rows always keep
+    "q180_decontaminated_split" -> ((s, dir) => {
+      val sp = Sampling.split(Tables.documents(s, dir), "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("text"), col("split"))
+      val evalBands = Dedup.bandStore(
+        sp.filter(col("split") =!= "train"), "doc_id", "text")
+      val flags = Dedup.nearDupFlags(
+        sp.filter(col("split") === "train"), evalBands, "doc_id", "text")
+        .select(col("doc_id"), col("hit_bands"))
+      sp.select(col("doc_id"), col("split"))
+        .join(flags, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("split"),
+          coalesce(col("hit_bands"), lit(0L)).as("hit_bands"),
+          (col("split") === "train" &&
+            coalesce(col("hit_bands"), lit(0L)) > 0).as("contaminated"),
+          (col("split") =!= "train" ||
+            coalesce(col("hit_bands"), lit(0L)) === 0).as("kept"))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -4298,6 +4333,67 @@ object SparkEntry {
         |       list_sum(list_transform(generate_series(0, len - 1), t ->
         |         (doc_id + 3*j + 5*t) % 256))::BIGINT AS byte_sum
         |FROM md2""".stripMargin,
+
+    // q25's exact-knn body widened to the top-50 candidates, then the
+    // [0.05, 0.5) band and the per-anchor re-rank — both comparisons
+    // read the same 6-digit-rounded scores on both engines
+    "q179_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT * FROM (
+        |    SELECT vec_id, embedding,
+        |           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
+        |    FROM embeddings)
+        |  WHERE norm2 > 0),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, norm2 AS q_norm2
+        |  FROM e WHERE vec_id < 10),
+        |sc AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |                 i -> q.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |               / sqrt(q.q_norm2 * e.norm2), 6) AS score
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM sc),
+        |band AS (
+        |  SELECT query_id AS anchor_id, neighbor_id AS negative_id, score
+        |  FROM r WHERE rank <= 50 AND score >= 0.05 AND score < 0.5),
+        |rr AS (
+        |  SELECT anchor_id, negative_id, score,
+        |         row_number() OVER (PARTITION BY anchor_id
+        |                            ORDER BY score DESC, negative_id) AS neg_rank
+        |  FROM band)
+        |SELECT anchor_id, negative_id, score, neg_rank::BIGINT AS neg_rank
+        |FROM rr WHERE neg_rank <= 5""".stripMargin,
+
+    // q84's split formula + the q145 band-collision EXISTS against the
+    // val/test band set; the kept/contaminated booleans replay from
+    // the same rows
+    "q180_decontaminated_split" ->
+      s"""$duckBandsCte,
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 10000 < 9000 THEN 'train'
+         |         WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 10000 < 9500 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |hit AS (
+         |  SELECT a0.doc_id, count(*)::BIGINT AS hit_bands
+         |  FROM b a0 JOIN sp s0 ON a0.doc_id = s0.doc_id
+         |  WHERE s0.split = 'train'
+         |    AND EXISTS (SELECT 1 FROM b bb JOIN sp se ON bb.doc_id = se.doc_id
+         |                WHERE se.split <> 'train'
+         |                  AND bb.band_id = a0.band_id
+         |                  AND bb.band_hash = a0.band_hash)
+         |  GROUP BY 1)
+         |SELECT sp.doc_id, sp.split,
+         |       coalesce(h.hit_bands, 0)::BIGINT AS hit_bands,
+         |       sp.split = 'train' AND coalesce(h.hit_bands, 0) > 0 AS contaminated,
+         |       sp.split <> 'train' OR coalesce(h.hit_bands, 0) = 0 AS kept
+         |FROM sp LEFT JOIN hit h ON sp.doc_id = h.doc_id""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

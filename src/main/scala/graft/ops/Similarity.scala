@@ -356,6 +356,34 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training (the DPR recipe —
+    * Karpukhin et al. 2020: negatives similar enough to be
+    * informative, below the near-dup ceiling that would make them
+    * FALSE negatives): per anchor, score the top-`candidateK` cosine
+    * candidates, keep those whose score lies in [simLo, simHi), emit
+    * the top-`k` as (anchor, negative, score, neg_rank). The ceiling
+    * matters as much as the floor — an unfiltered top-k would feed
+    * near-duplicates of the anchor as "negatives" and teach the model
+    * to push apart paraphrases. `candidateK` bounds the exact-scoring
+    * stage; at corpus scale feed ANN candidates instead of the
+    * brute-force head (the [[rerankExact]] composition — the band
+    * filter and ranking tail are unchanged).
+    */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    queryIds: Seq[Long], candidateK: Int, simLo: Double,
+                    simHi: Double, k: Int): DataFrame = {
+    require(simLo < simHi, "simLo must be < simHi")
+    require(k >= 1 && candidateK >= k, "need candidateK >= k >= 1")
+    val band = cosineKnn(emb, idCol, vecCol, queryIds, candidateK)
+      .filter(col("score") >= simLo && col("score") < simHi)
+      .select(col("query_id").as("anchor_id"),
+        col("neighbor_id").as("negative_id"), col("score"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("score").desc, col("negative_id").asc)
+    band.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+  }
+
   /** Int8 scalar quantization of an embedding column (the SQ8 scheme of
     * the FAISS/vector-db world): per vector, `scale = maxabs/127` and
     * `q[pos] = round(x/maxabs·127) ∈ [-127, 127]` — 4× memory reduction
