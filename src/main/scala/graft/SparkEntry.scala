@@ -2477,6 +2477,19 @@ object SparkEntry {
           (col("split") =!= "train" ||
             coalesce(col("hit_bands"), lit(0L)) === 0).as("kept"))
     }),
+
+    // cluster-representative selection: q65's transitive near-dup
+    // components + keep-the-LONGEST member per component (tie: min
+    // id), singletons keep themselves — the curator's standard move
+    // after pairwise detection; the argmax is a hash aggregate, no
+    // Window (uncapped candidates for the q65 oracle-parity reason)
+    "q181_cluster_keep_best" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.keepBestPerCluster(d, "doc_id", length(col("text")).cast("long"),
+        Dedup.lshCandidates(
+          Dedup.minhashBands(d, "doc_id", "text"),
+          maxBucketSize = Int.MaxValue))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -4394,6 +4407,31 @@ object SparkEntry {
          |       sp.split = 'train' AND coalesce(h.hit_bands, 0) > 0 AS contaminated,
          |       sp.split <> 'train' OR coalesce(h.hit_bands, 0) = 0 AS kept
          |FROM sp LEFT JOIN hit h ON sp.doc_id = h.doc_id""".stripMargin,
+
+    // q65's recursive component walk + singleton fallback; keeper =
+    // row_number over (n_chars desc, doc_id asc) per component
+    "q181_cluster_keep_best" ->
+      s"""$duckBandsCte,
+         |$duckEdgesBody,
+         |walk AS (
+         |  WITH RECURSIVE w(v, l) AS (
+         |    SELECT s, s FROM edges
+         |    UNION
+         |    SELECT e.s, w.l FROM edges e JOIN w ON e.t = w.v)
+         |  SELECT * FROM w),
+         |comp AS (SELECT v AS doc_id, min(l) AS component FROM walk GROUP BY v),
+         |mem AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+         |         length(d.text)::BIGINT AS metric
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         |best AS (
+         |  SELECT component, doc_id AS keep_id FROM (
+         |    SELECT component, doc_id,
+         |           row_number() OVER (PARTITION BY component
+         |                              ORDER BY metric DESC, doc_id ASC) AS rn
+         |    FROM mem) WHERE rn = 1)
+         |SELECT m.doc_id, m.component, m.metric, m.doc_id = b.keep_id AS kept
+         |FROM mem m JOIN best b ON m.component = b.component""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

@@ -652,6 +652,40 @@ object Dedup {
     labels
   }
 
+  /** Cluster-representative selection — the keeper policy
+    * [[connectedComponents]]' scaladoc promises: every document joined
+    * to its transitive near-dup component (docs in NO pair are their
+    * own singleton component), then ONE representative kept per
+    * component by max `metricCol` (tie: min id — a total order, so the
+    * choice is deterministic). "Keep the longest/highest-quality
+    * member, drop its near-dup cloud" is the curator's standard move
+    * after pairwise detection — dropping `doc_b` of every pair handles
+    * chains but picks representatives arbitrarily.
+    *
+    * Scale shape: components cost O(edges · log diameter)
+    * ([[connectedComponents]]); the argmax is a map-side-combining
+    * `max(struct(metric, −id))` hash aggregate — no Window, no
+    * per-component sort; membership joins are id-to-id on narrow
+    * frames. Output: (doc_id, component, metric, kept) for every
+    * input row.
+    */
+  def keepBestPerCluster(df: DataFrame, idCol: String, metricCol: Column,
+                         pairs: DataFrame, aCol: String = "doc_a",
+                         bCol: String = "doc_b", maxIter: Int = 20,
+                         checkpointDir: Option[String] = None): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol, maxIter, checkpointDir)
+      .withColumnRenamed("id", "doc_id")
+    val members = df.select(col(idCol).as("doc_id"), metricCol.as("metric"))
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val best = members.groupBy(col("component"))
+      .agg(max(struct(col("metric"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("component"), (-col("m.nid")).as("keep_id"))
+    members.join(best, "component")
+      .select(col("doc_id"), col("component"), col("metric"),
+        (col("doc_id") === col("keep_id")).as("kept"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007, Phys. Rev. E
     * 76), `iters` fixed rounds: every node simultaneously takes its
     * neighbors' most frequent label (count desc, label asc — a total
