@@ -845,6 +845,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged === full)
   }
 
+  test("streaming histogram-warehouse ingest: per-batch slices accumulate, merge ≡ full rescan") {
+    // the quantile member rides the same foreachBatch slice loop as
+    // KMV: each micro-batch writes its own counter rows (slice = batch
+    // id), history never re-scanned, and a merge at any point answers
+    // exactly like a batch pass — counters are sums
+    import graft.ops.SketchStore
+    val store =
+      scala.collection.mutable.ArrayBuffer[(String, Long, Seq[Long], Long, Long)]()
+    val input = MemoryStream[KeyedEvent]
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        store ++= SketchStore.histSlices(
+            batch.withColumn("slice", lit(id)),
+            Seq("eventType"), "slice", $"key", lo = 0L, width = 3L, nBins = 4)
+          .select($"eventType", $"slice", $"cs", $"h_lo", $"h_width")
+          .as[(String, Long, Seq[Long], Long, Long)].collect(): Unit
+      }.start()
+    val rows = (1 to 40).map(i =>
+      KeyedEvent(i % 13, ts(i * 10), if (i % 2 == 0) "view" else "click", i))
+    input.addData(rows.take(15): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(15): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(store.map(_._2).distinct.size >= 2) // really multiple slices
+    val merged = SketchStore.histMergeSlices(
+        store.toSeq.toDF("eventType", "slice", "cs", "h_lo", "h_width"),
+        Seq("eventType"), lo = 0L, width = 3L, nBins = 4)
+      .select($"eventType", $"cs").as[(String, Seq[Long])].collect().toMap
+    val full = rows.toDF()
+      .groupBy($"eventType")
+      .agg(graft.functions.TypedAggs.histCounts($"key".cast("long"), 0L, 3L, 4)
+        .as("cs"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(merged === full)
+  }
+
   test("mergeable sketches ride streaming windows unchanged: KMV + CMS per window ≡ batch") {
     // the whole point of merge-order-independent sketch state: the SAME
     // udaf drops into a watermarked streaming window and produces the
