@@ -2490,6 +2490,44 @@ object SparkEntry {
           Dedup.minhashBands(d, "doc_id", "text"),
           maxBucketSize = Int.MaxValue))
     }),
+
+    // item-affinity lift (market-basket over the behavior log): pairs
+    // co-touched by >= 2 distinct users, lift = N·n_ab/(n_a·n_b) over
+    // the bot-capped distinct (user, item) frame — integer counts,
+    // one rounded division, fully relational
+    "q182_item_lift" -> ((s, dir) =>
+      graft.ops.Behavior.itemLift(eventsWithItem(s, dir), "user_id",
+        "item_id")),
+
+    // CMS join-size estimation (the AMS inner product): |src1 words ⋈
+    // src2 words| answered from two warehouse sketch rows — min over
+    // depth rows of the bucket-wise counter product; collisions only
+    // add, so never_under must hold and the ratio quantifies the
+    // overshoot. Exact side computed relationally on both engines
+    "q183_cms_join_size" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .filter(col("source").isin("src1", "src2"))
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val sk = words.groupBy(col("source"))
+        .agg(graft.functions.TypedAggs.countMin(col("term"))("counts")
+          .as("counts"))
+      val a = sk.filter(col("source") === "src1")
+        .select(col("counts").as("ca"))
+      val b = sk.filter(col("source") === "src2")
+        .select(col("counts").as("cb"))
+      val exact = words.filter(col("source") === "src1")
+        .groupBy(col("term")).agg(count(lit(1)).as("na"))
+        .join(words.filter(col("source") === "src2")
+          .groupBy(col("term")).agg(count(lit(1)).as("nb")), "term")
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_join"))
+      a.crossJoin(b).crossJoin(exact) // three 1-row frames
+        .select(col("exact_join"),
+          SketchStore.cmsInnerProduct(col("ca"), col("cb")).as("est_join"))
+        .withColumn("ratio", round(col("est_join").cast("double") /
+          col("exact_join").cast("double"), 6))
+        .withColumn("never_under", col("est_join") >= col("exact_join"))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -4432,6 +4470,69 @@ object SparkEntry {
          |    FROM mem) WHERE rn = 1)
          |SELECT m.doc_id, m.component, m.metric, m.doc_id = b.keep_id AS kept
          |FROM mem m JOIN best b ON m.component = b.component""".stripMargin,
+
+    // distinct (user, item) with the 1000-item bot cap, self-join
+    // pairs, integer lift with one rounded division
+    "q182_item_lift" ->
+      """WITH ui0 AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         json_extract_string(props, '$.k')::BIGINT AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |uc AS (SELECT u, count(*) AS c FROM ui0 GROUP BY 1),
+        |ui AS (SELECT ui0.u, ui0.item FROM ui0 JOIN uc ON ui0.u = uc.u
+        |       WHERE uc.c <= 1000),
+        |t AS (SELECT item, count(*)::BIGINT AS n FROM ui GROUP BY 1),
+        |nu AS (SELECT count(DISTINCT u)::BIGINT AS n_users FROM ui),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b,
+        |             count(*)::BIGINT AS n_both
+        |      FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.item_a, p.item_b, p.n_both, ta.n AS n_a, tb.n AS n_b,
+        |       round(p.n_both::DOUBLE * nu.n_users::DOUBLE
+        |             / (ta.n::DOUBLE * tb.n::DOUBLE), 6) AS lift
+        |FROM p
+        |JOIN t ta ON p.item_a = ta.item
+        |JOIN t tb ON p.item_b = tb.item
+        |CROSS JOIN nu""".stripMargin,
+
+    // both CMS matrices rebuilt relationally (the q153 bucket salts),
+    // inner product per depth row over shared buckets, min across
+    // rows; exact side = Σ cntA·cntB over shared terms
+    "q183_cms_join_size" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |           FROM documents WHERE source IN ('src1', 'src2')),
+        |w2 AS (SELECT source, term FROM w WHERE length(term) > 0),
+        |c AS (SELECT source, term, count(*)::BIGINT AS cnt
+        |      FROM w2 GROUP BY 1, 2),
+        |h AS (SELECT source, cnt,
+        |        ('0x'||substr(md5('cms0:'||term),1,15))::BIGINT % 2048 AS b0,
+        |        ('0x'||substr(md5('cms1:'||term),1,15))::BIGINT % 2048 AS b1,
+        |        ('0x'||substr(md5('cms2:'||term),1,15))::BIGINT % 2048 AS b2
+        |      FROM c),
+        |m AS (
+        |  SELECT source, 0 AS d, b0 AS wb, sum(cnt)::BIGINT AS cc
+        |  FROM h GROUP BY 1, 3
+        |  UNION ALL
+        |  SELECT source, 1 AS d, b1 AS wb, sum(cnt)::BIGINT AS cc
+        |  FROM h GROUP BY 1, 3
+        |  UNION ALL
+        |  SELECT source, 2 AS d, b2 AS wb, sum(cnt)::BIGINT AS cc
+        |  FROM h GROUP BY 1, 3),
+        |ip AS (
+        |  SELECT a.d, sum(a.cc * b.cc)::BIGINT AS prod
+        |  FROM m a JOIN m b ON a.d = b.d AND a.wb = b.wb
+        |  WHERE a.source = 'src1' AND b.source = 'src2'
+        |  GROUP BY 1),
+        |est AS (SELECT min(prod)::BIGINT AS est_join FROM ip),
+        |ex AS (
+        |  SELECT coalesce(sum(ca.cnt * cb.cnt), 0)::BIGINT AS exact_join
+        |  FROM c ca JOIN c cb ON ca.term = cb.term
+        |  WHERE ca.source = 'src1' AND cb.source = 'src2')
+        |SELECT ex.exact_join, est.est_join,
+        |       round(est.est_join::DOUBLE / ex.exact_join::DOUBLE, 6) AS ratio,
+        |       est.est_join >= ex.exact_join AS never_under
+        |FROM ex CROSS JOIN est""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

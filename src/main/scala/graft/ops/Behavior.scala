@@ -109,4 +109,50 @@ object Behavior {
                |  s -> cast(s.item as string)), ' ')""".stripMargin)
           .as("item_seq"))
   }
+
+  /** Item-affinity LIFT (market-basket over the behavior log — the
+    * "users who touched A also touched B" staple): for item pairs
+    * co-touched by ≥ `minBoth` distinct users,
+    * lift = N·n_ab / (n_a·n_b) — >1 means the items co-occur more
+    * than independence predicts. Pure integer counts with ONE rounded
+    * division, so the whole frame replays relationally.
+    *
+    * Scale shape: everything reduces to the DISTINCT (user, item)
+    * frame first; pair generation is a self-equi-join on user, so
+    * cost ∝ Σ per-user items² — the LSH-bucket cost class. Users
+    * touching more than `maxItemsPerUser` distinct items (bots,
+    * crawlers — the same degenerate mass that breaks every
+    * market-basket job) are EXCLUDED before pairing, loudly bounding
+    * the quadratic term; totals and N are computed on the same
+    * post-cap frame so lift stays internally consistent.
+    */
+  def itemLift(events: DataFrame, userCol: String, itemCol: String,
+               minBoth: Long = 2, maxItemsPerUser: Int = 1000): DataFrame = {
+    require(minBoth >= 1, "minBoth must be >= 1")
+    require(maxItemsPerUser >= 2, "maxItemsPerUser must be >= 2")
+    val ui0 = events.select(col(userCol).as("u"), col(itemCol).as("item"))
+      .filter(col("item").isNotNull).distinct()
+    val keep = ui0.groupBy(col("u")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxItemsPerUser).select(col("u"))
+    val ui = ui0.join(keep, Seq("u"), "left_semi")
+    val totals = ui.groupBy(col("item")).agg(count(lit(1)).as("n"))
+    val nu = ui.agg(countDistinct(col("u")).as("n_users"))
+    val pairs = ui.select(col("u"), col("item").as("item_a"))
+      .join(ui.select(col("u"), col("item").as("item_b")), Seq("u"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minBoth)
+    pairs
+      .join(totals.select(col("item").as("item_a"), col("n").as("n_a")),
+        "item_a")
+      .join(totals.select(col("item").as("item_b"), col("n").as("n_b")),
+        "item_b")
+      .crossJoin(broadcast(nu)) // 1-row scalar broadcast (the q63 shape)
+      .select(col("item_a"), col("item_b"), col("n_both"), col("n_a"),
+        col("n_b"),
+        round(col("n_both").cast("double") * col("n_users").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("lift"))
+  }
 }

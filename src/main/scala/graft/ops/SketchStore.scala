@@ -152,6 +152,24 @@ object SketchStore {
               (lit(55) - r).cast("int")))
             .cast("double"))
 
+  /** JOIN-SIZE estimate from two stored CMS matrices (the AMS/CMS
+    * inner product, Cormode & Muthukrishnan 2005 §4.2): Σ_v
+    * f_A(v)·f_B(v) — exactly the row count of the equi-join between
+    * the two multisets — estimated as the MIN over depth rows of the
+    * bucket-wise counter product. Hash collisions only ADD mass, so
+    * the estimate never underestimates (q183 pins the invariant). The
+    * planning question a 100 TB warehouse asks before running a join:
+    * answered from two sketch rows (depth×width longs), the data never
+    * touched. Pure integer arithmetic → hash-exact cross-engine
+    * replay.
+    */
+  def cmsInnerProduct(ca: Column, cb: Column, depth: Int = 3,
+                      width: Int = 2048): Column =
+    array_min(transform(sequence(lit(0), lit(depth - 1)), d =>
+      aggregate(sequence(lit(0), lit(width - 1)), lit(0L),
+        (acc, w) => acc + element_at(ca, d * lit(width) + w + 1) *
+          element_at(cb, d * lit(width) + w + 1))))
+
   /** [[hllEstimate]] WITH the small-range correction (Flajolet et al.
     * 2007 §4: when raw ≤ 2.5m and V = |zero registers| > 0, linear
     * counting m·ln(m/V) is the better estimator) — the OPT-IN reading
