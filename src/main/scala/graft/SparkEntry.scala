@@ -2398,8 +2398,8 @@ object SparkEntry {
     // modalities decoded — rot in ANY modality marks the sample
     // incomplete), and the keep gate a curator applies. Equi-joins on
     // doc_id — at 100 TB each feature table is narrow (the payloads
-    // never join); the q156/q174 rule of reusing the oracled feature
-    // entries keeps the assembly and its parts from drifting
+    // never join); reusing the oracled q150/q165 entries (the q156
+    // rule) keeps the assembly and its parts from drifting
     "q176_multimodal_assembly" -> ((s, dir) => {
       val txt = Tables.documents(s, dir)
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
@@ -2435,11 +2435,16 @@ object SparkEntry {
 
     // container-AWARE frame sampling: every 2nd mdat box — real
     // demuxed frame boundaries replacing q48's arbitrary byte chunks;
-    // only decoding the payload stays stubbed
+    // only decoding the payload stays stubbed. Rot ids (%10 = 0) are
+    // excluded at the source like q177's, so a doc q177 reports
+    // unparseable can never ship frames here (r14 second review — the
+    // per-modality rot convention must agree across the pair)
     "q178_video_frames" -> ((s, dir) => {
       import s.implicits._
       Multimodal.videoFrames(
-        Multimodal.videoRecords(Tables.documents(s, dir), "doc_id"),
+        Multimodal.videoRecords(
+          Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0),
+          "doc_id"),
         stride = 2).toDF()
     }),
 
@@ -2528,6 +2533,13 @@ object SparkEntry {
           col("exact_join").cast("double"), 6))
         .withColumn("never_under", col("est_join") >= col("exact_join"))
     }),
+
+    // q182's cap made observable (the q95 rule — an invisible cap is
+    // a silent result change): the users a cap of 50 would exclude,
+    // with their distinct-item counts
+    "q184_item_lift_capped" -> ((s, dir) =>
+      graft.ops.Behavior.itemLiftCappedUsers(eventsWithItem(s, dir),
+        "user_id", "item_id", maxItemsPerUser = 50)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -4348,12 +4360,14 @@ object SparkEntry {
         |  SELECT doc_id, 3 + doc_id % 4 AS n
         |  FROM documents WHERE doc_id % 10 <> 0),
         |meta AS (
-        |  SELECT doc_id, true AS parsed, 0::BIGINT AS box_idx,
+        |  SELECT doc_id, true AS parsed, true AS walk_complete,
+        |         0::BIGINT AS box_idx,
         |         'ftyp' AS box_type, 12::BIGINT AS box_size,
         |         440::BIGINT AS byte_sum
         |  FROM par
         |  UNION ALL
-        |  SELECT doc_id, true AS parsed, 1::BIGINT AS box_idx,
+        |  SELECT doc_id, true AS parsed, true AS walk_complete,
+        |         1::BIGINT AS box_idx,
         |         'moov' AS box_type, 12::BIGINT AS box_size,
         |         n::BIGINT AS byte_sum
         |  FROM par),
@@ -4362,7 +4376,8 @@ object SparkEntry {
         |md2 AS (
         |  SELECT doc_id, j, 16 + (doc_id + 7*j) % 32 AS len FROM md),
         |mrows AS (
-        |  SELECT doc_id, true AS parsed, (2 + j)::BIGINT AS box_idx,
+        |  SELECT doc_id, true AS parsed, true AS walk_complete,
+        |         (2 + j)::BIGINT AS box_idx,
         |         'mdat' AS box_type, (8 + len)::BIGINT AS box_size,
         |         list_sum(list_transform(generate_series(0, len - 1), t ->
         |           (doc_id + 3*j + 5*t) % 256))::BIGINT AS byte_sum
@@ -4370,13 +4385,16 @@ object SparkEntry {
         |SELECT * FROM meta
         |UNION ALL SELECT * FROM mrows
         |UNION ALL
-        |SELECT doc_id, false AS parsed, 0::BIGINT AS box_idx,
+        |SELECT doc_id, false AS parsed, false AS walk_complete,
+        |       0::BIGINT AS box_idx,
         |       '' AS box_type, 0::BIGINT AS box_size, 0::BIGINT AS byte_sum
         |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
 
-    // every 2nd mdat: frame_idx = j, len and payload sum replayed
+    // every 2nd mdat: frame_idx = j, len and payload sum replayed;
+    // same rot exclusion as q177
     "q178_video_frames" ->
-      """WITH par AS (SELECT doc_id, 3 + doc_id % 4 AS n FROM documents),
+      """WITH par AS (SELECT doc_id, 3 + doc_id % 4 AS n FROM documents
+        |             WHERE doc_id % 10 <> 0),
         |md AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS j FROM par),
         |md2 AS (SELECT doc_id, j, 16 + (doc_id + 7*j) % 32 AS len
         |        FROM md WHERE j % 2 = 0)
@@ -4524,7 +4542,10 @@ object SparkEntry {
         |  FROM m a JOIN m b ON a.d = b.d AND a.wb = b.wb
         |  WHERE a.source = 'src1' AND b.source = 'src2'
         |  GROUP BY 1),
-        |est AS (SELECT min(prod)::BIGINT AS est_join FROM ip),
+        |ds AS (SELECT unnest(generate_series(0, 2)) AS d),
+        |ip2 AS (SELECT ds.d, coalesce(ip.prod, 0) AS prod
+        |        FROM ds LEFT JOIN ip ON ds.d = ip.d),
+        |est AS (SELECT min(prod)::BIGINT AS est_join FROM ip2),
         |ex AS (
         |  SELECT coalesce(sum(ca.cnt * cb.cnt), 0)::BIGINT AS exact_join
         |  FROM c ca JOIN c cb ON ca.term = cb.term
@@ -4533,6 +4554,15 @@ object SparkEntry {
         |       round(est.est_join::DOUBLE / ex.exact_join::DOUBLE, 6) AS ratio,
         |       est.est_join >= ex.exact_join AS never_under
         |FROM ex CROSS JOIN est""".stripMargin,
+
+    "q184_item_lift_capped" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id,
+        |         json_extract_string(props, '$.k')::BIGINT AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL)
+        |SELECT user_id, count(*)::BIGINT AS n_items
+        |FROM ui GROUP BY 1 HAVING count(*) > 50""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

@@ -122,9 +122,12 @@ object Behavior {
     * cost ∝ Σ per-user items² — the LSH-bucket cost class. Users
     * touching more than `maxItemsPerUser` distinct items (bots,
     * crawlers — the same degenerate mass that breaks every
-    * market-basket job) are EXCLUDED before pairing, loudly bounding
-    * the quadratic term; totals and N are computed on the same
-    * post-cap frame so lift stays internally consistent.
+    * market-basket job) are EXCLUDED before pairing, bounding the
+    * quadratic term; totals and N are computed on the same post-cap
+    * frame so lift stays internally consistent. The cap is OBSERVABLE,
+    * not silent (the lshOversizedBuckets rule): [[itemLiftCappedUsers]]
+    * lists exactly who the cap dropped and how big they were, so a cap
+    * change is a measured decision.
     */
   def itemLift(events: DataFrame, userCol: String, itemCol: String,
                minBoth: Long = 2, maxItemsPerUser: Int = 1000): DataFrame = {
@@ -155,4 +158,18 @@ object Behavior {
           (col("n_a").cast("double") * col("n_b").cast("double")), 6)
           .as("lift"))
   }
+
+  /** The observability companion of [[itemLift]]'s bot cap (the
+    * lshOversizedBuckets pattern — an invisible cap is a silent
+    * result change): the users the cap EXCLUDES, with their
+    * distinct-item counts. Run it with the production cap to audit
+    * what the lift numbers are blind to.
+    */
+  def itemLiftCappedUsers(events: DataFrame, userCol: String,
+                          itemCol: String,
+                          maxItemsPerUser: Int = 1000): DataFrame =
+    events.select(col(userCol).as("user_id"), col(itemCol).as("item"))
+      .filter(col("item").isNotNull).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") > maxItemsPerUser)
 }

@@ -58,10 +58,15 @@ private[graft] case class AudioPcm(sampleRate: Long, channels: Int,
   * walk is REAL demuxing (size/type headers, the ISO-BMFF layout);
   * `byte_sum` is the payload's exact byte sum — the oracle-checkable
   * stand-in for handing the payload to a codec. `parsed = false` rows
-  * tag payloads whose walk failed before yielding a single box.
+  * tag payloads whose walk failed before yielding a single box;
+  * `walk_complete = false` tags a walk that stopped BEFORE the end of
+  * the payload (valid prefix, corrupt tail — r14 second review: a doc
+  * with 99% of its bytes unwalked must not read as cleanly demuxed;
+  * completeness gates filter on it, the q176 posture).
   */
-case class VideoBox(doc_id: Long, parsed: Boolean, box_idx: Long,
-                    box_type: String, box_size: Long, byte_sum: Long)
+case class VideoBox(doc_id: Long, parsed: Boolean, walk_complete: Boolean,
+                    box_idx: Long, box_type: String, box_size: Long,
+                    byte_sum: Long)
 
 /** One sampled container frame ([[Multimodal.videoFrames]]): mdat box
   * `frame_idx` with its payload length and exact byte sum — real
@@ -648,11 +653,12 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.flatMap { r =>
-        val boxes = walkBoxes(r.content)
+        val (boxes, complete) = walkBoxes(r.content)
         if (boxes.isEmpty)
-          Iterator.single(VideoBox(r.doc_id, parsed = false, 0L, "", 0L, 0L))
+          Iterator.single(VideoBox(r.doc_id, parsed = false,
+            walk_complete = false, 0L, "", 0L, 0L))
         else boxes.iterator.map { case (idx, tp, size, sum) =>
-          VideoBox(r.doc_id, parsed = true, idx, tp, size, sum)
+          VideoBox(r.doc_id, parsed = true, complete, idx, tp, size, sum)
         }
       }
     }
@@ -662,10 +668,13 @@ object Multimodal {
     * of [[parseVideoBoxes]] and [[videoFrames]]: (box_idx, type, size,
     * payload byte sum) per box, stopping at the first header that
     * doesn't fit, size < 8, size past the payload, or non-lowercase
-    * type (rot bytes read as garbage headers).
+    * type (rot bytes read as garbage headers). The second return is
+    * the COMPLETENESS witness: true iff the walk consumed the payload
+    * exactly to its last byte — a valid prefix followed by corrupt
+    * tail parses boxes but reports false.
     */
-  private def walkBoxes(
-      b: Array[Byte]): scala.collection.mutable.ListBuffer[(Long, String, Long, Long)] = {
+  private def walkBoxes(b: Array[Byte]):
+      (scala.collection.mutable.ListBuffer[(Long, String, Long, Long)], Boolean) = {
     val out = scala.collection.mutable.ListBuffer[(Long, String, Long, Long)]()
     var off = 0
     var idx = 0L
@@ -686,7 +695,7 @@ object Multimodal {
         off += size.toInt
       }
     }
-    out
+    (out, off == b.length)
   }
 
   /** Container-aware frame sampling: one row per `stride`-th mdat box
@@ -706,7 +715,7 @@ object Multimodal {
         // explicit fold, not a side-effecting collect guard: a
         // PartialFunction guard runs in BOTH isDefinedAt and apply,
         // which would double-advance the frame counter
-        walkBoxes(r.content).iterator.flatMap { case (_, tp, size, sum) =>
+        walkBoxes(r.content)._1.iterator.flatMap { case (_, tp, size, sum) =>
           if (tp != "mdat") Iterator.empty
           else {
             fi += 1

@@ -164,11 +164,27 @@ object SketchStore {
     * replay.
     */
   def cmsInnerProduct(ca: Column, cb: Column, depth: Int = 3,
-                      width: Int = 2048): Column =
-    array_min(transform(sequence(lit(0), lit(depth - 1)), d =>
+                      width: Int = 2048): Column = {
+    val ip = array_min(transform(sequence(lit(0), lit(depth - 1)), d =>
       aggregate(sequence(lit(0), lit(width - 1)), lit(0L),
         (acc, w) => acc + element_at(ca, d * lit(width) + w + 1) *
           element_at(cb, d * lit(width) + w + 1))))
+    // the module's loud-failure contract (r14 second review): wrong-
+    // geometry states would index rows at wrong offsets, and a
+    // bucket-product above Long range would wrap NEGATIVE under
+    // non-ANSI mode, silently breaking the never-underestimate
+    // guarantee — the max-element cross-check runs in double (no
+    // overflow) and costs two array scans
+    when(size(ca) =!= depth * width || size(cb) =!= depth * width,
+      raise_error(concat(
+        lit(s"cmsInnerProduct: expected $depth*$width counters, got "),
+        size(ca).cast("string"), lit(" and "), size(cb).cast("string"))))
+      .when(array_max(ca).cast("double") * array_max(cb).cast("double") >
+          lit(9.0e18),
+        raise_error(lit("cmsInnerProduct: bucket product would overflow " +
+          "Long — reduce counter magnitude (narrower slices) or widen the sketch")))
+      .otherwise(ip)
+  }
 
   /** [[hllEstimate]] WITH the small-range correction (Flajolet et al.
     * 2007 §4: when raw ≤ 2.5m and V = |zero registers| > 0, linear

@@ -1276,8 +1276,10 @@ class MiningSpec extends AnyFunSuite {
       .collect().sortBy(_.box_idx)
     // ftyp payload "isom": 105+115+111+109 = 440; moov payload is the
     // big-endian frame count → byte sum = n = 4
-    assert(boxes(0) === VideoBox(id, parsed = true, 0L, "ftyp", 12L, 440L))
-    assert(boxes(1) === VideoBox(id, parsed = true, 1L, "moov", 12L, 4L))
+    assert(boxes(0) === VideoBox(id, parsed = true, walk_complete = true,
+      0L, "ftyp", 12L, 440L))
+    assert(boxes(1) === VideoBox(id, parsed = true, walk_complete = true,
+      1L, "moov", 12L, 4L))
     // mdat lens 16 + (13+7j)%32 for j = 0..3: 29, 36, 43, 18
     assert(boxes.drop(2).map(_.box_size).toSeq === Seq(37L, 44L, 51L, 26L))
     val expSums = (0 until 4).map { j =>
@@ -1296,7 +1298,17 @@ class MiningSpec extends AnyFunSuite {
     val rot = Multimodal.parseVideoBoxes(
       Seq(graft.ops.MediaRecord(7L, "video", "not a container".getBytes,
         15L, "")).toDS()).collect()
-    assert(rot.toSeq === Seq(VideoBox(7L, parsed = false, 0L, "", 0L, 0L)))
+    assert(rot.toSeq === Seq(VideoBox(7L, parsed = false,
+      walk_complete = false, 0L, "", 0L, 0L)))
+    // a valid prefix with a CORRUPT TAIL parses its boxes but must NOT
+    // read as cleanly demuxed (r14 second review): walk_complete=false
+    // is the completeness gate's signal
+    val truncated = content.take(12) ++ "garbage!".getBytes
+    val part = Multimodal.parseVideoBoxes(
+      Seq(graft.ops.MediaRecord(8L, "video", truncated,
+        truncated.length.toLong, "")).toDS()).collect()
+    assert(part.length === 1 && part(0).box_type === "ftyp")
+    assert(part(0).parsed === true && part(0).walk_complete === false)
     // and yields no frames
     assert(Multimodal.videoFrames(
       Seq(graft.ops.MediaRecord(7L, "video", "not a container".getBytes,
