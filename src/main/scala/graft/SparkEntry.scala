@@ -2540,6 +2540,32 @@ object SparkEntry {
     "q184_item_lift_capped" -> ((s, dir) =>
       graft.ops.Behavior.itemLiftCappedUsers(eventsWithItem(s, dir),
         "user_id", "item_id", maxItemsPerUser = 50)),
+
+    // dataset CARD (the datasheet rollup a corpus release ships): per
+    // source — doc count, token mass, mean doc length, language
+    // spread, and the dominant language by a deterministic struct
+    // argmax (count, then lexicographic) — two hash aggregates and a
+    // dimension join, no Window; the one-page answer to "what is in
+    // this corpus"
+    "q185_dataset_card" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+      val base = d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 2)
+          .as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      val topLang = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(max(struct(col("c"), col("lang"))).as("m"))
+        .select(col("source"), col("m.lang").as("top_lang"),
+          col("m.c").as("top_lang_docs"))
+      base.join(topLang, "source")
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -4563,6 +4589,28 @@ object SparkEntry {
         |  WHERE json_extract_string(props, '$.k') IS NOT NULL)
         |SELECT user_id, count(*)::BIGINT AS n_items
         |FROM ui GROUP BY 1 HAVING count(*) > 50""".stripMargin,
+
+    // integer aggregates with one rounded division; dominant language
+    // = (count desc, lang desc) — the struct-max order
+    "q185_dataset_card" ->
+      """WITH d AS (SELECT source, lang, length(text) AS n_chars,
+        |                  len(string_split(text, ' ')) AS n_words
+        |           FROM documents),
+        |b AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |             sum(n_words)::BIGINT AS total_words,
+        |             round(sum(n_chars)::DOUBLE / count(*), 2) AS avg_chars,
+        |             count(DISTINCT lang)::BIGINT AS n_langs
+        |      FROM d GROUP BY 1),
+        |lc AS (SELECT source, lang, count(*)::BIGINT AS c
+        |       FROM d GROUP BY 1, 2),
+        |tl AS (SELECT source, lang AS top_lang, c AS top_lang_docs FROM (
+        |         SELECT source, lang, c,
+        |                row_number() OVER (PARTITION BY source
+        |                                   ORDER BY c DESC, lang DESC) AS rn
+        |         FROM lc) WHERE rn = 1)
+        |SELECT b.source, b.n_docs, b.total_words, b.avg_chars, b.n_langs,
+        |       tl.top_lang, tl.top_lang_docs
+        |FROM b JOIN tl ON b.source = tl.source""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

@@ -380,6 +380,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains(") Window"), s"q170 grew a Window:\n$p")
   }
 
+  test("q177/q178: video demux + frames — zero exchanges (the codec-pass rule)") {
+    for (q <- Seq("q177_video_demux", "q178_video_frames")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles payloads:\n$p")
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+    }
+  }
+
+  test("q183/q185: sketch read and dataset card stay aggregate-shaped — no cartesian beyond 1-row scalars, no Window") {
+    // q183's crossJoins are three 1-row frames by construction; the
+    // real guard is no Window and no sort-merge anywhere
+    for (q <- Seq("q183_cms_join_size", "q185_dataset_card")) {
+      val p = plan(q)
+      assert(!p.contains(") Window"), s"$q grew a Window:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q grew a sort-merge join:\n$p")
+    }
+  }
+
+  test("q182: item lift — pair join is an equi-join on user, no cartesian") {
+    // the only nested-loop allowed is the broadcast of the 1-row
+    // n_users scalar; the pair self-join must stay equi-join shaped
+    val p = plan("q182_item_lift")
+    assert(!p.contains("CartesianProduct"),
+      s"q182 pair join degenerated to a cartesian:\n$p")
+    assert(!p.contains(") Window"), s"q182 grew a Window:\n$p")
+  }
+
   test("q169: novelty gate — text never shuffles; the store join is on narrow shingle rows") {
     val p = plan("q169_novelty_gate")
     assert(!p.contains(") Window"), "the gate is joins + hash aggregates")

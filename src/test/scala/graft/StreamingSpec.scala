@@ -1066,6 +1066,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.forall(_._2)) // every synthesized payload decodes
   }
 
+  test("streaming video demux: the box walk runs stateless on a stream, ≡ batch") {
+    import graft.ops.Multimodal
+    val input = MemoryStream[Long]
+    val q = Multimodal.parseVideoBoxes(
+        Multimodal.videoRecords(input.toDF().toDF("doc_id"), "doc_id"))
+      .writeStream.outputMode("append").format("memory").queryName("vid").start()
+    input.addData(12L, 13L)
+    q.processAllAvailable()
+    input.addData(14L)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("vid")
+      .as[(Long, Boolean, Boolean, Long, String, Long, Long)].collect().toSet
+    val batch = Multimodal.parseVideoBoxes(
+        Multimodal.videoRecords(Seq(12L, 13L, 14L).toDF("doc_id"), "doc_id"))
+      .as[(Long, Boolean, Boolean, Long, String, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.forall(r => r._2 && r._3)) // parsed, walk complete
+  }
+
   test("nearDupFlags in foreachBatch: per-batch gate ≡ batch gate on the same rows") {
     import graft.ops.Dedup
     val kept = Seq((1L, "alpha beta gamma delta epsilon zeta", "s"),
