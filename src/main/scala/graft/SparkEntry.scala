@@ -2566,6 +2566,55 @@ object SparkEntry {
           col("m.c").as("top_lang_docs"))
       base.join(topLang, "source")
     }),
+
+    // delta-sign VIDEO fingerprint over the DEMUXED container (q173's
+    // video twin — closes the multimodal decode/demux → signature →
+    // near-dup matrix): the per-frame signal is each mdat payload's
+    // exact byte sum (already computed while walking the box grammar —
+    // dedup WITHOUT decoding), bit i = sum(i+1) > sum(i) strictly.
+    // Same rot convention as q177: text payloads fail the walk → the
+    // tagged parsed=false zero row
+    "q186_video_fp" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+      val good = Multimodal.videoRecords(
+        d.filter(col("doc_id") % 10 =!= 0), "doc_id")
+      val rot = Multimodal.attachBinary(
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        modality = "video").as[MediaRecord]
+      Multimodal.videoFingerprint(good.unionByName(rot)).toDF()
+    }),
+
+    // video near-dup serving (q174's video twin): per probe clip (ids
+    // 1..9 — 0 is rot), Hamming top-3 among SAME-format clips (the
+    // n_frames class partitions the corpus — prints of different
+    // lengths aren't comparable), integer popcount(XOR) over q186's
+    // prints; only clean demuxes serve (walk_complete gate — every
+    // synthesized clip walks complete, so the filter is the honest
+    // posture, not a result change). Rot ids excluded at the source:
+    // the demux is a mapPartitions pass a post-hoc filter can't prune
+    // (the q174 single-decode rule)
+    "q187_video_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      def prints(docs: org.apache.spark.sql.DataFrame) =
+        Multimodal.videoFingerprint(
+          Multimodal.videoRecords(docs, "doc_id")).toDF()
+          .filter(col("walk_complete"))
+      val fps = prints(d.filter(col("doc_id") % 10 =!= 0))
+      val probes = prints(
+        d.filter(col("doc_id") < 10 && col("doc_id") % 10 =!= 0))
+        .select(col("doc_id").as("query_id"), col("n_frames"),
+          col("fp").as("q_fp"))
+      val scored = fps.join(broadcast(probes), Seq("n_frames"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id").as("neighbor_id"),
+          expr("bit_count(q_fp ^ fp)").cast("long").as("hamming"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming").asc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -4611,6 +4660,65 @@ object SparkEntry {
         |SELECT b.source, b.n_docs, b.total_words, b.avg_chars, b.n_langs,
         |       tl.top_lang, tl.top_lang_docs
         |FROM b JOIN tl ON b.source = tl.source""".stripMargin,
+
+    // q177's generative frame byte sums gathered per clip in mdat
+    // order, then the q173 delta-sign aggregation over the sum sequence
+    "q186_video_fp" ->
+      """WITH par AS (SELECT doc_id, 3 + doc_id % 4 AS n FROM documents
+        |             WHERE doc_id % 10 <> 0),
+        |md AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS j FROM par),
+        |md2 AS (SELECT doc_id, j, 16 + (doc_id + 7*j) % 32 AS len FROM md),
+        |fs AS (SELECT doc_id, j,
+        |         list_sum(list_transform(generate_series(0, len - 1), t ->
+        |           (doc_id + 3*j + 5*t) % 256)) AS s
+        |       FROM md2),
+        |agg AS (SELECT doc_id, list(s ORDER BY j) AS sums,
+        |               count(*)::BIGINT AS n
+        |        FROM fs GROUP BY doc_id)
+        |SELECT doc_id, true AS parsed, true AS walk_complete,
+        |       n AS n_frames, least(n - 1, 63)::BIGINT AS n_bits,
+        |       coalesce(list_sum(list_transform(
+        |         generate_series(1, least(n - 1, 63)::INT), i ->
+        |           CASE WHEN sums[i + 1] > sums[i] THEN (1::BIGINT << (i - 1))
+        |                ELSE 0::BIGINT END)), 0)::BIGINT AS fp
+        |FROM agg
+        |UNION ALL
+        |SELECT doc_id, false AS parsed, false AS walk_complete,
+        |       0::BIGINT AS n_frames, 0::BIGINT AS n_bits, 0::BIGINT AS fp
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+
+    // q186's print CTE + the q174 rank replay, joined within n_frames
+    // format classes
+    "q187_video_neardup" ->
+      """WITH par AS (SELECT doc_id, 3 + doc_id % 4 AS n FROM documents
+        |             WHERE doc_id % 10 <> 0),
+        |md AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS j FROM par),
+        |md2 AS (SELECT doc_id, j, 16 + (doc_id + 7*j) % 32 AS len FROM md),
+        |fs AS (SELECT doc_id, j,
+        |         list_sum(list_transform(generate_series(0, len - 1), t ->
+        |           (doc_id + 3*j + 5*t) % 256)) AS s
+        |       FROM md2),
+        |agg AS (SELECT doc_id, list(s ORDER BY j) AS sums,
+        |               count(*)::BIGINT AS n
+        |        FROM fs GROUP BY doc_id),
+        |f AS (SELECT doc_id, n,
+        |             coalesce(list_sum(list_transform(
+        |               generate_series(1, least(n - 1, 63)::INT), i ->
+        |                 CASE WHEN sums[i + 1] > sums[i]
+        |                      THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)),
+        |               0)::BIGINT AS fp
+        |      FROM agg),
+        |pr AS (SELECT doc_id AS query_id, n, fp AS q_fp FROM f
+        |       WHERE doc_id < 10),
+        |sc AS (SELECT pr.query_id, ff.doc_id AS neighbor_id,
+        |              bit_count(xor(pr.q_fp, ff.fp))::BIGINT AS hamming
+        |       FROM f ff JOIN pr ON ff.n = pr.n AND ff.doc_id <> pr.query_id),
+        |r AS (SELECT query_id, neighbor_id, hamming,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY hamming ASC, neighbor_id ASC) AS rn
+        |      FROM sc)
+        |SELECT query_id, neighbor_id, hamming, rn::BIGINT AS rank
+        |FROM r WHERE rn <= 3""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

@@ -84,6 +84,19 @@ case class VideoFrame(doc_id: Long, frame_idx: Long, frame_len: Long,
 case class AudioFingerprint(doc_id: Long, decoded: Boolean, channels: Long,
                             n_frames: Long, n_bits: Long, fp: Long)
 
+/** Delta-sign fingerprint of a demuxed VIDEO clip
+  * ([[Multimodal.videoFingerprint]] — the [[AudioFingerprint]] twin
+  * over container frames): bit i of `fp` is set iff mdat frame i+1's
+  * payload byte sum strictly exceeds frame i's. `parsed`/
+  * `walk_complete` carry the [[VideoBox]] demux posture: unparseable
+  * payloads take the tagged zero row, a valid-prefix-corrupt-tail clip
+  * fingerprints its parsed prefix but reports `walk_complete = false`
+  * so serving joins can gate on clean demuxes.
+  */
+case class VideoFingerprint(doc_id: Long, parsed: Boolean,
+                            walk_complete: Boolean, n_frames: Long,
+                            n_bits: Long, fp: Long)
+
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed partition-parallel.
   *
@@ -521,7 +534,12 @@ object Multimodal {
             mix(i) = s
             i += 1
           }
-          val nBits = math.min(n - 1, 63)
+          // max(0, ·): a VALID zero-frame clip decodes (readPcm non-
+          // null) with n = 0, and min(n − 1, 63) would emit n_bits =
+          // −1 — an out-of-contract negative no downstream Hamming
+          // join or oracle anticipates (r14 ADVICE); zero deltas is
+          // the honest fingerprint of an empty clip
+          val nBits = math.max(0, math.min(n - 1, 63))
           var fp = 0L
           var b = 0
           while (b < nBits) {
@@ -723,6 +741,50 @@ object Multimodal {
               Iterator.single(VideoFrame(r.doc_id, fi, size - 8L, sum))
             else Iterator.empty
           }
+        }
+      }
+    }
+  }
+
+  /** Delta-sign VIDEO fingerprint over the DEMUXED container — the
+    * [[audioFingerprint]] twin that closes the multimodal
+    * decode/demux → signature → near-dup matrix: the per-frame signal
+    * is each mdat payload's exact byte sum (what [[walkBoxes]] already
+    * computes while handing payloads toward the codec — production
+    * stacks fingerprint coarse per-frame statistics exactly so they
+    * can dedup WITHOUT decoding), and bit i is set iff sum(i+1) >
+    * sum(i) strictly. Up to 63 deltas pack into one BIGINT; longer
+    * clips take the prefix print (`n_bits` says how many bits are
+    * real). Same shuffle-free partition-parallel pass as the other
+    * codec/demux steps; unparseable payloads take the tagged zero row
+    * and partial walks keep `walk_complete = false` so near-dup
+    * serving (q187-style joins within same-`n_frames` format classes)
+    * can exclude them.
+    */
+  def videoFingerprint(ds: Dataset[MediaRecord]): Dataset[VideoFingerprint] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val (boxes, complete) = walkBoxes(r.content)
+        if (boxes.isEmpty)
+          VideoFingerprint(r.doc_id, parsed = false, walk_complete = false,
+            0L, 0L, 0L)
+        else {
+          val sums = boxes.iterator
+            .collect { case (_, "mdat", _, sum) => sum }.toArray
+          val n = sums.length
+          // the audioFingerprint clamp (r14 ADVICE): a container with
+          // zero mdat boxes parses with n = 0 and must emit 0 bits,
+          // not −1
+          val nBits = math.max(0, math.min(n - 1, 63))
+          var fp = 0L
+          var b = 0
+          while (b < nBits) {
+            if (sums(b + 1) > sums(b)) fp |= (1L << b)
+            b += 1
+          }
+          VideoFingerprint(r.doc_id, parsed = true, walk_complete = complete,
+            n.toLong, nBits.toLong, fp)
         }
       }
     }

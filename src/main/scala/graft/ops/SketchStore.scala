@@ -65,9 +65,18 @@ object SketchStore {
     slices.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_slices"),
         TypedAggs.kmvMergeHashes(col("hs"), k).as("hs"),
-        min(col("k")).as("_k_lo"), max(col("k")).as("_k_hi"))
+        min(col("k")).as("_k_lo"), max(col("k")).as("_k_hi"),
+        // NULL-witness guard (r14 ADVICE): min/max SKIP nulls, so a
+        // corrupted store row with k = NULL — or a group whose k is
+        // all-NULL, where the comparison itself goes null and falls
+        // through to `otherwise` — would merge silently; a missing
+        // witness must raise like a mismatched one
+        count(col("k")).as("_k_n"))
       .select(groupCols.map(col) ++ Seq(col("n_slices"),
-        when(col("_k_lo") =!= k || col("_k_hi") =!= k, raise_error(concat(
+        when(col("_k_n") =!= col("n_slices"), raise_error(lit(
+          "kmvMergeSlices: some stored rows carry a NULL k witness — " +
+            "a missing capacity is as unsafe as a mismatched one")))
+          .when(col("_k_lo") =!= k || col("_k_hi") =!= k, raise_error(concat(
           lit("kmvMergeSlices: stored k in ["), col("_k_lo").cast("string"),
           lit(", "), col("_k_hi").cast("string"),
           lit(s"] does not match merge k=$k"))))
@@ -141,12 +150,21 @@ object SketchStore {
     * wrong estimates; the module's contract is loud failure on
     * mismatched states).
     */
+  /** The one register count all b = 6 HLL constants derive from —
+    * the width guard in [[hllEstimate]], the α·m² numerator, and the
+    * small-range threshold/linear-counting scale in
+    * [[hllEstimateCorrected]] all read THIS value (r14 verdict: three
+    * magic literals that nothing cross-checked).
+    */
+  private val HllM = 64
+
   def hllEstimate(regs: Column): Column =
-    when(size(regs) =!= 64, raise_error(concat(
-      lit("hllEstimate: expected 64 registers (b=6), got "),
+    when(size(regs) =!= HllM, raise_error(concat(
+      lit(s"hllEstimate: expected $HllM registers (b=6), got "),
       size(regs).cast("string"))))
       .otherwise(
-        (lit(0.709) * lit(4096.0) * lit(36028797018963968.0 /* 2^55 */)) /
+        (lit(0.709) * lit((HllM.toLong * HllM).toDouble /* m² */) *
+          lit(36028797018963968.0 /* 2^55 */)) /
           aggregate(regs, lit(0L),
             (acc, r) => acc + call_function("shiftleft", lit(1L),
               (lit(55) - r).cast("int")))
@@ -169,20 +187,28 @@ object SketchStore {
       aggregate(sequence(lit(0), lit(width - 1)), lit(0L),
         (acc, w) => acc + element_at(ca, d * lit(width) + w + 1) *
           element_at(cb, d * lit(width) + w + 1))))
-    // the module's loud-failure contract (r14 second review): wrong-
-    // geometry states would index rows at wrong offsets, and a
-    // bucket-product above Long range would wrap NEGATIVE under
-    // non-ANSI mode, silently breaking the never-underestimate
-    // guarantee — the max-element cross-check runs in double (no
-    // overflow) and costs two array scans
+    // the module's loud-failure contract (r14 second review; tightened
+    // per r14 ADVICE): wrong-geometry states would index rows at wrong
+    // offsets, and a per-depth-row SUM above Long range would wrap
+    // NEGATIVE under non-ANSI mode even when every individual bucket
+    // product fits (width=2048 products accumulate), silently breaking
+    // the never-underestimate guarantee — so the cross-check recomputes
+    // the FULL row sums in double (products are non-negative, so the
+    // double sum can only lose ulps, never sign) and raises when the
+    // LARGEST row approaches Long range; the 9.0e18 margin (~2% under
+    // 2^63) dwarfs double rounding at 53-bit precision
+    val ipRowMaxD = array_max(transform(sequence(lit(0), lit(depth - 1)), d =>
+      aggregate(sequence(lit(0), lit(width - 1)), lit(0.0),
+        (acc, w) => acc + element_at(ca, d * lit(width) + w + 1).cast("double") *
+          element_at(cb, d * lit(width) + w + 1).cast("double"))))
     when(size(ca) =!= depth * width || size(cb) =!= depth * width,
       raise_error(concat(
         lit(s"cmsInnerProduct: expected $depth*$width counters, got "),
         size(ca).cast("string"), lit(" and "), size(cb).cast("string"))))
-      .when(array_max(ca).cast("double") * array_max(cb).cast("double") >
-          lit(9.0e18),
-        raise_error(lit("cmsInnerProduct: bucket product would overflow " +
-          "Long — reduce counter magnitude (narrower slices) or widen the sketch")))
+      .when(ipRowMaxD > lit(9.0e18),
+        raise_error(lit("cmsInnerProduct: a depth row's inner product " +
+          "would overflow Long — reduce counter magnitude (narrower " +
+          "slices) or widen the sketch")))
       .otherwise(ip)
   }
 
@@ -201,8 +227,11 @@ object SketchStore {
   def hllEstimateCorrected(regs: Column): Column = {
     val v = size(filter(regs, r => r === 0L))
     val raw = hllEstimate(regs)
-    when(raw <= lit(160.0) && v > 0,
-      lit(64.0) * log(lit(64.0) / v.cast("double")))
+    // 2.5·m threshold and m·ln(m/V) scale both derive from HllM — the
+    // same constant the inner hllEstimate's width guard enforces, so a
+    // future width change edits ONE value and the guard keeps it honest
+    when(raw <= lit(2.5 * HllM) && v > 0,
+      lit(HllM.toDouble) * log(lit(HllM.toDouble) / v.cast("double")))
       .otherwise(raw)
   }
 
@@ -236,9 +265,17 @@ object SketchStore {
       .agg(count(lit(1)).as("n_slices"),
         TypedAggs.histMerge(col("cs"), nBins).as("cs"),
         min(col("h_lo")).as("_lo_l"), max(col("h_lo")).as("_lo_h"),
-        min(col("h_width")).as("_w_l"), max(col("h_width")).as("_w_h"))
+        min(col("h_width")).as("_w_l"), max(col("h_width")).as("_w_h"),
+        // the kmvMergeSlices NULL-witness rule (r14 ADVICE): a NULL
+        // geometry value slips past min/max (aggregates skip nulls;
+        // all-NULL nulls the comparison itself) — count both columns
+        count(col("h_lo")).as("_lo_n"), count(col("h_width")).as("_w_n"))
       .select(groupCols.map(col) ++ Seq(col("n_slices"),
-        when(col("_lo_l") =!= lo || col("_lo_h") =!= lo ||
+        when(col("_lo_n") =!= col("n_slices") ||
+             col("_w_n") =!= col("n_slices"), raise_error(lit(
+          "histMergeSlices: some stored rows carry a NULL bin-geometry " +
+            "witness — a missing geometry is as unsafe as a mismatched one")))
+          .when(col("_lo_l") =!= lo || col("_lo_h") =!= lo ||
              col("_w_l") =!= width || col("_w_h") =!= width,
           raise_error(concat(
             lit("histMergeSlices: stored bin geometry (lo in ["),

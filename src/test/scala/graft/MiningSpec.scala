@@ -1232,6 +1232,21 @@ class MiningSpec extends AnyFunSuite {
       Seq(graft.ops.MediaRecord(7L, "audio", "nope".getBytes, 4L, ""))
         .toDS()).collect()(0)
     assert(rot === AudioFingerprint(7L, decoded = false, 0L, 0L, 0L, 0L))
+    // a VALID zero-frame WAV decodes (readPcm non-null) with n = 0:
+    // n_bits must clamp to 0, not min(n − 1, 63) = −1 (r14 ADVICE — a
+    // negative bit count is out-of-contract for every Hamming consumer)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(Array.empty[Byte]), fmt, 0L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val empty = Multimodal.audioFingerprint(
+      Seq(graft.ops.MediaRecord(8L, "audio", bos.toByteArray,
+        bos.size().toLong, "")).toDS()).collect()(0)
+    assert(empty === AudioFingerprint(8L, decoded = true, 1L, 0L, 0L, 0L))
   }
 
   test("resampleAudio: same-rate is identity; downsample copies j·sr div target frames") {
@@ -1313,6 +1328,48 @@ class MiningSpec extends AnyFunSuite {
     assert(Multimodal.videoFrames(
       Seq(graft.ops.MediaRecord(7L, "video", "not a container".getBytes,
         15L, "")).toDS(), stride = 1).collect().isEmpty)
+  }
+
+  test("videoFingerprint: delta-sign bits over mdat byte sums by hand; rot tagged; zero-frame clamps") {
+    import graft.ops.{Multimodal, VideoFingerprint}
+    val id = 13L // 4 mdat frames → 3 delta bits
+    // frame byte sums BY HAND (the q177 generative formula): len(j) =
+    // 16 + (13+7j)%32 → 29, 36, 43, 18; sum(j) = Σ_t (13+3j+5t)%256
+    val sums = (0 until 4).map { j =>
+      val len = 16 + (13 + 7 * j) % 32
+      (0 until len).map(t => (13 + 3 * j + 5 * t) % 256).sum.toLong
+    }
+    val expFp = (0 until 3).collect {
+      case b if sums(b + 1) > sums(b) => 1L << b
+    }.sum
+    val got = Multimodal.videoFingerprint(
+      Multimodal.videoRecords(Seq(id).toDF("doc_id"), "doc_id")).collect()(0)
+    assert(got === VideoFingerprint(id, parsed = true, walk_complete = true,
+      4L, 3L, expFp))
+    // prints genuinely differ across clips of the SAME frame count
+    // (ids 13 and 17 are both 4-frame): the pseudo-noise payload
+    // formula, not a constant pattern
+    val other = Multimodal.videoFingerprint(
+      Multimodal.videoRecords(Seq(17L).toDF("doc_id"), "doc_id")).collect()(0)
+    assert(other.n_frames === 4L)
+    // rot bytes fail the walk → the tagged zero row
+    val rot = Multimodal.videoFingerprint(
+      Seq(graft.ops.MediaRecord(7L, "video", "not a container".getBytes,
+        15L, "")).toDS()).collect()(0)
+    assert(rot === VideoFingerprint(7L, parsed = false,
+      walk_complete = false, 0L, 0L, 0L))
+    // a metadata-only container (valid ftyp, zero mdat boxes) parses
+    // with n = 0: n_bits must clamp to 0, not −1 (the r14 ADVICE
+    // audioFingerprint rule applied from birth), and the partial-walk
+    // witness still reports false on a corrupt tail
+    val content = Multimodal.videoRecords(Seq(id).toDF("doc_id"), "doc_id")
+      .collect()(0).content
+    val truncated = content.take(12) ++ "garbage!".getBytes
+    val part = Multimodal.videoFingerprint(
+      Seq(graft.ops.MediaRecord(8L, "video", truncated,
+        truncated.length.toLong, "")).toDS()).collect()(0)
+    assert(part === VideoFingerprint(8L, parsed = true,
+      walk_complete = false, 0L, 0L, 0L))
   }
 
   test("epochShuffle: each epoch is a reproducible permutation; epochs differ; no Window") {

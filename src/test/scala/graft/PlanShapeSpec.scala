@@ -388,6 +388,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q186: video fingerprint is a pure partition-parallel demux pass — zero exchanges") {
+    // the print is computed from byte sums the box walk already has in
+    // hand; any Exchange would mean container payloads crossing the
+    // network before the signature reduces them to one BIGINT
+    val p = plan("q186_video_fp")
+    assert(!p.contains("Exchange"), s"q186 shuffles payloads:\n$p")
+    assert(!p.contains("Join"), s"q186 grew a join:\n$p")
+  }
+
   test("q183/q185: sketch read and dataset card stay aggregate-shaped — no cartesian beyond 1-row scalars, no Window") {
     // q183's crossJoins are three 1-row frames by construction; the
     // real guard is no Window and no sort-merge anywhere

@@ -334,4 +334,65 @@ class SketchStoreSpec extends AnyFunSuite {
     }
     assert(e5.getMessage.contains("64 registers"))
   }
+
+  test("NULL witness values raise like mismatched ones (r14 ADVICE)") {
+    // min/max SKIP nulls: a store row with k = NULL would merge its
+    // hashes while the witness comparison stays non-null and passes —
+    // and an ALL-null group nulls the comparison itself, falling
+    // through to the merge branch. Both must raise.
+    val nullK = Seq(("a", Seq(3L, 5L), Some(4)), ("a", Seq(2L, 7L), None))
+      .toDF("g", "hs", "k")
+    val e1 = intercept[Exception] {
+      SketchStore.kmvMergeSlices(nullK, Seq("g"), k = 4).collect()
+    }
+    assert(e1.getMessage.contains("NULL k") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("NULL k"))
+    val allNullK = Seq(("a", Seq(3L, 5L), Option.empty[Int]))
+      .toDF("g", "hs", "k")
+    val e2 = intercept[Exception] {
+      SketchStore.kmvMergeSlices(allNullK, Seq("g"), k = 4).collect()
+    }
+    assert(e2.getMessage.contains("NULL k") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("NULL k"))
+    // same pattern for the histogram geometry witnesses
+    val nullGeo = Seq(("a", Seq.fill(10)(1L), Some(0L), Option.empty[Long]))
+      .toDF("g", "cs", "h_lo", "h_width")
+    val e3 = intercept[Exception] {
+      SketchStore.histMergeSlices(nullGeo, Seq("g"), 0L, 4L, nBins = 8).collect()
+    }
+    assert(e3.getMessage.contains("NULL bin-geometry") ||
+      e3.getCause != null &&
+        e3.getCause.getMessage.contains("NULL bin-geometry"))
+  }
+
+  test("cmsInnerProduct: min-over-rows arithmetic; row-SUM overflow raises (r14 ADVICE)") {
+    // depth=2, width=4, hand-built states: row sums 1·2+2·1+0+3·3 = 13
+    // and 0+1·4+2·2+0 = 8 → the estimate is the min, 8
+    val ca = Seq(1L, 2L, 0L, 3L, 0L, 1L, 2L, 0L)
+    val cb = Seq(2L, 1L, 5L, 3L, 9L, 4L, 2L, 7L)
+    val got = Seq((ca, cb)).toDF("ca", "cb")
+      .select(SketchStore.cmsInnerProduct(col("ca"), col("cb"),
+        depth = 2, width = 4).as("ip")).as[Long].collect()(0)
+    assert(got === math.min(1 * 2 + 2 * 1 + 0 + 3 * 3, 1 * 4 + 2 * 2))
+    // every INDIVIDUAL bucket product fits in a Long (~2.56e18) but the
+    // row SUM of four of them (~1.02e19) wraps negative — the r14
+    // ADVICE trap: the old max-element guard passed this state and the
+    // min picked the wrapped negative, silently underestimating
+    val big = Seq.fill(8)(1600000000L)
+    val eOv = intercept[Exception] {
+      Seq((big, big)).toDF("ca", "cb")
+        .select(SketchStore.cmsInnerProduct(col("ca"), col("cb"),
+          depth = 2, width = 4)).collect()
+    }
+    assert(eOv.getMessage.contains("overflow") ||
+      eOv.getCause != null && eOv.getCause.getMessage.contains("overflow"))
+    // wrong geometry still raises
+    val eGeo = intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("ca", "cb")
+        .select(SketchStore.cmsInnerProduct(col("ca"), col("cb"),
+          depth = 2, width = 4)).collect()
+    }
+    assert(eGeo.getMessage.contains("counters") ||
+      eGeo.getCause != null && eGeo.getCause.getMessage.contains("counters"))
+  }
 }
