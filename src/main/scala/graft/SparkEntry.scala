@@ -2615,6 +2615,65 @@ object SparkEntry {
       scored.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
     }),
+
+    // Bloom MEMBERSHIP warehouse — the fifth sketch type (q152 KMV,
+    // q153 CMS, q158 HLL, q168 HIST): per-(type, day) bit vectors over
+    // user ids, bitwise-OR merged to one store state per type. The
+    // md5-60 hash family is cross-engine, so every merged WORD replays
+    // hash-exactly (emitted as rows — the full state is the result,
+    // not just a derived estimate)
+    "q188_bloom_warehouse" -> ((s, dir) => {
+      val slices = SketchStore.bloomSlices(
+        Tables.events(s, dir)
+          .withColumn("day", to_date(col("ts")))
+          .withColumn("u", col("user_id").cast("string")),
+        Seq("event_type"), "day", col("u"), mBits = 65536)
+      SketchStore.bloomMergeSlices(slices, Seq("event_type"),
+          mBits = 65536)
+        .select(col("event_type"), col("n_slices"),
+          posexplode(col("bits")).as(Seq("word_idx", "word")))
+        .select(col("event_type"), col("n_slices"),
+          col("word_idx").cast("long").as("word_idx"), col("word"))
+    }),
+
+    // the q188 store PROBED — membership is deterministic (same md5-60
+    // positions both engines), so unlike the estimate sketches this
+    // audit is fully hash-exact: every member must hit (no false
+    // negatives — the Bloom contract), and 500 known non-member probes
+    // measure the false-positive rate against a 5% band (m=65536,
+    // k=3 at these cardinalities sits orders of magnitude below it)
+    "q191_bloom_membership" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("u", col("user_id").cast("string"))
+      val store = SketchStore.bloomMergeSlices(
+        SketchStore.bloomSlices(ev, Seq("event_type"), "day", col("u"),
+          mBits = 65536),
+        Seq("event_type"), mBits = 65536)
+        .select(col("event_type"), col("bits"))
+      val mem = ev.select(col("event_type"), col("u")).distinct()
+        .join(broadcast(store), "event_type")
+        .select(col("event_type"),
+          SketchStore.bloomContains(col("bits"), col("u"), 65536).as("hit"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_members"),
+          (count(lit(1)) === sum(when(col("hit"), 1L).otherwise(0L)))
+            .as("fn_free"))
+      // "probe_<i>" strings can never collide with numeric user ids —
+      // guaranteed non-members at every scale factor
+      val probes = ev.select(col("event_type")).distinct()
+        .crossJoin(s.range(500)
+          .select(concat(lit("probe_"), col("id")).as("u")))
+      val fp = probes.join(broadcast(store), "event_type")
+        .select(col("event_type"),
+          SketchStore.bloomContains(col("bits"), col("u"), 65536).as("hit"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("fp_count"))
+        .select(col("event_type"), col("fp_count"),
+          round(col("fp_count").cast("double") / lit(500.0), 6).as("fpr"),
+          (col("fp_count") <= lit(25L)).as("fpr_ok"))
+      mem.join(fp, "event_type")
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -4719,6 +4778,74 @@ object SparkEntry {
         |      FROM sc)
         |SELECT query_id, neighbor_id, hamming, rn::BIGINT AS rank
         |FROM r WHERE rn <= 3""".stripMargin,
+
+    // the Bloom state replayed relationally: each member's 3 md5-60
+    // positions OR into per-word bitmaps (bit 63 needs the explicit
+    // Long.MinValue form — DuckDB checks 1<<63 as overflow); the grid
+    // left join materializes zero words so the full 1024-word vector
+    // is the result
+    "q188_bloom_warehouse" ->
+      """WITH e AS (SELECT DISTINCT event_type, user_id FROM events),
+        |p AS (SELECT event_type,
+        |        ('0x'||substr(md5('bloom'||i::VARCHAR||':'||user_id::VARCHAR),1,15))::BIGINT
+        |          % 65536 AS pos
+        |      FROM e, unnest([0, 1, 2]) AS t(i)),
+        |w AS (SELECT event_type, pos // 64 AS wi,
+        |        bit_or(CASE WHEN pos % 64 = 63 THEN (-9223372036854775807 - 1)
+        |                    ELSE 1::BIGINT << (pos % 64)::INT END) AS word
+        |      FROM p GROUP BY 1, 2),
+        |grid AS (SELECT event_type, unnest(generate_series(0, 1023)) AS wi
+        |         FROM (SELECT DISTINCT event_type FROM events)),
+        |d AS (SELECT event_type,
+        |        count(DISTINCT date_trunc('day', ts))::BIGINT AS n_slices
+        |      FROM events GROUP BY 1)
+        |SELECT g.event_type, d.n_slices, g.wi::BIGINT AS word_idx,
+        |       coalesce(w.word, 0)::BIGINT AS word
+        |FROM grid g JOIN d USING (event_type)
+        |LEFT JOIN w ON w.event_type = g.event_type AND w.wi = g.wi""".stripMargin,
+
+    // membership replayed as position semi-joins: a probe hits iff
+    // every one of its 3 positions appears among the member-set
+    // positions (exactly the bits the q188 vector has set)
+    "q191_bloom_membership" ->
+      """WITH e AS (SELECT DISTINCT event_type, user_id::VARCHAR AS u
+        |           FROM events),
+        |setbits AS (SELECT DISTINCT event_type,
+        |              ('0x'||substr(md5('bloom'||i::VARCHAR||':'||u),1,15))::BIGINT
+        |                % 65536 AS pos
+        |            FROM e, unnest([0, 1, 2]) AS t(i)),
+        |mp AS (SELECT event_type, u,
+        |         ('0x'||substr(md5('bloom'||i::VARCHAR||':'||u),1,15))::BIGINT
+        |           % 65536 AS pos
+        |       FROM e, unnest([0, 1, 2]) AS t(i)),
+        |mhit AS (SELECT mp.event_type, mp.u,
+        |                bool_and(sb.pos IS NOT NULL) AS hit
+        |         FROM mp LEFT JOIN setbits sb
+        |           ON sb.event_type = mp.event_type AND sb.pos = mp.pos
+        |         GROUP BY 1, 2),
+        |mem AS (SELECT event_type, count(*)::BIGINT AS n_members,
+        |               count(*) = sum(CASE WHEN hit THEN 1 ELSE 0 END)
+        |                 AS fn_free
+        |        FROM mhit GROUP BY 1),
+        |pr AS (SELECT event_type, 'probe_'||i::VARCHAR AS u
+        |       FROM (SELECT DISTINCT event_type FROM events),
+        |            unnest(generate_series(0, 499)) AS t(i)),
+        |pp AS (SELECT event_type, u,
+        |         ('0x'||substr(md5('bloom'||i::VARCHAR||':'||u),1,15))::BIGINT
+        |           % 65536 AS pos
+        |       FROM pr, unnest([0, 1, 2]) AS t(i)),
+        |phit AS (SELECT pp.event_type, pp.u,
+        |                bool_and(sb.pos IS NOT NULL) AS hit
+        |         FROM pp LEFT JOIN setbits sb
+        |           ON sb.event_type = pp.event_type AND sb.pos = pp.pos
+        |         GROUP BY 1, 2),
+        |fp AS (SELECT event_type,
+        |              sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS fp_count
+        |       FROM phit GROUP BY 1)
+        |SELECT mem.event_type, mem.n_members, mem.fn_free, fp.fp_count,
+        |       round(fp.fp_count::DOUBLE / 500.0, 6) AS fpr,
+        |       fp.fp_count <= 25 AS fpr_ok
+        |FROM mem JOIN fp USING (event_type)""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

@@ -587,6 +587,93 @@ object TypedAggs {
   def hllRegisters(c: Column, b: Int = 6): Column =
     udaf(HllRegisters(b), Encoders.STRING).apply(c)
 
+  /** Bloom membership bit vector, built for the sketch warehouse — the
+    * FIFTH sketch type (KMV/HLL distinct, CMS frequency, HIST
+    * quantiles; this answers "have I seen this id before?" without the
+    * exact id store's footprint). State = mBits bits as mBits/64
+    * longs, word w holding bits [64w, 64w+63] (bit i of a word =
+    * 1L << i); value t sets the k bits md5₆₀("bloom&lt;i&gt;:" ‖ t)
+    * mod mBits for i &lt; k. Bitwise-OR merge is order-INDEPENDENT, so
+    * slice ⊕ store ≡ full rescan bit-exactly (the warehouse admission
+    * rule that excludes Misra–Gries), and the md5₆₀ family means a
+    * DuckDB oracle replays every word — membership reads
+    * ([[graft.ops.SketchStore.bloomContains]]) are fully
+    * deterministic, no rows-only fallback needed. No false negatives
+    * by construction; false-positive rate is the standard
+    * (1 − e^(−kn/m))^k — size mBits to the expected membership.
+    *
+    * Unlike [[BloomSketch]] (the A5 reference-parity bitmap with the
+    * reference's polynomial string hashes, which answers a CARDINALITY
+    * question), this aggregator RETURNS the bit vector so it can be
+    * persisted, merged, and probed as warehouse state.
+    */
+  case class BloomBits(mBits: Int = 4096, k: Int = 3)
+      extends Aggregator[String, Array[Long], Seq[Long]] {
+    require(Integer.bitCount(mBits) == 1 && mBits >= 64,
+      "mBits must be a power of two >= 64")
+    require(k >= 1 && k <= 8, "k must be in [1, 8]")
+    override def zero: Array[Long] = new Array[Long](mBits / 64)
+    override def reduce(b: Array[Long], v: String): Array[Long] = {
+      var i = 0
+      while (i < k) {
+        val p = (Md5Long60.hash(("bloom" + i + ":" + v)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)) % mBits).toInt
+        b(p >>> 6) |= (1L << (p & 63))
+        i += 1
+      }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) |= y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  def bloomBits(c: Column, mBits: Int = 4096, k: Int = 3): Column =
+    udaf(BloomBits(mBits, k), Encoders.STRING).apply(c)
+
+  /** Merge of STORED Bloom bit vectors: bitwise OR — the
+    * [[CmsMerge]]/[[HllMergeRegisters]] warehouse posture. Wrong-width
+    * states fail loudly (an OR across widths would silently misalign
+    * every later membership probe).
+    */
+  case class BloomMergeBits(mBits: Int = 4096)
+      extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    require(Integer.bitCount(mBits) == 1 && mBits >= 64,
+      "mBits must be a power of two >= 64")
+    private val words = mBits / 64
+    override def zero: Array[Long] = new Array[Long](words)
+    override def reduce(b: Array[Long], bits: Seq[Long]): Array[Long] = {
+      require(bits.length == words,
+        s"BloomMergeBits: stored state has ${bits.length} words, " +
+          s"expected mBits/64 = $words")
+      var i = 0
+      while (i < b.length) { b(i) |= bits(i); i += 1 }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) |= y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  def bloomMergeBits(c: Column, mBits: Int = 4096): Column =
+    udaf(BloomMergeBits(mBits),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+      .apply(c)
+
   /** Merge of STORED HLL register vectors: element-wise max — the same
     * warehouse posture as [[KmvMergeHashes]]/[[CmsMerge]]. Malformed
     * states fail loudly (wrong length, rank out of range).

@@ -13,9 +13,11 @@ import graft.functions.TypedAggs
   * ingest slice and every later question touches only sketch rows
   * (groups × slices × k longs, dimension-scale).
   *
-  * Why these two sketches: both states are pure functions of the input
-  * MULTISET — KMV's bottom-k of a union is the union of bottom-k's,
-  * CMS counters are sums — so store ⊕ slice ≡ full-rescan EXACTLY
+  * Why these sketches (KMV/HLL distinct, CMS frequency, HIST
+  * quantiles, Bloom membership): every state is a pure function of the
+  * input MULTISET — KMV's bottom-k of a union is the union of
+  * bottom-k's, CMS/HIST counters are sums, HLL registers and Bloom
+  * bits are maxes/ORs — so store ⊕ slice ≡ full-rescan EXACTLY
   * (SketchStoreSpec proves it; the q152/q153 oracles replay the merged
   * estimates hash-exactly against the raw corpus). Misra–Gries is
   * deliberately absent: its state is merge-order-dependent, so a
@@ -321,6 +323,79 @@ object SketchStore {
         lit(lo) + (size(cs) - 2).cast("long") * lit(width))
       .otherwise(lit(lo) + (idx.cast("long") - lit(2L)) * lit(width))
   }
+
+  /** Per-(group, slice) Bloom membership bit vectors over `valueCol` —
+    * the FIFTH warehouse sketch type (KMV/HLL distinct, CMS frequency,
+    * HIST quantiles, this membership: "have I kept this id before?"
+    * answered without the exact shingle/id store's footprint). Both
+    * the width AND the hash count travel with the state (`m_bits`,
+    * `k_hashes` — the KMV `k` rule): OR-ing across widths would
+    * misalign every bit, and a store written with fewer hashes read at
+    * more would produce FALSE NEGATIVES, the one error class a Bloom
+    * filter promises never to make.
+    */
+  def bloomSlices(df: DataFrame, groupCols: Seq[String], sliceCol: String,
+                  valueCol: Column, mBits: Int = 4096,
+                  k: Int = 3): DataFrame =
+    df.groupBy((groupCols :+ sliceCol).map(col): _*)
+      .agg(TypedAggs.bloomBits(valueCol, mBits, k).as("bits"))
+      .withColumn("m_bits", lit(mBits)).withColumn("k_hashes", lit(k))
+
+  /** Bitwise-OR Bloom slices down to one bit vector per group. Fails
+    * loudly on mismatched OR MISSING witnesses (the
+    * [[kmvMergeSlices]]/[[histMergeSlices]] contract, NULL guard from
+    * birth); the merged state re-emits its own witnesses so compaction
+    * output re-merges under the same contract.
+    */
+  def bloomMergeSlices(slices: DataFrame, groupCols: Seq[String],
+                       mBits: Int = 4096, k: Int = 3): DataFrame = {
+    require(Seq("m_bits", "k_hashes").forall(slices.columns.contains),
+      "bloomMergeSlices: slices must carry the m_bits/k_hashes columns " +
+        "bloomSlices persists — a store of unknown geometry cannot be " +
+        "merged or probed safely")
+    slices.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_slices"),
+        TypedAggs.bloomMergeBits(col("bits"), mBits).as("bits"),
+        min(col("m_bits")).as("_m_l"), max(col("m_bits")).as("_m_h"),
+        min(col("k_hashes")).as("_k_l"), max(col("k_hashes")).as("_k_h"),
+        count(col("m_bits")).as("_m_n"), count(col("k_hashes")).as("_k_n"))
+      .select(groupCols.map(col) ++ Seq(col("n_slices"),
+        when(col("_m_n") =!= col("n_slices") ||
+             col("_k_n") =!= col("n_slices"), raise_error(lit(
+          "bloomMergeSlices: some stored rows carry a NULL m_bits/" +
+            "k_hashes witness — a missing geometry is as unsafe as a " +
+            "mismatched one")))
+          .when(col("_m_l") =!= mBits || col("_m_h") =!= mBits ||
+                col("_k_l") =!= k || col("_k_h") =!= k,
+            raise_error(concat(
+              lit("bloomMergeSlices: stored geometry (m_bits in ["),
+              col("_m_l").cast("string"), lit(", "),
+              col("_m_h").cast("string"), lit("], k_hashes in ["),
+              col("_k_l").cast("string"), lit(", "),
+              col("_k_h").cast("string"),
+              lit(s"]) does not match merge mBits=$mBits k=$k"))))
+          .otherwise(col("bits")).as("bits"),
+        lit(mBits).as("m_bits"), lit(k).as("k_hashes")): _*)
+  }
+
+  /** Membership read over a (merged) Bloom state: true iff ALL k
+    * probe bits are set — no false negatives by construction, false
+    * positives at the standard (1 − e^(−kn/m))^k rate. The probe
+    * positions are the same cross-engine md5₆₀ family the writer
+    * used, so the read is fully DETERMINISTIC and a DuckDB oracle
+    * replays it hash-exactly (unlike the estimate sketches, membership
+    * needs no rows-only fallback). Codegen'd column — probes run at
+    * scan speed against a broadcast store row.
+    */
+  def bloomContains(bits: Column, value: Column, mBits: Int = 4096,
+                    k: Int = 3): Column =
+    (0 until k).map { i =>
+      val p = graft.functions.Hashing.md5Long(
+        concat(lit(s"bloom$i:"), value.cast("string"))) % mBits
+      (element_at(bits, (p / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          (p % 64).cast("int")))) =!= 0L
+    }.reduce(_ && _)
 
   /** Persist sketch rows bucketed on the group key ([[Bucketing]]), so
     * a store-only merge aggregates bucket-local with zero Exchange and

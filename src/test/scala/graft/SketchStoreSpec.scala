@@ -335,6 +335,74 @@ class SketchStoreSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("64 registers"))
   }
 
+  test("BLOOM: store-merge ≡ full-rescan bit vector; members always hit; probes deterministic") {
+    val m = 256
+    val slices = SketchStore.bloomSlices(rows, Seq("g"), "slice", col("v"),
+      mBits = m)
+    assert(slices.count() === 6) // 2 groups × 3 slices
+    val merged = SketchStore.bloomMergeSlices(slices, Seq("g"), mBits = m)
+    val mergedMap = merged.select(col("g"), col("n_slices"), col("bits"))
+      .as[(String, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // OR is order-independent: the merged vector must equal the
+    // one-shot vector over the un-sliced corpus, word for word
+    val direct = rows.groupBy(col("g"))
+      .agg(TypedAggs.bloomBits(col("v"), m).as("bits"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(mergedMap.keySet === Set("a", "b"))
+    for ((g, (n, bits)) <- mergedMap) {
+      assert(n === 3L)
+      assert(bits === direct(g), s"group $g merged vector != rescan")
+    }
+    // merged state keeps its witnesses (compaction contract)
+    assert(merged.columns.contains("m_bits") &&
+      merged.columns.contains("k_hashes"))
+    // membership: every member hits (no false negatives — the Bloom
+    // contract), and a layout change cannot alter any probe's answer
+    val probed = rows.select(col("g"), col("v")).distinct()
+      .join(merged.select(col("g"), col("bits")), "g")
+      .select(SketchStore.bloomContains(col("bits"), col("v"), m).as("hit"))
+      .as[Boolean].collect()
+    assert(probed.length === 40 && probed.forall(identity))
+    val probedRepart = rows.repartition(7).select(col("g"), col("v")).distinct()
+      .join(merged.select(col("g"), col("bits")), "g")
+      .select(SketchStore.bloomContains(col("bits"), col("v"), m).as("hit"))
+      .as[Boolean].collect()
+    assert(probedRepart.forall(identity))
+  }
+
+  test("BLOOM: malformed stored states fail loudly (width, geometry, missing witness)") {
+    // wrong word count: an OR across widths would silently misalign
+    val badLen = Seq(("a", Seq(1L, 2L), 256, 3)).toDF("g", "bits", "m_bits", "k_hashes")
+    val e1 = intercept[Exception] {
+      SketchStore.bloomMergeSlices(badLen, Seq("g"), mBits = 256).collect()
+    }
+    assert(e1.getMessage.contains("words") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("words"))
+    // same length, different declared geometry — only the witness
+    // can catch it; k mismatch risks FALSE NEGATIVES on read
+    val badGeo = Seq(("a", Seq.fill(4)(0L), 256, 2)).toDF("g", "bits", "m_bits", "k_hashes")
+    val e2 = intercept[Exception] {
+      SketchStore.bloomMergeSlices(badGeo, Seq("g"), mBits = 256).collect()
+    }
+    assert(e2.getMessage.contains("geometry") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("geometry"))
+    // NULL witness raises (the kmv/hist rule from birth)
+    val nullW = Seq(("a", Seq.fill(4)(0L), Option.empty[Int], Some(3)))
+      .toDF("g", "bits", "m_bits", "k_hashes")
+    val e3 = intercept[Exception] {
+      SketchStore.bloomMergeSlices(nullW, Seq("g"), mBits = 256).collect()
+    }
+    assert(e3.getMessage.contains("NULL") ||
+      e3.getCause != null && e3.getCause.getMessage.contains("NULL"))
+    // missing witness columns: plan-time loud
+    val noW = Seq(("a", Seq.fill(4)(0L))).toDF("g", "bits")
+    val e4 = intercept[IllegalArgumentException] {
+      SketchStore.bloomMergeSlices(noW, Seq("g"), mBits = 256)
+    }
+    assert(e4.getMessage.contains("m_bits"))
+  }
+
   test("NULL witness values raise like mismatched ones (r14 ADVICE)") {
     // min/max SKIP nulls: a store row with k = NULL would merge its
     // hashes while the witness comparison stays non-null and passes —
