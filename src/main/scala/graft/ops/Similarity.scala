@@ -316,6 +316,12 @@ object Similarity {
     * rewrite via [[writeIvfBucketed]] when the gap warrants; centroids
     * are the store's physical layout, so re-centroiding is a rewrite
     * everywhere (the IVF trade).
+    *
+    * STREAMING: call per micro-batch inside `foreachBatch` — the same
+    * one code path, so per-batch ingest lands the exact one-shot store
+    * (AnnStoreSpec pins store rows, served results, and append-only
+    * files across batches; the novelty-gate posture of
+    * TextAnalysis.noveltyAgainstStore applied to the vector store).
     */
   def ivfIngest(newVecs: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, table: String, buckets: Int): Unit =

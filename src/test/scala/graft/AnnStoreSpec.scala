@@ -134,6 +134,83 @@ class AnnStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ivfIngest: per-batch foreachBatch ingest ≡ one-shot batch ingest; files append-only across batches") {
+    // the serving corpus grows from a STREAM in production (the r14
+    // verdict's third item): ivfIngest inside foreachBatch is the SAME
+    // code path as batch ingest — ivfStoreRows assigns each arrival at
+    // the store's fixed centroids — so per-batch ingest must land the
+    // exact one-shot store, and each batch must only ADD bucket files
+    // (the novelty-gate posture: history never re-read or rewritten)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.embeddings(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft-ann-stream-")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_vec"))
+    val history = emb.filter(col("vec_id") % 5 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    try {
+      Similarity.writeIvfBucketed(history, "vec_id", "embedding", centroids,
+        table = "graft_ivf_stream", buckets = 8,
+        path = Some(base.resolve("ivf").toString))
+      def dataFiles() = {
+        val walk = java.nio.file.Files.walk(base.resolve("ivf"))
+        try walk
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map[(String, Long)](p =>
+            (p.toString, java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toArray.toSeq
+        finally walk.close()
+      }
+      val snapshots = scala.collection.mutable.ListBuffer(dataFiles())
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = input.toDF().toDF("vec_id", "embedding").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Similarity.ivfIngest(batch, "vec_id", "embedding", centroids,
+            table = "graft_ivf_stream", buckets = 8)
+          snapshots += dataFiles(): Unit
+        }.start()
+      input.addData(fresh.take(5): _*)
+      q.processAllAvailable()
+      input.addData(fresh.drop(5): _*)
+      q.processAllAvailable()
+      q.stop()
+      // append-only across EVERY batch: each snapshot's files survive
+      // the next batch byte-untouched (same path, same mtime), and
+      // each non-empty batch only adds
+      assert(snapshots.size === 3)
+      for ((before, after) <- snapshots.toList.zip(snapshots.toList.tail)) {
+        assert(after.toSet.intersect(before.toSet) === before.toSet,
+          s"a micro-batch rewrote history files:\nbefore=$before\nafter=$after")
+        assert(after.size > before.size, "a micro-batch added no files")
+      }
+      // the streamed store IS the one-shot batch store: same rows,
+      // same assignment (ivfStoreRows is the single shared body)
+      val streamed = spark.table("graft_ivf_stream")
+        .select($"vec_id", $"centroid_id").as[(Long, Long)].collect().toSet
+      val oneShot = Similarity.ivfStoreRows(emb, "vec_id", "embedding",
+          centroids)
+        .select($"vec_id", $"centroid_id").as[(Long, Long)].collect().toSet
+      assert(streamed === oneShot)
+      // and serves exactly like a full rebuild at the same centroids
+      Similarity.writeIvfBucketed(emb, "vec_id", "embedding", centroids,
+        table = "graft_ivf_stream_rebuilt", buckets = 8,
+        path = Some(base.resolve("rebuilt").toString))
+      def search(t: String) = Similarity.ivfSearchBucketed(spark.table(t),
+          emb, "vec_id", "embedding", centroids,
+          queryIds = (0L until 10L).toSeq, k = 5, nprobe = 2)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val got = search("graft_ivf_stream")
+      assert(got === search("graft_ivf_stream_rebuilt"))
+      assert(got.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_stream")
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_stream_rebuilt")
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+
   test("zero-norm vectors: ivfSearch and the bucketed store exclude them identically (ADVICE r9)") {
     // the bucketed store drops zero-norm vectors at write; ivfSearch's
     // scoring tail drops them via the normedVectors guard — a corpus
