@@ -2674,6 +2674,63 @@ object SparkEntry {
           (col("fp_count") <= lit(25L)).as("fpr_ok"))
       mem.join(fp, "event_type")
     }),
+
+    // dataset card × assembly completeness (the r14 verdict's
+    // datasheet column): per source, the REAL per-modality
+    // decode/demux success rates — image (q150's codec flag), audio
+    // (q165's), video (q186's demux + completeness witness) — and the
+    // all-modalities complete rate a multimodal release publishes.
+    // Reusing the oracled entries (the q156/q176 rule) keeps the card
+    // and the decode passes from drifting; still hash aggregates + a
+    // dimension join, no Window
+    "q189_card_completeness" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val img = queries("q150_image_decode")(s, dir)
+        .select(col("doc_id"), col("decoded").as("img_ok"))
+      val aud = queries("q165_audio_decode")(s, dir)
+        .select(col("doc_id"), col("decoded").as("aud_ok"))
+      val vid = queries("q186_video_fp")(s, dir)
+        .select(col("doc_id"),
+          (col("parsed") && col("walk_complete")).as("vid_ok"))
+      def rate(flag: Column): Column =
+        round(sum(when(flag, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6)
+      src.join(img, "doc_id").join(aud, "doc_id").join(vid, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          rate(col("img_ok")).as("img_ok_rate"),
+          rate(col("aud_ok")).as("aud_ok_rate"),
+          rate(col("vid_ok")).as("video_demux_rate"),
+          rate(col("img_ok") && col("aud_ok") && col("vid_ok"))
+            .as("complete_rate"))
+    }),
+
+    // conversion ATTRIBUTION (the reference's channel-marketing jobs'
+    // analytics sibling): purchases credit the click/view touch that
+    // preceded them within 7 days — last-touch (q41's as-of semantics
+    // with a horizon) and first-touch in ONE hash aggregate (max/min
+    // of (ts, id, channel) structs — no Window); channel derived
+    // deterministically from the event props; zero-touch conversions
+    // attribute to "(none)"
+    "q190_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val convs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"),
+          col("ts").as("conv_ts"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("ts").as("touch_ts"),
+          concat(lit("ch"),
+            (get_json_object(col("props"), "$.k").cast("long") % 4)
+              .cast("string")).as("channel"))
+      graft.ops.Behavior.attribution(convs, touches, "user_id",
+          "conv_id", "conv_ts", "touch_id", "touch_ts", "channel",
+          windowSec = 7L * 24 * 3600)
+        .select(col("user_id"), col("conv_id"),
+          unix_timestamp(col("conv_ts")).as("conv_ts"), col("n_touches"),
+          col("last_channel"), col("last_touch_id"),
+          col("first_channel"), col("first_touch_id"))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -4846,6 +4903,56 @@ object SparkEntry {
         |       round(fp.fp_count::DOUBLE / 500.0, 6) AS fpr,
         |       fp.fp_count <= 25 AS fpr_ok
         |FROM mem JOIN fp USING (event_type)""".stripMargin,
+
+    // every modality's rot convention is doc_id % 10 = 0 (image and
+    // audio decode failures, video walk failures all coincide by
+    // construction), so each real decode-flag rate replays as the mod
+    // test — the q176 oracle rule lifted to the per-source rollup
+    "q189_card_completeness" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  round(sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END)::DOUBLE
+        |        / count(*), 6) AS img_ok_rate,
+        |  round(sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END)::DOUBLE
+        |        / count(*), 6) AS aud_ok_rate,
+        |  round(sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END)::DOUBLE
+        |        / count(*), 6) AS video_demux_rate,
+        |  round(sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END)::DOUBLE
+        |        / count(*), 6) AS complete_rate
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // last/first touch replayed with two deterministic row_numbers
+    // (ts then id — the argmax structs' exact tie-break); the left
+    // joins re-admit zero-touch conversions as "(none)"
+    "q190_attribution" ->
+      """WITH c AS (SELECT user_id, event_id AS conv_id, ts AS conv_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+        |        'ch'||(json_extract_string(props, '$.k')::BIGINT % 4)::VARCHAR
+        |          AS channel
+        |      FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT c.conv_id, t.touch_id, t.touch_ts, t.channel
+        |      FROM c JOIN t ON c.user_id = t.user_id
+        |       AND t.touch_ts <= c.conv_ts
+        |       AND t.touch_ts >= c.conv_ts - INTERVAL 604800 SECOND),
+        |r AS (SELECT conv_id, touch_id, channel,
+        |        row_number() OVER (PARTITION BY conv_id
+        |                           ORDER BY touch_ts DESC, touch_id DESC) AS rl,
+        |        row_number() OVER (PARTITION BY conv_id
+        |                           ORDER BY touch_ts ASC, touch_id ASC) AS rf,
+        |        count(*) OVER (PARTITION BY conv_id) AS nt
+        |      FROM j),
+        |lt AS (SELECT conv_id, channel AS last_channel,
+        |              touch_id AS last_touch_id, nt FROM r WHERE rl = 1),
+        |ft AS (SELECT conv_id, channel AS first_channel,
+        |              touch_id AS first_touch_id FROM r WHERE rf = 1)
+        |SELECT c.user_id, c.conv_id,
+        |       CAST(floor(epoch(c.conv_ts)) AS BIGINT) AS conv_ts,
+        |       coalesce(lt.nt, 0)::BIGINT AS n_touches,
+        |       coalesce(lt.last_channel, '(none)') AS last_channel,
+        |       coalesce(lt.last_touch_id, -1)::BIGINT AS last_touch_id,
+        |       coalesce(ft.first_channel, '(none)') AS first_channel,
+        |       coalesce(ft.first_touch_id, -1)::BIGINT AS first_touch_id
+        |FROM c LEFT JOIN lt USING (conv_id) LEFT JOIN ft USING (conv_id)""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

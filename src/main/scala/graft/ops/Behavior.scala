@@ -172,4 +172,51 @@ object Behavior {
       .filter(col("item").isNotNull).distinct()
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_items"))
       .filter(col("n_items") > maxItemsPerUser)
+
+  /** Conversion ATTRIBUTION over the behavior log (the analytics
+    * staple adjacent to the reference's channel-marketing jobs,
+    * market-analysis/.../AdStatisticsByGeo.scala:52-60 /
+    * AppMarketingByChannel.scala): each conversion credits the
+    * marketing touch that preceded it within a lookback window —
+    * LAST-touch (the latest touch at-or-before, the q41 as-of
+    * semantics with a horizon) and FIRST-touch (the earliest inside
+    * the window) in one pass. Ties on touch timestamp break by touch
+    * id (max for last, min for first — deterministic, the as-of
+    * dedupe convention); conversions with no touch in the window
+    * attribute to "(none)" with touch id −1.
+    *
+    * Shape: one equi-join on the user key (the window predicate
+    * filters inside the join — per-user touch lists bound the fan-out,
+    * NOT a cross join), then ONE hash aggregate taking both argmaxes
+    * as max/min(struct(ts, id, channel)) — no Window, no per-user
+    * sort, so the plan survives a 100 TB event log; the left join
+    * back re-admits zero-touch conversions.
+    *
+    * `convs`: (keyCol, convIdCol, convTsCol); `touches`: (keyCol,
+    * touchIdCol, touchTsCol, channelCol).
+    */
+  def attribution(convs: DataFrame, touches: DataFrame, keyCol: String,
+                  convIdCol: String, convTsCol: String, touchIdCol: String,
+                  touchTsCol: String, channelCol: String,
+                  windowSec: Long): DataFrame = {
+    require(windowSec > 0, "lookback window must be positive")
+    val c = convs.select(col(keyCol), col(convIdCol).as("conv_id"),
+      col(convTsCol).as("conv_ts"))
+    val t = touches.select(col(keyCol), col(touchIdCol).as("_tid"),
+      col(touchTsCol).as("_tts"), col(channelCol).as("_ch"))
+    val agg = c.join(t, keyCol)
+      .filter(col("_tts") <= col("conv_ts") &&
+        col("_tts") >= col("conv_ts") - expr(s"INTERVAL $windowSec SECOND"))
+      .groupBy(col(keyCol), col("conv_id"), col("conv_ts"))
+      .agg(count(lit(1)).as("n_touches"),
+        max(struct(col("_tts"), col("_tid"), col("_ch"))).as("_lt"),
+        min(struct(col("_tts"), col("_tid"), col("_ch"))).as("_ft"))
+    c.join(agg, Seq(keyCol, "conv_id", "conv_ts"), "left")
+      .select(col(keyCol), col("conv_id"), col("conv_ts"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        coalesce(col("_lt._ch"), lit("(none)")).as("last_channel"),
+        coalesce(col("_lt._tid"), lit(-1L)).as("last_touch_id"),
+        coalesce(col("_ft._ch"), lit("(none)")).as("first_channel"),
+        coalesce(col("_ft._tid"), lit(-1L)).as("first_touch_id"))
+  }
 }

@@ -388,6 +388,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q190: attribution is equi-join + hash-agg argmax — no Window, no cartesian") {
+    // both touch attributions come from ONE max/min(struct) aggregate;
+    // a row_number formulation would sort every user's touch history
+    val p = plan("q190_attribution")
+    assert(!p.contains(") Window"), s"q190 grew a Window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q190 grew a cartesian:\n$p")
+  }
+
   test("q186: video fingerprint is a pure partition-parallel demux pass — zero exchanges") {
     // the print is computed from byte sums the box walk already has in
     // hand; any Exchange would mean container payloads crossing the

@@ -713,6 +713,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows2 === Set(AsofPair(1, 200L, 600000L, Some(50L), Some(5000L))))
   }
 
+  test("streaming last-touch attribution: as-of stream ≡ batch Behavior.attribution") {
+    // the q190 operator's streaming form: conversions are as-of LEFTs,
+    // touches RIGHTs — the latest touch at-or-before each conversion
+    // IS last-touch attribution. Rights are deduped per (key, ts) to
+    // the max id before streaming (the q41 convention — exactly the
+    // argmax tie-break batch attribution applies), so both forms must
+    // agree conversion for conversion, including the zero-touch case.
+    import graft.ops.Behavior
+    val touches = Seq(                         // (user, id, tsSec)
+      (1L, 20L, 8L), (1L, 21L, 9L),            // user 1: 21 is latest
+      (3L, 22L, 5L), (3L, 23L, 5L))            // user 3: tie at ts 5 → 23
+    val convs = Seq(
+      (1L, 100L, 10L),                          // after both touches
+      (2L, 101L, 9L),                           // user 2: no touches
+      (3L, 102L, 6L))
+    val input = MemoryStream[AsofEvent]
+    val q = AsofStream.asofJoinStream(
+        input.toDS().withWatermark("ts", "10 seconds").as[AsofEvent])
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_stream").start()
+    val dedupedRights = touches.groupBy(t => (t._1, t._3))
+      .map { case ((u, tsSec), ts2) => (u, ts2.map(_._2).max, tsSec) }.toSeq
+    input.addData(dedupedRights.map { case (u, id, t) =>
+      AsofEvent(u, ts(t), isLeft = false, id) }: _*)
+    input.addData(convs.map { case (u, id, t) =>
+      AsofEvent(u, ts(t), isLeft = true, id) }: _*)
+    q.processAllAvailable()
+    input.addData(AsofEvent(9, ts(10000), isLeft = false, 1)) // advance wm
+    q.processAllAvailable()
+    input.addData(AsofEvent(9, ts(20000), isLeft = false, 2))
+    q.processAllAvailable()
+    val streamed = spark.table("attr_stream").as[AsofPair].collect()
+      .map(p => (p.key, p.leftId, p.rightId.getOrElse(-1L))).toSet
+    q.stop()
+    // batch form on the RAW (tied) touches — same window-free horizon
+    // (every touch within the 1h lookback)
+    val batch = Behavior.attribution(
+        convs.map { case (u, id, t) => (u, id, ts(t)) }
+          .toDF("user_id", "conv_id", "conv_ts"),
+        touches.map { case (u, id, t) => (u, id, ts(t), s"ch${id % 4}") }
+          .toDF("user_id", "touch_id", "touch_ts", "channel"),
+        "user_id", "conv_id", "conv_ts", "touch_id", "touch_ts",
+        "channel", windowSec = 3600L)
+      .select($"user_id", $"conv_id", $"last_touch_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed === Set((1L, 100L, 21L), (2L, 101L, -1L),
+      (3L, 102L, 23L)))
+  }
+
   test("reconcileStreams: matched plus both unmatched sides after watermark close") {
     val lIn = MemoryStream[KeyedEvent]
     val rIn = MemoryStream[KeyedEvent]
