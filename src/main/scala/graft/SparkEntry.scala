@@ -2731,6 +2731,80 @@ object SparkEntry {
           col("last_channel"), col("last_touch_id"),
           col("first_channel"), col("first_touch_id"))
     }),
+
+    // container-level video SUBSAMPLE (q175's video twin — completes
+    // the per-modality transform row: image resize, audio resample,
+    // video frame-stride): keep every 2nd mdat, rewrite the moov frame
+    // count, re-emit a VALID container — then demux the OUTPUT through
+    // the same box walk, so the whole demux→drop→remux→demux chain
+    // must be byte-faithful. Rot payloads pass through unchanged and
+    // still fail the walk into tagged rows (the q159 posture)
+    "q192_video_subsample" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+      val good = Multimodal.videoRecords(
+        d.filter(col("doc_id") % 10 =!= 0), "doc_id")
+      val rot = Multimodal.attachBinary(
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        modality = "video").as[MediaRecord]
+      Multimodal.parseVideoBoxes(
+        Multimodal.videoStrideSubsample(good.unionByName(rot), stride = 2))
+        .toDF()
+    }),
+
+    // LINEAR attribution rollup (q190's multi-touch sibling): every
+    // touch in the 7-day window earns 1/n of its conversion's credit,
+    // summed per channel — credit as integer micro-shares (10^6 div n;
+    // a float 1/n fold would sum order-dependently and break replay)
+    "q193_linear_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val convs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"),
+          col("ts").as("conv_ts"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("ts").as("touch_ts"),
+          concat(lit("ch"),
+            (get_json_object(col("props"), "$.k").cast("long") % 4)
+              .cast("string")).as("channel"))
+      graft.ops.Behavior.linearAttribution(convs, touches, "user_id",
+        "conv_id", "conv_ts", "touch_id", "touch_ts", "channel",
+        windowSec = 7L * 24 * 3600)
+    }),
+
+    // funnel latency percentiles FROM THE QUANTILE WAREHOUSE (q69's
+    // funnel × q168's histogram store): per user, seconds from first
+    // signup to first subsequent purchase, histogrammed into day bins
+    // per signup-day slice, merged, and read as p50/p90/p99 bin
+    // bounds — the time-to-convert dashboard answered from sketch
+    // rows alone; integer rank arithmetic replays hash-exactly
+    "q194_funnel_latency_hist" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      val lat = su.join(pu, "user_id")
+        .filter(col("p_ts") >= col("signup_ts"))
+        .groupBy(col("user_id"), col("signup_ts"))
+        .agg(min(col("p_ts")).as("first_purchase_ts"))
+        .select(col("user_id"),
+          (unix_timestamp(col("first_purchase_ts")) -
+            unix_timestamp(col("signup_ts"))).as("latency_sec"),
+          to_date(col("signup_ts")).as("day"))
+      val merged = SketchStore.histMergeSlices(
+        SketchStore.histSlices(lat, Nil, "day", col("latency_sec"),
+          lo = 0L, width = 86400L, nBins = 30),
+        Nil, lo = 0L, width = 86400L, nBins = 30)
+      merged.select(col("n_slices"),
+        aggregate(col("cs"), lit(0L), (a, x) => a + x).as("n_users"),
+        SketchStore.histPercentileBound(col("cs"), 0.5, 0L, 86400L)
+          .as("p50_bound"),
+        SketchStore.histPercentileBound(col("cs"), 0.9, 0L, 86400L)
+          .as("p90_bound"),
+        SketchStore.histPercentileBound(col("cs"), 0.99, 0L, 86400L)
+          .as("p99_bound"))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -4953,6 +5027,95 @@ object SparkEntry {
         |       coalesce(ft.first_channel, '(none)') AS first_channel,
         |       coalesce(ft.first_touch_id, -1)::BIGINT AS first_touch_id
         |FROM c LEFT JOIN lt USING (conv_id) LEFT JOIN ft USING (conv_id)""".stripMargin,
+
+    // the q177 generative structure after the stride-2 drop: ftyp
+    // verbatim, moov byte sum = KEPT count (the rewritten 4-byte
+    // payload), every even-j mdat with its original len/sum at the
+    // renumbered box index 2 + j/2; rot rows tagged as in q177
+    "q192_video_subsample" ->
+      """WITH par AS (SELECT doc_id, 3 + doc_id % 4 AS n FROM documents
+        |             WHERE doc_id % 10 <> 0),
+        |k AS (SELECT doc_id, n, (n + 1) // 2 AS kept FROM par),
+        |meta AS (
+        |  SELECT doc_id, true AS parsed, true AS walk_complete,
+        |         0::BIGINT AS box_idx, 'ftyp' AS box_type,
+        |         12::BIGINT AS box_size, 440::BIGINT AS byte_sum
+        |  FROM k
+        |  UNION ALL
+        |  SELECT doc_id, true AS parsed, true AS walk_complete,
+        |         1::BIGINT AS box_idx, 'moov' AS box_type,
+        |         12::BIGINT AS box_size, kept::BIGINT AS byte_sum
+        |  FROM k),
+        |md AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS j FROM par),
+        |md2 AS (SELECT doc_id, j, 16 + (doc_id + 7*j) % 32 AS len
+        |        FROM md WHERE j % 2 = 0),
+        |mrows AS (
+        |  SELECT doc_id, true AS parsed, true AS walk_complete,
+        |         (2 + j // 2)::BIGINT AS box_idx, 'mdat' AS box_type,
+        |         (8 + len)::BIGINT AS box_size,
+        |         list_sum(list_transform(generate_series(0, len - 1), t ->
+        |           (doc_id + 3*j + 5*t) % 256))::BIGINT AS byte_sum
+        |  FROM md2)
+        |SELECT * FROM meta
+        |UNION ALL SELECT * FROM mrows
+        |UNION ALL
+        |SELECT doc_id, false AS parsed, false AS walk_complete,
+        |       0::BIGINT AS box_idx, '' AS box_type,
+        |       0::BIGINT AS box_size, 0::BIGINT AS byte_sum
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+
+    // q190's window join + integer micro-credit rollup: 10^6 // n per
+    // touch (both engines floor), channel sums are integer — replay
+    // is exact by construction
+    "q193_linear_attribution" ->
+      """WITH c AS (SELECT user_id, event_id AS conv_id, ts AS conv_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+        |        'ch'||(json_extract_string(props, '$.k')::BIGINT % 4)::VARCHAR
+        |          AS channel
+        |      FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT c.conv_id, t.touch_id, t.channel
+        |      FROM c JOIN t ON c.user_id = t.user_id
+        |       AND t.touch_ts <= c.conv_ts
+        |       AND t.touch_ts >= c.conv_ts - INTERVAL 604800 SECOND),
+        |n AS (SELECT conv_id, count(*)::BIGINT AS nt FROM j GROUP BY 1),
+        |cr AS (SELECT j.channel, j.conv_id, 1000000 // n.nt AS micro
+        |       FROM j JOIN n USING (conv_id))
+        |SELECT channel, count(DISTINCT conv_id)::BIGINT AS n_convs,
+        |       count(*)::BIGINT AS n_touches,
+        |       sum(micro)::BIGINT AS credit_micro
+        |FROM cr GROUP BY 1""".stripMargin,
+
+    // the histogram read replayed as an order statistic: each latency
+    // maps to its BIN LOWER BOUND (overflow → lo + 30·86400), and the
+    // p-th bound is the rank-⌈p·n⌉ smallest — exactly
+    // histPercentileBound's integer rank arithmetic
+    "q194_funnel_latency_hist" ->
+      """WITH su AS (SELECT user_id, min(ts) AS signup_ts FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |fp AS (SELECT su.user_id, su.signup_ts, min(e.ts) AS first_purchase_ts
+        |       FROM su JOIN events e ON e.user_id = su.user_id
+        |        AND e.event_type = 'purchase' AND e.ts >= su.signup_ts
+        |       GROUP BY 1, 2),
+        |lat AS (SELECT user_id, date_trunc('day', signup_ts) AS day,
+        |          CAST(floor(epoch(first_purchase_ts)) AS BIGINT)
+        |            - CAST(floor(epoch(signup_ts)) AS BIGINT) AS l
+        |        FROM fp),
+        |b AS (SELECT CASE WHEN l // 86400 >= 30 THEN 2592000::BIGINT
+        |                  ELSE (l // 86400) * 86400 END AS bound
+        |      FROM lat),
+        |r AS (SELECT bound, row_number() OVER (ORDER BY bound) AS rn,
+        |             count(*) OVER () AS n
+        |      FROM b)
+        |SELECT (SELECT count(DISTINCT day) FROM lat)::BIGINT AS n_slices,
+        |       (SELECT count(*) FROM lat)::BIGINT AS n_users,
+        |       max(CASE WHEN rn = ceil(0.5 * n) THEN bound END)::BIGINT
+        |         AS p50_bound,
+        |       max(CASE WHEN rn = ceil(0.9 * n) THEN bound END)::BIGINT
+        |         AS p90_bound,
+        |       max(CASE WHEN rn = ceil(0.99 * n) THEN bound END)::BIGINT
+        |         AS p99_bound
+        |FROM r""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

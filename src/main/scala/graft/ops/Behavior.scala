@@ -219,4 +219,42 @@ object Behavior {
         coalesce(col("_ft._ch"), lit("(none)")).as("first_channel"),
         coalesce(col("_ft._tid"), lit(-1L)).as("first_touch_id"))
   }
+
+  /** LINEAR attribution rollup — [[attribution]]'s multi-touch
+    * sibling: every touch inside a conversion's lookback window earns
+    * an equal 1/n share of that conversion's credit, summed per
+    * channel. Credit is integer MICRO-credit (10⁶ div n per touch —
+    * the integer-scaled-arithmetic rule): a float 1/n fold would sum
+    * in engine- and partition-dependent order and break cross-engine
+    * replay; integer sums are order-independent, so the rollup is
+    * hash-exact. The div floor loses < 1 micro-credit per touch —
+    * monitoring-grade precision with exactness where it matters.
+    *
+    * Same join shape as [[attribution]] (equi-join on key, window
+    * filter inside, hash aggregates only); two aggregates — per-conv
+    * touch counts, then the channel rollup.
+    */
+  def linearAttribution(convs: DataFrame, touches: DataFrame,
+                        keyCol: String, convIdCol: String,
+                        convTsCol: String, touchIdCol: String,
+                        touchTsCol: String, channelCol: String,
+                        windowSec: Long): DataFrame = {
+    require(windowSec > 0, "lookback window must be positive")
+    val c = convs.select(col(keyCol), col(convIdCol).as("conv_id"),
+      col(convTsCol).as("conv_ts"))
+    val t = touches.select(col(keyCol), col(touchIdCol).as("_tid"),
+      col(touchTsCol).as("_tts"), col(channelCol).as("_ch"))
+    val j = c.join(t, keyCol)
+      .filter(col("_tts") <= col("conv_ts") &&
+        col("_tts") >= col("conv_ts") - expr(s"INTERVAL $windowSec SECOND"))
+      .select(col("conv_id"), col("_tid"), col("_ch"))
+    val n = j.groupBy(col("conv_id")).agg(count(lit(1)).as("_nt"))
+    j.join(n, "conv_id")
+      .select(col("_ch").as("channel"), col("conv_id"),
+        expr("1000000 div _nt").as("_micro"))
+      .groupBy(col("channel"))
+      .agg(countDistinct(col("conv_id")).as("n_convs"),
+        count(lit(1)).as("n_touches"),
+        sum(col("_micro")).as("credit_micro"))
+  }
 }

@@ -746,6 +746,67 @@ object Multimodal {
     }
   }
 
+  /** Container-level video SUBSAMPLE — the [[resampleAudio]] twin that
+    * completes the video modality's transform story (image has
+    * [[resizeImages]], audio [[resampleAudio]]): keep every `stride`-th
+    * mdat (frame) box and re-emit a VALID container — metadata boxes
+    * preserved verbatim, the moov frame count rewritten to the kept
+    * count — the every-Nth-frame clip a training pipeline ships
+    * onward. No codec needed: frame boundaries ARE the container
+    * grammar, so the transform is demux → drop → remux over real
+    * bytes, and a downstream [[parseVideoBoxes]] demuxes the output
+    * exactly like any other clip (the q192 oracle replays the
+    * subsampled structure).
+    *
+    * Posture rules: a payload the walk cannot parse COMPLETELY passes
+    * through UNCHANGED (the q159/q175 rot rule — never re-emit bytes
+    * you did not fully understand); a moov whose payload is not the
+    * 4-byte frame-count form passes through verbatim (this remuxer
+    * patches only what it can parse — the codec-stub honesty rule).
+    * Partition-parallel map, no shuffle, no collect.
+    */
+  def videoStrideSubsample(ds: Dataset[MediaRecord],
+                           stride: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    require(stride > 0, "stride must be > 0")
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val (boxes, complete) = walkBoxes(r.content)
+        if (boxes.isEmpty || !complete) r
+        else {
+          val mdatTotal = boxes.count(_._2 == "mdat")
+          val kept = (0 until mdatTotal).count(_ % stride == 0)
+          val bos = new java.io.ByteArrayOutputStream()
+          var off = 0
+          var mdatIdx = -1
+          boxes.foreach { case (_, tp, size, _) =>
+            val len = size.toInt
+            if (tp == "mdat") {
+              mdatIdx += 1
+              if (mdatIdx % stride == 0) bos.write(r.content, off, len)
+            } else if (tp == "moov" && len == 12) {
+              // the 4-byte big-endian frame-count payload convention:
+              // rewrite to the kept count so the remuxed container
+              // stays self-consistent
+              bos.write(Array[Byte](0, 0, 0, 12))
+              bos.write("moov".getBytes(
+                java.nio.charset.StandardCharsets.US_ASCII))
+              bos.write(Array[Byte](((kept >> 24) & 0xff).toByte,
+                ((kept >> 16) & 0xff).toByte, ((kept >> 8) & 0xff).toByte,
+                (kept & 0xff).toByte))
+            } else bos.write(r.content, off, len)
+            off += len
+          }
+          val bytes = bos.toByteArray
+          md.reset()
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          MediaRecord(r.doc_id, r.modality, bytes, bytes.length.toLong, hex)
+        }
+      }
+    }
+  }
+
   /** Delta-sign VIDEO fingerprint over the DEMUXED container — the
     * [[audioFingerprint]] twin that closes the multimodal
     * decode/demux → signature → near-dup matrix: the per-frame signal

@@ -1330,6 +1330,40 @@ class MiningSpec extends AnyFunSuite {
         15L, "")).toDS(), stride = 1).collect().isEmpty)
   }
 
+  test("videoStrideSubsample: demux→drop→remux by hand; moov count rewritten; rot passes through") {
+    import graft.ops.{Multimodal, VideoBox}
+    val id = 13L // 4 mdats, lens 29, 36, 43, 18 → stride 2 keeps j = 0, 2
+    val sums = (0 until 4).map { j =>
+      val len = 16 + (13 + 7 * j) % 32
+      (0 until len).map(t => (13 + 3 * j + 5 * t) % 256).sum.toLong
+    }
+    val sub = Multimodal.videoStrideSubsample(
+      Multimodal.videoRecords(Seq(id).toDF("doc_id"), "doc_id"), stride = 2)
+    val boxes = Multimodal.parseVideoBoxes(sub).collect().sortBy(_.box_idx)
+    // ftyp verbatim; moov's payload is the REWRITTEN kept count (2);
+    // kept mdats keep their original sizes and byte sums, renumbered
+    assert(boxes.toSeq === Seq(
+      VideoBox(id, parsed = true, walk_complete = true, 0L, "ftyp", 12L, 440L),
+      VideoBox(id, parsed = true, walk_complete = true, 1L, "moov", 12L, 2L),
+      VideoBox(id, parsed = true, walk_complete = true, 2L, "mdat", 37L, sums(0)),
+      VideoBox(id, parsed = true, walk_complete = true, 3L, "mdat", 51L, sums(2))))
+    // a payload the walk cannot parse passes through BYTE-UNCHANGED
+    // (the q159/q175 rot posture — never re-emit what you didn't
+    // fully understand); same for a valid-prefix-corrupt-tail clip
+    val rotBytes = "not a container".getBytes
+    val rotOut = Multimodal.videoStrideSubsample(
+      Seq(graft.ops.MediaRecord(7L, "video", rotBytes, 15L, "x")).toDS(),
+      stride = 2).collect()(0)
+    assert(rotOut.content.toSeq === rotBytes.toSeq && rotOut.checksum === "x")
+    val content = Multimodal.videoRecords(Seq(id).toDF("doc_id"), "doc_id")
+      .collect()(0).content
+    val truncated = content.take(12) ++ "garbage!".getBytes
+    val partOut = Multimodal.videoStrideSubsample(
+      Seq(graft.ops.MediaRecord(8L, "video", truncated,
+        truncated.length.toLong, "y")).toDS(), stride = 2).collect()(0)
+    assert(partOut.content.toSeq === truncated.toSeq && partOut.checksum === "y")
+  }
+
   test("videoFingerprint: delta-sign bits over mdat byte sums by hand; rot tagged; zero-frame clamps") {
     import graft.ops.{Multimodal, VideoFingerprint}
     val id = 13L // 4 mdat frames → 3 delta bits

@@ -380,8 +380,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains(") Window"), s"q170 grew a Window:\n$p")
   }
 
-  test("q177/q178: video demux + frames — zero exchanges (the codec-pass rule)") {
-    for (q <- Seq("q177_video_demux", "q178_video_frames")) {
+  test("q177/q178/q192: video demux, frames, subsample — zero exchanges (the codec-pass rule)") {
+    for (q <- Seq("q177_video_demux", "q178_video_frames",
+        "q192_video_subsample")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles payloads:\n$p")
       assert(!p.contains("Join"), s"$q grew a join:\n$p")

@@ -932,6 +932,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged === full)
   }
 
+  test("streaming Bloom-warehouse ingest: per-batch slices accumulate, merge ≡ full rescan; members hit") {
+    // the membership member rides the same foreachBatch slice loop as
+    // KMV/HIST: each micro-batch writes its own bit-vector rows (slice
+    // = batch id), history never re-scanned, and an OR-merge at any
+    // point answers exactly like a batch pass — bits are ORs
+    import graft.ops.SketchStore
+    val store =
+      scala.collection.mutable.ArrayBuffer[(String, Long, Seq[Long], Int, Int)]()
+    val input = MemoryStream[KeyedEvent]
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        store ++= SketchStore.bloomSlices(
+            batch.withColumn("slice", lit(id)),
+            Seq("eventType"), "slice", $"key".cast("string"), mBits = 256)
+          .select($"eventType", $"slice", $"bits", $"m_bits", $"k_hashes")
+          .as[(String, Long, Seq[Long], Int, Int)].collect(): Unit
+      }.start()
+    val rows = (1 to 40).map(i =>
+      KeyedEvent(i % 11, ts(i * 10), if (i % 2 == 0) "view" else "click", i))
+    input.addData(rows.take(15): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(15): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(store.map(_._2).distinct.size >= 2) // really multiple slices
+    val merged = SketchStore.bloomMergeSlices(
+        store.toSeq.toDF("eventType", "slice", "bits", "m_bits", "k_hashes"),
+        Seq("eventType"), mBits = 256)
+    val mergedBits = merged.select($"eventType", $"bits")
+      .as[(String, Seq[Long])].collect().toMap
+    val full = rows.toDF()
+      .groupBy($"eventType")
+      .agg(graft.functions.TypedAggs.bloomBits($"key".cast("string"), 256)
+        .as("bits"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(mergedBits === full)
+    // and every streamed member probes TRUE against the merged store
+    val hits = rows.toDF().select($"eventType", $"key".cast("string").as("v"))
+      .distinct()
+      .join(merged.select($"eventType", $"bits"), "eventType")
+      .select(SketchStore.bloomContains($"bits", $"v", 256).as("hit"))
+      .as[Boolean].collect()
+    assert(hits.nonEmpty && hits.forall(identity))
+  }
+
   test("mergeable sketches ride streaming windows unchanged: KMV + CMS per window ≡ batch") {
     // the whole point of merge-order-independent sketch state: the SAME
     // udaf drops into a watermarked streaming window and produces the
