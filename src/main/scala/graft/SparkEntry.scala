@@ -2805,6 +2805,60 @@ object SparkEntry {
         SketchStore.histPercentileBound(col("cs"), 0.99, 0L, 86400L)
           .as("p99_bound"))
     }),
+
+    // Bloom PRE-FILTER audit on the q120 ingest gate (the two-tier
+    // 100 TB posture: a kilobyte broadcast vector clears "definitely
+    // new" arrivals at scan speed; only flagged ones consult the
+    // store). fn_free pins the no-false-negative invariant row by
+    // row — a cleared doc can NEVER be an exact dup, so the tiered
+    // gate keeps exactly the one-tier set
+    "q195_bloom_prefilter" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Dedup.bloomPrefilterAudit(
+        docs.filter(col("source") === "src2"),
+        graft.ops.Dedup.fingerprintStore(
+          docs.filter(col("source") =!= "src2"), "text"),
+        "doc_id", "text")
+    }),
+
+    // POSITION-BASED (U-shaped, 40/20/40) attribution — with q190
+    // (last/first) and q193 (linear), the canonical model family;
+    // first/last identified by the same (ts, id) tie-break as q190,
+    // middles share 20% by integer division
+    "q196_position_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val convs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"),
+          col("ts").as("conv_ts"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("ts").as("touch_ts"),
+          concat(lit("ch"),
+            (get_json_object(col("props"), "$.k").cast("long") % 4)
+              .cast("string")).as("channel"))
+      graft.ops.Behavior.positionAttribution(convs, touches, "user_id",
+        "conv_id", "conv_ts", "touch_id", "touch_ts", "channel",
+        windowSec = 7L * 24 * 3600)
+    }),
+
+    // TIME-DECAY attribution: weight = 10^6 >> full days before the
+    // conversion — the one decay schedule that is pure integer
+    // arithmetic (2^(-age/λ) needs exp(), not engine-reproducible)
+    "q197_decay_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val convs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"),
+          col("ts").as("conv_ts"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("ts").as("touch_ts"),
+          concat(lit("ch"),
+            (get_json_object(col("props"), "$.k").cast("long") % 4)
+              .cast("string")).as("channel"))
+      graft.ops.Behavior.decayAttribution(convs, touches, "user_id",
+        "conv_id", "conv_ts", "touch_id", "touch_ts", "channel",
+        windowSec = 7L * 24 * 3600)
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -5116,6 +5170,86 @@ object SparkEntry {
         |       max(CASE WHEN rn = ceil(0.99 * n) THEN bound END)::BIGINT
         |         AS p99_bound
         |FROM r""".stripMargin,
+
+    // the q120 fingerprint CTEs + the q191 position semi-join replay:
+    // bloom_hit iff every probe position is among the store's set
+    // bits; fn_free = exact_dup ⇒ bloom_hit
+    "q195_bloom_prefilter" ->
+      """WITH slice AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |  FROM documents WHERE source = 'src2'),
+        |store AS (
+        |  SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |  FROM documents WHERE source <> 'src2'),
+        |setbits AS (SELECT DISTINCT
+        |              ('0x'||substr(md5('bloom'||i::VARCHAR||':'||fp),1,15))::BIGINT
+        |                % 65536 AS pos
+        |            FROM store, unnest([0, 1, 2]) AS t(i)),
+        |sp AS (SELECT doc_id, fp,
+        |         ('0x'||substr(md5('bloom'||i::VARCHAR||':'||fp),1,15))::BIGINT
+        |           % 65536 AS pos
+        |       FROM slice, unnest([0, 1, 2]) AS t(i)),
+        |hit AS (SELECT sp.doc_id, sp.fp,
+        |               bool_and(sb.pos IS NOT NULL) AS bloom_hit
+        |        FROM sp LEFT JOIN setbits sb ON sb.pos = sp.pos
+        |        GROUP BY 1, 2),
+        |ed AS (SELECT fp, true AS e FROM store)
+        |SELECT h.doc_id, h.bloom_hit,
+        |       coalesce(ed.e, false) AS exact_dup,
+        |       (NOT coalesce(ed.e, false) OR h.bloom_hit) AS fn_free
+        |FROM hit h LEFT JOIN ed ON ed.fp = h.fp""".stripMargin,
+
+    // q193's join + the U-shaped credit: 40/20/40 via integer
+    // micro-shares, first/last by the q190 row_number tie-break
+    "q196_position_attribution" ->
+      """WITH c AS (SELECT user_id, event_id AS conv_id, ts AS conv_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+        |        'ch'||(json_extract_string(props, '$.k')::BIGINT % 4)::VARCHAR
+        |          AS channel
+        |      FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT c.conv_id, t.touch_id, t.touch_ts, t.channel
+        |      FROM c JOIN t ON c.user_id = t.user_id
+        |       AND t.touch_ts <= c.conv_ts
+        |       AND t.touch_ts >= c.conv_ts - INTERVAL 604800 SECOND),
+        |n AS (SELECT conv_id, count(*)::BIGINT AS nt FROM j GROUP BY 1),
+        |r AS (SELECT conv_id, touch_id, channel,
+        |        row_number() OVER (PARTITION BY conv_id
+        |                           ORDER BY touch_ts ASC, touch_id ASC) AS rf,
+        |        row_number() OVER (PARTITION BY conv_id
+        |                           ORDER BY touch_ts DESC, touch_id DESC) AS rl
+        |      FROM j),
+        |cr AS (SELECT r.channel, r.conv_id,
+        |         CASE WHEN n.nt = 1 THEN 1000000
+        |              WHEN n.nt = 2 THEN 500000
+        |              WHEN r.rf = 1 OR r.rl = 1 THEN 400000
+        |              ELSE 200000 // (n.nt - 2) END AS micro
+        |       FROM r JOIN n USING (conv_id))
+        |SELECT channel, count(DISTINCT conv_id)::BIGINT AS n_convs,
+        |       count(*)::BIGINT AS n_touches,
+        |       sum(micro)::BIGINT AS credit_micro
+        |FROM cr GROUP BY 1""".stripMargin,
+
+    // integer halving per full day of age: 10^6 >> ((conv_ts −
+    // touch_ts) // 86400); absolute weight sums, no normalization
+    "q197_decay_attribution" ->
+      """WITH c AS (SELECT user_id, event_id AS conv_id, ts AS conv_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+        |        'ch'||(json_extract_string(props, '$.k')::BIGINT % 4)::VARCHAR
+        |          AS channel
+        |      FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT c.conv_id, t.channel,
+        |        (1000000::BIGINT >> ((CAST(floor(epoch(c.conv_ts)) AS BIGINT)
+        |          - CAST(floor(epoch(t.touch_ts)) AS BIGINT)) // 86400)::INT)
+        |          AS w
+        |      FROM c JOIN t ON c.user_id = t.user_id
+        |       AND t.touch_ts <= c.conv_ts
+        |       AND t.touch_ts >= c.conv_ts - INTERVAL 604800 SECOND)
+        |SELECT channel, count(DISTINCT conv_id)::BIGINT AS n_convs,
+        |       count(*)::BIGINT AS n_touches, sum(w)::BIGINT AS weight_micro
+        |FROM j GROUP BY 1""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

@@ -257,4 +257,78 @@ object Behavior {
         count(lit(1)).as("n_touches"),
         sum(col("_micro")).as("credit_micro"))
   }
+
+  /** POSITION-BASED (U-shaped) attribution — the industry-standard
+    * 40/20/40 split: first and last touch get 40% each, middles share
+    * the remaining 20% evenly; a single touch takes 100%, a pair
+    * splits 50/50. Same integer micro-credit arithmetic as
+    * [[linearAttribution]] (400 000 / 500 000 / 200 000 div (n − 2) —
+    * no float folds), first/last identified by the same (ts, id)
+    * struct argmin/argmax tie-break as [[attribution]], so all the
+    * family's models agree on which touch is "first"/"last".
+    */
+  def positionAttribution(convs: DataFrame, touches: DataFrame,
+                          keyCol: String, convIdCol: String,
+                          convTsCol: String, touchIdCol: String,
+                          touchTsCol: String, channelCol: String,
+                          windowSec: Long): DataFrame = {
+    require(windowSec > 0, "lookback window must be positive")
+    val c = convs.select(col(keyCol), col(convIdCol).as("conv_id"),
+      col(convTsCol).as("conv_ts"))
+    val t = touches.select(col(keyCol), col(touchIdCol).as("_tid"),
+      col(touchTsCol).as("_tts"), col(channelCol).as("_ch"))
+    val j = c.join(t, keyCol)
+      .filter(col("_tts") <= col("conv_ts") &&
+        col("_tts") >= col("conv_ts") - expr(s"INTERVAL $windowSec SECOND"))
+      .select(col("conv_id"), col("_tid"), col("_tts"), col("_ch"))
+    val ends = j.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("_nt"),
+        min(struct(col("_tts"), col("_tid"))).as("_f"),
+        max(struct(col("_tts"), col("_tid"))).as("_l"))
+      .select(col("conv_id"), col("_nt"),
+        col("_f._tid").as("_first_tid"), col("_l._tid").as("_last_tid"))
+    j.join(ends, "conv_id")
+      .select(col("_ch").as("channel"), col("conv_id"),
+        when(col("_nt") === 1, lit(1000000L))
+          .when(col("_nt") === 2, lit(500000L))
+          .when(col("_tid") === col("_first_tid") ||
+            col("_tid") === col("_last_tid"), lit(400000L))
+          .otherwise(expr("200000 div (_nt - 2)")).as("_micro"))
+      .groupBy(col("channel"))
+      .agg(countDistinct(col("conv_id")).as("n_convs"),
+        count(lit(1)).as("n_touches"),
+        sum(col("_micro")).as("credit_micro"))
+  }
+
+  /** TIME-DECAY attribution: a touch's weight halves for every full
+    * day between it and the conversion — weight = 10⁶ >> age_days,
+    * the one decay schedule that is pure INTEGER arithmetic (a
+    * 2^(−age/λ) float would need exp(), which is not cross-engine
+    * reproducible — the HLL small-range lesson). Absolute decayed
+    * weight sums per channel (not normalized shares, whose float
+    * division would reintroduce order dependence); age capped by the
+    * window, so the shift amount is bounded.
+    */
+  def decayAttribution(convs: DataFrame, touches: DataFrame,
+                       keyCol: String, convIdCol: String,
+                       convTsCol: String, touchIdCol: String,
+                       touchTsCol: String, channelCol: String,
+                       windowSec: Long): DataFrame = {
+    require(windowSec > 0, "lookback window must be positive")
+    val c = convs.select(col(keyCol), col(convIdCol).as("conv_id"),
+      col(convTsCol).as("conv_ts"))
+    val t = touches.select(col(keyCol), col(touchIdCol).as("_tid"),
+      col(touchTsCol).as("_tts"), col(channelCol).as("_ch"))
+    c.join(t, keyCol)
+      .filter(col("_tts") <= col("conv_ts") &&
+        col("_tts") >= col("conv_ts") - expr(s"INTERVAL $windowSec SECOND"))
+      .select(col("_ch").as("channel"), col("conv_id"),
+        call_function("shiftright", lit(1000000L),
+          ((unix_timestamp(col("conv_ts")) - unix_timestamp(col("_tts"))) /
+            lit(86400L)).cast("int")).as("_w"))
+      .groupBy(col("channel"))
+      .agg(countDistinct(col("conv_id")).as("n_convs"),
+        count(lit(1)).as("n_touches"),
+        sum(col("_w")).as("weight_micro"))
+  }
 }

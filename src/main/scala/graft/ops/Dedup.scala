@@ -147,6 +147,40 @@ object Dedup {
   def fingerprintStore(df: DataFrame, textCol: String): DataFrame =
     df.select(fingerprint(textCol).as("fingerprint")).distinct()
 
+  /** Bloom PRE-FILTER audit for the ingest gate — the two-tier 100 TB
+    * posture: a Bloom vector built from the store's fingerprints
+    * (kilobytes, broadcast to every scan task) answers "definitely
+    * new" locally, so only arrivals the filter flags ever consult the
+    * exact fingerprint store. A Bloom filter makes NO false negatives,
+    * so the tier is a pure pruning: a doc the filter clears can never
+    * be an exact dup, and the tiered gate keeps EXACTLY the one-tier
+    * gate's set — the audit emits per-arrival (bloom_hit, exact_dup)
+    * plus the `fn_free` invariant column (exact_dup ⇒ bloom_hit) the
+    * q195 oracle pins row by row. The md5₆₀ probe family
+    * ([[graft.functions.TypedAggs.BloomBits]] /
+    * [[SketchStore.bloomContains]]) is cross-engine, so every flag is
+    * deterministic. Arrivals with bloom_hit = false skip the store
+    * join entirely at scale; the false-positive fraction (bloom_hit
+    * ∧ ¬exact_dup) is the wasted-probe cost, sized by mBits.
+    */
+  def bloomPrefilterAudit(newDocs: DataFrame, store: DataFrame,
+                          idCol: String, textCol: String,
+                          mBits: Int = 65536, k: Int = 3): DataFrame = {
+    val bloom = store.agg(graft.functions.TypedAggs
+      .bloomBits(col("fingerprint"), mBits, k).as("bits"))
+    val arr = newDocs.select(col(idCol).as("doc_id"),
+      fingerprint(textCol).as("fp"))
+    arr.crossJoin(broadcast(bloom)) // 1-row vector broadcast
+      .withColumn("bloom_hit",
+        SketchStore.bloomContains(col("bits"), col("fp"), mBits, k))
+      .join(store.select(col("fingerprint").as("fp"))
+        .distinct().withColumn("_ed", lit(true)), Seq("fp"), "left")
+      .select(col("doc_id"), col("bloom_hit"),
+        coalesce(col("_ed"), lit(false)).as("exact_dup"),
+        (!coalesce(col("_ed"), lit(false)) || col("bloom_hit"))
+          .as("fn_free"))
+  }
+
   /** CONTINUOUS-INGESTION twin of [[dedupAgainstStore]]: a document
     * stream dedups against the frozen batch store via a stream-static
     * LEFT ANTI join on the content fingerprint (stateless — the static

@@ -133,4 +133,56 @@ class FunnelSpec extends AnyFunSuite {
     assert(row.getAs[Long]("t2_us") === 20000000L)
     assert(row.isNullAt(row.fieldIndex("t3_us")))
   }
+
+  test("attribution family: last/first/linear/position/decay hand-traced") {
+    import graft.ops.Behavior
+    val t0 = 1704067200L // all conversions at the same instant
+    val convs = Seq((1L, 100L, t0), (2L, 101L, t0), (3L, 102L, t0),
+      (4L, 103L, t0))
+      .toDF("user_id", "conv_id", "sec")
+      .select($"user_id", $"conv_id", timestamp_seconds($"sec").as("conv_ts"))
+    val touches = Seq(
+      (1L, 1L, t0 - 30, "a"),       // 30s before: the LAST touch
+      (1L, 2L, t0 - 2 * D, "b"),    // middle
+      (1L, 3L, t0 - 3 * D, "a"),    // the FIRST in-window touch
+      (1L, 4L, t0 - 9 * D, "c"),    // outside the 7-day window
+      (3L, 5L, t0 - D, "b"),        // single touch
+      (4L, 6L, t0 - D, "c"),        // tie on ts with id 7 —
+      (4L, 7L, t0 - D, "d"))        // first = min id 6, last = max id 7
+      .toDF("user_id", "touch_id", "sec", "channel")
+      .select($"user_id", $"touch_id",
+        timestamp_seconds($"sec").as("touch_ts"), $"channel")
+    val W = 7 * D
+    val att = Behavior.attribution(convs, touches, "user_id", "conv_id",
+        "conv_ts", "touch_id", "touch_ts", "channel", W)
+      .select($"conv_id", $"n_touches", $"last_channel", $"last_touch_id",
+        $"first_channel", $"first_touch_id")
+      .as[(Long, Long, String, Long, String, Long)].collect().toSet
+    assert(att === Set(
+      (100L, 3L, "a", 1L, "a", 3L),                 // window drops id 4
+      (101L, 0L, "(none)", -1L, "(none)", -1L),     // zero-touch conv
+      (102L, 1L, "b", 5L, "b", 5L),
+      (103L, 2L, "d", 7L, "c", 6L)))                // id tie-break
+    def rollup(df: org.apache.spark.sql.DataFrame) = df
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // linear: conv 100 splits 3 ways (333333 each — div floor), conv
+    // 102 takes all, conv 103 halves
+    assert(rollup(Behavior.linearAttribution(convs, touches, "user_id",
+      "conv_id", "conv_ts", "touch_id", "touch_ts", "channel", W)) === Map(
+      "a" -> ((1L, 2L, 666666L)), "b" -> ((2L, 2L, 1333333L)),
+      "c" -> ((1L, 1L, 500000L)), "d" -> ((1L, 1L, 500000L))))
+    // position: 40/20/40 on conv 100 (first AND last are channel a),
+    // 100% single, 50/50 pair
+    assert(rollup(Behavior.positionAttribution(convs, touches, "user_id",
+      "conv_id", "conv_ts", "touch_id", "touch_ts", "channel", W)) === Map(
+      "a" -> ((1L, 2L, 800000L)), "b" -> ((2L, 2L, 1200000L)),
+      "c" -> ((1L, 1L, 500000L)), "d" -> ((1L, 1L, 500000L))))
+    // decay: 10^6 >> full days of age — 0d/2d/3d for conv 100,
+    // 1d for the others
+    assert(rollup(Behavior.decayAttribution(convs, touches, "user_id",
+      "conv_id", "conv_ts", "touch_id", "touch_ts", "channel", W)) === Map(
+      "a" -> ((1L, 2L, 1125000L)), "b" -> ((2L, 2L, 750000L)),
+      "c" -> ((1L, 1L, 500000L)), "d" -> ((1L, 1L, 500000L))))
+  }
 }
