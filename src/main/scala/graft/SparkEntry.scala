@@ -2859,6 +2859,39 @@ object SparkEntry {
         "conv_id", "conv_ts", "touch_id", "touch_ts", "channel",
         windowSec = 7L * 24 * 3600)
     }),
+
+    // KMV SET ANALYTICS from the warehouse (q183's sibling planning
+    // question: "how much do these corpora OVERLAP?"): per source
+    // pair, Jaccard and intersection-size estimates read from the two
+    // stored bottom-64 sketches alone — the union's bottom-k members
+    // present in both sketches estimate ρ = J — audited against the
+    // exact term overlap computed relationally. Sketch frames are
+    // dimension-sized (one row per source), so the pair join is a
+    // broadcast of kilobytes at any corpus scale
+    "q199_kmv_set_stats" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val sk = words.groupBy(col("source"))
+        .agg(graft.functions.TypedAggs.kmvHashes(col("term"), 64).as("hs"))
+      val pairs = sk.select(col("source").as("src_a"), col("hs").as("ha"))
+        .join(sk.select(col("source").as("src_b"), col("hs").as("hb")),
+          col("src_a") < col("src_b"))
+      val ex = words.select(col("source"), col("term")).distinct()
+      val exact = ex.select(col("source").as("src_a"), col("term"))
+        .join(ex.select(col("source").as("src_b"), col("term")), "term")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(countDistinct(col("term")).as("exact_intersection"))
+      pairs
+        .withColumn("st", SketchStore.kmvSetStats(col("ha"), col("hb")))
+        .join(exact, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"), col("st.n_common"),
+          col("st.est_union"), col("st.est_jaccard"),
+          col("st.est_intersection"),
+          coalesce(col("exact_intersection"), lit(0L))
+            .as("exact_intersection"))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -5250,6 +5283,49 @@ object SparkEntry {
         |SELECT channel, count(DISTINCT conv_id)::BIGINT AS n_convs,
         |       count(*)::BIGINT AS n_touches, sum(w)::BIGINT AS weight_micro
         |FROM j GROUP BY 1""".stripMargin,
+
+    // the q152 bottom-k CTE per source, paired: union bottom-64 from
+    // the concatenated lists, ρ = members present in both, estimates
+    // from the same one-division arithmetic as kmvEstimate
+    "q199_kmv_set_stats" ->
+      """WITH w AS (SELECT DISTINCT source, term FROM (
+        |             SELECT source, unnest(string_split(text, ' ')) AS term
+        |             FROM documents)
+        |           WHERE length(term) > 0),
+        |h AS (SELECT source,
+        |        ('0x'||substr(md5('kmv:'||term),1,15))::BIGINT AS hv
+        |      FROM w),
+        |hd AS (SELECT DISTINCT source, hv FROM h),
+        |r AS (SELECT source, hv,
+        |        row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        |      FROM hd),
+        |sk AS (SELECT source, list(hv ORDER BY hv) AS hs
+        |       FROM r WHERE rn <= 64 GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |             a.hs AS ha, b.hs AS hb
+        |      FROM sk a JOIN sk b ON a.source < b.source),
+        |u AS (SELECT src_a, src_b, ha, hb,
+        |        list_slice(list_sort(list_distinct(list_concat(ha, hb))),
+        |                   1, 64) AS uk
+        |      FROM p),
+        |st AS (SELECT src_a, src_b,
+        |         len(list_filter(uk, x -> list_contains(ha, x)
+        |                                  AND list_contains(hb, x)))::BIGINT
+        |           AS n_common,
+        |         len(uk) AS denom,
+        |         CASE WHEN len(uk) < 64 THEN len(uk)::DOUBLE
+        |              ELSE 63.0 * 1152921504606846976 / uk[64] END AS est_u
+        |       FROM u),
+        |ex AS (SELECT a.source AS src_a, b.source AS src_b,
+        |              count(*)::BIGINT AS exact_intersection
+        |       FROM w a JOIN w b ON a.term = b.term AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT st.src_a, st.src_b, st.n_common,
+        |       round(est_u, 4) AS est_union,
+        |       round(n_common::DOUBLE / denom, 6) AS est_jaccard,
+        |       round(n_common::DOUBLE / denom * est_u, 4) AS est_intersection,
+        |       coalesce(ex.exact_intersection, 0)::BIGINT AS exact_intersection
+        |FROM st LEFT JOIN ex USING (src_a, src_b)""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

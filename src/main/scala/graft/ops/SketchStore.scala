@@ -99,6 +99,41 @@ object SketchStore {
       .otherwise(lit((k - 1).toDouble * 1152921504606846976.0 /* 2^60 */) /
         element_at(hs, k).cast("double"))
 
+  /** SET-ANALYTICS read over two stored KMV states (Beyer et al. 2007
+    * §5 — "distinct-value estimation over set operations"): Jaccard
+    * and intersection-size estimates from the sketches ALONE, no
+    * corpus rescan — the second planning question a warehouse answers
+    * after q183's join sizing ("how much do these two corpora
+    * overlap?"). The union's bottom-k is the bottom-k of the merged
+    * hash lists; ρ = the fraction of those union hashes present in
+    * BOTH sketches is an unbiased Jaccard estimator; |A∩B| ≈ ρ ·
+    * est(|A∪B|). Below capacity everything is EXACT (the sketches are
+    * the full hash sets). Pure codegen'd column arithmetic — integer
+    * counts, one float division of engine-identical operands, rounded
+    * reads — so the q199 oracle replays every field hash-exactly.
+    * Returns a struct (n_common, n_union_k, est_union, est_jaccard,
+    * est_intersection); empty-sketch pairs read zero overlap.
+    */
+  def kmvSetStats(ha: Column, hb: Column, k: Int = 64): Column = {
+    val u = slice(array_sort(array_distinct(concat(ha, hb))), 1, k)
+    val cnt = size(filter(u, h =>
+      array_contains(ha, h) && array_contains(hb, h)))
+    val denom = size(u)
+    val estU = when(denom < k, denom.cast("double"))
+      .otherwise(lit((k - 1).toDouble * 1152921504606846976.0 /* 2^60 */) /
+        element_at(u, k).cast("double"))
+    struct(
+      cnt.cast("long").as("n_common"),
+      denom.cast("long").as("n_union_k"),
+      round(estU, 4).as("est_union"),
+      when(denom === 0, lit(0.0))
+        .otherwise(round(cnt.cast("double") / denom.cast("double"), 6))
+        .as("est_jaccard"),
+      when(denom === 0, lit(0.0))
+        .otherwise(round(cnt.cast("double") / denom.cast("double") * estU, 4))
+        .as("est_intersection"))
+  }
+
   /** Per-(group, slice) Count–Min matrices over `valueCol` (stored as
     * the flat `counts` row the [[TypedAggs.cmsMerge]] reducer re-adds).
     */
