@@ -2892,6 +2892,18 @@ object SparkEntry {
           coalesce(col("exact_intersection"), lit(0L))
             .as("exact_intersection"))
     }),
+
+    // MMR diversified top-3 over the top-20 cosine candidates
+    // (Carbonell & Goldstein 1998 — the retrieval-diversification
+    // staple after ANN): greedy λ·rel − μ·max-sim-to-picked with
+    // λ = 0.7, μ = 0.3 passed as SEPARATE literals (1.0 − 0.7 is a
+    // different double than 0.3 — the literal-operand float rule);
+    // ties break by neighbor id, every score 6-digit-rounded before
+    // the greedy arithmetic
+    "q198_mmr_topk" -> ((s, dir) =>
+      Similarity.mmrTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryIds = (0L until 10L).toSeq, candidateK = 20, k = 3,
+        lambdaRel = 0.7, lambdaDiv = 0.3)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -5326,6 +5338,88 @@ object SparkEntry {
         |       round(n_common::DOUBLE / denom * est_u, 4) AS est_intersection,
         |       coalesce(ex.exact_intersection, 0)::BIGINT AS exact_intersection
         |FROM st LEFT JOIN ex USING (src_a, src_b)""".stripMargin,
+
+    // the greedy loop unrolled (the duckBpeSql precedent): the q25
+    // candidate body widened to top-20, pairwise candidate sims, then
+    // three pick rounds — each an anti-join + max-sim + argmax with
+    // the same raw-double ORDER BY the Spark struct argmin reads
+    "q198_mmr_topk" ->
+      """WITH e AS (
+        |  SELECT * FROM (
+        |    SELECT vec_id, embedding,
+        |           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
+        |    FROM embeddings)
+        |  WHERE norm2 > 0),
+        |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm2 AS q_norm2
+        |      FROM e WHERE vec_id < 10),
+        |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |                 i -> q.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |               / sqrt(q.q_norm2 * e.norm2), 6) AS score
+        |       FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |cand AS (SELECT query_id, neighbor_id, score FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, neighbor_id) AS rk
+        |           FROM sc)
+        |         WHERE rk <= 20),
+        |cv AS (SELECT c.query_id, c.neighbor_id, e.embedding AS vec,
+        |              e.norm2 AS n2
+        |       FROM cand c JOIN e ON e.vec_id = c.neighbor_id),
+        |ps AS (SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+        |         round(list_sum(list_transform(generate_series(1, len(a.vec)),
+        |                 i -> a.vec[i]::DOUBLE * b.vec[i]::DOUBLE))
+        |               / sqrt(a.n2 * b.n2), 6) AS sim
+        |       FROM cv a JOIN cv b ON a.query_id = b.query_id
+        |                          AND a.neighbor_id <> b.neighbor_id),
+        |p1 AS (SELECT query_id, 1::BIGINT AS pick_rank, neighbor_id,
+        |              score AS rel_score, 0.0 AS max_sim,
+        |              round(0.7 * score - 0.3 * 0.0, 6) AS mmr_score
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY 0.7 * score DESC, neighbor_id) AS rk
+        |             FROM cand)
+        |       WHERE rk = 1),
+        |r2 AS (SELECT c.query_id, c.neighbor_id, c.score,
+        |              coalesce(max(s.sim), 0.0) AS max_sim
+        |       FROM cand c
+        |       LEFT JOIN (SELECT ps.query_id, ps.a_id, ps.sim FROM ps
+        |                  JOIN p1 ON ps.query_id = p1.query_id
+        |                         AND ps.b_id = p1.neighbor_id) s
+        |         ON s.query_id = c.query_id AND s.a_id = c.neighbor_id
+        |       WHERE NOT EXISTS (SELECT 1 FROM p1
+        |                         WHERE p1.query_id = c.query_id
+        |                           AND p1.neighbor_id = c.neighbor_id)
+        |       GROUP BY 1, 2, 3),
+        |p2 AS (SELECT query_id, 2::BIGINT AS pick_rank, neighbor_id,
+        |              score AS rel_score, max_sim,
+        |              round(0.7 * score - 0.3 * max_sim, 6) AS mmr_score
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY 0.7 * score - 0.3 * max_sim DESC,
+        |                                  neighbor_id) AS rk
+        |             FROM r2)
+        |       WHERE rk = 1),
+        |pp AS (SELECT query_id, neighbor_id FROM p1
+        |       UNION ALL SELECT query_id, neighbor_id FROM p2),
+        |r3 AS (SELECT c.query_id, c.neighbor_id, c.score,
+        |              coalesce(max(s.sim), 0.0) AS max_sim
+        |       FROM cand c
+        |       LEFT JOIN (SELECT ps.query_id, ps.a_id, ps.sim FROM ps
+        |                  JOIN pp ON ps.query_id = pp.query_id
+        |                         AND ps.b_id = pp.neighbor_id) s
+        |         ON s.query_id = c.query_id AND s.a_id = c.neighbor_id
+        |       WHERE NOT EXISTS (SELECT 1 FROM pp
+        |                         WHERE pp.query_id = c.query_id
+        |                           AND pp.neighbor_id = c.neighbor_id)
+        |       GROUP BY 1, 2, 3),
+        |p3 AS (SELECT query_id, 3::BIGINT AS pick_rank, neighbor_id,
+        |              score AS rel_score, max_sim,
+        |              round(0.7 * score - 0.3 * max_sim, 6) AS mmr_score
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY 0.7 * score - 0.3 * max_sim DESC,
+        |                                  neighbor_id) AS rk
+        |             FROM r3)
+        |       WHERE rk = 1)
+        |SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |UNION ALL SELECT * FROM p3""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

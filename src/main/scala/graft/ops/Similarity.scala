@@ -390,6 +390,81 @@ object Similarity {
       .filter(col("neg_rank") <= k)
   }
 
+  /** MMR — Maximal Marginal Relevance diversified top-k (Carbonell &
+    * Goldstein 1998): greedily select `k` results balancing relevance
+    * against redundancy — pick r = argmax over unpicked candidates of
+    * λ·rel(c) − μ·max_{p∈picked} sim(c, p); the first pick has no
+    * diversity term (max_sim = 0). The retrieval-diversification
+    * staple a training-data selector runs after ANN: near-duplicate
+    * results waste the downstream budget. λ and μ are passed as TWO
+    * literals (not μ = 1 − λ): `1.0 - 0.7` is a DIFFERENT double than
+    * the literal `0.3`, and the argmax must read bit-identical scores
+    * on both engines (the literal-operand float rule).
+    *
+    * Shape: the candidate head is [[cosineKnn]] (bounded candidateK —
+    * compose with ANN candidates at corpus scale, the [[rerankExact]]
+    * seam); candidate-pair similarities are candidateK² per query,
+    * dimension-scale; each greedy round is one anti-join + one
+    * max-aggregate + one argmax — k rounds of hash aggregates, no
+    * Window beyond the candidate head, no driver loop over data (the
+    * Scala loop builds the PLAN k times, all data stays distributed).
+    * Output: (query_id, pick_rank, neighbor_id, rel_score, max_sim,
+    * mmr_score).
+    */
+  def mmrTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], candidateK: Int, k: Int,
+              lambdaRel: Double = 0.7, lambdaDiv: Double = 0.3): DataFrame = {
+    require(k >= 1 && candidateK >= k, "need candidateK >= k >= 1")
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    val cand = cosineKnn(emb, idCol, vecCol, queryIds, candidateK)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    val ev = normedVectors(emb, idCol, vecCol)
+    val withVec = cand.select(col("query_id"), col("neighbor_id"))
+      .join(ev, col("neighbor_id") === col("vid"))
+      .select(col("query_id"), col("neighbor_id"), col("vec"), col("norm2"))
+    val sims = withVec
+      .select(col("query_id"), col("neighbor_id").as("a_id"),
+        col("vec").as("a_vec"), col("norm2").as("a_n"))
+      .join(withVec.select(col("query_id"), col("neighbor_id").as("b_id"),
+        col("vec").as("b_vec"), col("norm2").as("b_n")), Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        expr("round(array_dot(a_vec, b_vec) / sqrt(a_n * b_n), 6)").as("sim"))
+    var picked: DataFrame = null
+    var remaining = cand
+    for (r <- 1 to k) {
+      val withMaxSim =
+        if (r == 1) remaining.withColumn("max_sim", lit(0.0))
+        else {
+          val toPicked = sims
+            .join(picked.select(col("query_id"),
+              col("neighbor_id").as("b_id")), Seq("query_id", "b_id"))
+            .groupBy(col("query_id"), col("a_id"))
+            .agg(max(col("sim")).as("_ms"))
+            .select(col("query_id"), col("a_id").as("neighbor_id"),
+              col("_ms"))
+          remaining.join(toPicked, Seq("query_id", "neighbor_id"), "left")
+            .withColumn("max_sim", coalesce(col("_ms"), lit(0.0)))
+            .drop("_ms")
+        }
+      val scored = withMaxSim.withColumn("mmr",
+        lit(lambdaRel) * col("score") - lit(lambdaDiv) * col("max_sim"))
+      val win = scored.groupBy(col("query_id"))
+        .agg(min(struct((-col("mmr")).as("nm"),
+          col("neighbor_id").as("nid"))).as("w"))
+        .select(col("query_id"), col("w.nid").as("neighbor_id"))
+      val pickRound = scored.join(win, Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), lit(r.toLong).as("pick_rank"),
+          col("neighbor_id"), col("score").as("rel_score"),
+          col("max_sim"), round(col("mmr"), 6).as("mmr_score"))
+      picked = if (picked == null) pickRound
+               else picked.unionByName(pickRound)
+      remaining = remaining.join(win, Seq("query_id", "neighbor_id"),
+        "left_anti")
+    }
+    picked
+  }
+
   /** Int8 scalar quantization of an embedding column (the SQ8 scheme of
     * the FAISS/vector-db world): per vector, `scale = maxabs/127` and
     * `q[pos] = round(x/maxabs·127) ∈ [-127, 127]` — 4× memory reduction
