@@ -5373,7 +5373,7 @@ object SparkEntry {
         |                          AND a.neighbor_id <> b.neighbor_id),
         |p1 AS (SELECT query_id, 1::BIGINT AS pick_rank, neighbor_id,
         |              score AS rel_score, 0.0 AS max_sim,
-        |              round(0.7 * score - 0.3 * 0.0, 6) AS mmr_score
+        |              round(0.7 * score - 0.3 * 0.0, 7) AS mmr_score
         |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |                         ORDER BY 0.7 * score DESC, neighbor_id) AS rk
         |             FROM cand)
@@ -5391,7 +5391,7 @@ object SparkEntry {
         |       GROUP BY 1, 2, 3),
         |p2 AS (SELECT query_id, 2::BIGINT AS pick_rank, neighbor_id,
         |              score AS rel_score, max_sim,
-        |              round(0.7 * score - 0.3 * max_sim, 6) AS mmr_score
+        |              round(0.7 * score - 0.3 * max_sim, 7) AS mmr_score
         |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |                         ORDER BY 0.7 * score - 0.3 * max_sim DESC,
         |                                  neighbor_id) AS rk
@@ -5412,7 +5412,7 @@ object SparkEntry {
         |       GROUP BY 1, 2, 3),
         |p3 AS (SELECT query_id, 3::BIGINT AS pick_rank, neighbor_id,
         |              score AS rel_score, max_sim,
-        |              round(0.7 * score - 0.3 * max_sim, 6) AS mmr_score
+        |              round(0.7 * score - 0.3 * max_sim, 7) AS mmr_score
         |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |                         ORDER BY 0.7 * score - 0.3 * max_sim DESC,
         |                                  neighbor_id) AS rk

@@ -453,10 +453,15 @@ object Similarity {
         .agg(min(struct((-col("mmr")).as("nm"),
           col("neighbor_id").as("nid"))).as("w"))
         .select(col("query_id"), col("w.nid").as("neighbor_id"))
+      // round to SEVEN digits, not six: λ·s − μ·m over 6-digit inputs
+      // with 1-digit λ/μ is EXACTLY a 7-decimal number, so a 6-digit
+      // round hits the x.xxxxxx5 tie and Spark/DuckDB round ties
+      // differently (found at sf0.01: 0.7·0.371485 = 0.2600395); at 7
+      // digits the true value has no 8th digit to tie on
       val pickRound = scored.join(win, Seq("query_id", "neighbor_id"))
         .select(col("query_id"), lit(r.toLong).as("pick_rank"),
           col("neighbor_id"), col("score").as("rel_score"),
-          col("max_sim"), round(col("mmr"), 6).as("mmr_score"))
+          col("max_sim"), round(col("mmr"), 7).as("mmr_score"))
       picked = if (picked == null) pickRound
                else picked.unionByName(pickRound)
       remaining = remaining.join(win, Seq("query_id", "neighbor_id"),
