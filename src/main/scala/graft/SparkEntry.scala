@@ -2904,6 +2904,60 @@ object SparkEntry {
       Similarity.mmrTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryIds = (0L until 10L).toSeq, candidateK = 20, k = 3,
         lambdaRel = 0.7, lambdaDiv = 0.3)),
+
+    // RFM segmentation over the order log: the log reduces to one row
+    // per customer first, then three PrefixSum ntiles on the
+    // dimension-scale frame (never a single-task global Window)
+    "q200_rfm_segments" -> ((s, dir) =>
+      Behavior.rfmSegments(Tables.orders(s, dir), "o_custkey",
+        "o_orderdate", "o_totalprice", buckets = 5)),
+
+    // A/B read-out: salted-hash arm assignment (replayable, unlike
+    // rand() splits), two-proportion z from +,-,×,÷,sqrt only — all
+    // correctly-rounded IEEE ops, so the oracle's identical
+    // expression tree reproduces the doubles bit-for-bit
+    "q201_ab_test" -> ((s, dir) =>
+      Behavior.abTest(Tables.events(s, dir), "user_id", "event_type",
+        "purchase")),
+
+    // capped inverted index: WindowGroupLimit pre-prunes the
+    // per-token rank below the shuffle (the q04 plan); df keeps any
+    // truncation observable (df > cap ⇒ truncated)
+    "q202_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, dir), "doc_id",
+        "text", maxPostings = 5)),
+
+    // AND-query served from the capped index: the two highest-df
+    // terms (the worst-case intersection), top-20 by combined tf;
+    // everything after the vocab argmax runs at serving scale
+    "q203_and_query" -> ((s, dir) =>
+      TextAnalysis.andQuery(
+        TextAnalysis.invertedIndex(Tables.documents(s, dir), "doc_id",
+          "text", maxPostings = 1000), k = 20)),
+
+    // inverted-index WAREHOUSE: each doc's text arrives split across
+    // two slices (the append-log case — first-half words in slice 0,
+    // rest in slice 1; short docs whole), per-slice postings
+    // store-merge by tf-sum, capped view rebuilt through the SHARED
+    // read body — the oracle is the full-corpus q202 index, proving
+    // store-merge ≡ rescan relationally
+    "q204_index_store" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val words = split(col("text"), " ")
+      val n = size(words)
+      val whole = d.filter(size(split(col("text"), " ")) < 4)
+        .select(col("doc_id"), lit(0).as("slice"), col("text"))
+      val big = d.filter(size(split(col("text"), " ")) >= 4)
+      val partA = big.select(col("doc_id"), lit(0).as("slice"),
+        array_join(slice(words, lit(1), n / 2), " ").as("text"))
+      val partB = big.select(col("doc_id"), lit(1).as("slice"),
+        array_join(slice(words, n / 2 + 1, n - n / 2), " ").as("text"))
+      val store = TextAnalysis.indexSlices(
+        whole.unionByName(partA).unionByName(partB),
+        "doc_id", "text", "slice")
+      TextAnalysis.cappedIndex(
+        TextAnalysis.indexMergeSlices(store), maxPostings = 5)
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -5420,6 +5474,144 @@ object SparkEntry {
         |       WHERE rk = 1)
         |SELECT * FROM p1 UNION ALL SELECT * FROM p2
         |UNION ALL SELECT * FROM p3""".stripMargin,
+
+    // SQL-standard ntile ≡ exactNtile (the q40 identity); spend sums
+    // as DECIMAL so the fold is order-independent (the q14 rule)
+    "q200_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS cust, max(o_orderdate) AS last_ts,
+        |         count(*) AS freq,
+        |         sum(CAST(o_totalprice AS DECIMAL(28,10))) AS money
+        |  FROM orders GROUP BY 1),
+        |scored AS (
+        |  SELECT cust, money,
+        |         ntile(5) OVER (ORDER BY last_ts ASC, cust ASC)::BIGINT AS r_score,
+        |         ntile(5) OVER (ORDER BY freq ASC, cust ASC)::BIGINT AS f_score,
+        |         ntile(5) OVER (ORDER BY money ASC, cust ASC)::BIGINT AS m_score
+        |  FROM per)
+        |SELECT r_score, f_score, m_score,
+        |       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
+        |            WHEN r_score >= 4 THEN 'recent'
+        |            WHEN f_score >= 4 THEN 'at_risk'
+        |            ELSE 'hibernating' END AS segment,
+        |       count(*) AS n_customers,
+        |       round(sum(money), 2)::DOUBLE AS revenue
+        |FROM scored GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // the z expression tree mirrors the Spark side token-for-token
+    // (left-assoc products, same literal operands) — with only
+    // correctly-rounded IEEE ops the doubles match bit-for-bit; the
+    // significance flag reads FULL-precision z on both engines
+    "q201_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CASE WHEN sum(CASE WHEN lower(event_type) = 'purchase'
+        |                            THEN 1 ELSE 0 END) * 5 > count(*)
+        |              THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY 1),
+        |v AS (
+        |  SELECT ('0x'||substr(md5('ab:'||user_id::VARCHAR),1,15))::BIGINT % 2
+        |           AS variant, conv
+        |  FROM u),
+        |arms AS (
+        |  SELECT variant, count(*) AS n, sum(conv)::BIGINT AS x
+        |  FROM v GROUP BY 1),
+        |p AS (
+        |  SELECT a0.n AS n_control, a0.x AS conv_control,
+        |         a1.n AS n_treat, a1.x AS conv_treat
+        |  FROM (SELECT n, x FROM arms WHERE variant = 0) a0,
+        |       (SELECT n, x FROM arms WHERE variant = 1) a1),
+        |z AS (
+        |  SELECT *,
+        |         CASE WHEN conv_control + conv_treat = 0
+        |                OR conv_control + conv_treat = n_control + n_treat
+        |              THEN 0.0
+        |              ELSE (conv_treat::DOUBLE / n_treat::DOUBLE
+        |                      - conv_control::DOUBLE / n_control::DOUBLE)
+        |                   / sqrt(((conv_control + conv_treat)::DOUBLE
+        |                             / (n_control + n_treat)::DOUBLE)
+        |                          * (1.0 - (conv_control + conv_treat)::DOUBLE
+        |                                   / (n_control + n_treat)::DOUBLE)
+        |                          * (1.0 / n_control::DOUBLE
+        |                             + 1.0 / n_treat::DOUBLE)) END AS zf
+        |  FROM p)
+        |SELECT n_control, conv_control, n_treat, conv_treat,
+        |       round(conv_control::DOUBLE / n_control::DOUBLE, 6) AS rate_control,
+        |       round(conv_treat::DOUBLE / n_treat::DOUBLE, 6) AS rate_treat,
+        |       round(zf, 6) AS z_score,
+        |       abs(zf) > 1.96 AS significant
+        |FROM z""".stripMargin,
+
+    "q202_inverted_index" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT token, count(*) AS df, sum(tf)::BIGINT AS cf
+        |  FROM post GROUP BY 1),
+        |ranked AS (
+        |  SELECT token, doc_id, tf,
+        |         row_number() OVER (PARTITION BY token
+        |                            ORDER BY tf DESC, doc_id ASC) AS rk
+        |  FROM post)
+        |SELECT r.token, r.doc_id, r.tf, r.rk, s.df, s.cf
+        |FROM ranked r JOIN stats s USING (token)
+        |WHERE r.rk <= 5""".stripMargin,
+
+    // the merge ≡ rescan identity: the store round-trip (split-text
+    // slices → tf-sum merge → shared capped read) must land on
+    // EXACTLY the full-corpus index — so the oracle IS q202's query
+    "q204_index_store" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT token, count(*) AS df, sum(tf)::BIGINT AS cf
+        |  FROM post GROUP BY 1),
+        |ranked AS (
+        |  SELECT token, doc_id, tf,
+        |         row_number() OVER (PARTITION BY token
+        |                            ORDER BY tf DESC, doc_id ASC) AS rk
+        |  FROM post)
+        |SELECT r.token, r.doc_id, r.tf, r.rk, s.df, s.cf
+        |FROM ranked r JOIN stats s USING (token)
+        |WHERE r.rk <= 5""".stripMargin,
+
+    // the capped-index read replayed end-to-end: same cap (1000),
+    // same top-2-df term pick, same combined-tf ranking
+    "q203_and_query" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id, tf FROM (
+        |    SELECT token, doc_id, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |vocab AS (
+        |  -- df is the UNCAPPED document frequency (what the index's
+        |  -- stats column carries), not the capped posting length
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |ab AS (
+        |  SELECT min(token) AS ta, max(token) AS tb FROM (
+        |    SELECT token FROM vocab
+        |    ORDER BY df DESC, token ASC LIMIT 2)),
+        |a AS (SELECT doc_id, tf AS tf_a FROM idx, ab WHERE token = ta),
+        |b AS (SELECT doc_id, tf AS tf_b FROM idx, ab WHERE token = tb)
+        |SELECT doc_id, tf_a, tf_b, tf_a + tf_b AS score, rk FROM (
+        |  SELECT a.doc_id, tf_a, tf_b,
+        |         row_number() OVER (ORDER BY tf_a + tf_b DESC,
+        |                            a.doc_id ASC) AS rk
+        |  FROM a JOIN b ON a.doc_id = b.doc_id)
+        |WHERE rk <= 20""".stripMargin,
 
     // both directions from one |A∩B|; the filter reads the ROUNDED
     // values on both engines (the subquery aliases)

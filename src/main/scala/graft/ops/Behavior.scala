@@ -331,4 +331,126 @@ object Behavior {
         count(lit(1)).as("n_touches"),
         sum(col("_w")).as("weight_micro"))
   }
+
+  /** RFM customer segmentation — the classic recency / frequency /
+    * monetary scoring over an order log, the first segmentation a
+    * commerce analytics user builds after the reference's seven use
+    * cases. Each customer gets three 1..`buckets` quintile scores
+    * (5 = most recent / most frequent / highest spend) and a coarse
+    * segment label; output is the (r, f, m) segment rollup with
+    * customer counts and revenue.
+    *
+    * Shape: the order log reduces FIRST to one row per customer (one
+    * hash aggregate — the only pass over the full log), then the
+    * three ntiles run on that dimension-scale frame via
+    * [[Quantiles.exactNtileGlobal]]'s range-partitioned PrefixSum —
+    * never a single-task global Window even when "dimension-scale" is
+    * 150M customers at SF100k. Ties break on the customer key (the
+    * deterministic-order rule); spend sums as DECIMAL(28,10) so the
+    * fold is order-independent (the q14 rule). The per-customer frame
+    * is lineage-pinned ([[Checkpoints.pin]], eager = false) so the
+    * order-log aggregate materializes ONCE, not once per ntile.
+    */
+  def rfmSegments(orders: DataFrame, custCol: String, tsCol: String,
+                  amountCol: String, buckets: Int = 5,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val per = Checkpoints.pin(
+      orders.groupBy(col(custCol).as("cust"))
+        .agg(max(col(tsCol)).as("last_ts"), count(lit(1)).as("freq"),
+          sum(col(amountCol).cast("decimal(28,10)")).as("money")),
+      checkpointDir, eager = false)
+    def score(orderCol: String, as: String): DataFrame =
+      Quantiles.exactNtileGlobal(per, Seq(orderCol, "cust"), buckets,
+        checkpointDir = checkpointDir)
+        .select(col("cust"), col("bucket").as(as))
+    val hi = buckets - 1 // top-two-bucket threshold at the default 5
+    per.select(col("cust"), col("money"))
+      .join(score("last_ts", "r_score"), "cust")
+      .join(score("freq", "f_score"), "cust")
+      .join(score("money", "m_score"), "cust")
+      .withColumn("segment",
+        when(col("r_score") >= hi && col("f_score") >= hi, "champions")
+          .when(col("r_score") >= hi, "recent")
+          .when(col("f_score") >= hi, "at_risk")
+          .otherwise("hibernating"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"),
+        col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("money")), 2).cast("double").as("revenue"))
+  }
+
+  /** A/B experiment read-out over the event log: users assign to
+    * variant 0/1 by salted md5₆₀ hash (deterministic, uniform, and
+    * REPLAYABLE — the same user lands in the same arm on every engine
+    * and every re-run, the property ad-hoc `rand()` splits lose), a
+    * user converts if `convType` makes up MORE than 1/`shareDenom` of
+    * their events (an SF-stable metric: "has ≥ 1 purchase" saturates
+    * to 100% as per-user history grows, the degenerate se = 0 case —
+    * found at the sf0.001 gate where all 15 users had purchased), and
+    * the output is one row: per-arm exposure/conversion counts,
+    * rates, and the two-proportion z statistic with its |z| > 1.96
+    * flag. A saturated read-out (0% or 100% pooled) reports z = 0,
+    * not significant — identical rates carry no evidence.
+    *
+    * Cross-engine exactness: the conversion test is an integer
+    * cross-multiply; the rates and z are IEEE doubles built ONLY
+    * from +, −, ×, ÷, sqrt — all correctly rounded operations, so an
+    * oracle writing the SAME expression tree reproduces them
+    * bit-for-bit (the no-ln/exp rule: those are libm-dependent,
+    * these are not). The significance flag compares the
+    * FULL-precision z so it cannot disagree with the rounded display
+    * value's band.
+    *
+    * Shape: one hash aggregate to the per-user frame (the only pass
+    * over the log), one 2-row aggregate, one broadcast self-pair —
+    * the read-out costs a scan at any scale.
+    */
+  def abTest(events: DataFrame, userCol: String, typeCol: String,
+             convType: String, shareDenom: Int = 5,
+             salt: String = "ab"): DataFrame = {
+    require(shareDenom >= 2, "shareDenom must be >= 2")
+    val users = events
+      .select(col(userCol).as("user_id"),
+        (lower(col(typeCol)) === convType).cast("long").as("_c"))
+      .groupBy(col("user_id"))
+      .agg((sum(col("_c")) * shareDenom > count(lit(1))).as("_conv"))
+      .select(col("user_id"), col("_conv"),
+        (graft.functions.Hashing.md5Long(
+          concat(lit(s"$salt:"), col("user_id").cast("string"))) % 2)
+          .as("variant"))
+    val arms = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_conv").cast("long")).as("x"))
+    val a0 = arms.filter(col("variant") === 0)
+      .select(col("n").as("n_control"), col("x").as("conv_control"))
+    val a1 = arms.filter(col("variant") === 1)
+      .select(col("n").as("n_treat"), col("x").as("conv_treat"))
+    a0.crossJoin(broadcast(a1)) // two 1-row frames
+      .withColumn("rate_control",
+        round(col("conv_control").cast("double") /
+          col("n_control").cast("double"), 6))
+      .withColumn("rate_treat",
+        round(col("conv_treat").cast("double") /
+          col("n_treat").cast("double"), 6))
+      .withColumn("_z",
+        // CASE branches evaluate lazily, so the saturated case (pooled
+        // rate 0 or 1 ⇒ se = 0) never reaches the division
+        when(col("conv_control") + col("conv_treat") === 0 ||
+          col("conv_control") + col("conv_treat") ===
+            col("n_control") + col("n_treat"), lit(0.0))
+          .otherwise(
+            (col("conv_treat").cast("double") / col("n_treat").cast("double") -
+              col("conv_control").cast("double") / col("n_control").cast("double")) /
+              sqrt(((col("conv_control") + col("conv_treat")).cast("double") /
+                (col("n_control") + col("n_treat")).cast("double")) *
+                (lit(1.0) - (col("conv_control") + col("conv_treat")).cast("double") /
+                  (col("n_control") + col("n_treat")).cast("double")) *
+                (lit(1.0) / col("n_control").cast("double") +
+                  lit(1.0) / col("n_treat").cast("double")))))
+      .select(col("n_control"), col("conv_control"), col("n_treat"),
+        col("conv_treat"), col("rate_control"), col("rate_treat"),
+        round(col("_z"), 6).as("z_score"),
+        (abs(col("_z")) > 1.96).as("significant"))
+  }
 }

@@ -1094,4 +1094,131 @@ object TextAnalysis {
       .select(col("doc_id"), col("label"),
         (col("prior_logp") + coalesce(col("like"), lit(0.0))).as("score"))
   }
+
+  /** Inverted index build — token → CAPPED posting list, flattened to
+    * one row per (token, doc) with the per-token stats alongside:
+    * `tf` (term count in the doc), `rk` (posting rank by tf desc,
+    * doc asc), `df` (document frequency), `cf` (collection
+    * frequency). The search-serving artifact every retrieval stack
+    * builds over its corpus.
+    *
+    * 100 TB shape: postings and stats are hash aggregates over the
+    * exploded (token, doc) frame; the per-token rank is a
+    * partition-by-token Window whose `rk <= maxPostings` filter Spark
+    * 4 pushes below the shuffle as WindowGroupLimit (the q04 plan) —
+    * per-partition top-N pre-pruning, so a stop-word token ships at
+    * most maxPostings rows per map partition, not its full posting
+    * list. The cap is the skew bound: hot tokens ARE the skew, the
+    * capped index bounds them, and `df` keeps the truncation
+    * observable (`df > maxPostings` ⇒ truncated — the q95
+    * observable-cap rule). The (token, doc, tf) frame feeds both the
+    * stats and the ranking, so it is lineage-pinned
+    * ([[Checkpoints.pin]], eager = false): the exploded-corpus
+    * aggregate — THE expensive pass at 100 TB — runs once.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int,
+                    checkpointDir: Option[String] = None): DataFrame =
+    cappedIndex(tokenPostings(docs, idCol, textCol), maxPostings,
+      checkpointDir)
+
+  /** The raw (token, doc_id, tf) posting frame — ONE hash aggregate
+    * over the exploded corpus; the shared body of [[invertedIndex]]
+    * and [[indexSlices]] (build and store ingest cannot drift).
+    */
+  def tokenPostings(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = docs
+    .select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("token"))
+    .groupBy(col("token"), col("doc_id"))
+    .agg(count(lit(1)).as("tf"))
+
+  /** The capped serving view over a raw posting frame — the shared
+    * READ body of [[invertedIndex]] (inline build) and the
+    * store-merge path ([[indexMergeSlices]] → here), so corpus-rescan
+    * and warehouse reads produce the identical artifact.
+    */
+  def cappedIndex(postings: DataFrame, maxPostings: Int,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    require(maxPostings >= 1, "maxPostings must be >= 1")
+    val post = Checkpoints.pin(postings, checkpointDir, eager = false)
+    val stats = post.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token"))
+      .orderBy(col("tf").desc, col("doc_id").asc)
+    post.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= maxPostings)
+      .join(stats, "token")
+      .select(col("token"), col("doc_id"), col("tf"), col("rk"),
+        col("df"), col("cf"))
+  }
+
+  /** Per-slice posting aggregates for the inverted-index WAREHOUSE —
+    * the store family's contract (kmv/cms/hll/hist/bloom siblings in
+    * [[SketchStore]]) applied to the exact postings artifact: each
+    * corpus slice aggregates independently to (slice, token, doc_id,
+    * tf) rows, written once at ingest; [[indexMergeSlices]] folds any
+    * subset back into the raw posting frame without re-reading text.
+    *
+    * 100 TB shape: a slice's rows are ONE hash aggregate over that
+    * slice only (work ∝ new data, the ingest-gate rule); stored
+    * bucketed by `token`, merges are zero-Exchange and the capped
+    * serving view rebuilds from postings-scale rows — the corpus text
+    * is scanned exactly once per slice, ever.
+    */
+  def indexSlices(docs: DataFrame, idCol: String, textCol: String,
+                  sliceCol: String): DataFrame =
+    docs.select(col(sliceCol).as("slice"), col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("slice"), col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Fold stored index slices back into the raw posting frame:
+    * tf sums by (token, doc) — order-independent and exact, including
+    * the append-log case where one document's text arrives across
+    * several slices (a doc_id spanning slices sums its term counts,
+    * exactly what a corpus rescan would see). Feed the result to
+    * [[cappedIndex]] / [[andQuery]]; the identity
+    * `cappedIndex(indexMergeSlices(indexSlices(docs))) ≡
+    * invertedIndex(docs)` is the q204 oracle.
+    */
+  def indexMergeSlices(slices: DataFrame): DataFrame =
+    slices.groupBy(col("token"), col("doc_id"))
+      .agg(sum(col("tf")).as("tf"))
+
+  /** Conjunctive (AND) query served FROM the capped inverted index —
+    * the read half of [[invertedIndex]]: picks the two
+    * highest-`df` terms (the worst case for intersection size — ties
+    * break by term), intersects their capped posting lists on doc_id,
+    * and returns the top-`k` docs by combined tf. Terms come from the
+    * index itself so the query is deterministic at every SF.
+    *
+    * Serving shape: the term pick is a vocabulary-scale argmax; the
+    * two posting lists are ≤ maxPostings rows each (the cap IS the
+    * serving latency bound — real engines serve from impact-ordered
+    * capped postings for exactly this reason), so the intersection,
+    * score, and final top-k all run at serving scale regardless of
+    * corpus size. A STORED index is read three times with pushed
+    * token filters (cheap); an inline-built one is lineage-pinned
+    * ([[Checkpoints.pin]], eager = false) so the build runs once.
+    */
+  def andQuery(index: DataFrame, k: Int,
+               checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val idx = Checkpoints.pin(index, checkpointDir, eager = false)
+    val top2 = idx.select(col("token"), col("df")).distinct()
+      .orderBy(col("df").desc, col("token").asc).limit(2)
+    val ab = top2.agg(min(col("token")).as("ta"), max(col("token")).as("tb"))
+    val a = idx.join(broadcast(ab), col("token") === col("ta"))
+      .select(col("doc_id"), col("tf").as("tf_a"))
+    val b = idx.join(broadcast(ab), col("token") === col("tb"))
+      .select(col("doc_id"), col("tf").as("tf_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy((col("tf_a") + col("tf_b")).desc, col("doc_id").asc)
+    a.join(b, "doc_id")
+      .withColumn("score", col("tf_a") + col("tf_b"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

@@ -185,4 +185,76 @@ class FunnelSpec extends AnyFunSuite {
       "a" -> ((1L, 2L, 1125000L)), "b" -> ((2L, 2L, 750000L)),
       "c" -> ((1L, 1L, 500000L)), "d" -> ((1L, 1L, 500000L))))
   }
+
+  test("rfmSegments: independent quintiles, money tie-break on cust, all four labels") {
+    import graft.ops.Behavior
+    // customer k: f_k orders, all at ts=k (so last_ts=k), amount k each
+    //   f:  c1..c10 = 3,4,9,10,5,6,1,2,7,8   money_k = f_k * k
+    // quintiles over 10 customers = 2 per bucket:
+    //   r (last_ts asc):  c1,c2->1  c3,c4->2  c5,c6->3  c7,c8->4  c9,c10->5
+    //   f (freq asc):     c7,c8->1  c1,c2->2  c5,c6->3  c9,c10->4  c3,c4->5
+    //   m (money asc):    c1(3),c7(7)->1  c2(8),c8(16)->2  c5(25),c3(27)->3
+    //                     c6(36),c4(40)->4  c9(63),c10(80)->5
+    val f = Map(1 -> 3, 2 -> 4, 3 -> 9, 4 -> 10, 5 -> 5, 6 -> 6,
+      7 -> 1, 8 -> 2, 9 -> 7, 10 -> 8)
+    val orders = (1 to 10).flatMap(k => Seq.fill(f(k))((k.toLong, k.toLong, k.toDouble)))
+      .toDF("cust", "sec", "amount")
+      .select($"cust", timestamp_seconds($"sec").as("ts"), $"amount")
+    val out = Behavior.rfmSegments(orders, "cust", "ts", "amount", buckets = 5)
+      .as[(Long, Long, Long, String, Long, Double)].collect().toSet
+    assert(out === Set(
+      (1L, 2L, 1L, "hibernating", 1L, 3.0),   // c1
+      (1L, 2L, 2L, "hibernating", 1L, 8.0),   // c2
+      (2L, 5L, 3L, "at_risk", 1L, 27.0),      // c3: f>=4, r<4
+      (2L, 5L, 4L, "at_risk", 1L, 40.0),      // c4
+      (3L, 3L, 3L, "hibernating", 1L, 25.0),  // c5
+      (3L, 3L, 4L, "hibernating", 1L, 36.0),  // c6
+      (4L, 1L, 1L, "recent", 1L, 7.0),        // c7: r>=4, f<4
+      (4L, 1L, 2L, "recent", 1L, 16.0),       // c8
+      (5L, 4L, 5L, "champions", 2L, 143.0)))  // c9+c10 share one cell
+  }
+
+  test("abTest: strict-share conversion rule, md5 arms, z replayed in scala, saturation => z=0") {
+    import graft.ops.Behavior
+    // the same 60-bit md5 arm the operator computes, replayed by hand
+    def arm(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ab:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 2
+    }
+    // user u: 10 events, p_u purchases; converts iff 5*p > 10, i.e.
+    // p >= 3 — u=2 sits EXACTLY at 1/5 share (5*2 = 10) and must NOT
+    // convert (strict >); case-insensitivity via "PURCHASE"
+    val p = Map(1L -> 0, 2L -> 2, 3L -> 3, 4L -> 5, 5L -> 10, 6L -> 1,
+      7L -> 4, 8L -> 0)
+    val events = p.toSeq.flatMap { case (u, k) =>
+      Seq.fill(k)((u, "PURCHASE")) ++ Seq.fill(10 - k)((u, "pv"))
+    }.toDF("user_id", "event_type")
+    val conv = p.map { case (u, k) => u -> (5 * k > 10) }
+    val byArm = p.keys.groupBy(arm)
+    val (n0, x0) = (byArm(0L).size.toLong, byArm(0L).count(conv).toLong)
+    val (n1, x1) = (byArm(1L).size.toLong, byArm(1L).count(conv).toLong)
+    assume(n0 > 0 && n1 > 0) // both arms populated for this user set
+    val row = Behavior.abTest(events, "user_id", "event_type", "purchase")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Boolean)]
+      .collect().head
+    val pool = (x0 + x1).toDouble / (n0 + n1).toDouble
+    val z = if (x0 + x1 == 0 || x0 + x1 == n0 + n1) 0.0
+      else (x1.toDouble / n1 - x0.toDouble / n0) /
+        math.sqrt(pool * (1.0 - pool) * (1.0 / n0 + 1.0 / n1))
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row === ((n0, x0, n1, x1,
+      r6(x0.toDouble / n0), r6(x1.toDouble / n1), r6(z),
+      math.abs(z) > 1.96)))
+    // saturated read-out: everyone converts => z pinned to 0, not
+    // significant (identical rates carry no evidence)
+    val allConv = Seq(1L, 2L, 3L, 4L).flatMap(u =>
+      Seq.fill(10)((u, "purchase"))).toDF("user_id", "event_type")
+    val sat = Behavior.abTest(allConv, "user_id", "event_type", "purchase")
+      .select($"z_score", $"significant").as[(Double, Boolean)]
+      .collect().head
+    assert(sat === ((0.0, false)))
+  }
 }

@@ -1929,4 +1929,44 @@ class MiningSpec extends AnyFunSuite {
       "doc_id", "source")
     assert(tiny.filter($"source" === "one").count() === 1L)
   }
+
+  test("invertedIndex: capped postings, uncapped df/cf witness, rank ties on doc") {
+    val df = docs(
+      (1L, "a b a c a", "s"),  // a=3 b=1 c=1
+      (2L, "a b b", "s"),      // a=1 b=2
+      (3L, "c c c c", "s"),    // c=4
+      (4L, "a", "s"))          // a=1
+    val idx = TextAnalysis.invertedIndex(df, "doc_id", "text", maxPostings = 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(idx === Set(
+      // a: df=3 > cap 2 — truncation OBSERVABLE via df; d4 (tf 1,
+      //    later doc than d2's tf-1 tie) is the dropped posting
+      ("a", 1L, 3L, 1L, 3L, 5L), ("a", 2L, 1L, 2L, 3L, 5L),
+      ("b", 2L, 2L, 1L, 2L, 3L), ("b", 1L, 1L, 2L, 2L, 3L),
+      ("c", 3L, 4L, 1L, 2L, 5L), ("c", 1L, 1L, 2L, 2L, 5L)))
+  }
+
+  test("andQuery: top-2-df terms intersect, combined-tf ranks, non-shared docs drop") {
+    val df = docs(
+      (1L, "a b a c a", "s"),
+      (2L, "a b b", "s"),
+      (3L, "c c c c", "s"),   // c-only: never in the a AND b result
+      (4L, "a", "s"))         // a-only: drops at the intersection
+    // df: a=3, b=2, c=2 — b wins the tie on token asc; ta="a", tb="b"
+    val idx = TextAnalysis.invertedIndex(df, "doc_id", "text",
+      maxPostings = 10)
+    val hits = TextAnalysis.andQuery(idx, k = 10)
+      .select($"doc_id", $"tf_a", $"tf_b", $"score", $"rk")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(hits === Set((1L, 3L, 1L, 4L, 1L), (2L, 1L, 2L, 3L, 2L)))
+    // k truncates by rank
+    assert(TextAnalysis.andQuery(idx, k = 1)
+      .select($"doc_id").as[Long].collect().toSeq === Seq(1L))
+    // the cap bounds the posting list the query reads: with
+    // maxPostings=1, a keeps only d1 (tf 3) and b only d2 (tf 2) —
+    // the intersection is empty, the serving-latency trade made loud
+    val idx1 = TextAnalysis.invertedIndex(df, "doc_id", "text",
+      maxPostings = 1)
+    assert(TextAnalysis.andQuery(idx1, k = 10).count() === 0L)
+  }
 }
