@@ -2948,10 +2948,14 @@ object SparkEntry {
       val whole = d.filter(size(split(col("text"), " ")) < 4)
         .select(col("doc_id"), lit(0).as("slice"), col("text"))
       val big = d.filter(size(split(col("text"), " ")) >= 4)
+      // integer halving: Column `/` is double division, and the
+      // implicit double→int truncation drops the last word of every
+      // odd-length doc (n=5 → lengths 2.5/3.5/2.5) — floor to int
+      val half = floor(n / 2).cast("int")
       val partA = big.select(col("doc_id"), lit(0).as("slice"),
-        array_join(slice(words, lit(1), n / 2), " ").as("text"))
+        array_join(slice(words, lit(1), half), " ").as("text"))
       val partB = big.select(col("doc_id"), lit(1).as("slice"),
-        array_join(slice(words, n / 2 + 1, n - n / 2), " ").as("text"))
+        array_join(slice(words, half + 1, n - half), " ").as("text"))
       val store = TextAnalysis.indexSlices(
         whole.unionByName(partA).unionByName(partB),
         "doc_id", "text", "slice")

@@ -323,9 +323,13 @@ object Behavior {
       .filter(col("_tts") <= col("conv_ts") &&
         col("_tts") >= col("conv_ts") - expr(s"INTERVAL $windowSec SECOND"))
       .select(col("_ch").as("channel"), col("conv_id"),
+        // JVM shifts mask the count to 6 bits, so an unclamped
+        // age ≥ 64 days would WRAP to full weight; ≥ 63 days is
+        // weight 0 either way, so clamp the shift there
         call_function("shiftright", lit(1000000L),
-          ((unix_timestamp(col("conv_ts")) - unix_timestamp(col("_tts"))) /
-            lit(86400L)).cast("int")).as("_w"))
+          least(((unix_timestamp(col("conv_ts")) -
+            unix_timestamp(col("_tts"))) /
+            lit(86400L)).cast("int"), lit(63))).as("_w"))
       .groupBy(col("channel"))
       .agg(countDistinct(col("conv_id")).as("n_convs"),
         count(lit(1)).as("n_touches"),
@@ -412,7 +416,11 @@ object Behavior {
     require(shareDenom >= 2, "shareDenom must be >= 2")
     val users = events
       .select(col(userCol).as("user_id"),
-        (lower(col(typeCol)) === convType).cast("long").as("_c"))
+        // lowercase BOTH sides — a mixed-case convType argument must
+        // not silently measure zero conversions
+        (lower(col(typeCol)) ===
+          convType.toLowerCase(java.util.Locale.ROOT)).cast("long")
+          .as("_c"))
       .groupBy(col("user_id"))
       .agg((sum(col("_c")) * shareDenom > count(lit(1))).as("_conv"))
       .select(col("user_id"), col("_conv"),

@@ -1209,7 +1209,11 @@ object TextAnalysis {
     val idx = Checkpoints.pin(index, checkpointDir, eager = false)
     val top2 = idx.select(col("token"), col("df")).distinct()
       .orderBy(col("df").desc, col("token").asc).limit(2)
+    // a single-token vocabulary makes min = max: the posting list
+    // would self-join and every doc come back as a fake intersection,
+    // so the degenerate case returns empty instead
     val ab = top2.agg(min(col("token")).as("ta"), max(col("token")).as("tb"))
+      .filter(col("ta") =!= col("tb"))
     val a = idx.join(broadcast(ab), col("token") === col("ta"))
       .select(col("doc_id"), col("tf").as("tf_a"))
     val b = idx.join(broadcast(ab), col("token") === col("tb"))

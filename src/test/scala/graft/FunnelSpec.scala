@@ -186,6 +186,29 @@ class FunnelSpec extends AnyFunSuite {
       "c" -> ((1L, 1L, 500000L)), "d" -> ((1L, 1L, 500000L))))
   }
 
+  test("decayAttribution: shift clamps at 63 days — a 64-day-old touch weighs 0, not full") {
+    import graft.ops.Behavior
+    val D = 86400L
+    val t0 = 200L * D
+    val convs = Seq((1L, 100L, t0)).toDF("user_id", "conv_id", "sec")
+      .select($"user_id", $"conv_id", timestamp_seconds($"sec").as("conv_ts"))
+    // JVM shiftright masks the count to 6 bits: an unclamped 64-day
+    // age would wrap to shift 0 and grant FULL 10^6 weight
+    val touches = Seq(
+      (1L, 1L, t0 - 64L * D, "old"),
+      (1L, 2L, t0 - 63L * D, "edge"),
+      (1L, 3L, t0, "now"))
+      .toDF("user_id", "touch_id", "sec", "channel")
+      .select($"user_id", $"touch_id",
+        timestamp_seconds($"sec").as("touch_ts"), $"channel")
+    val w = Behavior.decayAttribution(convs, touches, "user_id",
+        "conv_id", "conv_ts", "touch_id", "touch_ts", "channel",
+        windowSec = 90L * D)
+      .select($"channel", $"weight_micro").as[(String, Long)]
+      .collect().toMap
+    assert(w === Map("old" -> 0L, "edge" -> 0L, "now" -> 1000000L))
+  }
+
   test("rfmSegments: independent quintiles, money tie-break on cust, all four labels") {
     import graft.ops.Behavior
     // customer k: f_k orders, all at ts=k (so last_ts=k), amount k each
@@ -256,5 +279,9 @@ class FunnelSpec extends AnyFunSuite {
       .select($"z_score", $"significant").as[(Double, Boolean)]
       .collect().head
     assert(sat === ((0.0, false)))
+    // mixed-case convType argument must match, not silently measure 0
+    val mixed = Behavior.abTest(events, "user_id", "event_type", "Purchase")
+      .select($"conv_control" + $"conv_treat").as[Long].collect().head
+    assert(mixed === x0 + x1)
   }
 }

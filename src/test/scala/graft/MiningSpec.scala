@@ -1969,4 +1969,48 @@ class MiningSpec extends AnyFunSuite {
       maxPostings = 1)
     assert(TextAnalysis.andQuery(idx1, k = 10).count() === 0L)
   }
+
+  test("andQuery: single-token vocabulary returns empty, not a self-join") {
+    // min(token) = max(token) would self-join the one posting list and
+    // report every doc as a fake intersection with score 2·tf
+    val idx = TextAnalysis.invertedIndex(
+      docs((1L, "a a", "s"), (2L, "a", "s")), "doc_id", "text",
+      maxPostings = 10)
+    assert(TextAnalysis.andQuery(idx, k = 10).count() === 0L)
+  }
+
+  test("indexSlices/indexMergeSlices: merged store ≡ corpus rescan") {
+    val corpus = docs(
+      (1L, "a b a c a", "s"), // ODD length 5 — the q204 split bug shape
+      (2L, "a b b", "s"),     // odd length 3
+      (3L, "c c c c", "s"),
+      (4L, "a", "s"))
+    // append-log store: each doc's words split across two slices at
+    // floor(n/2) — d1 → "a b" | "a c a", d2 → "a" | "b b"; short docs
+    // whole. d1's token `a` SPANS slices (tf 1 in slice 0, 2 in 1).
+    val sliced = Seq(
+      (1L, 0, "a b"), (1L, 1, "a c a"),
+      (2L, 0, "a"), (2L, 1, "b b"),
+      (3L, 0, "c c"), (3L, 1, "c c"),
+      (4L, 0, "a")).toDF("doc_id", "slice", "text")
+    val store = TextAnalysis.indexSlices(sliced, "doc_id", "text", "slice")
+    // hand-trace of the per-slice rows for d1: (0,a,1) (0,b,1)
+    // (1,a,2) (1,c,1)
+    val d1 = store.filter($"doc_id" === 1L)
+      .select($"slice", $"token", $"tf")
+      .as[(Int, String, Long)].collect().toSet
+    assert(d1 === Set((0, "a", 1L), (0, "b", 1L), (1, "a", 2L),
+      (1, "c", 1L)))
+    // the merge sums a spanning doc's tf across slices: d1.a = 3
+    val merged = TextAnalysis.indexMergeSlices(store)
+    assert(merged.filter($"token" === "a" && $"doc_id" === 1L)
+      .select($"tf").as[Long].head() === 3L)
+    // the q204 identity: capped store read ≡ inline full-corpus build
+    val fromStore = TextAnalysis.cappedIndex(merged, maxPostings = 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val rescan = TextAnalysis.invertedIndex(corpus, "doc_id", "text",
+        maxPostings = 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(fromStore === rescan && fromStore.nonEmpty)
+  }
 }
