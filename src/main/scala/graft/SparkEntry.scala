@@ -2962,6 +2962,49 @@ object SparkEntry {
       TextAnalysis.cappedIndex(
         TextAnalysis.indexMergeSlices(store), maxPostings = 5)
     }),
+
+    // index-store COMPACTION: generation 0 (slices 0+1 — the q204
+    // split, so doc tokens SPAN the compacted slices) folds into one
+    // replacement slice, generation 1 (whole short docs, slice 2)
+    // stays; the re-merged read must land on the full-corpus q202
+    // index — compaction commutes with reads because the merge is an
+    // associative tf sum
+    "q205_index_compaction" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val words = split(col("text"), " ")
+      val n = size(words)
+      val whole = d.filter(size(split(col("text"), " ")) < 4)
+        .select(col("doc_id"), lit(2).as("slice"), col("text"))
+      val big = d.filter(size(split(col("text"), " ")) >= 4)
+      val half = floor(n / 2).cast("int")
+      val partA = big.select(col("doc_id"), lit(0).as("slice"),
+        array_join(slice(words, lit(1), half), " ").as("text"))
+      val partB = big.select(col("doc_id"), lit(1).as("slice"),
+        array_join(slice(words, half + 1, n - half), " ").as("text"))
+      val slices = TextAnalysis.indexSlices(
+        whole.unionByName(partA).unionByName(partB),
+        "doc_id", "text", "slice")
+      val gen0 = TextAnalysis.indexCompact(
+        slices.filter(col("slice") < 2), newSlice = 100L)
+      val gen1 = slices.filter(col("slice") === 2)
+        .select(col("slice").cast("long").as("slice"), col("token"),
+          col("doc_id"), col("tf"))
+      TextAnalysis.cappedIndex(
+        TextAnalysis.indexMergeSlices(gen0.unionByName(gen1)),
+        maxPostings = 5)
+    }),
+
+    // BM25-family scoring read on the capped index: tf-saturation ×
+    // rational idf surrogate, both exact integer ratios (k1 = 6/5, no
+    // ln/exp), summed by cross-multiplication — ONE correctly-rounded
+    // double division ranks, so both engines sort identical doubles
+    "q206_bm25" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.bm25Query(
+        TextAnalysis.invertedIndex(d, "doc_id", "text",
+          maxPostings = 1000),
+        d.agg(countDistinct(col("doc_id")).as("n_docs")), k = 20)
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -5584,6 +5627,72 @@ object SparkEntry {
         |SELECT r.token, r.doc_id, r.tf, r.rk, s.df, s.cf
         |FROM ranked r JOIN stats s USING (token)
         |WHERE r.rk <= 5""".stripMargin,
+
+    // compaction commutes with reads: the oracle IS q202's query again
+    "q205_index_compaction" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT token, count(*) AS df, sum(tf)::BIGINT AS cf
+        |  FROM post GROUP BY 1),
+        |ranked AS (
+        |  SELECT token, doc_id, tf,
+        |         row_number() OVER (PARTITION BY token
+        |                            ORDER BY tf DESC, doc_id ASC) AS rk
+        |  FROM post)
+        |SELECT r.token, r.doc_id, r.tf, r.rk, s.df, s.cf
+        |FROM ranked r JOIN stats s USING (token)
+        |WHERE r.rk <= 5""".stripMargin,
+
+    // the BM25 read replayed: same capped postings, same top-2-df term
+    // pick, the same integer-ratio arithmetic and ONE double division
+    "q206_bm25" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id, tf FROM (
+        |    SELECT token, doc_id, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |vocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |ab AS (
+        |  SELECT min(token) AS ta, max(token) AS tb FROM (
+        |    SELECT token FROM vocab
+        |    ORDER BY df DESC, token ASC LIMIT 2)),
+        |a AS (
+        |  SELECT i.doc_id, i.tf AS tf_a,
+        |         11 * i.tf * (2 * n_docs - 2 * v.df + 1) AS num_a,
+        |         (5 * i.tf + 6) * (2 * v.df + 1) AS den_a
+        |  FROM idx i JOIN vocab v USING (token), ab, nd
+        |  WHERE i.token = ta),
+        |b AS (
+        |  SELECT i.doc_id, i.tf AS tf_b,
+        |         11 * i.tf * (2 * n_docs - 2 * v.df + 1) AS num_b,
+        |         (5 * i.tf + 6) * (2 * v.df + 1) AS den_b
+        |  FROM idx i JOIN vocab v USING (token), ab, nd
+        |  WHERE i.token = tb),
+        |j AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |         coalesce(tf_a, 0) AS tf_a, coalesce(tf_b, 0) AS tf_b,
+        |         (coalesce(num_a, 0) * coalesce(den_b, 1)
+        |          + coalesce(num_b, 0) * coalesce(den_a, 1))::DOUBLE
+        |         / (coalesce(den_a, 1) * coalesce(den_b, 1))::DOUBLE AS s
+        |  FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, tf_a, tf_b, round(s, 6) AS score, rk FROM (
+        |  SELECT doc_id, tf_a, tf_b, s,
+        |         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rk
+        |  FROM j)
+        |WHERE rk <= 20""".stripMargin,
 
     // the capped-index read replayed end-to-end: same cap (1000),
     // same top-2-df term pick, same combined-tf ranking

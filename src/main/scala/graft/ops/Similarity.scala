@@ -413,23 +413,31 @@ object Similarity {
     */
   def mmrTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], candidateK: Int, k: Int,
-              lambdaRel: Double = 0.7, lambdaDiv: Double = 0.3): DataFrame = {
+              lambdaRel: Double = 0.7, lambdaDiv: Double = 0.3,
+              checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1 && candidateK >= k, "need candidateK >= k >= 1")
     graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
-    val cand = cosineKnn(emb, idCol, vecCol, queryIds, candidateK)
-      .select(col("query_id"), col("neighbor_id"), col("score"))
+    // pin the candidate head and the pair sims: every greedy round's
+    // anti-join chains off `cand` and re-reads `sims`, so without the
+    // pin round r re-derives the kNN (and its Window) r times over
+    val cand = Checkpoints.pin(
+      cosineKnn(emb, idCol, vecCol, queryIds, candidateK)
+        .select(col("query_id"), col("neighbor_id"), col("score")),
+      checkpointDir, eager = false)
     val ev = normedVectors(emb, idCol, vecCol)
     val withVec = cand.select(col("query_id"), col("neighbor_id"))
       .join(ev, col("neighbor_id") === col("vid"))
       .select(col("query_id"), col("neighbor_id"), col("vec"), col("norm2"))
-    val sims = withVec
-      .select(col("query_id"), col("neighbor_id").as("a_id"),
-        col("vec").as("a_vec"), col("norm2").as("a_n"))
-      .join(withVec.select(col("query_id"), col("neighbor_id").as("b_id"),
-        col("vec").as("b_vec"), col("norm2").as("b_n")), Seq("query_id"))
-      .filter(col("a_id") =!= col("b_id"))
-      .select(col("query_id"), col("a_id"), col("b_id"),
-        expr("round(array_dot(a_vec, b_vec) / sqrt(a_n * b_n), 6)").as("sim"))
+    val sims = Checkpoints.pin(
+      withVec
+        .select(col("query_id"), col("neighbor_id").as("a_id"),
+          col("vec").as("a_vec"), col("norm2").as("a_n"))
+        .join(withVec.select(col("query_id"), col("neighbor_id").as("b_id"),
+          col("vec").as("b_vec"), col("norm2").as("b_n")), Seq("query_id"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("query_id"), col("a_id"), col("b_id"),
+          expr("round(array_dot(a_vec, b_vec) / sqrt(a_n * b_n), 6)").as("sim")),
+      checkpointDir, eager = false)
     var picked: DataFrame = null
     var remaining = cand
     for (r <- 1 to k) {

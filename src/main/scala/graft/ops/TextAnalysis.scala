@@ -1187,6 +1187,54 @@ object TextAnalysis {
     slices.groupBy(col("token"), col("doc_id"))
       .agg(sum(col("tf")).as("tf"))
 
+  /** Materialize an index-slice frame as a token-bucketed parquet
+    * table — the physical form of the inverted-index warehouse.
+    * Bucketing by `token` makes [[indexMergeSlices]] over the store
+    * zero-Exchange (HashPartitioning(token) satisfies the merge's
+    * (token, doc_id) clustering) and serves [[andQuery]]'s token
+    * probes with pushed filters on bucket-pruned files.
+    */
+  def writeIndexStore(slices: DataFrame, table: String, buckets: Int,
+                      path: Option[String] = None): Unit = {
+    val w = slices.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "token").sortBy("token")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Incremental index ingest — the store-triad member for the exact
+    * index (the [[graft.ops.Similarity.ivfIngest]] posture): aggregate
+    * ONLY the new slice's text through [[indexSlices]] (the same one
+    * code path as batch build, so streamed and one-shot stores cannot
+    * drift) and APPEND its posting rows to the bucketed table. History
+    * is never re-read or rewritten — each call only adds bucket files;
+    * a doc whose text arrives across several slices simply lands more
+    * rows, and the tf-sum merge at read time sees exactly what a
+    * corpus rescan would (the q204 identity). STREAMING: call per
+    * micro-batch inside `foreachBatch` with slice = batch id
+    * (StreamingSpec pins per-batch ingest ≡ one-shot batch and
+    * append-only files across batches).
+    */
+  def indexIngest(docs: DataFrame, idCol: String, textCol: String,
+                  sliceCol: String, table: String, buckets: Int): Unit =
+    indexSlices(docs, idCol, textCol, sliceCol)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "token").sortBy("token")
+      .saveAsTable(table)
+
+  /** Compact a set of store slices into ONE replacement slice: the
+    * tf-sum fold re-tagged with a fresh slice id, ready to stand in
+    * for the originals (small nightly slices → one generation file —
+    * the LSM posture applied to the exact index). Because the merge is
+    * an associative sum, compaction commutes with reads:
+    * `indexMergeSlices(indexCompact(gen0) ∪ gen1) ≡
+    * indexMergeSlices(gen0 ∪ gen1)` — the SketchStore re-emitted
+    * witness contract applied to the exact store (q205 proves it
+    * relationally against the full-corpus rescan).
+    */
+  def indexCompact(slices: DataFrame, newSlice: Long): DataFrame =
+    indexMergeSlices(slices).select(lit(newSlice).as("slice"),
+      col("token"), col("doc_id"), col("tf"))
+
   /** Conjunctive (AND) query served FROM the capped inverted index —
     * the read half of [[invertedIndex]]: picks the two
     * highest-`df` terms (the worst case for intersection size — ties
@@ -1224,5 +1272,67 @@ object TextAnalysis {
       .withColumn("score", col("tf_a") + col("tf_b"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
+  }
+
+  /** BM25-family relevance read on the capped index — [[andQuery]]'s
+    * disjunctive (OR) sibling with the ranking function every lexical
+    * retrieval stack runs (Robertson & Spärck Jones): per term,
+    * tf-saturation `tf·(k1+1)/(tf+k1)` times the idf surrogate
+    * `(N−df+0.5)/(df+0.5)`, summed over query terms. k1 is fixed at
+    * the classic 1.2 — as the exact rational 6/5, so each term's score
+    * is the INTEGER ratio `11·tf·(2N−2df+1) / ((5·tf+6)·(2df+1))` and
+    * the two-term sum cross-multiplies to one integer ratio: no ln(),
+    * no exp(), no float folds (the no-libm rule) — the only float op
+    * is ONE correctly-rounded division of exact integers, so the
+    * ranking doubles are bit-identical on every engine. (The classic
+    * BM25 idf is ln of this surrogate; ln is monotone, so integer
+    * cross-multiplied PER-TERM ranking is order-identical — the
+    * summed form is the standard tf-saturation family with a rational
+    * idf, chosen for exactness.) Document-length normalization (b)
+    * is omitted — avgdl is a corpus float fold; b=0 is the standard
+    * BM15 point of the family.
+    *
+    * Query terms: the two highest-df terms (the q203 worst-case
+    * pick); docs carrying either term score (missing term contributes
+    * 0/1). Serving shape: two ≤cap posting reads, a full-outer join
+    * at serving scale, one top-k rank — corpus size only enters
+    * through N. `nDocs` is a 1-row (n_docs) frame, e.g.
+    * `docs.agg(countDistinct(id).as("n_docs"))` — the index alone
+    * cannot recover N (capped postings), so the corpus count travels
+    * as a frame, not a driver-side literal.
+    */
+  def bm25Query(index: DataFrame, nDocs: DataFrame, k: Int,
+                checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val idx = Checkpoints.pin(index, checkpointDir, eager = false)
+    val top2 = idx.select(col("token"), col("df")).distinct()
+      .orderBy(col("df").desc, col("token").asc).limit(2)
+    val ab = top2.agg(min(col("token")).as("ta"), max(col("token")).as("tb"))
+      .filter(col("ta") =!= col("tb"))
+    def postings(term: String, sfx: String) =
+      idx.join(broadcast(ab), col("token") === col(term))
+        .crossJoin(broadcast(nDocs)) // 1 row by contract
+        .select(col("doc_id"), col("tf").as(s"tf_$sfx"),
+          (lit(11L) * col("tf") *
+            (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)))
+            .as(s"num_$sfx"),
+          ((lit(5L) * col("tf") + lit(6L)) *
+            (lit(2L) * col("df") + lit(1L))).as(s"den_$sfx"))
+    val j = postings("ta", "a")
+      .join(postings("tb", "b"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("tf_a"), lit(0L)).as("tf_a"),
+        coalesce(col("tf_b"), lit(0L)).as("tf_b"),
+        ((coalesce(col("num_a"), lit(0L)) * coalesce(col("den_b"), lit(1L)) +
+          coalesce(col("num_b"), lit(0L)) * coalesce(col("den_a"), lit(1L)))
+          .cast("double") /
+          (coalesce(col("den_a"), lit(1L)) * coalesce(col("den_b"), lit(1L)))
+            .cast("double")).as("_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_s").desc, col("doc_id").asc)
+    j.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("tf_a"), col("tf_b"),
+        round(col("_s"), 6).as("score"), col("rk"))
   }
 }

@@ -2013,4 +2013,57 @@ class MiningSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long, Long)].collect().toSet
     assert(fromStore === rescan && fromStore.nonEmpty)
   }
+
+  test("indexCompact: cross-slice tf sum into one generation; compaction commutes with the merge") {
+    val sliced = Seq(
+      (1L, 0L, "a b"), (1L, 1L, "a c a"), // doc 1 SPANS the compacted slices
+      (2L, 0L, "a"), (2L, 1L, "b b"),
+      (3L, 0L, "c c"), (3L, 2L, "c c"),   // doc 3 spans gen0 and gen1
+      (4L, 2L, "a")).toDF("doc_id", "slice", "text")
+    val slices = TextAnalysis.indexSlices(sliced, "doc_id", "text", "slice")
+    val gen0 = TextAnalysis.indexCompact(slices.filter($"slice" < 2),
+      newSlice = 100L)
+    // the compacted generation really summed across its slices
+    assert(gen0.filter($"token" === "a" && $"doc_id" === 1L)
+      .select($"slice", $"tf").as[(Long, Long)].collect().toSeq ===
+      Seq((100L, 3L)))
+    val gen1 = slices.filter($"slice" === 2)
+    def read(s: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.indexMergeSlices(s)
+        .as[(String, Long, Long)].collect().toSet
+    val compacted = read(gen0.unionByName(gen1))
+    assert(compacted === read(slices) && compacted.nonEmpty)
+    // doc 3's tf crosses the generation boundary: 2 in gen0 + 2 in gen1
+    assert(compacted.contains(("c", 3L, 4L)))
+  }
+
+  test("bm25Query: integer-ratio scoring hand-traced; OR semantics keep single-term docs") {
+    val df = docs(
+      (1L, "a b a c a", "s"), // a tf3, b tf1
+      (2L, "a b b", "s"),     // a tf1, b tf2
+      (3L, "c c c c", "s"),   // NEITHER query term: absent from result
+      (4L, "a", "s"))         // a only — OR semantics keep it
+    // N=4, df(a)=3 df(b)=2 → terms (a, b); idf_a=3/7, idf_b=5/5
+    // sat(tf)=11tf/(5tf+6): d1 = 99/147 + 55/55 = 1.673469…
+    //                       d2 = 33/77 + 110/80 = 1.803571…
+    //                       d4 = 33/77           = 0.428571…
+    val idx = TextAnalysis.invertedIndex(df, "doc_id", "text",
+      maxPostings = 10)
+    val n = df.agg(countDistinct($"doc_id").as("n_docs"))
+    val got = TextAnalysis.bm25Query(idx, n, k = 10)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    assert(got === Set(
+      (2L, 1L, 2L, 1.803571, 1L),
+      (1L, 3L, 1L, 1.673469, 2L),
+      (4L, 1L, 0L, 0.428571, 3L)))
+    // k truncates by rank
+    assert(TextAnalysis.bm25Query(idx, n, k = 1)
+      .select($"doc_id").as[Long].collect().toSeq === Seq(2L))
+    // single-token vocabulary: degenerate query returns empty
+    val idx1 = TextAnalysis.invertedIndex(
+      docs((1L, "a a", "s"), (2L, "a", "s")), "doc_id", "text",
+      maxPostings = 10)
+    assert(TextAnalysis.bm25Query(idx1,
+      spark.range(1).agg(lit(2L).as("n_docs")), k = 5).count() === 0L)
+  }
 }

@@ -425,6 +425,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains(") Window"), s"q182 grew a Window:\n$p")
   }
 
+  test("q198: MMR greedy rounds run behind the candidate/sim pins — no parquet re-scan per round") {
+    // unpinned, every greedy round's anti-join chain re-derives the
+    // cosineKnn head (and its Window) from the embeddings scan — k×
+    // the dominant cost; pinned, the final plan reads only the two
+    // localCheckpoint RDDs
+    val p = plan("q198_mmr_topk")
+    val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans === 0, s"q198 re-reads embeddings $scans times — pin broke")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q169: novelty gate — text never shuffles; the store join is on narrow shingle rows") {
     val p = plan("q169_novelty_gate")
     assert(!p.contains(") Window"), "the gate is joins + hash aggregates")

@@ -932,6 +932,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged === full)
   }
 
+  test("streaming index ingest: append-only files per batch; merged read ≡ corpus rescan incl. a doc split across batches") {
+    // the exact-index member of the store triad: indexIngest inside
+    // foreachBatch is the SAME code path (indexSlices) as batch build,
+    // so per-batch ingest must land the one-shot store; each batch
+    // only ADDS bucket files (history never re-read or rewritten), and
+    // the append-log case — ONE doc's text arriving across TWO
+    // micro-batches — must merge to what a full-corpus rescan sees
+    import graft.ops.TextAnalysis
+    val base = java.nio.file.Files.createTempDirectory("graft-idx-stream-")
+    try {
+      val history = Seq((10L, "x y x"), (11L, "y z")).toDF("doc_id", "text")
+      TextAnalysis.writeIndexStore(
+        TextAnalysis.indexSlices(history.withColumn("slice", lit(0L)),
+          "doc_id", "text", "slice"),
+        table = "graft_idx_stream", buckets = 4,
+        path = Some(base.resolve("idx").toString))
+      def dataFiles() = {
+        val walk = java.nio.file.Files.walk(base.resolve("idx"))
+        try walk
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map[(String, Long)](p =>
+            (p.toString, java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toArray.toSeq
+        finally walk.close()
+      }
+      val snapshots = scala.collection.mutable.ListBuffer(dataFiles())
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDS().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          TextAnalysis.indexIngest(batch.withColumn("slice", lit(id + 1)),
+            "doc_id", "text", "slice", table = "graft_idx_stream",
+            buckets = 4)
+          snapshots += dataFiles(): Unit
+        }.start()
+      input.addData((1L, "a b"), (2L, "a b b"))
+      q.processAllAvailable()
+      input.addData((1L, "a c a"), (3L, "c c c c"), (4L, "a"))
+      q.processAllAvailable()
+      q.stop()
+      assert(snapshots.size === 3)
+      for ((before, after) <- snapshots.toList.zip(snapshots.toList.tail)) {
+        assert(after.toSet.intersect(before.toSet) === before.toSet,
+          s"a micro-batch rewrote history files:\nbefore=$before\nafter=$after")
+        assert(after.size > before.size, "a micro-batch added no files")
+      }
+      val store = spark.table("graft_idx_stream")
+      // the token-bucketed layout makes the tf-sum merge zero-Exchange
+      val merged = TextAnalysis.indexMergeSlices(store)
+      val p = merged.queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      assert(!p.contains("Exchange"),
+        s"bucketed store merge shuffled:\n$p")
+      val fromStore = TextAnalysis.cappedIndex(merged, maxPostings = 2)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      val corpus = Seq((10L, "x y x"), (11L, "y z"),
+        (1L, "a b a c a"), // batch 0 "a b" ++ batch 1 "a c a"
+        (2L, "a b b"), (3L, "c c c c"), (4L, "a")).toDF("doc_id", "text")
+      val rescan = TextAnalysis.invertedIndex(corpus, "doc_id", "text",
+          maxPostings = 2)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(fromStore === rescan && fromStore.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_idx_stream")
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+
   test("streaming Bloom-warehouse ingest: per-batch slices accumulate, merge ≡ full rescan; members hit") {
     // the membership member rides the same foreachBatch slice loop as
     // KMV/HIST: each micro-batch writes its own bit-vector rows (slice
