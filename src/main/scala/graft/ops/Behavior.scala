@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -220,6 +220,69 @@ object Behavior {
         coalesce(col("_ft._tid"), lit(-1L)).as("first_touch_id"))
   }
 
+  /** The window predicate every attribution form shares — also the
+    * time-range half of the STREAMING pairs join condition, so batch
+    * and stream cannot disagree on what "inside the window" means.
+    */
+  private def inWindow(windowSec: Long): Column =
+    col("touch_ts") <= col("conv_ts") &&
+      col("touch_ts") >= col("conv_ts") -
+        expr(s"INTERVAL $windowSec SECOND")
+
+  /** The (conv, touch) PAIR frame every multi-touch attribution form
+    * rolls up from: equi-join on the user key with the window
+    * predicate inside the join (per-user touch lists bound the
+    * fan-out — never a cross join). Batch body; the streaming twin is
+    * [[attributionPairsStream]] (same predicate, same output schema),
+    * and the per-form rollups ([[linearRollup]]/[[positionRollup]]/
+    * [[decayRollup]]) are shared verbatim by both.
+    */
+  def attributionPairs(convs: DataFrame, touches: DataFrame,
+                       keyCol: String, convIdCol: String,
+                       convTsCol: String, touchIdCol: String,
+                       touchTsCol: String, channelCol: String,
+                       windowSec: Long): DataFrame = {
+    require(windowSec > 0, "lookback window must be positive")
+    val c = convs.select(col(keyCol), col(convIdCol).as("conv_id"),
+      col(convTsCol).as("conv_ts"))
+    val t = touches.select(col(keyCol), col(touchIdCol).as("touch_id"),
+      col(touchTsCol).as("touch_ts"), col(channelCol).as("channel"))
+    c.join(t, keyCol).filter(inWindow(windowSec))
+      .select(col("conv_id"), col("conv_ts"), col("touch_id"),
+        col("touch_ts"), col("channel"))
+  }
+
+  /** STREAMING pairs producer — the stream-stream interval join form
+    * of [[attributionPairs]]: conversions and touches arrive as two
+    * event streams, the window predicate rides IN the join condition
+    * (Spark derives the state-cleanup bound from it — touch state
+    * older than the conversion watermark minus the window drops), and
+    * matched pairs emit append-only with the exact batch schema.
+    * Accumulate them in a store (foreachBatch / any append sink) and
+    * run the SAME rollup bodies over the accumulated pairs — the
+    * warehouse posture of every other store family, so streamed and
+    * batch attribution cannot drift (StreamingSpec pins all three
+    * forms pair-for-pair and rollup-for-rollup).
+    */
+  def attributionPairsStream(convs: DataFrame, touches: DataFrame,
+                             keyCol: String, convIdCol: String,
+                             convTsCol: String, touchIdCol: String,
+                             touchTsCol: String, channelCol: String,
+                             windowSec: Long,
+                             watermark: String): DataFrame = {
+    require(windowSec > 0, "lookback window must be positive")
+    val c = convs.select(col(keyCol).as("_ckey"),
+        col(convIdCol).as("conv_id"), col(convTsCol).as("conv_ts"))
+      .withWatermark("conv_ts", watermark)
+    val t = touches.select(col(keyCol).as("_tkey"),
+        col(touchIdCol).as("touch_id"), col(touchTsCol).as("touch_ts"),
+        col(channelCol).as("channel"))
+      .withWatermark("touch_ts", watermark)
+    c.join(t, col("_ckey") === col("_tkey") && inWindow(windowSec))
+      .select(col("conv_id"), col("conv_ts"), col("touch_id"),
+        col("touch_ts"), col("channel"))
+  }
+
   /** LINEAR attribution rollup — [[attribution]]'s multi-touch
     * sibling: every touch inside a conversion's lookback window earns
     * an equal 1/n share of that conversion's credit, summed per
@@ -238,19 +301,18 @@ object Behavior {
                         keyCol: String, convIdCol: String,
                         convTsCol: String, touchIdCol: String,
                         touchTsCol: String, channelCol: String,
-                        windowSec: Long): DataFrame = {
-    require(windowSec > 0, "lookback window must be positive")
-    val c = convs.select(col(keyCol), col(convIdCol).as("conv_id"),
-      col(convTsCol).as("conv_ts"))
-    val t = touches.select(col(keyCol), col(touchIdCol).as("_tid"),
-      col(touchTsCol).as("_tts"), col(channelCol).as("_ch"))
-    val j = c.join(t, keyCol)
-      .filter(col("_tts") <= col("conv_ts") &&
-        col("_tts") >= col("conv_ts") - expr(s"INTERVAL $windowSec SECOND"))
-      .select(col("conv_id"), col("_tid"), col("_ch"))
+                        windowSec: Long): DataFrame =
+    linearRollup(attributionPairs(convs, touches, keyCol, convIdCol,
+      convTsCol, touchIdCol, touchTsCol, channelCol, windowSec))
+
+  /** The linear credit arithmetic over a pair frame — shared verbatim
+    * by batch ([[linearAttribution]]) and streamed-store reads.
+    */
+  def linearRollup(pairs: DataFrame): DataFrame = {
+    val j = pairs.select(col("conv_id"), col("touch_id"), col("channel"))
     val n = j.groupBy(col("conv_id")).agg(count(lit(1)).as("_nt"))
     j.join(n, "conv_id")
-      .select(col("_ch").as("channel"), col("conv_id"),
+      .select(col("channel"), col("conv_id"),
         expr("1000000 div _nt").as("_micro"))
       .groupBy(col("channel"))
       .agg(countDistinct(col("conv_id")).as("n_convs"),
@@ -271,16 +333,17 @@ object Behavior {
                           keyCol: String, convIdCol: String,
                           convTsCol: String, touchIdCol: String,
                           touchTsCol: String, channelCol: String,
-                          windowSec: Long): DataFrame = {
-    require(windowSec > 0, "lookback window must be positive")
-    val c = convs.select(col(keyCol), col(convIdCol).as("conv_id"),
-      col(convTsCol).as("conv_ts"))
-    val t = touches.select(col(keyCol), col(touchIdCol).as("_tid"),
-      col(touchTsCol).as("_tts"), col(channelCol).as("_ch"))
-    val j = c.join(t, keyCol)
-      .filter(col("_tts") <= col("conv_ts") &&
-        col("_tts") >= col("conv_ts") - expr(s"INTERVAL $windowSec SECOND"))
-      .select(col("conv_id"), col("_tid"), col("_tts"), col("_ch"))
+                          windowSec: Long): DataFrame =
+    positionRollup(attributionPairs(convs, touches, keyCol, convIdCol,
+      convTsCol, touchIdCol, touchTsCol, channelCol, windowSec))
+
+  /** The 40/20/40 credit arithmetic over a pair frame — shared
+    * verbatim by batch ([[positionAttribution]]) and streamed-store
+    * reads.
+    */
+  def positionRollup(pairs: DataFrame): DataFrame = {
+    val j = pairs.select(col("conv_id"), col("touch_id").as("_tid"),
+      col("touch_ts").as("_tts"), col("channel"))
     val ends = j.groupBy(col("conv_id"))
       .agg(count(lit(1)).as("_nt"),
         min(struct(col("_tts"), col("_tid"))).as("_f"),
@@ -288,7 +351,7 @@ object Behavior {
       .select(col("conv_id"), col("_nt"),
         col("_f._tid").as("_first_tid"), col("_l._tid").as("_last_tid"))
     j.join(ends, "conv_id")
-      .select(col("_ch").as("channel"), col("conv_id"),
+      .select(col("channel"), col("conv_id"),
         when(col("_nt") === 1, lit(1000000L))
           .when(col("_nt") === 2, lit(500000L))
           .when(col("_tid") === col("_first_tid") ||
@@ -313,28 +376,28 @@ object Behavior {
                        keyCol: String, convIdCol: String,
                        convTsCol: String, touchIdCol: String,
                        touchTsCol: String, channelCol: String,
-                       windowSec: Long): DataFrame = {
-    require(windowSec > 0, "lookback window must be positive")
-    val c = convs.select(col(keyCol), col(convIdCol).as("conv_id"),
-      col(convTsCol).as("conv_ts"))
-    val t = touches.select(col(keyCol), col(touchIdCol).as("_tid"),
-      col(touchTsCol).as("_tts"), col(channelCol).as("_ch"))
-    c.join(t, keyCol)
-      .filter(col("_tts") <= col("conv_ts") &&
-        col("_tts") >= col("conv_ts") - expr(s"INTERVAL $windowSec SECOND"))
-      .select(col("_ch").as("channel"), col("conv_id"),
+                       windowSec: Long): DataFrame =
+    decayRollup(attributionPairs(convs, touches, keyCol, convIdCol,
+      convTsCol, touchIdCol, touchTsCol, channelCol, windowSec))
+
+  /** The halving-weight arithmetic over a pair frame — shared
+    * verbatim by batch ([[decayAttribution]]) and streamed-store
+    * reads.
+    */
+  def decayRollup(pairs: DataFrame): DataFrame =
+    pairs
+      .select(col("channel"), col("conv_id"),
         // JVM shifts mask the count to 6 bits, so an unclamped
         // age ≥ 64 days would WRAP to full weight; ≥ 63 days is
         // weight 0 either way, so clamp the shift there
         call_function("shiftright", lit(1000000L),
           least(((unix_timestamp(col("conv_ts")) -
-            unix_timestamp(col("_tts"))) /
+            unix_timestamp(col("touch_ts"))) /
             lit(86400L)).cast("int"), lit(63))).as("_w"))
       .groupBy(col("channel"))
       .agg(countDistinct(col("conv_id")).as("n_convs"),
         count(lit(1)).as("n_touches"),
         sum(col("_w")).as("weight_micro"))
-  }
 
   /** RFM customer segmentation — the classic recency / frequency /
     * monetary scoring over an order log, the first segmentation a

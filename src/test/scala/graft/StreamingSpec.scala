@@ -763,6 +763,73 @@ class StreamingSpec extends AnyFunSuite {
       (3L, 102L, 23L)))
   }
 
+  test("streaming attribution pairs: interval join ≡ batch pairs; linear/position/decay rollups agree") {
+    // the multi-touch attribution forms stream as: pairs emit from a
+    // stream-stream interval join (the window predicate IN the join
+    // condition — Spark derives state cleanup from it), accumulate in
+    // an append sink, and the SAME rollup bodies read the store — so
+    // streamed linear/position/decay cannot drift from batch
+    import graft.ops.Behavior
+    val D = 86400L
+    val t0 = 100L * D
+    val convRows = Seq((1L, 100L, t0), (2L, 101L, t0 - D), (4L, 103L, t0))
+    val touchRows = Seq(
+      (1L, 1L, t0, "a"), (1L, 2L, t0 - 2 * D, "b"),
+      (1L, 3L, t0 - 3 * D, "a"),
+      (1L, 4L, t0 - 8 * D, "b"), // outside the 7-day window
+      (2L, 5L, t0 - 2 * D, "b"),
+      (4L, 6L, t0 - D, "c"), (4L, 7L, t0 - D, "d")) // position tie pair
+    val W = 7 * D
+    val cIn = MemoryStream[(Long, Long, Timestamp)]
+    val tIn = MemoryStream[(Long, Long, Timestamp, String)]
+    val pairs = Behavior.attributionPairsStream(
+      cIn.toDS().toDF("user_id", "conv_id", "conv_ts"),
+      tIn.toDS().toDF("user_id", "touch_id", "touch_ts", "channel"),
+      "user_id", "conv_id", "conv_ts", "touch_id", "touch_ts", "channel",
+      windowSec = W, watermark = "10 days")
+    val q = pairs.writeStream.outputMode("append").format("memory")
+      .queryName("attr_pairs").start()
+    // touches SPLIT across micro-batches, conversions in between
+    tIn.addData(touchRows.take(3).map { case (u, id, s, ch) =>
+      (u, id, ts(s), ch) }: _*)
+    q.processAllAvailable()
+    cIn.addData(convRows.map { case (u, id, s) => (u, id, ts(s)) }: _*)
+    q.processAllAvailable()
+    tIn.addData(touchRows.drop(3).map { case (u, id, s, ch) =>
+      (u, id, ts(s), ch) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    // materialize the sink (a real store read is a fresh scan; the
+    // memory-table view can't self-join inside the rollup bodies)
+    val streamedPairs = spark.table("attr_pairs")
+      .as[(Long, Timestamp, Long, Timestamp, String)].collect().toSeq
+      .toDF("conv_id", "conv_ts", "touch_id", "touch_ts", "channel")
+    val convsDF = convRows.toDF("user_id", "conv_id", "sec")
+      .select($"user_id", $"conv_id", timestamp_seconds($"sec").as("conv_ts"))
+    val touchesDF = touchRows.toDF("user_id", "touch_id", "sec", "channel")
+      .select($"user_id", $"touch_id",
+        timestamp_seconds($"sec").as("touch_ts"), $"channel")
+    val batchPairs = Behavior.attributionPairs(convsDF, touchesDF,
+      "user_id", "conv_id", "conv_ts", "touch_id", "touch_ts", "channel", W)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"conv_id", $"touch_id").as[(Long, Long)].collect().toSet
+    assert(pairSet(streamedPairs) === pairSet(batchPairs))
+    assert(pairSet(streamedPairs) === Set((100L, 1L), (100L, 2L),
+      (100L, 3L), (101L, 5L), (103L, 6L), (103L, 7L)))
+    // the same rollup bodies over the streamed store ≡ the batch forms
+    def rollupSet(df: org.apache.spark.sql.DataFrame) = df
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(rollupSet(Behavior.linearRollup(streamedPairs)) ===
+      rollupSet(Behavior.linearAttribution(convsDF, touchesDF, "user_id",
+        "conv_id", "conv_ts", "touch_id", "touch_ts", "channel", W)))
+    assert(rollupSet(Behavior.positionRollup(streamedPairs)) ===
+      rollupSet(Behavior.positionAttribution(convsDF, touchesDF, "user_id",
+        "conv_id", "conv_ts", "touch_id", "touch_ts", "channel", W)))
+    assert(rollupSet(Behavior.decayRollup(streamedPairs)) ===
+      rollupSet(Behavior.decayAttribution(convsDF, touchesDF, "user_id",
+        "conv_id", "conv_ts", "touch_id", "touch_ts", "channel", W)))
+  }
+
   test("reconcileStreams: matched plus both unmatched sides after watermark close") {
     val lIn = MemoryStream[KeyedEvent]
     val rIn = MemoryStream[KeyedEvent]
