@@ -3005,6 +3005,57 @@ object SparkEntry {
           maxPostings = 1000),
         d.agg(countDistinct(col("doc_id")).as("n_docs")), k = 20)
     }),
+
+    // full BM25 with length normalization (b = 3/4, k1 = 6/5): the
+    // norms store supplies dl and the corpus scalars; each term's
+    // score is ONE correctly-rounded division of exact integers and
+    // the OR sum ONE addition in fixed order — bit-exact both engines
+    "q207_bm25_full" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.bm25FullQuery(
+        TextAnalysis.invertedIndex(d, "doc_id", "text",
+          maxPostings = 1000),
+        TextAnalysis.docNorms(d, "doc_id", "text"), k = 20)
+    }),
+
+    // PageRank over the item-transition graph (integer micro-ranks,
+    // 3 power iterations, d = 0.85 exact): which items anchor the
+    // browsing graph — edges are per-user consecutive item pairs
+    // (ts, event_id ordered; self-transitions dropped), weights are
+    // transition counts; every round is an equi-join + hash aggregate
+    "q208_pagerank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = eventsWithItem(s, dir)
+        .filter(col("item_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"), col("item_id"))
+        .withColumn("nxt", lead(col("item_id"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("nxt") =!= col("item_id"))
+      val edges = pairs.groupBy(col("item_id").as("src"),
+        col("nxt").as("dst")).agg(count(lit(1)).as("w"))
+      graft.ops.Graph.pageRankDirected(edges, "src", "dst", "w",
+          iters = 3, scale = 1000000L)
+        .select(col("id").as("node"), col("rank_units").as("rank_micro"))
+    }),
+
+    // phrase query on the positional index: the corpus's most frequent
+    // bigram (count desc, lexicographic tie-break — deterministic at
+    // every SF) served as an exact-adjacency phrase match; the >= 2
+    // filter guards Spark's descending sequence(0, -1) on 1-word docs
+    "q209_phrase_query" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val bg = d.filter(size(split(col("text"), " ")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(split(text, ' ')) - 2), " +
+            "i -> struct(element_at(split(text, ' '), i + 1) AS w1, " +
+            "element_at(split(text, ' '), i + 2) AS w2))")).as("b"))
+        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w1").asc, col("w2").asc).limit(1)
+        .select(col("w1"), col("w2"))
+      TextAnalysis.phraseQuery(
+        TextAnalysis.positionalPostings(d, "doc_id", "text"), bg, k = 20)
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -5692,6 +5743,144 @@ object SparkEntry {
         |  SELECT doc_id, tf_a, tf_b, s,
         |         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rk
         |  FROM j)
+        |WHERE rk <= 20""".stripMargin,
+
+    // full BM25 replayed: same integer numerator/denominator per
+    // term, one division + one fixed-order addition of doubles
+    "q207_bm25_full" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id, tf FROM (
+        |    SELECT token, doc_id, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |vocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |norms AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
+        |  FROM documents),
+        |nc AS (
+        |  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS c_tokens
+        |  FROM norms),
+        |ab AS (
+        |  SELECT min(token) AS ta, max(token) AS tb FROM (
+        |    SELECT token FROM vocab
+        |    ORDER BY df DESC, token ASC LIMIT 2)),
+        |a AS (
+        |  SELECT i.doc_id, i.tf AS tf_a,
+        |         (44 * i.tf * c_tokens
+        |          * (2 * n_docs - 2 * v.df + 1))::DOUBLE
+        |         / ((20 * i.tf * c_tokens + 6 * c_tokens
+        |             + 18 * n.dl * n_docs) * (2 * v.df + 1))::DOUBLE AS s_a
+        |  FROM idx i JOIN vocab v USING (token)
+        |       JOIN norms n USING (doc_id), ab, nc
+        |  WHERE i.token = ta),
+        |b AS (
+        |  SELECT i.doc_id, i.tf AS tf_b,
+        |         (44 * i.tf * c_tokens
+        |          * (2 * n_docs - 2 * v.df + 1))::DOUBLE
+        |         / ((20 * i.tf * c_tokens + 6 * c_tokens
+        |             + 18 * n.dl * n_docs) * (2 * v.df + 1))::DOUBLE AS s_b
+        |  FROM idx i JOIN vocab v USING (token)
+        |       JOIN norms n USING (doc_id), ab, nc
+        |  WHERE i.token = tb),
+        |j AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |         coalesce(tf_a, 0) AS tf_a, coalesce(tf_b, 0) AS tf_b,
+        |         coalesce(s_a, 0.0) + coalesce(s_b, 0.0) AS s
+        |  FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, tf_a, tf_b, round(s, 6) AS score, rk FROM (
+        |  SELECT doc_id, tf_a, tf_b, s,
+        |         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rk
+        |  FROM j)
+        |WHERE rk <= 20""".stripMargin,
+
+    // the 3 power iterations unrolled as CTEs (the MMR unrolled-oracle
+    // precedent); `//` floors like Spark's div on the all-positive ranks
+    "q208_pagerank" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |         json_extract_string(props, '$.k')::BIGINT AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |nx AS (
+        |  SELECT item AS src,
+        |         lead(item) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS dst
+        |  FROM ev),
+        |e AS (
+        |  SELECT src, dst, count(*)::BIGINT AS w FROM nx
+        |  WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2),
+        |ow AS (SELECT src, sum(w)::BIGINT AS w_out FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),
+        |i1 AS (
+        |  SELECT e.dst AS node, sum((r.r * e.w) // ow.w_out)::BIGINT AS s
+        |  FROM e JOIN ow USING (src) JOIN r0 r ON r.node = e.src
+        |  GROUP BY 1),
+        |r1 AS (
+        |  SELECT n.node,
+        |         (150000 + (850000 * coalesce(i.s, 0)) // 1000000)::BIGINT AS r
+        |  FROM nodes n LEFT JOIN i1 i USING (node)),
+        |i2 AS (
+        |  SELECT e.dst AS node, sum((r.r * e.w) // ow.w_out)::BIGINT AS s
+        |  FROM e JOIN ow USING (src) JOIN r1 r ON r.node = e.src
+        |  GROUP BY 1),
+        |r2 AS (
+        |  SELECT n.node,
+        |         (150000 + (850000 * coalesce(i.s, 0)) // 1000000)::BIGINT AS r
+        |  FROM nodes n LEFT JOIN i2 i USING (node)),
+        |i3 AS (
+        |  SELECT e.dst AS node, sum((r.r * e.w) // ow.w_out)::BIGINT AS s
+        |  FROM e JOIN ow USING (src) JOIN r2 r ON r.node = e.src
+        |  GROUP BY 1),
+        |r3 AS (
+        |  SELECT n.node,
+        |         (150000 + (850000 * coalesce(i.s, 0)) // 1000000)::BIGINT AS r
+        |  FROM nodes n LEFT JOIN i3 i USING (node))
+        |SELECT node, r AS rank_micro FROM r3""".stripMargin,
+
+    // phrase adjacency replayed on 1-based positions (adjacency is
+    // shift-invariant vs Spark's 0-based posexplode)
+    "q209_phrase_query" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pr AS (
+        |  SELECT g.w1 AS w1, g.w2 AS w2 FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |             i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS g
+        |    FROM w WHERE len(ws) >= 2)),
+        |bg AS (
+        |  SELECT w1, w2 FROM (
+        |    SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2)
+        |  ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1),
+        |pos AS (
+        |  SELECT doc_id, g.t AS token, g.p AS p FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(generate_series(1, len(ws)),
+        |             i -> {'t': ws[i], 'p': i})) AS g
+        |    FROM w)),
+        |a AS (
+        |  SELECT doc_id, list_sort(list(p)) AS pa
+        |  FROM pos, bg WHERE token = w1 GROUP BY doc_id),
+        |b AS (
+        |  SELECT doc_id, list_sort(list(p)) AS pb
+        |  FROM pos, bg WHERE token = w2 GROUP BY doc_id),
+        |m AS (
+        |  SELECT a.doc_id,
+        |         len(list_intersect(list_transform(pa, p -> p + 1), pb))::BIGINT
+        |           AS n_matches
+        |  FROM a JOIN b USING (doc_id))
+        |SELECT doc_id, n_matches, rk FROM (
+        |  SELECT doc_id, n_matches,
+        |         row_number() OVER (ORDER BY n_matches DESC, doc_id ASC) AS rk
+        |  FROM m WHERE n_matches > 0)
         |WHERE rk <= 20""".stripMargin,
 
     // the capped-index read replayed end-to-end: same cap (1000),

@@ -79,10 +79,30 @@ object Graph {
     power(pairs, aCol, bCol, lit(true), iters, scale, checkpointDir,
       weightCol = Some(weightCol))
 
+  /** DIRECTED weighted PageRank — the classic web-graph walk over an
+    * edge list that already encodes direction (e.g. per-user session
+    * TRANSITION counts: item i was followed by item j, w times): no
+    * symmetrization — rank flows only along out-edges — and dangling
+    * mass (a pure-sink node has no out-edges) DROPS rather than
+    * redistributing: deterministic over textbook fidelity, the same
+    * trade the div floors already make. Where [[pageRankWeighted]]
+    * ranks centrality in an undirected similarity graph, this ranks
+    * flow in a browse/citation graph — "which items anchor the
+    * journey", the q208 read. Same all-BIGINT loop, same per-round
+    * join + hash-aggregate shape, same unrolled-CTE oracle story.
+    */
+  def pageRankDirected(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iters: Int = 3,
+                       scale: Long = 1000000L,
+                       checkpointDir: Option[String] = None): DataFrame =
+    power(edges, srcCol, dstCol, lit(true), iters, scale, checkpointDir,
+      weightCol = Some(weightCol), directed = true)
+
   private def power(pairs: DataFrame, aCol: String, bCol: String,
                     seedPred: Column, iters: Int, scale: Long,
                     checkpointDir: Option[String],
-                    weightCol: Option[String] = None): DataFrame = {
+                    weightCol: Option[String] = None,
+                    directed: Boolean = false): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(scale >= 100L && scale % 100L == 0L,
       "scale must be a positive multiple of 100 (exact damping arithmetic)")
@@ -111,19 +131,28 @@ object Graph {
           .otherwise(raise_error(concat(
             lit(s"pageRankWeighted: $w must be a positive integer, got "),
             coalesce(col(w).cast("string"), lit("NULL")))))
-        pairs.select(col(aCol).as("src"), col(bCol).as("dst"), wOk.as("w"))
-          .unionByName(pairs.select(col(bCol).as("src"),
-            col(aCol).as("dst"), wOk.as("w")))
+        val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"),
+          wOk.as("w"))
+        (if (directed) fwd
+         else fwd.unionByName(pairs.select(col(bCol).as("src"),
+           col(aCol).as("dst"), wOk.as("w"))))
           .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       case None =>
-        pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-          .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        (if (directed) fwd
+         else fwd.unionByName(pairs.select(col(bCol).as("src"),
+           col(aCol).as("dst"))))
           .distinct().withColumn("w", lit(1L))
     })
     val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("sw"))
     // (src, dst, w, Σw of src), built once and reused every round
     val edgesW = pin(edges.join(deg, "src"))
-    val nodes = pin(edges.select(col("src").as("id")).distinct())
+    // a DIRECTED graph has pure-sink nodes that never appear as src;
+    // a symmetrized one cannot, so src alone covers it
+    val nodes = pin(
+      (if (directed) edges.select(col("src").as("id"))
+        .unionByName(edges.select(col("dst").as("id")))
+       else edges.select(col("src").as("id"))).distinct())
     val baseCol = when(seedPred, lit(15L * scale / 100L)).otherwise(lit(0L))
     var ranks = nodes.select(col("id"),
       when(seedPred, lit(scale)).otherwise(lit(0L)).as("r"))

@@ -1335,4 +1335,121 @@ object TextAnalysis {
       .select(col("doc_id"), col("tf_a"), col("tf_b"),
         round(col("_s"), 6).as("score"), col("rk"))
   }
+
+  /** The doc-length "norms file" every BM25 engine stores beside its
+    * index: (doc_id, dl) with dl = token count. One narrow projection
+    * — no shuffle; built once at index time, read by
+    * [[bm25FullQuery]] for length normalization (the capped index
+    * cannot recover dl — that is exactly why real engines persist
+    * norms separately).
+    */
+  def docNorms(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("dl"))
+
+  /** Full BM25 with length normalization — [[bm25Query]] plus the `b`
+    * term (b = 3/4, k1 = 6/5, the classic 0.75/1.2 point as exact
+    * rationals): per term,
+    * `idf · tf(k1+1) / (tf + k1(1−b + b·dl/avgdl))` with
+    * avgdl = C/N taken from the norms store (C = Σdl, N = #docs).
+    * Clearing denominators keeps everything integer:
+    * num = 44·tf·C·(2N−2df+1), den = (20·tf·C + 6·C + 18·dl·N)·(2df+1).
+    * Each term's score is ONE correctly-rounded double division of
+    * those integers and the two-term OR sum is ONE correctly-rounded
+    * addition in fixed (a, b) order — bit-identical on every engine
+    * with no ln()/exp() and no cross-multiplied overflow (the q206
+    * rational stays summed as integers; here C·tf·44 must only fit
+    * int64 — ~2×10¹⁷ corpus-token·tf products, document-scale far
+    * beyond the 100 TB point).
+    *
+    * Serving shape: corpus scalars (N, C) are a 1-row aggregate over
+    * the norms store; the two ≤cap posting lists broadcast INTO the
+    * norms join (dl lookup — postings are the small side by
+    * construction); everything after runs at serving scale.
+    */
+  def bm25FullQuery(index: DataFrame, norms: DataFrame, k: Int,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val idx = Checkpoints.pin(index, checkpointDir, eager = false)
+    val nc = norms.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("c_tokens"))
+    val top2 = idx.select(col("token"), col("df")).distinct()
+      .orderBy(col("df").desc, col("token").asc).limit(2)
+    val ab = top2.agg(min(col("token")).as("ta"), max(col("token")).as("tb"))
+      .filter(col("ta") =!= col("tb"))
+    def side(term: String, sfx: String) = {
+      val post = idx.join(broadcast(ab), col("token") === col(term))
+        .select(col("doc_id"), col("tf"), col("df"))
+      norms.join(broadcast(post), "doc_id")
+        .crossJoin(broadcast(nc)) // 1 row by construction
+        .select(col("doc_id"), col("tf").as(s"tf_$sfx"),
+          ((lit(44L) * col("tf") * col("c_tokens") *
+            (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)))
+            .cast("double") /
+            ((lit(20L) * col("tf") * col("c_tokens") +
+              lit(6L) * col("c_tokens") +
+              lit(18L) * col("dl") * col("n_docs")) *
+              (lit(2L) * col("df") + lit(1L))).cast("double"))
+            .as(s"s_$sfx"))
+    }
+    val j = side("ta", "a").join(side("tb", "b"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("tf_a"), lit(0L)).as("tf_a"),
+        coalesce(col("tf_b"), lit(0L)).as("tf_b"),
+        (coalesce(col("s_a"), lit(0.0)) + coalesce(col("s_b"), lit(0.0)))
+          .as("_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_s").desc, col("doc_id").asc)
+    j.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("tf_a"), col("tf_b"),
+        round(col("_s"), 6).as("score"), col("rk"))
+  }
+
+  /** POSITIONAL postings — the phrase-capable index artifact:
+    * (token, doc_id, tf, positions) with 0-based in-doc positions,
+    * sorted (collect_list order is partition-dependent; the sort
+    * makes the artifact deterministic). One hash aggregate over the
+    * posexploded corpus — [[tokenPostings]] with positions carried;
+    * array length per row is that token's tf in that doc, so a
+    * posting row is bounded the way the tf column already is.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** PHRASE query on the positional index: docs where `w1` is
+    * immediately followed by `w2`, ranked by match count — the
+    * two-token exact-phrase read every positional index exists for.
+    * `terms` is a 1-row (w1, w2) frame (w1 = w2 is legal: "the the"
+    * self-adjacency counts positions p with p+1 also present). The
+    * adjacency test is an in-row `array_intersect(pa+1, pb)` —
+    * positions are distinct by construction so set semantics are
+    * exact.
+    *
+    * Serving shape: the index is read twice with a pushed token
+    * filter (rows ∝ df of the two query terms — narrow position
+    * arrays, not text), one equi-join on doc_id, one top-k rank;
+    * nothing scales with corpus size beyond those posting rows.
+    */
+  def phraseQuery(pindex: DataFrame, terms: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val a = pindex.join(broadcast(terms), col("token") === col("w1"))
+      .select(col("doc_id"), col("positions").as("pa"))
+    val b = pindex.join(broadcast(terms), col("token") === col("w2"))
+      .select(col("doc_id"), col("positions").as("pb"))
+    val m = a.join(b, "doc_id")
+      .select(col("doc_id"),
+        size(array_intersect(transform(col("pa"), p => p + 1),
+          col("pb"))).cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_matches").desc, col("doc_id").asc)
+    m.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Graph
+
+/** Specs for the DIRECTED PageRank member of the graph family (the
+  * undirected/personalized/weighted members are covered by the
+  * q133/q137/q149 oracles and DedupSpec's CC/LPA twins).
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long, Long)], iters: Int) =
+    Graph.pageRankDirected(edges.toDF("src", "dst", "w"), "src", "dst",
+        "w", iters, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+
+  test("pageRankDirected: hand-traced two iterations on a weighted triangle") {
+    // W_out: 1→{2,3} = 2, 2→{3} = 1, 3→{1 (w2)} = 2; micro-scale init
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L), (3L, 1L, 2L))
+    // iter1: in(1)=1e6, in(2)=5e5, in(3)=1.5e6
+    //   → r1 = (1e6, 575000, 1425000)
+    // iter2: in(1)=1425000, in(2)=500000, in(3)=500000+575000
+    //   → r2 = (1361250, 575000, 1063750)
+    assert(ranks(edges, 1) ===
+      Map(1L -> 1000000L, 2L -> 575000L, 3L -> 1425000L))
+    assert(ranks(edges, 2) ===
+      Map(1L -> 1361250L, 2L -> 575000L, 3L -> 1063750L))
+  }
+
+  test("pageRankDirected: direction respected — sink keeps no out-flow, source decays to base") {
+    // 1→2 only: node 1 has no in-edges → base 150000 after one round;
+    // node 2 is a pure SINK (would not even be a node if the graph
+    // were read undirected-src-only) — its mass drops, not recycles
+    val edges = Seq((1L, 2L, 1L))
+    assert(ranks(edges, 1) === Map(1L -> 150000L, 2L -> 1000000L))
+    // iter2: in(2) = (150000·1) div 1 → 150000 + 127500
+    assert(ranks(edges, 2) === Map(1L -> 150000L, 2L -> 277500L))
+  }
+
+  test("pageRankDirected: rank is partition-layout independent; duplicate edges merge") {
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L),
+      (2L, 1L, 5L), (3L, 2L, 1L))
+    val a = ranks(edges, 3)
+    val b = Graph.pageRankDirected(
+        edges.toDF("src", "dst", "w").repartition(7), "src", "dst", "w",
+        iters = 3, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+    // duplicated (src,dst) rows sum their weights — same totals either way
+    val dup = edges ++ Seq((1L, 2L, 0L)) // zero weight raises loudly
+    val e = intercept[Exception] { ranks(dup, 1) }
+    assert(e.getMessage.contains("positive integer"))
+    val merged = ranks(Seq((1L, 2L, 2L), (1L, 2L, 1L), (2L, 1L, 3L)), 2)
+    assert(merged === ranks(Seq((1L, 2L, 3L), (2L, 1L, 3L)), 2))
+  }
+}

@@ -2066,4 +2066,59 @@ class MiningSpec extends AnyFunSuite {
     assert(TextAnalysis.bm25Query(idx1,
       spark.range(1).agg(lit(2L).as("n_docs")), k = 5).count() === 0L)
   }
+
+  test("bm25FullQuery: length-normalized scores hand-traced from the norms store") {
+    val df = docs(
+      (1L, "a b a c a", "s"), // dl 5
+      (2L, "a b b", "s"),     // dl 3
+      (3L, "c c c c", "s"),   // dl 4 — neither query term
+      (4L, "a", "s"))         // dl 1 — shortest doc, normalization favors it
+    // N=4, C=13; terms a (df3, idfnum 3, 2df+1=7), b (df2, 5, 5)
+    val idx = TextAnalysis.invertedIndex(df, "doc_id", "text",
+      maxPostings = 10)
+    val norms = TextAnalysis.docNorms(df, "doc_id", "text")
+    assert(norms.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 5L, 2L -> 3L, 3L -> 4L, 4L -> 1L))
+    def s(num: Long, den: Long) = num.toDouble / den.toDouble
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // num = 44·tf·C·idfnum; den = (20·tf·C + 6·C + 18·dl·N)·(2df+1)
+    val d1 = s(44 * 3 * 13 * 3, (20 * 3 * 13 + 78 + 18 * 5 * 4) * 7) +
+      s(44 * 13 * 5, (260 + 78 + 360) * 5)
+    val d2 = s(44 * 13 * 3, (260 + 78 + 216) * 7) +
+      s(44 * 2 * 13 * 5, (520 + 78 + 216) * 5)
+    val d4 = s(44 * 13 * 3, (260 + 78 + 72) * 7)
+    val got = TextAnalysis.bm25FullQuery(idx, norms, k = 10)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    assert(got === Set(
+      (2L, 1L, 2L, r6(d2), 1L),
+      (1L, 3L, 1L, r6(d1), 2L),
+      (4L, 1L, 0L, r6(d4), 3L)))
+    assert(d2 > d1 && d1 > d4) // the rank order the trace implies
+  }
+
+  test("positionalPostings + phraseQuery: adjacency matches, zero-match docs drop, self-phrase works") {
+    val df = docs(
+      (1L, "a b a b c", "s"),
+      (2L, "b a", "s"),   // "a b" REVERSED — must not match
+      (3L, "a a a", "s"),
+      (4L, "c", "s"))
+    val pidx = TextAnalysis.positionalPostings(df, "doc_id", "text")
+    // sorted 0-based positions ride the posting row
+    assert(pidx.filter($"token" === "a" && $"doc_id" === 1L)
+      .select($"tf", $"positions").as[(Long, Seq[Int])].collect().toSeq ===
+      Seq((2L, Seq(0, 2))))
+    def q(w1: String, w2: String) =
+      TextAnalysis.phraseQuery(pidx,
+        Seq((w1, w2)).toDF("w1", "w2"), k = 10)
+        .as[(Long, Long, Long)].collect().toSet
+    // "a b": doc1 at positions 0→1 and 2→3; doc2 only has "b a"
+    assert(q("a", "b") === Set((1L, 2L, 1L)))
+    // "b a": doc2 matches once; doc1's b's are followed by a at 1→2 only
+    assert(q("b", "a") === Set((1L, 1L, 1L), (2L, 1L, 2L)))
+    // self-phrase "a a": doc3's run of three has two adjacencies
+    assert(q("a", "a") === Set((3L, 2L, 1L)))
+    // no adjacency anywhere: empty result
+    assert(q("c", "a") === Set.empty[(Long, Long, Long)])
+  }
 }
