@@ -3056,6 +3056,35 @@ object SparkEntry {
       TextAnalysis.phraseQuery(
         TextAnalysis.positionalPostings(d, "doc_id", "text"), bg, k = 20)
     }),
+
+    // traffic-spike detection: hourly series counts vs their trailing
+    // 24-bucket window, the integer cross-multiply cnt·n > 2·Σ — no
+    // division anywhere, the trailing witnesses ride along
+    "q210_traffic_spikes" -> ((s, dir) =>
+      Behavior.trafficSpikes(Tables.events(s, dir), "event_type", "ts")),
+
+    // top-20 three-step item journeys (the Sankey read): per-user
+    // consecutive triples ordered by (ts, event_id), counted, ranked
+    "q211_journey_paths" -> ((s, dir) =>
+      Behavior.journeyPaths(
+        eventsWithItem(s, dir).filter(col("item_id").isNotNull),
+        "user_id", "item_id", "ts", "event_id", k = 20)),
+
+    // index tombstone DELETES (the LSM posture): every doc_id % 10 = 0
+    // doc is deleted by appending its negated postings; the merged
+    // capped read must equal the index over the corpus WITHOUT those
+    // docs — deletes cancel exactly, history files untouched
+    "q212_index_tombstones" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ingest = TextAnalysis.indexSlices(
+        d.withColumn("slice", lit(0L)), "doc_id", "text", "slice")
+      val tomb = TextAnalysis.indexTombstones(
+        d.filter(col("doc_id") % 10 === 0).withColumn("slice", lit(1L)),
+        "doc_id", "text", "slice")
+      TextAnalysis.cappedIndex(
+        TextAnalysis.indexMergeSlices(ingest.unionByName(tomb)),
+        maxPostings = 5)
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -5882,6 +5911,65 @@ object SparkEntry {
         |         row_number() OVER (ORDER BY n_matches DESC, doc_id ASC) AS rk
         |  FROM m WHERE n_matches > 0)
         |WHERE rk <= 20""".stripMargin,
+
+    // rows-based trailing window — identical bucket-gap semantics
+    "q210_traffic_spikes" ->
+      """WITH c AS (
+        |  SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
+        |         count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT series, bucket, cnt,
+        |       count(cnt) OVER w AS trailing_n,
+        |       coalesce(sum(cnt) OVER w, 0)::BIGINT AS trailing_sum,
+        |       count(cnt) OVER w > 0
+        |         AND cnt * (count(cnt) OVER w)
+        |             > 2 * coalesce(sum(cnt) OVER w, 0) AS is_spike
+        |FROM c
+        |WINDOW w AS (PARTITION BY series ORDER BY bucket
+        |             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)""".stripMargin,
+
+    "q211_journey_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |         json_extract_string(props, '$.k')::BIGINT AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |tri AS (
+        |  SELECT item AS step1,
+        |         lead(item, 1) OVER w AS step2,
+        |         lead(item, 2) OVER w AS step3
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |cnt AS (
+        |  SELECT step1, step2, step3, count(*)::BIGINT AS n_paths
+        |  FROM tri WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |  GROUP BY 1, 2, 3)
+        |SELECT step1, step2, step3, n_paths, rk FROM (
+        |  SELECT step1, step2, step3, n_paths,
+        |         row_number() OVER (ORDER BY n_paths DESC, step1 ASC,
+        |                            step2 ASC, step3 ASC) AS rk
+        |  FROM cnt)
+        |WHERE rk <= 20""".stripMargin,
+
+    // deletes cancel exactly: the oracle is the q202 index over the
+    // corpus MINUS the tombstoned docs
+    "q212_index_tombstones" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents WHERE doc_id % 10 <> 0)
+        |  GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT token, count(*) AS df, sum(tf)::BIGINT AS cf
+        |  FROM post GROUP BY 1),
+        |ranked AS (
+        |  SELECT token, doc_id, tf,
+        |         row_number() OVER (PARTITION BY token
+        |                            ORDER BY tf DESC, doc_id ASC) AS rk
+        |  FROM post)
+        |SELECT r.token, r.doc_id, r.tf, r.rk, s.df, s.cf
+        |FROM ranked r JOIN stats s USING (token)
+        |WHERE r.rk <= 5""".stripMargin,
 
     // the capped-index read replayed end-to-end: same cap (1000),
     // same top-2-df term pick, same combined-tf ranking

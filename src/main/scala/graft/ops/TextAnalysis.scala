@@ -1185,7 +1185,37 @@ object TextAnalysis {
     */
   def indexMergeSlices(slices: DataFrame): DataFrame =
     slices.groupBy(col("token"), col("doc_id"))
-      .agg(sum(col("tf")).as("tf"))
+      .agg(sum(col("tf")).as("_tf"))
+      // tombstone deletes ([[indexTombstones]]) cancel ingested tf to
+      // exactly 0 — a vanished posting drops here; a NEGATIVE sum
+      // means a tombstone without a matching ingest (a data bug) and
+      // raises loudly rather than serving phantom counts
+      .select(col("token"), col("doc_id"),
+        when(col("_tf") >= 0, col("_tf"))
+          .otherwise(raise_error(concat(
+            lit("indexMergeSlices: negative merged tf for token "),
+            col("token"), lit(" doc "), col("doc_id").cast("string"),
+            lit(" — tombstone without matching ingest")))).as("tf"))
+      .filter(col("tf") > 0)
+
+  /** Tombstone slices — the DELETE path of the inverted-index
+    * warehouse (the LSM posture: deletes are appended, never applied
+    * in place): the doc's postings re-aggregated with NEGATED tf, so
+    * the [[indexMergeSlices]] tf sum cancels its contribution to
+    * exactly zero and the capped read serves as if the doc were never
+    * ingested (`cappedIndex(merge(ingest ∪ tombstone(d))) ≡
+    * invertedIndex(corpus \ d)` — the q212 oracle). Requires the
+    * tombstone to carry the SAME text the ingest saw (the store is
+    * content-addressed, not id-addressed — partial text cancels
+    * partially); a tombstone with no matching ingest drives tf
+    * negative and raises at merge. Work ∝ deleted docs only; history
+    * files stay untouched.
+    */
+  def indexTombstones(docs: DataFrame, idCol: String, textCol: String,
+                      sliceCol: String): DataFrame =
+    indexSlices(docs, idCol, textCol, sliceCol)
+      .select(col("slice"), col("token"), col("doc_id"),
+        (-col("tf")).as("tf"))
 
   /** Materialize an index-slice frame as a token-bucketed parquet
     * table — the physical form of the inverted-index warehouse.

@@ -237,6 +237,51 @@ class FunnelSpec extends AnyFunSuite {
       (5L, 4L, 5L, "champions", 2L, 143.0)))  // c9+c10 share one cell
   }
 
+  test("trafficSpikes: integer cross-multiply vs the trailing window; no-history buckets never spike") {
+    import graft.ops.Behavior
+    // series "a": hourly counts 10, 10, 40, 5 — only the 40 spikes
+    // against a 2-bucket trailing window at threshold 2
+    val rows = Seq(0 -> 10, 1 -> 10, 2 -> 40, 3 -> 5).flatMap {
+      case (h, n) => Seq.fill(n)(("a", h.toLong * 3600 + 7))
+    } ++ Seq(("b", 0L)) // second series: single bucket, no history
+    val events = rows.toDF("event_type", "sec")
+      .select($"event_type", timestamp_seconds($"sec").as("ts"))
+    val got = Behavior.trafficSpikes(events, "event_type", "ts",
+        trailing = 2, threshold = 2L)
+      .select($"series", unix_timestamp($"bucket").as("b"), $"cnt",
+        $"trailing_n", $"trailing_sum", $"is_spike")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      ("a", 0L, 10L, 0L, 0L, false),      // no history — never a spike
+      ("a", 3600L, 10L, 1L, 10L, false),  // 10·1 > 2·10 is false
+      ("a", 7200L, 40L, 2L, 20L, true),   // 80 > 40
+      ("a", 10800L, 5L, 2L, 50L, false),  // window slides: 10+40
+      ("b", 0L, 1L, 0L, 0L, false)))
+  }
+
+  test("journeyPaths: per-user triples, corpus-wide counts, lexicographic tie-break") {
+    import graft.ops.Behavior
+    val rows = Seq( // (user, item, sec, tie)
+      (1L, 5L, 10L, 1L), (1L, 6L, 20L, 2L), (1L, 5L, 30L, 3L),
+      (1L, 7L, 40L, 4L),                    // → (5,6,5), (6,5,7)
+      (2L, 5L, 10L, 5L), (2L, 6L, 20L, 6L), (2L, 5L, 30L, 7L), // → (5,6,5)
+      (3L, 1L, 10L, 8L), (3L, 2L, 20L, 9L), (3L, 3L, 30L, 10L), // → (1,2,3)
+      (4L, 9L, 10L, 11L), (4L, 9L, 20L, 12L)) // only 2 events: no triple
+    val events = rows.toDF("user_id", "item_id", "sec", "event_id")
+      .select($"user_id", $"item_id",
+        timestamp_seconds($"sec").as("ts"), $"event_id")
+    val got = Behavior.journeyPaths(events, "user_id", "item_id", "ts",
+        "event_id", k = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (5L, 6L, 5L, 2L, 1L),
+      (1L, 2L, 3L, 1L, 2L), // n=1 tie → lexicographic before (6,5,7)
+      (6L, 5L, 7L, 1L, 3L)))
+    // k truncates
+    assert(Behavior.journeyPaths(events, "user_id", "item_id", "ts",
+      "event_id", k = 1).count() === 1L)
+  }
+
   test("abTest: strict-share conversion rule, md5 arms, z replayed in scala, saturation => z=0") {
     import graft.ops.Behavior
     // the same 60-bit md5 arm the operator computes, replayed by hand

@@ -2067,6 +2067,42 @@ class MiningSpec extends AnyFunSuite {
       spark.range(1).agg(lit(2L).as("n_docs")), k = 5).count() === 0L)
   }
 
+  test("indexTombstones: deletes cancel exactly; partial cancel is content-addressed; orphan tombstone raises") {
+    val d = Seq((1L, "a b a"), (2L, "a b b"), (3L, "c c"))
+      .toDF("doc_id", "text")
+    val ingest = TextAnalysis.indexSlices(
+      d.withColumn("slice", lit(0L)), "doc_id", "text", "slice")
+    val tomb = TextAnalysis.indexTombstones(
+      d.filter($"doc_id" === 1L).withColumn("slice", lit(1L)),
+      "doc_id", "text", "slice")
+    val got = TextAnalysis.cappedIndex(
+        TextAnalysis.indexMergeSlices(ingest.unionByName(tomb)),
+        maxPostings = 5)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val want = TextAnalysis.invertedIndex(
+        d.filter($"doc_id" =!= 1L), "doc_id", "text", maxPostings = 5)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === want && got.nonEmpty)
+    // content-addressed partial cancel: doc 9 ingested TWICE, deleted
+    // once — half its counts remain
+    val twice = TextAnalysis.indexSlices(
+      Seq((9L, 0L, "z z"), (9L, 1L, "z z")).toDF("doc_id", "slice", "text"),
+      "doc_id", "text", "slice")
+    val once = TextAnalysis.indexTombstones(
+      Seq((9L, "z z")).toDF("doc_id", "text").withColumn("slice", lit(2L)),
+      "doc_id", "text", "slice")
+    assert(TextAnalysis.indexMergeSlices(twice.unionByName(once))
+      .as[(String, Long, Long)].collect().toSeq === Seq(("z", 9L, 2L)))
+    // orphan tombstone (never ingested) drives tf negative: loud raise
+    val e = intercept[Exception] {
+      TextAnalysis.indexMergeSlices(
+        TextAnalysis.indexTombstones(
+          Seq((5L, "q")).toDF("doc_id", "text").withColumn("slice", lit(0L)),
+          "doc_id", "text", "slice")).collect()
+    }
+    assert(e.getMessage.contains("tombstone without matching ingest"))
+  }
+
   test("bm25FullQuery: length-normalized scores hand-traced from the norms store") {
     val df = docs(
       (1L, "a b a c a", "s"), // dl 5
