@@ -3085,6 +3085,48 @@ object SparkEntry {
         TextAnalysis.indexMergeSlices(ingest.unionByName(tomb)),
         maxPostings = 5)
     }),
+
+    // vector-store tombstone DELETES (q212's id-addressed sibling):
+    // every vec_id % 7 = 0 vector is deleted via the read-time
+    // anti-join; the IVF search must serve as if they were never
+    // stored — store files untouched, deleted ids can still QUERY
+    "q213_ann_tombstones" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("c_vec"))
+      val store = Similarity.ivfStoreRows(emb, "vec_id", "embedding",
+        centroids)
+      val tomb = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+      Similarity.ivfSearchBucketed(
+        Similarity.applyTombstones(store, tomb, "vec_id"), emb,
+        "vec_id", "embedding", centroids,
+        queryIds = (0L until 10L).toSeq, k = 5, nprobe = 2)
+    }),
+
+    // TWAP per event-type series: step-interpolated value × holding
+    // seconds, DECIMAL-folded numerator, ONE final division — the
+    // monitoring/market read over irregular observations
+    "q214_twap" -> ((s, dir) =>
+      Behavior.twap(Tables.events(s, dir), "event_type", "ts",
+        "event_id", "value")),
+
+    // vector-store COMPACTION: the rebuild-minus-tombstones rewrite
+    // must serve exactly what the tombstone READ (q213) serves — the
+    // same oracle proves both (the q205 compaction-commutes rule
+    // applied to the id-addressed store)
+    "q215_ann_compaction" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("c_vec"))
+      val compacted = Similarity.ivfStoreRows(
+        emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+        centroids)
+      Similarity.ivfSearchBucketed(compacted, emb, "vec_id",
+        "embedding", centroids,
+        queryIds = (0L until 10L).toSeq, k = 5, nprobe = 2)
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -3207,6 +3249,54 @@ object SparkEntry {
 
   /** q78's DuckDB SQL (both Lloyd rounds unrolled into the probe/score
     * shape), shared with the q87 recall audit. */
+  /** q69's IVF-search replay with the ASSIGNMENT side excluding the
+    * deleted vec_id % 7 = 0 vectors — shared verbatim by q213
+    * (tombstone read) and q215 (compaction rewrite): the two delete
+    * mechanisms must be indistinguishable to a reader.
+    */
+  private val q213TombstoneIvfSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |c AS (SELECT vec_id AS centroid_id, embedding AS c_vec FROM e WHERE vec_id < 8),
+      |cd AS (
+      |  SELECT e.vec_id, c.centroid_id,
+      |         round(sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |           i -> (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)
+      |              * (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)))), 6) AS dist
+      |  FROM e CROSS JOIN c),
+      |assign AS (
+      |  SELECT vec_id AS neighbor_id, centroid_id FROM (
+      |    SELECT vec_id, centroid_id,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+      |    FROM cd WHERE vec_id % 7 <> 0) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, centroid_id FROM (
+      |    SELECT vec_id, centroid_id,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+      |    FROM cd WHERE vec_id < 10) WHERE rn <= 2),
+      |n AS (
+      |  SELECT * FROM (
+      |    SELECT vec_id, embedding,
+      |           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
+      |    FROM embeddings)
+      |  WHERE norm2 > 0),
+      |cand AS (
+      |  SELECT p.query_id, a.neighbor_id
+      |  FROM probes p JOIN assign a USING (centroid_id)
+      |  WHERE p.query_id <> a.neighbor_id),
+      |sc AS (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |         round(list_sum(list_transform(generate_series(1, len(nb.embedding)),
+      |                 i -> q.embedding[i]::DOUBLE * nb.embedding[i]::DOUBLE))
+      |               / sqrt(q.norm2 * nb.norm2), 6) AS score
+      |  FROM cand
+      |  JOIN n q ON q.vec_id = cand.query_id
+      |  JOIN n nb ON nb.vec_id = cand.neighbor_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, score,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM sc)
+      |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5""".stripMargin
+
   private val q78IvfSql: String =
     """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |c0 AS (SELECT vec_id AS centroid_id,
@@ -5911,6 +6001,33 @@ object SparkEntry {
         |         row_number() OVER (ORDER BY n_matches DESC, doc_id ASC) AS rk
         |  FROM m WHERE n_matches > 0)
         |WHERE rk <= 20""".stripMargin,
+
+    // ONE oracle proves both halves of the vector-store delete story:
+    // q213 (tombstone read) and q215 (compaction rewrite) must both
+    // serve the IVF search over the corpus minus deleted vectors —
+    // q69's SQL with the assignment side excluding them (queries stay
+    // unrestricted: deleted ids may still ask)
+    "q213_ann_tombstones" -> q213TombstoneIvfSql,
+    "q215_ann_compaction" -> q213TombstoneIvfSql,
+
+    // decimal-exact numerator, one final division; lead durations and
+    // the right-open last-observation drop replayed verbatim
+    "q214_twap" ->
+      """WITH d AS (
+        |  SELECT event_type AS series, value,
+        |         CAST(floor(epoch(lead(ts) OVER (PARTITION BY event_type
+        |                                         ORDER BY ts, event_id)))
+        |              AS BIGINT)
+        |         - CAST(floor(epoch(ts)) AS BIGINT) AS dur
+        |  FROM events),
+        |a AS (
+        |  SELECT series, count(*)::BIGINT AS n_obs,
+        |         sum(dur)::BIGINT AS total_sec,
+        |         sum(value::DECIMAL(18,6) * dur) AS sw
+        |  FROM d WHERE dur IS NOT NULL GROUP BY 1)
+        |SELECT series, n_obs, total_sec,
+        |       round(sw::DOUBLE / total_sec::DOUBLE, 6) AS twap
+        |FROM a""".stripMargin,
 
     // rows-based trailing window — identical bucket-gap semantics
     "q210_traffic_spikes" ->

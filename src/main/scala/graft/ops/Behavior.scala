@@ -432,6 +432,44 @@ object Behavior {
           lit(threshold) * col("trailing_sum"))
   }
 
+  /** Time-weighted average of a value series — the TWAP/monitoring
+    * read: each observation holds until the next one (step
+    * interpolation), so its weight is its holding duration in seconds
+    * and `twap = Σ value·Δt / Σ Δt` per series; the last observation
+    * has no duration and drops (emitted in neither sum — the
+    * right-open convention). The weighted sum folds as
+    * DECIMAL(28,10)·seconds (order-independent — the q14/q200 rule;
+    * a double fold would be partition-ordered), and the ONLY float op
+    * is the final correctly-rounded division of the decimal-exact
+    * numerator by the integer denominator — cross-engine
+    * bit-identical. Σ Δt and the observation count ride along as
+    * witnesses.
+    *
+    * Shape: one user/series-partitioned Window (a single lead — the
+    * journeyPaths posture), one hash aggregate to the series frame.
+    */
+  def twap(events: DataFrame, seriesCol: String, tsCol: String,
+           tieCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("_ts"), col("_tie"))
+    events
+      .select(col(seriesCol).as("series"), col(tsCol).as("_ts"),
+        col(tieCol).as("_tie"), col(valueCol).as("_v"))
+      .withColumn("_dur",
+        unix_timestamp(lead(col("_ts"), 1).over(w)) -
+          unix_timestamp(col("_ts")))
+      .filter(col("_dur").isNotNull)
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("_dur")).as("total_sec"),
+        // (18,6) not (28,10): DuckDB types the decimal×BIGINT product
+        // at p1+18 digits, which must stay ≤ 38 for the oracle
+        sum(col("_v").cast("decimal(18,6)") * col("_dur")).as("_sw"))
+      .select(col("series"), col("n_obs"), col("total_sec"),
+        round(col("_sw").cast("double") /
+          col("total_sec").cast("double"), 6).as("twap"))
+  }
+
   /** Top-k THREE-step journeys — the Sankey/path-analysis read over
     * the item-event log: per user, consecutive (ordered by ts with a
     * unique tie-break column) item triples, counted corpus-wide,

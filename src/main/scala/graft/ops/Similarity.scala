@@ -362,6 +362,23 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** The vector store's DELETE log applied at read time — the
+    * id-addressed sibling of the inverted index's tombstones
+    * (TextAnalysis.indexTombstones): tombstoned vec_ids anti-join out
+    * of the store before scoring, so a deleted vector can never
+    * surface as a neighbor while the store's history files stay
+    * byte-untouched. The delete log broadcasts (an id list is tiny
+    * next to the vectors); once it isn't tiny anymore, compact —
+    * rewrite the store through [[writeIvfBucketed]] minus the
+    * tombstones (q215 pins compacted-store search ≡ tombstone-read
+    * search relationally) and drop the log.
+    */
+  def applyTombstones(store: DataFrame, tombstones: DataFrame,
+                      idCol: String): DataFrame =
+    store.join(
+      broadcast(tombstones.select(col(idCol).as("vec_id")).distinct()),
+      Seq("vec_id"), "left_anti")
+
   /** Hard-negative mining for contrastive training (the DPR recipe —
     * Karpukhin et al. 2020: negatives similar enough to be
     * informative, below the near-dup ceiling that would make them

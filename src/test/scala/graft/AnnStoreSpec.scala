@@ -211,6 +211,28 @@ class AnnStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("applyTombstones: delete read ≡ compacted rebuild; deleted ids never neighbors, still query") {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_vec"))
+    val store = Similarity.ivfStoreRows(emb, "vec_id", "embedding",
+      centroids)
+    val tomb = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    def search(st: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfSearchBucketed(st, emb, "vec_id", "embedding",
+          centroids, queryIds = (0L until 10L).toSeq, k = 5, nprobe = 2)
+        .as[(Long, Long, Double, Long)].collect().toSet
+    val viaTomb = search(Similarity.applyTombstones(store, tomb, "vec_id"))
+    val viaCompact = search(Similarity.ivfStoreRows(
+      emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+      centroids))
+    assert(viaTomb === viaCompact && viaTomb.nonEmpty)
+    // no deleted id ever surfaces as a neighbor…
+    assert(!viaTomb.exists(_._2 % 7 == 0))
+    // …but deleted ids still ASK (0 and 7 are in the query set)
+    assert(viaTomb.exists(_._1 % 7 == 0))
+  }
+
   test("zero-norm vectors: ivfSearch and the bucketed store exclude them identically (ADVICE r9)") {
     // the bucketed store drops zero-norm vectors at write; ivfSearch's
     // scoring tail drops them via the normedVectors guard — a corpus

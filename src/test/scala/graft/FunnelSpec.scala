@@ -259,6 +259,22 @@ class FunnelSpec extends AnyFunSuite {
       ("b", 0L, 1L, 0L, 0L, false)))
   }
 
+  test("twap: step-interpolated durations, decimal numerator, single-obs series drops") {
+    import graft.ops.Behavior
+    val rows = Seq( // (series, sec, tie, value)
+      ("a", 0L, 1L, 10.0), ("a", 10L, 2L, 20.0), ("a", 40L, 3L, 2.0),
+      ("a", 100L, 4L, 999.0), // last obs: no duration, both sums skip it
+      ("b", 5L, 5L, 7.5),     // single obs — no durations, no row
+      ("c", 0L, 6L, 0.5), ("c", 2L, 7L, 1.0))
+    val events = rows.toDF("series", "sec", "tie", "value")
+      .select($"series", timestamp_seconds($"sec").as("ts"), $"tie",
+        $"value")
+    val got = Behavior.twap(events, "series", "ts", "tie", "value")
+      .as[(String, Long, Long, Double)].collect().toSet
+    // a: (10·10 + 20·30 + 2·60) / 100 = 820/100
+    assert(got === Set(("a", 3L, 100L, 8.2), ("c", 1L, 2L, 0.5)))
+  }
+
   test("journeyPaths: per-user triples, corpus-wide counts, lexicographic tie-break") {
     import graft.ops.Behavior
     val rows = Seq( // (user, item, sec, tie)
