@@ -3127,6 +3127,20 @@ object SparkEntry {
         "embedding", centroids,
         queryIds = (0L until 10L).toSeq, k = 5, nprobe = 2)
     }),
+
+    // seasonal-baseline spikes: each hour compares to the SAME hour of
+    // the prior 7 days (partition (series, hour-of-day)) — the diurnal
+    // baseline; same integer cross-multiply and witnesses as q210
+    "q216_seasonal_spikes" -> ((s, dir) =>
+      Behavior.seasonalSpikes(Tables.events(s, dir), "event_type", "ts")),
+
+    // week-over-week top-20 item movers: two sort-limit leaderboards
+    // anchored at the log's max ts, full-outer joined, tagged
+    // entered/left/up/down/flat; rank 0 = outside that week's top-k
+    "q217_top_movers" -> ((s, dir) =>
+      Behavior.topMovers(
+        eventsWithItem(s, dir).filter(col("item_id").isNotNull),
+        "item_id", "ts", k = 20)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -6028,6 +6042,64 @@ object SparkEntry {
         |SELECT series, n_obs, total_sec,
         |       round(sw::DOUBLE / total_sec::DOUBLE, 6) AS twap
         |FROM a""".stripMargin,
+
+    // same-hour-of-day trailing partition; otherwise q210 verbatim
+    "q216_seasonal_spikes" ->
+      """WITH c AS (
+        |  SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
+        |         count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT series, hour(bucket)::BIGINT AS hod, bucket, cnt,
+        |       count(cnt) OVER w AS trailing_n,
+        |       coalesce(sum(cnt) OVER w, 0)::BIGINT AS trailing_sum,
+        |       count(cnt) OVER w > 0
+        |         AND cnt * (count(cnt) OVER w)
+        |             > 2 * coalesce(sum(cnt) OVER w, 0) AS is_spike
+        |FROM c
+        |WINDOW w AS (PARTITION BY series, hour(bucket) ORDER BY bucket
+        |             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)""".stripMargin,
+
+    "q217_top_movers" ->
+      """WITH a AS (
+        |  SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS anchor
+        |  FROM events),
+        |e AS (
+        |  SELECT json_extract_string(props, '$.k')::BIGINT AS item,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS s
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |cur AS (
+        |  SELECT item, count(*)::BIGINT AS cur_cnt FROM e, a
+        |  WHERE s > anchor - 604800 AND s <= anchor GROUP BY 1),
+        |curt AS (
+        |  SELECT * FROM (
+        |    SELECT item, cur_cnt,
+        |           row_number() OVER (ORDER BY cur_cnt DESC, item ASC)
+        |             AS cur_rank
+        |    FROM cur) WHERE cur_rank <= 20),
+        |prev AS (
+        |  SELECT item, count(*)::BIGINT AS prev_cnt FROM e, a
+        |  WHERE s > anchor - 1209600 AND s <= anchor - 604800 GROUP BY 1),
+        |prevt AS (
+        |  SELECT * FROM (
+        |    SELECT item, prev_cnt,
+        |           row_number() OVER (ORDER BY prev_cnt DESC, item ASC)
+        |             AS prev_rank
+        |    FROM prev) WHERE prev_rank <= 20),
+        |j AS (
+        |  SELECT coalesce(curt.item, prevt.item) AS item,
+        |         coalesce(cur_rank, 0) AS cur_rank,
+        |         coalesce(cur_cnt, 0) AS cur_cnt,
+        |         coalesce(prev_rank, 0) AS prev_rank,
+        |         coalesce(prev_cnt, 0) AS prev_cnt
+        |  FROM curt FULL JOIN prevt ON curt.item = prevt.item)
+        |SELECT item, cur_rank, cur_cnt, prev_rank, prev_cnt,
+        |       CASE WHEN prev_rank = 0 THEN 'entered'
+        |            WHEN cur_rank = 0 THEN 'left'
+        |            WHEN cur_rank < prev_rank THEN 'up'
+        |            WHEN cur_rank > prev_rank THEN 'down'
+        |            ELSE 'flat' END AS status
+        |FROM j""".stripMargin,
 
     // rows-based trailing window — identical bucket-gap semantics
     "q210_traffic_spikes" ->

@@ -416,20 +416,100 @@ object Behavior {
     * buckets is 8 760 rows per series), partitioned by series key.
     */
   def trafficSpikes(events: DataFrame, typeCol: String, tsCol: String,
-                    trailing: Int = 24, threshold: Long = 2L): DataFrame = {
-    require(trailing >= 1, "need at least one trailing bucket")
-    require(threshold >= 1L, "threshold multiplier must be >= 1")
-    val counts = events.groupBy(col(typeCol).as("series"),
+                    trailing: Int = 24, threshold: Long = 2L): DataFrame =
+    spikeFlags(hourCounts(events, typeCol, tsCol), Seq("series"),
+      trailing, threshold)
+
+  /** SEASONAL-baseline spike detection — [[trafficSpikes]] with the
+    * trailing window running over the SAME HOUR OF DAY on prior days
+    * (partition (series, hour-of-day), order by bucket): Monday 9am
+    * compares to previous mornings, not to 3am — the baseline every
+    * diurnal metric actually needs (a flat trailing-24h window calls
+    * every morning ramp a spike). Same pre-aggregate, same integer
+    * cross-multiply, same witnesses; `trailing` counts prior
+    * same-hour buckets (days).
+    */
+  def seasonalSpikes(events: DataFrame, typeCol: String, tsCol: String,
+                     trailing: Int = 7, threshold: Long = 2L): DataFrame =
+    spikeFlags(
+      hourCounts(events, typeCol, tsCol)
+        .withColumn("hod", hour(col("bucket")).cast("long")),
+      Seq("series", "hod"), trailing, threshold)
+
+  /** The (series, hour) count pre-aggregate — the ONLY full-log pass
+    * of the spike family; shared by both baselines so they cannot
+    * disagree on what a bucket is.
+    */
+  private def hourCounts(events: DataFrame, typeCol: String,
+                         tsCol: String): DataFrame =
+    events.groupBy(col(typeCol).as("series"),
         date_trunc("hour", col(tsCol)).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("series")).orderBy(col("bucket"))
-      .rowsBetween(-trailing, -1)
-    counts.select(col("series"), col("bucket"), col("cnt"),
+
+  /** The trailing-window cross-multiply flag, shared by the flat and
+    * seasonal baselines.
+    */
+  private def spikeFlags(counts: DataFrame, partCols: Seq[String],
+                         trailing: Int, threshold: Long): DataFrame = {
+    require(trailing >= 1, "need at least one trailing bucket")
+    require(threshold >= 1L, "threshold multiplier must be >= 1")
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("bucket")).rowsBetween(-trailing, -1)
+    counts.select(partCols.map(col) ++ Seq(col("bucket"), col("cnt"),
         count(col("cnt")).over(w).as("trailing_n"),
-        coalesce(sum(col("cnt")).over(w), lit(0L)).as("trailing_sum"))
+        coalesce(sum(col("cnt")).over(w), lit(0L)).as("trailing_sum")): _*)
       .withColumn("is_spike", col("trailing_n") > 0 &&
         col("cnt") * col("trailing_n") >
           lit(threshold) * col("trailing_sum"))
+  }
+
+  /** Week-over-week TOP MOVERS — the leaderboard-delta read: the
+    * current and prior period's top-`k` items by event count, joined,
+    * each item tagged entered/left/up/down/flat. The anchor is the
+    * log's max timestamp (a 1-row aggregate — deterministic at every
+    * SF, no wall-clock); rank 0 means "outside that period's top-k"
+    * (the observable-absence convention).
+    *
+    * Shape: two filtered hash aggregates to item counts, each
+    * top-k'd by a SORT-LIMIT (`orderBy(...).limit(k)` plans as
+    * TakeOrderedAndProject — per-partition top-k then one k-row merge,
+    * never a single-task global Window over the item dimension); the
+    * rank Window then runs on ≤ k rows. Full tie-break
+    * (count desc, item asc) makes the limit deterministic.
+    */
+  def topMovers(events: DataFrame, itemCol: String, tsCol: String,
+                k: Int, periodSec: Long = 604800L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(periodSec > 0, "period must be positive")
+    val anchor = events.agg(
+      max(unix_timestamp(col(tsCol))).as("anchor"))
+    val e = events
+      .select(col(itemCol).as("item"),
+        unix_timestamp(col(tsCol)).as("_s"))
+      .crossJoin(broadcast(anchor)) // 1 row
+    def board(lo: Column, hi: Column, pfx: String): DataFrame = {
+      val c = e.filter(col("_s") > lo && col("_s") <= hi)
+        .groupBy(col("item")).agg(count(lit(1)).as(s"${pfx}_cnt"))
+      c.orderBy(col(s"${pfx}_cnt").desc, col("item").asc).limit(k)
+        .withColumn(s"${pfx}_rank",
+          row_number().over(Window.orderBy(col(s"${pfx}_cnt").desc,
+            col("item").asc)).cast("long"))
+    }
+    val cur = board(col("anchor") - periodSec, col("anchor"), "cur")
+    val prev = board(col("anchor") - 2L * periodSec,
+      col("anchor") - periodSec, "prev")
+    cur.join(prev, Seq("item"), "full_outer")
+      .select(col("item"),
+        coalesce(col("cur_rank"), lit(0L)).as("cur_rank"),
+        coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"),
+        coalesce(col("prev_rank"), lit(0L)).as("prev_rank"),
+        coalesce(col("prev_cnt"), lit(0L)).as("prev_cnt"))
+      .withColumn("status",
+        when(col("prev_rank") === 0, "entered")
+          .when(col("cur_rank") === 0, "left")
+          .when(col("cur_rank") < col("prev_rank"), "up")
+          .when(col("cur_rank") > col("prev_rank"), "down")
+          .otherwise("flat"))
   }
 
   /** Time-weighted average of a value series — the TWAP/monitoring

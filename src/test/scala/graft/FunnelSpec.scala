@@ -259,6 +259,56 @@ class FunnelSpec extends AnyFunSuite {
       ("b", 0L, 1L, 0L, 0L, false)))
   }
 
+  test("seasonalSpikes: same-hour-of-day baseline catches what the flat window hides") {
+    import graft.ops.Behavior
+    val D = 86400L
+    // (day, hour, count): three 0h buckets (10, 10, 50) and one noisy
+    // 1h bucket (100) between them
+    val rows = Seq((0L, 0L, 10), (1L, 0L, 10), (1L, 1L, 100), (2L, 0L, 50))
+      .flatMap { case (d, h, n) =>
+        Seq.fill(n)(("a", d * D + h * 3600 + 5)) }
+    val events = rows.toDF("event_type", "sec")
+      .select($"event_type", timestamp_seconds($"sec").as("ts"))
+    // seasonal: day2-0h compares ONLY to prior 0h buckets → spike
+    val seasonal = Behavior.seasonalSpikes(events, "event_type", "ts",
+        trailing = 2, threshold = 2L)
+      .filter($"cnt" === 50)
+      .select($"hod", $"trailing_n", $"trailing_sum", $"is_spike")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(seasonal === Seq((0L, 2L, 20L, true)))
+    // flat trailing-2: the same bucket's window is (day1-0h, day1-1h) —
+    // the 100-count hour masks the spike (50·2 > 2·110 is false)
+    val flat = Behavior.trafficSpikes(events, "event_type", "ts",
+        trailing = 2, threshold = 2L)
+      .filter($"cnt" === 50)
+      .select($"trailing_sum", $"is_spike")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(flat === Seq((110L, false)))
+  }
+
+  test("topMovers: entered/left/up/down/flat tags from two sort-limit leaderboards") {
+    import graft.ops.Behavior
+    // anchor = 1000; cur window (900, 1000], prev (800, 900]
+    val rows =
+      Seq.fill(8)((1L, 950L)) ++ Seq((1L, 1000L)) ++ // cur: item1 = 9
+      Seq.fill(4)((5L, 960L)) ++                      // cur: item5 = 4
+      Seq.fill(2)((2L, 970L)) ++                      // cur: item2 = 2
+      Seq.fill(5)((1L, 850L)) ++                      // prev: item1 = 5
+      Seq.fill(3)((2L, 860L)) ++                      // prev: item2 = 3
+      Seq.fill(2)((3L, 870L)) ++                      // prev: item3 = 2
+      Seq((3L, 100L))                                 // outside both windows
+    val events = rows.toDF("item", "sec")
+      .select($"item", timestamp_seconds($"sec").as("ts"))
+    val got = Behavior.topMovers(events, "item", "ts", k = 3,
+        periodSec = 100L)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 9L, 1L, 5L, "flat"),
+      (2L, 3L, 2L, 2L, 3L, "down"),
+      (5L, 2L, 4L, 0L, 0L, "entered"),
+      (3L, 0L, 0L, 3L, 2L, "left")))
+  }
+
   test("twap: step-interpolated durations, decimal numerator, single-obs series drops") {
     import graft.ops.Behavior
     val rows = Seq( // (series, sec, tie, value)
