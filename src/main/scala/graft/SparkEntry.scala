@@ -3141,6 +3141,15 @@ object SparkEntry {
       Behavior.topMovers(
         eventsWithItem(s, dir).filter(col("item_id").isNotNull),
         "item_id", "ts", k = 20)),
+
+    // exact table profile of the events feed — per-column row/null/
+    // distinct counts and typed min/max in ONE aggregate pass; the
+    // data-quality audit a warehouse runs before trusting a feed
+    "q218_profile" -> ((s, dir) =>
+      graft.ops.Profile.table(Tables.events(s, dir),
+        numCols = Seq("event_id", "user_id", "value"),
+        strCols = Seq("event_type", "props"),
+        tsCols = Seq("ts"))),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -6100,6 +6109,49 @@ object SparkEntry {
         |            WHEN cur_rank > prev_rank THEN 'down'
         |            ELSE 'flat' END AS status
         |FROM j""".stripMargin,
+
+    // one row per profiled column; numeric and string bounds ride
+    // separate typed columns (double→string casts differ by engine)
+    "q218_profile" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM events)
+        |SELECT 'event_id' AS "column", n_rows,
+        |       n_rows - count(event_id) AS n_null,
+        |       count(DISTINCT event_id)::BIGINT AS n_distinct,
+        |       round(min(event_id)::DOUBLE, 6) AS min_num,
+        |       round(max(event_id)::DOUBLE, 6) AS max_num,
+        |       NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+        |FROM events, n GROUP BY n_rows
+        |UNION ALL
+        |SELECT 'user_id', n_rows, n_rows - count(user_id),
+        |       count(DISTINCT user_id)::BIGINT,
+        |       round(min(user_id)::DOUBLE, 6),
+        |       round(max(user_id)::DOUBLE, 6), NULL, NULL
+        |FROM events, n GROUP BY n_rows
+        |UNION ALL
+        |SELECT 'value', n_rows, n_rows - count(value),
+        |       count(DISTINCT value)::BIGINT,
+        |       round(min(value)::DOUBLE, 6),
+        |       round(max(value)::DOUBLE, 6), NULL, NULL
+        |FROM events, n GROUP BY n_rows
+        |UNION ALL
+        |SELECT 'event_type', n_rows, n_rows - count(event_type),
+        |       count(DISTINCT event_type)::BIGINT, NULL, NULL,
+        |       min(event_type), max(event_type)
+        |FROM events, n GROUP BY n_rows
+        |UNION ALL
+        |SELECT 'props', n_rows, n_rows - count(props),
+        |       count(DISTINCT props)::BIGINT, NULL, NULL,
+        |       min(props), max(props)
+        |FROM events, n GROUP BY n_rows
+        |UNION ALL
+        |SELECT 'ts', n_rows, n_rows - count(ts),
+        |       -- distinct on EPOCH SECONDS: the Spark side profiles the
+        |       -- projected unix_timestamp, so sub-second ts ties merge
+        |       count(DISTINCT CAST(floor(epoch(ts)) AS BIGINT))::BIGINT,
+        |       round(CAST(floor(epoch(min(ts))) AS BIGINT)::DOUBLE, 6),
+        |       round(CAST(floor(epoch(max(ts))) AS BIGINT)::DOUBLE, 6),
+        |       NULL, NULL
+        |FROM events, n GROUP BY n_rows""".stripMargin,
 
     // rows-based trailing window — identical bucket-gap semantics
     "q210_traffic_spikes" ->

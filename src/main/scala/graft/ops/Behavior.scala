@@ -446,6 +446,36 @@ object Behavior {
         date_trunc("hour", col(tsCol)).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Hourly-count WAREHOUSE slices — the exact-counter member of the
+    * store families (counts are the simplest sum-mergeable state):
+    * each slice aggregates its own events to (slice, series, bucket,
+    * cnt), [[hourCountMerge]] folds any subset back, and an hour whose
+    * events arrive across several slices sums to what one pass would
+    * see. STREAMING: call per micro-batch inside foreachBatch with
+    * slice = batch id (StreamingSpec pins merge ≡ batch
+    * [[trafficSpikes]] on the shared read body).
+    */
+  def hourCountSlices(events: DataFrame, typeCol: String, tsCol: String,
+                      sliceCol: String): DataFrame =
+    events.groupBy(col(sliceCol).as("slice"), col(typeCol).as("series"),
+        date_trunc("hour", col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Fold stored count slices back to the (series, bucket, cnt) frame
+    * [[trafficSpikesFromCounts]] reads.
+    */
+  def hourCountMerge(slices: DataFrame): DataFrame =
+    slices.groupBy(col("series"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** The spike read over a stored count frame — the SAME body batch
+    * [[trafficSpikes]] uses, so warehouse reads cannot drift from the
+    * one-shot pass.
+    */
+  def trafficSpikesFromCounts(counts: DataFrame, trailing: Int = 24,
+                              threshold: Long = 2L): DataFrame =
+    spikeFlags(counts, Seq("series"), trailing, threshold)
+
   /** The trailing-window cross-multiply flag, shared by the flat and
     * seasonal baselines.
     */

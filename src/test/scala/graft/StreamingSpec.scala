@@ -1067,6 +1067,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming hourly-count warehouse: an hour split across batches sums; spike read ≡ batch") {
+    // the exact-counter member of the store families: per-batch
+    // hourCountSlices (slice = batch id), sum-merge, and the SAME
+    // spike body reads the store — so the streamed warehouse cannot
+    // drift from the one-shot trafficSpikes pass
+    import graft.ops.Behavior
+    val store =
+      scala.collection.mutable.ArrayBuffer[(Long, String, Timestamp, Long)]()
+    val input = MemoryStream[KeyedEvent]
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        store ++= Behavior.hourCountSlices(
+            batch.withColumn("slice", lit(id)), "eventType", "ts", "slice")
+          .select($"slice", $"series", $"bucket", $"cnt")
+          .as[(Long, String, Timestamp, Long)].collect(): Unit
+      }.start()
+    // hour 0: 10 events, hour 1: 30, hour 2: 5 — hour 1 SPLITS across
+    // the two micro-batches (12 + 18)
+    val rows = (1 to 10).map(i => KeyedEvent(i, ts(i * 10), "view", i)) ++
+      (1 to 30).map(i => KeyedEvent(i, ts(3600 + i * 10), "view", i)) ++
+      (1 to 5).map(i => KeyedEvent(i, ts(7200 + i * 10), "view", i))
+    input.addData(rows.take(22): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(22): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(store.map(_._1).distinct.size >= 2) // really multiple slices
+    // the split hour landed rows in BOTH slices
+    assert(store.count(_._3 === ts(3600)) === 2)
+    val merged = Behavior.hourCountMerge(
+      store.toSeq.toDF("slice", "series", "bucket", "cnt"))
+    def flags(df: org.apache.spark.sql.DataFrame) = df
+      .select($"series", $"bucket", $"cnt", $"trailing_n",
+        $"trailing_sum", $"is_spike")
+      .as[(String, Timestamp, Long, Long, Long, Boolean)].collect().toSet
+    val viaStore = flags(
+      Behavior.trafficSpikesFromCounts(merged, trailing = 2, threshold = 2L))
+    val oneShot = flags(Behavior.trafficSpikes(rows.toDF(), "eventType",
+      "ts", trailing = 2, threshold = 2L))
+    assert(viaStore === oneShot && viaStore.nonEmpty)
+    // and the split hour really is the spike the read reports
+    assert(viaStore.exists(r => r._3 === 30L && r._6))
+  }
+
   test("streaming Bloom-warehouse ingest: per-batch slices accumulate, merge ≡ full rescan; members hit") {
     // the membership member rides the same foreachBatch slice loop as
     // KMV/HIST: each micro-batch writes its own bit-vector rows (slice
