@@ -3150,6 +3150,37 @@ object SparkEntry {
         numCols = Seq("event_id", "user_id", "value"),
         strCols = Seq("event_type", "props"),
         tsCols = Seq("ts"))),
+
+    // SCD2 dimension build from the account-state change log
+    // (signup/error events): consecutive same-state rows collapse,
+    // versions carry right-open validity intervals, null valid_to =
+    // current (timestamps projected to epoch seconds — the q75 rule)
+    "q219_scd2" -> ((s, dir) =>
+      graft.ops.Scd.scd2(
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("signup", "error")),
+        "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"), col("state"),
+          unix_timestamp(col("valid_from")).as("valid_from_s"),
+          unix_timestamp(col("valid_to")).as("valid_to_s"),
+          col("is_current"), col("version"))),
+
+    // point-in-time join: each purchase picks the account-state
+    // version valid AT purchase time (the feature-store leakage
+    // guard); purchases before any version surface as "(none)"
+    "q220_pit_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = graft.ops.Scd.scd2(
+        ev.filter(col("event_type").isin("signup", "error")),
+        "user_id", "ts", "event_id", "event_type")
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.ops.Scd.pointInTime(facts, dim, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("state"), lit("(none)")).as("state"),
+          coalesce(unix_timestamp(col("valid_from")), lit(-1L))
+            .as("valid_from_s"))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -6152,6 +6183,57 @@ object SparkEntry {
         |       round(CAST(floor(epoch(max(ts))) AS BIGINT)::DOUBLE, 6),
         |       NULL, NULL
         |FROM events, n GROUP BY n_rows""".stripMargin,
+
+    "q219_scd2" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type AS state, ts, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type IN ('signup', 'error')),
+        |v AS (
+        |  SELECT user_id, state, ts AS valid_from, event_id
+        |  FROM ch WHERE prev IS NULL OR prev <> state),
+        |v2 AS (
+        |  SELECT user_id, state, valid_from,
+        |         lead(valid_from) OVER (PARTITION BY user_id
+        |                                ORDER BY valid_from, event_id)
+        |           AS valid_to,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY valid_from, event_id)
+        |           AS version
+        |  FROM v)
+        |SELECT user_id, state,
+        |       CAST(floor(epoch(valid_from)) AS BIGINT) AS valid_from_s,
+        |       CAST(floor(epoch(valid_to)) AS BIGINT) AS valid_to_s,
+        |       valid_to IS NULL AS is_current,
+        |       version::BIGINT AS version
+        |FROM v2""".stripMargin,
+
+    "q220_pit_join" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type AS state, ts, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type IN ('signup', 'error')),
+        |v AS (
+        |  SELECT user_id, state, ts AS valid_from, event_id
+        |  FROM ch WHERE prev IS NULL OR prev <> state),
+        |v2 AS (
+        |  SELECT user_id, state, valid_from,
+        |         lead(valid_from) OVER (PARTITION BY user_id
+        |                                ORDER BY valid_from, event_id)
+        |           AS valid_to
+        |  FROM v),
+        |f AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id,
+        |       coalesce(v2.state, '(none)') AS state,
+        |       coalesce(CAST(floor(epoch(v2.valid_from)) AS BIGINT), -1)
+        |         AS valid_from_s
+        |FROM f LEFT JOIN v2 ON f.user_id = v2.user_id
+        |  AND v2.valid_from <= f.ts
+        |  AND (v2.valid_to IS NULL OR f.ts < v2.valid_to)""".stripMargin,
 
     // rows-based trailing window — identical bucket-gap semantics
     "q210_traffic_spikes" ->
