@@ -3181,6 +3181,69 @@ object SparkEntry {
           coalesce(unix_timestamp(col("valid_from")), lit(-1L))
             .as("valid_from_s"))
     }),
+
+    // CDC type-1 state store: split the log at its epoch midpoint,
+    // build the tombstone-retaining LWW artifact from the pre slice,
+    // fold the post slice in with cdcApply, serve — the oracle is the
+    // ONE-SHOT LWW over the full log, so the green row proves
+    // apply(state(pre), post) ≡ state(pre ∪ post) relationally
+    // (argmax associativity; errors act as deletes)
+    "q221_cdc_state" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"),
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")).as("op"))
+      val cut = ev.agg(((min(unix_timestamp(col("ts"))) +
+        max(unix_timestamp(col("ts")))) / 2).cast("long").as("cut"))
+      val wc = ev.crossJoin(broadcast(cut))
+      val pre = wc.filter(unix_timestamp(col("ts")) < col("cut"))
+      val post = wc.filter(unix_timestamp(col("ts")) >= col("cut"))
+      val state = graft.ops.Scd.cdcState(pre, "user_id", "ts",
+        "event_id", "event_type", "op")
+      graft.ops.Scd.cdcServe(graft.ops.Scd.cdcApply(state, post,
+          "user_id", "ts", "event_id", "event_type", "op"))
+        .select(col("user_id"), col("state"),
+          unix_timestamp(col("ts")).as("ts_s"),
+          col("tie").as("event_id"))
+    }),
+
+    // incremental SCD2 maintenance: dimension built from the pre slice,
+    // post slice folded in with scd2Apply (current versions re-seed the
+    // collapse, closed history passes through); oracle = the q219
+    // one-shot rebuild over the full log — incremental ≡ rebuild
+    "q222_scd2_apply" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("signup", "error"))
+      val cut = ev.agg(((min(unix_timestamp(col("ts"))) +
+        max(unix_timestamp(col("ts")))) / 2).cast("long").as("cut"))
+      val wc = ev.crossJoin(broadcast(cut))
+      val pre = wc.filter(unix_timestamp(col("ts")) < col("cut"))
+      val post = wc.filter(unix_timestamp(col("ts")) >= col("cut"))
+      val dim = graft.ops.Scd.scd2(pre, "user_id", "ts", "event_id",
+        "event_type")
+      graft.ops.Scd.scd2Apply(dim, post, "user_id", "ts", "event_id",
+          "event_type")
+        .select(col("user_id"), col("state"),
+          unix_timestamp(col("valid_from")).as("valid_from_s"),
+          unix_timestamp(col("valid_to")).as("valid_to_s"),
+          col("is_current"), col("version"))
+    }),
+
+    // threshold-algorithm CERTIFIED pruned retrieval: score only each
+    // query term's top-256 impact postings, prove kth score > τ (the
+    // Fagin bound — a failed certificate raises, never mis-serves; the
+    // flat-tf corpus needs m ≈ 120 at sf0.1, measured, so 256 carries
+    // margin while still pruning the ≤1000-posting lists), and the
+    // oracle is the EXHAUSTIVE q206 scoring: green = the pruned read
+    // provably returns the exhaustive top-20
+    "q223_ta_topk" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.taTopK(
+        TextAnalysis.invertedIndex(d, "doc_id", "text",
+          maxPostings = 1000),
+        d.agg(countDistinct(col("doc_id")).as("n_docs")), k = 20, m = 256)
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -5918,6 +5981,53 @@ object SparkEntry {
         |  FROM j)
         |WHERE rk <= 20""".stripMargin,
 
+    // exhaustive scoring — the q206 oracle verbatim: the pruned
+    // TA read must reproduce it exactly (the certificate guarantees it)
+    "q223_ta_topk" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id, tf FROM (
+        |    SELECT token, doc_id, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |vocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |ab AS (
+        |  SELECT min(token) AS ta, max(token) AS tb FROM (
+        |    SELECT token FROM vocab
+        |    ORDER BY df DESC, token ASC LIMIT 2)),
+        |a AS (
+        |  SELECT i.doc_id, i.tf AS tf_a,
+        |         11 * i.tf * (2 * n_docs - 2 * v.df + 1) AS num_a,
+        |         (5 * i.tf + 6) * (2 * v.df + 1) AS den_a
+        |  FROM idx i JOIN vocab v USING (token), ab, nd
+        |  WHERE i.token = ta),
+        |b AS (
+        |  SELECT i.doc_id, i.tf AS tf_b,
+        |         11 * i.tf * (2 * n_docs - 2 * v.df + 1) AS num_b,
+        |         (5 * i.tf + 6) * (2 * v.df + 1) AS den_b
+        |  FROM idx i JOIN vocab v USING (token), ab, nd
+        |  WHERE i.token = tb),
+        |j AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |         coalesce(tf_a, 0) AS tf_a, coalesce(tf_b, 0) AS tf_b,
+        |         (coalesce(num_a, 0) * coalesce(den_b, 1)
+        |          + coalesce(num_b, 0) * coalesce(den_a, 1))::DOUBLE
+        |         / (coalesce(den_a, 1) * coalesce(den_b, 1))::DOUBLE AS s
+        |  FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, tf_a, tf_b, round(s, 6) AS score, rk FROM (
+        |  SELECT doc_id, tf_a, tf_b, s,
+        |         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rk
+        |  FROM j)
+        |WHERE rk <= 20""".stripMargin,
+
     // full BM25 replayed: same integer numerator/denominator per
     // term, one division + one fixed-order addition of doubles
     "q207_bm25_full" ->
@@ -6234,6 +6344,50 @@ object SparkEntry {
         |FROM f LEFT JOIN v2 ON f.user_id = v2.user_id
         |  AND v2.valid_from <= f.ts
         |  AND (v2.valid_to IS NULL OR f.ts < v2.valid_to)""".stripMargin,
+
+    // one-shot last-writer-wins over the FULL log — the incremental
+    // split lives only on the Spark side, so the green row proves the
+    // cdcApply merge identity
+    "q221_cdc_state" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id, event_type AS state,
+        |         CASE WHEN event_type = 'error' THEN 'delete'
+        |              ELSE 'upsert' END AS op
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY ts DESC, event_id DESC)
+        |            AS rn
+        |  FROM l)
+        |SELECT user_id, state,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id
+        |FROM r WHERE rn = 1 AND op <> 'delete'""".stripMargin,
+
+    // the q219 one-shot rebuild — incremental scd2Apply ≡ rebuild
+    "q222_scd2_apply" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type AS state, ts, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type IN ('signup', 'error')),
+        |v AS (
+        |  SELECT user_id, state, ts AS valid_from, event_id
+        |  FROM ch WHERE prev IS NULL OR prev <> state),
+        |v2 AS (
+        |  SELECT user_id, state, valid_from,
+        |         lead(valid_from) OVER (PARTITION BY user_id
+        |                                ORDER BY valid_from, event_id)
+        |           AS valid_to,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY valid_from, event_id)
+        |           AS version
+        |  FROM v)
+        |SELECT user_id, state,
+        |       CAST(floor(epoch(valid_from)) AS BIGINT) AS valid_from_s,
+        |       CAST(floor(epoch(valid_to)) AS BIGINT) AS valid_to_s,
+        |       valid_to IS NULL AS is_current,
+        |       version::BIGINT AS version
+        |FROM v2""".stripMargin,
 
     // rows-based trailing window — identical bucket-gap semantics
     "q210_traffic_spikes" ->

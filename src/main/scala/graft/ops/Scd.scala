@@ -68,4 +68,96 @@ object Scd {
         "left")
       .drop("_dkey", "valid_to")
   }
+
+  /** Last-writer-wins row per key over a CDC log — ONE hash aggregate
+    * taking the whole winning row as `max(struct(ts, tie, op, state))`
+    * (ties on ts break by the unique `tieCol`, so op/state are never
+    * consulted — the attribution argmax shape; no Window). Tombstones
+    * (`op = 'delete'`) are RETAINED: the state artifact must remember
+    * deletions or a later [[cdcApply]] merge against an older slice
+    * would resurrect them (the reason every log-structured store keeps
+    * tombstones until compaction). [[cdcServe]] is the read that drops
+    * them.
+    */
+  def cdcState(log: DataFrame, keyCol: String, tsCol: String,
+               tieCol: String, stateCol: String, opCol: String): DataFrame =
+    log.groupBy(col(keyCol))
+      .agg(max(struct(col(tsCol).as("ts"), col(tieCol).as("tie"),
+        col(opCol).as("op"), col(stateCol).as("state"))).as("_w"))
+      .select(col(keyCol), col("_w.ts").as("ts"), col("_w.tie").as("tie"),
+        col("_w.op").as("op"), col("_w.state").as("state"))
+
+  /** The serving read of a [[cdcState]] artifact: drop tombstones. */
+  def cdcServe(state: DataFrame): DataFrame =
+    state.filter(col("op") =!= lit("delete"))
+
+  /** Incremental CDC merge: fold a raw change-log slice into an
+    * existing [[cdcState]] artifact. Per key the newer of (stored row,
+    * slice's last-writer row) wins by (ts, tie) — argmax is
+    * associative, so `cdcApply(cdcState(pre), post) ≡ cdcState(pre ∪
+    * post)` for ANY split of the log (no append-order contract needed;
+    * q221 proves the identity against the one-shot oracle).
+    * Shape: one hash aggregate over the slice plus one full-outer
+    * key join against the artifact — work ∝ slice + touched keys.
+    */
+  def cdcApply(state: DataFrame, changes: DataFrame, keyCol: String,
+               tsCol: String, tieCol: String, stateCol: String,
+               opCol: String): DataFrame = {
+    val s = state.select(col(keyCol), struct(col("ts"), col("tie"),
+      col("op"), col("state")).as("_s"))
+    val c = cdcState(changes, keyCol, tsCol, tieCol, stateCol, opCol)
+      .select(col(keyCol), struct(col("ts"), col("tie"), col("op"),
+        col("state")).as("_c"))
+    s.join(c, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("_s").isNull, col("_c"))
+          .when(col("_c").isNull, col("_s"))
+          .when(col("_c") > col("_s"), col("_c"))
+          .otherwise(col("_s")).as("_w"))
+      .select(col(keyCol), col("_w.ts").as("ts"), col("_w.tie").as("tie"),
+        col("_w.op").as("op"), col("_w.state").as("state"))
+  }
+
+  /** Incremental SCD2 maintenance: fold a NEW change-log slice into an
+    * existing [[scd2]] dimension without rebuilding closed history.
+    * Contract: the slice is an APPEND — every change ts must be later
+    * than its key's current-version `valid_from`; a violation RAISES
+    * (see below), it never silently rewrites history.
+    *
+    * Mechanics: each key's current version re-enters the [[scd2]] body
+    * as a seed change row (tie = −1, which sorts before any real tie at
+    * equal ts), unioned with the slice; the fresh versions renumber by
+    * the key's prior current version − 1, so a first slice row with the
+    * SAME state collapses into the seed (version and valid_from
+    * unchanged — the no-op update) and a DIFFERENT state closes it.
+    * Closed dimension rows pass through untouched — the incremental ≡
+    * full-rebuild identity is q222's oracle. The guard: after
+    * renumbering, the row holding the prior current version number must
+    * still start at the prior `valid_from`; a slice row predating the
+    * seed breaks exactly that and fires `raise_error` in the output
+    * projection (zero extra passes).
+    */
+  def scd2Apply(dim: DataFrame, changes: DataFrame, keyCol: String,
+                tsCol: String, tieCol: String, stateCol: String): DataFrame = {
+    val tieType = changes.schema(tieCol).dataType
+    val cur = dim.filter(col("is_current"))
+    val seeds = cur.select(col(keyCol), col("valid_from").as(tsCol),
+      lit(-1).cast(tieType).as(tieCol), col("state").as(stateCol))
+    val offsets = cur.select(col(keyCol), (col("version") - 1L).as("_voff"),
+      col("valid_from").as("_cvf"))
+    val unioned = seeds.unionByName(
+      changes.select(col(keyCol), col(tsCol), col(tieCol), col(stateCol)))
+    val fresh = scd2(unioned, keyCol, tsCol, tieCol, stateCol)
+      .join(offsets, Seq(keyCol), "left")
+      .withColumn("version", col("version") + coalesce(col("_voff"), lit(0L)))
+      .withColumn("valid_from",
+        when(col("_cvf").isNotNull &&
+          col("version") === coalesce(col("_voff"), lit(0L)) + 1L &&
+          col("valid_from") =!= col("_cvf"),
+          raise_error(concat(lit("scd2Apply: slice predates current " +
+            "version of key "), col(keyCol).cast("string"))))
+          .otherwise(col("valid_from")))
+      .drop("_voff", "_cvf")
+    dim.filter(!col("is_current")).unionByName(fresh)
+  }
 }

@@ -1366,6 +1366,105 @@ object TextAnalysis {
         round(col("_s"), 6).as("score"), col("rk"))
   }
 
+  /** Threshold-algorithm (Fagin TA) CERTIFIED pruned top-k — the
+    * batch analog of WAND/MaxScore pruning: score only the union of
+    * each query term's top-`m` impact postings instead of every doc
+    * carrying either term, and PROVE the answer equals the exhaustive
+    * [[bm25Query]] before serving it. Per term the impact (the q206
+    * rational `11·tf·(2N−2df+1) / ((5tf+6)(2df+1))`) is monotone in
+    * tf, so the top-m by (tf desc, doc_id asc) IS the top-m by score —
+    * one WindowGroupLimit pre-prune per token (the q04 shape; hot
+    * tokens are the skew). The TA bound: a doc outside BOTH kept lists
+    * scores at most τ = Σ_t (t's m-th kept impact, or 0 if t's list
+    * was kept whole); if the k-th candidate's exact score is strictly
+    * above τ the pruned top-k is provably the exhaustive top-k
+    * (per-term scores are strictly positive, so τ = 0 certifies
+    * trivially). A failed certificate RAISES (the observable-cap
+    * rule) — this op never silently serves an uncertified ranking;
+    * re-run with a larger m. The certificate compares exact integer
+    * ratios by DECIMAL(38,0) cross-multiplication (factors ≤ ~1e12 up
+    * to N ≈ 2×10⁷ capped-tf docs — document-scale past the
+    * serving-index point; Spark-side only, the oracle is exhaustive).
+    *
+    * Serving shape: everything after the ≤cap posting reads runs on
+    * 2m candidate rows — at 100 TB the win is that exact scoring and
+    * the final rank touch m docs per term, not df.
+    */
+  def taTopK(index: DataFrame, nDocs: DataFrame, k: Int, m: Int,
+             checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(m >= k, s"m ($m) must be >= k ($k): the candidate union " +
+      "must be able to hold a full top-k")
+    val idx = Checkpoints.pin(index, checkpointDir, eager = false)
+    val top2 = idx.select(col("token"), col("df")).distinct()
+      .orderBy(col("df").desc, col("token").asc).limit(2)
+    val ab = top2.agg(min(col("token")).as("ta"), max(col("token")).as("tb"))
+      .filter(col("ta") =!= col("tb"))
+    val posts = idx.join(broadcast(ab),
+        col("token") === col("ta") || col("token") === col("tb"))
+      .crossJoin(broadcast(nDocs)) // 1 row by contract
+      .select(col("token"), (col("token") === col("ta")).as("is_a"),
+        col("doc_id"), col("tf"),
+        (lit(11L) * col("tf") *
+          (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)))
+          .as("num"),
+        ((lit(5L) * col("tf") + lit(6L)) *
+          (lit(2L) * col("df") + lit(1L))).as("den"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("tf").desc, col("doc_id").asc)
+    val ranked = posts.withColumn("prk", row_number().over(wr))
+    val kept = ranked.filter(col("prk") <= m)
+    // τ per term: the m-th KEPT impact bounds every unseen posting of
+    // that term; a list kept whole (count <= m) has no unseen postings
+    val tau = ranked.groupBy(col("is_a"))
+      .agg(count(lit(1)).as("cnt"),
+        max(when(col("prk") === m,
+          struct(col("num"), col("den")))).as("_m"))
+      .select(col("is_a"),
+        when(col("cnt") > m, col("_m.num")).otherwise(lit(0L)).as("tn"),
+        when(col("cnt") > m, col("_m.den")).otherwise(lit(1L)).as("td"))
+    val tauRow = tau.agg(
+      coalesce(max(when(col("is_a"), col("tn"))), lit(0L)).as("tna"),
+      coalesce(max(when(col("is_a"), col("td"))), lit(1L)).as("tda"),
+      coalesce(max(when(!col("is_a"), col("tn"))), lit(0L)).as("tnb"),
+      coalesce(max(when(!col("is_a"), col("td"))), lit(1L)).as("tdb"))
+    val aFull = posts.filter(col("is_a")).select(col("doc_id"),
+      col("tf").as("tf_a"), col("num").as("num_a"), col("den").as("den_a"))
+    val bFull = posts.filter(!col("is_a")).select(col("doc_id"),
+      col("tf").as("tf_b"), col("num").as("num_b"), col("den").as("den_b"))
+    val scoredCand = kept.select(col("doc_id")).distinct()
+      .join(aFull, Seq("doc_id"), "left")
+      .join(bFull, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tf_a"), lit(0L)).as("tf_a"),
+        coalesce(col("tf_b"), lit(0L)).as("tf_b"),
+        (coalesce(col("num_a"), lit(0L)) * coalesce(col("den_b"), lit(1L)) +
+          coalesce(col("num_b"), lit(0L)) * coalesce(col("den_a"), lit(1L)))
+          .as("nk"),
+        (coalesce(col("den_a"), lit(1L)) * coalesce(col("den_b"), lit(1L)))
+          .as("dk"))
+      .withColumn("_s", col("nk").cast("double") / col("dk").cast("double"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_s").desc, col("doc_id").asc)
+    def dec(c: Column) = c.cast("decimal(12,0)")
+    scoredCand.withColumn("rk", row_number().over(wk).cast("long"))
+      .filter(col("rk") <= k)
+      .crossJoin(broadcast(tauRow))
+      .select(col("doc_id"), col("tf_a"), col("tf_b"),
+        // the certificate rides IN the served column (a dropped audit
+        // column would be pruned with its raise_error): on the k-th
+        // row, unseen ≤ τ must sit strictly below score_k
+        when(col("rk") === k &&
+          !(dec(col("nk")) * dec(col("tda")) * dec(col("tdb")) >
+            (dec(col("tna")) * dec(col("tdb")) +
+              dec(col("tnb")) * dec(col("tda"))) * dec(col("dk"))),
+          raise_error(concat(lit("taTopK: certificate failed at m="),
+            lit(m).cast("string"),
+            lit(" — kth score does not dominate tau; increase m"))))
+          .otherwise(round(col("_s"), 6)).as("score"),
+        col("rk"))
+  }
+
   /** The doc-length "norms file" every BM25 engine stores beside its
     * index: (doc_id, dl) with dl = token count. One narrow projection
     * — no shuffle; built once at index time, read by

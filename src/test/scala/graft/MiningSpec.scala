@@ -2067,6 +2067,51 @@ class MiningSpec extends AnyFunSuite {
       spark.range(1).agg(lit(2L).as("n_docs")), k = 5).count() === 0L)
   }
 
+  test("taTopK: pruned read equals exhaustive bm25Query when certified; uncertifiable m raises") {
+    // m covers the whole lists → trivially certified, ≡ exhaustive
+    val df = docs(
+      (1L, "a b a c a", "s"), (2L, "a b b", "s"),
+      (3L, "c c c c", "s"), (4L, "a", "s"))
+    val idx = TextAnalysis.invertedIndex(df, "doc_id", "text",
+      maxPostings = 10)
+    val n = df.agg(countDistinct($"doc_id").as("n_docs"))
+    assert(TextAnalysis.taTopK(idx, n, k = 3, m = 10)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet ===
+      TextAnalysis.bm25Query(idx, n, k = 3)
+        .as[(Long, Long, Long, Double, Long)].collect().toSet)
+    // real pruning, still certified: d1 strictly dominates, d3/d6
+    // fall outside both kept lists but cannot beat τ
+    val df2 = docs(
+      (1L, "a a a a a b b b b b", "s"), // tf_a 5, tf_b 5: the winner
+      (2L, "a a a", "s"), (3L, "a a", "s"), (4L, "a", "s"),
+      (5L, "b b b", "s"), (6L, "b", "s"))
+    val idx2 = TextAnalysis.invertedIndex(df2, "doc_id", "text",
+      maxPostings = 10)
+    val n2 = df2.agg(countDistinct($"doc_id").as("n_docs"))
+    val pruned = TextAnalysis.taTopK(idx2, n2, k = 1, m = 2)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    assert(pruned === TextAnalysis.bm25Query(idx2, n2, k = 1)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet)
+    assert(pruned.head._1 === 1L)
+    // uncertifiable: the true winner d3 sits OUTSIDE both top-1 lists
+    // (the case TA exists to catch) — kth ≤ τ must raise, not serve
+    val df3 = docs(
+      (1L, "a a a", "s"), (2L, "b b b", "s"), (3L, "a a b b", "s"))
+    val idx3 = TextAnalysis.invertedIndex(df3, "doc_id", "text",
+      maxPostings = 10)
+    val n3 = df3.agg(countDistinct($"doc_id").as("n_docs"))
+    val e = intercept[Exception] {
+      TextAnalysis.taTopK(idx3, n3, k = 1, m = 1).collect()
+    }
+    assert(e.getMessage.contains("certificate failed") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("certificate failed"))
+    // m < k is a caller error, refused up front
+    intercept[IllegalArgumentException] {
+      TextAnalysis.taTopK(idx3, n3, k = 5, m = 2)
+    }
+  }
+
   test("indexTombstones: deletes cancel exactly; partial cancel is content-addressed; orphan tombstone raises") {
     val d = Seq((1L, "a b a"), (2L, "a b b"), (3L, "c c"))
       .toDF("doc_id", "text")

@@ -61,4 +61,91 @@ class ScdSpec extends AnyFunSuite {
       (104L, Some("b")),   // current version is open-ended
       (105L, None)))       // key with no dimension rows at all
   }
+
+  private def cdcLog(rows: (Long, Long, Long, String, String)*) =
+    rows.toDF("user_id", "sec", "event_id", "op", "state")
+      .select($"user_id", timestamp_seconds($"sec").as("ts"),
+        $"event_id", $"op", $"state")
+
+  test("cdcState retains tombstones; cdcServe drops them; ties break on tie col") {
+    val log = cdcLog(
+      (1L, 10L, 1L, "upsert", "a"), (1L, 20L, 2L, "upsert", "b"),
+      (2L, 10L, 3L, "upsert", "x"), (2L, 30L, 4L, "delete", "x"),
+      (3L, 50L, 6L, "upsert", "p"), (3L, 50L, 7L, "upsert", "q"))
+    val st = Scd.cdcState(log, "user_id", "ts", "event_id", "state", "op")
+      .select($"user_id", $"op", $"state").as[(Long, String, String)]
+      .collect().toSet
+    assert(st === Set((1L, "upsert", "b"), (2L, "delete", "x"),
+      (3L, "upsert", "q"))) // ts tie at 50 → higher event_id wins
+    val served = Scd.cdcServe(
+        Scd.cdcState(log, "user_id", "ts", "event_id", "state", "op"))
+      .select($"user_id", $"state").as[(Long, String)].collect().toSet
+    assert(served === Set((1L, "b"), (3L, "q"))) // key 2 tombstoned
+  }
+
+  test("cdcApply(state(pre), post) equals one-shot state over the full log for ANY split") {
+    val all = cdcLog(
+      (1L, 10L, 1L, "upsert", "a"), (1L, 40L, 2L, "delete", "a"),
+      (2L, 10L, 3L, "upsert", "x"), (2L, 50L, 4L, "upsert", "y"),
+      (3L, 60L, 5L, "upsert", "n"), // key only in post
+      (4L, 5L, 6L, "delete", "z"))  // deleted pre, never revived
+    val oneShot = Scd.cdcState(all, "user_id", "ts", "event_id",
+      "state", "op")
+    // adversarial split: key 1's delete lands in PRE and key 2's older
+    // row in POST — the merge must still pick per-key argmax, so a
+    // tombstone survives an older upsert arriving later in the stream
+    val pre = all.filter($"event_id".isin(2L, 4L, 6L))
+    val post = all.filter(!$"event_id".isin(2L, 4L, 6L))
+    val merged = Scd.cdcApply(
+      Scd.cdcState(pre, "user_id", "ts", "event_id", "state", "op"),
+      post, "user_id", "ts", "event_id", "state", "op")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"user_id", unix_timestamp($"ts"), $"tie", $"op", $"state")
+        .as[(Long, Long, Long, String, String)].collect().toSet
+    assert(canon(merged) === canon(oneShot))
+    assert(Scd.cdcServe(merged).select($"user_id", $"state")
+      .as[(Long, String)].collect().toSet === Set((2L, "y"), (3L, "n")))
+  }
+
+  test("scd2Apply: same-state boundary collapses, different state closes, new keys version from 1") {
+    val pre = changes(
+      (1L, 10L, 1L, "a"), (1L, 30L, 2L, "b"), // key 1 current = b v2
+      (2L, 10L, 3L, "x"))                     // key 2 current = x v1
+    val post = changes(
+      (1L, 50L, 4L, "b"),  // same state as current: collapses (no-op)
+      (1L, 60L, 5L, "c"),  // closes b at 60, opens c v3
+      (2L, 70L, 6L, "x"),  // no-op repeat
+      (9L, 40L, 7L, "new")) // unseen key: versions from 1
+    val dim = Scd.scd2(pre, "user_id", "ts", "event_id", "state")
+    val got = Scd.scd2Apply(dim, post, "user_id", "ts", "event_id", "state")
+      .select($"user_id", $"state", unix_timestamp($"valid_from"),
+        unix_timestamp($"valid_to"), $"is_current", $"version")
+      .as[(Long, String, Long, Option[Long], Boolean, Long)]
+      .collect().toSet
+    val rebuilt = Scd.scd2(pre.unionByName(post), "user_id", "ts",
+        "event_id", "state")
+      .select($"user_id", $"state", unix_timestamp($"valid_from"),
+        unix_timestamp($"valid_to"), $"is_current", $"version")
+      .as[(Long, String, Long, Option[Long], Boolean, Long)]
+      .collect().toSet
+    assert(got === rebuilt)
+    assert(got === Set(
+      (1L, "a", 10L, Some(30L), false, 1L),
+      (1L, "b", 30L, Some(60L), false, 2L), // valid_from kept at 30
+      (1L, "c", 60L, None, true, 3L),
+      (2L, "x", 10L, None, true, 1L),       // untouched by the no-op
+      (9L, "new", 40L, None, true, 1L)))
+  }
+
+  test("scd2Apply raises when a slice row predates the current version") {
+    val dim = Scd.scd2(changes((1L, 30L, 1L, "a")), "user_id", "ts",
+      "event_id", "state")
+    val bad = changes((1L, 10L, 2L, "b")) // predates valid_from = 30
+    val ex = intercept[Exception] {
+      Scd.scd2Apply(dim, bad, "user_id", "ts", "event_id", "state")
+        .collect()
+    }
+    assert(ex.getMessage.contains("scd2Apply") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("scd2Apply"))
+  }
 }
