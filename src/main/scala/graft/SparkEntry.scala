@@ -3244,6 +3244,28 @@ object SparkEntry {
           maxPostings = 1000),
         d.agg(countDistinct(col("doc_id")).as("n_docs")), k = 20, m = 256)
     }),
+
+    // LOCF gap-fill: the dense per-series hourly grid with missing
+    // hours carrying the last observed count forward, observed=false
+    // as the fill witness — the read every chart/model joins against
+    "q224_gap_fill" -> ((s, dir) =>
+      Behavior.gapFill(Tables.events(s, dir), "event_type", "ts")
+        .select(col("series"), unix_timestamp(col("bucket")).as("bucket_s"),
+          col("cnt"), col("observed"))),
+
+    // per-item triangle counts over the transition graph (the q208
+    // edge set, undirected): degree-oriented wedge closing — the
+    // clustering read; wedge count bounded by sum outdeg^2
+    "q225_triangles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = eventsWithItem(s, dir)
+        .filter(col("item_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"), col("item_id"))
+        .withColumn("nxt", lead(col("item_id"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("nxt") =!= col("item_id"))
+      graft.ops.Graph.triangles(pairs, "item_id", "nxt")
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -6388,6 +6410,70 @@ object SparkEntry {
         |       valid_to IS NULL AS is_current,
         |       version::BIGINT AS version
         |FROM v2""".stripMargin,
+
+    // LOCF over the dense hourly grid (LIST-form generate_series —
+    // the lateral gotcha); first bucket per series always observed
+    "q224_gap_fill" ->
+      """WITH c AS (
+        |  SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
+        |         count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT series, min(bucket) AS mn, max(bucket) AS mx
+        |      FROM c GROUP BY 1),
+        |g AS (SELECT series,
+        |             unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+        |               AS bucket
+        |      FROM b),
+        |f AS (SELECT g.series, g.bucket, c.cnt
+        |      FROM g LEFT JOIN c
+        |        ON g.series = c.series AND g.bucket = c.bucket)
+        |SELECT series, CAST(floor(epoch(bucket)) AS BIGINT) AS bucket_s,
+        |       last_value(cnt IGNORE NULLS) OVER (
+        |         PARTITION BY series ORDER BY bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS cnt,
+        |       cnt IS NOT NULL AS observed
+        |FROM f""".stripMargin,
+
+    // degree-oriented wedge closing replayed relationally: orient by
+    // (degree, id) tuple order, wedge self-join, close, fan to corners
+    "q225_triangles" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |         json_extract_string(props, '$.k')::BIGINT AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |nx AS (
+        |  SELECT item AS src,
+        |         lead(item) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS dst
+        |  FROM ev),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM nx WHERE dst IS NOT NULL AND dst <> src),
+        |deg AS (
+        |  SELECT id, count(*)::BIGINT AS deg FROM (
+        |    SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |ori AS (
+        |  SELECT CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+        |              THEN und.u ELSE und.v END AS s,
+        |         CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+        |              THEN und.v ELSE und.u END AS t,
+        |         CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+        |              THEN dv.deg ELSE du.deg END AS td
+        |  FROM und JOIN deg du ON du.id = und.u
+        |           JOIN deg dv ON dv.id = und.v),
+        |tri AS (
+        |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |  FROM ori e1 JOIN ori e2
+        |    ON e1.s = e2.s AND (e1.td, e1.t) < (e2.td, e2.t)
+        |  JOIN ori e3 ON e3.s = e1.t AND e3.t = e2.t)
+        |SELECT node, count(*)::BIGINT AS triangles FROM (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |GROUP BY 1""".stripMargin,
 
     // rows-based trailing window — identical bucket-gap semantics
     "q210_traffic_spikes" ->

@@ -476,6 +476,36 @@ object Behavior {
                               threshold: Long = 2L): DataFrame =
     spikeFlags(counts, Seq("series"), trailing, threshold)
 
+  /** Gap-filled hourly series with last-observation-carried-forward —
+    * the read that turns a sparse count log into the dense grid every
+    * downstream chart/model joins against: per series, every hour
+    * between that series' first and last observed bucket gets a row;
+    * missing hours carry the last observed count forward and are
+    * marked `observed = false` (the witness — a reader can tell fill
+    * from fact). The first bucket is observed by construction, so no
+    * leading-null case exists.
+    *
+    * Shape: the same single full-log pass as the spike family
+    * ([[hourCounts]]), then a per-series bounds aggregate, a
+    * `sequence(min, max, 1h)` explode (grid rows ∝ series × hours —
+    * dimension scale), and ONE per-series ordered Window for the
+    * carry. Nothing global, nothing driver-side.
+    */
+  def gapFill(events: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val counts = hourCounts(events, typeCol, tsCol)
+    val grid = counts.groupBy(col("series"))
+      .agg(min(col("bucket")).as("_mn"), max(col("bucket")).as("_mx"))
+      .select(col("series"),
+        explode(sequence(col("_mn"), col("_mx"),
+          expr("interval 1 hour"))).as("bucket"))
+    val w = Window.partitionBy(col("series")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(counts, Seq("series", "bucket"), "left")
+      .select(col("series"), col("bucket"),
+        last(col("cnt"), ignoreNulls = true).over(w).as("cnt"),
+        col("cnt").isNotNull.as("observed"))
+  }
+
   /** The trailing-window cross-multiply flag, shared by the flat and
     * seasonal baselines.
     */

@@ -395,4 +395,23 @@ class FunnelSpec extends AnyFunSuite {
       .select($"conv_control" + $"conv_treat").as[Long].collect().head
     assert(mixed === x0 + x1)
   }
+
+  test("gapFill: missing hours carry the last observed count, flagged unobserved; grids are per-series") {
+    import graft.ops.Behavior
+    // series a: hours 0 (5 events) and 3 (2 events) — 1 and 2 filled;
+    // series b: single hour (no gaps, no fill)
+    val rows = Seq.fill(5)(("a", 7L)) ++
+      Seq.fill(2)(("a", 3L * 3600 + 9)) ++ Seq(("b", 3600L))
+    val events = rows.toDF("event_type", "sec")
+      .select($"event_type", timestamp_seconds($"sec").as("ts"))
+    val got = Behavior.gapFill(events, "event_type", "ts")
+      .select($"series", unix_timestamp($"bucket"), $"cnt", $"observed")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      ("a", 0L, 5L, true),
+      ("a", 3600L, 5L, false),   // filled from hour 0
+      ("a", 7200L, 5L, false),
+      ("a", 10800L, 2L, true),
+      ("b", 3600L, 1L, true)))   // b's grid starts at ITS min, not a's
+  }
 }

@@ -63,4 +63,22 @@ class GraphSpec extends AnyFunSuite {
     val merged = ranks(Seq((1L, 2L, 2L), (1L, 2L, 1L), (2L, 1L, 3L)), 2)
     assert(merged === ranks(Seq((1L, 2L, 3L), (2L, 1L, 3L)), 2))
   }
+
+  test("triangles: square-with-diagonal hand trace; duplicates, reversals and self-loops drop") {
+    // square 1-2-3-4 with diagonal 1-3: triangles (1,2,3) and (1,3,4);
+    // nodes 1 and 3 sit in both, 2 and 4 in one each. Noise: the 2-3
+    // edge repeated, 4-1 given reversed, a self-loop, a pendant 4-5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L), (3L, 4L), (1L, 4L),
+      (1L, 3L), (2L, 2L), (4L, 5L))
+    val got = Graph.triangles(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+    // triangle-free graph (a path) emits nothing
+    assert(Graph.triangles(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"),
+      "a", "b").count() === 0L)
+    // counts are partition-layout independent
+    val rep = Graph.triangles(edges.toDF("a", "b").repartition(7),
+      "a", "b").as[(Long, Long)].collect().toMap
+    assert(rep === got)
+  }
 }
