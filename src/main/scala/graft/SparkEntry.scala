@@ -27,6 +27,21 @@ object SparkEntry {
     Tables.events(s, dir)
       .withColumn("item_id", get_json_object(col("props"), "$.k").cast("long"))
 
+  /** Per-user consecutive distinct item transitions — the shared edge
+    * source of the graph family (q208/q225/q226/q227): one
+    * user-partitioned Window, then everything downstream is
+    * edge-scale.
+    */
+  private def transitionPairs(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    eventsWithItem(s, dir)
+      .filter(col("item_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("item_id"))
+      .withColumn("nxt", lead(col("item_id"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("item_id"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q04_hot_items_top5")(spark, "/root/testdata/sf0.001")
@@ -3256,16 +3271,22 @@ object SparkEntry {
     // per-item triangle counts over the transition graph (the q208
     // edge set, undirected): degree-oriented wedge closing — the
     // clustering read; wedge count bounded by sum outdeg^2
-    "q225_triangles" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val pairs = eventsWithItem(s, dir)
-        .filter(col("item_id").isNotNull)
-        .select(col("user_id"), col("ts"), col("event_id"), col("item_id"))
-        .withColumn("nxt", lead(col("item_id"), 1).over(w))
-        .filter(col("nxt").isNotNull && col("nxt") =!= col("item_id"))
-      graft.ops.Graph.triangles(pairs, "item_id", "nxt")
-    }),
+    "q225_triangles" -> ((s, dir) =>
+      graft.ops.Graph.triangles(transitionPairs(s, dir), "item_id", "nxt")),
+
+    // local clustering coefficient: triangles normalized by wedge
+    // capacity 2T/(d(d-1)) — exact integer counts, ONE
+    // correctly-rounded division; every deg>=2 node emits
+    "q226_clustering_coeff" -> ((s, dir) =>
+      graft.ops.Graph.clusteringCoefficient(transitionPairs(s, dir),
+        "item_id", "nxt")),
+
+    // 3 synchronized k-core peel rounds (k=10) with the converged
+    // witness — true at every SF here (measured), with real peeling
+    // at sf0.001; the oracle unrolls the same rounds as CTEs
+    "q227_kcore" -> ((s, dir) =>
+      graft.ops.Graph.kCorePeel(transitionPairs(s, dir), "item_id",
+        "nxt", k = 10, rounds = 3)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -6474,6 +6495,93 @@ object SparkEntry {
         |  UNION ALL SELECT b FROM tri
         |  UNION ALL SELECT c FROM tri)
         |GROUP BY 1""".stripMargin,
+
+    // triangles normalized by wedge capacity; deg >= 2 nodes emit
+    "q226_clustering_coeff" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |         json_extract_string(props, '$.k')::BIGINT AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |nx AS (
+        |  SELECT item AS src,
+        |         lead(item) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS dst
+        |  FROM ev),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM nx WHERE dst IS NOT NULL AND dst <> src),
+        |deg AS (
+        |  SELECT id, count(*)::BIGINT AS deg FROM (
+        |    SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |ori AS (
+        |  SELECT CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+        |              THEN und.u ELSE und.v END AS s,
+        |         CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+        |              THEN und.v ELSE und.u END AS t,
+        |         CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+        |              THEN dv.deg ELSE du.deg END AS td
+        |  FROM und JOIN deg du ON du.id = und.u
+        |           JOIN deg dv ON dv.id = und.v),
+        |tri AS (
+        |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |  FROM ori e1 JOIN ori e2
+        |    ON e1.s = e2.s AND (e1.td, e1.t) < (e2.td, e2.t)
+        |  JOIN ori e3 ON e3.s = e1.t AND e3.t = e2.t),
+        |tc AS (
+        |  SELECT node, count(*)::BIGINT AS triangles FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1)
+        |SELECT d.id AS node, d.deg,
+        |       coalesce(tc.triangles, 0)::BIGINT AS triangles,
+        |       round((2 * coalesce(tc.triangles, 0))::DOUBLE
+        |             / (d.deg * (d.deg - 1))::DOUBLE, 6) AS coefficient
+        |FROM deg d LEFT JOIN tc ON tc.node = d.id
+        |WHERE d.deg >= 2""".stripMargin,
+
+    // the same three peel rounds unrolled; converged = round 3's
+    // start graph had nobody below k
+    "q227_kcore" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |         json_extract_string(props, '$.k')::BIGINT AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |nx AS (
+        |  SELECT item AS src,
+        |         lead(item) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS dst
+        |  FROM ev),
+        |e0 AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM nx WHERE dst IS NOT NULL AND dst <> src),
+        |d0 AS (SELECT id, count(*) AS deg FROM (
+        |         SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0)
+        |       GROUP BY 1),
+        |s0 AS (SELECT id FROM d0 WHERE deg >= 10),
+        |e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT id FROM s0)
+        |                             AND v IN (SELECT id FROM s0)),
+        |d1 AS (SELECT id, count(*) AS deg FROM (
+        |         SELECT u AS id FROM e1 UNION ALL SELECT v FROM e1)
+        |       GROUP BY 1),
+        |s1 AS (SELECT id FROM d1 WHERE deg >= 10),
+        |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT id FROM s1)
+        |                             AND v IN (SELECT id FROM s1)),
+        |d2 AS (SELECT id, count(*) AS deg FROM (
+        |         SELECT u AS id FROM e2 UNION ALL SELECT v FROM e2)
+        |       GROUP BY 1),
+        |s2 AS (SELECT id FROM d2 WHERE deg >= 10),
+        |e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT id FROM s2)
+        |                             AND v IN (SELECT id FROM s2)),
+        |d3 AS (SELECT id, count(*) AS deg FROM (
+        |         SELECT u AS id FROM e3 UNION ALL SELECT v FROM e3)
+        |       GROUP BY 1)
+        |SELECT d3.id AS node, d3.deg,
+        |       (SELECT count(*) FROM d2 WHERE deg < 10) = 0 AS converged
+        |FROM d3""".stripMargin,
 
     // rows-based trailing window — identical bucket-gap semantics
     "q210_traffic_spikes" ->

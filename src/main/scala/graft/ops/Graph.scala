@@ -187,14 +187,26 @@ object Graph {
     * node with zero triangles is observable by absence, matching the
     * SQL oracle's shape).
     */
-  def triangles(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val und = pairs.select(least(col(aCol), col(bCol)).as("u"),
+  /** Canonical undirected edge set: (min, max) pairs, deduped,
+    * self-loops and null endpoints dropped — shared by the triangle /
+    * coefficient / k-core family so they cannot disagree on what an
+    * edge is.
+    */
+  private def undirectedEdges(pairs: DataFrame, aCol: String,
+                              bCol: String): DataFrame =
+    pairs.select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull)
       .distinct()
-    val deg = und.select(col("u").as("id"))
+
+  private def nodeDegrees(und: DataFrame): DataFrame =
+    und.select(col("u").as("id"))
       .unionAll(und.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+
+  def triangles(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = undirectedEdges(pairs, aCol, bCol)
+    val deg = nodeDegrees(und)
     val oriented = und
       .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
@@ -215,5 +227,66 @@ object Graph {
       .unionAll(tri.select(col("b").as("node")))
       .unionAll(tri.select(col("c").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Local clustering coefficient — [[triangles]] normalized by the
+    * wedge capacity: `2·tri / (deg·(deg−1))` per node with degree ≥ 2
+    * (degree-1 nodes have no wedges; they are observable by absence,
+    * like zero-triangle nodes in [[triangles]] — here they DO emit,
+    * with triangles = 0, because "how clustered is this hub" is a
+    * question about every node with ≥ 2 neighbors). Counts are exact
+    * integers; the coefficient is ONE correctly-rounded division —
+    * bit-identical cross-engine (the q206 rule).
+    */
+  def clusteringCoefficient(pairs: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val und = undirectedEdges(pairs, aCol, bCol)
+    val tri = triangles(pairs, aCol, bCol)
+    nodeDegrees(und).filter(col("deg") >= 2L)
+      .select(col("id").as("node"), col("deg"))
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("coefficient",
+        round((lit(2L) * col("triangles")).cast("double") /
+          (col("deg") * (col("deg") - 1L)).cast("double"), 6))
+  }
+
+  /** `rounds` synchronized k-core PEELING rounds: each round drops
+    * every node whose degree in the SURVIVING graph is < k, then the
+    * edges incident to dropped nodes. After a fixed number of rounds
+    * the result is deterministic whether or not the peel has reached
+    * its fixpoint, and the `converged` column SAYS which (true = the
+    * last round dropped nobody, so this IS the k-core; false = an
+    * approximation — rerun with more rounds): the observable-cap rule
+    * applied to iteration counts. Emits surviving (node, deg,
+    * converged).
+    *
+    * Shape: per round, one degree hash aggregate + two semi-joins to
+    * keep edges whose BOTH endpoints survive — work ∝ surviving
+    * |E| per round, lineage-pinned like the PageRank loop; no Window,
+    * nothing driver-side.
+    */
+  def kCorePeel(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+                rounds: Int,
+                checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    def pin(df: DataFrame): DataFrame =
+      Checkpoints.pin(df, checkpointDir, eager = false)
+    var edges = pin(undirectedEdges(pairs, aCol, bCol))
+    var lastDropped: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val surv = nodeDegrees(edges).filter(col("deg") >= k)
+        .select(col("id"))
+      lastDropped = nodeDegrees(edges).filter(col("deg") < k)
+      edges = pin(edges
+        .join(surv.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+        .join(surv.withColumnRenamed("id", "v"), Seq("v"), "left_semi"))
+    }
+    val converged = lastDropped.agg(
+      (count(lit(1)) === 0L).as("converged"))
+    nodeDegrees(edges).select(col("id").as("node"), col("deg"))
+      .crossJoin(broadcast(converged))
   }
 }

@@ -81,4 +81,41 @@ class GraphSpec extends AnyFunSuite {
       "a", "b").as[(Long, Long)].collect().toMap
     assert(rep === got)
   }
+
+  test("clusteringCoefficient: 2T/(d(d-1)) hand trace; zero-triangle hubs emit, degree-1 nodes don't") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L),
+      (4L, 5L))
+    val got = Graph.clusteringCoefficient(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      1L -> ((3L, 2L, 0.666667)), // both triangles, 3 wedge pairs
+      2L -> ((2L, 1L, 1.0)),      // its single wedge closes
+      3L -> ((3L, 2L, 0.666667)),
+      4L -> ((3L, 1L, 0.333333)))) // pendant edge dilutes; node 5 absent
+    // a star: hub has wedges but no closures — emits 0.0, not nothing
+    val star = Graph.clusteringCoefficient(
+        Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(star === Seq((1L, 3L, 0L, 0.0)))
+  }
+
+  test("kCorePeel: cascade peels pendants round by round; converged flag tells fixpoint from cutoff") {
+    // triangle {1,2,3} with a tail 3-4-5: k=2 peels 5 (round 1) then
+    // the newly-pendant 4 (round 2); round 3 drops nobody → converged
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val r3 = Graph.kCorePeel(edges.toDF("a", "b"), "a", "b",
+        k = 2, rounds = 3)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(r3 === Set((1L, 2L, true), (2L, 2L, true), (3L, 2L, true)))
+    // stopping one round early: same survivors, but the flag says the
+    // peel was still moving — an approximation, not the k-core
+    val r2 = Graph.kCorePeel(edges.toDF("a", "b"), "a", "b",
+        k = 2, rounds = 2)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(r2 === Set((1L, 2L, false), (2L, 2L, false), (3L, 2L, false)))
+    // k above the max degree empties the graph
+    assert(Graph.kCorePeel(edges.toDF("a", "b"), "a", "b",
+      k = 5, rounds = 2).count() === 0L)
+  }
 }

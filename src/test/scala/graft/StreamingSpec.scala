@@ -962,6 +962,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged === full)
   }
 
+  test("streaming CDC ingest: per-batch cdcApply folds ≡ one-shot cdcState; tombstones survive batches") {
+    // the live half of the q221 store: each micro-batch folds into the
+    // artifact via cdcApply (ONE code path with the batch build);
+    // argmax associativity makes the fold order irrelevant, and a
+    // tombstone written in batch 1 must suppress an OLDER upsert
+    // arriving in batch 2 — exactly why cdcState retains tombstones
+    import graft.ops.Scd
+    def op(t: String) = if (t == "drop") "delete" else "upsert"
+    val store =
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String, String)]()
+    val input = MemoryStream[KeyedEvent]
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.select($"key", $"ts", $"id".as("tie"),
+          when($"eventType" === "drop", "delete")
+            .otherwise("upsert").as("op"),
+          $"eventType".as("st"))
+        val folded =
+          if (store.isEmpty) Scd.cdcState(b, "key", "ts", "tie", "st", "op")
+          else Scd.cdcApply(
+            store.toSeq.toDF("key", "sec", "tie", "op", "state")
+              .select($"key", timestamp_seconds($"sec").as("ts"),
+                $"tie", $"op", $"state"),
+            b, "key", "ts", "tie", "st", "op")
+        val rows = folded
+          .select($"key", unix_timestamp($"ts"), $"tie", $"op", $"state")
+          .as[(Long, Long, Long, String, String)].collect()
+        store.clear()
+        store ++= rows: Unit
+      }.start()
+    val all = Seq(
+      KeyedEvent(1, ts(100), "view", 1), KeyedEvent(2, ts(100), "view", 2),
+      KeyedEvent(2, ts(300), "drop", 3), // tombstone in batch 1
+      KeyedEvent(3, ts(100), "view", 4),
+      // batch 2: an OLDER upsert for key 2 (late data) must NOT
+      // resurrect it; key 3 updates; key 4 appears
+      KeyedEvent(2, ts(200), "click", 5), KeyedEvent(3, ts(400), "click", 6),
+      KeyedEvent(4, ts(150), "view", 7))
+    input.addData(all.take(4): _*)
+    q.processAllAvailable()
+    input.addData(all.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+    val oneShot = Scd.cdcState(
+        all.toDF().select($"key", $"ts", $"id".as("tie"),
+          when($"eventType" === "drop", "delete")
+            .otherwise("upsert").as("op"),
+          $"eventType".as("st")),
+        "key", "ts", "tie", "st", "op")
+      .select($"key", unix_timestamp($"ts"), $"tie", $"op", $"state")
+      .as[(Long, Long, Long, String, String)].collect().toSet
+    assert(store.toSet === oneShot)
+    assert(op("drop") === "delete") // fixture sanity
+    // the served view: key 2 stays deleted despite the late upsert
+    assert(store.toSet.filter(_._4 != "delete").map(r => r._1 -> r._5) ===
+      Set(1L -> "view", 3L -> "click", 4L -> "view"))
+  }
+
   test("streaming histogram-warehouse ingest: per-batch slices accumulate, merge ≡ full rescan") {
     // the quantile member rides the same foreachBatch slice loop as
     // KMV: each micro-batch writes its own counter rows (slice = batch
