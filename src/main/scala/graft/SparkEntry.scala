@@ -3287,6 +3287,17 @@ object SparkEntry {
     "q227_kcore" -> ((s, dir) =>
       graft.ops.Graph.kCorePeel(transitionPairs(s, dir), "item_id",
         "nxt", k = 10, rounds = 3)),
+
+    // fuzzy title join: all pairs within Levenshtein 2 on 40-char
+    // titles, candidates from each title's 7 RAREST trigrams (the
+    // Ed-Join prefix filter); the oracle joins EXHAUSTIVELY, so green
+    // proves the filter lost no pair; doc_id%10<3 keeps the
+    // quadratic oracle tractable (the op itself never goes quadratic)
+    "q228_fuzzy_join" -> ((s, dir) =>
+      Dedup.editDistancePairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 < 3)
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("title")),
+        "doc_id", "title", maxDist = 2, gramLen = 3)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -6582,6 +6593,18 @@ object SparkEntry {
         |SELECT d3.id AS node, d3.deg,
         |       (SELECT count(*) FROM d2 WHERE deg < 10) = 0 AS converged
         |FROM d3""".stripMargin,
+
+    // EXHAUSTIVE banded edit-distance join — completeness proof for
+    // the Spark side's prefix filter
+    "q228_fuzzy_join" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS t
+        |  FROM documents WHERE doc_id % 10 < 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       levenshtein(a.t, b.t)::BIGINT AS dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  AND abs(length(a.t) - length(b.t)) <= 2
+        |WHERE levenshtein(a.t, b.t) <= 2""".stripMargin,
 
     // rows-based trailing window — identical bucket-gap semantics
     "q210_traffic_spikes" ->

@@ -1016,4 +1016,77 @@ object Dedup {
         (col("a_start") - col("diag")).as("b_start"),
         (col("a_end") - col("a_start") + lit(k.toLong)).as("span_tokens"))
   }
+
+  /** Edit-distance near-dup join with Ed-Join-style prefix filtering
+    * (Xiao, Wang & Lin: all pairs within Levenshtein distance
+    * `maxDist` share a q-gram among each string's `q·d + 1` RAREST
+    * distinct grams under one global (frequency, gram) order — d edits
+    * destroy at most q·d gram types, and the symmetric prefix lemma
+    * turns that into a candidate filter). Candidates come from ONE
+    * equi-join on prefix grams — and the rarest-gram choice is what
+    * keeps those buckets small (joining on arbitrary grams would
+    * bucket half the corpus on its commonest trigram); the length band
+    * |len(a) − len(b)| ≤ d prunes before the verify, and exact
+    * `levenshtein` (codegen'd) decides. Strings too short for the
+    * count argument (len < q·(d+1)) fall back to a banded
+    * nested-loop against the whole frame — sound for any input, and
+    * sized by the short class (tiny for real title/text data; the
+    * fallback is the documented cost of keeping the filter LOSSLESS
+    * rather than dropping short strings silently).
+    *
+    * The q228 oracle verifies completeness relationally: DuckDB
+    * computes the EXHAUSTIVE banded join, so a green row proves the
+    * prefix filter lost no pair.
+    *
+    * Emits (id_a, id_b, dist) with id_a < id_b, dist ≤ maxDist.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, gramLen: Int = 3): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    require(gramLen >= 2, "gramLen must be >= 2")
+    val prefixLen = gramLen * maxDist + 1
+    val minLong = gramLen * (maxDist + 1)
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("t"),
+      length(col(textCol)).as("len"))
+    val longs = base.filter(col("len") >= minLong)
+    val shorts = base.filter(col("len") < minLong)
+    val grams = longs.select(col("id"), col("t"), col("len"),
+      explode(array_distinct(expr(
+        s"transform(sequence(1, length(t) - ${gramLen - 1}), " +
+          s"i -> substring(t, i, $gramLen))"))).as("g"))
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("f"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("f").asc, col("g").asc)
+    val prefixes = grams.join(freq, "g")
+      .withColumn("_r", row_number().over(wr))
+      .filter(col("_r") <= prefixLen)
+      .select(col("g"), col("id"), col("t"), col("len"))
+    val fromPrefix = prefixes.as("a").join(prefixes.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.t").as("ta"),
+        col("a.len").as("la"), col("b.id").as("id_b"),
+        col("b.t").as("tb"), col("b.len").as("lb"))
+    // short strings: banded nested-loop against EVERYTHING (both
+    // orders, normalized to id_a < id_b) — |shorts| bounds the cost
+    val fromShort = shorts.as("s").join(base.as("o"),
+        col("s.id") =!= col("o.id") &&
+          abs(col("s.len") - col("o.len")) <= maxDist)
+      .select(
+        least(col("s.id"), col("o.id")).as("id_a"),
+        when(col("s.id") < col("o.id"), col("s.t")).otherwise(col("o.t"))
+          .as("ta"),
+        when(col("s.id") < col("o.id"), col("s.len"))
+          .otherwise(col("o.len")).as("la"),
+        greatest(col("s.id"), col("o.id")).as("id_b"),
+        when(col("s.id") < col("o.id"), col("o.t")).otherwise(col("s.t"))
+          .as("tb"),
+        when(col("s.id") < col("o.id"), col("o.len"))
+          .otherwise(col("s.len")).as("lb"))
+    fromPrefix.unionByName(fromShort)
+      .filter(abs(col("la") - col("lb")) <= maxDist)
+      .select(col("id_a"), col("id_b"), col("ta"), col("tb")).distinct()
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -2067,6 +2067,33 @@ class MiningSpec extends AnyFunSuite {
       spark.range(1).agg(lit(2L).as("n_docs")), k = 5).count() === 0L)
   }
 
+  test("editDistancePairs: prefix filter finds every banded pair; short strings ride the fallback") {
+    import graft.ops.Dedup
+    val d = Seq(
+      (1L, "kitten party"),   // ↔ 2 (dist 1), ↔ 3 (dist 2)
+      (2L, "sitten party"),   // ↔ 3 is dist 3: beyond maxDist
+      (3L, "kitten partyxx"),
+      (4L, "totally different string here"),
+      (5L, "abc"), (6L, "abd"), (7L, "abce")) // len < 9: fallback path
+      .toDF("doc_id", "title")
+    val got = Dedup.editDistancePairs(d, "doc_id", "title",
+        maxDist = 2, gramLen = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 1L), (1L, 3L, 2L),        // prefix-gram candidates
+      (5L, 6L, 1L), (5L, 7L, 1L), (6L, 7L, 2L))) // short fallback
+    // maxDist = 0 degenerates to exact-equality pairs (prefix = the
+    // single rarest gram, which identical strings share)
+    val ex = Dedup.editDistancePairs(
+        Seq((1L, "hello world"), (2L, "hello world"), (3L, "hello worlds"))
+          .toDF("doc_id", "title"), "doc_id", "title",
+        maxDist = 0, gramLen = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ex === Set((1L, 2L, 0L)))
+    // duplicate shared prefix grams must not duplicate the pair row
+    assert(got.size === got.map(p => (p._1, p._2)).size)
+  }
+
   test("taTopK: pruned read equals exhaustive bm25Query when certified; uncertifiable m raises") {
     // m covers the whole lists → trivially certified, ≡ exhaustive
     val df = docs(
