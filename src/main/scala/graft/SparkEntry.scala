@@ -3298,6 +3298,45 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") % 10 < 3)
           .select(col("doc_id"), substring(col("text"), 1, 40).as("title")),
         "doc_id", "title", maxDist = 2, gramLen = 3)),
+
+    // hierarchical rollup datasheet: (source), (source, lang) and
+    // grand-total composition rows in ONE Expand+aggregate pass;
+    // gid disambiguates rolled-up "(all)" from data values
+    "q229_rollup_sheet" -> ((s, dir) =>
+      graft.ops.Profile.rollupSheet(Tables.documents(s, dir),
+        Seq("source", "lang"), "n_chars")),
+
+    // gap-fill served FROM the hourly-count warehouse — same body as
+    // q224 (one code path), merge of two slice generations feeds it:
+    // the stored grid read never re-scans events
+    "q230_gap_fill_store" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sliced = Behavior.hourCountSlices(
+        ev.withColumn("slice", col("event_id") % 2), "event_type", "ts",
+        "slice")
+      Behavior.gapFillFromCounts(Behavior.hourCountMerge(sliced))
+        .select(col("series"), unix_timestamp(col("bucket")).as("bucket_s"),
+          col("cnt"), col("observed"))
+    }),
+
+    // generic AS-OF join (union-window, ONE shuffle — no range join):
+    // each purchase picks the user's latest prior non-purchase value;
+    // quotes dedupe per (user, ts) by event_id so equal-ts winners are
+    // engine-deterministic; DuckDB replays with native ASOF JOIN
+    "q231_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val quotes = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          coalesce(col("value"), lit(-1.0)).as("value"))
+      graft.ops.Scd.asOfJoin(facts, quotes, "user_id", "ts", "ts",
+          "event_id", "value")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"),
+          unix_timestamp(col("asof_ts")).as("q_ts_s"),
+          col("asof_val").as("q_value"))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -6605,6 +6644,54 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |  AND abs(length(a.t) - length(b.t)) <= 2
         |WHERE levenshtein(a.t, b.t) <= 2""".stripMargin,
+
+    // GROUP BY ROLLUP with the standard grouping bitmask
+    "q229_rollup_sheet" ->
+      """SELECT coalesce(source, '(all)') AS source,
+        |       coalesce(lang, '(all)') AS lang,
+        |       GROUPING(source, lang)::BIGINT AS gid,
+        |       count(*)::BIGINT AS n_rows,
+        |       sum(n_chars)::BIGINT AS w_sum
+        |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // the q224 oracle replayed — the store path must serve the same
+    // grid the one-shot pass computes
+    "q230_gap_fill_store" ->
+      """WITH c AS (
+        |  SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
+        |         count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT series, min(bucket) AS mn, max(bucket) AS mx
+        |      FROM c GROUP BY 1),
+        |g AS (SELECT series,
+        |             unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+        |               AS bucket
+        |      FROM b),
+        |f AS (SELECT g.series, g.bucket, c.cnt
+        |      FROM g LEFT JOIN c
+        |        ON g.series = c.series AND g.bucket = c.bucket)
+        |SELECT series, CAST(floor(epoch(bucket)) AS BIGINT) AS bucket_s,
+        |       last_value(cnt IGNORE NULLS) OVER (
+        |         PARTITION BY series ORDER BY bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS cnt,
+        |       cnt IS NOT NULL AS observed
+        |FROM f""".stripMargin,
+
+    // native ASOF JOIN on tie-deduped quotes
+    "q231_asof_join" ->
+      """WITH q0 AS (
+        |  SELECT user_id, ts, arg_max(coalesce(value, -1), event_id) AS v
+        |  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id,
+        |       CAST(floor(epoch(f.ts)) AS BIGINT) AS ts_s,
+        |       CAST(floor(epoch(q.ts)) AS BIGINT) AS q_ts_s,
+        |       q.v AS q_value
+        |FROM f ASOF LEFT JOIN q0 q
+        |  ON f.user_id = q.user_id AND q.ts <= f.ts""".stripMargin,
 
     // rows-based trailing window — identical bucket-gap semantics
     "q210_traffic_spikes" ->

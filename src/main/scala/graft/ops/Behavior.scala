@@ -491,8 +491,16 @@ object Behavior {
     * dimension scale), and ONE per-series ordered Window for the
     * carry. Nothing global, nothing driver-side.
     */
-  def gapFill(events: DataFrame, typeCol: String, tsCol: String): DataFrame = {
-    val counts = hourCounts(events, typeCol, tsCol)
+  def gapFill(events: DataFrame, typeCol: String, tsCol: String): DataFrame =
+    gapFillFromCounts(hourCounts(events, typeCol, tsCol))
+
+  /** The gap-fill read over a STORED count frame (series, bucket, cnt)
+    * — the same body [[gapFill]] uses (one shared code path, the
+    * trafficSpikesFromCounts rule), so the hourly-count warehouse
+    * ([[hourCountSlices]]/[[hourCountMerge]]) serves dense LOCF grids
+    * without re-scanning events.
+    */
+  def gapFillFromCounts(counts: DataFrame): DataFrame = {
     val grid = counts.groupBy(col("series"))
       .agg(min(col("bucket")).as("_mn"), max(col("bucket")).as("_mx"))
       .select(col("series"),

@@ -57,4 +57,26 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Hierarchical ROLLUP datasheet — per-dimension-prefix totals in
+    * one pass (the (source), (source, lang), () levels every dataset
+    * card's "composition" table wants): `rollup` plans ONE Expand +
+    * ONE hash aggregate, not |dims|+1 scans, which is why the SQL
+    * construct exists. Rolled-up dimension values print "(all)" and
+    * `gid` (the standard grouping bitmask, leftmost dim = most
+    * significant bit) keeps them distinguishable from a genuine
+    * "(all)" value in the data. Counts and the weight sum are exact
+    * integers — every engine agrees bit-for-bit.
+    */
+  def rollupSheet(df: DataFrame, dims: Seq[String],
+                  weightCol: String): DataFrame = {
+    require(dims.nonEmpty, "need at least one rollup dimension")
+    df.rollup(dims.map(col): _*)
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(col(weightCol)).as("w_sum"))
+      .select(dims.map(c =>
+        coalesce(col(c).cast("string"), lit("(all)")).as(c)) ++
+        Seq(col("gid"), col("n_rows"), col("w_sum")): _*)
+  }
 }

@@ -413,5 +413,15 @@ class FunnelSpec extends AnyFunSuite {
       ("a", 7200L, 5L, false),
       ("a", 10800L, 2L, true),
       ("b", 3600L, 1L, true)))   // b's grid starts at ITS min, not a's
+    // warehouse path: slices split mid-hour, merged, served through
+    // the SAME body — identical grid (the trafficSpikesFromCounts rule)
+    val sliced = Behavior.hourCountSlices(
+      events.withColumn("slice", monotonically_increasing_id() % 2),
+      "event_type", "ts", "slice")
+    val fromStore = Behavior.gapFillFromCounts(
+        Behavior.hourCountMerge(sliced))
+      .select($"series", unix_timestamp($"bucket"), $"cnt", $"observed")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(fromStore === got)
   }
 }

@@ -40,4 +40,23 @@ class ProfileSpec extends AnyFunSuite {
       Profile.table(df, Seq("id"), Seq("id"), Nil)
     }
   }
+
+  test("rollupSheet: per-prefix totals with the grouping bitmask; (all) marks rolled-up levels") {
+    val df = Seq(
+      ("web", "en", 10L), ("web", "en", 5L), ("web", "de", 7L),
+      ("pdf", "en", 3L))
+      .toDF("source", "lang", "n_chars")
+    val got = Profile.rollupSheet(df, Seq("source", "lang"), "n_chars")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("web", "en", 0L, 2L, 15L),
+      ("web", "de", 0L, 1L, 7L),
+      ("pdf", "en", 0L, 1L, 3L),
+      ("web", "(all)", 1L, 3L, 22L),   // lang rolled up (low bit)
+      ("pdf", "(all)", 1L, 1L, 3L),
+      ("(all)", "(all)", 3L, 4L, 25L))) // grand total: both bits set
+    intercept[IllegalArgumentException] {
+      Profile.rollupSheet(df, Nil, "n_chars")
+    }
+  }
 }

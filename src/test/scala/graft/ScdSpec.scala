@@ -137,6 +137,29 @@ class ScdSpec extends AnyFunSuite {
       (9L, "new", 40L, None, true, 1L)))
   }
 
+  test("asOfJoin: inclusive boundary, tie-dedupe by quoteTie, null-extend before first quote") {
+    val facts = Seq((10L, 1L, 50L), (11L, 1L, 5L), (12L, 1L, 20L),
+      (13L, 2L, 99L))
+      .toDF("fact_id", "user_id", "fsec")
+      .select($"fact_id", $"user_id", timestamp_seconds($"fsec").as("fts"))
+    val quotes = Seq(
+      (1L, 10L, 1L, 100.0), (1L, 20L, 2L, 200.0),
+      (1L, 20L, 3L, 250.0), // same ts: event_id 3 wins the dedupe
+      (1L, 40L, 4L, 400.0))
+      .toDF("user_id", "qsec", "event_id", "value")
+      .select($"user_id", timestamp_seconds($"qsec").as("qts"),
+        $"event_id", $"value")
+    val got = Scd.asOfJoin(facts, quotes, "user_id", "fts", "qts",
+        "event_id", "value")
+      .select($"fact_id", unix_timestamp($"asof_ts"), $"asof_val")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(got === Set(
+      (10L, Some(40L), Some(400.0)), // latest quote <= 50
+      (11L, None, None),             // before any quote: null-extended
+      (12L, Some(20L), Some(250.0)), // INCLUSIVE boundary + tie winner
+      (13L, None, None)))            // key with no quotes at all
+  }
+
   test("scd2Apply raises when a slice row predates the current version") {
     val dim = Scd.scd2(changes((1L, 30L, 1L, "a")), "user_id", "ts",
       "event_id", "state")
