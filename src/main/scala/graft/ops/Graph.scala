@@ -204,10 +204,22 @@ object Graph {
       .unionAll(und.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
 
-  def triangles(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val und = undirectedEdges(pairs, aCol, bCol)
+  def triangles(pairs: DataFrame, aCol: String, bCol: String,
+                checkpointDir: Option[String] = None): DataFrame =
+    triangleCounts(Checkpoints.pin(undirectedEdges(pairs, aCol, bCol),
+      checkpointDir, eager = false), checkpointDir)
+
+  /** Triangle counting over an already-pinned canonical edge frame —
+    * `und` and the oriented edges are each referenced several times
+    * downstream, so both are lineage-pinned (the q198/pageRank
+    * discipline: an unpinned frame re-derives its whole upstream —
+    * including the caller's edge-building Window — once per
+    * reference; the q225 plan held 45 copies of it before the pin).
+    */
+  private def triangleCounts(und: DataFrame,
+                             checkpointDir: Option[String]): DataFrame = {
     val deg = nodeDegrees(und)
-    val oriented = und
+    val oriented = Checkpoints.pin(und
       .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
       .select(
@@ -217,7 +229,8 @@ object Graph {
           struct(col("dv").as("d"), col("v").as("n")))
           .otherwise(struct(col("du").as("d"), col("u").as("n")))
           .as("tord"))
-      .select(col("s"), col("tord").getField("n").as("t"), col("tord"))
+      .select(col("s"), col("tord").getField("n").as("t"), col("tord")),
+      checkpointDir, eager = false)
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.s") === col("e2.s") && col("e1.tord") < col("e2.tord"))
       .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
@@ -238,10 +251,11 @@ object Graph {
     * integers; the coefficient is ONE correctly-rounded division —
     * bit-identical cross-engine (the q206 rule).
     */
-  def clusteringCoefficient(pairs: DataFrame, aCol: String,
-                            bCol: String): DataFrame = {
-    val und = undirectedEdges(pairs, aCol, bCol)
-    val tri = triangles(pairs, aCol, bCol)
+  def clusteringCoefficient(pairs: DataFrame, aCol: String, bCol: String,
+                            checkpointDir: Option[String] = None): DataFrame = {
+    val und = Checkpoints.pin(undirectedEdges(pairs, aCol, bCol),
+      checkpointDir, eager = false)
+    val tri = triangleCounts(und, checkpointDir)
     nodeDegrees(und).filter(col("deg") >= 2L)
       .select(col("id").as("node"), col("deg"))
       .join(tri, Seq("node"), "left")

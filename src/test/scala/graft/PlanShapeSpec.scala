@@ -444,4 +444,51 @@ class PlanShapeSpec extends AnyFunSuite {
       .findAllIn(p).filter(_.contains("text")).toSeq
     assert(shuffled.isEmpty, s"text-carrying Exchange in q169: $shuffled")
   }
+
+  test("q221: CDC state is hash-agg argmax + one key join — no Window, no cartesian") {
+    val p = plan("q221_cdc_state")
+    assert(!p.contains(") Window"), s"q221 grew a Window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q223: TA pruning pre-prunes per token below the final rank (WindowGroupLimit)") {
+    // the per-token top-m impact prune must keep the q04 shape; the
+    // only other Window is the final serving-scale rank
+    val p = plan("q223_ta_topk")
+    assert(p.contains("WindowGroupLimit"), s"q223 lost the prune:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q225/q227: triangle closing and k-core peel stay equi-join shaped — no cartesian; only the edge-source lead Window") {
+    for (q <- Seq("q225_triangles", "q227_kcore")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+      // the canonical edge frame is pinned, so the edge-source lead
+      // Window lives BEHIND the pin and the graph ops add none: the
+      // final plan is Window-free (unpinned, q225 held 45 re-derived
+      // copies of the edge-building subtree)
+      val windows = """\(\d+\) Window\b""".r.findAllIn(p).size
+      assert(windows === 0, s"$q grew ${windows} Windows:\n$p")
+    }
+  }
+
+  test("q228: fuzzy-join candidates come from the gram equi-join; only the short fallback may nest") {
+    // the long path must never be a nested loop over the corpus; the
+    // BNLJ in the plan belongs to the (empty here) short-string class
+    val p = plan("q228_fuzzy_join")
+    assert(!p.contains("CartesianProduct"), s"q228 went cartesian:\n$p")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      "the rarest-gram prefix rank is missing")
+  }
+
+  test("q231: as-of is ONE key shuffle — union-window, no range join, no nested loop") {
+    val p = plan("q231_asof_join")
+    assert(!p.contains("CartesianProduct"), s"q231 went cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q231 planned a nested-loop range join:\n$p")
+    // hashpartitioning on the key appears for the union-window and the
+    // quote dedupe — but NO join operator at all
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"q231 should be join-free (union-window):\n$p")
+  }
 }
