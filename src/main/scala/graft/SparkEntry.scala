@@ -3319,23 +3319,26 @@ object SparkEntry {
           col("cnt"), col("observed"))
     }),
 
-    // generic AS-OF join (union-window, ONE shuffle — no range join):
-    // each purchase picks the user's latest prior non-purchase value;
-    // quotes dedupe per (user, ts) by event_id so equal-ts winners are
-    // engine-deterministic; DuckDB replays with native ASOF JOIN
+    // as-of value lookup on the event log: each purchase picks the
+    // user's latest prior non-purchase value — latestPerKeyTs pins
+    // equal-ts winners by event_id, then the EXISTING union-window
+    // asofJoin (one shuffle, no range join) serves the lookup;
+    // DuckDB replays with its native ASOF JOIN (first such oracle)
     "q231_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val facts = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
-      val quotes = ev.filter(col("event_type") =!= "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          coalesce(col("value"), lit(-1.0)).as("value"))
-      graft.ops.Scd.asOfJoin(facts, quotes, "user_id", "ts", "ts",
-          "event_id", "value")
+      val quotes = graft.ops.Scd.latestPerKeyTs(
+        ev.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("ts").as("qts"), col("event_id"),
+            coalesce(col("value"), lit(-1.0)).as("value")),
+        "user_id", "qts", "event_id", "value")
+      StreamMatch.asofJoin(facts, quotes, "user_id", "ts", "qts",
+          Seq("value"))
         .select(col("event_id"), col("user_id"),
           unix_timestamp(col("ts")).as("ts_s"),
-          unix_timestamp(col("asof_ts")).as("q_ts_s"),
-          col("asof_val").as("q_value"))
+          unix_timestamp(col("asof_qts")).as("q_ts_s"),
+          col("value").as("q_value"))
     }),
   )
 

@@ -69,50 +69,19 @@ object Scd {
       .drop("_dkey", "valid_to")
   }
 
-  /** Generic AS-OF join — each fact row picks the LATEST quote row
-    * with `quote_ts <= fact_ts` on the same key (inclusive: a quote AT
-    * fact time counts), null-extended when no quote precedes (the
-    * pointInTime zero-touch convention). Quotes first dedupe to one
-    * row per (key, ts) — the `quoteTieCol`-largest wins (engine
-    * determinism; DuckDB's ASOF leaves equal-ts winners unspecified,
-    * ours never does).
-    *
-    * Shape — the UNION-WINDOW pattern, not a range join: tag quotes
-    * side 0 and facts side 1, union, ONE per-key Window ordered by
-    * (ts, side) carrying `last(quote, ignoreNulls)` forward, keep the
-    * fact rows. One shuffle on the key, work ∝ |facts| + |quotes|,
-    * per-key sequences bounded — a range join would rescan quote
-    * history per fact and explode on hot keys; this is why every
-    * serious engine special-cases as-of.
+  /** Dedupe a quote/observation frame to ONE row per (key, ts) — the
+    * `tieCol`-largest wins (one struct-argmax hash aggregate, the
+    * [[cdcState]] shape). The preparation step that makes an as-of
+    * join ([[StreamMatch.asofJoin]] or the native
+    * [[graft.plans.AsofJoin]]) engine-deterministic: both contracts
+    * want right rows unique per (key, ts), and DuckDB's ASOF leaves
+    * equal-ts winners unspecified — this pins them.
     */
-  def asOfJoin(facts: DataFrame, quotes: DataFrame, keyCol: String,
-               factTsCol: String, quoteTsCol: String,
-               quoteTieCol: String, quoteValCol: String): DataFrame = {
-    import org.apache.spark.sql.types.{StructField, StructType}
-    val q1 = quotes.groupBy(col(keyCol), col(quoteTsCol).as("_qts"))
-      .agg(max(struct(col(quoteTieCol).as("tie"),
-        col(quoteValCol).as("v"))).as("_w"))
-      .select(col(keyCol), col("_qts"), col("_w.v").as("_qv"))
-    val fT = StructType(facts.schema.fields)
-    val qT = StructType(Seq(
-      StructField("_qts", quotes.schema(quoteTsCol).dataType),
-      StructField("_qv", quotes.schema(quoteValCol).dataType)))
-    val fSide = facts.select(col(keyCol).as("_k"),
-      col(factTsCol).as("_ts"), lit(1).as("_side"),
-      struct(facts.columns.map(col): _*).as("_f"),
-      lit(null).cast(qT).as("_q"))
-    val qSide = q1.select(col(keyCol).as("_k"),
-      col("_qts").as("_ts"), lit(0).as("_side"),
-      lit(null).cast(fT).as("_f"),
-      struct(col("_qts"), col("_qv")).as("_q"))
-    val w = Window.partitionBy(col("_k")).orderBy(col("_ts"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    fSide.unionByName(qSide)
-      .withColumn("_c", last(col("_q"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
-      .select(col("_f.*") +: Seq(
-        col("_c._qts").as("asof_ts"), col("_c._qv").as("asof_val")): _*)
-  }
+  def latestPerKeyTs(quotes: DataFrame, keyCol: String, tsCol: String,
+                     tieCol: String, valCol: String): DataFrame =
+    quotes.groupBy(col(keyCol), col(tsCol))
+      .agg(max(struct(col(tieCol).as("tie"), col(valCol).as("v"))).as("_w"))
+      .select(col(keyCol), col(tsCol), col("_w.v").as(valCol))
 
   /** Last-writer-wins row per key over a CDC log — ONE hash aggregate
     * taking the whole winning row as `max(struct(ts, tie, op, state))`

@@ -137,21 +137,25 @@ class ScdSpec extends AnyFunSuite {
       (9L, "new", 40L, None, true, 1L)))
   }
 
-  test("asOfJoin: inclusive boundary, tie-dedupe by quoteTie, null-extend before first quote") {
+  test("latestPerKeyTs + asofJoin: tie-deduped quotes serve inclusive as-of lookups deterministically") {
+    import graft.ops.StreamMatch
     val facts = Seq((10L, 1L, 50L), (11L, 1L, 5L), (12L, 1L, 20L),
       (13L, 2L, 99L))
       .toDF("fact_id", "user_id", "fsec")
       .select($"fact_id", $"user_id", timestamp_seconds($"fsec").as("fts"))
-    val quotes = Seq(
+    val raw = Seq(
       (1L, 10L, 1L, 100.0), (1L, 20L, 2L, 200.0),
       (1L, 20L, 3L, 250.0), // same ts: event_id 3 wins the dedupe
       (1L, 40L, 4L, 400.0))
       .toDF("user_id", "qsec", "event_id", "value")
       .select($"user_id", timestamp_seconds($"qsec").as("qts"),
         $"event_id", $"value")
-    val got = Scd.asOfJoin(facts, quotes, "user_id", "fts", "qts",
-        "event_id", "value")
-      .select($"fact_id", unix_timestamp($"asof_ts"), $"asof_val")
+    val quotes = Scd.latestPerKeyTs(raw, "user_id", "qts", "event_id",
+      "value")
+    assert(quotes.count() === 3) // the (1, 20) pair collapsed
+    val got = StreamMatch.asofJoin(facts, quotes, "user_id", "fts",
+        "qts", Seq("value"))
+      .select($"fact_id", unix_timestamp($"asof_qts"), $"value")
       .as[(Long, Option[Long], Option[Double])].collect().toSet
     assert(got === Set(
       (10L, Some(40L), Some(400.0)), // latest quote <= 50
