@@ -1027,7 +1027,11 @@ object Dedup {
     * keeps those buckets small (joining on arbitrary grams would
     * bucket half the corpus on its commonest trigram); the length band
     * |len(a) − len(b)| ≤ d prunes before the verify, and exact
-    * `levenshtein` (codegen'd) decides. Strings too short for the
+    * THRESHOLDED `levenshtein(a, b, maxDist)` decides — the banded
+    * early-abandon form computes O(d·min(len)) cells instead of the
+    * full O(len²) DP and quits the moment the band exceeds d, which
+    * is ~10× on verify when (as always) most candidates fail. Strings
+    * too short for the
     * count argument (len < q·(d+1)) fall back to a banded
     * nested-loop against the whole frame — sound for any input, and
     * sized by the short class (tiny for real title/text data; the
@@ -1041,7 +1045,8 @@ object Dedup {
     * Emits (id_a, id_b, dist) with id_a < id_b, dist ≤ maxDist.
     */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
-                        maxDist: Int, gramLen: Int = 3): DataFrame = {
+                        maxDist: Int, gramLen: Int = 3,
+                        checkpointDir: Option[String] = None): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
     require(gramLen >= 2, "gramLen must be >= 2")
     val prefixLen = gramLen * maxDist + 1
@@ -1050,17 +1055,25 @@ object Dedup {
       length(col(textCol)).as("len"))
     val longs = base.filter(col("len") >= minLong)
     val shorts = base.filter(col("len") < minLong)
-    val grams = longs.select(col("id"), col("t"), col("len"),
-      explode(array_distinct(expr(
-        s"transform(sequence(1, length(t) - ${gramLen - 1}), " +
-          s"i -> substring(t, i, $gramLen))"))).as("g"))
+    // pinned: the gram frame feeds BOTH the frequency aggregate and
+    // the prefix pick, and the prefix frame feeds BOTH sides of the
+    // candidate self-join — unpinned, the explode/freq/Window subtree
+    // evaluates twice per reuse (the q225 lesson)
+    val grams = Checkpoints.pin(
+      longs.select(col("id"), col("t"), col("len"),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, length(t) - ${gramLen - 1}), " +
+            s"i -> substring(t, i, $gramLen))"))).as("g")),
+      checkpointDir, eager = false)
     val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("f"))
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("f").asc, col("g").asc)
-    val prefixes = grams.join(freq, "g")
-      .withColumn("_r", row_number().over(wr))
-      .filter(col("_r") <= prefixLen)
-      .select(col("g"), col("id"), col("t"), col("len"))
+    val prefixes = Checkpoints.pin(
+      grams.join(freq, "g")
+        .withColumn("_r", row_number().over(wr))
+        .filter(col("_r") <= prefixLen)
+        .select(col("g"), col("id"), col("t"), col("len")),
+      checkpointDir, eager = false)
     val fromPrefix = prefixes.as("a").join(prefixes.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("a.t").as("ta"),
@@ -1086,7 +1099,8 @@ object Dedup {
       .filter(abs(col("la") - col("lb")) <= maxDist)
       .select(col("id_a"), col("id_b"), col("ta"), col("tb")).distinct()
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long")
+          .as("dist"))
+      .filter(col("dist") >= 0)
   }
 }
