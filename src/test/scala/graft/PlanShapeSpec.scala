@@ -477,8 +477,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // BNLJ in the plan belongs to the (empty here) short-string class
     val p = plan("q228_fuzzy_join")
     assert(!p.contains("CartesianProduct"), s"q228 went cartesian:\n$p")
-    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
-      "the rarest-gram prefix rank is missing")
+    // the rarest-gram prefix rank lives BEHIND the candidate pin
+    // (Scan ExistingRDD) so it evaluates once, not once per join
+    // side — the final plan is Window-free; what must remain visible
+    // is the long path surfacing as a HASH equi-join on the gram,
+    // and at most the one nested loop of the short-string fallback
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"the gram equi-join is missing:\n$p")
+    val nests = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    assert(nests <= 1, s"q228 grew $nests nested loops:\n$p")
   }
 
   test("q231: as-of is ONE key shuffle — union-window, no range join, no nested loop") {
