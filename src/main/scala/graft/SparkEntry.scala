@@ -3340,6 +3340,35 @@ object SparkEntry {
           unix_timestamp(col("asof_qts")).as("q_ts_s"),
           col("value").as("q_value"))
     }),
+
+    // daily growth accounting: every day's active base decomposed into
+    // new/retained/resurrected plus the churned count on the day the
+    // user went silent — the growth identity dashboards reconcile
+    "q232_growth_accounting" -> ((s, dir) =>
+      Behavior.growthAccounting(Tables.events(s, dir), "user_id", "ts")
+        // DATE hashes engine-differently in the compare; timestamp is
+        // the proven cross-engine dtype (the q210 bucket precedent)
+        .withColumn("day", col("day").cast("timestamp"))),
+
+    // DAU/WAU/MAU + the DAU/MAU stickiness ratio as exact ppm; the
+    // trailing distincts come from the monthDays× user-day expansion,
+    // never a per-day range join over the log
+    "q233_stickiness" -> ((s, dir) =>
+      Behavior.stickiness(Tables.events(s, dir), "user_id", "ts")
+        .withColumn("day", col("day").cast("timestamp"))),
+
+    // key-skew audit: top-20 hottest keys with exact ppm shares and
+    // running concentration — the pre-shuffle operability read that
+    // decides when q96's salting is warranted
+    "q234_skew_audit" -> ((s, dir) =>
+      graft.ops.Profile.skewAudit(Tables.events(s, dir), "user_id", 20)),
+
+    // small-file compaction plan over the per-source doc manifest:
+    // ordered start-offset binning at 8 KiB keeps every bin a
+    // contiguous doc_id range (clustering survives the rewrite)
+    "q235_compaction_plan" -> ((s, dir) =>
+      graft.ops.Profile.compactionPlan(Tables.documents(s, dir),
+        "source", "doc_id", "n_chars", targetBytes = 8192L)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -8396,5 +8425,89 @@ object SparkEntry {
          |UNION ALL SELECT 'alloc:rem_tokens', rem_tokens, source FROM alloc
          |UNION ALL SELECT 'alloc:rem_docs', rem_docs, source FROM alloc
          |UNION ALL SELECT 'alloc:rem_kept_tokens', rem_kept_tokens, source FROM alloc""".stripMargin,
+
+    "q232_growth_accounting" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, day,
+        |         lag(day)  OVER (PARTITION BY user_id ORDER BY day) AS prev,
+        |         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next
+        |  FROM ud),
+        |mx AS (SELECT max(day) AS max_day FROM ud),
+        |act AS (
+        |  SELECT day,
+        |         CASE WHEN prev IS NULL THEN 'new'
+        |              WHEN day - prev = 1 THEN 'retained'
+        |              ELSE 'resurrected' END AS status
+        |  FROM m),
+        |ch AS (
+        |  SELECT day + 1 AS day, 'churned' AS status
+        |  FROM m, mx
+        |  WHERE (next IS NULL OR next - day > 1) AND day < max_day)
+        |SELECT CAST(day AS TIMESTAMP) AS day,
+        |       count(*) FILTER (WHERE status = 'new') AS new_users,
+        |       count(*) FILTER (WHERE status = 'retained') AS retained_users,
+        |       count(*) FILTER (WHERE status = 'resurrected') AS resurrected_users,
+        |       count(*) FILTER (WHERE status = 'churned') AS churned_users
+        |FROM (SELECT * FROM act UNION ALL SELECT * FROM ch)
+        |GROUP BY 1""".stripMargin,
+
+    "q233_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |mx AS (SELECT max(day) AS max_day FROM ud),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+        |wexp AS (
+        |  SELECT user_id, CAST(unnest(generate_series(day, day + 6,
+        |         INTERVAL 1 DAY)) AS DATE) AS day FROM ud),
+        |wau AS (
+        |  SELECT w.day, count(DISTINCT w.user_id) AS wau
+        |  FROM wexp w, mx WHERE w.day <= mx.max_day GROUP BY w.day),
+        |mexp AS (
+        |  SELECT user_id, CAST(unnest(generate_series(day, day + 29,
+        |         INTERVAL 1 DAY)) AS DATE) AS day FROM ud),
+        |mau AS (
+        |  SELECT m.day, count(DISTINCT m.user_id) AS mau
+        |  FROM mexp m, mx WHERE m.day <= mx.max_day GROUP BY m.day)
+        |SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, wau.wau, mau.mau,
+        |       dau.dau * 1000000 // mau.mau AS stickiness_ppm
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |         JOIN mau ON dau.day = mau.day""".stripMargin,
+
+    "q234_skew_audit" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+        |         count(*)::BIGINT AS n_keys FROM c),
+        |top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key ASC LIMIT 20)
+        |SELECT CAST(row_number() OVER o AS BIGINT) AS rank, key, cnt,
+        |       t.total_rows, t.n_keys,
+        |       CAST(cnt * 1000000 // t.total_rows AS BIGINT) AS share_ppm,
+        |       CAST(sum(cnt) OVER (o ROWS UNBOUNDED PRECEDING) * 1000000
+        |            // t.total_rows AS BIGINT) AS cum_ppm
+        |FROM top, t
+        |WINDOW o AS (ORDER BY cnt DESC, key ASC)""".stripMargin,
+
+    "q235_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT CAST(source AS VARCHAR) AS grp, doc_id AS id,
+        |         n_chars AS bytes
+        |  FROM documents),
+        |b AS (
+        |  SELECT grp, id, bytes,
+        |         CAST(coalesce(sum(bytes) OVER (PARTITION BY grp ORDER BY id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS before
+        |  FROM f)
+        |SELECT grp, CAST(before // 8192 AS BIGINT) AS bin,
+        |       count(*)::BIGINT AS n_files,
+        |       CAST(sum(bytes) AS BIGINT) AS bytes,
+        |       min(id) AS id_lo, max(id) AS id_hi
+        |FROM b GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -774,4 +774,98 @@ object Behavior {
         round(col("_z"), 6).as("z_score"),
         (abs(col("_z")) > 1.96).as("significant"))
   }
+
+  /** Daily growth accounting — the standard product-analytics
+    * decomposition of every day's active base into new (first-ever
+    * activity today), retained (also active yesterday), resurrected
+    * (active before, but not yesterday), plus the churned count
+    * (active yesterday, silent today), attributed to the day the user
+    * went silent. `new + retained + resurrected = DAU(d)` and
+    * `churned(d) = DAU(d−1) − retained(d)` hold by construction — the
+    * growth identity dashboards reconcile against.
+    *
+    * Shape: ONE hash aggregate to the distinct (user, day) frame (the
+    * distinct-frame-first rule — everything after runs at user-day
+    * scale, not event scale), ONE user-partitioned window carrying
+    * lag+lead together, a 1-row max-day broadcast to close the churn
+    * range, one final hash aggregate. No global window, no join
+    * against the event log; scales as the user-day frame.
+    */
+  def growthAccounting(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val ud = events.select(col(userCol).as("user_id"),
+        to_date(col(tsCol)).as("day"))
+      .filter(col("user_id").isNotNull && col("day").isNotNull)
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val marked = ud
+      .withColumn("_prev", lag(col("day"), 1).over(w))
+      .withColumn("_next", lead(col("day"), 1).over(w))
+    val active = marked.select(col("day"),
+      when(col("_prev").isNull, lit("new"))
+        .when(datediff(col("day"), col("_prev")) === 1, lit("retained"))
+        .otherwise(lit("resurrected")).as("status"))
+    // a user churns on day+1 when the next active day is absent or
+    // further out; days past the observed range emit nothing (the
+    // last day's silence is right-censored, not churn)
+    val churned = marked
+      .filter(col("_next").isNull ||
+        datediff(col("_next"), col("day")) > 1)
+      .crossJoin(broadcast(ud.agg(max(col("day")).as("_max_day"))))
+      .filter(col("day") < col("_max_day"))
+      .select(date_add(col("day"), 1).as("day"),
+        lit("churned").as("status"))
+    active.unionByName(churned)
+      .groupBy(col("day"))
+      .agg(
+        count(when(col("status") === "new", lit(1))).as("new_users"),
+        count(when(col("status") === "retained", lit(1)))
+          .as("retained_users"),
+        count(when(col("status") === "resurrected", lit(1)))
+          .as("resurrected_users"),
+        count(when(col("status") === "churned", lit(1)))
+          .as("churned_users"))
+  }
+
+  /** DAU/WAU/MAU stickiness per day: exact trailing-window distinct
+    * actives (WAU over the trailing `weekDays`, MAU over the trailing
+    * `monthDays`, both inclusive of the day itself) and the DAU/MAU
+    * ratio as integer parts-per-million — `dau * 1_000_000 div mau`,
+    * integer division on exact counts, bit-identical cross-engine
+    * (the no-float-folds rule).
+    *
+    * The trailing distinct is computed by EXPANSION, not a range
+    * join: each (user, day) row contributes itself to the `monthDays`
+    * future days it keeps the user "recently active" for, and one
+    * count-distinct per day folds the overlap. The expansion is
+    * `monthDays ×` the USER-DAY frame — dimension scale, never event
+    * scale — and replaces a per-day range join over the log (the
+    * shape that dies at 100 TB). Days before a full window have
+    * partial (truthful) windows; only days with at least one active
+    * user emit.
+    */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String,
+                 weekDays: Int = 7, monthDays: Int = 30): DataFrame = {
+    require(weekDays >= 1 && monthDays >= weekDays,
+      "need monthDays >= weekDays >= 1")
+    val ud = events.select(col(userCol).as("user_id"),
+        to_date(col(tsCol)).as("day"))
+      .filter(col("user_id").isNotNull && col("day").isNotNull)
+      .distinct()
+    val maxDay = ud.agg(max(col("day")).as("_max_day"))
+    def trailing(nDays: Int, as: String): DataFrame = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), nDays - 1)))
+          .as("day"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("_max_day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as(as))
+    val dau = ud.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    dau.join(trailing(weekDays, "wau"), "day")
+      .join(trailing(monthDays, "mau"), "day")
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        expr("dau * 1000000L div mau").as("stickiness_ppm"))
+  }
 }

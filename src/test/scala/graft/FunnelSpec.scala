@@ -424,4 +424,53 @@ class FunnelSpec extends AnyFunSuite {
       .as[(String, Long, Long, Boolean)].collect().toSet
     assert(fromStore === got)
   }
+
+  test("growthAccounting: new/retained/resurrected/churned hand-traced; growth identity holds; last day right-censored") {
+    import graft.ops.Behavior
+    // u1: d1 d2 d4 — new, retained, (churn d3), resurrected, (churn d5)
+    // u2: d1       — new, (churn d2)
+    // u3: d2 d3 d5 — new, retained, (churn d4), resurrected, no churn
+    //                after d5 (maxDay: right-censored, not churn)
+    val rows = Seq((1L, 1), (1L, 1), (1L, 2), (1L, 4), // u1 twice on d1:
+      (2L, 1), (3L, 2), (3L, 3), (3L, 5))              // the distinct rule
+    val events = rows.toDF("user_id", "d")
+      .select($"user_id",
+        to_timestamp(concat(lit("2024-01-0"), $"d", lit(" 10:00:00")))
+          .as("ts"))
+    val got = Behavior.growthAccounting(events, "user_id", "ts")
+      .select(dayofmonth($"day"), $"new_users", $"retained_users",
+        $"resurrected_users", $"churned_users")
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1, 2L, 0L, 0L, 0L),
+      (2, 1L, 1L, 0L, 1L),
+      (3, 0L, 1L, 0L, 1L),
+      (4, 0L, 0L, 1L, 1L),
+      (5, 0L, 0L, 1L, 1L)))
+    // the reconciliation identity: churned(d) = DAU(d-1) - retained(d)
+    val byDay = got.map(r => r._1 -> r).toMap
+    for (d <- 2 to 5) {
+      val dauPrev = byDay(d - 1)._2 + byDay(d - 1)._3 + byDay(d - 1)._4
+      assert(byDay(d)._5 === dauPrev - byDay(d)._3, s"identity at d$d")
+    }
+  }
+
+  test("stickiness: trailing-window distincts by expansion, partial head windows, ppm integer-truncates") {
+    import graft.ops.Behavior
+    // u1: d1 d3; u2: d1 d2; u3: d1 — weekDays=2, monthDays=3
+    val events = Seq((1L, 1), (1L, 3), (2L, 1), (2L, 2), (3L, 1))
+      .toDF("user_id", "d")
+      .select($"user_id",
+        to_timestamp(concat(lit("2024-01-0"), $"d", lit(" 10:00:00")))
+          .as("ts"))
+    val got = Behavior.stickiness(events, "user_id", "ts",
+        weekDays = 2, monthDays = 3)
+      .select(dayofmonth($"day"), $"dau", $"wau", $"mau",
+        $"stickiness_ppm")
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1, 3L, 3L, 3L, 1000000L),
+      (2, 1L, 3L, 3L, 333333L), // 1e6/3 truncates — div, not round
+      (3, 1L, 2L, 3L, 333333L)))
+  }
 }
