@@ -3369,6 +3369,22 @@ object SparkEntry {
     "q235_compaction_plan" -> ((s, dir) =>
       graft.ops.Profile.compactionPlan(Tables.documents(s, dir),
         "source", "doc_id", "n_chars", targetBytes = 8192L)),
+
+    // 3-hop BFS blast radius from the flagged items (item_id % 10 = 0)
+    // over the q225 transition graph — synchronous frontier expansion,
+    // min-dist fold per round; the oracle unrolls the rounds as CTEs
+    "q236_khop" -> ((s, dir) =>
+      graft.ops.Graph.kHopDistances(transitionPairs(s, dir), "item_id",
+        "nxt",
+        eventsWithItem(s, dir)
+          .filter(col("item_id").isNotNull && col("item_id") % 10 === 0),
+        "item_id", rounds = 3)),
+
+    // top-20 collocations by PMI-ordered lift — observed/expected on
+    // the corpus bigram table, positional marginals, no ln anywhere
+    "q237_pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(Tables.documents(s, dir), "text",
+        k = 20, minCount = 5L)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -8509,5 +8525,57 @@ object SparkEntry {
         |       CAST(sum(bytes) AS BIGINT) AS bytes,
         |       min(id) AS id_lo, max(id) AS id_hi
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q236_khop" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |         json_extract_string(props, '$.k')::BIGINT AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |nx AS (
+        |  SELECT item AS src,
+        |         lead(item) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS dst
+        |  FROM ev),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM nx WHERE dst IS NOT NULL AND dst <> src),
+        |adj AS (
+        |  SELECT u AS src, v AS dst FROM und
+        |  UNION ALL SELECT v, u FROM und),
+        |d0 AS (
+        |  SELECT DISTINCT item AS node, 0::BIGINT AS dist
+        |  FROM ev WHERE item % 10 = 0),
+        |f1 AS (SELECT a.dst AS node, 1::BIGINT AS dist
+        |       FROM d0 JOIN adj a ON d0.node = a.src WHERE d0.dist = 0),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT * FROM d0 UNION ALL SELECT * FROM f1) GROUP BY 1),
+        |f2 AS (SELECT a.dst AS node, 2::BIGINT AS dist
+        |       FROM d1 JOIN adj a ON d1.node = a.src WHERE d1.dist = 1),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT * FROM d1 UNION ALL SELECT * FROM f2) GROUP BY 1),
+        |f3 AS (SELECT a.dst AS node, 3::BIGINT AS dist
+        |       FROM d2 JOIN adj a ON d2.node = a.src WHERE d2.dist = 2),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT * FROM d2 UNION ALL SELECT * FROM f3) GROUP BY 1)
+        |SELECT node, dist FROM d3""".stripMargin,
+
+    "q237_pmi_collocations" ->
+      """WITH g AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT string_split(text, ' ') AS ws,
+        |               unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+        |        FROM documents)),
+        |bg AS (SELECT w1, w2, count(*)::BIGINT AS c_xy FROM g GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x FROM bg GROUP BY 1),
+        |c2 AS (SELECT w2, CAST(sum(c_xy) AS BIGINT) AS c_y FROM bg GROUP BY 1),
+        |n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bg)
+        |SELECT bg.w1, bg.w2, bg.c_xy, c1.c_x, c2.c_y,
+        |       round((n.n_bi * bg.c_xy)::DOUBLE
+        |             / (c1.c_x * c2.c_y)::DOUBLE, 6) AS lift
+        |FROM bg JOIN c1 USING (w1) JOIN c2 USING (w2), n
+        |WHERE bg.c_xy >= 5
+        |ORDER BY lift DESC, w1 ASC, w2 ASC
+        |LIMIT 20""".stripMargin,
   )
 }

@@ -303,4 +303,46 @@ object Graph {
     nodeDegrees(edges).select(col("id").as("node"), col("deg"))
       .crossJoin(broadcast(converged))
   }
+
+  /** k-hop BFS distances from a seed set over the canonical undirected
+    * graph — "everything within k hops of the flagged nodes", the
+    * fraud-ring / blast-radius read. Synchronous frontier expansion
+    * over `rounds` fixed iterations: round r expands ONLY the
+    * dist = r−1 frontier against the adjacency (earlier-settled nodes
+    * are already expanded — BFS's invariant that the first visit is
+    * the shortest) and min-folds into the settled frame. Emits
+    * (node, dist ≤ rounds); seeds at 0 even when isolated; unreached
+    * nodes are absent, not ∞ — the result stays |reached|-sized.
+    *
+    * Shape per round: one hash equi-join frontier ⋈ adjacency + one
+    * hash aggregate — the Pregel BFS superstep as DataFrame ops, work
+    * ∝ edges incident to the frontier; per-round frames are
+    * lineage-pinned (the pageRank discipline — unpinned, the plan
+    * doubles per round).
+    */
+  def kHopDistances(pairs: DataFrame, aCol: String, bCol: String,
+                    seeds: DataFrame, seedCol: String, rounds: Int,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val und = undirectedEdges(pairs, aCol, bCol)
+    val adj = Checkpoints.pin(
+      und.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst"))),
+      checkpointDir, eager = false)
+    var dist = Checkpoints.pin(
+      seeds.select(col(seedCol).as("node"))
+        .filter(col("node").isNotNull).distinct()
+        .withColumn("dist", lit(0L)),
+      checkpointDir, eager = false)
+    for (r <- 1 to rounds) {
+      val next = dist.filter(col("dist") === (r - 1).toLong)
+        .join(adj, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(r.toLong).as("dist"))
+      dist = Checkpoints.pin(
+        dist.unionAll(next).groupBy(col("node"))
+          .agg(min(col("dist")).as("dist")),
+        checkpointDir, eager = false)
+    }
+    dist
+  }
 }

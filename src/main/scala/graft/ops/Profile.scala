@@ -79,4 +79,74 @@ object Profile {
         coalesce(col(c).cast("string"), lit("(all)")).as(c)) ++
         Seq(col("gid"), col("n_rows"), col("w_sum")): _*)
   }
+
+  /** Key-skew audit — the operability read behind every "why is one
+    * task still running" page: per-key row counts, the top-`k` keys by
+    * count with their exact share in parts-per-million
+    * (`cnt · 1e6 div total` — integer division, no float folds), and
+    * the running concentration (top-1..r cumulative ppm), plus the
+    * table-level totals on every row so the audit is self-contained.
+    * A key at rank 1 holding 50,000+ ppm of a 32-partition shuffle is
+    * the salting signal (the q96 salted-join remedy).
+    *
+    * Shape: ONE hash aggregate to the per-key counts (dimension
+    * scale), a 1-row total broadcast, and a sort-limit top-k
+    * (TakeOrderedAndProject — never a global Window over the key
+    * dimension); the cumulative sum is a window over k rows only.
+    * Ties break by key ascending, so the rank is deterministic.
+    */
+  def skewAudit(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("cnt").desc, col("key").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("key").asc)))
+      .withColumn("cum_cnt", sum(col("cnt")).over(w))
+      .select(col("rank").cast("long").as("rank"), col("key"),
+        col("cnt"), col("total_rows"), col("n_keys"),
+        expr("cnt * 1000000L div total_rows").as("share_ppm"),
+        expr("cum_cnt * 1000000L div total_rows").as("cum_ppm"))
+  }
+
+  /** Small-file compaction planner — the lakehouse maintenance read:
+    * within each `groupCol` partition, files ordered by `idCol` are
+    * chained into bins of ≈`targetBytes` by START-offset binning
+    * (`bin = running_bytes_before_file div target`), the standard
+    * ordered bin packing that keeps every bin a contiguous id range
+    * (so compaction rewrites preserve clustering/sort order — the
+    * property greedy first-fit would destroy). A file larger than the
+    * target gets its own bin by the same rule. Emits one row per
+    * planned output bin with its id range, file count, and bytes.
+    *
+    * Shape: one window per group partition (running sum — Spark
+    * sorts within the hash partition, no driver loop) + one hash
+    * aggregate; work ∝ the file MANIFEST, never the data. Bins are
+    * a deterministic function of the manifest, so two engines agree
+    * exactly.
+    */
+  def compactionPlan(files: DataFrame, groupCol: String, idCol: String,
+                     sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, "targetBytes must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("id"))
+    files.select(col(groupCol).cast("string").as("grp"),
+        col(idCol).cast("long").as("id"),
+        col(sizeCol).cast("long").as("bytes"))
+      .withColumn("_before",
+        coalesce(sum(col("bytes")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", expr(s"_before div ${targetBytes}L"))
+      .groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
+        min(col("id")).as("id_lo"), max(col("id")).as("id_hi"))
+  }
 }

@@ -835,6 +835,52 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Top-k collocations by PMI-ordered LIFT over the corpus bigram
+    * table: lift(x y) = N_bi · c(x y) / (c_first(x) · c_second(y)) —
+    * observed over expected under positional independence, whose log
+    * IS pointwise mutual information, so ranking by the ratio ranks by
+    * PMI with no ln anywhere (the no-transcendental rule). All counts
+    * derive from ONE pinned bigram-count frame: c_first/c_second are
+    * positional marginals (reaggregations of the bigram counts, not
+    * extra corpus scans), which keeps observed and expected on the
+    * same sample space — no edge-token mismatch against a separate
+    * unigram table. `minCount` keeps rare-pair noise out (the classic
+    * PMI failure mode: a once-seen pair of once-seen words maxes the
+    * score). The lift is ONE correctly-rounded division of int64-exact
+    * operands, bit-identical cross-engine (the q206 rule); ties break
+    * (w1, w2) lexicographic and top-k is a sort-limit
+    * (TakeOrderedAndProject), never a global Window.
+    *
+    * Overflow bound: `n_bi · c_xy` needs N_bi² < 2^63 — fine to ~3e9
+    * corpus bigrams; past that, cast both operands to DECIMAL(38,0)
+    * at the division.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String, k: Int,
+                      minCount: Long = 5L,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(minCount >= 1L, "minCount must be >= 1")
+    val bg = Checkpoints.pin(
+      df.select(explode(
+          graft.functions.WordNgrams(df.sparkSession, col(textCol), 2))
+          .as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c_xy"))
+        .select(substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"), col("c_xy")),
+      checkpointDir, eager = false)
+    val c1 = bg.groupBy(col("w1")).agg(sum(col("c_xy")).as("c_x"))
+    val c2 = bg.groupBy(col("w2")).agg(sum(col("c_xy")).as("c_y"))
+    val n = bg.agg(sum(col("c_xy")).as("n_bi"))
+    bg.filter(col("c_xy") >= minCount)
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        round((col("n_bi") * col("c_xy")).cast("double") /
+          (col("c_x") * col("c_y")).cast("double"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** DSIR-style importance score (Xie et al. 2023, arXiv:2302.03169 —
     * there with hashed-n-gram features; unigrams are the order-1 case):
     * per-document mean log-likelihood RATIO between a TARGET slice's
@@ -1581,4 +1627,5 @@ object TextAnalysis {
     m.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
+
 }

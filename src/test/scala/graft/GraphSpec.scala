@@ -118,4 +118,31 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.kCorePeel(edges.toDF("a", "b"), "a", "b",
       k = 5, rounds = 2).count() === 0L)
   }
+
+  test("kHopDistances: BFS settles shortest hop counts; isolated seed emits 0; horizon truncates") {
+    // path 1-2-3-4-5 plus shortcut 1-4: seed {1} reaches 4 in 2 via
+    // the shortcut (not 3 via the path); seed 9 is isolated (not in
+    // the graph) and still emits dist 0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("a", "b")
+    val seeds = Seq(1L, 9L).toDF("id")
+    val r3 = Graph.kHopDistances(edges, "a", "b", seeds, "id", rounds = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(r3 === Set((1L, 0L), (9L, 0L), (2L, 1L), (4L, 1L),
+      (3L, 2L), (5L, 2L)))
+    // horizon 1: only the direct neighbors settle — 3 and 5 absent,
+    // not infinity (the |reached|-sized contract)
+    val r1 = Graph.kHopDistances(edges, "a", "b", seeds, "id", rounds = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(r1 === Set((1L, 0L), (9L, 0L), (2L, 1L), (4L, 1L)))
+    // two seeds: every node takes the NEAREST seed's distance
+    val two = Graph.kHopDistances(edges, "a", "b",
+        Seq(1L, 5L).toDF("id"), "id", rounds = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(two === Set((1L, 0L), (5L, 0L), (2L, 1L), (4L, 1L),
+      (3L, 2L)))
+    intercept[IllegalArgumentException] {
+      Graph.kHopDistances(edges, "a", "b", seeds, "id", rounds = 0)
+    }
+  }
 }

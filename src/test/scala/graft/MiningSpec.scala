@@ -2229,4 +2229,23 @@ class MiningSpec extends AnyFunSuite {
     // no adjacency anywhere: empty result
     assert(q("c", "a") === Set.empty[(Long, Long, Long)])
   }
+
+  test("pmiCollocations: lift from positional marginals hand-traced; minCount gates; rank on the rounded ratio") {
+    // bigrams: (new york)=2, (york new)=1, (big apple)=1, (new apple)=1
+    // N=5; c_first: new=3 york=1 big=1; c_second: york=2 new=1 apple=2
+    val docs = Seq("new york new york", "big apple", "new apple")
+      .toDF("text")
+    val got = TextAnalysis.pmiCollocations(docs, "text", k = 3,
+        minCount = 1L)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("york", "new", 1L, 1L, 1L, 5.0),      // 5*1/(1*1)
+      ("big", "apple", 1L, 1L, 2L, 2.5),     // 5*1/(1*2)
+      ("new", "york", 2L, 3L, 2L, 1.666667))) // 5*2/(3*2), round 6
+    // minCount=2: the rare pairs (the classic PMI noise) drop
+    val gated = TextAnalysis.pmiCollocations(docs, "text", k = 3,
+        minCount = 2L)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(gated === Seq(("new", "york", 2L, 3L, 2L, 1.666667)))
+  }
 }

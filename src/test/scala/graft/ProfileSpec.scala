@@ -59,4 +59,45 @@ class ProfileSpec extends AnyFunSuite {
       Profile.rollupSheet(df, Nil, "n_chars")
     }
   }
+
+  test("skewAudit: top-k by count with deterministic key tie-break, exact ppm truncation, cumulative concentration") {
+    // key a: 6 rows, b: 2, c: 2, d: 1 — 11 total, k=3 keeps a,b,c
+    // (b before c on the key tie)
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("c") ++ Seq.fill(2)("b") ++
+      Seq("d")).toDF("k")
+    val got = Profile.skewAudit(df, "k", k = 3)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, "a", 6L, 11L, 4L, 545454L, 545454L), // 6e6/11 truncates
+      (2L, "b", 2L, 11L, 4L, 181818L, 727272L), // cum = 8e6/11
+      (3L, "c", 2L, 11L, 4L, 181818L, 909090L))) // cum = 10e6/11
+    intercept[IllegalArgumentException] { Profile.skewAudit(df, "k", 0) }
+  }
+
+  test("compactionPlan: start-offset binning keeps contiguous id ranges; oversized file gets its own bin; groups independent") {
+    // group g, target 10: sizes 4,4,4,25,3 start at offsets
+    // 0,4,8,12,37 -> bins 0,0,0,1,3 — a bin closes when the running
+    // START passes the target (the last member may spill over), the
+    // oversized file owns bin 1 and pushes the next file past bin 2
+    // entirely; group h bins from ITS OWN offsets
+    val files = Seq(("g", 1L, 4L), ("g", 2L, 4L), ("g", 3L, 4L),
+      ("g", 4L, 25L), ("g", 5L, 3L), ("h", 1L, 12L), ("h", 2L, 1L))
+      .toDF("src", "fid", "sz")
+    val got = Profile.compactionPlan(files, "src", "fid", "sz",
+        targetBytes = 10L)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("g", 0L, 3L, 12L, 1L, 3L),
+      ("g", 1L, 1L, 25L, 4L, 4L),
+      ("g", 3L, 1L, 3L, 5L, 5L),
+      ("h", 0L, 1L, 12L, 1L, 1L),
+      ("h", 1L, 1L, 1L, 2L, 2L)))
+    // every bin is a contiguous id range: id_lo..id_hi never overlaps
+    // the next bin's range within a group
+    val ordered = got.toSeq.sortBy(r => (r._1, r._2))
+    ordered.sliding(2).foreach {
+      case Seq(a, b) if a._1 == b._1 => assert(a._6 < b._5)
+      case _ =>
+    }
+  }
 }
