@@ -42,6 +42,21 @@ object SparkEntry {
       .filter(col("nxt").isNotNull && col("nxt") =!= col("item_id"))
   }
 
+  /** The corpus's most frequent word bigram — the deterministic query
+    * term pair the retrieval reads (q209/q238) share; count-desc with
+    * (w1, w2) tie-break so every SF picks the same pair.
+    */
+  private def topCorpusBigram(d: DataFrame): DataFrame =
+    d.filter(size(split(col("text"), " ")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(split(text, ' ')) - 2), " +
+          "i -> struct(element_at(split(text, ' '), i + 1) AS w1, " +
+          "element_at(split(text, ' '), i + 2) AS w2))")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1").asc, col("w2").asc).limit(1)
+      .select(col("w1"), col("w2"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q04_hot_items_top5")(spark, "/root/testdata/sf0.001")
@@ -3059,17 +3074,18 @@ object SparkEntry {
     // filter guards Spark's descending sequence(0, -1) on 1-word docs
     "q209_phrase_query" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val bg = d.filter(size(split(col("text"), " ")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(0, size(split(text, ' ')) - 2), " +
-            "i -> struct(element_at(split(text, ' '), i + 1) AS w1, " +
-            "element_at(split(text, ' '), i + 2) AS w2))")).as("b"))
-        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("w1").asc, col("w2").asc).limit(1)
-        .select(col("w1"), col("w2"))
       TextAnalysis.phraseQuery(
-        TextAnalysis.positionalPostings(d, "doc_id", "text"), bg, k = 20)
+        TextAnalysis.positionalPostings(d, "doc_id", "text"),
+        topCorpusBigram(d), k = 20)
+    }),
+
+    // the q209 phrase relaxed to "within 3 tokens after" — same
+    // positional index, same query terms, in-row pair counting
+    "q238_proximity_query" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.proximityQuery(
+        TextAnalysis.positionalPostings(d, "doc_id", "text"),
+        topCorpusBigram(d), k = 20, slop = 3)
     }),
 
     // traffic-spike detection: hourly series counts vs their trailing
@@ -3385,6 +3401,36 @@ object SparkEntry {
     "q237_pmi_collocations" -> ((s, dir) =>
       TextAnalysis.pmiCollocations(Tables.documents(s, dir), "text",
         k = 20, minCount = 5L)),
+
+    // referential-integrity matrix: three real TPC-H FK edges (the
+    // value is the zero-orphan green) plus a deliberately-incomplete
+    // parent (customers capped at key 100) proving the anti-join
+    // actually counts orphans at the gate
+    "q239_fk_audit" -> ((s, dir) => {
+      val P = graft.ops.Profile
+      P.fkAudit(Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey",
+          "lineitem.l_orderkey->orders")
+        .unionByName(P.fkAudit(Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey",
+          "orders.o_custkey->customer"))
+        .unionByName(P.fkAudit(Tables.customer(s, dir), "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey",
+          "customer.c_nationkey->nation"))
+        .unionByName(P.fkAudit(Tables.events(s, dir), "user_id",
+          Tables.customer(s, dir).filter(col("c_custkey") <= 100),
+          "c_custkey", "events.user_id->top100_customers"))
+    }),
+
+    // exact p50/p90/p99 of the time-to-next-action after each event
+    // type — consecutive same-user gaps in whole seconds through the
+    // q51 guarded-exact-percentile body
+    "q240_gap_percentiles" -> ((s, dir) =>
+      Quantiles.guardedExactPercentiles(
+        Behavior.interEventGaps(Tables.events(s, dir), "user_id",
+          "event_type", "ts", "event_id"),
+        "event_type", "gap_s",
+        Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -6307,6 +6353,44 @@ object SparkEntry {
         |  FROM m WHERE n_matches > 0)
         |WHERE rk <= 20""".stripMargin,
 
+    // q209's positional machinery with the slop-3 pair count in place
+    // of the adjacency intersect
+    "q238_proximity_query" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pr AS (
+        |  SELECT g.w1 AS w1, g.w2 AS w2 FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |             i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS g
+        |    FROM w WHERE len(ws) >= 2)),
+        |bg AS (
+        |  SELECT w1, w2 FROM (
+        |    SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2)
+        |  ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1),
+        |pos AS (
+        |  SELECT doc_id, g.t AS token, g.p AS p FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(generate_series(1, len(ws)),
+        |             i -> {'t': ws[i], 'p': i})) AS g
+        |    FROM w)),
+        |a AS (
+        |  SELECT doc_id, list_sort(list(p)) AS pa
+        |  FROM pos, bg WHERE token = w1 GROUP BY doc_id),
+        |b AS (
+        |  SELECT doc_id, list_sort(list(p)) AS pb
+        |  FROM pos, bg WHERE token = w2 GROUP BY doc_id),
+        |m AS (
+        |  SELECT a.doc_id,
+        |         CAST(list_sum(list_transform(pa,
+        |           p -> len(list_filter(pb, q -> q > p AND q <= p + 3))))
+        |           AS BIGINT) AS n_matches
+        |  FROM a JOIN b USING (doc_id))
+        |SELECT doc_id, n_matches, rk FROM (
+        |  SELECT doc_id, n_matches,
+        |         row_number() OVER (ORDER BY n_matches DESC, doc_id ASC) AS rk
+        |  FROM m WHERE n_matches > 0)
+        |WHERE rk <= 20""".stripMargin,
+
     // ONE oracle proves both halves of the vector-store delete story:
     // q213 (tombstone read) and q215 (compaction rewrite) must both
     // serve the IVF search over the corpus minus deleted vectors —
@@ -8577,5 +8661,61 @@ object SparkEntry {
         |WHERE bg.c_xy >= 5
         |ORDER BY lift DESC, w1 ASC, w2 ASC
         |LIMIT 20""".stripMargin,
+
+    "q239_fk_audit" ->
+      """WITH
+        |c1 AS (SELECT l_orderkey AS k FROM lineitem),
+        |p1 AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |       WHERE o_orderkey IS NOT NULL),
+        |o1 AS (SELECT c1.k FROM c1 LEFT JOIN p1 ON c1.k = p1.k
+        |       WHERE c1.k IS NOT NULL AND p1.k IS NULL),
+        |c2 AS (SELECT o_custkey AS k FROM orders),
+        |p2 AS (SELECT DISTINCT c_custkey AS k FROM customer
+        |       WHERE c_custkey IS NOT NULL),
+        |o2 AS (SELECT c2.k FROM c2 LEFT JOIN p2 ON c2.k = p2.k
+        |       WHERE c2.k IS NOT NULL AND p2.k IS NULL),
+        |c3 AS (SELECT c_nationkey AS k FROM customer),
+        |p3 AS (SELECT DISTINCT n_nationkey AS k FROM nation
+        |       WHERE n_nationkey IS NOT NULL),
+        |o3 AS (SELECT c3.k FROM c3 LEFT JOIN p3 ON c3.k = p3.k
+        |       WHERE c3.k IS NOT NULL AND p3.k IS NULL),
+        |c4 AS (SELECT user_id AS k FROM events),
+        |p4 AS (SELECT DISTINCT c_custkey AS k FROM customer
+        |       WHERE c_custkey IS NOT NULL AND c_custkey <= 100),
+        |o4 AS (SELECT c4.k FROM c4 LEFT JOIN p4 ON c4.k = p4.k
+        |       WHERE c4.k IS NOT NULL AND p4.k IS NULL)
+        |SELECT 'lineitem.l_orderkey->orders' AS fk,
+        |  (SELECT count(*) FROM c1)::BIGINT AS n_rows,
+        |  (SELECT count(*) FROM c1 WHERE k IS NULL)::BIGINT AS n_null_rows,
+        |  (SELECT count(DISTINCT k) FROM c1)::BIGINT AS n_keys,
+        |  (SELECT count(*) FROM o1)::BIGINT AS n_orphan_rows,
+        |  (SELECT count(DISTINCT k) FROM o1)::BIGINT AS n_orphan_keys
+        |UNION ALL SELECT 'orders.o_custkey->customer',
+        |  (SELECT count(*) FROM c2), (SELECT count(*) FROM c2 WHERE k IS NULL),
+        |  (SELECT count(DISTINCT k) FROM c2), (SELECT count(*) FROM o2),
+        |  (SELECT count(DISTINCT k) FROM o2)
+        |UNION ALL SELECT 'customer.c_nationkey->nation',
+        |  (SELECT count(*) FROM c3), (SELECT count(*) FROM c3 WHERE k IS NULL),
+        |  (SELECT count(DISTINCT k) FROM c3), (SELECT count(*) FROM o3),
+        |  (SELECT count(DISTINCT k) FROM o3)
+        |UNION ALL SELECT 'events.user_id->top100_customers',
+        |  (SELECT count(*) FROM c4), (SELECT count(*) FROM c4 WHERE k IS NULL),
+        |  (SELECT count(DISTINCT k) FROM c4), (SELECT count(*) FROM o4),
+        |  (SELECT count(DISTINCT k) FROM o4)""".stripMargin,
+
+    "q240_gap_percentiles" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT)
+        |           - CAST(floor(epoch(ts)) AS BIGINT) AS gap_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type,
+        |       round(quantile_cont(gap_s, 0.5), 2) AS p50,
+        |       round(quantile_cont(gap_s, 0.9), 2) AS p90,
+        |       round(quantile_cont(gap_s, 0.99), 2) AS p99,
+        |       count(*) AS cnt
+        |FROM g WHERE gap_s IS NOT NULL
+        |GROUP BY 1""".stripMargin,
   )
 }

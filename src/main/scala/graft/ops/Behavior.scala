@@ -868,4 +868,29 @@ object Behavior {
       .select(col("day"), col("dau"), col("wau"), col("mau"),
         expr("dau * 1000000L div mau").as("stickiness_ppm"))
   }
+
+  /** Consecutive same-user inter-event gaps in whole seconds,
+    * attributed to the EARLIER event's type — the "time to next
+    * action after X" frame behind dwell/latency dashboards. One
+    * user-partitioned window ordered by (ts, idCol) (the
+    * [[transitionCounts]] tie-break); each user's last event has no
+    * successor and emits nothing. Gap arithmetic is whole-second
+    * (`unix_timestamp` floors before subtracting — DuckDB replays it
+    * as `floor(epoch(ts))`), so the frame feeds
+    * [[Quantiles.guardedExactPercentiles]] cross-engine exactly.
+    * Output: (event_type, gap_s).
+    */
+  def interEventGaps(events: DataFrame, userCol: String, typeCol: String,
+                     tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("_id"))
+    events.select(col(userCol).as("user_id"),
+        col(typeCol).as("event_type"), col(tsCol).as("ts"),
+        col(idCol).as("_id"))
+      .withColumn("_next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("_next_ts").isNotNull)
+      .select(col("event_type"),
+        (unix_timestamp(col("_next_ts")) - unix_timestamp(col("ts")))
+          .as("gap_s"))
+  }
 }

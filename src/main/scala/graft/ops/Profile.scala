@@ -149,4 +149,33 @@ object Profile {
       .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
         min(col("id")).as("id_lo"), max(col("id")).as("id_hi"))
   }
+
+  /** Referential-integrity audit — ONE summary row for a declared FK
+    * edge: child row/key counts, null-key rows (legal SQL that joins
+    * to nothing silently — flagged, not folded into orphans), and
+    * orphan rows/keys (non-null child keys absent from the parent).
+    * The anti-join every warehouse runs before trusting a feed; a
+    * zero-orphan row is the point — the audit's value is the green,
+    * not just the alarm. Union several calls for the FK matrix.
+    *
+    * Shape: one left-anti hash equi-join child ⋈ distinct parent keys
+    * (shuffles on the key like any join, work ∝ child) + three 1-row
+    * aggregates cross-joined broadcast.
+    */
+  def fkAudit(child: DataFrame, childKey: String, parent: DataFrame,
+              parentKey: String, label: String): DataFrame = {
+    val c = child.select(col(childKey).as("k"))
+    val p = parent.select(col(parentKey).as("k"))
+      .filter(col("k").isNotNull).distinct()
+    val nn = c.filter(col("k").isNotNull)
+    val orphans = nn.join(p, Seq("k"), "left_anti")
+    val totals = c.agg(count(lit(1)).as("n_rows"),
+      count(when(col("k").isNull, lit(1))).as("n_null_rows"))
+    val keys = nn.agg(countDistinct(col("k")).as("n_keys"))
+    val orph = orphans.agg(count(lit(1)).as("n_orphan_rows"),
+      countDistinct(col("k")).as("n_orphan_keys"))
+    totals.crossJoin(broadcast(keys)).crossJoin(broadcast(orph))
+      .select(lit(label).as("fk"), col("n_rows"), col("n_null_rows"),
+        col("n_keys"), col("n_orphan_rows"), col("n_orphan_keys"))
+  }
 }

@@ -1628,4 +1628,34 @@ object TextAnalysis {
       .filter(col("rk") <= k)
   }
 
+
+  /** Proximity (slop) query over [[positionalPostings]] —
+    * [[phraseQuery]] relaxed to "w2 within `slop` tokens AFTER w1":
+    * counts ordered position pairs (p, q) with 1 ≤ q − p ≤ slop, so
+    * slop = 1 IS exact adjacency (pinned ≡ phraseQuery in the spec).
+    * The pair count stays IN-ROW over the two posting arrays
+    * (aggregate + filter higher-order functions — no explode, no join
+    * growth; per candidate doc the work is |pa|·|pb|, both bounded by
+    * doc length). Serving-scale top-k by (n_matches desc, doc_id) —
+    * the q209 rank over ≤ |candidate docs| rows.
+    */
+  def proximityQuery(pindex: DataFrame, terms: DataFrame, k: Int,
+                     slop: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(slop >= 1, "slop must be >= 1")
+    val a = pindex.join(broadcast(terms), col("token") === col("w1"))
+      .select(col("doc_id"), col("positions").as("pa"))
+    val b = pindex.join(broadcast(terms), col("token") === col("w2"))
+      .select(col("doc_id"), col("positions").as("pb"))
+    val m = a.join(b, "doc_id")
+      .select(col("doc_id"),
+        expr(("aggregate(pa, 0L, (acc, p) -> acc + " +
+          s"size(filter(pb, q -> q > p AND q <= p + $slop)))"))
+          .as("n_matches"))
+      .filter(col("n_matches") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_matches").desc, col("doc_id").asc)
+    m.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

@@ -473,4 +473,23 @@ class FunnelSpec extends AnyFunSuite {
       (2, 1L, 3L, 3L, 333333L), // 1e6/3 truncates — div, not round
       (3, 1L, 2L, 3L, 333333L)))
   }
+
+  test("interEventGaps: whole-second deltas per user attributed to the earlier type; ties break on id; last events emit nothing") {
+    import graft.ops.Behavior
+    // u1: view@10.9 -> click@12.1 -> buy@12.1 (tie: id orders click
+    //     before buy) -> view@20.0
+    // u2: view@100.5 only — no successor, no row
+    val events = Seq(
+      (1L, 1L, "view", 10.9), (1L, 2L, "click", 12.1),
+      (1L, 3L, "buy", 12.1), (1L, 4L, "view", 20.0),
+      (2L, 5L, "view", 100.5))
+      .toDF("user_id", "event_id", "event_type", "sec")
+      .select($"user_id", $"event_id", $"event_type",
+        timestamp_seconds($"sec").as("ts"))
+    val got = Behavior.interEventGaps(events, "user_id", "event_type",
+        "ts", "event_id")
+      .as[(String, Long)].collect().toSeq.sorted
+    // unix_timestamp floors FIRST: 12-10=2, 12-12=0, 20-12=8
+    assert(got === Seq(("buy", 8L), ("click", 0L), ("view", 2L)))
+  }
 }

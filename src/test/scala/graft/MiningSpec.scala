@@ -2230,6 +2230,31 @@ class MiningSpec extends AnyFunSuite {
     assert(q("c", "a") === Set.empty[(Long, Long, Long)])
   }
 
+  test("proximityQuery: slop widens the after-window; slop=1 is exactly phraseQuery; order still matters") {
+    val df = docs(
+      (1L, "a b a b c", "s"),  // a@{0,2} b@{1,3}
+      (2L, "b a", "s"),
+      (3L, "a x x b", "s"))    // gap of 3: slop>=3 only
+    val pidx = TextAnalysis.positionalPostings(df, "doc_id", "text")
+    def q(w1: String, w2: String, slop: Int) =
+      TextAnalysis.proximityQuery(pidx,
+        Seq((w1, w2)).toDF("w1", "w2"), k = 10, slop = slop)
+        .as[(Long, Long, Long)].collect().toSet
+    // slop=1 ≡ phraseQuery on every term pair of the fixture
+    for ((w1, w2) <- Seq(("a", "b"), ("b", "a"), ("a", "a"), ("c", "a"))) {
+      val ph = TextAnalysis.phraseQuery(pidx,
+        Seq((w1, w2)).toDF("w1", "w2"), k = 10)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(q(w1, w2, 1) === ph, s"slop=1 diverged on ($w1 $w2)")
+    }
+    // slop=3 "a b": doc1 pairs 0→1, 0→3, 2→3 = 3; doc3's 0→3 appears
+    assert(q("a", "b", 3) === Set((1L, 3L, 1L), (3L, 1L, 2L)))
+    // slop=2 "a b": doc1 pairs 0→1, 2→3 (0→3 is distance 3); doc3 out
+    assert(q("a", "b", 2) === Set((1L, 2L, 1L)))
+    // direction still enforced: "b a" at slop=3 counts only q > p
+    assert(q("b", "a", 3) === Set((1L, 1L, 1L), (2L, 1L, 2L)))
+  }
+
   test("pmiCollocations: lift from positional marginals hand-traced; minCount gates; rank on the rounded ratio") {
     // bigrams: (new york)=2, (york new)=1, (big apple)=1, (new apple)=1
     // N=5; c_first: new=3 york=1 big=1; c_second: york=2 new=1 apple=2

@@ -100,4 +100,22 @@ class ProfileSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("fkAudit: orphans vs null keys kept apart; duplicate parent keys don't double-count; zero-orphan edge emits") {
+    import org.apache.spark.sql.functions.col
+    val child = Seq[(java.lang.Long, String)](
+      (1L, "r1"), (1L, "r2"), (2L, "r3"), (7L, "r4"), (7L, "r5"),
+      (null, "r6")).toDF("fk_id", "payload")
+    // parent holds 1 twice (dup rows must not double the join) and 2
+    val parent = Seq(1L, 1L, 2L, 3L).toDF("id")
+    val got = Profile.fkAudit(child, "fk_id", parent, "id", "edge")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // 6 rows, 1 null row, 3 distinct non-null keys, orphan key 7 = 2 rows
+    assert(got === Seq(("edge", 6L, 1L, 3L, 2L, 1L)))
+    // complete edge: the green row still emits, all zeros where it counts
+    val clean = Profile.fkAudit(child.filter(col("fk_id") <= 2),
+        "fk_id", parent, "id", "clean")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(clean === Seq(("clean", 3L, 0L, 2L, 0L, 0L)))
+  }
 }
