@@ -3054,15 +3054,11 @@ object SparkEntry {
     // (ts, event_id ordered; self-transitions dropped), weights are
     // transition counts; every round is an equi-join + hash aggregate
     "q208_pagerank" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val pairs = eventsWithItem(s, dir)
-        .filter(col("item_id").isNotNull)
-        .select(col("user_id"), col("ts"), col("event_id"), col("item_id"))
-        .withColumn("nxt", lead(col("item_id"), 1).over(w))
-        .filter(col("nxt").isNotNull && col("nxt") =!= col("item_id"))
-      val edges = pairs.groupBy(col("item_id").as("src"),
-        col("nxt").as("dst")).agg(count(lit(1)).as("w"))
+      // the SHARED transitionPairs edge source (the graph family's
+      // one edge contract — q225/q226/q227/q236 use the same helper)
+      val edges = transitionPairs(s, dir)
+        .groupBy(col("item_id").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("w"))
       graft.ops.Graph.pageRankDirected(edges, "src", "dst", "w",
           iters = 3, scale = 1000000L)
         .select(col("id").as("node"), col("rank_units").as("rank_micro"))
@@ -3431,6 +3427,7 @@ object SparkEntry {
           "event_type", "ts", "event_id"),
         "event_type", "gap_s",
         Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))),
+
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -6435,14 +6432,16 @@ object SparkEntry {
         |             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)""".stripMargin,
 
     "q217_top_movers" ->
-      """WITH a AS (
-        |  SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS anchor
-        |  FROM events),
-        |e AS (
+      """WITH e AS (
         |  SELECT json_extract_string(props, '$.k')::BIGINT AS item,
         |         CAST(floor(epoch(ts)) AS BIGINT) AS s
         |  FROM events
         |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |a AS (
+        |  -- anchor over the ITEM frame, the same frame the Spark op
+        |  -- receives — an all-events anchor would shift both windows
+        |  -- whenever the globally-latest event carries no item
+        |  SELECT max(s) AS anchor FROM e),
         |cur AS (
         |  SELECT item, count(*)::BIGINT AS cur_cnt FROM e, a
         |  WHERE s > anchor - 604800 AND s <= anchor GROUP BY 1),
@@ -8717,5 +8716,6 @@ object SparkEntry {
         |       count(*) AS cnt
         |FROM g WHERE gap_s IS NOT NULL
         |GROUP BY 1""".stripMargin,
+
   )
 }

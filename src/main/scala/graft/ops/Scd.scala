@@ -33,9 +33,14 @@ object Scd {
       .select(col(keyCol), col(tsCol).as("valid_from"), col(tieCol),
         col(stateCol).as("state"))
       .withColumn("_prev", lag(col("state"), 1).over(w))
-      // first row per key (_prev null) always versions; NULL-safe
-      // compare so a null state is itself a trackable value
-      .filter(!(col("_prev") <=> col("state")))
+      // "no previous row" must be its own signal — a lag on the state
+      // column conflates it with "previous state was null", dropping a
+      // key whose FIRST change row carries a null state (the r16
+      // review finding); lag of a constant is null exactly on row 1
+      .withColumn("_first", lag(lit(1), 1).over(w).isNull)
+      // first row per key always versions; NULL-safe compare after
+      // that so a null state is itself a trackable value
+      .filter(col("_first") || !(col("_prev") <=> col("state")))
     val wv = Window.partitionBy(col(keyCol))
       .orderBy(col("valid_from"), col(tieCol))
     marked

@@ -374,10 +374,16 @@ object Similarity {
     * search relationally) and drop the log.
     */
   def applyTombstones(store: DataFrame, tombstones: DataFrame,
-                      idCol: String): DataFrame =
-    store.join(
-      broadcast(tombstones.select(col(idCol).as("vec_id")).distinct()),
-      Seq("vec_id"), "left_anti")
+                      idCol: String): DataFrame = {
+    // idCol names the id column in BOTH frames (it is the STORE's key
+    // being deleted — renaming only the tombstone side would silently
+    // anti-join a store that happens to carry an unrelated vec_id
+    // column on the wrong key; the r16 review finding)
+    require(store.columns.contains(idCol),
+      s"applyTombstones: store has no id column '$idCol'")
+    store.join(broadcast(tombstones.select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+  }
 
   /** Hard-negative mining for contrastive training (the DPR recipe —
     * Karpukhin et al. 2020: negatives similar enough to be

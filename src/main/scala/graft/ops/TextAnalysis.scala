@@ -1350,6 +1350,14 @@ object TextAnalysis {
       .filter(col("rk") <= k)
   }
 
+  /** Exact-integer arithmetic wide enough for the BM25 family's
+    * cross-multiplied rationals: int64 overflows within the ops' own
+    * envelopes (num·den pairs at N ≈ 2e7 pass 2^63), DECIMAL(38,0)
+    * does not until ~1e38 — and Spark raises on decimal overflow
+    * rather than wrapping, so the failure stays loud.
+    */
+  private def d38(c: Column): Column = c.cast("decimal(38,0)")
+
   /** BM25-family relevance read on the capped index — [[andQuery]]'s
     * disjunctive (OR) sibling with the ranking function every lexical
     * retrieval stack runs (Robertson & Spärck Jones): per term,
@@ -1385,24 +1393,31 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("token").asc).limit(2)
     val ab = top2.agg(min(col("token")).as("ta"), max(col("token")).as("tb"))
       .filter(col("ta") =!= col("tb"))
+    // num/den and their cross-multiplies ride DECIMAL(38,0): in int64,
+    // num·den pairs overflow within the op's own envelope (num and den
+    // each reach ~1e12 at N ≈ 2e7 — the r16 review finding); decimal
+    // keeps the pair products exact to num,den ≤ ~7e18 and the final
+    // decimal→double cast is correctly rounded like the int64 one was
     def postings(term: String, sfx: String) =
       idx.join(broadcast(ab), col("token") === col(term))
         .crossJoin(broadcast(nDocs)) // 1 row by contract
         .select(col("doc_id"), col("tf").as(s"tf_$sfx"),
-          (lit(11L) * col("tf") *
-            (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)))
+          (d38(lit(11L) * col("tf")) *
+            d38(lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)))
             .as(s"num_$sfx"),
-          ((lit(5L) * col("tf") + lit(6L)) *
-            (lit(2L) * col("df") + lit(1L))).as(s"den_$sfx"))
+          (d38(lit(5L) * col("tf") + lit(6L)) *
+            d38(lit(2L) * col("df") + lit(1L))).as(s"den_$sfx"))
+    val zero = lit(0L).cast("decimal(38,0)")
+    val one = lit(1L).cast("decimal(38,0)")
     val j = postings("ta", "a")
       .join(postings("tb", "b"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("tf_a"), lit(0L)).as("tf_a"),
         coalesce(col("tf_b"), lit(0L)).as("tf_b"),
-        ((coalesce(col("num_a"), lit(0L)) * coalesce(col("den_b"), lit(1L)) +
-          coalesce(col("num_b"), lit(0L)) * coalesce(col("den_a"), lit(1L)))
+        ((coalesce(col("num_a"), zero) * coalesce(col("den_b"), one) +
+          coalesce(col("num_b"), zero) * coalesce(col("den_a"), one))
           .cast("double") /
-          (coalesce(col("den_a"), lit(1L)) * coalesce(col("den_b"), lit(1L)))
+          (coalesce(col("den_a"), one) * coalesce(col("den_b"), one))
             .cast("double")).as("_s"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("_s").desc, col("doc_id").asc)
@@ -1428,9 +1443,12 @@ object TextAnalysis {
     * trivially). A failed certificate RAISES (the observable-cap
     * rule) — this op never silently serves an uncertified ranking;
     * re-run with a larger m. The certificate compares exact integer
-    * ratios by DECIMAL(38,0) cross-multiplication (factors ≤ ~1e12 up
-    * to N ≈ 2×10⁷ capped-tf docs — document-scale past the
-    * serving-index point; Spark-side only, the oracle is exhaustive).
+    * ratios by DECIMAL(38,0) cross-multiplication of four pair
+    * factors, exact while every per-term num/den stays ≤ 2.5e9
+    * (N·tf ≲ 1e8 per pair) — and that bound is ENFORCED with a raise,
+    * not assumed: past it the op refuses rather than serve a
+    * certificate it cannot prove (Spark-side only, the oracle is
+    * exhaustive).
     *
     * Serving shape: everything after the ≤cap posting reads runs on
     * 2m candidate rows — at 100 TB the win is that exact scoring and
@@ -1446,34 +1464,49 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("token").asc).limit(2)
     val ab = top2.agg(min(col("token")).as("ta"), max(col("token")).as("tb"))
       .filter(col("ta") =!= col("tb"))
+    // the certificate cross-multiplies FOUR pair factors, so for the
+    // DECIMAL(38,0) products to stay exact every num/den must sit
+    // under 2.5e9 (2·M⁴ < 10^38). The bound is ENFORCED, not assumed
+    // (the observable-cap rule): past it the op raises rather than
+    // either wrapping (the int64 failure this replaced) or serving a
+    // certificate it cannot prove. N·tf ≲ 1e8 per term pair fits —
+    // e.g. 1e7 docs at tf-cap 10; beyond, use bm25Query or shard.
+    val certBound = lit(2500000000L).cast("decimal(38,0)")
+    def guarded(c: Column, name: String): Column =
+      when(c > certBound, raise_error(concat(
+        lit(s"taTopK: $name exceeds the exact-certificate bound 2.5e9 "),
+        lit("(N*tf too large for a provable prune at DECIMAL(38,0)); "),
+        lit("use bm25Query or shard the corpus")))).otherwise(c)
     val posts = idx.join(broadcast(ab),
         col("token") === col("ta") || col("token") === col("tb"))
       .crossJoin(broadcast(nDocs)) // 1 row by contract
       .select(col("token"), (col("token") === col("ta")).as("is_a"),
         col("doc_id"), col("tf"),
-        (lit(11L) * col("tf") *
-          (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)))
-          .as("num"),
-        ((lit(5L) * col("tf") + lit(6L)) *
-          (lit(2L) * col("df") + lit(1L))).as("den"))
+        guarded(d38(lit(11L) * col("tf")) *
+          d38(lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)),
+          "num").as("num"),
+        guarded(d38(lit(5L) * col("tf") + lit(6L)) *
+          d38(lit(2L) * col("df") + lit(1L)), "den").as("den"))
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("token")).orderBy(col("tf").desc, col("doc_id").asc)
     val ranked = posts.withColumn("prk", row_number().over(wr))
     val kept = ranked.filter(col("prk") <= m)
     // τ per term: the m-th KEPT impact bounds every unseen posting of
     // that term; a list kept whole (count <= m) has no unseen postings
+    val zero = lit(0L).cast("decimal(38,0)")
+    val one = lit(1L).cast("decimal(38,0)")
     val tau = ranked.groupBy(col("is_a"))
       .agg(count(lit(1)).as("cnt"),
         max(when(col("prk") === m,
           struct(col("num"), col("den")))).as("_m"))
       .select(col("is_a"),
-        when(col("cnt") > m, col("_m.num")).otherwise(lit(0L)).as("tn"),
-        when(col("cnt") > m, col("_m.den")).otherwise(lit(1L)).as("td"))
+        when(col("cnt") > m, col("_m.num")).otherwise(zero).as("tn"),
+        when(col("cnt") > m, col("_m.den")).otherwise(one).as("td"))
     val tauRow = tau.agg(
-      coalesce(max(when(col("is_a"), col("tn"))), lit(0L)).as("tna"),
-      coalesce(max(when(col("is_a"), col("td"))), lit(1L)).as("tda"),
-      coalesce(max(when(!col("is_a"), col("tn"))), lit(0L)).as("tnb"),
-      coalesce(max(when(!col("is_a"), col("td"))), lit(1L)).as("tdb"))
+      coalesce(max(when(col("is_a"), col("tn"))), zero).as("tna"),
+      coalesce(max(when(col("is_a"), col("td"))), one).as("tda"),
+      coalesce(max(when(!col("is_a"), col("tn"))), zero).as("tnb"),
+      coalesce(max(when(!col("is_a"), col("td"))), one).as("tdb"))
     val aFull = posts.filter(col("is_a")).select(col("doc_id"),
       col("tf").as("tf_a"), col("num").as("num_a"), col("den").as("den_a"))
     val bFull = posts.filter(!col("is_a")).select(col("doc_id"),
@@ -1484,26 +1517,29 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("tf_a"), lit(0L)).as("tf_a"),
         coalesce(col("tf_b"), lit(0L)).as("tf_b"),
-        (coalesce(col("num_a"), lit(0L)) * coalesce(col("den_b"), lit(1L)) +
-          coalesce(col("num_b"), lit(0L)) * coalesce(col("den_a"), lit(1L)))
+        (coalesce(col("num_a"), zero) * coalesce(col("den_b"), one) +
+          coalesce(col("num_b"), zero) * coalesce(col("den_a"), one))
           .as("nk"),
-        (coalesce(col("den_a"), lit(1L)) * coalesce(col("den_b"), lit(1L)))
+        (coalesce(col("den_a"), one) * coalesce(col("den_b"), one))
           .as("dk"))
       .withColumn("_s", col("nk").cast("double") / col("dk").cast("double"))
     val wk = org.apache.spark.sql.expressions.Window
       .orderBy(col("_s").desc, col("doc_id").asc)
-    def dec(c: Column) = c.cast("decimal(12,0)")
     scoredCand.withColumn("rk", row_number().over(wk).cast("long"))
       .filter(col("rk") <= k)
       .crossJoin(broadcast(tauRow))
       .select(col("doc_id"), col("tf_a"), col("tf_b"),
         // the certificate rides IN the served column (a dropped audit
         // column would be pruned with its raise_error): on the k-th
-        // row, unseen ≤ τ must sit strictly below score_k
+        // row, unseen ≤ τ must sit strictly below score_k. All
+        // operands are guarded DECIMAL(38,0) (≤ 2.5e9 per pair
+        // factor), so the triple products stay exact — the r16 review
+        // killed the decimal(12,0) cast that silently nulled the
+        // comparison past 1e12
         when(col("rk") === k &&
-          !(dec(col("nk")) * dec(col("tda")) * dec(col("tdb")) >
-            (dec(col("tna")) * dec(col("tdb")) +
-              dec(col("tnb")) * dec(col("tda"))) * dec(col("dk"))),
+          !(col("nk") * col("tda") * col("tdb") >
+            (col("tna") * col("tdb") + col("tnb") * col("tda")) *
+              col("dk")),
           raise_error(concat(lit("taTopK: certificate failed at m="),
             lit(m).cast("string"),
             lit(" — kth score does not dominate tau; increase m"))))
@@ -1532,10 +1568,11 @@ object TextAnalysis {
     * Each term's score is ONE correctly-rounded double division of
     * those integers and the two-term OR sum is ONE correctly-rounded
     * addition in fixed (a, b) order — bit-identical on every engine
-    * with no ln()/exp() and no cross-multiplied overflow (the q206
-    * rational stays summed as integers; here C·tf·44 must only fit
-    * int64 — ~2×10¹⁷ corpus-token·tf products, document-scale far
-    * beyond the 100 TB point).
+    * with no ln()/exp(). num and den fold in DECIMAL(38,0) (int64
+    * would overflow at corpus scale: num multiplies tf·C·2N and C
+    * alone reaches ~1e12 at 100 TB); decimal keeps the folds exact to
+    * ~1e38 and the decimal→double division input is correctly
+    * rounded, the same contract as the int64 form.
     *
     * Serving shape: corpus scalars (N, C) are a 1-row aggregate over
     * the norms store; the two ≤cap posting lists broadcast INTO the
@@ -1555,16 +1592,20 @@ object TextAnalysis {
     def side(term: String, sfx: String) = {
       val post = idx.join(broadcast(ab), col("token") === col(term))
         .select(col("doc_id"), col("tf"), col("df"))
+      // DECIMAL(38,0) folds: the int64 forms overflow inside the op's
+      // own envelope (num multiplies tf·C·2N — C alone is ~1e12 at
+      // corpus scale; the r16 review finding); the decimal→double
+      // casts stay correctly rounded
       norms.join(broadcast(post), "doc_id")
         .crossJoin(broadcast(nc)) // 1 row by construction
         .select(col("doc_id"), col("tf").as(s"tf_$sfx"),
-          ((lit(44L) * col("tf") * col("c_tokens") *
-            (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)))
+          ((d38(lit(44L) * col("tf")) * d38(col("c_tokens")) *
+            d38(lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)))
             .cast("double") /
-            ((lit(20L) * col("tf") * col("c_tokens") +
-              lit(6L) * col("c_tokens") +
-              lit(18L) * col("dl") * col("n_docs")) *
-              (lit(2L) * col("df") + lit(1L))).cast("double"))
+            ((d38(lit(20L) * col("tf")) * d38(col("c_tokens")) +
+              d38(lit(6L)) * d38(col("c_tokens")) +
+              d38(lit(18L) * col("dl")) * d38(col("n_docs"))) *
+              d38(lit(2L) * col("df") + lit(1L))).cast("double"))
             .as(s"s_$sfx"))
     }
     val j = side("ta", "a").join(side("tb", "b"), Seq("doc_id"), "full_outer")

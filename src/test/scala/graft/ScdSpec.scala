@@ -175,4 +175,24 @@ class ScdSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("scd2Apply") ||
       ex.getCause != null && ex.getCause.getMessage.contains("scd2Apply"))
   }
+
+  test("scd2: a key whose FIRST change row has a null state still versions it") {
+    // lag-on-state conflates "no previous row" with "previous state
+    // was null" — the first row must version regardless (r16 review)
+    val log = Seq[(Long, Long, Long, String)](
+      (1L, 10L, 1L, null), (1L, 30L, 2L, "a"),
+      (2L, 10L, 3L, null), (2L, 20L, 4L, null)) // null→null collapses
+      .toDF("user_id", "sec", "event_id", "state")
+      .select($"user_id", timestamp_seconds($"sec").as("ts"),
+        $"event_id", $"state")
+    val got = Scd.scd2(log, "user_id", "ts", "event_id", "state")
+      .select($"user_id", $"state", unix_timestamp($"valid_from"),
+        unix_timestamp($"valid_to"), $"is_current", $"version")
+      .as[(Long, Option[String], Long, Option[Long], Boolean, Long)]
+      .collect().toSet
+    assert(got === Set(
+      (1L, None, 10L, Some(30L), false, 1L), // the [10,30) null interval
+      (1L, Some("a"), 30L, None, true, 2L),
+      (2L, None, 10L, None, true, 1L)))      // collapse still works
+  }
 }
