@@ -3427,7 +3427,43 @@ object SparkEntry {
           "event_type", "ts", "event_id"),
         "event_type", "gap_s",
         Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))),
+    // daily bounce rate: single-event sessions / sessions started that
+    // day, the q18 gap-sessionization rule, rate as integer ppm
+    "q241_bounce_rate" -> ((s, dir) =>
+      Behavior.bounceRate(Tables.events(s, dir), "user_id", "ts",
+          "event_id")
+        .withColumn("day", col("day").cast("timestamp"))),
 
+    // trending top-20: per-event weight 2^20 >> age_days (clamped 63 —
+    // the decayAttribution shift lesson), integer-exact, sort-limit
+    "q242_trending_items" -> ((s, dir) =>
+      Behavior.trendingItems(eventsWithItem(s, dir), "item_id", "ts",
+        k = 20)),
+
+    // orders-per-customer histogram INCLUDING the zero bucket (the
+    // left join is the point: silent customers are the finding)
+    "q243_orders_per_customer" -> ((s, dir) =>
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_custkey").as("c_custkey"), col("o_orderkey")),
+          Seq("c_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_customers"))),
+
+    // exact basket-size percentiles (lines per order) by priority —
+    // the q51 guarded-exact body over an order-grain pre-aggregate
+    "q244_basket_percentiles" -> ((s, dir) => {
+      val sz = Tables.lineitem(s, dir).groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"))
+      Quantiles.guardedExactPercentiles(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority"))
+          .join(sz, "l_orderkey"),
+        "o_orderpriority", "n_lines", Seq(0.5 -> "p50", 0.9 -> "p90"))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -8715,6 +8751,69 @@ object SparkEntry {
         |       round(quantile_cont(gap_s, 0.99), 2) AS p99,
         |       count(*) AS cnt
         |FROM g WHERE gap_s IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    "q241_bounce_rate" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS s
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(s) OVER w IS NULL
+        |                OR s - lag(s) OVER w > 1800 THEN 1 ELSE 0 END
+        |           AS new_s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS s_id
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, s_id, CAST(min(ts) AS DATE) AS day,
+        |         count(*)::BIGINT AS n
+        |  FROM s2 GROUP BY 1, 2)
+        |SELECT CAST(day AS TIMESTAMP) AS day,
+        |       count(*)::BIGINT AS n_sessions,
+        |       count(*) FILTER (WHERE n = 1) AS n_bounces,
+        |       CAST(count(*) FILTER (WHERE n = 1) * 1000000
+        |            // count(*) AS BIGINT) AS bounce_ppm
+        |FROM sess GROUP BY 1""".stripMargin,
+
+    "q242_trending_items" ->
+      """WITH e AS (
+        |  SELECT json_extract_string(props, '$.k')::BIGINT AS item,
+        |         CAST(ts AS DATE) AS day
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |mx AS (SELECT max(day) AS max_day FROM e)
+        |SELECT item,
+        |       CAST(sum(1048576 >> least(max_day - day, 63)) AS BIGINT)
+        |         AS weight,
+        |       count(*)::BIGINT AS n_events
+        |FROM e, mx
+        |GROUP BY item
+        |ORDER BY weight DESC, item ASC
+        |LIMIT 20""".stripMargin,
+
+    "q243_orders_per_customer" ->
+      """WITH per AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS n_orders
+        |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1)
+        |SELECT n_orders, count(*)::BIGINT AS n_customers
+        |FROM per GROUP BY 1""".stripMargin,
+
+    "q244_basket_percentiles" ->
+      """WITH sz AS (
+        |  SELECT l_orderkey, count(*)::BIGINT AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o.o_orderpriority,
+        |       round(quantile_cont(sz.n_lines, 0.5), 2) AS p50,
+        |       round(quantile_cont(sz.n_lines, 0.9), 2) AS p90,
+        |       count(*) AS cnt
+        |FROM orders o JOIN sz ON sz.l_orderkey = o.o_orderkey
         |GROUP BY 1""".stripMargin,
 
   )

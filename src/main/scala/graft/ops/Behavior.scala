@@ -893,4 +893,67 @@ object Behavior {
         (unix_timestamp(col("_next_ts")) - unix_timestamp(col("ts")))
           .as("gap_s"))
   }
+
+  /** Daily bounce rate: sessions (the [[sessionSequences]] gap rule —
+    * a new session starts after `gapS` seconds of silence, boundaries
+    * on floored epoch seconds so engines agree) bucketed by their
+    * START day; a bounce is a single-event session. Emits per day
+    * (n_sessions, n_bounces, bounce_ppm) with the rate as integer
+    * parts-per-million (`div`, the no-float-folds rule).
+    *
+    * Shape: one lag window + one running-sum window per user
+    * partition (the sessionSequences cost class), one session hash
+    * aggregate, one day hash aggregate.
+    */
+  def bounceRate(events: DataFrame, userCol: String, tsCol: String,
+                 idCol: String, gapS: Long = 1800L): DataFrame = {
+    require(gapS > 0, "gapS must be positive")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("_id"))
+    events.select(col(userCol).as("user_id"), col(tsCol).as("ts"),
+        col(idCol).as("_id"))
+      .withColumn("_new_s",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_timestamp(col("ts")) -
+            unix_timestamp(lag(col("ts"), 1).over(w)) > gapS, 1L)
+          .otherwise(0L))
+      .withColumn("_s_id", sum(col("_new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("_s_id"))
+      .agg(to_date(min(col("ts"))).as("day"),
+        count(lit(1)).as("_n"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when(col("_n") === 1L, lit(1))).as("n_bounces"))
+      .select(col("day"), col("n_sessions"), col("n_bounces"),
+        expr("n_bounces * 1000000L div n_sessions").as("bounce_ppm"))
+  }
+
+  /** Decayed trending top-k — "what is hot right now, with yesterday
+    * counting half": each event contributes `2^20 >> age_days` units
+    * (age from the corpus's max day; halving per day), summed per
+    * item, top-k by (weight desc, item asc). The shift count clamps
+    * at 63 — JVM shifts mask the count to 6 bits, so an unclamped
+    * 64-day age would wrap to FULL weight (the decayAttribution
+    * lesson, spec'd there); everything is integer-exact, no exp().
+    *
+    * Shape: one 1-row max-day broadcast, one hash aggregate over the
+    * log, a sort-limit top-k (TakeOrderedAndProject) — never a global
+    * Window.
+    */
+  def trendingItems(events: DataFrame, itemCol: String, tsCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e = events.select(col(itemCol).as("item"),
+        to_date(col(tsCol)).as("day"))
+      .filter(col("item").isNotNull)
+    e.crossJoin(broadcast(e.agg(max(col("day")).as("_max_day"))))
+      .select(col("item"),
+        // SQL form: the Scala shiftright only takes a literal count
+        expr("shiftright(1048576L, " +
+          "cast(least(datediff(_max_day, day), 63) as int))").as("_w"))
+      .groupBy(col("item"))
+      .agg(sum(col("_w")).as("weight"), count(lit(1)).as("n_events"))
+      .orderBy(col("weight").desc, col("item").asc)
+      .limit(k)
+  }
 }

@@ -492,4 +492,45 @@ class FunnelSpec extends AnyFunSuite {
     // unix_timestamp floors FIRST: 12-10=2, 12-12=0, 20-12=8
     assert(got === Seq(("buy", 8L), ("click", 0L), ("view", 2L)))
   }
+
+  test("bounceRate: gap sessionization, boundary gap stays one session, bounce = single-event session, day from session start") {
+    import graft.ops.Behavior
+    // gapS=100. u1: {10,50} one session, {500} a bounce; u2: {10} a
+    // bounce; u4: {0,100} — gap EXACTLY 100 does NOT split (> rule);
+    // u3: day-2 single event — its own day row
+    val events = Seq(
+      (1L, 1L, 10L), (1L, 2L, 50L), (1L, 3L, 500L),
+      (2L, 4L, 10L), (4L, 5L, 0L), (4L, 6L, 100L),
+      (3L, 7L, 86400L + 10L))
+      .toDF("user_id", "event_id", "sec")
+      .select($"user_id", $"event_id", timestamp_seconds($"sec").as("ts"))
+    val got = Behavior.bounceRate(events, "user_id", "ts", "event_id",
+        gapS = 100L)
+      .select(dayofmonth($"day"), $"n_sessions", $"n_bounces",
+        $"bounce_ppm")
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1, 4L, 2L, 500000L),
+      (2, 1L, 1L, 1000000L)))
+  }
+
+  test("trendingItems: per-day halving, 63-day shift clamp (an unclamped 64 would wrap to FULL weight), sort-limit k") {
+    import graft.ops.Behavior
+    // max day = 2024-03-05. item 1: 2 events on max day (2*2^20);
+    // item 2: 3 events one day earlier (3*2^19); item 3: one event 64
+    // days earlier — clamped shift 63 -> weight 0 (unclamped JVM
+    // masking would give it FULL 2^20 and rank it first)
+    val events = Seq(
+      (1L, "2024-03-05"), (1L, "2024-03-05"),
+      (2L, "2024-03-04"), (2L, "2024-03-04"), (2L, "2024-03-04"),
+      (3L, "2024-01-01"))
+      .toDF("item_id", "d")
+      .select($"item_id", to_timestamp($"d").as("ts"))
+    val top2 = Behavior.trendingItems(events, "item_id", "ts", k = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(top2 === Seq((1L, 2097152L, 2L), (2L, 1572864L, 3L)))
+    val all = Behavior.trendingItems(events, "item_id", "ts", k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(all.last === ((3L, 0L, 1L))) // clamped to zero, still emits
+  }
 }
