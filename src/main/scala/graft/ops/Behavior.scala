@@ -791,31 +791,41 @@ object Behavior {
     * range, one final hash aggregate. No global window, no join
     * against the event log; scales as the user-day frame.
     */
-  def growthAccounting(events: DataFrame, userCol: String,
-                       tsCol: String): DataFrame = {
-    val ud = events.select(col(userCol).as("user_id"),
-        to_date(col(tsCol)).as("day"))
-      .filter(col("user_id").isNotNull && col("day").isNotNull)
-      .distinct()
+  def growthAccounting(events: DataFrame, userCol: String, tsCol: String,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    // pinned: the frame feeds the window AND the max-day broadcast —
+    // unpinned, a union shape re-derived the distinct 3× (q225 rule)
+    val ud = Checkpoints.pin(
+      events.select(col(userCol).as("user_id"),
+          to_date(col(tsCol)).as("day"))
+        .filter(col("user_id").isNotNull && col("day").isNotNull)
+        .distinct(),
+      checkpointDir, eager = false)
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    // ONE window pass; each row emits its active-status row plus, when
+    // the user goes silent, the churn row for day+1 — explode instead
+    // of a union so the window subtree exists once in the plan. A user
+    // churns on day+1 when the next active day is absent or further
+    // out; days past the observed range emit nothing (the last day's
+    // silence is right-censored, not churn)
     val marked = ud
       .withColumn("_prev", lag(col("day"), 1).over(w))
       .withColumn("_next", lead(col("day"), 1).over(w))
-    val active = marked.select(col("day"),
-      when(col("_prev").isNull, lit("new"))
-        .when(datediff(col("day"), col("_prev")) === 1, lit("retained"))
-        .otherwise(lit("resurrected")).as("status"))
-    // a user churns on day+1 when the next active day is absent or
-    // further out; days past the observed range emit nothing (the
-    // last day's silence is right-censored, not churn)
-    val churned = marked
-      .filter(col("_next").isNull ||
-        datediff(col("_next"), col("day")) > 1)
       .crossJoin(broadcast(ud.agg(max(col("day")).as("_max_day"))))
-      .filter(col("day") < col("_max_day"))
-      .select(date_add(col("day"), 1).as("day"),
-        lit("churned").as("status"))
-    active.unionByName(churned)
+    marked.select(explode(array(
+        struct(col("day"),
+          when(col("_prev").isNull, lit("new"))
+            .when(datediff(col("day"), col("_prev")) === 1,
+              lit("retained"))
+            .otherwise(lit("resurrected")).as("status")),
+        struct(date_add(col("day"), 1).as("day"),
+          when((col("_next").isNull ||
+            datediff(col("_next"), col("day")) > 1) &&
+            col("day") < col("_max_day"), lit("churned"))
+            .otherwise(lit(null).cast("string")).as("status"))))
+        .as("r"))
+      .select(col("r.day").as("day"), col("r.status").as("status"))
+      .filter(col("status").isNotNull)
       .groupBy(col("day"))
       .agg(
         count(when(col("status") === "new", lit(1))).as("new_users"),
@@ -845,13 +855,19 @@ object Behavior {
     * user emit.
     */
   def stickiness(events: DataFrame, userCol: String, tsCol: String,
-                 weekDays: Int = 7, monthDays: Int = 30): DataFrame = {
+                 weekDays: Int = 7, monthDays: Int = 30,
+                 checkpointDir: Option[String] = None): DataFrame = {
     require(weekDays >= 1 && monthDays >= weekDays,
       "need monthDays >= weekDays >= 1")
-    val ud = events.select(col(userCol).as("user_id"),
-        to_date(col(tsCol)).as("day"))
-      .filter(col("user_id").isNotNull && col("day").isNotNull)
-      .distinct()
+    // pinned: dau, the two trailing expansions and the max-day scalar
+    // all read this frame — unpinned, the log is scanned and
+    // distinct-shuffled four times (the q225 rule)
+    val ud = Checkpoints.pin(
+      events.select(col(userCol).as("user_id"),
+          to_date(col(tsCol)).as("day"))
+        .filter(col("user_id").isNotNull && col("day").isNotNull)
+        .distinct(),
+      checkpointDir, eager = false)
     val maxDay = ud.agg(max(col("day")).as("_max_day"))
     def trailing(nDays: Int, as: String): DataFrame = ud
       .select(col("user_id"),

@@ -1652,11 +1652,15 @@ object TextAnalysis {
     * arrays, not text), one equi-join on doc_id, one top-k rank;
     * nothing scales with corpus size beyond those posting rows.
     */
-  def phraseQuery(pindex: DataFrame, terms: DataFrame, k: Int): DataFrame = {
+  def phraseQuery(pindex: DataFrame, terms: DataFrame, k: Int,
+                  checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val a = pindex.join(broadcast(terms), col("token") === col("w1"))
+    // both term sides read the index — pinned so a derived pindex
+    // (posexplode + aggregate) evaluates once, not per side
+    val p = Checkpoints.pin(pindex, checkpointDir, eager = false)
+    val a = p.join(broadcast(terms), col("token") === col("w1"))
       .select(col("doc_id"), col("positions").as("pa"))
-    val b = pindex.join(broadcast(terms), col("token") === col("w2"))
+    val b = p.join(broadcast(terms), col("token") === col("w2"))
       .select(col("doc_id"), col("positions").as("pb"))
     val m = a.join(b, "doc_id")
       .select(col("doc_id"),
@@ -1681,12 +1685,15 @@ object TextAnalysis {
     * the q209 rank over ≤ |candidate docs| rows.
     */
   def proximityQuery(pindex: DataFrame, terms: DataFrame, k: Int,
-                     slop: Int): DataFrame = {
+                     slop: Int,
+                     checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(slop >= 1, "slop must be >= 1")
-    val a = pindex.join(broadcast(terms), col("token") === col("w1"))
+    // the phraseQuery pin: one index derivation for both term sides
+    val p = Checkpoints.pin(pindex, checkpointDir, eager = false)
+    val a = p.join(broadcast(terms), col("token") === col("w1"))
       .select(col("doc_id"), col("positions").as("pa"))
-    val b = pindex.join(broadcast(terms), col("token") === col("w2"))
+    val b = p.join(broadcast(terms), col("token") === col("w2"))
       .select(col("doc_id"), col("positions").as("pb"))
     val m = a.join(b, "doc_id")
       .select(col("doc_id"),

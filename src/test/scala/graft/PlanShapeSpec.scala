@@ -488,6 +488,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nests <= 1, s"q228 grew $nests nested loops:\n$p")
   }
 
+  test("q232/q233: the user-day frame is pinned — one Window for growth, no parquet re-scan for stickiness") {
+    val g = plan("q232_growth_accounting")
+    // one explode pass instead of a union that would double the
+    // window subtree; the pinned distinct frame scans once
+    val windows = """\(\d+\) Window\b""".r.findAllIn(g).size
+    assert(windows === 1, s"q232 grew $windows Windows:\n$g")
+    assert(!g.contains("CartesianProduct"))
+    val s = plan("q233_stickiness")
+    // dau + two expansions + max-day all read the pin: the log is
+    // scanned at most once in the final plan
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(s).size
+    assert(scans <= 1, s"q233 re-scans the log ($scans scans):\n$s")
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("q231: as-of is ONE key shuffle — union-window, no range join, no nested loop") {
     val p = plan("q231_asof_join")
     assert(!p.contains("CartesianProduct"), s"q231 went cartesian:\n$p")
