@@ -3464,6 +3464,24 @@ object SparkEntry {
           .join(sz, "l_orderkey"),
         "o_orderpriority", "n_lines", Seq(0.5 -> "p50", 0.9 -> "p90"))
     }),
+
+    // next-item serving table: top-3 successors per item from the
+    // SHARED transitionPairs edge source, probability as exact ppm
+    "q246_next_item" -> ((s, dir) =>
+      Behavior.nextItemTable(transitionPairs(s, dir), "item_id", "nxt",
+        k = 3)),
+
+    // q242 SERVED FROM the item-hour count warehouse (slices split by
+    // event_id % 3, merged, read by the decay body) — the oracle
+    // recomputes from the raw log, so green = store read ≡ log read
+    "q245_trending_store" -> ((s, dir) => {
+      val ev = eventsWithItem(s, dir).filter(col("item_id").isNotNull)
+        .withColumn("slice", col("event_id") % 3)
+      Behavior.trendingFromCounts(
+        Behavior.hourCountMerge(
+          Behavior.hourCountSlices(ev, "item_id", "ts", "slice")),
+        k = 20)
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -8815,6 +8833,51 @@ object SparkEntry {
         |       count(*) AS cnt
         |FROM orders o JOIN sz ON sz.l_orderkey = o.o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    "q246_next_item" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |         json_extract_string(props, '$.k')::BIGINT AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |nx AS (
+        |  SELECT item AS from_item,
+        |         lead(item) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS to_item
+        |  FROM ev),
+        |tr AS (
+        |  SELECT from_item, to_item, count(*)::BIGINT AS cnt
+        |  FROM nx WHERE to_item IS NOT NULL AND to_item <> from_item
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT from_item, CAST(sum(cnt) AS BIGINT) AS row_total
+        |  FROM tr GROUP BY 1)
+        |SELECT tr.from_item,
+        |       CAST(row_number() OVER (PARTITION BY tr.from_item
+        |              ORDER BY tr.cnt DESC, tr.to_item ASC) AS BIGINT)
+        |         AS rk,
+        |       tr.to_item, tr.cnt,
+        |       CAST(tr.cnt * 1000000 // tot.row_total AS BIGINT) AS p_ppm
+        |FROM tr JOIN tot USING (from_item)
+        |QUALIFY rk <= 3""".stripMargin,
+
+    // recomputed from the RAW log — green proves the warehouse-served
+    // read equals the one-shot pass
+    "q245_trending_store" ->
+      """WITH e AS (
+        |  SELECT json_extract_string(props, '$.k')::BIGINT AS item,
+        |         CAST(ts AS DATE) AS day
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |mx AS (SELECT max(day) AS max_day FROM e)
+        |SELECT item,
+        |       CAST(sum(1048576 >> least(max_day - day, 63)) AS BIGINT)
+        |         AS weight,
+        |       count(*)::BIGINT AS n_events
+        |FROM e, mx
+        |GROUP BY item
+        |ORDER BY weight DESC, item ASC
+        |LIMIT 20""".stripMargin,
 
   )
 }

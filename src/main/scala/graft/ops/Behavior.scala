@@ -972,4 +972,59 @@ object Behavior {
       .orderBy(col("weight").desc, col("item").asc)
       .limit(k)
   }
+
+  /** [[trendingItems]] served from the hourly-count WAREHOUSE (the
+    * gapFillFromCounts shared-read rule): decayed weights from stored
+    * (series, bucket, cnt) rows — the event log never re-scans. Ages
+    * derive from the store's own max bucket day, and an hourly
+    * bucket's day IS its events' day, so warehouse-served trending ≡
+    * log-computed trending whenever the store covers the log (the
+    * q245 oracle recomputes from the raw log to pin exactly that).
+    * Work ∝ the count store (series × active hours), not events.
+    */
+  def trendingFromCounts(counts: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val c = counts.select(col("series").as("item"),
+      to_date(col("bucket")).as("day"), col("cnt"))
+    c.crossJoin(broadcast(c.agg(max(col("day")).as("_max_day"))))
+      .select(col("item"), col("cnt"),
+        (col("cnt") * expr("shiftright(1048576L, " +
+          "cast(least(datediff(_max_day, day), 63) as int))")).as("_w"))
+      .groupBy(col("item"))
+      .agg(sum(col("_w")).as("weight"), sum(col("cnt")).as("n_events"))
+      .orderBy(col("weight").desc, col("item").asc)
+      .limit(k)
+  }
+
+  /** Next-item recommendation table from a consecutive-pair frame
+    * (the shared transition edge source — same input contract as the
+    * graph family, the q208 lesson: ops REUSE the pair stage, they
+    * don't re-derive it): per `from` item, the top-`k` successors by
+    * count with the transition probability as exact parts-per-million
+    * (`cnt · 1e6 div row_total` — integer, the no-float-folds rule).
+    * The "users who viewed X go to Y next" table a session-based
+    * recommender serves.
+    *
+    * Shape: one hash aggregate to the transition counts, one
+    * reaggregation for row totals, and a per-from rank that
+    * WindowGroupLimit pre-prunes below the shuffle (the q04 shape —
+    * hot head items ARE the skew).
+    */
+  def nextItemTable(pairs: DataFrame, fromCol: String, toCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val trans = pairs
+      .select(col(fromCol).as("from_item"), col(toCol).as("to_item"))
+      .groupBy(col("from_item"), col("to_item"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = trans.groupBy(col("from_item"))
+      .agg(sum(col("cnt")).as("row_total"))
+    val wr = Window.partitionBy(col("from_item"))
+      .orderBy(col("cnt").desc, col("to_item").asc)
+    trans.withColumn("rk", row_number().over(wr).cast("long"))
+      .filter(col("rk") <= k)
+      .join(totals, "from_item")
+      .select(col("from_item"), col("rk"), col("to_item"), col("cnt"),
+        expr("cnt * 1000000L div row_total").as("p_ppm"))
+  }
 }

@@ -533,4 +533,39 @@ class FunnelSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq
     assert(all.last === ((3L, 0L, 1L))) // clamped to zero, still emits
   }
+
+  test("trendingFromCounts: warehouse read ≡ log read, incl. an hour split across slices") {
+    import graft.ops.Behavior
+    // items 1/2/3 across days; the 03:xx hour of item 1 arrives in
+    // TWO slices — the merge must sum it before the decay body
+    val events = Seq(
+      (1L, "2024-03-05 03:10:00"), (1L, "2024-03-05 03:40:00"),
+      (2L, "2024-03-04 07:00:00"), (2L, "2024-03-04 07:30:00"),
+      (2L, "2024-03-04 09:00:00"), (3L, "2024-01-01 00:00:00"))
+      .toDF("item_id", "d")
+      .select($"item_id", to_timestamp($"d").as("ts"))
+      .withColumn("slice", monotonically_increasing_id() % 2)
+    val fromLog = Behavior.trendingItems(events, "item_id", "ts", k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    val fromStore = Behavior.trendingFromCounts(
+      Behavior.hourCountMerge(
+        Behavior.hourCountSlices(events, "item_id", "ts", "slice")),
+      k = 10).as[(Long, Long, Long)].collect().toSeq
+    assert(fromStore === fromLog)
+    assert(fromLog.head === ((1L, 2097152L, 2L)))
+  }
+
+  test("nextItemTable: per-from top-k with ppm over the FULL row total (not just the kept head); count ties break on item") {
+    import graft.ops.Behavior
+    // a->b x3, a->c x1, a->d x1, b->a x1; k=2 keeps b,c for a — but
+    // p_ppm still divides by a's full total 5 (the dropped d row)
+    val pairs = (Seq.fill(3)(("a", "b")) ++
+      Seq(("a", "c"), ("a", "d"), ("b", "a"))).toDF("f", "t")
+    val got = Behavior.nextItemTable(pairs, "f", "t", k = 2)
+      .as[(String, Long, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a", 1L, "b", 3L, 600000L),  // 3e6/5
+      ("a", 2L, "c", 1L, 200000L),  // tie with d: c wins on item asc
+      ("b", 1L, "a", 1L, 1000000L)))
+  }
 }

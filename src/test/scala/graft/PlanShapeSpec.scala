@@ -503,6 +503,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("q234/q242/q245: top-k is a sort-limit (TakeOrderedAndProject), never a global Window over the dimension") {
+    for (q <- Seq("q234_skew_audit", "q242_trending_items",
+        "q245_trending_store")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q lost the sort-limit:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+    }
+  }
+
+  test("q239/q246: FK audit anti-joins stay equi-joins; the next-item rank is WindowGroupLimit pre-pruned") {
+    // the BroadcastNestedLoopJoin Cross occurrences are the 1-row
+    // totals×keys×orphans assemblies (by design); what must hold is
+    // that every ORPHAN anti-join stays a hash equi-join
+    val f = plan("q239_fk_audit")
+    assert(!f.contains("CartesianProduct"), s"q239 went cartesian:\n$f")
+    val antis = """LeftAnti""".r.findAllIn(f).size
+    assert(antis >= 4 && (f.contains("BroadcastHashJoin LeftAnti") ||
+      f.contains("SortMergeJoin LeftAnti") ||
+      f.contains("ShuffledHashJoin LeftAnti")),
+      s"q239 anti-joins degenerated:\n$f")
+    val n = plan("q246_next_item")
+    assert(n.contains("WindowGroupLimit"), s"q246 lost the prune:\n$n")
+    assert(!n.contains("CartesianProduct"))
+  }
+
   test("q231: as-of is ONE key shuffle — union-window, no range join, no nested loop") {
     val p = plan("q231_asof_join")
     assert(!p.contains("CartesianProduct"), s"q231 went cartesian:\n$p")
