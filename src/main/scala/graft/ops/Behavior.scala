@@ -85,22 +85,36 @@ object Behavior {
     *
     * Output: (user_id, s_id, session_start_s, n_items, item_seq).
     */
-  def sessionSequences(events: DataFrame, userCol: String, itemCol: String,
-                       tsCol: String, idCol: String,
-                       gapS: Long = 1800L): DataFrame = {
+  /** The gap-rule session-id stage shared by [[sessionSequences]] and
+    * [[bounceRate]] (ONE copy of the boundary rule — the
+    * transitionPairs single-edge-contract discipline): a session
+    * starts where the floored-epoch gap to the previous event exceeds
+    * `gapS` (strictly — a gap of exactly gapS stays in-session).
+    * Expects (user_id, ts, eid, …); appends `s_id`.
+    */
+  private def withSessionIds(rows: DataFrame, gapS: Long): DataFrame = {
     require(gapS > 0, "gapS must be positive")
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("eid"))
-    events
-      .filter(col(itemCol).isNotNull)
-      .select(col(userCol).as("user_id"), col(tsCol).as("ts"),
-        col(idCol).as("eid"), col(itemCol).as("item"))
-      .withColumn("new_s",
+    rows
+      .withColumn("_new_s",
         when(lag(col("ts"), 1).over(w).isNull ||
           unix_timestamp(col("ts")) -
             unix_timestamp(lag(col("ts"), 1).over(w)) > gapS, 1L)
           .otherwise(0L))
-      .withColumn("s_id", sum(col("new_s")).over(
+      .withColumn("s_id", sum(col("_new_s")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_new_s")
+  }
+
+  def sessionSequences(events: DataFrame, userCol: String, itemCol: String,
+                       tsCol: String, idCol: String,
+                       gapS: Long = 1800L): DataFrame = {
+    withSessionIds(
+      events
+        .filter(col(itemCol).isNotNull)
+        .select(col(userCol).as("user_id"), col(tsCol).as("ts"),
+          col(idCol).as("eid"), col(itemCol).as("item")),
+      gapS)
       .groupBy(col("user_id"), col("s_id"))
       .agg(min(unix_timestamp(col("ts"))).as("session_start_s"),
         count(lit(1)).as("n_items"),
@@ -923,18 +937,11 @@ object Behavior {
     */
   def bounceRate(events: DataFrame, userCol: String, tsCol: String,
                  idCol: String, gapS: Long = 1800L): DataFrame = {
-    require(gapS > 0, "gapS must be positive")
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("_id"))
-    events.select(col(userCol).as("user_id"), col(tsCol).as("ts"),
-        col(idCol).as("_id"))
-      .withColumn("_new_s",
-        when(lag(col("ts"), 1).over(w).isNull ||
-          unix_timestamp(col("ts")) -
-            unix_timestamp(lag(col("ts"), 1).over(w)) > gapS, 1L)
-          .otherwise(0L))
-      .withColumn("_s_id", sum(col("_new_s")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("_s_id"))
+    withSessionIds(
+      events.select(col(userCol).as("user_id"), col(tsCol).as("ts"),
+        col(idCol).as("eid")),
+      gapS)
+      .groupBy(col("user_id"), col("s_id"))
       .agg(to_date(min(col("ts"))).as("day"),
         count(lit(1)).as("_n"))
       .groupBy(col("day"))
@@ -957,11 +964,17 @@ object Behavior {
     * Window.
     */
   def trendingItems(events: DataFrame, itemCol: String, tsCol: String,
-                    k: Int): DataFrame = {
+                    k: Int,
+                    checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val e = events.select(col(itemCol).as("item"),
-        to_date(col(tsCol)).as("day"))
-      .filter(col("item").isNotNull)
+    // pinned: the frame feeds the weights AND the max-day broadcast —
+    // unpinned, the log (plus any caller-side projection like the
+    // props JSON extract) scans twice (the q225 rule)
+    val e = Checkpoints.pin(
+      events.select(col(itemCol).as("item"),
+          to_date(col(tsCol)).as("day"))
+        .filter(col("item").isNotNull),
+      checkpointDir, eager = false)
     e.crossJoin(broadcast(e.agg(max(col("day")).as("_max_day"))))
       .select(col("item"),
         // SQL form: the Scala shiftright only takes a literal count
@@ -982,10 +995,14 @@ object Behavior {
     * q245 oracle recomputes from the raw log to pin exactly that).
     * Work ∝ the count store (series × active hours), not events.
     */
-  def trendingFromCounts(counts: DataFrame, k: Int): DataFrame = {
+  def trendingFromCounts(counts: DataFrame, k: Int,
+                         checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val c = counts.select(col("series").as("item"),
-      to_date(col("bucket")).as("day"), col("cnt"))
+    // same pin: the count store feeds the weights and the max-day
+    val c = Checkpoints.pin(
+      counts.select(col("series").as("item"),
+        to_date(col("bucket")).as("day"), col("cnt")),
+      checkpointDir, eager = false)
     c.crossJoin(broadcast(c.agg(max(col("day")).as("_max_day"))))
       .select(col("item"), col("cnt"),
         (col("cnt") * expr("shiftright(1048576L, " +

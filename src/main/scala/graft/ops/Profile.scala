@@ -158,23 +158,23 @@ object Profile {
     * zero-orphan row is the point — the audit's value is the green,
     * not just the alarm. Union several calls for the FK matrix.
     *
-    * Shape: one left-anti hash equi-join child ⋈ distinct parent keys
-    * (shuffles on the key like any join, work ∝ child) + three 1-row
-    * aggregates cross-joined broadcast.
+    * Shape: ONE left hash equi-join child ⋈ distinct parent keys
+    * (shuffles on the key like any join, work ∝ child) and ONE
+    * aggregate computing all five counters — a single child scan (the
+    * r16 review replaced a three-pass form).
     */
   def fkAudit(child: DataFrame, childKey: String, parent: DataFrame,
               parentKey: String, label: String): DataFrame = {
     val c = child.select(col(childKey).as("k"))
-    val p = parent.select(col(parentKey).as("k"))
-      .filter(col("k").isNotNull).distinct()
-    val nn = c.filter(col("k").isNotNull)
-    val orphans = nn.join(p, Seq("k"), "left_anti")
-    val totals = c.agg(count(lit(1)).as("n_rows"),
-      count(when(col("k").isNull, lit(1))).as("n_null_rows"))
-    val keys = nn.agg(countDistinct(col("k")).as("n_keys"))
-    val orph = orphans.agg(count(lit(1)).as("n_orphan_rows"),
-      countDistinct(col("k")).as("n_orphan_keys"))
-    totals.crossJoin(broadcast(keys)).crossJoin(broadcast(orph))
+    val p = parent.select(col(parentKey).as("_pk"))
+      .filter(col("_pk").isNotNull).distinct()
+    val orphan = col("k").isNotNull && col("_pk").isNull
+    c.join(p, col("k") === col("_pk"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("k").isNull, lit(1))).as("n_null_rows"),
+        countDistinct(col("k")).as("n_keys"),
+        count(when(orphan, lit(1))).as("n_orphan_rows"),
+        countDistinct(when(orphan, col("k"))).as("n_orphan_keys"))
       .select(lit(label).as("fk"), col("n_rows"), col("n_null_rows"),
         col("n_keys"), col("n_orphan_rows"), col("n_orphan_keys"))
   }

@@ -514,16 +514,19 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q239/q246: FK audit anti-joins stay equi-joins; the next-item rank is WindowGroupLimit pre-pruned") {
-    // the BroadcastNestedLoopJoin Cross occurrences are the 1-row
-    // totals×keys×orphans assemblies (by design); what must hold is
-    // that every ORPHAN anti-join stays a hash equi-join
+    // every FK edge is ONE equi LEFT join + ONE aggregate over a
+    // single child scan — all four joins must stay hash/merge
+    // equi-joins, and nothing may nest or go cartesian
     val f = plan("q239_fk_audit")
     assert(!f.contains("CartesianProduct"), s"q239 went cartesian:\n$f")
-    val antis = """LeftAnti""".r.findAllIn(f).size
-    assert(antis >= 4 && (f.contains("BroadcastHashJoin LeftAnti") ||
-      f.contains("SortMergeJoin LeftAnti") ||
-      f.contains("ShuffledHashJoin LeftAnti")),
-      s"q239 anti-joins degenerated:\n$f")
+    assert(!f.contains("BroadcastNestedLoopJoin"),
+      s"q239 grew a nested loop:\n$f")
+    // count TREE lines ("BroadcastHashJoin LeftOuter BuildRight (n)")
+    // — the numbered detail section omits the join type
+    val equiLeft =
+      """(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) LeftOuter"""
+        .r.findAllIn(f).size
+    assert(equiLeft === 4, s"q239 expected 4 equi left joins, got $equiLeft:\n$f")
     val n = plan("q246_next_item")
     assert(n.contains("WindowGroupLimit"), s"q246 lost the prune:\n$n")
     assert(!n.contains("CartesianProduct"))
