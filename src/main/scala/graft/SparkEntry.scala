@@ -3465,6 +3465,13 @@ object SparkEntry {
         "o_orderpriority", "n_lines", Seq(0.5 -> "p50", 0.9 -> "p90"))
     }),
 
+    // median/MAD robust anomaly flags on the daily series counts —
+    // level-shift-proof where q210's trailing mean is not; the flag is
+    // the exact integer cross-multiply 2*dev2 > 3*mad4
+    "q247_robust_anomalies" -> ((s, dir) =>
+      Behavior.robustAnomalies(Tables.events(s, dir), "event_type", "ts")
+        .withColumn("day", col("day").cast("timestamp"))),
+
     // next-item serving table: top-3 successors per item from the
     // SHARED transitionPairs edge source, probability as exact ppm
     "q246_next_item" -> ((s, dir) =>
@@ -8833,6 +8840,28 @@ object SparkEntry {
         |       count(*) AS cnt
         |FROM orders o JOIN sz ON sz.l_orderkey = o.o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    "q247_robust_anomalies" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series, CAST(ts AS DATE) AS day,
+        |         count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT series, CAST(quantile_cont(cnt, 0.5) * 2 AS BIGINT)
+        |           AS med2
+        |  FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT d.series, d.day, d.cnt, m.med2,
+        |         abs(2 * d.cnt - m.med2) AS dev2
+        |  FROM daily d JOIN med m USING (series)),
+        |mad AS (
+        |  SELECT series, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT)
+        |           AS mad4
+        |  FROM dev GROUP BY 1)
+        |SELECT dev.series, CAST(dev.day AS TIMESTAMP) AS day, dev.cnt,
+        |       dev.med2, dev.dev2, mad.mad4,
+        |       2 * dev.dev2 > 3 * mad.mad4 AS is_anomaly
+        |FROM dev JOIN mad USING (series)""".stripMargin,
 
     "q246_next_item" ->
       """WITH ev AS (

@@ -1013,6 +1013,45 @@ object Behavior {
       .limit(k)
   }
 
+  /** Robust anomaly flags over the daily series counts — the
+    * median/MAD detector ([[trafficSpikes]]' trailing mean is blind to
+    * level shifts and poisoned by the outliers themselves; the
+    * median/MAD pair is the standard robust alternative). The classic
+    * rule |x − median| > 3·MAD evaluates as EXACT integers by scaling:
+    * `med2 = 2·median(cnt)` and `mad4 = 2·median(|2·cnt − med2|)` are
+    * integers (a median of integers is integral or half-integral, so
+    * doubling is exact in the double the percentile returns, and the
+    * long cast loses nothing), and the flag is the cross-multiply
+    * `2·dev2 > 3·mad4` — no float folds, engine-exact. A constant
+    * series has MAD = 0 and flags ANY deviation — the standard MAD
+    * degeneracy, surfaced rather than smoothed.
+    *
+    * Shape: one hash aggregate to the daily counts (dimension scale),
+    * two per-series percentile aggregates over that frame, two
+    * broadcast-sized joins back; the daily and deviation frames are
+    * pinned (each feeds two readers — the q225 rule).
+    */
+  def robustAnomalies(events: DataFrame, typeCol: String, tsCol: String,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    val daily = Checkpoints.pin(
+      events.groupBy(col(typeCol).as("series"),
+          to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("cnt")),
+      checkpointDir, eager = false)
+    val med = daily.groupBy(col("series"))
+      .agg((percentile(col("cnt"), lit(0.5)) * 2).cast("long").as("med2"))
+    val dev = Checkpoints.pin(
+      daily.join(broadcast(med), "series")
+        .withColumn("dev2", abs(col("cnt") * 2 - col("med2"))),
+      checkpointDir, eager = false)
+    val mad = dev.groupBy(col("series"))
+      .agg((percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), "series")
+      .select(col("series"), col("day"), col("cnt"), col("med2"),
+        col("dev2"), col("mad4"),
+        (col("dev2") * 2 > col("mad4") * 3).as("is_anomaly"))
+  }
+
   /** Next-item recommendation table from a consecutive-pair frame
     * (the shared transition edge source — same input contract as the
     * graph family, the q208 lesson: ops REUSE the pair stage, they

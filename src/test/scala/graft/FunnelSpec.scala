@@ -568,4 +568,37 @@ class FunnelSpec extends AnyFunSuite {
       ("a", 2L, "c", 1L, 200000L),  // tie with d: c wins on item asc
       ("b", 1L, "a", 1L, 1000000L)))
   }
+
+  test("robustAnomalies: integer median/MAD scaling hand-traced, incl. a half-integral median; 3-MAD cross-multiply flags") {
+    import graft.ops.Behavior
+    // series a daily counts 10,12,9,10,14,10,40: median 10 (med2 20),
+    // dev2 = |2c−20| = 0,4,2,0,8,0,60 -> MAD median 2 (mad4 4); flags
+    // where 2·dev2 > 12: the 14-count day AND the 40-count day —
+    // exactly what q210's trailing mean smooths over.
+    // series b counts 10,20: median 15 (half-integral -> med2 = 30
+    // EXACT), dev2 = 10,10, mad4 = 20, no flags.
+    val counts = Seq(("a", 1, 10), ("a", 2, 12), ("a", 3, 9),
+      ("a", 4, 10), ("a", 5, 14), ("a", 6, 10), ("a", 7, 40),
+      ("b", 1, 10), ("b", 2, 20))
+    val events = counts.flatMap { case (s, d, n) =>
+        Seq.fill(n)((s, d)) }
+      .toDF("series", "d")
+      .select($"series",
+        to_timestamp(concat(lit("2024-01-0"), $"d")).as("ts"))
+    val got = Behavior.robustAnomalies(events, "series", "ts")
+      .select($"series", dayofmonth($"day"), $"cnt", $"med2", $"dev2",
+        $"mad4", $"is_anomaly")
+      .as[(String, Int, Long, Long, Long, Long, Boolean)]
+      .collect().toSet
+    assert(got === Set(
+      ("a", 1, 10L, 20L, 0L, 4L, false),
+      ("a", 2, 12L, 20L, 4L, 4L, false),
+      ("a", 3, 9L, 20L, 2L, 4L, false),
+      ("a", 4, 10L, 20L, 0L, 4L, false),
+      ("a", 5, 14L, 20L, 8L, 4L, true),
+      ("a", 6, 10L, 20L, 0L, 4L, false),
+      ("a", 7, 40L, 20L, 60L, 4L, true),
+      ("b", 1, 10L, 30L, 10L, 20L, false),
+      ("b", 2, 20L, 30L, 10L, 20L, false)))
+  }
 }
