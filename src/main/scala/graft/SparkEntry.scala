@@ -3400,8 +3400,8 @@ object SparkEntry {
 
     // referential-integrity matrix: three real TPC-H FK edges (the
     // value is the zero-orphan green) plus a deliberately-incomplete
-    // parent (customers capped at key 100) proving the anti-join
-    // actually counts orphans at the gate
+    // parent (customers capped at key 100) proving the orphan counter
+    // (the left join's null-parent branch) actually counts at the gate
     "q239_fk_audit" -> ((s, dir) => {
       val P = graft.ops.Profile
       P.fkAudit(Tables.lineitem(s, dir), "l_orderkey",

@@ -66,25 +66,6 @@ object Behavior {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Behavior log → SEQUENTIAL training data: one row per (user,
-    * session) with the session's item sequence in event order — the
-    * assembly step for next-item-prediction / session-based
-    * recommendation corpora (and the bridge from the reference's
-    * behavior analytics to the training-data side of this engine).
-    * Sessions split on inactivity gaps > `gapS` seconds (computed on
-    * floored epoch seconds so any engine reproduces the boundary);
-    * events order by (`tsCol`, `idCol`) — a total order, so sequences
-    * are engine-deterministic.
-    *
-    * Shape: two Windows over the per-user partition (gap flag via lag,
-    * session id via running sum — user_id is high-cardinality, so the
-    * partition sort distributes; this is the q76 cost class, NOT the
-    * low-cardinality WindowExec trap) + one hash aggregate whose
-    * in-row array_sort builds the sequence (a session's events fit a
-    * row by construction — sessions are gap-bounded).
-    *
-    * Output: (user_id, s_id, session_start_s, n_items, item_seq).
-    */
   /** The gap-rule session-id stage shared by [[sessionSequences]] and
     * [[bounceRate]] (ONE copy of the boundary rule — the
     * transitionPairs single-edge-contract discipline): a session
@@ -106,6 +87,25 @@ object Behavior {
       .drop("_new_s")
   }
 
+  /** Behavior log → SEQUENTIAL training data: one row per (user,
+    * session) with the session's item sequence in event order — the
+    * assembly step for next-item-prediction / session-based
+    * recommendation corpora (and the bridge from the reference's
+    * behavior analytics to the training-data side of this engine).
+    * Sessions split on inactivity gaps > `gapS` seconds (computed on
+    * floored epoch seconds so any engine reproduces the boundary);
+    * events order by (`tsCol`, `idCol`) — a total order, so sequences
+    * are engine-deterministic.
+    *
+    * Shape: two Windows over the per-user partition (gap flag via lag,
+    * session id via running sum — user_id is high-cardinality, so the
+    * partition sort distributes; this is the q76 cost class, NOT the
+    * low-cardinality WindowExec trap) + one hash aggregate whose
+    * in-row array_sort builds the sequence (a session's events fit a
+    * row by construction — sessions are gap-bounded).
+    *
+    * Output: (user_id, s_id, session_start_s, n_items, item_seq).
+    */
   def sessionSequences(events: DataFrame, userCol: String, itemCol: String,
                        tsCol: String, idCol: String,
                        gapS: Long = 1800L): DataFrame = {

@@ -513,7 +513,7 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("q239/q246: FK audit anti-joins stay equi-joins; the next-item rank is WindowGroupLimit pre-pruned") {
+  test("q239/q246: FK audit stays four equi left joins (single-pass form); the next-item rank is WindowGroupLimit pre-pruned") {
     // every FK edge is ONE equi LEFT join + ONE aggregate over a
     // single child scan — all four joins must stay hash/merge
     // equi-joins, and nothing may nest or go cartesian
