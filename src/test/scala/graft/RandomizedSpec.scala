@@ -383,4 +383,81 @@ class RandomizedSpec extends AnyFunSuite {
     // losers are unique (one row per dropped member)
     assert(losers.map(_._1).distinct.length === losers.length)
   }
+
+  test("growthAccounting matches an independent set-algebra reference on random activity matrices (seeded)") {
+    import graft.ops.Behavior
+    val rnd = new scala.util.Random(4247)
+    for (trial <- 1 to 20) {
+      val nUsers = 3 + rnd.nextInt(12)
+      val nDays = 3 + rnd.nextInt(10)
+      // mixed-congruential activity (the pseudo-noise rule), ~55% on
+      val active = (for {
+        u <- 1 to nUsers; d <- 1 to nDays
+        if ((u * 2654435761L + d * 40503L + trial * 69427L) >>> 7) % 100 < 55
+      } yield (u.toLong, d)).toSet
+      if (active.nonEmpty) {
+        val events = active.toSeq.flatMap { case (u, d) =>
+            // duplicate events per user-day: the distinct rule
+            Seq.fill(1 + ((u + d) % 2).toInt)((u, d)) }
+          .toDF("user_id", "d")
+          .select($"user_id",
+            to_timestamp(concat(lit("2024-02-"), format_string("%02d", $"d"),
+              lit(" 08:00:00"))).as("ts"))
+        val got = Behavior.growthAccounting(events, "user_id", "ts")
+          .select(dayofmonth($"day"), $"new_users", $"retained_users",
+            $"resurrected_users", $"churned_users")
+          .as[(Int, Long, Long, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+        // independent reference: plain set algebra over the matrix
+        val maxDay = active.map(_._2).max
+        val byDay = (1 to maxDay).map(d =>
+          d -> active.filter(_._2 == d).map(_._1)).toMap
+        val firstDay = active.groupBy(_._1).map { case (u, s) =>
+          u -> s.map(_._2).min }
+        for (d <- 1 to maxDay) {
+          val today = byDay(d)
+          val yday = if (d > 1) byDay(d - 1) else Set.empty[Long]
+          val nNew = today.count(u => firstDay(u) == d)
+          val nRet = (today & yday).size
+          val nRes = today.size - nNew - nRet
+          val nChu = if (d > 1) (yday -- today).size else 0
+          val exp = (nNew.toLong, nRet.toLong, nRes.toLong, nChu.toLong)
+          val g = got.getOrElse(d, (0L, 0L, 0L, 0L))
+          assert(g === exp, s"trial $trial day $d: got $g expected $exp")
+        }
+      }
+    }
+  }
+
+  test("kHopDistances equals brute-force BFS on random graphs (seeded)") {
+    import graft.ops.Graph
+    val rnd = new scala.util.Random(4246)
+    for (trial <- 1 to 15) {
+      val n = 5 + rnd.nextInt(15)
+      val edges = (for {
+        a <- 1 to n; b <- (a + 1) to n
+        if ((a * 48271L + b * 16807L + trial * 69427L) >>> 5) % 100 < 18
+      } yield (a.toLong, b.toLong)).toSeq
+      val seeds = (1 to n).filter(u =>
+        (u * 7919L + trial) % 7 == 0).map(_.toLong)
+      if (edges.nonEmpty && seeds.nonEmpty) {
+        val rounds = 1 + rnd.nextInt(4)
+        val got = Graph.kHopDistances(edges.toDF("a", "b"), "a", "b",
+            seeds.toDF("id"), "id", rounds)
+          .as[(Long, Long)].collect().toMap
+        // reference BFS
+        val adj = (edges ++ edges.map(e => (e._2, e._1)))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        var dist = seeds.map(_ -> 0L).toMap
+        var frontier = seeds.toSet
+        for (r <- 1 to rounds) {
+          val next = frontier.flatMap(u => adj.getOrElse(u, Set.empty))
+            .filterNot(dist.contains)
+          dist = dist ++ next.map(_ -> r.toLong)
+          frontier = next
+        }
+        assert(got === dist, s"trial $trial rounds $rounds")
+      }
+    }
+  }
 }
