@@ -3465,6 +3465,18 @@ object SparkEntry {
         "o_orderpriority", "n_lines", Seq(0.5 -> "p50", 0.9 -> "p90"))
     }),
 
+    // dup-cluster size histogram over the q65 components, singletons
+    // folded from the corpus total — the dedup observability read
+    "q248_dup_cluster_sizes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.clusterSizeHistogram(docs, "doc_id",
+        Dedup.connectedComponents(
+          Dedup.lshCandidates(
+            Dedup.minhashBands(docs, "doc_id", "text"),
+            maxBucketSize = Int.MaxValue),
+          "doc_a", "doc_b"))
+    }),
+
     // median/MAD robust anomaly flags on the daily series counts —
     // level-shift-proof where q210's trailing mean is not; the flag is
     // the exact integer cross-multiply 2*dev2 > 3*mad4
@@ -8840,6 +8852,32 @@ object SparkEntry {
         |       count(*) AS cnt
         |FROM orders o JOIN sz ON sz.l_orderkey = o.o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    // q65's recursive-walk components + the size histogram, singleton
+    // row folded from the corpus total
+    "q248_dup_cluster_sizes" ->
+      s"""$duckBandsCte,
+         |$duckEdgesBody,
+         |walk AS (
+         |  WITH RECURSIVE w(v, l) AS (
+         |    SELECT s, s FROM edges
+         |    UNION
+         |    SELECT e.s, w.l FROM edges e JOIN w ON e.t = w.v)
+         |  SELECT * FROM w),
+         |cc AS (SELECT v AS id, min(l) AS component FROM walk GROUP BY v),
+         |sizes AS (
+         |  SELECT component, count(*)::BIGINT AS cluster_size
+         |  FROM cc GROUP BY 1),
+         |hist AS (
+         |  SELECT cluster_size, count(*)::BIGINT AS n_clusters
+         |  FROM sizes GROUP BY 1),
+         |tot AS (SELECT count(doc_id)::BIGINT AS total FROM documents),
+         |icc AS (SELECT count(*)::BIGINT AS n FROM cc)
+         |SELECT cluster_size, n_clusters FROM hist
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) AS cluster_size,
+         |       CAST(tot.total - icc.n AS BIGINT) AS n_clusters
+         |FROM tot, icc WHERE tot.total - icc.n > 0""".stripMargin,
 
     "q247_robust_anomalies" ->
       """WITH daily AS (

@@ -1103,4 +1103,32 @@ object Dedup {
           .as("dist"))
       .filter(col("dist") >= 0)
   }
+
+  /** Duplicate-cluster SIZE distribution — the dedup observability
+    * read ("how much of the corpus sits in how-big clusters") behind
+    * every dedup dashboard: one row per cluster size with the number
+    * of clusters of that size, INCLUDING the singleton row folded
+    * from the corpus total (nodes in no candidate pair never reach
+    * [[connectedComponents]]; reporting them is the point — a corpus
+    * that is 95% singletons dedups very differently from one that is
+    * 95% one giant component). Components from edges always have
+    * size ≥ 2, so the singleton row never collides.
+    *
+    * Shape: two hash aggregates over the component assignment
+    * (component → size → histogram) + two 1-row counts; work ∝ the
+    * assignment frame, never the corpus text.
+    */
+  def clusterSizeHistogram(corpus: DataFrame, idCol: String,
+                           cc: DataFrame): DataFrame = {
+    val sizes = cc.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singles = corpus.agg(count(col(idCol)).as("_total"))
+      .crossJoin(broadcast(cc.agg(count(lit(1)).as("_in_cc"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("_total") - col("_in_cc")).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    hist.unionByName(singles)
+  }
 }

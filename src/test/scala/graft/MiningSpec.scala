@@ -856,6 +856,23 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterSizeHistogram: size histogram over components, singleton mass folded from the corpus total") {
+    // corpus 1..6, edges (1,2)(2,3)(4,5): one size-3, one size-2, and
+    // doc 6 never reaches the component frame — the singleton fold
+    val corpus = (1L to 6L).toDF("doc_id")
+    val cc = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b"),
+      "doc_a", "doc_b")
+    val got = Dedup.clusterSizeHistogram(corpus, "doc_id", cc)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((3L, 1L), (2L, 1L), (1L, 1L)))
+    // every doc in some pair: the singleton row must NOT emit as zero
+    val full = Dedup.clusterSizeHistogram((1L to 5L).toDF("doc_id"),
+        "doc_id", cc)
+      .as[(Long, Long)].collect().toSet
+    assert(full === Set((3L, 1L), (2L, 1L)))
+  }
+
   test("labelPropagation: a weak bridge separates what CC glues; deterministic; layout-independent") {
     // two triangles joined by ONE bridge edge 3-4: transitive closure
     // merges everything; the LPA majority vote keeps them apart
