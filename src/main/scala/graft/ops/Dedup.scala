@@ -1036,7 +1036,14 @@ object Dedup {
     * nested-loop against the whole frame — sound for any input, and
     * sized by the short class (tiny for real title/text data; the
     * fallback is the documented cost of keeping the filter LOSSLESS
-    * rather than dropping short strings silently).
+    * rather than dropping short strings silently). That cost is
+    * OBSERVABLE, not just documented: `maxShorts` caps the short
+    * class and the op RAISES past it — on a corpus dominated by
+    * short strings the fallback degenerates to a near-quadratic
+    * join, and the raise surfaces that before it burns a cluster
+    * (the observable-cap rule; the default Long.MaxValue keeps the
+    * op lossless-by-default and matches the uncapped q228 oracle —
+    * the q22/q163 uncapped-oracle convention).
     *
     * The q228 oracle verifies completeness relationally: DuckDB
     * computes the EXHAUSTIVE banded join, so a green row proves the
@@ -1046,15 +1053,35 @@ object Dedup {
     */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         maxDist: Int, gramLen: Int = 3,
+                        maxShorts: Long = Long.MaxValue,
                         checkpointDir: Option[String] = None): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
     require(gramLen >= 2, "gramLen must be >= 2")
+    require(maxShorts >= 0, "maxShorts must be >= 0")
     val prefixLen = gramLen * maxDist + 1
     val minLong = gramLen * (maxDist + 1)
     val base = docs.select(col(idCol).as("id"), col(textCol).as("t"),
       length(col(textCol)).as("len"))
     val longs = base.filter(col("len") >= minLong)
-    val shorts = base.filter(col("len") < minLong)
+    val shortsRaw = base.filter(col("len") < minLong)
+    // the observable cap on the quadratic-fallback class: guard the
+    // SHORT side before its nested-loop join, so an over-cap corpus
+    // raises at the first short row rather than mid-way through the
+    // degenerate join (cap = Long.MaxValue compiles the guard away)
+    val shorts =
+      if (maxShorts == Long.MaxValue) shortsRaw
+      else shortsRaw
+        .crossJoin(broadcast(shortsRaw.agg(count(lit(1)).as("_nshort"))))
+        .select(col("id"),
+          when(col("_nshort") > maxShorts,
+            raise_error(concat(
+              lit("editDistancePairs: short-string fallback class has "),
+              col("_nshort").cast("string"),
+              lit(s" rows (> maxShorts = $maxShorts) — the banded " +
+                "nested-loop would go near-quadratic; raise the cap " +
+                "only if that cost is intended"))))
+            .otherwise(col("t")).as("t"),
+          col("len"))
     // pinned: the gram frame feeds BOTH the frequency aggregate and
     // the prefix pick, and the prefix frame feeds BOTH sides of the
     // candidate self-join — unpinned, the explode/freq/Window subtree

@@ -106,9 +106,17 @@ object Scd {
       .select(col(keyCol), col("_w.ts").as("ts"), col("_w.tie").as("tie"),
         col("_w.op").as("op"), col("_w.state").as("state"))
 
-  /** The serving read of a [[cdcState]] artifact: drop tombstones. */
+  /** The serving read of a [[cdcState]] artifact: drop tombstones.
+    * A NULL op is malformed state (every writer in the family stamps
+    * one) and RAISES rather than null-filtering the row out silently —
+    * the raise-loudly convention [[graft.ops.TextAnalysis.indexMergeSlices]]
+    * set for the store families.
+    */
   def cdcServe(state: DataFrame): DataFrame =
-    state.filter(col("op") =!= lit("delete"))
+    state.filter(
+      when(col("op").isNull,
+        raise_error(lit("cdcServe: null op in CDC state — malformed row")))
+        .otherwise(col("op") =!= lit("delete")))
 
   /** Incremental CDC merge: fold a raw change-log slice into an
     * existing [[cdcState]] artifact. Per key the newer of (stored row,
@@ -159,13 +167,30 @@ object Scd {
   def scd2Apply(dim: DataFrame, changes: DataFrame, keyCol: String,
                 tsCol: String, tieCol: String, stateCol: String): DataFrame = {
     val tieType = changes.schema(tieCol).dataType
+    // the seed sentinel −1 must sort BEFORE every real change row at an
+    // equal ts, which only holds for numeric non-negative ties ("-1" is
+    // not minimal in string order, and a real tie of −5 would sort
+    // before the seed and silently mis-version past the predating-slice
+    // guard) — so the tie contract is ENFORCED, not assumed: numeric
+    // type at plan time, tie ≥ 0 per row at run time (raise, the
+    // observable-cap rule)
+    require(tieType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"scd2Apply: tieCol '$tieCol' must be numeric (the seed rows sort " +
+        s"with a -1 sentinel at equal ts); got $tieType")
     val cur = dim.filter(col("is_current"))
     val seeds = cur.select(col(keyCol), col("valid_from").as(tsCol),
       lit(-1).cast(tieType).as(tieCol), col("state").as(stateCol))
     val offsets = cur.select(col(keyCol), (col("version") - 1L).as("_voff"),
       col("valid_from").as("_cvf"))
     val unioned = seeds.unionByName(
-      changes.select(col(keyCol), col(tsCol), col(tieCol), col(stateCol)))
+      changes.select(col(keyCol), col(tsCol),
+        when(col(tieCol).isNull || col(tieCol) < 0,
+          raise_error(concat(lit("scd2Apply: tie must be a non-negative " +
+            "number (the seed sentinel is -1) — got "),
+            coalesce(col(tieCol).cast("string"), lit("null")),
+            lit(" for key "), col(keyCol).cast("string"))))
+          .otherwise(col(tieCol)).as(tieCol),
+        col(stateCol)))
     val fresh = scd2(unioned, keyCol, tsCol, tieCol, stateCol)
       .join(offsets, Seq(keyCol), "left")
       .withColumn("version", col("version") + coalesce(col("_voff"), lit(0L)))

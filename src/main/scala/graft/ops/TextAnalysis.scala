@@ -1385,10 +1385,30 @@ object TextAnalysis {
     * cannot recover N (capped postings), so the corpus count travels
     * as a frame, not a driver-side literal.
     */
+  /** Defensive collapse of a by-contract 1-row scalar frame before it
+    * crossJoins into a posting frame: re-aggregate to exactly one row
+    * and RAISE if the caller's frame held more (a multi-row frame
+    * would silently multiply every posting row and corrupt scores —
+    * the observable-cap rule applied to scalar contracts). An empty
+    * frame still yields one row with a null scalar: scores go null
+    * rather than rows multiplying, and the empty-corpus case has no
+    * postings to rank anyway.
+    */
+  private def oneRowScalar(f: DataFrame, colName: String,
+                           op: String): DataFrame =
+    f.agg(count(lit(1)).as("_nr"), max(col(colName)).as("_v"))
+      .select(
+        when(col("_nr") <= 1L, col("_v"))
+          .otherwise(raise_error(concat(
+            lit(s"$op: the $colName scalar frame must have exactly one " +
+              "row by contract, got "), col("_nr").cast("string"))))
+          .as(colName))
+
   def bm25Query(index: DataFrame, nDocs: DataFrame, k: Int,
                 checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val idx = Checkpoints.pin(index, checkpointDir, eager = false)
+    val n1 = oneRowScalar(nDocs, "n_docs", "bm25Query")
     val top2 = idx.select(col("token"), col("df")).distinct()
       .orderBy(col("df").desc, col("token").asc).limit(2)
     val ab = top2.agg(min(col("token")).as("ta"), max(col("token")).as("tb"))
@@ -1400,7 +1420,7 @@ object TextAnalysis {
     // decimal→double cast is correctly rounded like the int64 one was
     def postings(term: String, sfx: String) =
       idx.join(broadcast(ab), col("token") === col(term))
-        .crossJoin(broadcast(nDocs)) // 1 row by contract
+        .crossJoin(broadcast(n1)) // exactly 1 row — enforced above
         .select(col("doc_id"), col("tf").as(s"tf_$sfx"),
           (d38(lit(11L) * col("tf")) *
             d38(lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)))
@@ -1479,7 +1499,7 @@ object TextAnalysis {
         lit("use bm25Query or shard the corpus")))).otherwise(c)
     val posts = idx.join(broadcast(ab),
         col("token") === col("ta") || col("token") === col("tb"))
-      .crossJoin(broadcast(nDocs)) // 1 row by contract
+      .crossJoin(broadcast(oneRowScalar(nDocs, "n_docs", "taTopK")))
       .select(col("token"), (col("token") === col("ta")).as("is_a"),
         col("doc_id"), col("tf"),
         guarded(d38(lit(11L) * col("tf")) *

@@ -2111,6 +2111,44 @@ class MiningSpec extends AnyFunSuite {
     assert(got.size === got.map(p => (p._1, p._2)).size)
   }
 
+  test("editDistancePairs: the short-class cap surfaces the quadratic fallback; under-cap unchanged") {
+    import graft.ops.Dedup
+    // gramLen 3, maxDist 2 → short class is len < 9: four of five rows
+    val d = Seq((1L, "abc"), (2L, "abd"), (3L, "abce"), (4L, "xy"),
+      (5L, "a long enough string")).toDF("doc_id", "title")
+    val e = intercept[Exception] {
+      Dedup.editDistancePairs(d, "doc_id", "title", maxDist = 2,
+        gramLen = 3, maxShorts = 2L).collect()
+    }
+    assert(e.getMessage.contains("maxShorts") ||
+      e.getCause != null && e.getCause.getMessage.contains("maxShorts"))
+    // a cap the class fits under changes nothing vs the uncapped run
+    val capped = Dedup.editDistancePairs(d, "doc_id", "title",
+        maxDist = 2, gramLen = 3, maxShorts = 4L)
+      .as[(Long, Long, Long)].collect().toSet
+    val uncapped = Dedup.editDistancePairs(d, "doc_id", "title",
+        maxDist = 2, gramLen = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped === uncapped && capped.contains((1L, 2L, 1L)))
+  }
+
+  test("bm25Query/taTopK raise on a multi-row scalar frame instead of multiplying postings") {
+    val df = docs((1L, "a b a", "s"), (2L, "a b b", "s"), (3L, "b", "s"))
+    val idx = TextAnalysis.invertedIndex(df, "doc_id", "text",
+      maxPostings = 10)
+    // two rows where the contract says one: the crossJoin would have
+    // silently doubled every posting row and corrupted scores
+    val twoRows = Seq(3L, 4L).toDF("n_docs")
+    for (q <- Seq(
+      () => TextAnalysis.bm25Query(idx, twoRows, k = 5).collect(),
+      () => TextAnalysis.taTopK(idx, twoRows, k = 1, m = 10).collect())) {
+      val e = intercept[Exception] { q() }
+      assert(e.getMessage.contains("exactly one") ||
+        e.getCause != null &&
+          e.getCause.getMessage.contains("exactly one"))
+    }
+  }
+
   test("taTopK: pruned read equals exhaustive bm25Query when certified; uncertifiable m raises") {
     // m covers the whole lists → trivially certified, ≡ exhaustive
     val df = docs(

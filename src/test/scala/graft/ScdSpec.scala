@@ -176,6 +176,51 @@ class ScdSpec extends AnyFunSuite {
       ex.getCause != null && ex.getCause.getMessage.contains("scd2Apply"))
   }
 
+  test("cdcServe raises on a null op instead of silently dropping the row") {
+    // op =!= 'delete' on a null op is null-false: the row would vanish
+    // from the serve read without a trace (ADVICE r16) — malformed
+    // state raises loudly instead
+    val state = Seq((1L, 10L, 1L, "upsert", "a"),
+        (2L, 20L, 2L, null.asInstanceOf[String], "b"))
+      .toDF("user_id", "sec", "tie", "op", "state")
+      .select($"user_id", timestamp_seconds($"sec").as("ts"),
+        $"tie", $"op", $"state")
+    val ex = intercept[Exception] { Scd.cdcServe(state).collect() }
+    assert(ex.getMessage.contains("null op") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("null op"))
+  }
+
+  test("scd2Apply enforces the tie contract: numeric type required, negative/null tie raises") {
+    val dim = Scd.scd2(changes((1L, 10L, 1L, "a")), "user_id", "ts",
+      "event_id", "state")
+    // a STRING tie cannot sort after the -1 seed sentinel ("-1" is not
+    // minimal in string order) — rejected at plan time
+    val strTie = Seq((1L, 20L, "z9", "b"))
+      .toDF("user_id", "sec", "event_id", "state")
+      .select($"user_id", timestamp_seconds($"sec").as("ts"),
+        $"event_id", $"state")
+    intercept[IllegalArgumentException] {
+      Scd.scd2Apply(dim, strTie, "user_id", "ts", "event_id", "state")
+    }
+    // a NEGATIVE tie would sort before the seed at equal ts and
+    // mis-version silently — raises per row instead
+    val negTie = changes((1L, 20L, -5L, "b"))
+    val ex = intercept[Exception] {
+      Scd.scd2Apply(dim, negTie, "user_id", "ts", "event_id", "state")
+        .collect()
+    }
+    assert(ex.getMessage.contains("non-negative") ||
+      ex.getCause != null &&
+        ex.getCause.getMessage.contains("non-negative"))
+    // a non-negative tie at the current version's exact ts still works
+    // (the seed must win the tie): same state collapses into the seed
+    val ok = Scd.scd2Apply(dim, changes((1L, 10L, 0L, "a")),
+        "user_id", "ts", "event_id", "state")
+      .select($"user_id", $"state", $"is_current", $"version")
+      .as[(Long, String, Boolean, Long)].collect().toSet
+    assert(ok === Set((1L, "a", true, 1L)))
+  }
+
   test("scd2: a key whose FIRST change row has a null state still versions it") {
     // lag-on-state conflates "no previous row" with "previous state
     // was null" — the first row must version regardless (r16 review)
