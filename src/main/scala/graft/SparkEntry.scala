@@ -42,6 +42,18 @@ object SparkEntry {
       .filter(col("nxt").isNotNull && col("nxt") =!= col("item_id"))
   }
 
+  /** The capped serving view over the WRITTEN inverted-index store
+    * ([[Stores.index]]): bucket-file read → zero-Exchange tf-sum merge
+    * → the shared capped read body. The retrieval family's index
+    * source (q203/q206/q207/q223) — postings come off disk, never a
+    * per-query corpus rescan (the store is built once per process;
+    * real engines build it once per ingest, ever).
+    */
+  private def storedIndex(s: SparkSession, dir: String,
+                          maxPostings: Int): DataFrame =
+    TextAnalysis.cappedIndex(
+      TextAnalysis.indexMergeSlices(Stores.index(s, dir)), maxPostings)
+
   /** The corpus's most frequent word bigram — the deterministic query
     * term pair the retrieval reads (q209/q238) share; count-desc with
     * (w1, w2) tie-break so every SF picks the same pair.
@@ -2957,13 +2969,13 @@ object SparkEntry {
       TextAnalysis.invertedIndex(Tables.documents(s, dir), "doc_id",
         "text", maxPostings = 5)),
 
-    // AND-query served from the capped index: the two highest-df
-    // terms (the worst-case intersection), top-20 by combined tf;
-    // everything after the vocab argmax runs at serving scale
+    // AND-query served from the capped view over the WRITTEN index
+    // store: the two highest-df terms (the worst-case intersection),
+    // top-20 by combined tf; everything after the vocab argmax runs
+    // at serving scale, and the corpus text is never rescanned
     "q203_and_query" -> ((s, dir) =>
-      TextAnalysis.andQuery(
-        TextAnalysis.invertedIndex(Tables.documents(s, dir), "doc_id",
-          "text", maxPostings = 1000), k = 20)),
+      TextAnalysis.andQuery(storedIndex(s, dir, maxPostings = 1000),
+        k = 20)),
 
     // inverted-index WAREHOUSE: each doc's text arrives split across
     // two slices (the append-log case — first-half words in slice 0,
@@ -3028,25 +3040,20 @@ object SparkEntry {
     // rational idf surrogate, both exact integer ratios (k1 = 6/5, no
     // ln/exp), summed by cross-multiplication — ONE correctly-rounded
     // double division ranks, so both engines sort identical doubles
-    "q206_bm25" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      TextAnalysis.bm25Query(
-        TextAnalysis.invertedIndex(d, "doc_id", "text",
-          maxPostings = 1000),
-        d.agg(countDistinct(col("doc_id")).as("n_docs")), k = 20)
-    }),
+    // index AND corpus count both come off the store pair (postings +
+    // norms file) — the query plan touches no corpus text at all
+    "q206_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Query(storedIndex(s, dir, maxPostings = 1000),
+        Stores.norms(s, dir)
+          .agg(countDistinct(col("doc_id")).as("n_docs")), k = 20)),
 
     // full BM25 with length normalization (b = 3/4, k1 = 6/5): the
     // norms store supplies dl and the corpus scalars; each term's
     // score is ONE correctly-rounded division of exact integers and
     // the OR sum ONE addition in fixed order — bit-exact both engines
-    "q207_bm25_full" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      TextAnalysis.bm25FullQuery(
-        TextAnalysis.invertedIndex(d, "doc_id", "text",
-          maxPostings = 1000),
-        TextAnalysis.docNorms(d, "doc_id", "text"), k = 20)
-    }),
+    "q207_bm25_full" -> ((s, dir) =>
+      TextAnalysis.bm25FullQuery(storedIndex(s, dir, maxPostings = 1000),
+        Stores.norms(s, dir), k = 20)),
 
     // PageRank over the item-transition graph (integer micro-ranks,
     // 3 power iterations, d = 0.85 exact): which items anchor the
@@ -3264,13 +3271,11 @@ object SparkEntry {
     // margin while still pruning the ≤1000-posting lists), and the
     // oracle is the EXHAUSTIVE q206 scoring: green = the pruned read
     // provably returns the exhaustive top-20
-    "q223_ta_topk" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      TextAnalysis.taTopK(
-        TextAnalysis.invertedIndex(d, "doc_id", "text",
-          maxPostings = 1000),
-        d.agg(countDistinct(col("doc_id")).as("n_docs")), k = 20, m = 256)
-    }),
+    "q223_ta_topk" -> ((s, dir) =>
+      TextAnalysis.taTopK(storedIndex(s, dir, maxPostings = 1000),
+        Stores.norms(s, dir)
+          .agg(countDistinct(col("doc_id")).as("n_docs")),
+        k = 20, m = 256)),
 
     // LOCF gap-fill: the dense per-series hourly grid with missing
     // hours carrying the last observed count forward, observed=false

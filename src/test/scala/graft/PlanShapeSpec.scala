@@ -436,6 +436,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q203/q206/q207/q223: retrieval reads the WRITTEN index store — bucketed zero-Exchange merge, no corpus rescan") {
+    // the store merge plan: bucket files already satisfy the
+    // (token, doc_id) clustering, so the tf-sum merge needs no shuffle
+    val mp = graft.ops.TextAnalysis.indexMergeSlices(
+        Stores.index(spark, dir))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(mp.contains("Bucketed: true"), s"index store scan not bucketed:\n$mp")
+    assert(!mp.contains("Exchange"), s"bucketed store merge shuffled:\n$mp")
+    // and the norms file is one narrow store projection the same way
+    val np = Stores.norms(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(np.contains("graft_norms_"), s"norms not store-backed:\n$np")
+    // every retrieval query serves from the store pair — the corpus
+    // parquet never appears in the plan (the q245 store-read posture)
+    for (q <- Seq("q203_and_query", "q206_bm25", "q207_bm25_full",
+        "q223_ta_topk")) {
+      val p = plan(q)
+      assert(!p.contains("documents.parquet"),
+        s"$q rescans the corpus instead of reading the store:\n$p")
+    }
+  }
+
   test("q169: novelty gate — text never shuffles; the store join is on narrow shingle rows") {
     val p = plan("q169_novelty_gate")
     assert(!p.contains(") Window"), "the gate is joins + hash aggregates")
