@@ -3071,25 +3071,23 @@ object SparkEntry {
         .select(col("id").as("node"), col("rank_units").as("rank_micro"))
     }),
 
-    // phrase query on the positional index: the corpus's most frequent
+    // phrase query SERVED FROM the written positional store (the
+    // q206 posture — postings come off bucket files, the corpus is
+    // never posexploded at query time): the corpus's most frequent
     // bigram (count desc, lexicographic tie-break — deterministic at
     // every SF) served as an exact-adjacency phrase match; the >= 2
     // filter guards Spark's descending sequence(0, -1) on 1-word docs
-    "q209_phrase_query" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
+    "q209_phrase_query" -> ((s, dir) =>
       TextAnalysis.phraseQuery(
-        TextAnalysis.positionalPostings(d, "doc_id", "text"),
-        topCorpusBigram(d), k = 20)
-    }),
+        TextAnalysis.positionalMergeSlices(Stores.positional(s, dir)),
+        topCorpusBigram(Tables.documents(s, dir)), k = 20)),
 
     // the q209 phrase relaxed to "within 3 tokens after" — same
-    // positional index, same query terms, in-row pair counting
-    "q238_proximity_query" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
+    // positional store read, same query terms, in-row pair counting
+    "q238_proximity_query" -> ((s, dir) =>
       TextAnalysis.proximityQuery(
-        TextAnalysis.positionalPostings(d, "doc_id", "text"),
-        topCorpusBigram(d), k = 20, slop = 3)
-    }),
+        TextAnalysis.positionalMergeSlices(Stores.positional(s, dir)),
+        topCorpusBigram(Tables.documents(s, dir)), k = 20, slop = 3)),
 
     // traffic-spike detection: hourly series counts vs their trailing
     // 24-bucket window, the integer cross-multiply cnt·n > 2·Σ — no
@@ -3505,6 +3503,69 @@ object SparkEntry {
         Behavior.hourCountMerge(
           Behavior.hourCountSlices(ev, "item_id", "ts", "slice")),
         k = 20)
+    }),
+
+    // positional-index WAREHOUSE: each long doc's text arrives split
+    // across two slices, part B carrying its start OFFSET (the q204
+    // append-log case applied to positions — local posexplode pos +
+    // offset = the global position a rescan would assign); the merged
+    // read serves the q209 phrase. The oracle recomputes from the raw
+    // corpus, so green = offset-merge ≡ rescan — including bigrams
+    // that SPAN the slice boundary
+    "q249_pidx_store" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val words = split(col("text"), " ")
+      val n = size(words)
+      val whole = d.filter(size(split(col("text"), " ")) < 4)
+        .select(col("doc_id"), lit(0).as("slice"), col("text"),
+          lit(0).as("off"))
+      val big = d.filter(size(split(col("text"), " ")) >= 4)
+      val half = floor(n / 2).cast("int")
+      val partA = big.select(col("doc_id"), lit(0).as("slice"),
+        array_join(slice(words, lit(1), half), " ").as("text"),
+        lit(0).as("off"))
+      val partB = big.select(col("doc_id"), lit(1).as("slice"),
+        array_join(slice(words, half + 1, n - half), " ").as("text"),
+        half.as("off"))
+      val slices = TextAnalysis.positionalSlices(
+        whole.unionByName(partA).unionByName(partB),
+        "doc_id", "text", "slice", offsetCol = Some("off"))
+      TextAnalysis.phraseQuery(
+        TextAnalysis.positionalMergeSlices(slices),
+        topCorpusBigram(d), k = 20)
+    }),
+
+    // positional-store COMPACTION: generation 0 (the split slices 0+1)
+    // folds into one replacement slice, generation 1 (whole short
+    // docs, slice 2) stays; the re-merged read serves the q238
+    // proximity — compaction commutes with reads because the merge is
+    // an associative position-set union
+    "q250_pidx_compaction" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val words = split(col("text"), " ")
+      val n = size(words)
+      val whole = d.filter(size(split(col("text"), " ")) < 4)
+        .select(col("doc_id"), lit(2).as("slice"), col("text"),
+          lit(0).as("off"))
+      val big = d.filter(size(split(col("text"), " ")) >= 4)
+      val half = floor(n / 2).cast("int")
+      val partA = big.select(col("doc_id"), lit(0).as("slice"),
+        array_join(slice(words, lit(1), half), " ").as("text"),
+        lit(0).as("off"))
+      val partB = big.select(col("doc_id"), lit(1).as("slice"),
+        array_join(slice(words, half + 1, n - half), " ").as("text"),
+        half.as("off"))
+      val slices = TextAnalysis.positionalSlices(
+        whole.unionByName(partA).unionByName(partB),
+        "doc_id", "text", "slice", offsetCol = Some("off"))
+      val gen0 = TextAnalysis.positionalCompact(
+        slices.filter(col("slice") < 2), newSlice = 100L)
+      val gen1 = slices.filter(col("slice") === 2)
+        .select(col("slice").cast("long").as("slice"), col("token"),
+          col("doc_id"), col("tf"), col("positions"))
+      TextAnalysis.proximityQuery(
+        TextAnalysis.positionalMergeSlices(gen0.unionByName(gen1)),
+        topCorpusBigram(d), k = 20, slop = 3)
     }),
   )
 
@@ -4313,6 +4374,82 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Shared DuckDB phrase/proximity oracle bodies — q209 and the
+    * positional-store lifecycle entry q249 must satisfy the SAME
+    * phrase SQL (store merge ≡ corpus rescan); q238 and the
+    * compaction entry q250 share the proximity SQL the same way.
+    */
+  private val q209PhraseSql: String =
+    """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pr AS (
+        |  SELECT g.w1 AS w1, g.w2 AS w2 FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |             i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS g
+        |    FROM w WHERE len(ws) >= 2)),
+        |bg AS (
+        |  SELECT w1, w2 FROM (
+        |    SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2)
+        |  ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1),
+        |pos AS (
+        |  SELECT doc_id, g.t AS token, g.p AS p FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(generate_series(1, len(ws)),
+        |             i -> {'t': ws[i], 'p': i})) AS g
+        |    FROM w)),
+        |a AS (
+        |  SELECT doc_id, list_sort(list(p)) AS pa
+        |  FROM pos, bg WHERE token = w1 GROUP BY doc_id),
+        |b AS (
+        |  SELECT doc_id, list_sort(list(p)) AS pb
+        |  FROM pos, bg WHERE token = w2 GROUP BY doc_id),
+        |m AS (
+        |  SELECT a.doc_id,
+        |         len(list_intersect(list_transform(pa, p -> p + 1), pb))::BIGINT
+        |           AS n_matches
+        |  FROM a JOIN b USING (doc_id))
+        |SELECT doc_id, n_matches, rk FROM (
+        |  SELECT doc_id, n_matches,
+        |         row_number() OVER (ORDER BY n_matches DESC, doc_id ASC) AS rk
+        |  FROM m WHERE n_matches > 0)
+        |WHERE rk <= 20""".stripMargin
+
+  private val q238ProximitySql: String =
+    """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pr AS (
+        |  SELECT g.w1 AS w1, g.w2 AS w2 FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |             i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS g
+        |    FROM w WHERE len(ws) >= 2)),
+        |bg AS (
+        |  SELECT w1, w2 FROM (
+        |    SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2)
+        |  ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1),
+        |pos AS (
+        |  SELECT doc_id, g.t AS token, g.p AS p FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(generate_series(1, len(ws)),
+        |             i -> {'t': ws[i], 'p': i})) AS g
+        |    FROM w)),
+        |a AS (
+        |  SELECT doc_id, list_sort(list(p)) AS pa
+        |  FROM pos, bg WHERE token = w1 GROUP BY doc_id),
+        |b AS (
+        |  SELECT doc_id, list_sort(list(p)) AS pb
+        |  FROM pos, bg WHERE token = w2 GROUP BY doc_id),
+        |m AS (
+        |  SELECT a.doc_id,
+        |         CAST(list_sum(list_transform(pa,
+        |           p -> len(list_filter(pb, q -> q > p AND q <= p + 3))))
+        |           AS BIGINT) AS n_matches
+        |  FROM a JOIN b USING (doc_id))
+        |SELECT doc_id, n_matches, rk FROM (
+        |  SELECT doc_id, n_matches,
+        |         row_number() OVER (ORDER BY n_matches DESC, doc_id ASC) AS rk
+        |  FROM m WHERE n_matches > 0)
+        |WHERE rk <= 20""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q16_cep_login_fail" ->
       """WITH o AS (
@@ -6392,79 +6529,20 @@ object SparkEntry {
         |SELECT node, r AS rank_micro FROM r3""".stripMargin,
 
     // phrase adjacency replayed on 1-based positions (adjacency is
-    // shift-invariant vs Spark's 0-based posexplode)
-    "q209_phrase_query" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |pr AS (
-        |  SELECT g.w1 AS w1, g.w2 AS w2 FROM (
-        |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
-        |             i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS g
-        |    FROM w WHERE len(ws) >= 2)),
-        |bg AS (
-        |  SELECT w1, w2 FROM (
-        |    SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2)
-        |  ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1),
-        |pos AS (
-        |  SELECT doc_id, g.t AS token, g.p AS p FROM (
-        |    SELECT doc_id,
-        |           unnest(list_transform(generate_series(1, len(ws)),
-        |             i -> {'t': ws[i], 'p': i})) AS g
-        |    FROM w)),
-        |a AS (
-        |  SELECT doc_id, list_sort(list(p)) AS pa
-        |  FROM pos, bg WHERE token = w1 GROUP BY doc_id),
-        |b AS (
-        |  SELECT doc_id, list_sort(list(p)) AS pb
-        |  FROM pos, bg WHERE token = w2 GROUP BY doc_id),
-        |m AS (
-        |  SELECT a.doc_id,
-        |         len(list_intersect(list_transform(pa, p -> p + 1), pb))::BIGINT
-        |           AS n_matches
-        |  FROM a JOIN b USING (doc_id))
-        |SELECT doc_id, n_matches, rk FROM (
-        |  SELECT doc_id, n_matches,
-        |         row_number() OVER (ORDER BY n_matches DESC, doc_id ASC) AS rk
-        |  FROM m WHERE n_matches > 0)
-        |WHERE rk <= 20""".stripMargin,
+    // shift-invariant vs Spark's 0-based posexplode). The SAME oracle
+    // proves the store lifecycle entry: q249's Spark side merges
+    // offset-carrying split slices, so green = merge ≡ rescan
+    "q209_phrase_query" -> q209PhraseSql,
+    "q249_pidx_store" -> q209PhraseSql,
 
     // q209's positional machinery with the slop-3 pair count in place
-    // of the adjacency intersect
-    "q238_proximity_query" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |pr AS (
-        |  SELECT g.w1 AS w1, g.w2 AS w2 FROM (
-        |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
-        |             i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS g
-        |    FROM w WHERE len(ws) >= 2)),
-        |bg AS (
-        |  SELECT w1, w2 FROM (
-        |    SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2)
-        |  ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1),
-        |pos AS (
-        |  SELECT doc_id, g.t AS token, g.p AS p FROM (
-        |    SELECT doc_id,
-        |           unnest(list_transform(generate_series(1, len(ws)),
-        |             i -> {'t': ws[i], 'p': i})) AS g
-        |    FROM w)),
-        |a AS (
-        |  SELECT doc_id, list_sort(list(p)) AS pa
-        |  FROM pos, bg WHERE token = w1 GROUP BY doc_id),
-        |b AS (
-        |  SELECT doc_id, list_sort(list(p)) AS pb
-        |  FROM pos, bg WHERE token = w2 GROUP BY doc_id),
-        |m AS (
-        |  SELECT a.doc_id,
-        |         CAST(list_sum(list_transform(pa,
-        |           p -> len(list_filter(pb, q -> q > p AND q <= p + 3))))
-        |           AS BIGINT) AS n_matches
-        |  FROM a JOIN b USING (doc_id))
-        |SELECT doc_id, n_matches, rk FROM (
-        |  SELECT doc_id, n_matches,
-        |         row_number() OVER (ORDER BY n_matches DESC, doc_id ASC) AS rk
-        |  FROM m WHERE n_matches > 0)
-        |WHERE rk <= 20""".stripMargin,
+    // of the adjacency intersect; q250's Spark side re-merges a
+    // compacted generation, so the shared oracle proves compaction
+    // commutes with reads
+    "q238_proximity_query" -> q238ProximitySql,
+    "q250_pidx_compaction" -> q238ProximitySql,
+
+
 
     // ONE oracle proves both halves of the vector-store delete story:
     // q213 (tombstone read) and q215 (compaction rewrite) must both

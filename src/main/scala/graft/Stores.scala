@@ -83,6 +83,26 @@ object Stores {
     }
   }
 
+  /** The POSITIONAL index store — the phrase/proximity serving
+    * artifact: token-bucketed (slice, token, doc_id, tf, positions)
+    * rows from [[TextAnalysis.positionalSlices]]; read through
+    * [[TextAnalysis.positionalMergeSlices]] (zero-Exchange — the
+    * bucket layout satisfies the (token, doc_id) clustering). Real
+    * engines never rebuild postings at query time; before this store
+    * the phrase/proximity reads posexploded the whole corpus per
+    * query.
+    */
+  def positional(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_pidx_${key(dir)}"
+    serve(s, t) {
+      TextAnalysis.writeIndexStore(
+        TextAnalysis.positionalSlices(
+          Tables.documents(s, dir).withColumn("slice", lit(0L)),
+          "doc_id", "text", "slice"),
+        table = t, buckets = 16)
+    }
+  }
+
   /** The BM25 "norms file" beside the index: (doc_id, dl) — one narrow
     * projection of the corpus, persisted because the capped index
     * cannot recover document length (exactly why real engines store

@@ -1658,6 +1658,81 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
 
+  /** Per-slice POSITIONAL postings — the positional index's warehouse
+    * slices (the [[indexSlices]] lifecycle applied to the
+    * phrase-capable artifact): each corpus slice aggregates its own
+    * text to (slice, token, doc_id, tf, positions) rows. Positions are
+    * GLOBAL in-doc offsets: a document whose text arrives split across
+    * slices passes the later parts' start offset via `offsetCol`
+    * (local posexplode position + offset = the position a full-corpus
+    * rescan would assign), so [[positionalMergeSlices]]'s re-sort
+    * reassembles exactly the [[positionalPostings]] row. One hash
+    * aggregate per slice — work ∝ new data, text scanned once per
+    * slice ever (the indexSlices contract).
+    */
+  def positionalSlices(docs: DataFrame, idCol: String, textCol: String,
+                       sliceCol: String,
+                       offsetCol: Option[String] = None): DataFrame = {
+    val off = offsetCol.map(col(_).cast("int")).getOrElse(lit(0))
+    docs.select(col(sliceCol).as("slice"), col(idCol).as("doc_id"),
+        off.as("_off"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+      .groupBy(col("slice"), col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos") + col("_off")))
+          .as("positions"))
+  }
+
+  /** Fold stored positional slices back into the
+    * [[positionalPostings]] artifact: tf sums and position arrays
+    * flatten + re-sort per (token, doc) — order-independent, so any
+    * slice split (including one document's text across several
+    * slices, offsets carried by [[positionalSlices]]) merges to what
+    * a full-corpus rescan builds. Integrity is ENFORCED, not assumed
+    * (the indexMergeSlices negative-tf posture): a duplicate global
+    * position means the same text was ingested twice — that row
+    * RAISES rather than serving phantom phrase matches (tf would
+    * double too; the position-set check catches both).
+    */
+  def positionalMergeSlices(slices: DataFrame): DataFrame =
+    slices.groupBy(col("token"), col("doc_id"))
+      .agg(sum(col("tf")).as("tf"),
+        array_sort(flatten(collect_list(col("positions")))).as("_p"))
+      .select(col("token"), col("doc_id"), col("tf"),
+        when(size(array_distinct(col("_p"))) === size(col("_p")) &&
+          size(col("_p")).cast("long") === col("tf"), col("_p"))
+          .otherwise(raise_error(concat(
+            lit("positionalMergeSlices: duplicate position for token "),
+            col("token"), lit(" doc "), col("doc_id").cast("string"),
+            lit(" — the same text was ingested twice"))))
+          .as("positions"))
+
+  /** Incremental positional ingest — [[indexIngest]] for the
+    * positional store: aggregate ONLY the new slice's text through
+    * [[positionalSlices]] (the same one code path as batch build) and
+    * APPEND its rows to the token-bucketed table; history files stay
+    * untouched. STREAMING: call per micro-batch inside `foreachBatch`
+    * with slice = batch id (StreamingSpec pins per-batch ingest ≡
+    * one-shot, append-only files).
+    */
+  def positionalIngest(docs: DataFrame, idCol: String, textCol: String,
+                       sliceCol: String, table: String, buckets: Int,
+                       offsetCol: Option[String] = None): Unit =
+    positionalSlices(docs, idCol, textCol, sliceCol, offsetCol)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "token").sortBy("token")
+      .saveAsTable(table)
+
+  /** Compact positional store slices into ONE replacement slice —
+    * [[indexCompact]] for the positional index: the merged rows
+    * re-tagged with a fresh slice id. The merge is an associative
+    * set-union (flatten + re-sort), so compaction commutes with
+    * reads the same way the tf-sum compaction does.
+    */
+  def positionalCompact(slices: DataFrame, newSlice: Long): DataFrame =
+    positionalMergeSlices(slices).select(lit(newSlice).as("slice"),
+      col("token"), col("doc_id"), col("tf"), col("positions"))
+
   /** PHRASE query on the positional index: docs where `w1` is
     * immediately followed by `w2`, ranked by match count — the
     * two-token exact-phrase read every positional index exists for.
@@ -1675,12 +1750,14 @@ object TextAnalysis {
   def phraseQuery(pindex: DataFrame, terms: DataFrame, k: Int,
                   checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    // both term sides read the index — pinned so a derived pindex
-    // (posexplode + aggregate) evaluates once, not per side
+    // both term sides read the index AND the terms frame — each
+    // pinned so a derived pindex (store merge) and a derived term
+    // pick (a corpus aggregate) evaluate once, not per side
     val p = Checkpoints.pin(pindex, checkpointDir, eager = false)
-    val a = p.join(broadcast(terms), col("token") === col("w1"))
+    val t = Checkpoints.pin(terms, checkpointDir, eager = false)
+    val a = p.join(broadcast(t), col("token") === col("w1"))
       .select(col("doc_id"), col("positions").as("pa"))
-    val b = p.join(broadcast(terms), col("token") === col("w2"))
+    val b = p.join(broadcast(t), col("token") === col("w2"))
       .select(col("doc_id"), col("positions").as("pb"))
     val m = a.join(b, "doc_id")
       .select(col("doc_id"),
@@ -1709,11 +1786,13 @@ object TextAnalysis {
                      checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(slop >= 1, "slop must be >= 1")
-    // the phraseQuery pin: one index derivation for both term sides
+    // the phraseQuery pins: one index derivation and one term-pick
+    // derivation for both term sides
     val p = Checkpoints.pin(pindex, checkpointDir, eager = false)
-    val a = p.join(broadcast(terms), col("token") === col("w1"))
+    val t = Checkpoints.pin(terms, checkpointDir, eager = false)
+    val a = p.join(broadcast(t), col("token") === col("w1"))
       .select(col("doc_id"), col("positions").as("pa"))
-    val b = p.join(broadcast(terms), col("token") === col("w2"))
+    val b = p.join(broadcast(t), col("token") === col("w2"))
       .select(col("doc_id"), col("positions").as("pb"))
     val m = a.join(b, "doc_id")
       .select(col("doc_id"),

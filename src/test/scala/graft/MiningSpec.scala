@@ -2285,6 +2285,47 @@ class MiningSpec extends AnyFunSuite {
     assert(q("c", "a") === Set.empty[(Long, Long, Long)])
   }
 
+  test("positional store: offset-merge ≡ rescan row-for-row; compaction commutes; double ingest raises") {
+    val df = docs(
+      (1L, "a b a b c", "s"),
+      (2L, "b a", "s"),
+      (3L, "a a a", "s"))
+    def canon(p: org.apache.spark.sql.DataFrame) =
+      p.select($"token", $"doc_id", $"tf", $"positions")
+        .as[(String, Long, Long, Seq[Int])].collect().toSet
+    val rescan = canon(TextAnalysis.positionalPostings(df, "doc_id", "text"))
+    // append-log slices: long docs split at the half, part B carrying
+    // its global start OFFSET; short docs whole
+    val whole = Seq((2L, 0, "b a", 0)).toDF("doc_id", "slice", "text", "off")
+    val partA = Seq((1L, 0, "a b", 0), (3L, 0, "a", 0))
+      .toDF("doc_id", "slice", "text", "off")
+    val partB = Seq((1L, 1, "a b c", 2), (3L, 1, "a a", 1))
+      .toDF("doc_id", "slice", "text", "off")
+    val slices = TextAnalysis.positionalSlices(
+      whole.unionByName(partA).unionByName(partB),
+      "doc_id", "text", "slice", offsetCol = Some("off"))
+    assert(canon(TextAnalysis.positionalMergeSlices(slices)) === rescan)
+    // compaction: fold slice 0 into a replacement generation, keep
+    // slice 1 — the re-merged read is unchanged
+    val gen0 = TextAnalysis.positionalCompact(
+      slices.filter($"slice" === 0), newSlice = 100L)
+    val gen1 = slices.filter($"slice" === 1)
+      .select($"slice".cast("long").as("slice"), $"token", $"doc_id",
+        $"tf", $"positions")
+    assert(canon(TextAnalysis.positionalMergeSlices(
+      gen0.unionByName(gen1))) === rescan)
+    // the same slice ingested twice = duplicate global positions:
+    // the merge raises instead of serving phantom phrase matches
+    val e = intercept[Exception] {
+      TextAnalysis.positionalMergeSlices(
+        slices.unionByName(slices.withColumn("slice", $"slice" + 10)))
+        .collect()
+    }
+    assert(e.getMessage.contains("ingested twice") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("ingested twice"))
+  }
+
   test("proximityQuery: slop widens the after-window; slop=1 is exactly phraseQuery; order still matters") {
     val df = docs(
       (1L, "a b a b c", "s"),  // a@{0,2} b@{1,3}

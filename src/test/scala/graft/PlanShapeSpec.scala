@@ -458,6 +458,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q209/q238: phrase/proximity read the WRITTEN positional store — bucketed zero-Exchange merge") {
+    val mp = graft.ops.TextAnalysis.positionalMergeSlices(
+        Stores.positional(spark, dir))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(mp.contains("Bucketed: true"),
+      s"positional store scan not bucketed:\n$mp")
+    assert(!mp.contains("Exchange"),
+      s"bucketed positional merge shuffled:\n$mp")
+    // the only corpus scan left in the query plans is the
+    // deterministic term pick (topCorpusBigram) — the INDEX side
+    // never posexplodes the corpus at query time
+    for (q <- Seq("q209_phrase_query", "q238_proximity_query")) {
+      val p = plan(q)
+      val docScans = p.sliding("documents.parquet".length)
+        .count(_ == "documents.parquet")
+      assert(docScans <= 1,
+        s"$q rebuilds the positional index from the corpus:\n$p")
+      assert(!p.toLowerCase.contains("posexplode"),
+        s"$q posexplodes at query time:\n$p")
+    }
+  }
+
   test("q169: novelty gate — text never shuffles; the store join is on narrow shingle rows") {
     val p = plan("q169_novelty_gate")
     assert(!p.contains(") Window"), "the gate is joins + hash aggregates")

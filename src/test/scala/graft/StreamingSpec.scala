@@ -1125,6 +1125,69 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming positional ingest: append-only files per batch; merged read ≡ rescan incl. a doc split across batches with offsets") {
+    // the positional member of the store triad: positionalIngest
+    // inside foreachBatch is the SAME code path (positionalSlices) as
+    // batch build; a doc whose text continues in a later micro-batch
+    // carries its start OFFSET, so the merged position arrays are
+    // exactly what a full-corpus rescan assigns
+    import graft.ops.TextAnalysis
+    val base = java.nio.file.Files.createTempDirectory("graft-pidx-stream-")
+    try {
+      TextAnalysis.writeIndexStore(
+        TextAnalysis.positionalSlices(
+          Seq((10L, "x y x", 0)).toDF("doc_id", "text", "off")
+            .withColumn("slice", lit(0L)),
+          "doc_id", "text", "slice", offsetCol = Some("off")),
+        table = "graft_pidx_stream", buckets = 4,
+        path = Some(base.resolve("pidx").toString))
+      def dataFiles() = {
+        val walk = java.nio.file.Files.walk(base.resolve("pidx"))
+        try walk.filter(_.toString.endsWith(".parquet"))
+          .map[String](_.toString).toArray.toSeq
+        finally walk.close()
+      }
+      val snapshots = scala.collection.mutable.ListBuffer(dataFiles())
+      val input = MemoryStream[(Long, String, Int)]
+      val q = input.toDS().toDF("doc_id", "text", "off").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          TextAnalysis.positionalIngest(
+            batch.withColumn("slice", lit(id + 1)),
+            "doc_id", "text", "slice", table = "graft_pidx_stream",
+            buckets = 4, offsetCol = Some("off"))
+          snapshots += dataFiles(): Unit
+        }.start()
+      input.addData((1L, "a b", 0), (2L, "a b b", 0))
+      q.processAllAvailable()
+      // doc 1's text CONTINUES: "a c a" starts at global position 2
+      input.addData((1L, "a c a", 2), (3L, "c c", 0))
+      q.processAllAvailable()
+      q.stop()
+      assert(snapshots.size === 3)
+      for ((before, after) <- snapshots.toList.zip(snapshots.toList.tail)) {
+        assert(after.toSet.intersect(before.toSet) === before.toSet,
+          "a micro-batch rewrote history files")
+        assert(after.size > before.size, "a micro-batch added no files")
+      }
+      val merged = TextAnalysis.positionalMergeSlices(
+        spark.table("graft_pidx_stream"))
+      val p = merged.queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      assert(!p.contains("Exchange"), s"bucketed store merge shuffled:\n$p")
+        val fromStore = merged.as[(String, Long, Long, Seq[Int])].collect().toSet
+      val rescan = TextAnalysis.positionalPostings(
+          Seq((10L, "x y x"), (1L, "a b a c a"), (2L, "a b b"),
+            (3L, "c c")).toDF("doc_id", "text"),
+          "doc_id", "text")
+        .as[(String, Long, Long, Seq[Int])].collect().toSet
+      assert(fromStore === rescan && fromStore.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_pidx_stream")
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+
   test("streaming hourly-count warehouse: an hour split across batches sums; spike read ≡ batch") {
     // the exact-counter member of the store families: per-batch
     // hourCountSlices (slice = batch id), sum-merge, and the SAME
