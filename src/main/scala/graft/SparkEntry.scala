@@ -32,7 +32,7 @@ object SparkEntry {
     * user-partitioned Window, then everything downstream is
     * edge-scale.
     */
-  private def transitionPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def transitionPairs(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     eventsWithItem(s, dir)
@@ -53,6 +53,15 @@ object SparkEntry {
                           maxPostings: Int): DataFrame =
     TextAnalysis.cappedIndex(
       TextAnalysis.indexMergeSlices(Stores.index(s, dir)), maxPostings)
+
+  /** The merged (src, dst, w) edge view over the WRITTEN edge store
+    * ([[Stores.edges]]) — the graph family's one edge source
+    * (q208/q225/q226/q227/q236/q246/q251): the per-user transition
+    * Window ran once at store build; reads fold src-bucketed count
+    * slices with a zero-Exchange sum.
+    */
+  private def storedEdges(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.edgeMerge(Stores.edges(s, dir))
 
   /** The corpus's most frequent word bigram — the deterministic query
     * term pair the retrieval reads (q209/q238) share; count-desc with
@@ -3060,16 +3069,14 @@ object SparkEntry {
     // browsing graph — edges are per-user consecutive item pairs
     // (ts, event_id ordered; self-transitions dropped), weights are
     // transition counts; every round is an equi-join + hash aggregate
-    "q208_pagerank" -> ((s, dir) => {
-      // the SHARED transitionPairs edge source (the graph family's
-      // one edge contract — q225/q226/q227/q236 use the same helper)
-      val edges = transitionPairs(s, dir)
-        .groupBy(col("item_id").as("src"), col("nxt").as("dst"))
-        .agg(count(lit(1)).as("w"))
-      graft.ops.Graph.pageRankDirected(edges, "src", "dst", "w",
-          iters = 3, scale = 1000000L)
-        .select(col("id").as("node"), col("rank_units").as("rank_micro"))
-    }),
+    "q208_pagerank" -> ((s, dir) =>
+      // SERVED FROM the written edge store (the graph family's one
+      // edge source — q225/q226/q227/q236/q246 read the same store);
+      // the oracle re-derives edges from the raw log, so green =
+      // store read ≡ log read
+      graft.ops.Graph.pageRankDirected(storedEdges(s, dir), "src",
+          "dst", "w", iters = 3, scale = 1000000L)
+        .select(col("id").as("node"), col("rank_units").as("rank_micro"))),
 
     // phrase query SERVED FROM the written positional store (the
     // q206 posture — postings come off bucket files, the corpus is
@@ -3287,21 +3294,21 @@ object SparkEntry {
     // edge set, undirected): degree-oriented wedge closing — the
     // clustering read; wedge count bounded by sum outdeg^2
     "q225_triangles" -> ((s, dir) =>
-      graft.ops.Graph.triangles(transitionPairs(s, dir), "item_id", "nxt")),
+      graft.ops.Graph.triangles(storedEdges(s, dir), "src", "dst")),
 
     // local clustering coefficient: triangles normalized by wedge
     // capacity 2T/(d(d-1)) — exact integer counts, ONE
     // correctly-rounded division; every deg>=2 node emits
     "q226_clustering_coeff" -> ((s, dir) =>
-      graft.ops.Graph.clusteringCoefficient(transitionPairs(s, dir),
-        "item_id", "nxt")),
+      graft.ops.Graph.clusteringCoefficient(storedEdges(s, dir),
+        "src", "dst")),
 
     // 3 synchronized k-core peel rounds (k=10) with the converged
     // witness — true at every SF here (measured), with real peeling
     // at sf0.001; the oracle unrolls the same rounds as CTEs
     "q227_kcore" -> ((s, dir) =>
-      graft.ops.Graph.kCorePeel(transitionPairs(s, dir), "item_id",
-        "nxt", k = 10, rounds = 3)),
+      graft.ops.Graph.kCorePeel(storedEdges(s, dir), "src",
+        "dst", k = 10, rounds = 3)),
 
     // fuzzy title join: all pairs within Levenshtein 2 on 40-char
     // titles, candidates from each title's 7 RAREST trigrams (the
@@ -3389,8 +3396,8 @@ object SparkEntry {
     // over the q225 transition graph — synchronous frontier expansion,
     // min-dist fold per round; the oracle unrolls the rounds as CTEs
     "q236_khop" -> ((s, dir) =>
-      graft.ops.Graph.kHopDistances(transitionPairs(s, dir), "item_id",
-        "nxt",
+      graft.ops.Graph.kHopDistances(storedEdges(s, dir), "src",
+        "dst",
         eventsWithItem(s, dir)
           .filter(col("item_id").isNotNull && col("item_id") % 10 === 0),
         "item_id", rounds = 3)),
@@ -3487,11 +3494,12 @@ object SparkEntry {
       Behavior.robustAnomalies(Tables.events(s, dir), "event_type", "ts")
         .withColumn("day", col("day").cast("timestamp"))),
 
-    // next-item serving table: top-3 successors per item from the
-    // SHARED transitionPairs edge source, probability as exact ppm
+    // next-item serving table: top-3 successors per item SERVED FROM
+    // the written edge store (the counts ARE the store rows),
+    // probability as exact ppm
     "q246_next_item" -> ((s, dir) =>
-      Behavior.nextItemTable(transitionPairs(s, dir), "item_id", "nxt",
-        k = 3)),
+      Behavior.nextItemFromCounts(storedEdges(s, dir), "src", "dst",
+        "w", k = 3)),
 
     // q242 SERVED FROM the item-hour count warehouse (slices split by
     // event_id % 3, merged, read by the decay body) — the oracle
@@ -3566,6 +3574,22 @@ object SparkEntry {
       TextAnalysis.proximityQuery(
         TextAnalysis.positionalMergeSlices(gen0.unionByName(gen1)),
         topCorpusBigram(d), k = 20, slop = 3)
+    }),
+
+    // edge-WAREHOUSE lifecycle: the transition-pair log arrives split
+    // across three slices (event_id % 3 — an arbitrary interleave, so
+    // most (src, dst) pairs span slices), per-slice edge counts
+    // sum-merge, and the PageRank read must land on the full-log q208
+    // ranks — the oracle recomputes from the raw log, proving
+    // slice-merge ≡ one-pass edge derivation relationally
+    "q251_edge_slices" -> ((s, dir) => {
+      val sliced = transitionPairs(s, dir)
+        .withColumn("slice", col("event_id") % 3)
+      graft.ops.Graph.pageRankDirected(
+          graft.ops.Graph.edgeMerge(graft.ops.Graph.edgeSlices(
+            sliced, "item_id", "nxt", "slice")),
+          "src", "dst", "w", iters = 3, scale = 1000000L)
+        .select(col("id").as("node"), col("rank_units").as("rank_micro"))
     }),
   )
 
@@ -4449,6 +4473,53 @@ object SparkEntry {
         |         row_number() OVER (ORDER BY n_matches DESC, doc_id ASC) AS rk
         |  FROM m WHERE n_matches > 0)
         |WHERE rk <= 20""".stripMargin
+
+  /** Shared DuckDB PageRank oracle — q208 (store-served read) and the
+    * edge-warehouse lifecycle entry q251 (slice-merge read) must both
+    * land on the full-log ranks this SQL recomputes from scratch.
+    */
+  private val q208PageRankSql: String =
+    """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |         json_extract_string(props, '$.k')::BIGINT AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |nx AS (
+        |  SELECT item AS src,
+        |         lead(item) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS dst
+        |  FROM ev),
+        |e AS (
+        |  SELECT src, dst, count(*)::BIGINT AS w FROM nx
+        |  WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2),
+        |ow AS (SELECT src, sum(w)::BIGINT AS w_out FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),
+        |i1 AS (
+        |  SELECT e.dst AS node, sum((r.r * e.w) // ow.w_out)::BIGINT AS s
+        |  FROM e JOIN ow USING (src) JOIN r0 r ON r.node = e.src
+        |  GROUP BY 1),
+        |r1 AS (
+        |  SELECT n.node,
+        |         (150000 + (850000 * coalesce(i.s, 0)) // 1000000)::BIGINT AS r
+        |  FROM nodes n LEFT JOIN i1 i USING (node)),
+        |i2 AS (
+        |  SELECT e.dst AS node, sum((r.r * e.w) // ow.w_out)::BIGINT AS s
+        |  FROM e JOIN ow USING (src) JOIN r1 r ON r.node = e.src
+        |  GROUP BY 1),
+        |r2 AS (
+        |  SELECT n.node,
+        |         (150000 + (850000 * coalesce(i.s, 0)) // 1000000)::BIGINT AS r
+        |  FROM nodes n LEFT JOIN i2 i USING (node)),
+        |i3 AS (
+        |  SELECT e.dst AS node, sum((r.r * e.w) // ow.w_out)::BIGINT AS s
+        |  FROM e JOIN ow USING (src) JOIN r2 r ON r.node = e.src
+        |  GROUP BY 1),
+        |r3 AS (
+        |  SELECT n.node,
+        |         (150000 + (850000 * coalesce(i.s, 0)) // 1000000)::BIGINT AS r
+        |  FROM nodes n LEFT JOIN i3 i USING (node))
+        |SELECT node, r AS rank_micro FROM r3""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q16_cep_login_fail" ->
@@ -6485,48 +6556,8 @@ object SparkEntry {
 
     // the 3 power iterations unrolled as CTEs (the MMR unrolled-oracle
     // precedent); `//` floors like Spark's div on the all-positive ranks
-    "q208_pagerank" ->
-      """WITH ev AS (
-        |  SELECT user_id, ts, event_id,
-        |         json_extract_string(props, '$.k')::BIGINT AS item
-        |  FROM events
-        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
-        |nx AS (
-        |  SELECT item AS src,
-        |         lead(item) OVER (PARTITION BY user_id
-        |                          ORDER BY ts, event_id) AS dst
-        |  FROM ev),
-        |e AS (
-        |  SELECT src, dst, count(*)::BIGINT AS w FROM nx
-        |  WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2),
-        |ow AS (SELECT src, sum(w)::BIGINT AS w_out FROM e GROUP BY 1),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),
-        |i1 AS (
-        |  SELECT e.dst AS node, sum((r.r * e.w) // ow.w_out)::BIGINT AS s
-        |  FROM e JOIN ow USING (src) JOIN r0 r ON r.node = e.src
-        |  GROUP BY 1),
-        |r1 AS (
-        |  SELECT n.node,
-        |         (150000 + (850000 * coalesce(i.s, 0)) // 1000000)::BIGINT AS r
-        |  FROM nodes n LEFT JOIN i1 i USING (node)),
-        |i2 AS (
-        |  SELECT e.dst AS node, sum((r.r * e.w) // ow.w_out)::BIGINT AS s
-        |  FROM e JOIN ow USING (src) JOIN r1 r ON r.node = e.src
-        |  GROUP BY 1),
-        |r2 AS (
-        |  SELECT n.node,
-        |         (150000 + (850000 * coalesce(i.s, 0)) // 1000000)::BIGINT AS r
-        |  FROM nodes n LEFT JOIN i2 i USING (node)),
-        |i3 AS (
-        |  SELECT e.dst AS node, sum((r.r * e.w) // ow.w_out)::BIGINT AS s
-        |  FROM e JOIN ow USING (src) JOIN r2 r ON r.node = e.src
-        |  GROUP BY 1),
-        |r3 AS (
-        |  SELECT n.node,
-        |         (150000 + (850000 * coalesce(i.s, 0)) // 1000000)::BIGINT AS r
-        |  FROM nodes n LEFT JOIN i3 i USING (node))
-        |SELECT node, r AS rank_micro FROM r3""".stripMargin,
+    "q208_pagerank" -> q208PageRankSql,
+    "q251_edge_slices" -> q208PageRankSql,
 
     // phrase adjacency replayed on 1-based positions (adjacency is
     // shift-invariant vs Spark's 0-based posexplode). The SAME oracle

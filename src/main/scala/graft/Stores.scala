@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.TextAnalysis
+import graft.ops.{Graph, TextAnalysis}
 
 /** Materialized serving stores over the driver's tables — the "index
   * built at ingest, queries read the store" posture every real engine
@@ -113,6 +113,26 @@ object Stores {
     serve(s, t) {
       TextAnalysis.docNorms(Tables.documents(s, dir), "doc_id", "text")
         .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+  }
+
+  /** The transition-EDGE warehouse over `events`: src-bucketed
+    * (slice, src, dst, w) slices from [[Graph.edgeSlices]] over the
+    * shared [[SparkEntry.transitionPairs]] pair log. The per-user
+    * ordering Window that derives transitions runs ONCE here (the
+    * ingest-time transform); every graph read — PageRank, cohesion,
+    * k-hop, next-item — folds the store through [[Graph.edgeMerge]]
+    * (zero-Exchange on the src buckets) instead of re-scanning the
+    * event log.
+    */
+  def edges(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_edges_${key(dir)}"
+    serve(s, t) {
+      Graph.edgeSlices(
+          SparkEntry.transitionPairs(s, dir).withColumn("slice", lit(0L)),
+          "item_id", "nxt", "slice")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(16, "src").sortBy("src").saveAsTable(t)
     }
   }
 }

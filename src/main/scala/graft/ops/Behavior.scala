@@ -1067,12 +1067,25 @@ object Behavior {
     * hot head items ARE the skew).
     */
   def nextItemTable(pairs: DataFrame, fromCol: String, toCol: String,
-                    k: Int): DataFrame = {
+                    k: Int): DataFrame =
+    nextItemFromCounts(
+      pairs.select(col(fromCol).as("from_item"), col(toCol).as("to_item"))
+        .groupBy(col("from_item"), col("to_item"))
+        .agg(count(lit(1)).as("cnt")),
+      "from_item", "to_item", "cnt", k)
+
+  /** The next-item read over an already-counted transition frame —
+    * the body [[nextItemTable]] uses (one shared code path, the
+    * trafficSpikesFromCounts rule), so the edge warehouse
+    * ([[Graph.edgeSlices]]/[[Graph.edgeMerge]]) serves the
+    * recommendation table without re-deriving transitions from the
+    * raw log.
+    */
+  def nextItemFromCounts(counts: DataFrame, fromCol: String,
+                         toCol: String, cntCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val trans = pairs
-      .select(col(fromCol).as("from_item"), col(toCol).as("to_item"))
-      .groupBy(col("from_item"), col("to_item"))
-      .agg(count(lit(1)).as("cnt"))
+    val trans = counts.select(col(fromCol).as("from_item"),
+      col(toCol).as("to_item"), col(cntCol).as("cnt"))
     val totals = trans.groupBy(col("from_item"))
       .agg(sum(col("cnt")).as("row_total"))
     val wr = Window.partitionBy(col("from_item"))

@@ -204,6 +204,32 @@ object Graph {
       .unionAll(und.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
 
+  /** Per-slice transition-EDGE counts — the hourCountSlices pattern
+    * applied to the graph's edge list (the edge WAREHOUSE): each slice
+    * of the pair log aggregates independently to (slice, src, dst, w)
+    * rows, written once at ingest; [[edgeMerge]] folds any subset back
+    * into the (src, dst, w) edge frame every graph read consumes. At
+    * 100 TB the edge store IS the graph — the per-user ordering Window
+    * that derives transitions from the raw event log runs once per
+    * slice at ingest, never per query.
+    */
+  def edgeSlices(pairs: DataFrame, srcCol: String, dstCol: String,
+                 sliceCol: String): DataFrame =
+    pairs.groupBy(col(sliceCol).as("slice"), col(srcCol).as("src"),
+        col(dstCol).as("dst"))
+      .agg(count(lit(1)).as("w"))
+
+  /** Fold stored edge slices back to the weighted edge frame — an
+    * associative count sum, so any slice split (and any compaction of
+    * slices) merges to what one pass over the full pair log counts.
+    * Consumers: [[pageRankDirected]] takes (src, dst, w) directly;
+    * the undirected family ([[triangles]], [[kCorePeel]], …) takes
+    * (src, dst) as its pair columns — their internal symmetrize +
+    * dedup makes the weights' presence harmless.
+    */
+  def edgeMerge(slices: DataFrame): DataFrame =
+    slices.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+
   def triangles(pairs: DataFrame, aCol: String, bCol: String,
                 checkpointDir: Option[String] = None): DataFrame =
     triangleCounts(Checkpoints.pin(undirectedEdges(pairs, aCol, bCol),

@@ -145,4 +145,42 @@ class GraphSpec extends AnyFunSuite {
       Graph.kHopDistances(edges, "a", "b", seeds, "id", rounds = 0)
     }
   }
+
+  test("edge warehouse: slice-merge ≡ one-pass counts for any split; reads agree store vs raw pairs") {
+    // pair log with duplicates ACROSS the slice boundary — the merge
+    // must sum per (src, dst) exactly what one pass counts
+    val pairs = Seq(
+      (1L, 2L, 0L), (1L, 2L, 1L), (1L, 2L, 2L), // spans all 3 slices
+      (2L, 3L, 0L), (2L, 3L, 0L),               // duplicate within one
+      (3L, 1L, 1L), (1L, 3L, 2L))
+      .toDF("a", "b", "slice")
+    val merged = Graph.edgeMerge(
+        Graph.edgeSlices(pairs, "a", "b", "slice"))
+      .as[(Long, Long, Long)].collect().toSet
+    val onePass = pairs.groupBy($"a".as("src"), $"b".as("dst"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("w"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged === onePass &&
+      merged.contains((1L, 2L, 3L)) && merged.contains((2L, 3L, 2L)))
+    // a weighted read (PageRank) and an undirected read (triangles)
+    // agree between the store form and the raw pair log
+    val rawPairs = pairs.select($"a", $"b")
+    val storeEdges = Graph.edgeMerge(
+      Graph.edgeSlices(pairs, "a", "b", "slice"))
+    val prStore = Graph.pageRankDirected(storeEdges, "src", "dst", "w",
+      iters = 2, scale = 1000000L).as[(Long, Long)].collect().toMap
+    val prRaw = Graph.pageRankDirected(
+      rawPairs.groupBy($"a".as("src"), $"b".as("dst"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("w")),
+      "src", "dst", "w", iters = 2, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(prStore === prRaw)
+    val triStore = Graph.triangles(storeEdges, "src", "dst")
+      .as[(Long, Long)].collect().toSet
+    val triRaw = Graph.triangles(rawPairs, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(triStore === triRaw && triStore.nonEmpty)
+  }
 }

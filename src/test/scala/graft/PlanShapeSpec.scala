@@ -480,6 +480,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q208/q225/q246: graph family reads the WRITTEN edge store — bucketed zero-Exchange merge, no log rescan") {
+    val mp = graft.ops.Graph.edgeMerge(Stores.edges(spark, dir))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(mp.contains("Bucketed: true"),
+      s"edge store scan not bucketed:\n$mp")
+    assert(!mp.contains("Exchange"), s"bucketed edge merge shuffled:\n$mp")
+    // the reads never touch the raw event log (q236's SEED pick is
+    // the one legitimate events read left in its plan, so it is not
+    // asserted here)
+    for (q <- Seq("q208_pagerank", "q225_triangles", "q226_clustering_coeff",
+        "q227_kcore", "q246_next_item")) {
+      val p = plan(q)
+      assert(!p.contains("events.parquet"),
+        s"$q re-derives edges from the raw log:\n$p")
+    }
+  }
+
   test("q169: novelty gate — text never shuffles; the store join is on narrow shingle rows") {
     val p = plan("q169_novelty_gate")
     assert(!p.contains(") Window"), "the gate is joins + hash aggregates")

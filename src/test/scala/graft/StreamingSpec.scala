@@ -1232,6 +1232,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaStore.exists(r => r._3 === 30L && r._6))
   }
 
+  test("streaming edge-warehouse ingest: per-batch edge slices accumulate, merge ≡ one-pass; next-item read agrees") {
+    // the graph member of the store families: the pair stream (the
+    // ingest pipeline's transition derivation) folds per micro-batch
+    // through edgeSlices (slice = batch id), the count merge is
+    // associative, and the SAME nextItemFromCounts body reads the
+    // store — so the streamed edge warehouse cannot drift from a
+    // one-pass derivation
+    import graft.ops.{Behavior, Graph}
+    val store =
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDS().toDF("item", "nxt").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        store ++= Graph.edgeSlices(batch.withColumn("slice", lit(id)),
+            "item", "nxt", "slice")
+          .select($"slice", $"src", $"dst", $"w")
+          .as[(Long, Long, Long, Long)].collect(): Unit
+      }.start()
+    // the (1→2) edge arrives in BOTH micro-batches — counts must sum
+    val pairs = Seq((1L, 2L), (1L, 2L), (2L, 3L), (1L, 3L),
+      (1L, 2L), (3L, 1L), (2L, 3L), (2L, 1L))
+    input.addData(pairs.take(4): _*)
+    q.processAllAvailable()
+    input.addData(pairs.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(store.map(_._1).distinct.size >= 2) // really multiple slices
+    assert(store.count(p => p._2 === 1L && p._3 === 2L) === 2)
+    val merged = Graph.edgeMerge(
+      store.toSeq.toDF("slice", "src", "dst", "w"))
+    def table(counts: org.apache.spark.sql.DataFrame) =
+      Behavior.nextItemFromCounts(counts, "src", "dst", "w", k = 2)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val onePass = pairs.toDF("item", "nxt")
+      .groupBy($"item".as("src"), $"nxt".as("dst"))
+      .agg(count(lit(1)).as("w"))
+    assert(table(merged) === table(onePass) && table(merged).nonEmpty)
+    // and the summed edge really serves: 1→2 dominates 1's successors
+    assert(table(merged).contains((1L, 1L, 2L, 3L, 750000L)))
+  }
+
   test("streaming Bloom-warehouse ingest: per-batch slices accumulate, merge ≡ full rescan; members hit") {
     // the membership member rides the same foreachBatch slice loop as
     // KMV/HIST: each micro-batch writes its own bit-vector rows (slice
