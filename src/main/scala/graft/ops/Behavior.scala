@@ -552,34 +552,49 @@ object Behavior {
     * SF, no wall-clock); rank 0 means "outside that period's top-k"
     * (the observable-absence convention).
     *
-    * Shape: two filtered hash aggregates to item counts, each
-    * top-k'd by a SORT-LIMIT (`orderBy(...).limit(k)` plans as
-    * TakeOrderedAndProject — per-partition top-k then one k-row merge,
-    * never a single-task global Window over the item dimension); the
-    * rank Window then runs on ≤ k rows. Full tie-break
-    * (count desc, item asc) makes the limit deterministic.
+    * Shape: ONE full-log pass — both periods' item counts fold as
+    * conditional aggregates (`count(when(period…))`) in a single
+    * filtered hash aggregate over the two-period window (two filtered
+    * passes would scan the log twice for the same answer — a full
+    * extra pass at 100 TB); the shared counts frame is lineage-pinned
+    * (it feeds both boards) and each board is a SORT-LIMIT on it
+    * (`orderBy(...).limit(k)` plans as TakeOrderedAndProject —
+    * per-partition top-k then one k-row merge, never a single-task
+    * global Window over the item dimension); the rank Window then
+    * runs on ≤ k rows. Full tie-break (count desc, item asc) makes
+    * the limit deterministic.
     */
   def topMovers(events: DataFrame, itemCol: String, tsCol: String,
-                k: Int, periodSec: Long = 604800L): DataFrame = {
+                k: Int, periodSec: Long = 604800L,
+                checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(periodSec > 0, "period must be positive")
     val anchor = events.agg(
       max(unix_timestamp(col(tsCol))).as("anchor"))
-    val e = events
-      .select(col(itemCol).as("item"),
-        unix_timestamp(col(tsCol)).as("_s"))
-      .crossJoin(broadcast(anchor)) // 1 row
-    def board(lo: Column, hi: Column, pfx: String): DataFrame = {
-      val c = e.filter(col("_s") > lo && col("_s") <= hi)
-        .groupBy(col("item")).agg(count(lit(1)).as(s"${pfx}_cnt"))
+    val counts = Checkpoints.pin(
+      events
+        .select(col(itemCol).as("item"),
+          unix_timestamp(col(tsCol)).as("_s"))
+        .crossJoin(broadcast(anchor)) // 1 row
+        .filter(col("_s") > col("anchor") - 2L * periodSec &&
+          col("_s") <= col("anchor"))
+        .groupBy(col("item"))
+        .agg(
+          count(when(col("_s") > col("anchor") - periodSec, 1))
+            .as("cur_cnt"),
+          count(when(col("_s") <= col("anchor") - periodSec, 1))
+            .as("prev_cnt")),
+      checkpointDir, eager = false)
+    def board(pfx: String): DataFrame = {
+      val c = counts.filter(col(s"${pfx}_cnt") > 0)
+        .select(col("item"), col(s"${pfx}_cnt"))
       c.orderBy(col(s"${pfx}_cnt").desc, col("item").asc).limit(k)
         .withColumn(s"${pfx}_rank",
           row_number().over(Window.orderBy(col(s"${pfx}_cnt").desc,
             col("item").asc)).cast("long"))
     }
-    val cur = board(col("anchor") - periodSec, col("anchor"), "cur")
-    val prev = board(col("anchor") - 2L * periodSec,
-      col("anchor") - periodSec, "prev")
+    val cur = board("cur")
+    val prev = board("prev")
     cur.join(prev, Seq("item"), "full_outer")
       .select(col("item"),
         coalesce(col("cur_rank"), lit(0L)).as("cur_rank"),
