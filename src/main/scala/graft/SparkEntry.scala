@@ -3591,6 +3591,35 @@ object SparkEntry {
           "src", "dst", "w", iters = 3, scale = 1000000L)
         .select(col("id").as("node"), col("rank_units").as("rank_micro"))
     }),
+
+    // the 100×-scale profile: q218 with HLL++ estimates in place of
+    // the exact-distinct Expand — approximate → rows-only check here,
+    // the q253 band audit is the hash-exact sibling (the q03/q110
+    // pairing)
+    "q252_profile_approx" -> ((s, dir) =>
+      graft.ops.Profile.approxTable(Tables.events(s, dir),
+        numCols = Seq("event_id", "user_id", "value"),
+        strCols = Seq("event_type", "props"),
+        tsCols = Seq("ts"))),
+
+    // q252's band audit: per profiled column, the HLL++ estimate must
+    // sit within max(2, 10%) of the exact distinct count — the exact
+    // side is DuckDB-reproducible and the estimate deterministic
+    // (HLL register merges are order-independent), so the whole row
+    // hashes
+    "q253_profile_approx_band" -> ((s, dir) => {
+      val exact = queries("q218_profile")(s, dir)
+        .select(col("column"), col("n_distinct"))
+      val est = queries("q252_profile_approx")(s, dir)
+        .select(col("column"), col("n_distinct").as("_est"))
+      exact.join(est, "column")
+        .select(col("column"), col("n_distinct"),
+          (abs(col("_est").cast("double") -
+            col("n_distinct").cast("double")) <=
+            greatest(lit(2.0),
+              lit(0.1) * col("n_distinct").cast("double")))
+            .as("within_band"))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -6664,6 +6693,26 @@ object SparkEntry {
 
     // one row per profiled column; numeric and string bounds ride
     // separate typed columns (double→string casts differ by engine)
+    // q252 is approximate (rows-only); q253 is its hash-exact band
+    // audit — the exact distincts replayed per column, within_band
+    // asserted TRUE (the q110 pattern)
+    "q253_profile_approx_band" ->
+      """SELECT 'event_id' AS "column",
+        |       count(DISTINCT event_id)::BIGINT AS n_distinct,
+        |       TRUE AS within_band FROM events
+        |UNION ALL
+        |SELECT 'user_id', count(DISTINCT user_id)::BIGINT, TRUE FROM events
+        |UNION ALL
+        |SELECT 'value', count(DISTINCT value)::BIGINT, TRUE FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(DISTINCT event_type)::BIGINT, TRUE
+        |FROM events
+        |UNION ALL
+        |SELECT 'props', count(DISTINCT props)::BIGINT, TRUE FROM events
+        |UNION ALL
+        |SELECT 'ts', count(DISTINCT CAST(floor(epoch(ts)) AS BIGINT))::BIGINT,
+        |       TRUE FROM events""".stripMargin,
+
     "q218_profile" ->
       """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM events)
         |SELECT 'event_id' AS "column", n_rows,

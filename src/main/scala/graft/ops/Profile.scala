@@ -22,20 +22,44 @@ object Profile {
     * Shape: ONE aggregate over one scan. The exact per-column
     * distincts make Spark plan an Expand (one input row fans to one
     * row per distinct-aggregate) — cost ∝ columns profiled, the price
-    * of exactness; profile a 100 TB feed with a column subset, or
-    * swap `approx_count_distinct` in at the call site when ±2% is
-    * fine (the oracle needs exact).
+    * of exactness; profile a 100 TB feed with a column subset, or use
+    * [[approxTable]] (the Expand-free HLL++ sibling, band-audited by
+    * its own oracle entry) when ±5% is fine (this oracle needs exact).
     */
   def table(df: DataFrame, numCols: Seq[String], strCols: Seq[String],
-            tsCols: Seq[String]): DataFrame = {
+            tsCols: Seq[String]): DataFrame =
+    profileBody(df, numCols, strCols, tsCols, exact = true, rsd = 0.0)
+
+  /** [[table]] with `approx_count_distinct` (HLL++, relative sd
+    * `rsd`) in place of the exact per-column distincts — the form a
+    * 100 TB feed profiles with: the exact table's Expand (one input
+    * row fans to one row per distinct aggregate) disappears, the scan
+    * aggregates once with constant-size sketch state per column. Same
+    * output schema, so it is a drop-in swap; `n_distinct` is an
+    * ESTIMATE here (deterministic — HLL register merges are
+    * order-independent — but engine-specific, so the correctness
+    * story is the band audit against [[table]], the q110 pattern).
+    * Row/null counts and bounds stay exact in both forms.
+    */
+  def approxTable(df: DataFrame, numCols: Seq[String],
+                  strCols: Seq[String], tsCols: Seq[String],
+                  rsd: Double = 0.05): DataFrame =
+    profileBody(df, numCols, strCols, tsCols, exact = false, rsd = rsd)
+
+  private def profileBody(df: DataFrame, numCols: Seq[String],
+                          strCols: Seq[String], tsCols: Seq[String],
+                          exact: Boolean, rsd: Double): DataFrame = {
     val all = numCols ++ strCols ++ tsCols
     require(all.nonEmpty, "profile at least one column")
     require(all.distinct.size == all.size, "a column may appear once")
     def proj(c: String): Column =
       if (tsCols.contains(c)) unix_timestamp(col(c)) else col(c)
+    def nd(c: String): Column =
+      if (exact) countDistinct(proj(c))
+      else approx_count_distinct(proj(c), rsd)
     val aggs = Seq(count(lit(1)).as("_n")) ++ all.flatMap { c =>
       Seq(count(proj(c)).as(s"_cnt_$c"),
-        countDistinct(proj(c)).as(s"_nd_$c"),
+        nd(c).as(s"_nd_$c"),
         min(proj(c)).as(s"_min_$c"), max(proj(c)).as(s"_max_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)

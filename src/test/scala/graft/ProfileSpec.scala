@@ -41,6 +41,32 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("approxTable: drop-in schema, exact counts/bounds unchanged, small-cardinality estimates exact, no Expand") {
+    val df = Seq[(java.lang.Long, String, java.lang.Double, Long)](
+      (1L, "b", 2.5, 10L), (2L, "a", null, 10L), (null, "a", 7.25, 11L),
+      (2L, null, 2.5, 12L))
+      .toDF("id", "tag", "v", "sec")
+      .select($"id", $"tag", $"v",
+        org.apache.spark.sql.functions.timestamp_seconds($"sec").as("ts"))
+    val exact = Profile.table(df, numCols = Seq("id", "v"),
+      strCols = Seq("tag"), tsCols = Seq("ts"))
+    val approx = Profile.approxTable(df, numCols = Seq("id", "v"),
+      strCols = Seq("tag"), tsCols = Seq("ts"))
+    assert(approx.schema === exact.schema) // drop-in swap
+    // HLL++ is exact at these cardinalities, so the whole row agrees
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long, Long, Option[Double], Option[Double],
+        Option[String], Option[String])].collect().toSet
+    assert(rows(approx) === rows(exact))
+    // the point of the sibling: the exact-distinct Expand is gone
+    val pa = approx.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pe = exact.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(pe.contains("Expand") && !pa.contains("Expand"),
+      s"approx profile should drop the Expand:\n$pa")
+  }
+
   test("rollupSheet: per-prefix totals with the grouping bitmask; (all) marks rolled-up levels") {
     val df = Seq(
       ("web", "en", 10L), ("web", "en", 5L), ("web", "de", 7L),
