@@ -1125,6 +1125,74 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming SCD2 maintenance: per-batch scd2Apply ≡ one-shot scd2; an out-of-order slice raises") {
+    // the versioned-dimension member of the temporal family: each
+    // micro-batch folds into the dimension via scd2Apply (ONE code
+    // path with the batch build — closed history passes through
+    // untouched, only current versions re-enter), so the streamed
+    // dimension cannot drift from a full-log rebuild
+    import graft.ops.Scd
+    val dim = scala.collection.mutable.ArrayBuffer[
+      (Long, String, Long, Option[Long], Boolean, Long)]()
+    def dimDf() = dim.toSeq
+      .toDF("key", "state", "vf", "vt", "is_current", "version")
+      .select($"key", $"state", timestamp_seconds($"vf").as("valid_from"),
+        timestamp_seconds($"vt").as("valid_to"), $"is_current", $"version")
+    def fold(batch: org.apache.spark.sql.DataFrame): Unit = {
+      val b = batch.select($"key", $"ts", $"id".as("tie"),
+        $"eventType".as("st"))
+      val next =
+        if (dim.isEmpty) Scd.scd2(b, "key", "ts", "tie", "st")
+        else Scd.scd2Apply(dimDf(), b, "key", "ts", "tie", "st")
+      val rows = next.select($"key", $"state", unix_timestamp($"valid_from"),
+          unix_timestamp($"valid_to"), $"is_current", $"version")
+        .as[(Long, String, Long, Option[Long], Boolean, Long)].collect()
+      dim.clear()
+      dim ++= rows: Unit
+    }
+    val input = MemoryStream[KeyedEvent]
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        fold(batch.toDF())
+      }.start()
+    val all = Seq(
+      KeyedEvent(1, ts(100), "view", 1), KeyedEvent(1, ts(200), "click", 2),
+      KeyedEvent(2, ts(100), "view", 3),
+      // batch 2: key 1 no-op repeat (collapses into the current
+      // version), then a real change; key 3 appears
+      KeyedEvent(1, ts(300), "click", 4), KeyedEvent(1, ts(400), "view", 5),
+      KeyedEvent(2, ts(350), "click", 6), KeyedEvent(3, ts(50), "view", 7))
+    input.addData(all.take(3): _*)
+    q.processAllAvailable()
+    input.addData(all.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val oneShot = Scd.scd2(
+        all.toDF().select($"key", $"ts", $"id".as("tie"),
+          $"eventType".as("st")),
+        "key", "ts", "tie", "st")
+      .select($"key", $"state", unix_timestamp($"valid_from"),
+        unix_timestamp($"valid_to"), $"is_current", $"version")
+      .as[(Long, String, Long, Option[Long], Boolean, Long)]
+      .collect().toSet
+    assert(dim.toSet === oneShot && dim.nonEmpty)
+    // the no-op repeat really collapsed: key 1 versions are
+    // view@100 → click@200 → view@400, never a click@300 version
+    assert(dim.count(_._1 === 1L) === 3)
+    // an out-of-order slice — key 2 change PREDATING its current
+    // version — must raise, not rewrite history
+    val input2 = MemoryStream[KeyedEvent]
+    val q2 = input2.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        fold(batch.toDF())
+      }.start()
+    input2.addData(KeyedEvent(2, ts(120), "error", 8))
+    val ex = intercept[Exception] { q2.processAllAvailable() }
+    assert(ex.getMessage.contains("scd2Apply") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("scd2Apply"))
+    q2.stop()
+  }
+
   test("streaming positional ingest: append-only files per batch; merged read ≡ rescan incl. a doc split across batches with offsets") {
     // the positional member of the store triad: positionalIngest
     // inside foreachBatch is the SAME code path (positionalSlices) as
