@@ -3620,6 +3620,63 @@ object SparkEntry {
               lit(0.1) * col("n_distinct").cast("double")))
             .as("within_band"))
     }),
+
+    // positional-store DELETES (the q213 id-addressed posture —
+    // position sets don't cancel arithmetically the way tf sums do):
+    // every doc_id % 10 = 0 doc is deleted via the read-time
+    // anti-join against an append-only delete log; the phrase read
+    // must serve as if they were never ingested. Query TERMS still
+    // derive from the full corpus (deleting docs must not move the
+    // deterministic term pick) — the oracle restricts only the
+    // positional side
+    "q254_pidx_tombstones" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val slices = TextAnalysis.positionalSlices(
+        d.withColumn("slice", lit(0L)), "doc_id", "text", "slice")
+      val deletes = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"))
+      TextAnalysis.phraseQuery(
+        TextAnalysis.positionalMergeSlices(
+          TextAnalysis.positionalApplyTombstones(slices, deletes)),
+        topCorpusBigram(d), k = 20)
+    }),
+
+    // edge-store RETRACTIONS (the LSM cancel-to-zero posture applied
+    // to edge counts): every user_id % 7 = 0 user's transition pairs
+    // are retracted by appending their NEGATED per-slice counts; the
+    // merged PageRank must equal the walk over the remaining users'
+    // log — per-user pairs are independent, so the oracle just
+    // filters the ev CTE
+    "q255_edge_retraction" -> ((s, dir) => {
+      val pairs = transitionPairs(s, dir)
+      val ingest = graft.ops.Graph.edgeSlices(
+        pairs.withColumn("slice", lit(0L)), "item_id", "nxt", "slice")
+      val retract = graft.ops.Graph.edgeTombstones(
+        pairs.filter(col("user_id") % 7 === 0).withColumn("slice", lit(1L)),
+        "item_id", "nxt", "slice")
+      graft.ops.Graph.pageRankDirected(
+          graft.ops.Graph.edgeMerge(ingest.unionByName(retract)),
+          "src", "dst", "w", iters = 3, scale = 1000000L)
+        .select(col("id").as("node"), col("rank_units").as("rank_micro"))
+    }),
+
+    // edge-store COMPACTION: generations 0+1 (of the q251 three-way
+    // interleave) fold into one replacement slice, generation 2
+    // stays; the next-item read over the re-merge must land on the
+    // full-log q246 table — sum-merge associativity is the proof
+    // obligation, the shared oracle the proof
+    "q256_edge_compaction" -> ((s, dir) => {
+      val sliced = transitionPairs(s, dir)
+        .withColumn("slice", col("event_id") % 3)
+      val slices = graft.ops.Graph.edgeSlices(sliced, "item_id", "nxt",
+        "slice")
+      val gen0 = graft.ops.Graph.edgeCompact(
+        slices.filter(col("slice") < 2), newSlice = 100L)
+      val gen1 = slices.filter(col("slice") === 2)
+      Behavior.nextItemFromCounts(
+        graft.ops.Graph.edgeMerge(gen0.unionByName(gen1)),
+        "src", "dst", "w", k = 3)
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -4427,92 +4484,68 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  /** Shared DuckDB phrase/proximity oracle bodies — q209 and the
-    * positional-store lifecycle entry q249 must satisfy the SAME
-    * phrase SQL (store merge ≡ corpus rescan); q238 and the
-    * compaction entry q250 share the proximity SQL the same way.
+  /** Shared DuckDB positional-oracle builder — q209/q249/q254 (phrase)
+    * and q238/q250 (proximity) all replay the same positional
+    * machinery: bigram pick over the FULL corpus, positional side
+    * optionally restricted (`posWhere` — the tombstone entry deletes
+    * docs from the INDEX, never from the term derivation), match
+    * expression per query kind.
     */
-  private val q209PhraseSql: String =
-    """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |pr AS (
-        |  SELECT g.w1 AS w1, g.w2 AS w2 FROM (
-        |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
-        |             i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS g
-        |    FROM w WHERE len(ws) >= 2)),
-        |bg AS (
-        |  SELECT w1, w2 FROM (
-        |    SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2)
-        |  ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1),
-        |pos AS (
-        |  SELECT doc_id, g.t AS token, g.p AS p FROM (
-        |    SELECT doc_id,
-        |           unnest(list_transform(generate_series(1, len(ws)),
-        |             i -> {'t': ws[i], 'p': i})) AS g
-        |    FROM w)),
-        |a AS (
-        |  SELECT doc_id, list_sort(list(p)) AS pa
-        |  FROM pos, bg WHERE token = w1 GROUP BY doc_id),
-        |b AS (
-        |  SELECT doc_id, list_sort(list(p)) AS pb
-        |  FROM pos, bg WHERE token = w2 GROUP BY doc_id),
-        |m AS (
-        |  SELECT a.doc_id,
-        |         len(list_intersect(list_transform(pa, p -> p + 1), pb))::BIGINT
-        |           AS n_matches
-        |  FROM a JOIN b USING (doc_id))
-        |SELECT doc_id, n_matches, rk FROM (
-        |  SELECT doc_id, n_matches,
-        |         row_number() OVER (ORDER BY n_matches DESC, doc_id ASC) AS rk
-        |  FROM m WHERE n_matches > 0)
-        |WHERE rk <= 20""".stripMargin
+  private def posOracle(posWhere: String, matchExpr: String): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |pr AS (
+       |  SELECT g.w1 AS w1, g.w2 AS w2 FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+       |             i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS g
+       |    FROM w WHERE len(ws) >= 2)),
+       |bg AS (
+       |  SELECT w1, w2 FROM (
+       |    SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2)
+       |  ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1),
+       |pos AS (
+       |  SELECT doc_id, g.t AS token, g.p AS p FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(generate_series(1, len(ws)),
+       |             i -> {'t': ws[i], 'p': i})) AS g
+       |    FROM w$posWhere)),
+       |a AS (
+       |  SELECT doc_id, list_sort(list(p)) AS pa
+       |  FROM pos, bg WHERE token = w1 GROUP BY doc_id),
+       |b AS (
+       |  SELECT doc_id, list_sort(list(p)) AS pb
+       |  FROM pos, bg WHERE token = w2 GROUP BY doc_id),
+       |m AS (
+       |  SELECT a.doc_id, $matchExpr AS n_matches
+       |  FROM a JOIN b USING (doc_id))
+       |SELECT doc_id, n_matches, rk FROM (
+       |  SELECT doc_id, n_matches,
+       |         row_number() OVER (ORDER BY n_matches DESC, doc_id ASC) AS rk
+       |  FROM m WHERE n_matches > 0)
+       |WHERE rk <= 20""".stripMargin
 
-  private val q238ProximitySql: String =
-    """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |pr AS (
-        |  SELECT g.w1 AS w1, g.w2 AS w2 FROM (
-        |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
-        |             i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS g
-        |    FROM w WHERE len(ws) >= 2)),
-        |bg AS (
-        |  SELECT w1, w2 FROM (
-        |    SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2)
-        |  ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1),
-        |pos AS (
-        |  SELECT doc_id, g.t AS token, g.p AS p FROM (
-        |    SELECT doc_id,
-        |           unnest(list_transform(generate_series(1, len(ws)),
-        |             i -> {'t': ws[i], 'p': i})) AS g
-        |    FROM w)),
-        |a AS (
-        |  SELECT doc_id, list_sort(list(p)) AS pa
-        |  FROM pos, bg WHERE token = w1 GROUP BY doc_id),
-        |b AS (
-        |  SELECT doc_id, list_sort(list(p)) AS pb
-        |  FROM pos, bg WHERE token = w2 GROUP BY doc_id),
-        |m AS (
-        |  SELECT a.doc_id,
-        |         CAST(list_sum(list_transform(pa,
-        |           p -> len(list_filter(pb, q -> q > p AND q <= p + 3))))
-        |           AS BIGINT) AS n_matches
-        |  FROM a JOIN b USING (doc_id))
-        |SELECT doc_id, n_matches, rk FROM (
-        |  SELECT doc_id, n_matches,
-        |         row_number() OVER (ORDER BY n_matches DESC, doc_id ASC) AS rk
-        |  FROM m WHERE n_matches > 0)
-        |WHERE rk <= 20""".stripMargin
+  // phrase adjacency replayed on 1-based positions (shift-invariant
+  // vs Spark's 0-based posexplode); proximity = the slop-3 pair count
+  private val phraseMatchExpr =
+    "len(list_intersect(list_transform(pa, p -> p + 1), pb))::BIGINT"
+  private val proximityMatchExpr =
+    "CAST(list_sum(list_transform(pa,\n" +
+    "           p -> len(list_filter(pb, q -> q > p AND q <= p + 3))))\n" +
+    "           AS BIGINT)"
+  private val q209PhraseSql: String = posOracle("", phraseMatchExpr)
+  private val q238ProximitySql: String = posOracle("", proximityMatchExpr)
 
-  /** Shared DuckDB PageRank oracle — q208 (store-served read) and the
-    * edge-warehouse lifecycle entry q251 (slice-merge read) must both
-    * land on the full-log ranks this SQL recomputes from scratch.
+  /** Shared DuckDB PageRank oracle builder — q208 (store-served),
+    * q251 (slice-merge lifecycle) and q255 (retraction: the walk over
+    * the log minus the retracted users' events, via `evAnd`) replay
+    * the same unrolled 3-iteration integer walk.
     */
-  private val q208PageRankSql: String =
-    """WITH ev AS (
+  private def pageRankOracle(evAnd: String): String =
+    s"""WITH ev AS (
         |  SELECT user_id, ts, event_id,
-        |         json_extract_string(props, '$.k')::BIGINT AS item
+        |         json_extract_string(props, '$$.k')::BIGINT AS item
         |  FROM events
-        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |  WHERE json_extract_string(props, '$$.k') IS NOT NULL$evAnd),
         |nx AS (
         |  SELECT item AS src,
         |         lead(item) OVER (PARTITION BY user_id
@@ -4549,6 +4582,39 @@ object SparkEntry {
         |         (150000 + (850000 * coalesce(i.s, 0)) // 1000000)::BIGINT AS r
         |  FROM nodes n LEFT JOIN i3 i USING (node))
         |SELECT node, r AS rank_micro FROM r3""".stripMargin
+
+  private val q208PageRankSql: String = pageRankOracle("")
+
+  /** Shared DuckDB next-item oracle — q246 (store-served read) and
+    * q256 (edge-store compaction) must both land on the full-log
+    * serving table.
+    */
+  private val q246NextItemSql: String =
+    """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |         json_extract_string(props, '$.k')::BIGINT AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |nx AS (
+        |  SELECT item AS from_item,
+        |         lead(item) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS to_item
+        |  FROM ev),
+        |tr AS (
+        |  SELECT from_item, to_item, count(*)::BIGINT AS cnt
+        |  FROM nx WHERE to_item IS NOT NULL AND to_item <> from_item
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT from_item, CAST(sum(cnt) AS BIGINT) AS row_total
+        |  FROM tr GROUP BY 1)
+        |SELECT tr.from_item,
+        |       CAST(row_number() OVER (PARTITION BY tr.from_item
+        |              ORDER BY tr.cnt DESC, tr.to_item ASC) AS BIGINT)
+        |         AS rk,
+        |       tr.to_item, tr.cnt,
+        |       CAST(tr.cnt * 1000000 // tot.row_total AS BIGINT) AS p_ppm
+        |FROM tr JOIN tot USING (from_item)
+        |QUALIFY rk <= 3""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q16_cep_login_fail" ->
@@ -6587,6 +6653,8 @@ object SparkEntry {
     // precedent); `//` floors like Spark's div on the all-positive ranks
     "q208_pagerank" -> q208PageRankSql,
     "q251_edge_slices" -> q208PageRankSql,
+    // retraction: the walk over the log minus the retracted users
+    "q255_edge_retraction" -> pageRankOracle(" AND user_id % 7 <> 0"),
 
     // phrase adjacency replayed on 1-based positions (adjacency is
     // shift-invariant vs Spark's 0-based posexplode). The SAME oracle
@@ -6594,6 +6662,10 @@ object SparkEntry {
     // offset-carrying split slices, so green = merge ≡ rescan
     "q209_phrase_query" -> q209PhraseSql,
     "q249_pidx_store" -> q209PhraseSql,
+    // tombstones delete docs from the INDEX only: the positional side
+    // filters, the term pick stays corpus-wide
+    "q254_pidx_tombstones" ->
+      posOracle(" WHERE doc_id % 10 <> 0", phraseMatchExpr),
 
     // q209's positional machinery with the slop-3 pair count in place
     // of the adjacency intersect; q250's Spark side re-merges a
@@ -9064,32 +9136,10 @@ object SparkEntry {
         |       2 * dev.dev2 > 3 * mad.mad4 AS is_anomaly
         |FROM dev JOIN mad USING (series)""".stripMargin,
 
-    "q246_next_item" ->
-      """WITH ev AS (
-        |  SELECT user_id, ts, event_id,
-        |         json_extract_string(props, '$.k')::BIGINT AS item
-        |  FROM events
-        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
-        |nx AS (
-        |  SELECT item AS from_item,
-        |         lead(item) OVER (PARTITION BY user_id
-        |                          ORDER BY ts, event_id) AS to_item
-        |  FROM ev),
-        |tr AS (
-        |  SELECT from_item, to_item, count(*)::BIGINT AS cnt
-        |  FROM nx WHERE to_item IS NOT NULL AND to_item <> from_item
-        |  GROUP BY 1, 2),
-        |tot AS (
-        |  SELECT from_item, CAST(sum(cnt) AS BIGINT) AS row_total
-        |  FROM tr GROUP BY 1)
-        |SELECT tr.from_item,
-        |       CAST(row_number() OVER (PARTITION BY tr.from_item
-        |              ORDER BY tr.cnt DESC, tr.to_item ASC) AS BIGINT)
-        |         AS rk,
-        |       tr.to_item, tr.cnt,
-        |       CAST(tr.cnt * 1000000 // tot.row_total AS BIGINT) AS p_ppm
-        |FROM tr JOIN tot USING (from_item)
-        |QUALIFY rk <= 3""".stripMargin,
+    "q246_next_item" -> q246NextItemSql,
+    // the compaction entry re-merges a compacted generation and must
+    // land on the same full-log table
+    "q256_edge_compaction" -> q246NextItemSql,
 
     // recomputed from the RAW log — green proves the warehouse-served
     // read equals the one-shot pass

@@ -226,9 +226,45 @@ object Graph {
     * the undirected family ([[triangles]], [[kCorePeel]], …) takes
     * (src, dst) as its pair columns — their internal symmetrize +
     * dedup makes the weights' presence harmless.
+    *
+    * Retractions ([[edgeTombstones]]) cancel ingested counts to
+    * exactly 0 — a fully-retracted edge drops here; a NEGATIVE sum
+    * means a retraction without a matching ingest (a data bug) and
+    * raises loudly rather than serving phantom edges (the
+    * indexMergeSlices posture applied to the edge store).
     */
   def edgeMerge(slices: DataFrame): DataFrame =
-    slices.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    slices.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("_w"))
+      .select(col("src"), col("dst"),
+        when(col("_w") >= 0, col("_w"))
+          .otherwise(raise_error(concat(
+            lit("edgeMerge: negative merged weight for edge "),
+            col("src").cast("string"), lit(" -> "),
+            col("dst").cast("string"),
+            lit(" — retraction without matching ingest")))).as("w"))
+      .filter(col("w") > 0)
+
+  /** Retraction slices — the DELETE path of the edge warehouse (the
+    * LSM posture: deletes append, history files stay untouched): the
+    * retracted pair log re-aggregated with NEGATED counts, so the
+    * [[edgeMerge]] sum cancels its contribution to exactly zero.
+    * Requires the retraction to carry the SAME pairs the ingest saw
+    * (content-addressed — a partial retraction cancels partially); an
+    * unmatched retraction drives a weight negative and raises at
+    * merge. Work ∝ retracted pairs only.
+    */
+  def edgeTombstones(pairs: DataFrame, srcCol: String, dstCol: String,
+                     sliceCol: String): DataFrame =
+    edgeSlices(pairs, srcCol, dstCol, sliceCol)
+      .select(col("slice"), col("src"), col("dst"), (-col("w")).as("w"))
+
+  /** Compact edge slices into ONE replacement slice: the merged
+    * counts re-tagged with a fresh slice id — sum-merge associativity
+    * makes compaction commute with reads (the indexCompact contract).
+    */
+  def edgeCompact(slices: DataFrame, newSlice: Long): DataFrame =
+    edgeMerge(slices).select(lit(newSlice).as("slice"), col("src"),
+      col("dst"), col("w"))
 
   def triangles(pairs: DataFrame, aCol: String, bCol: String,
                 checkpointDir: Option[String] = None): DataFrame =

@@ -1733,6 +1733,22 @@ object TextAnalysis {
     positionalMergeSlices(slices).select(lit(newSlice).as("slice"),
       col("token"), col("doc_id"), col("tf"), col("positions"))
 
+  /** DOC-ID-addressed deletes for the positional store — the
+    * [[graft.ops.Similarity.applyTombstones]] posture rather than
+    * [[indexTombstones]]'s content-addressed negation: position SETS
+    * don't cancel arithmetically the way tf sums do, and a positional
+    * delete is in practice "drop the document" (re-ingests go through
+    * delete + append). The delete log is an append-only (doc_id)
+    * frame; this read anti-joins it — store files stay untouched, and
+    * a later compaction that rewrites without the deleted docs serves
+    * the identical rows (the q213/q215 contract, proven by q254's
+    * oracle recomputing from the corpus minus the deleted docs).
+    */
+  def positionalApplyTombstones(slices: DataFrame,
+                                deletes: DataFrame): DataFrame =
+    slices.join(deletes.select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** PHRASE query on the positional index: docs where `w1` is
     * immediately followed by `w2`, ranked by match count — the
     * two-token exact-phrase read every positional index exists for.

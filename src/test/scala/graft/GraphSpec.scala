@@ -183,4 +183,35 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(triStore === triRaw && triStore.nonEmpty)
   }
+
+  test("edge warehouse deletes/compaction: retractions cancel to zero, unmatched retraction raises, compaction commutes") {
+    val pairs = Seq((1L, 2L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("a", "b").withColumn("slice",
+        org.apache.spark.sql.functions.lit(0L))
+    val ingest = Graph.edgeSlices(pairs, "a", "b", "slice")
+    // retract ONE of the two (1→2) ingests and the whole (2→3) edge
+    val retract = Graph.edgeTombstones(
+      Seq((1L, 2L), (2L, 3L)).toDF("a", "b").withColumn("slice",
+        org.apache.spark.sql.functions.lit(1L)),
+      "a", "b", "slice")
+    val merged = Graph.edgeMerge(ingest.unionByName(retract))
+      .as[(Long, Long, Long)].collect().toSet
+    // (1→2) drops to weight 1; (2→3) cancels to exactly zero and drops
+    assert(merged === Set((1L, 2L, 1L), (3L, 1L, 1L), (1L, 3L, 1L)))
+    // a retraction with no matching ingest raises at merge
+    val phantom = Graph.edgeTombstones(
+      Seq((9L, 9L)).toDF("a", "b").withColumn("slice",
+        org.apache.spark.sql.functions.lit(2L)),
+      "a", "b", "slice")
+    val e = intercept[Exception] {
+      Graph.edgeMerge(ingest.unionByName(phantom)).collect()
+    }
+    assert(e.getMessage.contains("retraction") ||
+      e.getCause != null && e.getCause.getMessage.contains("retraction"))
+    // compaction commutes: compact(ingest) ∪ retract merges the same
+    val viaCompact = Graph.edgeMerge(
+        Graph.edgeCompact(ingest, newSlice = 100L).unionByName(retract))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaCompact === merged)
+  }
 }

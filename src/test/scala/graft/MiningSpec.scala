@@ -2324,6 +2324,15 @@ class MiningSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ingested twice") ||
       e.getCause != null &&
         e.getCause.getMessage.contains("ingested twice"))
+    // doc-id-addressed deletes: the anti-join read serves exactly the
+    // index over the corpus minus the deleted docs — store rows for
+    // the deleted doc stay on disk, the read never sees them
+    val afterDelete = canon(TextAnalysis.positionalMergeSlices(
+      TextAnalysis.positionalApplyTombstones(slices,
+        Seq(1L).toDF("doc_id"))))
+    val rescanWithout = canon(TextAnalysis.positionalPostings(
+      df.filter($"doc_id" =!= 1L), "doc_id", "text"))
+    assert(afterDelete === rescanWithout && afterDelete.nonEmpty)
   }
 
   test("proximityQuery: slop widens the after-window; slop=1 is exactly phraseQuery; order still matters") {
