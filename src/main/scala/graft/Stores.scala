@@ -33,36 +33,52 @@ object Stores {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  private def key(dir: String): String =
-    dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+  /** Collision-proof table key for a source directory: the readable
+    * sanitized form PLUS an md5 suffix of the raw path — sanitizing
+    * alone maps distinct dirs to one key (`/data/sf0.1` and
+    * `/data/sf0_1` both squash to `data_sf0_1`), which would silently
+    * serve one corpus's artifacts to the other's queries.
+    */
+  private[graft] def key(dir: String): String = {
+    val readable = dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
       .replaceAll("^_+|_+$", "")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    s"${readable}_$digest"
+  }
 
   private def serve(s: SparkSession, table: String)
                    (build: => Unit): DataFrame = {
-    built.computeIfAbsent(table, _ => {
+    def ensure(): Unit = built.computeIfAbsent(table, _ => {
       // the default catalog is in-memory and dies with the JVM, but
       // managed-table FILES survive in the warehouse dir — a fresh
       // process would hit LOCATION_ALREADY_EXISTS on its first write.
       // An unregistered location is by definition stale (this memo is
-      // the only writer): remove it, never trust it.
+      // the only writer): remove it, never trust it. The managed
+      // location is resolved through the CURRENT database (a
+      // non-default database stores under <db>.db/), not assumed to
+      // be <warehouse>/<table>.
       if (!s.catalog.tableExists(table)) {
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), table)
+        val dbLoc = s.catalog.getDatabase(s.catalog.currentDatabase)
+          .locationUri
+        val loc = new org.apache.hadoop.fs.Path(dbLoc, table)
         val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(loc)) fs.delete(loc, true)
       }
       build
       java.lang.Boolean.TRUE
     })
+    ensure()
+    // the memo is JVM-global but the catalog entry is session-scoped:
+    // a dropped table or a restarted SparkContext in the same JVM
+    // would otherwise skip the rebuild and fail the read — self-heal
+    // by forgetting the memo and building again
+    if (!s.catalog.tableExists(table)) {
+      built.remove(table)
+      ensure()
+    }
     s.table(table)
-  }
-
-  /** Test/maintenance hook: forget the memo for `dir`'s stores so the
-    * next read rebuilds (e.g. after a spec drops the tables).
-    */
-  private[graft] def invalidate(dir: String): Unit = {
-    val k = key(dir)
-    built.keySet.removeIf(_.endsWith(k))
   }
 
   /** The exact inverted-index store over `documents`: token-bucketed

@@ -1350,6 +1350,26 @@ object TextAnalysis {
       .filter(col("rk") <= k)
   }
 
+  /** Defensive collapse of a by-contract 1-row scalar frame before it
+    * crossJoins into a posting frame: re-aggregate and RAISE unless
+    * the caller's frame held exactly one row (a multi-row frame would
+    * silently multiply every posting row and corrupt scores; a 0-row
+    * frame is always a contract violation too — the `.agg(...)` form
+    * the contract names yields one row even over an empty corpus, so
+    * an empty frame means the caller passed something else, and
+    * serving k null-scored "ranked" rows from it would be a silent
+    * lie). The observable-cap rule applied to scalar contracts.
+    */
+  private def oneRowScalar(f: DataFrame, colName: String,
+                           op: String): DataFrame =
+    f.agg(count(lit(1)).as("_nr"), max(col(colName)).as("_v"))
+      .select(
+        when(col("_nr") === 1L, col("_v"))
+          .otherwise(raise_error(concat(
+            lit(s"$op: the $colName scalar frame must have exactly one " +
+              "row by contract, got "), col("_nr").cast("string"))))
+          .as(colName))
+
   /** Exact-integer arithmetic wide enough for the BM25 family's
     * cross-multiplied rationals: int64 overflows within the ops' own
     * envelopes (num·den pairs at N ≈ 2e7 pass 2^63), DECIMAL(38,0)
@@ -1385,25 +1405,6 @@ object TextAnalysis {
     * cannot recover N (capped postings), so the corpus count travels
     * as a frame, not a driver-side literal.
     */
-  /** Defensive collapse of a by-contract 1-row scalar frame before it
-    * crossJoins into a posting frame: re-aggregate to exactly one row
-    * and RAISE if the caller's frame held more (a multi-row frame
-    * would silently multiply every posting row and corrupt scores —
-    * the observable-cap rule applied to scalar contracts). An empty
-    * frame still yields one row with a null scalar: scores go null
-    * rather than rows multiplying, and the empty-corpus case has no
-    * postings to rank anyway.
-    */
-  private def oneRowScalar(f: DataFrame, colName: String,
-                           op: String): DataFrame =
-    f.agg(count(lit(1)).as("_nr"), max(col(colName)).as("_v"))
-      .select(
-        when(col("_nr") <= 1L, col("_v"))
-          .otherwise(raise_error(concat(
-            lit(s"$op: the $colName scalar frame must have exactly one " +
-              "row by contract, got "), col("_nr").cast("string"))))
-          .as(colName))
-
   def bm25Query(index: DataFrame, nDocs: DataFrame, k: Int,
                 checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")

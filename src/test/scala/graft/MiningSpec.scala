@@ -2137,11 +2137,16 @@ class MiningSpec extends AnyFunSuite {
     val idx = TextAnalysis.invertedIndex(df, "doc_id", "text",
       maxPostings = 10)
     // two rows where the contract says one: the crossJoin would have
-    // silently doubled every posting row and corrupted scores
+    // silently doubled every posting row and corrupted scores. Zero
+    // rows is a violation too — the .agg form the contract names
+    // yields one row even over an empty corpus, so an empty frame
+    // would otherwise serve k null-scored "ranked" rows
     val twoRows = Seq(3L, 4L).toDF("n_docs")
-    for (q <- Seq(
-      () => TextAnalysis.bm25Query(idx, twoRows, k = 5).collect(),
-      () => TextAnalysis.taTopK(idx, twoRows, k = 1, m = 10).collect())) {
+    val zeroRows = Seq(3L).toDF("n_docs").filter($"n_docs" < 0)
+    for (bad <- Seq(twoRows, zeroRows);
+         q <- Seq(
+           () => TextAnalysis.bm25Query(idx, bad, k = 5).collect(),
+           () => TextAnalysis.taTopK(idx, bad, k = 1, m = 10).collect())) {
       val e = intercept[Exception] { q() }
       assert(e.getMessage.contains("exactly one") ||
         e.getCause != null &&

@@ -458,6 +458,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("Stores: distinct source dirs never share a table key; a dropped table self-heals on the next read") {
+    // sanitizing alone collapses /a/sf0.1 and /a/sf0_1 to one key —
+    // the md5 suffix keeps them (and any case-folded twins) apart
+    assert(Stores.key("/a/sf0.1") !== Stores.key("/a/sf0_1"))
+    assert(Stores.key("/a/B") !== Stores.key("/a/b"))
+    // the memo is JVM-global but the catalog is session-scoped: after
+    // a DROP TABLE the next read must rebuild, not fail
+    val before = Stores.norms(spark, dir).count()
+    spark.sql(s"DROP TABLE IF EXISTS graft_norms_${Stores.key(dir)}")
+    assert(Stores.norms(spark, dir).count() === before && before > 0)
+  }
+
   test("q209/q238: phrase/proximity read the WRITTEN positional store — bucketed zero-Exchange merge") {
     val mp = graft.ops.TextAnalysis.positionalMergeSlices(
         Stores.positional(spark, dir))
