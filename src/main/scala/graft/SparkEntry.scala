@@ -51,8 +51,7 @@ object SparkEntry {
     */
   private def storedIndex(s: SparkSession, dir: String,
                           maxPostings: Int): DataFrame =
-    TextAnalysis.cappedIndex(
-      TextAnalysis.indexMergeSlices(Stores.index(s, dir)), maxPostings)
+    Stores.cappedIndex(s, dir, maxPostings)
 
   /** The merged (src, dst, w) edge view over the WRITTEN edge store
     * ([[Stores.edges]]) — the graph family's one edge source
@@ -63,11 +62,27 @@ object SparkEntry {
   private def storedEdges(s: SparkSession, dir: String): DataFrame =
     graft.ops.Graph.edgeMerge(Stores.edges(s, dir))
 
+  /** The phrase/proximity serving view: the positional store
+    * PREFILTERED to the query terms (a broadcast semi-join on token —
+    * the bucket scan streams through it) BEFORE the position-set
+    * merge, so the per-query aggregate touches the two terms' posting
+    * rows, never the whole index. Terms come off the persisted 1-row
+    * bigram statistic ([[Stores.topBigram]]), not a per-query corpus
+    * aggregate.
+    */
+  private def storedPositional(s: SparkSession, dir: String): DataFrame = {
+    val toks = Stores.topBigram(s, dir)
+      .select(explode(array(col("w1"), col("w2"))).as("token")).distinct()
+    TextAnalysis.positionalMergeSlices(
+      Stores.positional(s, dir)
+        .join(broadcast(toks), Seq("token"), "left_semi"))
+  }
+
   /** The corpus's most frequent word bigram — the deterministic query
     * term pair the retrieval reads (q209/q238) share; count-desc with
     * (w1, w2) tie-break so every SF picks the same pair.
     */
-  private def topCorpusBigram(d: DataFrame): DataFrame =
+  private[graft] def topCorpusBigram(d: DataFrame): DataFrame =
     d.filter(size(split(col("text"), " ")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(split(text, ' ')) - 2), " +
@@ -3085,16 +3100,14 @@ object SparkEntry {
     // every SF) served as an exact-adjacency phrase match; the >= 2
     // filter guards Spark's descending sequence(0, -1) on 1-word docs
     "q209_phrase_query" -> ((s, dir) =>
-      TextAnalysis.phraseQuery(
-        TextAnalysis.positionalMergeSlices(Stores.positional(s, dir)),
-        topCorpusBigram(Tables.documents(s, dir)), k = 20)),
+      TextAnalysis.phraseQuery(storedPositional(s, dir),
+        Stores.topBigram(s, dir), k = 20)),
 
     // the q209 phrase relaxed to "within 3 tokens after" — same
     // positional store read, same query terms, in-row pair counting
     "q238_proximity_query" -> ((s, dir) =>
-      TextAnalysis.proximityQuery(
-        TextAnalysis.positionalMergeSlices(Stores.positional(s, dir)),
-        topCorpusBigram(Tables.documents(s, dir)), k = 20, slop = 3)),
+      TextAnalysis.proximityQuery(storedPositional(s, dir),
+        Stores.topBigram(s, dir), k = 20, slop = 3)),
 
     // traffic-spike detection: hourly series counts vs their trailing
     // 24-bucket window, the integer cross-multiply cnt·n > 2·Σ — no
@@ -3540,7 +3553,7 @@ object SparkEntry {
         "doc_id", "text", "slice", offsetCol = Some("off"))
       TextAnalysis.phraseQuery(
         TextAnalysis.positionalMergeSlices(slices),
-        topCorpusBigram(d), k = 20)
+        Stores.topBigram(s, dir), k = 20)
     }),
 
     // positional-store COMPACTION: generation 0 (the split slices 0+1)
@@ -3573,7 +3586,7 @@ object SparkEntry {
           col("doc_id"), col("tf"), col("positions"))
       TextAnalysis.proximityQuery(
         TextAnalysis.positionalMergeSlices(gen0.unionByName(gen1)),
-        topCorpusBigram(d), k = 20, slop = 3)
+        Stores.topBigram(s, dir), k = 20, slop = 3)
     }),
 
     // edge-WAREHOUSE lifecycle: the transition-pair log arrives split
@@ -3638,7 +3651,7 @@ object SparkEntry {
       TextAnalysis.phraseQuery(
         TextAnalysis.positionalMergeSlices(
           TextAnalysis.positionalApplyTombstones(slices, deletes)),
-        topCorpusBigram(d), k = 20)
+        Stores.topBigram(s, dir), k = 20)
     }),
 
     // edge-store RETRACTIONS (the LSM cancel-to-zero posture applied

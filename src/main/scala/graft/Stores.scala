@@ -119,6 +119,43 @@ object Stores {
     }
   }
 
+  /** The capped impact-ordered SERVING index — the artifact real
+    * engines actually answer from (postings pre-ranked by impact,
+    * truncated at the cap, df/cf riding in the dictionary): the
+    * [[TextAnalysis.cappedIndex]] view over [[index]] materialized as
+    * its own token-bucketed table. The per-token rank Window and the
+    * df/cf stats run ONCE here at build; the retrieval reads
+    * (q203/q206/q207/q223) probe bucket files with pushed token
+    * work — no per-query window, no per-query stats pass. Rebuilt
+    * per generation the way compaction rewrites are (the store
+    * slices stay the source of truth).
+    */
+  def cappedIndex(s: SparkSession, dir: String,
+                  maxPostings: Int): DataFrame = {
+    val t = s"graft_cidx${maxPostings}_${key(dir)}"
+    serve(s, t) {
+      TextAnalysis.cappedIndex(
+          TextAnalysis.indexMergeSlices(index(s, dir)), maxPostings)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(16, "token").sortBy("token").saveAsTable(t)
+    }
+  }
+
+  /** The corpus's most frequent word bigram persisted as a 1-row
+    * statistics table — the deterministic query-term derivation the
+    * whole phrase/proximity family shares (q209/q238/q249/q250/q254).
+    * Derived once at ingest like [[norms]]; before this store every
+    * one of those queries re-aggregated corpus bigrams just to pick
+    * its terms.
+    */
+  def topBigram(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_bigram_${key(dir)}"
+    serve(s, t) {
+      SparkEntry.topCorpusBigram(Tables.documents(s, dir))
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+  }
+
   /** The BM25 "norms file" beside the index: (doc_id, dl) — one narrow
     * projection of the corpus, persisted because the capped index
     * cannot recover document length (exactly why real engines store

@@ -478,15 +478,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"positional store scan not bucketed:\n$mp")
     assert(!mp.contains("Exchange"),
       s"bucketed positional merge shuffled:\n$mp")
-    // the only corpus scan left in the query plans is the
-    // deterministic term pick (topCorpusBigram) — the INDEX side
-    // never posexplodes the corpus at query time
+    // NO corpus scan left in the query plans at all: the index comes
+    // off the positional store and the term pick off the persisted
+    // 1-row bigram statistic
     for (q <- Seq("q209_phrase_query", "q238_proximity_query")) {
       val p = plan(q)
-      val docScans = p.sliding("documents.parquet".length)
-        .count(_ == "documents.parquet")
-      assert(docScans <= 1,
-        s"$q rebuilds the positional index from the corpus:\n$p")
+      assert(!p.contains("documents.parquet"),
+        s"$q still scans the corpus at query time:\n$p")
       assert(!p.toLowerCase.contains("posexplode"),
         s"$q posexplodes at query time:\n$p")
     }
