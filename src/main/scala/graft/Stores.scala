@@ -27,56 +27,67 @@ import graft.ops.{Graph, TextAnalysis}
   */
 object Stores {
 
-  /** table-name → built flag; computeIfAbsent makes the build
-    * exactly-once per JVM even under concurrent first readers.
+  /** table-name → built flag, guarded by a per-table lock. The build
+    * runs under `synchronized`, NOT inside a ConcurrentHashMap mapping
+    * function: store builds may depend on OTHER stores (cappedIndex →
+    * index), and a nested computeIfAbsent on the same map is a
+    * documented-illegal recursive update that throws when the two
+    * table names land in one hash bin (they do, at bench scale —
+    * the r17 second-review finding).
     */
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Collision-proof table key for a source directory: the readable
-    * sanitized form PLUS an md5 suffix of the raw path — sanitizing
-    * alone maps distinct dirs to one key (`/data/sf0.1` and
-    * `/data/sf0_1` both squash to `data_sf0_1`), which would silently
-    * serve one corpus's artifacts to the other's queries.
+    * sanitized form PLUS an md5 suffix of the NORMALIZED path —
+    * sanitizing alone maps distinct dirs to one key (`/data/sf0.1`
+    * and `/data/sf0_1` both squash to `data_sf0_1`), which would
+    * silently serve one corpus's artifacts to the other's queries;
+    * hashing the raw string would do the opposite (a trailing slash
+    * or `//` would rebuild a duplicate store set for one directory),
+    * so the path is normalized first.
     */
   private[graft] def key(dir: String): String = {
-    val readable = dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+    val canon = java.nio.file.Paths.get(dir).normalize().toString
+    val readable = canon.toLowerCase.replaceAll("[^a-z0-9]+", "_")
       .replaceAll("^_+|_+$", "")
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8"))
+      .digest(canon.getBytes("UTF-8"))
       .take(4).map(b => f"$b%02x").mkString
     s"${readable}_$digest"
   }
 
   private def serve(s: SparkSession, table: String)
                    (build: => Unit): DataFrame = {
-    def ensure(): Unit = built.computeIfAbsent(table, _ => {
-      // the default catalog is in-memory and dies with the JVM, but
-      // managed-table FILES survive in the warehouse dir — a fresh
-      // process would hit LOCATION_ALREADY_EXISTS on its first write.
-      // An unregistered location is by definition stale (this memo is
-      // the only writer): remove it, never trust it. The managed
-      // location is resolved through the CURRENT database (a
-      // non-default database stores under <db>.db/), not assumed to
-      // be <warehouse>/<table>.
-      if (!s.catalog.tableExists(table)) {
-        val dbLoc = s.catalog.getDatabase(s.catalog.currentDatabase)
-          .locationUri
-        val loc = new org.apache.hadoop.fs.Path(dbLoc, table)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
+    val lock = locks.computeIfAbsent(table, _ => new Object)
+    lock.synchronized {
+      // the memo is JVM-global but the catalog entry is
+      // session-scoped: a dropped table or a restarted SparkContext
+      // in the same JVM must rebuild, not fail the read. Checked and
+      // rebuilt under ONE lock so concurrent readers after a drop
+      // build once, never twice (the second waiter re-checks and
+      // sees the fresh table).
+      if (!built.containsKey(table) || !s.catalog.tableExists(table)) {
+        // the default catalog is in-memory and dies with the JVM, but
+        // managed-table FILES survive in the warehouse dir — a fresh
+        // process would hit LOCATION_ALREADY_EXISTS on its first
+        // write. An unregistered location is by definition stale
+        // (this memo is the only writer): remove it, never trust it.
+        // The managed location is resolved through the CURRENT
+        // database (a non-default database stores under <db>.db/),
+        // not assumed to be <warehouse>/<table>.
+        if (!s.catalog.tableExists(table)) {
+          val dbLoc = s.catalog.getDatabase(s.catalog.currentDatabase)
+            .locationUri
+          val loc = new org.apache.hadoop.fs.Path(dbLoc, table)
+          val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) fs.delete(loc, true)
+        }
+        build
+        built.put(table, java.lang.Boolean.TRUE)
       }
-      build
-      java.lang.Boolean.TRUE
-    })
-    ensure()
-    // the memo is JVM-global but the catalog entry is session-scoped:
-    // a dropped table or a restarted SparkContext in the same JVM
-    // would otherwise skip the rebuild and fail the read — self-heal
-    // by forgetting the memo and building again
-    if (!s.catalog.tableExists(table)) {
-      built.remove(table)
-      ensure()
     }
     s.table(table)
   }
