@@ -23,7 +23,11 @@ import graft.ops.{Graph, TextAnalysis}
   * The memo key includes the source directory, so sf0.001 test runs
   * and sf0.1 bench runs in one JVM keep separate tables. Writes go
   * through `mode("overwrite")`, so a stale table from a previous
-  * process is replaced, never trusted.
+  * process is replaced, never trusted. Accepted trade-off: warehouse
+  * directories under table names this code NO LONGER generates (e.g.
+  * after a key-scheme change) are left in place — sweeping every
+  * unregistered `graft_*` dir would delete a concurrently-running
+  * process's live store files, a worse failure than stale disk.
   */
 object Stores {
 
@@ -50,7 +54,15 @@ object Stores {
     * so the path is normalized first.
     */
   private[graft] def key(dir: String): String = {
-    val canon = java.nio.file.Paths.get(dir).normalize().toString
+    // resolve through the FILESYSTEM when the dir exists (a syntactic
+    // normalize() would merge "link/../corpus" with "corpus" even
+    // when `link` is a symlink pointing elsewhere — two different
+    // corpora, one key); fall back to the syntactic form only for
+    // paths that don't resolve (non-local URIs, not-yet-created dirs)
+    val p = java.nio.file.Paths.get(dir)
+    val canon =
+      try p.toRealPath().toString
+      catch { case _: Exception => p.normalize().toString }
     val readable = canon.toLowerCase.replaceAll("[^a-z0-9]+", "_")
       .replaceAll("^_+|_+$", "")
     val digest = java.security.MessageDigest.getInstance("MD5")
@@ -61,6 +73,11 @@ object Stores {
 
   private def serve(s: SparkSession, table: String)
                    (build: => Unit): DataFrame = {
+    // lock-free fast path for the memoized hot read — the lock exists
+    // for builds and the post-DROP self-heal, not to serialize every
+    // concurrent reader of an already-built store
+    if (built.containsKey(table) && s.catalog.tableExists(table))
+      return s.table(table)
     val lock = locks.computeIfAbsent(table, _ => new Object)
     lock.synchronized {
       // the memo is JVM-global but the catalog entry is
