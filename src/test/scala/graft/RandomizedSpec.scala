@@ -460,4 +460,78 @@ class RandomizedSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("positional store: random slice splits with offsets merge to the rescan; phrase counts match plain Scala (seeded)") {
+    val rnd = new scala.util.Random(1747)
+    val alphabet = Seq("aa", "ab", "ac")
+    for (trial <- 1 to 10) {
+      val docs = (1 to 3 + rnd.nextInt(8)).map { id =>
+        val words = Seq.fill(1 + rnd.nextInt(12))(
+          alphabet(rnd.nextInt(alphabet.size)))
+        (id.toLong, words.mkString(" "))
+      }
+      // split each doc into 1–3 contiguous parts carrying their global
+      // start offset; parts land in random slices (two parts of one
+      // doc may share a slice — the within-slice aggregate must still
+      // merge right)
+      val parts = docs.flatMap { case (id, text) =>
+        val ws = text.split(" ").toSeq
+        val cuts = (Seq(0, ws.length) ++
+          Seq.fill(rnd.nextInt(3))(rnd.nextInt(ws.length + 1)))
+          .distinct.sorted
+        cuts.zip(cuts.tail).map { case (lo, hi) =>
+          (id, rnd.nextInt(4).toLong, ws.slice(lo, hi).mkString(" "), lo)
+        }
+      }
+      val slices = TextAnalysis.positionalSlices(
+        parts.toDF("doc_id", "slice", "text", "off"),
+        "doc_id", "text", "slice", offsetCol = Some("off"))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select($"token", $"doc_id", $"tf", $"positions")
+          .as[(String, Long, Long, Seq[Int])].collect().toSet
+      val merged = canon(TextAnalysis.positionalMergeSlices(slices))
+      val rescan = canon(TextAnalysis.positionalPostings(
+        docs.toDF("doc_id", "text"), "doc_id", "text"))
+      assert(merged === rescan, s"trial $trial")
+      // phrase counts off the merged store vs an independent per-doc
+      // sliding-window count
+      val (w1, w2) = (alphabet(rnd.nextInt(alphabet.size)),
+        alphabet(rnd.nextInt(alphabet.size)))
+      val got = TextAnalysis.phraseQuery(
+          TextAnalysis.positionalMergeSlices(slices),
+          Seq((w1, w2)).toDF("w1", "w2"), k = 100)
+        .select($"doc_id", $"n_matches").as[(Long, Long)]
+        .collect().toMap
+      val exp = docs.map { case (id, text) =>
+        val ws = text.split(" ").toSeq
+        id -> ws.zip(ws.drop(1)).count(p => p._1 == w1 && p._2 == w2).toLong
+      }.filter(_._2 > 0).toMap
+      assert(got === exp, s"trial $trial terms ($w1 $w2)")
+    }
+  }
+
+  test("edge warehouse: random slice splits and partial retractions merge to multiset counts (seeded)") {
+    import graft.ops.Graph
+    val rnd = new scala.util.Random(9217)
+    for (trial <- 1 to 12) {
+      val pairs = Seq.fill(5 + rnd.nextInt(40))(
+        (1L + rnd.nextInt(5), 1L + rnd.nextInt(5)))
+      val sliced = pairs.map(p => (p._1, p._2, rnd.nextInt(3).toLong))
+      // retract a random sub-multiset of the ingested occurrences
+      val retract = pairs.filter(_ => rnd.nextInt(10) < 3)
+      val ingest = Graph.edgeSlices(
+        sliced.toDF("a", "b", "slice"), "a", "b", "slice")
+      val tomb = Graph.edgeTombstones(
+        retract.map(p => (p._1, p._2, 9L)).toDF("a", "b", "slice"),
+        "a", "b", "slice")
+      val merged = Graph.edgeMerge(ingest.unionByName(tomb))
+        .as[(Long, Long, Long)].collect().toSet
+      val counts = pairs.groupBy(identity).view.mapValues(_.size).toMap
+      val rcounts = retract.groupBy(identity).view.mapValues(_.size).toMap
+      val exp = counts.map { case (p, n) =>
+        (p._1, p._2, (n - rcounts.getOrElse(p, 0)).toLong)
+      }.filter(_._3 > 0).toSet
+      assert(merged === exp, s"trial $trial")
+    }
+  }
 }
