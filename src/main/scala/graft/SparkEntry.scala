@@ -93,6 +93,24 @@ object SparkEntry {
       .orderBy(col("c").desc, col("w1").asc, col("w2").asc).limit(1)
       .select(col("w1"), col("w2"))
 
+  /** The corpus's most frequent word TRIGRAM — [[topCorpusBigram]]'s
+    * three-term sibling, the deterministic phrase for the k-term
+    * phrase read (q257).
+    */
+  private[graft] def topCorpusTrigram(d: DataFrame): DataFrame =
+    d.filter(size(split(col("text"), " ")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(split(text, ' ')) - 3), " +
+          "i -> struct(element_at(split(text, ' '), i + 1) AS w1, " +
+          "element_at(split(text, ' '), i + 2) AS w2, " +
+          "element_at(split(text, ' '), i + 3) AS w3))")).as("t"))
+      .groupBy(col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1").asc, col("w2").asc, col("w3").asc)
+      .limit(1)
+      .select(col("w1"), col("w2"), col("w3"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q04_hot_items_top5")(spark, "/root/testdata/sf0.001")
@@ -3690,6 +3708,24 @@ object SparkEntry {
         graft.ops.Graph.edgeMerge(gen0.unionByName(gen1)),
         "src", "dst", "w", k = 3)
     }),
+
+    // k-TERM exact phrase (k = 3): the corpus's most frequent trigram
+    // served off the positional store — every posting position maps
+    // to its candidate anchor (pos − ord) and an anchor seen under
+    // all three ords is an occurrence; the general form of the q209
+    // two-term intersect. Store-prefiltered to the (≤3) distinct
+    // query tokens, terms off the persisted trigram statistic
+    "q257_phrase_trigram" -> ((s, dir) => {
+      val terms = Stores.topTrigram(s, dir)
+        .select(posexplode(array(col("w1"), col("w2"), col("w3")))
+          .as(Seq("ord", "token")))
+      val toks = terms.select(col("token")).distinct()
+      TextAnalysis.phraseQueryK(
+        TextAnalysis.positionalMergeSlices(
+          Stores.positional(s, dir)
+            .join(broadcast(toks), Seq("token"), "left_semi")),
+        terms, k = 20)
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -6679,6 +6715,45 @@ object SparkEntry {
     // filters, the term pick stays corpus-wide
     "q254_pidx_tombstones" ->
       posOracle(" WHERE doc_id % 10 <> 0", phraseMatchExpr),
+
+    // three-term phrase: anchors (p − ord) grouped per doc, an anchor
+    // holding all 3 distinct ords is an occurrence — 1-based positions
+    // are shift-invariant vs Spark's 0-based anchors
+    "q257_phrase_trigram" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tr AS (
+        |  SELECT g.t1 AS t1, g.t2 AS t2, g.t3 AS t3 FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(ws) - 2),
+        |             i -> {'t1': ws[i], 't2': ws[i + 1], 't3': ws[i + 2]})) AS g
+        |    FROM w WHERE len(ws) >= 3)),
+        |tg AS (
+        |  SELECT t1, t2, t3 FROM (
+        |    SELECT t1, t2, t3, count(*) AS c FROM tr GROUP BY 1, 2, 3)
+        |  ORDER BY c DESC, t1 ASC, t2 ASC, t3 ASC LIMIT 1),
+        |g AS (
+        |  SELECT t1 AS token, 0 AS ord FROM tg
+        |  UNION ALL SELECT t2, 1 FROM tg
+        |  UNION ALL SELECT t3, 2 FROM tg),
+        |pos AS (
+        |  SELECT doc_id, g2.t AS token, g2.p AS p FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(generate_series(1, len(ws)),
+        |             i -> {'t': ws[i], 'p': i})) AS g2
+        |    FROM w)),
+        |an AS (
+        |  SELECT pos.doc_id AS doc_id, pos.p - g.ord AS anchor, g.ord AS ord
+        |  FROM pos JOIN g USING (token)),
+        |m AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_matches FROM (
+        |    SELECT doc_id, anchor FROM an
+        |    GROUP BY doc_id, anchor HAVING count(DISTINCT ord) = 3)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_matches, rk FROM (
+        |  SELECT doc_id, n_matches,
+        |         row_number() OVER (ORDER BY n_matches DESC, doc_id ASC) AS rk
+        |  FROM m)
+        |WHERE rk <= 20""".stripMargin,
 
     // q209's positional machinery with the slop-3 pair count in place
     // of the adjacency intersect; q250's Spark side re-merges a

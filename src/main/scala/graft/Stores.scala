@@ -184,6 +184,17 @@ object Stores {
     }
   }
 
+  /** [[topBigram]]'s trigram sibling — the deterministic three-term
+    * phrase the k-term phrase read serves.
+    */
+  def topTrigram(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_trigram_${key(dir)}"
+    serve(s, t) {
+      SparkEntry.topCorpusTrigram(Tables.documents(s, dir))
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+  }
+
   /** The BM25 "norms file" beside the index: (doc_id, dl) — one narrow
     * projection of the corpus, persisted because the capped index
     * cannot recover document length (exactly why real engines store

@@ -1788,6 +1788,44 @@ object TextAnalysis {
   }
 
 
+  /** k-term exact PHRASE query over [[positionalPostings]] — the
+    * general form of [[phraseQuery]] (which stays as the optimized
+    * two-term in-row intersect): `terms` is an (ord, token) frame,
+    * ord = 0-based position in the phrase (duplicate tokens at
+    * several ords are legal — "a a b" joins the 'a' postings twice),
+    * and a document matches at anchor position `a` when EVERY ord has
+    * its token at `a + ord`. Each posting position maps to its
+    * candidate anchor (`pos − ord`); an anchor seen under all k
+    * distinct ords is an occurrence — the classic positional-index
+    * phrase algorithm as two hash aggregates.
+    *
+    * Serving shape: posting rows ∝ Σ df of the query terms (pushed
+    * token join against the store), one anchor explode ∝ Σ tf, two
+    * hash aggregates, one ≤candidates rank — nothing corpus-scale.
+    */
+  def phraseQueryK(pindex: DataFrame, terms: DataFrame, k: Int,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val p = Checkpoints.pin(pindex, checkpointDir, eager = false)
+    val t = Checkpoints.pin(terms, checkpointDir, eager = false)
+    // the phrase length travels as a 1-row frame (the nDocs posture):
+    // a doc matches only when an anchor carries ALL k ords
+    val nk = t.agg(countDistinct(col("ord")).as("_k"))
+    val anchors = p.join(broadcast(t), Seq("token"))
+      .select(col("doc_id"), col("ord"),
+        explode(col("positions")).as("pos"))
+      .select(col("doc_id"), col("ord"), (col("pos") - col("ord")).as("anchor"))
+    val m = anchors.groupBy(col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("ord")).as("_n"))
+      .crossJoin(broadcast(nk)) // 1 row by construction
+      .filter(col("_n") === col("_k"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_matches").desc, col("doc_id").asc)
+    m.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Proximity (slop) query over [[positionalPostings]] —
     * [[phraseQuery]] relaxed to "w2 within `slop` tokens AFTER w1":
     * counts ordered position pairs (p, q) with 1 ≤ q − p ≤ slop, so

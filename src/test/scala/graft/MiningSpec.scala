@@ -2340,6 +2340,34 @@ class MiningSpec extends AnyFunSuite {
     assert(afterDelete === rescanWithout && afterDelete.nonEmpty)
   }
 
+  test("phraseQueryK: 3-term anchors hand-traced; duplicate-token phrases; 2-term form ≡ phraseQuery") {
+    val df = docs(
+      (1L, "a b c a b c d", "s"), // "a b c" at anchors 0 and 3
+      (2L, "a b x c", "s"),       // broken: no full anchor
+      (3L, "a a b a a b", "s"),   // "a a b" at anchors 0 and 3
+      (4L, "c b a", "s"))         // reversed — must not match
+    val pidx = TextAnalysis.positionalPostings(df, "doc_id", "text")
+    def q(phrase: String*) =
+      TextAnalysis.phraseQueryK(pidx,
+        phrase.zipWithIndex.map { case (t, i) => (i, t) }
+          .toDF("ord", "token"), k = 10)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(q("a", "b", "c") === Set((1L, 2L, 1L)))
+    // duplicate token at two ords: 'a' postings join twice
+    assert(q("a", "a", "b") === Set((3L, 2L, 1L)))
+    // "c a b" wraps across the repeat in doc 1 (positions 2,3,4)
+    assert(q("c", "a", "b") === Set((1L, 1L, 1L)))
+    // no match anywhere: empty, not null-scored rows
+    assert(q("d", "a", "b") === Set.empty[(Long, Long, Long)])
+    // the 2-term general form lands exactly on the in-row intersect
+    for ((w1, w2) <- Seq(("a", "b"), ("b", "a"), ("a", "a"), ("c", "d"))) {
+      val two = TextAnalysis.phraseQuery(pidx,
+          Seq((w1, w2)).toDF("w1", "w2"), k = 10)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(q(w1, w2) === two, s"k=2 diverged on ($w1 $w2)")
+    }
+  }
+
   test("proximityQuery: slop widens the after-window; slop=1 is exactly phraseQuery; order still matters") {
     val df = docs(
       (1L, "a b a b c", "s"),  // a@{0,2} b@{1,3}
