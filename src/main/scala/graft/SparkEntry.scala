@@ -3726,6 +3726,23 @@ object SparkEntry {
             .join(broadcast(toks), Seq("token"), "left_semi")),
         terms, k = 20)
     }),
+
+    // store-slice datasheet over the index warehouse (slices split by
+    // doc_id % 3 + a tombstone slice deleting doc_id % 10 = 0): per
+    // slice the row/key counts, tf sum, and tombstone-row count — the
+    // "how many generations, how big, is it compaction time" audit;
+    // one hash aggregate at store scale
+    "q258_store_datasheet" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ingest = TextAnalysis.indexSlices(
+        d.withColumn("slice", col("doc_id") % 3), "doc_id", "text",
+        "slice")
+      val tomb = TextAnalysis.indexTombstones(
+        d.filter(col("doc_id") % 10 === 0).withColumn("slice", lit(9L)),
+        "doc_id", "text", "slice")
+      graft.ops.Profile.sliceDatasheet(ingest.unionByName(tomb),
+        "slice", Seq("token", "doc_id"), "tf")
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -6715,6 +6732,29 @@ object SparkEntry {
     // filters, the term pick stays corpus-wide
     "q254_pidx_tombstones" ->
       posOracle(" WHERE doc_id % 10 <> 0", phraseMatchExpr),
+
+    // per-slice posting aggregates replayed: slice = doc_id % 3 for
+    // ingest, 9 for the negated tombstone slice of doc_id % 10 = 0
+    "q258_store_datasheet" ->
+      """WITH tok AS (
+        |  SELECT doc_id % 3 AS slice, doc_id, t AS token,
+        |         count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2, 3),
+        |tmb AS (
+        |  SELECT 9 AS slice, doc_id, t AS token,
+        |         -(count(*)::BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents WHERE doc_id % 10 = 0)
+        |  GROUP BY 1, 2, 3),
+        |s AS (SELECT * FROM tok UNION ALL SELECT * FROM tmb)
+        |SELECT slice::BIGINT AS slice, count(*)::BIGINT AS n_rows,
+        |       count(DISTINCT (token, doc_id))::BIGINT AS n_keys,
+        |       sum(tf)::BIGINT AS w_sum,
+        |       count(CASE WHEN tf < 0 THEN 1 END)::BIGINT
+        |         AS n_tombstone_rows
+        |FROM s GROUP BY 1""".stripMargin,
 
     // three-term phrase: anchors (p − ord) grouped per doc, an anchor
     // holding all 3 distinct ords is an occurrence — 1-based positions

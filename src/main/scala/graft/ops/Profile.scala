@@ -202,4 +202,29 @@ object Profile {
       .select(lit(label).as("fk"), col("n_rows"), col("n_null_rows"),
         col("n_keys"), col("n_orphan_rows"), col("n_orphan_keys"))
   }
+
+  /** Store-slice DATASHEET — the freshness/size audit every
+    * log-structured store needs before its compaction decisions: per
+    * slice, the row count, distinct-key count, and weight sum; the
+    * read that tells an operator "how many generations, how big, how
+    * skewed — is it compaction time". Works on ANY of the engine's
+    * slice frames (index/positional/edge/hour-count stores share the
+    * (slice, keys..., weight) shape).
+    *
+    * Shape: ONE hash aggregate over the slices frame (store scale,
+    * never corpus scale) — the per-slice exact distinct plans an
+    * Expand over one frame, acceptable at store cadence; negative
+    * weights (pending tombstones) are COUNTED separately rather than
+    * folded invisibly into the sum — a slice holding retractions is
+    * exactly what the audit must surface.
+    */
+  def sliceDatasheet(slices: DataFrame, sliceCol: String,
+                     keyCols: Seq[String], weightCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    slices.groupBy(col(sliceCol).as("slice"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(keyCols.head, keyCols.tail: _*).as("n_keys"),
+        sum(col(weightCol)).as("w_sum"),
+        count(when(col(weightCol) < 0, lit(1))).as("n_tombstone_rows"))
+  }
 }

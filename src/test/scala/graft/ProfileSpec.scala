@@ -67,6 +67,24 @@ class ProfileSpec extends AnyFunSuite {
       s"approx profile should drop the Expand:\n$pa")
   }
 
+  test("sliceDatasheet: per-slice rows/keys/weights; tombstone rows counted, not hidden in the sum") {
+    val slices = Seq(
+      (0L, "a", 1L, 2L), (0L, "b", 1L, 1L), (0L, "a", 2L, 3L),
+      (1L, "a", 1L, 1L),
+      (9L, "a", 1L, -2L), (9L, "b", 1L, -1L)) // a tombstone slice
+      .toDF("slice", "token", "doc_id", "tf")
+    val got = graft.ops.Profile.sliceDatasheet(slices, "slice",
+        Seq("token", "doc_id"), "tf")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (0L, 3L, 3L, 6L, 0L),
+      (1L, 1L, 1L, 1L, 0L),
+      (9L, 2L, 2L, -3L, 2L))) // negative sum SURFACES, rows counted
+    intercept[IllegalArgumentException] {
+      graft.ops.Profile.sliceDatasheet(slices, "slice", Nil, "tf")
+    }
+  }
+
   test("rollupSheet: per-prefix totals with the grouping bitmask; (all) marks rolled-up levels") {
     val df = Seq(
       ("web", "en", 10L), ("web", "en", 5L), ("web", "de", 7L),
