@@ -70,46 +70,44 @@ object SparkEntry {
     * bigram statistic ([[Stores.topBigram]]), not a per-query corpus
     * aggregate.
     */
-  private def storedPositional(s: SparkSession, dir: String): DataFrame = {
-    val toks = Stores.topBigram(s, dir)
-      .select(explode(array(col("w1"), col("w2"))).as("token")).distinct()
+  private def storedPositional(s: SparkSession, dir: String,
+                               tokens: DataFrame): DataFrame =
     TextAnalysis.positionalMergeSlices(
       Stores.positional(s, dir)
-        .join(broadcast(toks), Seq("token"), "left_semi"))
+        .join(broadcast(tokens), Seq("token"), "left_semi"))
+
+  /** The bigram statistic's distinct tokens — the prefilter frame the
+    * two-term reads pass to [[storedPositional]].
+    */
+  private def bigramTokens(s: SparkSession, dir: String): DataFrame =
+    Stores.topBigram(s, dir)
+      .select(explode(array(col("w1"), col("w2"))).as("token")).distinct()
+
+  /** The corpus's most frequent word n-gram — ONE derivation for the
+    * deterministic query-term statistics (the bigram pair q209/q238
+    * share, the trigram q257 serves): count-desc with full (w1..wn)
+    * lexicographic tie-break so every SF picks the same phrase.
+    */
+  private[graft] def topCorpusNgram(d: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, "an n-gram statistic needs n >= 2")
+    val fields = (1 to n).map(i =>
+      s"element_at(split(text, ' '), i + $i) AS w$i").mkString(", ")
+    d.filter(size(split(col("text"), " ")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(0, size(split(text, ' ')) - $n), " +
+          s"i -> struct($fields))")).as("g"))
+      .groupBy((1 to n).map(i => col(s"g.w$i").as(s"w$i")): _*)
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc +: (1 to n).map(i => col(s"w$i").asc): _*)
+      .limit(1)
+      .select((1 to n).map(i => col(s"w$i")): _*)
   }
 
-  /** The corpus's most frequent word bigram — the deterministic query
-    * term pair the retrieval reads (q209/q238) share; count-desc with
-    * (w1, w2) tie-break so every SF picks the same pair.
-    */
   private[graft] def topCorpusBigram(d: DataFrame): DataFrame =
-    d.filter(size(split(col("text"), " ")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(split(text, ' ')) - 2), " +
-          "i -> struct(element_at(split(text, ' '), i + 1) AS w1, " +
-          "element_at(split(text, ' '), i + 2) AS w2))")).as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w1").asc, col("w2").asc).limit(1)
-      .select(col("w1"), col("w2"))
+    topCorpusNgram(d, 2)
 
-  /** The corpus's most frequent word TRIGRAM — [[topCorpusBigram]]'s
-    * three-term sibling, the deterministic phrase for the k-term
-    * phrase read (q257).
-    */
   private[graft] def topCorpusTrigram(d: DataFrame): DataFrame =
-    d.filter(size(split(col("text"), " ")) >= 3)
-      .select(explode(expr(
-        "transform(sequence(0, size(split(text, ' ')) - 3), " +
-          "i -> struct(element_at(split(text, ' '), i + 1) AS w1, " +
-          "element_at(split(text, ' '), i + 2) AS w2, " +
-          "element_at(split(text, ' '), i + 3) AS w3))")).as("t"))
-      .groupBy(col("t.w1").as("w1"), col("t.w2").as("w2"),
-        col("t.w3").as("w3"))
-      .agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w1").asc, col("w2").asc, col("w3").asc)
-      .limit(1)
-      .select(col("w1"), col("w2"), col("w3"))
+    topCorpusNgram(d, 3)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -3118,13 +3116,15 @@ object SparkEntry {
     // every SF) served as an exact-adjacency phrase match; the >= 2
     // filter guards Spark's descending sequence(0, -1) on 1-word docs
     "q209_phrase_query" -> ((s, dir) =>
-      TextAnalysis.phraseQuery(storedPositional(s, dir),
+      TextAnalysis.phraseQuery(
+        storedPositional(s, dir, bigramTokens(s, dir)),
         Stores.topBigram(s, dir), k = 20)),
 
     // the q209 phrase relaxed to "within 3 tokens after" — same
     // positional store read, same query terms, in-row pair counting
     "q238_proximity_query" -> ((s, dir) =>
-      TextAnalysis.proximityQuery(storedPositional(s, dir),
+      TextAnalysis.proximityQuery(
+        storedPositional(s, dir, bigramTokens(s, dir)),
         Stores.topBigram(s, dir), k = 20, slop = 3)),
 
     // traffic-spike detection: hourly series counts vs their trailing
@@ -3719,19 +3719,19 @@ object SparkEntry {
       val terms = Stores.topTrigram(s, dir)
         .select(posexplode(array(col("w1"), col("w2"), col("w3")))
           .as(Seq("ord", "token")))
-      val toks = terms.select(col("token")).distinct()
       TextAnalysis.phraseQueryK(
-        TextAnalysis.positionalMergeSlices(
-          Stores.positional(s, dir)
-            .join(broadcast(toks), Seq("token"), "left_semi")),
+        storedPositional(s, dir, terms.select(col("token")).distinct()),
         terms, k = 20)
     }),
 
     // store-slice datasheet over the index warehouse (slices split by
     // doc_id % 3 + a tombstone slice deleting doc_id % 10 = 0): per
     // slice the row/key counts, tf sum, and tombstone-row count — the
-    // "how many generations, how big, is it compaction time" audit;
-    // one hash aggregate at store scale
+    // "how many generations, how big, is it compaction time" audit.
+    // The datasheet op itself is ONE hash aggregate at store scale;
+    // this ENTRY derives the slice frame from the corpus inline (the
+    // q249 lifecycle-proof shape) so the oracle can replay it — a
+    // deployment reads the written slice table instead
     "q258_store_datasheet" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val ingest = TextAnalysis.indexSlices(
