@@ -3743,6 +3743,17 @@ object SparkEntry {
       graft.ops.Profile.sliceDatasheet(ingest.unionByName(tomb),
         "slice", Seq("token", "doc_id"), "tf")
     }),
+
+    // k-term conjunctive retrieval: docs carrying ALL distinct tokens
+    // of the top trigram, ranked by summed tf — the AND-k membership
+    // test is a hash aggregate (distinct matched tokens == k), never
+    // a k-way join chain; served from the materialized capped index
+    "q259_and_trigram" -> ((s, dir) =>
+      TextAnalysis.andQueryK(storedIndex(s, dir, maxPostings = 1000),
+        Stores.topTrigram(s, dir)
+          .select(posexplode(array(col("w1"), col("w2"), col("w3")))
+            .as(Seq("ord", "token"))),
+        k = 20)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -6755,6 +6766,49 @@ object SparkEntry {
         |       count(CASE WHEN tf < 0 THEN 1 END)::BIGINT
         |         AS n_tombstone_rows
         |FROM s GROUP BY 1""".stripMargin,
+
+    // AND-k over the capped index replayed: same capped postings as
+    // q203, membership = distinct matched tokens == the trigram's
+    // distinct-token count
+    "q259_and_trigram" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id, tf FROM (
+        |    SELECT token, doc_id, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tr AS (
+        |  SELECT g.t1 AS t1, g.t2 AS t2, g.t3 AS t3 FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(ws) - 2),
+        |             i -> {'t1': ws[i], 't2': ws[i + 1], 't3': ws[i + 2]})) AS g
+        |    FROM w WHERE len(ws) >= 3)),
+        |tg AS (
+        |  SELECT t1, t2, t3 FROM (
+        |    SELECT t1, t2, t3, count(*) AS c FROM tr GROUP BY 1, 2, 3)
+        |  ORDER BY c DESC, t1 ASC, t2 ASC, t3 ASC LIMIT 1),
+        |g AS (
+        |  SELECT DISTINCT token FROM (
+        |    SELECT t1 AS token FROM tg
+        |    UNION ALL SELECT t2 FROM tg
+        |    UNION ALL SELECT t3 FROM tg)),
+        |m AS (
+        |  SELECT doc_id, sum(tf)::BIGINT AS score
+        |  FROM idx JOIN g USING (token)
+        |  GROUP BY doc_id
+        |  HAVING count(DISTINCT token) = (SELECT count(*) FROM g))
+        |SELECT doc_id, score, rk FROM (
+        |  SELECT doc_id, score,
+        |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+        |  FROM m)
+        |WHERE rk <= 20""".stripMargin,
 
     // three-term phrase: anchors (p − ord) grouped per doc, an anchor
     // holding all 3 distinct ords is an occurrence — 1-based positions

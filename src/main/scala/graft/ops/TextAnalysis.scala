@@ -1350,6 +1350,34 @@ object TextAnalysis {
       .filter(col("rk") <= k)
   }
 
+  /** k-term conjunctive (AND) query — [[andQuery]] generalized past
+    * two terms (which stays as the optimized worst-case-pair form):
+    * docs carrying EVERY distinct token of the `terms` frame, ranked
+    * by summed tf. The membership test is a hash aggregate (distinct
+    * matched tokens per doc == the phrase's distinct-token count —
+    * the phraseQueryK posture minus positions), so no k-way join
+    * chain builds up: one token join, two aggregates, one top-k rank,
+    * all ∝ Σ df of the query terms.
+    */
+  def andQueryK(index: DataFrame, terms: DataFrame, k: Int,
+                checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val idx = Checkpoints.pin(index, checkpointDir, eager = false)
+    val t = Checkpoints.pin(
+      terms.select(col("token")).distinct(), checkpointDir, eager = false)
+    val nk = t.agg(count(lit(1)).as("_k"))
+    val m = idx.join(broadcast(t), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("token")).as("_n"), sum(col("tf")).as("score"))
+      .crossJoin(broadcast(nk)) // 1 row by construction
+      .filter(col("_n") === col("_k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    m.select(col("doc_id"), col("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Defensive collapse of a by-contract 1-row scalar frame before it
     * crossJoins into a posting frame: re-aggregate and RAISE unless
     * the caller's frame held exactly one row (a multi-row frame would

@@ -2368,6 +2368,30 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("andQueryK: AND-k membership hand-traced; duplicate terms dedup; 2-term form ≡ andQuery") {
+    val df = docs(
+      (1L, "a b c a", "s"),  // all of a,b,c → score 4
+      (2L, "a b b", "s"),    // no c: out of the 3-term AND
+      (3L, "c b a c", "s"),  // all three → score 4, ties on doc_id
+      (4L, "a", "s"))
+    val idx = TextAnalysis.invertedIndex(df, "doc_id", "text",
+      maxPostings = 10)
+    def q(ts: String*) =
+      TextAnalysis.andQueryK(idx,
+        ts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("ord", "token"),
+        k = 10).as[(Long, Long, Long)].collect().toSet
+    assert(q("a", "b", "c") === Set((1L, 4L, 1L), (3L, 4L, 2L)))
+    // duplicate query tokens collapse — "a a b" is the AND of {a, b}
+    assert(q("a", "a", "b") === q("a", "b"))
+    assert(q("a", "b") === Set((1L, 3L, 1L), (2L, 3L, 2L), (3L, 2L, 3L)))
+    // the 2-term general form lands on andQuery's intersection for
+    // the same (top-2 df) pair: a (df 4) and b (df 3)
+    val two = TextAnalysis.andQuery(idx, k = 10)
+      .select($"doc_id", $"score", $"rk")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(q("a", "b") === two)
+  }
+
   test("proximityQuery: slop widens the after-window; slop=1 is exactly phraseQuery; order still matters") {
     val df = docs(
       (1L, "a b a b c", "s"),  // a@{0,2} b@{1,3}

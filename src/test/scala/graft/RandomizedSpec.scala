@@ -510,6 +510,34 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  test("phraseQueryK matches a plain-Scala sliding window on random corpora and random phrases (seeded)") {
+    val rnd = new scala.util.Random(2653)
+    val alphabet = Seq("aa", "ab", "ac")
+    for (trial <- 1 to 10) {
+      val docs = (1 to 3 + rnd.nextInt(8)).map { id =>
+        (id.toLong, Seq.fill(2 + rnd.nextInt(14))(
+          alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+      }
+      val pidx = TextAnalysis.positionalPostings(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      // random phrase of length 2–4 — the small alphabet makes
+      // duplicate tokens at several ords common
+      val phrase = Seq.fill(2 + rnd.nextInt(3))(
+        alphabet(rnd.nextInt(alphabet.size)))
+      val got = TextAnalysis.phraseQueryK(pidx,
+          phrase.zipWithIndex.map { case (t, i) => (i, t) }
+            .toDF("ord", "token"), k = 100)
+        .select($"doc_id", $"n_matches").as[(Long, Long)]
+        .collect().toMap
+      val exp = docs.map { case (id, text) =>
+        val ws = text.split(" ").toSeq
+        id -> ws.sliding(phrase.size)
+          .count(win => win.size == phrase.size && win == phrase).toLong
+      }.filter(_._2 > 0).toMap
+      assert(got === exp, s"trial $trial phrase $phrase")
+    }
+  }
+
   test("edge warehouse: random slice splits and partial retractions merge to multiset counts (seeded)") {
     import graft.ops.Graph
     val rnd = new scala.util.Random(9217)
