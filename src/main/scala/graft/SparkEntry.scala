@@ -3754,6 +3754,20 @@ object SparkEntry {
           .select(posexplode(array(col("w1"), col("w2"), col("w3")))
             .as(Seq("ord", "token"))),
         k = 20)),
+
+    // k-term BM25 OR ranking over the trigram's terms: per term ONE
+    // correctly-rounded division of the exact q206 rational, the
+    // 3-way sum folded LEFT in fixed ord order so the oracle replays
+    // the identical float expression tree; served from the
+    // materialized capped index + norms store
+    "q260_bm25_trigram" -> ((s, dir) =>
+      TextAnalysis.bm25QueryK(storedIndex(s, dir, maxPostings = 1000),
+        Stores.norms(s, dir)
+          .agg(countDistinct(col("doc_id")).as("n_docs")),
+        Stores.topTrigram(s, dir)
+          .select(posexplode(array(col("w1"), col("w2"), col("w3")))
+            .as(Seq("ord", "token"))),
+        nTerms = 3, k = 20)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -6808,6 +6822,60 @@ object SparkEntry {
         |  SELECT doc_id, score,
         |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
         |  FROM m)
+        |WHERE rk <= 20""".stripMargin,
+
+    // k-term BM25: per-(doc, ord) rational scores, pivoted and summed
+    // left in fixed ord order — the identical float expression tree
+    "q260_bm25_trigram" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id, tf FROM (
+        |    SELECT token, doc_id, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |vocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tr AS (
+        |  SELECT g.t1 AS t1, g.t2 AS t2, g.t3 AS t3 FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(ws) - 2),
+        |             i -> {'t1': ws[i], 't2': ws[i + 1], 't3': ws[i + 2]})) AS g
+        |    FROM w WHERE len(ws) >= 3)),
+        |tg AS (
+        |  SELECT t1, t2, t3 FROM (
+        |    SELECT t1, t2, t3, count(*) AS c FROM tr GROUP BY 1, 2, 3)
+        |  ORDER BY c DESC, t1 ASC, t2 ASC, t3 ASC LIMIT 1),
+        |g AS (
+        |  SELECT t1 AS token, 0 AS ord FROM tg
+        |  UNION ALL SELECT t2, 1 FROM tg
+        |  UNION ALL SELECT t3, 2 FROM tg),
+        |sc AS (
+        |  SELECT i.doc_id AS doc_id, g.ord AS ord,
+        |         (11 * i.tf * (2 * n_docs - 2 * v.df + 1))::DOUBLE
+        |         / ((5 * i.tf + 6) * (2 * v.df + 1))::DOUBLE AS s
+        |  FROM idx i JOIN g USING (token) JOIN vocab v USING (token), nd),
+        |p AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+        |         max(CASE WHEN ord = 0 THEN s END) AS s0,
+        |         max(CASE WHEN ord = 1 THEN s END) AS s1,
+        |         max(CASE WHEN ord = 2 THEN s END) AS s2
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_terms_hit, round(sk, 6) AS score, rk FROM (
+        |  SELECT doc_id, n_terms_hit,
+        |         coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0)
+        |           AS sk,
+        |         row_number() OVER (
+        |           ORDER BY coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |             + coalesce(s2, 0.0) DESC, doc_id ASC) AS rk
+        |  FROM p)
         |WHERE rk <= 20""".stripMargin,
 
     // three-term phrase: anchors (p − ord) grouped per doc, an anchor

@@ -1476,6 +1476,54 @@ object TextAnalysis {
         round(col("_s"), 6).as("score"), col("rk"))
   }
 
+  /** k-term BM25-family OR scoring — [[bm25Query]] generalized past
+    * two terms: `terms` is an (ord, token) frame (ord 0-based;
+    * duplicate tokens at several ords score twice, the standard query
+    * multiset semantics), each term's score is ONE correctly-rounded
+    * double division of the exact q206 integer rational, and the
+    * k-way sum folds LEFT in fixed ord order — `((s0 + s1) + s2)…` —
+    * so the oracle replays the identical float expression tree
+    * (the bm25FullQuery two-term pattern generalized; a cross-
+    * multiplied exact sum of k terms would overflow DECIMAL(38,0)
+    * at k ≥ 3 corpus-scale denominators). `nTerms` bounds the pivot
+    * width and must cover every ord in `terms`.
+    *
+    * Serving shape: one token join (≤cap posting rows per term), one
+    * per-doc pivot aggregate, one top-k rank — the OR union of the
+    * terms' posting lists is the only data-dependent size.
+    */
+  def bm25QueryK(index: DataFrame, nDocs: DataFrame, terms: DataFrame,
+                 nTerms: Int, k: Int,
+                 checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nTerms >= 1 && nTerms <= 8,
+      "nTerms must be in [1, 8] (the pivot width)")
+    val idx = Checkpoints.pin(index, checkpointDir, eager = false)
+    val t = Checkpoints.pin(terms, checkpointDir, eager = false)
+    val n1 = oneRowScalar(nDocs, "n_docs", "bm25QueryK")
+    val scored = idx.join(broadcast(t), Seq("token"))
+      .crossJoin(broadcast(n1)) // exactly 1 row — enforced above
+      .select(col("doc_id"), col("ord"),
+        ((d38(lit(11L) * col("tf")) *
+          d38(lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)))
+          .cast("double") /
+          (d38(lit(5L) * col("tf") + lit(6L)) *
+            d38(lit(2L) * col("df") + lit(1L))).cast("double")).as("_s"))
+    val pivots = (0 until nTerms).map(i =>
+      max(when(col("ord") === i, col("_s"))).as(s"_s$i"))
+    val g = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), pivots: _*)
+    val score = (0 until nTerms).map(i =>
+      coalesce(col(s"_s$i"), lit(0.0))).reduceLeft(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_score").desc, col("doc_id").asc)
+    g.withColumn("_score", score)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("n_terms_hit"),
+        round(col("_score"), 6).as("score"), col("rk"))
+  }
+
   /** Threshold-algorithm (Fagin TA) CERTIFIED pruned top-k — the
     * batch analog of WAND/MaxScore pruning: score only the union of
     * each query term's top-`m` impact postings instead of every doc

@@ -2368,6 +2368,35 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25QueryK: 3-term OR scores hand-traced; duplicate query terms score twice; missing terms contribute 0") {
+    val df = docs(
+      (1L, "a b a c a", "s"), // a tf3, b tf1, c tf1
+      (2L, "a b b", "s"),     // a tf1, b tf2, no c
+      (3L, "c c c c", "s"),   // c only
+      (4L, "a", "s"))
+    // N=4, df(a)=3 df(b)=2 df(c)=2; per-term s = 11tf(2N−2df+1)/((5tf+6)(2df+1))
+    // s(a,tf3)=99/147, s(a,tf1)=33/77, s(b,tf1)=55/55, s(b,tf2)=110/80,
+    // s(c,tf1)=55/55, s(c,tf4)=220/130
+    val idx = TextAnalysis.invertedIndex(df, "doc_id", "text",
+      maxPostings = 10)
+    val n = df.agg(countDistinct($"doc_id").as("n_docs"))
+    def q(ts: String*) =
+      TextAnalysis.bm25QueryK(idx, n,
+        ts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("ord", "token"),
+        nTerms = ts.size, k = 10)
+        .as[(Long, Long, Double, Long)].collect().toSet
+    // query "a b c": d1 = 99/147+1+1 = 2.673469; d2 = 33/77+110/80
+    // = 1.803571; d3 = 220/130 = 1.692308; d4 = 33/77 = 0.428571
+    assert(q("a", "b", "c") === Set(
+      (1L, 3L, 2.673469, 1L), (2L, 2L, 1.803571, 2L),
+      (3L, 1L, 1.692308, 3L), (4L, 1L, 0.428571, 4L)))
+    // duplicate query term scores twice (query multiset semantics)
+    assert(q("c", "c") === Set(
+      (3L, 2L, 3.384615, 1L), (1L, 2L, 2.0, 2L)))
+    // the 1-term form: plain per-term ranking
+    assert(q("b") === Set((2L, 1L, 1.375, 1L), (1L, 1L, 1.0, 2L)))
+  }
+
   test("andQueryK: AND-k membership hand-traced; duplicate terms dedup; 2-term form ≡ andQuery") {
     val df = docs(
       (1L, "a b c a", "s"),  // all of a,b,c → score 4
