@@ -63,12 +63,13 @@ object SparkEntry {
     graft.ops.Graph.edgeMerge(Stores.edges(s, dir))
 
   /** The phrase/proximity serving view: the positional store
-    * PREFILTERED to the query terms (a broadcast semi-join on token —
-    * the bucket scan streams through it) BEFORE the position-set
-    * merge, so the per-query aggregate touches the two terms' posting
-    * rows, never the whole index. Terms come off the persisted 1-row
-    * bigram statistic ([[Stores.topBigram]]), not a per-query corpus
-    * aggregate.
+    * PREFILTERED to the caller's query-token frame (a broadcast
+    * semi-join on token — the bucket scan streams through it) BEFORE
+    * the position-set merge, so the per-query aggregate touches only
+    * the query terms' posting rows, never the whole index. Callers
+    * pass tokens off a persisted term statistic ([[bigramTokens]] for
+    * the two-term reads, [[trigramTerms]] for the k-term ones) —
+    * never a per-query corpus aggregate.
     */
   private def storedPositional(s: SparkSession, dir: String,
                                tokens: DataFrame): DataFrame =
@@ -82,6 +83,14 @@ object SparkEntry {
   private def bigramTokens(s: SparkSession, dir: String): DataFrame =
     Stores.topBigram(s, dir)
       .select(explode(array(col("w1"), col("w2"))).as("token")).distinct()
+
+  /** The trigram statistic as the (ord, token) frame the k-term reads
+    * (q257/q259/q260) consume.
+    */
+  private def trigramTerms(s: SparkSession, dir: String): DataFrame =
+    Stores.topTrigram(s, dir)
+      .select(posexplode(array(col("w1"), col("w2"), col("w3")))
+        .as(Seq("ord", "token")))
 
   /** The corpus's most frequent word n-gram — ONE derivation for the
     * deterministic query-term statistics (the bigram pair q209/q238
@@ -3716,9 +3725,7 @@ object SparkEntry {
     // two-term intersect. Store-prefiltered to the (≤3) distinct
     // query tokens, terms off the persisted trigram statistic
     "q257_phrase_trigram" -> ((s, dir) => {
-      val terms = Stores.topTrigram(s, dir)
-        .select(posexplode(array(col("w1"), col("w2"), col("w3")))
-          .as(Seq("ord", "token")))
+      val terms = trigramTerms(s, dir)
       TextAnalysis.phraseQueryK(
         storedPositional(s, dir, terms.select(col("token")).distinct()),
         terms, k = 20)
@@ -3750,9 +3757,7 @@ object SparkEntry {
     // a k-way join chain; served from the materialized capped index
     "q259_and_trigram" -> ((s, dir) =>
       TextAnalysis.andQueryK(storedIndex(s, dir, maxPostings = 1000),
-        Stores.topTrigram(s, dir)
-          .select(posexplode(array(col("w1"), col("w2"), col("w3")))
-            .as(Seq("ord", "token"))),
+        trigramTerms(s, dir),
         k = 20)),
 
     // k-term BM25 OR ranking over the trigram's terms: per term ONE
@@ -3764,9 +3769,7 @@ object SparkEntry {
       TextAnalysis.bm25QueryK(storedIndex(s, dir, maxPostings = 1000),
         Stores.norms(s, dir)
           .agg(countDistinct(col("doc_id")).as("n_docs")),
-        Stores.topTrigram(s, dir)
-          .select(posexplode(array(col("w1"), col("w2"), col("w3")))
-            .as(Seq("ord", "token"))),
+        trigramTerms(s, dir),
         nTerms = 3, k = 20)),
   )
 

@@ -1499,7 +1499,17 @@ object TextAnalysis {
     require(nTerms >= 1 && nTerms <= 8,
       "nTerms must be in [1, 8] (the pivot width)")
     val idx = Checkpoints.pin(index, checkpointDir, eager = false)
-    val t = Checkpoints.pin(terms, checkpointDir, eager = false)
+    // an ord outside [0, nTerms) would join and inflate n_terms_hit
+    // while the pivot silently dropped its score — a wrong ranking
+    // with no error; the contract is ENFORCED per row instead (the
+    // oneRowScalar posture)
+    val t = Checkpoints.pin(terms.select(
+      when(col("ord") < 0 || col("ord") >= nTerms,
+        raise_error(concat(lit("bm25QueryK: ord "),
+          col("ord").cast("string"),
+          lit(s" outside [0, $nTerms) — raise nTerms to cover every " +
+            "query term")))).otherwise(col("ord")).as("ord"),
+      col("token")), checkpointDir, eager = false)
     val n1 = oneRowScalar(nDocs, "n_docs", "bm25QueryK")
     val scored = idx.join(broadcast(t), Seq("token"))
       .crossJoin(broadcast(n1)) // exactly 1 row — enforced above
