@@ -1311,6 +1311,27 @@ object TextAnalysis {
     indexMergeSlices(slices).select(lit(newSlice).as("slice"),
       col("token"), col("doc_id"), col("tf"))
 
+  /** Serving-scale top-k + rank — the final step every retrieval,
+    * phrase, and proximity read shares. `orderBy(sort).limit(k)`
+    * plans as TakeOrderedAndProject (per-partition top-k, one k-row
+    * merge); a global `row_number().over(Window.orderBy(...))` would
+    * instead plan Exchange(SinglePartition) → Sort → Window and
+    * funnel EVERY candidate row through one task — bounded for
+    * capped-index reads but df-bounded (not capped) for the
+    * positional phrase/proximity reads, where a high-df term pair at
+    * 100× means millions of rows in a single task. The rank Window
+    * here runs over the ≤ k survivors only (single-partition by
+    * construction and trivially so), and because `sort` carries a
+    * full tie-break (every caller ends on a unique doc_id), the
+    * emitted rk is IDENTICAL to the global form's — same oracles.
+    * The topMovers board pattern applied to the whole family.
+    */
+  private def topKRanked(df: DataFrame, k: Int, sort: Column*): DataFrame =
+    df.orderBy(sort: _*).limit(k)
+      .withColumn("rk", row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy(sort: _*))
+        .cast("long"))
+
   /** Conjunctive (AND) query served FROM the capped inverted index —
     * the read half of [[invertedIndex]]: picks the two
     * highest-`df` terms (the worst case for intersection size — ties
@@ -1342,12 +1363,9 @@ object TextAnalysis {
       .select(col("doc_id"), col("tf").as("tf_a"))
     val b = idx.join(broadcast(ab), col("token") === col("tb"))
       .select(col("doc_id"), col("tf").as("tf_b"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy((col("tf_a") + col("tf_b")).desc, col("doc_id").asc)
-    a.join(b, "doc_id")
-      .withColumn("score", col("tf_a") + col("tf_b"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    topKRanked(
+      a.join(b, "doc_id").withColumn("score", col("tf_a") + col("tf_b")),
+      k, col("score").desc, col("doc_id").asc)
   }
 
   /** k-term conjunctive (AND) query — [[andQuery]] generalized past
@@ -1371,11 +1389,8 @@ object TextAnalysis {
       .agg(countDistinct(col("token")).as("_n"), sum(col("tf")).as("score"))
       .crossJoin(broadcast(nk)) // 1 row by construction
       .filter(col("_n") === col("_k"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col("doc_id").asc)
-    m.select(col("doc_id"), col("score"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    topKRanked(m.select(col("doc_id"), col("score")),
+      k, col("score").desc, col("doc_id").asc)
   }
 
   /** Defensive collapse of a by-contract 1-row scalar frame before it
@@ -1468,10 +1483,7 @@ object TextAnalysis {
           .cast("double") /
           (coalesce(col("den_a"), one) * coalesce(col("den_b"), one))
             .cast("double")).as("_s"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("_s").desc, col("doc_id").asc)
-    j.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    topKRanked(j, k, col("_s").desc, col("doc_id").asc)
       .select(col("doc_id"), col("tf_a"), col("tf_b"),
         round(col("_s"), 6).as("score"), col("rk"))
   }
@@ -1525,11 +1537,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms_hit"), pivots: _*)
     val score = (0 until nTerms).map(i =>
       coalesce(col(s"_s$i"), lit(0.0))).reduceLeft(_ + _)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("_score").desc, col("doc_id").asc)
-    g.withColumn("_score", score)
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    topKRanked(g.withColumn("_score", score),
+        k, col("_score").desc, col("doc_id").asc)
       .select(col("doc_id"), col("n_terms_hit"),
         round(col("_score"), 6).as("score"), col("rk"))
   }
@@ -1630,10 +1639,7 @@ object TextAnalysis {
         (coalesce(col("den_a"), one) * coalesce(col("den_b"), one))
           .as("dk"))
       .withColumn("_s", col("nk").cast("double") / col("dk").cast("double"))
-    val wk = org.apache.spark.sql.expressions.Window
-      .orderBy(col("_s").desc, col("doc_id").asc)
-    scoredCand.withColumn("rk", row_number().over(wk).cast("long"))
-      .filter(col("rk") <= k)
+    topKRanked(scoredCand, k, col("_s").desc, col("doc_id").asc)
       .crossJoin(broadcast(tauRow))
       .select(col("doc_id"), col("tf_a"), col("tf_b"),
         // the certificate rides IN the served column (a dropped audit
@@ -1721,10 +1727,7 @@ object TextAnalysis {
         coalesce(col("tf_b"), lit(0L)).as("tf_b"),
         (coalesce(col("s_a"), lit(0.0)) + coalesce(col("s_b"), lit(0.0)))
           .as("_s"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("_s").desc, col("doc_id").asc)
-    j.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    topKRanked(j, k, col("_s").desc, col("doc_id").asc)
       .select(col("doc_id"), col("tf_a"), col("tf_b"),
         round(col("_s"), 6).as("score"), col("rk"))
   }
@@ -1867,10 +1870,7 @@ object TextAnalysis {
         size(array_intersect(transform(col("pa"), p => p + 1),
           col("pb"))).cast("long").as("n_matches"))
       .filter(col("n_matches") > 0)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_matches").desc, col("doc_id").asc)
-    m.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    topKRanked(m, k, col("n_matches").desc, col("doc_id").asc)
   }
 
 
@@ -1906,10 +1906,7 @@ object TextAnalysis {
       .crossJoin(broadcast(nk)) // 1 row by construction
       .filter(col("_n") === col("_k"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_matches").desc, col("doc_id").asc)
-    m.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    topKRanked(m, k, col("n_matches").desc, col("doc_id").asc)
   }
 
   /** Proximity (slop) query over [[positionalPostings]] —
@@ -1941,9 +1938,6 @@ object TextAnalysis {
           s"size(filter(pb, q -> q > p AND q <= p + $slop)))"))
           .as("n_matches"))
       .filter(col("n_matches") > 0)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_matches").desc, col("doc_id").asc)
-    m.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    topKRanked(m, k, col("n_matches").desc, col("doc_id").asc)
   }
 }

@@ -522,6 +522,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("retrieval/phrase family: final rank is TakeOrderedAndProject + k-row Window — no single-partition candidate funnel") {
+    // the r17 verdict's one weak mark: a global
+    // row_number().over(Window.orderBy(...)) planned
+    // Exchange(SinglePartition) → Sort → Window and pushed EVERY
+    // candidate row (df-bounded, not capped, for the positional
+    // reads) through one task. topKRanked plans the top-k as
+    // TakeOrderedAndProject (per-partition top-k, one k-row merge);
+    // the rank Window then sits directly on its SinglePartition
+    // k-row output — so the plan must show the sort-limit and must
+    // NOT show any Exchange SinglePartition (the Window's input
+    // distribution is satisfied without one)
+    for (q <- Seq("q209_phrase_query", "q238_proximity_query",
+        "q260_bm25_trigram", "q259_and_trigram", "q257_phrase_trigram",
+        "q206_bm25", "q203_and_query")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q lost the sort-limit:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q funnels candidates through one task:\n$p")
+    }
+  }
+
   test("q223: TA pruning pre-prunes per token below the final rank (WindowGroupLimit)") {
     // the per-token top-m impact prune must keep the q04 shape; the
     // only other Window is the final serving-scale rank
