@@ -1105,26 +1105,23 @@ object SparkEntry {
 
     // product quantization codes: 8 subspaces x 4 learned codes (one
     // Lloyd round, ordered means for oracle parity) — each 64-float
-    // vector compressed to 8 codes; the oracle unrolls the per-subspace
-    // k-means (the q70 pattern with `sub` riding as a grouping column)
-    "q88_pq_encode" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Pq.encode(emb, "vec_id", "embedding",
-        Pq.codebooks(emb, "vec_id", "embedding", m = 8, subDim = 8,
-          initIds = Seq(0L, 1L, 2L, 3L), iters = 1, orderedMeans = true),
-        m = 8, subDim = 8)
-    }),
+    // vector compressed to 8 codes, SERVED from the written code table
+    // (training + encoding run once at store build; the oracle unrolls
+    // the per-subspace k-means — the q70 pattern with `sub` riding as
+    // a grouping column — proving the store against a from-scratch
+    // recompute, the q245 store-vs-log posture)
+    "q88_pq_encode" -> ((s, dir) =>
+      Stores.pqCodes(s, dir).select(col("vec_id"), col("sub"), col("code"))),
 
-    // ADC top-5 per query over the PQ codes: per-query LUT of partial
-    // squared distances, DECIMAL-exact m-term sums — the compressed-
-    // domain ANN scoring path (compose with IVF candidates for IVF-PQ)
-    "q89_pq_adc" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Pq.adcSearch(emb, "vec_id", "embedding",
-        Pq.codebooks(emb, "vec_id", "embedding", m = 8, subDim = 8,
-          initIds = Seq(0L, 1L, 2L, 3L), iters = 1, orderedMeans = true),
-        queryIds = (0L until 10L).toSeq, k = 5, m = 8, subDim = 8)
-    }),
+    // ADC top-5 per query over the STORED PQ codes: per-query LUT of
+    // partial squared distances, DECIMAL-exact m-term sums — the
+    // compressed-domain ANN scoring path; only the 10 query vectors
+    // leave the embedding table
+    "q89_pq_adc" -> ((s, dir) =>
+      Pq.adcSearchCoded(Stores.pqCodes(s, dir), Tables.embeddings(s, dir),
+        "vec_id", "embedding", Stores.pqCodebooks(s, dir),
+        queryIds = (0L until 10L).toSeq, k = 5,
+        m = Stores.PqM, subDim = Stores.PqSubDim)),
 
     // deterministic subword tokenization: greedy longest-match
     // (WordPiece MaxMatch + char fallback) against the corpus top-64
@@ -1246,34 +1243,24 @@ object SparkEntry {
     // regimen as q92's raw-vector codebooks, so the q108-vs-q109
     // recall comparison is equal-footing (the r10/r11 confound: iters
     // = 0 here compared an untrained quantizer against a trained one)
-    "q98_ivfpq_residual" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val coarse = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_vec"))
-      val cbs = Pq.codebooks(
-        Pq.residuals(emb, "vec_id", "embedding", coarse), "vec_id", "rvec",
-        m = 8, subDim = 8, initIds = Seq(8L, 9L, 10L, 11L), iters = 1,
-        orderedMeans = true)
-      Pq.ivfPqSearch(emb, "vec_id", "embedding", coarse, cbs,
-        queryIds = (0L until 10L).toSeq, k = 5, nprobe = 2, m = 8, subDim = 8)
-    }),
+    "q98_ivfpq_residual" -> ((s, dir) =>
+      Pq.ivfPqSearchCoded(Stores.pqResidualCodes(s, dir),
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        Stores.pqCoarse(s, dir), Stores.pqResidualCodebooks(s, dir),
+        queryIds = (0L until 10L).toSeq, k = 5, nprobe = 2,
+        m = Stores.PqM, subDim = Stores.PqSubDim)),
 
-    // IVF-PQ end-to-end: candidates from the coarse seed-centroid
-    // lists (q69's probe shape), scored in the COMPRESSED domain by
-    // ADC over the q88 codes — the standard 100 TB ANN memory layout:
-    // ~nprobe/nlists of the code table scanned per query, vectors
-    // touched only for the queries themselves
-    "q92_ivfpq" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_vec"))
-      Pq.adcSearch(emb, "vec_id", "embedding",
-        Pq.codebooks(emb, "vec_id", "embedding", m = 8, subDim = 8,
-          initIds = Seq(0L, 1L, 2L, 3L), iters = 1, orderedMeans = true),
-        queryIds = (0L until 10L).toSeq, k = 5, m = 8, subDim = 8,
-        candidates = Some(Similarity.ivfCandidates(emb, "vec_id", "embedding",
-          cents, (0L until 10L).toSeq, nprobe = 2)))
-    }),
+    // IVF-PQ end-to-end: candidates implicit in the probed
+    // centroid_id join against the STORED code table (a vector lives
+    // in exactly one coarse list, carried as the store's bucket key),
+    // scored in the COMPRESSED domain by ADC — the standard 100 TB
+    // ANN memory layout: ~nprobe/nlists of the code table read per
+    // query, vectors touched only for the queries themselves
+    "q92_ivfpq" -> ((s, dir) =>
+      Pq.adcSearchProbed(Stores.pqCodes(s, dir), Tables.embeddings(s, dir),
+        "vec_id", "embedding", Stores.pqCoarse(s, dir),
+        Stores.pqCodebooks(s, dir), queryIds = (0L until 10L).toSeq,
+        k = 5, nprobe = 2, m = Stores.PqM, subDim = Stores.PqSubDim)),
 
     // SemDeDup: cluster by nearest seed centroid, pairwise-compare ONLY
     // within a cluster (work Σ|cluster|² — the LSH-bucket bound, never

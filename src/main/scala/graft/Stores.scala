@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Graph, TextAnalysis}
+import graft.ops.{Bucketing, Graph, Pq, TextAnalysis}
 
 /** Materialized serving stores over the driver's tables — the "index
   * built at ingest, queries read the store" posture every real engine
@@ -20,14 +20,18 @@ import graft.ops.{Graph, TextAnalysis}
   * family pays it, the rest read bucket files with pushed filters and
   * zero-Exchange merges.
   *
-  * The memo key includes the source directory, so sf0.001 test runs
-  * and sf0.1 bench runs in one JVM keep separate tables. Writes go
-  * through `mode("overwrite")`, so a stale table from a previous
-  * process is replaced, never trusted. Accepted trade-off: warehouse
-  * directories under table names this code NO LONGER generates (e.g.
-  * after a key-scheme change) are left in place — sweeping every
-  * unregistered `graft_*` dir would delete a concurrently-running
-  * process's live store files, a worse failure than stale disk.
+  * The memo key includes the source directory (so sf0.001 test runs
+  * and sf0.1 bench runs in one JVM keep separate tables), a cheap
+  * corpus fingerprint (so a long-lived session that regenerates data
+  * into the same directory rebuilds instead of silently serving stale
+  * artifacts), and a per-process nonce (so two JVMs sharing one
+  * warehouse can never resolve to the same managed location — the
+  * stale-location cleanup in serve() then only ever touches paths
+  * THIS process wrote and lost track of, never a concurrent process's
+  * live store files). Accepted trade-off: orphan directories from
+  * dead processes and superseded fingerprints stay on disk — sweeping
+  * every unregistered `graft_*` dir would reintroduce the
+  * delete-a-live-store race that the nonce exists to close.
   */
 object Stores {
 
@@ -53,6 +57,41 @@ object Stores {
     * or `//` would rebuild a duplicate store set for one directory),
     * so the path is normalized first.
     */
+  /** Per-process table-name suffix: two JVMs sharing one warehouse
+    * (the default spark-warehouse under a common CWD) and one source
+    * dir previously resolved to the SAME managed location, and the
+    * second process's stale-location cleanup would recursively delete
+    * the first's live, currently-served store files (ADVICE r17).
+    * With the pid in every table name the cleanup can only ever hit
+    * locations this process itself wrote and lost track of (a
+    * restarted SparkContext inside one JVM — the self-heal case).
+    */
+  private val processNonce: String = s"p${ProcessHandle.current().pid()}"
+
+  /** Cheap corpus fingerprint: file count + total bytes + max mtime
+    * under `dir`. Folded into [[key]] so a session that regenerates
+    * data into the same directory mid-JVM gets NEW table names and
+    * rebuilds, instead of the memo silently serving stale indexes
+    * (ADVICE r17). At 100 TB the ingest manifest's version stamp
+    * plays this role; a directory walk stands in for it here (the
+    * test corpora are a handful of parquet files).
+    */
+  private def fingerprint(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) return "absent"
+    val walk = java.nio.file.Files.walk(p)
+    try {
+      var n = 0L; var bytes = 0L; var maxM = 0L
+      walk.filter(java.nio.file.Files.isRegularFile(_)).forEach { f =>
+        n += 1
+        bytes += java.nio.file.Files.size(f)
+        maxM = math.max(maxM,
+          java.nio.file.Files.getLastModifiedTime(f).toMillis)
+      }
+      s"$n:$bytes:$maxM"
+    } finally walk.close() // Files.walk holds directory handles open
+  }
+
   private[graft] def key(dir: String): String = {
     // resolve through the FILESYSTEM when the dir exists (a syntactic
     // normalize() would merge "link/../corpus" with "corpus" even
@@ -66,9 +105,9 @@ object Stores {
     val readable = canon.toLowerCase.replaceAll("[^a-z0-9]+", "_")
       .replaceAll("^_+|_+$", "")
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8"))
+      .digest(s"$canon\n${fingerprint(dir)}".getBytes("UTF-8"))
       .take(4).map(b => f"$b%02x").mkString
-    s"${readable}_$digest"
+    s"${readable}_${digest}_$processNonce"
   }
 
   private def serve(s: SparkSession, table: String)
@@ -87,11 +126,14 @@ object Stores {
       // build once, never twice (the second waiter re-checks and
       // sees the fresh table).
       if (!built.containsKey(table) || !s.catalog.tableExists(table)) {
-        // the default catalog is in-memory and dies with the JVM, but
-        // managed-table FILES survive in the warehouse dir — a fresh
-        // process would hit LOCATION_ALREADY_EXISTS on its first
-        // write. An unregistered location is by definition stale
-        // (this memo is the only writer): remove it, never trust it.
+        // the default catalog is in-memory and dies with the
+        // SparkContext, but managed-table FILES survive in the
+        // warehouse dir — a restarted context would hit
+        // LOCATION_ALREADY_EXISTS on its first write. Because every
+        // table name carries THIS process's nonce, an unregistered
+        // location here can only be one this process itself wrote
+        // and lost (never a concurrent JVM's live store — ADVICE
+        // r17): remove it, never trust it.
         // The managed location is resolved through the CURRENT
         // database (a non-default database stores under <db>.db/),
         // not assumed to be <warehouse>/<table>.
@@ -217,6 +259,97 @@ object Stores {
     * (zero-Exchange on the src buckets) instead of re-scanning the
     * event log.
     */
+  /** The PQ family's fixed training regimen — m subspaces × subDim
+    * dims, Lloyd-1 with ordered means (the q88/q89/q92 oracle
+    * contract), coarse lists seeded from the first 8 vectors. At
+    * 100 TB these are the offline-training hyperparameters; here they
+    * are constants so every store table and every serving read agree
+    * on the layout they were written under.
+    */
+  private[graft] val PqM = 8
+  private[graft] val PqSubDim = 8
+
+  /** The coarse IVF centroids as a written 8-row table — so the
+    * IVF-PQ serving reads touch the embedding table ONLY for their
+    * query vectors (q92/q98's previous coarse derivation was a
+    * pushed-filter embeddings scan per query).
+    */
+  def pqCoarse(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_pqcoarse_${key(dir)}"
+    serve(s, t) {
+      Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("c_vec"))
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+  }
+
+  /** The trained raw-vector PQ codebooks (sub, code, c_vec) — m×k*
+    * rows. Training (a Lloyd pass over the corpus) runs ONCE at store
+    * build; before this store q88/q89/q92 and the recall audits each
+    * re-ran k-means per query — the r17 verdict's slowest
+    * non-composition block.
+    */
+  def pqCodebooks(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_pqcb_${key(dir)}"
+    serve(s, t) {
+      Pq.codebooks(Tables.embeddings(s, dir), "vec_id", "embedding",
+          m = PqM, subDim = PqSubDim, initIds = Seq(0L, 1L, 2L, 3L),
+          iters = 1, orderedMeans = true)
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+  }
+
+  /** The encoded raw-vector code table (vec_id, centroid_id, sub,
+    * code), centroid-bucketed like the IVF vector store — probed
+    * reads (q92) reach only their lists' buckets; the full-scan ADC
+    * read (q89) scans m narrow longs per vector instead of the
+    * vectors. Encoding runs ONCE here; [[Pq.pqIngest]] appends new
+    * slices at these fixed codebooks.
+    */
+  def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_pqcodes_${key(dir)}"
+    serve(s, t) {
+      Bucketing.writeBucketed(
+        Pq.codeRows(Tables.embeddings(s, dir), "vec_id", "embedding",
+          pqCodebooks(s, dir), pqCoarse(s, dir), m = PqM, subDim = PqSubDim),
+        t, Seq("centroid_id"), buckets = 8, sortCols = Seq("centroid_id"))
+    }
+  }
+
+  /** [[pqCodebooks]]'s RESIDUAL sibling: codebooks trained on
+    * (vec − assigned coarse centroid) — the Jégou-canonical IVF-PQ
+    * regimen q98/q109 use (initIds 8–11: non-centroids, so the seed
+    * residuals are nonzero; same Lloyd-1 ordered-means regimen as the
+    * raw family for the equal-footing q108-vs-q109 recall comparison).
+    */
+  def pqResidualCodebooks(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_pqrcb_${key(dir)}"
+    serve(s, t) {
+      Pq.codebooks(
+          Pq.residuals(Tables.embeddings(s, dir), "vec_id", "embedding",
+            pqCoarse(s, dir)),
+          "vec_id", "rvec", m = PqM, subDim = PqSubDim,
+          initIds = Seq(8L, 9L, 10L, 11L), iters = 1, orderedMeans = true)
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+  }
+
+  /** The RESIDUAL code table for IVF-PQ serving (q98/q109) —
+    * centroid-bucketed (vec_id, centroid_id, sub, code) where code
+    * quantizes the vector's residual to its coarse centroid.
+    */
+  def pqResidualCodes(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_pqrcodes_${key(dir)}"
+    serve(s, t) {
+      Bucketing.writeBucketed(
+        Pq.residualCodeRows(Tables.embeddings(s, dir), "vec_id",
+          "embedding", pqCoarse(s, dir), pqResidualCodebooks(s, dir),
+          m = PqM, subDim = PqSubDim),
+        t, Seq("centroid_id"), buckets = 8, sortCols = Seq("centroid_id"))
+    }
+  }
+
   def edges(s: SparkSession, dir: String): DataFrame = {
     val t = s"graft_edges_${key(dir)}"
     serve(s, t) {

@@ -1063,7 +1063,14 @@ object Dedup {
     val base = docs.select(col(idCol).as("id"), col(textCol).as("t"),
       length(col(textCol)).as("len"))
     val longs = base.filter(col("len") >= minLong)
-    val shortsRaw = base.filter(col("len") < minLong)
+    // pinned when the cap guard is live: shortsRaw then feeds BOTH
+    // the count(_nshort) aggregate and the guarded row output —
+    // unpinned, the base filter subtree evaluates twice (the same
+    // two-consumer rule the gram frame below follows; ADVICE r17)
+    val shortsRaw =
+      if (maxShorts == Long.MaxValue) base.filter(col("len") < minLong)
+      else Checkpoints.pin(base.filter(col("len") < minLong),
+        checkpointDir, eager = false)
     // the observable cap on the quadratic-fallback class: guard the
     // SHORT side before its nested-loop join, so an over-cap corpus
     // raises at the first short row rather than mid-way through the

@@ -192,19 +192,27 @@ object Pq {
   def ivfPqSearch(emb: DataFrame, idCol: String, vecCol: String,
                   coarse: DataFrame, cbs: DataFrame, queryIds: Seq[Long],
                   k: Int, nprobe: Int, m: Int, subDim: Int,
-                  checkpointDir: Option[String] = None): DataFrame = {
+                  checkpointDir: Option[String] = None): DataFrame =
+    ivfPqSearchCoded(
+      residualCodeRows(emb, idCol, vecCol, coarse, cbs, m, subDim,
+        checkpointDir),
+      emb, idCol, vecCol, coarse, cbs, queryIds, k, nprobe, m, subDim)
+
+  /** [[ivfPqSearch]]'s READ half against a pre-encoded residual code
+    * table (the [[graft.Stores]] posture — codebooks trained offline,
+    * codes a written table): `codes` is (vec_id, centroid_id, sub,
+    * code) from [[residualCodeRows]]. Per query only its own vector
+    * rows leave the embedding table (probe ranking + residual LUT);
+    * the (centroid_id, sub, code) LUT join IS the candidate generator
+    * against the stored codes — scoring, rounding, and ranking
+    * identical to the inline form (it delegates here).
+    */
+  def ivfPqSearchCoded(codes: DataFrame, emb: DataFrame, idCol: String,
+                       vecCol: String, coarse: DataFrame, cbs: DataFrame,
+                       queryIds: Seq[Long], k: Int, nprobe: Int,
+                       m: Int, subDim: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
-    // PIN the residual frame: it feeds BOTH encode() and the
-    // centroid_id carry-join below — unpinned, the corpus-scale
-    // assignment argmin + zip_with would execute twice in one plan
-    val res = Checkpoints.pin(residuals(emb, idCol, vecCol, coarse),
-      checkpointDir, eager = false)
-    // codes carry their list: (neighbor_id, centroid_id, sub, code)
-    val codes = encode(res, "vec_id", "rvec", cbs, m, subDim)
-      .join(res.select(col("vec_id"), col("centroid_id")), "vec_id")
-      .select(col("vec_id").as("neighbor_id"), col("centroid_id"),
-        col("sub"), col("code"))
     // query residual per PROBED centroid (queries × nprobe rows)
     val qe = emb.filter(col(idCol).isin(queryIds: _*))
     val rq = Similarity.probeCentroids(emb, idCol, vecCol, coarse,
@@ -227,14 +235,71 @@ object Pq {
       .select(col("query_id"), col("centroid_id"), col("sub"), col("code"),
         expr("CAST(round(array_sqdiff(v, c_vec), 6) AS DECIMAL(28,10))").as("pd"))
     val scored = codes
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"),
+        col("sub"), col("code"))
       .join(broadcast(lut), Seq("centroid_id", "sub", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("pd")).cast("double").as("approx_dist"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    adcRank(scored, k)
+  }
+
+  /** The store-row form of the raw-vector PQ family — the shared body
+    * of the one-shot store build and [[pqIngest]], so the two paths
+    * cannot diverge in encoding or schema: every vector's m codes at
+    * FIXED codebooks, carrying its coarse-list assignment (the
+    * [[Similarity.assignWith]] argmin) as the store's physical
+    * partition key. Output: (vec_id, centroid_id, sub, code) — m rows
+    * per vector, each a couple of longs; the 32×-compressed layout a
+    * 100 TB vector memory actually persists.
+    */
+  def codeRows(emb: DataFrame, idCol: String, vecCol: String,
+               cbs: DataFrame, coarse: DataFrame,
+               m: Int, subDim: Int): DataFrame =
+    encode(emb, idCol, vecCol, cbs, m, subDim)
+      .join(Similarity.assignWith(emb, idCol, vecCol, coarse)
+        .select(col("vec_id"), col("centroid_id")), "vec_id")
+      .select(col("vec_id"), col("centroid_id"), col("sub"), col("code"))
+
+  /** [[codeRows]]'s RESIDUAL sibling (the Jégou-canonical IVF-PQ
+    * layout): codes quantize (vec − assigned coarse centroid). The
+    * residual frame is pinned — it feeds both the encoding and the
+    * centroid_id carry-join; unpinned, the corpus-scale assignment
+    * argmin + zip_with would execute twice in one plan.
+    */
+  def residualCodeRows(emb: DataFrame, idCol: String, vecCol: String,
+                       coarse: DataFrame, cbs: DataFrame,
+                       m: Int, subDim: Int,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    val res = Checkpoints.pin(residuals(emb, idCol, vecCol, coarse),
+      checkpointDir, eager = false)
+    encode(res, "vec_id", "rvec", cbs, m, subDim)
+      .join(res.select(col("vec_id"), col("centroid_id")), "vec_id")
+      .select(col("vec_id"), col("centroid_id"), col("sub"), col("code"))
+  }
+
+  /** Incremental PQ-store ingest — the [[Similarity.ivfIngest]]
+    * lifecycle applied to the code table: encode ONLY the new vectors
+    * at the store's FIXED codebooks (+ coarse centroids) and APPEND
+    * their code rows to the bucketed table; history is never re-read
+    * or re-encoded, and Spark validates the bucket spec against the
+    * existing table so a mismatched layout fails loudly. `residual`
+    * picks which of the two store-row forms this table holds. The
+    * trade is the IVF one: new vectors quantize at the store's
+    * codebooks — re-training is a store rewrite, everywhere.
+    */
+  def pqIngest(newVecs: DataFrame, idCol: String, vecCol: String,
+               cbs: DataFrame, coarse: DataFrame, table: String,
+               buckets: Int, m: Int, subDim: Int,
+               residual: Boolean = false): Unit = {
+    val rows =
+      if (residual)
+        residualCodeRows(newVecs, idCol, vecCol, coarse, cbs, m, subDim)
+      else codeRows(newVecs, idCol, vecCol, cbs, coarse, m, subDim)
+    rows.write.mode("append").format("parquet")
+      .bucketBy(buckets, "centroid_id").sortBy("centroid_id")
+      .saveAsTable(table)
   }
 
   /** ADC top-k: score every encoded vector (or only `candidates` —
@@ -247,30 +312,91 @@ object Pq {
   def adcSearch(emb: DataFrame, idCol: String, vecCol: String,
                 cbs: DataFrame, queryIds: Seq[Long], k: Int,
                 m: Int, subDim: Int,
-                candidates: Option[DataFrame] = None): DataFrame = {
+                candidates: Option[DataFrame] = None): DataFrame =
+    adcSearchCoded(
+      encode(emb, idCol, vecCol, cbs, m, subDim),
+      emb, idCol, vecCol, cbs, queryIds, k, m, subDim, candidates)
+
+  /** [[adcSearch]]'s READ half against a pre-encoded code table (the
+    * [[graft.Stores]] posture): `codes` is (vec_id, sub, code) — any
+    * extra columns (centroid_id in the stored form) are ignored. Only
+    * the query vectors leave the embedding table; scoring, rounding,
+    * and ranking are identical to the inline form (it delegates
+    * here).
+    */
+  def adcSearchCoded(codes: DataFrame, emb: DataFrame, idCol: String,
+                     vecCol: String, cbs: DataFrame, queryIds: Seq[Long],
+                     k: Int, m: Int, subDim: Int,
+                     candidates: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
     graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
-    val sv = subvectors(emb, idCol, vecCol, m, subDim)
-    val codes = encode(emb, idCol, vecCol, cbs, m, subDim)
-      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
-    // per-query LUT: partial squared distance to every (sub, code)
-    // centroid — m×k* rows per query, rounded then DECIMAL so the
-    // m-term sums below are exact and order-independent
-    val lut = sv.filter(col("vec_id").isin(queryIds: _*))
-      .join(broadcast(cbs), "sub")
-      .select(col("vec_id").as("query_id"), col("sub"), col("code"),
-        expr("CAST(round(array_sqdiff(v, c_vec), 6) AS DECIMAL(28,10))").as("pd"))
+    val c = codes.select(col("vec_id").as("neighbor_id"),
+      col("sub"), col("code"))
+    val lut = queryLut(emb, idCol, vecCol, cbs, queryIds, m, subDim)
     val contrib = candidates match {
       case Some(cand) =>
         cand.select(col("query_id"), col("neighbor_id"))
-          .join(codes, "neighbor_id")
+          .join(c, "neighbor_id")
           .join(broadcast(lut), Seq("query_id", "sub", "code"))
-      case None => codes.join(broadcast(lut), Seq("sub", "code"))
+      case None => c.join(broadcast(lut), Seq("sub", "code"))
     }
     val scored = contrib
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("pd")).cast("double").as("approx_dist"))
+    adcRank(scored, k)
+  }
+
+  /** IVF + ADC against the STORED code table — the q92 composition
+    * served store-first: candidate generation is implicit in the
+    * centroid_id join (each query's `nprobe` probed lists' members
+    * contribute their m code rows; a vector lives in exactly one
+    * list, so no dedup is needed), scoring is the same broadcast-LUT
+    * m-term DECIMAL sum. Row-for-row equal to
+    * `adcSearch(candidates = Some(ivfCandidates(...)))` — both join
+    * the probed lists' members to the query's LUT on (query_id, sub,
+    * code) — without the corpus re-assignment ivfCandidates performs
+    * per call: the assignment lives IN the store.
+    */
+  def adcSearchProbed(codes: DataFrame, emb: DataFrame, idCol: String,
+                      vecCol: String, coarse: DataFrame, cbs: DataFrame,
+                      queryIds: Seq[Long], k: Int, nprobe: Int,
+                      m: Int, subDim: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    val probe = Similarity.probeCentroids(emb, idCol, vecCol, coarse,
+      queryIds, nprobe)
+    val lut = queryLut(emb, idCol, vecCol, cbs, queryIds, m, subDim)
+    val scored = codes
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"),
+        col("sub"), col("code"))
+      .join(broadcast(probe), "centroid_id")
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("pd")).cast("double").as("approx_dist"))
+    adcRank(scored, k)
+  }
+
+  /** Per-query ADC lookup table: partial squared distance to every
+    * (sub, code) centroid — m×k* rows per query, rounded then DECIMAL
+    * so the m-term candidate sums are exact and order-independent
+    * under any partitioning (and in the DuckDB oracle).
+    */
+  private def queryLut(emb: DataFrame, idCol: String, vecCol: String,
+                       cbs: DataFrame, queryIds: Seq[Long],
+                       m: Int, subDim: Int): DataFrame =
+    subvectors(emb.filter(col(idCol).isin(queryIds: _*)), idCol, vecCol,
+        m, subDim)
+      .join(broadcast(cbs), "sub")
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"),
+        expr("CAST(round(array_sqdiff(v, c_vec), 6) AS DECIMAL(28,10))").as("pd"))
+
+  /** Shared serving rank: per-query ascending-distance top-k with
+    * neighbor-id tie-break — partitioned by query_id (queries are the
+    * parallelism unit; never a global single-task rank).
+    */
+  private def adcRank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

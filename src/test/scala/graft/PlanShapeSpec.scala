@@ -229,10 +229,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("q88: PQ encode is broadcast-argmin — codebooks broadcast, no sort join, no Window") {
-    val p = plan("q88_pq_encode")
-    assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  test("q88: PQ encode serves from the store; the BUILD path keeps the broadcast-argmin shape (no sort join, no Window)") {
+    // the serving plan is a store scan (pinned with the family test
+    // below); the encode shape now matters at store BUILD time
+    val emb = Tables.embeddings(spark, dir)
+    val coarse = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("centroid_id"),
+        org.apache.spark.sql.functions.col("embedding").as("c_vec"))
+    val cbs = graft.ops.Pq.codebooks(emb, "vec_id", "embedding",
+      m = 8, subDim = 8, initIds = Seq(0L, 1L, 2L, 3L), iters = 1,
+      orderedMeans = true)
+    val p = graft.ops.Pq.codeRows(emb, "vec_id", "embedding", cbs, coarse,
+        m = 8, subDim = 8)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      "codebook/centroid joins must broadcast")
+    // the one allowed shuffle join: codes ⋈ coarse assignment on
+    // vec_id — both sides narrow longs, a build-time cost paid once
+    assert("""SortMergeJoin""".r.findAllIn(p).size <= 2, // tree + detail line
+      s"more than the one narrow vec_id join:\n$p")
+    assert(!p.contains("CartesianProduct"))
     assert(!p.contains("Window"),
       "the per-(vec, sub) argmin must be a min-struct aggregate, not a Window")
   }
@@ -541,6 +557,27 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$q lost the sort-limit:\n$p")
       assert(!p.contains("Exchange SinglePartition"),
         s"$q funnels candidates through one task:\n$p")
+    }
+  }
+
+  test("q88/q89/q92/q98: PQ family serves from the WRITTEN code store — no per-query training, embeddings touched only for query vectors") {
+    for (q <- Seq("q88_pq_encode", "q89_pq_adc", "q92_ivfpq",
+        "q98_ivfpq_residual")) {
+      val p = plan(q)
+      assert(p.contains("graft_pqcodes") || p.contains("graft_pqrcodes"),
+        s"$q does not read the written code table:\n$p")
+      // codebook training's Lloyd round posexplodes the subvector
+      // dims — absent from every serving plan (codebooks are a tiny
+      // stored table, not a per-query k-means)
+      assert(!p.toLowerCase.contains("posexplode"),
+        s"$q retrains codebooks at query time:\n$p")
+      // any embeddings scan left is the query vectors: every such
+      // scan block must carry a pushed vec_id IN filter
+      val blocks = p.split("\n\n").filter(_.contains("embeddings.parquet"))
+      blocks.foreach { b =>
+        assert(b.contains("In(vec_id"),
+          s"$q scans embeddings without a query-id filter:\n$b")
+      }
     }
   }
 
