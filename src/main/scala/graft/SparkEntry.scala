@@ -3758,6 +3758,35 @@ object SparkEntry {
           .agg(countDistinct(col("doc_id")).as("n_docs")),
         trigramTerms(s, dir),
         nTerms = 3, k = 20)),
+
+    // store MAINTENANCE decision over the ACTUAL written serving
+    // tables (q258's datasheet derives its slice frame inline so the
+    // oracle can replay it; this is the deployment form): per-
+    // generation sliceDatasheet rows of the written index, positional,
+    // and edge warehouses feed the compaction planner, emitting one
+    // "compact generations [gen_lo..gen_hi]" row per planned rewrite
+    // bin. The oracle recomputes generation sizes from the raw corpus
+    // and replays the binning (the q245 store-vs-log posture), so a
+    // green row proves the written generations hold exactly what a
+    // from-scratch derivation assigns them — the read an operator
+    // schedules nightly; work ∝ the 12-row manifest, never the data
+    "q261_store_maintenance" -> ((s, dir) => {
+      def sheet(label: String, slices: DataFrame,
+                keys: Seq[String], w: String) =
+        graft.ops.Profile.sliceDatasheet(slices, "slice", keys, w)
+          .select(lit(label).as("store"), col("slice"), col("n_rows"))
+      val sheets =
+        sheet("idx", Stores.index(s, dir), Seq("token", "doc_id"), "tf")
+          .unionByName(sheet("pidx", Stores.positional(s, dir),
+            Seq("token", "doc_id"), "tf"))
+          .unionByName(sheet("edges", Stores.edges(s, dir),
+            Seq("src", "dst"), "w"))
+      graft.ops.Profile.compactionPlan(sheets, "store", "slice",
+          "n_rows", targetBytes = 5000L)
+        .select(col("grp").as("store"), col("bin"),
+          col("n_files").as("n_gens"), col("bytes").as("n_rows"),
+          col("id_lo").as("gen_lo"), col("id_hi").as("gen_hi"))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -6770,6 +6799,56 @@ object SparkEntry {
         |       count(CASE WHEN tf < 0 THEN 1 END)::BIGINT
         |         AS n_tombstone_rows
         |FROM s GROUP BY 1""".stripMargin,
+
+    // the written stores' generation sizes recomputed from the raw
+    // corpus (slice = id % 4, the store builders' tagging), then the
+    // planner's START-OFFSET binning replayed: bin = (running rows of
+    // earlier generations) div target
+    "q261_store_maintenance" ->
+      """WITH tok AS (
+        |  SELECT doc_id % 4 AS slice, doc_id, t AS token,
+        |         count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2, 3),
+        |idx AS (
+        |  SELECT 'idx' AS store, slice::BIGINT AS slice,
+        |         count(*)::BIGINT AS n_rows
+        |  FROM tok GROUP BY 2),
+        |pidx AS (
+        |  SELECT 'pidx' AS store, slice, n_rows FROM idx),
+        |ev AS (
+        |  SELECT user_id, ts, event_id,
+        |         json_extract_string(props, '$.k')::BIGINT AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |nx AS (
+        |  SELECT user_id, item AS src,
+        |         lead(item) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS dst
+        |  FROM ev),
+        |tr AS (
+        |  SELECT user_id % 4 AS slice, src, dst
+        |  FROM nx WHERE dst IS NOT NULL AND dst <> src),
+        |eg AS (
+        |  SELECT 'edges' AS store, slice::BIGINT AS slice,
+        |         count(*)::BIGINT AS n_rows
+        |  FROM (SELECT slice, src, dst FROM tr GROUP BY 1, 2, 3)
+        |  GROUP BY 2),
+        |sheets AS (
+        |  SELECT * FROM idx UNION ALL SELECT * FROM pidx
+        |  UNION ALL SELECT * FROM eg),
+        |binned AS (
+        |  SELECT store, slice, n_rows,
+        |         COALESCE(SUM(n_rows) OVER (
+        |           PARTITION BY store ORDER BY slice
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) // 5000 AS bin
+        |  FROM sheets)
+        |SELECT store, bin::BIGINT AS bin, count(*)::BIGINT AS n_gens,
+        |       sum(n_rows)::BIGINT AS n_rows,
+        |       min(slice)::BIGINT AS gen_lo, max(slice)::BIGINT AS gen_hi
+        |FROM binned GROUP BY 1, 2""".stripMargin,
 
     // AND-k over the capped index replayed: same capped postings as
     // q203, membership = distinct matched tokens == the trigram's

@@ -158,12 +158,23 @@ object Stores {
     * with a zero-Exchange tf-sum merge (HashPartitioning(token)
     * satisfies the (token, doc_id) clustering).
     */
+  /** Generation tag for the store builds: 4 ingest slices keyed by
+    * the row's id (modeling four nightly generations of a real
+    * warehouse — every store merge is slice-agnostic, so reads are
+    * identical to a single-slice build, but the maintenance reads
+    * (q261's datasheet + compaction decision) now audit REAL
+    * generations of the actual written tables, not an inline stand-in
+    * frame).
+    */
+  private[graft] val Generations = 4
+
   def index(s: SparkSession, dir: String): DataFrame = {
     val t = s"graft_idx_${key(dir)}"
     serve(s, t) {
       TextAnalysis.writeIndexStore(
         TextAnalysis.indexSlices(
-          Tables.documents(s, dir).withColumn("slice", lit(0L)),
+          Tables.documents(s, dir)
+            .withColumn("slice", pmod(col("doc_id"), lit(Generations))),
           "doc_id", "text", "slice"),
         table = t, buckets = 16)
     }
@@ -183,7 +194,8 @@ object Stores {
     serve(s, t) {
       TextAnalysis.writeIndexStore(
         TextAnalysis.positionalSlices(
-          Tables.documents(s, dir).withColumn("slice", lit(0L)),
+          Tables.documents(s, dir)
+            .withColumn("slice", pmod(col("doc_id"), lit(Generations))),
           "doc_id", "text", "slice"),
         table = t, buckets = 16)
     }
@@ -354,7 +366,8 @@ object Stores {
     val t = s"graft_edges_${key(dir)}"
     serve(s, t) {
       Graph.edgeSlices(
-          SparkEntry.transitionPairs(s, dir).withColumn("slice", lit(0L)),
+          SparkEntry.transitionPairs(s, dir)
+            .withColumn("slice", pmod(col("user_id"), lit(Generations))),
           "item_id", "nxt", "slice")
         .write.mode("overwrite").format("parquet")
         .bucketBy(16, "src").sortBy("src").saveAsTable(t)

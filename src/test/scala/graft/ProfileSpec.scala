@@ -145,6 +145,53 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("q261 maintenance: datasheet over the WRITTEN stores ≡ corpus-derived slices; decisions honor the planner's threshold") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // (a) the written index store's generation sheet equals the sheet
+    // of a from-scratch slice derivation — the store-vs-log identity
+    // at the maintenance grain
+    val storeSheet = Profile.sliceDatasheet(Stores.index(spark, dir),
+        "slice", Seq("token", "doc_id"), "tf")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val logSheet = Profile.sliceDatasheet(
+        graft.ops.TextAnalysis.indexSlices(
+          Tables.documents(spark, dir)
+            .withColumn("slice", pmod($"doc_id", lit(4))),
+          "doc_id", "text", "slice"),
+        "slice", Seq("token", "doc_id"), "tf")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(storeSheet === logSheet && storeSheet.size === 4)
+    // (b) the decision respects the planner's threshold contract:
+    // bins partition the generations into contiguous id ranges, and a
+    // bin starts exactly where the running row offset crosses a
+    // multiple of the target (replayed here from the same sheet)
+    val target = 600L
+    val sheet = storeSheet.toSeq.map(r => (r._1, r._2)).sortBy(_._1)
+    val plan = Profile.compactionPlan(
+        sheet.toDF("slice", "n_rows").withColumn("store", lit("idx")),
+        "store", "slice", "n_rows", targetBytes = target)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val expected = {
+      var before = 0L
+      sheet.map { case (slice, n) =>
+        val bin = before / target; before += n; (slice, bin)
+      }.groupBy(_._2).map { case (bin, gs) =>
+        ("idx", bin, gs.size.toLong,
+          gs.map(g => sheet.find(_._1 == g._1).get._2).sum,
+          gs.map(_._1).min, gs.map(_._1).max)
+      }.toSet
+    }
+    assert(plan === expected)
+    // contiguity: gen ranges tile [0..3] without overlap
+    val ranges = plan.toSeq.sortBy(_._5).map(p => (p._5, p._6))
+    assert(ranges.head._1 === 0L && ranges.last._2 === 3L)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(lo2 === hi + 1)
+      case _ =>
+    }
+  }
+
   test("fkAudit: orphans vs null keys kept apart; duplicate parent keys don't double-count; zero-orphan edge emits") {
     import org.apache.spark.sql.functions.col
     val child = Seq[(java.lang.Long, String)](
