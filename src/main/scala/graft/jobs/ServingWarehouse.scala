@@ -1,0 +1,106 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.{Behavior, Graph, TextAnalysis}
+
+/** The end-to-end "nightly ingest, all-day serving" topology as ONE
+  * runnable job: a document stream and a transition-pair stream flow
+  * CONCURRENTLY through the exact-index, positional-index, and
+  * edge-warehouse ingest paths (foreachBatch, slice = micro-batch id —
+  * the same slice code paths the batch builders and [[graft.Stores]]
+  * use, so a mid-stream read cannot drift from a batch build), while
+  * q206/q209/q246-shaped serving reads answer from the live tables at
+  * any moment between batches.
+  *
+  * This is the composition the per-family StreamingSpec ingest pins
+  * prove piecewise; here it runs as one deployment-shaped unit and the
+  * end-to-end pin asserts reads after batch N ≡ the same read bodies
+  * over slices built from the first N batches' data.
+  *
+  * At 100 TB each ingest query is its own cluster job writing the
+  * shared warehouse; the serving reads run in any number of separate
+  * sessions against the same tables — nothing here assumes
+  * single-process state beyond the catalog registration.
+  */
+object ServingWarehouse {
+
+  /** The three live warehouse tables one serving deployment owns. */
+  case class Tables(index: String, positional: String, edges: String)
+
+  /** Start the three concurrent ingest queries over a document stream
+    * (doc_id, text) and a transition-pair stream (src, dst). The
+    * tables must already exist with matching bucket specs (the
+    * bootstrap build — a nightly batch job or a first empty slice);
+    * appends only add bucket files, never rewrite history.
+    */
+  def start(docs: DataFrame, pairs: DataFrame, t: Tables,
+            buckets: Int = 8): Seq[StreamingQuery] = Seq(
+    docs.writeStream.queryName(s"ingest_${t.index}")
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        TextAnalysis.indexIngest(batch.withColumn("slice", lit(id)),
+          "doc_id", "text", "slice", t.index, buckets)
+      }.start(),
+    docs.writeStream.queryName(s"ingest_${t.positional}")
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        TextAnalysis.positionalIngest(batch.withColumn("slice", lit(id)),
+          "doc_id", "text", "slice", t.positional, buckets)
+      }.start(),
+    pairs.writeStream.queryName(s"ingest_${t.edges}")
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        Graph.edgeIngest(batch.withColumn("slice", lit(id)),
+          "src", "dst", "slice", t.edges, buckets)
+      }.start())
+
+  /** The catalog's relation cache is SESSION-local and the ingest
+    * queries write from their own (micro-batch-cloned) sessions, so a
+    * long-lived serving session would otherwise keep answering from
+    * the file listing it cached at its first read. Every serving read
+    * refreshes first — the cost is a relisting of one table's bucket
+    * files, the correctness is reads always seeing every landed slice
+    * (exactly what a separate serving session against a shared
+    * metastore does).
+    */
+  private def liveTable(s: SparkSession, name: String): DataFrame = {
+    s.catalog.refreshTable(name)
+    s.table(name)
+  }
+
+  /** q206-shaped read over the LIVE index table: two-term BM25 off
+    * the capped merged postings; the corpus scalar (n_docs) derives
+    * from the same merged frame, so the read is self-contained.
+    */
+  def bm25Read(s: SparkSession, t: Tables, maxPostings: Int,
+               k: Int): DataFrame = {
+    val merged = TextAnalysis.indexMergeSlices(liveTable(s, t.index))
+    TextAnalysis.bm25Query(
+      TextAnalysis.cappedIndex(merged, maxPostings),
+      merged.agg(countDistinct(col("doc_id")).as("n_docs")), k)
+  }
+
+  /** q209-shaped read over the LIVE positional table: exact-adjacency
+    * phrase match for `terms` (a 1-row (w1, w2) frame); the store scan
+    * is token-prefiltered before the position-set merge (the
+    * storedPositional posture), so the aggregate touches only the
+    * query terms' posting rows.
+    */
+  def phraseRead(s: SparkSession, t: Tables, terms: DataFrame,
+                 k: Int): DataFrame = {
+    val tokens = terms
+      .select(explode(array(col("w1"), col("w2"))).as("token")).distinct()
+    TextAnalysis.phraseQuery(
+      TextAnalysis.positionalMergeSlices(
+        liveTable(s, t.positional)
+          .join(broadcast(tokens), Seq("token"), "left_semi")),
+      terms, k)
+  }
+
+  /** q246-shaped read over the LIVE edge table: the per-item top-k
+    * next-item recommendation table off the merged edge counts.
+    */
+  def nextItemRead(s: SparkSession, t: Tables, k: Int): DataFrame =
+    Behavior.nextItemFromCounts(Graph.edgeMerge(liveTable(s, t.edges)),
+      "src", "dst", "w", k)
+}

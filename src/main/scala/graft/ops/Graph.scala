@@ -244,6 +244,23 @@ object Graph {
             lit(" — retraction without matching ingest")))).as("w"))
       .filter(col("w") > 0)
 
+  /** Incremental edge-warehouse ingest — [[graft.ops.TextAnalysis
+    * .indexIngest]] for the edge store: aggregate ONLY the new pair
+    * slice through [[edgeSlices]] (the same one code path as batch
+    * build) and APPEND its rows to the src-bucketed table; history
+    * files stay untouched, and Spark validates the bucket spec so a
+    * mismatched layout fails loudly. STREAMING: call per micro-batch
+    * inside `foreachBatch` with slice = batch id (the jobs
+    * .ServingWarehouse wiring; StreamingSpec pins per-batch ingest ≡
+    * one-shot batch slices).
+    */
+  def edgeIngest(pairs: DataFrame, srcCol: String, dstCol: String,
+                 sliceCol: String, table: String, buckets: Int): Unit =
+    edgeSlices(pairs, srcCol, dstCol, sliceCol)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "src").sortBy("src")
+      .saveAsTable(table)
+
   /** Retraction slices — the DELETE path of the edge warehouse (the
     * LSM posture: deletes append, history files stay untouched): the
     * retracted pair log re-aggregated with NEGATED counts, so the

@@ -67,6 +67,37 @@ class ProfileSpec extends AnyFunSuite {
       s"approx profile should drop the Expand:\n$pa")
   }
 
+  test("approxTable rsd tour (q252's dial): tighter rsd stays within a tighter band of the exact profile, schema fixed") {
+    import org.apache.spark.sql.functions.col
+    // the estimate/cost dial a 100 TB profile actually turns: rsd
+    // sizes the HLL++ registers (cost ∝ 1/rsd²); each setting must
+    // keep every column's distinct estimate within a band the rsd
+    // implies. Run over the real events table (the q252 input), not a
+    // toy frame, so the tour documents behavior at realistic
+    // cardinalities. Band = max(4·rsd·exact, 2): ~4 standard errors
+    // plus an absolute floor for tiny cardinalities.
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val numCols = Seq("event_id", "user_id", "value")
+    val strCols = Seq("event_type", "props")
+    val exact = Profile.table(ev, numCols, strCols, tsCols = Seq("ts"))
+      .select(col("column"), col("n_distinct"))
+      .as[(String, Long)].collect().toMap
+    for (rsd <- Seq(0.02, 0.05, 0.1)) {
+      val approx = Profile.approxTable(ev, numCols, strCols,
+        tsCols = Seq("ts"), rsd = rsd)
+      assert(approx.schema === Profile.table(ev, numCols, strCols,
+        Seq("ts")).schema)       // drop-in at every setting
+      val est = approx.select(col("column"), col("n_distinct"))
+        .as[(String, Long)].collect().toMap
+      est.foreach { case (c, e) =>
+        val x = exact(c)
+        val band = math.max(4.0 * rsd * x, 2.0)
+        assert(math.abs(e - x) <= band,
+          s"rsd=$rsd column=$c est=$e exact=$x band=$band")
+      }
+    }
+  }
+
   test("sliceDatasheet: per-slice rows/keys/weights; tombstone rows counted, not hidden in the sum") {
     val slices = Seq(
       (0L, "a", 1L, 2L), (0L, "b", 1L, 1L), (0L, "a", 2L, 3L),

@@ -858,6 +858,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(tags.contains((3L, "unmatched_right")))
   }
 
+  test("transformWithState reconcile matches the stream-join form's verdicts, across a checkpointed restart") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = java.nio.file.Files.createTempDirectory("graft-rec-tws-")
+    val (srcDir, outDir, ckptDir) =
+      (base.resolve("src"), base.resolve("out"), base.resolve("ckpt"))
+    java.nio.file.Files.createDirectory(srcDir)
+    try {
+      def writeFile(rows: Seq[AsofEvent]): Unit =
+        rows.toDF().coalesce(1).write.mode("append").parquet(srcDir.toString)
+      def runOnce(): Unit = {
+        val src = spark.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[AsofEvent]].schema)
+          .parquet(srcDir.toString)
+        val q = ReconcileProcessor(
+            src.withWatermark("ts", "0 seconds").as[AsofEvent],
+            toleranceMs = 5000)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckptDir.toString)
+          .format("parquet").option("path", outDir.toString).start()
+        q.processAllAvailable(); q.stop()
+      }
+      // the reconcileStreams test's events, as one tagged union stream
+      writeFile(Seq(
+        AsofEvent(1, ts(1000), isLeft = true, 1),   // pay 1
+        AsofEvent(2, ts(1000), isLeft = true, 2),   // pay 2 (never receipted)
+        AsofEvent(1, ts(1001), isLeft = false, 3),  // receipt 1 -> matched
+        AsofEvent(3, ts(1000), isLeft = false, 4))) // receipt 3 (orphan)
+      runOnce()                                     // checkpoint written
+      // restart from the checkpoint: pending state (keys 2 and 3) must
+      // survive the restart and resolve as unmatched once the
+      // watermark passes; key 90's pair is OUT of tolerance
+      writeFile(Seq(AsofEvent(90, ts(100000), isLeft = true, 5)))
+      runOnce()
+      writeFile(Seq(AsofEvent(90, ts(200000), isLeft = false, 6)))
+      runOnce()
+      writeFile(Seq(AsofEvent(91, ts(300000), isLeft = true, 7)))
+      runOnce()                                     // advance the watermark
+      val rows = spark.read.parquet(outDir.toString)
+        .as[ReconcileResult].collect().toSet
+      // same verdicts the stream-join form produces for keys 1..3
+      assert(rows.filter(_.key <= 3) === Set(
+        ReconcileResult(1, "matched", Some(1L), Some(3L)),
+        ReconcileResult(2, "unmatched_left", Some(2L), None),
+        ReconcileResult(3, "unmatched_right", None, Some(4L))))
+      // and the out-of-tolerance pair on key 90 resolves as BOTH
+      // unmatched (ts 100000 vs 200000 > 5s), matching join semantics
+      assert(rows.filter(_.key == 90).map(_.tag) ===
+        Set("unmatched_left", "unmatched_right"))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+
   test("StreamingGate: frozen per-domain quality gate, batch ≡ streaming, q107 parity on calibration") {
     // calibration corpus: 4 docs per domain with (by construction)
     // distinct quality scores — top quartile = exactly the best doc
@@ -1055,6 +1110,87 @@ class StreamingSpec extends AnyFunSuite {
         .as("cs"))
       .as[(String, Seq[Long])].collect().toMap
     assert(merged === full)
+  }
+
+  test("ServingWarehouse end-to-end: concurrent doc+pair ingest; mid-stream q206/q209/q246 reads ≡ batch reads over the landed slices") {
+    import graft.jobs.ServingWarehouse
+    import graft.ops.{Behavior, Graph, TextAnalysis}
+    val base = java.nio.file.Files.createTempDirectory("graft-sw-")
+    val t = ServingWarehouse.Tables("graft_sw_idx", "graft_sw_pidx",
+      "graft_sw_edges")
+    val docs1 = Seq((1L, "a b a"), (2L, "b a b c"), (3L, "c a b"))
+    val docs2 = Seq((4L, "a b"), (5L, "b c b c a b"))
+    val pairs1 = Seq((10L, 11L), (11L, 12L), (10L, 11L))
+    val pairs2 = Seq((10L, 12L), (10L, 11L), (12L, 11L))
+    try {
+      // bootstrap: empty-sliced EXTERNAL tables fix the bucket specs
+      TextAnalysis.writeIndexStore(
+        TextAnalysis.indexSlices(docs1.take(0).toDF("doc_id", "text")
+          .withColumn("slice", lit(0L)), "doc_id", "text", "slice"),
+        t.index, buckets = 4, path = Some(base.resolve("idx").toString))
+      TextAnalysis.writeIndexStore(
+        TextAnalysis.positionalSlices(docs1.take(0).toDF("doc_id", "text")
+          .withColumn("slice", lit(0L)), "doc_id", "text", "slice"),
+        t.positional, buckets = 4,
+        path = Some(base.resolve("pidx").toString))
+      graft.ops.Bucketing.writeBucketed(
+        Graph.edgeSlices(pairs1.take(0).toDF("src", "dst")
+          .withColumn("slice", lit(0L)), "src", "dst", "slice"),
+        t.edges, Seq("src"), buckets = 4, sortCols = Seq("src"),
+        path = Some(base.resolve("edges").toString))
+      val docsIn = MemoryStream[(Long, String)]
+      val pairsIn = MemoryStream[(Long, Long)]
+      val qs = ServingWarehouse.start(
+        docsIn.toDS().toDF("doc_id", "text"),
+        pairsIn.toDS().toDF("src", "dst"), t, buckets = 4)
+      val terms = Seq(("a", "b")).toDF("w1", "w2")
+      def readAll() = (
+        ServingWarehouse.bm25Read(spark, t, maxPostings = 10, k = 5)
+          .as[(Long, Long, Long, Double, Long)].collect().toSet,
+        ServingWarehouse.phraseRead(spark, t, terms, k = 5)
+          .as[(Long, Long, Long)].collect().toSet,
+        ServingWarehouse.nextItemRead(spark, t, k = 2)
+          .as[(Long, Long, Long, Long, Long)].collect().toSet)
+      // the same read BODIES over slices derived from the landed data
+      def expected(docs: Seq[(Long, String)], pairs: Seq[(Long, Long)]) = {
+        val idx = TextAnalysis.indexSlices(docs.toDF("doc_id", "text")
+          .withColumn("slice", lit(0L)), "doc_id", "text", "slice")
+        val merged = TextAnalysis.indexMergeSlices(idx)
+        val pidx = TextAnalysis.positionalSlices(
+          docs.toDF("doc_id", "text").withColumn("slice", lit(0L)),
+          "doc_id", "text", "slice")
+        val eg = Graph.edgeSlices(pairs.toDF("src", "dst")
+          .withColumn("slice", lit(0L)), "src", "dst", "slice")
+        (TextAnalysis.bm25Query(TextAnalysis.cappedIndex(merged, 10),
+            merged.agg(countDistinct($"doc_id").as("n_docs")), 5)
+          .as[(Long, Long, Long, Double, Long)].collect().toSet,
+         TextAnalysis.phraseQuery(
+            TextAnalysis.positionalMergeSlices(pidx), terms, 5)
+          .as[(Long, Long, Long)].collect().toSet,
+         Behavior.nextItemFromCounts(Graph.edgeMerge(eg),
+            "src", "dst", "w", 2)
+          .as[(Long, Long, Long, Long, Long)].collect().toSet)
+      }
+      docsIn.addData(docs1: _*)
+      pairsIn.addData(pairs1: _*)
+      qs.foreach(_.processAllAvailable())
+      val got1 = readAll()
+      assert(got1 === expected(docs1, pairs1))
+      assert(got1._1.nonEmpty && got1._2.nonEmpty && got1._3.nonEmpty)
+      // second micro-batch lands while the queries stay up: the reads
+      // now see both generations merged
+      docsIn.addData(docs2: _*)
+      pairsIn.addData(pairs2: _*)
+      qs.foreach(_.processAllAvailable())
+      val got2 = readAll()
+      assert(got2 === expected(docs1 ++ docs2, pairs1 ++ pairs2))
+      assert(got2 !== got1)   // the new generation actually moved results
+      qs.foreach(_.stop())
+    } finally {
+      for (tbl <- Seq(t.index, t.positional, t.edges))
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
   }
 
   test("streaming index ingest: append-only files per batch; merged read ≡ corpus rescan incl. a doc split across batches") {
