@@ -3787,6 +3787,33 @@ object SparkEntry {
           col("n_files").as("n_gens"), col("bytes").as("n_rows"),
           col("id_lo").as("gen_lo"), col("id_hi").as("gen_hi"))
     }),
+
+    // LITERAL user-query search — what a person types into a search
+    // box, not a corpus-derived statistic: "hash join window" parsed
+    // by searchTerms (whitespace tokens, first-occurrence ords),
+    // ranked by the k-term BM25 OR sum off the materialized capped
+    // index + norms store. The user story every other retrieval
+    // entry's deterministic term pick stands in for
+    "q262_search_literal" -> ((s, dir) =>
+      TextAnalysis.bm25QueryK(storedIndex(s, dir, maxPostings = 1000),
+        Stores.norms(s, dir)
+          .agg(countDistinct(col("doc_id")).as("n_docs")),
+        TextAnalysis.searchTerms(s, "hash join window"),
+        nTerms = 3, k = 20)),
+
+    // snippet/highlight extraction — the serving step AFTER ranking
+    // that every result page needs: for the q209 phrase top-10, the
+    // ±2-token window around each doc's FIRST phrase occurrence plus
+    // its 0-based anchor. Hits broadcast into ONE documents join
+    // (text touched only for the 10 result docs); anchor scan and
+    // window slice are in-row higher-order functions
+    "q263_phrase_snippets" -> ((s, dir) =>
+      TextAnalysis.phraseSnippets(
+        Tables.documents(s, dir),
+        TextAnalysis.phraseQuery(
+          storedPositional(s, dir, bigramTokens(s, dir)),
+          Stores.topBigram(s, dir), k = 10),
+        Stores.topBigram(s, dir), context = 2)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -6849,6 +6876,100 @@ object SparkEntry {
         |       sum(n_rows)::BIGINT AS n_rows,
         |       min(slice)::BIGINT AS gen_lo, max(slice)::BIGINT AS gen_hi
         |FROM binned GROUP BY 1, 2""".stripMargin,
+
+    // the literal query's three tokens replayed through the q260
+    // capped-index BM25 body — terms are literals, not a derivation
+    "q262_search_literal" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id, tf FROM (
+        |    SELECT token, doc_id, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |vocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |g AS (
+        |  SELECT 'hash' AS token, 0 AS ord
+        |  UNION ALL SELECT 'join', 1
+        |  UNION ALL SELECT 'window', 2),
+        |sc AS (
+        |  SELECT i.doc_id AS doc_id, g.ord AS ord,
+        |         (11 * i.tf * (2 * n_docs - 2 * v.df + 1))::DOUBLE
+        |         / ((5 * i.tf + 6) * (2 * v.df + 1))::DOUBLE AS s
+        |  FROM idx i JOIN g USING (token) JOIN vocab v USING (token), nd),
+        |p AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+        |         max(CASE WHEN ord = 0 THEN s END) AS s0,
+        |         max(CASE WHEN ord = 1 THEN s END) AS s1,
+        |         max(CASE WHEN ord = 2 THEN s END) AS s2
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_terms_hit, round(sk, 6) AS score, rk FROM (
+        |  SELECT doc_id, n_terms_hit,
+        |         coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0)
+        |           AS sk,
+        |         row_number() OVER (
+        |           ORDER BY coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |             + coalesce(s2, 0.0) DESC, doc_id ASC) AS rk
+        |  FROM p)
+        |WHERE rk <= 20""".stripMargin,
+
+    // the q209 phrase ranking (top 10) joined back to the corpus for
+    // the first-anchor scan and the clamped ±2-token window — 1-based
+    // list positions throughout, anchor emitted 0-based like Spark's
+    "q263_phrase_snippets" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pr AS (
+        |  SELECT g.w1 AS w1, g.w2 AS w2 FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |             i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS g
+        |    FROM w WHERE len(ws) >= 2)),
+        |bg AS (
+        |  SELECT w1, w2 FROM (
+        |    SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2)
+        |  ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1),
+        |pos AS (
+        |  SELECT doc_id, g.t AS token, g.p AS p FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(generate_series(1, len(ws)),
+        |             i -> {'t': ws[i], 'p': i})) AS g
+        |    FROM w)),
+        |a AS (
+        |  SELECT doc_id, list_sort(list(p)) AS pa
+        |  FROM pos, bg WHERE token = w1 GROUP BY doc_id),
+        |b AS (
+        |  SELECT doc_id, list_sort(list(p)) AS pb
+        |  FROM pos, bg WHERE token = w2 GROUP BY doc_id),
+        |m AS (
+        |  SELECT a.doc_id,
+        |         len(list_intersect(list_transform(pa, p -> p + 1),
+        |           pb))::BIGINT AS n_matches
+        |  FROM a JOIN b USING (doc_id)),
+        |top AS (
+        |  SELECT doc_id, n_matches, rk FROM (
+        |    SELECT doc_id, n_matches,
+        |           row_number() OVER (
+        |             ORDER BY n_matches DESC, doc_id ASC) AS rk
+        |    FROM m WHERE n_matches > 0)
+        |  WHERE rk <= 10),
+        |anch AS (
+        |  SELECT t.doc_id AS doc_id, t.rk AS rk,
+        |         t.n_matches AS n_matches, w.ws AS ws,
+        |         list_filter(generate_series(1, len(w.ws) - 1),
+        |           i -> w.ws[i] = bg.w1 AND w.ws[i + 1] = bg.w2)[1] AS a
+        |  FROM top t JOIN w USING (doc_id), bg)
+        |SELECT doc_id, rk, n_matches, (a - 1)::BIGINT AS first_pos,
+        |       array_to_string(
+        |         ws[greatest(1, a - 2):least(len(ws), a + 3)], ' ')
+        |         AS snippet
+        |FROM anch""".stripMargin,
 
     // AND-k over the capped index replayed: same capped postings as
     // q203, membership = distinct matched tokens == the trigram's

@@ -1543,6 +1543,26 @@ object TextAnalysis {
         round(col("_score"), 6).as("score"), col("rk"))
   }
 
+  /** Parse a user's query STRING into the (ord, token) frame the
+    * k-term reads ([[bm25QueryK]], [[andQueryK]], [[phraseQueryK]])
+    * consume: whitespace tokens, ord = first-occurrence position,
+    * duplicates dropped (a repeated word must not double its OR-sum
+    * contribution, and bm25QueryK's per-ord pivot admits one token
+    * per ord). The missing user story before this: every other term
+    * derivation in the engine is a corpus statistic (top bigram /
+    * trigram / highest-df pair) — this is what a person types into a
+    * search box. Parsing is driver-side (a query string is bytes, not
+    * data) and the returned frame is broadcast-sized by construction.
+    */
+  def searchTerms(s: org.apache.spark.sql.SparkSession,
+                  query: String): DataFrame = {
+    val toks = query.trim.split("\\s+").filter(_.nonEmpty).distinct
+    require(toks.nonEmpty, "searchTerms: empty query")
+    import s.implicits._
+    toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toSeq.toDF("ord", "token")
+  }
+
   /** Threshold-algorithm (Fagin TA) CERTIFIED pruned top-k — the
     * batch analog of WAND/MaxScore pruning: score only the union of
     * each query term's top-`m` impact postings instead of every doc
@@ -1939,5 +1959,45 @@ object TextAnalysis {
           .as("n_matches"))
       .filter(col("n_matches") > 0)
     topKRanked(m, k, col("n_matches").desc, col("doc_id").asc)
+  }
+
+  /** Snippet/highlight extraction for phrase hits — the serving step
+    * AFTER ranking that every search result page needs: for each hit
+    * doc, the text window of `context` tokens around the FIRST
+    * occurrence of the (w1, w2) phrase, plus that occurrence's
+    * 0-based anchor position. `hits` is [[phraseQuery]]'s output
+    * (doc_id, n_matches, rk — ≤ k rows, broadcast); `terms` the 1-row
+    * (w1, w2) statistic the hits were ranked under.
+    *
+    * Serving shape: the k-row hit frame broadcasts INTO one documents
+    * join (text touched only for the k result docs), the first-anchor
+    * scan and the window slice are in-row higher-order functions —
+    * per-doc work ∝ doc length, total work ∝ k docs, never corpus
+    * scale. n_matches > 0 guarantees the anchor exists; the window
+    * clamps at both document edges.
+    */
+  def phraseSnippets(docs: DataFrame, hits: DataFrame, terms: DataFrame,
+                     context: Int,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    require(context >= 0, "context must be >= 0")
+    val t = Checkpoints.pin(terms, checkpointDir, eager = false)
+    docs.select(col("doc_id"), col("text"))
+      .join(broadcast(hits.select(col("doc_id"), col("n_matches"),
+        col("rk"))), "doc_id")
+      .crossJoin(broadcast(t)) // 1 row by construction
+      .withColumn("_ws", split(col("text"), " "))
+      // first 1-based index i with ws[i] = w1 and ws[i+1] = w2 — the
+      // guaranteed-present anchor (n_matches counted the same pairs)
+      .withColumn("_a", expr(
+        "element_at(filter(sequence(1, size(_ws) - 1), " +
+          "i -> element_at(_ws, i) = w1 AND " +
+          "element_at(_ws, i + 1) = w2), 1)"))
+      .select(col("doc_id"), col("rk"), col("n_matches"),
+        (col("_a") - 1).cast("long").as("first_pos"),
+        array_join(slice(col("_ws"),
+          greatest(lit(1), col("_a") - context),
+          least(size(col("_ws")), col("_a") + context + 1) -
+            greatest(lit(1), col("_a") - context) + 1), " ")
+          .as("snippet"))
   }
 }

@@ -2464,4 +2464,46 @@ class MiningSpec extends AnyFunSuite {
       .as[(String, String, Long, Long, Long, Double)].collect().toSeq
     assert(gated === Seq(("new", "york", 2L, 3L, 2L, 1.666667)))
   }
+
+  test("searchTerms: whitespace tokens, first-occurrence ords, duplicates dropped; empty query raises") {
+    val t = TextAnalysis.searchTerms(spark, "  hash  join hash window ")
+      .as[(Long, String)].collect().toSet
+    assert(t === Set((0L, "hash"), (1L, "join"), (2L, "window")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.searchTerms(spark, "   ")
+    }
+    // and the parsed frame drives the k-term reads end-to-end: a
+    // literal two-word query scored by bm25QueryK over a toy index
+    val d = Seq((1L, "hash join hash"), (2L, "join scan"),
+      (3L, "scan scan scan")).toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(d, "doc_id", "text",
+      maxPostings = 10)
+    val hits = TextAnalysis.bm25QueryK(idx,
+        d.agg(countDistinct($"doc_id").as("n_docs")),
+        TextAnalysis.searchTerms(spark, "hash join"), nTerms = 2, k = 3)
+      .as[(Long, Long, Double, Long)].collect()
+    // doc 1 carries both terms and twice the rarer one -> rank 1
+    assert(hits.find(_._4 == 1L).get._1 === 1L)
+    assert(hits.find(_._1 == 1L).get._2 === 2L) // both terms hit
+  }
+
+  test("phraseSnippets: first-anchor window, clamped at both document edges, broadcast-k join") {
+    val d = Seq(
+      (1L, "x a b y z w a b"),       // anchor at word 2 (1-based), interior
+      (2L, "a b tail tail"),          // anchor at word 1 -> clamps left
+      (3L, "head head head a b"),     // anchor at word 4 -> clamps right
+      (9L, "no match here")).toDF("doc_id", "text")
+    val terms = Seq(("a", "b")).toDF("w1", "w2")
+    val hits = TextAnalysis.phraseQuery(
+      TextAnalysis.positionalPostings(d, "doc_id", "text"), terms, k = 10)
+    val got = TextAnalysis.phraseSnippets(d, hits, terms, context = 2)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got === Set(
+      // (doc_id, rk, n_matches, first_pos, snippet)
+      (1L, 1L, 2L, 1L, "x a b y z"),          // 2 matches ranks first
+      (2L, 2L, 1L, 0L, "a b tail tail"),      // left clamp: window starts at doc start
+      (3L, 3L, 1L, 3L, "head head a b")))      // right clamp: window ends at doc end
+    // doc 9 never joins: snippets exist only for ranked hits
+    assert(!got.exists(_._1 == 9L))
+  }
 }
