@@ -76,20 +76,40 @@ object Stores {
     * plays this role; a directory walk stands in for it here (the
     * test corpora are a handful of parquet files).
     */
+  /** The walk result is memoized per dir with a short TTL: key() sits
+    * on EVERY store accessor call (several per serving read), and an
+    * unmemoized walk would put per-read filesystem stats on the hot
+    * path the stores exist to keep off it. The TTL keeps the
+    * staleness contract: a regenerated dir is picked up within
+    * `FingerprintTtlMs`, not never.
+    */
+  private val FingerprintTtlMs = 5000L
+  private val fpMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+
   private def fingerprint(dir: String): String = {
+    val now = System.currentTimeMillis()
+    val cached = fpMemo.get(dir)
+    if (cached != null && now - cached._1 < FingerprintTtlMs)
+      return cached._2
     val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(p)) return "absent"
-    val walk = java.nio.file.Files.walk(p)
-    try {
-      var n = 0L; var bytes = 0L; var maxM = 0L
-      walk.filter(java.nio.file.Files.isRegularFile(_)).forEach { f =>
-        n += 1
-        bytes += java.nio.file.Files.size(f)
-        maxM = math.max(maxM,
-          java.nio.file.Files.getLastModifiedTime(f).toMillis)
+    val fp =
+      if (!java.nio.file.Files.isDirectory(p)) "absent"
+      else {
+        val walk = java.nio.file.Files.walk(p)
+        try {
+          var n = 0L; var bytes = 0L; var maxM = 0L
+          walk.filter(java.nio.file.Files.isRegularFile(_)).forEach { f =>
+            n += 1
+            bytes += java.nio.file.Files.size(f)
+            maxM = math.max(maxM,
+              java.nio.file.Files.getLastModifiedTime(f).toMillis)
+          }
+          s"$n:$bytes:$maxM"
+        } finally walk.close() // Files.walk holds directory handles open
       }
-      s"$n:$bytes:$maxM"
-    } finally walk.close() // Files.walk holds directory handles open
+    fpMemo.put(dir, (now, fp))
+    fp
   }
 
   private[graft] def key(dir: String): String = {
@@ -356,7 +376,7 @@ object Stores {
     serve(s, t) {
       Bucketing.writeBucketed(
         Pq.residualCodeRows(Tables.embeddings(s, dir), "vec_id",
-          "embedding", pqCoarse(s, dir), pqResidualCodebooks(s, dir),
+          "embedding", pqResidualCodebooks(s, dir), pqCoarse(s, dir),
           m = PqM, subDim = PqSubDim),
         t, Seq("centroid_id"), buckets = 8, sortCols = Seq("centroid_id"))
     }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.ops.{Behavior, Graph, TextAnalysis}
+import graft.ops.{Behavior, Checkpoints, Graph, TextAnalysis}
 
 /** The end-to-end "nightly ingest, all-day serving" topology as ONE
   * runnable job: a document stream and a transition-pair stream flow
@@ -30,29 +30,72 @@ object ServingWarehouse {
   /** The three live warehouse tables one serving deployment owns. */
   case class Tables(index: String, positional: String, edges: String)
 
-  /** Start the three concurrent ingest queries over a document stream
+  /** Idempotence guard shared by every per-batch ingest: foreachBatch
+    * is AT-LEAST-ONCE (a batch whose append commits but whose offset
+    * commit is lost replays on restart), and a replayed append would
+    * silently double every tf/weight the sum-merges serve (the
+    * positional merge would raise on the duplicate positions — a
+    * serving outage). The slice id (= batch id) already lives in
+    * every store row, so the guard is one filtered existence probe:
+    * a slice that landed is never appended twice. Spark's file commit
+    * protocol makes the append itself all-or-nothing at job commit,
+    * so "partially landed" slices cannot be observed.
+    */
+  private[graft] def ingestOnce(s: SparkSession, table: String, id: Long)
+                              (write: => Unit): Unit = {
+    s.catalog.refreshTable(table)
+    if (s.table(table).filter(col("slice") === id).isEmpty) write
+  }
+
+  /** One document micro-batch through BOTH text stores — visible (not
+    * an inline closure) so the idempotence pin can drive it directly.
+    */
+  private[graft] def ingestDocsBatch(batch: Dataset[Row], id: Long,
+                                    t: Tables, buckets: Int): Unit = {
+    val s = batch.sparkSession
+    ingestOnce(s, t.index, id) {
+      TextAnalysis.indexIngest(batch.withColumn("slice", lit(id)),
+        "doc_id", "text", "slice", t.index, buckets)
+    }
+    ingestOnce(s, t.positional, id) {
+      TextAnalysis.positionalIngest(batch.withColumn("slice", lit(id)),
+        "doc_id", "text", "slice", t.positional, buckets)
+    }
+  }
+
+  /** One transition-pair micro-batch into the edge warehouse. */
+  private[graft] def ingestPairsBatch(batch: Dataset[Row], id: Long,
+                                     t: Tables, buckets: Int): Unit =
+    ingestOnce(batch.sparkSession, t.edges, id) {
+      Graph.edgeIngest(batch.withColumn("slice", lit(id)),
+        "src", "dst", "slice", t.edges, buckets)
+    }
+
+  /** Start the two concurrent ingest queries over a document stream
     * (doc_id, text) and a transition-pair stream (src, dst). The
     * tables must already exist with matching bucket specs (the
     * bootstrap build — a nightly batch job or a first empty slice);
-    * appends only add bucket files, never rewrite history.
+    * appends only add bucket files, never rewrite history, and a
+    * replayed batch is skipped by the slice-id guard. Pass
+    * `checkpointDir` in production so restarts resume from committed
+    * offsets instead of replaying the source.
     */
   def start(docs: DataFrame, pairs: DataFrame, t: Tables,
-            buckets: Int = 8): Seq[StreamingQuery] = Seq(
-    docs.writeStream.queryName(s"ingest_${t.index}")
-      .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        TextAnalysis.indexIngest(batch.withColumn("slice", lit(id)),
-          "doc_id", "text", "slice", t.index, buckets)
-      }.start(),
-    docs.writeStream.queryName(s"ingest_${t.positional}")
-      .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        TextAnalysis.positionalIngest(batch.withColumn("slice", lit(id)),
-          "doc_id", "text", "slice", t.positional, buckets)
-      }.start(),
-    pairs.writeStream.queryName(s"ingest_${t.edges}")
-      .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        Graph.edgeIngest(batch.withColumn("slice", lit(id)),
-          "src", "dst", "slice", t.edges, buckets)
-      }.start())
+            buckets: Int = 8,
+            checkpointDir: Option[String] = None): Seq[StreamingQuery] = {
+    def ck(w: org.apache.spark.sql.streaming.DataStreamWriter[Row],
+           name: String) =
+      checkpointDir.fold(w)(d => w.option("checkpointLocation", s"$d/$name"))
+    Seq(
+      ck(docs.writeStream.queryName(s"ingest_docs_${t.index}"), "docs")
+        .foreachBatch { (batch: Dataset[Row], id: Long) =>
+          ingestDocsBatch(batch, id, t, buckets)
+        }.start(),
+      ck(pairs.writeStream.queryName(s"ingest_pairs_${t.edges}"), "pairs")
+        .foreachBatch { (batch: Dataset[Row], id: Long) =>
+          ingestPairsBatch(batch, id, t, buckets)
+        }.start())
+  }
 
   /** The catalog's relation cache is SESSION-local and the ingest
     * queries write from their own (micro-batch-cloned) sessions, so a
@@ -70,11 +113,16 @@ object ServingWarehouse {
 
   /** q206-shaped read over the LIVE index table: two-term BM25 off
     * the capped merged postings; the corpus scalar (n_docs) derives
-    * from the same merged frame, so the read is self-contained.
+    * from the same merged frame, so the read is self-contained. The
+    * merged frame feeds BOTH the capped postings and the n_docs
+    * aggregate — pinned, or the slice-merge would execute twice per
+    * read (the two-consumer rule).
     */
   def bm25Read(s: SparkSession, t: Tables, maxPostings: Int,
                k: Int): DataFrame = {
-    val merged = TextAnalysis.indexMergeSlices(liveTable(s, t.index))
+    val merged = Checkpoints.pin(
+      TextAnalysis.indexMergeSlices(liveTable(s, t.index)),
+      None, eager = false)
     TextAnalysis.bm25Query(
       TextAnalysis.cappedIndex(merged, maxPostings),
       merged.agg(countDistinct(col("doc_id")).as("n_docs")), k)

@@ -48,6 +48,24 @@ object Bucketing {
     w.saveAsTable(table)
   }
 
+  /** The APPEND form of [[writeBucketed]] — the one write recipe every
+    * incremental store ingest shares (index, positional, edge, PQ
+    * code slices): append new rows as bucket files against the
+    * table's EXISTING spec. Spark validates bucket count and sort
+    * columns against the catalog entry, so a mismatched layout fails
+    * loudly instead of corrupting the store. Centralized so a future
+    * spec change edits one place, not one per store family.
+    */
+  def appendBucketed(df: DataFrame, table: String, keyCols: Seq[String],
+                     buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(buckets > 0, "buckets must be positive")
+    var w = df.write.mode("append").format("parquet")
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+
   /** Morton (Z-order) value of two non-negative integer columns: the
     * low `bits` bits of `x` and `y` interleaved (x even positions, y
     * odd). Points close in (x, y) get close z-values, so RANGE

@@ -256,10 +256,8 @@ object Graph {
     */
   def edgeIngest(pairs: DataFrame, srcCol: String, dstCol: String,
                  sliceCol: String, table: String, buckets: Int): Unit =
-    edgeSlices(pairs, srcCol, dstCol, sliceCol)
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "src").sortBy("src")
-      .saveAsTable(table)
+    Bucketing.appendBucketed(edgeSlices(pairs, srcCol, dstCol, sliceCol),
+      table, Seq("src"), buckets, sortCols = Seq("src"))
 
   /** Retraction slices — the DELETE path of the edge warehouse (the
     * LSM posture: deletes append, history files stay untouched): the

@@ -194,7 +194,7 @@ object Pq {
                   k: Int, nprobe: Int, m: Int, subDim: Int,
                   checkpointDir: Option[String] = None): DataFrame =
     ivfPqSearchCoded(
-      residualCodeRows(emb, idCol, vecCol, coarse, cbs, m, subDim,
+      residualCodeRows(emb, idCol, vecCol, cbs, coarse, m, subDim,
         checkpointDir),
       emb, idCol, vecCol, coarse, cbs, queryIds, k, nprobe, m, subDim)
 
@@ -268,7 +268,7 @@ object Pq {
     * argmin + zip_with would execute twice in one plan.
     */
   def residualCodeRows(emb: DataFrame, idCol: String, vecCol: String,
-                       coarse: DataFrame, cbs: DataFrame,
+                       cbs: DataFrame, coarse: DataFrame,
                        m: Int, subDim: Int,
                        checkpointDir: Option[String] = None): DataFrame = {
     graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
@@ -295,11 +295,10 @@ object Pq {
                residual: Boolean = false): Unit = {
     val rows =
       if (residual)
-        residualCodeRows(newVecs, idCol, vecCol, coarse, cbs, m, subDim)
+        residualCodeRows(newVecs, idCol, vecCol, cbs, coarse, m, subDim)
       else codeRows(newVecs, idCol, vecCol, cbs, coarse, m, subDim)
-    rows.write.mode("append").format("parquet")
-      .bucketBy(buckets, "centroid_id").sortBy("centroid_id")
-      .saveAsTable(table)
+    Bucketing.appendBucketed(rows, table, Seq("centroid_id"), buckets,
+      sortCols = Seq("centroid_id"))
   }
 
   /** ADC top-k: score every encoded vector (or only `candidates` —

@@ -1292,10 +1292,8 @@ object TextAnalysis {
     */
   def indexIngest(docs: DataFrame, idCol: String, textCol: String,
                   sliceCol: String, table: String, buckets: Int): Unit =
-    indexSlices(docs, idCol, textCol, sliceCol)
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "token").sortBy("token")
-      .saveAsTable(table)
+    Bucketing.appendBucketed(indexSlices(docs, idCol, textCol, sliceCol),
+      table, Seq("token"), buckets, sortCols = Seq("token"))
 
   /** Compact a set of store slices into ONE replacement slice: the
     * tf-sum fold re-tagged with a fresh slice id, ready to stand in
@@ -1828,10 +1826,9 @@ object TextAnalysis {
   def positionalIngest(docs: DataFrame, idCol: String, textCol: String,
                        sliceCol: String, table: String, buckets: Int,
                        offsetCol: Option[String] = None): Unit =
-    positionalSlices(docs, idCol, textCol, sliceCol, offsetCol)
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "token").sortBy("token")
-      .saveAsTable(table)
+    Bucketing.appendBucketed(
+      positionalSlices(docs, idCol, textCol, sliceCol, offsetCol),
+      table, Seq("token"), buckets, sortCols = Seq("token"))
 
   /** Compact positional store slices into ONE replacement slice —
     * [[indexCompact]] for the positional index: the merged rows

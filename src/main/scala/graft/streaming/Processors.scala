@@ -148,106 +148,91 @@ object OrderTimeoutProcessor {
 case class ReconcileResult(key: Long, tag: String,
                            leftId: Option[Long], rightId: Option[Long])
 
-private[streaming] case class ReconcileState(
-    leftMs: Long, leftId: Long, hasLeft: Boolean,
-    rightMs: Long, rightId: Long, hasRight: Boolean)
+/** At most ONE event is ever in flight per key — every arrival either
+  * resolves the held event (matched or freed as unmatched) or
+  * replaces it — so the state is a single slot, making the
+  * one-in-flight invariant structural rather than implicit (the r18
+  * review's simplification of the original two-sided record).
+  */
+private[streaming] case class ReconcileHeld(isLeft: Boolean, ms: Long,
+                                            id: Long)
 
 /** C6 on the arbitrary-state v2 API — the transformWithState port of
   * two-stream reconciliation, and the closest Spark analog of the
   * reference's connected-streams CoProcessFunction with one ValueState
   * per side + unmatched-side timers (TxMatchDetect.scala:88-138):
-  * each arrival checks the OTHER side's state; a pair within
+  * each arrival checks the held event; an opposite-side pair within
   * `toleranceMs` emits "matched", a pair outside it frees the older
-  * side as unmatched (its window can no longer cover the newer event)
-  * and keeps the newer one waiting, and an event-time timer at
-  * ts + tolerance emits "unmatched_left"/"unmatched_right" once the
-  * watermark proves the other side can't arrive in the window —
-  * exactly the tag vocabulary of [[StatefulOps.reconcileStreams]]
-  * (the stream-join form; StreamingSpec pins the two equal on the
-  * same events).
+  * held event as unmatched (its window can no longer cover the newer
+  * arrival — batch rows fold in ts order) and holds the newer one,
+  * and an event-time timer at ts + tolerance emits
+  * "unmatched_left"/"unmatched_right" once the watermark proves the
+  * other side can't arrive in the window — exactly the tag vocabulary
+  * of [[StatefulOps.reconcileStreams]] (the stream-join form;
+  * StreamingSpec pins the two equal on the same events).
   *
-  * One in-flight event per side per key (the tx-id contract): a
-  * second same-side arrival frees the held one as unmatched and takes
-  * its place — the reference's ValueState overwrite made observable
+  * One in-flight event per key (the tx-id contract): a second
+  * same-side arrival frees the held one as unmatched and takes its
+  * place — the reference's ValueState overwrite made observable
   * instead of silent. Requires a watermark and the RocksDB store.
   */
 class ReconcileProcessor(toleranceMs: Long)
     extends StatefulProcessor[Long, AsofEvent, ReconcileResult] {
 
-  @transient private var state: ValueState[ReconcileState] = _
+  @transient private var state: ValueState[ReconcileHeld] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    state = getHandle.getValueState[ReconcileState]("pending",
-      Encoders.product[ReconcileState], TTLConfig.NONE)
+    state = getHandle.getValueState[ReconcileHeld]("pending",
+      Encoders.product[ReconcileHeld], TTLConfig.NONE)
 
-  private val empty = ReconcileState(0L, 0L, false, 0L, 0L, false)
-
-  private def unmatched(key: Long, s: ReconcileState,
-                        left: Boolean): ReconcileResult =
-    if (left) ReconcileResult(key, "unmatched_left", Some(s.leftId), None)
-    else ReconcileResult(key, "unmatched_right", None, Some(s.rightId))
+  private def unmatched(key: Long, h: ReconcileHeld): ReconcileResult =
+    if (h.isLeft)
+      ReconcileResult(key, "unmatched_left", Some(h.id), None)
+    else ReconcileResult(key, "unmatched_right", None, Some(h.id))
 
   override def handleInputRows(key: Long, rows: Iterator[AsofEvent],
                                timerValues: TimerValues): Iterator[ReconcileResult] = {
     val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.id))
     val out = Seq.newBuilder[ReconcileResult]
-    var s = Option(state.get()).getOrElse(empty)
+    var held = Option(state.get())
     sorted.foreach { e =>
       val ms = e.ts.getTime
-      val (otherMs, otherHeld) =
-        if (e.isLeft) (s.rightMs, s.hasRight) else (s.leftMs, s.hasLeft)
-      if (otherHeld && Math.abs(ms - otherMs) <= toleranceMs) {
-        // pair within tolerance — matched, both sides resolved
-        out += (if (e.isLeft)
-          ReconcileResult(key, "matched", Some(e.id), Some(s.rightId))
-        else ReconcileResult(key, "matched", Some(s.leftId), Some(e.id)))
-        s = empty
-      } else {
-        if (otherHeld) {
-          // out-of-tolerance pair: the held (older — batch rows fold
-          // in ts order) event's window cannot cover this arrival;
-          // free it as unmatched, keep waiting on the new one
-          out += unmatched(key, s, left = !e.isLeft)
-          s = empty
-        } else if (e.isLeft && s.hasLeft) {
-          out += unmatched(key, s, left = true)      // same-side displace
-        } else if (!e.isLeft && s.hasRight) {
-          out += unmatched(key, s, left = false)
-        }
-        s = if (e.isLeft) s.copy(leftMs = ms, leftId = e.id, hasLeft = true,
-          rightMs = 0L, rightId = 0L, hasRight = false)
-        else ReconcileState(0L, 0L, false, ms, e.id, true)
-        getHandle.registerTimer(Math.max(ms + toleranceMs,
-          timerValues.getCurrentWatermarkInMs + 1))
+      held match {
+        case Some(h) if h.isLeft != e.isLeft &&
+            Math.abs(ms - h.ms) <= toleranceMs =>
+          // opposite-side pair within tolerance — matched, resolved
+          out += (if (e.isLeft)
+            ReconcileResult(key, "matched", Some(e.id), Some(h.id))
+          else ReconcileResult(key, "matched", Some(h.id), Some(e.id)))
+          held = None
+        case other =>
+          // out-of-tolerance cross pair, same-side displacement, or
+          // empty slot: free whatever was held, hold the arrival
+          other.foreach(h => out += unmatched(key, h))
+          held = Some(ReconcileHeld(e.isLeft, ms, e.id))
+          getHandle.registerTimer(Math.max(ms + toleranceMs,
+            timerValues.getCurrentWatermarkInMs + 1))
       }
     }
-    if (s.hasLeft || s.hasRight) state.update(s) else state.clear()
+    held match {
+      case Some(h) => state.update(h)
+      case None => state.clear()
+    }
     out.result().iterator
   }
 
-  /** Watermark passed a held event's window end: the other side can no
-    * longer arrive within tolerance — emit the unmatched verdict.
-    * Timers for already-resolved events see cleared/newer state and
-    * no-op (the ConsecutiveFailsProcessor convention).
+  /** Watermark passed the held event's window end: the other side can
+    * no longer arrive within tolerance — emit the unmatched verdict.
+    * Timers for already-resolved or displaced events see cleared or
+    * newer state and no-op (the ConsecutiveFailsProcessor convention).
     */
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
                                   expiredTimerInfo: ExpiredTimerInfo): Iterator[ReconcileResult] = {
-    val s = state.get()
-    if (s == null) Iterator.empty
-    else {
-      val out = Seq.newBuilder[ReconcileResult]
-      var next = s
-      if (s.hasLeft && s.leftMs + toleranceMs <= expiredTimerInfo.getExpiryTimeInMs) {
-        out += unmatched(key, s, left = true)
-        next = next.copy(leftMs = 0L, leftId = 0L, hasLeft = false)
-      }
-      if (s.hasRight && s.rightMs + toleranceMs <= expiredTimerInfo.getExpiryTimeInMs) {
-        out += unmatched(key, s, left = false)
-        next = next.copy(rightMs = 0L, rightId = 0L, hasRight = false)
-      }
-      if (next.hasLeft || next.hasRight) state.update(next) else state.clear()
-      out.result().iterator
-    }
+    val h = state.get()
+    if (h != null && h.ms + toleranceMs <= expiredTimerInfo.getExpiryTimeInMs) {
+      state.clear()
+      Iterator.single(unmatched(key, h))
+    } else Iterator.empty
   }
 }
 

@@ -61,8 +61,8 @@ class PqStoreSpec extends AnyFunSuite {
       Pq.residuals(emb, "vec_id", "embedding", coarse), "vec_id", "rvec",
       m = m, subDim = subDim, initIds = Seq(8L, 9L, 10L, 11L), iters = 1,
       orderedMeans = true)
-    val rcodes = Pq.residualCodeRows(emb, "vec_id", "embedding", coarse,
-      rcbs, m, subDim)
+    val rcodes = Pq.residualCodeRows(emb, "vec_id", "embedding", rcbs,
+      coarse, m, subDim)
     val ivfpq = asSet(Pq.ivfPqSearchCoded(rcodes, emb, "vec_id",
       "embedding", coarse, rcbs, qids, k = 5, nprobe = 2, m, subDim))
     assert(ivfpq === asSet(Pq.ivfPqSearch(emb, "vec_id", "embedding",

@@ -1186,6 +1186,15 @@ class StreamingSpec extends AnyFunSuite {
       assert(got2 === expected(docs1 ++ docs2, pairs1 ++ pairs2))
       assert(got2 !== got1)   // the new generation actually moved results
       qs.foreach(_.stop())
+      // foreachBatch is at-least-once: a REPLAYED batch (same id) must
+      // be skipped by the slice-id guard, not double-appended — a
+      // doubled slice would double every tf the sum-merge serves and
+      // make the positional merge raise on duplicate positions
+      graft.jobs.ServingWarehouse.ingestDocsBatch(
+        docs2.toDF("doc_id", "text"), id = 1L, t, buckets = 4)
+      graft.jobs.ServingWarehouse.ingestPairsBatch(
+        pairs2.toDF("src", "dst"), id = 1L, t, buckets = 4)
+      assert(readAll() === got2)
     } finally {
       for (tbl <- Seq(t.index, t.positional, t.edges))
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
