@@ -3814,6 +3814,21 @@ object SparkEntry {
           storedPositional(s, dir, bigramTokens(s, dir)),
           Stores.topBigram(s, dir), k = 10),
         Stores.topBigram(s, dir), context = 2)),
+
+    // prefix autocomplete — the search-box suggestion read: terms
+    // starting with the literal "s", ranked by df, served from the
+    // WRITTEN term dictionary (token-sorted, so the pushed StartsWith
+    // prunes row groups). Dictionary-scale work: no postings, no
+    // corpus, regardless of corpus size
+    "q264_prefix_search" -> ((s, dir) =>
+      TextAnalysis.prefixSearch(Stores.vocab(s, dir), "s", k = 10)),
+
+    // fuzzy term lookup ("did you mean") for the literal misspelling
+    // "sow": the SymSpell deletion-neighborhood store turns the query
+    // into |q|+1 pushed variant probes; levenshtein verifies the
+    // CANDIDATES only — never an edit-distance scan of the vocabulary
+    "q265_fuzzy_term" -> ((s, dir) =>
+      TextAnalysis.fuzzyTerms(Stores.deletions(s, dir), "sow", k = 10)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -9598,6 +9613,43 @@ object SparkEntry {
         |GROUP BY item
         |ORDER BY weight DESC, item ASC
         |LIMIT 20""".stripMargin,
+
+    // the term dictionary recomputed from the corpus (df = distinct
+    // docs per token), prefix-filtered, df-ranked — green proves the
+    // WRITTEN dictionary serves exactly what a corpus scan derives
+    "q264_prefix_search" ->
+      """WITH post AS (
+        |  SELECT token, doc_id FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT token, count(*)::BIGINT AS df FROM post GROUP BY 1)
+        |SELECT token, df, rk::BIGINT AS rk FROM (
+        |  SELECT token, df,
+        |         row_number() OVER (ORDER BY df DESC, token ASC) AS rk
+        |  FROM vocab WHERE starts_with(token, 's'))
+        |WHERE rk <= 10""".stripMargin,
+
+    // brute-force levenshtein over the recomputed dictionary — the
+    // oracle pays the O(V) scan the deletion-neighborhood store
+    // exists to avoid; green proves the filter-verify candidate path
+    // returns exactly the distance-<=1 set
+    "q265_fuzzy_term" ->
+      """WITH post AS (
+        |  SELECT token, doc_id FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT token, count(*)::BIGINT AS df FROM post GROUP BY 1)
+        |SELECT token, df, lev, rk::BIGINT AS rk FROM (
+        |  SELECT token, df, levenshtein(token, 'sow')::BIGINT AS lev,
+        |         row_number() OVER (
+        |           ORDER BY levenshtein(token, 'sow') ASC, df DESC,
+        |             token ASC) AS rk
+        |  FROM vocab WHERE levenshtein(token, 'sow') <= 1)
+        |WHERE rk <= 10""".stripMargin,
 
   )
 }

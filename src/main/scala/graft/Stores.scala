@@ -282,6 +282,40 @@ object Stores {
     }
   }
 
+  /** The term DICTIONARY store — (token, df, cf), the vocabulary-scale
+    * artifact beside the index (Lucene's term dictionary): built once
+    * from the same posting slices the index serves (so df/cf cannot
+    * drift from the retrieval reads) and written SORTED by token, so
+    * prefix reads prune parquet row groups by min/max token stats.
+    * Dictionary reads (q264's autocomplete) never touch postings.
+    */
+  def vocab(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_vocab_${key(dir)}"
+    serve(s, t) {
+      TextAnalysis.termDictionary(
+          TextAnalysis.indexMergeSlices(index(s, dir)))
+        .sort("token")
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+  }
+
+  /** The deletion-neighborhood store over [[vocab]] — the SymSpell
+    * serving artifact: (variant, token, df) bucketed by variant, so a
+    * fuzzy lookup (q265) probes |query|+1 variant keys with a pushed
+    * In filter instead of running levenshtein against the whole
+    * vocabulary. Built once at ingest, work ∝ vocabulary × term
+    * length — the classic "spend ingest space to keep an O(V)
+    * function scan off the query path" trade.
+    */
+  def deletions(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_delneigh_${key(dir)}"
+    serve(s, t) {
+      Bucketing.writeBucketed(
+        TextAnalysis.deletionNeighborhood(vocab(s, dir)),
+        t, Seq("variant"), buckets = 16, sortCols = Seq("variant"))
+    }
+  }
+
   /** The transition-EDGE warehouse over `events`: src-bucketed
     * (slice, src, dst, w) slices from [[Graph.edgeSlices]] over the
     * shared [[SparkEntry.transitionPairs]] pair log. The per-user

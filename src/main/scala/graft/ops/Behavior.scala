@@ -656,8 +656,13 @@ object Behavior {
     *
     * Shape: one user-partitioned Window (two leads — per-user
     * sequences are bounded, the sessionSequences posture), one hash
-    * aggregate to path counts (path-cardinality scale), one top-k
-    * rank on that dimension frame.
+    * aggregate to path counts (path-cardinality scale), then the
+    * top-k as `orderBy().limit(k)` → TakeOrderedAndProject with the
+    * rank Window on the ≤ k survivors only — the path dimension is
+    * item³-cardinality, so a global rank Window here would funnel
+    * every distinct triple through one task (never a single-task
+    * global Window over an item dimension). The sort carries a full
+    * tie-break, so rk is identical to the global form's.
     */
   def journeyPaths(events: DataFrame, userCol: String, itemCol: String,
                    tsCol: String, tieCol: String, k: Int): DataFrame = {
@@ -672,10 +677,11 @@ object Behavior {
       .filter(col("step2").isNotNull && col("step3").isNotNull)
     val cnt = tri.groupBy(col("step1"), col("step2"), col("step3"))
       .agg(count(lit(1)).as("n_paths"))
-    val rw = Window.orderBy(col("n_paths").desc, col("step1").asc,
+    val sort = Seq(col("n_paths").desc, col("step1").asc,
       col("step2").asc, col("step3").asc)
-    cnt.withColumn("rk", row_number().over(rw).cast("long"))
-      .filter(col("rk") <= k)
+    cnt.orderBy(sort: _*).limit(k)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(sort: _*)).cast("long"))
   }
 
   /** RFM customer segmentation — the classic recency / frequency /

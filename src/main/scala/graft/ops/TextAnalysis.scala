@@ -1200,6 +1200,91 @@ object TextAnalysis {
         col("df"), col("cf"))
   }
 
+  /** The term DICTIONARY over a posting frame — one (token, df, cf)
+    * row per vocabulary term, the artifact every engine keeps BESIDE
+    * its postings (Lucene's term dictionary / FST): vocabulary-scale,
+    * so dictionary reads (prefix autocomplete, fuzzy lookup, df
+    * stats) never touch posting rows, let alone the corpus. Derived
+    * from the same posting frame the index serves, so df/cf cannot
+    * drift from what [[cappedIndex]] reports.
+    */
+  def termDictionary(postings: DataFrame): DataFrame =
+    postings.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+
+  /** Prefix autocomplete — the search-box suggestion read: dictionary
+    * terms starting with the literal `prefix`, ranked by df (ties by
+    * token). Serving shape: a pushed `StartsWith` predicate on the
+    * WRITTEN dictionary (sorted by token, so parquet min/max stats
+    * prune row groups outside the prefix range) and a
+    * TakeOrderedAndProject top-k — work ∝ the prefix's dictionary
+    * range, never the corpus, never the postings.
+    */
+  def prefixSearch(vocab: DataFrame, prefix: String, k: Int): DataFrame = {
+    require(prefix.nonEmpty, "prefix must be non-empty")
+    require(k >= 1, "k must be >= 1")
+    topKRanked(
+      vocab.filter(col("token").startsWith(prefix))
+        .select(col("token"), col("df")),
+      k, col("df").desc, col("token").asc)
+  }
+
+  /** Single-character deletion neighborhood of a literal term — the
+    * term itself plus every drop-one-char variant (distinct). Two
+    * strings within Levenshtein distance 1 ALWAYS share a member of
+    * each other's neighborhood (equal → the strings themselves;
+    * insert/delete → the shorter string is a variant of the longer;
+    * substitute → both delete the differing position), so matching
+    * neighborhoods is a complete distance-1 candidate filter. It is
+    * not exact — e.g. "ab"/"ba" share variants at distance 2 — hence
+    * the verify step in [[fuzzyTerms]]. Driver-side by design: the
+    * query term is a literal, |variants| = |term| + 1.
+    */
+  private[graft] def deletionVariants(term: String): Seq[String] =
+    (term +: term.indices.map(i =>
+      term.substring(0, i) + term.substring(i + 1))).distinct
+
+  /** The deletion-neighborhood TABLE over the dictionary — the
+    * SymSpell layout: one (variant, token, df) row per dictionary
+    * term per neighborhood member, built ONCE at ingest (work ∝
+    * vocabulary × avg term length) and bucketed by `variant`, so a
+    * fuzzy lookup probes |query|+1 variant keys instead of running an
+    * edit-distance function against every vocabulary term — the O(V)
+    * scan per query that makes naive fuzzy matching unusable at a
+    * 100 TB corpus's multi-million-term vocabulary.
+    */
+  def deletionNeighborhood(vocab: DataFrame): DataFrame =
+    vocab.select(col("token"), col("df"),
+        explode(expr(
+          """array_distinct(array_union(
+            |  array(token),
+            |  transform(sequence(1, length(token)),
+            |    i -> concat(substring(token, 1, i - 1),
+            |                substring(token, i + 1, length(token))))))"""
+            .stripMargin)).as("variant"))
+      .select(col("variant"), col("token"), col("df"))
+
+  /** Fuzzy term lookup — "did you mean": dictionary terms within
+    * Levenshtein distance 1 of the literal `term`, ranked exact-first
+    * (lev asc), then df desc, then token. Filter-verify shape: the
+    * deletion-neighborhood join yields a complete distance-≤1
+    * candidate set (see [[deletionVariants]]) with a handful of
+    * distance-2 false positives, and the levenshtein verify runs on
+    * those CANDIDATES only — never against the full vocabulary.
+    */
+  def fuzzyTerms(deletions: DataFrame, term: String, k: Int): DataFrame = {
+    require(term.nonEmpty, "term must be non-empty")
+    require(k >= 1, "k must be >= 1")
+    val vars = deletionVariants(term)
+    val cand = deletions.filter(col("variant").isin(vars: _*))
+      .select(col("token"), col("df")).distinct()
+    topKRanked(
+      cand.withColumn("lev",
+          levenshtein(col("token"), lit(term)).cast("long"))
+        .filter(col("lev") <= 1),
+      k, col("lev").asc, col("df").desc, col("token").asc)
+  }
+
   /** Per-slice posting aggregates for the inverted-index WAREHOUSE —
     * the store family's contract (kmv/cms/hll/hist/bloom siblings in
     * [[SketchStore]]) applied to the exact postings artifact: each

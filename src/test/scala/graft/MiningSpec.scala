@@ -2506,4 +2506,67 @@ class MiningSpec extends AnyFunSuite {
     // doc 9 never joins: snippets exist only for ranked hits
     assert(!got.exists(_._1 == 9L))
   }
+
+  test("termDictionary + prefixSearch: df/cf hand-traced; prefix filter; df-desc rank with token tie-break") {
+    val df = docs((1, "sun sun sand", "s"), (2, "sun sea", "s"),
+      (3, "sand salt sea", "s"), (4, "moon", "s"))
+    val dict = TextAnalysis.termDictionary(
+      TextAnalysis.tokenPostings(df, "doc_id", "text"))
+    val m = dict.collect()
+      .map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("df"), r.getAs[Long]("cf"))).toMap
+    // sun: docs 1,2 — df 2; cf 2+1 = 3 (tf sums, not doc counts)
+    assert(m("sun") === (2L, 3L))
+    assert(m("sand") === (2L, 2L) && m("sea") === (2L, 2L))
+    assert(m("salt") === (1L, 1L) && m("moon") === (1L, 1L))
+    val got = TextAnalysis.prefixSearch(dict, "s", k = 3).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("df"),
+        r.getAs[Long]("rk"))).sortBy(_._3)
+    // all df=2 terms tie → token asc breaks; salt (df 1) misses k=3 cut
+    assert(got.toSeq === Seq(("sand", 2L, 1L), ("sea", 2L, 2L),
+      ("sun", 2L, 3L)))
+    // moon never matches the prefix even with room in k
+    assert(TextAnalysis.prefixSearch(dict, "s", k = 10).count() === 4L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.prefixSearch(dict, "", k = 1)
+    }
+  }
+
+  test("fuzzyTerms: deletion-neighborhood candidates ≡ brute-force levenshtein<=1; distance-2 variant-collisions verified away") {
+    // one doc per term: df = 1 for all, so ranking is (lev, token)
+    val terms = Seq("ab", "ba", "abc", "abd", "xbc", "zzz", "a")
+    val df = terms.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "s") }
+      .toDF("doc_id", "text", "source")
+    val dict = TextAnalysis.termDictionary(
+      TextAnalysis.tokenPostings(df, "doc_id", "text"))
+    val neigh = TextAnalysis.deletionNeighborhood(dict)
+    // completeness: every lev<=1 pair of the vocabulary shares a
+    // variant (exact / insert / delete / substitute all covered)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (q <- terms ++ Seq("abx", "b", "aab", "abcd")) {
+      val want = terms.filter(t => lev(t, q) <= 1).sorted
+      val got = TextAnalysis.fuzzyTerms(neigh, q, k = 100).collect()
+        .map(_.getAs[String]("token")).sorted.toSeq
+      assert(got === want, s"query '$q'")
+    }
+    // the distance-2 collision pair: "ab"/"ba" share variants "a","b"
+    // — candidates, but the levenshtein verify drops them
+    val forAb = TextAnalysis.fuzzyTerms(neigh, "ab", k = 100).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("lev"),
+        r.getAs[Long]("rk"))).sortBy(_._3).toSeq
+    assert(forAb === Seq(("ab", 0L, 1L), ("a", 1L, 2L),
+      ("abc", 1L, 3L), ("abd", 1L, 4L)))
+    assert(!forAb.exists(_._1 == "ba"), "distance-2 collision survived")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.fuzzyTerms(neigh, "", k = 1)
+    }
+  }
 }

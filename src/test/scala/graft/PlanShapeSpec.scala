@@ -672,4 +672,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"q231 should be join-free (union-window):\n$p")
   }
+
+  test("q264/q265: dictionary reads — pushed prefix/variant filters on the WRITTEN stores, no corpus scan, no O(V) levenshtein") {
+    // autocomplete: the StartsWith predicate reaches the dictionary
+    // scan (token-sorted parquet → row-group pruning) and the top-k
+    // is a sort-limit
+    val p = plan("q264_prefix_search")
+    assert(p.contains("graft_vocab_"), s"q264 not store-backed:\n$p")
+    assert(p.contains("StringStartsWith(token,s)"),
+      s"q264 prefix not pushed to the dictionary scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q264 lost the sort-limit:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"q264 rescans the corpus for a dictionary read:\n$p")
+    // fuzzy lookup: the |q|+1 variant probes are a pushed In filter
+    // on the bucketed neighborhood store; levenshtein appears only
+    // ABOVE that filter (the candidate verify), and the dictionary /
+    // corpus are never scanned
+    val f = plan("q265_fuzzy_term")
+    assert(f.contains("graft_delneigh_"), s"q265 not store-backed:\n$f")
+    assert(f.contains("In(variant"),
+      s"q265 variant probes not pushed to the neighborhood scan:\n$f")
+    assert(f.contains("TakeOrderedAndProject"),
+      s"q265 lost the sort-limit:\n$f")
+    assert(!f.contains("documents.parquet") && !f.contains("graft_vocab_"),
+      s"q265 reads outside the neighborhood store:\n$f")
+  }
 }
