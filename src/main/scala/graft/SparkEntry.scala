@@ -3829,6 +3829,28 @@ object SparkEntry {
     // CANDIDATES only — never an edit-distance scan of the vocabulary
     "q265_fuzzy_term" -> ((s, dir) =>
       TextAnalysis.fuzzyTerms(Stores.deletions(s, dir), "sow", k = 10)),
+
+    // batched infix (wildcard *q*) search over the char-trigram index
+    // store: seven literal infixes in ONE read — gram-AND candidates,
+    // contains-verify on candidates only, per-query df rank. "uery"
+    // exercises the multi-gram AND; "zzz" proves zero-match queries
+    // emit nothing
+    "q266_infix_search" -> ((s, dir) =>
+      TextAnalysis.infixSearch(Stores.trigrams(s, dir),
+        Seq("oin", "ort", "rea", "ble", "alu", "uery", "zzz"), k = 5)),
+
+    // the full "did you mean" serving path: the misspelling "sow" is
+    // corrected to the top fuzzy suggestion off the deletion-
+    // neighborhood store, and the corrected term runs the capped-index
+    // BM25 read — three written stores composed (delneigh → cidx +
+    // norms), the corpus touched by none of them
+    "q267_corrected_search" -> ((s, dir) =>
+      TextAnalysis.bm25QueryK(storedIndex(s, dir, maxPostings = 1000),
+        Stores.norms(s, dir)
+          .agg(countDistinct(col("doc_id")).as("n_docs")),
+        TextAnalysis.fuzzyTerms(Stores.deletions(s, dir), "sow", k = 1)
+          .select(lit(0).as("ord"), col("token")),
+        nTerms = 1, k = 20)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -9650,6 +9672,71 @@ object SparkEntry {
         |             token ASC) AS rk
         |  FROM vocab WHERE levenshtein(token, 'sow') <= 1)
         |WHERE rk <= 10""".stripMargin,
+
+    // brute-force contains over the recomputed dictionary — the O(V)
+    // scan the trigram index exists to avoid; green proves gram-AND +
+    // verify returns exactly the infix-match set per query
+    "q266_infix_search" ->
+      """WITH post AS (
+        |  SELECT token, doc_id FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT token, count(*)::BIGINT AS df FROM post GROUP BY 1),
+        |qs AS (
+        |  SELECT unnest(['oin', 'ort', 'rea', 'ble', 'alu', 'uery',
+        |                 'zzz']) AS q)
+        |SELECT q, token, df, rk::BIGINT AS rk FROM (
+        |  SELECT q, token, df,
+        |         row_number() OVER (PARTITION BY q
+        |                            ORDER BY df DESC, token ASC) AS rk
+        |  FROM qs JOIN vocab ON contains(token, q))
+        |WHERE rk <= 5""".stripMargin,
+
+    // the correction replayed brute-force (levenshtein argmin over the
+    // dictionary), then the q262 single-term BM25 body with the
+    // corrected token
+    "q267_corrected_search" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id, tf FROM (
+        |    SELECT token, doc_id, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |vocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |corr AS (
+        |  SELECT token FROM (
+        |    SELECT token,
+        |           row_number() OVER (
+        |             ORDER BY levenshtein(token, 'sow') ASC, df DESC,
+        |               token ASC) AS crk
+        |    FROM vocab WHERE levenshtein(token, 'sow') <= 1)
+        |  WHERE crk = 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT i.doc_id AS doc_id,
+        |         (11 * i.tf * (2 * n_docs - 2 * v.df + 1))::DOUBLE
+        |         / ((5 * i.tf + 6) * (2 * v.df + 1))::DOUBLE AS s
+        |  FROM idx i JOIN corr USING (token) JOIN vocab v USING (token),
+        |       nd),
+        |p AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_terms_hit, max(s) AS s0
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_terms_hit, round(coalesce(s0, 0.0), 6) AS score,
+        |       rk FROM (
+        |  SELECT doc_id, n_terms_hit, s0,
+        |         row_number() OVER (
+        |           ORDER BY coalesce(s0, 0.0) DESC, doc_id ASC) AS rk
+        |  FROM p)
+        |WHERE rk <= 20""".stripMargin,
 
   )
 }

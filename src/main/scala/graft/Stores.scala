@@ -316,6 +316,21 @@ object Stores {
     }
   }
 
+  /** The char-trigram index store over [[vocab]] — the wildcard/infix
+    * serving artifact (q266): (gram, token, df) bucketed by gram, so
+    * an infix query is an AND over its grams' posting rows (pushed In
+    * probes) plus a contains-verify on the candidates — never a
+    * `contains` scan of the vocabulary.
+    */
+  def trigrams(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_tgram_${key(dir)}"
+    serve(s, t) {
+      Bucketing.writeBucketed(
+        TextAnalysis.trigramNeighborhood(vocab(s, dir)),
+        t, Seq("gram"), buckets = 16, sortCols = Seq("gram"))
+    }
+  }
+
   /** The transition-EDGE warehouse over `events`: src-bucketed
     * (slice, src, dst, w) slices from [[Graph.edgeSlices]] over the
     * shared [[SparkEntry.transitionPairs]] pair log. The per-user

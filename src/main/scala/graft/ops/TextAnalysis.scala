@@ -1285,6 +1285,72 @@ object TextAnalysis {
       k, col("lev").asc, col("df").desc, col("token").asc)
   }
 
+  /** Char trigrams of a literal term (distinct, in-order) — the
+    * query-side gram derivation for [[infixSearch]]; driver-side by
+    * design, |grams| = |term| − 2.
+    */
+  private[graft] def charTrigrams(term: String): Seq[String] =
+    (0 to term.length - 3).map(i => term.substring(i, i + 3)).distinct
+
+  /** The char-TRIGRAM index over the dictionary — the wildcard/infix
+    * serving artifact (Lucene's n-gram wildcard, code-search trigram
+    * indexes): one (gram, token, df) row per dictionary term per
+    * distinct char trigram, built once at ingest and bucketed by
+    * `gram`. An infix query becomes an AND over its |q|−2 gram
+    * posting lists instead of a `contains` scan of the vocabulary —
+    * the same O(V)-per-query scan [[deletionNeighborhood]] keeps off
+    * the fuzzy path. Terms shorter than 3 chars carry no trigram and
+    * are unreachable here — consistent with the ≥3-char query floor
+    * [[infixSearch]] enforces (a shorter query couldn't produce one
+    * full gram; a shorter token can never contain a ≥3-char infix).
+    */
+  def trigramNeighborhood(vocab: DataFrame): DataFrame =
+    vocab.filter(length(col("token")) >= 3)
+      .select(col("token"), col("df"),
+        explode(expr(
+          """array_distinct(transform(sequence(1, length(token) - 2),
+            |  i -> substring(token, i, 3)))""".stripMargin)).as("gram"))
+      .select(col("gram"), col("token"), col("df"))
+
+  /** Batched infix (wildcard `*q*`) search over the trigram index —
+    * one read for a whole query batch, the shape a serving tier
+    * actually issues: per query, candidate terms are those whose
+    * trigram set covers ALL the query's trigrams (the andQueryK
+    * membership aggregate at dictionary scale), then a `contains`
+    * VERIFY on those candidates only — gram coverage is necessary but
+    * not sufficient (a term can hold every gram without holding the
+    * contiguous infix). Results rank by df desc per query; zero-match
+    * queries simply emit nothing. Work ∝ the queried grams' posting
+    * rows, never the vocabulary.
+    */
+  def infixSearch(tgrams: DataFrame, queries: Seq[String],
+                  k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(queries.nonEmpty, "queries must be non-empty")
+    require(queries.forall(_.length >= 3),
+      "infix queries need >= 3 chars (one full trigram)")
+    val sp = tgrams.sparkSession
+    import sp.implicits._
+    val qs = queries.distinct
+    val qFrame = qs.flatMap(q => charTrigrams(q).map(g => (q, g)))
+      .toDF("q", "gram")
+    val qCounts = qs.map(q => (q, charTrigrams(q).size.toLong))
+      .toDF("q", "_qg")
+    val allGrams = qs.flatMap(charTrigrams).distinct
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(col("df").desc, col("token").asc)
+    tgrams.filter(col("gram").isin(allGrams: _*))
+      .join(broadcast(qFrame), Seq("gram"))
+      .groupBy(col("q"), col("token"))
+      .agg(countDistinct(col("gram")).as("_n"), max(col("df")).as("df"))
+      .join(broadcast(qCounts), Seq("q"))
+      .filter(col("_n") === col("_qg"))
+      .filter(contains(col("token"), col("q")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q"), col("token"), col("df"), col("rk"))
+  }
+
   /** Per-slice posting aggregates for the inverted-index WAREHOUSE —
     * the store family's contract (kmv/cms/hll/hist/bloom siblings in
     * [[SketchStore]]) applied to the exact postings artifact: each

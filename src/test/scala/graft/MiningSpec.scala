@@ -2569,4 +2569,32 @@ class MiningSpec extends AnyFunSuite {
       TextAnalysis.fuzzyTerms(neigh, "", k = 1)
     }
   }
+
+  test("infixSearch: gram-AND candidates contains-verified; coverage-without-containment dropped; per-query df rank") {
+    // "abcdxbce" holds both grams of query "abce" (abc, bce) but NOT
+    // the contiguous infix — the false positive the verify must drop
+    val df = docs((1, "window window sand", "s"), (2, "window widow", "s"),
+      (3, "abcdxbce", "s"), (4, "ab", "s"))
+    val dict = TextAnalysis.termDictionary(
+      TextAnalysis.tokenPostings(df, "doc_id", "text"))
+    val tg = TextAnalysis.trigramNeighborhood(dict)
+    // tokens shorter than 3 chars never enter the gram table
+    assert(tg.filter(col("token") === "ab").count() === 0L)
+    val got = TextAnalysis.infixSearch(tg,
+        Seq("ndo", "ido", "abce", "zzz"), k = 5).collect()
+      .map(r => (r.getAs[String]("q"), r.getAs[String]("token"),
+        r.getAs[Long]("df"), r.getAs[Long]("rk"))).sortBy(t => (t._1, t._4))
+    assert(got.toSeq === Seq(
+      ("ido", "widow", 1L, 1L),      // infix inside one token only
+      ("ndo", "window", 2L, 1L)))    // df counts docs, not occurrences
+    // "abce": gram coverage hit "abcdxbce", containment verify dropped
+    // it; "zzz": no gram rows at all — both emit nothing
+    assert(!got.exists(t => t._1 == "abce" || t._1 == "zzz"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.infixSearch(tg, Seq("ab"), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.infixSearch(tg, Seq.empty, k = 1)
+    }
+  }
 }

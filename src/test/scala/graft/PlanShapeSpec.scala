@@ -698,4 +698,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!f.contains("documents.parquet") && !f.contains("graft_vocab_"),
       s"q265 reads outside the neighborhood store:\n$f")
   }
+
+  test("q266/q267: trigram infix and corrected-search compose stores only — pushed gram probes, no corpus scan, no O(V) scans") {
+    // infix: the batch's grams are ONE pushed In filter on the
+    // bucketed trigram store; candidates verify and rank per query
+    // (WindowGroupLimit pre-prunes the per-q top-k)
+    val p = plan("q266_infix_search")
+    assert(p.contains("graft_tgram_"), s"q266 not store-backed:\n$p")
+    assert(p.contains("In(gram"),
+      s"q266 gram probes not pushed to the trigram scan:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"q266 per-query rank not pre-pruned:\n$p")
+    assert(!p.contains("documents.parquet") && !p.contains("graft_vocab_"),
+      s"q266 reads outside the trigram store:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q266 went cartesian:\n$p")
+    // corrected search: the corpus appears nowhere (the delneigh and
+    // cidx scans plan as pinned ExistingRDDs — their store-backed
+    // shapes are pinned by the q265/q203 tests; norms rides unpinned
+    // and stays visible), and the final rank is a sort-limit
+    val c = plan("q267_corrected_search")
+    assert(c.contains("graft_norms_"), s"q267 norms not store-backed:\n$c")
+    assert(!c.contains("documents.parquet") && !c.contains(".parquet]"),
+      s"q267 rescans a corpus parquet:\n$c")
+    assert(c.contains("TakeOrderedAndProject"),
+      s"q267 lost the sort-limit:\n$c")
+  }
 }
