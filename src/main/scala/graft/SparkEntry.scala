@@ -3851,6 +3851,21 @@ object SparkEntry {
         TextAnalysis.fuzzyTerms(Stores.deletions(s, dir), "sow", k = 1)
           .select(lit(0).as("ord"), col("token")),
         nTerms = 1, k = 20)),
+
+    // typo-tolerant multi-term search — the full search box: the
+    // literal "hash joi windo" parses to three terms, EVERY term is
+    // batch-corrected against the deletion-neighborhood store in one
+    // broadcast join (hash stays hash at lev 0; joi→join,
+    // windo→window at lev 1; a term with no lev<=1 match would just
+    // drop — scoring 0, as an unknown word should), and the corrected
+    // frame runs the q262 k-term BM25 body off the capped index
+    "q268_typo_search" -> ((s, dir) =>
+      TextAnalysis.bm25QueryK(storedIndex(s, dir, maxPostings = 1000),
+        Stores.norms(s, dir)
+          .agg(countDistinct(col("doc_id")).as("n_docs")),
+        TextAnalysis.correctTerms(Stores.deletions(s, dir),
+          TextAnalysis.searchTerms(s, "hash joi windo")),
+        nTerms = 3, k = 20)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -9735,6 +9750,58 @@ object SparkEntry {
         |  SELECT doc_id, n_terms_hit, s0,
         |         row_number() OVER (
         |           ORDER BY coalesce(s0, 0.0) DESC, doc_id ASC) AS rk
+        |  FROM p)
+        |WHERE rk <= 20""".stripMargin,
+
+    // per-term brute-force correction (levenshtein argmin over the
+    // dictionary, exact match winning at lev 0), then the q262 k-term
+    // BM25 body with the corrected tokens
+    "q268_typo_search" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id, tf FROM (
+        |    SELECT token, doc_id, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |vocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |qt AS (
+        |  SELECT * FROM (VALUES ('hash', 0), ('joi', 1), ('windo', 2))
+        |    AS t(q, ord)),
+        |corr AS (
+        |  SELECT ord, token FROM (
+        |    SELECT qt.ord AS ord, v.token AS token,
+        |           row_number() OVER (PARTITION BY qt.ord
+        |             ORDER BY levenshtein(v.token, qt.q) ASC, v.df DESC,
+        |               v.token ASC) AS crk
+        |    FROM qt JOIN vocab v ON levenshtein(v.token, qt.q) <= 1)
+        |  WHERE crk = 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT i.doc_id AS doc_id, c.ord AS ord,
+        |         (11 * i.tf * (2 * n_docs - 2 * v.df + 1))::DOUBLE
+        |         / ((5 * i.tf + 6) * (2 * v.df + 1))::DOUBLE AS s
+        |  FROM idx i JOIN corr c USING (token) JOIN vocab v USING (token),
+        |       nd),
+        |p AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+        |         max(CASE WHEN ord = 0 THEN s END) AS s0,
+        |         max(CASE WHEN ord = 1 THEN s END) AS s1,
+        |         max(CASE WHEN ord = 2 THEN s END) AS s2
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_terms_hit, round(sk, 6) AS score, rk FROM (
+        |  SELECT doc_id, n_terms_hit,
+        |         coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0)
+        |           AS sk,
+        |         row_number() OVER (
+        |           ORDER BY coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |             + coalesce(s2, 0.0) DESC, doc_id ASC) AS rk
         |  FROM p)
         |WHERE rk <= 20""".stripMargin,
 

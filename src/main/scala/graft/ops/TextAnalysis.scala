@@ -1285,6 +1285,41 @@ object TextAnalysis {
       k, col("lev").asc, col("df").desc, col("token").asc)
   }
 
+  /** Batched spell correction over the deletion-neighborhood store —
+    * [[fuzzyTerms]] generalized from one literal to a whole (ord,
+    * token) query frame: every query term maps to its best dictionary
+    * term within Levenshtein distance 1 (exact match always wins at
+    * lev 0; ties by df desc, then token), and terms with NO match
+    * within distance 1 drop out — a downstream OR-ranker scores a
+    * missing ord as 0, which is what an unknown word contributes
+    * anyway. The query-side neighborhoods are generated IN the frame
+    * (same variant derivation the store was built with), so the whole
+    * correction is one broadcast join against the variant-bucketed
+    * store + a candidate-only levenshtein verify + one per-ord rank —
+    * never an O(V) scan, never a driver round-trip per term.
+    */
+  def correctTerms(deletions: DataFrame, terms: DataFrame): DataFrame = {
+    val qv = terms.select(col("ord"), col("token").as("qt"))
+      .select(col("ord"), col("qt"),
+        explode(expr(
+          """array_distinct(array_union(
+            |  array(qt),
+            |  transform(sequence(1, length(qt)),
+            |    i -> concat(substring(qt, 1, i - 1),
+            |                substring(qt, i + 1, length(qt))))))"""
+            .stripMargin)).as("variant"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ord"))
+      .orderBy(col("lev").asc, col("df").desc, col("token").asc)
+    deletions.join(broadcast(qv), Seq("variant"))
+      .select(col("ord"), col("qt"), col("token"), col("df")).distinct()
+      .withColumn("lev", levenshtein(col("token"), col("qt")).cast("long"))
+      .filter(col("lev") <= 1)
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") === 1)
+      .select(col("ord"), col("token"))
+  }
+
   /** Char trigrams of a literal term (distinct, in-order) — the
     * query-side gram derivation for [[infixSearch]]; driver-side by
     * design, |grams| = |term| − 2.

@@ -2597,4 +2597,40 @@ class MiningSpec extends AnyFunSuite {
       TextAnalysis.infixSearch(tg, Seq.empty, k = 1)
     }
   }
+
+  test("correctTerms: exact match beats a higher-df neighbor; lev-1 ties break by df; unknown terms drop") {
+    // dfs: cat 3, cut 2, car 1, zzz 1
+    val df = docs((1, "cat cut car", "s"), (2, "cat cut", "s"),
+      (3, "cat", "s"), (4, "zzz", "s"))
+    val dict = TextAnalysis.termDictionary(
+      TextAnalysis.tokenPostings(df, "doc_id", "text"))
+    val neigh = TextAnalysis.deletionNeighborhood(dict)
+    val sp = spark
+    import sp.implicits._
+    val terms = Seq((0, "cut"), (1, "ca"), (2, "qqq")).toDF("ord", "token")
+    val got = TextAnalysis.correctTerms(neigh, terms).collect()
+      .map(r => (r.getAs[Int]("ord"), r.getAs[String]("token")))
+      .sortBy(_._1).toSeq
+    // "cut" is in the dictionary: lev 0 wins over cat (df 3, lev 1);
+    // "ca" has lev-1 candidates cat (df 3) and car (df 1) → cat;
+    // "qqq" has no lev<=1 candidate → dropped, not null-filled
+    assert(got === Seq((0, "cut"), (1, "cat")))
+  }
+
+  test("dictionary derives from index slices: slice-merge ≡ corpus rescan") {
+    val a = docs((1, "sun sun sand", "s"), (2, "sun sea", "s"))
+    val b = docs((3, "sand salt sea", "s"), (4, "moon sun", "s"))
+    val sliced = TextAnalysis.indexSlices(
+        a.withColumn("slice", lit(0L)), "doc_id", "text", "slice")
+      .unionByName(TextAnalysis.indexSlices(
+        b.withColumn("slice", lit(1L)), "doc_id", "text", "slice"))
+    val fromSlices = TextAnalysis.termDictionary(
+      TextAnalysis.indexMergeSlices(sliced)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val fromCorpus = TextAnalysis.termDictionary(
+      TextAnalysis.tokenPostings(a.unionByName(b), "doc_id", "text"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromSlices === fromCorpus && fromSlices.nonEmpty)
+  }
 }
