@@ -3866,6 +3866,18 @@ object SparkEntry {
         TextAnalysis.correctTerms(Stores.deletions(s, dir),
           TextAnalysis.searchTerms(s, "hash joi windo")),
         nTerms = 3, k = 20)),
+
+    // faceted search — the counts a result page shows beside its
+    // hits: every doc matching >= 1 term of the q262 literal query
+    // (the capped-index match set), counted once per (lang, source)
+    // facet value off the narrow metadata store. Corpus text touched
+    // nowhere; one join + one aggregate for both facet dimensions
+    "q269_faceted_search" -> ((s, dir) =>
+      TextAnalysis.facetCounts(
+        storedIndex(s, dir, maxPostings = 1000)
+          .join(broadcast(TextAnalysis.searchTerms(s, "hash join window")
+            .select(col("token"))), Seq("token")),
+        Stores.docMeta(s, dir), Seq("lang", "source"))),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -9804,6 +9816,34 @@ object SparkEntry {
         |             + coalesce(s2, 0.0) DESC, doc_id ASC) AS rk
         |  FROM p)
         |WHERE rk <= 20""".stripMargin,
+
+    // the capped-index match set recomputed from the corpus, faceted
+    // over the raw documents metadata — green proves the metadata
+    // store serves exactly what a corpus scan derives
+    "q269_faceted_search" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id FROM (
+        |    SELECT token, doc_id,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |g AS (
+        |  SELECT 'hash' AS token
+        |  UNION ALL SELECT 'join' UNION ALL SELECT 'window'),
+        |m AS (SELECT DISTINCT doc_id FROM idx JOIN g USING (token))
+        |SELECT facet, value, count(*)::BIGINT AS n_docs FROM (
+        |  SELECT 'lang' AS facet, d.lang AS value
+        |  FROM m JOIN documents d USING (doc_id)
+        |  UNION ALL
+        |  SELECT 'source', d.source
+        |  FROM m JOIN documents d USING (doc_id))
+        |GROUP BY 1, 2""".stripMargin,
 
   )
 }

@@ -316,6 +316,21 @@ object Stores {
     }
   }
 
+  /** The document METADATA store — (doc_id, lang, source), the narrow
+    * projection beside the index that serves facets, filters, and
+    * result decoration without touching text (the norms posture for
+    * metadata): real engines keep doc values/fields columnar beside
+    * the postings for exactly these reads.
+    */
+  def docMeta(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_docmeta_${key(dir)}"
+    serve(s, t) {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+  }
+
   /** The char-trigram index store over [[vocab]] — the wildcard/infix
     * serving artifact (q266): (gram, token, df) bucketed by gram, so
     * an infix query is an AND over its grams' posting rows (pushed In

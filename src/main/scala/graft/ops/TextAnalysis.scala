@@ -1320,6 +1320,27 @@ object TextAnalysis {
       .select(col("ord"), col("token"))
   }
 
+  /** Facet counts over a search's match set — the counts a result
+    * page shows beside its hits ("lang: en (123) · de (4)"): one
+    * (facet, value, n_docs) row per distinct value of each facet
+    * column, counting each matching document once however many query
+    * terms it hit. Serving shape: the distinct hit ids broadcast into
+    * ONE join against the narrow metadata store (never the corpus —
+    * facets don't need text), then a single hash aggregate over the
+    * map-exploded (facet, value) pairs — one pass for ANY number of
+    * facet dimensions, work ∝ |hits| × |facets|.
+    */
+  def facetCounts(hits: DataFrame, meta: DataFrame,
+                  facetCols: Seq[String]): DataFrame = {
+    require(facetCols.nonEmpty, "facetCols must be non-empty")
+    val kv = facetCols.flatMap(f => Seq(lit(f), col(f).cast("string")))
+    broadcast(hits.select(col("doc_id")).distinct())
+      .join(meta, "doc_id")
+      .select(explode(map(kv: _*)).as(Seq("facet", "value")))
+      .groupBy(col("facet"), col("value"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Char trigrams of a literal term (distinct, in-order) — the
     * query-side gram derivation for [[infixSearch]]; driver-side by
     * design, |grams| = |term| − 2.

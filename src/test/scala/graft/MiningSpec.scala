@@ -2617,6 +2617,24 @@ class MiningSpec extends AnyFunSuite {
     assert(got === Seq((0, "cut"), (1, "cat")))
   }
 
+  test("facetCounts: each matching doc counted once per facet value; non-hits never join") {
+    val sp = spark
+    import sp.implicits._
+    // doc 1 hits two query terms — still one facet count
+    val hits = Seq((1L, "a"), (1L, "b"), (2L, "a"))
+      .toDF("doc_id", "tok")
+    val meta = Seq((1L, "en", "web"), (2L, "de", "web"),
+      (3L, "en", "book")).toDF("doc_id", "lang", "source")
+    val got = TextAnalysis.facetCounts(hits, meta, Seq("lang", "source"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("lang", "en", 1L), ("lang", "de", 1L),
+      ("source", "web", 2L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.facetCounts(hits, meta, Seq.empty)
+    }
+  }
+
   test("dictionary derives from index slices: slice-merge ≡ corpus rescan") {
     val a = docs((1, "sun sun sand", "s"), (2, "sun sea", "s"))
     val b = docs((3, "sand salt sea", "s"), (4, "moon sun", "s"))

@@ -723,4 +723,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(c.contains("TakeOrderedAndProject"),
       s"q267 lost the sort-limit:\n$c")
   }
+
+  test("q269: facets read the index + metadata stores — hits broadcast, corpus text nowhere") {
+    val p = plan("q269_faceted_search")
+    assert(p.contains("graft_cidx") && p.contains("graft_docmeta_"),
+      s"q269 must read the index + metadata stores:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"q269 rescans the corpus for a facet read:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q269 hit set should broadcast into the metadata store:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"q269 grew a shuffle/cartesian join:\n$p")
+  }
 }
