@@ -151,4 +151,18 @@ object ServingWarehouse {
   def nextItemRead(s: SparkSession, t: Tables, k: Int): DataFrame =
     Behavior.nextItemFromCounts(Graph.edgeMerge(liveTable(s, t.edges)),
       "src", "dst", "w", k)
+
+  /** q264-shaped read over the LIVE index table: prefix autocomplete
+    * off the term dictionary derived from the merged postings. The
+    * dictionary is a DERIVED serving artifact (rebuilt per generation,
+    * the cappedIndex posture), so the mid-stream form folds the landed
+    * slices and prefix-ranks the result — new vocabulary becomes
+    * suggestible the moment its slice lands.
+    */
+  def prefixRead(s: SparkSession, t: Tables, prefix: String,
+                 k: Int): DataFrame =
+    TextAnalysis.prefixSearch(
+      TextAnalysis.termDictionary(
+        TextAnalysis.indexMergeSlices(liveTable(s, t.index))),
+      prefix, k)
 }

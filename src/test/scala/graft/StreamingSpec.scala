@@ -1150,7 +1150,9 @@ class StreamingSpec extends AnyFunSuite {
         ServingWarehouse.phraseRead(spark, t, terms, k = 5)
           .as[(Long, Long, Long)].collect().toSet,
         ServingWarehouse.nextItemRead(spark, t, k = 2)
-          .as[(Long, Long, Long, Long, Long)].collect().toSet)
+          .as[(Long, Long, Long, Long, Long)].collect().toSet,
+        ServingWarehouse.prefixRead(spark, t, prefix = "b", k = 3)
+          .as[(String, Long, Long)].collect().toSet)
       // the same read BODIES over slices derived from the landed data
       def expected(docs: Seq[(Long, String)], pairs: Seq[(Long, Long)]) = {
         val idx = TextAnalysis.indexSlices(docs.toDF("doc_id", "text")
@@ -1169,14 +1171,18 @@ class StreamingSpec extends AnyFunSuite {
           .as[(Long, Long, Long)].collect().toSet,
          Behavior.nextItemFromCounts(Graph.edgeMerge(eg),
             "src", "dst", "w", 2)
-          .as[(Long, Long, Long, Long, Long)].collect().toSet)
+          .as[(Long, Long, Long, Long, Long)].collect().toSet,
+         TextAnalysis.prefixSearch(TextAnalysis.termDictionary(merged),
+            "b", 3)
+          .as[(String, Long, Long)].collect().toSet)
       }
       docsIn.addData(docs1: _*)
       pairsIn.addData(pairs1: _*)
       qs.foreach(_.processAllAvailable())
       val got1 = readAll()
       assert(got1 === expected(docs1, pairs1))
-      assert(got1._1.nonEmpty && got1._2.nonEmpty && got1._3.nonEmpty)
+      assert(got1._1.nonEmpty && got1._2.nonEmpty && got1._3.nonEmpty
+        && got1._4.nonEmpty)
       // second micro-batch lands while the queries stay up: the reads
       // now see both generations merged
       docsIn.addData(docs2: _*)
