@@ -3878,6 +3878,20 @@ object SparkEntry {
           .join(broadcast(TextAnalysis.searchTerms(s, "hash join window")
             .select(col("token"))), Seq("token")),
         Stores.docMeta(s, dir), Seq("lang", "source"))),
+
+    // filtered search — the q262 literal query restricted to lang=en:
+    // the facet-value doc list comes off the PARTITIONED facet index
+    // (directory pruning — the scan lists only lang=en files), the
+    // restriction is a semi-join on the cap-bounded hit set, scoring
+    // statistics stay global, and the rank runs within the filter
+    "q270_filtered_search" -> ((s, dir) =>
+      TextAnalysis.bm25QueryK(storedIndex(s, dir, maxPostings = 1000),
+        Stores.norms(s, dir)
+          .agg(countDistinct(col("doc_id")).as("n_docs")),
+        TextAnalysis.searchTerms(s, "hash join window"),
+        nTerms = 3, k = 20,
+        allowed = Some(Stores.facetIndex(s, dir)
+          .filter(col("facet") === "lang" && col("value") === "en")))),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -9844,6 +9858,52 @@ object SparkEntry {
         |  SELECT 'source', d.source
         |  FROM m JOIN documents d USING (doc_id))
         |GROUP BY 1, 2""".stripMargin,
+
+    // the q262 scoring body with the candidate set restricted to
+    // lang=en docs (global df/n_docs statistics, rank within the
+    // filtered set)
+    "q270_filtered_search" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id, tf FROM (
+        |    SELECT token, doc_id, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |vocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |ok AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |g AS (
+        |  SELECT 'hash' AS token, 0 AS ord
+        |  UNION ALL SELECT 'join', 1
+        |  UNION ALL SELECT 'window', 2),
+        |sc AS (
+        |  SELECT i.doc_id AS doc_id, g.ord AS ord,
+        |         (11 * i.tf * (2 * n_docs - 2 * v.df + 1))::DOUBLE
+        |         / ((5 * i.tf + 6) * (2 * v.df + 1))::DOUBLE AS s
+        |  FROM idx i JOIN g USING (token) JOIN vocab v USING (token), nd
+        |  WHERE i.doc_id IN (SELECT doc_id FROM ok)),
+        |p AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+        |         max(CASE WHEN ord = 0 THEN s END) AS s0,
+        |         max(CASE WHEN ord = 1 THEN s END) AS s1,
+        |         max(CASE WHEN ord = 2 THEN s END) AS s2
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_terms_hit, round(sk, 6) AS score, rk FROM (
+        |  SELECT doc_id, n_terms_hit,
+        |         coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0)
+        |           AS sk,
+        |         row_number() OVER (
+        |           ORDER BY coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |             + coalesce(s2, 0.0) DESC, doc_id ASC) AS rk
+        |  FROM p)
+        |WHERE rk <= 20""".stripMargin,
 
   )
 }

@@ -331,6 +331,27 @@ object Stores {
     }
   }
 
+  /** The FACET index over [[docMeta]] — (facet, value, doc_id) laid
+    * out PARTITIONED by (facet, value), so a facet-value restriction
+    * (q270's filtered search) is directory pruning: the scan lists
+    * only the one facet-value's files, exactly the per-value doc-list
+    * posting a real engine keeps for filters. Value cardinality here
+    * is facet-dimension scale (languages, sources), not doc scale —
+    * the layout a 100 TB corpus actually partitions by.
+    */
+  def facetIndex(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_facets_${key(dir)}"
+    serve(s, t) {
+      docMeta(s, dir)
+        .select(col("doc_id"), explode(map(
+          lit("lang"), col("lang").cast("string"),
+          lit("source"), col("source").cast("string")))
+          .as(Seq("facet", "value")))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("facet", "value").saveAsTable(t)
+    }
+  }
+
   /** The char-trigram index store over [[vocab]] — the wildcard/infix
     * serving artifact (q266): (gram, token, df) bucketed by gram, so
     * an infix query is an AND over its grams' posting rows (pushed In

@@ -1711,7 +1711,8 @@ object TextAnalysis {
     */
   def bm25QueryK(index: DataFrame, nDocs: DataFrame, terms: DataFrame,
                  nTerms: Int, k: Int,
-                 checkpointDir: Option[String] = None): DataFrame = {
+                 checkpointDir: Option[String] = None,
+                 allowed: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(nTerms >= 1 && nTerms <= 8,
       "nTerms must be in [1, 8] (the pivot width)")
@@ -1728,7 +1729,18 @@ object TextAnalysis {
             "query term")))).otherwise(col("ord")).as("ord"),
       col("token")), checkpointDir, eager = false)
     val n1 = oneRowScalar(nDocs, "n_docs", "bm25QueryK")
-    val scored = idx.join(broadcast(t), Seq("token"))
+    // filtered search: restrict candidates AFTER the term join (hits
+    // are cap-bounded there) with a semi-join against the allowed-doc
+    // frame — a facet-value doc list off [[graft.Stores.facetIndex]],
+    // df-bounded like a posting list. Scoring statistics (df, n_docs)
+    // stay GLOBAL — a filter narrows the result set, not the corpus
+    // the relevance model was fit on; the rank then runs within the
+    // filtered set, which is what a filtered result page shows.
+    val hits0 = idx.join(broadcast(t), Seq("token"))
+    val hits = allowed.fold(hits0)(a =>
+      hits0.join(a.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi"))
+    val scored = hits
       .crossJoin(broadcast(n1)) // exactly 1 row — enforced above
       .select(col("doc_id"), col("ord"),
         ((d38(lit(11L) * col("tf")) *

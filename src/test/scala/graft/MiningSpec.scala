@@ -2635,6 +2635,30 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25QueryK filtered: same per-doc scores, rank within the allowed set only; no-filter path unchanged") {
+    val sp = spark
+    import sp.implicits._
+    val df = docs((1, "x x y", "s"), (2, "x y", "s"), (3, "y y", "s"),
+      (4, "x", "s"))
+    val idx = TextAnalysis.cappedIndex(
+      TextAnalysis.tokenPostings(df, "doc_id", "text"), 10)
+    val nd = df.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val terms = Seq((0, "x")).toDF("ord", "token")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Long]("rk"))).sortBy(_._3).toSeq
+    val full = rows(TextAnalysis.bm25QueryK(idx, nd, terms, 1, 10))
+    // tf(x): d1=2, d2=1, d4=1 — d1 ranks first, d2/d4 tie by doc_id
+    assert(full.map(t => (t._1, t._3)) === Seq((1L, 1L), (2L, 2L),
+      (4L, 3L)))
+    val filt = rows(TextAnalysis.bm25QueryK(idx, nd, terms, 1, 10,
+      allowed = Some(Seq(2L, 4L).toDF("doc_id"))))
+    // d1 excluded; d2/d4 keep their GLOBAL scores but re-rank 1..2
+    assert(filt.map(t => (t._1, t._3)) === Seq((2L, 1L), (4L, 2L)))
+    assert(filt.map(_._2) ===
+      full.filter(t => t._1 == 2L || t._1 == 4L).map(_._2))
+  }
+
   test("dictionary derives from index slices: slice-merge ≡ corpus rescan") {
     val a = docs((1, "sun sun sand", "s"), (2, "sun sea", "s"))
     val b = docs((3, "sand salt sea", "s"), (4, "moon sun", "s"))

@@ -735,4 +735,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"q269 grew a shuffle/cartesian join:\n$p")
   }
+
+  test("q270: the facet filter is DIRECTORY pruning on the partitioned facet index; no corpus scan") {
+    val p = plan("q270_filtered_search")
+    assert(p.contains("graft_facets_"), s"q270 not facet-store-backed:\n$p")
+    // PartitionFilters carry attribute ids (facet#NNN = lang)
+    assert(p.contains("PartitionFilters") && p.contains(" = lang)")
+        && p.contains(" = en)") && p.contains("facet=lang/value=en"),
+      s"q270 facet restriction must prune partitions, not filter rows:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"q270 rescans the corpus:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q270 lost the sort-limit:\n$p")
+  }
 }
