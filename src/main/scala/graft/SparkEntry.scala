@@ -3864,7 +3864,7 @@ object SparkEntry {
         Stores.norms(s, dir)
           .agg(countDistinct(col("doc_id")).as("n_docs")),
         TextAnalysis.correctTerms(Stores.deletions(s, dir),
-          TextAnalysis.searchTerms(s, "hash joi windo")),
+          "hash joi windo"),
         nTerms = 3, k = 20)),
 
     // faceted search — the counts a result page shows beside its

@@ -677,11 +677,8 @@ object Behavior {
       .filter(col("step2").isNotNull && col("step3").isNotNull)
     val cnt = tri.groupBy(col("step1"), col("step2"), col("step3"))
       .agg(count(lit(1)).as("n_paths"))
-    val sort = Seq(col("n_paths").desc, col("step1").asc,
+    TopN.globalRanked(cnt, k, col("n_paths").desc, col("step1").asc,
       col("step2").asc, col("step3").asc)
-    cnt.orderBy(sort: _*).limit(k)
-      .withColumn("rk",
-        row_number().over(Window.orderBy(sort: _*)).cast("long"))
   }
 
   /** RFM customer segmentation — the classic recency / frequency /

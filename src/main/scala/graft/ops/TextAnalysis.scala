@@ -1238,11 +1238,20 @@ object TextAnalysis {
     * neighborhoods is a complete distance-1 candidate filter. It is
     * not exact — e.g. "ab"/"ba" share variants at distance 2 — hence
     * the verify step in [[fuzzyTerms]]. Driver-side by design: the
-    * query term is a literal, |variants| = |term| + 1.
+    * query term is a literal, |variants| = |term| + 1. Deletions are
+    * CODE-POINT-wise, matching Spark's substring/length/levenshtein
+    * semantics the store side and the verify use — a UTF-16-unit
+    * deletion would emit lone-surrogate variants for supplementary-
+    * plane input and silently miss every match for it.
     */
-  private[graft] def deletionVariants(term: String): Seq[String] =
-    (term +: term.indices.map(i =>
-      term.substring(0, i) + term.substring(i + 1))).distinct
+  private[graft] def deletionVariants(term: String): Seq[String] = {
+    val cps = term.codePoints().toArray
+    def mk(drop: Int): String = {
+      val kept = cps.indices.filter(_ != drop).map(cps).toArray
+      new String(kept, 0, kept.length)
+    }
+    (term +: cps.indices.map(mk)).distinct
+  }
 
   /** The deletion-neighborhood TABLE over the dictionary — the
     * SymSpell layout: one (variant, token, df) row per dictionary
@@ -1255,12 +1264,13 @@ object TextAnalysis {
     */
   def deletionNeighborhood(vocab: DataFrame): DataFrame =
     vocab.select(col("token"), col("df"),
+        // array_union is already element-distinct — no array_distinct
         explode(expr(
-          """array_distinct(array_union(
+          """array_union(
             |  array(token),
             |  transform(sequence(1, length(token)),
             |    i -> concat(substring(token, 1, i - 1),
-            |                substring(token, i + 1, length(token))))))"""
+            |                substring(token, i + 1, length(token)))))"""
             .stripMargin)).as("variant"))
       .select(col("variant"), col("token"), col("df"))
 
@@ -1286,32 +1296,36 @@ object TextAnalysis {
   }
 
   /** Batched spell correction over the deletion-neighborhood store —
-    * [[fuzzyTerms]] generalized from one literal to a whole (ord,
-    * token) query frame: every query term maps to its best dictionary
-    * term within Levenshtein distance 1 (exact match always wins at
-    * lev 0; ties by df desc, then token), and terms with NO match
-    * within distance 1 drop out — a downstream OR-ranker scores a
-    * missing ord as 0, which is what an unknown word contributes
-    * anyway. The query-side neighborhoods are generated IN the frame
-    * (same variant derivation the store was built with), so the whole
-    * correction is one broadcast join against the variant-bucketed
-    * store + a candidate-only levenshtein verify + one per-ord rank —
+    * [[fuzzyTerms]] generalized from one term to a whole literal
+    * query: every query term maps to its best dictionary term within
+    * Levenshtein distance 1 (exact match always wins at lev 0; ties
+    * by df desc, then token), and terms with NO match within
+    * distance 1 drop out — a downstream OR-ranker scores a missing
+    * ord as 0, which is what an unknown word contributes anyway.
+    * Query parsing matches [[searchTerms]] (whitespace tokens,
+    * first-occurrence ords, duplicates dropped). Because the query is
+    * a LITERAL, the variants derive driver-side ([[deletionVariants]]
+    * — the store's own derivation) and push as ONE In filter on the
+    * variant-bucketed store, the q265 probe shape: Σ(|term|+1) probed
+    * keys, a candidate-only levenshtein verify, one per-ord rank —
     * never an O(V) scan, never a driver round-trip per term.
     */
-  def correctTerms(deletions: DataFrame, terms: DataFrame): DataFrame = {
-    val qv = terms.select(col("ord"), col("token").as("qt"))
-      .select(col("ord"), col("qt"),
-        explode(expr(
-          """array_distinct(array_union(
-            |  array(qt),
-            |  transform(sequence(1, length(qt)),
-            |    i -> concat(substring(qt, 1, i - 1),
-            |                substring(qt, i + 1, length(qt))))))"""
-            .stripMargin)).as("variant"))
+  def correctTerms(deletions: DataFrame, query: String): DataFrame = {
+    val qTerms = query.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(qTerms.nonEmpty, "correctTerms: empty query")
+    val withOrd = qTerms.distinct.zipWithIndex
+    val qv = withOrd.flatMap { case (qt, ord) =>
+      deletionVariants(qt).map(v => (ord, qt, v))
+    }
+    val sp = deletions.sparkSession
+    import sp.implicits._
+    val qFrame = qv.toDF("ord", "qt", "variant")
+    val allVars = qv.map(_._3).distinct
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ord"))
       .orderBy(col("lev").asc, col("df").desc, col("token").asc)
-    deletions.join(broadcast(qv), Seq("variant"))
+    deletions.filter(col("variant").isin(allVars: _*))
+      .join(broadcast(qFrame), Seq("variant"))
       .select(col("ord"), col("qt"), col("token"), col("df")).distinct()
       .withColumn("lev", levenshtein(col("token"), col("qt")).cast("long"))
       .filter(col("lev") <= 1)
@@ -1345,8 +1359,12 @@ object TextAnalysis {
     * query-side gram derivation for [[infixSearch]]; driver-side by
     * design, |grams| = |term| − 2.
     */
-  private[graft] def charTrigrams(term: String): Seq[String] =
-    (0 to term.length - 3).map(i => term.substring(i, i + 3)).distinct
+  private[graft] def charTrigrams(term: String): Seq[String] = {
+    // code-point windows, matching Spark's substring semantics the
+    // store side uses (see the deletionVariants note)
+    val cps = term.codePoints().toArray
+    (0 to cps.length - 3).map(i => new String(cps, i, 3)).distinct
+  }
 
   /** The char-TRIGRAM index over the dictionary — the wildcard/infix
     * serving artifact (Lucene's n-gram wildcard, code-search trigram
@@ -1383,7 +1401,7 @@ object TextAnalysis {
                   k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(queries.nonEmpty, "queries must be non-empty")
-    require(queries.forall(_.length >= 3),
+    require(queries.forall(q => q.codePointCount(0, q.length) >= 3),
       "infix queries need >= 3 chars (one full trigram)")
     val sp = tgrams.sparkSession
     import sp.implicits._
@@ -1532,10 +1550,7 @@ object TextAnalysis {
     * The topMovers board pattern applied to the whole family.
     */
   private def topKRanked(df: DataFrame, k: Int, sort: Column*): DataFrame =
-    df.orderBy(sort: _*).limit(k)
-      .withColumn("rk", row_number()
-        .over(org.apache.spark.sql.expressions.Window.orderBy(sort: _*))
-        .cast("long"))
+    TopN.globalRanked(df, k, sort: _*)
 
   /** Conjunctive (AND) query served FROM the capped inverted index —
     * the read half of [[invertedIndex]]: picks the two
@@ -1737,9 +1752,9 @@ object TextAnalysis {
     // the relevance model was fit on; the rank then runs within the
     // filtered set, which is what a filtered result page shows.
     val hits0 = idx.join(broadcast(t), Seq("token"))
+    // left_semi already ignores right-side duplicates — no distinct
     val hits = allowed.fold(hits0)(a =>
-      hits0.join(a.select(col("doc_id")).distinct(),
-        Seq("doc_id"), "left_semi"))
+      hits0.join(a.select(col("doc_id")), Seq("doc_id"), "left_semi"))
     val scored = hits
       .crossJoin(broadcast(n1)) // exactly 1 row — enforced above
       .select(col("doc_id"), col("ord"),

@@ -27,4 +27,21 @@ object TopN {
     df.withColumn(rankName, row_number().over(w))
       .filter(col(rankName) <= n)
   }
+
+  /** GLOBAL ranked top-k, scale-safe: `orderBy().limit(k)` plans as
+    * TakeOrderedAndProject (per-partition top-k, one k-row merge) and
+    * the rank Window runs over the ≤ k survivors only — never the
+    * Exchange(SinglePartition) → Sort → Window funnel a bare
+    * `row_number().over(Window.orderBy(...))` + `filter(rk <= k)`
+    * compiles to, which pushes EVERY candidate row through one task.
+    * `sort` must carry a full tie-break (end on a unique column) so
+    * the emitted rk is identical to the global form's. The one shared
+    * implementation of the repo's "never a single-task global Window
+    * over a data-scale dimension" rule (retrieval/phrase family,
+    * topMovers, journeyPaths).
+    */
+  def globalRanked(df: DataFrame, k: Int, sort: Column*): DataFrame =
+    df.orderBy(sort: _*).limit(k)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(sort: _*)).cast("long"))
 }

@@ -2605,16 +2605,17 @@ class MiningSpec extends AnyFunSuite {
     val dict = TextAnalysis.termDictionary(
       TextAnalysis.tokenPostings(df, "doc_id", "text"))
     val neigh = TextAnalysis.deletionNeighborhood(dict)
-    val sp = spark
-    import sp.implicits._
-    val terms = Seq((0, "cut"), (1, "ca"), (2, "qqq")).toDF("ord", "token")
-    val got = TextAnalysis.correctTerms(neigh, terms).collect()
+    val got = TextAnalysis.correctTerms(neigh, "cut ca qqq cut").collect()
       .map(r => (r.getAs[Int]("ord"), r.getAs[String]("token")))
       .sortBy(_._1).toSeq
     // "cut" is in the dictionary: lev 0 wins over cat (df 3, lev 1);
     // "ca" has lev-1 candidates cat (df 3) and car (df 1) → cat;
-    // "qqq" has no lev<=1 candidate → dropped, not null-filled
+    // "qqq" has no lev<=1 candidate → dropped, not null-filled; the
+    // duplicate "cut" folds into ord 0 (searchTerms parsing)
     assert(got === Seq((0, "cut"), (1, "cat")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.correctTerms(neigh, "   ")
+    }
   }
 
   test("facetCounts: each matching doc counted once per facet value; non-hits never join") {
@@ -2657,6 +2658,24 @@ class MiningSpec extends AnyFunSuite {
     assert(filt.map(t => (t._1, t._3)) === Seq((2L, 1L), (4L, 2L)))
     assert(filt.map(_._2) ===
       full.filter(t => t._1 == 2L || t._1 == 4L).map(_._2))
+  }
+
+  test("deletionVariants/charTrigrams are code-point-wise: driver derivation ≡ store derivation on supplementary-plane input") {
+    val u = new String(Character.toChars(0x1F984)) // 1 code point, 2 UTF-16 units
+    val v = TextAnalysis.deletionVariants(u + "x")
+    // no lone-surrogate garbage: exactly the term and its two
+    // code-point deletions
+    assert(v.toSet === Set(u + "x", "x", u))
+    assert(TextAnalysis.charTrigrams(u + "ab") === Seq(u + "ab"))
+    // the drift guard: the store-side SQL expression and the
+    // driver-side helper must derive the SAME neighborhood, or the
+    // candidate filter silently loses completeness
+    val df = docs((1, u + "x", "s"))
+    val dict = TextAnalysis.termDictionary(
+      TextAnalysis.tokenPostings(df, "doc_id", "text"))
+    val storeVars = TextAnalysis.deletionNeighborhood(dict).collect()
+      .map(_.getAs[String]("variant")).toSet
+    assert(storeVars === v.toSet)
   }
 
   test("dictionary derives from index slices: slice-merge ≡ corpus rescan") {

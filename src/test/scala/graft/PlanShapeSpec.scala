@@ -736,6 +736,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q269 grew a shuffle/cartesian join:\n$p")
   }
 
+  test("q268: the batched correction pushes its variant probes as ONE In filter on the neighborhood store") {
+    // asserted on the correction subplan directly — inside q268 the
+    // terms frame is pinned (ExistingRDD) and would hide the scan
+    val p = graft.ops.TextAnalysis.correctTerms(
+        Stores.deletions(spark, dir), "hash joi windo")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("graft_delneigh_"), s"correction not store-backed:\n$p")
+    assert(p.contains("In(variant"),
+      s"correction variant probes not pushed — O(V) store scan:\n$p")
+    assert(!p.contains("documents.parquet"), s"correction rescans corpus:\n$p")
+  }
+
   test("q270: the facet filter is DIRECTORY pruning on the partitioned facet index; no corpus scan") {
     val p = plan("q270_filtered_search")
     assert(p.contains("graft_facets_"), s"q270 not facet-store-backed:\n$p")

@@ -562,4 +562,55 @@ class RandomizedSpec extends AnyFunSuite {
       assert(merged === exp, s"trial $trial")
     }
   }
+
+  /** Reference Levenshtein — independent DP implementation for the
+    * dictionary-family candidate-filter properties below.
+    */
+  private def refLev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("deletion-neighborhood completeness: every lev<=1 string pair shares a variant (2000 random pairs)") {
+    // the guarantee fuzzyTerms' candidate filter rests on: if
+    // lev(a,b) <= 1 then variants(a) ∩ variants(b) is non-empty —
+    // checked against the independent DP on random short strings over
+    // a tiny alphabet (maximizing collisions and near-misses)
+    val rnd = new scala.util.Random(1318)
+    def randS(): String =
+      (0 until (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    var nearPairs = 0
+    for (_ <- 1 to 2000) {
+      val a = randS(); val b = randS()
+      val share = (TextAnalysis.deletionVariants(a).toSet
+        intersect TextAnalysis.deletionVariants(b).toSet).nonEmpty
+      if (refLev(a, b) <= 1) { nearPairs += 1; assert(share, s"'$a' '$b'") }
+    }
+    assert(nearPairs > 100) // the property was actually exercised
+  }
+
+  test("trigram-coverage completeness: a contained infix's grams are always covered (1000 random pairs)") {
+    // the guarantee infixSearch's AND filter rests on: if q is a
+    // substring of t (and |q| >= 3) then charTrigrams(q) ⊆
+    // charTrigrams(t) — so gram-AND candidates can only OVER-select
+    // (fixed by the contains verify), never miss a true match
+    val rnd = new scala.util.Random(1319)
+    def randS(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    var contained = 0
+    for (_ <- 1 to 1000) {
+      val t = randS(4 + rnd.nextInt(8))
+      val from = rnd.nextInt(t.length - 2)
+      val q = t.substring(from, math.min(t.length, from + 3 + rnd.nextInt(4)))
+      assert(q.length >= 3 && t.contains(q))
+      contained += 1
+      assert(TextAnalysis.charTrigrams(q).toSet
+        .subsetOf(TextAnalysis.charTrigrams(t).toSet), s"'$q' in '$t'")
+    }
+    assert(contained === 1000)
+  }
 }
