@@ -3892,6 +3892,26 @@ object SparkEntry {
         nTerms = 3, k = 20,
         allowed = Some(Stores.facetIndex(s, dir)
           .filter(col("facet") === "lang" && col("value") === "en")))),
+
+    // hybrid retrieval — the lexical+vector merge every modern search
+    // stack runs: the q262 literal BM25 top-20 fused with the exact
+    // cosine top-20 for query vector 0 (the id spaces align by
+    // construction) via reciprocal-rank fusion, 1/(60+rank) summed
+    // where present. RRF needs only RANKS — no calibration between
+    // the BM25 scale and the cosine scale — which is why serving
+    // stacks fuse this way
+    "q271_hybrid_rrf" -> ((s, dir) =>
+      Similarity.rrfFuse(
+        TextAnalysis.bm25QueryK(storedIndex(s, dir, maxPostings = 1000),
+          Stores.norms(s, dir)
+            .agg(countDistinct(col("doc_id")).as("n_docs")),
+          TextAnalysis.searchTerms(s, "hash join window"),
+          nTerms = 3, k = 20)
+          .select(col("doc_id"), col("rk").as("rank")),
+        Similarity.cosineKnn(Tables.embeddings(s, dir), "vec_id",
+          "embedding", Seq(0L), 20)
+          .select(col("neighbor_id").as("doc_id"), col("rank")),
+        k = 10)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -9904,6 +9924,89 @@ object SparkEntry {
         |             + coalesce(s2, 0.0) DESC, doc_id ASC) AS rk
         |  FROM p)
         |WHERE rk <= 20""".stripMargin,
+
+    // the q262 lexical top-20 and the q25-shaped cosine top-20 for
+    // query vector 0, RRF-fused: 1/(60+rank) summed where present,
+    // absent ranks emitted as 0
+    "q271_hybrid_rrf" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id, tf FROM (
+        |    SELECT token, doc_id, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |vocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |g AS (
+        |  SELECT 'hash' AS token, 0 AS ord
+        |  UNION ALL SELECT 'join', 1
+        |  UNION ALL SELECT 'window', 2),
+        |sc AS (
+        |  SELECT i.doc_id AS doc_id, g.ord AS ord,
+        |         (11 * i.tf * (2 * n_docs - 2 * v.df + 1))::DOUBLE
+        |         / ((5 * i.tf + 6) * (2 * v.df + 1))::DOUBLE AS s
+        |  FROM idx i JOIN g USING (token) JOIN vocab v USING (token), nd),
+        |p AS (
+        |  SELECT doc_id,
+        |         max(CASE WHEN ord = 0 THEN s END) AS s0,
+        |         max(CASE WHEN ord = 1 THEN s END) AS s1,
+        |         max(CASE WHEN ord = 2 THEN s END) AS s2
+        |  FROM sc GROUP BY doc_id),
+        |lex AS (
+        |  SELECT doc_id, rk FROM (
+        |    SELECT doc_id,
+        |           row_number() OVER (
+        |             ORDER BY coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |               + coalesce(s2, 0.0) DESC, doc_id ASC) AS rk
+        |    FROM p)
+        |  WHERE rk <= 20),
+        |e AS (
+        |  SELECT * FROM (
+        |    SELECT vec_id, embedding,
+        |           list_sum(list_transform(embedding,
+        |             x -> x::DOUBLE * x::DOUBLE)) AS norm2
+        |    FROM embeddings)
+        |  WHERE norm2 > 0),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, norm2 AS q_norm2
+        |  FROM e WHERE vec_id = 0),
+        |vsc AS (
+        |  SELECT e.vec_id AS doc_id,
+        |         round(list_sum(list_transform(
+        |                 generate_series(1, len(e.embedding)),
+        |                 i -> q.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |               / sqrt(q.q_norm2 * e.norm2), 6) AS score
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |vec AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT doc_id, score,
+        |           row_number() OVER (
+        |             ORDER BY score DESC, doc_id) AS rank
+        |    FROM vsc)
+        |  WHERE rank <= 20),
+        |f AS (
+        |  -- 1.0 alone parses as DECIMAL in DuckDB; the ::DOUBLE casts
+        |  -- make this the same IEEE division Spark runs
+        |  SELECT doc_id,
+        |         coalesce(1.0::DOUBLE / (60 + l.rk), 0.0::DOUBLE)
+        |           + coalesce(1.0::DOUBLE / (60 + v.rank), 0.0::DOUBLE)
+        |           AS rrf0,
+        |         coalesce(l.rk, 0)::BIGINT AS rank_a,
+        |         coalesce(v.rank, 0)::BIGINT AS rank_b
+        |  FROM lex l FULL JOIN vec v USING (doc_id))
+        |SELECT doc_id, rank_a, rank_b, round(rrf0, 6) AS rrf,
+        |       rk::BIGINT AS rk FROM (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY rrf0 DESC, doc_id ASC) AS rk
+        |  FROM f)
+        |WHERE rk <= 10""".stripMargin,
 
   )
 }

@@ -26,6 +26,34 @@ import graft.functions.Hashing.md5LongSql
   */
 object Similarity {
 
+  /** Reciprocal-rank fusion of two ranked lists — the hybrid-retrieval
+    * merge every lexical+vector search stack runs: each input carries
+    * (doc_id, rank) and contributes 1/(c + rank) for the docs it
+    * ranked (0 for the docs it didn't — full-outer semantics), fused
+    * score descending with doc_id tie-break, top `k` emitted with
+    * both source ranks (0 = "absent from that list", the topMovers
+    * convention — no nullable rank columns for consumers to trip on).
+    * Work ∝ the two input list sizes (both already top-k bounded);
+    * the fusion itself is one join of two k-row frames and a k-row
+    * rank — RRF's whole point is that it needs only RANKS, never
+    * score calibration between a BM25 scale and a cosine scale.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(c >= 1, "c must be >= 1 (the RRF damping constant)")
+    val fa = a.select(col("doc_id"), col("rank").as("rank_a"))
+    val fb = b.select(col("doc_id"), col("rank").as("rank_b"))
+    val fused = fa.join(fb, Seq("doc_id"), "full_outer")
+      .withColumn("_rrf",
+        coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)))
+      .withColumn("rank_a", coalesce(col("rank_a"), lit(0L)))
+      .withColumn("rank_b", coalesce(col("rank_b"), lit(0L)))
+    TopN.globalRanked(fused, k, col("_rrf").desc, col("doc_id").asc)
+      .select(col("doc_id"), col("rank_a"), col("rank_b"),
+        round(col("_rrf"), 6).as("rrf"), col("rk"))
+  }
+
   /** Squared L2 norm via the native codegen'd dot product. */
   private val norm2Sql = "array_dot(%s, %s)"
 

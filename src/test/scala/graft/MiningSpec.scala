@@ -2678,6 +2678,29 @@ class MiningSpec extends AnyFunSuite {
     assert(storeVars === v.toSet)
   }
 
+  test("rrfFuse: overlap sums both reciprocals; single-list docs keep one; absent ranks emit 0") {
+    val sp = spark
+    import sp.implicits._
+    // lex: d1 rk1, d2 rk2 · vec: d2 rank1, d3 rank2  (c = 60)
+    val lex = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
+    val vec = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank")
+    val got = Similarity.rrfFuse(lex, vec, k = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank_a"),
+        r.getAs[Long]("rank_b"), r.getAs[Double]("rrf"),
+        r.getAs[Long]("rk"))).sortBy(_._5).toSeq
+    def rr(x: Long) = 1.0 / (60 + x)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // d2 hits both lists: 1/62 + 1/61 ≈ 0.032523 — the fusion winner
+    // over either list's rank-1 doc alone
+    assert(got === Seq(
+      (2L, 2L, 1L, r6(rr(2) + rr(1)), 1L),
+      (1L, 1L, 0L, r6(rr(1)), 2L),
+      (3L, 0L, 2L, r6(rr(2)), 3L)))
+    intercept[IllegalArgumentException] {
+      Similarity.rrfFuse(lex, vec, k = 0)
+    }
+  }
+
   test("dictionary derives from index slices: slice-merge ≡ corpus rescan") {
     val a = docs((1, "sun sun sand", "s"), (2, "sun sea", "s"))
     val b = docs((3, "sand salt sea", "s"), (4, "moon sun", "s"))
