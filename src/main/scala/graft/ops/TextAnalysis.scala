@@ -1311,10 +1311,7 @@ object TextAnalysis {
     * never an O(V) scan, never a driver round-trip per term.
     */
   def correctTerms(deletions: DataFrame, query: String): DataFrame = {
-    val qTerms = query.trim.split("\\s+").toSeq.filter(_.nonEmpty)
-    require(qTerms.nonEmpty, "correctTerms: empty query")
-    val withOrd = qTerms.distinct.zipWithIndex
-    val qv = withOrd.flatMap { case (qt, ord) =>
+    val qv = parseQuery(query).flatMap { case (ord, qt) =>
       deletionVariants(qt).map(v => (ord, qt, v))
     }
     val sp = deletions.sparkSession
@@ -1745,16 +1742,28 @@ object TextAnalysis {
       col("token")), checkpointDir, eager = false)
     val n1 = oneRowScalar(nDocs, "n_docs", "bm25QueryK")
     // filtered search: restrict candidates AFTER the term join (hits
-    // are cap-bounded there) with a semi-join against the allowed-doc
-    // frame — a facet-value doc list off [[graft.Stores.facetIndex]],
-    // df-bounded like a posting list. Scoring statistics (df, n_docs)
-    // stay GLOBAL — a filter narrows the result set, not the corpus
-    // the relevance model was fit on; the rank then runs within the
-    // filtered set, which is what a filtered result page shows.
+    // are cap-bounded there: ≤ nTerms × maxPostings rows). The
+    // allowed-doc frame — a facet-value doc list off
+    // [[graft.Stores.facetIndex]] — is NOT cap-bounded (a popular
+    // facet value is a large corpus fraction), and Spark can only
+    // broadcast the RIGHT side of a left_semi, so a direct
+    // hits ⋉ allowed would shuffle the doc-scale list per query.
+    // Instead the allowed list is semi-joined DOWN to the broadcast
+    // hit ids first (result ≤ the hit count), and the survivors
+    // broadcast back — no Exchange over a doc-scale dimension in
+    // either direction. Scoring statistics (df, n_docs) stay GLOBAL —
+    // a filter narrows the result set, not the corpus the relevance
+    // model was fit on; the rank then runs within the filtered set,
+    // which is what a filtered result page shows.
     val hits0 = idx.join(broadcast(t), Seq("token"))
-    // left_semi already ignores right-side duplicates — no distinct
-    val hits = allowed.fold(hits0)(a =>
-      hits0.join(a.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    val hits = allowed.fold(hits0) { a =>
+      // two consumers of the hit frame (id probe + final semi-join)
+      val h = Checkpoints.pin(hits0, checkpointDir, eager = false)
+      val survivors = a.select(col("doc_id"))
+        .join(broadcast(h.select(col("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+      h.join(broadcast(survivors), Seq("doc_id"), "left_semi")
+    }
     val scored = hits
       .crossJoin(broadcast(n1)) // exactly 1 row — enforced above
       .select(col("doc_id"), col("ord"),
@@ -1786,13 +1795,21 @@ object TextAnalysis {
     * search box. Parsing is driver-side (a query string is bytes, not
     * data) and the returned frame is broadcast-sized by construction.
     */
+  /** The ONE driver-side query parse behind [[searchTerms]] and
+    * [[correctTerms]]: whitespace tokens, first-occurrence ords,
+    * duplicates dropped. Shared so the corrected path can never drift
+    * from the literal-search path's tokenization.
+    */
+  private def parseQuery(query: String): Seq[(Long, String)] = {
+    val toks = query.trim.split("\\s+").filter(_.nonEmpty).distinct
+    require(toks.nonEmpty, "empty query")
+    toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toSeq
+  }
+
   def searchTerms(s: org.apache.spark.sql.SparkSession,
                   query: String): DataFrame = {
-    val toks = query.trim.split("\\s+").filter(_.nonEmpty).distinct
-    require(toks.nonEmpty, "searchTerms: empty query")
     import s.implicits._
-    toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-      .toSeq.toDF("ord", "token")
+    parseQuery(query).toDF("ord", "token")
   }
 
   /** Threshold-algorithm (Fagin TA) CERTIFIED pruned top-k — the

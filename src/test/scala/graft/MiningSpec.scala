@@ -2606,13 +2606,13 @@ class MiningSpec extends AnyFunSuite {
       TextAnalysis.tokenPostings(df, "doc_id", "text"))
     val neigh = TextAnalysis.deletionNeighborhood(dict)
     val got = TextAnalysis.correctTerms(neigh, "cut ca qqq cut").collect()
-      .map(r => (r.getAs[Int]("ord"), r.getAs[String]("token")))
+      .map(r => (r.getAs[Long]("ord"), r.getAs[String]("token")))
       .sortBy(_._1).toSeq
     // "cut" is in the dictionary: lev 0 wins over cat (df 3, lev 1);
     // "ca" has lev-1 candidates cat (df 3) and car (df 1) → cat;
     // "qqq" has no lev<=1 candidate → dropped, not null-filled; the
     // duplicate "cut" folds into ord 0 (searchTerms parsing)
-    assert(got === Seq((0, "cut"), (1, "cat")))
+    assert(got === Seq((0L, "cut"), (1L, "cat")))
     intercept[IllegalArgumentException] {
       TextAnalysis.correctTerms(neigh, "   ")
     }

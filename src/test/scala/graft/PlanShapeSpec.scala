@@ -759,5 +759,10 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q270 rescans the corpus:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"q270 lost the sort-limit:\n$p")
+    // the allowed list is NOT cap-bounded: both restriction joins must
+    // broadcast (allowed ⋉ broadcast(hit ids), then hits ⋉
+    // broadcast(survivors)) — never a shuffle over the doc dimension
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q270 shuffled the facet-value doc list:\n$p")
   }
 }
