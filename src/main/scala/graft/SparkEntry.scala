@@ -3912,6 +3912,16 @@ object SparkEntry {
           "embedding", Seq(0L), 20)
           .select(col("neighbor_id").as("doc_id"), col("rank")),
         k = 10)),
+
+    // the planner's read BEFORE touching postings: the literal query's
+    // terms in AND-intersection order (df asc — drive from the rarest
+    // list) with the expected candidate count after each step under
+    // independence, all off the dictionary store — work ∝ |terms|
+    "q272_query_plan" -> ((s, dir) =>
+      TextAnalysis.queryPlanEstimate(Stores.vocab(s, dir),
+        Stores.norms(s, dir)
+          .agg(countDistinct(col("doc_id")).as("n_docs")),
+        "hash join window")),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -10007,6 +10017,34 @@ object SparkEntry {
         |    ORDER BY rrf0 DESC, doc_id ASC) AS rk
         |  FROM f)
         |WHERE rk <= 10""".stripMargin,
+
+    // the planner replay: df per query term off the recomputed
+    // dictionary, AND order by df asc, cumulative expected candidates
+    // Π df / n^(i-1) — cumulative product over exactly-representable
+    // longs, one double division, round 4
+    "q272_query_plan" ->
+      """WITH post AS (
+        |  SELECT token, doc_id FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT token, count(*)::BIGINT AS df FROM post GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |t AS (
+        |  SELECT token, df FROM vocab
+        |  WHERE token IN ('hash', 'join', 'window')),
+        |r AS (
+        |  SELECT token, df,
+        |         row_number() OVER (ORDER BY df, token) AS plan_ord,
+        |         product(df::DOUBLE) OVER (
+        |           ORDER BY df, token
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum
+        |  FROM t)
+        |SELECT plan_ord::BIGINT AS plan_ord, token, df,
+        |       round(cum / power(n_docs, plan_ord - 1), 4) AS cum_est
+        |FROM r, nd""".stripMargin,
 
   )
 }

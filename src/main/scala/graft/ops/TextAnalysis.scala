@@ -1331,6 +1331,41 @@ object TextAnalysis {
       .select(col("ord"), col("token"))
   }
 
+  /** Query COST estimate off the dictionary — the read an engine's
+    * planner runs before touching a posting list: the query's terms
+    * ranked in the AND-intersection order every engine uses (df
+    * ascending — drive the intersection from the rarest list), with
+    * the expected candidate count after each step under the
+    * independence model, `n · Π(df_j / n) = Π df_j / n^(i−1)`.
+    * Work ∝ the query's term count: a pushed In probe on the
+    * dictionary, one |terms|-row array fold — the cumulative products
+    * stay exact LONGs inside the fold (dfs are corpus-bounded; a
+    * 3-term product of ≤10^9 dfs fits 2^63), with ONE double division
+    * at the end so the oracle reproduces it bit-for-bit. Terms absent
+    * from the dictionary simply don't appear (df 0 would zero every
+    * later estimate; an engine drops unknown terms before planning).
+    */
+  def queryPlanEstimate(vocab: DataFrame, nDocs: DataFrame,
+                        query: String): DataFrame = {
+    val terms = parseQuery(query).map(_._2)
+    val one = vocab.filter(col("token").isin(terms: _*))
+      .agg(sort_array(collect_list(struct(col("df"), col("token"))))
+        .as("a"))
+      .crossJoin(broadcast(
+        oneRowScalar(nDocs, "n_docs", "queryPlanEstimate")))
+    one.select(col("n_docs"), posexplode(expr(
+        """transform(a, (x, i) ->
+          |  struct(x.token AS token, x.df AS df,
+          |    aggregate(slice(a, 1, i + 1), 1L,
+          |              (acc, y) -> acc * y.df) AS cum))"""
+          .stripMargin)).as(Seq("i", "s")))
+      .select((col("i") + 1).cast("long").as("plan_ord"),
+        col("s.token").as("token"), col("s.df").as("df"),
+        round(col("s.cum").cast("double") /
+          pow(col("n_docs").cast("double"), col("i").cast("double")), 4)
+          .as("cum_est"))
+  }
+
   /** Facet counts over a search's match set — the counts a result
     * page shows beside its hits ("lang: en (123) · de (4)"): one
     * (facet, value, n_docs) row per distinct value of each facet

@@ -2701,6 +2701,24 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("queryPlanEstimate: df-ascending AND order, exact cumulative candidates, unknown terms dropped") {
+    // dfs: sun 3, sand 2, sea 2, moon 1  (n_docs = 4)
+    val df = docs((1, "sun sand", "s"), (2, "sun sea", "s"),
+      (3, "sun sand sea", "s"), (4, "moon", "s"))
+    val dict = TextAnalysis.termDictionary(
+      TextAnalysis.tokenPostings(df, "doc_id", "text"))
+    val nd = df.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val got = TextAnalysis.queryPlanEstimate(dict, nd,
+        "sun sea moon zzz").collect()
+      .map(r => (r.getAs[Long]("plan_ord"), r.getAs[String]("token"),
+        r.getAs[Long]("df"), r.getAs[Double]("cum_est")))
+      .sortBy(_._1).toSeq
+    // order: moon(1) < sea(2) < sun(3); zzz unknown → absent.
+    // est1 = 1; est2 = 1*2/4 = 0.5; est3 = 1*2*3/16 = 0.375
+    assert(got === Seq((1L, "moon", 1L, 1.0), (2L, "sea", 2L, 0.5),
+      (3L, "sun", 3L, 0.375)))
+  }
+
   test("dictionary derives from index slices: slice-merge ≡ corpus rescan") {
     val a = docs((1, "sun sun sand", "s"), (2, "sun sea", "s"))
     val b = docs((3, "sand salt sea", "s"), (4, "moon sun", "s"))
