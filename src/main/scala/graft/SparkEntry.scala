@@ -3922,6 +3922,94 @@ object SparkEntry {
         Stores.norms(s, dir)
           .agg(countDistinct(col("doc_id")).as("n_docs")),
         "hash join window")),
+
+    // "more like this": doc 0 becomes the query — its top-3 terms by
+    // (tf desc, df asc) probe the capped index via the k-term BM25
+    // read with the seed excluded; one pushed doc fetch + dictionary
+    // probes + the cap-bounded retrieval, corpus rescanned nowhere
+    "q273_more_like_this" -> ((s, dir) =>
+      TextAnalysis.moreLikeThis(storedIndex(s, dir, maxPostings = 1000),
+        Stores.norms(s, dir)
+          .agg(countDistinct(col("doc_id")).as("n_docs")),
+        Stores.vocab(s, dir),
+        Tables.documents(s, dir), "doc_id", "text",
+        docId = 0L, m = 3, k = 10)),
+
+    // tiered retrieval: the lexical recall stage nominates its top 100
+    // off the capped index, the precision stage rescores ONLY those
+    // candidates with the exact cosine against the query vector — the
+    // cascade shape (cheap corpus-wide recall, expensive bounded
+    // rerank) vs q271's rank-only fusion of two independent lists
+    "q274_rerank_cosine" -> ((s, dir) =>
+      Similarity.rerankCosine(
+        TextAnalysis.bm25QueryK(storedIndex(s, dir, maxPostings = 1000),
+          Stores.norms(s, dir)
+            .agg(countDistinct(col("doc_id")).as("n_docs")),
+          TextAnalysis.searchTerms(s, "hash join window"),
+          nTerms = 3, k = 100)
+          .select(col("doc_id"), col("rk").as("rank")),
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10)),
+
+    // field-collapsed search: the same literal BM25 candidates, one
+    // result per near-dup cluster (the written dup map's components),
+    // each cluster represented by its best-scoring doc — the "group
+    // similar results" read off two stores, corpus touched nowhere
+    "q275_collapse_search" -> ((s, dir) =>
+      TextAnalysis.collapseSearch(storedIndex(s, dir, maxPostings = 1000),
+        Stores.norms(s, dir)
+          .agg(countDistinct(col("doc_id")).as("n_docs")),
+        TextAnalysis.searchTerms(s, "hash join window"),
+        nTerms = 3, k = 10, dupMap = Stores.dupMap(s, dir))),
+
+    // right-to-be-forgotten cascade audit: one erasure request
+    // (doc_id % 97 = 0) audited against EVERY warehouse family — the
+    // record a GDPR request is answered with and the pre-flight
+    // sizing for the per-family tombstone writes; one store scan per
+    // family, forget set broadcast, corpus touched nowhere
+    "q276_forget_audit" -> ((s, dir) => {
+      val forget = Stores.norms(s, dir)
+        .filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+      // two consumers (postings audit + vocabulary extinction)
+      val postings = graft.ops.Checkpoints.pin(
+        TextAnalysis.indexMergeSlices(Stores.index(s, dir)),
+        None, eager = false)
+      Seq(
+        Forget.familyAudit("index_postings", postings, "doc_id", forget),
+        Forget.familyAudit("positional_positions",
+          TextAnalysis.positionalMergeSlices(Stores.positional(s, dir)),
+          "doc_id", forget, weight = col("tf")),
+        Forget.familyAudit("norms", Stores.norms(s, dir), "doc_id",
+          forget),
+        Forget.familyAudit("doc_meta", Stores.docMeta(s, dir), "doc_id",
+          forget),
+        Forget.familyAudit("facets", Stores.facetIndex(s, dir),
+          "doc_id", forget),
+        Forget.familyAudit("pq_codes", Stores.pqCodes(s, dir), "vec_id",
+          forget),
+        Forget.familyAudit("dup_map", Stores.dupMap(s, dir), "doc_id",
+          forget),
+        Forget.vocabAudit(postings, forget)
+      ).reduce(_.unionByName(_))
+    }),
+
+    // time travel: the index store's slice tags ARE the history — an
+    // as-of-generation read filters the written slices (one pushed
+    // predicate on the bucket files), re-derives the capped view AND
+    // its df/n_docs statistics from the surviving slices (statistics
+    // must never straddle the as-of boundary), and serves the same
+    // literal search the live read answers
+    "q277_asof_search" -> ((s, dir) => {
+      val merged = graft.ops.Checkpoints.pin(
+        TextAnalysis.indexMergeSlices(
+          Stores.index(s, dir).filter(col("slice") <= 2L)),
+        None, eager = false) // two consumers: capped view + n_docs
+      TextAnalysis.bm25QueryK(
+        TextAnalysis.cappedIndex(merged, maxPostings = 1000),
+        merged.agg(countDistinct(col("doc_id")).as("n_docs")),
+        TextAnalysis.searchTerms(s, "hash join window"),
+        nTerms = 3, k = 10)
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -10045,6 +10133,300 @@ object SparkEntry {
         |SELECT plan_ord::BIGINT AS plan_ord, token, df,
         |       round(cum / power(n_docs, plan_ord - 1), 4) AS cum_est
         |FROM r, nd""".stripMargin,
+
+    // seed-doc term derivation (tf desc, df asc, token asc → ord) +
+    // the BM25 pivot over those terms with the seed excluded
+    "q273_more_like_this" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id, tf FROM (
+        |    SELECT token, doc_id, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |vocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |seed AS (
+        |  SELECT token, count(*) AS stf FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token
+        |    FROM documents WHERE doc_id = 0)
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT token, ord FROM (
+        |    SELECT s.token AS token,
+        |           row_number() OVER (
+        |             ORDER BY s.stf DESC, v.df ASC, s.token ASC) - 1
+        |             AS ord
+        |    FROM seed s JOIN vocab v USING (token))
+        |  WHERE ord <= 2),
+        |sc AS (
+        |  SELECT i.doc_id AS doc_id, t.ord AS ord,
+        |         (11 * i.tf * (2 * n_docs - 2 * v.df + 1))::DOUBLE
+        |         / ((5 * i.tf + 6) * (2 * v.df + 1))::DOUBLE AS s
+        |  FROM idx i JOIN t USING (token) JOIN vocab v USING (token), nd
+        |  WHERE i.doc_id <> 0),
+        |p AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+        |         max(CASE WHEN ord = 0 THEN s END) AS s0,
+        |         max(CASE WHEN ord = 1 THEN s END) AS s1,
+        |         max(CASE WHEN ord = 2 THEN s END) AS s2
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_terms_hit, round(sc0, 6) AS score,
+        |       rk::BIGINT AS rk FROM (
+        |  SELECT doc_id, n_terms_hit,
+        |         coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |           + coalesce(s2, 0.0) AS sc0,
+        |         row_number() OVER (
+        |           ORDER BY coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |             + coalesce(s2, 0.0) DESC, doc_id ASC) AS rk
+        |  FROM p)
+        |WHERE rk <= 10""".stripMargin,
+
+    // q271's lexical CTE widened to the top-100 recall stage, then the
+    // exact-cosine rescore over those candidates only (zero-norm
+    // candidates drop, the query doc excludes itself)
+    "q274_rerank_cosine" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id, tf FROM (
+        |    SELECT token, doc_id, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |vocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |g AS (
+        |  SELECT 'hash' AS token, 0 AS ord
+        |  UNION ALL SELECT 'join', 1
+        |  UNION ALL SELECT 'window', 2),
+        |sc AS (
+        |  SELECT i.doc_id AS doc_id, g.ord AS ord,
+        |         (11 * i.tf * (2 * n_docs - 2 * v.df + 1))::DOUBLE
+        |         / ((5 * i.tf + 6) * (2 * v.df + 1))::DOUBLE AS s
+        |  FROM idx i JOIN g USING (token) JOIN vocab v USING (token), nd),
+        |p AS (
+        |  SELECT doc_id,
+        |         max(CASE WHEN ord = 0 THEN s END) AS s0,
+        |         max(CASE WHEN ord = 1 THEN s END) AS s1,
+        |         max(CASE WHEN ord = 2 THEN s END) AS s2
+        |  FROM sc GROUP BY doc_id),
+        |lex AS (
+        |  SELECT doc_id, rk AS lex_rk FROM (
+        |    SELECT doc_id,
+        |           row_number() OVER (
+        |             ORDER BY coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |               + coalesce(s2, 0.0) DESC, doc_id ASC) AS rk
+        |    FROM p)
+        |  WHERE rk <= 100),
+        |e AS (
+        |  SELECT * FROM (
+        |    SELECT vec_id, embedding,
+        |           list_sum(list_transform(embedding,
+        |             x -> x::DOUBLE * x::DOUBLE)) AS norm2
+        |    FROM embeddings)
+        |  WHERE norm2 > 0),
+        |q AS (
+        |  SELECT embedding AS q_emb, norm2 AS q_norm2
+        |  FROM e WHERE vec_id = 0),
+        |vsc AS (
+        |  SELECT l.doc_id AS doc_id, l.lex_rk AS lex_rk,
+        |         round(list_sum(list_transform(
+        |                 generate_series(1, len(e.embedding)),
+        |                 i -> q.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |               / sqrt(q.q_norm2 * e.norm2), 6) AS score
+        |  FROM lex l JOIN e ON e.vec_id = l.doc_id
+        |  CROSS JOIN q WHERE l.doc_id <> 0)
+        |SELECT doc_id, lex_rk::BIGINT AS lex_rk, score, rk::BIGINT AS rk
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY score DESC, doc_id ASC) AS rk
+        |  FROM vsc)
+        |WHERE rk <= 10""".stripMargin,
+
+    // q65's component walk (bands → edges → recursive min-label) +
+    // the k-term BM25 pivot, collapsed to the best doc per component
+    // before the final rank
+    "q275_collapse_search" ->
+      s"""$duckBandsCte,
+         |$duckEdgesBody,
+         |walk AS (
+         |  WITH RECURSIVE w(v, l) AS (
+         |    SELECT s, s FROM edges
+         |    UNION
+         |    SELECT e.s, w.l FROM edges e JOIN w ON e.t = w.v)
+         |  SELECT * FROM w),
+         |comp AS (SELECT v AS doc_id, min(l) AS rep FROM walk GROUP BY v),
+         |post AS (
+         |  SELECT token, doc_id, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |idx AS (
+         |  SELECT token, doc_id, tf FROM (
+         |    SELECT token, doc_id, tf,
+         |           row_number() OVER (PARTITION BY token
+         |                              ORDER BY tf DESC, doc_id ASC) AS prk
+         |    FROM post)
+         |  WHERE prk <= 1000),
+         |tvocab AS (
+         |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |g AS (
+         |  SELECT 'hash' AS token, 0 AS ord
+         |  UNION ALL SELECT 'join', 1
+         |  UNION ALL SELECT 'window', 2),
+         |sc AS (
+         |  SELECT i.doc_id AS doc_id, g.ord AS ord,
+         |         (11 * i.tf * (2 * n_docs - 2 * v.df + 1))::DOUBLE
+         |         / ((5 * i.tf + 6) * (2 * v.df + 1))::DOUBLE AS s
+         |  FROM idx i JOIN g USING (token) JOIN tvocab v USING (token), nd),
+         |p AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+         |         max(CASE WHEN ord = 0 THEN s END) AS s0,
+         |         max(CASE WHEN ord = 1 THEN s END) AS s1,
+         |         max(CASE WHEN ord = 2 THEN s END) AS s2
+         |  FROM sc GROUP BY doc_id),
+         |wg AS (
+         |  SELECT p.doc_id AS doc_id, p.n_terms_hit AS n_terms_hit,
+         |         coalesce(p.s0, 0.0) + coalesce(p.s1, 0.0)
+         |           + coalesce(p.s2, 0.0) AS sc0,
+         |         coalesce(c.rep, p.doc_id) AS group_id
+         |  FROM p LEFT JOIN comp c ON c.doc_id = p.doc_id),
+         |best AS (
+         |  SELECT group_id, doc_id, n_terms_hit, sc0 FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY group_id
+         |      ORDER BY sc0 DESC, doc_id ASC) AS brn
+         |    FROM wg)
+         |  WHERE brn = 1)
+         |SELECT doc_id, group_id, n_terms_hit, round(sc0, 6) AS score,
+         |       rk::BIGINT AS rk FROM (
+         |  SELECT *, row_number() OVER (
+         |    ORDER BY sc0 DESC, doc_id ASC) AS rk
+         |  FROM best)
+         |WHERE rk <= 10""".stripMargin,
+
+    // per-family recount from the raw corpus: postings/positions from
+    // the unnested text, metadata/facet/code rows arithmetic off the
+    // table counts, dup-map membership via the q65 component walk,
+    // vocabulary extinction as the per-token all-quantifier
+    "q276_forget_audit" ->
+      s"""$duckBandsCte,
+         |$duckEdgesBody,
+         |walk AS (
+         |  WITH RECURSIVE w(v, l) AS (
+         |    SELECT s, s FROM edges
+         |    UNION
+         |    SELECT e.s, w.l FROM edges e JOIN w ON e.t = w.v)
+         |  SELECT * FROM w),
+         |comp AS (SELECT v AS doc_id, min(l) AS rep FROM walk GROUP BY v),
+         |post AS (
+         |  SELECT token, doc_id, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |    FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT 'index_postings' AS family, b::BIGINT AS rows_before,
+         |       r::BIGINT AS rows_removed, (b - r)::BIGINT AS rows_after
+         |FROM (SELECT (SELECT count(*) FROM post) AS b,
+         |             (SELECT count(*) FROM post
+         |              WHERE doc_id % 97 = 0) AS r)
+         |UNION ALL
+         |SELECT 'positional_positions', b::BIGINT, r::BIGINT,
+         |       (b - r)::BIGINT
+         |FROM (SELECT (SELECT sum(tf) FROM post) AS b,
+         |             (SELECT coalesce(sum(tf), 0) FROM post
+         |              WHERE doc_id % 97 = 0) AS r)
+         |UNION ALL
+         |SELECT 'norms', b::BIGINT, r::BIGINT, (b - r)::BIGINT
+         |FROM (SELECT (SELECT count(*) FROM documents) AS b,
+         |             (SELECT count(*) FROM documents
+         |              WHERE doc_id % 97 = 0) AS r)
+         |UNION ALL
+         |SELECT 'doc_meta', b::BIGINT, r::BIGINT, (b - r)::BIGINT
+         |FROM (SELECT (SELECT count(*) FROM documents) AS b,
+         |             (SELECT count(*) FROM documents
+         |              WHERE doc_id % 97 = 0) AS r)
+         |UNION ALL
+         |SELECT 'facets', (2 * b)::BIGINT, (2 * r)::BIGINT,
+         |       (2 * (b - r))::BIGINT
+         |FROM (SELECT (SELECT count(*) FROM documents) AS b,
+         |             (SELECT count(*) FROM documents
+         |              WHERE doc_id % 97 = 0) AS r)
+         |UNION ALL
+         |SELECT 'pq_codes', (8 * b)::BIGINT, (8 * r)::BIGINT,
+         |       (8 * (b - r))::BIGINT
+         |FROM (SELECT (SELECT count(*) FROM embeddings) AS b,
+         |             (SELECT count(*) FROM embeddings
+         |              WHERE vec_id % 97 = 0) AS r)
+         |UNION ALL
+         |SELECT 'dup_map', b::BIGINT, r::BIGINT, (b - r)::BIGINT
+         |FROM (SELECT (SELECT count(*) FROM comp) AS b,
+         |             (SELECT count(*) FROM comp
+         |              WHERE doc_id % 97 = 0) AS r)
+         |UNION ALL
+         |SELECT 'vocab_terms', b::BIGINT, r::BIGINT, (b - r)::BIGINT
+         |FROM (SELECT (SELECT count(DISTINCT token) FROM post) AS b,
+         |             (SELECT count(*) FROM (
+         |                SELECT token FROM post GROUP BY token
+         |                HAVING count(*) = count(CASE WHEN doc_id % 97 = 0
+         |                                        THEN 1 END))) AS r)""".stripMargin,
+
+    // the as-of replay: generation filter applied at the CORPUS level
+    // (doc_id % 4 ≤ 2 — the slice-tagging rule), every statistic (df,
+    // n_docs) recomputed from the filtered postings
+    "q277_asof_search" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents WHERE doc_id % 4 <= 2)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id, tf FROM (
+        |    SELECT token, doc_id, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |vocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM post),
+        |g AS (
+        |  SELECT 'hash' AS token, 0 AS ord
+        |  UNION ALL SELECT 'join', 1
+        |  UNION ALL SELECT 'window', 2),
+        |sc AS (
+        |  SELECT i.doc_id AS doc_id, g.ord AS ord,
+        |         (11 * i.tf * (2 * n_docs - 2 * v.df + 1))::DOUBLE
+        |         / ((5 * i.tf + 6) * (2 * v.df + 1))::DOUBLE AS s
+        |  FROM idx i JOIN g USING (token) JOIN vocab v USING (token), nd),
+        |p AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+        |         max(CASE WHEN ord = 0 THEN s END) AS s0,
+        |         max(CASE WHEN ord = 1 THEN s END) AS s1,
+        |         max(CASE WHEN ord = 2 THEN s END) AS s2
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_terms_hit, round(sc0, 6) AS score,
+        |       rk::BIGINT AS rk FROM (
+        |  SELECT doc_id, n_terms_hit,
+        |         coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |           + coalesce(s2, 0.0) AS sc0,
+        |         row_number() OVER (
+        |           ORDER BY coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |             + coalesce(s2, 0.0) DESC, doc_id ASC) AS rk
+        |  FROM p)
+        |WHERE rk <= 10""".stripMargin,
 
   )
 }

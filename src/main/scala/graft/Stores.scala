@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Bucketing, Graph, Pq, TextAnalysis}
+import graft.ops.{Bucketing, Dedup, Graph, Pq, TextAnalysis}
 
 /** Materialized serving stores over the driver's tables — the "index
   * built at ingest, queries read the store" posture every real engine
@@ -349,6 +349,28 @@ object Stores {
           .as(Seq("facet", "value")))
         .write.mode("overwrite").format("parquet")
         .partitionBy("facet", "value").saveAsTable(t)
+    }
+  }
+
+  /** The near-dup CLUSTER map — (doc_id, rep) for every document that
+    * participates in any MinHash/LSH near-dup component (rep = the
+    * component's minimum doc_id, [[Dedup.connectedComponents]] over
+    * the q65 candidate derivation); singleton docs are ABSENT (the
+    * collapse read coalesces them to themselves), so the table is
+    * membership-scale, not corpus-scale. This is the artifact a
+    * result-page "group similar results" feature serves from — the
+    * component walk runs once at ingest, never per query.
+    */
+  def dupMap(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_dupmap_${key(dir)}"
+    serve(s, t) {
+      Dedup.connectedComponents(
+          Dedup.lshCandidates(
+            Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"),
+            maxBucketSize = Int.MaxValue),
+          "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("component").as("rep"))
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
     }
   }
 

@@ -54,6 +54,58 @@ object Similarity {
         round(col("_rrf"), 6).as("rrf"), col("rk"))
   }
 
+  /** Tiered retrieval rerank — the cascade every production search
+    * stack runs: a CHEAP recall stage (lexical BM25 off the capped
+    * index) nominates `candidates` (doc_id, rank), and the EXPENSIVE
+    * precision stage (exact cosine against the query vector) scores
+    * only those candidates — never the corpus. [[rrfFuse]] merges two
+    * independent top-k lists by rank alone; this instead RESCORES the
+    * lexical list with exact vector math, the shape used when the
+    * vector side is too expensive to run corpus-wide (a cross-encoder
+    * or exact float scan at 100 TB) but trivially affordable on ≤ N
+    * nominated rows.
+    *
+    * Scale posture: `candidates` is top-N bounded by construction
+    * (the recall stage's k), so it broadcasts and the embedding scan
+    * streams through one broadcast hash join — no Exchange over the
+    * vector table, no corpus-wide cosine. Candidates whose vector is
+    * missing or zero-norm are DROPPED (a zero norm makes cosine
+    * 0/0 = NaN, which Spark orders above all doubles — the
+    * [[normedVectors]] guard); the query vector itself must resolve
+    * to exactly one non-zero row or the read raises (the oneRowScalar
+    * posture — an absent query vector must not silently serve an
+    * empty page). `queryId`'s own doc is excluded from the output,
+    * matching [[cosineKnn]]'s self-exclusion.
+    */
+  def rerankCosine(candidates: DataFrame, emb: DataFrame,
+                   idCol: String, vecCol: String,
+                   queryId: Long, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.functions.VectorExprs.ensureRegistered(emb.sparkSession)
+    val e = normedVectors(emb, idCol, vecCol)
+    // exactly-one-row contract on the query vector: count + first is
+    // exact on a ≤1-row frame, and 0 rows (absent id OR zero-norm
+    // vector) raises instead of cross-joining an empty frame
+    val q = e.filter(col("vid") === queryId)
+      .agg(count(lit(1)).as("_nq"),
+        first(col("vec")).as("q_vec"), first(col("norm2")).as("q_norm2"))
+      .select(
+        when(col("_nq") === 1L, col("q_vec"))
+          .otherwise(raise_error(concat(
+            lit(s"rerankCosine: query vector $queryId resolved to "),
+            col("_nq").cast("string"),
+            lit(" usable rows (absent or zero-norm)")))).as("q_vec"),
+        col("q_norm2"))
+    val cand = candidates.select(col("doc_id"), col("rank").as("lex_rk"))
+    val scored = e.join(broadcast(cand), col("vid") === col("doc_id"))
+      .filter(col("vid") =!= queryId)
+      .crossJoin(broadcast(q)) // exactly 1 row — enforced above
+      .select(col("doc_id"), col("lex_rk"),
+        expr("round(array_dot(q_vec, vec) / sqrt(q_norm2 * norm2), 6)")
+          .as("score"))
+    TopN.globalRanked(scored, k, col("score").desc, col("doc_id").asc)
+  }
+
   /** Squared L2 norm via the native codegen'd dot product. */
   private val norm2Sql = "array_dot(%s, %s)"
 

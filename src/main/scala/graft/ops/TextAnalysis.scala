@@ -1759,8 +1759,29 @@ object TextAnalysis {
   def bm25QueryK(index: DataFrame, nDocs: DataFrame, terms: DataFrame,
                  nTerms: Int, k: Int,
                  checkpointDir: Option[String] = None,
-                 allowed: Option[DataFrame] = None): DataFrame = {
+                 allowed: Option[DataFrame] = None,
+                 excludedId: Option[Long] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    topKRanked(
+        bm25ScoredK(index, nDocs, terms, nTerms, checkpointDir,
+          allowed, excludedId),
+        k, col("_score").desc, col("doc_id").asc)
+      .select(col("doc_id"), col("n_terms_hit"),
+        round(col("_score"), 6).as("score"), col("rk"))
+  }
+
+  /** The scoring body of [[bm25QueryK]] WITHOUT the final rank —
+    * (doc_id, n_terms_hit, _score) for every candidate doc, shared
+    * with [[collapseSearch]] (which groups candidates before ranking,
+    * so it must see the full cap-bounded candidate frame, not a
+    * top-k cut). One implementation, so the collapse read's scores
+    * cannot drift from the plain read's.
+    */
+  private def bm25ScoredK(index: DataFrame, nDocs: DataFrame,
+                          terms: DataFrame, nTerms: Int,
+                          checkpointDir: Option[String],
+                          allowed: Option[DataFrame],
+                          excludedId: Option[Long]): DataFrame = {
     require(nTerms >= 1 && nTerms <= 8,
       "nTerms must be in [1, 8] (the pivot width)")
     val idx = Checkpoints.pin(index, checkpointDir, eager = false)
@@ -1790,7 +1811,12 @@ object TextAnalysis {
     // a filter narrows the result set, not the corpus the relevance
     // model was fit on; the rank then runs within the filtered set,
     // which is what a filtered result page shows.
-    val hits0 = idx.join(broadcast(t), Seq("token"))
+    // self-exclusion for doc-as-query reads ([[moreLikeThis]]): one
+    // pushed != predicate on the cap-bounded hit frame, applied before
+    // the allowed-restriction so both filters narrow the same frame
+    val hitsAll = idx.join(broadcast(t), Seq("token"))
+    val hits0 = excludedId.fold(hitsAll)(id =>
+      hitsAll.filter(col("doc_id") =!= lit(id)))
     val hits = allowed.fold(hits0) { a =>
       // two consumers of the hit frame (id probe + final semi-join)
       val h = Checkpoints.pin(hits0, checkpointDir, eager = false)
@@ -1813,9 +1839,50 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms_hit"), pivots: _*)
     val score = (0 until nTerms).map(i =>
       coalesce(col(s"_s$i"), lit(0.0))).reduceLeft(_ + _)
-    topKRanked(g.withColumn("_score", score),
-        k, col("_score").desc, col("doc_id").asc)
-      .select(col("doc_id"), col("n_terms_hit"),
+    g.withColumn("_score", score)
+      .select(col("doc_id"), col("n_terms_hit"), col("_score"))
+  }
+
+  /** Field-collapsed search — the "group near-duplicates in results"
+    * read every production result page runs: candidates score exactly
+    * as [[bm25QueryK]] (same [[bm25ScoredK]] body), then collapse to
+    * one row per near-dup cluster (`dupMap`: (doc_id, rep) for every
+    * doc in an LSH connected component — [[graft.Stores.dupMap]];
+    * docs absent from the map are their own group), keeping each
+    * group's best-scoring doc (ties to the lower doc_id), and the
+    * groups rank by their champion's score. Collapsing runs over the
+    * FULL cap-bounded candidate frame — collapsing a pre-cut top-N
+    * could miss a group entirely if its champion sat below the cut.
+    *
+    * Scale posture: the dup map is membership-scale (only docs that
+    * participate in some near-dup pair), but still not cap-bounded —
+    * so it is semi-joined DOWN to the broadcast candidate ids first
+    * and the survivors broadcast back (the q270 allowed-frame
+    * pattern); the group-best argmax is a declarative struct-max
+    * (map-side partial combine), and the final rank is the shared
+    * TakeOrderedAndProject top-k.
+    */
+  def collapseSearch(index: DataFrame, nDocs: DataFrame,
+                     terms: DataFrame, nTerms: Int, k: Int,
+                     dupMap: DataFrame,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // two consumers of the candidate frame: rep probe + group join
+    val scored = Checkpoints.pin(
+      bm25ScoredK(index, nDocs, terms, nTerms, checkpointDir,
+        allowed = None, excludedId = None),
+      checkpointDir, eager = false)
+    val reps = dupMap.join(broadcast(scored.select(col("doc_id"))),
+      Seq("doc_id"), "left_semi")
+    val best = scored.join(broadcast(reps), Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("rep"), col("doc_id")))
+      .groupBy(col("group_id"))
+      .agg(max(struct(col("_score").as("s"), (-col("doc_id")).as("nid"),
+        col("n_terms_hit").as("h"))).as("m"))
+      .select((-col("m.nid")).as("doc_id"), col("group_id"),
+        col("m.h").as("n_terms_hit"), col("m.s").as("_score"))
+    topKRanked(best, k, col("_score").desc, col("doc_id").asc)
+      .select(col("doc_id"), col("group_id"), col("n_terms_hit"),
         round(col("_score"), 6).as("score"), col("rk"))
   }
 
@@ -1845,6 +1912,66 @@ object TextAnalysis {
                   query: String): DataFrame = {
     import s.implicits._
     parseQuery(query).toDF("ord", "token")
+  }
+
+  /** "More like this" — the related-documents serving read: the seed
+    * document becomes the query. Its top-`m` terms by (tf desc, df
+    * asc, token asc) — frequent in the doc, rare in the corpus, the
+    * integer-exact ordering (no double tf·idf whose ties could break
+    * differently across engines) — feed the k-term BM25 read with the
+    * seed excluded from its own results.
+    *
+    * Scale posture: the seed fetch is ONE pushed `doc_id =` predicate
+    * on the corpus (row-group pruned; at 100 TB an id-addressed doc
+    * store plays this role), the term scoring probes the dictionary
+    * store with the doc-length-bounded seed frame BROADCAST into it
+    * (the seed's tokens are data-dependent, so a pushed In literal
+    * list is not available without a collect — the broadcast keeps
+    * the derivation fully distributed), and the retrieval itself is
+    * [[bm25QueryK]]'s cap-bounded read. A seed id that matches zero
+    * or several rows RAISES via a bounded existence point-read — a
+    * missing doc must not silently serve an empty related-items page.
+    */
+  def moreLikeThis(index: DataFrame, nDocs: DataFrame, vocab: DataFrame,
+                   docs: DataFrame, idCol: String, textCol: String,
+                   docId: Long, m: Int, k: Int,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    // a missing/duplicated seed must RAISE, not silently serve an
+    // empty related-items page. The check is a bounded point-read
+    // (pushed id predicate + limit 2 — never more than 2 rows move),
+    // NOT a raise_error guard frame: with zero seed rows every
+    // downstream frame is empty and empty-relation propagation would
+    // eliminate an in-plan guard before it could fire.
+    val nSeed = docs.filter(col(idCol) === lit(docId))
+      .select(col(idCol)).limit(2).count()
+    if (nSeed != 1)
+      throw new IllegalArgumentException(
+        s"moreLikeThis: seed doc $docId matched $nSeed rows — need " +
+          "exactly 1")
+    bm25QueryK(index, nDocs,
+      moreLikeThisTerms(vocab, docs, idCol, textCol, docId, m),
+      nTerms = m, k,
+      checkpointDir = checkpointDir, excludedId = Some(docId))
+  }
+
+  /** [[moreLikeThis]]'s seed-term derivation, exposed so its plan
+    * shape is pinnable on its own (the k-term read pins the terms
+    * frame, hiding this subtree behind the checkpoint): the seed
+    * doc's tokens ranked by (tf desc, df asc, token asc), top `m`,
+    * as the (ord, token) frame the k-term reads consume.
+    */
+  def moreLikeThisTerms(vocab: DataFrame, docs: DataFrame,
+                        idCol: String, textCol: String,
+                        docId: Long, m: Int): DataFrame = {
+    require(m >= 1 && m <= 8, "m must be in [1, 8] (the pivot width)")
+    val seedTf = docs.filter(col(idCol) === lit(docId))
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("_stf"))
+    val withDf = vocab.join(broadcast(seedTf), Seq("token"))
+      .select(col("token"), col("_stf"), col("df"))
+    TopN.globalRanked(withDf, m,
+        col("_stf").desc, col("df").asc, col("token").asc)
+      .select((col("rk") - 1L).as("ord"), col("token"))
   }
 
   /** Threshold-algorithm (Fagin TA) CERTIFIED pruned top-k — the

@@ -2719,6 +2719,126 @@ class MiningSpec extends AnyFunSuite {
       (3L, "sun", 3L, 0.375)))
   }
 
+  test("moreLikeThis: seed terms by (tf desc, df asc, token asc), seed excluded from results, missing seed raises") {
+    val sp = spark
+    import sp.implicits._
+    // seed doc 1: a tf2, b tf1, z tf1 · df(a)=3, df(b)=2, df(z)=1
+    // m=2 → terms a (tf 2), then z beats b on df asc
+    val df = docs((1, "a a b z", "s"), (2, "a b", "s"), (3, "a", "s"))
+    val posts = TextAnalysis.tokenPostings(df, "doc_id", "text")
+    val idx = TextAnalysis.cappedIndex(posts, 10)
+    val nd = df.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val dict = TextAnalysis.termDictionary(posts)
+    val got = TextAnalysis.moreLikeThis(idx, nd, dict, df, "doc_id",
+        "text", docId = 1L, m = 2, k = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms_hit"),
+        r.getAs[Double]("score"), r.getAs[Long]("rk"))).toSet
+    // candidates (doc 1 excluded): d2 and d3 hit only 'a' (z is
+    // seed-exclusive), tf 1 each → equal scores, doc_id tie-break.
+    // s(a, tf1) = 11·1·(6−6+1)/((5+6)·(2·3+1)) = 11/77 = 0.142857
+    assert(got === Set((2L, 1L, 0.142857, 1L), (3L, 1L, 0.142857, 2L)))
+    // identical to the explicit k-term call with the seed excluded
+    val explicit = TextAnalysis.bm25QueryK(idx, nd,
+        Seq((0L, "a"), (1L, "z")).toDF("ord", "token"),
+        nTerms = 2, k = 10, excludedId = Some(1L)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms_hit"),
+        r.getAs[Double]("score"), r.getAs[Long]("rk"))).toSet
+    assert(got === explicit)
+    // a seed id matching zero docs must raise, not serve empty
+    val ex = intercept[Exception] {
+      TextAnalysis.moreLikeThis(idx, nd, dict, df, "doc_id", "text",
+        docId = 99L, m = 2, k = 10).collect()
+    }
+    assert(ex.getMessage.contains("moreLikeThis") ||
+      Option(ex.getCause).exists(_.getMessage.contains("moreLikeThis")))
+  }
+
+  test("rerankCosine: exact cosine over nominated candidates only; zero-norm drops; query self-excluded; bad query vector raises") {
+    val sp = spark
+    import sp.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),  // the query vector
+      (1L, Array(1.0f, 0.0f)),  // cos 1
+      (2L, Array(0.0f, 1.0f)),  // cos 0
+      (3L, Array(1.0f, 1.0f)),  // cos 1/√2
+      (4L, Array(0.0f, 0.0f)),  // zero-norm — must drop
+      (5L, Array(-1.0f, 0.0f))) // NOT nominated — must not appear
+      .toDF("vec_id", "embedding")
+    // candidate list includes the query doc itself (rank 5) — excluded
+    val cands = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (0L, 5L))
+      .toDF("doc_id", "rank")
+    val got = Similarity.rerankCosine(cands, emb, "vec_id", "embedding",
+        queryId = 0L, k = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("lex_rk"),
+        r.getAs[Double]("score"), r.getAs[Long]("rk"))).sortBy(_._4).toSeq
+    assert(got === Seq((1L, 1L, 1.0, 1L), (3L, 3L, 0.707107, 2L),
+      (2L, 2L, 0.0, 3L)))
+    // a zero-norm query vector must raise, not serve an empty page
+    val ex = intercept[Exception] {
+      Similarity.rerankCosine(cands, emb, "vec_id", "embedding",
+        queryId = 4L, k = 10).collect()
+    }
+    assert(ex.getMessage.contains("rerankCosine") ||
+      Option(ex.getCause).exists(_.getMessage.contains("rerankCosine")))
+  }
+
+  test("collapseSearch: one row per cluster, champion by (score desc, doc_id asc), singletons their own group") {
+    val sp = spark
+    import sp.implicits._
+    // tf(x): d1=2, d2=1, d3=3, d5=1 · df(x)=4, N=4
+    // s(tf) = 11·tf·(2·4−2·4+1)/((5tf+6)·9): tf3 → 33/189 = 0.174603,
+    // tf2 → 22/144 = 0.152778, tf1 → 11/99 = 0.111111
+    val df = docs((1, "x x", "s"), (2, "x", "s"), (3, "x x x", "s"),
+      (5, "x", "s"))
+    val posts = TextAnalysis.tokenPostings(df, "doc_id", "text")
+    val idx = TextAnalysis.cappedIndex(posts, 10)
+    val nd = df.agg(countDistinct(col("doc_id")).as("n_docs"))
+    // cluster {1,3} (champion 3 by score) and {2,5} (tie → doc 2)
+    val dupMap = Seq((1L, 1L), (3L, 1L), (2L, 2L), (5L, 2L))
+      .toDF("doc_id", "rep")
+    val got = TextAnalysis.collapseSearch(idx, nd,
+        Seq((0L, "x")).toDF("ord", "token"), nTerms = 1, k = 10,
+        dupMap = dupMap).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"),
+        r.getAs[Long]("n_terms_hit"), r.getAs[Double]("score"),
+        r.getAs[Long]("rk"))).toSet
+    assert(got === Set((3L, 1L, 1L, 0.174603, 1L),
+      (2L, 2L, 1L, 0.111111, 2L)))
+    // an empty dup map degenerates to the plain ranked read
+    val plain = TextAnalysis.collapseSearch(idx, nd,
+        Seq((0L, "x")).toDF("ord", "token"), nTerms = 1, k = 10,
+        dupMap = Seq.empty[(Long, Long)].toDF("doc_id", "rep")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rk"))).toSet
+    assert(plain === Set((3L, 1L), (1L, 2L), (2L, 3L), (5L, 4L)))
+  }
+
+  test("forgetAudit: per-family counts hand-traced; weighted rows; duplicate request ids collapse; vocabulary extinction is the all-quantifier") {
+    val sp = spark
+    import sp.implicits._
+    val posts = Seq(("a", 1L, 2L), ("a", 2L, 1L), ("b", 1L, 1L),
+      ("c", 3L, 4L)).toDF("token", "doc_id", "tf")
+    // the same id twice in one request must not double-count
+    val forget = Seq(1L, 1L).toDF("doc_id")
+    val fa = Forget.familyAudit("postings", posts, "doc_id", forget)
+      .collect()(0)
+    assert((fa.getString(0), fa.getLong(1), fa.getLong(2),
+      fa.getLong(3)) === ("postings", 4L, 2L, 2L))
+    // weighted: count position entries (tf), not rows
+    val fw = Forget.familyAudit("positions", posts, "doc_id", forget,
+      weight = col("tf")).collect()(0)
+    assert((fw.getLong(1), fw.getLong(2), fw.getLong(3)) ===
+      (8L, 3L, 5L))
+    // 'b' dies (its only posting is doc 1); 'a' survives via doc 2
+    val va = Forget.vocabAudit(posts, forget).collect()(0)
+    assert((va.getString(0), va.getLong(1), va.getLong(2),
+      va.getLong(3)) === ("vocab_terms", 3L, 1L, 2L))
+    // an empty store audits to zeros, never nulls
+    val fe = Forget.familyAudit("empty", posts.filter(col("tf") > 100),
+      "doc_id", forget).collect()(0)
+    assert((fe.getLong(1), fe.getLong(2), fe.getLong(3)) ===
+      (0L, 0L, 0L))
+  }
+
   test("dictionary derives from index slices: slice-merge ≡ corpus rescan") {
     val a = docs((1, "sun sun sand", "s"), (2, "sun sea", "s"))
     val b = docs((3, "sand salt sea", "s"), (4, "moon sun", "s"))

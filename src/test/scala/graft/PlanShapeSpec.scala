@@ -765,4 +765,78 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"q270 shuffled the facet-value doc list:\n$p")
   }
+
+  test("q273/q274/q275/q277: new serving reads rank via TakeOrderedAndProject — no single-partition candidate funnel") {
+    for (q <- Seq("q273_more_like_this", "q274_rerank_cosine",
+        "q275_collapse_search", "q277_asof_search")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q lost the sort-limit:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q funnels candidates through one task:\n$p")
+    }
+  }
+
+  test("q273: the seed fetch is ONE pushed doc_id predicate; term scoring probes the dictionary store") {
+    // the k-term read PINS its terms frame (localCheckpoint), so the
+    // outer q273 plan shows the subtree as Scan ExistingRDD — the
+    // seed-derivation shape is pinned on the exposed terms frame
+    val p = graft.ops.TextAnalysis.moreLikeThisTerms(
+        Stores.vocab(spark, dir), Tables.documents(spark, dir),
+        "doc_id", "text", docId = 0L, m = 3)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("EqualTo(doc_id,0)"),
+      s"q273 seed fetch must push its id predicate:\n$p")
+    assert(p.contains("graft_vocab_"),
+      s"q273 must probe the dictionary store, not recompute df:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"q273 must broadcast the doc-bounded seed frame:\n$p")
+  }
+
+  test("q274: candidates broadcast into the embedding scan — the vector table never shuffles, never cross-joins corpus-wide") {
+    val p = plan("q274_rerank_cosine")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q274 must broadcast the top-N candidate list:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q274 shuffled or crossed the embeddings table:\n$p")
+  }
+
+  test("q275: collapse reads the WRITTEN dup map; the membership probe broadcasts; corpus text nowhere") {
+    val p = plan("q275_collapse_search")
+    assert(p.contains("graft_dupmap_"),
+      s"q275 not dup-store-backed:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"q275 rescans the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q275 shuffled the dup map against the cap-bounded hits:\n$p")
+  }
+
+  test("q276: every family audit broadcasts the forget set — one scan per store, no shuffle joins, corpus nowhere") {
+    val p = plan("q276_forget_audit")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q276 shuffled a store against the request-bounded forget set:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"q276 must audit the WRITTEN stores, not the corpus:\n$p")
+    assert(p.contains("graft_pqcodes_") && p.contains("graft_dupmap_")
+        && p.contains("graft_facets_") && p.contains("graft_docmeta_"),
+      s"q276 must scan each family's written store:\n$p")
+  }
+
+  test("q277: the as-of generation filter is PUSHED into the index-store scan") {
+    // the as-of merge is pinned inside q277 (two consumers), so the
+    // pushed filter is asserted on the store-read frame the query
+    // builds from
+    import org.apache.spark.sql.functions.col
+    val p = Stores.index(spark, dir).filter(col("slice") <= 2L)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("graft_idx_"),
+      s"q277 must read the written slice store:\n$p")
+    assert(p.contains("LessThanOrEqual(slice,2)"),
+      s"q277 as-of filter must reach the store scan:\n$p")
+    // and the full read never touches the corpus (everything serves
+    // from stores; the pinned subtrees contain only store scans)
+    val full = plan("q277_asof_search")
+    assert(!full.contains("documents.parquet"),
+      s"q277 rescans the corpus instead of the store history:\n$full")
+  }
 }
