@@ -3993,6 +3993,44 @@ object SparkEntry {
       ).reduce(_.unionByName(_))
     }),
 
+    // query expansion: the seed term's strongest collocation partners
+    // (off the WRITTEN collocation dictionary, both bigram directions,
+    // max lift per partner) join the query as OR-terms — "hash" plus
+    // its two best partners through the k-term BM25 read; one pushed
+    // store probe, dictionary-scale work before the cap-bounded read
+    "q278_expansion_search" -> ((s, dir) =>
+      TextAnalysis.bm25QueryK(storedIndex(s, dir, maxPostings = 1000),
+        Stores.norms(s, dir)
+          .agg(countDistinct(col("doc_id")).as("n_docs")),
+        TextAnalysis.expandTerms(Stores.collocations(s, dir),
+          seed = "hash", e = 2),
+        nTerms = 3, k = 10)),
+
+    // the forget EXECUTION read (q276's serving sibling): the
+    // id-addressed erasure request fetches its texts by broadcast
+    // semi-join (the content-addressed tombstone derivation), the
+    // tombstone slice unions against the WRITTEN store, and the same
+    // literal search serves with df/n_docs recomputed — results as if
+    // the forgotten docs were never ingested; history files untouched
+    "q279_forget_search" -> ((s, dir) => {
+      val forget = Stores.norms(s, dir)
+        .filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+      val tomb = TextAnalysis.indexTombstones(
+        Tables.documents(s, dir)
+          .join(broadcast(forget), Seq("doc_id"), "left_semi")
+          .withColumn("slice", lit(99L)),
+        "doc_id", "text", "slice")
+      val merged = graft.ops.Checkpoints.pin(
+        TextAnalysis.indexMergeSlices(
+          Stores.index(s, dir).unionByName(tomb)),
+        None, eager = false) // two consumers: capped view + n_docs
+      TextAnalysis.bm25QueryK(
+        TextAnalysis.cappedIndex(merged, maxPostings = 1000),
+        merged.agg(countDistinct(col("doc_id")).as("n_docs")),
+        TextAnalysis.searchTerms(s, "hash join window"),
+        nTerms = 3, k = 10)
+    }),
+
     // time travel: the index store's slice tags ARE the history — an
     // as-of-generation read filters the written slices (one pushed
     // predicate on the bucket files), re-derives the capped view AND
@@ -10382,6 +10420,119 @@ object SparkEntry {
          |                SELECT token FROM post GROUP BY token
          |                HAVING count(*) = count(CASE WHEN doc_id % 97 = 0
          |                                        THEN 1 END))) AS r)""".stripMargin,
+
+    // q237's lift CTEs (uncut) → seed-partner argmax → the 3-term
+    // BM25 pivot with the seed at ord 0 and partners at 1..2
+    "q278_expansion_search" ->
+      """WITH g0 AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT string_split(text, ' ') AS ws,
+        |               unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+        |        FROM documents)),
+        |bg AS (SELECT w1, w2, count(*)::BIGINT AS c_xy FROM g0 GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x FROM bg GROUP BY 1),
+        |c2 AS (SELECT w2, CAST(sum(c_xy) AS BIGINT) AS c_y FROM bg GROUP BY 1),
+        |n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bg),
+        |lt AS (
+        |  SELECT bg.w1, bg.w2,
+        |         round((n.n_bi * bg.c_xy)::DOUBLE
+        |               / (c1.c_x * c2.c_y)::DOUBLE, 6) AS lift
+        |  FROM bg JOIN c1 USING (w1) JOIN c2 USING (w2), n
+        |  WHERE bg.c_xy >= 5),
+        |prt AS (
+        |  SELECT partner, max(lift) AS ml FROM (
+        |    SELECT CASE WHEN w1 = 'hash' THEN w2 ELSE w1 END AS partner,
+        |           lift
+        |    FROM lt WHERE w1 = 'hash' OR w2 = 'hash')
+        |  WHERE partner <> 'hash' GROUP BY 1),
+        |t AS (
+        |  SELECT 'hash' AS token, 0 AS ord
+        |  UNION ALL
+        |  SELECT partner, rn FROM (
+        |    SELECT partner, row_number() OVER (
+        |      ORDER BY ml DESC, partner ASC) AS rn
+        |    FROM prt)
+        |  WHERE rn <= 2),
+        |post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id, tf FROM (
+        |    SELECT token, doc_id, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |tvocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT i.doc_id AS doc_id, t.ord AS ord,
+        |         (11 * i.tf * (2 * n_docs - 2 * v.df + 1))::DOUBLE
+        |         / ((5 * i.tf + 6) * (2 * v.df + 1))::DOUBLE AS s
+        |  FROM idx i JOIN t USING (token) JOIN tvocab v USING (token), nd),
+        |p AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+        |         max(CASE WHEN ord = 0 THEN s END) AS s0,
+        |         max(CASE WHEN ord = 1 THEN s END) AS s1,
+        |         max(CASE WHEN ord = 2 THEN s END) AS s2
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_terms_hit, round(sc0, 6) AS score,
+        |       rk::BIGINT AS rk FROM (
+        |  SELECT doc_id, n_terms_hit,
+        |         coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |           + coalesce(s2, 0.0) AS sc0,
+        |         row_number() OVER (
+        |           ORDER BY coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |             + coalesce(s2, 0.0) DESC, doc_id ASC) AS rk
+        |  FROM p)
+        |WHERE rk <= 10""".stripMargin,
+
+    // the forget replay: the erasure filter applied at the CORPUS
+    // level, every statistic recomputed over the survivors
+    "q279_forget_search" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents WHERE doc_id % 97 <> 0)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id, tf FROM (
+        |    SELECT token, doc_id, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |tvocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM post),
+        |g AS (
+        |  SELECT 'hash' AS token, 0 AS ord
+        |  UNION ALL SELECT 'join', 1
+        |  UNION ALL SELECT 'window', 2),
+        |sc AS (
+        |  SELECT i.doc_id AS doc_id, g.ord AS ord,
+        |         (11 * i.tf * (2 * n_docs - 2 * v.df + 1))::DOUBLE
+        |         / ((5 * i.tf + 6) * (2 * v.df + 1))::DOUBLE AS s
+        |  FROM idx i JOIN g USING (token) JOIN tvocab v USING (token), nd),
+        |p AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+        |         max(CASE WHEN ord = 0 THEN s END) AS s0,
+        |         max(CASE WHEN ord = 1 THEN s END) AS s1,
+        |         max(CASE WHEN ord = 2 THEN s END) AS s2
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_terms_hit, round(sc0, 6) AS score,
+        |       rk::BIGINT AS rk FROM (
+        |  SELECT doc_id, n_terms_hit,
+        |         coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |           + coalesce(s2, 0.0) AS sc0,
+        |         row_number() OVER (
+        |           ORDER BY coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |             + coalesce(s2, 0.0) DESC, doc_id ASC) AS rk
+        |  FROM p)
+        |WHERE rk <= 10""".stripMargin,
 
     // the as-of replay: generation filter applied at the CORPUS level
     // (doc_id % 4 ≤ 2 — the slice-tagging rule), every statistic (df,

@@ -352,6 +352,24 @@ object Stores {
     }
   }
 
+  /** The COLLOCATION dictionary — the full minCount-filtered bigram
+    * lift table ([[TextAnalysis.collocationTable]], the q237
+    * statistic without its top-k cut), written SORTED by w1 so a
+    * seed-term probe ((w1 = seed OR w2 = seed) — [[TextAnalysis
+    * .expandTerms]]) prunes row groups on the leading column. The
+    * related-terms artifact query expansion serves from; derived once
+    * at ingest, vocabulary-pair-scale under the minCount gate.
+    */
+  def collocations(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_colloc_${key(dir)}"
+    serve(s, t) {
+      TextAnalysis.collocationTable(Tables.documents(s, dir), "text",
+          minCount = 5L)
+        .sort("w1", "w2")
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+  }
+
   /** The near-dup CLUSTER map — (doc_id, rep) for every document that
     * participates in any MinHash/LSH near-dup component (rep = the
     * component's minimum doc_id, [[Dedup.connectedComponents]] over

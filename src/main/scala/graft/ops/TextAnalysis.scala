@@ -859,6 +859,22 @@ object TextAnalysis {
                       minCount: Long = 5L,
                       checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    collocationTable(df, textCol, minCount, checkpointDir)
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** The FULL minCount-filtered collocation table behind
+    * [[pmiCollocations]] — (w1, w2, c_xy, c_x, c_y, lift) for every
+    * bigram seen ≥ minCount times: the collocation DICTIONARY a
+    * deployment writes once at ingest ([[graft.Stores.collocations]])
+    * and probes per query ([[expandTerms]]'s related-term lookup).
+    * Vocabulary-pair-scale bounded by the minCount prune (the classic
+    * PMI noise gate doubles as the size cap).
+    */
+  def collocationTable(df: DataFrame, textCol: String,
+                       minCount: Long = 5L,
+                       checkpointDir: Option[String] = None): DataFrame = {
     require(minCount >= 1L, "minCount must be >= 1")
     val bg = Checkpoints.pin(
       df.select(explode(
@@ -877,8 +893,34 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
         round((col("n_bi") * col("c_xy")).cast("double") /
           (col("c_x") * col("c_y")).cast("double"), 6).as("lift"))
-      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
-      .limit(k)
+  }
+
+  /** Query EXPANSION off the written collocation store — the
+    * "related searches" derivation: the seed term's strongest
+    * collocation partners (either bigram direction, max lift per
+    * partner, ties by partner asc) become extra OR-terms for the
+    * k-term BM25 read. The seed keeps ord 0; partners take ords
+    * 1..e. Serving shape: ONE pushed (w1 = seed OR w2 = seed) probe
+    * on the dictionary-scale store, a partner-count-bounded argmax,
+    * and the shared TakeOrderedAndProject top-e — the corpus and the
+    * posting lists are touched only by the retrieval read that
+    * consumes the returned frame.
+    */
+  def expandTerms(colloc: DataFrame, seed: String, e: Int): DataFrame = {
+    require(e >= 1 && e <= 7,
+      "e must be in [1, 7] (the pivot width minus the seed's slot)")
+    val partners = colloc
+      .filter(col("w1") === seed || col("w2") === seed)
+      .select(when(col("w1") === seed, col("w2"))
+        .otherwise(col("w1")).as("partner"), col("lift"))
+      .filter(col("partner") =!= seed) // a "seed seed" bigram is not an expansion
+      .groupBy(col("partner")).agg(max(col("lift")).as("_ml"))
+    val ranked = TopN.globalRanked(partners, e,
+        col("_ml").desc, col("partner").asc)
+      .select(col("rk").as("ord"), col("partner").as("token"))
+    val sp = colloc.sparkSession
+    import sp.implicits._
+    Seq((0L, seed)).toDF("ord", "token").unionByName(ranked)
   }
 
   /** DSIR-style importance score (Xie et al. 2023, arXiv:2302.03169 —

@@ -2839,6 +2839,45 @@ class MiningSpec extends AnyFunSuite {
       (0L, 0L, 0L))
   }
 
+  test("expandTerms: partner argmax across both bigram directions, seed keeps ord 0, self-bigram dropped") {
+    val sp = spark
+    import sp.implicits._
+    val colloc = Seq(
+      ("q", "a", 10L, 10L, 10L, 2.0), // partner a via the w2 slot
+      ("b", "q", 5L, 5L, 5L, 3.0),    // partner b via the w1 slot
+      ("a", "q", 5L, 5L, 5L, 1.0),    // a again, lower lift — argmax keeps 2.0
+      ("q", "q", 7L, 7L, 7L, 9.9),    // the self-bigram is not an expansion
+      ("x", "y", 9L, 9L, 9L, 8.0))    // unrelated pair never joins
+      .toDF("w1", "w2", "c_xy", "c_x", "c_y", "lift")
+    val got = TextAnalysis.expandTerms(colloc, "q", e = 2).collect()
+      .map(r => (r.getAs[Long]("ord"), r.getAs[String]("token"))).toSet
+    assert(got === Set((0L, "q"), (1L, "b"), (2L, "a")))
+    // a seed with no partners expands to just itself
+    val lone = TextAnalysis.expandTerms(colloc, "zzz", e = 2).collect()
+      .map(r => (r.getAs[Long]("ord"), r.getAs[String]("token"))).toSet
+    assert(lone === Set((0L, "zzz")))
+  }
+
+  test("forget tombstones: id-addressed request fetches content tombstones; merge ≡ corpus-minus-F rescan") {
+    val sp = spark
+    import sp.implicits._
+    val df = docs((1, "a b a", "s"), (2, "b c", "s"), (3, "c", "s"))
+    val ingest = TextAnalysis.indexSlices(
+      df.withColumn("slice", lit(0L)), "doc_id", "text", "slice")
+    val forget = Seq(2L).toDF("doc_id")
+    val tomb = TextAnalysis.indexTombstones(
+      df.join(broadcast(forget), Seq("doc_id"), "left_semi")
+        .withColumn("slice", lit(1L)),
+      "doc_id", "text", "slice")
+    val served = TextAnalysis.indexMergeSlices(
+        ingest.unionByName(tomb)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val rescan = TextAnalysis.tokenPostings(
+        df.filter(col("doc_id") =!= 2L), "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served === rescan && served.nonEmpty)
+  }
+
   test("dictionary derives from index slices: slice-merge ≡ corpus rescan") {
     val a = docs((1, "sun sun sand", "s"), (2, "sun sea", "s"))
     val b = docs((3, "sand salt sea", "s"), (4, "moon sun", "s"))

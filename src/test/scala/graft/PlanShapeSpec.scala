@@ -822,6 +822,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q276 must scan each family's written store:\n$p")
   }
 
+  test("q278: the expansion probe pushes its seed disjunction onto the collocation store; the read ranks TakeOrdered") {
+    // the k-term read pins its terms frame, so the probe shape is
+    // asserted on the exposed expansion frame
+    val pt = graft.ops.TextAnalysis.expandTerms(
+        Stores.collocations(spark, dir), "hash", e = 2)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(pt.contains("graft_colloc_"),
+      s"q278 must probe the written collocation store:\n$pt")
+    assert(pt.contains("Or(EqualTo(w1,hash),EqualTo(w2,hash))"),
+      s"q278 seed probe must push its disjunction:\n$pt")
+    val p = plan("q278_expansion_search")
+    assert(p.contains("TakeOrderedAndProject")
+        && !p.contains("Exchange SinglePartition"),
+      s"q278 lost the scale-safe rank:\n$p")
+  }
+
+  test("q279: the erasure fetch is a broadcast semi-join on the corpus scan; the read ranks TakeOrdered") {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    // the tombstone derivation (pinned inside q279) must broadcast the
+    // request-bounded forget set into the corpus scan
+    val forget = Stores.norms(spark, dir)
+      .filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+    val pt = Tables.documents(spark, dir)
+      .join(broadcast(forget), Seq("doc_id"), "left_semi")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(pt.contains("BroadcastHashJoin") && pt.contains("LeftSemi")
+        && !pt.contains("SortMergeJoin"),
+      s"q279 shuffled the corpus against a request-bounded id list:\n$pt")
+    val p = plan("q279_forget_search")
+    assert(p.contains("TakeOrderedAndProject")
+        && !p.contains("Exchange SinglePartition"),
+      s"q279 lost the scale-safe rank:\n$p")
+  }
+
   test("q277: the as-of generation filter is PUSHED into the index-store scan") {
     // the as-of merge is pinned inside q277 (two consumers), so the
     // pushed filter is asserted on the store-read frame the query
