@@ -4006,6 +4006,26 @@ object SparkEntry {
           seed = "hash", e = 2),
         nTerms = 3, k = 10)),
 
+    // collocation-dictionary MAINTENANCE (the q212 lifecycle applied
+    // to this family): an ingest slice plus a content-addressed
+    // tombstone slice for every doc_id % 10 = 0 document merge to the
+    // lift table a corpus-minus rescan builds — marginals and the
+    // total shift automatically because the read derives them from
+    // the merged counts; top-20 by (lift desc, w1, w2)
+    "q280_colloc_maintenance" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ingest = TextAnalysis.collocSlices(
+        d.withColumn("slice", lit(0L)), "text", "slice")
+      val tomb = TextAnalysis.collocTombstones(
+        d.filter(col("doc_id") % 10 === 0).withColumn("slice", lit(1L)),
+        "text", "slice")
+      TextAnalysis.collocationTableFrom(
+          TextAnalysis.collocMergeSlices(ingest.unionByName(tomb)),
+          minCount = 5L)
+        .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+    }),
+
     // the forget EXECUTION read (q276's serving sibling): the
     // id-addressed erasure request fetches its texts by broadcast
     // semi-join (the content-addressed tombstone derivation), the
@@ -10489,6 +10509,25 @@ object SparkEntry {
         |             + coalesce(s2, 0.0) DESC, doc_id ASC) AS rk
         |  FROM p)
         |WHERE rk <= 10""".stripMargin,
+
+    // q237's replay over the corpus minus the tombstoned docs
+    "q280_colloc_maintenance" ->
+      """WITH g AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT string_split(text, ' ') AS ws,
+        |               unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+        |        FROM documents WHERE doc_id % 10 <> 0)),
+        |bg AS (SELECT w1, w2, count(*)::BIGINT AS c_xy FROM g GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x FROM bg GROUP BY 1),
+        |c2 AS (SELECT w2, CAST(sum(c_xy) AS BIGINT) AS c_y FROM bg GROUP BY 1),
+        |n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bg)
+        |SELECT bg.w1, bg.w2, bg.c_xy, c1.c_x, c2.c_y,
+        |       round((n.n_bi * bg.c_xy)::DOUBLE
+        |             / (c1.c_x * c2.c_y)::DOUBLE, 6) AS lift
+        |FROM bg JOIN c1 USING (w1) JOIN c2 USING (w2), n
+        |WHERE bg.c_xy >= 5
+        |ORDER BY lift DESC, w1 ASC, w2 ASC
+        |LIMIT 20""".stripMargin,
 
     // the forget replay: the erasure filter applied at the CORPUS
     // level, every statistic recomputed over the survivors

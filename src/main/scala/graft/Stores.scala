@@ -363,7 +363,15 @@ object Stores {
   def collocations(s: SparkSession, dir: String): DataFrame = {
     val t = s"graft_colloc_${key(dir)}"
     serve(s, t) {
-      TextAnalysis.collocationTable(Tables.documents(s, dir), "text",
+      // built through the SAME slice→merge path the incremental
+      // lifecycle uses (q280) — one code path, so a store read cannot
+      // drift from a corpus rescan (the q204 identity, this family)
+      TextAnalysis.collocationTableFrom(
+          TextAnalysis.collocMergeSlices(
+            TextAnalysis.collocSlices(
+              Tables.documents(s, dir)
+                .withColumn("slice", pmod(col("doc_id"), lit(Generations))),
+              "text", "slice")),
           minCount = 5L)
         .sort("w1", "w2")
         .write.mode("overwrite").format("parquet").saveAsTable(t)

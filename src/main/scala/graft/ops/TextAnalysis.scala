@@ -874,16 +874,27 @@ object TextAnalysis {
     */
   def collocationTable(df: DataFrame, textCol: String,
                        minCount: Long = 5L,
-                       checkpointDir: Option[String] = None): DataFrame = {
-    require(minCount >= 1L, "minCount must be >= 1")
-    val bg = Checkpoints.pin(
+                       checkpointDir: Option[String] = None): DataFrame =
+    collocationTableFrom(
       df.select(explode(
           graft.functions.WordNgrams(df.sparkSession, col(textCol), 2))
           .as("bg"))
         .groupBy(col("bg")).agg(count(lit(1)).as("c_xy"))
         .select(substring_index(col("bg"), " ", 1).as("w1"),
           substring_index(col("bg"), " ", -1).as("w2"), col("c_xy")),
-      checkpointDir, eager = false)
+      minCount, checkpointDir)
+
+  /** [[collocationTable]] over an ALREADY-AGGREGATED bigram-count
+    * frame (w1, w2, c_xy) — the read half the store lifecycle shares:
+    * the marginals (c_x, c_y) and the total are REaggregations of the
+    * count frame itself (never extra corpus scans), so a slice-merged
+    * store read and an inline corpus build produce the identical lift
+    * table (the q204 one-code-path rule applied to this family).
+    */
+  def collocationTableFrom(bigrams: DataFrame, minCount: Long,
+                           checkpointDir: Option[String] = None): DataFrame = {
+    require(minCount >= 1L, "minCount must be >= 1")
+    val bg = Checkpoints.pin(bigrams, checkpointDir, eager = false)
     val c1 = bg.groupBy(col("w1")).agg(sum(col("c_xy")).as("c_x"))
     val c2 = bg.groupBy(col("w2")).agg(sum(col("c_xy")).as("c_y"))
     val n = bg.agg(sum(col("c_xy")).as("n_bi"))
@@ -894,6 +905,53 @@ object TextAnalysis {
         round((col("n_bi") * col("c_xy")).cast("double") /
           (col("c_x") * col("c_y")).cast("double"), 6).as("lift"))
   }
+
+  /** Bigram-count SLICES — the collocation dictionary's ingest unit
+    * (the indexSlices posture for this family): per-slice (slice, w1,
+    * w2, c) counts aggregated from only that slice's documents.
+    * Counts are associative, so any slice split merges to what a
+    * full-corpus count builds.
+    */
+  def collocSlices(docs: DataFrame, textCol: String,
+                   sliceCol: String): DataFrame =
+    docs.select(col(sliceCol).as("slice"),
+        explode(graft.functions.WordNgrams(docs.sparkSession,
+          col(textCol), 2)).as("bg"))
+      .groupBy(col("slice"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("slice"), substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"), col("c"))
+
+  /** Fold stored bigram slices back to the (w1, w2, c_xy) count frame
+    * [[collocationTableFrom]] consumes: count sums per pair —
+    * order-independent and exact. Tombstone deletes
+    * ([[collocTombstones]]) cancel to exactly 0 and drop; a NEGATIVE
+    * merged count means a tombstone without a matching ingest and
+    * RAISES (the indexMergeSlices posture).
+    */
+  def collocMergeSlices(slices: DataFrame): DataFrame =
+    slices.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c")).as("_c"))
+      .select(col("w1"), col("w2"),
+        when(col("_c") >= 0, col("_c"))
+          .otherwise(raise_error(concat(
+            lit("collocMergeSlices: negative merged count for bigram "),
+            col("w1"), lit(" "), col("w2"),
+            lit(" — tombstone without matching ingest")))).as("c_xy"))
+      .filter(col("c_xy") > 0)
+
+  /** Tombstone slices for the collocation dictionary — the DELETE
+    * path (the LSM posture): the removed documents' bigram counts
+    * re-aggregated NEGATED, so the [[collocMergeSlices]] sum cancels
+    * their contribution exactly; content-addressed like the index
+    * tombstones (the tombstone must carry the same text the ingest
+    * saw). Marginals and the total shift automatically because the
+    * read derives them from the merged counts.
+    */
+  def collocTombstones(docs: DataFrame, textCol: String,
+                       sliceCol: String): DataFrame =
+    collocSlices(docs, textCol, sliceCol)
+      .select(col("slice"), col("w1"), col("w2"), (-col("c")).as("c"))
 
   /** Query EXPANSION off the written collocation store — the
     * "related searches" derivation: the seed term's strongest

@@ -2878,6 +2878,38 @@ class MiningSpec extends AnyFunSuite {
     assert(served === rescan && served.nonEmpty)
   }
 
+  test("collocation lifecycle: slice-merge ≡ corpus recount; tombstones cancel exactly; unmatched tombstone raises") {
+    val sp = spark
+    import sp.implicits._
+    val a = docs((1, "x y x y", "s"), (2, "y z", "s"))
+    val b = docs((3, "x y", "s"))
+    val sliced = TextAnalysis.collocSlices(
+        a.withColumn("slice", lit(0L)), "text", "slice")
+      .unionByName(TextAnalysis.collocSlices(
+        b.withColumn("slice", lit(1L)), "text", "slice"))
+    def counts(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // doc1: x y, y x, x y · doc2: y z · doc3: x y
+    assert(counts(TextAnalysis.collocMergeSlices(sliced)) ===
+      Set(("x", "y", 3L), ("y", "x", 1L), ("y", "z", 1L)))
+    // tombstoning doc3 cancels its bigram exactly (never below)
+    val tomb = TextAnalysis.collocTombstones(
+      b.withColumn("slice", lit(2L)), "text", "slice")
+    assert(counts(TextAnalysis.collocMergeSlices(
+        sliced.unionByName(tomb))) ===
+      Set(("x", "y", 2L), ("y", "x", 1L), ("y", "z", 1L)))
+    // a tombstone with no matching ingest drives the count negative
+    // and must raise, never serve phantom statistics
+    val bad = TextAnalysis.collocTombstones(
+      docs((9, "q q q", "s")).withColumn("slice", lit(3L)),
+      "text", "slice")
+    val ex = intercept[Exception] {
+      TextAnalysis.collocMergeSlices(sliced.unionByName(bad)).collect()
+    }
+    assert(ex.getMessage.contains("collocMergeSlices") ||
+      Option(ex.getCause).exists(_.getMessage.contains("collocMergeSlices")))
+  }
+
   test("dictionary derives from index slices: slice-merge ≡ corpus rescan") {
     val a = docs((1, "sun sun sand", "s"), (2, "sun sea", "s"))
     val b = docs((3, "sand salt sea", "s"), (4, "moon sun", "s"))
