@@ -8,8 +8,9 @@ import graft.ops.{Behavior, Checkpoints, Graph, TextAnalysis}
 
 /** The end-to-end "nightly ingest, all-day serving" topology as ONE
   * runnable job: a document stream and a transition-pair stream flow
-  * CONCURRENTLY through the exact-index, positional-index, and
-  * edge-warehouse ingest paths (foreachBatch, slice = micro-batch id —
+  * CONCURRENTLY through the exact-index, positional-index,
+  * collocation-count, and edge-warehouse ingest paths (foreachBatch,
+  * slice = micro-batch id —
   * the same slice code paths the batch builders and [[graft.Stores]]
   * use, so a mid-stream read cannot drift from a batch build), while
   * q206/q209/q246-shaped serving reads answer from the live tables at
@@ -27,8 +28,9 @@ import graft.ops.{Behavior, Checkpoints, Graph, TextAnalysis}
   */
 object ServingWarehouse {
 
-  /** The three live warehouse tables one serving deployment owns. */
-  case class Tables(index: String, positional: String, edges: String)
+  /** The four live warehouse tables one serving deployment owns. */
+  case class Tables(index: String, positional: String, edges: String,
+                    colloc: String)
 
   /** Idempotence guard shared by every per-batch ingest: foreachBatch
     * is AT-LEAST-ONCE (a batch whose append commits but whose offset
@@ -60,6 +62,10 @@ object ServingWarehouse {
     ingestOnce(s, t.positional, id) {
       TextAnalysis.positionalIngest(batch.withColumn("slice", lit(id)),
         "doc_id", "text", "slice", t.positional, buckets)
+    }
+    ingestOnce(s, t.colloc, id) {
+      TextAnalysis.collocIngest(batch.withColumn("slice", lit(id)),
+        "text", "slice", t.colloc, buckets)
     }
   }
 
@@ -165,4 +171,19 @@ object ServingWarehouse {
       TextAnalysis.termDictionary(
         TextAnalysis.indexMergeSlices(liveTable(s, t.index))),
       prefix, k)
+
+  /** q278-shaped read over the LIVE collocation-count table: the
+    * seed's expansion terms off the lift table derived from the
+    * merged counts (the prefixRead posture — the dictionary is a
+    * derived artifact, so the mid-stream form folds the landed count
+    * slices and the statistics shift with every generation). The w1
+    * bucketing keeps the (w1, w2) merge zero-Exchange.
+    */
+  def expansionRead(s: SparkSession, t: Tables, seed: String, e: Int,
+                    minCount: Long): DataFrame =
+    TextAnalysis.expandTerms(
+      TextAnalysis.collocationTableFrom(
+        TextAnalysis.collocMergeSlices(liveTable(s, t.colloc)),
+        minCount),
+      seed, e)
 }

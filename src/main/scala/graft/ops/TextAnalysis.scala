@@ -940,6 +940,20 @@ object TextAnalysis {
             lit(" — tombstone without matching ingest")))).as("c_xy"))
       .filter(col("c_xy") > 0)
 
+  /** Incremental collocation ingest — [[indexIngest]] for this
+    * family: aggregate ONLY the new slice's text through
+    * [[collocSlices]] (the same one code path as batch build) and
+    * APPEND its count rows to the w1-bucketed table; history files
+    * stay untouched. The w1 bucketing keeps [[collocMergeSlices]]'s
+    * (w1, w2) grouping zero-Exchange (partitioning on the leading key
+    * co-locates every pair). STREAMING: call per micro-batch inside
+    * `foreachBatch` with slice = batch id.
+    */
+  def collocIngest(docs: DataFrame, textCol: String, sliceCol: String,
+                   table: String, buckets: Int): Unit =
+    Bucketing.appendBucketed(collocSlices(docs, textCol, sliceCol),
+      table, Seq("w1"), buckets, sortCols = Seq("w1"))
+
   /** Tombstone slices for the collocation dictionary — the DELETE
     * path (the LSM posture): the removed documents' bigram counts
     * re-aggregated NEGATED, so the [[collocMergeSlices]] sum cancels

@@ -1117,7 +1117,7 @@ class StreamingSpec extends AnyFunSuite {
     import graft.ops.{Behavior, Graph, TextAnalysis}
     val base = java.nio.file.Files.createTempDirectory("graft-sw-")
     val t = ServingWarehouse.Tables("graft_sw_idx", "graft_sw_pidx",
-      "graft_sw_edges")
+      "graft_sw_edges", "graft_sw_colloc")
     val docs1 = Seq((1L, "a b a"), (2L, "b a b c"), (3L, "c a b"))
     val docs2 = Seq((4L, "a b"), (5L, "b c b c a b"))
     val pairs1 = Seq((10L, 11L), (11L, 12L), (10L, 11L))
@@ -1138,6 +1138,11 @@ class StreamingSpec extends AnyFunSuite {
           .withColumn("slice", lit(0L)), "src", "dst", "slice"),
         t.edges, Seq("src"), buckets = 4, sortCols = Seq("src"),
         path = Some(base.resolve("edges").toString))
+      graft.ops.Bucketing.writeBucketed(
+        TextAnalysis.collocSlices(docs1.take(0).toDF("doc_id", "text")
+          .withColumn("slice", lit(0L)), "text", "slice"),
+        t.colloc, Seq("w1"), buckets = 4, sortCols = Seq("w1"),
+        path = Some(base.resolve("colloc").toString))
       val docsIn = MemoryStream[(Long, String)]
       val pairsIn = MemoryStream[(Long, Long)]
       val qs = ServingWarehouse.start(
@@ -1152,7 +1157,10 @@ class StreamingSpec extends AnyFunSuite {
         ServingWarehouse.nextItemRead(spark, t, k = 2)
           .as[(Long, Long, Long, Long, Long)].collect().toSet,
         ServingWarehouse.prefixRead(spark, t, prefix = "b", k = 3)
-          .as[(String, Long, Long)].collect().toSet)
+          .as[(String, Long, Long)].collect().toSet,
+        ServingWarehouse.expansionRead(spark, t, seed = "a", e = 2,
+            minCount = 1L)
+          .as[(Long, String)].collect().toSet)
       // the same read BODIES over slices derived from the landed data
       def expected(docs: Seq[(Long, String)], pairs: Seq[(Long, Long)]) = {
         val idx = TextAnalysis.indexSlices(docs.toDF("doc_id", "text")
@@ -1174,7 +1182,15 @@ class StreamingSpec extends AnyFunSuite {
           .as[(Long, Long, Long, Long, Long)].collect().toSet,
          TextAnalysis.prefixSearch(TextAnalysis.termDictionary(merged),
             "b", 3)
-          .as[(String, Long, Long)].collect().toSet)
+          .as[(String, Long, Long)].collect().toSet,
+         TextAnalysis.expandTerms(
+            TextAnalysis.collocationTableFrom(
+              TextAnalysis.collocMergeSlices(
+                TextAnalysis.collocSlices(docs.toDF("doc_id", "text")
+                  .withColumn("slice", lit(0L)), "text", "slice")),
+              minCount = 1L),
+            "a", 2)
+          .as[(Long, String)].collect().toSet)
       }
       docsIn.addData(docs1: _*)
       pairsIn.addData(pairs1: _*)
@@ -1182,7 +1198,7 @@ class StreamingSpec extends AnyFunSuite {
       val got1 = readAll()
       assert(got1 === expected(docs1, pairs1))
       assert(got1._1.nonEmpty && got1._2.nonEmpty && got1._3.nonEmpty
-        && got1._4.nonEmpty)
+        && got1._4.nonEmpty && got1._5.nonEmpty)
       // second micro-batch lands while the queries stay up: the reads
       // now see both generations merged
       docsIn.addData(docs2: _*)
@@ -1202,7 +1218,7 @@ class StreamingSpec extends AnyFunSuite {
         pairs2.toDF("src", "dst"), id = 1L, t, buckets = 4)
       assert(readAll() === got2)
     } finally {
-      for (tbl <- Seq(t.index, t.positional, t.edges))
+      for (tbl <- Seq(t.index, t.positional, t.edges, t.colloc))
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
     }
