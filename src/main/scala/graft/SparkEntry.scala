@@ -4051,6 +4051,48 @@ object SparkEntry {
         nTerms = 3, k = 10)
     }),
 
+    // negative search terms (the "-term" operator): "hash join
+    // -window" — BM25 over the positives off the capped index, docs
+    // carrying the negative term excluded via its FULL uncapped
+    // posting list (a capped exclusion would leak; one pushed token
+    // probe on the written store, then the semi-down/anti-back
+    // broadcast pattern — no doc-scale shuffle)
+    "q281_negative_search" -> ((s, dir) =>
+      TextAnalysis.bm25QueryK(storedIndex(s, dir, maxPostings = 1000),
+        Stores.norms(s, dir)
+          .agg(countDistinct(col("doc_id")).as("n_docs")),
+        TextAnalysis.searchTerms(s, "hash join"),
+        nTerms = 2, k = 10,
+        blocked = Some(TextAnalysis.indexMergeSlices(
+          Stores.index(s, dir).filter(col("token") === "window"))
+          .select(col("doc_id"))))),
+
+    // passage retrieval (the RAG read): chunks are the retrieval unit
+    // — the literal query scores CHUNKS off the written chunk-level
+    // capped index (df/N in the chunk domain), docs rank by their
+    // best chunk (MaxP), and the winning chunk_id rides along
+    "q282_passage_search" -> ((s, dir) =>
+      TextAnalysis.passageSearch(
+        Stores.chunkIndex(s, dir, maxPostings = 1000),
+        Stores.chunkStats(s, dir),
+        TextAnalysis.searchTerms(s, "hash join window"),
+        nTerms = 3, k = 10, chunkKeyBase = Stores.ChunkKeyBase)),
+
+    // RAG context assembly: the passage read's top-5 winning chunks
+    // fetch their TEXT from the written chunk table (stored fields
+    // beside postings — the context a generation pipeline consumes);
+    // hits broadcast into one store join, corpus touched nowhere
+    "q283_rag_context" -> ((s, dir) =>
+      Stores.chunkTable(s, dir)
+        .join(broadcast(TextAnalysis.passageSearch(
+          Stores.chunkIndex(s, dir, maxPostings = 1000),
+          Stores.chunkStats(s, dir),
+          TextAnalysis.searchTerms(s, "hash join window"),
+          nTerms = 3, k = 5, chunkKeyBase = Stores.ChunkKeyBase)),
+          Seq("doc_id", "chunk_id"))
+        .select(col("doc_id"), col("chunk_id"), col("n_terms_hit"),
+          col("score"), col("rk"), col("chunk"))),
+
     // time travel: the index store's slice tags ARE the history — an
     // as-of-generation read filters the written slices (one pushed
     // predicate on the bucket files), re-derives the capped view AND
@@ -10572,6 +10614,176 @@ object SparkEntry {
         |             + coalesce(s2, 0.0) DESC, doc_id ASC) AS rk
         |  FROM p)
         |WHERE rk <= 10""".stripMargin,
+
+    // the 2-term BM25 pivot minus every doc that contains the
+    // negative term (full posting list, not capped)
+    "q281_negative_search" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id, tf FROM (
+        |    SELECT token, doc_id, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |tvocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |neg AS (SELECT doc_id FROM post WHERE token = 'window'),
+        |g AS (
+        |  SELECT 'hash' AS token, 0 AS ord
+        |  UNION ALL SELECT 'join', 1),
+        |sc AS (
+        |  SELECT i.doc_id AS doc_id, g.ord AS ord,
+        |         (11 * i.tf * (2 * n_docs - 2 * v.df + 1))::DOUBLE
+        |         / ((5 * i.tf + 6) * (2 * v.df + 1))::DOUBLE AS s
+        |  FROM idx i JOIN g USING (token) JOIN tvocab v USING (token), nd
+        |  WHERE i.doc_id NOT IN (SELECT doc_id FROM neg)),
+        |p AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+        |         max(CASE WHEN ord = 0 THEN s END) AS s0,
+        |         max(CASE WHEN ord = 1 THEN s END) AS s1
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_terms_hit, round(sc0, 6) AS score,
+        |       rk::BIGINT AS rk FROM (
+        |  SELECT doc_id, n_terms_hit,
+        |         coalesce(s0, 0.0) + coalesce(s1, 0.0) AS sc0,
+        |         row_number() OVER (
+        |           ORDER BY coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |             DESC, doc_id ASC) AS rk
+        |  FROM p)
+        |WHERE rk <= 10""".stripMargin,
+
+    // the q83 chunk derivation → chunk-domain BM25 (df/N over chunks)
+    // → per-doc best-chunk argmax → doc rank
+    "q282_passage_search" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s0 AS (
+        |  SELECT doc_id, ws,
+        |         unnest(generate_series(0, greatest(len(ws) - 1 - 8, 0),
+        |                                24)) AS sw
+        |  FROM w),
+        |ch AS (
+        |  SELECT doc_id * 100000 + (sw // 24) AS cid,
+        |         array_to_string(ws[sw + 1 : sw + 32], ' ') AS chunk
+        |  FROM s0),
+        |post AS (
+        |  SELECT token, cid, count(*) AS tf FROM (
+        |    SELECT cid, unnest(string_split(chunk, ' ')) AS token
+        |    FROM ch)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, cid, tf FROM (
+        |    SELECT token, cid, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, cid ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |tvocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_chunks FROM ch),
+        |g AS (
+        |  SELECT 'hash' AS token, 0 AS ord
+        |  UNION ALL SELECT 'join', 1
+        |  UNION ALL SELECT 'window', 2),
+        |sc AS (
+        |  SELECT i.cid AS cid, g.ord AS ord,
+        |         (11 * i.tf * (2 * n_chunks - 2 * v.df + 1))::DOUBLE
+        |         / ((5 * i.tf + 6) * (2 * v.df + 1))::DOUBLE AS s
+        |  FROM idx i JOIN g USING (token) JOIN tvocab v USING (token), nd),
+        |p AS (
+        |  SELECT cid, count(*)::BIGINT AS n_terms_hit,
+        |         max(CASE WHEN ord = 0 THEN s END) AS s0,
+        |         max(CASE WHEN ord = 1 THEN s END) AS s1,
+        |         max(CASE WHEN ord = 2 THEN s END) AS s2
+        |  FROM sc GROUP BY cid),
+        |dec AS (
+        |  SELECT cid // 100000 AS d, cid % 100000 AS ch_id, n_terms_hit,
+        |         coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |           + coalesce(s2, 0.0) AS sc0
+        |  FROM p),
+        |best AS (
+        |  SELECT d, ch_id, n_terms_hit, sc0 FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY d ORDER BY sc0 DESC, ch_id ASC) AS brn
+        |    FROM dec)
+        |  WHERE brn = 1)
+        |SELECT d AS doc_id, ch_id::BIGINT AS chunk_id, n_terms_hit,
+        |       round(sc0, 6) AS score, rk::BIGINT AS rk FROM (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY sc0 DESC, d ASC) AS rk
+        |  FROM best)
+        |WHERE rk <= 10""".stripMargin,
+
+    // q282's replay at k=5 joined back to the chunk text
+    "q283_rag_context" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s0 AS (
+        |  SELECT doc_id, ws,
+        |         unnest(generate_series(0, greatest(len(ws) - 1 - 8, 0),
+        |                                24)) AS sw
+        |  FROM w),
+        |ch AS (
+        |  SELECT doc_id * 100000 + (sw // 24) AS cid,
+        |         array_to_string(ws[sw + 1 : sw + 32], ' ') AS chunk
+        |  FROM s0),
+        |post AS (
+        |  SELECT token, cid, count(*) AS tf FROM (
+        |    SELECT cid, unnest(string_split(chunk, ' ')) AS token
+        |    FROM ch)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, cid, tf FROM (
+        |    SELECT token, cid, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, cid ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |tvocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_chunks FROM ch),
+        |g AS (
+        |  SELECT 'hash' AS token, 0 AS ord
+        |  UNION ALL SELECT 'join', 1
+        |  UNION ALL SELECT 'window', 2),
+        |sc AS (
+        |  SELECT i.cid AS cid, g.ord AS ord,
+        |         (11 * i.tf * (2 * n_chunks - 2 * v.df + 1))::DOUBLE
+        |         / ((5 * i.tf + 6) * (2 * v.df + 1))::DOUBLE AS s
+        |  FROM idx i JOIN g USING (token) JOIN tvocab v USING (token), nd),
+        |p AS (
+        |  SELECT cid, count(*)::BIGINT AS n_terms_hit,
+        |         max(CASE WHEN ord = 0 THEN s END) AS s0,
+        |         max(CASE WHEN ord = 1 THEN s END) AS s1,
+        |         max(CASE WHEN ord = 2 THEN s END) AS s2
+        |  FROM sc GROUP BY cid),
+        |dec AS (
+        |  SELECT cid // 100000 AS d, cid % 100000 AS ch_id, n_terms_hit,
+        |         coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |           + coalesce(s2, 0.0) AS sc0
+        |  FROM p),
+        |best AS (
+        |  SELECT d, ch_id, n_terms_hit, sc0 FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY d ORDER BY sc0 DESC, ch_id ASC) AS brn
+        |    FROM dec)
+        |  WHERE brn = 1),
+        |rnk AS (
+        |  SELECT d, ch_id, n_terms_hit, sc0, rk FROM (
+        |    SELECT *, row_number() OVER (
+        |      ORDER BY sc0 DESC, d ASC) AS rk
+        |    FROM best)
+        |  WHERE rk <= 5)
+        |SELECT r.d AS doc_id, r.ch_id::BIGINT AS chunk_id,
+        |       r.n_terms_hit, round(r.sc0, 6) AS score,
+        |       r.rk::BIGINT AS rk, c.chunk AS chunk
+        |FROM rnk r JOIN ch c ON c.cid = r.d * 100000 + r.ch_id""".stripMargin,
 
     // the as-of replay: generation filter applied at the CORPUS level
     // (doc_id % 4 ≤ 2 — the slice-tagging rule), every statistic (df,

@@ -352,6 +352,82 @@ object Stores {
     }
   }
 
+  /** Chunk width / overlap / composite-key base for the passage
+    * (chunk-level) retrieval store — constants so the store layout
+    * and every serving read agree (the PqM posture).
+    */
+  private[graft] val ChunkWidth = 32
+  private[graft] val ChunkOverlap = 8
+  private[graft] val ChunkKeyBase = 100000L
+
+  /** The CHUNK-level capped inverted index — the passage-retrieval
+    * serving artifact (q282): documents split into overlapping
+    * fixed-width word chunks ([[TextAnalysis.chunkWords]], the q83
+    * transform), postings keyed by the composite chunk id
+    * (doc · base + chunk), capped and impact-ordered like
+    * [[cappedIndex]]. Chunking and the per-token rank run ONCE here;
+    * reads probe token buckets.
+    */
+  def chunkIndex(s: SparkSession, dir: String,
+                 maxPostings: Int): DataFrame = {
+    val t = s"graft_chidx${maxPostings}_${key(dir)}"
+    serve(s, t) {
+      TextAnalysis.cappedIndex(
+          TextAnalysis.tokenPostings(
+            TextAnalysis.chunkWords(Tables.documents(s, dir), "doc_id",
+                "text", chunkWords = ChunkWidth,
+                overlapWords = ChunkOverlap)
+              // a chunk_id past the key base would silently collide
+              // composite keys across documents — ENFORCED per row
+              // (the observable-cap rule), not assumed
+              .select((col("doc_id") * lit(ChunkKeyBase)
+                + when(col("chunk_id") < ChunkKeyBase, col("chunk_id"))
+                  .otherwise(raise_error(concat(
+                    lit("chunkIndex: chunk_id "),
+                    col("chunk_id").cast("string"),
+                    lit(s" >= key base $ChunkKeyBase for doc "),
+                    col("doc_id").cast("string"),
+                    lit(" — raise ChunkKeyBase"))))).as("cid"),
+                col("chunk")),
+            "cid", "chunk"), maxPostings)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(16, "token").sortBy("token").saveAsTable(t)
+    }
+  }
+
+  /** The chunk-domain corpus statistic beside [[chunkIndex]] — ONE
+    * row (n_chunks), persisted because the capped index cannot
+    * recover the chunk count (the norms-file posture): a chunk whose
+    * every token's posting list was capped out would vanish from a
+    * distinct-count over the capped rows.
+    */
+  def chunkStats(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_chstats_${key(dir)}"
+    serve(s, t) {
+      TextAnalysis.chunkWords(Tables.documents(s, dir), "doc_id",
+          "text", chunkWords = ChunkWidth, overlapWords = ChunkOverlap)
+        .agg(count(lit(1)).as("n_chunks"))
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+  }
+
+  /** The chunk TEXT table beside [[chunkIndex]] — (doc_id, chunk_id,
+    * chunk): the context-fetch artifact a RAG pipeline reads after
+    * retrieval (the index stores tokens, not the passage text; real
+    * engines keep stored fields beside postings for exactly this).
+    * Sorted by doc_id so the broadcast hit join prunes row groups.
+    */
+  def chunkTable(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_chunks_${key(dir)}"
+    serve(s, t) {
+      TextAnalysis.chunkWords(Tables.documents(s, dir), "doc_id",
+          "text", chunkWords = ChunkWidth, overlapWords = ChunkOverlap)
+        .select(col("doc_id"), col("chunk_id"), col("chunk"))
+        .sort("doc_id", "chunk_id")
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+  }
+
   /** The COLLOCATION dictionary — the full minCount-filtered bigram
     * lift table ([[TextAnalysis.collocationTable]], the q237
     * statistic without its top-k cut), written SORTED by w1 so a

@@ -1874,11 +1874,12 @@ object TextAnalysis {
                  nTerms: Int, k: Int,
                  checkpointDir: Option[String] = None,
                  allowed: Option[DataFrame] = None,
-                 excludedId: Option[Long] = None): DataFrame = {
+                 excludedId: Option[Long] = None,
+                 blocked: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
     topKRanked(
         bm25ScoredK(index, nDocs, terms, nTerms, checkpointDir,
-          allowed, excludedId),
+          allowed, excludedId, blocked),
         k, col("_score").desc, col("doc_id").asc)
       .select(col("doc_id"), col("n_terms_hit"),
         round(col("_score"), 6).as("score"), col("rk"))
@@ -1895,7 +1896,8 @@ object TextAnalysis {
                           terms: DataFrame, nTerms: Int,
                           checkpointDir: Option[String],
                           allowed: Option[DataFrame],
-                          excludedId: Option[Long]): DataFrame = {
+                          excludedId: Option[Long],
+                          blocked: Option[DataFrame] = None): DataFrame = {
     require(nTerms >= 1 && nTerms <= 8,
       "nTerms must be in [1, 8] (the pivot width)")
     val idx = Checkpoints.pin(index, checkpointDir, eager = false)
@@ -1931,13 +1933,27 @@ object TextAnalysis {
     val hitsAll = idx.join(broadcast(t), Seq("token"))
     val hits0 = excludedId.fold(hitsAll)(id =>
       hitsAll.filter(col("doc_id") =!= lit(id)))
-    val hits = allowed.fold(hits0) { a =>
+    val hits1 = allowed.fold(hits0) { a =>
       // two consumers of the hit frame (id probe + final semi-join)
       val h = Checkpoints.pin(hits0, checkpointDir, eager = false)
       val survivors = a.select(col("doc_id"))
         .join(broadcast(h.select(col("doc_id")).distinct()),
           Seq("doc_id"), "left_semi")
       h.join(broadcast(survivors), Seq("doc_id"), "left_semi")
+    }
+    // negative terms: `blocked` is a doc list that must NOT appear
+    // (the "-term" search operator — the negative term's FULL,
+    // UNCAPPED posting list: a capped exclusion would leak docs the
+    // cap dropped). Like `allowed` it is df-bounded rather than
+    // cap-bounded, so it is semi-joined DOWN to the broadcast hit ids
+    // first and the intersection broadcast back as an ANTI join —
+    // no Exchange over the doc-scale list in either direction.
+    val hits = blocked.fold(hits1) { b =>
+      val h = Checkpoints.pin(hits1, checkpointDir, eager = false)
+      val blockers = b.select(col("doc_id"))
+        .join(broadcast(h.select(col("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+      h.join(broadcast(blockers), Seq("doc_id"), "left_anti")
     }
     val scored = hits
       .crossJoin(broadcast(n1)) // exactly 1 row — enforced above
@@ -1955,6 +1971,47 @@ object TextAnalysis {
       coalesce(col(s"_s$i"), lit(0.0))).reduceLeft(_ + _)
     g.withColumn("_score", score)
       .select(col("doc_id"), col("n_terms_hit"), col("_score"))
+  }
+
+  /** Passage (chunk-level) retrieval with doc-level aggregation — the
+    * RAG-era read: documents are indexed as overlapping fixed-width
+    * chunks ([[chunkWords]] — the chunk is the retrieval unit a
+    * context window consumes), relevance is scored per CHUNK
+    * (statistics — df, N — live in the chunk domain), and documents
+    * rank by their BEST chunk (the MaxP aggregation of the passage-
+    * retrieval literature): a long document never outranks by sheer
+    * length, and the winning `chunk_id` is returned — exactly what a
+    * RAG pipeline feeds downstream.
+    *
+    * The chunk key is composite (`cid = doc_id · chunkKeyBase +
+    * chunk_id`) so the shared [[bm25ScoredK]] body serves unchanged;
+    * the doc-level argmax is a declarative struct-max (map-side
+    * partial combine) and the final rank the shared
+    * TakeOrderedAndProject top-k. Serving shape: everything after the
+    * ≤ cap posting reads runs on cap-bounded candidate chunks.
+    */
+  def passageSearch(chunkIndex: DataFrame, nChunks: DataFrame,
+                    terms: DataFrame, nTerms: Int, k: Int,
+                    chunkKeyBase: Long = 100000L,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(chunkKeyBase >= 2L, "chunkKeyBase must exceed any chunk_id")
+    // the "corpus size" statistic is the CHUNK count in this domain
+    val scored = bm25ScoredK(chunkIndex,
+      nChunks.select(col("n_chunks").as("n_docs")), terms, nTerms,
+      checkpointDir, allowed = None, excludedId = None)
+    val best = scored
+      .select(expr(s"doc_id div $chunkKeyBase").as("d"),
+        pmod(col("doc_id"), lit(chunkKeyBase)).as("ch"),
+        col("n_terms_hit"), col("_score"))
+      .groupBy(col("d"))
+      .agg(max(struct(col("_score").as("s"), (-col("ch")).as("nch"),
+        col("n_terms_hit").as("h"))).as("m"))
+      .select(col("d").as("doc_id"), (-col("m.nch")).as("chunk_id"),
+        col("m.h").as("n_terms_hit"), col("m.s").as("_score"))
+    topKRanked(best, k, col("_score").desc, col("doc_id").asc)
+      .select(col("doc_id"), col("chunk_id"), col("n_terms_hit"),
+        round(col("_score"), 6).as("score"), col("rk"))
   }
 
   /** Field-collapsed search — the "group near-duplicates in results"

@@ -2910,6 +2910,59 @@ class MiningSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("collocMergeSlices")))
   }
 
+  test("bm25QueryK blocked: docs carrying the negative term vanish; survivors keep global scores and re-rank") {
+    val sp = spark
+    import sp.implicits._
+    val df = docs((1, "x x neg", "s"), (2, "x y", "s"), (3, "x", "s"),
+      (4, "y neg", "s"))
+    val idx = TextAnalysis.cappedIndex(
+      TextAnalysis.tokenPostings(df, "doc_id", "text"), 10)
+    val nd = df.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val terms = Seq((0, "x")).toDF("ord", "token")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Long]("rk"))).sortBy(_._3).toSeq
+    val full = rows(TextAnalysis.bm25QueryK(idx, nd, terms, 1, 10))
+    assert(full.map(t => (t._1, t._3)) === Seq((1L, 1L), (2L, 2L),
+      (3L, 3L)))
+    val neg = TextAnalysis.tokenPostings(df, "doc_id", "text")
+      .filter(col("token") === "neg").select(col("doc_id"))
+    val not = rows(TextAnalysis.bm25QueryK(idx, nd, terms, 1, 10,
+      blocked = Some(neg)))
+    // d1 carries 'neg' and vanishes; d2/d4's... d4 never matched 'x';
+    // survivors d2/d3 keep their GLOBAL scores, re-rank 1..2
+    assert(not.map(t => (t._1, t._3)) === Seq((2L, 1L), (3L, 2L)))
+    assert(not.map(_._2) ===
+      full.filter(t => t._1 == 2L || t._1 == 3L).map(_._2))
+  }
+
+  test("passageSearch: chunk-domain BM25, docs rank by their best chunk (MaxP), winning chunk_id returned") {
+    val sp = spark
+    import sp.implicits._
+    // doc 1: 40 words -> chunks at starts {0, 24}; 't' only at word 35
+    // (chunk 1). doc 2: 5 words, one chunk, tf(t) = 2.
+    val w1 = Seq.tabulate(40)(i => if (i == 34) "t" else "f")
+    val df = docs((1L, w1.mkString(" "), "s"), (2L, "t t f f f", "s"))
+    val chunks = TextAnalysis.chunkWords(df, "doc_id", "text",
+      chunkWords = 32, overlapWords = 8)
+    val idx = TextAnalysis.cappedIndex(
+      TextAnalysis.tokenPostings(
+        chunks.select((col("doc_id") * 100000L + col("chunk_id"))
+          .as("cid"), col("chunk")),
+        "cid", "chunk"), 10)
+    val nc = chunks.agg(count(lit(1)).as("n_chunks"))
+    val got = TextAnalysis.passageSearch(idx, nc,
+        Seq((0L, "t")).toDF("ord", "token"), nTerms = 1, k = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("n_terms_hit"), r.getAs[Double]("score"),
+        r.getAs[Long]("rk"))).toSet
+    // n_chunks = 3, df(t) = 2 chunks; s(tf) = 33·tf/((5tf+6)·5):
+    // tf2 = 66/80 = 0.825 (doc 2 chunk 0), tf1 = 33/55 = 0.6
+    // (doc 1 chunk 1 — NOT chunk 0, which has no 't')
+    assert(got === Set((2L, 0L, 1L, 0.825, 1L), (1L, 1L, 1L, 0.6, 2L)))
+  }
+
   test("dictionary derives from index slices: slice-merge ≡ corpus rescan") {
     val a = docs((1, "sun sun sand", "s"), (2, "sun sea", "s"))
     val b = docs((3, "sand salt sea", "s"), (4, "moon sun", "s"))

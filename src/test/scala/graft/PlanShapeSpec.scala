@@ -856,6 +856,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q279 lost the scale-safe rank:\n$p")
   }
 
+  test("q281/q282: negative-term and passage reads rank TakeOrdered; the negative probe is a pushed token filter on the store") {
+    import org.apache.spark.sql.functions.col
+    for (q <- Seq("q281_negative_search", "q282_passage_search")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject")
+          && !p.contains("Exchange SinglePartition"),
+        s"$q lost the scale-safe rank:\n$p")
+      assert(!p.contains("documents.parquet"),
+        s"$q rescans the corpus instead of its store:\n$p")
+    }
+    val pn = Stores.index(spark, dir)
+      .filter(col("token") === "window")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(pn.contains("graft_idx_") && pn.contains("EqualTo(token,window)"),
+      s"q281's negative-term probe must push onto the store scan:\n$pn")
+  }
+
+  test("q283: context fetch broadcasts the ranked hits into the chunk-text store — no shuffle, corpus nowhere") {
+    val p = plan("q283_rag_context")
+    assert(p.contains("graft_chunks_"),
+      s"q283 must fetch text from the written chunk table:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"q283 shuffled the chunk table against a 5-row hit list:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"q283 rescans the corpus:\n$p")
+  }
+
   test("q277: the as-of generation filter is PUSHED into the index-store scan") {
     // the as-of merge is pinned inside q277 (two consumers), so the
     // pushed filter is asserted on the store-read frame the query
