@@ -613,4 +613,102 @@ class RandomizedSpec extends AnyFunSuite {
     }
     assert(contained === 1000)
   }
+
+  test("passageSearch degenerates to bm25QueryK when every doc fits one chunk (seeded random corpora)") {
+    // with doc length <= chunk width the chunk domain IS the doc
+    // domain (one chunk per doc, chunk 0, n_chunks = n_docs, same
+    // df), so MaxP must reproduce the plain doc-level ranking exactly
+    // — the identity that pins the composite-key plumbing and the
+    // argmax against the established read
+    val rnd = new scala.util.Random(2861)
+    val vocab = Vector("hash", "join", "scan", "sort", "agg", "map")
+    for (trial <- 1 to 8) {
+      val docs = (0 until 12 + rnd.nextInt(8)).map { i =>
+        (i.toLong,
+          (0 until 1 + rnd.nextInt(18))
+            .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val posts = TextAnalysis.tokenPostings(df, "doc_id", "text")
+      val idx = TextAnalysis.cappedIndex(posts, 1000)
+      val nd = df.agg(countDistinct($"doc_id").as("n_docs"))
+      val chunks = TextAnalysis.chunkWords(df, "doc_id", "text",
+        chunkWords = 32, overlapWords = 8)
+      val cidx = TextAnalysis.cappedIndex(
+        TextAnalysis.tokenPostings(
+          chunks.select(($"doc_id" * 100000L + $"chunk_id").as("cid"),
+            $"chunk"), "cid", "chunk"), 1000)
+      val nc = chunks.agg(count(lit(1)).as("n_chunks"))
+      val q = (0 until 1 + rnd.nextInt(3))
+        .map(i => (i.toLong, vocab(rnd.nextInt(vocab.size)))).distinct
+        .groupBy(_._2).map(_._2.head).toSeq // unique tokens, keep ords
+        .zipWithIndex.map { case ((_, t), i) => (i.toLong, t) }
+      val doc = TextAnalysis.bm25QueryK(idx, nd,
+          q.toDF("ord", "token"), nTerms = q.size, k = 50).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms_hit"),
+          r.getAs[Double]("score"), r.getAs[Long]("rk"))).toSet
+      val pas = TextAnalysis.passageSearch(cidx, nc,
+          q.toDF("ord", "token"), nTerms = q.size, k = 50).collect()
+        .map { r =>
+          assert(r.getAs[Long]("chunk_id") === 0L, s"trial $trial")
+          (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms_hit"),
+            r.getAs[Double]("score"), r.getAs[Long]("rk"))
+        }.toSet
+      assert(pas === doc, s"trial $trial")
+    }
+  }
+
+  test("collapseSearch matches a plain-Scala reference on random corpora and random cluster maps (seeded)") {
+    val rnd = new scala.util.Random(4099)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 8) {
+      val n = 10 + rnd.nextInt(10)
+      val docs = (0 until n).map { i =>
+        (i.toLong,
+          (0 until 1 + rnd.nextInt(12))
+            .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val posts = TextAnalysis.tokenPostings(df, "doc_id", "text")
+      val idx = TextAnalysis.cappedIndex(posts, 1000)
+      val nd = df.agg(countDistinct($"doc_id").as("n_docs"))
+      // random rep map over a random subset of docs
+      val rep = docs.map(_._1).filter(_ => rnd.nextBoolean())
+        .map(d => (d, rnd.nextInt(4).toLong)).toMap
+      val terms = Seq((0L, "a"), (1L, "b"))
+      val got = TextAnalysis.collapseSearch(idx, nd,
+          terms.toDF("ord", "token"), nTerms = 2, k = 50,
+          dupMap = rep.toSeq.toDF("doc_id", "rep")).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"),
+          r.getAs[Long]("n_terms_hit"), r.getAs[Double]("score"),
+          r.getAs[Long]("rk"))).toSet
+      // plain-Scala reference: same impact arithmetic (exact integer
+      // products in double, one division, ord-ordered sum)
+      val tf = docs.flatMap { case (d, t) =>
+        t.split(" ").groupBy(identity).map { case (w, g) =>
+          ((w, d), g.length.toLong) } }.toMap
+      val dfm = tf.keys.groupBy(_._1).map { case (w, g) => (w, g.size.toLong) }
+      val nDocs = n.toLong
+      def s(w: String, d: Long): Option[Double] =
+        tf.get((w, d)).map { f =>
+          (11.0 * f * (2 * nDocs - 2 * dfm(w) + 1)) /
+            ((5.0 * f + 6) * (2 * dfm(w) + 1)) }
+      val scored = docs.map(_._1).flatMap { d =>
+        val parts = terms.map { case (_, w) => s(w, d) }
+        if (parts.forall(_.isEmpty)) None
+        else Some((d, parts.count(_.isDefined).toLong,
+          parts.map(_.getOrElse(0.0)).reduceLeft(_ + _)))
+      }
+      val byGroup = scored.groupBy { case (d, _, _) => rep.getOrElse(d, d) }
+      val champs = byGroup.toSeq.map { case (g, rows) =>
+        val best = rows.minBy { case (d, _, sc) => (-sc, d) }
+        (best._1, g, best._2, best._3)
+      }
+      val expect = champs.sortBy { case (d, _, _, sc) => (-sc, d) }
+        .zipWithIndex
+        .map { case ((d, g, h, sc), i) =>
+          (d, g, h, math.rint(sc * 1e6) / 1e6, (i + 1).toLong) }.toSet
+      assert(got === expect, s"trial $trial")
+    }
+  }
 }
