@@ -28,9 +28,9 @@ import graft.ops.{Behavior, Checkpoints, Graph, TextAnalysis}
   */
 object ServingWarehouse {
 
-  /** The four live warehouse tables one serving deployment owns. */
+  /** The five live warehouse tables one serving deployment owns. */
   case class Tables(index: String, positional: String, edges: String,
-                    colloc: String)
+                    colloc: String, chunks: String)
 
   /** Idempotence guard shared by every per-batch ingest: foreachBatch
     * is AT-LEAST-ONCE (a batch whose append commits but whose offset
@@ -66,6 +66,18 @@ object ServingWarehouse {
     ingestOnce(s, t.colloc, id) {
       TextAnalysis.collocIngest(batch.withColumn("slice", lit(id)),
         "text", "slice", t.colloc, buckets)
+    }
+    // chunk-level postings ride the SAME indexIngest path — a chunk
+    // frame with composite cids IS a document frame to the index
+    // machinery (the q282 posture, incremental form)
+    ingestOnce(s, t.chunks, id) {
+      TextAnalysis.indexIngest(
+        TextAnalysis.chunkWords(batch, "doc_id", "text",
+            chunkWords = 32, overlapWords = 8)
+          .select((col("doc_id") * lit(100000L) + col("chunk_id"))
+            .as("cid"), col("chunk"))
+          .withColumn("slice", lit(id)),
+        "cid", "chunk", "slice", t.chunks, buckets)
     }
   }
 
@@ -186,4 +198,23 @@ object ServingWarehouse {
         TextAnalysis.collocMergeSlices(liveTable(s, t.colloc)),
         minCount),
       seed, e)
+
+  /** q282-shaped read over the LIVE chunk-posting table: passage
+    * retrieval (MaxP) off the capped view of the merged chunk
+    * postings. Unlike the batch store pair (capped index + persisted
+    * chunk count), the mid-stream form holds the UNCAPPED merged
+    * slices, so the exact chunk count derives from them directly —
+    * no chunk can be capped out of a distinct-count that runs before
+    * the cap.
+    */
+  def passageRead(s: SparkSession, t: Tables, terms: DataFrame,
+                  nTerms: Int, k: Int): DataFrame = {
+    val merged = Checkpoints.pin(
+      TextAnalysis.indexMergeSlices(liveTable(s, t.chunks)),
+      None, eager = false) // two consumers: capped view + chunk count
+    TextAnalysis.passageSearch(
+      TextAnalysis.cappedIndex(merged, maxPostings = 1000),
+      merged.agg(countDistinct(col("doc_id")).as("n_chunks")),
+      terms, nTerms, k)
+  }
 }

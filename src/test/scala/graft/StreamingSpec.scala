@@ -1117,11 +1117,18 @@ class StreamingSpec extends AnyFunSuite {
     import graft.ops.{Behavior, Graph, TextAnalysis}
     val base = java.nio.file.Files.createTempDirectory("graft-sw-")
     val t = ServingWarehouse.Tables("graft_sw_idx", "graft_sw_pidx",
-      "graft_sw_edges", "graft_sw_colloc")
+      "graft_sw_edges", "graft_sw_colloc", "graft_sw_chunks")
     val docs1 = Seq((1L, "a b a"), (2L, "b a b c"), (3L, "c a b"))
     val docs2 = Seq((4L, "a b"), (5L, "b c b c a b"))
     val pairs1 = Seq((10L, 11L), (11L, 12L), (10L, 11L))
     val pairs2 = Seq((10L, 12L), (10L, 11L), (12L, 11L))
+    // the chunk frame the chunk-posting family ingests (docs here are
+    // single-chunk; the pin is mid-stream ≡ batch, not multi-chunk
+    // semantics — MiningSpec/RandomizedSpec carry those)
+    def chunkCids(docs: Seq[(Long, String)]) =
+      TextAnalysis.chunkWords(docs.toDF("doc_id", "text"), "doc_id",
+          "text", chunkWords = 32, overlapWords = 8)
+        .select(($"doc_id" * 100000L + $"chunk_id").as("cid"), $"chunk")
     try {
       // bootstrap: empty-sliced EXTERNAL tables fix the bucket specs
       TextAnalysis.writeIndexStore(
@@ -1143,6 +1150,11 @@ class StreamingSpec extends AnyFunSuite {
           .withColumn("slice", lit(0L)), "text", "slice"),
         t.colloc, Seq("w1"), buckets = 4, sortCols = Seq("w1"),
         path = Some(base.resolve("colloc").toString))
+      TextAnalysis.writeIndexStore(
+        TextAnalysis.indexSlices(chunkCids(docs1.take(0))
+          .withColumn("slice", lit(0L)), "cid", "chunk", "slice"),
+        t.chunks, buckets = 4,
+        path = Some(base.resolve("chunks").toString))
       val docsIn = MemoryStream[(Long, String)]
       val pairsIn = MemoryStream[(Long, Long)]
       val qs = ServingWarehouse.start(
@@ -1160,7 +1172,11 @@ class StreamingSpec extends AnyFunSuite {
           .as[(String, Long, Long)].collect().toSet,
         ServingWarehouse.expansionRead(spark, t, seed = "a", e = 2,
             minCount = 1L)
-          .as[(Long, String)].collect().toSet)
+          .as[(Long, String)].collect().toSet,
+        ServingWarehouse.passageRead(spark, t,
+            Seq((0L, "a"), (1L, "c")).toDF("ord", "token"),
+            nTerms = 2, k = 5)
+          .as[(Long, Long, Long, Double, Long)].collect().toSet)
       // the same read BODIES over slices derived from the landed data
       def expected(docs: Seq[(Long, String)], pairs: Seq[(Long, Long)]) = {
         val idx = TextAnalysis.indexSlices(docs.toDF("doc_id", "text")
@@ -1190,7 +1206,18 @@ class StreamingSpec extends AnyFunSuite {
                   .withColumn("slice", lit(0L)), "text", "slice")),
               minCount = 1L),
             "a", 2)
-          .as[(Long, String)].collect().toSet)
+          .as[(Long, String)].collect().toSet,
+         {
+           val cm = TextAnalysis.indexMergeSlices(
+             TextAnalysis.indexSlices(chunkCids(docs)
+               .withColumn("slice", lit(0L)), "cid", "chunk", "slice"))
+           TextAnalysis.passageSearch(
+               TextAnalysis.cappedIndex(cm, 1000),
+               cm.agg(countDistinct($"doc_id").as("n_chunks")),
+               Seq((0L, "a"), (1L, "c")).toDF("ord", "token"),
+               nTerms = 2, k = 5)
+             .as[(Long, Long, Long, Double, Long)].collect().toSet
+         })
       }
       docsIn.addData(docs1: _*)
       pairsIn.addData(pairs1: _*)
@@ -1198,7 +1225,7 @@ class StreamingSpec extends AnyFunSuite {
       val got1 = readAll()
       assert(got1 === expected(docs1, pairs1))
       assert(got1._1.nonEmpty && got1._2.nonEmpty && got1._3.nonEmpty
-        && got1._4.nonEmpty && got1._5.nonEmpty)
+        && got1._4.nonEmpty && got1._5.nonEmpty && got1._6.nonEmpty)
       // second micro-batch lands while the queries stay up: the reads
       // now see both generations merged
       docsIn.addData(docs2: _*)
@@ -1218,7 +1245,8 @@ class StreamingSpec extends AnyFunSuite {
         pairs2.toDF("src", "dst"), id = 1L, t, buckets = 4)
       assert(readAll() === got2)
     } finally {
-      for (tbl <- Seq(t.index, t.positional, t.edges, t.colloc))
+      for (tbl <- Seq(t.index, t.positional, t.edges, t.colloc,
+          t.chunks))
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
     }
