@@ -4078,6 +4078,19 @@ object SparkEntry {
         TextAnalysis.searchTerms(s, "hash join window"),
         nTerms = 3, k = 10, chunkKeyBase = Stores.ChunkKeyBase)),
 
+    // batched multi-query retrieval: three query strings answered in
+    // ONE pass over the capped index (the offline-eval / query-log-
+    // replay read); per-query rank is a qid-PARTITIONED window
+    // (WindowGroupLimit — more queries = more partitions, never more
+    // single-task work)
+    "q284_search_batch" -> ((s, dir) =>
+      TextAnalysis.bm25QueryBatch(storedIndex(s, dir, maxPostings = 1000),
+        Stores.norms(s, dir)
+          .agg(countDistinct(col("doc_id")).as("n_docs")),
+        TextAnalysis.searchTermsBatch(s,
+          Seq("hash join window", "sort merge", "filter scan")),
+        nTerms = 3, k = 10)),
+
     // RAG context assembly: the passage read's top-5 winning chunks
     // fetch their TEXT from the written chunk table (stored fields
     // beside postings — the context a generation pipeline consumes);
@@ -10718,6 +10731,54 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    ORDER BY sc0 DESC, d ASC) AS rk
         |  FROM best)
+        |WHERE rk <= 10""".stripMargin,
+
+    // three query pivots over one idx probe, per-qid partitioned rank
+    "q284_search_batch" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id, tf FROM (
+        |    SELECT token, doc_id, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |tvocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |g AS (
+        |  SELECT 0 AS qid, 'hash' AS token, 0 AS ord
+        |  UNION ALL SELECT 0, 'join', 1
+        |  UNION ALL SELECT 0, 'window', 2
+        |  UNION ALL SELECT 1, 'sort', 0
+        |  UNION ALL SELECT 1, 'merge', 1
+        |  UNION ALL SELECT 2, 'filter', 0
+        |  UNION ALL SELECT 2, 'scan', 1),
+        |sc AS (
+        |  SELECT g.qid AS qid, i.doc_id AS doc_id, g.ord AS ord,
+        |         (11 * i.tf * (2 * n_docs - 2 * v.df + 1))::DOUBLE
+        |         / ((5 * i.tf + 6) * (2 * v.df + 1))::DOUBLE AS s
+        |  FROM idx i JOIN g USING (token) JOIN tvocab v USING (token), nd),
+        |p AS (
+        |  SELECT qid, doc_id, count(*)::BIGINT AS n_terms_hit,
+        |         max(CASE WHEN ord = 0 THEN s END) AS s0,
+        |         max(CASE WHEN ord = 1 THEN s END) AS s1,
+        |         max(CASE WHEN ord = 2 THEN s END) AS s2
+        |  FROM sc GROUP BY qid, doc_id)
+        |SELECT qid::BIGINT AS qid, doc_id, n_terms_hit,
+        |       round(sc0, 6) AS score, rk::BIGINT AS rk FROM (
+        |  SELECT qid, doc_id, n_terms_hit,
+        |         coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |           + coalesce(s2, 0.0) AS sc0,
+        |         row_number() OVER (
+        |           PARTITION BY qid
+        |           ORDER BY coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |             + coalesce(s2, 0.0) DESC, doc_id ASC) AS rk
+        |  FROM p)
         |WHERE rk <= 10""".stripMargin,
 
     // q282's replay at k=5 joined back to the chunk text

@@ -1885,6 +1885,64 @@ object TextAnalysis {
         round(col("_score"), 6).as("score"), col("rk"))
   }
 
+  /** The per-term impact rational over (tf, df, n_docs) columns —
+    * `11·tf·(2N−2df+1) / ((5tf+6)(2df+1))`, exact DECIMAL(38,0)
+    * products, one double division. ONE expression shared by the
+    * single-query body ([[bm25ScoredK]]) and the batched form
+    * ([[bm25QueryBatch]]) so their scores are bit-identical.
+    */
+  private def bm25ImpactCol: Column =
+    (d38(lit(11L) * col("tf")) *
+      d38(lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)))
+      .cast("double") /
+      (d38(lit(5L) * col("tf") + lit(6L)) *
+        d38(lit(2L) * col("df") + lit(1L))).cast("double")
+
+  /** BATCHED multi-query retrieval — N queries answered in ONE pass
+    * over the capped index: the offline-evaluation / query-log-replay
+    * / A-B-scoring read (a serving stack answers queries one at a
+    * time; an evaluation pipeline scores thousands per run and must
+    * not scan the index per query). `queries` carries (qid, ord,
+    * token) — the [[searchTerms]] contract per qid; every query's
+    * tokens probe the store in one broadcast join, scoring pivots per
+    * (qid, doc), and the per-query rank is a PARTITIONED window on
+    * qid (the q04 WindowGroupLimit shape — per-partition pre-prune;
+    * qid is the partition dimension, so more queries mean more
+    * partitions, never more single-task work — the one place a rank
+    * Window is the RIGHT plan, vs the global-rank reads that must
+    * TakeOrderedAndProject).
+    */
+  def bm25QueryBatch(index: DataFrame, nDocs: DataFrame,
+                     queries: DataFrame, nTerms: Int, k: Int,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nTerms >= 1 && nTerms <= 8,
+      "nTerms must be in [1, 8] (the pivot width)")
+    val idx = Checkpoints.pin(index, checkpointDir, eager = false)
+    val q = Checkpoints.pin(queries.select(col("qid"),
+      when(col("ord") < 0 || col("ord") >= nTerms,
+        raise_error(concat(lit("bm25QueryBatch: ord "),
+          col("ord").cast("string"),
+          lit(s" outside [0, $nTerms) — raise nTerms to cover every " +
+            "query term")))).otherwise(col("ord")).as("ord"),
+      col("token")), checkpointDir, eager = false)
+    val n1 = oneRowScalar(nDocs, "n_docs", "bm25QueryBatch")
+    val scored = idx.join(broadcast(q), Seq("token"))
+      .crossJoin(broadcast(n1)) // exactly 1 row — enforced above
+      .select(col("qid"), col("doc_id"), col("ord"),
+        bm25ImpactCol.as("_s"))
+    val pivots = (0 until nTerms).map(i =>
+      max(when(col("ord") === i, col("_s"))).as(s"_s$i"))
+    val g = scored.groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), pivots: _*)
+    val score = (0 until nTerms).map(i =>
+      coalesce(col(s"_s$i"), lit(0.0))).reduceLeft(_ + _)
+    TopN.perGroup(g.withColumn("_score", score), Seq("qid"), "_score",
+        Seq("doc_id"), k, rankName = "rk")
+      .select(col("qid"), col("doc_id"), col("n_terms_hit"),
+        round(col("_score"), 6).as("score"), col("rk").cast("long").as("rk"))
+  }
+
   /** The scoring body of [[bm25QueryK]] WITHOUT the final rank —
     * (doc_id, n_terms_hit, _score) for every candidate doc, shared
     * with [[collapseSearch]] (which groups candidates before ranking,
@@ -1957,12 +2015,7 @@ object TextAnalysis {
     }
     val scored = hits
       .crossJoin(broadcast(n1)) // exactly 1 row — enforced above
-      .select(col("doc_id"), col("ord"),
-        ((d38(lit(11L) * col("tf")) *
-          d38(lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)))
-          .cast("double") /
-          (d38(lit(5L) * col("tf") + lit(6L)) *
-            d38(lit(2L) * col("df") + lit(1L))).cast("double")).as("_s"))
+      .select(col("doc_id"), col("ord"), bm25ImpactCol.as("_s"))
     val pivots = (0 until nTerms).map(i =>
       max(when(col("ord") === i, col("_s"))).as(s"_s$i"))
     val g = scored.groupBy(col("doc_id"))
@@ -2083,6 +2136,21 @@ object TextAnalysis {
                   query: String): DataFrame = {
     import s.implicits._
     parseQuery(query).toDF("ord", "token")
+  }
+
+  /** A BATCH of query strings as the (qid, ord, token) frame
+    * [[bm25QueryBatch]] consumes — the same one [[parseQuery]] behind
+    * [[searchTerms]], so batched evaluation can never tokenize
+    * differently from the single-query serving path. qid = position
+    * in the batch.
+    */
+  def searchTermsBatch(s: org.apache.spark.sql.SparkSession,
+                       queries: Seq[String]): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    import s.implicits._
+    queries.zipWithIndex.flatMap { case (q, i) =>
+      parseQuery(q).map { case (ord, tok) => (i.toLong, ord, tok) }
+    }.toDF("qid", "ord", "token")
   }
 
   /** "More like this" — the related-documents serving read: the seed

@@ -2963,6 +2963,32 @@ class MiningSpec extends AnyFunSuite {
     assert(got === Set((2L, 0L, 1L, 0.825, 1L), (1L, 1L, 1L, 0.6, 2L)))
   }
 
+  test("bm25QueryBatch: the batch answers each query exactly as the single-query read; shared tokens probe once") {
+    val sp = spark
+    import sp.implicits._
+    val df = docs((1, "x x y", "s"), (2, "x z", "s"), (3, "y z z", "s"),
+      (4, "x y z", "s"))
+    val idx = TextAnalysis.cappedIndex(
+      TextAnalysis.tokenPostings(df, "doc_id", "text"), 10)
+    val nd = df.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val batchQs = Seq("x y", "z", "y z")
+    val batch = TextAnalysis.bm25QueryBatch(idx, nd,
+        TextAnalysis.searchTermsBatch(spark, batchQs),
+        nTerms = 2, k = 10).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_terms_hit"), r.getAs[Double]("score"),
+        r.getAs[Long]("rk"))).toSet
+    val singles = batchQs.zipWithIndex.flatMap { case (q, i) =>
+      TextAnalysis.bm25QueryK(idx, nd,
+          TextAnalysis.searchTerms(spark, q), nTerms = 2, k = 10)
+        .collect()
+        .map(r => (i.toLong, r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_terms_hit"), r.getAs[Double]("score"),
+          r.getAs[Long]("rk")))
+    }.toSet
+    assert(batch === singles && batch.nonEmpty)
+  }
+
   test("dictionary derives from index slices: slice-merge ≡ corpus rescan") {
     val a = docs((1, "sun sun sand", "s"), (2, "sun sea", "s"))
     val b = docs((3, "sand salt sea", "s"), (4, "moon sun", "s"))

@@ -883,6 +883,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q283 rescans the corpus:\n$p")
   }
 
+  test("q284: the batch rank is a qid-PARTITIONED window with WindowGroupLimit pre-prune — never a global funnel") {
+    val p = plan("q284_search_batch")
+    assert(p.contains("WindowGroupLimit"),
+      s"q284's per-query rank must pre-prune below the shuffle:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q284 funnels the batch through one task:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q284 shuffled the broadcast-sized query frame:\n$p")
+  }
+
   test("q277: the as-of generation filter is PUSHED into the index-store scan") {
     // the as-of merge is pinned inside q277 (two consumers), so the
     // pushed filter is asserted on the store-read frame the query
