@@ -4078,6 +4078,29 @@ object SparkEntry {
         TextAnalysis.searchTerms(s, "hash join window"),
         nTerms = 3, k = 10, chunkKeyBase = Stores.ChunkKeyBase)),
 
+    // statistics drift between generations: df as-of gen 2 vs the
+    // live df, top movers by gained documents — the observability
+    // read that tells a relevance owner WHICH terms' idf shifted
+    // after an ingest (both sides off the written slice store; the
+    // dictionary derivation is the shared termDictionary body)
+    "q285_df_drift" -> ((s, dir) => {
+      val store = Stores.index(s, dir)
+      def dfOf(sl: DataFrame) = TextAnalysis.termDictionary(
+        TextAnalysis.indexMergeSlices(sl))
+        .select(col("token"), col("df"))
+      TopN.globalRanked(
+        dfOf(store).select(col("token"), col("df").as("df_new"))
+          .join(dfOf(store.filter(col("slice") <= 2L))
+            .select(col("token"), col("df").as("df_old")),
+            Seq("token"), "left")
+          .select(col("token"),
+            coalesce(col("df_old"), lit(0L)).as("df_old"),
+            col("df_new"),
+            (col("df_new") - coalesce(col("df_old"), lit(0L)))
+              .as("delta")),
+        20, col("delta").desc, col("token").asc)
+    }),
+
     // batched multi-query retrieval: three query strings answered in
     // ONE pass over the capped index (the offline-eval / query-log-
     // replay read); per-query rank is a qid-PARTITIONED window
@@ -10732,6 +10755,32 @@ object SparkEntry {
         |    ORDER BY sc0 DESC, d ASC) AS rk
         |  FROM best)
         |WHERE rk <= 10""".stripMargin,
+
+    // df over the full corpus vs the gen≤2 subset, delta rank
+    "q285_df_drift" ->
+      """WITH postn AS (
+        |  SELECT token, doc_id FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |posto AS (
+        |  SELECT token, doc_id FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents WHERE doc_id % 4 <= 2)
+        |  GROUP BY 1, 2),
+        |vn AS (SELECT token, count(*)::BIGINT AS df_new
+        |       FROM postn GROUP BY 1),
+        |vo AS (SELECT token, count(*)::BIGINT AS df_old
+        |       FROM posto GROUP BY 1)
+        |SELECT token, df_old, df_new, delta, rk::BIGINT AS rk FROM (
+        |  SELECT vn.token AS token, coalesce(vo.df_old, 0) AS df_old,
+        |         vn.df_new AS df_new,
+        |         vn.df_new - coalesce(vo.df_old, 0) AS delta,
+        |         row_number() OVER (
+        |           ORDER BY vn.df_new - coalesce(vo.df_old, 0) DESC,
+        |             vn.token ASC) AS rk
+        |  FROM vn LEFT JOIN vo ON vo.token = vn.token)
+        |WHERE rk <= 20""".stripMargin,
 
     // three query pivots over one idx probe, per-qid partitioned rank
     "q284_search_batch" ->

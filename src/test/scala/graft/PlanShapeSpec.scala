@@ -893,6 +893,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q284 shuffled the broadcast-sized query frame:\n$p")
   }
 
+  test("q285: drift reads both sides off the written slice store — pushed gen filter, TakeOrdered rank, corpus nowhere") {
+    val p = plan("q285_df_drift")
+    assert(p.contains("graft_idx_"),
+      s"q285 must read the written slice store:\n$p")
+    assert(p.contains("LessThanOrEqual(slice,2)"),
+      s"q285's as-of side must push its generation filter:\n$p")
+    assert(p.contains("TakeOrderedAndProject")
+        && !p.contains("Exchange SinglePartition"),
+      s"q285 lost the scale-safe rank:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"q285 rescans the corpus:\n$p")
+  }
+
   test("q277: the as-of generation filter is PUSHED into the index-store scan") {
     // the as-of merge is pinned inside q277 (two consumers), so the
     // pushed filter is asserted on the store-read frame the query
