@@ -2989,6 +2989,28 @@ class MiningSpec extends AnyFunSuite {
     assert(batch === singles && batch.nonEmpty)
   }
 
+  test("bm25QueryK: allowed + blocked + excludedId compose — each restriction narrows the same hit frame") {
+    val sp = spark
+    import sp.implicits._
+    val df = docs((1, "x a", "s"), (2, "x", "s"), (3, "x b", "s"),
+      (4, "x", "s"), (5, "x", "s"))
+    val idx = TextAnalysis.cappedIndex(
+      TextAnalysis.tokenPostings(df, "doc_id", "text"), 10)
+    val nd = df.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val terms = Seq((0, "x")).toDF("ord", "token")
+    // allowed {1,2,3,4} drops 5; blocked = docs containing 'b' drops
+    // 3; excludedId drops 4 — survivors {1, 2}, equal scores (tf 1
+    // everywhere), doc_id rank
+    val got = TextAnalysis.bm25QueryK(idx, nd, terms, 1, 10,
+        allowed = Some(Seq(1L, 2L, 3L, 4L).toDF("doc_id")),
+        excludedId = Some(4L),
+        blocked = Some(TextAnalysis.tokenPostings(df, "doc_id", "text")
+          .filter(col("token") === "b").select(col("doc_id"))))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rk"))).toSet
+    assert(got === Set((1L, 1L), (2L, 2L)))
+  }
+
   test("dictionary derives from index slices: slice-merge ≡ corpus rescan") {
     val a = docs((1, "sun sun sand", "s"), (2, "sun sea", "s"))
     val b = docs((3, "sand salt sea", "s"), (4, "moon sun", "s"))
