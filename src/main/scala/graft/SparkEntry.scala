@@ -92,6 +92,28 @@ object SparkEntry {
       .select(posexplode(array(col("w1"), col("w2"), col("w3")))
         .as(Seq("ord", "token")))
 
+  /** The standing erasure request (doc_id % 97 = 0 — the q276/q279
+    * contract) applied through the single-call [[Forget.erase]]
+    * cascade over the WRITTEN stores: every post-forget read
+    * (q286–q291) picks its family's frame off this one derivation, so
+    * the per-family erasure mechanics cannot drift between reads.
+    * Laziness means a read executes only its own family's erasure;
+    * the forgotten texts are ONE request-bounded broadcast semi-join
+    * of the corpus (the q279 content-tombstone derivation).
+    */
+  private def erasedWarehouse(s: SparkSession, dir: String): Forget.Erased = {
+    val ids = Stores.norms(s, dir).filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"))
+    val forgotten = Tables.documents(s, dir)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    Forget.erase(Stores.index(s, dir), Stores.positional(s, dir),
+      Stores.chunkSlices(s, dir), Stores.norms(s, dir),
+      Stores.docMeta(s, dir), Stores.facetIndex(s, dir),
+      Stores.pqCodes(s, dir), Stores.dupMap(s, dir),
+      forgotten, tombSlice = 99L)
+  }
+
   /** The corpus's most frequent word n-gram — ONE derivation for the
     * deterministic query-term statistics (the bigram pair q209/q238
     * share, the trigram q257 serves): count-desc with full (w1..wn)
@@ -3989,6 +4011,13 @@ object SparkEntry {
           forget),
         Forget.familyAudit("dup_map", Stores.dupMap(s, dir), "doc_id",
           forget),
+        // rows whose REP (cluster label) references a forgotten id —
+        // surviving members would keep the erased id as their group
+        // label after a member-only delete; execution must reassign
+        // these reps ([[Forget.dupMapErase]]), and the audit surfaces
+        // them (ADVICE r18)
+        Forget.familyAudit("dup_map_reps", Stores.dupMap(s, dir), "rep",
+          forget),
         Forget.vocabAudit(postings, forget)
       ).reduce(_.unionByName(_))
     }),
@@ -4146,6 +4175,179 @@ object SparkEntry {
         TextAnalysis.searchTerms(s, "hash join window"),
         nTerms = 3, k = 10)
     }),
+
+    // forget execution, POSITIONAL family: the cascade's id-addressed
+    // delete log applied to the written positional store (position
+    // sets don't cancel arithmetically — the q213 anti-join posture),
+    // then the q209 phrase read serves as if the forgotten docs were
+    // never ingested; terms stay the persisted corpus statistic
+    "q286_forget_phrase" -> ((s, dir) =>
+      TextAnalysis.phraseQuery(
+        TextAnalysis.positionalMergeSlices(
+          erasedWarehouse(s, dir).positional
+            .join(broadcast(bigramTokens(s, dir)), Seq("token"),
+              "left_semi")),
+        Stores.topBigram(s, dir), k = 20)),
+
+    // forget execution, CHUNK family: content tombstones over the
+    // shared guarded chunk projection cancel the forgotten docs'
+    // chunk postings in the written slice store; cap, df and the
+    // chunk count all re-derive from the surviving merge (statistics
+    // never straddle the erasure boundary), then the q282 passage
+    // read serves
+    "q287_forget_passage" -> ((s, dir) => {
+      val merged = graft.ops.Checkpoints.pin(
+        TextAnalysis.indexMergeSlices(erasedWarehouse(s, dir).chunks),
+        None, eager = false) // two consumers: capped view + chunk count
+      TextAnalysis.passageSearch(
+        TextAnalysis.cappedIndex(merged, maxPostings = 1000),
+        merged.agg(countDistinct(col("doc_id")).as("n_chunks")),
+        TextAnalysis.searchTerms(s, "hash join window"),
+        nTerms = 3, k = 10, chunkKeyBase = Stores.ChunkKeyBase)
+    }),
+
+    // forget execution, METADATA family: the q269 faceted read with
+    // BOTH sides erased — hits off the tombstone-merged re-capped
+    // index, counts off the row-erased metadata store
+    "q288_forget_facets" -> ((s, dir) => {
+      val e = erasedWarehouse(s, dir)
+      TextAnalysis.facetCounts(
+        TextAnalysis.cappedIndex(
+            TextAnalysis.indexMergeSlices(e.index), maxPostings = 1000)
+          .join(broadcast(TextAnalysis.searchTerms(s, "hash join window")
+            .select(col("token"))), Seq("token")),
+        e.docMeta, Seq("lang", "source"))
+    }),
+
+    // forget execution, DUP-MAP family: the q275 collapsed read over
+    // the erased index AND the rep-reassigned cluster map (forgotten
+    // members dropped, groups relabeled by their new min surviving
+    // member, sub-pair groups dropped — no erased id survives as a
+    // group label, the ADVICE-r18 closure executed)
+    "q289_forget_collapse" -> ((s, dir) => {
+      val e = erasedWarehouse(s, dir)
+      val merged = graft.ops.Checkpoints.pin(
+        TextAnalysis.indexMergeSlices(e.index),
+        None, eager = false) // two consumers: capped view + n_docs
+      TextAnalysis.collapseSearch(
+        TextAnalysis.cappedIndex(merged, maxPostings = 1000),
+        merged.agg(countDistinct(col("doc_id")).as("n_docs")),
+        TextAnalysis.searchTerms(s, "hash join window"),
+        nTerms = 3, k = 10, dupMap = e.dupMap)
+    }),
+
+    // forget execution, VECTOR family: the q89 ADC read over the
+    // row-erased code table (id-addressed — the id spaces align by
+    // construction); the CODEBOOKS stay, a trained model is not
+    // per-row data and retraining is a store rewrite. Queries are
+    // surviving ids (a forgotten user's vector cannot be a query)
+    "q290_forget_ann" -> ((s, dir) =>
+      Pq.adcSearchCoded(
+        erasedWarehouse(s, dir).pqCodes,
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        Stores.pqCodebooks(s, dir),
+        queryIds = Seq(1L, 2L, 3L, 4L, 5L), k = 5,
+        m = Stores.PqM, subDim = Stores.PqSubDim)),
+
+    // forget execution, the WHOLE-WAREHOUSE record: one row per
+    // family counting what actually SURVIVES the executed cascade
+    // (not before-minus-removed arithmetic — each count runs over the
+    // erased frame itself); the oracle recomputes every family from
+    // the corpus minus the forget set, so a green row proves
+    // erased-store ≡ corpus-minus-F rebuild across all nine families
+    // in one read. Derived families (dictionary) re-derive from the
+    // erased index — counted here off that derivation
+    "q291_forget_execute" -> ((s, dir) => {
+      val e = erasedWarehouse(s, dir)
+      def cnt(family: String, agged: DataFrame) =
+        agged.select(lit(family).as("family"),
+          col("rows_after").cast("long").as("rows_after"))
+      val idx = graft.ops.Checkpoints.pin(
+        TextAnalysis.indexMergeSlices(e.index),
+        None, eager = false) // two consumers: postings + vocab counts
+      Seq(
+        cnt("index_postings", idx.agg(count(lit(1)).as("rows_after"))),
+        cnt("positional_positions",
+          TextAnalysis.positionalMergeSlices(e.positional)
+            .agg(coalesce(sum(col("tf")), lit(0L)).as("rows_after"))),
+        cnt("chunk_postings",
+          TextAnalysis.indexMergeSlices(e.chunks)
+            .agg(count(lit(1)).as("rows_after"))),
+        cnt("norms", e.norms.agg(count(lit(1)).as("rows_after"))),
+        cnt("doc_meta", e.docMeta.agg(count(lit(1)).as("rows_after"))),
+        cnt("facets", e.facets.agg(count(lit(1)).as("rows_after"))),
+        cnt("pq_codes", e.pqCodes.agg(count(lit(1)).as("rows_after"))),
+        cnt("dup_map", e.dupMap.agg(count(lit(1)).as("rows_after"))),
+        cnt("vocab_terms", TextAnalysis.termDictionary(idx)
+          .agg(count(lit(1)).as("rows_after")))
+      ).reduce(_.unionByName(_))
+    }),
+
+    // dictionary-store MAINTENANCE (the q280 lifecycle applied to the
+    // term dictionary): an ingest generation plus a tombstone
+    // generation of df/cf DELTAS (dictSlices over the same posting
+    // slices the index family writes — one code path) merge to
+    // exactly the dictionary a corpus-minus rescan builds, extinct
+    // terms dropping; an ingest batch updates the store by appending
+    // one batch-vocabulary-sized slice, never a rebuild. Top-20 by df
+    "q292_dict_maintenance" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ing = TextAnalysis.dictSlices(TextAnalysis.indexSlices(
+        d.withColumn("slice", lit(0L)), "doc_id", "text", "slice"))
+      val tomb = TextAnalysis.dictSlices(TextAnalysis.indexTombstones(
+        d.filter(col("doc_id") % 10 === 0).withColumn("slice", lit(1L)),
+        "doc_id", "text", "slice"))
+      TopN.globalRanked(
+        TextAnalysis.dictMergeSlices(ing.unionByName(tomb)),
+        20, col("df").desc, col("token").asc)
+    }),
+
+    // the SymSpell store under the same slice lifecycle: the fuzzy
+    // "did you mean" read served from the deletion-neighborhood
+    // DELTAS' fold after a tombstone generation — variant expansion
+    // commutes with the delta sum, so the slice-derived store answers
+    // exactly what a rebuilt store over the surviving corpus would
+    "q293_fuzzy_maintenance" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ing = TextAnalysis.dictSlices(TextAnalysis.indexSlices(
+        d.withColumn("slice", lit(0L)), "doc_id", "text", "slice"))
+      val tomb = TextAnalysis.dictSlices(TextAnalysis.indexTombstones(
+        d.filter(col("doc_id") % 10 === 0).withColumn("slice", lit(1L)),
+        "doc_id", "text", "slice"))
+      TextAnalysis.fuzzyTerms(
+        TextAnalysis.delneighMergeSlices(
+          TextAnalysis.delneighSlices(ing.unionByName(tomb))),
+        "sow", k = 10)
+    }),
+
+    // term-highlight snippets for the literal k-term search — the
+    // serving step after q262's ranking (q263 anchors on a phrase;
+    // this is the no-phrase form): per hit, the ±2-token window
+    // showing the most DISTINCT query terms, ties to the earliest
+    // anchor; hits broadcast into ONE documents join, the anchor scan
+    // and argmax fold in-row higher-order functions
+    "q294_term_snippets" -> ((s, dir) =>
+      TextAnalysis.termSnippets(
+        Tables.documents(s, dir),
+        TextAnalysis.bm25QueryK(storedIndex(s, dir, maxPostings = 1000),
+          Stores.norms(s, dir)
+            .agg(countDistinct(col("doc_id")).as("n_docs")),
+          TextAnalysis.searchTerms(s, "hash join window"),
+          nTerms = 3, k = 20),
+        TextAnalysis.searchTerms(s, "hash join window"),
+        window = 2)),
+
+    // batched passage retrieval: three RAG queries in ONE pass over
+    // the written chunk-level capped index (the q284 batch pattern
+    // applied to q282's MaxP read); per-query rank is a
+    // qid-partitioned WindowGroupLimit
+    "q295_passage_batch" -> ((s, dir) =>
+      TextAnalysis.passageSearchBatch(
+        Stores.chunkIndex(s, dir, maxPostings = 1000),
+        Stores.chunkStats(s, dir),
+        TextAnalysis.searchTermsBatch(s,
+          Seq("hash join window", "sort merge", "filter scan")),
+        nTerms = 3, k = 10, chunkKeyBase = Stores.ChunkKeyBase)),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -10512,6 +10714,11 @@ object SparkEntry {
          |             (SELECT count(*) FROM comp
          |              WHERE doc_id % 97 = 0) AS r)
          |UNION ALL
+         |SELECT 'dup_map_reps', b::BIGINT, r::BIGINT, (b - r)::BIGINT
+         |FROM (SELECT (SELECT count(*) FROM comp) AS b,
+         |             (SELECT count(*) FROM comp
+         |              WHERE rep % 97 = 0) AS r)
+         |UNION ALL
          |SELECT 'vocab_terms', b::BIGINT, r::BIGINT, (b - r)::BIGINT
          |FROM (SELECT (SELECT count(DISTINCT token) FROM post) AS b,
          |             (SELECT count(*) FROM (
@@ -10938,6 +11145,426 @@ object SparkEntry {
         |           ORDER BY coalesce(s0, 0.0) + coalesce(s1, 0.0)
         |             + coalesce(s2, 0.0) DESC, doc_id ASC) AS rk
         |  FROM p)
+        |WHERE rk <= 10""".stripMargin,
+
+    // the q209 phrase replay with the position lists drawn from the
+    // surviving corpus only (the erasure boundary); the bigram term
+    // statistic stays the full-corpus artifact the store persists
+    "q286_forget_phrase" ->
+      posOracle(" WHERE doc_id % 97 <> 0", phraseMatchExpr),
+
+    // the q282 chunk replay over the surviving documents — chunking,
+    // cap, df and the chunk count all recomputed minus the forget set
+    "q287_forget_passage" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id % 97 <> 0),
+        |s0 AS (
+        |  SELECT doc_id, ws,
+        |         unnest(generate_series(0, greatest(len(ws) - 1 - 8, 0),
+        |                                24)) AS sw
+        |  FROM w),
+        |ch AS (
+        |  SELECT doc_id * 100000 + (sw // 24) AS cid,
+        |         array_to_string(ws[sw + 1 : sw + 32], ' ') AS chunk
+        |  FROM s0),
+        |post AS (
+        |  SELECT token, cid, count(*) AS tf FROM (
+        |    SELECT cid, unnest(string_split(chunk, ' ')) AS token
+        |    FROM ch)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, cid, tf FROM (
+        |    SELECT token, cid, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, cid ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |tvocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_chunks FROM ch),
+        |g AS (
+        |  SELECT 'hash' AS token, 0 AS ord
+        |  UNION ALL SELECT 'join', 1
+        |  UNION ALL SELECT 'window', 2),
+        |sc AS (
+        |  SELECT i.cid AS cid, g.ord AS ord,
+        |         (11 * i.tf * (2 * n_chunks - 2 * v.df + 1))::DOUBLE
+        |         / ((5 * i.tf + 6) * (2 * v.df + 1))::DOUBLE AS s
+        |  FROM idx i JOIN g USING (token) JOIN tvocab v USING (token), nd),
+        |p AS (
+        |  SELECT cid, count(*)::BIGINT AS n_terms_hit,
+        |         max(CASE WHEN ord = 0 THEN s END) AS s0,
+        |         max(CASE WHEN ord = 1 THEN s END) AS s1,
+        |         max(CASE WHEN ord = 2 THEN s END) AS s2
+        |  FROM sc GROUP BY cid),
+        |dec AS (
+        |  SELECT cid // 100000 AS d, cid % 100000 AS ch_id, n_terms_hit,
+        |         coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |           + coalesce(s2, 0.0) AS sc0
+        |  FROM p),
+        |best AS (
+        |  SELECT d, ch_id, n_terms_hit, sc0 FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY d ORDER BY sc0 DESC, ch_id ASC) AS brn
+        |    FROM dec)
+        |  WHERE brn = 1)
+        |SELECT d AS doc_id, ch_id::BIGINT AS chunk_id, n_terms_hit,
+        |       round(sc0, 6) AS score, rk::BIGINT AS rk FROM (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY sc0 DESC, d ASC) AS rk
+        |  FROM best)
+        |WHERE rk <= 10""".stripMargin,
+
+    // the q269 facet replay with both sides erased: the capped hit
+    // derivation re-runs over surviving postings (the cap backfills),
+    // the metadata join over surviving documents
+    "q288_forget_facets" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents WHERE doc_id % 97 <> 0)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id FROM (
+        |    SELECT token, doc_id,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |g AS (
+        |  SELECT 'hash' AS token
+        |  UNION ALL SELECT 'join' UNION ALL SELECT 'window'),
+        |m AS (SELECT DISTINCT doc_id FROM idx JOIN g USING (token))
+        |SELECT facet, value, count(*)::BIGINT AS n_docs FROM (
+        |  SELECT 'lang' AS facet, d.lang AS value
+        |  FROM m JOIN documents d USING (doc_id)
+        |  WHERE d.doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT 'source', d.source
+        |  FROM m JOIN documents d USING (doc_id)
+        |  WHERE d.doc_id % 97 <> 0)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the q275 collapse replay post-erasure: scoring statistics from
+    // the surviving corpus, the component walk's survivors relabeled
+    // by their new min member with sub-pair groups dropped — the same
+    // reassignment Forget.dupMapErase executes
+    "q289_forget_collapse" ->
+      s"""$duckBandsCte,
+         |$duckEdgesBody,
+         |walk AS (
+         |  WITH RECURSIVE w(v, l) AS (
+         |    SELECT s, s FROM edges
+         |    UNION
+         |    SELECT e.s, w.l FROM edges e JOIN w ON e.t = w.v)
+         |  SELECT * FROM w),
+         |comp AS (SELECT v AS doc_id, min(l) AS rep FROM walk GROUP BY v),
+         |ncomp AS (
+         |  SELECT doc_id, nrep AS rep FROM (
+         |    SELECT doc_id,
+         |           min(doc_id) OVER (PARTITION BY rep) AS nrep,
+         |           count(*) OVER (PARTITION BY rep) AS n
+         |    FROM comp WHERE doc_id % 97 <> 0)
+         |  WHERE n >= 2),
+         |post AS (
+         |  SELECT token, doc_id, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |    FROM documents WHERE doc_id % 97 <> 0)
+         |  GROUP BY 1, 2),
+         |idx AS (
+         |  SELECT token, doc_id, tf FROM (
+         |    SELECT token, doc_id, tf,
+         |           row_number() OVER (PARTITION BY token
+         |                              ORDER BY tf DESC, doc_id ASC) AS prk
+         |    FROM post)
+         |  WHERE prk <= 1000),
+         |tvocab AS (
+         |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM post),
+         |g AS (
+         |  SELECT 'hash' AS token, 0 AS ord
+         |  UNION ALL SELECT 'join', 1
+         |  UNION ALL SELECT 'window', 2),
+         |sc AS (
+         |  SELECT i.doc_id AS doc_id, g.ord AS ord,
+         |         (11 * i.tf * (2 * n_docs - 2 * v.df + 1))::DOUBLE
+         |         / ((5 * i.tf + 6) * (2 * v.df + 1))::DOUBLE AS s
+         |  FROM idx i JOIN g USING (token) JOIN tvocab v USING (token), nd),
+         |p AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+         |         max(CASE WHEN ord = 0 THEN s END) AS s0,
+         |         max(CASE WHEN ord = 1 THEN s END) AS s1,
+         |         max(CASE WHEN ord = 2 THEN s END) AS s2
+         |  FROM sc GROUP BY doc_id),
+         |wg AS (
+         |  SELECT p.doc_id AS doc_id, p.n_terms_hit AS n_terms_hit,
+         |         coalesce(p.s0, 0.0) + coalesce(p.s1, 0.0)
+         |           + coalesce(p.s2, 0.0) AS sc0,
+         |         coalesce(c.rep, p.doc_id) AS group_id
+         |  FROM p LEFT JOIN ncomp c ON c.doc_id = p.doc_id),
+         |best AS (
+         |  SELECT group_id, doc_id, n_terms_hit, sc0 FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY group_id
+         |      ORDER BY sc0 DESC, doc_id ASC) AS brn
+         |    FROM wg)
+         |  WHERE brn = 1)
+         |SELECT doc_id, group_id, n_terms_hit, round(sc0, 6) AS score,
+         |       rk::BIGINT AS rk FROM (
+         |  SELECT *, row_number() OVER (
+         |    ORDER BY sc0 DESC, doc_id ASC) AS rk
+         |  FROM best)
+         |WHERE rk <= 10""".stripMargin,
+
+    // the q89 ADC replay over the erased code table (codebooks stay —
+    // the model is not per-row data); queries are surviving ids 1–5
+    "q290_forget_ann" ->
+      s"""WITH $duckPqBody,
+         |scodes AS (SELECT * FROM codes WHERE vec_id % 97 <> 0),
+         |lut AS (SELECT s.vec_id AS query_id, s.sub, c.code,
+         |               round(list_sum(list_transform(generate_series(1, 8),
+         |                 i -> (s.v[i] - c.c_vec[i]) * (s.v[i] - c.c_vec[i]))), 6)::DECIMAL(28,10) AS pd
+         |        FROM sv s JOIN cb c ON s.sub = c.sub
+         |        WHERE s.vec_id >= 1 AND s.vec_id <= 5),
+         |sc AS (SELECT l.query_id, cd.vec_id AS neighbor_id, sum(l.pd)::DOUBLE AS approx_dist
+         |       FROM scodes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+         |       WHERE cd.vec_id <> l.query_id
+         |       GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, approx_dist,
+         |             row_number() OVER (PARTITION BY query_id
+         |                                ORDER BY approx_dist, neighbor_id) AS rank
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, approx_dist, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    // every family recounted from the corpus MINUS the forget set —
+    // the erased-store ≡ rebuild identity, all nine families
+    "q291_forget_execute" ->
+      s"""$duckBandsCte,
+         |$duckEdgesBody,
+         |walk AS (
+         |  WITH RECURSIVE w(v, l) AS (
+         |    SELECT s, s FROM edges
+         |    UNION
+         |    SELECT e.s, w.l FROM edges e JOIN w ON e.t = w.v)
+         |  SELECT * FROM w),
+         |comp AS (SELECT v AS doc_id, min(l) AS rep FROM walk GROUP BY v),
+         |sdup AS (SELECT rep, count(*) AS n FROM comp
+         |         WHERE doc_id % 97 <> 0 GROUP BY rep),
+         |spost AS (
+         |  SELECT token, doc_id, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |    FROM documents WHERE doc_id % 97 <> 0)
+         |  GROUP BY 1, 2),
+         |wrd AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |  WHERE doc_id % 97 <> 0),
+         |ch0 AS (
+         |  SELECT doc_id, ws,
+         |         unnest(generate_series(0, greatest(len(ws) - 1 - 8, 0),
+         |                                24)) AS sw
+         |  FROM wrd),
+         |chp AS (
+         |  SELECT token, cid FROM (
+         |    SELECT doc_id * 100000 + (sw // 24) AS cid,
+         |           unnest(ws[sw + 1 : sw + 32]) AS token
+         |    FROM ch0)
+         |  GROUP BY 1, 2)
+         |SELECT 'index_postings' AS family,
+         |       (SELECT count(*) FROM spost)::BIGINT AS rows_after
+         |UNION ALL SELECT 'positional_positions',
+         |       (SELECT coalesce(sum(tf), 0) FROM spost)::BIGINT
+         |UNION ALL SELECT 'chunk_postings',
+         |       (SELECT count(*) FROM chp)::BIGINT
+         |UNION ALL SELECT 'norms',
+         |       (SELECT count(*) FROM documents
+         |        WHERE doc_id % 97 <> 0)::BIGINT
+         |UNION ALL SELECT 'doc_meta',
+         |       (SELECT count(*) FROM documents
+         |        WHERE doc_id % 97 <> 0)::BIGINT
+         |UNION ALL SELECT 'facets',
+         |       (SELECT 2 * count(*) FROM documents
+         |        WHERE doc_id % 97 <> 0)::BIGINT
+         |UNION ALL SELECT 'pq_codes',
+         |       (SELECT 8 * count(*) FROM embeddings
+         |        WHERE vec_id % 97 <> 0)::BIGINT
+         |UNION ALL SELECT 'dup_map',
+         |       (SELECT coalesce(sum(n), 0) FROM sdup WHERE n >= 2)::BIGINT
+         |UNION ALL SELECT 'vocab_terms',
+         |       (SELECT count(DISTINCT token) FROM spost)::BIGINT""".stripMargin,
+
+    // df/cf over the corpus minus the tombstoned docs, df-desc top 20
+    "q292_dict_maintenance" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents WHERE doc_id % 10 <> 0)
+        |  GROUP BY 1, 2)
+        |SELECT token, df, cf, rk FROM (
+        |  SELECT token, count(*)::BIGINT AS df,
+        |         CAST(sum(tf) AS BIGINT) AS cf,
+        |         row_number() OVER (
+        |           ORDER BY count(*) DESC, token ASC) AS rk
+        |  FROM post GROUP BY token)
+        |WHERE rk <= 20""".stripMargin,
+
+    // the q265 fuzzy replay over the surviving corpus's vocabulary
+    "q293_fuzzy_maintenance" ->
+      """WITH post AS (
+        |  SELECT token, doc_id FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents WHERE doc_id % 10 <> 0)
+        |  GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT token, count(*)::BIGINT AS df FROM post GROUP BY 1)
+        |SELECT token, df, lev, rk::BIGINT AS rk FROM (
+        |  SELECT token, df, levenshtein(token, 'sow')::BIGINT AS lev,
+        |         row_number() OVER (
+        |           ORDER BY levenshtein(token, 'sow') ASC, df DESC,
+        |             token ASC) AS rk
+        |  FROM vocab WHERE levenshtein(token, 'sow') <= 1)
+        |WHERE rk <= 10""".stripMargin,
+
+    // the q262 top-20 joined back to the corpus; per doc every
+    // query-term position is an anchor candidate, scored by distinct
+    // query terms in its ±2 window, best-first with earliest-anchor
+    // ties — replayed row-wise (the in-row fold and the ranked pick
+    // agree because the tie-break is total)
+    "q294_term_snippets" ->
+      """WITH post AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, doc_id, tf FROM (
+        |    SELECT token, doc_id, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, doc_id ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |vocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |g AS (
+        |  SELECT 'hash' AS token, 0 AS ord
+        |  UNION ALL SELECT 'join', 1
+        |  UNION ALL SELECT 'window', 2),
+        |sc AS (
+        |  SELECT i.doc_id AS doc_id, g.ord AS ord,
+        |         (11 * i.tf * (2 * n_docs - 2 * v.df + 1))::DOUBLE
+        |         / ((5 * i.tf + 6) * (2 * v.df + 1))::DOUBLE AS s
+        |  FROM idx i JOIN g USING (token) JOIN vocab v USING (token), nd),
+        |p AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+        |         max(CASE WHEN ord = 0 THEN s END) AS s0,
+        |         max(CASE WHEN ord = 1 THEN s END) AS s1,
+        |         max(CASE WHEN ord = 2 THEN s END) AS s2
+        |  FROM sc GROUP BY doc_id),
+        |top AS (
+        |  SELECT doc_id, n_terms_hit, rk FROM (
+        |    SELECT doc_id, n_terms_hit,
+        |           row_number() OVER (
+        |             ORDER BY coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |               + coalesce(s2, 0.0) DESC, doc_id ASC) AS rk
+        |    FROM p)
+        |  WHERE rk <= 20),
+        |wd AS (
+        |  SELECT t.doc_id AS doc_id, t.rk AS rk,
+        |         t.n_terms_hit AS n_terms_hit,
+        |         string_split(d.text, ' ') AS ws
+        |  FROM top t JOIN documents d USING (doc_id)),
+        |anch AS (
+        |  SELECT doc_id, rk, n_terms_hit, ws, i,
+        |         len(list_distinct(list_filter(
+        |           ws[greatest(1, i - 2):least(len(ws), i + 2)],
+        |           x -> list_contains(['hash', 'join', 'window'], x))))
+        |           AS c
+        |  FROM (
+        |    SELECT doc_id, rk, n_terms_hit, ws,
+        |           unnest(list_filter(generate_series(1, len(ws)),
+        |             i -> list_contains(['hash', 'join', 'window'],
+        |                                ws[i]))) AS i
+        |    FROM wd)),
+        |best AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY c DESC, i ASC) AS brn
+        |    FROM anch)
+        |  WHERE brn = 1)
+        |SELECT doc_id, rk, n_terms_hit, (i - 1)::BIGINT AS anchor,
+        |       c::BIGINT AS n_window_terms,
+        |       array_to_string(
+        |         ws[greatest(1, i - 2):least(len(ws), i + 2)], ' ')
+        |         AS snippet
+        |FROM best""".stripMargin,
+
+    // the q282 chunk scoring with the q284 qid pivot: three queries,
+    // one chunk-index derivation, per-query MaxP + partitioned rank
+    "q295_passage_batch" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s0 AS (
+        |  SELECT doc_id, ws,
+        |         unnest(generate_series(0, greatest(len(ws) - 1 - 8, 0),
+        |                                24)) AS sw
+        |  FROM w),
+        |ch AS (
+        |  SELECT doc_id * 100000 + (sw // 24) AS cid,
+        |         array_to_string(ws[sw + 1 : sw + 32], ' ') AS chunk
+        |  FROM s0),
+        |post AS (
+        |  SELECT token, cid, count(*) AS tf FROM (
+        |    SELECT cid, unnest(string_split(chunk, ' ')) AS token
+        |    FROM ch)
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT token, cid, tf FROM (
+        |    SELECT token, cid, tf,
+        |           row_number() OVER (PARTITION BY token
+        |                              ORDER BY tf DESC, cid ASC) AS prk
+        |    FROM post)
+        |  WHERE prk <= 1000),
+        |tvocab AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_chunks FROM ch),
+        |g AS (
+        |  SELECT 0 AS qid, 'hash' AS token, 0 AS ord
+        |  UNION ALL SELECT 0, 'join', 1
+        |  UNION ALL SELECT 0, 'window', 2
+        |  UNION ALL SELECT 1, 'sort', 0
+        |  UNION ALL SELECT 1, 'merge', 1
+        |  UNION ALL SELECT 2, 'filter', 0
+        |  UNION ALL SELECT 2, 'scan', 1),
+        |sc AS (
+        |  SELECT g.qid AS qid, i.cid AS cid, g.ord AS ord,
+        |         (11 * i.tf * (2 * n_chunks - 2 * v.df + 1))::DOUBLE
+        |         / ((5 * i.tf + 6) * (2 * v.df + 1))::DOUBLE AS s
+        |  FROM idx i JOIN g USING (token) JOIN tvocab v USING (token), nd),
+        |p AS (
+        |  SELECT qid, cid, count(*)::BIGINT AS n_terms_hit,
+        |         max(CASE WHEN ord = 0 THEN s END) AS s0,
+        |         max(CASE WHEN ord = 1 THEN s END) AS s1,
+        |         max(CASE WHEN ord = 2 THEN s END) AS s2
+        |  FROM sc GROUP BY qid, cid),
+        |dec AS (
+        |  SELECT qid, cid // 100000 AS d, cid % 100000 AS ch_id,
+        |         n_terms_hit,
+        |         coalesce(s0, 0.0) + coalesce(s1, 0.0)
+        |           + coalesce(s2, 0.0) AS sc0
+        |  FROM p),
+        |best AS (
+        |  SELECT qid, d, ch_id, n_terms_hit, sc0 FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid, d ORDER BY sc0 DESC, ch_id ASC) AS brn
+        |    FROM dec)
+        |  WHERE brn = 1)
+        |SELECT qid::BIGINT AS qid, d AS doc_id,
+        |       ch_id::BIGINT AS chunk_id, n_terms_hit,
+        |       round(sc0, 6) AS score, rk::BIGINT AS rk FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sc0 DESC, d ASC) AS rk
+        |  FROM best)
         |WHERE rk <= 10""".stripMargin,
 
   )

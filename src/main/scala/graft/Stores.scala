@@ -360,36 +360,66 @@ object Stores {
   private[graft] val ChunkOverlap = 8
   private[graft] val ChunkKeyBase = 100000L
 
+  /** The guarded (cid, chunk) projection every chunk-store consumer
+    * shares — batch build ([[chunkIndex]]) and the streaming ingest
+    * ([[graft.jobs.ServingWarehouse.ingestDocsBatch]]) go through ONE
+    * derivation, so the chunk width/overlap/key-base constants can
+    * never silently desync the two code paths (ADVICE r18). A
+    * chunk_id past the key base would silently collide composite keys
+    * across documents — ENFORCED per row (the observable-cap rule),
+    * not assumed.
+    */
+  private[graft] def chunkCids(docs: DataFrame): DataFrame =
+    TextAnalysis.chunkWords(docs, "doc_id", "text",
+        chunkWords = ChunkWidth, overlapWords = ChunkOverlap)
+      .select((col("doc_id") * lit(ChunkKeyBase)
+        + when(col("chunk_id") < ChunkKeyBase, col("chunk_id"))
+          .otherwise(raise_error(concat(
+            lit("chunkCids: chunk_id "),
+            col("chunk_id").cast("string"),
+            lit(s" >= key base $ChunkKeyBase for doc "),
+            col("doc_id").cast("string"),
+            lit(" — raise ChunkKeyBase"))))).as("cid"),
+        col("chunk"))
+
+  /** The UNCAPPED chunk-level posting SLICE store — the chunk
+    * family's source-of-truth table, exactly what [[index]] is to
+    * [[cappedIndex]]: (slice, token, cid-as-doc_id, tf) rows through
+    * the one [[TextAnalysis.indexSlices]] code path (a chunk frame
+    * with composite cids IS a document frame to the index machinery),
+    * slice-tagged by the owning document's generation. [[chunkIndex]]
+    * derives its capped view from here, and the erasure/as-of reads
+    * ([[graft.ops.Forget.erase]]) union tombstone slices against it —
+    * a capped store cannot take a delete (removing a doc must
+    * backfill postings the cap dropped).
+    */
+  def chunkSlices(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_chsl_${key(dir)}"
+    serve(s, t) {
+      TextAnalysis.writeIndexStore(
+        TextAnalysis.indexSlices(
+          chunkCids(Tables.documents(s, dir))
+            .withColumn("slice",
+              pmod(expr(s"cid div ${ChunkKeyBase}L"), lit(Generations))),
+          "cid", "chunk", "slice"),
+        table = t, buckets = 16)
+    }
+  }
+
   /** The CHUNK-level capped inverted index — the passage-retrieval
     * serving artifact (q282): documents split into overlapping
     * fixed-width word chunks ([[TextAnalysis.chunkWords]], the q83
     * transform), postings keyed by the composite chunk id
     * (doc · base + chunk), capped and impact-ordered like
-    * [[cappedIndex]]. Chunking and the per-token rank run ONCE here;
-    * reads probe token buckets.
+    * [[cappedIndex]]. Chunking ran once at the [[chunkSlices]] build;
+    * the per-token rank runs ONCE here; reads probe token buckets.
     */
   def chunkIndex(s: SparkSession, dir: String,
                  maxPostings: Int): DataFrame = {
     val t = s"graft_chidx${maxPostings}_${key(dir)}"
     serve(s, t) {
       TextAnalysis.cappedIndex(
-          TextAnalysis.tokenPostings(
-            TextAnalysis.chunkWords(Tables.documents(s, dir), "doc_id",
-                "text", chunkWords = ChunkWidth,
-                overlapWords = ChunkOverlap)
-              // a chunk_id past the key base would silently collide
-              // composite keys across documents — ENFORCED per row
-              // (the observable-cap rule), not assumed
-              .select((col("doc_id") * lit(ChunkKeyBase)
-                + when(col("chunk_id") < ChunkKeyBase, col("chunk_id"))
-                  .otherwise(raise_error(concat(
-                    lit("chunkIndex: chunk_id "),
-                    col("chunk_id").cast("string"),
-                    lit(s" >= key base $ChunkKeyBase for doc "),
-                    col("doc_id").cast("string"),
-                    lit(" — raise ChunkKeyBase"))))).as("cid"),
-                col("chunk")),
-            "cid", "chunk"), maxPostings)
+          TextAnalysis.indexMergeSlices(chunkSlices(s, dir)), maxPostings)
         .write.mode("overwrite").format("parquet")
         .bucketBy(16, "token").sortBy("token").saveAsTable(t)
     }
@@ -589,6 +619,53 @@ object Stores {
           m = PqM, subDim = PqSubDim),
         t, Seq("centroid_id"), buckets = 8, sortCols = Seq("centroid_id"))
     }
+  }
+
+  /** EXECUTE a compaction plan against a WRITTEN slice table — the
+    * action half of the q261 read ([[graft.ops.Profile
+    * .compactionPlan]] plans; this rewrites): each planned bin's
+    * slices fold through the family's compact function
+    * ([[TextAnalysis.indexCompact]] / positionalCompact /
+    * [[graft.ops.Graph.edgeCompact]] — one shared slice-merge path
+    * re-tagged with the bin's low generation id) into ONE replacement
+    * slice; slices outside every bin (a partial plan) ride along
+    * unchanged. Because every family's merge is associative,
+    * compaction commutes with reads — the spec pins read-identity
+    * before/after, the slice count dropping to the bin count, and a
+    * follow-up plan finding no multi-slice bin left.
+    *
+    * Mechanics: the replacement rows are materialized into a sibling
+    * `_compacting` table first, then written back over the original
+    * (source and target are the same table — a one-pass overwrite
+    * would read what it is deleting), and the sibling is dropped. At
+    * 100 TB the second write is a metastore swap of the rewritten
+    * files; the in-memory catalog here has no transactional rename,
+    * so the write-twice stands in — the data passes through the
+    * cluster once either way, and the plan is manifest-scale
+    * (collected: one row per generation, never data-scale).
+    */
+  def compact(s: SparkSession, table: String, plan: DataFrame,
+              compactFn: (DataFrame, Long) => DataFrame,
+              bucketCols: Seq[String], buckets: Int,
+              path: Option[String] = None): Unit = {
+    val bins = plan
+      .select(col("gen_lo").cast("long"), col("gen_hi").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (bins.isEmpty) return
+    val src = s.table(table)
+    val compacted = bins.map { case (lo, hi) =>
+      compactFn(src.filter(col("slice") >= lo && col("slice") <= hi), lo)
+    }.reduce(_.unionByName(_))
+    val inBin = bins.map { case (lo, hi) =>
+      col("slice") >= lo && col("slice") <= hi }.reduce(_ || _)
+    val out = compacted.unionByName(src.filter(!inBin))
+    val tmp = table + "_compacting"
+    try {
+      Bucketing.writeBucketed(out, tmp, bucketCols, buckets,
+        sortCols = bucketCols)
+      Bucketing.writeBucketed(s.table(tmp), table, bucketCols, buckets,
+        sortCols = bucketCols, path = path)
+    } finally s.sql(s"DROP TABLE IF EXISTS $tmp")
   }
 
   def edges(s: SparkSession, dir: String): DataFrame = {

@@ -28,9 +28,81 @@ import graft.ops.{Behavior, Checkpoints, Graph, TextAnalysis}
   */
 object ServingWarehouse {
 
-  /** The five live warehouse tables one serving deployment owns. */
+  /** The serving posting cap every mid-stream capped read shares —
+    * one constant, so the passage and BM25 reads cannot silently
+    * drift from each other or from the batch stores' 1000-posting
+    * contract (ADVICE r18).
+    */
+  private[graft] val MaxPostings = 1000
+
+  /** The live warehouse tables one serving deployment owns: the five
+    * posting/count families, the three slice-derived dictionary-tier
+    * stores (dict = (slice, token, d_df, d_cf) deltas; delneigh /
+    * tgram = their variant/gram expansions — an ingest batch appends
+    * batch-vocabulary-sized slices instead of rebuilding any of them),
+    * and the positional family's id-addressed delete log
+    * ([[forgetApply]] writes it, [[phraseRead]] anti-joins it).
+    */
   case class Tables(index: String, positional: String, edges: String,
-                    colloc: String, chunks: String)
+                    colloc: String, chunks: String, dict: String,
+                    delneigh: String, tgram: String, deletes: String,
+                    pq: String, pqcb: String, pqcoarse: String)
+
+  /** The vector family's fixed quantization regimen for one warehouse
+    * — set once at [[trainVectorModel]] and read back by every ingest
+    * batch and serving read (the [[graft.Stores.PqM]] posture at the
+    * warehouse's own scale).
+    */
+  case class VectorModel(m: Int, subDim: Int)
+
+  /** Train-once bootstrap of the vector family: PQ codebooks (a Lloyd
+    * pass over `trainVecs`) and the coarse IVF centroid table are
+    * WRITTEN as the warehouse's model tables, and the code table is
+    * created empty with its centroid-bucketed spec fixed. Every later
+    * ingest batch encodes at THESE fixed artifacts ([[Pq.pqIngest]]
+    * — re-training is a store rewrite, everywhere), so mid-stream
+    * reads and a one-shot encode of the same vectors cannot differ.
+    */
+  def trainVectorModel(s: SparkSession, t: Tables, trainVecs: DataFrame,
+                       coarseIds: Seq[Long], initIds: Seq[Long],
+                       model: VectorModel, buckets: Int,
+                       path: Option[java.nio.file.Path] = None): Unit = {
+    def p(name: String) = path.map(_.resolve(name).toString)
+    def w(df: DataFrame, table: String, name: String): Unit = {
+      val wr = df.write.mode("overwrite").format("parquet")
+      p(name).fold(wr)(pp => wr.option("path", pp)).saveAsTable(table)
+    }
+    w(graft.ops.Pq.codebooks(trainVecs, "vec_id", "embedding",
+        m = model.m, subDim = model.subDim, initIds = initIds,
+        iters = 1, orderedMeans = true),
+      t.pqcb, "pqcb")
+    w(trainVecs.filter(col("vec_id").isin(coarseIds: _*))
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("c_vec")),
+      t.pqcoarse, "pqcoarse")
+    graft.ops.Bucketing.writeBucketed(
+      graft.ops.Pq.codeRows(trainVecs.limit(0), "vec_id", "embedding",
+          s.table(t.pqcb), s.table(t.pqcoarse),
+          m = model.m, subDim = model.subDim)
+        .withColumn("slice", lit(0L)),
+      t.pq, Seq("centroid_id"), buckets, sortCols = Seq("centroid_id"),
+      path = p("pq"))
+  }
+
+  /** One vector micro-batch into the code table — [[Pq.pqIngest]] at
+    * the warehouse's fixed model, slice-tagged for the at-least-once
+    * guard.
+    */
+  private[graft] def ingestVecsBatch(batch: Dataset[Row], id: Long,
+                                     t: Tables, model: VectorModel,
+                                     buckets: Int): Unit = {
+    val s = batch.sparkSession
+    ingestOnce(s, t.pq, id) {
+      graft.ops.Pq.pqIngest(batch, "vec_id", "embedding",
+        s.table(t.pqcb), s.table(t.pqcoarse), t.pq, buckets,
+        m = model.m, subDim = model.subDim, slice = Some(id))
+    }
+  }
 
   /** Idempotence guard shared by every per-batch ingest: foreachBatch
     * is AT-LEAST-ONCE (a batch whose append commits but whose offset
@@ -69,15 +141,101 @@ object ServingWarehouse {
     }
     // chunk-level postings ride the SAME indexIngest path — a chunk
     // frame with composite cids IS a document frame to the index
-    // machinery (the q282 posture, incremental form)
+    // machinery (the q282 posture, incremental form). The cid
+    // projection is [[graft.Stores.chunkCids]] — the ONE guarded
+    // derivation the batch store build uses, so width/overlap/key-base
+    // cannot desync between the two paths (ADVICE r18)
     ingestOnce(s, t.chunks, id) {
       TextAnalysis.indexIngest(
-        TextAnalysis.chunkWords(batch, "doc_id", "text",
-            chunkWords = 32, overlapWords = 8)
-          .select((col("doc_id") * lit(100000L) + col("chunk_id"))
-            .as("cid"), col("chunk"))
-          .withColumn("slice", lit(id)),
+        graft.Stores.chunkCids(batch).withColumn("slice", lit(id)),
         "cid", "chunk", "slice", t.chunks, buckets)
+    }
+    // the dictionary TIER: df/cf deltas and their variant/gram
+    // expansions, each derived from the batch's OWN posting slice
+    // (work ∝ batch vocabulary — never a rebuild; the merge-on-read
+    // folds make prefix/fuzzy/infix reads serve every landed slice)
+    val dslice = TextAnalysis.dictSlices(
+      TextAnalysis.indexSlices(batch.withColumn("slice", lit(id)),
+        "doc_id", "text", "slice"))
+    ingestOnce(s, t.dict, id) {
+      graft.ops.Bucketing.appendBucketed(dslice, t.dict,
+        Seq("token"), buckets, sortCols = Seq("token"))
+    }
+    ingestOnce(s, t.delneigh, id) {
+      graft.ops.Bucketing.appendBucketed(
+        TextAnalysis.delneighSlices(dslice), t.delneigh,
+        Seq("variant"), buckets, sortCols = Seq("variant"))
+    }
+    ingestOnce(s, t.tgram, id) {
+      graft.ops.Bucketing.appendBucketed(
+        TextAnalysis.tgramSlices(dslice), t.tgram,
+        Seq("gram"), buckets, sortCols = Seq("gram"))
+    }
+  }
+
+  /** Right-to-be-forgotten applied to the LIVE warehouse — the WRITE
+    * half of [[graft.ops.Forget.erase]]: one erasure request lands as
+    * content tombstone slices appended to the index / chunk /
+    * collocation / dictionary-tier tables (each through the same
+    * at-least-once slice guard the ingest uses) plus the request's
+    * ids appended to the positional delete log. Reads pick everything
+    * up on their next merge — no table is rewritten, history files
+    * stay untouched (the LSM posture), and a compaction that later
+    * rewrites without the erased rows serves identical results.
+    *
+    * `docs` is the request's (doc_id, text) rows AS INGESTED (the
+    * content-addressed tombstone contract). `id` is the request's
+    * slice tag — use a NEGATIVE id: micro-batch ids are ≥ 0, and a
+    * collision would make the idempotence guard silently skip the
+    * erasure.
+    */
+  def forgetApply(s: SparkSession, t: Tables, docs: DataFrame,
+                  id: Long, buckets: Int): Unit = {
+    require(id < 0,
+      "forgetApply: use a negative slice id — micro-batch ids are >= 0 "
+        + "and a collision would silently skip the erasure")
+    val tagged = docs.withColumn("slice", lit(id))
+    ingestOnce(s, t.index, id) {
+      graft.ops.Bucketing.appendBucketed(
+        TextAnalysis.indexTombstones(tagged, "doc_id", "text", "slice"),
+        t.index, Seq("token"), buckets, sortCols = Seq("token"))
+    }
+    ingestOnce(s, t.colloc, id) {
+      graft.ops.Bucketing.appendBucketed(
+        TextAnalysis.collocTombstones(tagged, "text", "slice"),
+        t.colloc, Seq("w1"), buckets, sortCols = Seq("w1"))
+    }
+    ingestOnce(s, t.chunks, id) {
+      graft.ops.Bucketing.appendBucketed(
+        TextAnalysis.indexTombstones(
+          graft.Stores.chunkCids(tagged).withColumn("slice", lit(id)),
+          "cid", "chunk", "slice"),
+        t.chunks, Seq("token"), buckets, sortCols = Seq("token"))
+    }
+    // dictionary-tier tombstones: the SAME dictSlices derivation over
+    // the negated posting slice — d_df/d_cf land negative and cancel
+    // at merge (vocabulary extinction included)
+    val dtomb = TextAnalysis.dictSlices(
+      TextAnalysis.indexTombstones(tagged, "doc_id", "text", "slice"))
+    ingestOnce(s, t.dict, id) {
+      graft.ops.Bucketing.appendBucketed(dtomb, t.dict,
+        Seq("token"), buckets, sortCols = Seq("token"))
+    }
+    ingestOnce(s, t.delneigh, id) {
+      graft.ops.Bucketing.appendBucketed(
+        TextAnalysis.delneighSlices(dtomb), t.delneigh,
+        Seq("variant"), buckets, sortCols = Seq("variant"))
+    }
+    ingestOnce(s, t.tgram, id) {
+      graft.ops.Bucketing.appendBucketed(
+        TextAnalysis.tgramSlices(dtomb), t.tgram,
+        Seq("gram"), buckets, sortCols = Seq("gram"))
+    }
+    // positional: position sets don't cancel arithmetically — the
+    // family's delete is the append-only id log the reads anti-join
+    ingestOnce(s, t.deletes, id) {
+      docs.select(lit(id).as("slice"), col("doc_id"))
+        .write.mode("append").format("parquet").saveAsTable(t.deletes)
     }
   }
 
@@ -100,7 +258,9 @@ object ServingWarehouse {
     */
   def start(docs: DataFrame, pairs: DataFrame, t: Tables,
             buckets: Int = 8,
-            checkpointDir: Option[String] = None): Seq[StreamingQuery] = {
+            checkpointDir: Option[String] = None,
+            vecs: Option[DataFrame] = None,
+            model: VectorModel = VectorModel(8, 8)): Seq[StreamingQuery] = {
     def ck(w: org.apache.spark.sql.streaming.DataStreamWriter[Row],
            name: String) =
       checkpointDir.fold(w)(d => w.option("checkpointLocation", s"$d/$name"))
@@ -112,7 +272,12 @@ object ServingWarehouse {
       ck(pairs.writeStream.queryName(s"ingest_pairs_${t.edges}"), "pairs")
         .foreachBatch { (batch: Dataset[Row], id: Long) =>
           ingestPairsBatch(batch, id, t, buckets)
-        }.start())
+        }.start()) ++
+      vecs.map(v =>
+        ck(v.writeStream.queryName(s"ingest_vecs_${t.pq}"), "vecs")
+          .foreachBatch { (batch: Dataset[Row], id: Long) =>
+            ingestVecsBatch(batch, id, t, model, buckets)
+          }.start())
   }
 
   /** The catalog's relation cache is SESSION-local and the ingest
@@ -158,7 +323,8 @@ object ServingWarehouse {
       .select(explode(array(col("w1"), col("w2"))).as("token")).distinct()
     TextAnalysis.phraseQuery(
       TextAnalysis.positionalMergeSlices(
-        liveTable(s, t.positional)
+        TextAnalysis.positionalApplyTombstones(
+            liveTable(s, t.positional), liveTable(s, t.deletes))
           .join(broadcast(tokens), Seq("token"), "left_semi")),
       terms, k)
   }
@@ -170,19 +336,42 @@ object ServingWarehouse {
     Behavior.nextItemFromCounts(Graph.edgeMerge(liveTable(s, t.edges)),
       "src", "dst", "w", k)
 
-  /** q264-shaped read over the LIVE index table: prefix autocomplete
-    * off the term dictionary derived from the merged postings. The
-    * dictionary is a DERIVED serving artifact (rebuilt per generation,
-    * the cappedIndex posture), so the mid-stream form folds the landed
-    * slices and prefix-ranks the result — new vocabulary becomes
-    * suggestible the moment its slice lands.
+  /** q264-shaped read over the LIVE dictionary-delta table: prefix
+    * autocomplete off the fold of the landed df-delta slices — the
+    * slice-derived dictionary store ([[TextAnalysis.dictSlices]]),
+    * NOT a per-read re-derivation from the postings: the merge folds
+    * token-delta rows (vocabulary-scale, pushed-prefix-prunable), and
+    * the spec pins its output ≡ the postings-derived dictionary per
+    * generation. New vocabulary becomes suggestible the moment its
+    * slice lands.
     */
   def prefixRead(s: SparkSession, t: Tables, prefix: String,
                  k: Int): DataFrame =
     TextAnalysis.prefixSearch(
-      TextAnalysis.termDictionary(
-        TextAnalysis.indexMergeSlices(liveTable(s, t.index))),
+      TextAnalysis.dictMergeSlices(liveTable(s, t.dict)),
       prefix, k)
+
+  /** q265-shaped read over the LIVE deletion-neighborhood slice
+    * table: fuzzy "did you mean" off the fold of the landed variant
+    * delta slices. The |query|+1 variant probe is a filter on the
+    * merge's grouping column, so it pushes through the aggregate to
+    * the store scan — never an O(V) pass, mid-stream or not.
+    */
+  def fuzzyRead(s: SparkSession, t: Tables, term: String,
+                k: Int): DataFrame =
+    TextAnalysis.fuzzyTerms(
+      TextAnalysis.delneighMergeSlices(liveTable(s, t.delneigh)),
+      term, k)
+
+  /** q266-shaped read over the LIVE trigram slice table: infix search
+    * off the fold of the landed gram delta slices (pushed gram
+    * probes, contains-verify on candidates only).
+    */
+  def infixRead(s: SparkSession, t: Tables, queries: Seq[String],
+                k: Int): DataFrame =
+    TextAnalysis.infixSearch(
+      TextAnalysis.tgramMergeSlices(liveTable(s, t.tgram)),
+      queries, k)
 
   /** q278-shaped read over the LIVE collocation-count table: the
     * seed's expansion terms off the lift table derived from the
@@ -207,14 +396,44 @@ object ServingWarehouse {
     * no chunk can be capped out of a distinct-count that runs before
     * the cap.
     */
+  /** q89-shaped ANN read over the LIVE code table: full-scan ADC
+    * against the warehouse's fixed codebooks. `queryVecs` is the
+    * request's (vec_id, embedding) rows (a serving deployment gets
+    * the query vector in the request); every scored row is m narrow
+    * code longs — the raw vectors never leave the model tables.
+    */
+  def annRead(s: SparkSession, t: Tables, queryVecs: DataFrame,
+              queryIds: Seq[Long], k: Int,
+              model: VectorModel): DataFrame =
+    graft.ops.Pq.adcSearchCoded(
+      graft.ops.Forget.rowErase(liveTable(s, t.pq), "vec_id",
+        liveTable(s, t.deletes)),
+      queryVecs, "vec_id", "embedding", s.table(t.pqcb), queryIds, k,
+      m = model.m, subDim = model.subDim)
+
+  /** q92-shaped IVF-PQ read over the LIVE code table: coarse-probe
+    * the centroid-bucketed codes (only `nprobe` lists' buckets are
+    * touched), then ADC on the probed candidates.
+    */
+  def ivfRead(s: SparkSession, t: Tables, queryVecs: DataFrame,
+              queryIds: Seq[Long], k: Int, nprobe: Int,
+              model: VectorModel): DataFrame =
+    graft.ops.Pq.adcSearchProbed(
+      graft.ops.Forget.rowErase(liveTable(s, t.pq), "vec_id",
+        liveTable(s, t.deletes)),
+      queryVecs, "vec_id", "embedding", s.table(t.pqcoarse),
+      s.table(t.pqcb), queryIds, k, nprobe,
+      m = model.m, subDim = model.subDim)
+
   def passageRead(s: SparkSession, t: Tables, terms: DataFrame,
-                  nTerms: Int, k: Int): DataFrame = {
+                  nTerms: Int, k: Int,
+                  maxPostings: Int = MaxPostings): DataFrame = {
     val merged = Checkpoints.pin(
       TextAnalysis.indexMergeSlices(liveTable(s, t.chunks)),
       None, eager = false) // two consumers: capped view + chunk count
     TextAnalysis.passageSearch(
-      TextAnalysis.cappedIndex(merged, maxPostings = 1000),
+      TextAnalysis.cappedIndex(merged, maxPostings),
       merged.agg(countDistinct(col("doc_id")).as("n_chunks")),
-      terms, nTerms, k)
+      terms, nTerms, k, chunkKeyBase = graft.Stores.ChunkKeyBase)
   }
 }

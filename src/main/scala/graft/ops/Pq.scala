@@ -292,11 +292,16 @@ object Pq {
   def pqIngest(newVecs: DataFrame, idCol: String, vecCol: String,
                cbs: DataFrame, coarse: DataFrame, table: String,
                buckets: Int, m: Int, subDim: Int,
-               residual: Boolean = false): Unit = {
-    val rows =
+               residual: Boolean = false,
+               slice: Option[Long] = None): Unit = {
+    val rows0 =
       if (residual)
         residualCodeRows(newVecs, idCol, vecCol, cbs, coarse, m, subDim)
       else codeRows(newVecs, idCol, vecCol, cbs, coarse, m, subDim)
+    // `slice` tags the appended rows with an ingest-generation id (the
+    // warehouse at-least-once guard keys on it); serving reads select
+    // (vec_id, sub, code[, centroid_id]) and ignore the extra column
+    val rows = slice.fold(rows0)(id => rows0.withColumn("slice", lit(id)))
     Bucketing.appendBucketed(rows, table, Seq("centroid_id"), buckets,
       sortCols = Seq("centroid_id"))
   }

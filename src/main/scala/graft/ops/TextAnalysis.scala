@@ -1326,6 +1326,65 @@ object TextAnalysis {
     postings.groupBy(col("token"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
 
+  /** Per-slice term-DICTIONARY deltas — the dictionary family's
+    * warehouse slices, derived FROM the index slice frame (one code
+    * path: whatever lands in the posting store defines the
+    * dictionary, so the two cannot drift): per (slice, token),
+    * d_df = Σ sign(tf) and d_cf = Σ tf — an ingest slice
+    * ([[indexSlices]]) contributes +1/+tf per posting, a content
+    * tombstone slice ([[indexTombstones]]) −1/−tf. df deltas are
+    * associative counts (the collocation-family pattern), so
+    * [[dictMergeSlices]] folds ANY slice subset to exactly what
+    * [[termDictionary]] derives from the merged postings — an ingest
+    * batch updates the dictionary store by appending one
+    * batch-vocabulary-sized slice, never a full rebuild.
+    *
+    * Contract (shared with the collocation family): each document's
+    * (token, doc) posting must land wholly in ONE slice — the
+    * generation layout and the one-slice-per-micro-batch warehouse
+    * ingest both satisfy it; a doc split across slices would count
+    * df once per slice.
+    */
+  def dictSlices(postingSlices: DataFrame): DataFrame =
+    postingSlices.groupBy(col("slice"), col("token"))
+      .agg(sum(signum(col("tf")).cast("long")).as("d_df"),
+        sum(col("tf")).as("d_cf"))
+
+  /** Fold stored dictionary slices back to the (token, df, cf)
+    * artifact every dictionary read consumes — associative sums, the
+    * [[indexMergeSlices]] posture: tombstone deltas cancel ingested
+    * counts to exactly 0 and the term drops (vocabulary extinction);
+    * a NEGATIVE merged count, or a zero df with surviving cf (a
+    * partial tombstone in a slice-split doc — the documented
+    * contract violation), RAISES rather than serving phantom
+    * statistics.
+    */
+  def dictMergeSlices(slices: DataFrame): DataFrame =
+    slices.groupBy(col("token"))
+      .agg(sum(col("d_df")).as("_df"), sum(col("d_cf")).as("_cf"))
+      .select(col("token"),
+        when(col("_df") > 0 && col("_cf") >= col("_df"), col("_df"))
+          .when(col("_df") === 0 && col("_cf") === 0, col("_df"))
+          .otherwise(raise_error(concat(
+            lit("dictMergeSlices: inconsistent merged counts for token "),
+            col("token"), lit(" (df "), col("_df").cast("string"),
+            lit(", cf "), col("_cf").cast("string"),
+            lit(") — tombstone without matching ingest or slice-split "
+              + "document")))).as("df"),
+        col("_cf").as("cf"))
+      .filter(col("df") > 0)
+
+  /** Incremental dictionary ingest — [[indexIngest]] for the
+    * dictionary store: aggregate ONLY the new slice's posting rows
+    * through [[dictSlices]] and APPEND; history files stay untouched.
+    * STREAMING: call per micro-batch inside `foreachBatch` with the
+    * batch's [[indexSlices]] frame.
+    */
+  def dictIngest(postingSlices: DataFrame, table: String,
+                 buckets: Int): Unit =
+    Bucketing.appendBucketed(dictSlices(postingSlices), table,
+      Seq("token"), buckets, sortCols = Seq("token"))
+
   /** Prefix autocomplete — the search-box suggestion read: dictionary
     * terms starting with the literal `prefix`, ranked by df (ties by
     * token). Serving shape: a pushed `StartsWith` predicate on the
@@ -1376,17 +1435,58 @@ object TextAnalysis {
     * scan per query that makes naive fuzzy matching unusable at a
     * 100 TB corpus's multi-million-term vocabulary.
     */
+  /** The per-token deletion-variant array — ONE expression shared by
+    * the batch store build ([[deletionNeighborhood]]) and the
+    * slice-incremental derivation ([[delneighSlices]]), so the two
+    * cannot expand differently. array_union is already
+    * element-distinct — no array_distinct.
+    */
+  private val deletionVariantExpr =
+    """array_union(
+      |  array(token),
+      |  transform(sequence(1, length(token)),
+      |    i -> concat(substring(token, 1, i - 1),
+      |                substring(token, i + 1, length(token)))))"""
+      .stripMargin
+
   def deletionNeighborhood(vocab: DataFrame): DataFrame =
     vocab.select(col("token"), col("df"),
-        // array_union is already element-distinct — no array_distinct
-        explode(expr(
-          """array_union(
-            |  array(token),
-            |  transform(sequence(1, length(token)),
-            |    i -> concat(substring(token, 1, i - 1),
-            |                substring(token, i + 1, length(token)))))"""
-            .stripMargin)).as("variant"))
+        explode(expr(deletionVariantExpr)).as("variant"))
       .select(col("variant"), col("token"), col("df"))
+
+  /** Per-slice deletion-neighborhood deltas — the SymSpell store as a
+    * fold-on-read slice family: the variant expansion (a pure
+    * per-token function) applied to the DICTIONARY deltas
+    * ([[dictSlices]] rows), carrying d_df. Expansion commutes with
+    * the delta sum, so [[delneighMergeSlices]] over any slice subset
+    * ≡ [[deletionNeighborhood]] over the rebuilt dictionary — an
+    * ingest batch updates the store by appending one
+    * batch-vocabulary-sized slice (work ∝ batch vocabulary × term
+    * length), never an O(V) rebuild.
+    */
+  def delneighSlices(dslices: DataFrame): DataFrame =
+    dslices.select(col("slice"), col("token"), col("d_df"),
+        explode(expr(deletionVariantExpr)).as("variant"))
+      .select(col("slice"), col("variant"), col("token"), col("d_df"))
+
+  /** Fold stored deletion-neighborhood slices to the (variant, token,
+    * df) serving artifact [[fuzzyTerms]] probes. The per-(variant,
+    * token) delta sum raises on a negative (the dictMergeSlices
+    * posture); extinct terms drop with their whole neighborhood. A
+    * pushed variant probe passes THROUGH this aggregate to the store
+    * scan (the filter is on a grouping column), so serving reads stay
+    * |query|+1 key probes.
+    */
+  def delneighMergeSlices(slices: DataFrame): DataFrame =
+    slices.groupBy(col("variant"), col("token"))
+      .agg(sum(col("d_df")).as("_df"))
+      .select(col("variant"), col("token"),
+        when(col("_df") >= 0, col("_df"))
+          .otherwise(raise_error(concat(
+            lit("delneighMergeSlices: negative merged df for variant "),
+            col("variant"), lit(" token "), col("token"),
+            lit(" — tombstone without matching ingest")))).as("df"))
+      .filter(col("df") > 0)
 
   /** Fuzzy term lookup — "did you mean": dictionary terms within
     * Levenshtein distance 1 of the literal `term`, ranked exact-first
@@ -1524,13 +1624,44 @@ object TextAnalysis {
     * [[infixSearch]] enforces (a shorter query couldn't produce one
     * full gram; a shorter token can never contain a ≥3-char infix).
     */
+  /** The per-token trigram array — shared by [[trigramNeighborhood]]
+    * and the slice-incremental [[tgramSlices]] (the
+    * deletionVariantExpr posture).
+    */
+  private val trigramExpr =
+    """array_distinct(transform(sequence(1, length(token) - 2),
+      |  i -> substring(token, i, 3)))""".stripMargin
+
   def trigramNeighborhood(vocab: DataFrame): DataFrame =
     vocab.filter(length(col("token")) >= 3)
       .select(col("token"), col("df"),
-        explode(expr(
-          """array_distinct(transform(sequence(1, length(token) - 2),
-            |  i -> substring(token, i, 3)))""".stripMargin)).as("gram"))
+        explode(expr(trigramExpr)).as("gram"))
       .select(col("gram"), col("token"), col("df"))
+
+  /** Per-slice trigram-index deltas — [[delneighSlices]] for the
+    * infix store: the gram expansion applied to dictionary deltas,
+    * d_df riding along. Same commutation argument, same contract.
+    */
+  def tgramSlices(dslices: DataFrame): DataFrame =
+    dslices.filter(length(col("token")) >= 3)
+      .select(col("slice"), col("token"), col("d_df"),
+        explode(expr(trigramExpr)).as("gram"))
+      .select(col("slice"), col("gram"), col("token"), col("d_df"))
+
+  /** Fold stored trigram slices to the (gram, token, df) artifact
+    * [[infixSearch]] probes — the delneighMergeSlices body on the
+    * gram key; pushed gram probes pass through the aggregate.
+    */
+  def tgramMergeSlices(slices: DataFrame): DataFrame =
+    slices.groupBy(col("gram"), col("token"))
+      .agg(sum(col("d_df")).as("_df"))
+      .select(col("gram"), col("token"),
+        when(col("_df") >= 0, col("_df"))
+          .otherwise(raise_error(concat(
+            lit("tgramMergeSlices: negative merged df for gram "),
+            col("gram"), lit(" token "), col("token"),
+            lit(" — tombstone without matching ingest")))).as("df"))
+      .filter(col("df") > 0)
 
   /** Batched infix (wildcard `*q*`) search over the trigram index —
     * one read for a whole query batch, the shape a serving tier
@@ -2096,8 +2227,14 @@ object TextAnalysis {
       bm25ScoredK(index, nDocs, terms, nTerms, checkpointDir,
         allowed = None, excludedId = None),
       checkpointDir, eager = false)
+    // a dup map carrying duplicate doc_id rows would fan the left
+    // join out and score one candidate into several groups silently —
+    // the store-built map is unique only by construction, so
+    // uniqueness is RESTORED here (min rep: deterministic) on the
+    // already-candidate-bounded frame (ADVICE r18)
     val reps = dupMap.join(broadcast(scored.select(col("doc_id"))),
-      Seq("doc_id"), "left_semi")
+        Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
     val best = scored.join(broadcast(reps), Seq("doc_id"), "left")
       .withColumn("group_id", coalesce(col("rep"), col("doc_id")))
       .groupBy(col("group_id"))
@@ -2648,5 +2785,117 @@ object TextAnalysis {
           least(size(col("_ws")), col("_a") + context + 1) -
             greatest(lit(1), col("_a") - context) + 1), " ")
           .as("snippet"))
+  }
+
+  /** Term-highlight SNIPPETS for the k-term OR search ([[bm25QueryK]]
+    * results — the q262 literal query): [[phraseSnippets]]' sibling
+    * for queries with no phrase to anchor on. Per hit doc, every
+    * position holding ANY query term is an anchor candidate; the BEST
+    * window is the one showing the most DISTINCT query terms within
+    * ±`window` tokens (ties to the earliest anchor — a deterministic,
+    * engine-replayable pick), and the emitted snippet is that window.
+    * A doc matching only one term simply shows a 1-term window — the
+    * n_window_terms column says how much of the query the snippet
+    * covers.
+    *
+    * Serving shape: the ≤ k hits BROADCAST into ONE documents join
+    * (text touched only for the result docs — at 100 TB an
+    * id-addressed doc store serves this point-read); anchor scan,
+    * per-anchor distinct-term counting and the argmax fold are all
+    * in-row higher-order functions — no explode, no extra shuffle.
+    */
+  def termSnippets(docs: DataFrame, hits: DataFrame, terms: DataFrame,
+                   window: Int,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    require(window >= 0, "window must be >= 0")
+    // the query-term SET as one broadcast row (order-insensitive —
+    // only membership matters)
+    val qt = Checkpoints.pin(
+      terms.agg(sort_array(collect_set(col("token"))).as("qt")),
+      checkpointDir, eager = false)
+    val cnt = s"""size(array_distinct(filter(
+      slice(_ws, greatest(1, i - $window),
+        least(size(_ws), i + $window) - greatest(1, i - $window) + 1),
+      x -> array_contains(qt, x))))"""
+    docs.select(col("doc_id"), col("text"))
+      .join(broadcast(hits.select(col("doc_id"), col("n_terms_hit"),
+        col("rk"))), "doc_id")
+      .crossJoin(broadcast(qt)) // 1 row by construction
+      .withColumn("_ws", split(col("text"), " "))
+      // anchors = positions holding a query term (guaranteed non-empty:
+      // a hit doc's postings came from this text); fold to the
+      // (count, anchor) argmax — strict > keeps the EARLIEST tie
+      .withColumn("_best", expr(s"""
+        aggregate(
+          transform(
+            filter(sequence(1, size(_ws)),
+              i -> array_contains(qt, element_at(_ws, i))),
+            i -> named_struct('c', $cnt, 'a', i)),
+          named_struct('c', -1, 'a', 0),
+          (acc, s) -> IF(s.c > acc.c, s, acc))"""))
+      .select(col("doc_id"), col("rk"), col("n_terms_hit"),
+        (col("_best.a") - 1).cast("long").as("anchor"),
+        col("_best.c").cast("long").as("n_window_terms"),
+        array_join(slice(col("_ws"),
+          greatest(lit(1), col("_best.a") - window),
+          least(size(col("_ws")), col("_best.a") + window) -
+            greatest(lit(1), col("_best.a") - window) + 1), " ")
+          .as("snippet"))
+  }
+
+  /** Batched passage retrieval — the [[bm25QueryBatch]] pattern
+    * applied to [[passageSearch]]: N RAG queries answered in ONE pass
+    * over the chunk-level capped index (the offline-eval /
+    * context-precompute read). Scoring, the composite-cid decompose,
+    * and the MaxP struct-argmax all run per (qid, doc) in the same
+    * hash aggregates; the per-query rank is a qid-PARTITIONED
+    * WindowGroupLimit — more queries = more partitions, never more
+    * single-task work. The spec pins batch ≡ per-query
+    * [[passageSearch]] bit-identically.
+    */
+  def passageSearchBatch(chunkIndex: DataFrame, nChunks: DataFrame,
+                         queries: DataFrame, nTerms: Int, k: Int,
+                         chunkKeyBase: Long = 100000L,
+                         checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nTerms >= 1 && nTerms <= 8,
+      "nTerms must be in [1, 8] (the pivot width)")
+    require(chunkKeyBase >= 2L, "chunkKeyBase must exceed any chunk_id")
+    val idx = Checkpoints.pin(chunkIndex, checkpointDir, eager = false)
+    val q = Checkpoints.pin(queries.select(col("qid"),
+      when(col("ord") < 0 || col("ord") >= nTerms,
+        raise_error(concat(lit("passageSearchBatch: ord "),
+          col("ord").cast("string"),
+          lit(s" outside [0, $nTerms) — raise nTerms to cover every " +
+            "query term")))).otherwise(col("ord")).as("ord"),
+      col("token")), checkpointDir, eager = false)
+    val n1 = oneRowScalar(
+      nChunks.select(col("n_chunks").as("n_docs")), "n_docs",
+      "passageSearchBatch")
+    val scored = idx.join(broadcast(q), Seq("token"))
+      .crossJoin(broadcast(n1)) // exactly 1 row — enforced above
+      .select(col("qid"), col("doc_id"), col("ord"),
+        bm25ImpactCol.as("_s"))
+    val pivots = (0 until nTerms).map(i =>
+      max(when(col("ord") === i, col("_s"))).as(s"_s$i"))
+    val g = scored.groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), pivots: _*)
+    val score = (0 until nTerms).map(i =>
+      coalesce(col(s"_s$i"), lit(0.0))).reduceLeft(_ + _)
+    val best = g.withColumn("_score", score)
+      .select(col("qid"), expr(s"doc_id div ${chunkKeyBase}L").as("d"),
+        pmod(col("doc_id"), lit(chunkKeyBase)).as("ch"),
+        col("n_terms_hit"), col("_score"))
+      .groupBy(col("qid"), col("d"))
+      .agg(max(struct(col("_score").as("s"), (-col("ch")).as("nch"),
+        col("n_terms_hit").as("h"))).as("m"))
+      .select(col("qid"), col("d").as("doc_id"),
+        (-col("m.nch")).as("chunk_id"), col("m.h").as("n_terms_hit"),
+        col("m.s").as("_score"))
+    TopN.perGroup(best, Seq("qid"), "_score", Seq("doc_id"), k,
+        rankName = "rk")
+      .select(col("qid"), col("doc_id"), col("chunk_id"),
+        col("n_terms_hit"), round(col("_score"), 6).as("score"),
+        col("rk").cast("long").as("rk"))
   }
 }

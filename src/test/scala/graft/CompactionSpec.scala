@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Graph, Profile, TextAnalysis}
+
+/** Compaction EXECUTION ([[Stores.compact]]) — the action half of the
+  * q261 maintenance read: the plan's bins rewrite into single merged
+  * slices, reads stay identical, the datasheet reflects the new
+  * generations, and a follow-up plan finds no multi-slice bin left.
+  */
+class CompactionSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "a b a"), (2L, "b a b c"), (3L, "c a b"), (4L, "a b"),
+    (5L, "b c b c a b"), (6L, "c c a"), (7L, "a a b c"),
+    (8L, "b a")).toDF("doc_id", "text")
+
+  // the q261 output shape (gen_lo/gen_hi) IS Stores.compact's input
+  private def planFor(slices: org.apache.spark.sql.DataFrame,
+                      keys: Seq[String], w: String, target: Long) =
+    Profile.compactionPlan(
+      Profile.sliceDatasheet(slices, "slice", keys, w)
+        .select(lit("t").as("store"), $"slice", $"n_rows"),
+      "store", "slice", "n_rows", targetBytes = target)
+      .select($"bin", $"n_files", $"id_lo".as("gen_lo"),
+        $"id_hi".as("gen_hi"))
+
+  test("index-family compact: reads identical, slice count = bin count, follow-up plan finds no multi-slice bin") {
+    val t = "graft_cmp_idx"
+    try {
+      // 8 generations (one per doc) — small slices a nightly job wants
+      // folded toward ~6-posting-row output generations
+      TextAnalysis.writeIndexStore(
+        TextAnalysis.indexSlices(
+          corpus.withColumn("slice", $"doc_id"), "doc_id", "text",
+          "slice"),
+        t, buckets = 4)
+      val before = TextAnalysis.indexMergeSlices(spark.table(t))
+        .as[(String, Long, Long)].collect().toSet
+      val nBefore = spark.table(t).select($"slice").distinct().count()
+      val plan = planFor(spark.table(t), Seq("token", "doc_id"), "tf",
+        target = 6L)
+      val nBins = plan.count()
+      assert(nBins < nBefore) // the plan actually folds something
+      Stores.compact(spark, t, plan, TextAnalysis.indexCompact,
+        Seq("token"), buckets = 4)
+      spark.catalog.refreshTable(t)
+      // reads identical (compaction commutes with the merge)
+      assert(TextAnalysis.indexMergeSlices(spark.table(t))
+        .as[(String, Long, Long)].collect().toSet === before)
+      // slice count dropped to exactly the plan's bin count
+      assert(spark.table(t).select($"slice").distinct().count() === nBins)
+      // the datasheet reflects the new generations and a follow-up
+      // plan schedules no further work (every bin single-slice)
+      val replan = planFor(spark.table(t), Seq("token", "doc_id"), "tf",
+        target = 6L)
+      assert(replan.agg(max($"n_files")).as[Long].head() === 1L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("positional-family compact folds the delete log away: compacted store without the log ≡ pre-compaction store with it") {
+    val t = "graft_cmp_pidx"
+    try {
+      TextAnalysis.writeIndexStore(
+        TextAnalysis.positionalSlices(
+          corpus.withColumn("slice", $"doc_id"), "doc_id", "text",
+          "slice"),
+        t, buckets = 4)
+      val deletes = Seq(3L, 6L).toDF("doc_id")
+      val expect = TextAnalysis.positionalMergeSlices(
+          TextAnalysis.positionalApplyTombstones(spark.table(t), deletes))
+        .as[(String, Long, Long, Seq[Int])].collect().toSet
+      val plan = planFor(spark.table(t), Seq("token", "doc_id"), "tf",
+        target = 6L)
+      // the compact function folds the survivors only — the q213/q215
+      // contract: a rewrite without the deleted docs serves the same
+      // rows, and the log is no longer needed for the rewritten range
+      Stores.compact(spark, t, plan,
+        (sl, ns) => TextAnalysis.positionalCompact(
+          TextAnalysis.positionalApplyTombstones(sl, deletes), ns),
+        Seq("token"), buckets = 4)
+      spark.catalog.refreshTable(t)
+      assert(TextAnalysis.positionalMergeSlices(spark.table(t))
+        .as[(String, Long, Long, Seq[Int])].collect().toSet === expect)
+      assert(spark.table(t).filter($"doc_id".isin(3L, 6L)).isEmpty)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("edge-family compact under a partial plan: unplanned slices ride along unchanged") {
+    val t = "graft_cmp_edges"
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (1L, 2L), (3L, 1L), (2L, 3L),
+        (1L, 3L)).zipWithIndex.map { case ((a, b), i) =>
+        (a, b, (i % 4).toLong) }
+      graft.ops.Bucketing.writeBucketed(
+        Graph.edgeSlices(pairs.toDF("src", "dst", "slice"),
+          "src", "dst", "slice"),
+        t, Seq("src"), buckets = 4, sortCols = Seq("src"))
+      val before = Graph.edgeMerge(spark.table(t))
+        .as[(Long, Long, Long)].collect().toSet
+      // partial plan: fold generations 0..2 only; slice 3 untouched
+      val plan = Seq((0L, 0L, 2L)).toDF("bin", "gen_lo", "gen_hi")
+      Stores.compact(spark, t, plan, Graph.edgeCompact,
+        Seq("src"), buckets = 4)
+      spark.catalog.refreshTable(t)
+      assert(Graph.edgeMerge(spark.table(t))
+        .as[(Long, Long, Long)].collect().toSet === before)
+      assert(spark.table(t).select($"slice").distinct()
+        .as[Long].collect().toSet === Set(0L, 3L))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+}

@@ -3027,4 +3027,58 @@ class MiningSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(fromSlices === fromCorpus && fromSlices.nonEmpty)
   }
+
+  test("termSnippets hand-trace: best ±2 window by distinct query terms, earliest-anchor ties, incl. a doc matching only one term") {
+    import spark.implicits._
+    val d = Seq((1L, "x hash y join window z"), (2L, "a hash b c d"))
+      .toDF("doc_id", "text")
+    val hits = Seq((1L, 3L, 1L), (2L, 1L, 2L))
+      .toDF("doc_id", "n_terms_hit", "rk")
+    val terms = Seq((0L, "hash"), (1L, "join"), (2L, "window"))
+      .toDF("ord", "token")
+    val got = TextAnalysis.termSnippets(d, hits, terms, window = 2)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+    // doc 1 anchors (1-based): hash@2 → {hash,join}=2; join@4 →
+    // {hash,join,window}=3; window@5 → 2 ⇒ best anchor 4 (0-based 3)
+    // doc 2: only hash@2 → 1 distinct term, window clamps at the left
+    assert(got === Set(
+      (1L, 1L, 3L, 3L, 3L, "hash y join window z"),
+      (2L, 2L, 1L, 1L, 1L, "a hash b c")))
+  }
+
+  test("termSnippets earliest-anchor tie: two equal-count windows pick the first") {
+    import spark.implicits._
+    val d = Seq((1L, "hash p q r hash")).toDF("doc_id", "text")
+    val hits = Seq((1L, 1L, 1L)).toDF("doc_id", "n_terms_hit", "rk")
+    val terms = Seq((0L, "hash")).toDF("ord", "token")
+    val got = TextAnalysis.termSnippets(d, hits, terms, window = 1)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+    assert(got === Set((1L, 1L, 1L, 0L, 1L, "hash p")))
+  }
+
+  test("passageSearchBatch ≡ per-query passageSearch bit-identically") {
+    import spark.implicits._
+    val words1 = Seq.fill(10)(Seq("a", "b", "c", "d")).flatten
+    val words2 = Seq.fill(13)(Seq("c", "d", "e")).flatten
+    val d = Seq((1L, words1.mkString(" ")), (2L, words2.mkString(" ")))
+      .toDF("doc_id", "text")
+    val cids = Stores.chunkCids(d)
+    assert(cids.count() > 2) // really multi-chunk docs
+    val cidx = TextAnalysis.cappedIndex(
+      TextAnalysis.tokenPostings(cids, "cid", "chunk"), 1000)
+    val nCh = cids.agg(countDistinct($"cid").as("n_chunks"))
+    val queries = Seq("a c", "d e")
+    val batch = TextAnalysis.passageSearchBatch(cidx, nCh,
+        TextAnalysis.searchTermsBatch(spark, queries), nTerms = 2, k = 3,
+        chunkKeyBase = Stores.ChunkKeyBase)
+      .as[(Long, Long, Long, Long, Double, Long)].collect().toSet
+    val single = queries.zipWithIndex.flatMap { case (q, i) =>
+      TextAnalysis.passageSearch(cidx, nCh,
+          TextAnalysis.searchTerms(spark, q), nTerms = 2, k = 3,
+          chunkKeyBase = Stores.ChunkKeyBase)
+        .as[(Long, Long, Long, Double, Long)].collect()
+        .map(r => (i.toLong, r._1, r._2, r._3, r._4, r._5))
+    }.toSet
+    assert(batch === single && batch.nonEmpty)
+  }
 }

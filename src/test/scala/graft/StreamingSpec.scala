@@ -1112,14 +1112,95 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged === full)
   }
 
+  /** Bootstrap a ServingWarehouse's tables as empty-sliced EXTERNAL
+    * tables (fixing every bucket spec) under `base` — shared by the
+    * E2E ingest test and the forget-between-batches pin.
+    */
+  private def bootstrapWarehouse(t: graft.jobs.ServingWarehouse.Tables,
+                                 base: java.nio.file.Path): Unit = {
+    import graft.ops.{Graph, TextAnalysis}
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .withColumn("slice", lit(0L))
+    val noPairs = Seq.empty[(Long, Long)].toDF("src", "dst")
+      .withColumn("slice", lit(0L))
+    TextAnalysis.writeIndexStore(
+      TextAnalysis.indexSlices(noDocs, "doc_id", "text", "slice"),
+      t.index, buckets = 4, path = Some(base.resolve("idx").toString))
+    TextAnalysis.writeIndexStore(
+      TextAnalysis.positionalSlices(noDocs, "doc_id", "text", "slice"),
+      t.positional, buckets = 4,
+      path = Some(base.resolve("pidx").toString))
+    graft.ops.Bucketing.writeBucketed(
+      Graph.edgeSlices(noPairs, "src", "dst", "slice"),
+      t.edges, Seq("src"), buckets = 4, sortCols = Seq("src"),
+      path = Some(base.resolve("edges").toString))
+    graft.ops.Bucketing.writeBucketed(
+      TextAnalysis.collocSlices(noDocs, "text", "slice"),
+      t.colloc, Seq("w1"), buckets = 4, sortCols = Seq("w1"),
+      path = Some(base.resolve("colloc").toString))
+    TextAnalysis.writeIndexStore(
+      TextAnalysis.indexSlices(
+        graft.Stores.chunkCids(noDocs).withColumn("slice", lit(0L)),
+        "cid", "chunk", "slice"),
+      t.chunks, buckets = 4,
+      path = Some(base.resolve("chunks").toString))
+    val noDict = TextAnalysis.dictSlices(
+      TextAnalysis.indexSlices(noDocs, "doc_id", "text", "slice"))
+    graft.ops.Bucketing.writeBucketed(noDict, t.dict,
+      Seq("token"), buckets = 4, sortCols = Seq("token"),
+      path = Some(base.resolve("dict").toString))
+    graft.ops.Bucketing.writeBucketed(
+      TextAnalysis.delneighSlices(noDict), t.delneigh,
+      Seq("variant"), buckets = 4, sortCols = Seq("variant"),
+      path = Some(base.resolve("delneigh").toString))
+    graft.ops.Bucketing.writeBucketed(
+      TextAnalysis.tgramSlices(noDict), t.tgram,
+      Seq("gram"), buckets = 4, sortCols = Seq("gram"),
+      path = Some(base.resolve("tgram").toString))
+    Seq.empty[(Long, Long)].toDF("slice", "doc_id")
+      .write.format("parquet")
+      .option("path", base.resolve("deletes").toString)
+      .saveAsTable(t.deletes)
+    // vector family: train the fixed model on a 4-vector seed frame
+    // (dim 8 → m=2 × subDim=4) and fix the empty code table's spec
+    graft.jobs.ServingWarehouse.trainVectorModel(spark, t,
+      seedVecs.toDF("vec_id", "embedding"),
+      coarseIds = Seq(0L, 1L), initIds = Seq(0L, 1L),
+      model = warehouseModel, buckets = 4, path = Some(base))
+  }
+
+  /** dim-8 seed/training vectors for the warehouse's vector family. */
+  private def seedVecs: Seq[(Long, Array[Float])] =
+    Seq(
+      0L -> Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      1L -> Array(8f, 8f, 8f, 8f, 8f, 8f, 8f, 8f),
+      2L -> Array(1f, 0f, 1f, 0f, 1f, 0f, 1f, 0f),
+      3L -> Array(7f, 8f, 7f, 8f, 7f, 8f, 7f, 8f))
+
+  private val warehouseModel =
+    graft.jobs.ServingWarehouse.VectorModel(m = 2, subDim = 4)
+
+  private def warehouseTables(prefix: String) =
+    graft.jobs.ServingWarehouse.Tables(s"${prefix}_idx", s"${prefix}_pidx",
+      s"${prefix}_edges", s"${prefix}_colloc", s"${prefix}_chunks",
+      s"${prefix}_dict", s"${prefix}_delneigh", s"${prefix}_tgram",
+      s"${prefix}_del", s"${prefix}_pq", s"${prefix}_pqcb",
+      s"${prefix}_pqcoarse")
+
+  private def dropWarehouse(t: graft.jobs.ServingWarehouse.Tables): Unit =
+    for (tbl <- Seq(t.index, t.positional, t.edges, t.colloc, t.chunks,
+        t.dict, t.delneigh, t.tgram, t.deletes, t.pq, t.pqcb,
+        t.pqcoarse))
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+
   test("ServingWarehouse end-to-end: concurrent doc+pair ingest; mid-stream q206/q209/q246 reads ≡ batch reads over the landed slices") {
     import graft.jobs.ServingWarehouse
     import graft.ops.{Behavior, Graph, TextAnalysis}
     val base = java.nio.file.Files.createTempDirectory("graft-sw-")
-    val t = ServingWarehouse.Tables("graft_sw_idx", "graft_sw_pidx",
-      "graft_sw_edges", "graft_sw_colloc", "graft_sw_chunks")
+    val t = warehouseTables("graft_sw")
     val docs1 = Seq((1L, "a b a"), (2L, "b a b c"), (3L, "c a b"))
-    val docs2 = Seq((4L, "a b"), (5L, "b c b c a b"))
+    val docs2 = Seq((4L, "a b"), (5L, "b c b c a b"),
+      (6L, "steam stream esteem"))
     val pairs1 = Seq((10L, 11L), (11L, 12L), (10L, 11L))
     val pairs2 = Seq((10L, 12L), (10L, 11L), (12L, 11L))
     // the chunk frame the chunk-posting family ingests (docs here are
@@ -1130,31 +1211,7 @@ class StreamingSpec extends AnyFunSuite {
           "text", chunkWords = 32, overlapWords = 8)
         .select(($"doc_id" * 100000L + $"chunk_id").as("cid"), $"chunk")
     try {
-      // bootstrap: empty-sliced EXTERNAL tables fix the bucket specs
-      TextAnalysis.writeIndexStore(
-        TextAnalysis.indexSlices(docs1.take(0).toDF("doc_id", "text")
-          .withColumn("slice", lit(0L)), "doc_id", "text", "slice"),
-        t.index, buckets = 4, path = Some(base.resolve("idx").toString))
-      TextAnalysis.writeIndexStore(
-        TextAnalysis.positionalSlices(docs1.take(0).toDF("doc_id", "text")
-          .withColumn("slice", lit(0L)), "doc_id", "text", "slice"),
-        t.positional, buckets = 4,
-        path = Some(base.resolve("pidx").toString))
-      graft.ops.Bucketing.writeBucketed(
-        Graph.edgeSlices(pairs1.take(0).toDF("src", "dst")
-          .withColumn("slice", lit(0L)), "src", "dst", "slice"),
-        t.edges, Seq("src"), buckets = 4, sortCols = Seq("src"),
-        path = Some(base.resolve("edges").toString))
-      graft.ops.Bucketing.writeBucketed(
-        TextAnalysis.collocSlices(docs1.take(0).toDF("doc_id", "text")
-          .withColumn("slice", lit(0L)), "text", "slice"),
-        t.colloc, Seq("w1"), buckets = 4, sortCols = Seq("w1"),
-        path = Some(base.resolve("colloc").toString))
-      TextAnalysis.writeIndexStore(
-        TextAnalysis.indexSlices(chunkCids(docs1.take(0))
-          .withColumn("slice", lit(0L)), "cid", "chunk", "slice"),
-        t.chunks, buckets = 4,
-        path = Some(base.resolve("chunks").toString))
+      bootstrapWarehouse(t, base)
       val docsIn = MemoryStream[(Long, String)]
       val pairsIn = MemoryStream[(Long, Long)]
       val qs = ServingWarehouse.start(
@@ -1176,7 +1233,11 @@ class StreamingSpec extends AnyFunSuite {
         ServingWarehouse.passageRead(spark, t,
             Seq((0L, "a"), (1L, "c")).toDF("ord", "token"),
             nTerms = 2, k = 5)
-          .as[(Long, Long, Long, Double, Long)].collect().toSet)
+          .as[(Long, Long, Long, Double, Long)].collect().toSet,
+        ServingWarehouse.fuzzyRead(spark, t, term = "steam", k = 5)
+          .as[(String, Long, Long, Long)].collect().toSet,
+        ServingWarehouse.infixRead(spark, t, Seq("tea", "xyz"), k = 5)
+          .as[(String, String, Long, Long)].collect().toSet)
       // the same read BODIES over slices derived from the landed data
       def expected(docs: Seq[(Long, String)], pairs: Seq[(Long, Long)]) = {
         val idx = TextAnalysis.indexSlices(docs.toDF("doc_id", "text")
@@ -1217,7 +1278,16 @@ class StreamingSpec extends AnyFunSuite {
                Seq((0L, "a"), (1L, "c")).toDF("ord", "token"),
                nTerms = 2, k = 5)
              .as[(Long, Long, Long, Double, Long)].collect().toSet
-         })
+         },
+         TextAnalysis.fuzzyTerms(
+             TextAnalysis.deletionNeighborhood(
+               TextAnalysis.termDictionary(merged)), "steam", 5)
+           .as[(String, Long, Long, Long)].collect().toSet,
+         TextAnalysis.infixSearch(
+             TextAnalysis.trigramNeighborhood(
+               TextAnalysis.termDictionary(merged)),
+             Seq("tea", "xyz"), 5)
+           .as[(String, String, Long, Long)].collect().toSet)
       }
       docsIn.addData(docs1: _*)
       pairsIn.addData(pairs1: _*)
@@ -1245,9 +1315,198 @@ class StreamingSpec extends AnyFunSuite {
         pairs2.toDF("src", "dst"), id = 1L, t, buckets = 4)
       assert(readAll() === got2)
     } finally {
-      for (tbl <- Seq(t.index, t.positional, t.edges, t.colloc,
-          t.chunks))
-        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      dropWarehouse(t)
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+
+  test("ServingWarehouse forget between batches: the erasure cascade lands mid-stream and every family's read serves corpus-minus-F") {
+    import graft.jobs.ServingWarehouse
+    import graft.ops.TextAnalysis
+    val base = java.nio.file.Files.createTempDirectory("graft-swf-")
+    val t = warehouseTables("graft_swf")
+    val docs1 = Seq((1L, "a b a steam"), (2L, "b a b c stream"),
+      (3L, "c a b esteem"))
+    val docs2 = Seq((4L, "a b steam"), (5L, "b c b c a b"))
+    // doc 2 is the erasure request — its text as ingested (the
+    // content-addressed tombstone contract)
+    val forgotten = Seq((2L, "b a b c stream"))
+    try {
+      bootstrapWarehouse(t, base)
+      val docsIn = MemoryStream[(Long, String)]
+      val pairsIn = MemoryStream[(Long, Long)]
+      val qs = ServingWarehouse.start(
+        docsIn.toDS().toDF("doc_id", "text"),
+        pairsIn.toDS().toDF("src", "dst"), t, buckets = 4)
+      val terms = Seq(("a", "b")).toDF("w1", "w2")
+      def readAll() = (
+        ServingWarehouse.bm25Read(spark, t, maxPostings = 10, k = 5)
+          .as[(Long, Long, Long, Double, Long)].collect().toSet,
+        ServingWarehouse.phraseRead(spark, t, terms, k = 5)
+          .as[(Long, Long, Long)].collect().toSet,
+        ServingWarehouse.prefixRead(spark, t, prefix = "s", k = 5)
+          .as[(String, Long, Long)].collect().toSet,
+        ServingWarehouse.fuzzyRead(spark, t, term = "steam", k = 5)
+          .as[(String, Long, Long, Long)].collect().toSet,
+        ServingWarehouse.infixRead(spark, t, Seq("tea", "rea"), k = 5)
+          .as[(String, String, Long, Long)].collect().toSet,
+        ServingWarehouse.expansionRead(spark, t, seed = "a", e = 2,
+            minCount = 1L)
+          .as[(Long, String)].collect().toSet,
+        ServingWarehouse.passageRead(spark, t,
+            Seq((0L, "a"), (1L, "c")).toDF("ord", "token"),
+            nTerms = 2, k = 5)
+          .as[(Long, Long, Long, Double, Long)].collect().toSet)
+      // the same read BODIES over slices from the surviving corpus
+      def expected(docs: Seq[(Long, String)]) = {
+        val d = docs.toDF("doc_id", "text").withColumn("slice", lit(0L))
+        val merged = TextAnalysis.indexMergeSlices(
+          TextAnalysis.indexSlices(d, "doc_id", "text", "slice"))
+        val dict = TextAnalysis.termDictionary(merged)
+        (TextAnalysis.bm25Query(TextAnalysis.cappedIndex(merged, 10),
+            merged.agg(countDistinct($"doc_id").as("n_docs")), 5)
+          .as[(Long, Long, Long, Double, Long)].collect().toSet,
+         TextAnalysis.phraseQuery(
+            TextAnalysis.positionalMergeSlices(
+              TextAnalysis.positionalSlices(d, "doc_id", "text",
+                "slice")),
+            terms, 5)
+          .as[(Long, Long, Long)].collect().toSet,
+         TextAnalysis.prefixSearch(dict, "s", 5)
+          .as[(String, Long, Long)].collect().toSet,
+         TextAnalysis.fuzzyTerms(
+            TextAnalysis.deletionNeighborhood(dict), "steam", 5)
+          .as[(String, Long, Long, Long)].collect().toSet,
+         TextAnalysis.infixSearch(
+            TextAnalysis.trigramNeighborhood(dict), Seq("tea", "rea"), 5)
+          .as[(String, String, Long, Long)].collect().toSet,
+         TextAnalysis.expandTerms(
+            TextAnalysis.collocationTableFrom(
+              TextAnalysis.collocMergeSlices(
+                TextAnalysis.collocSlices(d, "text", "slice")),
+              minCount = 1L),
+            "a", 2)
+          .as[(Long, String)].collect().toSet,
+         {
+           val cm = TextAnalysis.indexMergeSlices(
+             TextAnalysis.indexSlices(
+               graft.Stores.chunkCids(docs.toDF("doc_id", "text"))
+                 .withColumn("slice", lit(0L)),
+               "cid", "chunk", "slice"))
+           TextAnalysis.passageSearch(
+               TextAnalysis.cappedIndex(cm, 1000),
+               cm.agg(countDistinct($"doc_id").as("n_chunks")),
+               Seq((0L, "a"), (1L, "c")).toDF("ord", "token"),
+               nTerms = 2, k = 5,
+               chunkKeyBase = graft.Stores.ChunkKeyBase)
+             .as[(Long, Long, Long, Double, Long)].collect().toSet
+         })
+      }
+      docsIn.addData(docs1: _*)
+      qs.foreach(_.processAllAvailable())
+      assert(readAll() === expected(docs1))
+      // the erasure request lands BETWEEN batches (negative slice id —
+      // never collides with a micro-batch id)
+      ServingWarehouse.forgetApply(spark, t,
+        forgotten.toDF("doc_id", "text"), id = -1L, buckets = 4)
+      val afterForget = readAll()
+      assert(afterForget === expected(docs1.filterNot(_._1 == 2L)))
+      // stream continues: the next generation lands on top of the
+      // tombstones and reads serve (docs1 ∪ docs2) minus the request
+      docsIn.addData(docs2: _*)
+      qs.foreach(_.processAllAvailable())
+      assert(readAll() ===
+        expected((docs1 ++ docs2).filterNot(_._1 == 2L)))
+      qs.foreach(_.stop())
+      // at-least-once: a REPLAYED erasure (same request id) must be
+      // skipped by the slice guard, not double-applied (a doubled
+      // tombstone would drive merged tf negative and raise)
+      ServingWarehouse.forgetApply(spark, t,
+        forgotten.toDF("doc_id", "text"), id = -1L, buckets = 4)
+      assert(readAll() ===
+        expected((docs1 ++ docs2).filterNot(_._1 == 2L)))
+    } finally {
+      dropWarehouse(t)
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+
+  test("ServingWarehouse vector family: mid-stream pqIngest at the fixed model; ann/ivf reads after batch N ≡ a one-shot encode of the first N batches; erasure via the delete log") {
+    import graft.jobs.ServingWarehouse
+    import graft.ops.Pq
+    val base = java.nio.file.Files.createTempDirectory("graft-swv-")
+    val t = warehouseTables("graft_swv")
+    val m = warehouseModel
+    val batch1 = Seq(
+      10L -> Array(1f, 1f, 1f, 1f, 0f, 0f, 0f, 0f),
+      11L -> Array(7f, 7f, 7f, 7f, 8f, 8f, 8f, 8f),
+      12L -> Array(0f, 1f, 0f, 1f, 1f, 0f, 1f, 0f))
+    val batch2 = Seq(
+      13L -> Array(2f, 2f, 2f, 2f, 2f, 2f, 2f, 2f),
+      14L -> Array(6f, 6f, 6f, 6f, 6f, 6f, 6f, 6f))
+    val docsFor = Map(10L -> "a b", 11L -> "c d", 12L -> "a c",
+      13L -> "b d", 14L -> "d a")
+    val queries = Seq(2L, 3L) // query vectors ride the request frame
+    def qFrame = seedVecs.toDF("vec_id", "embedding")
+    try {
+      bootstrapWarehouse(t, base)
+      val docsIn = MemoryStream[(Long, String)]
+      val pairsIn = MemoryStream[(Long, Long)]
+      val vecsIn = MemoryStream[(Long, Array[Float])]
+      val qs = ServingWarehouse.start(
+        docsIn.toDS().toDF("doc_id", "text"),
+        pairsIn.toDS().toDF("src", "dst"), t, buckets = 4,
+        vecs = Some(vecsIn.toDS().toDF("vec_id", "embedding")),
+        model = m)
+      def readAnn() = ServingWarehouse.annRead(spark, t, qFrame,
+          queries, k = 3, m)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      def readIvf() = ServingWarehouse.ivfRead(spark, t, qFrame,
+          queries, k = 2, nprobe = 1, m)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      // one-shot encode of the same vectors at the SAME fixed model —
+      // minus any erased ids (the id-addressed delete contract)
+      def expectedAnn(vecs: Seq[(Long, Array[Float])]) =
+        Pq.adcSearchCoded(
+            Pq.codeRows(vecs.toDF("vec_id", "embedding"), "vec_id",
+              "embedding", spark.table(t.pqcb), spark.table(t.pqcoarse),
+              m.m, m.subDim),
+            qFrame, "vec_id", "embedding", spark.table(t.pqcb),
+            queries, 3, m.m, m.subDim)
+          .as[(Long, Long, Double, Long)].collect().toSet
+      def expectedIvf(vecs: Seq[(Long, Array[Float])]) =
+        Pq.adcSearchProbed(
+            Pq.codeRows(vecs.toDF("vec_id", "embedding"), "vec_id",
+              "embedding", spark.table(t.pqcb), spark.table(t.pqcoarse),
+              m.m, m.subDim),
+            qFrame, "vec_id", "embedding", spark.table(t.pqcoarse),
+            spark.table(t.pqcb), queries, 2, 1, m.m, m.subDim)
+          .as[(Long, Long, Double, Long)].collect().toSet
+      vecsIn.addData(batch1: _*)
+      docsIn.addData(batch1.map { case (id, _) => (id, docsFor(id)) }: _*)
+      qs.foreach(_.processAllAvailable())
+      val got1 = readAnn()
+      assert(got1 === expectedAnn(batch1) && got1.nonEmpty)
+      assert(readIvf() === expectedIvf(batch1))
+      vecsIn.addData(batch2: _*)
+      docsIn.addData(batch2.map { case (id, _) => (id, docsFor(id)) }: _*)
+      qs.foreach(_.processAllAvailable())
+      val all = batch1 ++ batch2
+      assert(readAnn() === expectedAnn(all))
+      assert(readIvf() === expectedIvf(all))
+      qs.foreach(_.stop())
+      // erasure request for doc/vector 11 — the ONE cascade call
+      // erases the text families by tombstone AND the code table by
+      // the id log; both serve corpus-minus-11 afterwards
+      ServingWarehouse.forgetApply(spark, t,
+        Seq((11L, docsFor(11L))).toDF("doc_id", "text"), id = -7L,
+        buckets = 4)
+      val survivors = all.filterNot(_._1 == 11L)
+      assert(readAnn() === expectedAnn(survivors))
+      assert(readIvf() === expectedIvf(survivors))
+      assert(!readAnn().exists(_._2 == 11L))
+    } finally {
+      dropWarehouse(t)
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
     }
   }
