@@ -111,7 +111,7 @@ object SparkEntry {
       Stores.chunkSlices(s, dir), Stores.norms(s, dir),
       Stores.docMeta(s, dir), Stores.facetIndex(s, dir),
       Stores.pqCodes(s, dir), Stores.dupMap(s, dir),
-      forgotten, tombSlice = 99L)
+      forgotten, tombSlice = 99L, forgetIds = Some(ids))
   }
 
   /** The corpus's most frequent word n-gram — ONE derivation for the

@@ -292,8 +292,13 @@ object Stores {
   def vocab(s: SparkSession, dir: String): DataFrame = {
     val t = s"graft_vocab_${key(dir)}"
     serve(s, t) {
-      TextAnalysis.termDictionary(
-          TextAnalysis.indexMergeSlices(index(s, dir)))
+      // built through the dictionary's SLICE derivation (df/cf deltas
+      // folded — the same one code path the incremental warehouse
+      // ingest appends through; ForgetSpec pins it ≡ termDictionary
+      // over the merged postings), so batch store and streamed store
+      // cannot drift
+      TextAnalysis.dictMergeSlices(
+          TextAnalysis.dictSlices(index(s, dir)))
         .sort("token")
         .write.mode("overwrite").format("parquet").saveAsTable(t)
     }

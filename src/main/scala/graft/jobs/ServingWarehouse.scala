@@ -280,6 +280,66 @@ object ServingWarehouse {
           }.start())
   }
 
+  /** Nightly MAINTENANCE for one warehouse: plan (q261's
+    * sliceDatasheet → compactionPlan per family) and EXECUTE
+    * ([[graft.Stores.compact]]) the fold of accumulated micro-batch
+    * slices into target-sized generations, for every slice family the
+    * ingest appends to. The positional family folds through its
+    * delete log (the rewrite drops erased docs' rows — the q213/q215
+    * contract; the log stays, the anti-join is a no-op afterwards).
+    * Reads are identical before and after (every family's merge is
+    * associative — the StreamingSpec pin), only the file manifest
+    * shrinks.
+    */
+  def compact(s: SparkSession, t: Tables, targetRows: Long,
+              buckets: Int): Unit = {
+    import graft.ops.{Graph, Profile, TextAnalysis}
+    def planFor(table: String, keys: Seq[String], w: String) =
+      Profile.compactionPlan(
+        Profile.sliceDatasheet(liveTable(s, table), "slice", keys, w)
+          .select(lit(table).as("store"), col("slice"), col("n_rows")),
+        "store", "slice", "n_rows", targetBytes = targetRows)
+        .select(col("bin"), col("id_lo").as("gen_lo"),
+          col("id_hi").as("gen_hi"))
+    def run(table: String, keys: Seq[String], w: String,
+            fn: (DataFrame, Long) => DataFrame,
+            bucketCols: Seq[String]): Unit = {
+      graft.Stores.compact(s, table, planFor(table, keys, w), fn,
+        bucketCols, buckets)
+      s.catalog.refreshTable(table)
+    }
+    run(t.index, Seq("token", "doc_id"), "tf",
+      TextAnalysis.indexCompact, Seq("token"))
+    run(t.chunks, Seq("token", "doc_id"), "tf",
+      TextAnalysis.indexCompact, Seq("token"))
+    run(t.positional, Seq("token", "doc_id"), "tf",
+      (sl, ns) => TextAnalysis.positionalCompact(
+        TextAnalysis.positionalApplyTombstones(sl,
+          liveTable(s, t.deletes)), ns),
+      Seq("token"))
+    run(t.edges, Seq("src", "dst"), "w", Graph.edgeCompact, Seq("src"))
+    run(t.colloc, Seq("w1", "w2"), "c",
+      (sl, ns) => TextAnalysis.collocMergeSlices(sl)
+        .select(lit(ns).as("slice"), col("w1"), col("w2"),
+          col("c_xy").as("c")),
+      Seq("w1"))
+    run(t.dict, Seq("token"), "d_cf",
+      (sl, ns) => TextAnalysis.dictMergeSlices(sl)
+        .select(lit(ns).as("slice"), col("token"),
+          col("df").as("d_df"), col("cf").as("d_cf")),
+      Seq("token"))
+    run(t.delneigh, Seq("variant", "token"), "d_df",
+      (sl, ns) => TextAnalysis.delneighMergeSlices(sl)
+        .select(lit(ns).as("slice"), col("variant"), col("token"),
+          col("df").as("d_df")),
+      Seq("variant"))
+    run(t.tgram, Seq("gram", "token"), "d_df",
+      (sl, ns) => TextAnalysis.tgramMergeSlices(sl)
+        .select(lit(ns).as("slice"), col("gram"), col("token"),
+          col("df").as("d_df")),
+      Seq("gram"))
+  }
+
   /** The catalog's relation cache is SESSION-local and the ingest
     * queries write from their own (micro-batch-cloned) sessions, so a
     * long-lived serving session would otherwise keep answering from

@@ -132,11 +132,18 @@ object Forget {
     * [[graft.jobs.ServingWarehouse.forgetApply]] writes the same
     * tombstone derivations through the live-table slice machinery.
     */
+  /** `forgetIds`: the request's bare id list, when the caller already
+    * holds it — the id-addressed families (positional deletes, row
+    * erasure, dup map) then never touch the doc store; only the
+    * content-tombstone families read `forgotten`'s text. Defaults to
+    * deriving ids from `forgotten`.
+    */
   def erase(index: DataFrame, positional: DataFrame, chunks: DataFrame,
             norms: DataFrame, docMeta: DataFrame, facets: DataFrame,
             pqCodes: DataFrame, dupMap: DataFrame,
-            forgotten: DataFrame, tombSlice: Long): Erased = {
-    val ids = forgotten.select(col("doc_id"))
+            forgotten: DataFrame, tombSlice: Long,
+            forgetIds: Option[DataFrame] = None): Erased = {
+    val ids = forgetIds.getOrElse(forgotten.select(col("doc_id")))
     val tagged = forgotten.withColumn("slice", lit(tombSlice))
     Erased(
       index = index.unionByName(

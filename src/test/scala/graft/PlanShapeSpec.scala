@@ -923,4 +923,92 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!full.contains("documents.parquet"),
       s"q277 rescans the corpus instead of the store history:\n$full")
   }
+
+  test("q286: the positional erasure is a broadcast anti-join on the store — NO corpus scan (ids ride the request), scale-safe rank") {
+    import org.apache.spark.sql.functions.col
+    // the delete shape on the raw store frame (the read pins its
+    // merged view, which hides the scan behind an ExistingRDD)
+    val ids = Stores.norms(spark, dir)
+      .filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+    val pd = graft.ops.TextAnalysis.positionalApplyTombstones(
+        Stores.positional(spark, dir), ids)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(pd.contains("graft_pidx_"),
+      s"q286 must read the written positional store:\n$pd")
+    assert(pd.contains("LeftAnti") && pd.contains("BroadcastHashJoin"),
+      s"q286's delete must be a broadcast anti-join:\n$pd")
+    assert(!pd.contains("documents.parquet"),
+      s"q286's id-addressed delete must not touch the corpus:\n$pd")
+    val p = plan("q286_forget_phrase")
+    assert(p.contains("TakeOrderedAndProject")
+        && !p.contains("Exchange SinglePartition"),
+      s"q286 lost the scale-safe rank:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q286 shuffled against the request-bounded forget set:\n$p")
+  }
+
+  test("q287/q289: tombstone-merged reads rank scale-safe; the chunk family serves from its written slice store") {
+    // the chunk family's store scan (the read pins the merged view)
+    val sc = Stores.chunkSlices(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(sc.contains("graft_chsl_"),
+      s"the chunk slice store must be a written table:\n$sc")
+    val p = plan("q287_forget_passage")
+    assert(p.contains("TakeOrderedAndProject")
+        && !p.contains("Exchange SinglePartition"),
+      s"q287 lost the scale-safe rank:\n$p")
+    val c = plan("q289_forget_collapse")
+    assert(c.contains("graft_dupmap_"),
+      s"q289 must read the written dup map:\n$c")
+    assert(c.contains("TakeOrderedAndProject")
+        && !c.contains("Exchange SinglePartition"),
+      s"q289 lost the scale-safe rank:\n$c")
+  }
+
+  test("q290: the erased ANN read scans the code store; embeddings touched only for the surviving query vectors; the erasure is a broadcast anti-join") {
+    val p = plan("q290_forget_ann")
+    assert(p.contains("graft_pqcodes_"),
+      s"q290 must read the written code store:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"q290 must not touch the corpus:\n$p")
+    assert(p.contains("In(vec_id"),
+      s"q290's query-vector fetch must push its id list:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q290 shuffled against the request-bounded forget set:\n$p")
+  }
+
+  test("q291: the whole-warehouse erasure record reads every family's WRITTEN store; the corpus appears only as the tombstone text fetch") {
+    val p = plan("q291_forget_execute")
+    // graft_idx_ sits behind the pinned two-consumer merge (an
+    // ExistingRDD in this plan) — its store shape is pinned by the
+    // q276/q277 tests; the other families' scans are direct
+    for (store <- Seq("graft_pidx_", "graft_chsl_",
+        "graft_norms_", "graft_docmeta_", "graft_facets_",
+        "graft_pqcodes_", "graft_dupmap_"))
+      assert(p.contains(store),
+        s"q291 must count family $store off its written store:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q291 cartesian:\n$p")
+  }
+
+  test("q294: snippets broadcast the ranked hits into ONE documents join — the corpus never shuffles against the k-row hit list") {
+    val p = plan("q294_term_snippets")
+    assert(p.contains("documents.parquet"),
+      s"q294's text fetch reads the corpus point-wise:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q294 must broadcast its <= k hits into the text fetch:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q294 shuffled the corpus against a k-row hit list:\n$p")
+  }
+
+  test("q295: the batched passage rank is qid-partitioned (WindowGroupLimit); the read never touches the corpus") {
+    val p = plan("q295_passage_batch")
+    assert(p.contains("WindowGroupLimit"),
+      s"q295's per-query rank must pre-prune below the shuffle:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q295 funnels the batch through one task:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"q295 rescans the corpus instead of the chunk store:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q295 shuffled the broadcast-sized query frame:\n$p")
+  }
 }

@@ -1314,6 +1314,16 @@ class StreamingSpec extends AnyFunSuite {
       graft.jobs.ServingWarehouse.ingestPairsBatch(
         pairs2.toDF("src", "dst"), id = 1L, t, buckets = 4)
       assert(readAll() === got2)
+      // nightly maintenance: every family's micro-batch slices fold
+      // into one target-sized generation (run at a quiescent point —
+      // offsets committed); reads unchanged, the manifest shrinks
+      ServingWarehouse.compact(spark, t, targetRows = 1000000L,
+        buckets = 4)
+      assert(readAll() === got2)
+      for (tbl <- Seq(t.index, t.positional, t.edges, t.colloc,
+          t.chunks, t.dict, t.delneigh, t.tgram))
+        assert(spark.table(tbl).select($"slice").distinct().count()
+          === 1L, s"$tbl slices not folded by compaction")
     } finally {
       dropWarehouse(t)
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
@@ -1425,6 +1435,15 @@ class StreamingSpec extends AnyFunSuite {
         forgotten.toDF("doc_id", "text"), id = -1L, buckets = 4)
       assert(readAll() ===
         expected((docs1 ++ docs2).filterNot(_._1 == 2L)))
+      // compaction AFTER an erasure folds the tombstones away: the
+      // rewritten generations physically hold corpus-minus-F (the
+      // erased doc's rows cancel into nothing; the positional rewrite
+      // drops them through the log) and every read stays identical
+      ServingWarehouse.compact(spark, t, targetRows = 1000000L,
+        buckets = 4)
+      assert(readAll() ===
+        expected((docs1 ++ docs2).filterNot(_._1 == 2L)))
+      assert(spark.table(t.positional).filter($"doc_id" === 2L).isEmpty)
     } finally {
       dropWarehouse(t)
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
