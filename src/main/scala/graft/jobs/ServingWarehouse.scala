@@ -7,14 +7,21 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.ops.{Behavior, Checkpoints, Graph, TextAnalysis}
 
 /** The end-to-end "nightly ingest, all-day serving" topology as ONE
-  * runnable job: a document stream and a transition-pair stream flow
-  * CONCURRENTLY through the exact-index, positional-index,
-  * collocation-count, and edge-warehouse ingest paths (foreachBatch,
-  * slice = micro-batch id —
+  * runnable job: a document stream, a transition-pair stream, and an
+  * optional embedding stream flow CONCURRENTLY through the
+  * exact-index, positional-index, chunk-index, collocation-count,
+  * dictionary-tier (df-delta + variant + trigram), edge-warehouse,
+  * and PQ-code ingest paths (foreachBatch, slice = micro-batch id —
   * the same slice code paths the batch builders and [[graft.Stores]]
   * use, so a mid-stream read cannot drift from a batch build), while
-  * q206/q209/q246-shaped serving reads answer from the live tables at
-  * any moment between batches.
+  * q206/q209/q246/q264/q265/q266/q278/q282/q89/q92-shaped serving
+  * reads answer from the live tables at any moment between batches.
+  *
+  * The full write-side lifecycle runs here too: [[forgetApply]]
+  * lands an erasure request between batches (tombstones + the
+  * id-addressed delete log through the same at-least-once guard) and
+  * [[compact]] folds accumulated micro-batch slices into
+  * target-sized generations — reads identical before/after both.
   *
   * This is the composition the per-family StreamingSpec ingest pins
   * prove piecewise; here it runs as one deployment-shaped unit and the
@@ -40,8 +47,10 @@ object ServingWarehouse {
     * stores (dict = (slice, token, d_df, d_cf) deltas; delneigh /
     * tgram = their variant/gram expansions — an ingest batch appends
     * batch-vocabulary-sized slices instead of rebuilding any of them),
-    * and the positional family's id-addressed delete log
-    * ([[forgetApply]] writes it, [[phraseRead]] anti-joins it).
+    * the id-addressed delete log ([[forgetApply]] writes it;
+    * [[phraseRead]] and the ANN reads anti-join it), and the vector
+    * family (pq = the slice-tagged code table; pqcb / pqcoarse = the
+    * train-once model tables every batch encodes at).
     */
   case class Tables(index: String, positional: String, edges: String,
                     colloc: String, chunks: String, dict: String,

@@ -711,4 +711,52 @@ class RandomizedSpec extends AnyFunSuite {
       assert(got === expect, s"trial $trial")
     }
   }
+
+  test("erasure identities on random corpora: tombstone-merged index AND delta-derived dictionary ≡ corpus-minus rescans (seeded)") {
+    val rnd = new scala.util.Random(0xE245)
+    val vocabWords = Vector("ant", "bee", "cat", "dog", "elk", "fox",
+      "gnu", "hen", "ibex", "jay")
+    for (trial <- 1 to 8) {
+      val docs = (1L to 40L).map { id =>
+        val n = 1 + rnd.nextInt(12)
+        (id, Seq.fill(n)(vocabWords(rnd.nextInt(vocabWords.size)))
+          .mkString(" "))
+      }
+      val forget = docs.map(_._1).filter(_ => rnd.nextDouble() < 0.25)
+      val d = docs.toDF("doc_id", "text")
+        .withColumn("slice", pmod($"doc_id", lit(3)))
+      val ing = TextAnalysis.indexSlices(d, "doc_id", "text", "slice")
+      val tomb = TextAnalysis.indexTombstones(
+        d.filter($"doc_id".isin(forget: _*))
+          .withColumn("slice", lit(9L)),
+        "doc_id", "text", "slice")
+      val merged = ing.unionByName(tomb)
+      val survivors = d.filter(!$"doc_id".isin(forget: _*))
+      // exact-index identity: erased merge ≡ surviving-corpus rescan
+      val gotIdx = TextAnalysis.indexMergeSlices(merged)
+        .as[(String, Long, Long)].collect().toSet
+      val expIdx = TextAnalysis.indexMergeSlices(
+          TextAnalysis.indexSlices(survivors, "doc_id", "text", "slice"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(gotIdx === expIdx, s"trial $trial index")
+      // dictionary identity through the DELTA store (never rebuilt)
+      val gotDict = TextAnalysis.dictMergeSlices(
+          TextAnalysis.dictSlices(merged))
+        .as[(String, Long, Long)].collect().toSet
+      val expDict = TextAnalysis.termDictionary(
+          TextAnalysis.indexMergeSlices(
+            TextAnalysis.indexSlices(survivors, "doc_id", "text",
+              "slice")))
+        .as[(String, Long, Long)].collect().toSet
+      assert(gotDict === expDict, s"trial $trial dict")
+      // and the variant expansion commutes with the delta fold
+      val gotNeigh = TextAnalysis.delneighMergeSlices(
+          TextAnalysis.delneighSlices(TextAnalysis.dictSlices(merged)))
+        .as[(String, String, Long)].collect().toSet
+      val expNeigh = TextAnalysis.deletionNeighborhood(
+          expDict.toSeq.toDF("token", "df", "cf"))
+        .as[(String, String, Long)].collect().toSet
+      assert(gotNeigh === expNeigh, s"trial $trial delneigh")
+    }
+  }
 }
