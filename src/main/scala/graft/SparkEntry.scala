@@ -4348,6 +4348,19 @@ object SparkEntry {
         TextAnalysis.searchTermsBatch(s,
           Seq("hash join window", "sort merge", "filter scan")),
         nTerms = 3, k = 10, chunkKeyBase = Stores.ChunkKeyBase)),
+
+    // incremental near-dup: the newest generation (doc_id % 4 = 3 —
+    // "today's crawl slice") computes ONLY its own MinHash bands and
+    // probes the WRITTEN band store's buckets as of the prior
+    // generations (pushed slice <= 2 — the q277 as-of posture); the
+    // corpus is never re-shingled. Emits each new doc's near-dup
+    // matches in the standing corpus with colliding-band counts —
+    // the drop-the-recrawl decision input
+    "q296_neardup_ingest" -> ((s, dir) =>
+      graft.ops.Dedup.nearDupAgainstStore(
+        Tables.documents(s, dir).filter(col("doc_id") % 4 === 3),
+        "doc_id", "text",
+        Stores.bands(s, dir).filter(col("slice") <= 2L))),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -11566,6 +11579,24 @@ object SparkEntry {
         |    PARTITION BY qid ORDER BY sc0 DESC, d ASC) AS rk
         |  FROM best)
         |WHERE rk <= 10""".stripMargin,
+
+    // the band derivation replayed for both sides: the gen-3 slice's
+    // bands joined to the gen<=2 store buckets, store-side over-cap
+    // buckets dropped, pair rows counted per shared bucket
+    "q296_neardup_ingest" ->
+      s"""$duckBandsCte,
+         |nb AS (SELECT doc_id AS new_id, band_id, band_hash
+         |       FROM b WHERE doc_id % 4 = 3),
+         |st AS (SELECT doc_id AS corpus_id, band_id, band_hash
+         |       FROM b WHERE doc_id % 4 <= 2),
+         |sz AS (SELECT band_id, band_hash, count(*) AS c
+         |       FROM st GROUP BY 1, 2)
+         |SELECT new_id, corpus_id, count(*)::BIGINT AS n_bands FROM (
+         |  SELECT nb.new_id, st.corpus_id
+         |  FROM nb JOIN st USING (band_id, band_hash)
+         |  JOIN sz USING (band_id, band_hash)
+         |  WHERE sz.c <= 10000 AND nb.new_id <> st.corpus_id)
+         |GROUP BY 1, 2""".stripMargin,
 
   )
 }

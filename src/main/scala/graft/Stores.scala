@@ -498,12 +498,36 @@ object Stores {
     * result-page "group similar results" feature serves from — the
     * component walk runs once at ingest, never per query.
     */
+  /** The MinHash BAND store — (slice, doc_id, band_id, band_hash)
+    * rows of the whole corpus, band_hash-bucketed and
+    * generation-tagged: the near-dup family's ingest-time artifact.
+    * The shingle→minhash pipeline runs ONCE here; [[dupMap]] builds
+    * its components from these rows, and the incremental new-slice
+    * read ([[Dedup.nearDupAgainstStore]], q296) probes the buckets
+    * with only the slice's own bands — the corpus text is never
+    * re-shingled per query. Deletes are id-addressed row erasure
+    * (band rows carry no cross-doc aggregation).
+    */
+  def bands(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_bands_${key(dir)}"
+    serve(s, t) {
+      Bucketing.writeBucketed(
+        Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text")
+          .withColumn("slice", pmod(col("doc_id"), lit(Generations))),
+        t, Seq("band_hash"), buckets = 16, sortCols = Seq("band_hash"))
+    }
+  }
+
   def dupMap(s: SparkSession, dir: String): DataFrame = {
     val t = s"graft_dupmap_${key(dir)}"
     serve(s, t) {
+      // components fold the WRITTEN band rows ([[bands]]) — the
+      // minhash pipeline ran once at that store's build; this build
+      // only walks buckets
       Dedup.connectedComponents(
           Dedup.lshCandidates(
-            Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"),
+            bands(s, dir)
+              .select(col("doc_id"), col("band_id"), col("band_hash")),
             maxBucketSize = Int.MaxValue),
           "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("component").as("rep"))

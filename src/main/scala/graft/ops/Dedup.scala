@@ -295,6 +295,54 @@ object Dedup {
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
 
+  /** NEW-SLICE near-dup candidates against a WRITTEN band store — the
+    * [[dedupAgainstStore]] posture for the NEAR-dup family: the
+    * standing corpus's MinHash band rows are computed once at ingest
+    * (a band_hash-bucketed table — [[graft.Stores.bands]]); a new
+    * crawl slice computes ONLY its own bands (the one
+    * [[minhashBands]] code path, so slice and store derivations
+    * cannot differ) and probes the store's buckets. Emits
+    * (new_id, corpus_id, n_bands) — each new doc's near-dup matches
+    * in the kept corpus with the number of colliding bands, the
+    * decision input for "drop the re-crawl / keep the novel doc".
+    *
+    * Scale shape: the corpus's shingle→minhash pipeline NEVER re-runs
+    * (the whole point — at 100 TB it ran once per slice, ever); the
+    * store is touched by ONE scan whose bucket layout makes every
+    * join on (band_id, band_hash) shuffle-free on the store side
+    * (HashPartitioning(band_hash) satisfies the clustering), so only
+    * slice-scale rows move. Over-cap buckets (duplicate explosions)
+    * drop observably — the [[lshCandidates]] cap posture with the
+    * size measured on the STORE side, where the explosion lives.
+    */
+  def nearDupAgainstStore(newDocs: DataFrame, idCol: String,
+                          textCol: String, bandStore: DataFrame,
+                          maxBucketSize: Int = 10000,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    require(maxBucketSize >= 1, "maxBucketSize must be >= 1")
+    // two consumers each: the bucket-key probe + the pair join
+    val nb = Checkpoints.pin(
+      minhashBands(newDocs, idCol, textCol)
+        .select(col("doc_id").as("new_id"), col("band_id"),
+          col("band_hash")),
+      checkpointDir, eager = false)
+    val matched = Checkpoints.pin(
+      bandStore.select(col("doc_id").as("corpus_id"), col("band_id"),
+          col("band_hash"))
+        .join(nb.select(col("band_id"), col("band_hash")).distinct(),
+          Seq("band_id", "band_hash"), "left_semi"),
+      checkpointDir, eager = false)
+    val ok = matched.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("_sz"))
+      .filter(col("_sz") <= maxBucketSize)
+      .select(col("band_id"), col("band_hash"))
+    matched.join(ok, Seq("band_id", "band_hash"), "left_semi")
+      .join(nb, Seq("band_id", "band_hash"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
   /** The flagged route for [[lshCandidates]]: buckets whose size exceeds
     * the cap, as (band_id, band_hash, bucket_size) — the audit stream of
     * what pair generation skipped.

@@ -3056,6 +3056,47 @@ class MiningSpec extends AnyFunSuite {
     assert(got === Set((1L, 1L, 1L, 0L, 1L, "hash p")))
   }
 
+  test("nearDupAgainstStore: the new slice probes the store's buckets — pairs match an independent band join; near-identical docs collide on every band") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content about databases and joins"),
+      (3L, "yet another unrelated document on stream processing"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      // doc 5 = byte-identical re-crawl of doc 1 → all bands collide
+      (5L, "the quick brown fox jumps over the lazy dog today"),
+      (6L, "novel text sharing nothing with the standing corpus"))
+      .toDF("doc_id", "text")
+    val store = Dedup.minhashBands(corpus, "doc_id", "text")
+    val got = Dedup.nearDupAgainstStore(fresh, "doc_id", "text", store)
+      .as[(Long, Long, Long)].collect().toSet
+    // independent recompute: plain band join of the two sides
+    val nb = Dedup.minhashBands(fresh, "doc_id", "text")
+      .select($"doc_id".as("new_id"), $"band_id", $"band_hash")
+    val expect = nb.join(store, Seq("band_id", "band_hash"))
+      .groupBy($"new_id", $"doc_id".as("corpus_id"))
+      .agg(count(lit(1)).as("n_bands"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expect)
+    assert(got.contains((5L, 1L, 4L))) // all 4 bands collide
+    assert(!got.exists(_._1 == 6L))    // the novel doc matches nothing
+  }
+
+  test("nearDupAgainstStore drops over-cap store buckets observably") {
+    import spark.implicits._
+    val boiler = "copy pasted boilerplate that floods one bucket"
+    val corpus = (1L to 5L).map(id => (id, boiler)).toDF("doc_id", "text")
+    val fresh = Seq((9L, boiler)).toDF("doc_id", "text")
+    val store = Dedup.minhashBands(corpus, "doc_id", "text")
+    // cap 4 < the 5-member explosion → every bucket drops, no pairs
+    assert(Dedup.nearDupAgainstStore(fresh, "doc_id", "text", store,
+      maxBucketSize = 4).isEmpty)
+    // cap 5 admits them
+    assert(Dedup.nearDupAgainstStore(fresh, "doc_id", "text", store,
+      maxBucketSize = 5).count() === 5L)
+  }
+
   test("passageSearchBatch ≡ per-query passageSearch bit-identically") {
     import spark.implicits._
     val words1 = Seq.fill(10)(Seq("a", "b", "c", "d")).flatten

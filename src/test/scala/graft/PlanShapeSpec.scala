@@ -1000,6 +1000,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q294 shuffled the corpus against a k-row hit list:\n$p")
   }
 
+  test("q296: the new slice probes the WRITTEN band store with a pushed as-of filter — the corpus is never re-shingled store-side") {
+    import org.apache.spark.sql.functions.col
+    // the store-side shape on the raw frame (the read pins its two
+    // consumers): pushed generation predicate on the bucketed table
+    val ps = Stores.bands(spark, dir).filter(col("slice") <= 2L)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(ps.contains("graft_bands_"),
+      s"q296 must read the written band store:\n$ps")
+    assert(ps.contains("LessThanOrEqual(slice,2)"),
+      s"q296's as-of filter must reach the band-store scan:\n$ps")
+    val p = plan("q296_neardup_ingest")
+    assert(!p.contains("CartesianProduct"), s"q296 cartesian:\n$p")
+    // exactly one corpus scan — the new slice's own band derivation;
+    // the standing corpus's shingle pipeline never re-runs
+    val scans = p.sliding("documents.parquet".length)
+      .count(_ == "documents.parquet")
+    assert(scans <= 1, s"q296 re-shingles the corpus ($scans scans):\n$p")
+  }
+
   test("q295: the batched passage rank is qid-partitioned (WindowGroupLimit); the read never touches the corpus") {
     val p = plan("q295_passage_batch")
     assert(p.contains("WindowGroupLimit"),
