@@ -77,6 +77,15 @@ object SparkEntry {
       Stores.positional(s, dir)
         .join(broadcast(tokens), Seq("token"), "left_semi"))
 
+  /** The corpus's MinHash band rows off the WRITTEN store
+    * ([[Stores.bands]]) — the near-dup family's serving frame
+    * (q21/q22/q65/q95/q132/q133/q296): the shingle→minhash pipeline
+    * ran once at the store build, never per query.
+    */
+  private def storedBands(s: SparkSession, dir: String): DataFrame =
+    Stores.bands(s, dir)
+      .select(col("doc_id"), col("band_id"), col("band_hash"))
+
   /** The bigram statistic's distinct tokens — the prefilter frame the
     * two-term reads pass to [[storedPositional]].
     */
@@ -663,8 +672,7 @@ object SparkEntry {
       Dedup.fingerprintGroups(Tables.documents(s, dir), "doc_id", "text")),
 
     // MinHash LSH: shingle → minhash → band buckets (8 hashes, 4 bands)
-    "q21_minhash_bands" -> ((s, dir) =>
-      Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text")),
+    "q21_minhash_bands" -> ((s, dir) => storedBands(s, dir)),
 
     // near-dup candidate pairs = docs sharing any LSH band bucket.
     // Uncapped here because the DuckDB oracle is uncapped: the default
@@ -672,8 +680,7 @@ object SparkEntry {
     // corpus with a >10k-doc band bucket (capped behavior is spec-tested
     // in MiningSpec's lshCandidates cap/oversized-bucket tests instead)
     "q22_lsh_candidates" -> ((s, dir) =>
-      Dedup.lshCandidates(
-        Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"),
+      Dedup.lshCandidates(storedBands(s, dir),
         maxBucketSize = Int.MaxValue)),
 
     // 16-bit SimHash signature per document
@@ -1057,8 +1064,7 @@ object SparkEntry {
     // (uncapped for the same oracle-parity reason as q22)
     "q65_dup_components" -> ((s, dir) =>
       Dedup.connectedComponents(
-        Dedup.lshCandidates(
-          Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"),
+        Dedup.lshCandidates(storedBands(s, dir),
           maxBucketSize = Int.MaxValue),
         "doc_a", "doc_b")),
 
@@ -1251,8 +1257,7 @@ object SparkEntry {
     // duplicate explosions — group-deduped (keep min id per bucket)
     // instead of pair-scored; previously the cap path was spec-only
     "q95_lsh_oversized" -> ((s, dir) =>
-      Dedup.lshOversizedLosers(
-        Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"),
+      Dedup.lshOversizedLosers(storedBands(s, dir),
         maxBucketSize = 2)),
 
     // IVF-PQ with RESIDUAL encoding — the canonical refinement: codes
@@ -1834,8 +1839,7 @@ object SparkEntry {
     // and the result hashes
     "q132_label_propagation" -> ((s, dir) =>
       Dedup.labelPropagation(
-        Dedup.lshCandidates(
-          Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"),
+        Dedup.lshCandidates(storedBands(s, dir),
           maxBucketSize = Int.MaxValue),
         "doc_a", "doc_b", iters = 3)),
 
@@ -1849,8 +1853,7 @@ object SparkEntry {
     // oracle unrolls the identical integer rounds as CTEs
     "q133_pagerank" -> ((s, dir) =>
       Graph.pageRank(
-        Dedup.lshCandidates(
-          Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"),
+        Dedup.lshCandidates(storedBands(s, dir),
           maxBucketSize = Int.MaxValue),
         "doc_a", "doc_b", iters = 3)),
 
@@ -1893,8 +1896,7 @@ object SparkEntry {
     // oracle replays the rule verbatim; same all-BIGINT rounds as q133
     "q137_personalized_pagerank" -> ((s, dir) =>
       Graph.personalizedPageRank(
-        Dedup.lshCandidates(
-          Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"),
+        Dedup.lshCandidates(storedBands(s, dir),
           maxBucketSize = Int.MaxValue),
         "doc_a", "doc_b", seedPred = col("id") % 10 === 0, iters = 3)),
 
@@ -2011,8 +2013,7 @@ object SparkEntry {
     // rank than a single-band brush. Same all-BIGINT rounds
     "q149_pagerank_weighted" -> ((s, dir) =>
       Graph.pageRankWeighted(
-        Dedup.lshCandidates(
-          Dedup.minhashBands(Tables.documents(s, dir), "doc_id", "text"),
+        Dedup.lshCandidates(storedBands(s, dir),
           maxBucketSize = Int.MaxValue),
         "doc_a", "doc_b", weightCol = "n_bands", iters = 3)),
 
@@ -2591,8 +2592,7 @@ object SparkEntry {
     "q181_cluster_keep_best" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       Dedup.keepBestPerCluster(d, "doc_id", length(col("text")).cast("long"),
-        Dedup.lshCandidates(
-          Dedup.minhashBands(d, "doc_id", "text"),
+        Dedup.lshCandidates(storedBands(s, dir),
           maxBucketSize = Int.MaxValue))
     }),
 
@@ -3530,8 +3530,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.clusterSizeHistogram(docs, "doc_id",
         Dedup.connectedComponents(
-          Dedup.lshCandidates(
-            Dedup.minhashBands(docs, "doc_id", "text"),
+          Dedup.lshCandidates(storedBands(s, dir),
             maxBucketSize = Int.MaxValue),
           "doc_a", "doc_b"))
     }),
