@@ -55,7 +55,8 @@ object ServingWarehouse {
   case class Tables(index: String, positional: String, edges: String,
                     colloc: String, chunks: String, dict: String,
                     delneigh: String, tgram: String, deletes: String,
-                    pq: String, pqcb: String, pqcoarse: String)
+                    pq: String, pqcb: String, pqcoarse: String,
+                    bands: String)
 
   /** The vector family's fixed quantization regimen for one warehouse
     * — set once at [[trainVectorModel]] and read back by every ingest
@@ -180,7 +181,30 @@ object ServingWarehouse {
         TextAnalysis.tgramSlices(dslice), t.tgram,
         Seq("gram"), buckets, sortCols = Seq("gram"))
     }
+    // MinHash band rows — the near-dup family's ingest artifact: the
+    // batch's shingle→minhash pipeline runs here ONCE; the dedup read
+    // ([[nearDupRead]]) only probes buckets
+    ingestOnce(s, t.bands, id) {
+      graft.ops.Bucketing.appendBucketed(
+        graft.ops.Dedup.minhashBands(batch, "doc_id", "text")
+          .withColumn("slice", lit(id)),
+        t.bands, Seq("band_hash"), buckets,
+        sortCols = Seq("band_hash"))
+    }
   }
+
+  /** q296-shaped read over the LIVE band table: a candidate document
+    * frame (e.g. the next crawl slice, BEFORE ingesting it) computes
+    * only its own bands and probes the standing corpus's buckets —
+    * the admission-control dedup gate a streaming pipeline runs per
+    * arrival batch. Erased docs drop via the shared delete log.
+    */
+  def nearDupRead(s: SparkSession, t: Tables, candidates: DataFrame,
+                  maxBucketSize: Int = 10000): DataFrame =
+    graft.ops.Dedup.nearDupAgainstStore(candidates, "doc_id", "text",
+      graft.ops.Forget.rowErase(liveTable(s, t.bands), "doc_id",
+        liveTable(s, t.deletes)),
+      maxBucketSize)
 
   /** Right-to-be-forgotten applied to the LIVE warehouse — the WRITE
     * half of [[graft.ops.Forget.erase]]: one erasure request lands as
@@ -347,6 +371,14 @@ object ServingWarehouse {
         .select(lit(ns).as("slice"), col("gram"), col("token"),
           col("df").as("d_df")),
       Seq("gram"))
+    // bands are plain id-addressed rows: compaction re-tags survivors
+    // (the delete log folds in, like the positional family)
+    run(t.bands, Seq("doc_id", "band_id"), "band_id",
+      (sl, ns) => graft.ops.Forget.rowErase(sl, "doc_id",
+          liveTable(s, t.deletes))
+        .select(lit(ns).as("slice"), col("doc_id"), col("band_id"),
+          col("band_hash")),
+      Seq("band_hash"))
   }
 
   /** The catalog's relation cache is SESSION-local and the ingest

@@ -1161,6 +1161,12 @@ class StreamingSpec extends AnyFunSuite {
       .write.format("parquet")
       .option("path", base.resolve("deletes").toString)
       .saveAsTable(t.deletes)
+    graft.ops.Bucketing.writeBucketed(
+      graft.ops.Dedup.minhashBands(noDocs, "doc_id", "text")
+        .withColumn("slice", lit(0L)),
+      t.bands, Seq("band_hash"), buckets = 4,
+      sortCols = Seq("band_hash"),
+      path = Some(base.resolve("bands").toString))
     // vector family: train the fixed model on a 4-vector seed frame
     // (dim 8 → m=2 × subDim=4) and fix the empty code table's spec
     graft.jobs.ServingWarehouse.trainVectorModel(spark, t,
@@ -1185,12 +1191,12 @@ class StreamingSpec extends AnyFunSuite {
       s"${prefix}_edges", s"${prefix}_colloc", s"${prefix}_chunks",
       s"${prefix}_dict", s"${prefix}_delneigh", s"${prefix}_tgram",
       s"${prefix}_del", s"${prefix}_pq", s"${prefix}_pqcb",
-      s"${prefix}_pqcoarse")
+      s"${prefix}_pqcoarse", s"${prefix}_bands")
 
   private def dropWarehouse(t: graft.jobs.ServingWarehouse.Tables): Unit =
     for (tbl <- Seq(t.index, t.positional, t.edges, t.colloc, t.chunks,
         t.dict, t.delneigh, t.tgram, t.deletes, t.pq, t.pqcb,
-        t.pqcoarse))
+        t.pqcoarse, t.bands))
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
 
   test("ServingWarehouse end-to-end: concurrent doc+pair ingest; mid-stream q206/q209/q246 reads ≡ batch reads over the landed slices") {
@@ -1321,7 +1327,7 @@ class StreamingSpec extends AnyFunSuite {
         buckets = 4)
       assert(readAll() === got2)
       for (tbl <- Seq(t.index, t.positional, t.edges, t.colloc,
-          t.chunks, t.dict, t.delneigh, t.tgram))
+          t.chunks, t.dict, t.delneigh, t.tgram, t.bands))
         assert(spark.table(tbl).select($"slice").distinct().count()
           === 1L, s"$tbl slices not folded by compaction")
     } finally {
@@ -1366,7 +1372,13 @@ class StreamingSpec extends AnyFunSuite {
         ServingWarehouse.passageRead(spark, t,
             Seq((0L, "a"), (1L, "c")).toDF("ord", "token"),
             nTerms = 2, k = 5)
-          .as[(Long, Long, Long, Double, Long)].collect().toSet)
+          .as[(Long, Long, Long, Double, Long)].collect().toSet,
+        // admission-control dedup gate: a re-crawl of doc 2 probes the
+        // live band store — flagged while doc 2 lives, silent after
+        // its erasure
+        ServingWarehouse.nearDupRead(spark, t,
+            Seq((99L, "b a b c stream")).toDF("doc_id", "text"))
+          .as[(Long, Long, Long)].collect().toSet)
       // the same read BODIES over slices from the surviving corpus
       def expected(docs: Seq[(Long, String)]) = {
         val d = docs.toDF("doc_id", "text").withColumn("slice", lit(0L))
@@ -1410,17 +1422,26 @@ class StreamingSpec extends AnyFunSuite {
                nTerms = 2, k = 5,
                chunkKeyBase = graft.Stores.ChunkKeyBase)
              .as[(Long, Long, Long, Double, Long)].collect().toSet
-         })
+         },
+         graft.ops.Dedup.nearDupAgainstStore(
+             Seq((99L, "b a b c stream")).toDF("doc_id", "text"),
+             "doc_id", "text",
+             graft.ops.Dedup.minhashBands(docs.toDF("doc_id", "text"),
+               "doc_id", "text"))
+           .as[(Long, Long, Long)].collect().toSet)
       }
       docsIn.addData(docs1: _*)
       qs.foreach(_.processAllAvailable())
-      assert(readAll() === expected(docs1))
+      val first = readAll()
+      assert(first === expected(docs1))
+      assert(first._8.exists(_._2 == 2L)) // the re-crawl IS flagged
       // the erasure request lands BETWEEN batches (negative slice id —
       // never collides with a micro-batch id)
       ServingWarehouse.forgetApply(spark, t,
         forgotten.toDF("doc_id", "text"), id = -1L, buckets = 4)
       val afterForget = readAll()
       assert(afterForget === expected(docs1.filterNot(_._1 == 2L)))
+      assert(afterForget._8.isEmpty) // the admission gate went silent
       // stream continues: the next generation lands on top of the
       // tombstones and reads serve (docs1 ∪ docs2) minus the request
       docsIn.addData(docs2: _*)
