@@ -439,9 +439,12 @@ object Stores {
   def chunkStats(s: SparkSession, dir: String): DataFrame = {
     val t = s"graft_chstats_${key(dir)}"
     serve(s, t) {
-      TextAnalysis.chunkWords(Tables.documents(s, dir), "doc_id",
-          "text", chunkWords = ChunkWidth, overlapWords = ChunkOverlap)
-        .agg(count(lit(1)).as("n_chunks"))
+      // derived from the UNCAPPED slice store (every chunk holds >= 1
+      // token, so the distinct-cid count IS the chunk count) — the
+      // corpus is not re-chunked, and the statistic cannot drift from
+      // the postings it normalizes
+      TextAnalysis.indexMergeSlices(chunkSlices(s, dir))
+        .agg(countDistinct(col("doc_id")).as("n_chunks"))
         .write.mode("overwrite").format("parquet").saveAsTable(t)
     }
   }
