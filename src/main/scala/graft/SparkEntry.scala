@@ -4360,6 +4360,34 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") % 4 === 3),
         "doc_id", "text",
         Stores.bands(s, dir).filter(col("slice") <= 2L))),
+
+    // incremental dup-map maintenance: the standing map's star edges
+    // plus the new generation's candidate pairs (both sides off the
+    // WRITTEN band store — the corpus is never re-shingled, never
+    // re-clustered) walk to EXACTLY the map a full rebuild produces,
+    // including bridge merges and new-min relabels; the oracle IS the
+    // full-corpus rebuild. The as-of map derivation stands in for the
+    // previous generation's written artifact
+    "q297_dupmap_ingest" -> ((s, dir) => {
+      val bands = Stores.bands(s, dir)
+        .select(col("doc_id"), col("band_id"), col("band_hash"))
+      val oldMap = Dedup.connectedComponents(
+          Dedup.lshCandidates(
+            Stores.bands(s, dir).filter(col("slice") <= 2L)
+              .select(col("doc_id"), col("band_id"), col("band_hash")),
+            maxBucketSize = Int.MaxValue),
+          "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("component").as("rep"))
+      val nb = Stores.bands(s, dir).filter(col("slice") === 3L)
+        .select(col("doc_id").as("doc_a"), col("band_id"),
+          col("band_hash"))
+      val pairs = nb
+        .join(bands.select(col("doc_id").as("doc_b"), col("band_id"),
+          col("band_hash")), Seq("band_id", "band_hash"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      Dedup.dupMapIngest(oldMap, pairs)
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -11596,6 +11624,20 @@ object SparkEntry {
          |  JOIN sz USING (band_id, band_hash)
          |  WHERE sz.c <= 10000 AND nb.new_id <> st.corpus_id)
          |GROUP BY 1, 2""".stripMargin,
+
+    // the incremental map must equal the FULL-corpus rebuild — the
+    // q275 component walk verbatim
+    "q297_dupmap_ingest" ->
+      s"""$duckBandsCte,
+         |$duckEdgesBody,
+         |walk AS (
+         |  WITH RECURSIVE w(v, l) AS (
+         |    SELECT s, s FROM edges
+         |    UNION
+         |    SELECT e.s, w.l FROM edges e JOIN w ON e.t = w.v)
+         |  SELECT * FROM w),
+         |comp AS (SELECT v AS doc_id, min(l) AS rep FROM walk GROUP BY v)
+         |SELECT doc_id, rep FROM comp""".stripMargin,
 
   )
 }

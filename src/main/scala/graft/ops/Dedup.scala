@@ -343,6 +343,29 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Incremental dup-map MAINTENANCE — merge a new generation's
+    * candidate pairs into a standing (doc_id, rep) cluster map
+    * without re-clustering the corpus: the map's star edges
+    * (member → rep) carry exactly its components' connectivity, so a
+    * connected-components pass over (star edges ∪ new pairs) yields
+    * the SAME map a full rebuild over all pairs produces — including
+    * the case where one new document bridges two standing components
+    * (they merge, relabeled by the global min id) and the case where
+    * a new id undercuts a standing rep (the component relabels). The
+    * q297 oracle replays the full-corpus rebuild against this
+    * incremental form.
+    *
+    * Scale shape: work ∝ cluster MEMBERSHIP + new pairs (the walk
+    * never touches singleton docs or corpus text) — the [[indexSlices]]
+    * ingest-gate rule applied to the clustering artifact.
+    */
+  def dupMapIngest(oldMap: DataFrame, pairs: DataFrame): DataFrame =
+    connectedComponents(
+      oldMap.select(col("doc_id").as("doc_a"), col("rep").as("doc_b"))
+        .unionByName(pairs.select(col("doc_a"), col("doc_b"))),
+      "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component").as("rep"))
+
   /** The flagged route for [[lshCandidates]]: buckets whose size exceeds
     * the cap, as (band_id, band_hash, bucket_size) — the audit stream of
     * what pair generation skipped.

@@ -3097,6 +3097,30 @@ class MiningSpec extends AnyFunSuite {
       maxBucketSize = 5).count() === 5L)
   }
 
+  test("dupMapIngest: star edges + new pairs ≡ full re-clustering — bridge docs merge standing components, a new min id relabels") {
+    import spark.implicits._
+    // standing map: components {4,8} (rep 4) and {10,12} (rep 10)
+    val oldMap = Seq((4L, 4L), (8L, 4L), (10L, 10L), (12L, 10L))
+      .toDF("doc_id", "rep")
+    // new generation: doc 3 bridges BOTH components (merge + the new
+    // id undercuts every standing rep); doc 20 pairs with 21 (a brand
+    // new component); doc 30 matches nothing (absent from the map)
+    val pairs = Seq((3L, 8L), (3L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupMapIngest(oldMap, pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((3L, 3L), (4L, 3L), (8L, 3L), (10L, 3L),
+      (12L, 3L), (20L, 20L), (21L, 20L)))
+    // ≡ clustering the union of the old connectivity and the new pairs
+    val rebuild = Dedup.connectedComponents(
+        Seq((4L, 8L), (10L, 12L), (3L, 8L), (3L, 12L), (20L, 21L))
+          .toDF("doc_a", "doc_b"),
+        "doc_a", "doc_b")
+      .select($"id".as("doc_id"), $"component".as("rep"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === rebuild)
+  }
+
   test("passageSearchBatch ≡ per-query passageSearch bit-identically") {
     import spark.implicits._
     val words1 = Seq.fill(10)(Seq("a", "b", "c", "d")).flatten
