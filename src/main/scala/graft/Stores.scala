@@ -684,6 +684,16 @@ object Stores {
       .select(col("gen_lo").cast("long"), col("gen_hi").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     if (bins.isEmpty) return
+    // an EXTERNAL table must be rewritten AT ITS OWN location — a bare
+    // overwrite would silently recreate it MANAGED under the warehouse
+    // dir, stranding the external files and migrating the store
+    val meta = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val keepPath =
+      if (meta.tableType ==
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
+        path.orElse(Some(meta.location.toString))
+      else path
     val src = s.table(table)
     val compacted = bins.map { case (lo, hi) =>
       compactFn(src.filter(col("slice") >= lo && col("slice") <= hi), lo)
@@ -696,7 +706,7 @@ object Stores {
       Bucketing.writeBucketed(out, tmp, bucketCols, buckets,
         sortCols = bucketCols)
       Bucketing.writeBucketed(s.table(tmp), table, bucketCols, buckets,
-        sortCols = bucketCols, path = path)
+        sortCols = bucketCols, path = keepPath)
     } finally s.sql(s"DROP TABLE IF EXISTS $tmp")
   }
 

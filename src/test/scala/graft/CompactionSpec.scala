@@ -97,6 +97,36 @@ class CompactionSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("compact rewrites an EXTERNAL table AT ITS OWN location — no silent migration into the warehouse dir") {
+    val t = "graft_cmp_ext"
+    val base = java.nio.file.Files.createTempDirectory("graft-cmp-ext-")
+    try {
+      TextAnalysis.writeIndexStore(
+        TextAnalysis.indexSlices(
+          corpus.withColumn("slice", $"doc_id"), "doc_id", "text",
+          "slice"),
+        t, buckets = 4, path = Some(base.resolve("idx").toString))
+      val before = TextAnalysis.indexMergeSlices(spark.table(t))
+        .as[(String, Long, Long)].collect().toSet
+      Stores.compact(spark, t,
+        planFor(spark.table(t), Seq("token", "doc_id"), "tf", 6L),
+        TextAnalysis.indexCompact, Seq("token"), buckets = 4)
+      spark.catalog.refreshTable(t)
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t))
+      assert(meta.tableType ===
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+        s"compaction silently converted the table to ${meta.tableType}")
+      assert(meta.location.toString.contains(base.getFileName.toString),
+        s"compaction migrated the store to ${meta.location}")
+      assert(TextAnalysis.indexMergeSlices(spark.table(t))
+        .as[(String, Long, Long)].collect().toSet === before)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+
   test("edge-family compact under a partial plan: unplanned slices ride along unchanged") {
     val t = "graft_cmp_edges"
     try {
