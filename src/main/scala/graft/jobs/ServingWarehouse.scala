@@ -59,11 +59,26 @@ object ServingWarehouse {
                     bands: String)
 
   /** The vector family's fixed quantization regimen for one warehouse
-    * — set once at [[trainVectorModel]] and read back by every ingest
-    * batch and serving read (the [[graft.Stores.PqM]] posture at the
-    * warehouse's own scale).
+    * — chosen once at [[trainVectorModel]]. Ingest batches and
+    * serving reads DERIVE it from the written codebook table
+    * ([[readModel]]) rather than trusting a caller-passed copy: two
+    * factorizations of the same dimension (2×4 vs 4×2) would pass
+    * every length check and silently mis-encode.
     */
   case class VectorModel(m: Int, subDim: Int)
+
+  /** The model AS WRITTEN: m = number of subspaces in the codebook
+    * table, subDim = its centroid length — one tiny aggregate over
+    * the m×k* table, the single source of truth every ingest batch
+    * and read resolves against.
+    */
+  def readModel(s: SparkSession, t: Tables): VectorModel = {
+    val r = s.table(t.pqcb)
+      .agg((max(col("sub")) + 1).cast("int"),
+        max(size(col("c_vec"))).cast("int"))
+      .head()
+    VectorModel(r.getInt(0), r.getInt(1))
+  }
 
   /** Train-once bootstrap of the vector family: PQ codebooks (a Lloyd
     * pass over `trainVecs`) and the coarse IVF centroid table are
@@ -104,9 +119,9 @@ object ServingWarehouse {
     * guard.
     */
   private[graft] def ingestVecsBatch(batch: Dataset[Row], id: Long,
-                                     t: Tables, model: VectorModel,
-                                     buckets: Int): Unit = {
+                                     t: Tables, buckets: Int): Unit = {
     val s = batch.sparkSession
+    val model = readModel(s, t) // the model AS WRITTEN — never a copy
     ingestOnce(s, t.pq, id) {
       graft.ops.Pq.pqIngest(batch, "vec_id", "embedding",
         s.table(t.pqcb), s.table(t.pqcoarse), t.pq, buckets,
@@ -292,8 +307,7 @@ object ServingWarehouse {
   def start(docs: DataFrame, pairs: DataFrame, t: Tables,
             buckets: Int = 8,
             checkpointDir: Option[String] = None,
-            vecs: Option[DataFrame] = None,
-            model: VectorModel = VectorModel(8, 8)): Seq[StreamingQuery] = {
+            vecs: Option[DataFrame] = None): Seq[StreamingQuery] = {
     def ck(w: org.apache.spark.sql.streaming.DataStreamWriter[Row],
            name: String) =
       checkpointDir.fold(w)(d => w.option("checkpointLocation", s"$d/$name"))
@@ -309,7 +323,7 @@ object ServingWarehouse {
       vecs.map(v =>
         ck(v.writeStream.queryName(s"ingest_vecs_${t.pq}"), "vecs")
           .foreachBatch { (batch: Dataset[Row], id: Long) =>
-            ingestVecsBatch(batch, id, t, model, buckets)
+            ingestVecsBatch(batch, id, t, buckets)
           }.start())
   }
 
@@ -504,27 +518,29 @@ object ServingWarehouse {
     * code longs — the raw vectors never leave the model tables.
     */
   def annRead(s: SparkSession, t: Tables, queryVecs: DataFrame,
-              queryIds: Seq[Long], k: Int,
-              model: VectorModel): DataFrame =
+              queryIds: Seq[Long], k: Int): DataFrame = {
+    val model = readModel(s, t)
     graft.ops.Pq.adcSearchCoded(
       graft.ops.Forget.rowErase(liveTable(s, t.pq), "vec_id",
         liveTable(s, t.deletes)),
       queryVecs, "vec_id", "embedding", s.table(t.pqcb), queryIds, k,
       m = model.m, subDim = model.subDim)
+  }
 
   /** q92-shaped IVF-PQ read over the LIVE code table: coarse-probe
     * the centroid-bucketed codes (only `nprobe` lists' buckets are
     * touched), then ADC on the probed candidates.
     */
   def ivfRead(s: SparkSession, t: Tables, queryVecs: DataFrame,
-              queryIds: Seq[Long], k: Int, nprobe: Int,
-              model: VectorModel): DataFrame =
+              queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    val model = readModel(s, t)
     graft.ops.Pq.adcSearchProbed(
       graft.ops.Forget.rowErase(liveTable(s, t.pq), "vec_id",
         liveTable(s, t.deletes)),
       queryVecs, "vec_id", "embedding", s.table(t.pqcoarse),
       s.table(t.pqcb), queryIds, k, nprobe,
       m = model.m, subDim = model.subDim)
+  }
 
   def passageRead(s: SparkSession, t: Tables, terms: DataFrame,
                   nTerms: Int, k: Int,

@@ -1496,13 +1496,14 @@ class StreamingSpec extends AnyFunSuite {
       val qs = ServingWarehouse.start(
         docsIn.toDS().toDF("doc_id", "text"),
         pairsIn.toDS().toDF("src", "dst"), t, buckets = 4,
-        vecs = Some(vecsIn.toDS().toDF("vec_id", "embedding")),
-        model = m)
+        vecs = Some(vecsIn.toDS().toDF("vec_id", "embedding")))
+      // the reads derive the model from the WRITTEN codebooks
+      assert(ServingWarehouse.readModel(spark, t) === m)
       def readAnn() = ServingWarehouse.annRead(spark, t, qFrame,
-          queries, k = 3, m)
+          queries, k = 3)
         .as[(Long, Long, Double, Long)].collect().toSet
       def readIvf() = ServingWarehouse.ivfRead(spark, t, qFrame,
-          queries, k = 2, nprobe = 1, m)
+          queries, k = 2, nprobe = 1)
         .as[(Long, Long, Double, Long)].collect().toSet
       // one-shot encode of the same vectors at the SAME fixed model —
       // minus any erased ids (the id-addressed delete contract)
