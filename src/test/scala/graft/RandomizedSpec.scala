@@ -759,4 +759,67 @@ class RandomizedSpec extends AnyFunSuite {
       assert(gotNeigh === expNeigh, s"trial $trial delneigh")
     }
   }
+
+  test("nearDupAgainstStore ≡ an independent band join on random corpora (seeded)") {
+    val rnd = new scala.util.Random(0xBA2D)
+    val words = Vector("sun", "sea", "sand", "salt", "moon", "star",
+      "wind", "wave")
+    def doc(): String = {
+      val n = 3 + rnd.nextInt(8)
+      Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    for (trial <- 1 to 6) {
+      val oldDocs = (1L to 25L).map(id => (id, doc()))
+      // new slice: some fresh text, some exact re-crawls of old docs
+      val newDocs = (100L to 109L).map { id =>
+        if (rnd.nextBoolean()) (id, oldDocs(rnd.nextInt(25))._2)
+        else (id, doc())
+      }
+      val store = graft.ops.Dedup.minhashBands(
+        oldDocs.toDF("doc_id", "text"), "doc_id", "text")
+      val got = graft.ops.Dedup.nearDupAgainstStore(
+          newDocs.toDF("doc_id", "text"), "doc_id", "text", store)
+        .as[(Long, Long, Long)].collect().toSet
+      val nb = graft.ops.Dedup.minhashBands(
+          newDocs.toDF("doc_id", "text"), "doc_id", "text")
+        .select($"doc_id".as("new_id"), $"band_id", $"band_hash")
+      val expect = nb.join(store, Seq("band_id", "band_hash"))
+        .groupBy($"new_id", $"doc_id".as("corpus_id"))
+        .agg(count(lit(1)).as("n_bands"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === expect, s"trial $trial")
+      // every exact re-crawl collides on ALL bands
+      for ((nid, txt) <- newDocs; (oid, otxt) <- oldDocs
+           if txt == otxt)
+        assert(got.contains((nid, oid, 4L)), s"trial $trial $nid->$oid")
+    }
+  }
+
+  test("dupMapIngest ≡ full re-clustering on random pair sets (seeded)") {
+    val rnd = new scala.util.Random(0xD0B1)
+    for (trial <- 1 to 8) {
+      // old pairs over ids 1..20, new pairs over ids 1..30 — bridges,
+      // brand-new components, and new-min relabels all arise
+      val oldPairs = Seq.fill(12)(
+        (1L + rnd.nextInt(20), 1L + rnd.nextInt(20)))
+        .filter(p => p._1 != p._2)
+      val newPairs = Seq.fill(8)(
+        (1L + rnd.nextInt(30), 1L + rnd.nextInt(30)))
+        .filter(p => p._1 != p._2)
+      if (oldPairs.nonEmpty && newPairs.nonEmpty) {
+        val oldMap = graft.ops.Dedup.connectedComponents(
+            oldPairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+          .select($"id".as("doc_id"), $"component".as("rep"))
+        val got = graft.ops.Dedup.dupMapIngest(oldMap,
+            newPairs.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toSet
+        val rebuild = graft.ops.Dedup.connectedComponents(
+            (oldPairs ++ newPairs).toDF("doc_a", "doc_b"),
+            "doc_a", "doc_b")
+          .select($"id".as("doc_id"), $"component".as("rep"))
+          .as[(Long, Long)].collect().toSet
+        assert(got === rebuild, s"trial $trial")
+      }
+    }
+  }
 }
