@@ -1628,18 +1628,27 @@ object SparkEntry {
       val (cleanRaw, corpusCounts) = graft.jobs.CorpusPipeline.run(
         Tables.documents(s, dir),
         sampleFraction = 0.8, qualityThreshold = 0.4, maxDupGramFrac = 0.2)
-      // PIN the hand-off frame: cleanRaw's cache truncates nothing at
-      // the LOGICAL level, so every one of the selection chain's ~10
-      // actions would re-analyze/re-optimize the whole 5-stage corpus
-      // lineage (measured ~3x the sum of the parts); the localCheckpoint
-      // cuts it to an RDD scan (one cheap cache read) and the selection
-      // half plans against a leaf
-      val clean = graft.ops.Checkpoints.pin(cleanRaw, None, eager = false)
+      // the HAND-OFF between the two halves is the doc_id-bucketed
+      // corpus table SelectionPipeline's bucketed mode writes: ONE
+      // action materializes the 5-stage corpus lineage (reading the
+      // stage caches), and every selection gate then plans against a
+      // bucket-partitioned LEAF — the same lineage cut the previous
+      // localCheckpoint pin bought (uncut re-analysis measured ~3× the
+      // sum of parts) PLUS zero corpus-side Exchange in the selection
+      // gates, and it exercises the store-shaped hand-off a 100 TB
+      // deployment would actually persist between the two jobs
+      val handoffTable = s"graft_fullstack_corpus_${graft.Stores.key(dir)}"
+      val handoffPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), handoffTable).toString
       val (kept, selCounts, alloc) = graft.jobs.SelectionPipeline.run(
-        clean, Tables.embeddings(s, dir),
+        cleanRaw, Tables.embeddings(s, dir),
         centroidIds = (0L until 8L).toSeq, semThreshold = 0.3,
         targetFilter = col("source") === "src0", budget = 1000000L,
-        epochWeights = Map("src0" -> 4L, "src1" -> 2L))
+        epochWeights = Map("src0" -> 4L, "src1" -> 2L),
+        bucketStore = Some(handoffPath), bucketTable = handoffTable)
+      // the corpus half's stage caches fed the one bucketed write —
+      // nothing reads them again
+      cleanRaw.unpersist(false)
       import s.implicits._
       val stageRows =
         (corpusCounts.map { case (st, n) => ("corpus:" + st, n) } ++
@@ -4388,6 +4397,20 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b")).distinct()
       Dedup.dupMapIngest(oldMap, pairs)
     }),
+
+    // the vector-family RETRAIN lifecycle end-to-end (train model A →
+    // ingest the corpus at it → erase two ids through the delete log →
+    // retrain at model B on the survivors), read back through the
+    // serving ADC path. The oracle recomputes a ONE-SHOT encode at
+    // model B over the surviving vectors — the retrain-≡-rebuild
+    // identity, with the pre-retrain erasures carried across the
+    // rewrite (VERDICT r19 item 2)
+    "q298_vector_retrain" -> ((s, dir) => {
+      val t = Stores.retrainedVectorWarehouse(s, dir)
+      graft.jobs.ServingWarehouse.annRead(s, t,
+        Tables.embeddings(s, dir), queryIds = (0L until 10L).toSeq,
+        k = 5)
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -4639,12 +4662,18 @@ object SparkEntry {
     * final code assignment. Defines CTEs e, sv, c0, d1, a1, m1, cb,
     * dd, codes.
     */
-  private val duckPqBody: String =
-    """e AS (SELECT vec_id, embedding FROM embeddings),
+  /** The PQ train+encode CTE chain, parameterized: `surviving` filters
+    * the corpus (q298 trains model B on the corpus MINUS the erased
+    * ids), `seedPred` picks the codebook seed vectors (model A seeds
+    * 0–3; the retrained model B seeds 4–7). The default instance
+    * ([[duckPqBody]]) is the q88/q89/q92 store regimen verbatim.
+    */
+  private def duckPqBodyFor(surviving: String, seedPred: String): String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings WHERE $surviving),
       |sv AS (SELECT vec_id, j.sub, list_transform(embedding[j.sub*8+1 : j.sub*8+8], x -> x::DOUBLE) AS v
       |       FROM e CROSS JOIN generate_series(0, 7) j(sub)),
       |c0 AS (SELECT sub, vec_id AS code, list_transform(v, x -> round(x, 6)) AS c_vec
-      |       FROM sv WHERE vec_id < 4),
+      |       FROM sv WHERE $seedPred),
       |d1 AS (SELECT s.vec_id, s.sub, c.code,
       |              round(sqrt(list_sum(list_transform(generate_series(1, 8),
       |                i -> (s.v[i] - c.c_vec[i]) * (s.v[i] - c.c_vec[i])))), 6) AS dist
@@ -4670,6 +4699,8 @@ object SparkEntry {
       |            SELECT vec_id, sub, code,
       |                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
       |            FROM dd) WHERE rn = 1)""".stripMargin
+
+  private val duckPqBody: String = duckPqBodyFor("TRUE", "vec_id < 4")
 
   /** q98's DuckDB SQL (residual IVF-PQ end-to-end), shared with the
     * q109 recall audit's nested CTE. The d1r/a1r/m1r/cbr block is ONE
@@ -5326,6 +5357,26 @@ object SparkEntry {
         |       CAST(tr.cnt * 1000000 // tot.row_total AS BIGINT) AS p_ppm
         |FROM tr JOIN tot USING (from_item)
         |QUALIFY rk <= 3""".stripMargin
+
+  /** Estimate queries with NO direct oracle (a DuckDB rebuild cannot
+    * reproduce a sketch's internal state) mapped to the ORACLED
+    * error-band twin that verifies them: the twin recomputes the same
+    * estimate AND the exact answer, and both engines check the
+    * estimate lands inside the sketch's published error band — the
+    * correct relational treatment of an approximation. A `no_oracle`
+    * row whose name appears here is covered, not unverified; the
+    * Verify main dumps this map as `covered_by.json` next to
+    * `oracle_sql.json` so a correctness report is self-explaining.
+    */
+  def coveredBy: Map[String, String] = Map(
+    "q03_uv_approx_hourly" -> "q110_hll_band",
+    "q32_uv_bloom_hourly" -> "q111_bloom_band",
+    "q53_price_percentiles_approx" -> "q112_pctl_band",
+    "q99_heavy_hitters" -> "q113_mg_band",
+    "q100_uv_sketch_daily" -> "q114_sketch_rollup_band",
+    "q115_grouped_heavy_hitters" -> "q116_grouped_mg_band",
+    "q171_hll_corrected" -> "q172_hll_corrected_band",
+    "q252_profile_approx" -> "q253_profile_approx_band")
 
   def oracleSql: Map[String, String] = Map(
     "q16_cep_login_fail" ->
@@ -9250,6 +9301,27 @@ object SparkEntry {
     // DECIMAL(28,10) — exact, order-independent sums on both engines
     "q89_pq_adc" ->
       s"""WITH $duckPqBody,
+         |lut AS (SELECT s.vec_id AS query_id, s.sub, c.code,
+         |               round(list_sum(list_transform(generate_series(1, 8),
+         |                 i -> (s.v[i] - c.c_vec[i]) * (s.v[i] - c.c_vec[i]))), 6)::DECIMAL(28,10) AS pd
+         |        FROM sv s JOIN cb c ON s.sub = c.sub WHERE s.vec_id < 10),
+         |sc AS (SELECT l.query_id, cd.vec_id AS neighbor_id, sum(l.pd)::DOUBLE AS approx_dist
+         |       FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+         |       WHERE cd.vec_id <> l.query_id
+         |       GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, approx_dist,
+         |             row_number() OVER (PARTITION BY query_id
+         |                                ORDER BY approx_dist, neighbor_id) AS rank
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, approx_dist, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    // post-retrain ADC ≡ a one-shot rebuild at model B: the SAME
+    // train+encode+ADC chain as q89, re-parameterized to the retrain
+    // state — corpus minus the erased ids {11, 13} (they shape
+    // neither the new codebooks nor the code table), seeds 4–7
+    "q298_vector_retrain" ->
+      s"""WITH ${duckPqBodyFor("vec_id NOT IN (11, 13)",
+                               "vec_id >= 4 AND vec_id < 8")},
          |lut AS (SELECT s.vec_id AS query_id, s.sub, c.code,
          |               round(list_sum(list_transform(generate_series(1, 8),
          |                 i -> (s.v[i] - c.c_vec[i]) * (s.v[i] - c.c_vec[i]))), 6)::DECIMAL(28,10) AS pd

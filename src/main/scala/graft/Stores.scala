@@ -653,6 +653,56 @@ object Stores {
     }
   }
 
+  /** The RETRAINED vector warehouse (q298) — the fixed-model
+    * LIFECYCLE executed once per JVM, ending in the state the query
+    * reads: model A (seeds 0–3) trains and the corpus's vectors
+    * ingest as one generation at it; vec_ids 11 and 13 erase through
+    * the delete log; then [[graft.jobs.ServingWarehouse.retrain]]
+    * bumps the store to model B (seeds 4–7) — new codebooks trained
+    * on the SURVIVORS, the code table re-encoded from them as a fresh
+    * generation, the superseded generation watermarked. The q298
+    * oracle recomputes a ONE-SHOT encode at model B over the
+    * surviving vectors — the retrain-≡-rebuild identity.
+    */
+  def retrainedVectorWarehouse(s: SparkSession,
+      dir: String): graft.jobs.ServingWarehouse.Tables = {
+    import graft.jobs.ServingWarehouse
+    val p = s"graft_q298_${key(dir)}"
+    val t = ServingWarehouse.Tables(s"${p}_idx", s"${p}_pidx",
+      s"${p}_edges", s"${p}_colloc", s"${p}_chunks", s"${p}_dict",
+      s"${p}_delneigh", s"${p}_tgram", s"${p}_del", s"${p}_pq",
+      s"${p}_pqcb", s"${p}_pqcoarse", s"${p}_bands")
+    serve(s, t.pq) {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      val model = ServingWarehouse.VectorModel(m = PqM, subDim = PqSubDim)
+      ServingWarehouse.trainVectorModel(s, t, emb,
+        coarseIds = Seq(0L, 1L), initIds = Seq(0L, 1L, 2L, 3L),
+        model = model, buckets = 8)
+      s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(0L, -1L)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("slice",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        .limit(0)
+        .write.mode("overwrite").format("parquet").saveAsTable(t.deletes)
+      ServingWarehouse.ingestVecsBatch(emb, id = 1L, t, buckets = 8)
+      // the erasure request: two ids into the shared delete log
+      s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(11L, -1L),
+            org.apache.spark.sql.Row(13L, -1L)),
+          s.table(t.deletes).schema)
+        .write.mode("append").format("parquet").saveAsTable(t.deletes)
+      ServingWarehouse.retrain(s, t, emb, emb,
+        coarseIds = Seq(0L, 1L), initIds = Seq(4L, 5L, 6L, 7L),
+        model = model, buckets = 8)
+    }
+    t
+  }
+
   /** EXECUTE a compaction plan against a WRITTEN slice table — the
     * action half of the q261 read ([[graft.ops.Profile
     * .compactionPlan]] plans; this rewrites): each planned bin's
@@ -666,11 +716,24 @@ object Stores {
     * before/after, the slice count dropping to the bin count, and a
     * follow-up plan finding no multi-slice bin left.
     *
-    * Mechanics: the replacement rows are materialized into a sibling
-    * `_compacting` table first, then written back over the original
-    * (source and target are the same table — a one-pass overwrite
-    * would read what it is deleting), and the sibling is dropped. At
-    * 100 TB the second write is a metastore swap of the rewritten
+    * Mechanics, in recovery-ordered steps:
+    *   1. the replacement rows are materialized into a sibling
+    *      `_compacting` table (source and target are the same table —
+    *      a one-pass overwrite would read what it is deleting). A
+    *      failure here drops the sibling; the target is untouched.
+    *   2. the folded slice ids are appended to the `_wm` watermark
+    *      sidecar ([[foldedSlices]]) BEFORE the swap: those ids' data
+    *      now exists in folded form whichever way the swap goes, so
+    *      an ingest replay guard reading the sidecar can never skip a
+    *      batch that did not land.
+    *   3. the sibling is written back over the original. `saveAsTable`
+    *      overwrite drops the target before writing, so a failure HERE
+    *      leaves the sibling as the only surviving copy — it is kept,
+    *      and the raise names it; [[recoverCompacting]] (or a re-run
+    *      once the target is restored) completes the swap.
+    *   4. on success only, the sibling is dropped.
+    *
+    * At 100 TB the second write is a metastore swap of the rewritten
     * files; the in-memory catalog here has no transactional rename,
     * so the write-twice stands in — the data passes through the
     * cluster once either way, and the plan is manifest-scale
@@ -695,19 +758,114 @@ object Stores {
         path.orElse(Some(meta.location.toString))
       else path
     val src = s.table(table)
-    val compacted = bins.map { case (lo, hi) =>
-      compactFn(src.filter(col("slice") >= lo && col("slice") <= hi), lo)
-    }.reduce(_.unionByName(_))
     val inBin = bins.map { case (lo, hi) =>
       col("slice") >= lo && col("slice") <= hi }.reduce(_ || _)
+    // the EXACT ids being folded (manifest-scale: one value per landed
+    // generation) — recorded in the watermark sidecar so the ingest
+    // replay guard still recognizes them after the rewrite re-tags
+    // every bin to its low generation id
+    val folded = src.filter(inBin).select(col("slice").cast("long"))
+      .distinct().collect().map(_.getLong(0))
+    // re-tag each bin with its low generation id CLAMPED to >= 0: a
+    // negative id is a forget-request tag (ServingWarehouse contract),
+    // and letting one survive as a LIVE slice tag would make a future
+    // erasure that picks the same id silently skip at the ingest
+    // guard. Non-negative tags can never be re-presented as new
+    // requests (batch ids are monotone; replays are `_wm`-guarded),
+    // and two bins sharing a clamped tag is harmless — every family
+    // merge is an id-agnostic sum
+    val compacted = bins.map { case (lo, hi) =>
+      compactFn(src.filter(col("slice") >= lo && col("slice") <= hi),
+        math.max(lo, 0L))
+    }.reduce(_.unionByName(_))
     val out = compacted.unionByName(src.filter(!inBin))
     val tmp = table + "_compacting"
+    try Bucketing.writeBucketed(out, tmp, bucketCols, buckets,
+      sortCols = bucketCols)
+    catch { case e: Throwable =>
+      s.sql(s"DROP TABLE IF EXISTS $tmp"); throw e
+    }
+    recordFolded(s, table, folded)
     try {
-      Bucketing.writeBucketed(out, tmp, bucketCols, buckets,
-        sortCols = bucketCols)
+      compactSwapHook(s)
       Bucketing.writeBucketed(s.table(tmp), table, bucketCols, buckets,
         sortCols = bucketCols, path = keepPath)
-    } finally s.sql(s"DROP TABLE IF EXISTS $tmp")
+    } catch { case e: Throwable =>
+      // the overwrite may already have dropped the target — the
+      // sibling is then the ONLY surviving copy. Leave it in place
+      // and point at it; never make a failed maintenance job
+      // unrecoverable.
+      throw new IllegalStateException(
+        s"Stores.compact: write-back over $table failed; the compacted "
+          + s"data SURVIVES in $tmp — restore with "
+          + s"Stores.recoverCompacting(spark, \"$table\", ...)", e)
+    }
+    s.sql(s"DROP TABLE IF EXISTS $tmp")
+  }
+
+  /** Test seam for the compaction crash-safety pins: runs between the
+    * write-aside and the write-back (CompactionSpec injects a failure
+    * — optionally dropping the target first to simulate the overwrite
+    * dying after its drop step). Production value is a no-op.
+    */
+  private[graft] var compactSwapHook: SparkSession => Unit = _ => ()
+
+  /** Complete an interrupted [[compact]] swap from the surviving
+    * `_compacting` sibling: re-run the write-back and drop the
+    * sibling. Call when a compaction failed AFTER its write-aside
+    * (the raise names this function); the sibling holds the full
+    * post-compaction row set, so recovery is one bucketed write —
+    * idempotent, converging, no re-merge.
+    */
+  def recoverCompacting(s: SparkSession, table: String,
+                        bucketCols: Seq[String], buckets: Int,
+                        path: Option[String] = None): Unit = {
+    val tmp = table + "_compacting"
+    require(s.catalog.tableExists(tmp),
+      s"recoverCompacting: no surviving $tmp — nothing to restore")
+    Bucketing.writeBucketed(s.table(tmp), table, bucketCols, buckets,
+      sortCols = bucketCols, path = path)
+    s.sql(s"DROP TABLE IF EXISTS $tmp")
+  }
+
+  /** The compaction WATERMARK sidecar for a slice table: `table_wm`
+    * holds one `slice` id per generation any past compaction folded
+    * away. Compaction re-tags a bin's rows to its low generation id,
+    * so the folded ids vanish from the table itself — without this
+    * record, an at-least-once ingest replay of an old batch would
+    * pass the live-slice existence probe and double-apply
+    * (VERDICT r19 item 1). Exact ids (never a high-watermark range):
+    * forget-request slice ids are caller-chosen negatives with no
+    * ordering, and a range would silently swallow a NEW id that
+    * happened to fall inside it. Manifest-scale: total generations
+    * ever landed, one long each.
+    */
+  def foldedSlices(s: SparkSession, table: String): Set[Long] = {
+    val wm = table + "_wm"
+    if (!s.catalog.tableExists(wm)) Set.empty
+    else {
+      s.catalog.refreshTable(wm)
+      s.table(wm).select(col("slice").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSet
+    }
+  }
+
+  /** Append folded generation ids to a table's watermark sidecar —
+    * called by [[compact]] before its swap (see the step ordering
+    * there) and by a store rewrite that resets slice tags (e.g. the
+    * vector-family retrain). Duplicate appends are harmless:
+    * [[foldedSlices]] reads distinct.
+    */
+  private[graft] def recordFolded(s: SparkSession, table: String,
+                                  ids: Seq[Long]): Unit = {
+    if (ids.isEmpty) return
+    val wm = table + "_wm"
+    val df = s.createDataFrame(
+      java.util.Arrays.asList(ids.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("slice",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    df.write.mode("append").format("parquet").saveAsTable(wm)
   }
 
   def edges(s: SparkSession, dir: String): DataFrame = {

@@ -53,6 +53,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // estimate→band-twin pairing: a `no_oracle` row whose name is a
+    // key here is verified THROUGH its oracled twin (the twin checks
+    // the estimate against the exact answer's error band in both
+    // engines) — dumped so the correctness report is self-explaining
+    val covered = SparkEntry.coveredBy
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/covered_by.json"), covered)
+    SparkEntry.coveredBy.toSeq.sorted.foreach { case (est, twin) =>
+      println(s"[verify] no_oracle $est is covered by oracled twin $twin")
+    }
     spark.stop()
   }
 }

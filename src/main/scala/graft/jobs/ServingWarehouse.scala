@@ -139,19 +139,59 @@ object ServingWarehouse {
     * a slice that landed is never appended twice. Spark's file commit
     * protocol makes the append itself all-or-nothing at job commit,
     * so "partially landed" slices cannot be observed.
+    *
+    * The probe alone does not survive COMPACTION: the nightly rewrite
+    * re-tags folded slices to their bin's low generation id, so a
+    * batch replayed across a compaction boundary would find no live
+    * slice and double-apply. [[graft.Stores.compact]] records every
+    * folded id in the table's `_wm` watermark sidecar before its swap
+    * — the guard consults it first, so the durability contract holds
+    * WITHOUT requiring compaction to run at a quiescent point.
     */
   private[graft] def ingestOnce(s: SparkSession, table: String, id: Long)
                               (write: => Unit): Unit = {
+    if (graft.Stores.foldedSlices(s, table).contains(id)) return
     s.catalog.refreshTable(table)
     if (s.table(table).filter(col("slice") === id).isEmpty) write
   }
 
   /** One document micro-batch through BOTH text stores — visible (not
     * an inline closure) so the idempotence pin can drive it directly.
+    *
+    * Enforces the dictionary tier's ONE-SLICE-PER-DOC contract at the
+    * door (ADVICE r19): [[TextAnalysis.dictSlices]] counts d_df once
+    * per (slice, token, doc), so a doc re-sent or split across
+    * micro-batches would inflate df in the dict/delneigh/tgram stores
+    * WITHOUT tripping the merge consistency check (cf ≥ df still
+    * holds) — silent statistical drift, the worst kind. The guard is
+    * one existence probe: any batch doc_id already present in the
+    * index store under a DIFFERENT slice raises (same slice = a
+    * partial replay backfilling the remaining families — legal;
+    * erased-then-re-ingested ids also land here, correctly: the
+    * standing content tombstone would cancel the new ingest).
+    * Cost: a broadcast semi-join over the store's two narrow id
+    * columns per ingest batch — fine at micro-batch cadence; the
+    * 100 TB variant keeps a doc_id-bucketed (slice, doc_id) sidecar
+    * so the probe is bucket-pruned instead of a column scan.
     */
   private[graft] def ingestDocsBatch(batch: Dataset[Row], id: Long,
                                     t: Tables, buckets: Int): Unit = {
     val s = batch.sparkSession
+    if (!graft.Stores.foldedSlices(s, t.index).contains(id)) {
+      s.catalog.refreshTable(t.index)
+      val dup = s.table(t.index).filter(col("slice") =!= id)
+        .join(broadcast(batch.select(col("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id")).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalStateException(
+          s"ingestDocsBatch: doc_id ${dup.head.get(0)} in batch $id is "
+            + "already ingested under another slice — the dictionary "
+            + "tier requires each document to land wholly in ONE slice "
+            + "(a re-send or split across micro-batches would silently "
+            + "inflate df); dedup the feed upstream or erase the old "
+            + "copy first")
+    }
     ingestOnce(s, t.index, id) {
       TextAnalysis.indexIngest(batch.withColumn("slice", lit(id)),
         "doc_id", "text", "slice", t.index, buckets)
@@ -206,6 +246,143 @@ object ServingWarehouse {
         t.bands, Seq("band_hash"), buckets,
         sortCols = Seq("band_hash"))
     }
+  }
+
+  /** Drift MONITOR for the vector family — the [[retrain]] trigger: a
+    * probe sample of current raw vectors encodes at the warehouse's
+    * WRITTEN model and one row of reconstruction statistics comes
+    * back: n, mean squared quantization error (‖v − decode(encode(v))‖²
+    * — the quantity ADC's ranking quality decays with) and mean
+    * squared distance to the assigned coarse centroid (list balance).
+    * Trend it against the value recorded at train time: a rising
+    * curve means the embedding distribution has drifted off the fixed
+    * codebooks and recall is silently degrading (VERDICT r19 item 2).
+    * Work ∝ the probe sample (broadcast codebook/centroid joins, one
+    * narrow aggregate) — never the store.
+    */
+  def vectorModelAudit(s: SparkSession, t: Tables,
+                       probe: DataFrame): DataFrame = {
+    val model = readModel(s, t)
+    graft.functions.VectorExprs.ensureRegistered(s)
+    val cbs = s.table(t.pqcb)
+    val sv = probe
+      .select(col("vec_id"),
+        explode(expr(s"sequence(0L, ${model.m - 1}L)")).as("sub"),
+        col("embedding"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"transform(slice(embedding, CAST(sub * ${model.subDim} + 1"
+          + s" AS INT), ${model.subDim}), x -> CAST(x AS DOUBLE))")
+          .as("v"))
+    val qerr = graft.ops.Pq.encode(probe, "vec_id", "embedding", cbs,
+        m = model.m, subDim = model.subDim)
+      .join(sv, Seq("vec_id", "sub"))
+      .join(broadcast(cbs), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(expr("array_sqdiff(v, c_vec)")).as("sq"))
+    val cerr = graft.ops.Similarity.assignWith(probe, "vec_id",
+      "embedding", s.table(t.pqcoarse))
+    qerr.join(cerr, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_probe"),
+        round(avg(col("sq")), 6).as("mse_quant"),
+        round(avg(col("dist") * col("dist")), 6).as("mse_coarse"))
+  }
+
+  /** RETRAIN the vector family — the store-generation bump the
+    * fixed-model contract requires once [[vectorModelAudit]] shows
+    * drift: NEW codebooks and a new coarse table train on the
+    * SURVIVING vectors (`rawVecs` minus the delete log — an erased
+    * vector must not shape the replacement model either), and the
+    * code table re-encodes from those survivors at the new model as
+    * ONE fresh generation.
+    *
+    * Durability, in the [[graft.Stores.compact]] order:
+    *   1. the new code rows materialize into a `_retraining` sibling
+    *      BEFORE any live table is touched — a failure up to here
+    *      changes nothing;
+    *   2. every pre-retrain generation id lands in the code table's
+    *      `_wm` watermark sidecar: the re-encode already contains
+    *      those batches' vectors, so a pre-retrain batch replayed
+    *      after the bump must be skipped (it would re-encode its
+    *      vectors at the new model ON TOP of the rewrite — doubled
+    *      rows under two generation tags);
+    *   3. the model tables and the code table swap to the new
+    *      artifacts (external locations preserved — the compaction
+    *      lesson); a failure mid-swap leaves the sibling in place and
+    *      the raise names it.
+    *
+    * The delete log itself STAYS: erasures issued before the retrain
+    * are physically absent from the rewritten store (and from the new
+    * model's training set), and reads keep anti-joining the log for
+    * erasures issued after. `readModel` keeps deriving the regimen
+    * from the written codebooks, so every later [[ingestVecsBatch]]
+    * encodes at the NEW model with no deployment-side coordination.
+    */
+  def retrain(s: SparkSession, t: Tables, trainVecs: DataFrame,
+              rawVecs: DataFrame, coarseIds: Seq[Long],
+              initIds: Seq[Long], model: VectorModel,
+              buckets: Int): Unit = {
+    def surviving(vecs: DataFrame) = graft.ops.Forget.rowErase(
+      vecs.select(col("vec_id"), col("embedding")), "vec_id",
+      liveTable(s, t.deletes))
+    val live = surviving(rawVecs)
+    // the m×k*-row codebook frame feeds BOTH the sibling encode and
+    // the model-table swap — pinned so the Lloyd pass runs once
+    val cbs = graft.ops.Checkpoints.pin(
+      graft.ops.Pq.codebooks(surviving(trainVecs), "vec_id", "embedding",
+        m = model.m, subDim = model.subDim, initIds = initIds,
+        iters = 1, orderedMeans = true),
+      None, eager = false)
+    val coarse = live.filter(col("vec_id").isin(coarseIds: _*))
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("c_vec"))
+    def keepLoc(table: String): Option[String] = {
+      val meta = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      if (meta.tableType ==
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
+        Some(meta.location.toString)
+      else None
+    }
+    // 1. write-aside the re-encoded code table at the new model
+    val tmp = t.pq + "_retraining"
+    try graft.ops.Bucketing.writeBucketed(
+      graft.ops.Pq.codeRows(live, "vec_id", "embedding", cbs, coarse,
+          m = model.m, subDim = model.subDim)
+        .withColumn("slice", lit(0L)),
+      tmp, Seq("centroid_id"), buckets, sortCols = Seq("centroid_id"))
+    catch { case e: Throwable =>
+      s.sql(s"DROP TABLE IF EXISTS $tmp"); throw e
+    }
+    // 2. watermark the superseded generations (their vectors are in
+    //    the re-encode whichever way the swap goes)
+    s.catalog.refreshTable(t.pq)
+    graft.Stores.recordFolded(s, t.pq,
+      s.table(t.pq).select(col("slice").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq)
+    // 3. swap: model tables first (small), then the code table from
+    //    the sibling
+    try {
+      def w(df: DataFrame, table: String): Unit = {
+        val wr = df.write.mode("overwrite").format("parquet")
+        keepLoc(table).fold(wr)(p => wr.option("path", p))
+          .saveAsTable(table)
+      }
+      w(cbs, t.pqcb)
+      w(coarse, t.pqcoarse)
+      graft.ops.Bucketing.writeBucketed(s.table(tmp), t.pq,
+        Seq("centroid_id"), buckets, sortCols = Seq("centroid_id"),
+        path = keepLoc(t.pq))
+    } catch { case e: Throwable =>
+      throw new IllegalStateException(
+        s"ServingWarehouse.retrain: swap over ${t.pq} failed; the "
+          + s"re-encoded codes SURVIVE in $tmp — restore with "
+          + s"Stores.recoverCompacting(spark, \"${t.pq}\", "
+          + "Seq(\"centroid_id\"), ...)", e)
+    }
+    s.sql(s"DROP TABLE IF EXISTS $tmp")
+    s.catalog.refreshTable(t.pq)
+    s.catalog.refreshTable(t.pqcb)
+    s.catalog.refreshTable(t.pqcoarse)
   }
 
   /** q296-shaped read over the LIVE band table: a candidate document
@@ -295,6 +472,30 @@ object ServingWarehouse {
         "src", "dst", "slice", t.edges, buckets)
     }
 
+  /** Process-local registry of warehouse table sets with a LIVE
+    * ingest deployment. The slice-id idempotence guard assumes ONE
+    * writer per family: two concurrent ingest queries into the same
+    * tables would collide batch ids and the guard would silently drop
+    * the second writer's batches (VERDICT r19 item 4) — so a second
+    * [[start]] over any already-claimed table fails loudly instead.
+    * [[release]] frees the claim after the queries stop. In a
+    * multi-driver deployment this registry's job belongs to the
+    * shared metastore (a lock table / lease); the contract — one
+    * writer per warehouse, enforced, never silent — is the same.
+    */
+  private val liveWriters =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def writtenTables(t: Tables): Seq[String] =
+    Seq(t.index, t.positional, t.edges, t.colloc, t.chunks, t.dict,
+      t.delneigh, t.tgram, t.bands, t.pq)
+
+  /** Release a warehouse's writer claim — call after stopping the
+    * queries [[start]] returned.
+    */
+  def release(t: Tables): Unit =
+    writtenTables(t).foreach(liveWriters.remove)
+
   /** Start the two concurrent ingest queries over a document stream
     * (doc_id, text) and a transition-pair stream (src, dst). The
     * tables must already exist with matching bucket specs (the
@@ -302,12 +503,24 @@ object ServingWarehouse {
     * appends only add bucket files, never rewrite history, and a
     * replayed batch is skipped by the slice-id guard. Pass
     * `checkpointDir` in production so restarts resume from committed
-    * offsets instead of replaying the source.
+    * offsets instead of replaying the source. Claims the table set in
+    * [[liveWriters]] — a second concurrent `start` over any of the
+    * same tables throws; [[release]] after stopping the queries.
     */
   def start(docs: DataFrame, pairs: DataFrame, t: Tables,
             buckets: Int = 8,
             checkpointDir: Option[String] = None,
             vecs: Option[DataFrame] = None): Seq[StreamingQuery] = {
+    val taken = writtenTables(t).filterNot(liveWriters.add)
+    if (taken.nonEmpty) {
+      // roll back the partial claim before raising
+      writtenTables(t).filterNot(taken.contains).foreach(liveWriters.remove)
+      throw new IllegalStateException(
+        s"ServingWarehouse.start: table(s) ${taken.mkString(", ")} "
+          + "already have a live ingest writer — two writers would "
+          + "collide slice ids and silently drop batches; stop and "
+          + "release() the first deployment (or use distinct tables)")
+    }
     def ck(w: org.apache.spark.sql.streaming.DataStreamWriter[Row],
            name: String) =
       checkpointDir.fold(w)(d => w.option("checkpointLocation", s"$d/$name"))
@@ -336,7 +549,14 @@ object ServingWarehouse {
     * contract; the log stays, the anti-join is a no-op afterwards).
     * Reads are identical before and after (every family's merge is
     * associative — the StreamingSpec pin), only the file manifest
-    * shrinks.
+    * shrinks. Safe to run WITHOUT quiescing the ingest contractually:
+    * [[graft.Stores.compact]] records every folded slice id in the
+    * family's `_wm` sidecar, so a batch replayed across the
+    * compaction boundary is still skipped by [[ingestOnce]]; the
+    * content-tombstone families fold through the PARTIAL merges, so
+    * a plan bin that separates a forget tombstone from its matching
+    * ingest compacts cleanly (the integrity raise stays at read
+    * time).
     */
   def compact(s: SparkSession, t: Tables, targetRows: Long,
               buckets: Int): Unit = {
@@ -355,10 +575,17 @@ object ServingWarehouse {
         bucketCols, buckets)
       s.catalog.refreshTable(table)
     }
+    // the content-tombstone families compact through the PARTIAL
+    // merges (closed under arbitrary binning): the planner orders
+    // slices by id, so a forget request's negative-id tombstone slice
+    // can bin APART from the ingest slices it cancels — a strict
+    // per-bin merge would raise there (ADVICE r19). Negative partial
+    // sums survive as tombstone rows; the read-time global merges
+    // keep the integrity raise.
     run(t.index, Seq("token", "doc_id"), "tf",
-      TextAnalysis.indexCompact, Seq("token"))
+      TextAnalysis.indexCompactPartial, Seq("token"))
     run(t.chunks, Seq("token", "doc_id"), "tf",
-      TextAnalysis.indexCompact, Seq("token"))
+      TextAnalysis.indexCompactPartial, Seq("token"))
     run(t.positional, Seq("token", "doc_id"), "tf",
       (sl, ns) => TextAnalysis.positionalCompact(
         TextAnalysis.positionalApplyTombstones(sl,
@@ -366,25 +593,13 @@ object ServingWarehouse {
       Seq("token"))
     run(t.edges, Seq("src", "dst"), "w", Graph.edgeCompact, Seq("src"))
     run(t.colloc, Seq("w1", "w2"), "c",
-      (sl, ns) => TextAnalysis.collocMergeSlices(sl)
-        .select(lit(ns).as("slice"), col("w1"), col("w2"),
-          col("c_xy").as("c")),
-      Seq("w1"))
+      TextAnalysis.collocCompactPartial, Seq("w1"))
     run(t.dict, Seq("token"), "d_cf",
-      (sl, ns) => TextAnalysis.dictMergeSlices(sl)
-        .select(lit(ns).as("slice"), col("token"),
-          col("df").as("d_df"), col("cf").as("d_cf")),
-      Seq("token"))
+      TextAnalysis.dictCompactPartial, Seq("token"))
     run(t.delneigh, Seq("variant", "token"), "d_df",
-      (sl, ns) => TextAnalysis.delneighMergeSlices(sl)
-        .select(lit(ns).as("slice"), col("variant"), col("token"),
-          col("df").as("d_df")),
-      Seq("variant"))
+      TextAnalysis.delneighCompactPartial, Seq("variant"))
     run(t.tgram, Seq("gram", "token"), "d_df",
-      (sl, ns) => TextAnalysis.tgramMergeSlices(sl)
-        .select(lit(ns).as("slice"), col("gram"), col("token"),
-          col("df").as("d_df")),
-      Seq("gram"))
+      TextAnalysis.tgramCompactPartial, Seq("gram"))
     // bands are plain id-addressed rows: compaction re-tags survivors
     // (the delete log folds in, like the positional family)
     run(t.bands, Seq("doc_id", "band_id"), "band_id",

@@ -1811,6 +1811,66 @@ object TextAnalysis {
     indexMergeSlices(slices).select(lit(newSlice).as("slice"),
       col("token"), col("doc_id"), col("tf"))
 
+  /** [[indexCompact]] CLOSED UNDER TOMBSTONES — the per-bin compact
+    * function a compaction PLAN may hand an arbitrary slice subset:
+    * the q261 binner orders slices by id, so negative-id tombstone
+    * slices bin FIRST and a bin can hold a tombstone whose matching
+    * ingest lives in another bin (ADVICE r19). [[indexCompact]]'s
+    * strict merge would raise there; this form preserves a negative
+    * partial sum as a tombstone ROW in the compacted output (exact
+    * zeros still drop — they cancel in any continuation), so the
+    * integrity check moves to where it belongs: the read-time GLOBAL
+    * merge, which still raises iff the whole table's sum is negative.
+    * Sum associativity makes this exact: compacting any bin partition
+    * this way then strict-merging ≡ strict-merging the originals.
+    */
+  def indexCompactPartial(slices: DataFrame, newSlice: Long): DataFrame =
+    slices.groupBy(col("token"), col("doc_id"))
+      .agg(sum(col("tf")).as("tf"))
+      .filter(col("tf") =!= 0)
+      .select(lit(newSlice).as("slice"), col("token"), col("doc_id"),
+        col("tf"))
+
+  /** [[indexCompactPartial]] for the collocation family: per-bin
+    * (w1, w2) count sums with negative partials preserved as
+    * tombstone rows; [[collocMergeSlices]] stays the strict read.
+    */
+  def collocCompactPartial(slices: DataFrame, newSlice: Long): DataFrame =
+    slices.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c")).as("c"))
+      .filter(col("c") =!= 0)
+      .select(lit(newSlice).as("slice"), col("w1"), col("w2"), col("c"))
+
+  /** [[indexCompactPartial]] for the dictionary-delta family: per-bin
+    * (token) d_df/d_cf sums, kept whenever EITHER survives nonzero
+    * (a bin can net df to zero while cf still carries — both must
+    * reach the global merge intact); [[dictMergeSlices]] stays the
+    * strict read with its df/cf consistency raise.
+    */
+  def dictCompactPartial(slices: DataFrame, newSlice: Long): DataFrame =
+    slices.groupBy(col("token"))
+      .agg(sum(col("d_df")).as("d_df"), sum(col("d_cf")).as("d_cf"))
+      .filter(col("d_df") =!= 0 || col("d_cf") =!= 0)
+      .select(lit(newSlice).as("slice"), col("token"), col("d_df"),
+        col("d_cf"))
+
+  /** [[indexCompactPartial]] for the deletion-neighborhood family. */
+  def delneighCompactPartial(slices: DataFrame,
+                             newSlice: Long): DataFrame =
+    slices.groupBy(col("variant"), col("token"))
+      .agg(sum(col("d_df")).as("d_df"))
+      .filter(col("d_df") =!= 0)
+      .select(lit(newSlice).as("slice"), col("variant"), col("token"),
+        col("d_df"))
+
+  /** [[indexCompactPartial]] for the trigram family. */
+  def tgramCompactPartial(slices: DataFrame, newSlice: Long): DataFrame =
+    slices.groupBy(col("gram"), col("token"))
+      .agg(sum(col("d_df")).as("d_df"))
+      .filter(col("d_df") =!= 0)
+      .select(lit(newSlice).as("slice"), col("gram"), col("token"),
+        col("d_df"))
+
   /** Serving-scale top-k + rank — the final step every retrieval,
     * phrase, and proximity read shares. `orderBy(sort).limit(k)`
     * plans as TakeOrderedAndProject (per-partition top-k, one k-row

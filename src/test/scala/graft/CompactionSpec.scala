@@ -66,7 +66,10 @@ class CompactionSpec extends AnyFunSuite {
       val replan = planFor(spark.table(t), Seq("token", "doc_id"), "tf",
         target = 6L)
       assert(replan.agg(max($"n_files")).as[Long].head() === 1L)
-    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_wm")
+    }
   }
 
   test("positional-family compact folds the delete log away: compacted store without the log ≡ pre-compaction store with it") {
@@ -94,7 +97,10 @@ class CompactionSpec extends AnyFunSuite {
       assert(TextAnalysis.positionalMergeSlices(spark.table(t))
         .as[(String, Long, Long, Seq[Int])].collect().toSet === expect)
       assert(spark.table(t).filter($"doc_id".isin(3L, 6L)).isEmpty)
-    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_wm")
+    }
   }
 
   test("compact rewrites an EXTERNAL table AT ITS OWN location — no silent migration into the warehouse dir") {
@@ -123,7 +129,129 @@ class CompactionSpec extends AnyFunSuite {
         .as[(String, Long, Long)].collect().toSet === before)
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_wm")
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+
+  test("compact records the folded generation ids in the _wm watermark sidecar (exact ids, not a range)") {
+    val t = "graft_cmp_wm"
+    try {
+      TextAnalysis.writeIndexStore(
+        TextAnalysis.indexSlices(
+          corpus.withColumn("slice", $"doc_id"), "doc_id", "text",
+          "slice"),
+        t, buckets = 4)
+      assert(Stores.foldedSlices(spark, t) === Set.empty[Long])
+      Stores.compact(spark, t,
+        planFor(spark.table(t), Seq("token", "doc_id"), "tf", 6L),
+        TextAnalysis.indexCompact, Seq("token"), buckets = 4)
+      // every pre-compaction generation id is recorded — the ingest
+      // replay guard's source of truth after the rewrite re-tags them
+      assert(Stores.foldedSlices(spark, t) === (1L to 8L).toSet)
+      // a second compaction appends the (new) folded ids on top
+      spark.catalog.refreshTable(t)
+      val gen2 = spark.table(t).select($"slice").distinct()
+        .as[Long].collect().toSet
+      Stores.compact(spark, t,
+        planFor(spark.table(t), Seq("token", "doc_id"), "tf", 1000000L),
+        TextAnalysis.indexCompact, Seq("token"), buckets = 4)
+      assert(Stores.foldedSlices(spark, t) === (1L to 8L).toSet ++ gen2)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_wm")
+    }
+  }
+
+  test("compact crash BEFORE the swap: target intact, _compacting survives, a re-run converges") {
+    val t = "graft_cmp_crash1"
+    try {
+      TextAnalysis.writeIndexStore(
+        TextAnalysis.indexSlices(
+          corpus.withColumn("slice", $"doc_id"), "doc_id", "text",
+          "slice"),
+        t, buckets = 4)
+      val before = TextAnalysis.indexMergeSlices(spark.table(t))
+        .as[(String, Long, Long)].collect().toSet
+      val plan = planFor(spark.table(t), Seq("token", "doc_id"), "tf", 6L)
+      val nBins = plan.count()
+      Stores.compactSwapHook = _ =>
+        throw new RuntimeException("injected: crash before swap")
+      val ex = intercept[IllegalStateException] {
+        Stores.compact(spark, t, plan, TextAnalysis.indexCompact,
+          Seq("token"), buckets = 4)
+      }
+      Stores.compactSwapHook = _ => ()
+      assert(ex.getMessage.contains(s"${t}_compacting"),
+        "the raise must point at the surviving sibling")
+      // the OLD store is fully intact (original generations, same reads)
+      spark.catalog.refreshTable(t)
+      assert(spark.table(t).select($"slice").distinct().count() === 8L)
+      assert(TextAnalysis.indexMergeSlices(spark.table(t))
+        .as[(String, Long, Long)].collect().toSet === before)
+      // the sibling holds the full post-compaction row set
+      assert(spark.catalog.tableExists(s"${t}_compacting"))
+      // a plain RE-RUN converges: same plan recomputes from the intact
+      // target, overwrites the stale sibling, and completes the swap
+      Stores.compact(spark, t,
+        planFor(spark.table(t), Seq("token", "doc_id"), "tf", 6L),
+        TextAnalysis.indexCompact, Seq("token"), buckets = 4)
+      spark.catalog.refreshTable(t)
+      assert(TextAnalysis.indexMergeSlices(spark.table(t))
+        .as[(String, Long, Long)].collect().toSet === before)
+      assert(spark.table(t).select($"slice").distinct().count() === nBins)
+      assert(!spark.catalog.tableExists(s"${t}_compacting"),
+        "no orphan _compacting table may stay registered")
+    } finally {
+      Stores.compactSwapHook = _ => ()
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_compacting")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_wm")
+    }
+  }
+
+  test("compact crash MID-swap (target already dropped): _compacting is the only copy — kept, named in the raise, and recoverCompacting restores") {
+    val t = "graft_cmp_crash2"
+    try {
+      TextAnalysis.writeIndexStore(
+        TextAnalysis.indexSlices(
+          corpus.withColumn("slice", $"doc_id"), "doc_id", "text",
+          "slice"),
+        t, buckets = 4)
+      val before = TextAnalysis.indexMergeSlices(spark.table(t))
+        .as[(String, Long, Long)].collect().toSet
+      val plan = planFor(spark.table(t), Seq("token", "doc_id"), "tf", 6L)
+      val nBins = plan.count()
+      // simulate saveAsTable-overwrite dying AFTER its drop step: the
+      // target is gone and the sibling is the ONLY surviving copy
+      Stores.compactSwapHook = sp => {
+        sp.sql(s"DROP TABLE $t")
+        throw new RuntimeException("injected: crash mid-swap")
+      }
+      val ex = intercept[IllegalStateException] {
+        Stores.compact(spark, t, plan, TextAnalysis.indexCompact,
+          Seq("token"), buckets = 4)
+      }
+      Stores.compactSwapHook = _ => ()
+      assert(ex.getMessage.contains(s"${t}_compacting")
+        && ex.getMessage.contains("recoverCompacting"))
+      // the unconditional-drop bug would have deleted this (ADVICE r19)
+      assert(spark.catalog.tableExists(s"${t}_compacting"),
+        "the only surviving copy was dropped — data loss")
+      Stores.recoverCompacting(spark, t, Seq("token"), buckets = 4)
+      spark.catalog.refreshTable(t)
+      assert(TextAnalysis.indexMergeSlices(spark.table(t))
+        .as[(String, Long, Long)].collect().toSet === before)
+      assert(spark.table(t).select($"slice").distinct().count() === nBins)
+      assert(!spark.catalog.tableExists(s"${t}_compacting"))
+      // the watermark was recorded BEFORE the swap, so the folded ids
+      // stayed replay-guarded through the whole failure window
+      assert(Stores.foldedSlices(spark, t) === (1L to 8L).toSet)
+    } finally {
+      Stores.compactSwapHook = _ => ()
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_compacting")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_wm")
     }
   }
 
@@ -148,6 +276,9 @@ class CompactionSpec extends AnyFunSuite {
         .as[(Long, Long, Long)].collect().toSet === before)
       assert(spark.table(t).select($"slice").distinct()
         .as[Long].collect().toSet === Set(0L, 3L))
-    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_wm")
+    }
   }
 }

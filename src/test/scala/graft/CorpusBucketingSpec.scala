@@ -71,4 +71,31 @@ class CorpusBucketingSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
     }
   }
+
+  test("q121 hand-off between the pipeline halves is the doc_id-bucketed corpus store (SelectionPipeline's zero-Exchange gate layout)") {
+    // run the flagship full-stack query, then inspect the hand-off
+    // artifact it materialized: the clean corpus must land as a
+    // doc_id-bucketed table (the store-shaped hand-off a 100 TB
+    // deployment persists between the clean and select jobs), not a
+    // session-local checkpoint — the selection gates then read
+    // bucket-partitioned data (that layout's zero-Exchange property
+    // is pinned by SelectionPipelineSpec's bucketed-mode test)
+    try {
+      val res = SparkEntry.queries("q121_full_stack")(spark, dir)
+      assert(res.filter($"kind" === "kept").count() > 0)
+      val handoff = spark.sessionState.catalog
+        .listTables("default", "graft_fullstack_corpus_*")
+      assert(handoff.nonEmpty, "q121 did not materialize its hand-off table")
+      val meta = spark.sessionState.catalog.getTableMetadata(handoff.head)
+      val bs = meta.bucketSpec
+      assert(bs.exists(b => b.bucketColumnNames == Seq("doc_id")
+          && b.numBuckets == 32),
+        s"hand-off table is not doc_id-bucketed: $bs")
+    } finally {
+      spark.sessionState.catalog
+        .listTables("default", "graft_fullstack_corpus_*")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.table}"))
+      spark.catalog.clearCache()
+    }
+  }
 }

@@ -33,6 +33,17 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("coveredBy is total over the no-oracle queries and every twin is oracled") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle === SparkEntry.coveredBy.keySet,
+      "every query without a direct oracle must name its oracled "
+        + s"band twin (uncovered: ${noOracle -- SparkEntry.coveredBy.keySet}; "
+        + s"stale: ${SparkEntry.coveredBy.keySet -- noOracle})")
+    val badTwin = SparkEntry.coveredBy.values.toSet --
+      SparkEntry.oracleSql.keySet
+    assert(badTwin.isEmpty, s"twin without an oracle: $badTwin")
+  }
+
   test("pv windows sum to total view count") {
     import org.apache.spark.sql.functions._
     val views = Tables.events(spark, dir)

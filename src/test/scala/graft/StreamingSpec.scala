@@ -1112,6 +1112,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged === full)
   }
 
+  test("ServingWarehouse rejects a second concurrent writer: slice-id collisions would silently drop the loser's batches") {
+    import graft.jobs.ServingWarehouse
+    val base = java.nio.file.Files.createTempDirectory("graft-swc-")
+    val t = warehouseTables("graft_swc")
+    try {
+      bootstrapWarehouse(t, base)
+      val docsIn = MemoryStream[(Long, String)]
+      val pairsIn = MemoryStream[(Long, Long)]
+      val qs = ServingWarehouse.start(
+        docsIn.toDS().toDF("doc_id", "text"),
+        pairsIn.toDS().toDF("src", "dst"), t, buckets = 4)
+      // a second deployment over the SAME tables must fail loudly —
+      // its foreachBatch ids would start at 0 again and the slice-id
+      // guard would skip every batch the first writer already landed
+      val ex = intercept[IllegalStateException] {
+        ServingWarehouse.start(
+          docsIn.toDS().toDF("doc_id", "text"),
+          pairsIn.toDS().toDF("src", "dst"), t, buckets = 4)
+      }
+      assert(ex.getMessage.contains("live ingest writer"))
+      // the failed claim rolled back nothing that belongs to the
+      // first writer: it is still registered (a third start fails too)
+      intercept[IllegalStateException] {
+        ServingWarehouse.start(
+          docsIn.toDS().toDF("doc_id", "text"),
+          pairsIn.toDS().toDF("src", "dst"), t, buckets = 4)
+      }
+      // the live deployment keeps working through all of this
+      docsIn.addData((1L, "a b a"))
+      pairsIn.addData((10L, 11L))
+      qs.foreach(_.processAllAvailable())
+      assert(!spark.table(t.index).isEmpty)
+      qs.foreach(_.stop())
+      // release frees the claim — a new deployment may then start
+      ServingWarehouse.release(t)
+      val qs2 = ServingWarehouse.start(
+        docsIn.toDS().toDF("doc_id", "text"),
+        pairsIn.toDS().toDF("src", "dst"), t, buckets = 4)
+      qs2.foreach(_.stop())
+    } finally {
+      dropWarehouse(t)
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+
   /** Bootstrap a ServingWarehouse's tables as empty-sliced EXTERNAL
     * tables (fixing every bucket spec) under `base` — shared by the
     * E2E ingest test and the forget-between-batches pin.
@@ -1193,11 +1238,15 @@ class StreamingSpec extends AnyFunSuite {
       s"${prefix}_del", s"${prefix}_pq", s"${prefix}_pqcb",
       s"${prefix}_pqcoarse", s"${prefix}_bands")
 
-  private def dropWarehouse(t: graft.jobs.ServingWarehouse.Tables): Unit =
+  private def dropWarehouse(t: graft.jobs.ServingWarehouse.Tables): Unit = {
+    graft.jobs.ServingWarehouse.release(t)
     for (tbl <- Seq(t.index, t.positional, t.edges, t.colloc, t.chunks,
         t.dict, t.delneigh, t.tgram, t.deletes, t.pq, t.pqcb,
-        t.pqcoarse, t.bands))
+        t.pqcoarse, t.bands)) {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_wm")
+    }
+  }
 
   test("ServingWarehouse end-to-end: concurrent doc+pair ingest; mid-stream q206/q209/q246 reads ≡ batch reads over the landed slices") {
     import graft.jobs.ServingWarehouse
@@ -1321,8 +1370,8 @@ class StreamingSpec extends AnyFunSuite {
         pairs2.toDF("src", "dst"), id = 1L, t, buckets = 4)
       assert(readAll() === got2)
       // nightly maintenance: every family's micro-batch slices fold
-      // into one target-sized generation (run at a quiescent point —
-      // offsets committed); reads unchanged, the manifest shrinks
+      // into one target-sized generation; reads unchanged, the
+      // manifest shrinks
       ServingWarehouse.compact(spark, t, targetRows = 1000000L,
         buckets = 4)
       assert(readAll() === got2)
@@ -1330,6 +1379,30 @@ class StreamingSpec extends AnyFunSuite {
           t.chunks, t.dict, t.delneigh, t.tgram, t.bands))
         assert(spark.table(tbl).select($"slice").distinct().count()
           === 1L, s"$tbl slices not folded by compaction")
+      // the durability contract SURVIVES the compaction boundary: the
+      // rewrite re-tagged slice 1 away, so the live-slice probe alone
+      // would let this replay double-apply — the `_wm` watermark
+      // sidecar (folded ids recorded before the swap) must skip it
+      // (VERDICT r19 item 1)
+      graft.jobs.ServingWarehouse.ingestDocsBatch(
+        docs2.toDF("doc_id", "text"), id = 1L, t, buckets = 4)
+      graft.jobs.ServingWarehouse.ingestPairsBatch(
+        pairs2.toDF("src", "dst"), id = 1L, t, buckets = 4)
+      assert(readAll() === got2,
+        "a batch replayed across a compaction boundary double-applied")
+      for (tbl <- Seq(t.index, t.positional, t.edges, t.colloc,
+          t.chunks, t.dict, t.delneigh, t.tgram, t.bands))
+        assert(spark.table(tbl).select($"slice").distinct().count()
+          === 1L, s"$tbl: post-compaction replay appended a new slice")
+      // one-slice-per-doc contract at the door: re-sending a landed
+      // doc under a NEW batch id must raise (silent df inflation in
+      // the dictionary tier otherwise — ADVICE r19), not append
+      val dupEx = intercept[IllegalStateException] {
+        graft.jobs.ServingWarehouse.ingestDocsBatch(
+          Seq((4L, "a b")).toDF("doc_id", "text"), id = 7L, t,
+          buckets = 4)
+      }
+      assert(dupEx.getMessage.contains("already ingested"))
     } finally {
       dropWarehouse(t)
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
@@ -1456,6 +1529,25 @@ class StreamingSpec extends AnyFunSuite {
         forgotten.toDF("doc_id", "text"), id = -1L, buckets = 4)
       assert(readAll() ===
         expected((docs1 ++ docs2).filterNot(_._1 == 2L)))
+      // compaction whose plan SEPARATES the tombstone slice from its
+      // matching ingest slices (targetRows=1 → one bin per slice, so
+      // the negative-id slice bins alone): the partial per-bin merges
+      // must preserve the tombstone rows instead of raising
+      // "tombstone without matching ingest" (ADVICE r19), and every
+      // read stays identical — the cancellation happens at the
+      // read-time global merge exactly as before
+      ServingWarehouse.compact(spark, t, targetRows = 1L, buckets = 4)
+      assert(readAll() ===
+        expected((docs1 ++ docs2).filterNot(_._1 == 2L)),
+        "tombstone-separating compaction changed a read")
+      // the ERASURE replayed across the compaction boundary: the
+      // tombstone slice was folded (re-tagged), so only the `_wm`
+      // sidecar stands between this replay and a doubled tombstone
+      // (which would drive merged tf negative and raise at read)
+      ServingWarehouse.forgetApply(spark, t,
+        forgotten.toDF("doc_id", "text"), id = -1L, buckets = 4)
+      assert(readAll() ===
+        expected((docs1 ++ docs2).filterNot(_._1 == 2L)))
       // compaction AFTER an erasure folds the tombstones away: the
       // rewritten generations physically hold corpus-minus-F (the
       // erased doc's rows cancel into nothing; the positional rewrite
@@ -1546,6 +1638,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(readAnn() === expectedAnn(survivors))
       assert(readIvf() === expectedIvf(survivors))
       assert(!readAnn().exists(_._2 == 11L))
+      // drift monitor: one reconstruction-statistics row off the
+      // WRITTEN model — the retrain trigger an operator trends
+      val audit = ServingWarehouse.vectorModelAudit(spark, t,
+          survivors.toDF("vec_id", "embedding"))
+        .as[(Long, Double, Double)].head()
+      assert(audit._1 === survivors.size.toLong
+        && audit._2 >= 0.0 && audit._3 >= 0.0)
+      // RETRAIN at model B (fresh seeds from the live corpus): new
+      // codebooks trained on the SURVIVORS, the code table re-encoded
+      // from them as one fresh generation, the superseded generations
+      // watermarked. The expected-read helpers resolve the model
+      // tables at call time, so they now recompute a ONE-SHOT encode
+      // at model B — the retrain-≡-rebuild identity
+      ServingWarehouse.retrain(spark, t,
+        trainVecs = all.toDF("vec_id", "embedding"),
+        rawVecs = all.toDF("vec_id", "embedding"),
+        coarseIds = Seq(10L, 14L), initIds = Seq(10L, 12L, 13L, 14L),
+        model = m, buckets = 4)
+      assert(ServingWarehouse.readModel(spark, t) === m)
+      assert(readAnn() === expectedAnn(survivors))
+      assert(readIvf() === expectedIvf(survivors))
+      // the PRE-retrain erasure persists across the rewrite — both
+      // logically (reads) and physically (the re-encode never saw 11)
+      assert(!readAnn().exists(_._2 == 11L),
+        "pre-retrain erasure resurrected by the model rewrite")
+      assert(spark.table(t.pq).filter($"vec_id" === 11L).isEmpty)
+      // a PRE-retrain batch replayed after the bump: its vectors are
+      // already inside the re-encode, so only the `_wm` watermark
+      // stands between the replay and doubled code rows
+      ServingWarehouse.ingestVecsBatch(
+        batch2.toDF("vec_id", "embedding"), id = 1L, t, buckets = 4)
+      assert(readAnn() === expectedAnn(survivors),
+        "pre-retrain batch replayed after retrain double-applied")
     } finally {
       dropWarehouse(t)
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
