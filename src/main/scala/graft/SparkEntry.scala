@@ -4411,6 +4411,22 @@ object SparkEntry {
         Tables.embeddings(s, dir), queryIds = (0L until 10L).toSeq,
         k = 5)
     }),
+
+    // the vector family's DRIFT MONITOR as a first-class read (the
+    // retrain trigger): probe the surviving corpus against the
+    // retrained warehouse's WRITTEN model and emit one exact
+    // reconstruction-statistics row — count, mean squared PQ
+    // quantization error, mean squared distance to the assigned
+    // coarse centroid. DECIMAL partial sums keep the fold
+    // engine-exact, so the monitor itself is oracled
+    "q299_model_audit" -> ((s, dir) => {
+      val t = Stores.retrainedVectorWarehouse(s, dir)
+      graft.jobs.ServingWarehouse.vectorModelAudit(s, t,
+        graft.ops.Forget.rowErase(
+          Tables.embeddings(s, dir).select(col("vec_id"),
+            col("embedding")),
+          "vec_id", s.table(t.deletes)))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -9335,6 +9351,33 @@ object SparkEntry {
          |                                ORDER BY approx_dist, neighbor_id) AS rank
          |      FROM sc)
          |SELECT query_id, neighbor_id, approx_dist, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    // the drift monitor replayed from scratch: encode the surviving
+    // corpus at the retrained model and fold the reconstruction
+    // errors with exact DECIMAL sums — one double division at the end
+    "q299_model_audit" ->
+      s"""WITH ${duckPqBodyFor("vec_id NOT IN (11, 13)",
+                               "vec_id >= 4 AND vec_id < 8")},
+         |qe AS (SELECT cd.vec_id,
+         |              sum(round(list_sum(list_transform(generate_series(1, 8),
+         |                i -> (s.v[i] - c.c_vec[i]) * (s.v[i] - c.c_vec[i]))), 6)::DECIMAL(28,10)) AS sq
+         |       FROM codes cd
+         |       JOIN sv s ON cd.vec_id = s.vec_id AND cd.sub = s.sub
+         |       JOIN cb c ON cd.sub = c.sub AND cd.code = c.code
+         |       GROUP BY 1),
+         |cents AS (SELECT vec_id AS centroid_id, embedding AS c_vec
+         |          FROM e WHERE vec_id IN (0, 1)),
+         |cd2 AS (SELECT e.vec_id,
+         |               round(sqrt(list_sum(list_transform(generate_series(1, 64),
+         |                 i -> (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)
+         |                    * (e.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE)))), 6) AS dist
+         |        FROM e CROSS JOIN cents c),
+         |amin AS (SELECT vec_id, min(dist) AS dist FROM cd2 GROUP BY 1),
+         |j AS (SELECT qe.vec_id, qe.sq, amin.dist FROM qe JOIN amin USING (vec_id))
+         |SELECT count(*)::BIGINT AS n_probe,
+         |       round(sum(sq)::DOUBLE / count(*), 6) AS mse_quant,
+         |       round(sum(round(dist * dist, 6)::DECIMAL(28,10))::DOUBLE / count(*), 6) AS mse_coarse
+         |FROM j""".stripMargin,
 
     "q90_subword_count" ->
       s"""WITH RECURSIVE $duckSubwordBody

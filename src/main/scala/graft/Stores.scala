@@ -795,10 +795,16 @@ object Stores {
       // sibling is then the ONLY surviving copy. Leave it in place
       // and point at it; never make a failed maintenance job
       // unrecoverable.
+      // the raise carries the original location: a failed overwrite
+      // may have dropped the target's catalog entry, and recovery
+      // could no longer learn where an EXTERNAL store lived
       throw new IllegalStateException(
         s"Stores.compact: write-back over $table failed; the compacted "
           + s"data SURVIVES in $tmp — restore with "
-          + s"Stores.recoverCompacting(spark, \"$table\", ...)", e)
+          + s"Stores.recoverCompacting(spark, \"$table\", "
+          + s"Seq(${bucketCols.map("\"" + _ + "\"").mkString(", ")}), "
+          + s"$buckets, path = ${keepPath.map("Some(\"" + _ + "\")")
+            .getOrElse("None")})", e)
     }
     s.sql(s"DROP TABLE IF EXISTS $tmp")
   }

@@ -273,18 +273,30 @@ object ServingWarehouse {
         expr(s"transform(slice(embedding, CAST(sub * ${model.subDim} + 1"
           + s" AS INT), ${model.subDim}), x -> CAST(x AS DOUBLE))")
           .as("v"))
+    // DECIMAL partial sums (the q89 ADC convention): double addition
+    // is not associative, so the per-vector m-term fold and the
+    // probe-wide mean must be exact to stay engine- and
+    // partitioning-reproducible — this audit is oracled (q299)
     val qerr = graft.ops.Pq.encode(probe, "vec_id", "embedding", cbs,
         m = model.m, subDim = model.subDim)
       .join(sv, Seq("vec_id", "sub"))
       .join(broadcast(cbs), Seq("sub", "code"))
       .groupBy(col("vec_id"))
-      .agg(sum(expr("array_sqdiff(v, c_vec)")).as("sq"))
+      .agg(sum(expr(
+        "CAST(round(array_sqdiff(v, c_vec), 6) AS DECIMAL(28,10))"))
+        .as("sq"))
     val cerr = graft.ops.Similarity.assignWith(probe, "vec_id",
       "embedding", s.table(t.pqcoarse))
     qerr.join(cerr, Seq("vec_id"))
       .agg(count(lit(1)).as("n_probe"),
-        round(avg(col("sq")), 6).as("mse_quant"),
-        round(avg(col("dist") * col("dist")), 6).as("mse_coarse"))
+        sum(col("sq")).as("_sq"),
+        sum(expr("CAST(round(dist * dist, 6) AS DECIMAL(28,10))"))
+          .as("_cd"))
+      .select(col("n_probe"),
+        round(col("_sq").cast("double") / col("n_probe"), 6)
+          .as("mse_quant"),
+        round(col("_cd").cast("double") / col("n_probe"), 6)
+          .as("mse_coarse"))
   }
 
   /** RETRAIN the vector family — the store-generation bump the
@@ -410,9 +422,14 @@ object ServingWarehouse {
     *
     * `docs` is the request's (doc_id, text) rows AS INGESTED (the
     * content-addressed tombstone contract). `id` is the request's
-    * slice tag — use a NEGATIVE id: micro-batch ids are ≥ 0, and a
-    * collision would make the idempotence guard silently skip the
-    * erasure.
+    * slice tag — use a NEGATIVE id (micro-batch ids are ≥ 0), and
+    * NEVER REUSE one: the id is the request's idempotence key for its
+    * whole lifetime — a replay of the same request MUST carry the
+    * same id (skipped by the slice/watermark guard), and a NEW
+    * request must carry a fresh one (a reused id is indistinguishable
+    * from a replay and is silently skipped, even after compaction has
+    * folded the original tombstone away — the `_wm` sidecar remembers
+    * consumed ids forever).
     */
   def forgetApply(s: SparkSession, t: Tables, docs: DataFrame,
                   id: Long, buckets: Int): Unit = {

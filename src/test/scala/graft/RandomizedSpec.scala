@@ -760,6 +760,68 @@ class RandomizedSpec extends AnyFunSuite {
     }
   }
 
+  test("partial per-bin compaction is closed under ANY contiguous bin partition: compact-then-merge ≡ strict merge (seeded)") {
+    // the ADVICE-r19 scenario randomized: forget tombstones carry
+    // negative slice ids, the planner bins slices by ordered id, so a
+    // tombstone can bin APART from the ingest slices it cancels — the
+    // partial compact functions must preserve the negative partials
+    // so the read-time strict merge still cancels exactly, for EVERY
+    // possible contiguous partition the planner could emit
+    val rnd = new scala.util.Random(0xC20)
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox",
+      "gnu", "hen")
+    for (trial <- 1 to 8) {
+      val docs = (1L to 30L).map { id =>
+        (id, Seq.fill(1 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      val forget = docs.map(_._1).filter(_ => rnd.nextDouble() < 0.3)
+      val d = docs.toDF("doc_id", "text")
+        .withColumn("slice", pmod($"doc_id", lit(3)))
+      val fd = d.filter($"doc_id".isin(forget: _*))
+        .withColumn("slice", lit(-1L))
+      val slices = TextAnalysis.indexSlices(d, "doc_id", "text", "slice")
+        .unionByName(TextAnalysis.indexTombstones(fd, "doc_id", "text",
+          "slice"))
+      val csl = TextAnalysis.collocSlices(d, "text", "slice")
+        .unionByName(TextAnalysis.collocTombstones(fd, "text", "slice"))
+      val dsl = TextAnalysis.dictSlices(slices)
+      val ids = Seq(-1L, 0L, 1L, 2L)
+      // a random contiguous partition of the ordered ids — exactly
+      // the bin shapes Profile.compactionPlan can emit
+      val cuts = (1 until ids.size).filter(_ => rnd.nextBoolean())
+      val bins = (Seq(0) ++ cuts ++ Seq(ids.size)).distinct.sorted
+        .sliding(2).map { case Seq(a, b) => ids.slice(a, b) }.toSeq
+      def roundTrip[T](all: org.apache.spark.sql.DataFrame,
+                       compactFn: (org.apache.spark.sql.DataFrame, Long)
+                         => org.apache.spark.sql.DataFrame,
+                       merge: org.apache.spark.sql.DataFrame
+                         => org.apache.spark.sql.DataFrame)
+                      (implicit e: org.apache.spark.sql.Encoder[T]) = {
+        val compacted = bins.map(b =>
+            compactFn(all.filter($"slice".isin(b: _*)),
+              math.max(b.min, 0L)))
+          .reduce(_.unionByName(_))
+        (merge(compacted).as[T].collect().toSet,
+         merge(all).as[T].collect().toSet)
+      }
+      val (gi, wi) = roundTrip[(String, Long, Long)](slices,
+        TextAnalysis.indexCompactPartial, TextAnalysis.indexMergeSlices)
+      assert(gi === wi, s"trial $trial index bins=$bins")
+      val (gd, wd) = roundTrip[(String, Long, Long)](dsl,
+        TextAnalysis.dictCompactPartial, TextAnalysis.dictMergeSlices)
+      assert(gd === wd, s"trial $trial dict bins=$bins")
+      val (gc, wc) = roundTrip[(String, String, Long)](csl,
+        TextAnalysis.collocCompactPartial, TextAnalysis.collocMergeSlices)
+      assert(gc === wc, s"trial $trial colloc bins=$bins")
+      val (gn, wn) = roundTrip[(String, String, Long)](
+        TextAnalysis.delneighSlices(dsl),
+        TextAnalysis.delneighCompactPartial,
+        TextAnalysis.delneighMergeSlices)
+      assert(gn === wn, s"trial $trial delneigh bins=$bins")
+    }
+  }
+
   test("nearDupAgainstStore ≡ an independent band join on random corpora (seeded)") {
     val rnd = new scala.util.Random(0xBA2D)
     val words = Vector("sun", "sea", "sand", "salt", "moon", "star",
