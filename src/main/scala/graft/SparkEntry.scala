@@ -1645,7 +1645,12 @@ object SparkEntry {
         centroidIds = (0L until 8L).toSeq, semThreshold = 0.3,
         targetFilter = col("source") === "src0", budget = 1000000L,
         epochWeights = Map("src0" -> 4L, "src1" -> 2L),
-        bucketStore = Some(handoffPath), bucketTable = handoffTable)
+        bucketStore = Some(handoffPath), bucketTable = handoffTable,
+        // the bucket count is the per-scale knob (Bucketing scaladoc:
+        // size a bucket to an executor core's memory at target scale
+        // — thousands at 100 TB); at bench scale 8 keeps the
+        // hand-off's file count from dominating the write
+        bucketCount = 8)
       // the corpus half's stage caches fed the one bucketed write —
       // nothing reads them again
       cleanRaw.unpersist(false)
@@ -4427,6 +4432,23 @@ object SparkEntry {
             col("embedding")),
           "vec_id", s.table(t.deletes)))
     }),
+
+    // recall@5 of the retrained store's serving ADC read against
+    // exact cosine kNN over the SURVIVING corpus — the q108-shape
+    // recall audit pointed at the LIVE warehouse (the drift number an
+    // operator trends next to q299's reconstruction error; both are
+    // deterministic, so the recall itself is oracled)
+    "q300_retrain_recall" -> ((s, dir) => {
+      val t = Stores.retrainedVectorWarehouse(s, dir)
+      recallOf(
+        queries("q298_vector_retrain")(s, dir),
+        Similarity.cosineKnn(
+          graft.ops.Forget.rowErase(
+            Tables.embeddings(s, dir).select(col("vec_id"),
+              col("embedding")),
+            "vec_id", s.table(t.deletes)),
+          "vec_id", "embedding", (0L until 10L).toSeq, 5))
+    }),
   )
 
   /** Shared body of the distinct-count band audits (q110/q111/q114):
@@ -4455,13 +4477,10 @@ object SparkEntry {
     * coalesce change cannot silently diverge the two audits (the SQL
     * side shares q25KnnSql / q92IvfPqSql the same way).
     */
-  private def recallAudit(s: SparkSession, dir: String,
-                          approxName: String): DataFrame = {
-    val approx = queries(approxName)(s, dir)
-      .select(col("query_id"), col("neighbor_id"))
-    val bf = queries("q25_knn_bruteforce")(s, dir)
-      .select(col("query_id"), col("neighbor_id"))
-    val hits = approx.join(bf, Seq("query_id", "neighbor_id"), "left_semi")
+  private def recallOf(approx: DataFrame, bf0: DataFrame): DataFrame = {
+    val bf = bf0.select(col("query_id"), col("neighbor_id"))
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .join(bf, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
     bf.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
       .join(hits, Seq("query_id"), "left")
@@ -4469,6 +4488,11 @@ object SparkEntry {
         round(coalesce(col("hits"), lit(0L)).cast("double") /
           col("k").cast("double"), 6).as("recall_at_5"))
   }
+
+  private def recallAudit(s: SparkSession, dir: String,
+                          approxName: String): DataFrame =
+    recallOf(queries(approxName)(s, dir),
+      queries("q25_knn_bruteforce")(s, dir))
 
   /** Shared DuckDB CTE body: minhash band buckets over relation `rel`
     * (mirrors Dedup.minhashBands with numHashes=8, bandSize=2,
@@ -4524,12 +4548,17 @@ object SparkEntry {
 
 
   /** q25's DuckDB SQL, shared with the q87 recall audit. */
-  private val q25KnnSql: String =
-    """WITH e AS (
+  /** The cosine brute-force kNN chain, parameterized over the corpus
+    * filter (q300 ranks ground truth over the corpus MINUS the erased
+    * ids); the default instance ([[q25KnnSql]]) is the q25/q87/q108
+    * ground truth verbatim.
+    */
+  private def q25KnnSqlFor(surviving: String): String =
+    s"""WITH e AS (
       |  SELECT * FROM (
       |    SELECT vec_id, embedding,
       |           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS norm2
-      |    FROM embeddings)
+      |    FROM embeddings WHERE $surviving)
       |  WHERE norm2 > 0),
       |q AS (
       |  SELECT vec_id AS query_id, embedding AS q_emb, norm2 AS q_norm2
@@ -4546,6 +4575,8 @@ object SparkEntry {
       |                            ORDER BY score DESC, neighbor_id) AS rank
       |  FROM sc)
       |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5""".stripMargin
+
+  private val q25KnnSql: String = q25KnnSqlFor("TRUE")
 
   /** q78's DuckDB SQL (both Lloyd rounds unrolled into the probe/score
     * shape), shared with the q87 recall audit. */
@@ -4717,6 +4748,26 @@ object SparkEntry {
       |            FROM dd) WHERE rn = 1)""".stripMargin
 
   private val duckPqBody: String = duckPqBodyFor("TRUE", "vec_id < 4")
+
+  /** q298's DuckDB SQL (the retrained-store ADC ≡ one-shot rebuild at
+    * model B), shared with the q300 recall audit's nested CTE.
+    */
+  private lazy val q298RetrainSql: String =
+    s"""WITH ${duckPqBodyFor("vec_id NOT IN (11, 13)",
+                             "vec_id >= 4 AND vec_id < 8")},
+       |lut AS (SELECT s.vec_id AS query_id, s.sub, c.code,
+       |               round(list_sum(list_transform(generate_series(1, 8),
+       |                 i -> (s.v[i] - c.c_vec[i]) * (s.v[i] - c.c_vec[i]))), 6)::DECIMAL(28,10) AS pd
+       |        FROM sv s JOIN cb c ON s.sub = c.sub WHERE s.vec_id < 10),
+       |sc AS (SELECT l.query_id, cd.vec_id AS neighbor_id, sum(l.pd)::DOUBLE AS approx_dist
+       |       FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+       |       WHERE cd.vec_id <> l.query_id
+       |       GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, approx_dist,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY approx_dist, neighbor_id) AS rank
+       |      FROM sc)
+       |SELECT query_id, neighbor_id, approx_dist, rank FROM r WHERE rank <= 5""".stripMargin
 
   /** q98's DuckDB SQL (residual IVF-PQ end-to-end), shared with the
     * q109 recall audit's nested CTE. The d1r/a1r/m1r/cbr block is ONE
@@ -9335,22 +9386,22 @@ object SparkEntry {
     // train+encode+ADC chain as q89, re-parameterized to the retrain
     // state — corpus minus the erased ids {11, 13} (they shape
     // neither the new codebooks nor the code table), seeds 4–7
-    "q298_vector_retrain" ->
-      s"""WITH ${duckPqBodyFor("vec_id NOT IN (11, 13)",
-                               "vec_id >= 4 AND vec_id < 8")},
-         |lut AS (SELECT s.vec_id AS query_id, s.sub, c.code,
-         |               round(list_sum(list_transform(generate_series(1, 8),
-         |                 i -> (s.v[i] - c.c_vec[i]) * (s.v[i] - c.c_vec[i]))), 6)::DECIMAL(28,10) AS pd
-         |        FROM sv s JOIN cb c ON s.sub = c.sub WHERE s.vec_id < 10),
-         |sc AS (SELECT l.query_id, cd.vec_id AS neighbor_id, sum(l.pd)::DOUBLE AS approx_dist
-         |       FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
-         |       WHERE cd.vec_id <> l.query_id
-         |       GROUP BY 1, 2),
-         |r AS (SELECT query_id, neighbor_id, approx_dist,
-         |             row_number() OVER (PARTITION BY query_id
-         |                                ORDER BY approx_dist, neighbor_id) AS rank
-         |      FROM sc)
-         |SELECT query_id, neighbor_id, approx_dist, rank FROM r WHERE rank <= 5""".stripMargin,
+    "q298_vector_retrain" -> q298RetrainSql,
+
+    // recall@5 of the retrained store's serving ADC against exact
+    // cosine kNN over the SURVIVING corpus — the q108-shape audit
+    // pointed at the LIVE warehouse (the number an operator trends
+    // next to q299's reconstruction error)
+    "q300_retrain_recall" ->
+      s"""WITH adc AS ($q298RetrainSql),
+         |bf AS (${q25KnnSqlFor("vec_id NOT IN (11, 13)")}),
+         |hits AS (
+         |  SELECT query_id, count(*) AS h
+         |  FROM adc JOIN bf USING (query_id, neighbor_id) GROUP BY 1),
+         |kk AS (SELECT query_id, count(*) AS k FROM bf GROUP BY 1)
+         |SELECT kk.query_id,
+         |       round(coalesce(h, 0)::DOUBLE / k::DOUBLE, 6) AS recall_at_5
+         |FROM kk LEFT JOIN hits USING (query_id)""".stripMargin,
 
     // the drift monitor replayed from scratch: encode the surviving
     // corpus at the retrained model and fold the reconstruction

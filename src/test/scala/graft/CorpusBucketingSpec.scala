@@ -89,7 +89,7 @@ class CorpusBucketingSpec extends AnyFunSuite {
       val meta = spark.sessionState.catalog.getTableMetadata(handoff.head)
       val bs = meta.bucketSpec
       assert(bs.exists(b => b.bucketColumnNames == Seq("doc_id")
-          && b.numBuckets == 32),
+          && b.numBuckets == 8),
         s"hand-off table is not doc_id-bucketed: $bs")
     } finally {
       spark.sessionState.catalog
