@@ -625,6 +625,16 @@ object ServingWarehouse {
         .select(lit(ns).as("slice"), col("doc_id"), col("band_id"),
           col("band_hash")),
       Seq("band_hash"))
+    // the PQ code table is id-addressed like the bands: micro-batch
+    // slices fold by re-tagging survivors, erased vec_ids leave
+    // physically through the shared delete log (reads keep anti-
+    // joining it for erasures issued after the rewrite)
+    run(t.pq, Seq("vec_id", "sub"), "code",
+      (sl, ns) => graft.ops.Forget.rowErase(sl, "vec_id",
+          liveTable(s, t.deletes))
+        .select(lit(ns).as("slice"), col("vec_id"), col("centroid_id"),
+          col("sub"), col("code")),
+      Seq("centroid_id"))
   }
 
   /** The catalog's relation cache is SESSION-local and the ingest

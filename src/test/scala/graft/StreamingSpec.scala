@@ -1638,6 +1638,23 @@ class StreamingSpec extends AnyFunSuite {
       assert(readAnn() === expectedAnn(survivors))
       assert(readIvf() === expectedIvf(survivors))
       assert(!readAnn().exists(_._2 == 11L))
+      // nightly maintenance folds the code-table generations like the
+      // band family (id-addressed rows: re-tag survivors, the delete
+      // log drops erased vec_ids physically); reads identical
+      ServingWarehouse.compact(spark, t, targetRows = 1000000L,
+        buckets = 4)
+      assert(readAnn() === expectedAnn(survivors))
+      assert(readIvf() === expectedIvf(survivors))
+      assert(spark.table(t.pq).select($"slice").distinct().count() === 1L,
+        "pq code-table slices not folded by compaction")
+      assert(spark.table(t.pq).filter($"vec_id" === 11L).isEmpty,
+        "erased vec_id survived the compaction rewrite")
+      // a pre-compaction vector batch replayed AFTER the fold: the
+      // `_wm` sidecar must skip it (its slice tag is gone)
+      ServingWarehouse.ingestVecsBatch(
+        batch1.toDF("vec_id", "embedding"), id = 0L, t, buckets = 4)
+      assert(readAnn() === expectedAnn(survivors),
+        "pre-compaction vector batch replayed after the fold double-applied")
       // drift monitor: one reconstruction-statistics row off the
       // WRITTEN model — the retrain trigger an operator trends
       val audit = ServingWarehouse.vectorModelAudit(spark, t,
