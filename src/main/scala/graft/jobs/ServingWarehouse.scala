@@ -608,7 +608,8 @@ object ServingWarehouse {
         TextAnalysis.positionalApplyTombstones(sl,
           liveTable(s, t.deletes)), ns),
       Seq("token"))
-    run(t.edges, Seq("src", "dst"), "w", Graph.edgeCompact, Seq("src"))
+    run(t.edges, Seq("src", "dst"), "w", Graph.edgeCompactPartial,
+      Seq("src"))
     run(t.colloc, Seq("w1", "w2"), "c",
       TextAnalysis.collocCompactPartial, Seq("w1"))
     run(t.dict, Seq("token"), "d_cf",

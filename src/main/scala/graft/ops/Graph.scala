@@ -281,6 +281,21 @@ object Graph {
     edgeMerge(slices).select(lit(newSlice).as("slice"), col("src"),
       col("dst"), col("w"))
 
+  /** [[edgeCompact]] CLOSED UNDER RETRACTIONS (the
+    * [[graft.ops.TextAnalysis.indexCompactPartial]] posture for the
+    * edge family): a compaction plan may bin a retraction slice apart
+    * from the ingest slices it cancels — the strict [[edgeMerge]]
+    * would raise there, so the per-bin fold preserves negative
+    * partial weights as retraction rows (exact zeros drop) and the
+    * integrity raise stays at the read-time global merge. Exact by
+    * sum associativity.
+    */
+  def edgeCompactPartial(slices: DataFrame, newSlice: Long): DataFrame =
+    slices.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .filter(col("w") =!= 0)
+      .select(lit(newSlice).as("slice"), col("src"), col("dst"),
+        col("w"))
+
   def triangles(pairs: DataFrame, aCol: String, bCol: String,
                 checkpointDir: Option[String] = None): DataFrame =
     triangleCounts(Checkpoints.pin(undirectedEdges(pairs, aCol, bCol),

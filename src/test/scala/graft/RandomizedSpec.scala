@@ -819,6 +819,21 @@ class RandomizedSpec extends AnyFunSuite {
         TextAnalysis.delneighCompactPartial,
         TextAnalysis.delneighMergeSlices)
       assert(gn === wn, s"trial $trial delneigh bins=$bins")
+      // the edge family's exposure is the same shape with RETRACTIONS
+      // in place of tombstones (negative w rows in their own slice)
+      val pairs = (1 to 120).map(_ =>
+        ((rnd.nextInt(6) + 1).toLong, (rnd.nextInt(6) + 1).toLong))
+      val epos = graft.ops.Graph.edgeSlices(
+        pairs.zipWithIndex.map { case ((a, b), i) => (a, b, (i % 3).toLong) }
+          .toDF("src", "dst", "slice"),
+        "src", "dst", "slice")
+      val eneg = pairs.distinct.filter(_ => rnd.nextDouble() < 0.3)
+        .map { case (a, b) => (-1L, a, b, -1L) }
+        .toDF("slice", "src", "dst", "w")
+      val (ge, we) = roundTrip[(Long, Long, Long)](
+        epos.unionByName(eneg),
+        graft.ops.Graph.edgeCompactPartial, graft.ops.Graph.edgeMerge)
+      assert(ge === we, s"trial $trial edges bins=$bins")
     }
   }
 
