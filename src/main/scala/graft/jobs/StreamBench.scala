@@ -55,7 +55,8 @@ object StreamBench {
   private val MutatedConfs = Seq(
     "spark.sql.legacy.parquet.nanosAsLong",
     "spark.sql.streaming.numRecentProgressUpdates",
-    "spark.sql.streaming.stateStore.providerClass")
+    "spark.sql.streaming.stateStore.providerClass",
+    "spark.sql.shuffle.partitions")
 
   def measure(spark: SparkSession, dir: String, replicas: Int): Result = {
     val saved = MutatedConfs.map(k => k -> spark.conf.getOption(k))
@@ -74,6 +75,18 @@ object StreamBench {
     // this many batches — keep it above any replica count so early
     // drops can never age out of the audit
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
+    // state partition sizing: a streaming query's state shuffle count
+    // is fixed at its first micro-batch, and every micro-batch pays a
+    // per-partition commit (store snapshot + progress) regardless of
+    // rows — at local[32] with a 1M-event run, 32 partitions spend
+    // more wall on store commits than on rows (measured 10.5 s vs
+    // 5 s). Size state partitions to the STATE, not the core count
+    // (the real-deployment rule: enough partitions that one fits an
+    // executor's memory at target state size); override with
+    // SPARK_GRAFT_STREAM_STATE_PARTITIONS for a cluster-sized run.
+    sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+      .orElse(Some("8"))
+      .foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
 
     // replicate the file REPLICAS times with each copy's timestamps
     // shifted past the previous copy's end, so per-query startup
@@ -102,14 +115,41 @@ object StreamBench {
       .parquet(streamDir.toString + "/chunk-*")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
-    val fails = StatefulOps.consecutiveFails(
-      src.select($"user_id".as("key"), $"ts", $"event_type".as("eventType"),
-          $"event_id".as("id"))
-        .withWatermark("ts", "0 seconds").as[KeyedEvent],
-      "error", 2 * 3600 * 1000L)
+    def failsOver(in: org.apache.spark.sql.DataFrame) =
+      StatefulOps.consecutiveFails(
+        in.select($"user_id".as("key"), $"ts", $"event_type".as("eventType"),
+            $"event_id".as("id"))
+          .withWatermark("ts", "0 seconds").as[KeyedEvent],
+        "error", 2 * 3600 * 1000L)
+    val fails = failsOver(src)
+
+    // warmup (the graft.Bench rule applied to streaming): one untimed
+    // pass over the first chunk exercises codegen compilation, state
+    // store classloading, and parquet footer reading, so the first
+    // TIMED run measures the engine — without it the first provider
+    // measured pays ~2 s of JVM warmup the second doesn't, skewing
+    // the default-vs-RocksDB comparison
+    val warmQ = failsOver(
+        spark.readStream.schema(eventsSchema)
+          .option("maxFilesPerTrigger", "2")
+          .parquet(streamDir.resolve("chunk-0").toString)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      .writeStream.outputMode("append").format("noop").start()
+    warmQ.processAllAvailable()
+    warmQ.stop()
 
     def droppedByWatermark(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
       q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+
+    // best-of-N (the graft.Bench batch rule): single-shot streaming
+    // walls on a shared box see multi-second GC/scheduler spikes; the
+    // minimum is the steady-state rate the baseline comparison wants.
+    // Each attempt's own watermark-drop count rides with its wall so
+    // the chosen attempt's rate subtracts its own drops.
+    val streamReps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "2").toInt)
+    def bestOf(run: () => (Double, Long)): (Double, Long) =
+      (1 to streamReps).map(_ => run()).minBy(_._1)
 
     // run the keyed-stateful pipeline under both state-store backends
     val providerConf = "spark.sql.streaming.stateStore.providerClass"
@@ -125,20 +165,36 @@ object StreamBench {
       q.stop()
       ((System.nanoTime() - t) / 1e9, d)
     }
-    val (statefulSec, dropped1) = runStateful(None)
-    val (rocksSec, droppedR) = runStateful(Some(
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    val (statefulSec, dropped1) = bestOf(() => runStateful(None))
+    val (rocksSec, droppedR) = bestOf(() => runStateful(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")))
     spark.conf.unset(providerConf)
 
-    val t1 = System.nanoTime()
-    val q2 = graft.ops.WindowedAgg.slidingCount(
-        src.withWatermark("ts", "5 seconds"), "ts", "1 hour", "5 minutes",
-        Seq("event_type"))
+    // same warmup discipline for the windowed operator (its codegen
+    // and state format differ from the keyed-stateful pipeline's)
+    val warmW = graft.ops.WindowedAgg.slidingCount(
+        spark.readStream.schema(eventsSchema)
+          .option("maxFilesPerTrigger", "2")
+          .parquet(streamDir.resolve("chunk-0").toString)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withWatermark("ts", "5 seconds"),
+        "ts", "1 hour", "5 minutes", Seq("event_type"))
       .writeStream.outputMode("append").format("noop").start()
-    q2.processAllAvailable()
-    val dropped2 = droppedByWatermark(q2)
-    q2.stop()
-    val windowSec = (System.nanoTime() - t1) / 1e9
+    warmW.processAllAvailable()
+    warmW.stop()
+
+    def runWindowed(): (Double, Long) = {
+      val t1 = System.nanoTime()
+      val q2 = graft.ops.WindowedAgg.slidingCount(
+          src.withWatermark("ts", "5 seconds"), "ts", "1 hour", "5 minutes",
+          Seq("event_type"))
+        .writeStream.outputMode("append").format("noop").start()
+      q2.processAllAvailable()
+      val d = droppedByWatermark(q2)
+      q2.stop()
+      ((System.nanoTime() - t1) / 1e9, d)
+    }
+    val (windowSec, dropped2) = bestOf(() => runWindowed())
 
     org.apache.commons.io.FileUtils.deleteQuietly(streamDir.toFile)
     Result(n, statefulSec, rocksSec, windowSec, dropped1, droppedR, dropped2)
