@@ -262,6 +262,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "rank<=k should pre-prune below the shuffle")
   }
 
+  test("q298: the retrained store's serving ADC keeps the q89 shape — broadcast LUT, no cartesian, one rank Window") {
+    // the read half of the retrain lifecycle serves from the WRITTEN
+    // code table exactly like q89: a store rewrite must never demote
+    // the broadcast LUT join into a sort-merge/cartesian over m×k*
+    // partial distances
+    val p = plan("q298_vector_retrain")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert("""(?m)^\(\d+\) Window\s*$""".r.findAllIn(p).size <= 1,
+      "only the rank<=k Window operator is allowed; the m-term sums are hash aggregates")
+    assert(p.contains("WindowGroupLimit"), "rank<=k should pre-prune below the shuffle")
+  }
+
   test("q118: frozen gate joins the dimension-sized cuts broadcast; text never shuffles") {
     // the scoring side is a pure projection over the scan; the cuts
     // side aggregates to one row per domain and joins back BROADCAST
