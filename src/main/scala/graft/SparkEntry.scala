@@ -1637,7 +1637,19 @@ object SparkEntry {
       // sum of parts) PLUS zero corpus-side Exchange in the selection
       // gates, and it exercises the store-shaped hand-off a 100 TB
       // deployment would actually persist between the two jobs
-      val handoffTable = s"graft_fullstack_corpus_${graft.Stores.key(dir)}"
+      // DELIBERATELY nonce-free (unlike Stores.key): the hand-off is
+      // a transient artifact overwritten on every run — a per-process
+      // nonce would strand one full corpus copy in tmpdir per JVM.
+      // One stable location per source dir keeps the leak bounded at
+      // one copy, which the next run overwrites.
+      val handoffTable = "graft_fullstack_corpus_" + {
+        val p = java.nio.file.Paths.get(dir)
+        val canon =
+          try p.toRealPath().toString
+          catch { case _: Exception => p.normalize().toString }
+        canon.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+          .replaceAll("^_+|_+$", "")
+      }
       val handoffPath = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), handoffTable).toString
       val (kept, selCounts, alloc) = graft.jobs.SelectionPipeline.run(

@@ -726,12 +726,18 @@ object Stores {
     *      now exists in folded form whichever way the swap goes, so
     *      an ingest replay guard reading the sidecar can never skip a
     *      batch that did not land.
-    *   3. the sibling is written back over the original. `saveAsTable`
+    *   3. the target's generations are RE-LISTED: a writer may have
+    *      appended a new slice since the write-aside scan, and the
+    *      overwrite would silently discard it with nothing ever
+    *      replaying it — new ids abort the swap loudly (target
+    *      untouched, sibling dropped, a re-run re-plans and
+    *      converges).
+    *   4. the sibling is written back over the original. `saveAsTable`
     *      overwrite drops the target before writing, so a failure HERE
     *      leaves the sibling as the only surviving copy — it is kept,
     *      and the raise names it; [[recoverCompacting]] (or a re-run
     *      once the target is restored) completes the swap.
-    *   4. on success only, the sibling is dropped.
+    *   5. on success only, the sibling is dropped.
     *
     * At 100 TB the second write is a metastore swap of the rewritten
     * files; the in-memory catalog here has no transactional rename,
@@ -760,12 +766,15 @@ object Stores {
     val src = s.table(table)
     val inBin = bins.map { case (lo, hi) =>
       col("slice") >= lo && col("slice") <= hi }.reduce(_ || _)
-    // the EXACT ids being folded (manifest-scale: one value per landed
-    // generation) — recorded in the watermark sidecar so the ingest
-    // replay guard still recognizes them after the rewrite re-tags
-    // every bin to its low generation id
-    val folded = src.filter(inBin).select(col("slice").cast("long"))
-      .distinct().collect().map(_.getLong(0))
+    // ONE narrow-column listing of the generations at SNAPSHOT time:
+    // the in-bin subset feeds the watermark sidecar (the ingest
+    // replay guard must still recognize folded ids after the rewrite
+    // re-tags them), and the full set is the baseline the pre-swap
+    // concurrent-append check compares against
+    val snapshotIds = src.select(col("slice").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val folded = snapshotIds.toSeq.filter(id =>
+      bins.exists { case (lo, hi) => id >= lo && id <= hi })
     // re-tag each bin with its low generation id CLAMPED to >= 0: a
     // negative id is a forget-request tag (ServingWarehouse contract),
     // and letting one survive as a LIVE slice tag would make a future
@@ -784,6 +793,28 @@ object Stores {
       sortCols = bucketCols)
     catch { case e: Throwable =>
       s.sql(s"DROP TABLE IF EXISTS $tmp"); throw e
+    }
+    compactPostAsideHook(s)
+    // a writer may have appended a NEW generation between the
+    // write-aside scan and this swap — the overwrite would silently
+    // discard it, and the writer's checkpoint has already committed
+    // its offset, so nothing would ever replay it (permanent loss).
+    // Abort LOUDLY instead: the target is untouched, the sibling
+    // stays, and a re-run re-plans over the grown table and
+    // converges. The residual window between this re-list and the
+    // overwrite is what a metastore's transactional swap closes at a
+    // real deployment; here it shrinks to milliseconds.
+    s.catalog.refreshTable(table)
+    val newIds = s.table(table).select(col("slice").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet -- snapshotIds
+    if (newIds.nonEmpty) {
+      // the target is fully intact, so the stale sibling is redundant
+      s.sql(s"DROP TABLE IF EXISTS $tmp")
+      throw new IllegalStateException(
+        s"Stores.compact: generation(s) ${newIds.toSeq.sorted.mkString(", ")} "
+          + s"landed in $table after the write-aside scan — swapping "
+          + "would silently discard them. Target untouched; re-run "
+          + "compact (it re-plans over the grown table and converges)")
     }
     recordFolded(s, table, folded)
     try {
@@ -816,17 +847,31 @@ object Stores {
     */
   private[graft] var compactSwapHook: SparkSession => Unit = _ => ()
 
-  /** Complete an interrupted [[compact]] swap from the surviving
-    * `_compacting` sibling: re-run the write-back and drop the
-    * sibling. Call when a compaction failed AFTER its write-aside
-    * (the raise names this function); the sibling holds the full
-    * post-compaction row set, so recovery is one bucketed write —
-    * idempotent, converging, no re-merge.
+  /** Test seam for the concurrent-append abort pin: runs right after
+    * the write-aside, BEFORE the generation re-list (CompactionSpec
+    * appends a new slice here to stand in for a live writer racing
+    * the swap). Production value is a no-op.
+    */
+  private[graft] var compactPostAsideHook: SparkSession => Unit = _ => ()
+
+  /** Complete an interrupted write-aside + swap from the surviving
+    * sibling table: re-run the write-back and drop the sibling. Call
+    * when a maintenance rewrite failed AFTER its write-aside (the
+    * raise names this function); the sibling holds the full
+    * post-rewrite row set, so recovery is one bucketed write —
+    * idempotent, converging, no re-merge. `from` overrides the
+    * sibling name for rewrites that use a different suffix
+    * ([[graft.jobs.ServingWarehouse.retrain]]'s `_retraining`);
+    * default is [[compact]]'s `_compacting`. Run it BEFORE resuming
+    * any ingest: the write-back is the sibling's snapshot, so a slice
+    * appended to the target after the original write-aside is not in
+    * it (recovery cannot re-check what a half-dropped target held).
     */
   def recoverCompacting(s: SparkSession, table: String,
                         bucketCols: Seq[String], buckets: Int,
-                        path: Option[String] = None): Unit = {
-    val tmp = table + "_compacting"
+                        path: Option[String] = None,
+                        from: Option[String] = None): Unit = {
+    val tmp = from.getOrElse(table + "_compacting")
     require(s.catalog.tableExists(tmp),
       s"recoverCompacting: no surviving $tmp — nothing to restore")
     Bucketing.writeBucketed(s.table(tmp), table, bucketCols, buckets,

@@ -320,7 +320,19 @@ object ServingWarehouse {
     *   3. the model tables and the code table swap to the new
     *      artifacts (external locations preserved — the compaction
     *      lesson); a failure mid-swap leaves the sibling in place and
-    *      the raise names it.
+    *      the raise names it. The swap is three table writes, so a
+    *      failure BETWEEN them leaves model and codes from different
+    *      generations — reads in that window are inconsistent (ADC
+    *      against mismatched codebooks ranks garbage, and `readModel`
+    *      cannot detect it when m/subDim agree). RECOVERY IS A
+    *      RE-RUN: retrain recomputes everything from `trainVecs` /
+    *      `rawVecs` and the delete log, so running it again converges
+    *      from any failure point (or restore just the code table from
+    *      the sibling via `Stores.recoverCompacting(..., from =
+    *      Some(tmp))` when the model tables already swapped). Serve
+    *      reads from a quiescent point across the swap — at a real
+    *      metastore the three writes become one versioned-table
+    *      transaction.
     *
     * The delete log itself STAYS: erasures issued before the retrain
     * are physically absent from the rewritten store (and from the new
@@ -355,7 +367,16 @@ object ServingWarehouse {
         Some(meta.location.toString)
       else None
     }
-    // 1. write-aside the re-encoded code table at the new model
+    // 1. write-aside the re-encoded code table at the new model. The
+    //    generation listing is taken FIRST: it is both the watermark
+    //    record and the baseline for the pre-swap concurrent-append
+    //    check (the Stores.compact discipline)
+    def pqIds(): Set[Long] = {
+      s.catalog.refreshTable(t.pq)
+      s.table(t.pq).select(col("slice").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+    }
+    val snapshotIds = pqIds()
     val tmp = t.pq + "_retraining"
     try graft.ops.Bucketing.writeBucketed(
       graft.ops.Pq.codeRows(live, "vec_id", "embedding", cbs, coarse,
@@ -365,14 +386,26 @@ object ServingWarehouse {
     catch { case e: Throwable =>
       s.sql(s"DROP TABLE IF EXISTS $tmp"); throw e
     }
+    // a vector batch that landed AFTER the re-encode materialized is
+    // NOT inside the sibling — swapping would silently discard it
+    // (its checkpoint offset is committed; nothing replays). Abort
+    // loudly; everything is intact and a re-run converges.
+    val appended = pqIds() -- snapshotIds
+    if (appended.nonEmpty) {
+      s.sql(s"DROP TABLE IF EXISTS $tmp")
+      throw new IllegalStateException(
+        s"ServingWarehouse.retrain: generation(s) "
+          + s"${appended.toSeq.sorted.mkString(", ")} landed in ${t.pq} "
+          + "during the re-encode — swapping would silently discard "
+          + "them. Nothing was changed; stop the ingest (or re-run at "
+          + "a quieter moment) and retrain again")
+    }
     // 2. watermark the superseded generations (their vectors are in
     //    the re-encode whichever way the swap goes)
-    s.catalog.refreshTable(t.pq)
-    graft.Stores.recordFolded(s, t.pq,
-      s.table(t.pq).select(col("slice").cast("long")).distinct()
-        .collect().map(_.getLong(0)).toIndexedSeq)
+    graft.Stores.recordFolded(s, t.pq, snapshotIds.toIndexedSeq)
     // 3. swap: model tables first (small), then the code table from
-    //    the sibling
+    //    the sibling. Locations resolve BEFORE any entry is dropped.
+    val pqLoc = keepLoc(t.pq)
     try {
       def w(df: DataFrame, table: String): Unit = {
         val wr = df.write.mode("overwrite").format("parquet")
@@ -383,13 +416,20 @@ object ServingWarehouse {
       w(coarse, t.pqcoarse)
       graft.ops.Bucketing.writeBucketed(s.table(tmp), t.pq,
         Seq("centroid_id"), buckets, sortCols = Seq("centroid_id"),
-        path = keepLoc(t.pq))
+        path = pqLoc)
     } catch { case e: Throwable =>
+      val loc = pqLoc
       throw new IllegalStateException(
-        s"ServingWarehouse.retrain: swap over ${t.pq} failed; the "
-          + s"re-encoded codes SURVIVE in $tmp — restore with "
-          + s"Stores.recoverCompacting(spark, \"${t.pq}\", "
-          + "Seq(\"centroid_id\"), ...)", e)
+        s"ServingWarehouse.retrain: swap failed mid-way — model tables "
+          + s"(${t.pqcb}, ${t.pqcoarse}) and code table (${t.pq}) may "
+          + "now be from DIFFERENT generations; do not serve reads. "
+          + "RE-RUN retrain to converge (it recomputes everything from "
+          + s"its inputs and the delete log); the re-encoded codes "
+          + s"also SURVIVE in $tmp — Stores.recoverCompacting(spark, "
+          + s"\"${t.pq}\", Seq(\"centroid_id\"), $buckets, "
+          + s"path = ${loc.map("Some(\"" + _ + "\")").getOrElse("None")}, "
+          + s"from = Some(\"$tmp\")) restores just "
+          + "the code table when the model tables already swapped", e)
     }
     s.sql(s"DROP TABLE IF EXISTS $tmp")
     s.catalog.refreshTable(t.pq)
@@ -566,14 +606,17 @@ object ServingWarehouse {
     * contract; the log stays, the anti-join is a no-op afterwards).
     * Reads are identical before and after (every family's merge is
     * associative — the StreamingSpec pin), only the file manifest
-    * shrinks. Safe to run WITHOUT quiescing the ingest contractually:
-    * [[graft.Stores.compact]] records every folded slice id in the
-    * family's `_wm` sidecar, so a batch replayed across the
-    * compaction boundary is still skipped by [[ingestOnce]]; the
-    * content-tombstone families fold through the PARTIAL merges, so
-    * a plan bin that separates a forget tombstone from its matching
-    * ingest compacts cleanly (the integrity raise stays at read
-    * time).
+    * shrinks. Overlap with a live ingest is SAFE in both directions,
+    * by different mechanisms: a batch REPLAYED across the compaction
+    * boundary is skipped via the `_wm` watermark sidecar
+    * ([[graft.Stores.compact]] records every folded id;
+    * [[ingestOnce]] consults it), and a NEW batch that lands during
+    * the swap window makes the compaction ABORT loudly (target
+    * untouched, re-run converges) instead of being silently
+    * overwritten away. The content-tombstone families fold through
+    * the PARTIAL merges, so a plan bin that separates a forget
+    * tombstone from its matching ingest compacts cleanly (the
+    * integrity raise stays at read time).
     */
   def compact(s: SparkSession, t: Tables, targetRows: Long,
               buckets: Int): Unit = {

@@ -84,9 +84,8 @@ object StreamBench {
     // (the real-deployment rule: enough partitions that one fits an
     // executor's memory at target state size); override with
     // SPARK_GRAFT_STREAM_STATE_PARTITIONS for a cluster-sized run.
-    sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
-      .orElse(Some("8"))
-      .foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
 
     // replicate the file REPLICAS times with each copy's timestamps
     // shifted past the previous copy's end, so per-query startup
@@ -124,19 +123,30 @@ object StreamBench {
     val fails = failsOver(src)
 
     // warmup (the graft.Bench rule applied to streaming): one untimed
-    // pass over the first chunk exercises codegen compilation, state
-    // store classloading, and parquet footer reading, so the first
-    // TIMED run measures the engine — without it the first provider
-    // measured pays ~2 s of JVM warmup the second doesn't, skewing
-    // the default-vs-RocksDB comparison
-    val warmQ = failsOver(
-        spark.readStream.schema(eventsSchema)
-          .option("maxFilesPerTrigger", "2")
-          .parquet(streamDir.resolve("chunk-0").toString)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
-      .writeStream.outputMode("append").format("noop").start()
-    warmQ.processAllAvailable()
-    warmQ.stop()
+    // pass over the first chunk PER PROVIDER exercises codegen
+    // compilation, state-store classloading (incl. RocksDB's native
+    // library), and parquet footer reading, so every TIMED run
+    // measures the engine — without it the first attempt of each
+    // provider pays JVM warmup the other doesn't, skewing the
+    // default-vs-RocksDB comparison (visible at STREAM_REPS=1, where
+    // no best-of minimum hides it)
+    val warmConf = "spark.sql.streaming.stateStore.providerClass"
+    for (provider <- Seq(None, Some("org.apache.spark.sql.execution."
+        + "streaming.state.RocksDBStateStoreProvider"))) {
+      provider match {
+        case Some(p) => spark.conf.set(warmConf, p)
+        case None    => spark.conf.unset(warmConf)
+      }
+      val warmQ = failsOver(
+          spark.readStream.schema(eventsSchema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(streamDir.resolve("chunk-0").toString)
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+        .writeStream.outputMode("append").format("noop").start()
+      warmQ.processAllAvailable()
+      warmQ.stop()
+    }
+    spark.conf.unset(warmConf)
 
     def droppedByWatermark(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
       q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum

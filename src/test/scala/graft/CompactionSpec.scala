@@ -255,6 +255,58 @@ class CompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("compact aborts when a writer lands a NEW generation during the swap window — nothing lost, re-run converges") {
+    val t = "graft_cmp_race"
+    try {
+      TextAnalysis.writeIndexStore(
+        TextAnalysis.indexSlices(
+          corpus.withColumn("slice", $"doc_id"), "doc_id", "text",
+          "slice"),
+        t, buckets = 4)
+      val lateDoc = Seq((99L, "b c a")).toDF("doc_id", "text")
+        .withColumn("slice", lit(99L))
+      // a live writer races the swap: its batch lands after the
+      // write-aside scan — the blind overwrite would discard it with
+      // nothing ever replaying it (the writer's offset is committed)
+      Stores.compactPostAsideHook = sp =>
+        graft.ops.Bucketing.appendBucketed(
+          TextAnalysis.indexSlices(lateDoc, "doc_id", "text", "slice"),
+          t, Seq("token"), buckets = 4, sortCols = Seq("token"))
+      val ex = intercept[IllegalStateException] {
+        Stores.compact(spark, t,
+          planFor(spark.table(t), Seq("token", "doc_id"), "tf", 6L),
+          TextAnalysis.indexCompact, Seq("token"), buckets = 4)
+      }
+      Stores.compactPostAsideHook = _ => ()
+      assert(ex.getMessage.contains("99")
+        && ex.getMessage.contains("landed"))
+      // nothing was lost or changed: all 9 generations live, the
+      // stale sibling is gone, and no folded id was recorded (the
+      // abort happened before the watermark write)
+      spark.catalog.refreshTable(t)
+      assert(spark.table(t).select($"slice").distinct().count() === 9L)
+      assert(!spark.catalog.tableExists(s"${t}_compacting"))
+      assert(Stores.foldedSlices(spark, t) === Set.empty[Long])
+      val expect = TextAnalysis.indexMergeSlices(spark.table(t))
+        .as[(String, Long, Long)].collect().toSet
+      // a plain re-run re-plans over the grown table and converges,
+      // folding the racing batch too
+      Stores.compact(spark, t,
+        planFor(spark.table(t), Seq("token", "doc_id"), "tf", 1000000L),
+        TextAnalysis.indexCompact, Seq("token"), buckets = 4)
+      spark.catalog.refreshTable(t)
+      assert(TextAnalysis.indexMergeSlices(spark.table(t))
+        .as[(String, Long, Long)].collect().toSet === expect)
+      assert(spark.table(t).select($"slice").distinct().count() === 1L)
+      assert(Stores.foldedSlices(spark, t) === ((1L to 8L).toSet + 99L))
+    } finally {
+      Stores.compactPostAsideHook = _ => ()
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_compacting")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_wm")
+    }
+  }
+
   test("edge-family compact under a partial plan: unplanned slices ride along unchanged") {
     val t = "graft_cmp_edges"
     try {
