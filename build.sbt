@@ -14,6 +14,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print machine-read JSON lines; sbt's default
+// LoggedOutput prefixes every forked-process line with "[info] ", which
+// breaks a parser that expects the line to start with '{'. Inherit the
+// parent stdout instead — lines pass through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

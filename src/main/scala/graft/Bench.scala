@@ -34,10 +34,14 @@ object Bench {
     // near-zero "fast pass".
     def run(name: String, dir: String): Option[Throwable] =
       try {
+        // label the jobs (guide §1.5) so a UI/event-log reading of a
+        // bench run maps stages back to queries
+        spark.sparkContext.setJobDescription(s"bench: $name @ $dir")
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         None
       } catch { case t: Throwable => Some(t) }
+      finally spark.sparkContext.setJobDescription(null)
 
     // cache hygiene (r12 verdict): pipeline entries deliberately leave
     // survivor frames cached, so a 150-query session otherwise
@@ -60,8 +64,28 @@ object Bench {
     val shortNames = names.map(short)
     require(shortNames.distinct.size == shortNames.size,
       "qNN prefixes must stay unique for the bench line")
-    // warmup: full pass at the small scale factor
+    // warmup: full pass at the small scale factor (codegen compilation,
+    // classloading, a cheap preflight that catches a crashing query in
+    // milliseconds of data instead of minutes)
     names.foreach { n => run(n, warmDir); clean() }
+
+    // steady-state warmup at the BENCH scale (r20 verdict item 1 — the
+    // streaming bench's per-operator warmup discipline applied to
+    // batch): serving stores are memoized per JVM and built lazily by
+    // the first query that touches them, so without this pass the cold
+    // first-touch build (an ingest-time cost by design — stores are
+    // built once per slice ever at a deployment) lands INSIDE some
+    // query's timed window (r20: q93 read 24.2 s in the driver bench vs
+    // 6.1 s steady state). One untimed pass per query at sfDir builds
+    // every store/footer/JIT artifact from THIS invocation's parquet
+    // inputs (store tables carry a per-process nonce — nothing can be
+    // reused across runs), so the timed reps below measure the query,
+    // not the warehouse bootstrap. The pass's own wall is reported as
+    // `warm_sf_sec` so the store-build cost stays visible as its own
+    // line item instead of polluting an arbitrary query's number.
+    val tWarm = System.nanoTime()
+    names.foreach { n => run(n, sfDir); clean() }
+    val warmSfSec = (System.nanoTime() - tWarm) / 1e9
 
     // best-of-N: single-shot timings on a shared box see multi-second
     // GC/scheduler spikes; the minimum is the steady-state number the
@@ -119,7 +143,7 @@ object Bench {
         s""","streaming_error":"$msg""""
     }
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs$errField$streamField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"warm_sf_sec":${fmt(warmSfSec)},"queries":$qs$errField$streamField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

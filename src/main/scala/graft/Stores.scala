@@ -893,12 +893,60 @@ object Stores {
     */
   def foldedSlices(s: SparkSession, table: String): Set[Long] = {
     val wm = table + "_wm"
-    if (!s.catalog.tableExists(wm)) Set.empty
-    else {
-      s.catalog.refreshTable(wm)
-      s.table(wm).select(col("slice").cast("long"))
-        .distinct().collect().map(_.getLong(0)).toSet
-    }
+    if (!s.catalog.tableExists(wm)) return Set.empty
+    // Memoized per process (r20 verdict item 4): ingestOnce consults
+    // this on EVERY family of EVERY micro-batch, and the unmemoized
+    // read was a refreshTable + parquet scan + collect — ~10 extra
+    // Spark jobs per micro-batch at 10 families. The memo is keyed by
+    // the sidecar table name and validated against a filesystem
+    // fingerprint of the sidecar's files (count:bytes:maxMtime — one
+    // local stat walk, no Spark job), so an append from ANY path —
+    // this process's recordFolded (which also invalidates directly),
+    // another session sharing the warehouse dir, or an out-of-band
+    // restore — is picked up on the next call. Manifest-scale data
+    // (one long per generation ever folded), so holding the set on
+    // the heap is free.
+    val fp = sidecarFingerprint(s, wm)
+    val cached = foldedMemo.get(wm)
+    if (cached != null && cached._1 == fp) return cached._2
+    s.catalog.refreshTable(wm)
+    val ids = s.table(wm).select(col("slice").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    // re-fingerprint AFTER the read: a writer racing the scan must
+    // invalidate, not be masked by the pre-read stamp
+    foldedMemo.put(wm, (sidecarFingerprint(s, wm), ids))
+    ids
+  }
+
+  /** Memo for [[foldedSlices]]: sidecar table → (file fingerprint at
+    * read time, folded-id set). Invalidated by [[recordFolded]] and by
+    * any fingerprint mismatch.
+    */
+  private val foldedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Set[Long])]()
+
+  /** Cheap file-level fingerprint of a sidecar table's location —
+    * count:bytes:maxMtime over its files, "absent" when the location
+    * does not exist. One local filesystem walk, never a Spark job.
+    */
+  private def sidecarFingerprint(s: SparkSession, wm: String): String = {
+    try {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(wm)).location)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(loc)) "absent"
+      else {
+        val it = fs.listFiles(loc, true)
+        var n = 0L; var bytes = 0L; var maxM = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          n += 1; bytes += f.getLen
+          maxM = math.max(maxM, f.getModificationTime)
+        }
+        s"$n:$bytes:$maxM"
+      }
+    } catch { case _: Exception => "unknown:" + System.nanoTime() }
   }
 
   /** Append folded generation ids to a table's watermark sidecar —
@@ -917,6 +965,9 @@ object Stores {
         org.apache.spark.sql.types.StructField("slice",
           org.apache.spark.sql.types.LongType, nullable = false))))
     df.write.mode("append").format("parquet").saveAsTable(wm)
+    // direct invalidation besides the fingerprint check: the append
+    // above may land within the fingerprint's mtime granularity
+    foldedMemo.remove(wm)
   }
 
   def edges(s: SparkSession, dir: String): DataFrame = {

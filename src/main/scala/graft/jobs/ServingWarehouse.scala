@@ -174,15 +174,74 @@ object ServingWarehouse {
     * 100 TB variant keeps a doc_id-bucketed (slice, doc_id) sidecar
     * so the probe is bucket-pruned instead of a column scan.
     */
+  /** The one-slice-per-doc guard's doc-id SIDECAR beside the index
+    * store: doc_id-bucketed (slice, doc_id) rows, one per document per
+    * ingest batch — so the per-batch duplicate probe reads a
+    * doc-count-scale table with BUCKET PRUNING on the batch's ids
+    * (SelectedBucketsCount in the plan) instead of scanning the index
+    * store's posting-scale id columns every micro-batch (r20 verdict
+    * item 3; the scaladoc's promised 100 TB variant). Maintained
+    * through the same [[ingestOnce]] replay guard as the data
+    * families; created lazily with a one-time backfill from the index
+    * store, so a warehouse that predates the sidecar upgrades itself
+    * on its next ingest batch.
+    */
+  private[graft] def docIdsSidecar(t: Tables): String = t.index + "_ids"
+
+  /** The duplicate-doc probe over the sidecar, exposed for the plan
+    * pin: batch ids arrive as LITERALS (micro-batch scale — the old
+    * probe already broadcast the same set), so the bucketed scan
+    * prunes to the ids' buckets. The planner's auto-bucketed-scan
+    * heuristic would DISABLE the bucketed read here (no join/agg wants
+    * the hash partitioning — it cannot see that pruning is the point),
+    * so the plan is pinned under autoBucketedScan=false and the conf
+    * restored before returning.
+    */
+  private[graft] def dupProbe(s: SparkSession, t: Tables,
+                              batchIds: Seq[Long], id: Long): DataFrame = {
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = s.conf.getOption(conf)
+    s.conf.set(conf, "false")
+    try {
+      val df = s.table(docIdsSidecar(t))
+        .filter(col("doc_id").isin(batchIds: _*) && col("slice") =!= id)
+        .select(col("doc_id"))
+      df.queryExecution.executedPlan // fix the bucket-pruned plan now
+      df
+    } finally saved match {
+      case Some(v) => s.conf.set(conf, v)
+      case None    => s.conf.unset(conf)
+    }
+  }
+
   private[graft] def ingestDocsBatch(batch: Dataset[Row], id: Long,
                                     t: Tables, buckets: Int): Unit = {
     val s = batch.sparkSession
+    val sidecar = docIdsSidecar(t)
+    val batchDocIds = batch.select(col("doc_id")).distinct()
     if (!graft.Stores.foldedSlices(s, t.index).contains(id)) {
-      s.catalog.refreshTable(t.index)
-      val dup = s.table(t.index).filter(col("slice") =!= id)
-        .join(broadcast(batch.select(col("doc_id")).distinct()),
-          Seq("doc_id"), "left_semi")
-        .select(col("doc_id")).limit(1).collect()
+      val dup =
+        if (s.catalog.tableExists(sidecar)) {
+          s.catalog.refreshTable(sidecar)
+          // literal ids → bucket-pruned scan of the doc-scale sidecar.
+          // A pathological mega-batch would build a mega-In filter;
+          // past the cap, fall back to the semi-join form (still
+          // sidecar-scale, just unpruned)
+          val ids = batchDocIds.limit(100001).collect().map(_.getLong(0))
+          if (ids.length <= 100000)
+            dupProbe(s, t, ids.toIndexedSeq, id).limit(1).collect()
+          else
+            s.table(sidecar).filter(col("slice") =!= id)
+              .join(broadcast(batchDocIds), Seq("doc_id"), "left_semi")
+              .select(col("doc_id")).limit(1).collect()
+        } else {
+          // pre-sidecar warehouse: one last posting-scale probe (the
+          // backfill below upgrades it for every later batch)
+          s.catalog.refreshTable(t.index)
+          s.table(t.index).filter(col("slice") =!= id)
+            .join(broadcast(batchDocIds), Seq("doc_id"), "left_semi")
+            .select(col("doc_id")).limit(1).collect()
+        }
       if (dup.nonEmpty)
         throw new IllegalStateException(
           s"ingestDocsBatch: doc_id ${dup.head.get(0)} in batch $id is "
@@ -195,6 +254,25 @@ object ServingWarehouse {
     ingestOnce(s, t.index, id) {
       TextAnalysis.indexIngest(batch.withColumn("slice", lit(id)),
         "doc_id", "text", "slice", t.index, buckets)
+    }
+    // the sidecar lands right after the index family under its OWN
+    // replay guard: a crash between the two appends replays the batch
+    // — the index skips, the sidecar backfills — so the probe's source
+    // can lag by at most one in-flight batch and always heals. First
+    // touch of a pre-sidecar warehouse creates it with a one-time
+    // backfill of every landed (slice, doc_id) from the index store.
+    if (!s.catalog.tableExists(docIdsSidecar(t))) {
+      s.catalog.refreshTable(t.index)
+      graft.ops.Bucketing.writeBucketed(
+        s.table(t.index).select(col("slice"), col("doc_id")).distinct(),
+        docIdsSidecar(t), Seq("doc_id"), buckets,
+        sortCols = Seq("doc_id"))
+    } else ingestOnce(s, docIdsSidecar(t), id) {
+      graft.ops.Bucketing.appendBucketed(
+        batchDocIds.withColumn("slice", lit(id))
+          .select(col("slice"), col("doc_id")),
+        docIdsSidecar(t), Seq("doc_id"), buckets,
+        sortCols = Seq("doc_id"))
     }
     ingestOnce(s, t.positional, id) {
       TextAnalysis.positionalIngest(batch.withColumn("slice", lit(id)),
@@ -669,6 +747,16 @@ object ServingWarehouse {
         .select(lit(ns).as("slice"), col("doc_id"), col("band_id"),
           col("band_hash")),
       Seq("band_hash"))
+    // the one-slice-per-doc sidecar folds like the bands: id-addressed
+    // rows, erased doc_ids leave through the delete log — so an erased
+    // doc's re-ingest becomes legal exactly when its postings
+    // physically vanish (the pre-sidecar probe's behavior, preserved)
+    if (s.catalog.tableExists(docIdsSidecar(t)))
+      run(docIdsSidecar(t), Seq("doc_id"), "doc_id",
+        (sl, ns) => graft.ops.Forget.rowErase(sl, "doc_id",
+            liveTable(s, t.deletes))
+          .select(lit(ns).as("slice"), col("doc_id")),
+        Seq("doc_id"))
     // the PQ code table is id-addressed like the bands: micro-batch
     // slices fold by re-tagging survivors, erased vec_ids leave
     // physically through the shared delete log (reads keep anti-

@@ -333,4 +333,65 @@ class CompactionSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS ${t}_wm")
     }
   }
+
+  test("foldedSlices is memoized per process: repeat guard reads launch ZERO Spark jobs; recordFolded and out-of-band sidecar appends invalidate") {
+    val t = "graft_cmp_wmmemo"
+    val wm = t + "_wm"
+    try {
+      Stores.recordFolded(spark, t, Seq(1L, 2L))
+      assert(Stores.foldedSlices(spark, t) === Set(1L, 2L))
+      // the ingest guard consults foldedSlices on EVERY family of
+      // EVERY micro-batch — the memoized read must answer from the
+      // heap (one local file stat), never a refreshTable + scan +
+      // collect (r20 verdict item 4: ~10 extra Spark jobs per
+      // micro-batch at 10 families)
+      val descs = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          descs.add(String.valueOf(Option(js.properties)
+            .map(_.getProperty("spark.job.description")).orNull))
+      }
+      // tagged sentinel jobs fence the async listener bus: it is FIFO,
+      // so once a sentinel's tag is visible, every job submitted
+      // before it (including any backlog from before registration)
+      // has been counted too
+      def fence(tag: String): Unit = {
+        spark.sparkContext.setJobDescription(tag)
+        try spark.range(1).count()
+        finally spark.sparkContext.setJobDescription(null)
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (!descs.contains(tag) && System.nanoTime() < deadline)
+          Thread.sleep(10)
+        assert(descs.contains(tag), s"listener never saw sentinel $tag")
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        fence("wm-memo-fence-0")
+        val base = descs.size
+        (1 to 5).foreach(_ =>
+          assert(Stores.foldedSlices(spark, t) === Set(1L, 2L)))
+        fence("wm-memo-fence-1")
+        val window = new java.util.ArrayList[String](
+          descs.subList(base, descs.size))
+        // the sentinel may plan as more than one job (AQE) — the pin
+        // is that NOTHING ELSE ran between the fences
+        import scala.jdk.CollectionConverters._
+        assert(!window.isEmpty
+            && window.asScala.forall(_ == "wm-memo-fence-1"),
+          s"memoized foldedSlices reads launched Spark job(s): $window")
+      } finally spark.sparkContext.removeSparkListener(listener)
+      // in-process invalidation: recordFolded (compact/retrain path)
+      Stores.recordFolded(spark, t, Seq(3L))
+      assert(Stores.foldedSlices(spark, t) === Set(1L, 2L, 3L))
+      // out-of-band append (another session/process writing the same
+      // sidecar): the file fingerprint invalidates the memo
+      Seq(4L).toDF("slice").write.mode("append").format("parquet")
+        .saveAsTable(wm)
+      assert(Stores.foldedSlices(spark, t) === Set(1L, 2L, 3L, 4L))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $wm")
+    }
+  }
 }

@@ -1242,7 +1242,8 @@ class StreamingSpec extends AnyFunSuite {
     graft.jobs.ServingWarehouse.release(t)
     for (tbl <- Seq(t.index, t.positional, t.edges, t.colloc, t.chunks,
         t.dict, t.delneigh, t.tgram, t.deletes, t.pq, t.pqcb,
-        t.pqcoarse, t.bands)) {
+        t.pqcoarse, t.bands,
+        graft.jobs.ServingWarehouse.docIdsSidecar(t))) {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.sql(s"DROP TABLE IF EXISTS ${tbl}_wm")
     }
@@ -1403,6 +1404,50 @@ class StreamingSpec extends AnyFunSuite {
           buckets = 4)
       }
       assert(dupEx.getMessage.contains("already ingested"))
+    } finally {
+      dropWarehouse(t)
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+
+  test("ingestDocsBatch duplicate probe: doc_id-bucketed sidecar, bucket-pruned scan — the index store's id columns are not rescanned per batch") {
+    import graft.jobs.ServingWarehouse
+    val base = java.nio.file.Files.createTempDirectory("graft-swp-")
+    val t = warehouseTables("graft_swprobe")
+    try {
+      bootstrapWarehouse(t, base)
+      ServingWarehouse.ingestDocsBatch(
+        Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text"),
+        id = 0L, t, buckets = 4)
+      ServingWarehouse.ingestDocsBatch(
+        Seq((3L, "c d")).toDF("doc_id", "text"), id = 1L, t, buckets = 4)
+      // the sidecar carries one (slice, doc_id) per landed doc
+      val sidecar = ServingWarehouse.docIdsSidecar(t)
+      assert(spark.table(sidecar).as[(Long, Long)].collect().toSet
+        === Set((0L, 1L), (0L, 2L), (1L, 3L)))
+      // plan pin (r20 verdict item 3): the probe's literal batch ids
+      // prune the bucketed sidecar scan — and the only scan in the
+      // probe IS the sidecar, never the posting-scale index store
+      val probe = ServingWarehouse.dupProbe(spark, t, Seq(1L), id = 5L)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"duplicate probe not bucket-pruned:\n$plan")
+      assert(plan.contains(sidecar),
+        s"duplicate probe does not read the sidecar:\n$plan")
+      assert("FileScan".r.findAllIn(plan).size === 1,
+        s"duplicate probe scans more than the sidecar:\n$plan")
+      // the raise is unchanged: a landed doc re-sent under a NEW batch
+      // id still fails loudly
+      val ex = intercept[IllegalStateException] {
+        ServingWarehouse.ingestDocsBatch(
+          Seq((1L, "a b")).toDF("doc_id", "text"), id = 5L, t,
+          buckets = 4)
+      }
+      assert(ex.getMessage.contains("already ingested"))
+      // a same-slice replay (partial-batch backfill) stays legal
+      ServingWarehouse.ingestDocsBatch(
+        Seq((3L, "c d")).toDF("doc_id", "text"), id = 1L, t, buckets = 4)
+      assert(spark.table(sidecar).count() === 3L)
     } finally {
       dropWarehouse(t)
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
