@@ -49,13 +49,24 @@ object Bench {
     // linearly with suite size — confounding exactly the late-alphabet
     // queries. Dropped BETWEEN queries, never between reps: best-of-N
     // measures each query's own steady state, including its own caches.
+    // BLOCKING unpersist (r21): the async form returns while block
+    // removal is still in flight, so the previous query's cleanup
+    // competed with the NEXT query's first timed rep — one more source
+    // of in-suite jitter. The wait happens here, between queries, in
+    // untimed space.
     def clean(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
 
+    // optional focus filter for local profiling sessions
+    // (SPARK_GRAFT_BENCH_ONLY="q118,q133" — comma-separated qNN
+    // prefixes); unset = the full suite, which is the driver contract
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n.takeWhile(_ != '_'))))
     // the short-name contract is pure string work — check it BEFORE
     // spending the warmup+timed passes, so a colliding qNN prefix
     // fails in milliseconds instead of aborting after minutes with no

@@ -83,7 +83,17 @@ object CorpusPipeline {
           bucketTable: String = "graft_corpus_sampled",
           persistStages: Boolean = true,
           checkpointDir: Option[String] = None): (DataFrame, Seq[(String, Long)]) = {
-    def cached(df: DataFrame): DataFrame = if (persistStages) df.cache() else df
+    // pin (lazy localCheckpoint / reliable checkpoint), not cache():
+    // a cache keeps the full logical lineage, so every stage count and
+    // every downstream stage re-analyzes a tree that grows with the
+    // stage number — measured at sf0.1, over HALF of q85's wall was
+    // driver-side planning gaps between its 37 jobs. The pin truncates
+    // the plan at each stage boundary (the q121 hand-off lesson applied
+    // inside the pipeline); values are unchanged — only where the
+    // stage's rows are read from.
+    def cached(df: DataFrame): DataFrame =
+      if (persistStages) Checkpoints.pin(df, checkpointDir, eager = false)
+      else df
     val counts = Seq.newBuilder[(String, Long)]
     val sampling = sampleFraction < 1.0
     // when nothing is sampled away the input IS the sampled stage —

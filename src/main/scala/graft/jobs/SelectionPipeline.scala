@@ -3,7 +3,7 @@ package graft.jobs
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Bucketing, Dedup, Quantiles, Sampling, TextAnalysis}
+import graft.ops.{Bucketing, Checkpoints, Dedup, Quantiles, Sampling, TextAnalysis}
 
 /** The data-SELECTION pipeline end-to-end — the companion of
   * [[CorpusPipeline]] (which cleans a corpus) for the stage AFTER
@@ -84,6 +84,13 @@ object SelectionPipeline {
           bucketCount: Int = 32,
           bucketTable: String = "graft_selection_corpus")
       : (DataFrame, Seq[(String, Long)], DataFrame) = {
+    // cache(), deliberately NOT the CorpusPipeline pin: this pipeline
+    // was measured BOTH ways at sf0.1 (r21) — pinning its stages made
+    // q117 ~50% slower (the selection gates re-read each stage with
+    // narrow projections, which the columnar cache serves pruned while
+    // a localCheckpoint hands back full serialized rows), while the
+    // corpus pipeline's pin was a 2× win. Planning depth here is
+    // bounded (3 gates), so lineage growth never dominates.
     def cached(df: DataFrame): DataFrame = if (persistStages) df.cache() else df
     val counts = Seq.newBuilder[(String, Long)]
     def count(name: String, df: DataFrame): Unit =
