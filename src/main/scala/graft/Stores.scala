@@ -587,6 +587,23 @@ object Stores {
     }
   }
 
+  /** The LEARNED coarse IVF centroids (k-means seeds 0–7, two Lloyd
+    * rounds, ordered means — the q78 regimen) as a written 8-row
+    * table: training runs once at store build, so the learned-IVF
+    * serving read (q78) and its recall audit (q87) load centroids
+    * instead of re-running Lloyd over the corpus per query — the
+    * [[pqCodebooks]] posture applied to the coarse quantizer.
+    */
+  def learnedCentroids(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_kmc_${key(dir)}"
+    serve(s, t) {
+      graft.ops.Similarity.kmeansCentroids(Tables.embeddings(s, dir),
+          "vec_id", "embedding", initIds = (0L until 8L).toSeq,
+          iters = 2, orderedMeans = true)
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+  }
+
   /** The trained raw-vector PQ codebooks (sub, code, c_vec) — m×k*
     * rows. Training (a Lloyd pass over the corpus) runs ONCE at store
     * build; before this store q88/q89/q92 and the recall audits each
@@ -970,11 +987,29 @@ object Stores {
     foldedMemo.remove(wm)
   }
 
+  /** The RAW transition-pair log as a written table — (user_id, ts,
+    * event_id, item_id, nxt): the per-user ordering Window that
+    * derives consecutive distinct item transitions runs ONCE here at
+    * store build. [[edges]] and the slice-lifecycle reads
+    * (q251/q255/q256, which need the raw pairs under their own slice
+    * tagging, not the aggregated edge store) re-tag or fold THESE
+    * rows instead of re-running the event-log Window per query — the
+    * same ingest-time posture as every other store, applied to the
+    * graph family's one expensive derivation.
+    */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_trans_${key(dir)}"
+    serve(s, t) {
+      SparkEntry.transitionPairs(s, dir)
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+  }
+
   def edges(s: SparkSession, dir: String): DataFrame = {
     val t = s"graft_edges_${key(dir)}"
     serve(s, t) {
       Graph.edgeSlices(
-          SparkEntry.transitionPairs(s, dir)
+          transitions(s, dir)
             .withColumn("slice", pmod(col("user_id"), lit(Generations))),
           "item_id", "nxt", "slice")
         .write.mode("overwrite").format("parquet")
