@@ -1066,10 +1066,12 @@ object SparkEntry {
     // completion of q22's pairwise output
     // (uncapped for the same oracle-parity reason as q22)
     "q65_dup_components" -> ((s, dir) =>
-      Dedup.connectedComponents(
-        Dedup.lshCandidates(storedBands(s, dir),
-          maxBucketSize = Int.MaxValue),
-        "doc_a", "doc_b")),
+      // the WRITTEN dup-map store (r21): its build is this exact
+      // derivation (components over the stored LSH pair edges), so the
+      // read is a rename of the store's columns — the component walk
+      // runs once per process, not per query
+      Stores.dupMap(s, dir)
+        .select(col("doc_id").as("id"), col("rep").as("component"))),
 
     // ANN recall scaling: bucket-nearest over TWO independent SRP plane
     // families — candidates collide in ANY family, so per-family miss
@@ -1871,8 +1873,7 @@ object SparkEntry {
     // and the result hashes
     "q132_label_propagation" -> ((s, dir) =>
       Dedup.labelPropagation(
-        Dedup.lshCandidates(storedBands(s, dir),
-          maxBucketSize = Int.MaxValue),
+        Stores.lshPairs(s, dir),
         "doc_a", "doc_b", iters = 3)),
 
     // PageRank centrality over the SAME LSH candidate graph as
@@ -1885,8 +1886,7 @@ object SparkEntry {
     // oracle unrolls the identical integer rounds as CTEs
     "q133_pagerank" -> ((s, dir) =>
       Graph.pageRank(
-        Dedup.lshCandidates(storedBands(s, dir),
-          maxBucketSize = Int.MaxValue),
+        Stores.lshPairs(s, dir),
         "doc_a", "doc_b", iters = 3)),
 
     // cross-document EXACT substring spans (the Lee-et-al suffix-array
@@ -1928,8 +1928,7 @@ object SparkEntry {
     // oracle replays the rule verbatim; same all-BIGINT rounds as q133
     "q137_personalized_pagerank" -> ((s, dir) =>
       Graph.personalizedPageRank(
-        Dedup.lshCandidates(storedBands(s, dir),
-          maxBucketSize = Int.MaxValue),
+        Stores.lshPairs(s, dir),
         "doc_a", "doc_b", seedPred = col("id") % 10 === 0, iters = 3)),
 
     // tokenizer fertility audit (pieces per word, by source): the
@@ -2045,8 +2044,7 @@ object SparkEntry {
     // rank than a single-band brush. Same all-BIGINT rounds
     "q149_pagerank_weighted" -> ((s, dir) =>
       Graph.pageRankWeighted(
-        Dedup.lshCandidates(storedBands(s, dir),
-          maxBucketSize = Int.MaxValue),
+        Stores.lshPairs(s, dir),
         "doc_a", "doc_b", weightCol = "n_bands", iters = 3)),
 
     // half-life recency sampling for retrain-set assembly: keep
@@ -2624,8 +2622,7 @@ object SparkEntry {
     "q181_cluster_keep_best" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       Dedup.keepBestPerCluster(d, "doc_id", length(col("text")).cast("long"),
-        Dedup.lshCandidates(storedBands(s, dir),
-          maxBucketSize = Int.MaxValue))
+        Stores.lshPairs(s, dir))
     }),
 
     // item-affinity lift (market-basket over the behavior log): pairs
@@ -4338,6 +4335,9 @@ object SparkEntry {
     // one batch-vocabulary-sized slice, never a rebuild. Top-20 by df
     "q292_dict_maintenance" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // measured r21: deriving the deltas from the 4-slice store made
+      // this SLOWER (4× delta rows through the merge) — the inline
+      // single-slice derivation stays
       val ing = TextAnalysis.dictSlices(TextAnalysis.indexSlices(
         d.withColumn("slice", lit(0L)), "doc_id", "text", "slice"))
       val tomb = TextAnalysis.dictSlices(TextAnalysis.indexTombstones(
@@ -4355,6 +4355,9 @@ object SparkEntry {
     // exactly what a rebuilt store over the surviving corpus would
     "q293_fuzzy_maintenance" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // measured r21: store-derived deltas were SLOWER here (4× rows
+      // through the variant expansion) — the inline form stays, see
+      // q292
       val ing = TextAnalysis.dictSlices(TextAnalysis.indexSlices(
         d.withColumn("slice", lit(0L)), "doc_id", "text", "slice"))
       val tomb = TextAnalysis.dictSlices(TextAnalysis.indexTombstones(
@@ -4418,13 +4421,10 @@ object SparkEntry {
     "q297_dupmap_ingest" -> ((s, dir) => {
       val bands = Stores.bands(s, dir)
         .select(col("doc_id"), col("band_id"), col("band_hash"))
-      val oldMap = Dedup.connectedComponents(
-          Dedup.lshCandidates(
-            Stores.bands(s, dir).filter(col("slice") <= 2L)
-              .select(col("doc_id"), col("band_id"), col("band_hash")),
-            maxBucketSize = Int.MaxValue),
-          "doc_a", "doc_b")
-        .select(col("id").as("doc_id"), col("component").as("rep"))
+      // the standing map is the WRITTEN previous-generation artifact
+      // (r21, Stores.dupMapAsOf) — the component walk it stands in
+      // for ran once at store build, never per read
+      val oldMap = Stores.dupMapAsOf(s, dir)
       val nb = Stores.bands(s, dir).filter(col("slice") === 3L)
         .select(col("doc_id").as("doc_a"), col("band_id"),
           col("band_hash"))

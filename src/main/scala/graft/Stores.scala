@@ -521,18 +521,52 @@ object Stores {
     }
   }
 
-  def dupMap(s: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_dupmap_${key(dir)}"
+  /** The LSH candidate-pair EDGE LIST (doc_a, doc_b, n_bands) over the
+    * full band store as a written table — the dup-graph family's one
+    * shared edge source (q65/q132/q133/q137/q149 and the [[dupMap]]
+    * build): the band-bucket self-join runs ONCE at store build;
+    * every graph read starts from these membership-scale edges
+    * instead of re-pairing the buckets per query.
+    */
+  def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_lshpairs_${key(dir)}"
     serve(s, t) {
-      // components fold the WRITTEN band rows ([[bands]]) — the
-      // minhash pipeline ran once at that store's build; this build
-      // only walks buckets
+      Dedup.lshCandidates(
+          bands(s, dir)
+            .select(col("doc_id"), col("band_id"), col("band_hash")),
+          maxBucketSize = Int.MaxValue)
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+  }
+
+  /** The PREVIOUS-generation dup map (components over band slices
+    * ≤ 2) as a written table — q297's "standing map" artifact made
+    * real: a deployment persists each generation's map; before this
+    * store the incremental-ingest read re-walked the whole component
+    * derivation per query.
+    */
+  def dupMapAsOf(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_dupmap2_${key(dir)}"
+    serve(s, t) {
       Dedup.connectedComponents(
           Dedup.lshCandidates(
-            bands(s, dir)
+            bands(s, dir).filter(col("slice") <= 2L)
               .select(col("doc_id"), col("band_id"), col("band_hash")),
             maxBucketSize = Int.MaxValue),
           "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("component").as("rep"))
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+  }
+
+  def dupMap(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_dupmap_${key(dir)}"
+    serve(s, t) {
+      // components fold the WRITTEN pair edges ([[lshPairs]]) — the
+      // minhash pipeline ran once at the band store's build, the
+      // bucket pairing once at the edge store's; this build only
+      // walks edges
+      Dedup.connectedComponents(lshPairs(s, dir), "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("component").as("rep"))
         .write.mode("overwrite").format("parquet").saveAsTable(t)
     }
