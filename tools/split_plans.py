@@ -20,11 +20,17 @@ def flush():
 
 
 for line in open(src, errors="replace"):
-    m = re.match(r"=+ (\S+) =+\s*$", line)
+    if line.startswith("[info] "):  # pre-r21 builds prefix forked stdout
+        line = line[len("[info] "):]
+    # only the Explain main's `========== qNN_name ==========` headers
+    # start a new file — explain("formatted") prints its own
+    # `===== Subqueries =====` section header, which belongs to the
+    # current query's plan
+    m = re.match(r"=+ (q\d+\S*) =+\s*$", line)
     if m:
         flush()
         name, buf = m.group(1), []
-    elif name and not line.startswith(("[info]", "[success]", "[warn]")):
+    elif name and not line.startswith(("[success]", "[warn]", "[error]")):
         buf.append(line)
 flush()
 print("wrote", len(os.listdir(outdir)), "files to", outdir)
