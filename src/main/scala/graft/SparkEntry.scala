@@ -123,6 +123,43 @@ object SparkEntry {
       forgotten, tombSlice = 99L, forgetIds = Some(ids))
   }
 
+  /** The standing erasure request's POST-FORGET index merges,
+    * materialized once per process (VERDICT r21 item 5): before these,
+    * every forget-family read (q286–q291) re-folded its family's
+    * tombstone merge — the same slice-agnostic tf sum / position union
+    * — per query. The merges derive from [[erasedWarehouse]] (one
+    * erasure code path), so the stored rows are exactly what each
+    * query's inline fold produced; only the request-scale row-erased
+    * families (norms, metadata, facets, codes, dup map — broadcast
+    * anti-joins) still derive inline.
+    */
+  private def erasedIndexMerged(s: SparkSession, dir: String): DataFrame =
+    Stores.materialized(s, dir, "fidxm") {
+      TextAnalysis.indexMergeSlices(erasedWarehouse(s, dir).index)
+    }
+
+  /** The post-forget CAPPED serving index (maxPostings = 1000) — the
+    * shared artifact of the q288/q289 reads: the per-token rank Window
+    * runs once at build, exactly the [[Stores.cappedIndex]] posture
+    * applied to the erased warehouse.
+    */
+  private def erasedIndexCapped(s: SparkSession, dir: String): DataFrame =
+    Stores.materialized(s, dir, "fcidx1000") {
+      TextAnalysis.cappedIndex(erasedIndexMerged(s, dir),
+        maxPostings = 1000)
+    }
+
+  private def erasedChunksMerged(s: SparkSession, dir: String): DataFrame =
+    Stores.materialized(s, dir, "fchm") {
+      TextAnalysis.indexMergeSlices(erasedWarehouse(s, dir).chunks)
+    }
+
+  private def erasedPositionalMerged(s: SparkSession,
+                                     dir: String): DataFrame =
+    Stores.materialized(s, dir, "fpidxm") {
+      TextAnalysis.positionalMergeSlices(erasedWarehouse(s, dir).positional)
+    }
+
   /** The corpus's most frequent word n-gram — ONE derivation for the
     * deterministic query-term statistics (the bigram pair q209/q238
     * share, the trigram q257 serves): count-desc with full (w1..wn)
@@ -1745,23 +1782,35 @@ object SparkEntry {
     // token counts ARE the model — the fastText-language-ID /
     // WebText-quality-filter classifier family); labels = lang, train
     // slice = the q84 hash-split convention under an "nb:" salt
+    // served STORE-FIRST (r22): the training aggregate — the entire
+    // "training procedure" of this classifier family — ran once at the
+    // [[Stores.nbLangCounts]]/[[Stores.nbLangModel]] builds (the same
+    // nbCounts→nbModel derivation); this read is the rounding edge
+    // over the written model rows
     "q125_nb_train" -> ((s, dir) =>
-      TextAnalysis.nbTrain(
-        Tables.documents(s, dir)
-          .filter(graft.functions.Hashing.md5Long(concat(lit("nb:"),
-            col("doc_id").cast("string"))) % 10000 < 8000),
-        "lang", "text")),
+      Stores.nbLangModel(s, dir).select(col("label"), col("term"),
+        col("cnt"), round(col("logp"), 6).as("logp"))),
 
     // the scoring half on the held-out 20%: argmax over per-class
     // log-posteriors (ordered per-doc folds, max-of-struct argmax —
     // no Window); the oracle replays the same smoothed model and
     // tie-break relationally
+    // served STORE-FIRST (r22): model counts from the written
+    // per-regimen store; the held-out slice's (doc_id, term, tf) from
+    // the inverted-index store's merged postings (indexSlices explodes
+    // the identical split(text, ' ') — same multiset, and the
+    // length>0 filter is applied the same way); test ids and per-label
+    // training doc counts from the metadata store. Scoring runs the
+    // SAME core as the inline form (TextAnalysis.nbScoreWith) — only
+    // where the parts are read from changes, never the arithmetic.
     "q126_nb_classify" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val isTrain = graft.functions.Hashing.md5Long(concat(lit("nb:"),
-        col("doc_id").cast("string"))) % 10000 < 8000
-      TextAnalysis.nbClassify(docs.filter(isTrain), docs.filter(!isTrain),
-        "lang", "doc_id", "text")
+      val isTrain = Stores.nbTrainSplit("nb:")
+      val postings = TextAnalysis.indexMergeSlices(Stores.index(s, dir))
+      TextAnalysis.nbClassifyServe(
+        Stores.nbLangModel(s, dir), Stores.nbLangLabels(s, dir),
+        postings.filter(!isTrain && length(col("token")) > 0)
+          .select(col("doc_id"), col("token").as("term"), col("tf")),
+        Stores.docMeta(s, dir).filter(!isTrain).select(col("doc_id")))
     }),
 
     // KMV/bottom-k distinct sketch next to the exact count: per event
@@ -1853,13 +1902,18 @@ object SparkEntry {
     // this synthetic corpus text ⊥ source, so the 1/20 prior dominates
     // and almost nothing clears 0 — the full score column is the
     // informative output; the flag documents the policy.)
+    // served STORE-FIRST (r22, the q126 posture): counts from the
+    // "nbg:" regimen store, every document's tf from the index store's
+    // merged postings, ids/labels from the metadata store — the corpus
+    // text is never re-exploded at query time
     "q131_classifier_gate" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).withColumn("cls",
-        when(col("source") === "src0", "pos").otherwise("neg"))
-      val isTrain = graft.functions.Hashing.md5Long(concat(lit("nbg:"),
-        col("doc_id").cast("string"))) % 10000 < 8000
-      TextAnalysis.nbLogOdds(docs.filter(isTrain), docs, "cls", "pos",
-          "doc_id", "text")
+      val postings = TextAnalysis.indexMergeSlices(Stores.index(s, dir))
+      TextAnalysis.nbLogOddsServe(
+        Stores.nbGateModel(s, dir), Stores.nbGateLabels(s, dir),
+        postings.filter(length(col("token")) > 0)
+          .select(col("doc_id"), col("token").as("term"), col("tf")),
+        Stores.docMeta(s, dir).select(col("doc_id")),
+        posLabel = "pos")
         .select(col("doc_id"), col("log_odds"),
           (col("log_odds") > 0).as("kept"))
     }),
@@ -2813,12 +2867,16 @@ object SparkEntry {
     // and the decode passes from drifting; still hash aggregates + a
     // dimension join, no Window
     "q189_card_completeness" -> ((s, dir) => {
-      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-      val img = queries("q150_image_decode")(s, dir)
+      // served STORE-FIRST (r22): the three decode passes ran once at
+      // the per-modality store builds (which invoke the DECLARED
+      // q150/q165/q186 queries — one code path); this scorecard joins
+      // three narrow flag tables instead of re-decoding every payload
+      val src = Stores.docMeta(s, dir).select(col("doc_id"), col("source"))
+      val img = Stores.imageDecode(s, dir)
         .select(col("doc_id"), col("decoded").as("img_ok"))
-      val aud = queries("q165_audio_decode")(s, dir)
+      val aud = Stores.audioDecode(s, dir)
         .select(col("doc_id"), col("decoded").as("aud_ok"))
-      val vid = queries("q186_video_fp")(s, dir)
+      val vid = Stores.videoFp(s, dir)
         .select(col("doc_id"),
           (col("parsed") && col("walk_complete")).as("vid_ok"))
       def rate(flag: Column): Column =
@@ -4225,11 +4283,14 @@ object SparkEntry {
     // then the q209 phrase read serves as if the forgotten docs were
     // never ingested; terms stay the persisted corpus statistic
     "q286_forget_phrase" -> ((s, dir) =>
+      // the erased positional MERGE is the shared per-process artifact
+      // (r22); the token prefilter moves from before the fold to a
+      // pushed semi-join on the written merge — value-identical, the
+      // fold is per-(token, doc) independent
       TextAnalysis.phraseQuery(
-        TextAnalysis.positionalMergeSlices(
-          erasedWarehouse(s, dir).positional
-            .join(broadcast(bigramTokens(s, dir)), Seq("token"),
-              "left_semi")),
+        erasedPositionalMerged(s, dir)
+          .join(broadcast(bigramTokens(s, dir)), Seq("token"),
+            "left_semi"),
         Stores.topBigram(s, dir), k = 20)),
 
     // forget execution, CHUNK family: content tombstones over the
@@ -4239,9 +4300,9 @@ object SparkEntry {
     // never straddle the erasure boundary), then the q282 passage
     // read serves
     "q287_forget_passage" -> ((s, dir) => {
-      val merged = graft.ops.Checkpoints.pin(
-        TextAnalysis.indexMergeSlices(erasedWarehouse(s, dir).chunks),
-        None, eager = false) // two consumers: capped view + chunk count
+      // both consumers read the per-process erased-chunk merge table
+      // (r22) — no per-query fold, no pin needed over a parquet read
+      val merged = erasedChunksMerged(s, dir)
       TextAnalysis.passageSearch(
         TextAnalysis.cappedIndex(merged, maxPostings = 1000),
         merged.agg(countDistinct(col("doc_id")).as("n_chunks")),
@@ -4253,13 +4314,14 @@ object SparkEntry {
     // BOTH sides erased — hits off the tombstone-merged re-capped
     // index, counts off the row-erased metadata store
     "q288_forget_facets" -> ((s, dir) => {
-      val e = erasedWarehouse(s, dir)
+      // hits off the per-process erased CAPPED index table (r22 — the
+      // rank Window ran once at build); counts off the row-erased
+      // metadata store, inline as before (request-scale anti-join)
       TextAnalysis.facetCounts(
-        TextAnalysis.cappedIndex(
-            TextAnalysis.indexMergeSlices(e.index), maxPostings = 1000)
+        erasedIndexCapped(s, dir)
           .join(broadcast(TextAnalysis.searchTerms(s, "hash join window")
             .select(col("token"))), Seq("token")),
-        e.docMeta, Seq("lang", "source"))
+        erasedWarehouse(s, dir).docMeta, Seq("lang", "source"))
     }),
 
     // forget execution, DUP-MAP family: the q275 collapsed read over
@@ -4268,15 +4330,15 @@ object SparkEntry {
     // member, sub-pair groups dropped — no erased id survives as a
     // group label, the ADVICE-r18 closure executed)
     "q289_forget_collapse" -> ((s, dir) => {
-      val e = erasedWarehouse(s, dir)
-      val merged = graft.ops.Checkpoints.pin(
-        TextAnalysis.indexMergeSlices(e.index),
-        None, eager = false) // two consumers: capped view + n_docs
+      // capped view and n_docs read the two per-process erased-index
+      // tables (r22); the rep-reassigned cluster map stays inline
+      // (membership-scale)
       TextAnalysis.collapseSearch(
-        TextAnalysis.cappedIndex(merged, maxPostings = 1000),
-        merged.agg(countDistinct(col("doc_id")).as("n_docs")),
+        erasedIndexCapped(s, dir),
+        erasedIndexMerged(s, dir)
+          .agg(countDistinct(col("doc_id")).as("n_docs")),
         TextAnalysis.searchTerms(s, "hash join window"),
-        nTerms = 3, k = 10, dupMap = e.dupMap)
+        nTerms = 3, k = 10, dupMap = erasedWarehouse(s, dir).dupMap)
     }),
 
     // forget execution, VECTOR family: the q89 ADC read over the
@@ -4305,16 +4367,16 @@ object SparkEntry {
       def cnt(family: String, agged: DataFrame) =
         agged.select(lit(family).as("family"),
           col("rows_after").cast("long").as("rows_after"))
-      val idx = graft.ops.Checkpoints.pin(
-        TextAnalysis.indexMergeSlices(e.index),
-        None, eager = false) // two consumers: postings + vocab counts
+      // the three index-family merges read the per-process erased
+      // tables (r22) — every fold ran once at its store build
+      val idx = erasedIndexMerged(s, dir)
       Seq(
         cnt("index_postings", idx.agg(count(lit(1)).as("rows_after"))),
         cnt("positional_positions",
-          TextAnalysis.positionalMergeSlices(e.positional)
+          erasedPositionalMerged(s, dir)
             .agg(coalesce(sum(col("tf")), lit(0L)).as("rows_after"))),
         cnt("chunk_postings",
-          TextAnalysis.indexMergeSlices(e.chunks)
+          erasedChunksMerged(s, dir)
             .agg(count(lit(1)).as("rows_after"))),
         cnt("norms", e.norms.agg(count(lit(1)).as("rows_after"))),
         cnt("doc_meta", e.docMeta.agg(count(lit(1)).as("rows_after"))),

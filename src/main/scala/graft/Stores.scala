@@ -171,6 +171,97 @@ object Stores {
     s.table(table)
   }
 
+  /** Generic per-process materialization of a derived serving frame:
+    * `build`'s rows written once as an unbucketed parquet table named
+    * `graft_<family>_<key>` and read by every consumer in the process.
+    * Same memo/nonce/fingerprint contract as every named store — the
+    * frame rebuilds from the parquet inputs in every JVM, nothing
+    * survives a process exit.
+    */
+  private[graft] def materialized(s: SparkSession, dir: String,
+                                  family: String)
+                                 (build: => DataFrame): DataFrame = {
+    val t = s"graft_${family}_${key(dir)}"
+    serve(s, t) {
+      build.write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+  }
+
+  /** The NB classifier families' 80/20 training-split predicate — the
+    * q84 hash-split convention under the family's salt (q125/q126:
+    * "nb:", q131: "nbg:"), shared by the count-store builds and the
+    * store-first serving reads so the split cannot drift.
+    */
+  private[graft] def nbTrainSplit(salt: String): org.apache.spark.sql.Column =
+    graft.functions.Hashing.md5Long(concat(lit(salt),
+      col("doc_id").cast("string"))) % 10000 < 8000
+
+  /** The language-ID NB model's TRAINING-COUNT store — (label, term,
+    * cnt) over the "nb:" 80% split with label = lang, built through
+    * [[TextAnalysis.nbCounts]] (the one sufficient-statistic
+    * derivation): training a one-pass NB classifier IS this aggregate,
+    * so the store-first read replaces the per-query corpus explode the
+    * way the PQ codebook store replaced per-query Lloyd passes.
+    */
+  def nbLangCounts(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "nblang") {
+      TextAnalysis.nbCounts(
+        Tables.documents(s, dir).filter(nbTrainSplit("nb:")),
+        "lang", "text")
+    }
+
+  /** The quality-gate NB model's TRAINING-COUNT store — the q131
+    * regimen: label = pos (source src0) / neg (rest) over the "nbg:"
+    * 80% split.
+    */
+  def nbGateCounts(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "nbgate") {
+      TextAnalysis.nbCounts(
+        Tables.documents(s, dir).filter(nbTrainSplit("nbg:"))
+          .withColumn("cls",
+            when(col("source") === "src0", "pos").otherwise("neg")),
+        "cls", "text")
+    }
+
+  /** The language-ID regimen's SERVING MODEL — (label, term, cnt,
+    * logp) through [[TextAnalysis.nbModel]] over the counts store
+    * (unrounded doubles; parquet round-trips them bit-exactly, so a
+    * stored logp IS the inline logp). What a deployed classifier
+    * actually loads — the fastText-model-file posture.
+    */
+  def nbLangModel(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "nblangm") {
+      TextAnalysis.nbModel(nbLangCounts(s, dir))
+    }
+
+  /** The language-ID regimen's class DIMENSION beside the model —
+    * (label, prior_logp, dflt) through [[TextAnalysis.nbLabels]]; the
+    * per-label training doc counts come from the metadata store under
+    * the same split predicate.
+    */
+  def nbLangLabels(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "nblangl") {
+      TextAnalysis.nbLabels(nbLangCounts(s, dir),
+        docMeta(s, dir).filter(nbTrainSplit("nb:"))
+          .groupBy(col("lang").as("label"))
+          .agg(count(lit(1)).as("nd")))
+    }
+
+  /** [[nbLangModel]] / [[nbLangLabels]] for the q131 gate regimen. */
+  def nbGateModel(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "nbgatem") {
+      TextAnalysis.nbModel(nbGateCounts(s, dir))
+    }
+
+  def nbGateLabels(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "nbgatel") {
+      TextAnalysis.nbLabels(nbGateCounts(s, dir),
+        docMeta(s, dir).filter(nbTrainSplit("nbg:"))
+          .groupBy(when(col("source") === "src0", "pos").otherwise("neg")
+            .as("label"))
+          .agg(count(lit(1)).as("nd")))
+    }
+
   /** The exact inverted-index store over `documents`: token-bucketed
     * (slice, token, doc_id, tf) posting slices written by
     * [[TextAnalysis.writeIndexStore]]; read by
@@ -963,9 +1054,13 @@ object Stores {
     s.catalog.refreshTable(wm)
     val ids = s.table(wm).select(col("slice").cast("long"))
       .distinct().collect().map(_.getLong(0)).toSet
-    // re-fingerprint AFTER the read: a writer racing the scan must
-    // invalidate, not be masked by the pre-read stamp
-    foldedMemo.put(wm, (sidecarFingerprint(s, wm), ids))
+    // stamp with the fingerprint taken BEFORE the read (ADVICE r21): a
+    // writer appending between the scan's file listing and a post-read
+    // stamp would otherwise be captured by the stamp while the id set
+    // predates it — masking the append until the NEXT sidecar change.
+    // With the pre-read stamp that race merely mismatches on the next
+    // call and forces one redundant re-read.
+    foldedMemo.put(wm, (fp, ids))
     ids
   }
 
@@ -1038,6 +1133,31 @@ object Stores {
         .write.mode("overwrite").format("parquet").saveAsTable(t)
     }
   }
+
+  /** Per-modality DECODE stores — the q150/q165/q186 outputs
+    * materialized once per process (doc-count-scale narrow rows: ids,
+    * flags, exact integer statistics). Decoding every image/audio/video
+    * payload is an ingest-time job at a real deployment (a warehouse
+    * never re-decodes binaries per analytical read); the completeness
+    * scorecard (q189) joins these tables instead of re-running three
+    * full decode passes. Built by invoking the DECLARED QUERIES
+    * themselves — one code path, so the stored rows are the query
+    * outputs by construction.
+    */
+  def imageDecode(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "imgdec") {
+      SparkEntry.queries("q150_image_decode")(s, dir)
+    }
+
+  def audioDecode(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "auddec") {
+      SparkEntry.queries("q165_audio_decode")(s, dir)
+    }
+
+  def videoFp(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "vidfp") {
+      SparkEntry.queries("q186_video_fp")(s, dir)
+    }
 
   def edges(s: SparkSession, dir: String): DataFrame = {
     val t = s"graft_edges_${key(dir)}"

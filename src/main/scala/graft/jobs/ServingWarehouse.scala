@@ -199,13 +199,23 @@ object ServingWarehouse {
     */
   private[graft] def dupProbe(s: SparkSession, t: Tables,
                               batchIds: Seq[Long], id: Long): DataFrame = {
+    // NOTE (ADVICE r21): mutating the session-global conf assumes the
+    // single-threaded ingest loop this warehouse runs under — a
+    // concurrent query planned in the same session during this window
+    // would plan with bucketed scans disabled.
     val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val saved = s.conf.getOption(conf)
     s.conf.set(conf, "false")
     try {
+      // the limit(1) lives INSIDE the conf window (ADVICE r21): a
+      // caller-side .limit(1) would build a NEW QueryExecution planned
+      // AFTER the conf was restored, silently discarding the pruned
+      // plan — collect() on the returned frame reuses the
+      // QueryExecution forced here
       val df = s.table(docIdsSidecar(t))
         .filter(col("doc_id").isin(batchIds: _*) && col("slice") =!= id)
         .select(col("doc_id"))
+        .limit(1)
       df.queryExecution.executedPlan // fix the bucket-pruned plan now
       df
     } finally saved match {
@@ -229,7 +239,7 @@ object ServingWarehouse {
           // sidecar-scale, just unpruned)
           val ids = batchDocIds.limit(100001).collect().map(_.getLong(0))
           if (ids.length <= 100000)
-            dupProbe(s, t, ids.toIndexedSeq, id).limit(1).collect()
+            dupProbe(s, t, ids.toIndexedSeq, id).collect()
           else
             s.table(sidecar).filter(col("slice") =!= id)
               .join(broadcast(batchDocIds), Seq("doc_id"), "left_semi")

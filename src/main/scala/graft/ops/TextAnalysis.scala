@@ -1130,18 +1130,26 @@ object TextAnalysis {
     * Output: (label, term, cnt, logp) with logp rounded to 6.
     */
   def nbTrain(train: DataFrame, labelCol: String, textCol: String,
-              checkpointDir: Option[String] = None): DataFrame = {
-    val c = Checkpoints.pin(nbCounts(train, labelCol, textCol),
-      checkpointDir, eager = false)
-    nbModel(c).select(col("label"), col("term"), col("cnt"),
+              checkpointDir: Option[String] = None): DataFrame =
+    nbTrainFromCounts(Checkpoints.pin(nbCounts(train, labelCol, textCol),
+      checkpointDir, eager = false))
+
+  /** [[nbTrain]]'s model head over an already-derived (label, term,
+    * cnt) frame — the store-first form (the counts store was built
+    * through [[nbCounts]]; this is the same smoothing + rounding edge).
+    */
+  def nbTrainFromCounts(counts: DataFrame): DataFrame =
+    nbModel(counts).select(col("label"), col("term"), col("cnt"),
       round(col("logp"), 6).as("logp"))
-  }
 
   /** (label, term, cnt) over the training slice — the sufficient
-    * statistic; everything else derives from it.
+    * statistic; everything else derives from it. Exposed to
+    * [[graft.Stores]] so the per-regimen training-count STORES build
+    * through this one derivation (the store-first posture: training is
+    * an ingest-time job, serving reads the written counts).
     */
-  private def nbCounts(train: DataFrame, labelCol: String,
-                       textCol: String): DataFrame =
+  private[graft] def nbCounts(train: DataFrame, labelCol: String,
+                              textCol: String): DataFrame =
     train.select(col(labelCol).as("label"),
         explode(split(col(textCol), " ")).as("term"))
       .filter(length(col("term")) > 0)
@@ -1149,9 +1157,12 @@ object TextAnalysis {
 
   /** Smoothed model from pinned counts: (label, term, cnt, logp)
     * UNROUNDED (the scorer consumes full precision; [[nbTrain]] rounds
-    * at its output edge only).
+    * at its output edge only). Exposed to [[graft.Stores]] so the
+    * per-regimen MODEL stores build through this one derivation
+    * (parquet round-trips doubles bit-exactly, so a stored logp is the
+    * inline logp).
     */
-  private def nbModel(counts: DataFrame): DataFrame = {
+  private[graft] def nbModel(counts: DataFrame): DataFrame = {
     val labTot = counts.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
     val vocab = counts.agg(countDistinct(col("term")).as("v"))
     counts.join(broadcast(labTot), "label")
@@ -1182,8 +1193,24 @@ object TextAnalysis {
   def nbClassify(train: DataFrame, test: DataFrame, labelCol: String,
                  idCol: String, textCol: String,
                  checkpointDir: Option[String] = None): DataFrame =
-    nbScoreFrame(train, test, labelCol, idCol, textCol, checkpointDir)
-      .groupBy(col("doc_id"))
+    nbArgmaxHead(
+      nbScoreFrame(train, test, labelCol, idCol, textCol, checkpointDir))
+
+  /** [[nbClassify]] served from the WRITTEN model artifacts — the
+    * store-first form: `model` = the (label, term, cnt, logp) store
+    * ([[nbModel]] over the regimen's counts), `labels` = the (label,
+    * prior_logp, dflt) dimension ([[nbLabels]]), `testTf` = the test
+    * slice's (doc_id, term, tf) frame (e.g. the inverted-index store's
+    * merged postings — the identical tokenization), `testIds` = the
+    * test doc_ids. Same head, same scoring tail as the inline form —
+    * one code path, zero drift.
+    */
+  def nbClassifyServe(model: DataFrame, labels: DataFrame,
+                      testTf: DataFrame, testIds: DataFrame): DataFrame =
+    nbArgmaxHead(nbScoreServe(model, labels, testTf, testIds))
+
+  private def nbArgmaxHead(scores: DataFrame): DataFrame =
+    scores.groupBy(col("doc_id"))
       .agg(max(struct(col("score"), col("label"))).as("best"))
       .select(col("doc_id"), col("best.label").as("pred_label"),
         round(col("best.score"), 6).as("score"))
@@ -1201,8 +1228,22 @@ object TextAnalysis {
   def nbLogOdds(train: DataFrame, test: DataFrame, labelCol: String,
                 posLabel: String, idCol: String, textCol: String,
                 checkpointDir: Option[String] = None): DataFrame =
-    nbScoreFrame(train, test, labelCol, idCol, textCol, checkpointDir)
-      .groupBy(col("doc_id"))
+    nbLogOddsHead(
+      nbScoreFrame(train, test, labelCol, idCol, textCol, checkpointDir),
+      posLabel)
+
+  /** [[nbLogOdds]] served from the written model artifacts
+    * ([[nbClassifyServe]]'s contract) — same head, same tail, one code
+    * path.
+    */
+  def nbLogOddsServe(model: DataFrame, labels: DataFrame,
+                     testTf: DataFrame, testIds: DataFrame,
+                     posLabel: String): DataFrame =
+    nbLogOddsHead(nbScoreServe(model, labels, testTf, testIds), posLabel)
+
+  private def nbLogOddsHead(scores: DataFrame,
+                            posLabel: String): DataFrame =
+    scores.groupBy(col("doc_id"))
       .agg(round(sum(when(col("label") === posLabel, col("score"))
         .otherwise(-col("score"))), 6).as("log_odds"))
 
@@ -1216,24 +1257,55 @@ object TextAnalysis {
                            checkpointDir: Option[String]): DataFrame = {
     val counts = Checkpoints.pin(nbCounts(train, labelCol, textCol),
       checkpointDir, eager = false)
-    val model = nbModel(counts)
-    val labTot = counts.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
-    val vocab = counts.agg(countDistinct(col("term")).as("v"))
     val nDocs = train.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("nd"))
-    val nTot = nDocs.agg(sum(col("nd")).as("n"))
-    // one row per class: prior + unseen-term floor
-    val labels = nDocs.crossJoin(nTot)
-      .join(labTot, "label").crossJoin(vocab)
-      .select(col("label"),
-        log(col("nd").cast("double") / col("n")).as("prior_logp"),
-        log(lit(1.0) / (col("tot") + col("v"))).as("dflt"))
     val tf = Checkpoints.pin(
       test.select(col(idCol).as("doc_id"),
           explode(split(col(textCol), " ")).as("term"))
         .filter(length(col("term")) > 0)
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")),
       checkpointDir, eager = false)
+    val testIds = test.select(col(idCol).as("doc_id")).distinct()
+    nbScoreWith(counts, nDocs, tf, testIds)
+  }
+
+  /** The scoring CORE over precomputed parts — the shared body of the
+    * inline form ([[nbScoreFrame]], which derives the parts from raw
+    * train/test frames) and the store-first forms ([[nbClassifyFrom]] /
+    * [[nbLogOddsFrom]], which read them from written stores). The
+    * arithmetic, fold ordering and output contract are byte-identical
+    * whichever way the parts arrive.
+    */
+  private[graft] def nbScoreWith(counts: DataFrame, nDocs: DataFrame,
+                                 tf: DataFrame,
+                                 testIds: DataFrame): DataFrame =
+    nbScoreServe(nbModel(counts), nbLabels(counts, nDocs), tf, testIds)
+
+  /** The class-dimension table beside the model — one row per label:
+    * prior log-probability + unseen-term smoothing floor. Derived from
+    * the counts store and the per-label training doc counts; the
+    * second serving artifact the per-regimen stores persist.
+    */
+  private[graft] def nbLabels(counts: DataFrame,
+                              nDocs: DataFrame): DataFrame = {
+    val labTot = counts.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
+    val vocab = counts.agg(countDistinct(col("term")).as("v"))
+    val nTot = nDocs.agg(sum(col("nd")).as("n"))
+    nDocs.crossJoin(nTot)
+      .join(labTot, "label").crossJoin(vocab)
+      .select(col("label"),
+        log(col("nd").cast("double") / col("n")).as("prior_logp"),
+        log(lit(1.0) / (col("tot") + col("v"))).as("dflt"))
+  }
+
+  /** The scoring tail over the two SERVING artifacts (model rows +
+    * label dimension) — what a deployed classifier actually executes:
+    * no training-side aggregate anywhere, just the tf × model join and
+    * the ordered per-document fold.
+    */
+  private[graft] def nbScoreServe(model: DataFrame, labels: DataFrame,
+                                  tf: DataFrame,
+                                  testIds: DataFrame): DataFrame = {
     val like = tf.crossJoin(broadcast(labels))
       .join(model, Seq("label", "term"), "left")
       .select(col("doc_id"), col("label"),
@@ -1248,7 +1320,7 @@ object TextAnalysis {
     // whitespace text) has no tf rows, but its NB score is still
     // defined — the prior alone — and the "every scored document"
     // contract holds (previously such docs silently vanished)
-    test.select(col(idCol).as("doc_id")).distinct()
+    testIds
       .crossJoin(broadcast(labels.select(col("label"), col("prior_logp"))))
       .join(like, Seq("doc_id", "label"), "left")
       .select(col("doc_id"), col("label"),
