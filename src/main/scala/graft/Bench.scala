@@ -23,6 +23,22 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Tiny-task hygiene (guide §2.2, r22): let AQE coalesce shuffle
+      // partitions to the advisory size instead of maximizing
+      // parallelism. With shuffle.partitions = cpus and sub-MB stage
+      // outputs, parallelism-first keeps ~cpus near-empty partitions
+      // per shuffle, so the multi-stage pipelines (q117/q120/q121, ~40
+      // jobs each) schedule thousands of <10 ms tasks; under CPU
+      // contention (the driver runs other work on the same box) that
+      // scheduling overhead BLEW UP superlinearly — measured with a
+      // 32-thread hog: q121 16.6 s -> 8.8 s, q117 9.9 s -> 4.6 s, warm
+      // pass 39 s -> 17.5 s with this setting; a wash (±5%) on an idle
+      // box. At 100 TB the advisory-size posture is the documented
+      // production recommendation (partitions coalesce to ~64 MB
+      // either way); env override keeps it a parameter, not a local
+      // tune.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -956,8 +956,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject")
         && !p.contains("Exchange SinglePartition"),
       s"q286 lost the scale-safe rank:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      s"q286 shuffled against the request-bounded forget set:\n$p")
+    // r22: the erasure runs ONCE at the materialized-merge build
+    // (erasedPositionalMerged), so the SERVING plan carries no
+    // anti-join at all and never touches the corpus. The doc_id join
+    // between the two term sides may plan as SMJ statically (the
+    // pinned df-scale sides carry no stats; a common term's postings
+    // must not be forced broadcast at 100 TB — AQE picks at runtime);
+    // the scale pins are corpus-freedom and no single-partition work.
+    assert(!p.contains("LeftAnti"),
+      s"q286's serving read re-runs the erasure instead of the merge:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"q286's serving read must not touch the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q286 cartesian:\n$p")
   }
 
   test("q287/q289: tombstone-merged reads rank scale-safe; the chunk family serves from its written slice store") {
@@ -992,10 +1002,12 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q291: the whole-warehouse erasure record reads every family's WRITTEN store; the corpus appears only as the tombstone text fetch") {
     val p = plan("q291_forget_execute")
-    // graft_idx_ sits behind the pinned two-consumer merge (an
-    // ExistingRDD in this plan) — its store shape is pinned by the
-    // q276/q277 tests; the other families' scans are direct
-    for (store <- Seq("graft_pidx_", "graft_chsl_",
+    // r22: the tombstone-merged families count off their MATERIALIZED
+    // post-forget merge stores (built once per process — graft_fidxm_/
+    // fpidxm_/fchm_, replacing a per-query re-fold of graft_idx_/
+    // pidx_/chsl_); the row-erased request-scale families still read
+    // their direct stores through inline broadcast anti-joins
+    for (store <- Seq("graft_fidxm_", "graft_fpidxm_", "graft_fchm_",
         "graft_norms_", "graft_docmeta_", "graft_facets_",
         "graft_pqcodes_", "graft_dupmap_"))
       assert(p.contains(store),
