@@ -39,6 +39,22 @@ object Bench {
       // tune.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
+      // Advisory size for the coalescer (and every other AQE size
+      // decision). Spark's 64 MB default serializes CPU-DENSE stages
+      // whose bytes are small — measured: q250's inline
+      // positional-slice derivation (arrays explode into lots of CPU,
+      // ~10 MB of shuffle) went 1.38 s -> 2.15 s when 64 MB coalescing
+      // collapsed it to 1-2 tasks; 1 MB restored it (1.11 s) but gave
+      // back half the pipelines' contention win (q121 11.4 s vs 7.0 s
+      // under a 32-thread hog). 8 MB measured best-or-near-best in
+      // BOTH regimes (idle 4-query sum 10.7 s vs 16.1 s at the old
+      // conf; hog 12.2 s vs 42 s) — full matrix in
+      // OPTIMIZATION_r22.md. At cluster scale this knob should ride
+      // data density (bytes per CPU-second, guide §2.2), hence the
+      // env parameter; 8 MB is the LOCAL default tuned for the
+      // bench's CPU-bound, small-byte profile.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "8") + "m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
