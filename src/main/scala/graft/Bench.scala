@@ -107,9 +107,24 @@ object Bench {
     val shortNames = names.map(short)
     require(shortNames.distinct.size == shortNames.size,
       "qNN prefixes must stay unique for the bench line")
+    // store-build overlap (guide §2.6, r22): the serving stores build
+    // lazily at first touch, one at a time, each through its own task
+    // tail — submitting the independent builders from a small pool
+    // back-fills the idle cores and cuts the untimed bootstrap wall
+    // (~318 s -> measured in OPTIMIZATION_r22.md). Untimed space only:
+    // the timed reps below still measure each query against fully
+    // built stores, exactly as before. 0/1 disables the pool; focused
+    // SPARK_GRAFT_BENCH_ONLY runs skip it (building every store for a
+    // two-query profiling session would invert the saving).
+    val prewarmThreads =
+      if (only.nonEmpty) 1
+      else math.max(1,
+        sys.env.getOrElse("SPARK_GRAFT_PREWARM_THREADS", "4").toInt)
+
     // warmup: full pass at the small scale factor (codegen compilation,
     // classloading, a cheap preflight that catches a crashing query in
     // milliseconds of data instead of minutes)
+    if (prewarmThreads > 1) Stores.prewarm(spark, warmDir, prewarmThreads)
     names.foreach { n => run(n, warmDir); clean() }
 
     // steady-state warmup at the BENCH scale (r20 verdict item 1 — the
@@ -127,6 +142,7 @@ object Bench {
     // `warm_sf_sec` so the store-build cost stays visible as its own
     // line item instead of polluting an arbitrary query's number.
     val tWarm = System.nanoTime()
+    if (prewarmThreads > 1) Stores.prewarm(spark, sfDir, prewarmThreads)
     names.foreach { n => run(n, sfDir); clean() }
     val warmSfSec = (System.nanoTime() - tWarm) / 1e9
 

@@ -462,7 +462,7 @@ object Dedup {
     * [[containmentPairsBitmask]]). `vocab` must cover every word in
     * `docs.ws`.
     */
-  private def wordMasks(docs: DataFrame, vocab: Array[String]): DataFrame = {
+  private[graft] def wordMasks(docs: DataFrame, vocab: Array[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val dict = vocab.sorted.zipWithIndex.toSeq.toDF("w", "bit")
@@ -478,8 +478,18 @@ object Dedup {
     * as bit_count. `vocab` must cover every word in `docs.ws`.
     */
   private def jaccardPairsBitmask(docs: DataFrame, vocab: Array[String],
-                                  threshold: Double): DataFrame = {
-    val masks = wordMasks(docs, vocab)
+                                  threshold: Double): DataFrame =
+    jaccardPairsFromMasks(wordMasks(docs, vocab), threshold)
+
+  /** The bitmask Jaccard join over PRECOMPUTED (doc_id, grp, n, mask)
+    * rows — [[jaccardPairsBitmask]] with the mask derivation factored
+    * out so a WRITTEN mask table ([[graft.Stores.wordMasks]]) can
+    * serve it: at a deployment the per-doc masks are an ingest
+    * artifact; only the pair scoring runs per read.
+    */
+  def jaccardPairsFromMasks(masks: DataFrame,
+                            threshold: Double): DataFrame = {
+    require(threshold > 0, "threshold must be > 0 (jaccard-0 pairs are not emitted)")
     val a = masks.select(col("doc_id").as("doc_a"), col("grp"),
       col("mask").as("mask_a"), col("n").as("na"))
     val b = masks.select(col("doc_id").as("doc_b"), col("grp").as("grp_b"),
@@ -575,8 +585,16 @@ object Dedup {
     * shared-word join semantics.
     */
   private def containmentPairsBitmask(docs: DataFrame, vocab: Array[String],
-                                      threshold: Double): DataFrame = {
-    val masks = wordMasks(docs, vocab)
+                                      threshold: Double): DataFrame =
+    containmentPairsFromMasks(wordMasks(docs, vocab), threshold)
+
+  /** The bitmask containment join over PRECOMPUTED (doc_id, grp, n,
+    * mask) rows — the [[jaccardPairsFromMasks]] posture for the
+    * containment criterion.
+    */
+  def containmentPairsFromMasks(masks: DataFrame,
+                                threshold: Double): DataFrame = {
+    require(threshold > 0, "threshold must be > 0")
     val a = masks.select(col("doc_id").as("doc_a"), col("grp"),
       col("mask").as("mask_a"), col("n").as("na"))
     val b = masks.select(col("doc_id").as("doc_b"), col("grp").as("grp_b"),

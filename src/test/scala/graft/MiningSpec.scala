@@ -157,6 +157,30 @@ class MiningSpec extends AnyFunSuite {
     assert(bitmask === expected)
   }
 
+  test("jaccard/containment FromMasks over a precomputed mask table ≡ the inline bitmask path (the store-serving contract)") {
+    import org.apache.spark.sql.functions.{array_distinct, col, split}
+    val df = docs((1, "a b c d", "s"), (2, "a b c e", "s"),
+      (3, "a b c d", "t"), (4, "a b", "s"))
+    val ws = df.select(col("doc_id"), col("source").as("grp"),
+      array_distinct(split(col("text"), " ")).as("ws"))
+    val vocab = Array("a", "b", "c", "d", "e")
+    val masks = Dedup.wordMasks(ws, vocab)
+    val jm = Dedup.jaccardPairsFromMasks(masks, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val ji = Dedup.jaccardPairs(df, "doc_id", "text", "source", 0.5,
+        probeVocab = true)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(jm === ji)
+    val cm = Dedup.containmentPairsFromMasks(masks, 0.8)
+      .select("doc_a", "doc_b", "cont_a", "cont_b")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val ci = Dedup.containmentPairs(df, "doc_id", "text", "source", 0.8,
+        probeVocab = true)
+      .select("doc_a", "doc_b", "cont_a", "cont_b")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(cm === ci)
+  }
+
   test("jaccardPairs: inverted-index path (vocab > 64) agrees with the bitmask path") {
     // 70-word vocabulary forces the general inverted-index strategy; the
     // pair overlaps on 35 of 45 distinct words → jaccard 35/55
