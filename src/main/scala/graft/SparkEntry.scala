@@ -160,6 +160,20 @@ object SparkEntry {
       TextAnalysis.positionalMergeSlices(erasedWarehouse(s, dir).positional)
     }
 
+  /** Build the four post-forget materialized merges — the
+    * [[Stores.prewarm]] hook for the erased family (they live here,
+    * not in Stores, because the standing erasure request is this
+    * entry point's contract). Same safety as every prewarm builder:
+    * each build is serve()-locked per table, and the one internal
+    * dependency (capped → merged index) acquires locks in order.
+    */
+  private[graft] def prewarmErased(s: SparkSession, dir: String): Unit = {
+    erasedIndexMerged(s, dir)
+    erasedIndexCapped(s, dir)
+    erasedChunksMerged(s, dir)
+    erasedPositionalMerged(s, dir)
+  }
+
   /** The corpus's most frequent word n-gram — ONE derivation for the
     * deterministic query-term statistics (the bigram pair q209/q238
     * share, the trigram q257 serves): count-desc with full (w1..wn)

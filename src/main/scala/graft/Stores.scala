@@ -1332,7 +1332,8 @@ object Stores {
       "nbLangModel" -> (() => nbLangModel(s, dir)),
       "nbLangLabels" -> (() => nbLangLabels(s, dir)),
       "nbGateModel" -> (() => nbGateModel(s, dir)),
-      "nbGateLabels" -> (() => nbGateLabels(s, dir)))
+      "nbGateLabels" -> (() => nbGateLabels(s, dir)),
+      "erasedMerges" -> (() => SparkEntry.prewarmErased(s, dir)))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, parallelism))
     try {
